@@ -1,0 +1,84 @@
+package graft.knn
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Brute-force exact k-nearest-neighbor search, the reference's core
+  * operator (`/root/reference/src/exact_knn.rs:27-38`), re-expressed as a
+  * declarative Spark plan:
+  *
+  *   base.crossJoin(broadcast(queries))          // J1, nested-loop theta-join
+  *       .withColumn("dist", cosineDistance)     // A1-A4 as codegen'd HOFs
+  *       -> per-query top-k                      // T1
+  *
+  * Scale notes (100 TB thinking):
+  *   - The query side is the small side (5% held-out, or a user batch) and
+  *     is ALWAYS broadcast, so the cross product never shuffles the base
+  *     table: one pass over base per partition, map-side only.
+  *   - Single-query top-k goes through `orderBy().limit(k)` which Catalyst
+  *     plans as `TakeOrderedAndProject` (bounded heap per partition + driver
+  *     merge of P*k rows, no global sort).
+  *   - Batch top-k uses a window `row_number` over (qid) partitions; the
+  *     shuffle carries only (qid, id, dist) triples, never the vectors.
+  *     (A heap-based partial Aggregator variant is in TopK.scala.)
+  *
+  * Distances are rounded to 6 decimals BEFORE ranking so that rank order
+  * and output hash-match the DuckDB oracle despite FP fold-order noise,
+  * with `vec_id` as the deterministic tie-break (SURVEY.md §7.4; the
+  * reference relies on Rust's stable sort, exact_knn.rs:34).
+  */
+object ExactKnn {
+
+  /** Deterministic 95/5 prefix split by vec_id, mirroring
+    * `/root/reference/src/dataset.rs:19-23` (round half-up like Rust).
+    * Returns (base, queries, splitAt, n).
+    */
+  def split(spark: SparkSession, dir: String, ratio: Double = 0.95)
+      : (DataFrame, DataFrame, Long, Long) = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val n = Tables.embeddings(spark, dir).count()
+    val splitAt = math.round(ratio * n)
+    (emb.filter(col("vec_id") < splitAt),
+     emb.filter(col("vec_id") >= splitAt), splitAt, n)
+  }
+
+  /** Rounded engine-wide distance used by every declared kNN query. */
+  def dist(a: Column, b: Column): Column = round(distance(a, b), 6)
+
+  /** Top-k nearest base rows for ONE held-out query (the reference's
+    * `query[29]` single search, `/root/reference/src/main.rs:78-81`;
+    * index taken mod the query-set size to fit any SF).
+    * Output: (vec_id, dist) ascending.
+    */
+  def topKSingle(spark: SparkSession, dir: String, k: Int = 10,
+                 queryIdx: Long = 29): DataFrame = {
+    val (base, _, splitAt, n) = split(spark, dir)
+    val qid = splitAt + (queryIdx % (n - splitAt))
+    val q = broadcast(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+        .select(toDoubleArray(col("embedding")).as("qvec")))
+    base.crossJoin(q)
+      .select(col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k) // planned as TakeOrderedAndProject (bounded heap)
+  }
+
+  /** Top-k for EVERY held-out query at once (batch form of T1).
+    * Output: (qid, vec_id, dist, rk).
+    */
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (base, queries, _, _) = split(spark, dir)
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("emb").as("qvec")))
+    val scored = base.crossJoin(q)
+      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}
