@@ -3,12 +3,18 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.ExactKnn
+import graft.operators.{EventOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
   * SQL-expressible ones also appear in [[oracleSql]] (DuckDB-compatible,
   * same column names/aliases as the Spark output — the driver sorts
   * columns by name and hash-compares values).
+  *
+  * Determinism rules (SURVEY.md §7.4): distances rounded to 6dp before
+  * ranking; money/measure sums on exact integer cents (ExactNum);
+  * timestamps emitted as epoch integers; every ranking has an id
+  * tie-break.
   */
 object SparkEntry {
 
@@ -22,11 +28,40 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_exact_single" -> ((s, dir) => ExactKnn.topKSingle(s, dir)),
-    "knn_exact_batch"  -> ((s, dir) => ExactKnn.topKBatch(s, dir)),
+    // — reference parity: vector search (SURVEY §2.1-2.5, §2.9) —
+    "knn_exact_single" -> ((s, d) => ExactKnn.topKSingle(s, d)),
+    "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
+    // — relational coverage (north-star; SURVEY §2.3/2.4 absent cats) —
+    "q1_pricing_summary"    -> Relational.q1PricingSummary _,
+    "q3_shipping_priority"  -> Relational.q3ShippingPriority _,
+    "q5_region_revenue"     -> Relational.q5RegionRevenue _,
+    "topk_orders_per_segment" -> Relational.topOrdersPerSegment _,
+    "rollup_lineitem"       -> Relational.rollupLineitem _,
+    "setop_priority_custkeys" -> Relational.setOpPriorityCustomers _,
+    "anti_customers_no_orders" -> Relational.customersWithoutOrders _,
+    "semi_customers_urgent" -> Relational.customersWithUrgentOrders _,
+    // — event-time processing (SURVEY §2.11 extensions) —
+    "events_tumbling" -> EventOps.tumbling _,
+    "events_sliding"  -> EventOps.sliding _,
+    "events_sessions" -> EventOps.sessions _,
+    "events_json_stats" -> EventOps.jsonStats _,
   )
 
-  /** DuckDB-runnable oracle SQL, same tables, same column names. */
+  // ——— DuckDB oracle SQL (same tables, same column names) ———
+
+  /** Clamped cosine distance between list columns `b.emb` and `q.emb`,
+    * rounded to 6 — same fold + rounding as VectorFunctions (§7.4).
+    */
+  private val cosDistSql: String =
+    """round(1 - greatest(
+         list_sum(list_transform(list_zip(b.emb, q.emb), z -> z[1]*z[2])) /
+         (sqrt(list_sum(list_transform(b.emb, x -> x*x))) *
+          sqrt(list_sum(list_transform(q.emb, x -> x*x)))), 0), 6)"""
+
+  /** 2-decimal column -> exact integer cents (mirror of ExactNum.cents). */
+  private def c100(col: String): String =
+    s"CAST(round($col*100) AS BIGINT)"
+
   def oracleSql: Map[String, String] = Map(
     "knn_exact_single" -> s"""
       WITH e AS (SELECT vec_id,
@@ -37,6 +72,7 @@ object SparkEntry {
       FROM e b, e q, p
       WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
       ORDER BY dist, b.vec_id LIMIT 10""",
+
     "knn_exact_batch" -> s"""
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -49,15 +85,113 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
       QUALIFY rk <= 10""",
-  )
 
-  /** Shared DuckDB fragment: clamped cosine distance between list columns
-    * `b.emb` and `q.emb`, rounded to 6 (same fold + rounding as
-    * [[graft.functions.VectorFunctions]] — SURVEY.md §7.4).
-    */
-  private val cosDistSql: String =
-    """round(1 - greatest(
-         list_sum(list_transform(list_zip(b.emb, q.emb), z -> z[1]*z[2])) /
-         (sqrt(list_sum(list_transform(b.emb, x -> x*x))) *
-          sqrt(list_sum(list_transform(q.emb, x -> x*x)))), 0), 6)"""
+    "q1_pricing_summary" -> s"""
+      WITH li AS (SELECT l_returnflag, l_linestatus,
+          ${c100("l_quantity")} AS q100, ${c100("l_extendedprice")} AS p100,
+          ${c100("(1-l_discount)")} AS dm100, ${c100("(1+l_tax)")} AS tp100,
+          ${c100("l_discount")} AS d100
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
+      SELECT l_returnflag, l_linestatus,
+        sum(q100)/100.0 AS sum_qty,
+        sum(p100)/100.0 AS sum_base_price,
+        sum(p100*dm100)/10000.0 AS sum_disc_price,
+        sum(p100*dm100*tp100)/1000000.0 AS sum_charge,
+        sum(q100)/(count(*)*100.0) AS avg_qty,
+        sum(p100)/(count(*)*100.0) AS avg_price,
+        sum(d100)/(count(*)*100.0) AS avg_disc,
+        count(*) AS count_order
+      FROM li GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q3_shipping_priority" -> s"""
+      SELECT l.l_orderkey,
+        CAST(epoch(o.o_orderdate) AS BIGINT) AS o_odate_epoch,
+        o.o_orderpriority,
+        sum(${c100("l.l_extendedprice")} * ${c100("(1-l.l_discount)")})/10000.0 AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15'
+        AND l.l_shipdate > TIMESTAMP '1998-03-15'
+      GROUP BY 1,2,3 ORDER BY revenue DESC, l.l_orderkey LIMIT 10""",
+
+    "q5_region_revenue" -> s"""
+      SELECT n.n_name,
+        sum(${c100("l.l_extendedprice")} * ${c100("(1-l.l_discount)")})/10000.0 AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 ORDER BY revenue DESC, n.n_name""",
+
+    "topk_orders_per_segment" -> """
+      SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice
+      FROM (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+              row_number() OVER (PARTITION BY c.c_mktsegment
+                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      WHERE rk <= 5""",
+
+    "rollup_lineitem" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             sum(q100)/100.0 AS sum_qty, count(*) AS n
+      FROM (SELECT l_returnflag, l_linestatus,
+              ${c100("l_quantity")} AS q100 FROM lineitem)
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "setop_priority_custkeys" -> """
+      (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""",
+
+    "anti_customers_no_orders" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    "semi_customers_urgent" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')""",
+
+    "events_tumbling" -> s"""
+      SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS w_start,
+             event_type, count(*) AS n, sum(${c100("value")})/100.0 AS sum_value
+      FROM events GROUP BY 1,2""",
+
+    "events_sliding" -> s"""
+      SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)
+               - k.off * INTERVAL '5 minutes') AS BIGINT) AS w_start,
+             event_type, count(*) AS n, sum(${c100("value")})/100.0 AS sum_value
+      FROM events CROSS JOIN (VALUES (0),(1)) k(off)
+      GROUP BY 1,2""",
+
+    "events_sessions" -> s"""
+      WITH x AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
+             count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
+      FROM y GROUP BY 1,2""",
+
+    "events_json_stats" -> """
+      SELECT event_type, count(*) AS n,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+      FROM events GROUP BY 1""",
+  )
 }

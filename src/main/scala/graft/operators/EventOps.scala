@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactNum._
+
+/** Event-time processing over the `events` fixture (SURVEY.md §2.11 —
+  * the reference has no streaming surface; these are the north-star
+  * extensions). All four run as batch plans here; the tumbling/sliding
+  * aggregations use the exact same `window()` expressions that run
+  * unchanged under Structured Streaming (see graft.streaming).
+  *
+  * Scale notes: each is a single shuffle on the grouping key; window
+  * assignment (`window`, `lag`) happens before the shuffle carries only
+  * (key, counters) pairs. Session detection is the lag/flag/prefix-sum
+  * formulation — one shuffle on user_id, no driver-side state.
+  */
+object EventOps {
+
+  /** Tumbling 10-minute windows: count + exact value sum per type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding windows: 10-minute width, 5-minute slide (each event lands
+    * in exactly two windows).
+    */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user with a 30-minute inactivity gap, via the
+    * lag/flag/prefix-sum island pattern (deterministic: window ordered by
+    * (ts, event_id)). Output: one row per session.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          // microsecond-exact gap compare (unix_timestamp would truncate
+          // to seconds and disagree with the oracle's interval compare)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("sid"))
+      .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+  }
+
+  /** JSON extraction (`props` is a JSON string): per-type stats over the
+    * extracted integer field `k`.
+    */
+  def jsonStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        (sum(col("k")) / count(col("k"))).as("avg_k"))
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactNum._
+
+/** Relational operator coverage on the TPC-H-ish fixture tables: scans
+  * with pushed filters, hash/broadcast joins, semi/anti joins, hash aggs,
+  * rollup, windowed top-k, and set operations. The reference has no
+  * relational surface (SURVEY.md §2.3/§2.4 "absent categories") — these
+  * are the north-star extensions that make the engine a complete
+  * analytics library, and they exercise every Catalyst join/agg strategy.
+  *
+  * Scale notes:
+  *   - Dimension tables (customer/nation/region/supplier) are broadcast;
+  *     only fact-fact joins (orders⋈lineitem) shuffle, on their join key.
+  *   - All aggregations are partial (map-side combine) by construction —
+  *     plain groupBy over codegen'd expressions.
+  *   - Money sums use exact integer cents (see ExactNum) so results are
+  *     deterministic under any partitioning.
+  */
+object Relational {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary: scan + filter + hash agg. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("q100"),
+        cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"),
+        cents(lit(1) + col("l_tax")).as("tp100"),
+        cents(col("l_discount")).as("d100"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(col("q100")) / 100.0).as("sum_qty"),
+        (sum(col("p100")) / 100.0).as("sum_base_price"),
+        (sum(col("p100") * col("dm100")) / 1e4).as("sum_disc_price"),
+        (sum(col("p100") * col("dm100") * col("tp100")) / 1e6).as("sum_charge"),
+        (sum(col("q100")) / (count(lit(1)) * 100.0)).as("avg_qty"),
+        (sum(col("p100")) / (count(lit(1)) * 100.0)).as("avg_price"),
+        (sum(col("d100")) / (count(lit(1)) * 100.0)).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: broadcast dim join + shuffled
+    * fact-fact join + agg + top-10.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < ts("1998-03-15"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > ts("1998-03-15"))
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+    li.join(broadcast(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(col("p100") * col("dm100")) / 1e4).as("revenue"))
+      .select(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_odate_epoch"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join through the
+    * region->nation snowflake with the customer-and-supplier-same-nation
+    * constraint; dims broadcast, facts shuffle once each.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+              col("o_orderdate") < ts("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("p100") * col("dm100")) / 1e4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Windowed top-k: 5 highest-value orders per market segment
+    * (ranking window function over a broadcast-joined dim).
+    */
+  def topOrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+  }
+
+  /** ROLLUP aggregation over returnflag/linestatus (subtotals + grand
+    * total), the reference-absent cube/rollup category.
+    */
+  def rollupLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("q100"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(col("q100")) / 100.0).as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Set operations: urgent-order customers ∩ high-order customers,
+    * minus low-priority customers (INTERSECT/EXCEPT distinct semantics).
+    */
+  def setOpPriorityCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def custs(prio: String) =
+      ord.filter(col("o_orderpriority") === prio).select("o_custkey")
+    custs("1-URGENT").intersect(custs("2-HIGH")).except(custs("5-LOW"))
+  }
+
+  /** Anti join: customers with no orders at all. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Semi join: customers having at least one urgent order, with their
+    * account balance (exact 2-decimal passthrough).
+    */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+  }
+}
