@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.ExactKnn
-import graft.operators.{EventOps, Relational}
+import graft.knn.{ExactKnn, HnswKnn}
+import graft.operators.{Evaluation, EventOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -31,6 +31,21 @@ object SparkEntry {
     // — reference parity: vector search (SURVEY §2.1-2.5, §2.9) —
     "knn_exact_single" -> ((s, d) => ExactKnn.topKSingle(s, d)),
     "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
+    // HNSW is approximate: no SQL oracle; quality is gated by the recall
+    // queries below + HnswSpec (the reference's own pattern, main.rs:89-93)
+    "knn_hnsw_single" -> ((s, d) => HnswKnn.topKSingle(s, d)),
+    "knn_hnsw_batch"  -> ((s, d) => HnswKnn.topKBatch(s, d)),
+    "eval_recall_exact_self" -> ((s, d) => {
+      val ex = ExactKnn.topKBatch(s, d).select("qid", "vec_id")
+      Evaluation.recall(ex, ex)
+    }),
+    "eval_precision_exact_self" -> ((s, d) => {
+      val ex = ExactKnn.topKBatch(s, d).select("qid", "vec_id")
+      Evaluation.precision(ex, ex)
+    }),
+    "eval_recall_hnsw" -> ((s, d) => Evaluation.recall(
+      HnswKnn.topKBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     // — relational coverage (north-star; SURVEY §2.3/2.4 absent cats) —
     "q1_pricing_summary"    -> Relational.q1PricingSummary _,
     "q3_shipping_priority"  -> Relational.q3ShippingPriority _,
@@ -85,6 +100,43 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
       QUALIFY rk <= 10""",
+
+    // recall/precision of the exact batch result against itself — the
+    // oracle recomputes the same top-k in DuckDB and evaluates the same
+    // semi-join + ratio, exercising E1-E3 end-to-end (both sides = 1.0).
+    "eval_recall_exact_self" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id >= p.s),
+      t AS (SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+              FROM d) WHERE rk <= 10)
+      SELECT round(CAST((SELECT count(*) FROM t a
+                         WHERE EXISTS (SELECT 1 FROM t b
+                                       WHERE b.qid = a.qid AND b.vec_id = a.vec_id)) AS DOUBLE)
+                   / (SELECT count(*) FROM t), 6) AS recall""",
+
+    "eval_precision_exact_self" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id >= p.s),
+      t AS (SELECT qid, vec_id FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+              FROM d) WHERE rk <= 10)
+      SELECT round(CAST((SELECT count(*) FROM t a
+                         WHERE EXISTS (SELECT 1 FROM t b
+                                       WHERE b.qid = a.qid AND b.vec_id = a.vec_id)) AS DOUBLE)
+                   / (SELECT count(*) FROM t), 6) AS precision""",
 
     "q1_pricing_summary" -> s"""
       WITH li AS (SELECT l_returnflag, l_linestatus,

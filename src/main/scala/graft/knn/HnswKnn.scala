@@ -1,0 +1,71 @@
+package graft.knn
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed approximate kNN: the sharded-HNSW formulation of the
+  * reference's single-process index (`/root/reference/src/hnsw.rs:304-327`).
+  *
+  * Plan shape:
+  *   base --repartition(shards)--> mapPartitions:
+  *       build one [[HnswIndex]] per partition (seeded by partition id),
+  *       search every broadcast query against the local graph,
+  *       emit per-partition top-k candidates (qid, vec_id, dist)
+  *   --> window top-k per qid over the union of shard candidates.
+  *
+  * Scale notes (100 TB thinking):
+  *   - Each executor core builds/owns one shard graph — build is
+  *     embarrassingly parallel and never leaves the executor; only
+  *     (qid, id, dist) candidate triples (shards × k per query, no
+  *     vectors) cross the shuffle for the global merge.
+  *   - Queries travel via broadcast, so search cost is one local graph
+  *     walk per (shard, query) — the standard scatter-gather ANN layout;
+  *     recall is ≥ a single global graph's because every shard is probed.
+  *   - At 100 TB the same plan holds with shards = number of cores, and
+  *     the built graphs can be persisted per-partition for reuse rather
+  *     than rebuilt per batch (build once, search many).
+  */
+object HnswKnn {
+
+  /** Per-shard top-k candidates for every held-out query.
+    * Output: (qid, vec_id, dist rounded 6, rk), rk <= k — same shape as
+    * [[ExactKnn.topKBatch]] so the two are directly joinable for recall.
+    */
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10, ef: Int = 100,
+      shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val qs: Array[(Long, Array[Double])] =
+      queries.as[(Long, Array[Double])].collect()
+    val bqs = spark.sparkContext.broadcast(qs)
+    val cand = base.repartition(shards, col("vec_id"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val idx = new HnswIndex(seed = 42L + TaskContext.getPartitionId())
+          .insertAll(it)
+        bqs.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("qid", "vec_id", "dist")
+      .withColumn("dist", round(col("dist"), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Single-query form (the reference's `query[29]` search,
+    * `/root/reference/src/main.rs:85-87`). Output: (vec_id, dist) asc.
+    */
+  def topKSingle(spark: SparkSession, dir: String, k: Int = 10,
+      ef: Int = 100, queryIdx: Long = 29): DataFrame = {
+    val (_, _, splitAt, n) = ExactKnn.split(spark, dir)
+    val qid = splitAt + (queryIdx % (n - splitAt))
+    topKBatch(spark, dir, k, ef)
+      .filter(col("qid") === qid)
+      .select(col("vec_id"), col("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation as DataFrame ops — the reference's
+  * recall/precision module (`/root/reference/src/evaluation.rs:3-15`)
+  * re-expressed as a semi-join + global aggregate (SURVEY.md §2.10).
+  *
+  * Set membership is by (qid, vec_id) — ids are 1:1 with vectors, which
+  * matches the reference's Point-equality-by-vector (`src/point.rs:12-16`).
+  *
+  * Scale notes: the intersection is a shuffle-free broadcast or shuffled
+  * hash semi-join on narrow key pairs (never the vectors); the final
+  * metric is a single global agg. Per-query variants group on qid before
+  * averaging — one shuffle either way.
+  */
+object Evaluation {
+
+  /** E1: |retrieved ∩ relevant| as a 1-row DataFrame (column n). */
+  def intersectionCount(retrieved: DataFrame, relevant: DataFrame,
+      keys: Seq[String] = Seq("qid", "vec_id")): DataFrame =
+    retrieved.join(relevant, keys, "left_semi").agg(count(lit(1)).as("n"))
+
+  /** E2: recall = |R ∩ S| / |S| (S = relevant), micro-averaged over all
+    * (qid, vec_id) pairs. 1-row output (column recall, rounded 6).
+    */
+  def recall(retrieved: DataFrame, relevant: DataFrame,
+      keys: Seq[String] = Seq("qid", "vec_id")): DataFrame = {
+    val hits = retrieved.join(relevant, keys, "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val total = relevant.agg(count(lit(1)).as("total"))
+    hits.crossJoin(total)
+      .select(round(col("hits") / col("total"), 6).as("recall"))
+  }
+
+  /** E3: precision = |R ∩ S| / |R| (R = retrieved). 1-row output. */
+  def precision(retrieved: DataFrame, relevant: DataFrame,
+      keys: Seq[String] = Seq("qid", "vec_id")): DataFrame = {
+    val hits = retrieved.join(relevant, keys, "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val total = retrieved.agg(count(lit(1)).as("total"))
+    hits.crossJoin(total)
+      .select(round(col("hits") / col("total"), 6).as("precision"))
+  }
+
+  /** Macro-averaged per-query recall (one row per qid), for diagnostics:
+    * exposes which queries an approximate index misses.
+    */
+  def recallPerQuery(retrieved: DataFrame, relevant: DataFrame): DataFrame = {
+    val hits = retrieved.join(relevant, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    val rel = relevant.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    rel.join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(col("hits"), lit(0)) / col("n_rel"), 6).as("recall"))
+  }
+}

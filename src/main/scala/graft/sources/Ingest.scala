@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest parity with the reference's dataset module
+  * (`/root/reference/src/dataset.rs:8-23`): lenient NDJSON scan with a
+  * head-of-file limit, the serde field rename, and the deterministic
+  * prefix train/query split.
+  *
+  * Scale notes: the JSON scan is Spark's vectorized multi-line-capable
+  * reader — schema is supplied (never inferred, which would double-scan),
+  * malformed rows are dropped at parse time (DROPMALFORMED), and only the
+  * two declared columns are materialized. Prefix semantics (`limit`,
+  * split) are row-order-dependent, so they are defined relative to an
+  * explicit `row_id` assigned at ingest — at cluster scale an upstream
+  * id column is the contract, exactly like the fixture's `vec_id`.
+  */
+object Ingest {
+
+  /** The reference's on-disk schema (`/root/reference/src/point.rs:5-10`):
+    * `body` + the literally-named `"text-embedding-ada-002"` float array.
+    */
+  val ndjsonSchema: StructType = StructType(Seq(
+    StructField("body", StringType),
+    StructField("text-embedding-ada-002", ArrayType(DoubleType))))
+
+  /** S1 — `read_ndjson(filename, limit)` (`dataset.rs:8-17`): read at
+    * most `limit` records, silently dropping malformed lines, renaming
+    * the embedding field to `vector`. A `row_id` records file order
+    * (single input file → one partition → stable order, SURVEY.md §7.6.5).
+    */
+  def readNdjson(spark: SparkSession, path: String, limit: Int): DataFrame =
+    spark.read
+      .schema(ndjsonSchema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+      .withColumnRenamed("text-embedding-ada-002", "vector")
+      .filter(col("vector").isNotNull) // DROPMALFORMED keeps all-null rows for top-level-valid JSON of wrong shape
+      .limit(limit)
+      .coalesce(1)
+      .withColumn("row_id", monotonically_increasing_id())
+
+  /** S2 — `split_dataset(data, ratio)` (`dataset.rs:19-23`): deterministic
+    * prefix split at `round(n * ratio)` (half-away-from-zero, matching
+    * Rust `f32::round`). Returns (base, query).
+    */
+  def splitDataset(df: DataFrame, ratio: Double): (DataFrame, DataFrame) = {
+    val n = df.count()
+    val splitAt = math.round(ratio * n) // Scala round = half-up, = Rust half-away for positive
+    (df.filter(col("row_id") < splitAt), df.filter(col("row_id") >= splitAt))
+  }
+
+  /** `insert_many` semantics (`/root/reference/src/index.rs:7-9`,
+    * `exact_knn.rs:23-25`): bag-append of new rows to the base relation.
+    */
+  def insertMany(base: DataFrame, rows: DataFrame): DataFrame =
+    base.unionByName(rows)
+}

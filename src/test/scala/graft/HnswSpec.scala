@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.knn.{ExactKnn, HnswIndex, HnswKnn}
+import graft.operators.Evaluation
+
+/** HNSW quality gates — the reference's own correctness mechanism is
+  * online recall/precision vs the exact oracle
+  * (`/root/reference/src/main.rs:89-93`); we pin it as tests.
+  */
+class HnswSpec extends SparkSpec {
+
+  test("local index: self-query returns the point itself first") {
+    val idx = new HnswIndex(seed = 7)
+    val rnd = new scala.util.Random(1)
+    val vecs = (0 until 200).map(i =>
+      i.toLong -> Array.fill(16)(rnd.nextGaussian()))
+    vecs.foreach { case (id, v) => idx.insert(id, v) }
+    vecs.take(20).foreach { case (id, v) =>
+      val hits = idx.search(v, 1)
+      assert(hits.head._1 == id, s"self-query of $id returned ${hits.head}")
+      assert(hits.head._2 < 1e-9)
+    }
+  }
+
+  test("local index: search returns ascending distances, at most k") {
+    val idx = new HnswIndex(seed = 11)
+    val rnd = new scala.util.Random(2)
+    (0 until 500).foreach(i => idx.insert(i.toLong, Array.fill(8)(rnd.nextGaussian())))
+    val res = idx.search(Array.fill(8)(rnd.nextGaussian()), 10)
+    assert(res.length == 10)
+    assert(res.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    assert(res.forall { case (_, d) => d >= 0.0 && d <= 1.0 })
+  }
+
+  test("local index: recall@10 vs brute force on gaussian data >= 0.9") {
+    val rnd = new scala.util.Random(3)
+    val base = (0 until 1000).map(i => i.toLong -> Array.fill(32)(rnd.nextGaussian()))
+    val idx = new HnswIndex(seed = 5)
+    base.foreach { case (id, v) => idx.insert(id, v) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      1.0 - math.max(d / (na * nb), 0.0)
+    }
+    val queries = (0 until 30).map(_ => Array.fill(32)(rnd.nextGaussian()))
+    val recalls = queries.map { q =>
+      val exact = base.map { case (id, v) => (cos(q, v), id) }.sorted.take(10).map(_._2).toSet
+      val approx = idx.search(q, 10).map(_._1).toSet
+      (exact intersect approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
+  }
+
+  test("sharded spark hnsw: every query answered with k ascending rows") {
+    val df = HnswKnn.topKBatch(spark, sf0001, k = 10).cache()
+    val (_, queries, _, _) = ExactKnn.split(spark, sf0001)
+    val nq = queries.count()
+    val perQ = df.groupBy("qid").count().collect()
+    assert(perQ.length == nq)
+    assert(perQ.forall(_.getLong(1) == 10))
+    // rk dense 1..10 per query
+    val bad = df.groupBy("qid").agg(min("rk").as("mn"), max("rk").as("mx"))
+      .filter(col("mn") =!= 1 || col("mx") =!= 10).count()
+    assert(bad == 0)
+  }
+
+  test("sharded spark hnsw: recall@10 vs exact oracle >= 0.85") {
+    val hnsw = HnswKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
+    val exact = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
+    val r = Evaluation.recall(hnsw, exact).collect()(0).getDouble(0)
+    assert(r >= 0.85, s"recall@10 = $r")
+    val p = Evaluation.precision(hnsw, exact).collect()(0).getDouble(0)
+    assert(p >= 0.85, s"precision@10 = $p")
+  }
+
+  test("evaluation identities: recall(X,X) = precision(X,X) = 1.0") {
+    val ex = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
+    assert(Evaluation.recall(ex, ex).collect()(0).getDouble(0) == 1.0)
+    assert(Evaluation.precision(ex, ex).collect()(0).getDouble(0) == 1.0)
+    val n = Evaluation.intersectionCount(ex, ex).collect()(0).getLong(0)
+    assert(n == ex.count())
+  }
+}
