@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn}
-import graft.operators.{Evaluation, EventOps, Relational}
+import graft.operators.{Dedup, Evaluation, EventOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -55,6 +55,14 @@ object SparkEntry {
     "setop_priority_custkeys" -> Relational.setOpPriorityCustomers _,
     "anti_customers_no_orders" -> Relational.customersWithoutOrders _,
     "semi_customers_urgent" -> Relational.customersWithUrgentOrders _,
+    // — dedup / near-dup detection (training-data pipeline ops) —
+    "dedup_exact"         -> Dedup.exactDuplicates _,
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // minhash/simhash use engine-side hashing -> rows-only check; quality
+    // gated by DedupSpec (exact-equality vs brute force)
+    "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
+    "dedup_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "neardup_embedding"   -> ((s, d) => Dedup.embeddingNearDupExact(s, d)),
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -137,6 +145,40 @@ object SparkEntry {
                          WHERE EXISTS (SELECT 1 FROM t b
                                        WHERE b.qid = a.qid AND b.vec_id = a.vec_id)) AS DOUBLE)
                    / (SELECT count(*) FROM t), 6) AS precision""",
+
+    "dedup_exact" -> """
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY text) AS keeper_id,
+             count(*) OVER (PARTITION BY text) AS group_size
+      FROM documents""",
+
+    "dedup_ngram_jaccard" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                   max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(shared / (na + nb - shared), 6) AS jaccard
+      FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5""",
+
+    "neardup_embedding" -> """
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings)
+      SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(greatest(
+                 list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) /
+                 (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(b.v, x -> x*x)))), 0), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      WHERE sim >= 0.4""",
 
     "q1_pricing_summary" -> s"""
       WITH li AS (SELECT l_returnflag, l_linestatus,

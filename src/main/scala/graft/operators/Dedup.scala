@@ -1,0 +1,262 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Deduplication suite over the `documents` / `embeddings` tables — the
+  * operations a large-scale training-data pipeline needs (north-star
+  * extension; the reference has no dedup surface).
+  *
+  * Five detectors, all shuffle-lean by construction:
+  *   - exact:       hash-groupBy on md5(text) — one shuffle on a 16-byte
+  *                  key, never the full text.
+  *   - n-gram Jaccard: explode distinct word 3-grams, equi-join on gram,
+  *                  count shared per pair. Only pairs sharing >=1 gram are
+  *                  materialized (candidate generation is the join itself).
+  *   - MinHash+LSH: 128-permutation MinHash signature over 3-gram hashes,
+  *                  banded 32x4; candidates = bucket-join on band keys;
+  *                  verified with exact Jaccard. At 100 TB this touches
+  *                  each doc once for signatures and joins only on
+  *                  (band, key) — never O(n^2).
+  *   - SimHash:     64-bit signature; 4x16-bit bands guarantee (pigeonhole)
+  *                  that any pair with Hamming distance <= 3 collides in
+  *                  some band; verified with bit_count(xor).
+  *   - embedding cosine: exact pair mining above a similarity threshold
+  *                  (oracle-checkable); LSH-blocked variant in [[embeddingNearDupLsh]]
+  *                  for the high-similarity regime at scale.
+  *
+  * Everything is seeded/deterministic: MinHash permutations and LSH
+  * hyperplanes derive from fixed seeds (SURVEY.md §7.4).
+  */
+object Dedup {
+
+  /** Distinct word 3-grams of a space-tokenized text column. */
+  def grams3(text: Column): Column = {
+    val w = split(text, " ")
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ",
+          element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact duplicate groups by content hash: every doc mapped to the
+    * smallest doc_id holding identical text. Output: (doc_id, keeper_id,
+    * group_size) for all docs.
+    */
+  def exactDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val byHash = Window.partitionBy(col("h"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .withColumn("keeper_id", min(col("doc_id")).over(byHash))
+      .withColumn("group_size", count(lit(1)).over(byHash))
+      .select("doc_id", "keeper_id", "group_size")
+  }
+
+  /** Exploded (doc_id, gram, ng) view used by Jaccard + MinHash verify. */
+  private def gramTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), grams3(col("text")).as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("ng"),
+        explode(col("grams")).as("gram"))
+
+  /** Near-duplicate pairs by word-3-gram Jaccard >= `threshold`.
+    * Output: (doc_a, doc_b, jaccard rounded 6), doc_a < doc_b.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val e = gramTable(spark, dir)
+    val a = e.select(col("doc_id").as("doc_a"), col("ng").as("na"), col("gram"))
+    val b = e.select(col("doc_id").as("doc_b"), col("ng").as("nb"), col("gram"))
+    a.join(b, a("gram") === b("gram") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared") / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // — MinHash + LSH —
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+  private val NumPerms = 128
+  private val LshBands = 32 // 32 bands x 4 rows
+
+  /** Seeded permutation parameters (a, b) for h_i(x) = (a_i x + b_i) mod p. */
+  private lazy val (permA, permB): (Seq[Long], Seq[Long]) = {
+    val rng = new java.util.Random(20260812L)
+    def draw(lo: Long): Seq[Long] =
+      Seq.fill(NumPerms)(lo + math.floorMod(rng.nextLong(), MersennePrime - lo))
+    (draw(1L), draw(0L))
+  }
+
+  /** MinHash signature (array of 128 longs) of a distinct-gram column. */
+  def minhashSignature(grams: Column): Column = {
+    val hashes = transform(grams, g => pmod(xxhash64(g), lit(MersennePrime)))
+    val aLit = typedLit(permA)
+    val bLit = typedLit(permB)
+    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
+      array_min(transform(hashes, h =>
+        pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
+          lit(MersennePrime)))))
+  }
+
+  /** Near-duplicate pairs via MinHash signatures + LSH banding, verified
+    * with exact Jaccard >= `threshold` (the 32x4 banding has ~100% recall
+    * at j >= 0.8). Same output shape as [[ngramJaccardPairs]].
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), grams3(col("text")).as("grams"))
+    val sigs = docs.select(col("doc_id"), minhashSignature(col("grams")).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(LshBands - 1)), j =>
+        struct(j.as("b"), hash(slice(col("sig"), j * 4 + 1, lit(4))).as("key"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("shared")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // — SimHash —
+
+  /** FNV-1a 64-bit hash — a stable token hash that does not depend on any
+    * engine's hash implementation (so signatures are reproducible).
+    */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash of a token sequence (tf-weighted bit voting). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv64(t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var s = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) s |= (1L << j); j += 1 }
+    s
+  }
+
+  /** (doc_id, simhash) for every document. */
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ts) => (id, simhash64(ts)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Near-duplicate pairs with SimHash Hamming distance <= `maxHamming`.
+    * Banding on 4x16-bit chunks: any pair within Hamming 3 shares at
+    * least one intact band (pigeonhole), so the equi-join on (band, key)
+    * finds all of them without an O(n^2) comparison.
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sims = simhashes(spark, dir)
+    val banded = sims
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("key", expr("(simhash >> (16 * b)) & 65535"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("x.simhash").as("sha"),
+        col("y.doc_id").as("doc_b"), col("y.simhash").as("shb"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(sha ^ shb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // — embedding cosine near-dup —
+
+  /** Exact cosine-similar pair mining over embeddings: all pairs with
+    * clamped cosine similarity >= `threshold`. Output: (vec_a, vec_b,
+    * sim rounded 6), vec_a < vec_b. O(n^2) by design — the oracle-checked
+    * baseline; [[embeddingNearDupLsh]] is the blocked scale path.
+    */
+  def embeddingNearDupExact(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Random-hyperplane LSH blocking for high-similarity pair mining:
+    * `bands` bands of `rowsPerBand` sign bits each (seeded Gaussian
+    * hyperplanes); candidates collide in >=1 band and are verified
+    * exactly. Designed for the sim >= ~0.9 near-dup regime where band
+    * collisions are rare for non-dups — at 100 TB only bucket-mates are
+    * ever compared.
+    */
+  def embeddingNearDupLsh(embeddings: DataFrame, dim: Int,
+      threshold: Double = 0.9, bands: Int = 16, rowsPerBand: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val rng = new java.util.Random(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(bands * rowsPerBand)(Seq.fill(dim)(rng.nextGaussian()))
+    val pLit = typedLit(planes)
+    val e = embeddings.select(col("vec_id"),
+      VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    // sign bit per hyperplane -> per-band bit-string key
+    val bits = transform(sequence(lit(0), lit(bands * rowsPerBand - 1)), i =>
+      when(aggregate(zip_with(element_at(pLit, i + 1), col("v"),
+        (p, x) => p * x), lit(0.0), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
+    val banded = e.withColumn("bits", bits)
+      .select(col("vec_id"), col("v"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("b"),
+            aggregate(slice(col("bits"), j * rowsPerBand + 1, lit(rowsPerBand)),
+              lit(0), (acc, x) => acc * 2 + x).as("key")))).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("x.v").as("va"),
+        col("y.vec_id").as("vec_b"), col("y.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand.select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup: keeper is the min doc_id; groups partition the table") {
+    val d = Dedup.exactDuplicates(spark, sf0001).cache()
+    assert(d.count() == 500)
+    assert(d.filter(col("keeper_id") > col("doc_id")).count() == 0)
+    // keeper rows are their own keepers
+    assert(d.filter(col("doc_id") === col("keeper_id"))
+      .filter(col("keeper_id") =!= col("doc_id")).count() == 0)
+  }
+
+  test("ngram jaccard: pairs are symmetric-free, thresholded, in [0,1]") {
+    val p = Dedup.ngramJaccardPairs(spark, sf0001, 0.5).cache()
+    assert(p.count() > 0, "fixture has planted near-dups")
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(p.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
+  }
+
+  test("minhash lsh finds exactly the brute-force pairs at j >= 0.8") {
+    val lsh = Dedup.minhashLshPairs(spark, sf0001, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute, s"lsh=${lsh.size} brute=${brute.size} missing=${brute -- lsh}")
+  }
+
+  test("simhash banding is complete: finds exactly the hamming<=3 pairs") {
+    val p = Dedup.simhashPairs(spark, sf0001, maxHamming = 3)
+    val banded = p.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth over all collected signatures
+    val sigs = Dedup.simhashes(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      i <- sigs.indices.iterator
+      k <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(k)._2) <= 3
+    } yield (sigs(i)._1, sigs(k)._1)).toSet
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size} missing=${brute -- banded}")
+  }
+
+  test("embedding near-dup exact: thresholded, ordered, clamp holds") {
+    val p = Dedup.embeddingNearDupExact(spark, sf0001, 0.4).cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(p.filter(col("sim") < 0.4 || col("sim") > 1.0).count() == 0)
+  }
+
+  test("embedding LSH blocking recovers planted high-sim pairs") {
+    import spark.implicits._
+    // plant near-dups: tiny perturbations of 30 fixture vectors
+    val base = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).limit(30)
+      .as[(Long, Array[Float])].collect()
+    val planted = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.001f * math.signum(x + 0.1f)))
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDupLsh(all, dim = 64, threshold = 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.map { case (id, _) => (id, id + 100000L) }.toSet
+    val recall = (expected intersect found).size.toDouble / expected.size
+    assert(recall >= 0.95, s"recall=$recall found=${found.size}")
+  }
+}
