@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, Relational}
+import graft.operators.{Dedup, Evaluation, EventOps, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -63,6 +63,11 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "neardup_embedding"   -> ((s, d) => Dedup.embeddingNearDupExact(s, d)),
+    // — text analysis (training-data pipeline ops) —
+    "text_tokens"      -> TextOps.tokenCounts _,
+    "text_quality"     -> TextOps.qualityScores _,
+    "text_langid"      -> TextOps.languageId _,
+    "text_fingerprint" -> TextOps.fingerprints _,
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -179,6 +184,61 @@ object SparkEntry {
                   sqrt(list_sum(list_transform(b.v, x -> x*x)))), 0), 6) AS sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id)
       WHERE sim >= 0.4""",
+
+    "text_tokens" -> """
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+             CAST(length(text) AS INT) AS len_chars
+      FROM documents""",
+
+    "text_quality" -> """
+      WITH q AS (
+        SELECT doc_id, len(w) AS n_words,
+          list_sum(list_transform(w, t -> length(t))) / CAST(len(w) AS DOUBLE) AS mean_wlen_raw,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id, CAST(n_words AS INT) AS n_words,
+             round(mean_wlen_raw, 6) AS mean_wlen,
+             round(stop_raw, 6) AS stopword_ratio,
+             round(alpha_raw, 6) AS alpha_ratio,
+             round(least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                   + least(n_words / 50.0, 1.0) * 0.3, 6) AS quality
+      FROM q""",
+
+    "text_langid" -> """
+      WITH s AS (
+        SELECT doc_id,
+          round(len(list_filter(w, t -> list_contains(['the','a','of','and','to'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_en,
+          round(len(list_filter(w, t -> list_contains(['el','la','de','y','que'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_es,
+          round(len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_de,
+          round(len(list_filter(w, t -> list_contains(['le','la','de','et','les'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_fr
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id,
+        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+        s_en, s_es, s_de, s_fr
+      FROM s""",
+
+    "text_fingerprint" -> """
+      WITH h AS (
+        SELECT doc_id, text,
+          list_transform(string_split(text, ' '), t ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
+        FROM documents)
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_text,
+        CASE WHEN len(wh) >= 5 THEN
+          list_min([list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
+            (acc, x) -> (acc * 131 + x) % 1000000007) for i in range(1, len(wh)-3)])
+        ELSE NULL END AS fp_min_shingle
+      FROM h""",
 
     "q1_pricing_summary" -> s"""
       WITH li AS (SELECT l_returnflag, l_linestatus,

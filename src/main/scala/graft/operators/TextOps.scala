@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis over `documents` — the per-document measurements a
+  * training-data pipeline runs at ingest (north-star extension; the
+  * reference's only text op is the first-sentence projection P1).
+  *
+  * Every op is a narrow per-row projection built from codegen'd
+  * higher-order functions — no shuffle at all until a downstream agg —
+  * and every hash/fold is an explicit polynomial over code points so the
+  * DuckDB oracle can reproduce it bit-for-bit (no engine-internal hash
+  * functions in declared outputs; SURVEY.md §7.4).
+  *
+  * Scale note: at 100 TB these are map-only columns appended during the
+  * ingest scan; they pipeline with dedup signatures in one pass.
+  */
+object TextOps {
+
+  private val P = 1000000007L // fold modulus: keeps acc*131+code < 2^63
+
+  /** Polynomial rolling hash over a string's code points:
+    * h = fold(h*31 + code) mod P. Mirrors the DuckDB list_reduce fold.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(filter(split(s, ""), ch => ch =!= ""),
+      lit(0L), (acc, ch) => pmod(acc * 31 + ascii(ch), lit(P)))
+
+  /** Token counts: whitespace tokens vs BPE-ish regex tokens (runs of
+    * alphanumerics, or single punctuation marks) plus raw char length.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .as("n_bpe_tokens"),
+      length(col("text")).as("len_chars"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "on")
+
+  /** Quality scoring: word stats + stopword/alpha ratios combined into a
+    * bounded [0,1] score (higher = more natural-language-like).
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w)
+    val meanWlen = aggregate(transform(w, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / nWords
+    val stopRatio = size(filter(w, t => t.isin(stopwords: _*))).cast("double") / nWords
+    val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / length(col("text"))
+    // combine the RAW ratios and round once: pre-rounded 6dp inputs times
+    // 0.4/0.3 weights land exactly on 7th-decimal .5 ties, which round
+    // differently across engines (observed at sf0.01)
+    val score = least(stopRatio * 2.0, lit(1.0)) * 0.4 +
+      alphaRatio * 0.3 +
+      least(nWords / 50.0, lit(1.0)) * 0.3
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nWords.as("n_words"),
+        round(meanWlen, 6).as("mean_wlen"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(alphaRatio, 6).as("alpha_ratio"),
+        round(score, 6).as("quality"))
+  }
+
+  /** Stopword-profile language voting. Profiles are fixed tiny lists; the
+    * prediction is the argmax with a deterministic CASE cascade (ties
+    * resolve in en > es > de > fr order).
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val scored = profiles.foldLeft(Tables.documents(spark, dir).select(col("doc_id"), w.as("w"))) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"s_$lang",
+          round(size(filter(col("w"), t => t.isin(words: _*))).cast("double") / size(col("w")), 6))
+    }
+    scored.withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+             col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .select("doc_id", "pred_lang", "s_en", "s_es", "s_de", "s_fr")
+  }
+
+  /** Document fingerprinting: whole-text rolling hash plus the minimum
+    * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val wordHashes = transform(w, t => polyHash(t))
+    val shingles = transform(sequence(lit(1), size(w) - 4), i =>
+      aggregate(slice(col("wh"), i, lit(5)),
+        lit(0L), (acc, h) => pmod(acc * 131 + h, lit(P))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), wordHashes.as("wh"))
+      .select(col("doc_id"),
+        polyHash(col("text")).as("fp_text"),
+        when(size(col("wh")) >= 5, array_min(shingles))
+          .otherwise(lit(null).cast("long")).as("fp_min_shingle"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+
+  test("token counts: all docs counted; bpe >= whitespace tokens") {
+    val t = TextOps.tokenCounts(spark, sf0001).cache()
+    assert(t.count() == 500)
+    assert(t.filter(col("n_ws_tokens") <= 0).count() == 0)
+    assert(t.filter(col("n_bpe_tokens") < col("n_ws_tokens")).count() == 0)
+  }
+
+  test("quality: ratios and score bounded in [0,1]") {
+    val q = TextOps.qualityScores(spark, sf0001).cache()
+    assert(q.count() == 500)
+    Seq("stopword_ratio", "alpha_ratio", "quality").foreach { c =>
+      assert(q.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+    }
+    assert(q.filter(col("mean_wlen") <= 0.0).count() == 0)
+  }
+
+  test("langid: deterministic prediction; docs with 'the' lean en") {
+    val l = TextOps.languageId(spark, sf0001).cache()
+    assert(l.count() == 500)
+    assert(l.filter(!col("pred_lang").isin("en", "es", "de", "fr")).count() == 0)
+    // any doc with a positive en score and zero others must predict en
+    val mustEn = l.filter(col("s_en") > 0 && col("s_es") === 0 &&
+      col("s_de") === 0 && col("s_fr") === 0)
+    assert(mustEn.filter(col("pred_lang") =!= "en").count() == 0)
+  }
+
+  test("fingerprint matches a hand-computed polynomial hash") {
+    // h("abc") = ((0*31+97)*31+98)*31+99 mod 1e9+7 = 96354
+    val df = Seq((1L, "abc")).toDF_(spark)
+    val got = df.select(TextOps.polyHash(col("text")).as("h"))
+      .collect()(0).getLong(0)
+    assert(got == 96354L)
+    val fp = TextOps.fingerprints(spark, sf0001).cache()
+    assert(fp.count() == 500)
+    assert(fp.filter(col("fp_text").isNull).count() == 0)
+    // all docs have >= 10 words, so shingle fingerprints always exist
+    assert(fp.filter(col("fp_min_shingle").isNull).count() == 0)
+  }
+
+  private implicit class SeqOps(rows: Seq[(Long, String)]) {
+    def toDF_(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      rows.toDF("doc_id", "text")
+    }
+  }
+}
