@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaCodec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table: payload/metadata schema over all docs") {
+    val m = Multimodal.mediaTable(spark, sf0001).cache()
+    assert(m.count() == 500)
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+    assert(m.filter(col("width") < 16 || col("height") < 16).count() == 0)
+  }
+
+  test("batched feature extraction: normalized 16-dim features") {
+    val f = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf0001),
+      batchSize = 32).cache()
+    assert(f.count() == 500)
+    assert(f.filter(size(col("features")) =!= MediaCodec.FeatureDim).count() == 0)
+    // normalized histogram sums to ~1
+    val bad = f.toDF().select(
+      abs(aggregate(col("features"), lit(0.0), (a, x) => a + x) - 1.0).as("err"))
+      .filter(col("err") > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("decode stub is deterministic and matches a hand histogram") {
+    val payload = "aab".getBytes("UTF-8") // a=97 -> bin 1, b=98 -> bin 2
+    val f = MediaCodec.decodeStub(payload)
+    assert(math.abs(f(97 % 16) - 2.0 / 3) < 1e-12)
+    assert(math.abs(f(98 % 16) - 1.0 / 3) < 1e-12)
+    assert(f.sum > 0.999999 && f.sum < 1.000001)
+  }
+
+  test("frame sampling: n evenly spaced offsets per video row") {
+    val media = Multimodal.mediaTable(spark, sf0001)
+    val frames = Multimodal.sampleFrames(media, n = 4).cache()
+    val nVideo = media.filter(col("kind") === "video").count()
+    assert(frames.count() == 4 * nVideo)
+    assert(frames.filter(col("frame_idx") >= 4).count() == 0)
+    assert(frames.filter(col("offset") < 0).count() == 0)
+  }
+
+  test("feature stats: per-kind counts conserve the table") {
+    val s = Multimodal.featureStats(spark, sf0001).cache()
+    assert(s.count() == 3)
+    assert(s.agg(sum("n")).collect()(0).getLong(0) == 500)
+    assert(s.filter(col("bin0_ratio") < 0 || col("bin0_ratio") > 1).count() == 0)
+  }
+}
