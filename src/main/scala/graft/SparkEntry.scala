@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{ExactKnn, HnswKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, Relational, TextOps}
+import graft.knn.{ExactKnn, HnswKnn, IvfKnn}
+import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Relational, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -46,6 +46,10 @@ object SparkEntry {
     "eval_recall_hnsw" -> ((s, d) => Evaluation.recall(
       HnswKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    "knn_ivf_batch" -> ((s, d) => IvfKnn.topKBatch(s, d)),
+    "eval_recall_ivf" -> ((s, d) => Evaluation.recall(
+      IvfKnn.topKBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     // — relational coverage (north-star; SURVEY §2.3/2.4 absent cats) —
     "q1_pricing_summary"    -> Relational.q1PricingSummary _,
     "q3_shipping_priority"  -> Relational.q3ShippingPriority _,
@@ -68,6 +72,8 @@ object SparkEntry {
     "text_quality"     -> TextOps.qualityScores _,
     "text_langid"      -> TextOps.languageId _,
     "text_fingerprint" -> TextOps.fingerprints _,
+    // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
+    "multimodal_stats" -> Multimodal.featureStats _,
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -314,6 +320,23 @@ object SparkEntry {
       SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
       WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')""",
+
+    // mirrors the stubbed byte-histogram decode: fixture text is ASCII,
+    // so utf-8 payload bytes == code points
+    "multimodal_stats" -> """
+      WITH m AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               length(text) AS n_bytes,
+               len(list_filter(list_transform(string_split(text, ''),
+                   c -> unicode(c)), x -> x % 16 = 0)) AS bin0
+        FROM documents)
+      SELECT kind, count(*) AS n,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(sum(bin0) AS BIGINT) AS bin0_hits,
+             round(CAST(sum(bin0) AS BIGINT) / CAST(sum(n_bytes) AS DOUBLE), 6) AS bin0_ratio
+      FROM m GROUP BY 1""",
 
     "events_tumbling" -> s"""
       SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS w_start,

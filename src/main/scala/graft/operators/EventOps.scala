@@ -20,24 +20,27 @@ import graft.functions.ExactNum._
   */
 object EventOps {
 
-  /** Tumbling 10-minute windows: count + exact value sum per type. */
-  def tumbling(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+  /** Window aggregation shared verbatim by batch and streaming plans
+    * (graft.streaming.EventStream applies it after withWatermark).
+    */
+  def windowedAgg(events: DataFrame, width: String, slide: Option[String]): DataFrame = {
+    val w = slide.fold(window(col("ts"), width))(s => window(col("ts"), width, s))
+    events
+      .groupBy(w.as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("w_start"),
         col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Tumbling 10-minute windows: count + exact value sum per type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(spark, dir), "10 minutes", None)
 
   /** Sliding windows: 10-minute width, 5-minute slide (each event lands
     * in exactly two windows).
     */
   def sliding(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
-      .select(unix_timestamp(col("w.start")).as("w_start"),
-        col("event_type"), col("n"), col("sum_value"))
+    windowedAgg(Tables.events(spark, dir), "10 minutes", Some("5 minutes"))
 
   /** Session windows per user with a 30-minute inactivity gap, via the
     * lag/flag/prefix-sum island pattern (deterministic: window ordered by

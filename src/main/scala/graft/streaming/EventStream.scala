@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.EventOps
+
+/** Structured Streaming surface over the events schema (SURVEY.md §2.11
+  * — extension; the reference has no streaming). The window aggregations
+  * reuse EventOps.windowedAgg unchanged — same code, batch or stream —
+  * and sessionization runs as explicit keyed state with event-time
+  * timeouts, the thing window functions cannot express incrementally.
+  *
+  * Scale notes: state is partitioned by the group key (user_id) across
+  * executors; watermarks bound state size — expired windows/sessions are
+  * evicted, so unbounded streams run in bounded memory. Late events past
+  * the watermark are dropped identically to any Spark streaming job.
+  */
+object EventStream {
+
+  /** Typed event row (events fixture schema, µs-truncated ts). */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** One closed session (same shape as EventOps.sessions output). */
+  case class Session(user_id: Long, session_start_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Keyed session state (public: Spark codegen instantiates it). */
+  case class SessState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+  /** Watermarked tumbling/sliding aggregation on a STREAMING frame —
+    * exactly the batch plan plus `withWatermark` (late data bound).
+    */
+  def windowedAgg(stream: DataFrame, width: String = "10 minutes",
+      slide: Option[String] = None, watermark: String = "30 minutes"): DataFrame =
+    EventOps.windowedAgg(stream.withWatermark("ts", watermark), width, slide)
+
+  /** Streaming sessionization with a 30-minute inactivity gap, as keyed
+    * state + event-time timeout (`flatMapGroupsWithState`): events extend
+    * the open session; a gap or watermark timeout closes and emits it.
+    * The batch analog is EventOps.sessions (lag/prefix-sum form).
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // Timestamp.getTime is ms-precision; the events carry microseconds
+    // (batch path compares unix_micros) — recover them from getNanos
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def close(uid: Long, s: SessState): Session =
+      Session(uid, s.startUs, s.n, s.cents / 100.0)
+
+    def update(uid: Long, rows: Iterator[Ev],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close(uid, _)).iterator
+        state.remove()
+        return out
+      }
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var cur = state.getOption
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        val cents = math.round(e.value * 100)
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(SessState(s.startUs, math.max(s.lastUs, us), s.n + 1, s.cents + cents))
+          case Some(s) =>
+            closed += close(uid, s)
+            cur = Some(SessState(us, us, 1, cents))
+          case None =>
+            cur = Some(SessState(us, us, 1, cents))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close the session once the event-time watermark passes its gap
+        state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60L * 1000L)
+      }
+      closed.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** File-source streaming read over a DIRECTORY of events parquet files
+    * (the file stream source tails directories) — same schema handling
+    * as the batch path, consumed incrementally.
+    */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+}
