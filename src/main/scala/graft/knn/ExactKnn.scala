@@ -47,8 +47,12 @@ object ExactKnn {
      emb.filter(col("vec_id") >= splitAt), splitAt, n)
   }
 
-  /** Rounded engine-wide distance used by every declared kNN query. */
-  def dist(a: Column, b: Column): Column = round(distance(a, b), 6)
+  /** Rounded engine-wide distance used by every declared kNN query —
+    * the fused codegen expression (bit-identical to the HOF
+    * [[graft.functions.VectorFunctions.distance]], just one loop).
+    */
+  def dist(a: Column, b: Column): Column =
+    round(graft.functions.ArrayMath.cosineDistance(a, b), 6)
 
   /** Top-k nearest base rows for ONE held-out query (the reference's
     * `query[29]` single search, `/root/reference/src/main.rs:78-81`;

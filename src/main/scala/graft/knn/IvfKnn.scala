@@ -29,7 +29,7 @@ object IvfKnn {
     * centroids as an array-of-arrays literal.
     */
   private def nearestCid(cLit: Column, v: Column): Column = {
-    val dists = transform(cLit, c => VectorFunctions.distance(c, v))
+    val dists = transform(cLit, c => graft.functions.ArrayMath.cosineDistance(c, v))
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
@@ -75,7 +75,7 @@ object IvfKnn {
     val assigned = base.withColumn("cid", nearestCid(cLit, col("emb")))
     // nprobe nearest centroids per query, via sort of (dist, cid) structs
     val scoredCentroids = transform(sequence(lit(0), lit(nC - 1)), i =>
-      struct(VectorFunctions.distance(element_at(cLit, i + 1), col("qvec")).as("d"),
+      struct(graft.functions.ArrayMath.cosineDistance(element_at(cLit, i + 1), col("qvec")).as("d"),
         i.as("cid")))
     val probes = transform(slice(sort_array(scoredCentroids), 1, nP),
       s => s.getField("cid"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{ArrayMath, VectorFunctions}
 
 /** Deduplication suite over the `documents` / `embeddings` tables — the
   * operations a large-scale training-data pipeline needs (north-star
@@ -87,22 +87,44 @@ object Dedup {
   private val LshBands = 32 // 32 bands x 4 rows
 
   /** Seeded permutation parameters (a, b) for h_i(x) = (a_i x + b_i) mod p. */
-  private lazy val (permA, permB): (Seq[Long], Seq[Long]) = {
+  private lazy val (permA, permB): (Array[Long], Array[Long]) = {
     val rng = new java.util.Random(20260812L)
-    def draw(lo: Long): Seq[Long] =
-      Seq.fill(NumPerms)(lo + math.floorMod(rng.nextLong(), MersennePrime - lo))
+    def draw(lo: Long): Array[Long] =
+      Array.fill(NumPerms)(lo + math.floorMod(rng.nextLong(), MersennePrime - lo))
     (draw(1L), draw(0L))
   }
 
-  /** MinHash signature (array of 128 longs) of a distinct-gram column. */
-  def minhashSignature(grams: Column): Column = {
-    val hashes = transform(grams, g => pmod(xxhash64(g), lit(MersennePrime)))
-    val aLit = typedLit(permA)
-    val bLit = typedLit(permB)
-    transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      array_min(transform(hashes, h =>
-        pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
-          lit(MersennePrime)))))
+  /** MinHash signature of a gram set as one tight JVM loop.
+    *
+    * This is deliberately NOT a Column expression: the 128-permutation
+    * min-update is interpreted per element under Spark's higher-order
+    * functions (measured 89 ms/doc at sf0.1 — 445 s for 5k docs), while
+    * this loop does the same 128 x |grams| multiply-mod-min updates in
+    * ~10 us. Per-row imperative compute is exactly the mapPartitions
+    * escape hatch's purpose (SURVEY.md §7.5).
+    */
+  def minhashSig(grams: Seq[String]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    grams.foreach { g =>
+      val h = math.floorMod(fnv64(g), MersennePrime)
+      var i = 0
+      while (i < NumPerms) {
+        val v = math.floorMod(permA(i) * h + permB(i), MersennePrime)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** (doc_id, sig) for every document (typed map over the gram sets). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), grams3(col("text")).as("grams"))
+      .as[(Long, Seq[String])]
+      .map { case (id, gs) => (id, minhashSig(gs)) }
+      .toDF("doc_id", "sig")
   }
 
   /** Near-duplicate pairs via MinHash signatures + LSH banding, verified
@@ -113,7 +135,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), grams3(col("text")).as("grams"))
-    val sigs = docs.select(col("doc_id"), minhashSignature(col("grams")).as("sig"))
+    val sigs = minhashSignatures(spark, dir)
     val banded = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(LshBands - 1)), j =>
         struct(j.as("b"), hash(slice(col("sig"), j * 4 + 1, lit(4))).as("key"))))
@@ -218,7 +240,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VectorFunctions.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+        round(ArrayMath.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -256,7 +278,7 @@ object Dedup {
         col("y.vec_id").as("vec_b"), col("y.v").as("vb"))
       .dropDuplicates("vec_a", "vec_b")
     cand.select(col("vec_a"), col("vec_b"),
-        round(VectorFunctions.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+        round(ArrayMath.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
