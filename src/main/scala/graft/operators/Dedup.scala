@@ -57,10 +57,31 @@ object Dedup {
       .select("doc_id", "keeper_id", "group_size")
   }
 
+  /** Distinct word 3-grams, computed once per doc in the JVM. Identical
+    * output to [[grams3]]; exists because Catalyst inlines the full
+    * `split(text)` tree into every element_at inside the HOF lambda and
+    * into inferred filters (observed: the whole gram construction
+    * evaluated ~3x per gram), while this splits each text exactly once.
+    */
+  def gramsOf(text: String): Seq[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 3) Seq.empty
+    else (0 to w.length - 3).map(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).distinct
+  }
+
+  /** (doc_id, grams) via typed map — shared by Jaccard, MinHash, verify. */
+  def gramSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, gramsOf(t)) }
+      .toDF("doc_id", "grams")
+  }
+
   /** Exploded (doc_id, gram, ng) view used by Jaccard + MinHash verify. */
   private def gramTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), grams3(col("text")).as("grams"))
+    gramSets(spark, dir)
       .select(col("doc_id"), size(col("grams")).as("ng"),
         explode(col("grams")).as("gram"))
 
@@ -121,9 +142,9 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), grams3(col("text")).as("grams"))
-      .as[(Long, Seq[String])]
-      .map { case (id, gs) => (id, minhashSig(gs)) }
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, minhashSig(gramsOf(t))) }
       .toDF("doc_id", "sig")
   }
 
@@ -133,8 +154,7 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), grams3(col("text")).as("grams"))
+    val docs = gramSets(spark, dir)
     val sigs = minhashSignatures(spark, dir)
     val banded = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(LshBands - 1)), j =>
