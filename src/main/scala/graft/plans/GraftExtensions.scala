@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Session extension installing graft's Catalyst surface:
+  *   - `graft_cosine_similarity(a, b)` as a SQL-callable function;
+  *   - [[FuseCosineSimilarity]] so HOF-composed cosine plans run fused.
+  *
+  * Install at session build (`--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * or `builder.withExtensions(new GraftExtensions)`), or on a live
+  * session via [[GraftExtensions.install]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSimilarityFunction)
+    ext.injectOptimizerRule(_ => FuseCosineSimilarity)
+  }
+}
+
+object GraftExtensions {
+
+  private def builder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"graft_cosine_similarity expects 2 arguments, got ${args.length}")
+    CosineSimilarity(args.head, args(1))
+  }
+
+  val cosineSimilarityFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_similarity"),
+      builder _)
+
+  /** Install both pieces on an already-running session (tests, shells). */
+  def install(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_similarity", builder, "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(FuseCosineSimilarity)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FuseCosineSimilarity
+    }
+  }
+}
