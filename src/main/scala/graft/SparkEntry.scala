@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn, IvfKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Relational, TextOps}
+import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Relational, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -59,6 +59,11 @@ object SparkEntry {
     "setop_priority_custkeys" -> Relational.setOpPriorityCustomers _,
     "anti_customers_no_orders" -> Relational.customersWithoutOrders _,
     "semi_customers_urgent" -> Relational.customersWithUrgentOrders _,
+    "fullouter_nation_coverage" -> Relational.nationCoverage _,
+    "cube_lineitem" -> Relational.cubeLineitem _,
+    // — temporal joins (as-of / range — custom operators) —
+    "asof_error_click"  -> TemporalJoins.asofErrorClick _,
+    "range_events_5min" -> TemporalJoins.eventsWithin5min _,
     // — dedup / near-dup detection (training-data pipeline ops) —
     "dedup_exact"         -> Dedup.exactDuplicates _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
@@ -337,6 +342,46 @@ object SparkEntry {
              CAST(sum(bin0) AS BIGINT) AS bin0_hits,
              round(CAST(sum(bin0) AS BIGINT) / CAST(sum(n_bytes) AS DOUBLE), 6) AS bin0_ratio
       FROM m GROUP BY 1""",
+
+    "fullouter_nation_coverage" -> """
+      WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                 FROM customer GROUP BY 1),
+           s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                 FROM supplier GROUP BY 1)
+      SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+             coalesce(n_cust, 0) AS n_cust,
+             coalesce(n_supp, 0) AS n_supp
+      FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""",
+
+    "cube_lineitem" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             sum(q100)/100.0 AS sum_qty, count(*) AS n
+      FROM (SELECT l_returnflag, l_linestatus,
+              ${c100("l_quantity")} AS q100 FROM lineitem)
+      GROUP BY CUBE(l_returnflag, l_linestatus)""",
+
+    // as-of: latest preceding click per error event (ties: max event_id);
+    // the oracle is the explicit inequality-join + window form — our
+    // engine computes the same thing with a single-shuffle union-merge
+    "asof_error_click" -> """
+      WITH err AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'error'),
+           clk AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             c.event_id AS prev_click_id,
+             epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+      FROM err e LEFT JOIN clk c
+        ON e.user_id = c.user_id AND c.ts <= e.ts
+      QUALIFY row_number() OVER (PARTITION BY e.event_id
+        ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1""",
+
+    "range_events_5min" -> """
+      SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+             abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000""",
 
     "events_tumbling" -> s"""
       SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS w_start,

@@ -148,6 +148,32 @@ object Relational {
       .select("c_custkey", "c_name")
   }
 
+  /** Full outer join: per-nation customer count vs supplier count —
+    * nations may have customers, suppliers, neither side's rows drop.
+    */
+  def nationCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val supp = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** CUBE aggregation: all grouping combinations of returnflag x
+    * linestatus (detail, both partials, grand total).
+    */
+  def cubeLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("q100"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg((sum(col("q100")) / 100.0).as("sum_qty"), count(lit(1)).as("n"))
+
   /** Semi join: customers having at least one urgent order, with their
     * account balance (exact 2-decimal passthrough).
     */
