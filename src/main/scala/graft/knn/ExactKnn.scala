@@ -72,7 +72,9 @@ object ExactKnn {
       .limit(k) // planned as TakeOrderedAndProject (bounded heap)
   }
 
-  /** Top-k for EVERY held-out query at once (batch form of T1).
+  /** Top-k for EVERY held-out query at once (batch form of T1), via the
+    * custom bounded-heap operator (graft.plans.TopKPerGroup) — one
+    * shuffle on qid, O(queries x k) memory instead of a per-group sort.
     * Output: (qid, vec_id, dist, rk).
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
@@ -81,8 +83,7 @@ object ExactKnn {
       col("emb").as("qvec")))
     val scored = base.crossJoin(q)
       .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
   }
 }

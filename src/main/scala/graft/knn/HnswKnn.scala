@@ -51,9 +51,8 @@ object HnswKnn {
       }
       .toDF("qid", "vec_id", "dist")
       .withColumn("dist", round(col("dist"), 6))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    graft.plans.GraftOps.topKPerGroup(cand, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
   }
 
   /** Single-query form (the reference's `query[29]` search,

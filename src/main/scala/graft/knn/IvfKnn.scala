@@ -82,12 +82,10 @@ object IvfKnn {
     val q = queries.select(col("vec_id").as("qid"), col("emb").as("qvec"))
       .withColumn("cid", explode(probes))
 
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    assigned.join(broadcast(q), "cid")
+    val scored = assigned.join(broadcast(q), "cid")
       .select(col("qid"), col("vec_id"),
         ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
   }
 }

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityFunction)
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
   }
 }
 
@@ -36,7 +37,7 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_similarity"),
       builder _)
 
-  /** Install both pieces on an already-running session (tests, shells). */
+  /** Install all pieces on an already-running session (tests, shells). */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_similarity", builder, "scala_udf")
@@ -44,5 +45,15 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseCosineSimilarity
     }
+    installStrategy(spark)
   }
+
+  /** Just the planner strategy (idempotent) — the piece library
+    * operators like GraftOps.topKPerGroup need at minimum.
+    */
+  def installStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
+    }
 }
