@@ -77,6 +77,7 @@ object SparkEntry {
     "text_quality"     -> TextOps.qualityScores _,
     "text_langid"      -> TextOps.languageId _,
     "text_fingerprint" -> TextOps.fingerprints _,
+    "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     // — event-time processing (SURVEY §2.11 extensions) —
@@ -250,6 +251,25 @@ object SparkEntry {
             (acc, x) -> (acc * 131 + x) % 1000000007) for i in range(1, len(wh)-3)])
         ELSE NULL END AS fp_min_shingle
       FROM h""",
+
+    // k smallest distinct portable hashes -> same KMV estimate formula
+    "sketch_distinct_ngrams" -> """
+      WITH g AS (
+        SELECT DISTINCT unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w)-1)])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+      h AS (SELECT DISTINCT
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+            FROM g),
+      km AS (SELECT count(*) AS kc, max(hv) AS hk
+             FROM (SELECT hv FROM h ORDER BY hv LIMIT 256)),
+      e AS (SELECT count(*) AS exact FROM h)
+      SELECT round(CASE WHEN kc < 256 THEN CAST(kc AS DOUBLE)
+                        ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
+             exact AS exact_distinct
+      FROM km, e""",
 
     "q1_pricing_summary" -> s"""
       WITH li AS (SELECT l_returnflag, l_linestatus,

@@ -93,6 +93,20 @@ object TextOps {
       .select("doc_id", "pred_lang", "s_en", "s_es", "s_de", "s_fr")
   }
 
+  /** Declared query: KMV-sketched vs exact distinct 3-gram count over
+    * the corpus — a mergeable distinct sketch on portable hashes, so
+    * the DuckDB oracle reproduces the estimate exactly (k smallest
+    * distinct hashes -> same formula). Output: one row.
+    */
+  def sketchDistinctNgrams(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val kmv = udaf(graft.functions.KmvDistinct(k))
+    Dedup.gramSets(spark, dir)
+      .select(explode(col("grams")).as("gram"))
+      .select(polyHash(col("gram")).as("h"))
+      .agg(round(kmv(col("h")), 6).as("kmv_estimate"),
+        countDistinct(col("h")).as("exact_distinct"))
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */
