@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn, IvfKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Relational, TemporalJoins, TextOps}
+import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -85,6 +85,7 @@ object SparkEntry {
     "events_sliding"  -> EventOps.sliding _,
     "events_sessions" -> EventOps.sessions _,
     "events_json_stats" -> EventOps.jsonStats _,
+    "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -428,6 +429,12 @@ object SparkEntry {
       SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
              count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
       FROM y GROUP BY 1,2""",
+
+    // the salted two-stage aggregation must equal the plain GROUP BY
+    "events_salted_agg" -> s"""
+      SELECT event_type, count(*) AS n,
+             sum(${c100("value")})/100.0 AS sum_value
+      FROM events GROUP BY 1""",
 
     "events_json_stats" -> """
       SELECT event_type, count(*) AS n,
