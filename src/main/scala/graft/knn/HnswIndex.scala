@@ -56,14 +56,17 @@ final class HnswIndex(
   }
 
   /** Clamped cosine distance; zips to the shorter length like the
-    * reference's dot (`src/vector.rs:9-11`).
+    * reference's dot (`src/vector.rs:9-11`). Clamped on BOTH ends:
+    * dot/denom of a vector with itself can exceed 1 by an ulp, which
+    * would make the distance spuriously negative.
     */
   private def dist(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
     val n = math.min(a.length, b.length)
     var d = 0.0; var i = 0
     while (i < n) { d += a(i) * b(i); i += 1 }
     val denom = na * nb
-    if (denom == 0.0) 1.0 else 1.0 - math.max(d / denom, 0.0)
+    if (denom == 0.0) 1.0
+    else math.max(1.0 - math.max(d / denom, 0.0), 0.0)
   }
 
   private def distTo(q: Array[Double], nq: Double, node: Int): Double =
