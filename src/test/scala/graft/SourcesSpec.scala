@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage beyond parquet and NDJSON: CSV and
+  * multi-format round-trips preserve row counts and values.
+  */
+class SourcesSpec extends SparkSpec {
+
+  test("csv round-trip preserves the orders table") {
+    val dir = Files.createTempDirectory("graft-csv").toString
+    val orders = Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    orders.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true")
+      .schema(orders.schema).csv(dir)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).count() == 0)
+    assert(orders.exceptAll(back).count() == 0)
+  }
+
+  test("json lines round-trip preserves values including arrays") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    emb.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(emb.schema).json(dir)
+    assert(back.count() == emb.count())
+    assert(back.exceptAll(emb).count() == 0)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf0001)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("event_type") === "error")
+    val scan = one.queryExecution.executedPlan.toString
+    // partition filter must reach the scan (not a post-scan filter)
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning in:\n$scan")
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "error").count()
+    assert(one.count() == expected)
+  }
+}
