@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "neardup_embedding"   -> ((s, d) => Dedup.embeddingNearDupExact(s, d)),
+    "dedup_clusters"      -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // — text analysis (training-data pipeline ops) —
     "text_tokens"      -> TextOps.tokenCounts _,
     "text_quality"     -> TextOps.qualityScores _,
@@ -86,6 +87,7 @@ object SparkEntry {
     "events_sessions" -> EventOps.sessions _,
     "events_json_stats" -> EventOps.jsonStats _,
     "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
+    "events_quantiles" -> EventOps.valueQuantiles _,
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -184,6 +186,31 @@ object SparkEntry {
       SELECT doc_a, doc_b,
              round(shared / (na + nb - shared), 6) AS jaccard
       FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5""",
+
+    // connected components of the jaccard>=0.8 pair graph via recursive
+    // transitive closure; rep = min doc_id of the component
+    "dedup_clusters" -> """
+      WITH RECURSIVE
+      g AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w)-1)]) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                     max(a.ng) AS na, max(b.ng) AS nb
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE round(shared / (na + nb - shared), 6) >= 0.8),
+      ed AS (SELECT doc_a AS s, doc_b AS d FROM p
+             UNION SELECT doc_b, doc_a FROM p),
+      reach(s, d) AS (
+        SELECT s, d FROM ed
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+      m AS (SELECT s, min(d) AS mn FROM reach GROUP BY s)
+      SELECT doc.doc_id, least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
+      FROM documents doc LEFT JOIN m ON doc.doc_id = m.s""",
 
     "neardup_embedding" -> """
       WITH e AS (SELECT vec_id,
@@ -434,6 +461,13 @@ object SparkEntry {
     "events_salted_agg" -> s"""
       SELECT event_type, count(*) AS n,
              sum(${c100("value")})/100.0 AS sum_value
+      FROM events GROUP BY 1""",
+
+    "events_quantiles" -> s"""
+      SELECT event_type,
+             round(quantile_cont(${c100("value")}, 0.5) / 100.0, 6) AS p50,
+             round(quantile_cont(${c100("value")}, 0.9) / 100.0, 6) AS p90,
+             max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
 
     "events_json_stats" -> """

@@ -177,6 +177,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTER assignment: every doc mapped to the minimum
+    * doc_id of its connected component in the jaccard>=threshold pair
+    * graph (the "keep one representative per near-dup cluster" step of
+    * a dedup pipeline). Min-label propagation to convergence — each
+    * iteration is one join+agg on the (tiny) edge set, so the loop is
+    * bounded by the component diameter, not the corpus size.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("rep")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("rep")).as("nmin"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        .filter(col("rep") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("rep").as("rep_id"))
+  }
+
   // — SimHash —
 
   /** FNV-1a 64-bit hash — a stable token hash that does not depend on any

@@ -65,6 +65,19 @@ object EventOps {
         (sum(cents(col("value"))) / 100.0).as("sum_value"))
   }
 
+  /** Exact interpolated quantiles per event type, computed on integer
+    * cents so interpolation happens on exact inputs (engine-portable:
+    * Spark percentile and DuckDB quantile_cont share the linear
+    * R-7 interpolation).
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(round(percentile(col("c"), lit(0.5)) / 100.0, 6).as("p50"),
+        round(percentile(col("c"), lit(0.9)) / 100.0, 6).as("p90"),
+        (max(col("c")) / 100.0).as("max_value"))
+
   /** JSON extraction (`props` is a JSON string): per-type stats over the
     * extracted integer field `k`.
     */

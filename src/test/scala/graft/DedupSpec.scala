@@ -47,6 +47,27 @@ class DedupSpec extends SparkSpec {
     assert(banded == brute, s"banded=${banded.size} brute=${brute.size} missing=${brute -- banded}")
   }
 
+  test("clusters: reps are component minima; pairs share a rep") {
+    val labels = Dedup.nearDupClusters(spark, sf0001, 0.8).cache()
+    assert(labels.count() == 500)
+    assert(labels.filter(col("rep_id") > col("doc_id")).count() == 0)
+    // every near-dup pair must land in the same cluster
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
+      .select("doc_a", "doc_b")
+    val la = labels.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("rep_id", "rep_a")
+    val lb = labels.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("rep_id", "rep_b")
+    val split = pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("rep_a") =!= col("rep_b")).count()
+    assert(split == 0)
+    // docs in no pair are their own rep
+    val inPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val singles = labels.join(inPairs, Seq("doc_id"), "left_anti")
+    assert(singles.filter(col("rep_id") =!= col("doc_id")).count() == 0)
+  }
+
   test("embedding near-dup exact: thresholded, ordered, clamp holds") {
     val p = Dedup.embeddingNearDupExact(spark, sf0001, 0.4).cache()
     assert(p.count() > 0)
