@@ -1,7 +1,7 @@
 package graft.knn
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,9 +29,51 @@ import org.apache.spark.sql.functions._
   */
 object HnswKnn {
 
-  /** Per-shard top-k candidates for every held-out query.
-    * Output: (qid, vec_id, dist rounded 6, rk), rk <= k — same shape as
-    * [[ExactKnn.topKBatch]] so the two are directly joinable for recall.
+  /** One shard's built graph. Kryo-encoded (the graph is an opaque
+    * serializable object, not a row).
+    */
+  case class HnswShard(shard: Int, graph: HnswIndex)
+  private implicit val shardEncoder: org.apache.spark.sql.Encoder[HnswShard] =
+    org.apache.spark.sql.Encoders.kryo[HnswShard]
+
+  /** Build one HNSW graph per shard — the build-once half of
+    * build-once/search-many: `.persist()` the result and run any number
+    * of [[searchIndex]] batches against it without re-inserting.
+    */
+  def buildIndex(base: DataFrame, shards: Int = 8): Dataset[HnswShard] = {
+    import base.sparkSession.implicits._
+    base.repartition(shards, col("vec_id"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        Iterator.single(HnswShard(pid,
+          new HnswIndex(seed = 42L + pid).insertAll(it)))
+      }
+  }
+
+  /** Search every broadcast query against every shard graph and merge
+    * per-query top-k globally. Output: (qid, vec_id, dist, rk).
+    */
+  def searchIndex(index: Dataset[HnswShard],
+      queries: Array[(Long, Array[Double])], k: Int = 10,
+      ef: Int = 100): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val bqs = spark.sparkContext.broadcast(queries)
+    val cand = index.flatMap { s =>
+      bqs.value.iterator.flatMap { case (qid, qv) =>
+        s.graph.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
+      }
+    }.toDF("qid", "vec_id", "dist")
+      .withColumn("dist", round(col("dist"), 6))
+    graft.plans.GraftOps.topKPerGroup(cand, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
+  /** Per-shard top-k candidates for every held-out query (one-shot
+    * build + search). Output: (qid, vec_id, dist rounded 6, rk),
+    * rk <= k — same shape as [[ExactKnn.topKBatch]] so the two are
+    * directly joinable for recall.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10, ef: Int = 100,
       shards: Int = 8): DataFrame = {
@@ -39,20 +81,7 @@ object HnswKnn {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val qs: Array[(Long, Array[Double])] =
       queries.as[(Long, Array[Double])].collect()
-    val bqs = spark.sparkContext.broadcast(qs)
-    val cand = base.repartition(shards, col("vec_id"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val idx = new HnswIndex(seed = 42L + TaskContext.getPartitionId())
-          .insertAll(it)
-        bqs.value.iterator.flatMap { case (qid, qv) =>
-          idx.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
-        }
-      }
-      .toDF("qid", "vec_id", "dist")
-      .withColumn("dist", round(col("dist"), 6))
-    graft.plans.GraftOps.topKPerGroup(cand, Seq("qid"),
-      Seq("dist" -> true, "vec_id" -> true), k)
+    searchIndex(buildIndex(base, shards), qs, k, ef)
   }
 
   /** Single-query form (the reference's `query[29]` search,

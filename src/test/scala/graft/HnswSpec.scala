@@ -76,6 +76,21 @@ class HnswSpec extends SparkSpec {
     assert(p >= 0.85, s"precision@10 = $p")
   }
 
+  test("build-once search-many: persisted index answers repeated batches") {
+    import spark.implicits._
+    val (base, queries, _, _) = ExactKnn.split(spark, sf0001)
+    val index = HnswKnn.buildIndex(base).persist()
+    try {
+      val qs = queries.as[(Long, Array[Double])].collect()
+      val first = HnswKnn.searchIndex(index, qs.take(5)).collect().toSet
+      val second = HnswKnn.searchIndex(index, qs.take(5)).collect().toSet
+      assert(first == second, "same persisted index must answer identically")
+      // a different batch against the same built graphs
+      val third = HnswKnn.searchIndex(index, qs.drop(5).take(3))
+      assert(third.select("qid").distinct().count() == 3)
+    } finally index.unpersist()
+  }
+
   test("evaluation identities: recall(X,X) = precision(X,X) = 1.0") {
     val ex = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
     assert(Evaluation.recall(ex, ex).collect()(0).getDouble(0) == 1.0)
