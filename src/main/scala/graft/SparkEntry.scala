@@ -31,6 +31,7 @@ object SparkEntry {
     // — reference parity: vector search (SURVEY §2.1-2.5, §2.9) —
     "knn_exact_single" -> ((s, d) => ExactKnn.topKSingle(s, d)),
     "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
+    "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     // HNSW is approximate: no SQL oracle; quality is gated by the recall
     // queries below + HnswSpec (the reference's own pattern, main.rs:89-93)
     "knn_hnsw_single" -> ((s, d) => HnswKnn.topKSingle(s, d)),
@@ -128,6 +129,18 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
       QUALIFY rk <= 10""",
+
+    "knn_euclidean_single" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s, count(*) AS c FROM e)
+      SELECT b.vec_id,
+             round(sqrt(list_sum(list_transform(list_zip(b.emb, q.emb),
+                   z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
+      ORDER BY dist, b.vec_id LIMIT 10""",
 
     // recall/precision of the exact batch result against itself — the
     // oracle recomputes the same top-k in DuckDB and evaluates the same

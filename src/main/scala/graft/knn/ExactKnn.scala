@@ -54,6 +54,24 @@ object ExactKnn {
   def dist(a: Column, b: Column): Column =
     round(graft.functions.ArrayMath.cosineDistance(a, b), 6)
 
+  /** Single-query top-k under EUCLIDEAN distance (the reference's A5 —
+    * implemented there but never called, `vector.rs:23-29`; surfaced
+    * here as a first-class metric choice). Output: (vec_id, dist) asc.
+    */
+  def topKSingleEuclidean(spark: SparkSession, dir: String, k: Int = 10,
+      queryIdx: Long = 29): DataFrame = {
+    val (base, _, splitAt, n) = split(spark, dir)
+    val qid = splitAt + (queryIdx % (n - splitAt))
+    val q = broadcast(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+        .select(toDoubleArray(col("embedding")).as("qvec")))
+    base.crossJoin(q)
+      .select(col("vec_id"),
+        round(euclideanDistance(col("emb"), col("qvec")), 6).as("dist"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k nearest base rows for ONE held-out query (the reference's
     * `query[29]` single search, `/root/reference/src/main.rs:78-81`;
     * index taken mod the query-set size to fit any SF).
