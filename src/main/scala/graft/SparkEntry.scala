@@ -61,6 +61,7 @@ object SparkEntry {
     "anti_customers_no_orders" -> Relational.customersWithoutOrders _,
     "semi_customers_urgent" -> Relational.customersWithUrgentOrders _,
     "fullouter_nation_coverage" -> Relational.nationCoverage _,
+    "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
     "cube_lineitem" -> Relational.cubeLineitem _,
     // — temporal joins (as-of / range — custom operators) —
     "asof_error_click"  -> TemporalJoins.asofErrorClick _,
@@ -403,6 +404,13 @@ object SparkEntry {
              CAST(sum(bin0) AS BIGINT) AS bin0_hits,
              round(CAST(sum(bin0) AS BIGINT) / CAST(sum(n_bytes) AS DOUBLE), 6) AS bin0_ratio
       FROM m GROUP BY 1""",
+
+    "sql_revenue_by_priority" -> s"""
+      SELECT o.o_orderpriority,
+             count(DISTINCT o.o_orderkey) AS n_orders,
+             sum(${c100("l.l_extendedprice")} * ${c100("(1-l.l_discount)")}) / 10000.0 AS revenue
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1""",
 
     "fullouter_nation_coverage" -> """
       WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust

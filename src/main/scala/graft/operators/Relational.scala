@@ -148,6 +148,24 @@ object Relational {
       .select("c_custkey", "c_name")
   }
 
+  /** SQL-string front door: the same engine consumed through
+    * `spark.sql` over registered views (exact-cents revenue per order
+    * priority). Everything else in this library is DataFrame-first;
+    * this pins that the SQL surface works identically.
+    */
+  def sqlRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+    spark.sql("""
+      SELECT o.o_orderpriority,
+             count(DISTINCT o.o_orderkey) AS n_orders,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+               / CAST(10000 AS DOUBLE) AS revenue
+      FROM orders_v o JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority""")
+  }
+
   /** Full outer join: per-nation customer count vs supplier count —
     * nations may have customers, suppliers, neither side's rows drop.
     */
