@@ -472,8 +472,9 @@ object SparkEntry {
                THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      y AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+      y AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM x)
       SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
              count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
       FROM y GROUP BY 1,2""",
@@ -493,8 +494,10 @@ object SparkEntry {
 
     "events_json_stats" -> """
       SELECT event_type, count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT)
                / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
       FROM events GROUP BY 1""",
   )

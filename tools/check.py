@@ -55,6 +55,14 @@ def main(sf_dir, out_dir):
                   f"{'OK' if g_rows else 'EMPTY (suspicious)'}")
             continue
         try:
+            rel = con.sql(oracle[name])
+            # Exotic DuckDB types (HUGEINT from sum(BIGINT), DECIMAL from
+            # numeric literals) stringify differently from Spark's BIGINT/
+            # DOUBLE under the driver's comparator even when values are
+            # equal — treat them as failures so they never reach the driver.
+            exotic = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                      if str(t) in ("HUGEINT", "UHUGEINT")
+                      or str(t).startswith("DECIMAL")]
             exp = con.execute(oracle[name])
             e_rows, e_cols = exp.fetchall(), [c[0] for c in exp.description]
         except Exception as ex:
@@ -62,6 +70,9 @@ def main(sf_dir, out_dir):
             fail += 1
             continue
         problems = []
+        if exotic:
+            problems.append(f"exotic oracle column types {exotic} — "
+                            "CAST to BIGINT/DOUBLE in the oracle SQL")
         if sorted(g_cols) != sorted(e_cols):
             problems.append(f"schema spark={sorted(g_cols)} duck={sorted(e_cols)}")
         if len(g_rows) != len(e_rows):
