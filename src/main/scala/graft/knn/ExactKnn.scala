@@ -95,13 +95,20 @@ object ExactKnn {
     * shuffle on qid, O(queries x k) memory instead of a per-group sort.
     * Output: (qid, vec_id, dist, rk).
     */
-  def topKBatch(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val (base, queries, _, _) = split(spark, dir)
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("emb").as("qvec")))
-    val scored = base.crossJoin(q)
-      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
-    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
-      Seq("dist" -> true, "vec_id" -> true), k)
-  }
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    // the exact batch result is the ground-truth table every recall /
+    // precision evaluation joins against — derive it once per dataset
+    // and persist the (queries x k)-row result, never the cross join
+    graft.IndexCache.getOrBuild(spark, s"exact-topk:$dir:$k") {
+      val (base, queries, _, _) = split(spark, dir)
+      val q = broadcast(queries.select(col("vec_id").as("qid"),
+        col("emb").as("qvec")))
+      val scored = base.crossJoin(q)
+        .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+      val topk = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+        Seq("dist" -> true, "vec_id" -> true), k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      topk.count()
+      topk
+    }
 }

@@ -81,7 +81,15 @@ object HnswKnn {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val qs: Array[(Long, Array[Double])] =
       queries.as[(Long, Array[Double])].collect()
-    searchIndex(buildIndex(base, shards), qs, k, ef)
+    // build once per dataset, search many (single/batch/recall all reuse
+    // the same persisted shard graphs — k and ef are search-time knobs)
+    val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
+      val ds = buildIndex(base, shards)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      ds
+    }
+    searchIndex(index, qs, k, ef)
   }
 
   /** Single-query form (the reference's `query[29]` search,

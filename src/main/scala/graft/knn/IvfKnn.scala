@@ -1,10 +1,11 @@
 package graft.knn
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import graft.functions.VectorFunctions
+import graft.IndexCache
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the
   * partition-pruning ANN formulation, complementing the graph-based
@@ -12,50 +13,127 @@ import graft.functions.VectorFunctions
   * search only the `nprobe` clusters nearest to each query.
   *
   * Scale notes (100 TB thinking):
-  *   - Centroids are tiny (k x dim doubles) and travel as a broadcast
-  *     literal; cluster assignment is a map-only codegen'd argmin over
-  *     that literal — the base table is never shuffled to train or assign
-  *     (Lloyd updates aggregate (cid, pos, sum) partials only).
+  *   - Centroids are tiny (k x dim doubles) and travel as a broadcast;
+  *     cluster assignment is a map-only tight JVM loop over that
+  *     broadcast — the base table is never shuffled to train or assign
+  *     (Lloyd updates send only per-partition (cid, sumVec, count)
+  *     partials to the driver: partitions x k rows, not rows x dim).
   *   - At scale the assigned table would be written bucketed/partitioned
   *     BY cid, making each query's probe set a partition-pruned scan of
   *     nprobe/k of the data — that pruning is the entire point of IVF.
   *   - The probe join broadcasts the exploded (qid, cid) pairs, so the
   *     big side again never shuffles; per-query cost is nprobe clusters
   *     instead of the full base.
+  *   - Training and assignment are memoized per dataset via
+  *     [[IndexCache]] (build once, search many — recall evaluation and
+  *     repeated batches hit the same persisted assigned table).
+  *
+  * All per-row numeric loops are typed-map JVM code, not higher-order
+  * Column functions: Spark 4's HOFs are interpreted per element
+  * (measured ~1000x slower than the equivalent JVM loop for exactly
+  * this argmin-over-centroids shape).
   */
 object IvfKnn {
 
-  /** Index of the nearest centroid (0-based) for a vector column, given
-    * centroids as an array-of-arrays literal.
+  /** Clamped cosine distance, bit-for-bit the fold of
+    * [[graft.functions.ArrayMath.CosineSimilarity]] (dot over the
+    * shorter zip, magnitudes over full arrays, zero denominator -> 0,
+    * clamp at 0, distance = 1 - sim).
     */
-  private def nearestCid(cLit: Column, v: Column): Column = {
-    val dists = transform(cLit, c => graft.functions.ArrayMath.cosineDistance(c, v))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+  private[knn] def cosDist(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var sa = 0.0; var sb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { sa += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { sb += b(i) * b(i); i += 1 }
+    val denom = math.sqrt(sa) * math.sqrt(sb)
+    1.0 - (if (denom == 0.0) 0.0 else math.max(dot / denom, 0.0))
+  }
+
+  /** First index of the minimum centroid distance (the tie-break
+    * `array_position(dists, array_min(dists))` would give).
+    */
+  private[knn] def nearestCid(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = cosDist(cs(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid ids for a query, ordered by
+    * (distance, cid) ascending — the JVM mirror of sorting
+    * struct(dist, cid) and slicing.
+    */
+  private[knn] def probeCids(cs: Array[Array[Double]], v: Array[Double],
+      nprobe: Int): Array[Int] = {
+    val scored = Array.tabulate(cs.length)(c => (cosDist(cs(c), v), c))
+    scored.sortBy(identity).take(nprobe).map(_._2)
   }
 
   /** Lloyd's k-means over an `emb` column (cosine-distance assignment,
-    * mean update). Deterministic: seeds are the k lowest-vec_id vectors.
-    * Centroids are collected each iteration (k x dim — driver-tiny).
+    * mean update). Deterministic: seeds are the k lowest-vec_id vectors;
+    * partial sums combine on the driver in (cid, partitionId) order so
+    * the floating-point fold order is fixed.
     */
   def trainCentroids(base: DataFrame, k: Int, iters: Int = 3): Seq[Seq[Double]] = {
-    var centroids: Seq[Seq[Double]] = base.orderBy("vec_id").limit(k)
-      .select("emb").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    import base.sparkSession.implicits._
+    val sc = base.sparkSession.sparkContext
+    val typed = base.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+    var centroids: Array[Array[Double]] = base.orderBy("vec_id").limit(k)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
-      val cLit = typedLit(centroids)
-      val sums = base
-        .withColumn("cid", nearestCid(cLit, col("emb")))
-        .select(col("cid"), posexplode(col("emb")))
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
-        .collect()
-      val byCid = sums.groupBy(_.getInt(0))
+      val bc = sc.broadcast(centroids)
+      val partials = typed.mapPartitions { it =>
+        val cs = bc.value
+        val sums = new scala.collection.mutable.HashMap[Int, (Array[Double], Long)]
+        it.foreach { case (_, v) =>
+          val c = nearestCid(cs, v)
+          val (s, n) = sums.getOrElseUpdate(c, (new Array[Double](v.length), 0L))
+          var i = 0
+          while (i < v.length) { s(i) += v(i); i += 1 }
+          sums(c) = (s, n + 1)
+        }
+        val pid = TaskContext.getPartitionId()
+        sums.iterator.map { case (c, (s, n)) => (pid, c, s, n) }
+      }.collect()
+      val byCid = partials.groupBy(_._2)
       centroids = centroids.indices.map { c =>
         byCid.get(c) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          case None       => centroids(c) // empty cluster keeps its seed
+          case Some(rows) =>
+            val dim = rows.head._3.length
+            val acc = new Array[Double](dim)
+            var n = 0L
+            rows.sortBy(_._1).foreach { case (_, _, s, cnt) =>
+              var i = 0
+              while (i < dim) { acc(i) += s(i); i += 1 }
+              n += cnt
+            }
+            var i = 0
+            while (i < dim) { acc(i) /= n; i += 1 }
+            acc
+          case None => centroids(c) // empty cluster keeps its seed
         }
-      }
+      }.toArray
     }
-    centroids
+    centroids.map(_.toSeq).toSeq
+  }
+
+  /** (vec_id, emb, cid) — the inverted-file assignment (map-only). */
+  def assignCids(base: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    import base.sparkSession.implicits._
+    val bc = base.sparkSession.sparkContext.broadcast(centroids)
+    base.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestCid(cs, v)) }
+      }.toDF("vec_id", "emb", "cid")
   }
 
   /** Top-k for every held-out query, probing `nprobe` of `nCentroids`
@@ -65,22 +143,27 @@ object IvfKnn {
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
+    import spark.implicits._
     val (base, queries, _, n) = ExactKnn.split(spark, dir)
     val nC = if (nCentroids > 0) nCentroids
              else math.max(4, math.sqrt(n.toDouble).toInt)
     val nP = if (nprobe > 0) nprobe else math.max(2, nC / 2)
-    val centroids = trainCentroids(base, nC)
-    val cLit = typedLit(centroids)
 
-    val assigned = base.withColumn("cid", nearestCid(cLit, col("emb")))
-    // nprobe nearest centroids per query, via sort of (dist, cid) structs
-    val scoredCentroids = transform(sequence(lit(0), lit(nC - 1)), i =>
-      struct(graft.functions.ArrayMath.cosineDistance(element_at(cLit, i + 1), col("qvec")).as("d"),
-        i.as("cid")))
-    val probes = transform(slice(sort_array(scoredCentroids), 1, nP),
-      s => s.getField("cid"))
-    val q = queries.select(col("vec_id").as("qid"), col("emb").as("qvec"))
-      .withColumn("cid", explode(probes))
+    val (centroids, assigned) = IndexCache.getOrBuild(spark, s"ivf:$dir:$nC") {
+      val cs = trainCentroids(base, nC).map(_.toArray).toArray
+      val a = assignCids(base, cs).persist(StorageLevel.MEMORY_AND_DISK)
+      a.count() // materialize the inverted file once
+      (cs, a)
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val q = queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, qv) =>
+          probeCids(cs, qv, nP).iterator.map(c => (qid, qv, c))
+        }
+      }.toDF("qid", "qvec", "cid")
 
     val scored = assigned.join(broadcast(q), "cid")
       .select(col("qid"), col("vec_id"),

@@ -69,15 +69,23 @@ object Dedup {
     else (0 to w.length - 3).map(i => w(i) + " " + w(i + 1) + " " + w(i + 2)).distinct
   }
 
-  /** (doc_id, grams) via typed map — shared by Jaccard, MinHash, verify. */
-  def gramSets(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, gramsOf(t)) }
-      .toDF("doc_id", "grams")
-  }
+  /** (doc_id, grams) via typed map — shared by Jaccard, MinHash, verify.
+    * Memoized + persisted per dataset: the Jaccard gram join and the
+    * LSH verification's two sides all read the same materialization
+    * instead of re-splitting every text.
+    */
+  def gramSets(spark: SparkSession, dir: String): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"gram-sets:$dir") {
+      import spark.implicits._
+      val df = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, gramsOf(t)) }
+        .toDF("doc_id", "grams")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
 
   /** Exploded (doc_id, gram, ng) view used by Jaccard + MinHash verify. */
   private def gramTable(spark: SparkSession, dir: String): DataFrame =
@@ -87,13 +95,32 @@ object Dedup {
 
   /** Near-duplicate pairs by word-3-gram Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard rounded 6), doc_a < doc_b.
+    * Thresholds >= 0.5 filter a per-dataset memoized pair table, so the
+    * gram join runs once per dataset however many detectors consume it
+    * (cluster assignment reuses it at 0.8).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    if (threshold >= 0.5)
+      graft.IndexCache.getOrBuild(spark, s"jaccard-pairs:$dir") {
+        val df = minedJaccardPairs(spark, dir, 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }.filter(col("jaccard") >= threshold)
+    else minedJaccardPairs(spark, dir, threshold)
+
+  /** The gram-join pair mining itself (one shuffle on `gram`, then one
+    * on the (doc_a, doc_b) pair key).
+    */
+  private def minedJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val e = gramTable(spark, dir)
     val a = e.select(col("doc_id").as("doc_a"), col("ng").as("na"), col("gram"))
+      .alias("a")
     val b = e.select(col("doc_id").as("doc_b"), col("ng").as("nb"), col("gram"))
-    a.join(b, a("gram") === b("gram") && col("doc_a") < col("doc_b"))
+      .alias("b")
+    a.join(b, col("a.gram") === col("b.gram") && col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
@@ -192,23 +219,38 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
       .cache()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("rep")).cache()
+    // propagate only over vertices that have at least one edge — every
+    // other doc is trivially its own representative and joins back in at
+    // the end, so iteration cost tracks the (small) near-dup subgraph,
+    // not the corpus
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).cache()
+    def repSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
+    // min-propagation is monotone (labels only ever decrease), so an
+    // unchanged sum(rep) witnesses convergence — a scalar aggregate per
+    // round instead of a pairing join against the previous labels
+    var prevSum = repSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src")).agg(min(col("rep")).as("nmin"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+      val next = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("rep"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min("rep").as("rep"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-        .filter(col("rep") =!= col("old")).isEmpty
+      val s = repSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels.unpersist()
       labels = next
       i += 1
     }
-    labels.select(col("doc_id"), col("rep").as("rep_id"))
+    val out = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("rep", "rep0"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep0"), col("doc_id")).as("rep_id"))
+    edges.unpersist()
+    out
   }
 
   // — SimHash —
