@@ -63,6 +63,11 @@ object SparkEntry {
     "fullouter_nation_coverage" -> Relational.nationCoverage _,
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
     "cube_lineitem" -> Relational.cubeLineitem _,
+    "q4_exists_late_discount" -> Relational.ordersWithLateDiscountedLines _,
+    "q18_large_orders" -> Relational.largeVolumeOrders _,
+    "window_customer_orders" -> Relational.customerOrderWindows _,
+    "scalar_part_showcase" -> Relational.partScalarShowcase _,
+    "scalar_order_dates" -> Relational.orderDateParts _,
     // — temporal joins (as-of / range — custom operators) —
     "asof_error_click"  -> TemporalJoins.asofErrorClick _,
     "range_events_5min" -> TemporalJoins.eventsWithin5min _,
@@ -478,6 +483,62 @@ object SparkEntry {
       SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
              count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
       FROM y GROUP BY 1,2""",
+
+    "q4_exists_late_discount" -> """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      AND l.l_discount >= 0.05)
+      GROUP BY 1""",
+
+    "q18_large_orders" -> s"""
+      WITH big AS (
+        SELECT l_orderkey, sum(${c100("l_quantity")}) AS q100
+        FROM lineitem GROUP BY 1 HAVING sum(${c100("l_quantity")}) > 30000)
+      SELECT c.c_custkey, c.c_name, o.o_orderkey,
+             CAST(epoch(o.o_orderdate) AS BIGINT) AS o_odate_epoch,
+             o.o_totalprice, big.q100 / 100.0 AS total_qty
+      FROM orders o
+      JOIN big ON o.o_orderkey = big.l_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey""",
+
+    "window_customer_orders" -> s"""
+      SELECT o_custkey, o_orderkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS o_odate_epoch,
+             row_number() OVER w AS order_seq,
+             sum(${c100("o_totalprice")})
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) / 100.0 AS run_spend,
+             CAST(date_diff('day', lag(o_orderdate) OVER w, o_orderdate)
+               AS BIGINT) AS gap_days
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "scalar_part_showcase" -> """
+      SELECT p_partkey,
+             upper(p_name) AS up_name,
+             length(p_name) AS name_len,
+             substr(p_name, 1, 8) AS name_pfx,
+             replace(p_type, ' ', '_') AS type_u,
+             split_part(p_type, ' ', 1) AS type_head,
+             strpos(p_name, 'a') AS pos_a,
+             concat_ws('-', p_brand, p_type) AS brand_type,
+             abs(p_size - 25) AS size_dist,
+             greatest(p_size, 25) AS size_hi,
+             round(p_retailprice * 7, 2) AS price_x7
+      FROM part""",
+
+    "scalar_order_dates" -> """
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS y,
+             CAST(month(o_orderdate) AS INT) AS m,
+             CAST(day(o_orderdate) AS INT) AS d,
+             CAST(quarter(o_orderdate) AS INT) AS q,
+             CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
+               AS month_start
+      FROM orders""",
 
     // the salted two-stage aggregation must equal the plain GROUP BY
     "events_salted_agg" -> s"""

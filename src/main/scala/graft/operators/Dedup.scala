@@ -229,8 +229,10 @@ object Dedup {
       df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
     // min-propagation is monotone (labels only ever decrease), so an
     // unchanged sum(rep) witnesses convergence — a scalar aggregate per
-    // round instead of a pairing join against the previous labels
-    var prevSum = repSum(labels)
+    // round instead of a pairing join against the previous labels.
+    // MinValue sentinel: round 1 always runs, no action spent on the
+    // initial sum
+    var prevSum = Long.MinValue
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {

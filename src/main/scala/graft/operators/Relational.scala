@@ -202,4 +202,96 @@ object Relational {
     cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
   }
+
+  /** TPC-H Q4-flavored correlated EXISTS (adapted to the fixture's
+    * columns): orders per priority having at least one line shipped
+    * more than 60 days after the order date at >= 5% discount. The
+    * correlated predicate spans both tables, so the plan is a left-semi
+    * join with a non-equi condition layered on the orderkey equi-key —
+    * the lineitem side is pre-filtered before the shuffle.
+    */
+  def ordersWithLateDiscountedLines(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_discount") >= 0.05)
+      .select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: groupBy + HAVING on the fact
+    * table (filter on exact integer cents BEFORE the division), then
+    * join order + customer detail; the post-HAVING side is small, so
+    * the detail joins broadcast it.
+    */
+  def largeVolumeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), cents(col("l_quantity")).as("q100"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("q100")).as("q100"))
+      .filter(col("q100") > 300 * 100)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    ord.join(broadcast(big), ord("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_odate_epoch"),
+        col("o_totalprice"), (col("q100") / 100.0).as("total_qty"))
+  }
+
+  /** Analytic window functions per customer order history: sequence
+    * number, exact running spend, and days since the previous order
+    * (ranking + framed sum + lag over one shuffle on o_custkey).
+    */
+  def customerOrderWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("p100"))
+      .withColumn("order_seq", row_number().over(w))
+      .withColumn("run_spend", sum(col("p100"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_odate_epoch"),
+        col("order_seq"), col("run_spend"), col("gap_days"))
+  }
+
+  /** Scalar string/math function coverage over `part` (engine-portable
+    * subset: identical semantics in DuckDB for the oracle).
+    */
+  def partScalarShowcase(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 8).as("name_pfx"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      element_at(split(col("p_type"), " "), 1).as("type_head"),
+      instr(col("p_name"), "a").cast("long").as("pos_a"),
+      concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+      abs(col("p_size") - 25).as("size_dist"),
+      greatest(col("p_size"), lit(25)).as("size_hi"),
+      round(col("p_retailprice") * 7, 2).as("price_x7"))
+
+  /** Date-part extraction over orders (year/month/day/quarter +
+    * month-truncation, emitted as engine-portable integers/epochs).
+    */
+  def orderDateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      quarter(col("o_orderdate")).as("q"),
+      unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"))
 }

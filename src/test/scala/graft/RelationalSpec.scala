@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Relational
 
 /** Row-level sanity plus PLAN-SHAPE assertions: the scale contract is
@@ -61,5 +63,45 @@ class RelationalSpec extends SparkSpec {
     val noOrders = Relational.customersWithoutOrders(spark, sf0001).count()
     val total = Tables.customer(spark, sf0001).count()
     assert(urgent <= total && noOrders <= total)
+  }
+
+  test("q4-exists: correlated predicate plans as a semi join, counts bounded") {
+    val df = Relational.ordersWithLateDiscountedLines(spark, sf0001)
+    assert(physicalPlan(df).contains("LeftSemi"), "expected left-semi join")
+    val total = Tables.orders(spark, sf0001).count()
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.map(_.getAs[Long]("n_orders")).sum <= total)
+  }
+
+  test("q18: every returned order's quantity exceeds the HAVING threshold") {
+    val rows = Relational.largeVolumeOrders(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 300.0))
+  }
+
+  test("window: running spend is nondecreasing within each customer") {
+    val rows = Relational.customerOrderWindows(spark, sf0001).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { os =>
+      val bySeq = os.sortBy(_.getAs[Int]("order_seq"))
+      val spends = bySeq.map(_.getAs[Double]("run_spend"))
+      assert(spends.zip(spends.drop(1)).forall { case (a, b) => b >= a })
+      assert(bySeq.head.isNullAt(bySeq.head.fieldIndex("gap_days")),
+        "first order per customer must have NULL gap")
+    }
+  }
+
+  test("scalar showcase: engine-portable string/math semantics hold") {
+    val r = Relational.partScalarShowcase(spark, sf0001)
+      .filter(col("p_partkey") === 1).head()
+    assert(r.getAs[String]("up_name").toLowerCase ==
+      r.getAs[String]("up_name").toUpperCase.toLowerCase)
+    assert(r.getAs[String]("name_pfx").length <= 8)
+    assert(!r.getAs[String]("type_u").contains(" "))
+  }
+
+  test("date parts: quarter agrees with month for every order") {
+    val bad = Relational.orderDateParts(spark, sf0001)
+      .filter(col("q") =!= ((col("m") + 2) / 3).cast("int")).count()
+    assert(bad == 0)
   }
 }
