@@ -57,4 +57,17 @@ object Ingest {
     */
   def insertMany(base: DataFrame, rows: DataFrame): DataFrame =
     base.unionByName(rows)
+
+  /** CSV scan under the same lenient-ingest contract as [[readNdjson]]:
+    * supplied schema (no inference double-scan), malformed rows dropped
+    * at parse time. Column pruning and (for non-string types) filter
+    * skipping work as with any file source.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("mode", "DROPMALFORMED")
+      .csv(path)
 }

@@ -93,6 +93,41 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-stream interval self-join: every 'error' event joined to the
+    * same user's 'click' events within +/- `withinMinutes` (event-time
+    * range condition over two watermarked sides of one stream). The
+    * watermarks + time bounds let Spark evict both join buffers, so
+    * state stays bounded on unbounded streams; the batch analog is
+    * [[graft.operators.TemporalJoins.withinInterval]]'s cell join.
+    * Output: (user_id, err_id, click_id, gap_us).
+    */
+  def streamErrorClickWithin(events: DataFrame, withinMinutes: Int = 5,
+      watermark: String = "10 minutes"): DataFrame = {
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errs.join(clicks,
+        col("err_user") === col("click_user") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $withinMinutes MINUTE") &&
+          col("click_ts") <= col("err_ts") + expr(s"INTERVAL $withinMinutes MINUTE"))
+      .select(col("err_user").as("user_id"), col("err_id"), col("click_id"),
+        abs(unix_micros(col("err_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** Streaming exact dedup: duplicate event_ids arriving within the
+    * watermark horizon are dropped and their keys evicted afterward —
+    * the streaming half of the dedup suite (bounded state, unlike a
+    * global dropDuplicates which would keep every key forever).
+    */
+  def dedupEvents(stream: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source streaming read over a DIRECTORY of events parquet files
     * (the file stream source tails directories) — same schema handling
     * as the batch path, consumed incrementally.

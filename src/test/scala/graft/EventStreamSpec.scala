@@ -70,4 +70,60 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.length} vs batch ${batch.length} sessions")
     assert(streamed.sameElements(batch))
   }
+
+  test("stream-stream interval join equals the batch error-click pairing") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val source = MemoryStream[Ev](spark, numPartitions = 1)
+    val q = EventStream.streamErrorClickWithin(source.toDF())
+      .writeStream.format("memory").queryName("ssjoin_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-j").toString)
+      .start()
+    try { source.addData(evs: _*); q.processAllAvailable() } finally q.stop()
+
+    val ev = Tables.events(spark, sf0001)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        unix_micros(col("ts")).as("eus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("cus"))
+    val batch = errs.join(clicks, col("user_id") === col("cu") &&
+        abs(col("eus") - col("cus")) <= 300L * 1000000L)
+      .select(col("user_id"), col("err_id"), col("click_id"),
+        abs(col("eus") - col("cus")).as("gap_us"))
+      .orderBy("user_id", "err_id", "click_id").collect()
+    val streamed = spark.table("ssjoin_stream")
+      .orderBy("user_id", "err_id", "click_id").collect()
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} vs batch ${batch.length} pairs")
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq.take(200)
+    val source = MemoryStream[Ev](spark, numPartitions = 1)
+    val q = EventStream.dedupEvents(source.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-d").toString)
+      .start()
+    try {
+      source.addData(evs: _*); q.processAllAvailable()
+      source.addData(evs: _*); q.processAllAvailable() // exact re-delivery
+    } finally q.stop()
+    val n = spark.table("dedup_stream").count()
+    assert(n == evs.map(_.event_id).distinct.length,
+      s"expected one row per event_id, got $n")
+  }
 }

@@ -14,11 +14,22 @@ class SourcesSpec extends SparkSpec {
     val orders = Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     orders.write.mode("overwrite").option("header", "true").csv(dir)
-    val back = spark.read.option("header", "true")
-      .schema(orders.schema).csv(dir)
+    val back = graft.sources.Ingest.readCsv(spark, dir, orders.schema)
     assert(back.count() == orders.count())
     assert(back.exceptAll(orders).count() == 0)
     assert(orders.exceptAll(back).count() == 0)
+  }
+
+  test("csv ingest drops malformed rows like the NDJSON path") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv-bad")
+    Files.write(dir.resolve("rows.csv"),
+      "id,v\n1,1.5\nnot-a-number,oops,extra\n3,2.5\n".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType)))
+    val got = graft.sources.Ingest.readCsv(spark, dir.toString, schema)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1.5), (3L, 2.5)))
   }
 
   test("json lines round-trip preserves values including arrays") {
