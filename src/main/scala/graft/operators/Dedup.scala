@@ -87,11 +87,31 @@ object Dedup {
       df
     }
 
-  /** Exploded (doc_id, gram, ng) view used by Jaccard + MinHash verify. */
+  /** (doc_id, ghashes) — the gram sets as FNV-64 hashes, memoized like
+    * [[gramSets]]. The pair-mining join and the LSH verification run on
+    * these 8-byte keys instead of gram strings: the gram-join shuffle
+    * carries longs, and equality tests are single compares. (A 64-bit
+    * collision would need ~2^32 distinct grams to become likely; the
+    * string-gram oracle check would catch one.)
+    */
+  def gramHashSets(spark: SparkSession, dir: String): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"gram-hash-sets:$dir") {
+      import spark.implicits._
+      val df = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, gramsOf(t).map(fnv64).toArray) }
+        .toDF("doc_id", "ghashes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** Exploded (doc_id, gram-hash, ng) view used by Jaccard mining. */
   private def gramTable(spark: SparkSession, dir: String): DataFrame =
-    gramSets(spark, dir)
-      .select(col("doc_id"), size(col("grams")).as("ng"),
-        explode(col("grams")).as("gram"))
+    gramHashSets(spark, dir)
+      .select(col("doc_id"), size(col("ghashes")).as("ng"),
+        explode(col("ghashes")).as("gram"))
 
   /** Near-duplicate pairs by word-3-gram Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard rounded 6), doc_a < doc_b.
@@ -181,7 +201,7 @@ object Dedup {
     */
   def minhashLshPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
-    val docs = gramSets(spark, dir)
+    val docs = gramHashSets(spark, dir)
     val sigs = minhashSignatures(spark, dir)
     val banded = sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(LshBands - 1)), j =>
@@ -193,8 +213,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val ga = docs.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
-    val gb = docs.select(col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    val ga = docs.select(col("doc_id").as("doc_a"), col("ghashes").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_b"), col("ghashes").as("grams_b"))
     cand.join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
       .select(col("doc_a"), col("doc_b"),
@@ -213,45 +233,47 @@ object Dedup {
     */
   def nearDupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .cache()
+    import spark.implicits._
     // propagate only over vertices that have at least one edge — every
     // other doc is trivially its own representative and joins back in at
     // the end, so iteration cost tracks the (small) near-dup subgraph,
-    // not the corpus
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id")).cache()
-    def repSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("rep"), lit(0L))).head.getLong(0)
+    // not the corpus. The loop itself runs on co-partitioned RDDs (the
+    // GraphX pattern): the per-round plan is fixed, so nothing is
+    // re-analyzed or re-codegen'd each iteration, edges⋈labels is a
+    // narrow join, and the only shuffle per round is the reduceByKey.
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    val part = new org.apache.spark.HashPartitioner(
+      math.min(spark.sparkContext.defaultParallelism, 32))
+    // (labelProvider, labelReceiver) in both directions
+    val edges = pairs.rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    var labels = edges.keys.map(v => (v, v))
+      .reduceByKey(part, (a, _) => a).cache()
     // min-propagation is monotone (labels only ever decrease), so an
-    // unchanged sum(rep) witnesses convergence — a scalar aggregate per
-    // round instead of a pairing join against the previous labels.
-    // MinValue sentinel: round 1 always runs, no action spent on the
-    // initial sum
+    // unchanged sum(rep) witnesses convergence — a scalar fold per round
+    // instead of a pairing join against the previous labels. MinValue
+    // sentinel: round 1 always runs, no action spent on the initial sum.
     var prevSum = Long.MinValue
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("rep"))
-        .unionByName(labels)
-        .groupBy("doc_id").agg(min("rep").as("rep"))
-        .cache()
-      val s = repSum(next)
+      val msgs = edges.join(labels)
+        .map { case (_, (recv, rep)) => (recv, rep) }
+      val next = msgs.union(labels)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)).cache()
+      val s = next.values.fold(0L)(_ + _)
       converged = s == prevSum
       prevSum = s
-      labels.unpersist()
+      labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
     val out = Tables.documents(spark, dir).select(col("doc_id"))
-      .join(labels.withColumnRenamed("rep", "rep0"), Seq("doc_id"), "left")
+      .join(labels.toDF("doc_id", "rep0"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep0"), col("doc_id")).as("rep_id"))
-    edges.unpersist()
+    edges.unpersist(blocking = false)
     out
   }
 
