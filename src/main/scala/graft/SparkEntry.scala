@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn, IvfKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Relational, ScaleTechniques, TemporalJoins, TextOps}
+import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -86,6 +86,10 @@ object SparkEntry {
     "text_langid"      -> TextOps.languageId _,
     "text_fingerprint" -> TextOps.fingerprints _,
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
+    // — composed pipeline ops (training-corpus preparation shapes) —
+    "pipeline_training_corpus" -> ((s, d) => Pipeline.trainingCorpus(s, d)),
+    "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
+    "pipeline_heavy_hitters" -> ((s, d) => Pipeline.heavyHitterTokens(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     // — event-time processing (SURVEY §2.11 extensions) —
@@ -483,6 +487,58 @@ object SparkEntry {
       SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
              count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
       FROM y GROUP BY 1,2""",
+
+    "pipeline_training_corpus" -> """
+      WITH kept AS (
+        SELECT doc_id, text
+        FROM (SELECT doc_id, text,
+                min(doc_id) OVER (PARTITION BY text) AS keeper
+              FROM documents)
+        WHERE keeper = doc_id),
+      m AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM kept),
+      s AS (
+        SELECT doc_id, text, w,
+          round(len(list_filter(w, t -> list_contains(['the','a','of','and','to'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_en,
+          round(len(list_filter(w, t -> list_contains(['el','la','de','y','que'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_es,
+          round(len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_de,
+          round(len(list_filter(w, t -> list_contains(['le','la','de','et','les'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_fr,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM m),
+      q AS (
+        SELECT doc_id,
+          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+          round(least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(len(w) / 50.0, 1.0) * 0.3, 6) AS quality,
+          CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INT)
+            AS n_bpe_tokens
+        FROM s)
+      SELECT doc_id, pred_lang, quality, n_bpe_tokens
+      FROM q
+      WHERE quality >= 0.5 AND pred_lang = 'en'
+        AND n_bpe_tokens BETWEEN 10 AND 10000""",
+
+    "pipeline_stratified_sample" -> """
+      WITH h AS (
+        SELECT doc_id, lang,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % 1000000007) % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+      FROM h
+      WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 30 END""",
+
+    "pipeline_heavy_hitters" -> """
+      WITH t AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY n DESC, token) AS INT) AS rk FROM c)
+      SELECT lang, token, n, rk FROM r WHERE rk <= 10""",
 
     "q4_exists_late_discount" -> """
       SELECT o_orderpriority, count(*) AS n_orders

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Composed training-data pipeline operators over `documents` — the
+  * end-to-end shapes a corpus-preparation job runs, built from the
+  * same Column expressions as the individual TextOps/Dedup operators
+  * so every stage stays a single-pass, codegen'd projection.
+  *
+  * Scale notes:
+  *   - [[trainingCorpus]] is ONE scan: the dedup window partitions by
+  *     md5(text) (16-byte shuffle key, never the full text), and every
+  *     filter column is computed in the same projection — no self-joins
+  *     of per-measure sub-results.
+  *   - [[stratifiedSample]] is map-only and deterministic (polynomial
+  *     content hash, not `rand()`), so re-runs and retried tasks pick
+  *     identical rows — the property that matters for reproducible
+  *     corpus builds.
+  *   - [[heavyHitterTokens]] aggregates (lang, token) partially before
+  *     its one shuffle, then bounds memory with the custom bounded-heap
+  *     [[graft.plans.TopKPerGroup]] operator instead of a full sort.
+  */
+object Pipeline {
+
+  /** The kept training corpus: exact-dedup keep-first, then quality,
+    * language, and token-count gates, in one pass. Output: (doc_id,
+    * pred_lang, quality, n_bpe_tokens) for every surviving doc.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val w = split(col("text"), " ")
+    val scores = TextOps.langScoresOf(w).map { case (l, c) => l -> c }.toMap
+    Tables.documents(spark, dir)
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))
+      .filter(col("keeper") === col("doc_id"))
+      .select(col("doc_id"),
+        TextOps.predLangOf(scores).as("pred_lang"),
+        round(TextOps.qualityOf(col("text"), w), 6).as("quality"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .as("n_bpe_tokens"))
+      .filter(col("quality") >= minQuality && col("pred_lang") === "en" &&
+        col("n_bpe_tokens").between(10, 10000))
+  }
+
+  /** Deterministic stratified content sampling: keep a doc iff its
+    * polynomial text-hash bucket falls under its stratum's rate
+    * (10% for 'en', 30% for everything else). Output: (doc_id, lang,
+    * bucket).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(TextOps.polyHash(col("text")), lit(100L)).as("bucket"))
+      .filter(col("bucket") <
+        when(col("lang") === "en", lit(10L)).otherwise(lit(30L)))
+
+  /** Per-language heavy hitters: top-`k` whitespace tokens by frequency
+    * (ties: token asc) via the bounded-heap TopKPerGroup operator.
+    * Output: (lang, token, n, rk).
+    */
+  def heavyHitterTokens(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    graft.plans.GraftOps.topKPerGroup(counts, Seq("lang"),
+      Seq("n" -> false, "token" -> true), k)
+  }
+}

@@ -42,6 +42,23 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "on")
 
+  /** Raw (unrounded) stopword ratio of a word-array column. */
+  private[operators] def stopRatioOf(w: Column): Column =
+    size(filter(w, t => t.isin(stopwords: _*))).cast("double") / size(w)
+
+  /** Raw alphabetic-character ratio of a text column. */
+  private[operators] def alphaRatioOf(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+
+  /** Raw [0,1] quality score (combine RAW ratios, round once at the
+    * consumer: pre-rounded 6dp inputs times 0.4/0.3 weights land exactly
+    * on 7th-decimal .5 ties, which round differently across engines).
+    */
+  private[operators] def qualityOf(text: Column, w: Column): Column =
+    least(stopRatioOf(w) * 2.0, lit(1.0)) * 0.4 +
+      alphaRatioOf(text) * 0.3 +
+      least(size(w) / 50.0, lit(1.0)) * 0.3
+
   /** Quality scoring: word stats + stopword/alpha ratios combined into a
     * bounded [0,1] score (higher = more natural-language-like).
     */
@@ -50,21 +67,12 @@ object TextOps {
     val nWords = size(w)
     val meanWlen = aggregate(transform(w, t => length(t).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double") / nWords
-    val stopRatio = size(filter(w, t => t.isin(stopwords: _*))).cast("double") / nWords
-    val alphaRatio = length(regexp_replace(col("text"), "[^a-z]", ""))
-      .cast("double") / length(col("text"))
-    // combine the RAW ratios and round once: pre-rounded 6dp inputs times
-    // 0.4/0.3 weights land exactly on 7th-decimal .5 ties, which round
-    // differently across engines (observed at sf0.01)
-    val score = least(stopRatio * 2.0, lit(1.0)) * 0.4 +
-      alphaRatio * 0.3 +
-      least(nWords / 50.0, lit(1.0)) * 0.3
     Tables.documents(spark, dir)
       .select(col("doc_id"), nWords.as("n_words"),
         round(meanWlen, 6).as("mean_wlen"),
-        round(stopRatio, 6).as("stopword_ratio"),
-        round(alphaRatio, 6).as("alpha_ratio"),
-        round(score, 6).as("quality"))
+        round(stopRatioOf(w), 6).as("stopword_ratio"),
+        round(alphaRatioOf(col("text")), 6).as("alpha_ratio"),
+        round(qualityOf(col("text"), w), 6).as("quality"))
   }
 
   /** Stopword-profile language voting. Profiles are fixed tiny lists; the
@@ -77,19 +85,28 @@ object TextOps {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "de", "et", "les"))
 
-  def languageId(spark: SparkSession, dir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val scored = profiles.foldLeft(Tables.documents(spark, dir).select(col("doc_id"), w.as("w"))) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"s_$lang",
-          round(size(filter(col("w"), t => t.isin(words: _*))).cast("double") / size(col("w")), 6))
+  /** Rounded per-language stopword-vote scores of a word-array column. */
+  private[operators] def langScoresOf(w: Column): Seq[(String, Column)] =
+    profiles.map { case (lang, words) =>
+      lang -> round(
+        size(filter(w, t => t.isin(words: _*))).cast("double") / size(w), 6)
     }
-    scored.withColumn("pred_lang",
-        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
-             col("s_en") >= col("s_fr"), "en")
-          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
-          .when(col("s_de") >= col("s_fr"), "de")
-          .otherwise("fr"))
+
+  /** Argmax CASE cascade over the scores (ties: en > es > de > fr). */
+  private[operators] def predLangOf(s: Map[String, Column]): Column =
+    when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr"), "es")
+      .when(s("de") >= s("fr"), "de")
+      .otherwise("fr")
+
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langScoresOf(col("w")).foldLeft(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))) {
+      case (df, (lang, c)) => df.withColumn(s"s_$lang", c)
+    }
+    scored.withColumn("pred_lang", predLangOf(
+        profiles.map { case (lang, _) => lang -> col(s"s_$lang") }.toMap))
       .select("doc_id", "pred_lang", "s_en", "s_es", "s_de", "s_fr")
   }
 

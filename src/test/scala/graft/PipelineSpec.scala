@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+/** Composed pipeline ops: single-pass plan shape + gate semantics. */
+class PipelineSpec extends SparkSpec {
+
+  test("training corpus runs as ONE documents scan (no self-joins)") {
+    val plan = Pipeline.trainingCorpus(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "composed filters must not become joins")
+  }
+
+  test("training corpus rows satisfy every gate") {
+    val rows = Pipeline.trainingCorpus(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("quality") >= 0.5)
+      assert(r.getAs[String]("pred_lang") == "en")
+      val t = r.getAs[Int]("n_bpe_tokens")
+      assert(t >= 10 && t <= 10000)
+    }
+  }
+
+  test("stratified sample is deterministic and respects stratum rates") {
+    val a = Pipeline.stratifiedSample(spark, sf0001).collect()
+    val b = Pipeline.stratifiedSample(spark, sf0001).collect()
+    assert(a.sortBy(_.getLong(0)).sameElements(b.sortBy(_.getLong(0))))
+    a.foreach { r =>
+      val cap = if (r.getAs[String]("lang") == "en") 10L else 30L
+      assert(r.getAs[Long]("bucket") < cap)
+    }
+  }
+
+  test("heavy hitters: bounded per group, ranked by count then token") {
+    val rows = Pipeline.heavyHitterTokens(spark, sf0001).collect()
+    rows.groupBy(_.getAs[String]("lang")).values.foreach { g =>
+      assert(g.length <= 10)
+      val byRank = g.sortBy(_.getAs[Int]("rk"))
+      val ns = byRank.map(_.getAs[Long]("n"))
+      assert(ns.zip(ns.drop(1)).forall { case (x, y) => x >= y })
+    }
+  }
+}
