@@ -96,6 +96,7 @@ object SparkEntry {
     "pipeline_heavy_hitters" -> ((s, d) => Pipeline.heavyHitterTokens(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
+    "multimodal_frames" -> Multimodal.frameOffsets _,
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -491,6 +492,16 @@ object SparkEntry {
       SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
              count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
       FROM y GROUP BY 1,2""",
+
+    // mediaTable: payload = utf-8 text bytes (ASCII fixture: len == chars),
+    // kind video <=> doc_id % 3 = 2; offsets = i * len / 4 in long division
+    "multimodal_frames" -> """
+      WITH v AS (SELECT doc_id AS media_id,
+                        greatest(octet_length(encode(text)), 1) AS len
+                 FROM documents WHERE doc_id % 3 = 2)
+      SELECT media_id, CAST(i AS INT) AS frame_idx,
+             CAST(i * len // 4 AS BIGINT) AS "offset"
+      FROM v, range(0, 4) t(i)""",
 
     "pipeline_training_corpus" -> """
       WITH kept AS (

@@ -119,6 +119,13 @@ object Multimodal {
     }
   }
 
+  /** Declared query: the frame-sampling fan-out as a flat table —
+    * (media_id, frame_idx, offset) for every video row (one row per
+    * sampled frame; deterministic offsets).
+    */
+  def frameOffsets(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir)).toDF()
+
   /** Declared query: per-kind feature statistics — proves the payload ->
     * batch decode -> aggregate pipeline end-to-end. Aggregates exact
     * integer counts (never fold-order-dependent double sums) so the
