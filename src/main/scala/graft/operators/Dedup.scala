@@ -140,7 +140,11 @@ object Dedup {
       .alias("a")
     val b = e.select(col("doc_id").as("doc_b"), col("ng").as("nb"), col("gram"))
       .alias("b")
-    a.join(b, col("a.gram") === col("b.gram") && col("doc_a") < col("doc_b"))
+    // length filter: jaccard >= t implies least(na,nb) >= t*greatest(na,nb)
+    // (i <= min and i >= t(na+nb-i) => min(1+t) >= t(min+max)), so pairs
+    // failing it can be dropped inside the join, before the count shuffle
+    a.join(b, col("a.gram") === col("b.gram") && col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
