@@ -71,6 +71,7 @@ object SparkEntry {
     "q18_large_orders" -> Relational.largeVolumeOrders _,
     "window_customer_orders" -> Relational.customerOrderWindows _,
     "scalar_part_showcase" -> Relational.partScalarShowcase _,
+    "pivot_priority_segment" -> Relational.pivotPrioritySegment _,
     "scalar_order_dates" -> Relational.orderDateParts _,
     // — temporal joins (as-of / range — custom operators) —
     "asof_error_click"  -> TemporalJoins.asofErrorClick _,
@@ -90,6 +91,7 @@ object SparkEntry {
     "text_langid"      -> TextOps.languageId _,
     "text_fingerprint" -> TextOps.fingerprints _,
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
+    "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —
     "pipeline_training_corpus" -> ((s, d) => Pipeline.trainingCorpus(s, d)),
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
@@ -326,6 +328,25 @@ object SparkEntry {
                         ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
              exact AS exact_distinct
       FROM km, e""",
+
+    "sketch_users_per_type" -> """
+      WITH h AS (SELECT DISTINCT event_type,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                  c -> CAST(unicode(c) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+            FROM events),
+      r AS (SELECT event_type, hv,
+              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM h),
+      km AS (SELECT event_type, count(*) FILTER (rn <= 256) AS kc,
+               max(hv) FILTER (rn <= 256) AS hk, count(*) AS exact
+             FROM r GROUP BY 1)
+      SELECT event_type,
+             round(CASE WHEN kc < 256 THEN CAST(kc AS DOUBLE)
+                        ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
+             CAST(exact AS BIGINT) AS exact_distinct
+      FROM km""",
 
     "q1_pricing_summary" -> s"""
       WITH li AS (SELECT l_returnflag, l_linestatus,
@@ -600,6 +621,17 @@ object SparkEntry {
              greatest(p_size, 25) AS size_hi,
              round(p_retailprice * 7, 2) AS price_x7
       FROM part""",
+
+    "pivot_priority_segment" -> """
+      SELECT c.c_mktsegment,
+             count(*) FILTER (o.o_orderpriority = '1-URGENT') AS "1-URGENT",
+             count(*) FILTER (o.o_orderpriority = '2-HIGH') AS "2-HIGH",
+             count(*) FILTER (o.o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+             count(*) FILTER (o.o_orderpriority = '4-NOT SPECIFIED')
+               AS "4-NOT SPECIFIED",
+             count(*) FILTER (o.o_orderpriority = '5-LOW') AS "5-LOW"
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1""",
 
     "scalar_order_dates" -> """
       SELECT o_orderkey,

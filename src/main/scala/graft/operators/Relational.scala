@@ -266,6 +266,22 @@ object Relational {
         col("order_seq"), col("run_spend"), col("gap_days"))
   }
 
+  /** Pivoted aggregation: order counts per market segment x order
+    * priority, priorities as columns (Spark's `pivot` — planned as one
+    * hash aggregate over (segment) with a conditional count per pivot
+    * value; explicit value list, so no pre-scan for distinct values).
+    */
+  def pivotPrioritySegment(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderpriority")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
   /** Scalar string/math function coverage over `part` (engine-portable
     * subset: identical semantics in DuckDB for the oracle).
     */

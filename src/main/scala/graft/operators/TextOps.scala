@@ -124,6 +124,20 @@ object TextOps {
         countDistinct(col("h")).as("exact_distinct"))
   }
 
+  /** Per-event-type sketched vs exact distinct users — the KMV sketch
+    * as a GROUPED partial aggregate (one mergeable k-long buffer per
+    * group crosses the shuffle, not the user set). Same portable-hash
+    * contract as [[sketchDistinctNgrams]].
+    */
+  def sketchDistinctUsers(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val kmv = udaf(graft.functions.KmvDistinct(k))
+    Tables.events(spark, dir)
+      .select(col("event_type"), polyHash(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(round(kmv(col("h")), 6).as("kmv_estimate"),
+        countDistinct(col("h")).as("exact_distinct"))
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */
