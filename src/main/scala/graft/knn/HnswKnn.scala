@@ -36,19 +36,75 @@ object HnswKnn {
   private implicit val shardEncoder: org.apache.spark.sql.Encoder[HnswShard] =
     org.apache.spark.sql.Encoders.kryo[HnswShard]
 
+  /** Explicit, reproducible shard assignment: `vec_id mod shards`.
+    * A FIXED rule (not the engine's internal repartition hash) so later
+    * incremental inserts route new vectors to the same shard their
+    * neighbors went to.
+    */
+  private def withShard(rows: DataFrame, shards: Int): DataFrame =
+    rows.select(col("vec_id"), col("emb"))
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)).cast("int"))
+
   /** Build one HNSW graph per shard — the build-once half of
     * build-once/search-many: `.persist()` the result and run any number
-    * of [[searchIndex]] batches against it without re-inserting.
+    * of [[searchIndex]] batches against it without re-inserting; extend
+    * with [[insertIntoIndex]]; checkpoint with [[saveIndex]]/[[loadIndex]].
+    * Inserts are ordered by vec_id within each shard, so the graphs are
+    * bit-reproducible run to run.
     */
   def buildIndex(base: DataFrame, shards: Int = 8): Dataset[HnswShard] = {
     import base.sparkSession.implicits._
-    base.repartition(shards, col("vec_id"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        Iterator.single(HnswShard(pid,
-          new HnswIndex(seed = 42L + pid).insertAll(it)))
+    withShard(base, shards)
+      .as[(Long, Array[Double], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (s, rows) =>
+        val sorted = rows.toArray.sortBy(_._1)
+        HnswShard(s, new HnswIndex(seed = 42L + s)
+          .insertAll(sorted.iterator.map(r => (r._1, r._2))))
       }
+  }
+
+  /** Incremental `insert_many` (`/root/reference/src/index.rs:7-9`):
+    * route new vectors to their shard by the same fixed rule and extend
+    * each existing graph — no rebuild of prior points. Shards receiving
+    * no new rows pass through; new shard ids (never the case under the
+    * mod rule, but harmless) start empty graphs.
+    */
+  def insertIntoIndex(index: Dataset[HnswShard], rows: DataFrame,
+      shards: Int = 8): Dataset[HnswShard] = {
+    import index.sparkSession.implicits._
+    val newRows = withShard(rows, shards).as[(Long, Array[Double], Int)]
+    index.groupByKey(_.shard).cogroup(newRows.groupByKey(_._3)) {
+      (s, graphs, added) =>
+        val graph = graphs.toSeq.headOption.map(_.graph)
+          .getOrElse(new HnswIndex(seed = 42L + s))
+        added.toArray.sortBy(_._1).foreach { case (id, v, _) => graph.insert(id, v) }
+        Iterator.single(HnswShard(s, graph))
+    }
+  }
+
+  /** Persist the shard graphs as a parquet table of java-serialized
+    * blobs — the index-as-a-table checkpoint that lets a later job
+    * [[loadIndex]] and search without rebuilding (at 100 TB this is the
+    * difference between an index build and a metadata read).
+    */
+  def saveIndex(index: Dataset[HnswShard], path: String): Unit = {
+    import index.sparkSession.implicits._
+    index.map { s =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(s.graph); oos.close()
+      (s.shard, bos.toByteArray)
+    }.toDF("shard", "graph_bytes").write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveIndex]] checkpoint (one task per shard blob). */
+  def loadIndex(spark: SparkSession, path: String): Dataset[HnswShard] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[(Int, Array[Byte])].map { case (s, b) =>
+      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+      HnswShard(s, ois.readObject().asInstanceOf[HnswIndex])
+    }
   }
 
   /** Search every broadcast query against every shard graph and merge

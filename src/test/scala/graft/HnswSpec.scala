@@ -91,6 +91,40 @@ class HnswSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("incremental insert: new vectors become searchable in their shard") {
+    import spark.implicits._
+    val (base, _, _, _) = ExactKnn.split(spark, sf0001)
+    val head = base.filter(col("vec_id") < 700)
+    val tail = base.filter(col("vec_id") >= 700)
+    val extended = HnswKnn.insertIntoIndex(HnswKnn.buildIndex(head), tail)
+    val probe = tail.orderBy("vec_id").limit(3)
+      .as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, v) }
+    // querying with an inserted vector itself must return it at distance 0
+    val hits = HnswKnn.searchIndex(extended, probe, k = 1)
+      .select("qid", "vec_id", "dist").collect()
+    probe.foreach { case (id, _) =>
+      val row = hits.find(_.getLong(0) == id).get
+      assert(row.getLong(1) == id && row.getDouble(2) == 0.0,
+        s"inserted vector $id not its own nearest neighbor: $row")
+    }
+  }
+
+  test("save/load round-trips the shard graphs bit-for-bit") {
+    import spark.implicits._
+    val (base, queries, _, _) = ExactKnn.split(spark, sf0001)
+    val index = HnswKnn.buildIndex(base).persist()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+      HnswKnn.saveIndex(index, dir)
+      val loaded = HnswKnn.loadIndex(spark, dir)
+      val qs = queries.as[(Long, Array[Double])].collect().take(8)
+      val before = HnswKnn.searchIndex(index, qs).collect().toSet
+      val after = HnswKnn.searchIndex(loaded, qs).collect().toSet
+      assert(before == after, "reloaded index must answer identically")
+    } finally index.unpersist()
+  }
+
   test("evaluation identities: recall(X,X) = precision(X,X) = 1.0") {
     val ex = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
     assert(Evaluation.recall(ex, ex).collect()(0).getDouble(0) == 1.0)
