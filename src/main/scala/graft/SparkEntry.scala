@@ -75,6 +75,7 @@ object SparkEntry {
     "scalar_order_dates" -> Relational.orderDateParts _,
     // — temporal joins (as-of / range — custom operators) —
     "asof_error_click"  -> TemporalJoins.asofErrorClick _,
+    "asof_next_click"   -> TemporalJoins.asofNextErrorClick _,
     "range_events_5min" -> TemporalJoins.eventsWithin5min _,
     // — dedup / near-dup detection (training-data pipeline ops) —
     "dedup_exact"         -> Dedup.exactDuplicates _,
@@ -479,6 +480,20 @@ object SparkEntry {
         ON e.user_id = c.user_id AND c.ts <= e.ts
       QUALIFY row_number() OVER (PARTITION BY e.event_id
         ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST) = 1""",
+
+    "asof_next_click" -> """
+      WITH err AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'error'),
+           clk AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click')
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+             c.event_id AS next_click_id,
+             epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+      FROM err e LEFT JOIN clk c
+        ON e.user_id = c.user_id AND c.ts >= e.ts
+           AND epoch_us(c.ts) - epoch_us(e.ts) <= 600000000
+      QUALIFY row_number() OVER (PARTITION BY e.event_id
+        ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) = 1""",
 
     "range_events_5min" -> """
       SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,

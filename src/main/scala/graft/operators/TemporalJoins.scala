@@ -64,6 +64,52 @@ object TemporalJoins {
         col("gap_us"))
   }
 
+  /** Forward as-of with tolerance (pandas merge_asof direction=forward):
+    * for every left row, the single EARLIEST right row of the same key
+    * with `us_right >= us_left` and gap <= `tolUs` (ties: min event id).
+    * Same single-shuffle union-merge form as [[asofPrev]], scanned
+    * descending; the tolerance nulls the match post-scan, which is
+    * equivalent to filtering candidates (the nearest-following right is
+    * minimal-gap — anything else is even farther).
+    */
+  def asofNext(left: DataFrame, right: DataFrame, tolUs: Long): DataFrame = {
+    val l = left.select(col("key"), col("us"), col("id"),
+      lit(0).as("is_right"), lit(null).cast("long").as("r_id"))
+    val r = right.select(col("key"), col("us"), col("id"),
+      lit(1).as("is_right"), col("id").as("r_id"))
+    // descending scan: rights sort before lefts at equal ts (inclusive
+    // match) and among equal-ts rights the SMALLEST id lands last ->
+    // last() picks it
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("us").desc, col("is_right").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("next_id_raw", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("next_us_raw", last(when(col("is_right") === 1, col("us")),
+        ignoreNulls = true).over(w))
+      .filter(col("is_right") === 0)
+      .withColumn("gap_raw", col("next_us_raw") - col("us"))
+      .select(col("key"), col("id"), col("us"),
+        when(col("gap_raw") <= tolUs, col("next_id_raw")).as("next_id"),
+        when(col("gap_raw") <= tolUs, col("gap_raw")).as("gap_us"))
+  }
+
+  /** Declared query: each 'error' event joined to the user's next
+    * 'click' within 10 minutes (forward as-of + tolerance).
+    */
+  def asofNextErrorClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+        col("event_id").as("id"), col("event_type"))
+    asofNext(
+      ev.filter(col("event_type") === "error").drop("event_type"),
+      ev.filter(col("event_type") === "click").drop("event_type"),
+      600L * 1000000L)
+      .select(col("id").as("event_id"), col("key").as("user_id"),
+        col("us").as("ts_us"), col("next_id").as("next_click_id"),
+        col("gap_us"))
+  }
+
   /** Range self-join: pairs of same-key rows within `intervalUs` of each
     * other (id_a < id_b), via interval-width time cells and a
     * {-1, 0, +1} cell probe. Input: (key, us, id).

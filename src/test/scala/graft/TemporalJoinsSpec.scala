@@ -48,6 +48,25 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == brute, s"got=${got.size} brute=${brute.size}")
   }
 
+  test("asofNext: earliest following match, tolerance nulls, id tie-break") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 500L, 11L), (2L, 100L, 12L))
+      .toDF("key", "us", "id")
+    val right = Seq(
+      (1L, 100L, 20L), (1L, 100L, 21L), // equal-ts: inclusive, min id wins
+      (1L, 900L, 22L),                  // within tol of left 500 (gap 400)
+      (2L, 9999L, 23L))                 // beyond tol of left 100
+      .toDF("key", "us", "id")
+    val got = graft.operators.TemporalJoins.asofNext(left, right, tolUs = 500L)
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    assert(got == Set(
+      (10L, 20L, 0L),   // ts tie -> inclusive match, min id 20
+      (11L, 22L, 400L), // next following within tolerance
+      (12L, -1L, -1L))) // only candidate beyond tolerance -> null
+  }
+
   test("relational: full outer keeps nations missing on either side; cube counts") {
     val cov = graft.operators.Relational.nationCoverage(spark, sf0001).cache()
     // suppliers exist in <= 10 nations, customers in more; all kept
