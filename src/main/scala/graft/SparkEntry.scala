@@ -51,6 +51,12 @@ object SparkEntry {
     "eval_recall_ivf" -> ((s, d) => Evaluation.recall(
       IvfKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    "eval_mrr_hnsw" -> ((s, d) => Evaluation.meanReciprocalRank(
+      HnswKnn.topKBatch(s, d),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    "eval_ndcg_hnsw" -> ((s, d) => Evaluation.ndcgAtK(
+      HnswKnn.topKBatch(s, d),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"), 10)),
     "knn_rp_batch" -> ((s, d) => RandomProjection.topKBatch(s, d)),
     "eval_recall_rp" -> ((s, d) => Evaluation.recall(
       RandomProjection.topKBatch(s, d).select("qid", "vec_id"),

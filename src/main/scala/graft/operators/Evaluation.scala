@@ -55,4 +55,34 @@ object Evaluation {
       .select(col("qid"),
         round(coalesce(col("hits"), lit(0)) / col("n_rel"), 6).as("recall"))
   }
+
+  /** Mean reciprocal rank: `retrieved` carries a 1-based rank column
+    * `rk`; MRR = mean over queries of 1/rank-of-first-relevant hit
+    * (0 for queries with none). 1-row output (column mrr, rounded 6).
+    */
+  def meanReciprocalRank(retrieved: DataFrame, relevant: DataFrame): DataFrame = {
+    val firstHit = retrieved.join(relevant, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(min(col("rk")).as("first_rk"))
+    retrieved.select("qid").distinct()
+      .join(firstHit, Seq("qid"), "left")
+      .agg(round(avg(coalesce(lit(1.0) / col("first_rk"), lit(0.0))), 6)
+        .as("mrr"))
+  }
+
+  /** Binary-gain nDCG@k, macro-averaged: DCG = Σ 1/log2(rk+1) over
+    * relevant hits at rk <= k; ideal DCG places the query's relevant
+    * docs at ranks 1..min(|rel|, k). 1-row output (column ndcg).
+    */
+  def ndcgAtK(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val dcg = retrieved.filter(col("rk") <= k)
+      .join(relevant, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(sum(lit(1.0) / log2(col("rk") + 1)).as("dcg"))
+    val idcg = relevant.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+      .select(col("qid"), expr(
+        s"aggregate(sequence(1, int(least(n_rel, $k))), 0.0D," +
+          " (acc, i) -> acc + 1.0 / log2(double(i) + 1.0))").as("idcg"))
+    idcg.join(dcg, Seq("qid"), "left")
+      .agg(round(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")), 6)
+        .as("ndcg"))
+  }
 }

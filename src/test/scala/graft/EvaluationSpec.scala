@@ -1,0 +1,54 @@
+package graft
+
+import graft.knn.{ExactKnn, HnswKnn}
+import graft.operators.Evaluation
+
+/** Ranking metrics on synthetic rankings with hand-computed values,
+  * plus quality gates for the approximate indexes.
+  */
+class EvaluationSpec extends SparkSpec {
+
+  test("MRR on a known ranking") {
+    import spark.implicits._
+    // q1: first relevant at rank 2 -> 1/2; q2: at rank 1 -> 1;
+    // q3: no relevant hit -> 0. MRR = (0.5 + 1 + 0) / 3 = 0.5
+    val retrieved = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (3L, 30L, 1)).toDF("qid", "vec_id", "rk")
+    val relevant = Seq((1L, 11L), (1L, 12L), (2L, 20L), (3L, 99L))
+      .toDF("qid", "vec_id")
+    val mrr = Evaluation.meanReciprocalRank(retrieved, relevant)
+      .head.getDouble(0)
+    assert(mrr == 0.5)
+  }
+
+  test("nDCG@k on a known ranking") {
+    import spark.implicits._
+    // q1: relevant at ranks 1 and 3 of k=3, |rel|=2
+    //   dcg = 1/log2(2) + 1/log2(4) = 1 + 0.5 = 1.5
+    //   idcg = 1/log2(2) + 1/log2(3)
+    val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "vec_id", "rk")
+    val relevant = Seq((1L, 10L), (1L, 12L)).toDF("qid", "vec_id")
+    val ndcg = Evaluation.ndcgAtK(retrieved, relevant, 3).head.getDouble(0)
+    val expected = 1.5 / (1.0 + 1.0 / (math.log(3) / math.log(2)))
+    assert(math.abs(ndcg - BigDecimal(expected)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("identities: MRR and nDCG of a ranking against itself are 1.0") {
+    val ex = ExactKnn.topKBatch(spark, sf0001)
+    val rel = ex.select("qid", "vec_id")
+    assert(Evaluation.meanReciprocalRank(ex, rel).head.getDouble(0) == 1.0)
+    assert(Evaluation.ndcgAtK(ex, rel, 10).head.getDouble(0) == 1.0)
+  }
+
+  test("hnsw quality gates: MRR and nDCG vs the exact oracle") {
+    val hnsw = HnswKnn.topKBatch(spark, sf0001)
+    val rel = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
+    val mrr = Evaluation.meanReciprocalRank(hnsw, rel).head.getDouble(0)
+    val ndcg = Evaluation.ndcgAtK(hnsw, rel, 10).head.getDouble(0)
+    assert(mrr >= 0.85, s"hnsw MRR $mrr below 0.85")
+    assert(ndcg >= 0.85, s"hnsw nDCG $ndcg below 0.85")
+  }
+}
