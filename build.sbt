@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // heap headroom on the 128 GiB box; 8g GC-thrashes once several
   // datasets are cached (observed: uniform ~3x slowdown across queries)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // throughput collector: steadier for this batch workload than G1
+  // (observed run-to-run bench variance 48s..67s under G1)
+  "-XX:+UseParallelGC",
 )
