@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityFunction)
+    ext.injectFunction(GraftExtensions.cosineDistanceFunction)
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
     ext.injectPlannerStrategy(_ => GraftStrategies)
   }
@@ -37,10 +38,28 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_similarity"),
       builder _)
 
+  /** distance = 1 - similarity, as the same fused expression under a
+    * Subtract (identical values to the Column-API cosineDistance).
+    */
+  private def distBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"graft_cosine_distance expects 2 arguments, got ${args.length}")
+    org.apache.spark.sql.catalyst.expressions.Subtract(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      CosineSimilarity(args.head, args(1)))
+  }
+
+  val cosineDistanceFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_cosine_distance"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_distance"),
+      distBuilder _)
+
   /** Install all pieces on an already-running session (tests, shells). */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_similarity", builder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_distance", distBuilder, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(FuseCosineSimilarity)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseCosineSimilarity

@@ -58,6 +58,27 @@ object Ingest {
   def insertMany(base: DataFrame, rows: DataFrame): DataFrame =
     base.unionByName(rows)
 
+  /** Keyed upsert — MERGE INTO semantics over plain tables: an update
+    * row replaces the whole same-key target row; new keys append. One
+    * shuffle (full outer join on the key); at 100 TB with partitioned
+    * tables the write side becomes dynamic partition overwrite of only
+    * the touched partitions.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cols = target.columns
+    target.alias("t")
+      .join(updates.alias("u"), col(s"t.$key") === col(s"u.$key"), "full_outer")
+      .select(cols.map(c =>
+        when(col(s"u.$key").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+  }
+
+  /** Keyed delete — the MERGE DELETE half: drop target rows whose key
+    * appears in `deletes` (left-anti join, shuffle-on-key only).
+    */
+  def deleteByKey(target: DataFrame, deletes: DataFrame, key: String): DataFrame =
+    target.join(deletes.select(col(key)), Seq(key), "left_anti")
+
   /** CSV scan under the same lenient-ingest contract as [[readNdjson]]:
     * supplied schema (no inference double-scan), malformed rows dropped
     * at parse time. Column pruning and (for non-string types) filter

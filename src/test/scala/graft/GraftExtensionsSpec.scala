@@ -26,6 +26,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows.sameElements(Array(0.0, 0.0, 0.0, 1.0)))
   }
 
+  test("SQL function graft_cosine_distance is 1 - similarity") {
+    GraftExtensions.install(spark)
+    hofSimDf.createOrReplaceTempView("vecs")
+    val rows = spark.sql(
+      """SELECT round(graft_cosine_distance(a, b)
+               + graft_cosine_similarity(a, b), 6) AS s FROM vecs""")
+      .collect().map(_.getDouble(0))
+    assert(rows.forall(_ == 1.0))
+  }
+
   test("optimizer rule fuses the HOF cosine pattern into CosineSimilarity") {
     GraftExtensions.install(spark)
     // parquet-backed input so the projection survives to the optimized

@@ -42,6 +42,37 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(emb).count() == 0)
   }
 
+  test("orc round-trip preserves the customer table") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val cust = Tables.customer(spark, sf0001)
+    cust.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == cust.count())
+    assert(back.exceptAll(cust).count() == 0)
+  }
+
+  test("upsert replaces matched rows wholesale and appends new keys") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val merged = graft.sources.Ingest.upsert(target, updates, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(merged == Set((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (4L, "d", 40.0)))
+    val deleted = graft.sources.Ingest
+      .deleteByKey(target, Seq(Tuple1(2L)).toDF("k"), "k")
+      .collect().map(_.getLong(0)).toSet
+    assert(deleted == Set(1L, 3L))
+  }
+
+  test("global sort plans as a range-partitioned exchange") {
+    val sorted = Tables.orders(spark, sf0001).orderBy(col("o_totalprice"))
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"global sort must range-partition, got:\n$plan")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf0001)
