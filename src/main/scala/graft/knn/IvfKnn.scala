@@ -40,7 +40,7 @@ object IvfKnn {
     * shorter zip, magnitudes over full arrays, zero denominator -> 0,
     * clamp at 0, distance = 1 - sim).
     */
-  private[knn] def cosDist(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def cosDist(a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var sa = 0.0; var sb = 0.0
     var i = 0
@@ -56,7 +56,7 @@ object IvfKnn {
   /** First index of the minimum centroid distance (the tie-break
     * `array_position(dists, array_min(dists))` would give).
     */
-  private[knn] def nearestCid(cs: Array[Array[Double]], v: Array[Double]): Int = {
+  private[graft] def nearestCid(cs: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -71,7 +71,7 @@ object IvfKnn {
     * (distance, cid) ascending — the JVM mirror of sorting
     * struct(dist, cid) and slicing.
     */
-  private[knn] def probeCids(cs: Array[Array[Double]], v: Array[Double],
+  private[graft] def probeCids(cs: Array[Array[Double]], v: Array[Double],
       nprobe: Int): Array[Int] = {
     val scored = Array.tabulate(cs.length)(c => (cosDist(cs(c), v), c))
     scored.sortBy(identity).take(nprobe).map(_._2)

@@ -68,4 +68,48 @@ class PropertySpec extends SparkSpec {
       Dedup.simhash64(ts) == Dedup.simhash64(ts.map(identity))
     })
   }
+
+  test("IVF kernels: distance range, argmin-first-tie, sorted probes") {
+    import graft.knn.IvfKnn
+    val vec = Gen.nonEmptyListOf(Gen.chooseNum(-5.0, 5.0)).map(_.toArray)
+    val vecs = for {
+      n <- Gen.chooseNum(1, 6)
+      d <- Gen.chooseNum(1, 8)
+      cs <- Gen.listOfN(n, Gen.listOfN(d, Gen.chooseNum(-5.0, 5.0)).map(_.toArray))
+    } yield cs.toArray
+    // range is [-eps, 1]: sim can exceed 1 by an ulp (dot==sa==sb but
+    // sqrt(sa)*sqrt(sa) != sa exactly); the reference clamps only at 0
+    // (vector.rs:14-21) and the DuckDB oracle computes the identical
+    // double, so the ulp never diverges between engines
+    check("cosDist range + self-distance", Prop.forAll(vec) { v =>
+      val d = IvfKnn.cosDist(v, v)
+      d >= -1e-12 && d <= 1.0 + 1e-12 && (v.forall(_ == 0.0) || math.abs(d) < 1e-9)
+    })
+    check("nearestCid is the scan argmin with first-index ties",
+      Prop.forAll(vecs, vec) { (cs, v) =>
+        val dists = cs.map(c => IvfKnn.cosDist(c, v))
+        IvfKnn.nearestCid(cs, v) == dists.indexOf(dists.min)
+      })
+    check("probeCids: sorted by (dist, cid), bounded, distinct",
+      Prop.forAll(vecs, vec, Gen.chooseNum(1, 8)) { (cs, v, np) =>
+        val ps = IvfKnn.probeCids(cs, v, np)
+        val scored = ps.map(c => (IvfKnn.cosDist(cs(c), v), c))
+        ps.length == math.min(np, cs.length) &&
+          ps.distinct.length == ps.length &&
+          scored.sliding(2).forall(w =>
+            w.length < 2 || Ordering[(Double, Int)].lteq(w(0), w(1)))
+      })
+  }
+
+  test("projection matrix: seed-deterministic, correctly shaped") {
+    import graft.knn.RandomProjection
+    check("matrix determinism",
+      Prop.forAll(Gen.chooseNum(1, 64), Gen.chooseNum(1, 32), Gen.long) {
+        (dim, out, seed) =>
+          val a = RandomProjection.projectionMatrix(dim, out, seed)
+          val b = RandomProjection.projectionMatrix(dim, out, seed)
+          a.length == out && a.forall(_.length == dim) &&
+            a.zip(b).forall { case (x, y) => x.sameElements(y) }
+      }, n = 25)
+  }
 }
