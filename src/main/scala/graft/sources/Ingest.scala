@@ -79,6 +79,28 @@ object Ingest {
   def deleteByKey(target: DataFrame, deletes: DataFrame, key: String): DataFrame =
     target.join(deletes.select(col(key)), Seq(key), "left_anti")
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. The streaming file sink and
+    * per-batch ingests leave many small files; compaction restores scan
+    * efficiency (fewer tasks, bigger row groups). Returns the file count
+    * written.
+    */
+  def compactParquet(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    df.repartition(files).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (a real lakehouse would commit via table metadata)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    files
+  }
+
   /** CSV scan under the same lenient-ingest contract as [[readNdjson]]:
     * supplied schema (no inference double-scan), malformed rows dropped
     * at parse time. Column pruning and (for non-string types) filter

@@ -71,6 +71,35 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("file sink resumes from checkpoint without reprocessing old files") {
+    val src = Files.createTempDirectory("graft-ss-src").toString
+    val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toString
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "value")
+    val n = ev.count()
+    ev.write.parquet(s"$src/batch1")
+
+    def start() = spark.readStream
+      .schema(ev.schema).option("recursiveFileLookup", "true").parquet(src)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(sink).count() == n)
+
+    // second batch lands while the query is DOWN; restart from checkpoint
+    ev.withColumn("event_id", col("event_id") + 1000000L)
+      .write.parquet(s"$src/batch2")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(sink)
+    assert(out.count() == 2 * n, "restart must process exactly the new files")
+    assert(out.select("event_id").distinct().count() == 2 * n,
+      "no row may be duplicated across the restart")
+  }
+
   test("stream-stream interval join equals the batch error-click pairing") {
     import spark.implicits._
     val evs = Tables.events(spark, sf0001)

@@ -73,6 +73,33 @@ class SourcesSpec extends SparkSpec {
       s"global sort must range-partition, got:\n$plan")
   }
 
+  test("compaction rewrites many small files into few, same rows") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val ev = Tables.events(spark, sf0001).select("event_id", "user_id", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles == 64)
+    graft.sources.Ingest.compactParquet(spark, dir)
+    assert(dataFiles < 8, s"still $dataFiles files after compaction")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(ev).count() == 0)
+  }
+
+  test("schema evolution: mergeSchema unions parquet schema versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/v1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$dir/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.sorted.sameElements(Array("id", "name", "score")))
+    val r1 = merged.filter(col("id") === 1).head
+    assert(r1.isNullAt(r1.fieldIndex("score")), "old rows null-fill new cols")
+    assert(merged.filter(col("id") === 2).head.getDouble(2) == 9.5)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables.events(spark, sf0001)
