@@ -78,6 +78,10 @@ object SparkEntry {
     "window_customer_orders" -> Relational.customerOrderWindows _,
     "scalar_part_showcase" -> Relational.partScalarShowcase _,
     "pivot_priority_segment" -> Relational.pivotPrioritySegment _,
+    "setop_all_priorities" -> Relational.setOpAllVariants _,
+    "grouping_sets_lineitem" -> Relational.groupingSetsLineitem _,
+    "posexplode_tokens" -> Relational.posexplodeTokens _,
+    "argmax_events" -> Relational.argmaxEvents _,
     "scalar_order_dates" -> Relational.orderDateParts _,
     // — temporal joins (as-of / range — custom operators) —
     "asof_error_click"  -> TemporalJoins.asofErrorClick _,
@@ -653,6 +657,38 @@ object SparkEntry {
              count(*) FILTER (o.o_orderpriority = '5-LOW') AS "5-LOW"
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1""",
+
+    "setop_all_priorities" -> """
+      WITH b AS (SELECT o_orderpriority FROM orders o
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_mktsegment = 'BUILDING'),
+           m AS (SELECT o_orderpriority FROM orders o
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_mktsegment = 'MACHINERY'),
+           i AS (SELECT * FROM b INTERSECT ALL SELECT * FROM m)
+      SELECT o_orderpriority, count(*) AS n_common FROM i GROUP BY 1""",
+
+    "grouping_sets_lineitem" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             sum(${c100("l_quantity")}) / 100.0 AS sum_qty,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+
+    "posexplode_tokens" -> """
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS token
+      FROM (SELECT doc_id, string_split(text, ' ')[1:5] AS w FROM documents),
+           range(1, 6) t(i)
+      WHERE i <= len(w)""",
+
+    "argmax_events" -> s"""
+      WITH e AS (SELECT event_type, event_id,
+                        ${c100("value")} AS v100 FROM events)
+      SELECT event_type, event_id AS top_event_id,
+             max(v100) OVER (PARTITION BY event_type) / 100.0 AS max_value
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY event_type
+        ORDER BY v100 DESC, event_id DESC) = 1""",
 
     "scalar_order_dates" -> """
       SELECT o_orderkey,

@@ -266,6 +266,55 @@ object Relational {
         col("order_seq"), col("run_spend"), col("gap_days"))
   }
 
+  /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities): order-priority multisets of two customer
+    * segments compared both ways.
+    */
+  def setOpAllVariants(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    def prios(seg: String) =
+      ord.join(broadcast(cust.filter(col("c_mktsegment") === seg)),
+          ord("o_custkey") === cust("c_custkey"))
+        .select(col("o_orderpriority"))
+    prios("BUILDING").intersectAll(prios("MACHINERY"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_common"))
+  }
+
+  /** GROUPING SETS: independent subtotals by returnflag and by
+    * linestatus in one aggregation pass (neither rollup nor cube).
+    */
+  def groupingSetsLineitem(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql("""
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(round(l_quantity * 100) AS BIGINT))
+               / CAST(100 AS DOUBLE) AS sum_qty,
+             count(*) AS n
+      FROM lineitem_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+  }
+
+  /** Generator/UDTF shape: positional token fan-out of the first 5
+    * whitespace tokens per document (posexplode).
+    */
+  def posexplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 5)).as(Seq("pos", "token")))
+
+  /** arg-max aggregation: per event type, the event carrying the
+    * maximum value (ties: max event_id) via max_by over a struct —
+    * one partial-aggregating pass, no window sort.
+    */
+  def argmaxEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("v100"))
+      .groupBy(col("event_type"))
+      .agg(max_by(col("event_id"), struct(col("v100"), col("event_id")))
+          .as("top_event_id"),
+        (max(col("v100")) / 100.0).as("max_value"))
+
   /** Pivoted aggregation: order counts per market segment x order
     * priority, priorities as columns (Spark's `pivot` — planned as one
     * hash aggregate over (segment) with a conditional count per pivot
