@@ -76,6 +76,7 @@ object SparkEntry {
     "q4_exists_late_discount" -> Relational.ordersWithLateDiscountedLines _,
     "q18_large_orders" -> Relational.largeVolumeOrders _,
     "window_customer_orders" -> Relational.customerOrderWindows _,
+    "window_analytics_extras" -> Relational.windowAnalyticsExtras _,
     "scalar_part_showcase" -> Relational.partScalarShowcase _,
     "pivot_priority_segment" -> Relational.pivotPrioritySegment _,
     "setop_all_priorities" -> Relational.setOpAllVariants _,
@@ -100,6 +101,9 @@ object SparkEntry {
     "text_tokens"      -> TextOps.tokenCounts _,
     "text_quality"     -> TextOps.qualityScores _,
     "text_langid"      -> TextOps.languageId _,
+    // n-gram langid trains profiles on the corpus: rows-only; accuracy
+    // vs the ground-truth lang column is gated in TextOpsSpec
+    "text_langid_ngram" -> ((s, d) => TextOps.languageIdNgram(s, d)),
     "text_fingerprint" -> TextOps.fingerprints _,
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
@@ -632,6 +636,16 @@ object SparkEntry {
                AS BIGINT) AS gap_days
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "window_analytics_extras" -> """
+      SELECT c.c_mktsegment, o.o_orderkey,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             first_value(o.o_orderkey) OVER w AS first_okey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WINDOW w AS (PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice ASC, o.o_orderkey ASC)""",
 
     "scalar_part_showcase" -> """
       SELECT p_partkey,

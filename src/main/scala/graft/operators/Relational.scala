@@ -348,6 +348,23 @@ object Relational {
       greatest(col("p_size"), lit(25)).as("size_hi"),
       round(col("p_retailprice") * 7, 2).as("price_x7"))
 
+  /** Extended analytic windows over orders: quartile bucket, percent
+    * rank, cumulative distribution, and the segment's first order key —
+    * one shuffle on the partition key, deterministic total order.
+    */
+  def windowAnalyticsExtras(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        first(col("o_orderkey")).over(w).as("first_okey"))
+  }
+
   /** Date-part extraction over orders (year/month/day/quarter +
     * month-truncation, emitted as engine-portable integers/epochs).
     */

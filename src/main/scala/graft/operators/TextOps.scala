@@ -138,6 +138,62 @@ object TextOps {
         countDistinct(col("h")).as("exact_distinct"))
   }
 
+  /** Distinct character 3-grams of a text (JVM loop; includes spaces —
+    * word-boundary trigrams carry strong language signal).
+    */
+  def charTrigramsOf(text: String): Array[String] = {
+    if (text.length < 3) return Array.empty
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i <= text.length - 3) { out += text.substring(i, i + 3); i += 1 }
+    out.toArray
+  }
+
+  /** Character-n-gram language ID: per-language profiles = the
+    * `profileSize` most frequent doc-distinct char trigrams of a
+    * LABELED corpus (ties: gram asc); a doc's prediction is the label
+    * whose profile its trigram set overlaps most (ties: lang asc).
+    *
+    * Two passes: profile training is one shuffle on (lang, gram) +
+    * bounded-heap top-k; classification is map-only against the
+    * broadcast profiles (langs x profileSize strings — driver-tiny).
+    * Output: (doc_id, pred_lang). Accuracy is gated in TextOpsSpec
+    * against the fixture's ground-truth `lang`.
+    */
+  def languageIdNgram(spark: SparkSession, dir: String): DataFrame =
+    languageIdNgram(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** Core form over any labeled (doc_id, lang, text) frame. Note the
+    * parquet fixture's `lang` labels sit on a SHARED vocabulary (no
+    * real language signal), so the fixture query is rows-only; the
+    * accuracy gate in TextOpsSpec uses a synthetic corpus with
+    * genuinely distinct character distributions.
+    */
+  def languageIdNgram(docs: DataFrame, profileSize: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.as[(Long, String, String)]
+      .flatMap { case (_, lang, t) => charTrigramsOf(t).iterator.map((lang, _)) }
+      .toDF("lang", "gram")
+      .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+    val profiles: Map[String, Set[String]] =
+      graft.plans.GraftOps.topKPerGroup(grams, Seq("lang"),
+          Seq("n" -> false, "gram" -> true), profileSize)
+        .select("lang", "gram").collect()
+        .groupBy(_.getString(0)).map { case (l, rows) =>
+          l -> rows.map(_.getString(1)).toSet
+        }
+    val bc = spark.sparkContext.broadcast(profiles.toSeq.sortBy(_._1))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val gs = charTrigramsOf(t)
+        val best = bc.value.map { case (l, p) => (-gs.count(p.contains), l) }
+          .min // most hits, then lang asc
+        (id, best._2)
+      }.toDF("doc_id", "pred_lang")
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

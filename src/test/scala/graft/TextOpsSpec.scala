@@ -51,4 +51,31 @@ class TextOpsSpec extends SparkSpec {
       rows.toDF("doc_id", "text")
     }
   }
+
+  test("char-ngram langid separates languages with distinct char stats") {
+    import spark.implicits._
+    // three synthetic "languages" with disjoint character inventories
+    // (the parquet fixture's lang labels share one vocabulary, so they
+    // carry no recoverable signal — see languageIdNgram scaladoc)
+    val rng = new scala.util.Random(7)
+    val alphabets = Map(
+      "aa" -> "abcde", "oo" -> "opqrs", "zz" -> "vwxyz")
+    val docs = (0 until 300).map { i =>
+      val lang = Seq("aa", "oo", "zz")(i % 3)
+      val ab = alphabets(lang)
+      val words = Seq.fill(30)(
+        (0 until 4).map(_ => ab(rng.nextInt(ab.length))).mkString)
+      (i.toLong, lang, words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val pred = TextOps.languageIdNgram(docs)
+    val hits = pred.join(docs.select("doc_id", "lang"), "doc_id")
+      .filter(col("pred_lang") === col("lang")).count()
+    assert(hits >= 295, s"only $hits/300 correct")
+  }
+
+  test("char-ngram langid on the fixture is deterministic across runs") {
+    val a = TextOps.languageIdNgram(spark, sf0001).collect()
+    val b = TextOps.languageIdNgram(spark, sf0001).collect()
+    assert(a.sortBy(_.getLong(0)).sameElements(b.sortBy(_.getLong(0))))
+  }
 }
