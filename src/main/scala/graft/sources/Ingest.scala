@@ -66,8 +66,11 @@ object Ingest {
     */
   def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = target.columns
+    // a NULL merge key can never match (and would otherwise surface as an
+    // all-null row from the outer join) — drop such update rows up front
+    val u = updates.filter(col(key).isNotNull).alias("u")
     target.alias("t")
-      .join(updates.alias("u"), col(s"t.$key") === col(s"u.$key"), "full_outer")
+      .join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
       .select(cols.map(c =>
         when(col(s"u.$key").isNotNull, col(s"u.$c"))
           .otherwise(col(s"t.$c")).as(c)): _*)
