@@ -21,7 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    warmup(spark, sfDir)
+    // warmup is best-effort: a fixture without lineitem must not stop
+    // the per-query timing loop (each query guards itself)
+    try warmup(spark, sfDir) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

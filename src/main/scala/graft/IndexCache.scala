@@ -27,19 +27,36 @@ import org.apache.spark.sql.SparkSession
 object IndexCache {
 
   private val cache = new ConcurrentHashMap[String, AnyRef]()
+  private val locks = new ConcurrentHashMap[String, Object]()
 
   /** Memoize `build` under (session, key). The build runs at most once
-    * per key; concurrent callers block until it completes.
+    * per key; concurrent callers of the same key block until it
+    * completes. Builds run OUTSIDE the map's compute function (under a
+    * per-key lock) because builds re-enter the cache for other keys
+    * (the jaccard-pairs build calls gramHashSets) — nesting inside
+    * computeIfAbsent violates the CHM contract and throws "Recursive
+    * update" whenever the two keys share a bin.
     */
   def getOrBuild[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val full = spark.sparkContext.applicationId + "|" + key
-    cache.computeIfAbsent(full, new JFunction[String, AnyRef] {
-      override def apply(k: String): AnyRef = build
-    }).asInstanceOf[T]
+    val hit = cache.get(full)
+    if (hit != null) return hit.asInstanceOf[T]
+    val lock = locks.computeIfAbsent(full, new JFunction[String, Object] {
+      override def apply(k: String): Object = new Object
+    })
+    lock.synchronized {
+      val again = cache.get(full)
+      if (again != null) again.asInstanceOf[T]
+      else {
+        val built = build
+        cache.put(full, built)
+        built
+      }
+    }
   }
 
   /** Drop all entries (tests). Persisted datasets are left to Spark's
     * ContextCleaner / session stop.
     */
-  def clear(): Unit = cache.clear()
+  def clear(): Unit = { cache.clear(); locks.clear() }
 }

@@ -679,8 +679,16 @@ object SparkEntry {
            m AS (SELECT o_orderpriority FROM orders o
                  JOIN customer c ON o.o_custkey = c.c_custkey
                  WHERE c.c_mktsegment = 'MACHINERY'),
-           i AS (SELECT * FROM b INTERSECT ALL SELECT * FROM m)
-      SELECT o_orderpriority, count(*) AS n_common FROM i GROUP BY 1""",
+           i AS (SELECT o_orderpriority, count(*) AS n_common
+                 FROM (SELECT * FROM b INTERSECT ALL SELECT * FROM m)
+                 GROUP BY 1),
+           x AS (SELECT o_orderpriority, count(*) AS n_only_building
+                 FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM m)
+                 GROUP BY 1)
+      SELECT coalesce(i.o_orderpriority, x.o_orderpriority) AS o_orderpriority,
+             coalesce(i.n_common, 0) AS n_common,
+             coalesce(x.n_only_building, 0) AS n_only_building
+      FROM i FULL OUTER JOIN x ON i.o_orderpriority = x.o_orderpriority""",
 
     "grouping_sets_lineitem" -> s"""
       SELECT l_returnflag, l_linestatus,

@@ -15,7 +15,7 @@ import graft.IndexCache
   * Scale notes (100 TB thinking):
   *   - The projected table is dim/outDim smaller than the base — at
   *     scale it is the thing you persist and scan, cutting candidate
-  *     mining IO and FLOPs by that factor (here 64 -> 16 = 4x).
+  *     mining IO and FLOPs by that factor (default 64 -> 32 = 2x).
   *   - The projection matrix is driver-tiny and broadcast; projection
   *     is map-only (one tight JVM loop per row, no shuffle).
   *   - Re-ranking touches only (queries x k*overfetch) full vectors —

@@ -69,9 +69,12 @@ object Evaluation {
         .as("mrr"))
   }
 
-  /** Binary-gain nDCG@k, macro-averaged: DCG = Σ 1/log2(rk+1) over
-    * relevant hits at rk <= k; ideal DCG places the query's relevant
-    * docs at ranks 1..min(|rel|, k). 1-row output (column ndcg).
+  /** Binary-gain nDCG@k, macro-averaged over every RETRIEVED query
+    * (same population as [[meanReciprocalRank]] — queries with no
+    * relevant rows score 0 instead of being dropped): DCG =
+    * Σ 1/log2(rk+1) over relevant hits at rk <= k; ideal DCG places
+    * the query's relevant docs at ranks 1..min(|rel|, k). 1-row
+    * output (column ndcg).
     */
   def ndcgAtK(retrieved: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     val dcg = retrieved.filter(col("rk") <= k)
@@ -81,8 +84,12 @@ object Evaluation {
       .select(col("qid"), expr(
         s"aggregate(sequence(1, int(least(n_rel, $k))), 0.0D," +
           " (acc, i) -> acc + 1.0 / log2(double(i) + 1.0))").as("idcg"))
-    idcg.join(dcg, Seq("qid"), "left")
-      .agg(round(avg(coalesce(col("dcg"), lit(0.0)) / col("idcg")), 6)
+    retrieved.select("qid").distinct()
+      .join(idcg, Seq("qid"), "left")
+      .join(dcg, Seq("qid"), "left")
+      .agg(round(avg(
+        when(col("idcg").isNull || col("idcg") === 0.0, 0.0)
+          .otherwise(coalesce(col("dcg"), lit(0.0)) / col("idcg"))), 6)
         .as("ndcg"))
   }
 }

@@ -33,7 +33,7 @@ object Pipeline {
   def trainingCorpus(spark: SparkSession, dir: String,
       minQuality: Double = 0.5): DataFrame = {
     val w = split(col("text"), " ")
-    val scores = TextOps.langScoresOf(w).map { case (l, c) => l -> c }.toMap
+    val scores = TextOps.langScoresOf(w).toMap
     Tables.documents(spark, dir)
       .withColumn("keeper",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text").cast("binary")))))

@@ -267,8 +267,9 @@ object Relational {
   }
 
   /** Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep
-    * multiplicities): order-priority multisets of two customer
-    * segments compared both ways.
+    * multiplicities): per priority, how many order-priority occurrences
+    * the two segments share, and how many BUILDING keeps after removing
+    * MACHINERY's multiset.
     */
   def setOpAllVariants(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
@@ -277,8 +278,14 @@ object Relational {
       ord.join(broadcast(cust.filter(col("c_mktsegment") === seg)),
           ord("o_custkey") === cust("c_custkey"))
         .select(col("o_orderpriority"))
-    prios("BUILDING").intersectAll(prios("MACHINERY"))
+    val common = prios("BUILDING").intersectAll(prios("MACHINERY"))
       .groupBy("o_orderpriority").agg(count(lit(1)).as("n_common"))
+    val only = prios("BUILDING").exceptAll(prios("MACHINERY"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_only_building"))
+    common.join(only, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_only_building"), lit(0L)).as("n_only_building"))
   }
 
   /** GROUPING SETS: independent subtotals by returnflag and by

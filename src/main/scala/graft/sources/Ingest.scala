@@ -63,6 +63,10 @@ object Ingest {
     * shuffle (full outer join on the key); at 100 TB with partitioned
     * tables the write side becomes dynamic partition overwrite of only
     * the touched partitions.
+    *
+    * Precondition: `updates` has at most one row per key (as SQL MERGE
+    * requires — it errors on multiple matches; here duplicate update
+    * keys would fan the target row out).
     */
   def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
     val cols = target.columns
@@ -95,12 +99,18 @@ object Ingest {
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = path.stripSuffix("/") + ".compact.tmp"
     df.repartition(files).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (a real lakehouse would commit via table metadata)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sessionState.newHadoopConf())
+    // atomic-ish swap (a real lakehouse would commit via table metadata).
+    // Resolve the fs from the PATH (not the default scheme) and fail
+    // loudly if either step reports failure — the data survives in tmp.
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.delete(dst, true))
+      throw new java.io.IOException(
+        s"compaction: could not delete $path (compacted data is at $tmp)")
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"compaction: rename $tmp -> $path failed (compacted data is at $tmp)")
     files
   }
 
