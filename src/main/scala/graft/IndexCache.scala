@@ -28,6 +28,19 @@ object IndexCache {
 
   private val cache = new ConcurrentHashMap[String, AnyRef]()
   private val locks = new ConcurrentHashMap[String, Object]()
+  /** appIds that already carry an eviction listener. */
+  private val watched = ConcurrentHashMap.newKeySet[String]()
+
+  /** Drop every entry belonging to `appId` — called when its context
+    * ends, so a long-lived JVM running many sessions never accumulates
+    * dangling handles that pin dead sessions' plans in driver memory.
+    */
+  private def evict(appId: String): Unit = {
+    val prefix = appId + "|"
+    cache.keySet.removeIf(_.startsWith(prefix))
+    locks.keySet.removeIf(_.startsWith(prefix))
+    watched.remove(appId)
+  }
 
   /** Memoize `build` under (session, key). The build runs at most once
     * per key; concurrent callers of the same key block until it
@@ -38,7 +51,13 @@ object IndexCache {
     * update" whenever the two keys share a bin.
     */
   def getOrBuild[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
-    val full = spark.sparkContext.applicationId + "|" + key
+    val appId = spark.sparkContext.applicationId
+    if (watched.add(appId)) // evict this app's entries when its context ends
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = evict(appId)
+      })
+    val full = appId + "|" + key
     val hit = cache.get(full)
     if (hit != null) return hit.asInstanceOf[T]
     val lock = locks.computeIfAbsent(full, new JFunction[String, Object] {

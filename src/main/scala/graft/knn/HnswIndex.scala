@@ -29,6 +29,7 @@ import scala.collection.mutable.{ArrayBuffer, PriorityQueue}
   * closures may capture a config-bearing empty instance — graphs are
   * always built executor-side.
   */
+@SerialVersionUID(1L) // pinned: saveIndex checkpoints java-serialized graphs
 final class HnswIndex(
     val m: Int = 16,
     val mMax: Int = 32,

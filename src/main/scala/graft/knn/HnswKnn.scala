@@ -32,9 +32,24 @@ object HnswKnn {
   /** One shard's built graph. Kryo-encoded (the graph is an opaque
     * serializable object, not a row).
     */
+  @SerialVersionUID(1L)
   case class HnswShard(shard: Int, graph: HnswIndex)
   private implicit val shardEncoder: org.apache.spark.sql.Encoder[HnswShard] =
     org.apache.spark.sql.Encoders.kryo[HnswShard]
+
+  /** A built distributed index: the shard graphs PLUS the fixed routing
+    * modulus they were built with — carried together so incremental
+    * inserts can never route new vectors to a different shard than their
+    * neighbors went to (the co-sharding invariant is structural, not a
+    * caller-supplied parameter).
+    */
+  final case class HnswDistIndex(shards: Int, graphs: Dataset[HnswShard]) {
+    def persist(level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): HnswDistIndex = {
+      graphs.persist(level); this
+    }
+    def unpersist(): HnswDistIndex = { graphs.unpersist(); this }
+  }
 
   /** Explicit, reproducible shard assignment: `vec_id mod shards`.
     * A FIXED rule (not the engine's internal repartition hash) so later
@@ -52,16 +67,16 @@ object HnswKnn {
     * Inserts are ordered by vec_id within each shard, so the graphs are
     * bit-reproducible run to run.
     */
-  def buildIndex(base: DataFrame, shards: Int = 8): Dataset[HnswShard] = {
+  def buildIndex(base: DataFrame, shards: Int = 8): HnswDistIndex = {
     import base.sparkSession.implicits._
-    withShard(base, shards)
+    HnswDistIndex(shards, withShard(base, shards)
       .as[(Long, Array[Double], Int)]
       .groupByKey(_._3)
       .mapGroups { (s, rows) =>
         val sorted = rows.toArray.sortBy(_._1)
         HnswShard(s, new HnswIndex(seed = 42L + s)
           .insertAll(sorted.iterator.map(r => (r._1, r._2))))
-      }
+      })
   }
 
   /** Incremental `insert_many` (`/root/reference/src/index.rs:7-9`):
@@ -70,17 +85,19 @@ object HnswKnn {
     * no new rows pass through; new shard ids (never the case under the
     * mod rule, but harmless) start empty graphs.
     */
-  def insertIntoIndex(index: Dataset[HnswShard], rows: DataFrame,
-      shards: Int = 8): Dataset[HnswShard] = {
-    import index.sparkSession.implicits._
-    val newRows = withShard(rows, shards).as[(Long, Array[Double], Int)]
-    index.groupByKey(_.shard).cogroup(newRows.groupByKey(_._3)) {
-      (s, graphs, added) =>
-        val graph = graphs.toSeq.headOption.map(_.graph)
-          .getOrElse(new HnswIndex(seed = 42L + s))
-        added.toArray.sortBy(_._1).foreach { case (id, v, _) => graph.insert(id, v) }
-        Iterator.single(HnswShard(s, graph))
-    }
+  def insertIntoIndex(index: HnswDistIndex, rows: DataFrame): HnswDistIndex = {
+    import index.graphs.sparkSession.implicits._
+    // routing modulus comes from the index itself (never a parameter —
+    // a mismatched value would silently break co-sharding)
+    val newRows = withShard(rows, index.shards).as[(Long, Array[Double], Int)]
+    HnswDistIndex(index.shards,
+      index.graphs.groupByKey(_.shard).cogroup(newRows.groupByKey(_._3)) {
+        (s, graphs, added) =>
+          val graph = graphs.toSeq.headOption.map(_.graph)
+            .getOrElse(new HnswIndex(seed = 42L + s))
+          added.toArray.sortBy(_._1).foreach { case (id, v, _) => graph.insert(id, v) }
+          Iterator.single(HnswShard(s, graph))
+      })
   }
 
   /** Persist the shard graphs as a parquet table of java-serialized
@@ -88,35 +105,42 @@ object HnswKnn {
     * [[loadIndex]] and search without rebuilding (at 100 TB this is the
     * difference between an index build and a metadata read).
     */
-  def saveIndex(index: Dataset[HnswShard], path: String): Unit = {
-    import index.sparkSession.implicits._
-    index.map { s =>
+  def saveIndex(index: HnswDistIndex, path: String): Unit = {
+    import index.graphs.sparkSession.implicits._
+    val n = index.shards
+    index.graphs.map { s =>
       val bos = new java.io.ByteArrayOutputStream()
       val oos = new java.io.ObjectOutputStream(bos)
       oos.writeObject(s.graph); oos.close()
-      (s.shard, bos.toByteArray)
-    }.toDF("shard", "graph_bytes").write.mode("overwrite").parquet(path)
+      (s.shard, n, bos.toByteArray)
+    }.toDF("shard", "n_shards", "graph_bytes").write.mode("overwrite").parquet(path)
   }
 
-  /** Reload a [[saveIndex]] checkpoint (one task per shard blob). */
-  def loadIndex(spark: SparkSession, path: String): Dataset[HnswShard] = {
+  /** Reload a [[saveIndex]] checkpoint (one task per shard blob). The
+    * routing modulus travels with the checkpoint; reading it prunes to
+    * the tiny `n_shards` column (no blob deserialization).
+    */
+  def loadIndex(spark: SparkSession, path: String): HnswDistIndex = {
     import spark.implicits._
-    spark.read.parquet(path).as[(Int, Array[Byte])].map { case (s, b) =>
-      val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
-      HnswShard(s, ois.readObject().asInstanceOf[HnswIndex])
-    }
+    val stored = spark.read.parquet(path)
+    val n = stored.select("n_shards").head.getInt(0)
+    HnswDistIndex(n, stored.select("shard", "graph_bytes")
+      .as[(Int, Array[Byte])].map { case (s, b) =>
+        val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(b))
+        HnswShard(s, ois.readObject().asInstanceOf[HnswIndex])
+      })
   }
 
   /** Search every broadcast query against every shard graph and merge
     * per-query top-k globally. Output: (qid, vec_id, dist, rk).
     */
-  def searchIndex(index: Dataset[HnswShard],
+  def searchIndex(index: HnswDistIndex,
       queries: Array[(Long, Array[Double])], k: Int = 10,
       ef: Int = 100): DataFrame = {
-    val spark = index.sparkSession
+    val spark = index.graphs.sparkSession
     import spark.implicits._
     val bqs = spark.sparkContext.broadcast(queries)
-    val cand = index.flatMap { s =>
+    val cand = index.graphs.flatMap { s =>
       bqs.value.iterator.flatMap { case (qid, qv) =>
         s.graph.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
       }
@@ -140,10 +164,9 @@ object HnswKnn {
     // build once per dataset, search many (single/batch/recall all reuse
     // the same persisted shard graphs — k and ef are search-time knobs)
     val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
-      val ds = buildIndex(base, shards)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ds.count()
-      ds
+      val ix = buildIndex(base, shards).persist()
+      ix.graphs.count()
+      ix
     }
     searchIndex(index, qs, k, ef)
   }

@@ -72,11 +72,23 @@ object Ingest {
     val cols = target.columns
     // a NULL merge key can never match (and would otherwise surface as an
     // all-null row from the outer join) — drop such update rows up front
-    val u = updates.filter(col(key).isNotNull).alias("u")
+    val u = updates.filter(col(key).isNotNull)
+      // SQL MERGE errors when several update rows match one target row;
+      // enforce the same contract lazily: count per key (same shuffle key
+      // as the join, so AQE reuses the exchange) and raise at execution
+      // time if any key is duplicated
+      .withColumn("__key_count",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(key))))
+      .alias("u")
+    val checkedUpdateKey = when(col("__key_count") > 1,
+        raise_error(concat(lit(s"upsert: multiple update rows for $key="),
+          col(s"u.$key").cast("string"))))
+      .otherwise(col(s"u.$key"))
     target.alias("t")
       .join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
       .select(cols.map(c =>
-        when(col(s"u.$key").isNotNull, col(s"u.$c"))
+        when(col(s"u.$key").isNotNull,
+          if (c == key) checkedUpdateKey else col(s"u.$c"))
           .otherwise(col(s"t.$c")).as(c)): _*)
   }
 
@@ -99,18 +111,25 @@ object Ingest {
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = path.stripSuffix("/") + ".compact.tmp"
     df.repartition(files).write.mode("overwrite").parquet(tmp)
-    // atomic-ish swap (a real lakehouse would commit via table metadata).
-    // Resolve the fs from the PATH (not the default scheme) and fail
-    // loudly if either step reports failure — the data survives in tmp.
+    // swap keeping a live copy at every step (a real lakehouse would
+    // commit via table metadata): move the original ASIDE first, move the
+    // compacted dir into place, only then drop the backup. A crash
+    // between the renames leaves the data in .compact.bak; a failed
+    // second rename restores the original.
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact.bak")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.delete(dst, true))
+    if (fs.exists(bak)) fs.delete(bak, true) // stale backup from a crash
+    if (!fs.rename(dst, bak))
       throw new java.io.IOException(
-        s"compaction: could not delete $path (compacted data is at $tmp)")
-    if (!fs.rename(src, dst))
+        s"compaction: could not move $path aside (original untouched; compacted data is at $tmp)")
+    if (!fs.rename(src, dst)) {
+      fs.rename(bak, dst) // restore the original
       throw new java.io.IOException(
-        s"compaction: rename $tmp -> $path failed (compacted data is at $tmp)")
+        s"compaction: rename $tmp -> $path failed (original restored; compacted data is at $tmp)")
+    }
+    fs.delete(bak, true)
     files
   }
 

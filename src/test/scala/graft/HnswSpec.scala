@@ -96,7 +96,11 @@ class HnswSpec extends SparkSpec {
     val (base, _, _, _) = ExactKnn.split(spark, sf0001)
     val head = base.filter(col("vec_id") < 700)
     val tail = base.filter(col("vec_id") >= 700)
-    val extended = HnswKnn.insertIntoIndex(HnswKnn.buildIndex(head), tail)
+    // non-default shard count: the routing modulus travels inside the
+    // index, so inserts land in the same shards the build used
+    val built = HnswKnn.buildIndex(head, shards = 5)
+    val extended = HnswKnn.insertIntoIndex(built, tail)
+    assert(extended.shards == 5)
     val probe = tail.orderBy("vec_id").limit(3)
       .as[(Long, Array[Double])].collect()
       .map { case (id, v) => (id, v) }
@@ -118,6 +122,8 @@ class HnswSpec extends SparkSpec {
       val dir = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
       HnswKnn.saveIndex(index, dir)
       val loaded = HnswKnn.loadIndex(spark, dir)
+      assert(loaded.shards == index.shards,
+        "routing modulus must survive the checkpoint")
       val qs = queries.as[(Long, Array[Double])].collect().take(8)
       val before = HnswKnn.searchIndex(index, qs).collect().toSet
       val after = HnswKnn.searchIndex(loaded, qs).collect().toSet

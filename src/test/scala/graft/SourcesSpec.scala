@@ -66,6 +66,19 @@ class SourcesSpec extends SparkSpec {
     assert(deleted == Set(1L, 3L))
   }
 
+  test("upsert fails loudly on duplicate update keys (MERGE contract)") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val dupes = Seq((2L, "B1"), (2L, "B2"), (3L, "c")).toDF("k", "name")
+    val ex = intercept[Exception] {
+      graft.sources.Ingest.upsert(target, dupes, "k").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("multiple update rows")),
+      s"expected duplicate-key error, got: $ex")
+  }
+
   test("global sort plans as a range-partitioned exchange") {
     val sorted = Tables.orders(spark, sf0001).orderBy(col("o_totalprice"))
     val plan = sorted.queryExecution.executedPlan.toString
