@@ -24,7 +24,13 @@ object Bench {
     // warmup is best-effort: a fixture without lineitem must not stop
     // the per-query timing loop (each query guards itself)
     try warmup(spark, sfDir) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset for local iteration: SPARK_GRAFT_ONLY=q1,q2 — the
+    // driver never sets it, so the contract (time every query) holds
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -32,6 +32,8 @@ object SparkEntry {
     "knn_exact_single" -> ((s, d) => ExactKnn.topKSingle(s, d)),
     "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
+    "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
+    "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
     // HNSW is approximate: no SQL oracle; quality is gated by the recall
     // queries below + HnswSpec (the reference's own pattern, main.rs:89-93)
     "knn_hnsw_single" -> ((s, d) => HnswKnn.topKSingle(s, d)),
@@ -84,6 +86,17 @@ object SparkEntry {
     "posexplode_tokens" -> Relational.posexplodeTokens _,
     "argmax_events" -> Relational.argmaxEvents _,
     "scalar_order_dates" -> Relational.orderDateParts _,
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
+    "q7_volume_shipping" -> Relational.q7VolumeShipping _,
+    "q8_market_share" -> Relational.q8MarketShare _,
+    "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "q13_customer_distribution" -> Relational.q13CustomerDistribution _,
+    "q14_promo_effect" -> Relational.q14PromoEffect _,
+    "q15_top_supplier" -> Relational.q15TopSupplier _,
+    "q16_supplier_diversity" -> Relational.q16SupplierDiversity _,
+    "q17_small_qty_revenue" -> Relational.q17SmallQuantityRevenue _,
+    "q19_bracket_revenue" -> Relational.q19BracketRevenue _,
+    "q22_idle_balance" -> Relational.q22IdleBalance _,
     // — temporal joins (as-of / range — custom operators) —
     "asof_error_click"  -> TemporalJoins.asofErrorClick _,
     "asof_next_click"   -> TemporalJoins.asofNextErrorClick _,
@@ -157,6 +170,30 @@ object SparkEntry {
       d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
             FROM e b, e q, p
             WHERE b.vec_id < p.s AND q.vec_id >= p.s)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
+
+    "knn_range_search" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e)
+      SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id >= p.s AND q.vec_id < p.s + 20
+        AND $cosDistSql <= 0.7""",
+
+    "knn_filtered_batch" -> s"""
+      WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND b.label = 3
+              AND q.vec_id >= p.s AND q.vec_id < p.s + 50)
       SELECT qid, vec_id, dist,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
@@ -721,6 +758,143 @@ object SparkEntry {
              CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT)
                AS month_start
       FROM orders""",
+
+    "q6_forecast_revenue" -> s"""
+      SELECT sum(${c100("l_extendedprice")} * ${c100("l_discount")})
+               / CAST(10000 AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+
+    "q7_volume_shipping" -> s"""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             sum(${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")})
+               / CAST(10000 AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        AND ((sn.n_name = 'NATION_6' AND cn.n_name = 'NATION_9')
+          OR (sn.n_name = 'NATION_9' AND cn.n_name = 'NATION_6'))
+      GROUP BY 1, 2, 3""",
+
+    "q8_market_share" -> s"""
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             round(CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                                 THEN ${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")}
+                                 ELSE 0 END) AS DOUBLE)
+                   / sum(${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")}),
+                   6) AS mkt_share
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1""",
+
+    "q10_returned_items" -> s"""
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             sum(${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")})
+               / CAST(10000 AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue DESC, c.c_custkey ASC
+      LIMIT 20""",
+
+    "q13_customer_distribution" -> """
+      SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY 1)
+      GROUP BY 1""",
+
+    "q14_promo_effect" -> s"""
+      SELECT round(100.0 *
+               CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN ${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")}
+                             ELSE 0 END) AS DOUBLE)
+               / sum(${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")}),
+               6) AS promo_revenue_pct
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-10-01'""",
+
+    "q15_top_supplier" -> s"""
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(${c100("l_extendedprice")} * ${c100("(1 - l_discount)")}) AS r100
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+      SELECT s.s_suppkey, s.s_name, r100 / CAST(10000 AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      WHERE r100 = (SELECT max(r100) FROM rev)""",
+
+    "q16_supplier_diversity" -> """
+      SELECT p.p_brand, p.p_type, p.p_size,
+             count(DISTINCT l.l_suppkey) AS supplier_cnt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 600)
+      GROUP BY 1, 2, 3""",
+
+    "q17_small_qty_revenue" -> s"""
+      SELECT round(sum(p100) / 100.0 / 7.0, 2) AS avg_yearly FROM (
+        SELECT ${c100("l.l_extendedprice")} AS p100,
+               ${c100("l.l_quantity")} AS q100,
+               sum(${c100("l.l_quantity")})
+                 OVER (PARTITION BY l.l_partkey) AS sum_q100,
+               count(*) OVER (PARTITION BY l.l_partkey) AS n_li
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL')
+      WHERE q100 * 5 * n_li < sum_q100""",
+
+    "q19_bracket_revenue" -> s"""
+      SELECT sum(${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")})
+               / CAST(10000 AS DOUBLE) AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 5
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 20 AND 30)""",
+
+    "q22_idle_balance" -> s"""
+      WITH pos AS (
+        SELECT sum(${c100("c_acctbal")}) AS sum100, count(*) AS n
+        FROM customer WHERE ${c100("c_acctbal")} > 0)
+      SELECT c.c_nationkey, count(*) AS numcust,
+             sum(${c100("c.c_acctbal")}) / CAST(100 AS DOUBLE) AS totacctbal
+      FROM customer c, pos
+      WHERE ${c100("c.c_acctbal")} * pos.n > pos.sum100
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      GROUP BY 1""",
 
     // the salted two-stage aggregation must equal the plain GROUP BY
     "events_salted_agg" -> s"""

@@ -90,6 +90,46 @@ object ExactKnn {
       .limit(k) // planned as TakeOrderedAndProject (bounded heap)
   }
 
+  /** Radius (range) search: all base points within cosine distance
+    * `radius` of each of the first `nq` held-out queries. The distance
+    * predicate evaluates inside the broadcast nested-loop join, so the
+    * base table streams through once and only matches ever materialize —
+    * the pattern scales to any base size (no top-k state at all).
+    * Output: (qid, vec_id, dist).
+    */
+  def rangeSearch(spark: SparkSession, dir: String, radius: Double = 0.7,
+      nq: Int = 20): DataFrame = {
+    val (base, queries, splitAt, _) = split(spark, dir)
+    val q = broadcast(queries.filter(col("vec_id") < splitAt + nq)
+      .select(col("vec_id").as("qid"), col("emb").as("qvec")))
+    base.crossJoin(q)
+      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+      .filter(col("dist") <= radius)
+  }
+
+  /** Filtered (predicate + vector) search: top-k among only the base
+    * vectors whose `label` matches — the metadata filter applies BEFORE
+    * any distance is computed (pushed to the parquet scan), which is the
+    * scale-correct order: at 100 TB a 10% selective label prunes 90% of
+    * the distance work and of the scan itself via row-group stats.
+    * Output: (qid, vec_id, dist, rk) for the first `nq` queries.
+    */
+  def topKBatchFiltered(spark: SparkSession, dir: String, label: Int = 3,
+      k: Int = 10, nq: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val splitAt = math.round(0.95 * n)
+    val base = emb.filter(col("vec_id") < splitAt && col("label") === label)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val q = broadcast(emb
+      .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nq)
+      .select(col("vec_id").as("qid"), toDoubleArray(col("embedding")).as("qvec")))
+    val scored = base.crossJoin(q)
+      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** Top-k for EVERY held-out query at once (batch form of T1), via the
     * custom bounded-heap operator (graft.plans.TopKPerGroup) — one
     * shuffle on qid, O(queries x k) memory instead of a per-group sort.

@@ -107,12 +107,6 @@ object Dedup {
       df
     }
 
-  /** Exploded (doc_id, gram-hash, ng) view used by Jaccard mining. */
-  private def gramTable(spark: SparkSession, dir: String): DataFrame =
-    gramHashSets(spark, dir)
-      .select(col("doc_id"), size(col("ghashes")).as("ng"),
-        explode(col("ghashes")).as("gram"))
-
   /** Near-duplicate pairs by word-3-gram Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard rounded 6), doc_a < doc_b.
     * Thresholds >= 0.5 filter a per-dataset memoized pair table, so the
@@ -130,25 +124,58 @@ object Dedup {
       }.filter(col("jaccard") >= threshold)
     else minedJaccardPairs(spark, dir, threshold)
 
-  /** The gram-join pair mining itself (one shuffle on `gram`, then one
-    * on the (doc_a, doc_b) pair key).
+  /** The pair mining itself — prefix-filtered set-similarity self-join
+    * (the PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    *
+    *   1. order each doc's grams by global document frequency ascending
+    *      (rarest first; ties broken by gram hash — a total order);
+    *   2. keep only each doc's PREFIX (first `ng - ceil(t*ng) + 1`
+    *      grams): if J(a,b) >= t the prefixes must share a gram, so
+    *      joining prefixes instead of full gram sets generates every
+    *      qualifying pair while the high-frequency grams — the ones that
+    *      produce almost all of the join blowup — never enter the join;
+    *   3. in-join length filter (least >= t*greatest) and positional
+    *      filter (1 + min(na-pa, nb-pb) >= ceil(t/(1+t)*(na+nb)): the
+    *      grams after a match at (pa, pb) cap the achievable overlap);
+    *   4. verify surviving candidates exactly against the full gram-hash
+    *      sets (array_intersect on the persisted 8-byte hashes).
+    *
+    * Exact — filters 2-3 admit no false negatives — so output is
+    * identical to the naive gram join, at a fraction of the shuffle.
     */
   private def minedJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
-    val e = gramTable(spark, dir)
-    val a = e.select(col("doc_id").as("doc_a"), col("ng").as("na"), col("gram"))
-      .alias("a")
-    val b = e.select(col("doc_id").as("doc_b"), col("ng").as("nb"), col("gram"))
-      .alias("b")
-    // length filter: jaccard >= t implies least(na,nb) >= t*greatest(na,nb)
-    // (i <= min and i >= t(na+nb-i) => min(1+t) >= t(min+max)), so pairs
-    // failing it can be dropped inside the join, before the count shuffle
-    a.join(b, col("a.gram") === col("b.gram") && col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+    val g = gramHashSets(spark, dir)
+    val exploded = g.select(col("doc_id"), size(col("ghashes")).as("ng"),
+      explode(col("ghashes")).as("gram"))
+    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefixes = exploded.join(freq, "gram")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+      // the 1e-9 slack on every bound below biases float rounding toward
+      // MORE candidates (never fewer) — exactness is preserved because
+      // step 4 verifies; a bound tightened by one ulp could silently drop
+      // a qualifying pair
+      .filter(col("pos") <= col("ng") - ceil(lit(threshold) * col("ng") - 1e-9) + 1)
+      .select("doc_id", "ng", "pos", "gram")
+    val a = prefixes.select(col("doc_id").as("doc_a"), col("ng").as("na"),
+      col("pos").as("pa"), col("gram"))
+    val b = prefixes.select(col("doc_id").as("doc_b"), col("ng").as("nb"),
+      col("pos").as("pb"), col("gram"))
+    val minOverlap =
+      ceil(lit(threshold / (1.0 + threshold)) * (col("na") + col("nb")) - 1e-9)
+    val cand = a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")) - 1e-9 &&
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= minOverlap)
+      .select("doc_a", "doc_b").distinct()
+    val ga = g.select(col("doc_id").as("doc_a"), col("ghashes").as("ha"))
+    val gb = g.select(col("doc_id").as("doc_b"), col("ghashes").as("hb"))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .withColumn("shared", size(array_intersect(col("ha"), col("hb"))))
       .select(col("doc_a"), col("doc_b"),
-        round(col("shared") / (col("na") + col("nb") - col("shared")), 6).as("jaccard"))
+        round(col("shared") / (size(col("ha")) + size(col("hb")) - col("shared")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -175,10 +202,17 @@ object Dedup {
     * ~10 us. Per-row imperative compute is exactly the mapPartitions
     * escape hatch's purpose (SURVEY.md §7.5).
     */
-  def minhashSig(grams: Seq[String]): Array[Long] = {
+  def minhashSig(grams: Seq[String]): Array[Long] =
+    minhashSigFromHashes(grams.iterator.map(fnv64))
+
+  /** Same signature from pre-computed FNV-64 gram hashes — lets the
+    * signature pass reuse the memoized [[gramHashSets]] instead of
+    * re-splitting and re-hashing every text.
+    */
+  def minhashSigFromHashes(ghashes: Iterator[Long]): Array[Long] = {
     val sig = Array.fill(NumPerms)(Long.MaxValue)
-    grams.foreach { g =>
-      val h = math.floorMod(fnv64(g), MersennePrime)
+    ghashes.foreach { gh =>
+      val h = math.floorMod(gh, MersennePrime)
       var i = 0
       while (i < NumPerms) {
         val v = math.floorMod(permA(i) * h + permB(i), MersennePrime)
@@ -189,13 +223,14 @@ object Dedup {
     sig
   }
 
-  /** (doc_id, sig) for every document (typed map over the gram sets). */
+  /** (doc_id, sig) for every document (typed map over the cached gram
+    * hashes — one corpus tokenization pass shared with Jaccard/LSH).
+    */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, minhashSig(gramsOf(t))) }
+    gramHashSets(spark, dir)
+      .as[(Long, Array[Long])]
+      .map { case (id, hs) => (id, minhashSigFromHashes(hs.iterator)) }
       .toDF("doc_id", "sig")
   }
 

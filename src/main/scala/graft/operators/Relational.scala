@@ -383,4 +383,258 @@ object Relational {
       dayofmonth(col("o_orderdate")).as("d"),
       quarter(col("o_orderdate")).as("q"),
       unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"))
+
+  /** TPC-H Q6-style forecasting revenue change: pure scan + conjunctive
+    * filter + scalar agg — every predicate pushes to the parquet scan,
+    * the plan is one WholeStageCodegen span with a partial sum.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .select(cents(col("l_extendedprice")).as("p100"),
+        cents(col("l_discount")).as("d100"))
+      .agg((sum(col("p100") * col("d100")) / 1e4).as("revenue"))
+
+  /** TPC-H Q7-style volume shipping between two nations: the fact-fact
+    * orders⋈lineitem shuffle with four broadcast dims layered on, and a
+    * symmetric two-nation disjunction evaluated AFTER the dim joins
+    * prune everything else.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_6", "NATION_9")
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(na, nb)).select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("nk2"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("nk2"))
+      .select("c_custkey", "cust_nation")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg((sum(col("p100") * col("dm100")) / 1e4).as("revenue"))
+  }
+
+  /** TPC-H Q8-style market share: of all PROMO-part revenue sold to ASIA
+    * customers per year, the fraction supplied from NATION_7 — a
+    * conditional-sum ratio over a five-dim snowflake join.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .select(col("o_year"), (col("p100") * col("dm100")).as("vol100"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_7", col("vol100")).otherwise(0L))
+          .cast("double") / sum(col("vol100")), 6).as("mkt_share"))
+  }
+
+  /** TPC-H Q10-style returned-item losses: top 20 customers by revenue
+    * on returned lines in one quarter (fact-fact shuffle + two broadcast
+    * dims + grouped sum + deterministic top-k).
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-07-01") &&
+        col("o_orderdate") < ts("1996-10-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg((sum(col("p100") * col("dm100")) / 1e4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: outer join with
+    * an on-clause filter (kept on the join, NOT pushed below it — that's
+    * the Q13 trap), then a double aggregation: orders per customer,
+    * customers per order-count.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_custkey", "o_orderkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14-style promo revenue share for one month: conditional-sum
+    * ratio over a broadcast part join (one pass, no second scan for the
+    * denominator).
+    */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-09-01") &&
+        col("l_shipdate") < ts("1996-10-01"))
+      .select(col("l_partkey"), cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", col("p100") * col("dm100"))
+          .otherwise(0L)).cast("double") /
+        sum(col("p100") * col("dm100")), 6).as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q15-style top supplier: revenue per supplier over a quarter,
+    * keep the supplier(s) achieving the global maximum. The max compare
+    * runs on exact integer cents, so "equals the max" is deterministic
+    * under any partitioning (no float-sum ambiguity).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .select(col("l_suppkey"), cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("p100") * col("dm100")).as("r100"))
+    val mx = rev.agg(max(col("r100")).as("mx"))
+    rev.join(broadcast(mx), rev("r100") === mx("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("r100") / 1e4).as("total_revenue"))
+  }
+
+  /** TPC-H Q16-flavored supplier diversity (the fixture has no partsupp;
+    * lineitem is the part-supplier bridge): distinct suppliers per
+    * (brand, type, size) over a filtered part set, excluding suppliers
+    * below an account-balance floor via anti join.
+    */
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 600).select("s_suppkey")
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(badSupp), col("l_suppkey") === badSupp("s_suppkey"),
+        "left_anti")
+    li.join(broadcast(part), col("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: lines of one brand+type
+    * whose quantity is below 20% of that part's average quantity. The
+    * correlated average is a window over p_partkey, and the 0.2·avg
+    * comparison is cross-multiplied into pure integer arithmetic
+    * (5·q·n < Σq) so the boundary is exact in any engine.
+    */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+      .select("p_partkey")
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), cents(col("l_quantity")).as("q100"),
+        cents(col("l_extendedprice")).as("p100"))
+      .join(broadcast(part), col("l_partkey") === part("p_partkey"))
+      .withColumn("sum_q100", sum(col("q100")).over(w))
+      .withColumn("n_li", count(lit(1)).over(w))
+      .filter(col("q100") * 5 * col("n_li") < col("sum_q100"))
+      .agg(round(sum(col("p100")) / 100.0 / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-style disjunctive bracket pricing: revenue where any of
+    * three (brand, size-range, quantity-range) brackets hold — the
+    * OR-of-ANDs predicate Catalyst splits into a common join key plus a
+    * residual disjunction.
+    */
+  def q19BracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey") && (
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))))
+      .agg((sum(col("p100") * col("dm100")) / 1e4).as("revenue"))
+  }
+
+  /** TPC-H Q22-flavored idle balances: customers with above-average
+    * positive balance and no URGENT orders (every fixture customer has
+    * some order, so the classic no-orders form is vacuous), summarized
+    * per nation. The above-average compare is cross-multiplied to
+    * integer cents (bal·n > Σbal) so the cutoff is engine-exact.
+    */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("bal100"))
+    val avgPos = cust.filter(col("bal100") > 0)
+      .agg(sum(col("bal100")).as("sum100"), count(lit(1)).as("n"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("bal100") * col("n") > col("sum100"))
+      .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), (sum(col("bal100")) / 100.0).as("totacctbal"))
+  }
 }

@@ -145,4 +145,42 @@ object Ingest {
       .option("header", header.toString)
       .option("mode", "DROPMALFORMED")
       .csv(path)
+
+  /** Hive-style partitioned parquet write. At 100 TB this is the
+    * first-line pruning lever: a filter on a partition column never
+    * touches the other directories (PartitionFilters in the scan node,
+    * zero I/O for pruned partitions — vs row-group stats, which still
+    * read footers). Choose low-cardinality columns (date, category);
+    * high-cardinality partitioning produces the small-file problem
+    * [[compactParquet]] exists to fix.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed managed-table write: pre-shuffles rows into `buckets`
+    * files by hash(bucketCols) AND records that layout in the catalog,
+    * so later equi-joins / aggregations on the bucket key skip their
+    * exchange entirely (two co-bucketed fact tables sort-merge join with
+    * NO shuffle — at 100 TB the difference between a network-bound and a
+    * local join). Requires a table name (bucket metadata lives in the
+    * metastore, not the files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** ORC round-trip: the second columnar format large pipelines meet
+    * (same pushdown/pruning surface as parquet under Spark's vectorized
+    * ORC reader).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -22,6 +22,30 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("prefix-filtered mining equals brute-force jaccard (0.5 and 0.8)") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), Dedup.gramsOf(r.getString(1)).toSet))
+      .sortBy(_._1)
+    for (t <- Seq(0.5, 0.8)) {
+      val mined = Dedup.ngramJaccardPairs(spark, sf0001, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = (for {
+        i <- docs.indices.iterator
+        k <- (i + 1) until docs.length
+        shared = (docs(i)._2 intersect docs(k)._2).size
+        if shared > 0
+        union = docs(i)._2.size + docs(k)._2.size - shared
+        j = BigDecimal(shared.toDouble / union)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (docs(i)._1, docs(k)._1, j)).toSet
+      assert(brute.nonEmpty, s"fixture has pairs at j>=$t")
+      assert(mined == brute,
+        s"t=$t mined=${mined.size} brute=${brute.size} " +
+          s"missing=${(brute -- mined).take(5)} extra=${(mined -- brute).take(5)}")
+    }
+  }
+
   test("minhash lsh finds exactly the brute-force pairs at j >= 0.8") {
     val lsh = Dedup.minhashLshPairs(spark, sf0001, 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

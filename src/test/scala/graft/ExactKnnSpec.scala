@@ -27,6 +27,33 @@ class ExactKnnSpec extends SparkSpec {
     assert(perQ.length == 25 && perQ.forall(_.getLong(1) == 10))
   }
 
+  test("range search: all and only pairs within the radius, filter in-join") {
+    val r = ExactKnn.rangeSearch(spark, sf0001, radius = 0.75, nq = 5)
+    val rows = r.collect()
+    assert(rows.nonEmpty, "radius 0.75 must catch some sf0.001 pairs")
+    assert(rows.forall(_.getAs[Double]("dist") <= 0.75))
+    // completeness: brute-force one query's matches
+    val (base, queries, splitAt, _) = ExactKnn.split(spark, sf0001)
+    val q0 = queries.filter(col("vec_id") === splitAt)
+      .select(col("emb").as("qvec"))
+    val expect = base.crossJoin(broadcast(q0))
+      .select(col("vec_id"), ExactKnn.dist(col("emb"), col("qvec")).as("d"))
+      .filter(col("d") <= 0.75).count()
+    assert(rows.count(_.getAs[Long]("qid") == splitAt) == expect)
+  }
+
+  test("filtered top-k: every neighbor carries the requested label") {
+    val got = ExactKnn.topKBatchFiltered(spark, sf0001, label = 3, k = 5, nq = 10)
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getAs[Long]("vec_id")) == 3))
+    val perQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(perQ.size == 10 && perQ.values.forall(_.length == 5))
+  }
+
   test("a base point queried against the base returns itself first") {
     // exact-kNN self-query property (SURVEY.md §5.2)
     val (base, _, _, _) = ExactKnn.split(spark, sf0001)

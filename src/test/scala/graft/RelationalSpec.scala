@@ -104,4 +104,98 @@ class RelationalSpec extends SparkSpec {
       .filter(col("q") =!= ((col("m") + 2) / 3).cast("int")).count()
     assert(bad == 0)
   }
+
+  test("q6: all predicates push to the scan; one non-negative scalar") {
+    val df = Relational.q6ForecastRevenue(spark, sf0001)
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters") && plan.contains("l_discount"),
+      s"discount filter not pushed:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(Option(rows.head.getAs[java.lang.Double]("revenue")).forall(_ >= 0))
+  }
+
+  test("q7: nation pair is symmetric and years lie in the ship window") {
+    // sf0.001 has no lineitem for this nation pair; invariants only
+    val rows = Relational.q7VolumeShipping(spark, sf0001).collect()
+    rows.foreach { r =>
+      val sn = r.getAs[String]("supp_nation")
+      val cn = r.getAs[String]("cust_nation")
+      assert(Set(sn, cn) == Set("NATION_6", "NATION_9"))
+      val y = r.getAs[Int]("l_year")
+      assert(y == 1996 || y == 1997)
+    }
+  }
+
+  test("q8: market share is a fraction per year") {
+    val rows = Relational.q8MarketShare(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("q10: top-20 returned-revenue customers, descending") {
+    val rows = Relational.q10ReturnedItems(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+
+  test("q13: distribution covers every customer exactly once") {
+    val rows = Relational.q13CustomerDistribution(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("custdist")).sum
+    assert(total == Tables.customer(spark, sf0001).count())
+  }
+
+  test("q14: promo share is a percentage") {
+    val r = Relational.q14PromoEffect(spark, sf0001).head()
+    val pct = r.getAs[Double]("promo_revenue_pct")
+    assert(pct >= 0.0 && pct <= 100.0)
+  }
+
+  test("q15: every returned supplier achieves the same (max) revenue") {
+    val rows = Relational.q15TopSupplier(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("total_revenue")).distinct.length == 1)
+  }
+
+  test("q16: anti join excludes low-balance suppliers from every count") {
+    val rows = Relational.q16SupplierDiversity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nOk = Tables.supplier(spark, sf0001)
+      .filter(col("s_acctbal") >= 600).count()
+    rows.foreach { r =>
+      val c = r.getAs[Long]("supplier_cnt")
+      assert(c >= 1 && c <= nOk)
+    }
+  }
+
+  test("q17: integer-exact below-average filter yields a bounded scalar") {
+    val rows = Relational.q17SmallQuantityRevenue(spark, sf0001).collect()
+    assert(rows.length == 1)
+    // may legitimately be NULL if no line is below 20% of its part avg
+    val v = rows.head.getAs[java.lang.Double]("avg_yearly")
+    assert(v == null || v >= 0)
+  }
+
+  test("q19: disjunctive brackets produce a single non-negative scalar") {
+    val r = Relational.q19BracketRevenue(spark, sf0001).head()
+    val v = r.getAs[java.lang.Double]("revenue")
+    assert(v == null || v >= 0)
+  }
+
+  test("q22: idle-balance customers all exceed the positive average") {
+    import spark.implicits._
+    val cust = Tables.customer(spark, sf0001)
+    val balances = cust.select(col("c_acctbal")).as[Double].collect()
+    val pos = balances.filter(_ > 0)
+    val avg = pos.sum / pos.length
+    val rows = Relational.q22IdleBalance(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Double]("totacctbal")).sum
+    val n = rows.map(_.getAs[Long]("numcust")).sum
+    assert(total / n > avg, "per-nation averages all exceed the global positive mean")
+  }
 }

@@ -23,11 +23,10 @@ class ScaleTechniquesSpec extends SparkSpec {
     val ev = Tables.events(spark, sf0001)
       .select("event_id", "user_id", "event_type", "value")
     // two tables bucketed the same way on the join key
-    ev.write.mode("overwrite").bucketBy(8, "user_id")
-      .sortBy("user_id").saveAsTable("ev_a")
-    ev.groupBy("user_id").agg(count(lit(1)).as("n_ev"))
-      .write.mode("overwrite").bucketBy(8, "user_id")
-      .sortBy("user_id").saveAsTable("ev_b")
+    graft.sources.Ingest.writeBucketed(ev, "ev_a", Seq("user_id"), 8)
+    graft.sources.Ingest.writeBucketed(
+      ev.groupBy("user_id").agg(count(lit(1)).as("n_ev")), "ev_b",
+      Seq("user_id"), 8)
     val joined = spark.table("ev_a").join(spark.table("ev_b"), "user_id")
     val plan = joined.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -66,6 +66,20 @@ class SourcesSpec extends SparkSpec {
     assert(deleted == Set(1L, 3L))
   }
 
+  test("orc round-trip preserves the lineitem slice with pushdown intact") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    graft.sources.Ingest.writeOrc(li, dir)
+    val back = graft.sources.Ingest.readOrc(spark, dir)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0 && li.exceptAll(back).count() == 0)
+    val filtered = back.filter(col("l_returnflag") === "R")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
+      s"orc filter not pushed:\n$plan")
+  }
+
   test("upsert fails loudly on duplicate update keys (MERGE contract)") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
@@ -115,9 +129,9 @@ class SourcesSpec extends SparkSpec {
 
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString
-    Tables.events(spark, sf0001)
-      .select("event_id", "event_type", "value")
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    graft.sources.Ingest.writePartitioned(
+      Tables.events(spark, sf0001).select("event_id", "event_type", "value"),
+      dir, Seq("event_type"))
     val one = spark.read.parquet(dir).filter(col("event_type") === "error")
     val scan = one.queryExecution.executedPlan.toString
     // partition filter must reach the scan (not a post-scan filter)
