@@ -57,5 +57,19 @@ object Bench {
       .map { case (o, p) => (o, p + 1) }.toDF("a", "b")
     small.join(broadcast(small.limit(10).withColumnRenamed("b", "c")), "a").count()
     li.unpersist()
+    // the text/vector tables have their own first-touch costs (footer
+    // reads, string/array deserialization, typed-map codegen) and the
+    // dedup/knn paths exercise HOFs and the RDD machinery — warm those
+    // too, still on LIMITed slices
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(explode(col("w"))).count()
+    docs.select("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) => (id, t.length) }.toDF("a", "b").count()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    emb.select(aggregate(transform(col("embedding").cast("array<double>"),
+      x => x * x), lit(0d), (acc, x) => acc + x)).count()
+    spark.sparkContext.parallelize(1 to 1000, 4)
+      .map(x => (x % 7, x.toLong)).reduceByKey(_ + _).count()
   }
 }

@@ -124,19 +124,50 @@ object Dedup {
       }.filter(col("jaccard") >= threshold)
     else minedJaccardPairs(spark, dir, threshold)
 
+  /** How many of the most-frequent grams carry an explicit frequency in
+    * the prefix ordering. Bounded so the broadcast stays O(1) however
+    * large the corpus vocabulary grows; everything outside the top set
+    * sorts first (as if df=0) by hash.
+    */
+  private val TopFreqGrams = 65536
+
+  /** Broadcast df map of the [[TopFreqGrams]] most common gram hashes —
+    * memoized per dataset next to [[gramHashSets]].
+    */
+  private def topGramFreq(spark: SparkSession, dir: String)
+      : org.apache.spark.broadcast.Broadcast[Map[Long, Long]] =
+    graft.IndexCache.getOrBuild(spark, s"gram-topfreq:$dir") {
+      val top = gramHashSets(spark, dir)
+        .select(explode(col("ghashes")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("gram"))
+        .limit(TopFreqGrams)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.sparkContext.broadcast(top)
+    }
+
   /** The pair mining itself — prefix-filtered set-similarity self-join
     * (the PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08):
     *
-    *   1. order each doc's grams by global document frequency ascending
-    *      (rarest first; ties broken by gram hash — a total order);
+    *   1. order each doc's grams by a GLOBAL total order that puts the
+    *      most document-frequent grams last — (df among the top-64k
+    *      common grams else 0, hash). Any consistent order is correct;
+    *      frequency order is what makes prefixes selective, and capping
+    *      the df map at the common head keeps the broadcast O(1) at any
+    *      corpus size (rare grams tie at 0 and order by hash);
     *   2. keep only each doc's PREFIX (first `ng - ceil(t*ng) + 1`
     *      grams): if J(a,b) >= t the prefixes must share a gram, so
     *      joining prefixes instead of full gram sets generates every
     *      qualifying pair while the high-frequency grams — the ones that
-    *      produce almost all of the join blowup — never enter the join;
+    *      produce almost all of the join blowup — never enter the join.
+    *      Both steps run inside one JVM flatMap over the cached gram
+    *      sets: no freq join, no window shuffle;
     *   3. in-join length filter (least >= t*greatest) and positional
     *      filter (1 + min(na-pa, nb-pb) >= ceil(t/(1+t)*(na+nb)): the
-    *      grams after a match at (pa, pb) cap the achievable overlap);
+    *      grams after a match at (pa, pb) cap the achievable overlap).
+    *      The 1e-9 slack biases float rounding toward MORE candidates
+    *      (never fewer) — a bound tightened by one ulp could silently
+    *      drop a qualifying pair;
     *   4. verify surviving candidates exactly against the full gram-hash
     *      sets (array_intersect on the persisted 8-byte hashes).
     *
@@ -145,19 +176,16 @@ object Dedup {
     */
   private def minedJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double): DataFrame = {
+    import spark.implicits._
     val g = gramHashSets(spark, dir)
-    val exploded = g.select(col("doc_id"), size(col("ghashes")).as("ng"),
-      explode(col("ghashes")).as("gram"))
-    val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
-    val prefixes = exploded.join(freq, "gram")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
-      // the 1e-9 slack on every bound below biases float rounding toward
-      // MORE candidates (never fewer) — exactness is preserved because
-      // step 4 verifies; a bound tightened by one ulp could silently drop
-      // a qualifying pair
-      .filter(col("pos") <= col("ng") - ceil(lit(threshold) * col("ng") - 1e-9) + 1)
-      .select("doc_id", "ng", "pos", "gram")
+    val bcFreq = topGramFreq(spark, dir)
+    val prefixes = g.as[(Long, Array[Long])].flatMap { case (id, hs) =>
+      val freq = bcFreq.value
+      val sorted = hs.sortBy(h => (freq.getOrElse(h, 0L), h))
+      val plen = hs.length - math.ceil(threshold * hs.length - 1e-9).toInt + 1
+      sorted.iterator.take(plen).zipWithIndex
+        .map { case (h, i) => (id, hs.length, i + 1, h) }
+    }.toDF("doc_id", "ng", "pos", "gram")
     val a = prefixes.select(col("doc_id").as("doc_a"), col("ng").as("na"),
       col("pos").as("pa"), col("gram"))
     val b = prefixes.select(col("doc_id").as("doc_b"), col("ng").as("nb"),
@@ -276,12 +304,44 @@ object Dedup {
     // propagate only over vertices that have at least one edge — every
     // other doc is trivially its own representative and joins back in at
     // the end, so iteration cost tracks the (small) near-dup subgraph,
-    // not the corpus. The loop itself runs on co-partitioned RDDs (the
+    // not the corpus.
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    // The thresholded near-dup edge set is orders of magnitude smaller
+    // than the corpus (it only has one row per SURVIVING pair). When it
+    // fits comfortably on the driver, path-compressed union-find beats
+    // any distributed loop: zero scheduled stages per iteration vs
+    // ~4 stages/round for label propagation. 10M edges = 160 MB — cheap
+    // against a driver sized for a 1000-executor cluster; beyond that,
+    // fall through to the distributed loop below.
+    val edgeCount = pairs.count()
+    if (edgeCount <= 10_000_000L) {
+      val es = pairs.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins -> rep is the component minimum
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keysIterator.map(v => (v, find(v))).toSeq
+        .toDF("doc_id", "rep0")
+      return Tables.documents(spark, dir).select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep0"), col("doc_id")).as("rep_id"))
+    }
+    // Distributed min-label propagation on co-partitioned RDDs (the
     // GraphX pattern): the per-round plan is fixed, so nothing is
     // re-analyzed or re-codegen'd each iteration, edges⋈labels is a
     // narrow join, and the only shuffle per round is the reduceByKey.
-    val pairs = ngramJaccardPairs(spark, dir, threshold)
-      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
     val part = new org.apache.spark.HashPartitioner(
       math.min(spark.sparkContext.defaultParallelism, 32))
     // (labelProvider, labelReceiver) in both directions

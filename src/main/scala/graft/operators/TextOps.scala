@@ -160,9 +160,16 @@ object TextOps {
     * Output: (doc_id, pred_lang). Accuracy is gated in TextOpsSpec
     * against the fixture's ground-truth `lang`.
     */
-  def languageIdNgram(spark: SparkSession, dir: String): DataFrame =
-    languageIdNgram(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text")))
+  def languageIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    // profiles are a pure function of the corpus — train once per
+    // dataset (build-once like the ANN indexes), classify many
+    val profiles = graft.IndexCache.getOrBuild(spark, s"langid-profiles:$dir") {
+      trainProfiles(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text")), 40)
+    }
+    classify(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      profiles)
+  }
 
   /** Core form over any labeled (doc_id, lang, text) frame. Note the
     * parquet fixture's `lang` labels sit on a SHARED vocabulary (no
@@ -170,22 +177,35 @@ object TextOps {
     * accuracy gate in TextOpsSpec uses a synthetic corpus with
     * genuinely distinct character distributions.
     */
-  def languageIdNgram(docs: DataFrame, profileSize: Int = 40): DataFrame = {
+  def languageIdNgram(docs: DataFrame, profileSize: Int = 40): DataFrame =
+    classify(docs.select("doc_id", "text"), trainProfiles(docs, profileSize))
+
+  /** Profile training: one shuffle on (lang, gram) + bounded-heap top-k
+    * per language, collected to a langs x profileSize map (driver-tiny).
+    */
+  def trainProfiles(docs: DataFrame, profileSize: Int)
+      : Seq[(String, Set[String])] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val grams = docs.as[(Long, String, String)]
       .flatMap { case (_, lang, t) => charTrigramsOf(t).iterator.map((lang, _)) }
       .toDF("lang", "gram")
       .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
-    val profiles: Map[String, Set[String]] =
-      graft.plans.GraftOps.topKPerGroup(grams, Seq("lang"),
-          Seq("n" -> false, "gram" -> true), profileSize)
-        .select("lang", "gram").collect()
-        .groupBy(_.getString(0)).map { case (l, rows) =>
-          l -> rows.map(_.getString(1)).toSet
-        }
-    val bc = spark.sparkContext.broadcast(profiles.toSeq.sortBy(_._1))
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.plans.GraftOps.topKPerGroup(grams, Seq("lang"),
+        Seq("n" -> false, "gram" -> true), profileSize)
+      .select("lang", "gram").collect()
+      .groupBy(_.getString(0)).map { case (l, rows) =>
+        l -> rows.map(_.getString(1)).toSet
+      }.toSeq.sortBy(_._1)
+  }
+
+  /** Map-only classification against broadcast profiles. */
+  private def classify(docs: DataFrame,
+      profiles: Seq[(String, Set[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(profiles)
+    docs.as[(Long, String)]
       .map { case (id, t) =>
         val gs = charTrigramsOf(t)
         val best = bc.value.map { case (l, p) => (-gs.count(p.contains), l) }
