@@ -111,26 +111,31 @@ object Ingest {
     val files = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = path.stripSuffix("/") + ".compact.tmp"
     df.repartition(files).write.mode("overwrite").parquet(tmp)
-    // swap keeping a live copy at every step (a real lakehouse would
-    // commit via table metadata): move the original ASIDE first, move the
-    // compacted dir into place, only then drop the backup. A crash
-    // between the renames leaves the data in .compact.bak; a failed
-    // second rename restores the original.
+    swapInPlace(spark, path, tmp)
+    files
+  }
+
+  /** Swap `tmp` into `path` keeping a live copy at every step (a real
+    * lakehouse would commit via table metadata): move the original
+    * ASIDE first, move the new dir into place, only then drop the
+    * backup. A crash between the renames leaves the data in `.bak`; a
+    * failed second rename restores the original.
+    */
+  def swapInPlace(spark: SparkSession, path: String, tmp: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
-    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".compact.bak")
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".bak")
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(bak)) fs.delete(bak, true) // stale backup from a crash
-    if (!fs.rename(dst, bak))
+    if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(
-        s"compaction: could not move $path aside (original untouched; compacted data is at $tmp)")
+        s"swap: could not move $path aside (original untouched; new data is at $tmp)")
     if (!fs.rename(src, dst)) {
-      fs.rename(bak, dst) // restore the original
+      if (fs.exists(bak)) fs.rename(bak, dst) // restore the original
       throw new java.io.IOException(
-        s"compaction: rename $tmp -> $path failed (original restored; compacted data is at $tmp)")
+        s"swap: rename $tmp -> $path failed (original restored; new data is at $tmp)")
     }
     fs.delete(bak, true)
-    files
   }
 
   /** CSV scan under the same lenient-ingest contract as [[readNdjson]]:

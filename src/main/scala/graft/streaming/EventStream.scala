@@ -139,4 +139,39 @@ object EventStream {
       .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  /** Micro-batch lakehouse sink: each batch keyed-upserts into a parquet
+    * target (stream -> foreachBatch -> MERGE — the standard CDC/ingest
+    * pattern when the sink is a table, not an append log). Within a
+    * batch, re-deliveries of one key collapse to the struct-max row
+    * (latest by the remaining columns' order) BEFORE the merge, honoring
+    * upsert's one-update-row-per-key contract; the rewritten table swaps
+    * in via the crash-safe rename-aside protocol. Exactly-once comes
+    * from the checkpoint: a replayed batch re-merges the same rows onto
+    * keys it already wrote — idempotent.
+    */
+  def upsertSink(stream: DataFrame, targetPath: String, key: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val others = batch.columns.filter(_ != key)
+        val latest = batch.groupBy(col(key))
+          .agg(max(struct(others.map(col): _*)).as("__s"))
+          .select(col(key) +: others.map(c => col(s"__s.$c").as(c)): _*)
+          .select(batch.columns.map(col): _*)
+        val fs = new org.apache.hadoop.fs.Path(targetPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
+            graft.sources.Ingest.upsert(
+              spark.read.parquet(targetPath), latest, key)
+          else latest
+        val tmp = targetPath.stripSuffix("/") + ".upsert.tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        graft.sources.Ingest.swapInPlace(spark, targetPath, tmp)
+        ()
+      }
+      .start()
 }

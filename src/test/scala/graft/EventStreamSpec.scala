@@ -155,4 +155,28 @@ class EventStreamSpec extends SparkSpec {
     assert(n == evs.map(_.event_id).distinct.length,
       s"expected one row per event_id, got $n")
   }
+
+  test("foreachBatch upsert sink merges micro-batches into the parquet target") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-up-sink").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-up-ckpt").toString
+    val source = MemoryStream[Ev](spark, numPartitions = 1)
+    def ev(id: Long, v: Double) =
+      Ev(id, new java.sql.Timestamp(1700000000000L + id), id % 3, "click", v)
+    val q = EventStream.upsertSink(source.toDF(), target, "event_id", ckpt)
+    try {
+      source.addData(ev(1, 1.0), ev(2, 2.0), ev(3, 3.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == 3)
+      // batch 2: update key 2 (including an in-batch re-delivery that
+      // must collapse before the merge) and insert key 4
+      source.addData(ev(2, 20.0), ev(2, 25.0), ev(4, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(target)
+      .select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 1.0, 2L -> 25.0, 3L -> 3.0, 4L -> 4.0),
+      s"got $out")
+  }
 }

@@ -37,4 +37,20 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"bucketed join should not shuffle, found ${shuffles.size}:\n$plan")
     assert(joined.count() == Tables.events(spark, sf0001).count())
   }
+
+  test("join strategy hints are honored: shuffle_hash avoids both sort passes") {
+    val ord = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    val j = li.join(ord.hint("shuffle_hash"),
+      li("l_orderkey") === ord("o_orderkey"))
+    j.count()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint not honored:\n$plan")
+    val merge = li.join(ord.hint("merge"),
+      li("l_orderkey") === ord("o_orderkey"))
+    merge.count()
+    assert(merge.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "merge hint must force a sort-merge join")
+  }
 }
