@@ -67,7 +67,7 @@ object HnswKnn {
     * Inserts are ordered by vec_id within each shard, so the graphs are
     * bit-reproducible run to run.
     */
-  def buildIndex(base: DataFrame, shards: Int = 8): HnswDistIndex = {
+  def buildIndex(base: DataFrame, shards: Int = 16): HnswDistIndex = {
     import base.sparkSession.implicits._
     HnswDistIndex(shards, withShard(base, shards)
       .as[(Long, Array[Double], Int)]
@@ -156,7 +156,7 @@ object HnswKnn {
     * directly joinable for recall.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10, ef: Int = 100,
-      shards: Int = 8): DataFrame = {
+      shards: Int = 16): DataFrame = {
     import spark.implicits._
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val qs: Array[(Long, Array[Double])] =

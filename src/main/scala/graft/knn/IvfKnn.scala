@@ -136,6 +136,78 @@ object IvfKnn {
       }.toDF("vec_id", "emb", "cid")
   }
 
+  /** A built IVF index: the k-means centroids plus the assigned
+    * inverted file (vec_id, emb, cid). Like [[HnswKnn.HnswDistIndex]],
+    * the structure travels as one value so search/insert/save can never
+    * pair mismatched halves.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Train centroids and materialize the inverted file. */
+  def buildIndex(base: DataFrame, nCentroids: Int, iters: Int = 3): IvfIndex = {
+    val cs = trainCentroids(base, nCentroids, iters).map(_.toArray).toArray
+    IvfIndex(cs, assignCids(base, cs))
+  }
+
+  /** Incremental insert: assign new vectors to their nearest existing
+    * centroid (the standard IVF add path — centroids stay fixed until a
+    * retrain) and append to the inverted file.
+    */
+  def insertIntoIndex(index: IvfIndex, rows: DataFrame): IvfIndex =
+    index.copy(assigned =
+      index.assigned.unionByName(assignCids(rows, index.centroids)))
+
+  /** Persist the index: centroids as one tiny parquet, the inverted
+    * file PARTITIONED BY cid — so a probe of nprobe clusters on the
+    * reloaded index is a partition-pruned scan touching nprobe/k of the
+    * files (at 100 TB, this directory layout IS the index).
+    */
+  def saveIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "emb")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cid").parquet(s"$path/assigned")
+  }
+
+  /** Reload a [[saveIndex]] checkpoint. */
+  def loadIndex(spark: SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val cs = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    IvfIndex(cs, spark.read.parquet(s"$path/assigned")
+      .select("vec_id", "emb", "cid"))
+  }
+
+  /** Probe-limited search over a built index: each query visits only
+    * its `nprobe` nearest clusters. On a [[loadIndex]]-ed index the
+    * literal cid set prunes partitions statically (PartitionFilters in
+    * the scan — checked in IvfKnnSpec).
+    * Output: (qid, vec_id, dist rounded 6, rk).
+    */
+  def searchIndex(index: IvfIndex, queries: Array[(Long, Array[Double])],
+      k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val probes: Array[(Long, Array[Double], Array[Int])] =
+      queries.map { case (qid, qv) =>
+        (qid, qv, probeCids(index.centroids, qv, nprobe))
+      }
+    val allCids = probes.flatMap(_._3).distinct.toSeq
+    val q = probes.toSeq
+      .flatMap { case (qid, qv, cids) => cids.map(c => (qid, qv.toSeq, c)) }
+      .toDF("qid", "qvec", "cid")
+    val scored = index.assigned
+      .filter(col("cid").isin(allCids: _*)) // static partition pruning
+      .join(broadcast(q), "cid")
+      .select(col("qid"), col("vec_id"),
+        ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** Top-k for every held-out query, probing `nprobe` of `nCentroids`
     * clusters (defaults: sqrt(n) centroids, a quarter of them probed).
     * Output: (qid, vec_id, dist rounded 6, rk) — same shape as
@@ -149,14 +221,14 @@ object IvfKnn {
              else math.max(4, math.sqrt(n.toDouble).toInt)
     val nP = if (nprobe > 0) nprobe else math.max(2, nC / 2)
 
-    val (centroids, assigned) = IndexCache.getOrBuild(spark, s"ivf:$dir:$nC") {
+    val index = IndexCache.getOrBuild(spark, s"ivf:$dir:$nC") {
       val cs = trainCentroids(base, nC).map(_.toArray).toArray
       val a = assignCids(base, cs).persist(StorageLevel.MEMORY_AND_DISK)
       a.count() // materialize the inverted file once
-      (cs, a)
+      IvfIndex(cs, a)
     }
 
-    val bc = spark.sparkContext.broadcast(centroids)
+    val bc = spark.sparkContext.broadcast(index.centroids)
     val q = queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
       .mapPartitions { it =>
         val cs = bc.value
@@ -165,7 +237,7 @@ object IvfKnn {
         }
       }.toDF("qid", "qvec", "cid")
 
-    val scored = assigned.join(broadcast(q), "cid")
+    val scored = index.assigned.join(broadcast(q), "cid")
       .select(col("qid"), col("vec_id"),
         ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
     graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),

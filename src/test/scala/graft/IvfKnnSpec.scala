@@ -26,4 +26,49 @@ class IvfKnnSpec extends SparkSpec {
     val rf = Evaluation.recall(full, exact).collect()(0).getDouble(0)
     assert(rf == 1.0, s"full-probe recall = $rf")
   }
+
+  test("ivf lifecycle: save/load round-trips; probes prune partitions") {
+    import spark.implicits._
+    val (base, queries, _, _) = ExactKnn.split(spark, sf0001)
+    val index = IvfKnn.buildIndex(base, nCentroids = 8)
+    val qs = queries.orderBy("vec_id").limit(5)
+      .as[(Long, Array[Double])].collect()
+    val before = IvfKnn.searchIndex(index, qs, k = 5, nprobe = 3).collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfKnn.saveIndex(index, dir)
+    val loaded = IvfKnn.loadIndex(spark, dir)
+    assert(loaded.centroids.length == 8)
+    val after = IvfKnn.searchIndex(loaded, qs, k = 5, nprobe = 3)
+    assert(after.collect().toSet == before,
+      "reloaded index must answer searches identically")
+
+    // the literal probe-cid set must reach the scan as a partition filter
+    val allCids = qs.flatMap(q => IvfKnn.probeCids(loaded.centroids, q._2, 3))
+      .distinct.toSeq
+    val probedScan = loaded.assigned.filter(col("cid").isin(allCids: _*))
+    val scan = probedScan.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("cid"),
+      s"probe set not pruned: ${scan.metadata("PartitionFilters")}")
+  }
+
+  test("ivf incremental insert: new vectors land in probe-reachable clusters") {
+    import spark.implicits._
+    val (base, queries, splitAt, _) = ExactKnn.split(spark, sf0001)
+    val head = base.filter(col("vec_id") < 400)
+    val tail = base.filter(col("vec_id") >= 400)
+    val extended = IvfKnn.insertIntoIndex(
+      IvfKnn.buildIndex(head, nCentroids = 8), tail)
+    assert(extended.assigned.count() == base.count())
+    // a self-query of an inserted vector must return it at distance 0
+    // (full probe, so the cluster routing cannot miss it)
+    val probe = tail.orderBy("vec_id").limit(2)
+      .as[(Long, Array[Double])].collect()
+    val hits = IvfKnn.searchIndex(extended, probe, k = 1, nprobe = 8)
+      .select("qid", "vec_id").collect()
+    hits.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"inserted vector ${r.getLong(0)} not its own nearest neighbor"))
+  }
 }
