@@ -1,0 +1,190 @@
+package graft.knn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.IndexCache
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-compression scale
+  * path complementing the graph ([[HnswKnn]]), partition-pruning
+  * ([[IvfKnn]]) and projection ([[RandomProjection]]) families:
+  *
+  *   - base vectors are L2-normalized and split into `m` subvectors;
+  *     each subspace gets a `ksub`-centroid codebook (k-means on a
+  *     driver-side sample — PQ training on a bounded sample is the
+  *     standard practice, the full pass is only the ENCODE step);
+  *   - every vector compresses to `m` byte codes (64-dim doubles:
+  *     512 B -> 8 B, 64x). At 100 TB of raw embeddings the codes are
+  *     ~1.6 TB — the difference between a scan that thrashes disk and
+  *     one that fits the cluster's page cache;
+  *   - search is asymmetric (ADC): the query stays full-precision; one
+  *     m x ksub lookup table of subspace dot products per query turns
+  *     each candidate's approximate cosine into `m` byte-indexed adds —
+  *     no decode, no sqrt, no per-candidate multiplication;
+  *   - the PQ scan overfetches `overfetch * k` candidates which are
+  *     exactly re-ranked (same rounded-distance contract as every other
+  *     kNN path), so approximation error costs recall only when the
+  *     true neighbor falls outside the overfetch, never precision of
+  *     the reported distances.
+  *
+  * Everything is seeded/deterministic: codebook seeds are the first
+  * distinct subvectors in vec_id order, Lloyd runs a fixed iteration
+  * count, ties break on lowest centroid index.
+  */
+object PqKnn {
+
+  /** Codebooks: codebooks(j)(c) is centroid c of subspace j. */
+  final case class PqCodebooks(m: Int, dim: Int, books: Array[Array[Array[Double]]])
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v.clone() else v.map(_ / n)
+  }
+
+  private def sub(v: Array[Double], j: Int, sd: Int): Array[Double] =
+    java.util.Arrays.copyOfRange(v, j * sd, (j + 1) * sd)
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest codebook entry by squared euclidean (ties: lowest index). */
+  private def nearestCode(book: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val d = sqDist(book(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Train per-subspace codebooks on a driver-side sample of the
+    * (normalized) base vectors. Sample size is bounded, so driver
+    * memory is O(sample x dim) at any corpus size.
+    */
+  def trainCodebooks(base: DataFrame, m: Int = 8, ksub: Int = 256,
+      iters: Int = 8, sampleRows: Int = 20000): PqCodebooks = {
+    import base.sparkSession.implicits._
+    val sample = base.select(col("vec_id"), col("emb"))
+      .orderBy("vec_id").limit(sampleRows)
+      .as[(Long, Array[Double])].collect().map(r => l2normalize(r._2))
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    val books = Array.tabulate(m) { j =>
+      val xs = sample.map(v => sub(v, j, sd))
+      // seeds: first ksub DISTINCT subvectors in row order
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+      xs.iterator.takeWhile(_ => seen.size < ksub).foreach(x => seen += x.toSeq)
+      var cents = seen.iterator.map(_.toArray).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sd))
+        val counts = new Array[Long](cents.length)
+        xs.foreach { x =>
+          val c = nearestCode(cents, x)
+          var i = 0
+          while (i < sd) { sums(c)(i) += x(i); i += 1 }
+          counts(c) += 1
+        }
+        cents = Array.tabulate(cents.length) { c =>
+          if (counts(c) == 0) cents(c)
+          else { val s = sums(c); s.map(_ / counts(c)) }
+        }
+      }
+      cents
+    }
+    PqCodebooks(m, dim, books)
+  }
+
+  /** (vec_id, codes) — every base vector as `m` byte codes (map-only
+    * over a broadcast of the codebooks).
+    */
+  def encode(base: DataFrame, cb: PqCodebooks): DataFrame = {
+    import base.sparkSession.implicits._
+    val bc = base.sparkSession.sparkContext.broadcast(cb)
+    base.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val b = bc.value
+        val sd = b.dim / b.m
+        it.map { case (id, v) =>
+          val nv = l2normalize(v)
+          val codes = new Array[Byte](b.m)
+          var j = 0
+          while (j < b.m) {
+            codes(j) = nearestCode(b.books(j), sub(nv, j, sd)).toByte
+            j += 1
+          }
+          (id, codes)
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** Approximate cosine similarity of a full-precision query against a
+    * code row via the query's lookup table: sim ≈ Σ_j lut(j)(code_j).
+    */
+  private def adcSim(lut: Array[Array[Double]], codes: Array[Byte]): Double = {
+    var s = 0.0; var j = 0
+    while (j < codes.length) { s += lut(j)(codes(j) & 0xff); j += 1 }
+    s
+  }
+
+  /** Top-k for every held-out query: PQ-scored overfetch over the code
+    * table, then exact re-rank of the candidates. Output: (qid, vec_id,
+    * dist rounded 6, rk) — same shape as [[ExactKnn.topKBatch]].
+    */
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
+    import spark.implicits._
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val (cb, codes) = IndexCache.getOrBuild(spark, s"pq:$dir:$m:$ksub") {
+      val b = trainCodebooks(base, m, ksub)
+      val enc = encode(base, b).persist(StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      (b, enc)
+    }
+    val qs = queries.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].collect()
+    // one LUT per query: lut(j)(c) = dot(q̂_j, books(j)(c))
+    val sd = cb.dim / cb.m
+    val luts: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qv) =>
+      val nq = l2normalize(qv)
+      qid -> Array.tabulate(cb.m) { j =>
+        val qj = sub(nq, j, sd)
+        cb.books(j).map { c =>
+          var s = 0.0; var i = 0
+          while (i < sd) { s += qj(i) * c(i); i += 1 }
+          s
+        }
+      }
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+    val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val ls = bcLuts.value
+      it.flatMap { case (id, cs) =>
+        ls.iterator.map { case (qid, lut) =>
+          (qid, id, 1.0 - math.max(adcSim(lut, cs), 0.0))
+        }
+      }
+    }.toDF("qid", "vec_id", "approx_dist")
+    val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
+      .select("qid", "vec_id")
+    // exact re-rank of the overfetched candidates
+    val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+      .toDF("qid", "qvec"))
+    val exact = cand.join(base, "vec_id").join(bq, "qid")
+      .select(col("qid"), col("vec_id"),
+        ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+}
