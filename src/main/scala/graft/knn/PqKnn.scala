@@ -71,7 +71,7 @@ object PqKnn {
     * memory is O(sample x dim) at any corpus size.
     */
   def trainCodebooks(base: DataFrame, m: Int = 8, ksub: Int = 256,
-      iters: Int = 8, sampleRows: Int = 20000): PqCodebooks = {
+      iters: Int = 4, sampleRows: Int = 10000): PqCodebooks = {
     import base.sparkSession.implicits._
     val sample = base.select(col("vec_id"), col("emb"))
       .orderBy("vec_id").limit(sampleRows)

@@ -127,6 +127,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q7/q8: dims broadcast; only the fact-fact join may shuffle") {
+    for (df <- Seq(Relational.q7VolumeShipping(spark, sf0001),
+                   Relational.q8MarketShare(spark, sf0001))) {
+      val plan = physicalPlan(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected broadcast dim joins:\n$plan")
+      val smj = "SortMergeJoin".r.findAllIn(plan).length
+      assert(smj <= 1,
+        s"only lineitem x orders may sort-merge, found $smj:\n$plan")
+    }
+  }
+
   test("q8: market share is a fraction per year") {
     val rows = Relational.q8MarketShare(spark, sf0001).collect()
     assert(rows.nonEmpty)
