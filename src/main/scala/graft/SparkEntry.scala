@@ -135,6 +135,7 @@ object SparkEntry {
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
     "events_sessions" -> EventOps.sessions _,
+    "events_sessions_native" -> EventOps.sessionsNative _,
     "events_json_stats" -> EventOps.jsonStats _,
     "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
     "events_quantiles" -> EventOps.valueQuantiles _,
@@ -583,6 +584,23 @@ object SparkEntry {
       SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
              count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
       FROM y GROUP BY 1,2""",
+
+    // the native session_window plan must produce the same sessions the
+    // analytic-window formulation does (same oracle, sid dropped)
+    "events_sessions_native" -> s"""
+      WITH x AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      y AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM x)
+      SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+             count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
+      FROM y GROUP BY user_id, sid""",
 
     // mediaTable: payload = utf-8 text bytes (ASCII fixture: len == chars),
     // kind video <=> doc_id % 3 = 2; offsets = i * len / 4 in long division

@@ -65,6 +65,21 @@ object EventOps {
         (sum(cents(col("value"))) / 100.0).as("sum_value"))
   }
 
+  /** The same 30-minute sessions through Spark's NATIVE session_window
+    * operator (one shuffle on user_id, sessions merged inside the
+    * aggregation — no analytic-window pass). Equals [[sessions]] minus
+    * the sid column whenever no inter-event gap is EXACTLY the gap
+    * duration (the two formulations split ties differently; the fixture
+    * has no such tie, and the shared oracle pins the equality).
+    */
+  def sessionsNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select("user_id", "session_start_us", "n_events", "sum_value")
+
   /** Exact interpolated quantiles per event type, computed on integer
     * cents so interpolation happens on exact inputs (engine-portable:
     * Spark percentile and DuckDB quantile_cont share the linear

@@ -39,4 +39,12 @@ class EventOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n") > 0 &&
       !r.isNullAt(r.fieldIndex("avg_k"))))
   }
+
+  test("native session_window equals the analytic-window sessions") {
+    val cols = Seq("user_id", "session_start_us", "n_events", "sum_value")
+    val a = EventOps.sessions(spark, sf0001)
+      .select(cols.head, cols.tail: _*).collect().toSet
+    val b = EventOps.sessionsNative(spark, sf0001).collect().toSet
+    assert(a == b, s"analytic ${a.size} vs native ${b.size} sessions")
+  }
 }
