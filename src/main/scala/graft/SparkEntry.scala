@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{ExactKnn, HnswKnn, IvfKnn, PqKnn, RandomProjection}
+import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, PqKnn, RandomProjection}
 import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,10 @@ object SparkEntry {
     "knn_pq_batch" -> ((s, d) => PqKnn.topKBatch(s, d)),
     "eval_recall_pq" -> ((s, d) => Evaluation.recall(
       PqKnn.topKBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    "knn_ivfpq_batch" -> ((s, d) => IvfPqKnn.topKBatch(s, d)),
+    "eval_recall_ivfpq" -> ((s, d) => Evaluation.recall(
+      IvfPqKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     // — relational coverage (north-star; SURVEY §2.3/2.4 absent cats) —
     "q1_pricing_summary"    -> Relational.q1PricingSummary _,

@@ -128,10 +128,25 @@ object PqKnn {
       }.toDF("vec_id", "codes")
   }
 
+  /** Per-query ADC lookup table: lut(j)(c) = dot(q̂_j, books(j)(c)). */
+  private[knn] def queryLut(cb: PqCodebooks,
+      qv: Array[Double]): Array[Array[Double]] = {
+    val sd = cb.dim / cb.m
+    val nq = l2normalize(qv)
+    Array.tabulate(cb.m) { j =>
+      val qj = sub(nq, j, sd)
+      cb.books(j).map { c =>
+        var s = 0.0; var i = 0
+        while (i < sd) { s += qj(i) * c(i); i += 1 }
+        s
+      }
+    }
+  }
+
   /** Approximate cosine similarity of a full-precision query against a
     * code row via the query's lookup table: sim ≈ Σ_j lut(j)(code_j).
     */
-  private def adcSim(lut: Array[Array[Double]], codes: Array[Byte]): Double = {
+  private[knn] def adcSim(lut: Array[Array[Double]], codes: Array[Byte]): Double = {
     var s = 0.0; var j = 0
     while (j < codes.length) { s += lut(j)(codes(j) & 0xff); j += 1 }
     s
@@ -153,19 +168,8 @@ object PqKnn {
     }
     val qs = queries.select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])].collect()
-    // one LUT per query: lut(j)(c) = dot(q̂_j, books(j)(c))
-    val sd = cb.dim / cb.m
-    val luts: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qv) =>
-      val nq = l2normalize(qv)
-      qid -> Array.tabulate(cb.m) { j =>
-        val qj = sub(nq, j, sd)
-        cb.books(j).map { c =>
-          var s = 0.0; var i = 0
-          while (i < sd) { s += qj(i) * c(i); i += 1 }
-          s
-        }
-      }
-    }
+    val luts: Array[(Long, Array[Array[Double]])] =
+      qs.map { case (qid, qv) => qid -> queryLut(cb, qv) }
     val bcLuts = spark.sparkContext.broadcast(luts)
     val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
       val ls = bcLuts.value
