@@ -126,6 +126,7 @@ object SparkEntry {
     // vs the ground-truth lang column is gated in TextOpsSpec
     "text_langid_ngram" -> ((s, d) => TextOps.languageIdNgram(s, d)),
     "text_fingerprint" -> TextOps.fingerprints _,
+    "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —
@@ -370,6 +371,39 @@ object SparkEntry {
             (acc, x) -> (acc * 131 + x) % 1000000007) for i in range(1, len(wh)-3)])
         ELSE NULL END AS fp_min_shingle
       FROM h""",
+
+    // BM25: same operation order as the Spark plan; every constant cast
+    // to DOUBLE so DuckDB never routes through decimal arithmetic
+    "text_bm25_topk" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf2
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      g AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM s),
+      sc AS (
+        SELECT doc_id, round(
+            ln(CAST(1.0 AS DOUBLE) + (n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+              * CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+              * CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))
+          + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+              * CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))
+          , 6) AS score
+        FROM s, g)
+      SELECT doc_id, score FROM sc WHERE score > 0
+      ORDER BY score DESC, doc_id ASC LIMIT 20""",
 
     // k smallest distinct portable hashes -> same KMV estimate formula
     "sketch_distinct_ngrams" -> """

@@ -214,6 +214,49 @@ object TextOps {
       }.toDF("doc_id", "pred_lang")
   }
 
+  /** BM25 keyword retrieval (Robertson et al.; the lexical complement
+    * to the vector-search paths): top-k documents for a bag of query
+    * terms, scored
+    *
+    *   Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    *   idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *
+    * Corpus statistics (N, avgdl, per-term df) reduce to ONE scalar
+    * aggregation row that broadcasts back over the per-doc term
+    * frequencies — two passes over the corpus, no per-term shuffle, so
+    * the shape holds at any corpus size (an inverted index would change
+    * the constant, not the shape). avgdl is an integer-ratio average
+    * and the score rounds to 6dp, keeping the DuckDB oracle hash-exact.
+    * Output: (doc_id, score) — top `k` by (score desc, doc_id).
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("join", "window", "scan"), k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = split(col("text"), " ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(w, x => x === t)).cast("long").as(s"tf$i")
+    }
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id") +: size(w).cast("long").as("dl") +: tfCols: _*)
+    val statAggs = sum(lit(1L)).as("n") +: sum(col("dl")).as("sumdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+      val tf = col(s"tf$i").cast("double")
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

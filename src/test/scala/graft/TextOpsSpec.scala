@@ -78,4 +78,31 @@ class TextOpsSpec extends SparkSpec {
     val b = TextOps.languageIdNgram(spark, sf0001).collect()
     assert(a.sortBy(_.getLong(0)).sameElements(b.sortBy(_.getLong(0))))
   }
+
+  test("bm25: top-k descending and equal to a driver-side recomputation") {
+    val terms = Seq("join", "window", "scan")
+    val got = TextOps.bm25TopK(spark, sf0001, terms, k = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty && got.length <= 20)
+    val scores = got.map(_._2)
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    // brute-force BM25 over the collected corpus
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toDouble
+    // integer-ratio average, same arithmetic as the engine's sumdl/n
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / docs.length
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toDouble)
+    val expect = docs.map { case (id, w) =>
+      val dl = w.length.toDouble
+      val s = terms.zip(dfs).map { case (t, df) =>
+        val tf = w.count(_ == t).toDouble
+        math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(got.toSeq == expect.toSeq,
+      s"mismatch: got ${got.take(3).toSeq} expect ${expect.take(3).toSeq}")
+  }
 }
