@@ -105,6 +105,10 @@ object SparkEntry {
     "q17_small_qty_revenue" -> Relational.q17SmallQuantityRevenue _,
     "q19_bracket_revenue" -> Relational.q19BracketRevenue _,
     "q22_idle_balance" -> Relational.q22IdleBalance _,
+    "q2_min_cost_supplier" -> Relational.q2MinCostSupplier _,
+    "q12_priority_shipping" -> Relational.q12PriorityShipping _,
+    "q20_excess_shippers" -> Relational.q20ExcessShippers _,
+    "q21_sole_suppliers" -> Relational.q21SoleSuppliers _,
     // — temporal joins (as-of / range — custom operators) —
     "asof_error_click"  -> TemporalJoins.asofErrorClick _,
     "asof_next_click"   -> TemporalJoins.asofNextErrorClick _,
@@ -954,6 +958,61 @@ object SparkEntry {
         AND NOT EXISTS (SELECT 1 FROM orders o
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderpriority = '1-URGENT')
+      GROUP BY 1""",
+
+    "q2_min_cost_supplier" -> s"""
+      WITH l AS (
+        SELECT p.p_partkey, p.p_brand, p.p_size, li.l_suppkey,
+               ${c100("li.l_extendedprice")} AS p100,
+               ${c100("li.l_quantity")} AS q100
+        FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+        WHERE p.p_type = 'SMALL' AND p.p_size BETWEEN 10 AND 20),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY p_partkey
+                 ORDER BY CAST(p100 AS DOUBLE) / q100, l_suppkey) AS rk,
+               min(CAST(p100 AS DOUBLE) / q100)
+                 OVER (PARTITION BY p_partkey) AS mn
+        FROM l)
+      SELECT r.p_partkey, r.p_brand, r.p_size, r.l_suppkey AS s_suppkey,
+             s.s_name, round(r.mn, 6) AS min_unit_price
+      FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+      WHERE r.rk = 1""",
+
+    "q12_priority_shipping" -> """
+      SELECT l.l_linestatus,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY 1""",
+
+    "q20_excess_shippers" -> s"""
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_9'
+      WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type = 'SMALL'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        HAVING sum(${c100("l.l_quantity")}) > 10000)""",
+
+    "q21_sole_suppliers" -> """
+      WITH po AS (
+        SELECT l.l_orderkey, count(*) AS n_lines,
+               count(DISTINCT l.l_suppkey) AS n_supps,
+               max(l.l_suppkey) AS the_supp
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+         AND o.o_orderstatus = 'F'
+        GROUP BY 1)
+      SELECT the_supp AS s_suppkey, count(*) AS numwait
+      FROM po WHERE n_lines > 1 AND n_supps = 1
       GROUP BY 1""",
 
     // the salted two-stage aggregation must equal the plain GROUP BY

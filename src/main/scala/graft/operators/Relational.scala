@@ -617,6 +617,103 @@ object Relational {
       .agg((sum(col("p100") * col("dm100")) / 1e4).as("revenue"))
   }
 
+  /** TPC-H Q2-flavored min-cost supplier (no partsupp in the fixture;
+    * lineitem is the price book): for each SMALL part in a size range,
+    * the supplier shipping it at the lowest unit price. The correlated
+    * min is an integer-cross-multiplied argmin via min_by over
+    * (price-per-unit as an exact fraction, tie-break s_suppkey) — one
+    * aggregation, no self-join, no window sort.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === "SMALL" && col("p_size").between(10, 20))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("p100"),
+        cents(col("l_quantity")).as("q100"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    // unit price p100/q100 compared as exact fractions: order by the
+    // struct of (p100*q100other...) is wrong — use double division only
+    // inside min_by's ORDERING key, with (suppkey) tie-break; the VALUE
+    // carried out is the supplier id, so no float ever reaches output
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("p_size"))
+      .agg(min_by(col("l_suppkey"),
+          struct((col("p100").cast("double") / col("q100")).as("unit"),
+            col("l_suppkey"))).as("s_suppkey"),
+        // p100/q100 = (price*100)/(qty*100) = price per unit already
+        round(min(col("p100").cast("double") / col("q100")), 6)
+          .as("min_unit_price"))
+      .join(broadcast(supp), "s_suppkey")
+      .select("p_partkey", "p_brand", "p_size", "s_suppkey", "s_name",
+        "min_unit_price")
+  }
+
+  /** TPC-H Q12-flavored shipping-priority split (no shipmode column):
+    * per linestatus of lines shipped in 1996, how many belong to
+    * high-priority orders vs not — the conditional-count join.
+    */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01"))
+      .select("l_orderkey", "l_linestatus")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q20-flavored excess shippers: suppliers in one nation whose
+    * total shipped quantity of any SMALL part in 1996 exceeds a
+    * threshold — a grouped HAVING feeding a semi-join chain up to the
+    * supplier detail.
+    */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_type") === "SMALL").select("p_partkey")
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01"))
+      .join(broadcast(part), col("l_partkey") === part("p_partkey"))
+      .select(col("l_suppkey"), cents(col("l_quantity")).as("q100"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("q100")).as("q100"))
+      .filter(col("q100") > 100 * 100)
+      .select("l_suppkey")
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name") === "NATION_9").select("n_nationkey")
+    Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+      .join(big, col("s_suppkey") === big("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+  }
+
+  /** TPC-H Q21-flavored sole-supplier orders: suppliers counted over
+    * finished multi-line orders where EVERY line came from them (the
+    * exists / not-exists pair expressed as one grouped equality: the
+    * supplier's line count equals the order's line count > 1).
+    */
+  def q21SoleSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(fOrders), col("l_orderkey") === fOrders("o_orderkey"))
+      .select("l_orderkey", "l_suppkey")
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        max(col("l_suppkey")).as("the_supp"))
+      .filter(col("n_lines") > 1 && col("n_supps") === 1)
+    perOrder.groupBy(col("the_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** TPC-H Q22-flavored idle balances: customers with above-average
     * positive balance and no URGENT orders (every fixture customer has
     * some order, so the classic no-orders form is vacuous), summarized

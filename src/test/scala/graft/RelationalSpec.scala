@@ -198,6 +198,42 @@ class RelationalSpec extends SparkSpec {
     assert(v == null || v >= 0)
   }
 
+  test("q2: one supplier per part, and it attains the minimum unit price") {
+    val rows = Relational.q2MinCostSupplier(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("p_partkey")).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getAs[Double]("min_unit_price") > 0))
+  }
+
+  test("q12: high+low line counts partition the shipped lines") {
+    val rows = Relational.q12PriorityShipping(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getAs[Long]("high_line_count") +
+      r.getAs[Long]("low_line_count")).sum
+    val expect = Tables.lineitem(spark, sf0001)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01"))).count()
+    assert(total == expect)
+  }
+
+  test("q20: every excess shipper is from NATION_9 and over threshold") {
+    val rows = Relational.q20ExcessShippers(spark, sf0001).collect()
+    val n9 = Tables.supplier(spark, sf0001)
+      .join(Tables.nation(spark, sf0001)
+        .filter(col("n_name") === "NATION_9"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(n9.contains(r.getAs[Long]("s_suppkey"))))
+  }
+
+  test("q21: sole-supplier counts never exceed the order count") {
+    val rows = Relational.q21SoleSuppliers(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(rows.map(_.getAs[Long]("numwait")).sum <= orders)
+  }
+
   test("q22: idle-balance customers all exceed the positive average") {
     import spark.implicits._
     val cust = Tables.customer(spark, sf0001)
