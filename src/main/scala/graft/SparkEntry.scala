@@ -106,6 +106,8 @@ object SparkEntry {
     "q19_bracket_revenue" -> Relational.q19BracketRevenue _,
     "q22_idle_balance" -> Relational.q22IdleBalance _,
     "q2_min_cost_supplier" -> Relational.q2MinCostSupplier _,
+    "lateral_top_orders" -> Relational.lateralTopOrders _,
+    "scalar_subquery_max_qty" -> Relational.scalarSubqueryMaxQty _,
     "q12_priority_shipping" -> Relational.q12PriorityShipping _,
     "q20_excess_shippers" -> Relational.q20ExcessShippers _,
     "q21_sole_suppliers" -> Relational.q21SoleSuppliers _,
@@ -959,6 +961,25 @@ object SparkEntry {
                         WHERE o.o_custkey = c.c_custkey
                           AND o.o_orderpriority = '1-URGENT')
       GROUP BY 1""",
+
+    "lateral_top_orders" -> """
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders x
+        WHERE x.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2) o ON true
+      WHERE c.c_mktsegment = 'BUILDING'""",
+
+    "scalar_subquery_max_qty" -> """
+      SELECT o.o_orderkey,
+             (SELECT CAST(round(max(l.l_quantity) * 100) AS BIGINT)
+              FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey) AS max_qty100
+      FROM orders o
+      WHERE o.o_orderpriority = '1-URGENT'""",
 
     "q2_min_cost_supplier" -> s"""
       WITH l AS (

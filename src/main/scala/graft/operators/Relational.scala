@@ -617,6 +617,42 @@ object Relational {
       .agg((sum(col("p100") * col("dm100")) / 1e4).as("revenue"))
   }
 
+  /** LATERAL join: each BUILDING customer's top-2 orders by value — the
+    * correlated-subquery-with-LIMIT shape Catalyst plans via
+    * DomainJoin/rewrite into a ranked join (per-customer top-k without a
+    * global window over all customers).
+    */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_lat")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_lat")
+    spark.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer_lat c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders_lat x
+        WHERE x.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2) o
+      WHERE c.c_mktsegment = 'BUILDING'""")
+  }
+
+  /** Correlated scalar subquery in the projection: each order annotated
+    * with its largest line quantity (NULL when no lines) — Catalyst's
+    * scalar-subquery-to-aggregate-join rewrite.
+    */
+  def scalarSubqueryMaxQty(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_ssq")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_ssq")
+    spark.sql("""
+      SELECT o.o_orderkey,
+             (SELECT CAST(round(max(l.l_quantity) * 100) AS BIGINT)
+              FROM lineitem_ssq l
+              WHERE l.l_orderkey = o.o_orderkey) AS max_qty100
+      FROM orders_ssq o
+      WHERE o.o_orderpriority = '1-URGENT'""")
+  }
+
   /** TPC-H Q2-flavored min-cost supplier (no partsupp in the fixture;
     * lineitem is the price book): for each SMALL part in a size range,
     * the supplier shipping it at the lowest unit price. The correlated

@@ -234,6 +234,33 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("numwait")).sum <= orders)
   }
 
+  test("lateral: at most 2 orders per customer, descending within") {
+    val rows = Relational.lateralTopOrders(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("c_custkey")).values.foreach { os =>
+      assert(os.length <= 2)
+      val ps = os.map(_.getAs[Double]("o_totalprice"))
+      assert(ps.sameElements(ps.sortBy(-(_: Double))))
+    }
+  }
+
+  test("scalar subquery: max quantity matches a grouped-join recompute") {
+    val got = Relational.scalarSubqueryMaxQty(spark, sf0001)
+    val expect = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.lineitem(spark, sf0001)
+          .groupBy(col("l_orderkey"))
+          .agg(max(round(col("l_quantity") * 100).cast("long")).as("mx")),
+        col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"), col("mx").as("max_qty100"))
+    // compare driver-side: unioning the subquery-rewritten plan with the
+    // grouped-join plan (what exceptAll does) trips a Catalyst
+    // constraint-propagation bug (key not found in AttributeMap)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    assert(got.collect().map(key).toSet == expect.collect().map(key).toSet)
+  }
+
   test("q22: idle-balance customers all exceed the positive average") {
     import spark.implicits._
     val cust = Tables.customer(spark, sf0001)
