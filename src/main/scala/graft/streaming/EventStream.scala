@@ -140,6 +140,21 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Watermarked streaming sessionization via the NATIVE session_window
+    * aggregate (the declarative sibling of [[sessionize]]'s keyed-state
+    * form): sessions merge inside the aggregation and close — emit in
+    * append mode — once the watermark passes their end. Same output
+    * shape as the batch [[graft.operators.EventOps.sessionsNative]].
+    */
+  def sessionWindowAgg(stream: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+        count(lit(1)).as("n_events"),
+        (sum(graft.functions.ExactNum.cents(col("value"))) / 100.0).as("sum_value"))
+      .select("user_id", "session_start_us", "n_events", "sum_value")
+
   /** Micro-batch lakehouse sink: each batch keyed-upserts into a parquet
     * target (stream -> foreachBatch -> MERGE — the standard CDC/ingest
     * pattern when the sink is a table, not an append log). Within a

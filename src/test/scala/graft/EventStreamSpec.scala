@@ -156,6 +156,37 @@ class EventStreamSpec extends SparkSpec {
       s"expected one row per event_id, got $n")
   }
 
+  test("streaming session_window equals the batch native sessions") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val source = MemoryStream[Ev](spark, numPartitions = 1)
+    val q = EventStream.sessionWindowAgg(source.toDF())
+      .writeStream.format("memory").queryName("swin_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-sw").toString)
+      .start()
+    def sentinel(off: Long) = Ev(9100000L + off,
+      new java.sql.Timestamp(maxTs + off * 3600L * 1000), 999999L, "x", 0.0)
+    try {
+      source.addData(evs: _*); q.processAllAvailable()
+      source.addData(sentinel(2)); q.processAllAvailable() // advance watermark
+      source.addData(sentinel(4)); q.processAllAvailable() // close sessions
+    } finally q.stop()
+    val streamed = spark.table("swin_stream")
+      .filter(col("user_id") =!= 999999L)
+      .orderBy("user_id", "session_start_us").collect()
+    val batch = graft.operators.EventOps.sessionsNative(spark, sf0001)
+      .orderBy("user_id", "session_start_us").collect()
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} vs batch ${batch.length} sessions")
+    assert(streamed.sameElements(batch))
+  }
+
   test("foreachBatch upsert sink merges micro-batches into the parquet target") {
     import spark.implicits._
     val target = Files.createTempDirectory("graft-up-sink").toString + "/table"
