@@ -30,10 +30,36 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, run: () => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run() catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    // Index/profile caches (IndexCache) are built once per dataset and
+    // reused by MANY queries — charge each build to its own
+    // bench_build_* row, so the eval/search queries below measure
+    // search, not whichever Map entry first touched a cold cache.
+    // (Each build row includes one small search pass — the cheapest way
+    // to force full materialization through the public entry points.)
+    val builds = if (only.isDefined) Seq.empty[(String, Double)] else Seq(
+      timed("bench_build_exact_gt",
+        () => knn.ExactKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_hnsw",
+        () => knn.HnswKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_ivf",
+        () => knn.IvfKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_pq",
+        () => knn.PqKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_ivfpq",
+        () => knn.IvfPqKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_rp",
+        () => knn.RandomProjection.topKBatch(spark, sfDir).count()),
+      timed("bench_build_langid",
+        () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
+      timed("bench_build_grams",
+        () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()))
+    val results = builds ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed(name, () => fn(spark, sfDir).count())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

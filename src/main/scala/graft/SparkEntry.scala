@@ -38,6 +38,9 @@ object SparkEntry {
     // queries below + HnswSpec (the reference's own pattern, main.rs:89-93)
     "knn_hnsw_single" -> ((s, d) => HnswKnn.topKSingle(s, d)),
     "knn_hnsw_batch"  -> ((s, d) => HnswKnn.topKBatch(s, d)),
+    // build -> save -> load -> search as ONE declared query: proves a
+    // reloaded checkpoint answers identically (HnswSpec pins equality)
+    "knn_hnsw_lifecycle" -> ((s, d) => HnswKnn.topKBatchLifecycle(s, d)),
     "eval_recall_exact_self" -> ((s, d) => {
       val ex = ExactKnn.topKBatch(s, d).select("qid", "vec_id")
       Evaluation.recall(ex, ex)
@@ -109,6 +112,8 @@ object SparkEntry {
     "lateral_top_orders" -> Relational.lateralTopOrders _,
     "scalar_subquery_max_qty" -> Relational.scalarSubqueryMaxQty _,
     "q12_priority_shipping" -> Relational.q12PriorityShipping _,
+    "q9_profit_by_nation" -> Relational.q9ProfitByNation _,
+    "q11_important_parts" -> Relational.q11ImportantParts _,
     "q20_excess_shippers" -> Relational.q20ExcessShippers _,
     "q21_sole_suppliers" -> Relational.q21SoleSuppliers _,
     // — temporal joins (as-of / range — custom operators) —
@@ -123,6 +128,10 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "neardup_embedding"   -> ((s, d) => Dedup.embeddingNearDupExact(s, d)),
+    // the scale path: banded LSH candidates + exact verification; band
+    // geometry makes the seeded output equal the exact pair set, so it
+    // shares the exact query's oracle (DedupSpec proves set equality)
+    "neardup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLshQuery(s, d)),
     "dedup_clusters"      -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // — text analysis (training-data pipeline ops) —
     "text_tokens"      -> TextOps.tokenCounts _,
@@ -133,6 +142,9 @@ object SparkEntry {
     "text_langid_ngram" -> ((s, d) => TextOps.languageIdNgram(s, d)),
     "text_fingerprint" -> TextOps.fingerprints _,
     "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // arbitrary-term-list BM25 (exploded ⨝ broadcast-terms plan); the
+    // oracle is generated for the same 8-term query below
+    "text_bm25_general" -> ((s, d) => TextOps.bm25TopKGeneral(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —
@@ -166,6 +178,39 @@ object SparkEntry {
   /** 2-decimal column -> exact integer cents (mirror of ExactNum.cents). */
   private def c100(col: String): String =
     s"CAST(round($col*100) AS BIGINT)"
+
+  /** BM25 oracle for an arbitrary term list — the same per-term
+    * arithmetic and left-to-right `t0 + t1 + ...` fold as the
+    * text_bm25_topk oracle, generated per term (k1=1.2, b=0.75).
+    * Matches TextOps.bm25TopKExploded bit-for-bit: absent terms add an
+    * exact 0.0, so the exploded term-index-ordered fold is the same
+    * IEEE sum.
+    */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n               ")
+    val dfDefs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n                   ")
+    val scoreSum = terms.indices.map(i => s"""
+            ln(CAST(1.0 AS DOUBLE) + (n - df$i + CAST(0.5 AS DOUBLE)) / (df$i + CAST(0.5 AS DOUBLE)))
+              * CAST(tf$i AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+              / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                 (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))""")
+      .mkString("\n          +")
+    s"""
+      WITH s AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               $tfDefs
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      g AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+                   $dfDefs
+            FROM s),
+      sc AS (SELECT doc_id, round($scoreSum, 6) AS score FROM s, g)
+      SELECT doc_id, score FROM sc WHERE score > 0
+      ORDER BY score DESC, doc_id ASC LIMIT $k"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "knn_exact_single" -> s"""
@@ -310,6 +355,22 @@ object SparkEntry {
       SELECT doc.doc_id, least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
       FROM documents doc LEFT JOIN m ON doc.doc_id = m.s""",
 
+    // same oracle as neardup_embedding: the banded-LSH candidates +
+    // exact verification recover the identical pair set (seeded planes,
+    // miss probability ~1.6e-5 per pair at the 64x4 geometry)
+    "neardup_embedding_lsh" -> """
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings)
+      SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(greatest(
+                 list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) /
+                 (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
+                  sqrt(list_sum(list_transform(b.v, x -> x*x)))), 0), 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      WHERE sim >= 0.4""",
+
     "neardup_embedding" -> """
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -410,6 +471,8 @@ object SparkEntry {
         FROM s, g)
       SELECT doc_id, score FROM sc WHERE score > 0
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    "text_bm25_general" -> bm25Sql(TextOps.bm25GeneralTerms, 20),
 
     // k smallest distinct portable hashes -> same KMV estimate formula
     "sketch_distinct_ngrams" -> """
@@ -998,6 +1061,32 @@ object SparkEntry {
              s.s_name, round(r.mn, 6) AS min_unit_price
       FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
       WHERE r.rk = 1""",
+
+    "q9_profit_by_nation" -> s"""
+      SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+             sum(${c100("l.l_extendedprice")} * ${c100("(1 - l.l_discount)")}
+                 - ${c100("p.p_retailprice")} * ${c100("l.l_quantity")})
+               / CAST(10000 AS DOUBLE) AS profit
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%a%'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2""",
+
+    "q11_important_parts" -> s"""
+      WITH pp AS (
+        SELECT l.l_partkey AS p_partkey,
+               sum(${c100("l.l_extendedprice")} * ${c100("l.l_quantity")}) AS v10k
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+         AND n.n_name = 'NATION_3'
+        GROUP BY 1),
+      t AS (SELECT sum(v10k) AS total10k FROM pp)
+      SELECT pp.p_partkey, pp.v10k / CAST(10000 AS DOUBLE) AS value
+      FROM pp, t
+      WHERE pp.v10k * 1000 > t.total10k""",
 
     "q12_priority_shipping" -> """
       SELECT l.l_linestatus,

@@ -153,14 +153,15 @@ object HnswKnn {
   /** Per-shard top-k candidates for every held-out query (one-shot
     * build + search). Output: (qid, vec_id, dist rounded 6, rk),
     * rk <= k — same shape as [[ExactKnn.topKBatch]] so the two are
-    * directly joinable for recall.
+    * directly joinable for recall. The query split reaches the driver
+    * in blocks of at most `maxQueryBatch` rows ([[QueryBlocks]]), never
+    * whole.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10, ef: Int = 100,
-      shards: Int = 16): DataFrame = {
+      shards: Int = 16,
+      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
     import spark.implicits._
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
-    val qs: Array[(Long, Array[Double])] =
-      queries.as[(Long, Array[Double])].collect()
     // build once per dataset, search many (single/batch/recall all reuse
     // the same persisted shard graphs — k and ef are search-time knobs)
     val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
@@ -168,7 +169,35 @@ object HnswKnn {
       ix.graphs.count()
       ix
     }
-    searchIndex(index, qs, k, ef)
+    QueryBlocks.chunked(queries.as[(Long, Array[Double])], maxQueryBatch)(
+      qs => searchIndex(index, qs, k, ef))
+  }
+
+  /** Declared end-to-end index LIFECYCLE: build (or reuse) the shard
+    * graphs, checkpoint them with [[saveIndex]], [[loadIndex]] the
+    * checkpoint, and search every held-out query with the RELOADED
+    * index (`/root/reference/src/index.rs:7-9`'s trait surface as one
+    * query). Output: (qid, vec_id, dist, rk) — bit-equal to
+    * [[topKBatch]]: the checkpoint round-trip must not change a single
+    * neighbor (HnswSpec pins the equality; the driver's correctness
+    * row re-proves the reloaded index answers every round).
+    */
+  def topKBatchLifecycle(spark: SparkSession, dir: String, k: Int = 10,
+      ef: Int = 100, shards: Int = 16,
+      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
+    import spark.implicits._
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
+      val ix = buildIndex(base, shards).persist()
+      ix.graphs.count()
+      ix
+    }
+    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-hnsw-lifecycle-${Integer.toHexString(dir.hashCode)}-$shards"
+    saveIndex(index, path)
+    val reloaded = loadIndex(spark, path)
+    QueryBlocks.chunked(queries.as[(Long, Array[Double])], maxQueryBatch)(
+      qs => searchIndex(reloaded, qs, k, ef))
   }
 
   /** Single-query form (the reference's `query[29]` search,

@@ -23,11 +23,14 @@ import graft.IndexCache
 object IvfPqKnn {
 
   /** Top-k for every held-out query. Output: (qid, vec_id, dist
-    * rounded 6, rk) — same shape as [[ExactKnn.topKBatch]].
+    * rounded 6, rk) — same shape as [[ExactKnn.topKBatch]]. The query
+    * split reaches the driver in blocks of at most `maxQueryBatch`
+    * rows ([[QueryBlocks]]), never whole.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       nCentroids: Int = 0, nprobe: Int = 0, m: Int = 8, ksub: Int = 256,
-      overfetch: Int = 16): DataFrame = {
+      overfetch: Int = 16,
+      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
     import spark.implicits._
     val (base, queries, _, n) = ExactKnn.split(spark, dir)
     val nC = if (nCentroids > 0) nCentroids
@@ -46,38 +49,42 @@ object IvfPqKnn {
         (cs, books, coded)
       }
 
-    val qs = queries.select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].collect()
-    // probe routing + one ADC lookup table per query, grouped by cid
-    val byCid: Map[Int, Array[(Long, Array[Array[Double]])]] = qs
-      .flatMap { case (qid, qv) =>
-        val lut = PqKnn.queryLut(cb, qv)
-        IvfKnn.probeCids(centroids, qv, nP).map(c => (c, (qid, lut)))
-      }
-      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-    val bc = spark.sparkContext.broadcast(byCid)
-
-    val scored = lists.select(col("vec_id"), col("codes"), col("cid"))
-      .as[(Long, Array[Byte], Int)]
-      .mapPartitions { it =>
-        val probers = bc.value
-        it.flatMap { case (id, codes, cid) =>
-          probers.getOrElse(cid, Array.empty[(Long, Array[Array[Double]])])
-            .iterator.map { case (qid, lut) =>
-              (qid, id, 1.0 - math.max(PqKnn.adcSim(lut, codes), 0.0))
-            }
+    def searchBlock(qs: Array[(Long, Array[Double])]): DataFrame = {
+      // probe routing + one ADC lookup table per query, grouped by cid
+      val byCid: Map[Int, Array[(Long, Array[Array[Double]])]] = qs
+        .flatMap { case (qid, qv) =>
+          val lut = PqKnn.queryLut(cb, qv)
+          IvfKnn.probeCids(centroids, qv, nP).map(c => (c, (qid, lut)))
         }
-      }.toDF("qid", "vec_id", "approx_dist")
-    val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
-      Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
-      .select("qid", "vec_id")
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+      val bc = spark.sparkContext.broadcast(byCid)
 
-    val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
-      .toDF("qid", "qvec"))
-    val exact = cand.join(base, "vec_id").join(bq, "qid")
-      .select(col("qid"), col("vec_id"),
-        ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-    graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
-      Seq("dist" -> true, "vec_id" -> true), k)
+      val scored = lists.select(col("vec_id"), col("codes"), col("cid"))
+        .as[(Long, Array[Byte], Int)]
+        .mapPartitions { it =>
+          val probers = bc.value
+          it.flatMap { case (id, codes, cid) =>
+            probers.getOrElse(cid, Array.empty[(Long, Array[Array[Double]])])
+              .iterator.map { case (qid, lut) =>
+                (qid, id, 1.0 - math.max(PqKnn.adcSim(lut, codes), 0.0))
+              }
+          }
+        }.toDF("qid", "vec_id", "approx_dist")
+      val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+        Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
+        .select("qid", "vec_id")
+
+      val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+        .toDF("qid", "qvec"))
+      val exact = cand.join(base, "vec_id").join(bq, "qid")
+        .select(col("qid"), col("vec_id"),
+          ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+      graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
+        Seq("dist" -> true, "vec_id" -> true), k)
+    }
+
+    QueryBlocks.chunked(
+      queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])],
+      maxQueryBatch)(searchBlock)
   }
 }

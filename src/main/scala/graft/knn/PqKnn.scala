@@ -154,10 +154,14 @@ object PqKnn {
 
   /** Top-k for every held-out query: PQ-scored overfetch over the code
     * table, then exact re-rank of the candidates. Output: (qid, vec_id,
-    * dist rounded 6, rk) — same shape as [[ExactKnn.topKBatch]].
+    * dist rounded 6, rk) — same shape as [[ExactKnn.topKBatch]]. The
+    * query split reaches the driver in blocks of at most
+    * `maxQueryBatch` rows ([[QueryBlocks]]), never whole — the LUTs
+    * broadcast per block, not per batch.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
-      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 256, overfetch: Int = 16,
+      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
     import spark.implicits._
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val (cb, codes) = IndexCache.getOrBuild(spark, s"pq:$dir:$m:$ksub") {
@@ -166,29 +170,34 @@ object PqKnn {
       enc.count()
       (b, enc)
     }
-    val qs = queries.select(col("vec_id"), col("emb"))
-      .as[(Long, Array[Double])].collect()
-    val luts: Array[(Long, Array[Array[Double]])] =
-      qs.map { case (qid, qv) => qid -> queryLut(cb, qv) }
-    val bcLuts = spark.sparkContext.broadcast(luts)
-    val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
-      val ls = bcLuts.value
-      it.flatMap { case (id, cs) =>
-        ls.iterator.map { case (qid, lut) =>
-          (qid, id, 1.0 - math.max(adcSim(lut, cs), 0.0))
+
+    def searchBlock(qs: Array[(Long, Array[Double])]): DataFrame = {
+      val luts: Array[(Long, Array[Array[Double]])] =
+        qs.map { case (qid, qv) => qid -> queryLut(cb, qv) }
+      val bcLuts = spark.sparkContext.broadcast(luts)
+      val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+        val ls = bcLuts.value
+        it.flatMap { case (id, cs) =>
+          ls.iterator.map { case (qid, lut) =>
+            (qid, id, 1.0 - math.max(adcSim(lut, cs), 0.0))
+          }
         }
-      }
-    }.toDF("qid", "vec_id", "approx_dist")
-    val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
-      Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
-      .select("qid", "vec_id")
-    // exact re-rank of the overfetched candidates
-    val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
-      .toDF("qid", "qvec"))
-    val exact = cand.join(base, "vec_id").join(bq, "qid")
-      .select(col("qid"), col("vec_id"),
-        ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-    graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
-      Seq("dist" -> true, "vec_id" -> true), k)
+      }.toDF("qid", "vec_id", "approx_dist")
+      val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+        Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
+        .select("qid", "vec_id")
+      // exact re-rank of the overfetched candidates
+      val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
+        .toDF("qid", "qvec"))
+      val exact = cand.join(base, "vec_id").join(bq, "qid")
+        .select(col("qid"), col("vec_id"),
+          ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+      graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
+        Seq("dist" -> true, "vec_id" -> true), k)
+    }
+
+    QueryBlocks.chunked(
+      queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])],
+      maxQueryBatch)(searchBlock)
   }
 }

@@ -26,6 +26,28 @@ object Relational {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run a SQL template against per-call UNIQUE temp-view names, then
+    * drop them. `views` maps each placeholder (`$name` in the template)
+    * to its DataFrame. `spark.sql` resolves views eagerly, so the
+    * returned DataFrame stays valid after the drop — and two sessions
+    * (or two concurrent calls) sharing a JVM catalog can never clobber
+    * each other's registrations.
+    */
+  private def sqlWithViews(spark: SparkSession, views: (String, DataFrame)*)(
+      template: String): DataFrame = {
+    val id = viewSeq.incrementAndGet()
+    val named = views.map { case (n, df) => (n, s"${n}_$id", df) }
+    named.foreach { case (_, unique, df) => df.createOrReplaceTempView(unique) }
+    try spark.sql(named.foldLeft(template) {
+      case (t, (n, unique, _)) => t.replace("$" + n, unique)
+    })
+    finally named.foreach { case (_, unique, _) =>
+      spark.catalog.dropTempView(unique)
+    }
+  }
+
   /** TPC-H Q1-style pricing summary: scan + filter + hash agg. */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -104,18 +126,24 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
-  /** Windowed top-k: 5 highest-value orders per market segment
-    * (ranking window function over a broadcast-joined dim).
+  /** Top-k per group: 5 highest-value orders per market segment.
+    * `c_mktsegment` has 5 distinct values, so the window form
+    * (`row_number().over(partitionBy(c_mktsegment))`) would shuffle the
+    * whole orders table onto 5 reducers and fully sort each fifth for a
+    * top-5 answer — a scale-killer at 100 TB. The bounded-heap operator
+    * ([[graft.plans.TopKPerGroup]]) keeps O(groups x k) state per
+    * partition and never sorts, exactly like the kNN batch merge.
     */
   def topOrdersPerSegment(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    val joined = ord
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    graft.plans.GraftOps.topKPerGroup(joined, Seq("c_mktsegment"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 5,
+      partialFirst = true)
       .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
   }
 
@@ -153,18 +181,17 @@ object Relational {
     * priority). Everything else in this library is DataFrame-first;
     * this pins that the SQL surface works identically.
     */
-  def sqlRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
-    spark.sql("""
+  def sqlRevenueByPriority(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark,
+      "orders_v" -> Tables.orders(spark, dir),
+      "lineitem_v" -> Tables.lineitem(spark, dir))("""
       SELECT o.o_orderpriority,
              count(DISTINCT o.o_orderkey) AS n_orders,
              sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                  * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
                / CAST(10000 AS DOUBLE) AS revenue
-      FROM orders_v o JOIN lineitem_v l ON l.l_orderkey = o.o_orderkey
+      FROM $orders_v o JOIN $lineitem_v l ON l.l_orderkey = o.o_orderkey
       GROUP BY o.o_orderpriority""")
-  }
 
   /** Full outer join: per-nation customer count vs supplier count —
     * nations may have customers, suppliers, neither side's rows drop.
@@ -291,16 +318,14 @@ object Relational {
   /** GROUPING SETS: independent subtotals by returnflag and by
     * linestatus in one aggregation pass (neither rollup nor cube).
     */
-  def groupingSetsLineitem(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
-    spark.sql("""
+  def groupingSetsLineitem(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark, "lineitem_gs" -> Tables.lineitem(spark, dir))("""
       SELECT l_returnflag, l_linestatus,
              sum(CAST(round(l_quantity * 100) AS BIGINT))
                / CAST(100 AS DOUBLE) AS sum_qty,
              count(*) AS n
-      FROM lineitem_gs
+      FROM $lineitem_gs
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
-  }
 
   /** Generator/UDTF shape: positional token fan-out of the first 5
     * whitespace tokens per document (posexplode).
@@ -622,36 +647,34 @@ object Relational {
     * DomainJoin/rewrite into a ranked join (per-customer top-k without a
     * global window over all customers).
     */
-  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
-    Tables.customer(spark, dir).createOrReplaceTempView("customer_lat")
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_lat")
-    spark.sql("""
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark,
+      "customer_lat" -> Tables.customer(spark, dir),
+      "orders_lat" -> Tables.orders(spark, dir))("""
       SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
-      FROM customer_lat c
+      FROM $customer_lat c
       JOIN LATERAL (
         SELECT o_orderkey, o_totalprice
-        FROM orders_lat x
+        FROM $orders_lat x
         WHERE x.o_custkey = c.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey ASC
         LIMIT 2) o
       WHERE c.c_mktsegment = 'BUILDING'""")
-  }
 
   /** Correlated scalar subquery in the projection: each order annotated
     * with its largest line quantity (NULL when no lines) — Catalyst's
     * scalar-subquery-to-aggregate-join rewrite.
     */
-  def scalarSubqueryMaxQty(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders_ssq")
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_ssq")
-    spark.sql("""
+  def scalarSubqueryMaxQty(spark: SparkSession, dir: String): DataFrame =
+    sqlWithViews(spark,
+      "orders_ssq" -> Tables.orders(spark, dir),
+      "lineitem_ssq" -> Tables.lineitem(spark, dir))("""
       SELECT o.o_orderkey,
              (SELECT CAST(round(max(l.l_quantity) * 100) AS BIGINT)
-              FROM lineitem_ssq l
+              FROM $lineitem_ssq l
               WHERE l.l_orderkey = o.o_orderkey) AS max_qty100
-      FROM orders_ssq o
+      FROM $orders_ssq o
       WHERE o.o_orderpriority = '1-URGENT'""")
-  }
 
   /** TPC-H Q2-flavored min-cost supplier (no partsupp in the fixture;
     * lineitem is the price book): for each SMALL part in a size range,
@@ -769,5 +792,56 @@ object Relational {
       .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"), (sum(col("bal100")) / 100.0).as("totacctbal"))
+  }
+
+  /** TPC-H Q9-flavored profit by supplier nation and order year (no
+    * partsupp in the fixture: the part's retail price is the cost
+    * book, so profit = revenue − retailprice·qty, both in exact 1e-4
+    * units). Dims broadcast; lineitem⋈orders is the only fact-fact
+    * shuffle — the classic snowflake profit roll-up shape.
+    */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .filter(col("p_name").contains("a"))
+      .select(col("p_partkey"), cents(col("p_retailprice")).as("rp100"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("p100"),
+        cents(lit(1) - col("l_discount")).as("dm100"),
+        cents(col("l_quantity")).as("q100"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg((sum(col("p100") * col("dm100") - col("rp100") * col("q100")) / 1e4)
+        .as("profit"))
+  }
+
+  /** TPC-H Q11-flavored important parts: parts whose shipped value
+    * (from NATION_3 suppliers) exceeds 0.1% of that nation's total —
+    * per-part agg + one broadcast scalar, cutoff cross-multiplied to
+    * exact integers (v·1000 > Σv), no window, no second pass.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (cents(col("l_extendedprice")) * cents(col("l_quantity"))).as("v10k"))
+    val perPart = li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("v10k")).as("v10k"))
+    val total = perPart.agg(sum(col("v10k")).as("total10k"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("v10k") * 1000L > col("total10k"))
+      .select(col("p_partkey"), (col("v10k") / 1e4).as("value"))
   }
 }

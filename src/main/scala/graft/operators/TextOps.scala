@@ -257,6 +257,64 @@ object TextOps {
       .limit(k)
   }
 
+  /** BM25 over an ARBITRARY term list: the exploded (doc, term) ⨝
+    * broadcast-query-terms formulation. [[bm25TopK]] synthesizes one
+    * tf column per term — ideal for a literal handful, quadratic plan
+    * text for long queries. Here the corpus explodes once to (doc_id,
+    * token), joins the broadcast term table (any |terms|), and per-term
+    * contributions fold back per doc IN TERM-INDEX ORDER
+    * (`array_sort(collect_list(struct(tidx, c)))` + `aggregate`), so
+    * the floating-point sum is bit-identical to [[bm25TopK]]'s fixed
+    * `t0 + t1 + ...` fold — absent terms contribute an exact 0.0,
+    * which IEEE addition drops losslessly (TextOpsSpec pins equality
+    * on both the 3-term and 8-term queries).
+    *
+    * Scale shape: explode+join+groupBy is two shuffles of (doc_id,
+    * tidx) pairs for MATCHING tokens only; df and corpus stats are
+    * term-count-sized broadcasts. Nothing grows with |terms| except
+    * the broadcast term table.
+    */
+  def bm25TopKExploded(spark: SparkSession, dir: String,
+      terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val termsDf = broadcast(terms.zipWithIndex.toDF("term", "tidx"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val dl = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .join(termsDf, "term")
+      .groupBy(col("doc_id"), col("tidx")).agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy(col("tidx")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(sum(lit(1L)).as("n"), sum(col("dl")).as("sumdl"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfD = col("tf").cast("double")
+    val contrib = idf * tfD * (k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val perDoc = tf.join(broadcast(dfPerTerm), "tidx")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tidx"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("tidx"), col("c")))),
+        lit(0.0), (acc, x) => acc + x("c")).as("score"))
+    perDoc.select(col("doc_id"), round(col("score"), 6).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** The declared general-retrieval query: an 8-term request through
+    * the arbitrary-|terms| plan (same oracle arithmetic as
+    * [[bm25TopK]], generated per term list in SparkEntry).
+    */
+  val bm25GeneralTerms: Seq[String] = Seq(
+    "join", "window", "scan", "filter", "merge", "sort", "vector", "stream")
+
+  def bm25TopKGeneral(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKExploded(spark, dir, bm25GeneralTerms)
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, GraftColumn}
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 
 /** User-facing entry points for graft's custom operators. */
 object GraftOps {
@@ -19,7 +20,7 @@ object GraftOps {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int,
-      rkName: String = "rk"): DataFrame = {
+      rkName: String = "rk", partialFirst: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     GraftExtensions.installStrategy(spark)
     val child = df.queryExecution.analyzed
@@ -28,14 +29,21 @@ object GraftOps {
       child.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${child.output.map(_.name).mkString(", ")}"))
-    val node = TopKPerGroup(
-      groupCols.map(attr),
-      orderCols.map { case (n, asc) =>
-        SortOrder(attr(n), if (asc) Ascending else Descending)
-      },
-      k,
-      TopKPerGroup.rankAttribute(rkName),
-      child)
+    val groups = groupCols.map(attr)
+    val order = orderCols.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    // two-phase form for low-cardinality groups: a map-side heap prune
+    // (no shuffle; <= groups x k survivors per input partition) so the
+    // clustering shuffle below carries candidates, not the whole table
+    val pruned: LogicalPlan =
+      if (!partialFirst) child
+      else Project(child.output,
+        TopKPerGroup(groups, order, k,
+          TopKPerGroup.rankAttribute("_partial_" + rkName), child,
+          partial = true))
+    val node = TopKPerGroup(groups, order, k,
+      TopKPerGroup.rankAttribute(rkName), pruned)
     GraftColumn.ofRows(spark, node)
   }
 }

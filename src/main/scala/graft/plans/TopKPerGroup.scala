@@ -28,7 +28,8 @@ case class TopKPerGroup(
     orderExprs: Seq[SortOrder],
     k: Int,
     rkAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    partial: Boolean = false) extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output :+ rkAttr
 
@@ -39,19 +40,31 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
+/** `partial = true` is the map-side half of a two-phase top-k: it runs
+  * the same per-group heaps over whatever partitioning the child already
+  * has (no required distribution, so NO shuffle is inserted) and emits at
+  * most groups x k rows per partition. Feeding that into a final
+  * (partial = false) node means the clustering shuffle carries only the
+  * pruned candidates — for low-cardinality groups (5 market segments)
+  * that is the difference between shuffling the whole fact table onto 5
+  * reducers and shuffling partitions x 5 x k rows. Its rank column is an
+  * intra-partition artifact; callers drop it before the final pass.
+  */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
     rkAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rkAttr
 
   override def producedAttributes: AttributeSet = AttributeSet(rkAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
@@ -93,8 +106,8 @@ object TopKPerGroup {
 /** Plans the logical node; installed via [[GraftExtensions]]. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, rk, child) =>
-      TopKPerGroupExec(g, o, k, rk, planLater(child)) :: Nil
+    case TopKPerGroup(g, o, k, rk, child, partial) =>
+      TopKPerGroupExec(g, o, k, rk, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }

@@ -99,6 +99,13 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("sim") < 0.4 || col("sim") > 1.0).count() == 0)
   }
 
+  test("declared LSH near-dup equals the exact pair set on the fixture") {
+    val exact = Dedup.embeddingNearDupExact(spark, sf0001, 0.4)
+    val lsh = Dedup.embeddingNearDupLshQuery(spark, sf0001, 0.4)
+    assert(lsh.exceptAll(exact).count() == 0, "LSH emitted a non-exact pair")
+    assert(exact.exceptAll(lsh).count() == 0, "LSH missed an exact pair")
+  }
+
   test("embedding LSH blocking recovers planted high-sim pairs") {
     import spark.implicits._
     // plant near-dups: tiny perturbations of 30 fixture vectors

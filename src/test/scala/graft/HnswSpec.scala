@@ -131,6 +131,14 @@ class HnswSpec extends SparkSpec {
     } finally index.unpersist()
   }
 
+  test("declared lifecycle query equals the in-memory batch, bit for bit") {
+    val inMemory = HnswKnn.topKBatch(spark, sf0001).collect().toSet
+    val lifecycle = HnswKnn.topKBatchLifecycle(spark, sf0001).collect().toSet
+    assert(lifecycle == inMemory,
+      "save->load->search must answer exactly like the in-memory index")
+    assert(inMemory.nonEmpty)
+  }
+
   test("evaluation identities: recall(X,X) = precision(X,X) = 1.0") {
     val ex = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
     assert(Evaluation.recall(ex, ex).collect()(0).getDouble(0) == 1.0)

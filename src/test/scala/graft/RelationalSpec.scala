@@ -273,4 +273,28 @@ class RelationalSpec extends SparkSpec {
     val n = rows.map(_.getAs[Long]("numcust")).sum
     assert(total / n > avg, "per-nation averages all exceed the global positive mean")
   }
+
+  test("q9: profit decomposes as revenue minus cost per (nation, year)") {
+    val rows = Relational.q9ProfitByNation(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every fixture nation ships parts; years within the orders range
+    assert(rows.map(_.getAs[Int]("o_year")).forall(y => y >= 1995 && y <= 2001))
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).distinct.length == rows.length)
+  }
+
+  test("q11: every important part exceeds 0.1% of the nation total") {
+    val rows = Relational.q11ImportantParts(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val values = rows.map(_.getAs[Double]("value"))
+    val total = Tables.lineitem(spark, sf0001)
+      .join(Tables.supplier(spark, sf0001)
+          .join(Tables.nation(spark, sf0001)
+            .filter(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        round(col("l_quantity") * 100).cast("long")).as("t"))
+      .head.getLong(0) / 1e4
+    assert(values.forall(_ > total / 1000.0))
+  }
 }

@@ -105,4 +105,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq,
       s"mismatch: got ${got.take(3).toSeq} expect ${expect.take(3).toSeq}")
   }
+
+  test("bm25 exploded form is bit-identical to the column form") {
+    // 3-term (the declared text_bm25_topk query) and 8-term (the
+    // declared text_bm25_general query) shapes both fold identically
+    for (terms <- Seq(Seq("join", "window", "scan"),
+                      TextOps.bm25GeneralTerms)) {
+      val cols = TextOps.bm25TopK(spark, sf0001, terms, k = 50).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expl = TextOps.bm25TopKExploded(spark, sf0001, terms, k = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(expl == cols, s"terms=$terms: exploded != column form")
+      assert(cols.nonEmpty)
+    }
+  }
 }

@@ -45,6 +45,53 @@ class TopKPerGroupSpec extends SparkSpec {
     df.count() // executes fine end-to-end
   }
 
+  test("partialFirst: same result, map-side prune feeds the shuffle") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (s"g${i % 5}", i.toDouble, i.toLong))
+      .toDF("g", "x", "id").repartition(7)
+    val plain = GraftOps.topKPerGroup(df, Seq("g"),
+      Seq("x" -> false, "id" -> true), k = 4)
+    val twoPhase = GraftOps.topKPerGroup(df, Seq("g"),
+      Seq("x" -> false, "id" -> true), k = 4, partialFirst = true)
+    assert(twoPhase.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(twoPhase).count() == 0)
+    val plan = twoPhase.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val execs = plan.collect { case e: TopKPerGroupExec => e }
+    assert(execs.exists(_.partial) && execs.exists(!_.partial),
+      s"expected partial + final TopKPerGroupExec pair in:\n$plan")
+    // the partial exec must run BELOW the clustering shuffle (map side);
+    // ignore the test's own repartition(7) round-robin exchange
+    val clustering = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.outputPartitioning.toString.contains("hashpartitioning") => e
+    }
+    assert(clustering.size == 1,
+      s"expected 1 hash shuffle, got ${clustering.size}:\n$plan")
+    assert(clustering.head.find {
+      case e: TopKPerGroupExec => e.partial; case _ => false
+    }.isDefined, s"partial exec not on the map side of the shuffle:\n$plan")
+  }
+
+  test("topOrdersPerSegment plans as heap top-k: no Sort, no Window") {
+    val df = graft.operators.Relational.topOrdersPerSegment(spark, sf0001)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case e: TopKPerGroupExec => e }.size == 2,
+      s"expected partial+final TopKPerGroupExec in:\n$plan")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"sort/window found in:\n$plan")
+    assert(df.count() == 25) // 5 segments x 5
+  }
+
   test("agrees with the window row_number form on the kNN workload") {
     val (base, queries, _, _) = ExactKnn.split(spark, sf0001)
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("emb").as("qvec")))
