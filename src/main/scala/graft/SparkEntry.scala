@@ -53,6 +53,10 @@ object SparkEntry {
       HnswKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     "knn_ivf_batch" -> ((s, d) => IvfKnn.topKBatch(s, d)),
+    // save (partitioned by cid) -> load -> probe: the reloaded scan
+    // prunes to the probed partitions (IvfKnnSpec pins PartitionFilters
+    // and bit-equality with the in-memory batch)
+    "knn_ivf_lifecycle" -> ((s, d) => IvfKnn.topKBatchLifecycle(s, d)),
     "eval_recall_ivf" -> ((s, d) => Evaluation.recall(
       IvfKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),

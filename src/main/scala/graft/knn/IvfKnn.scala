@@ -208,6 +208,37 @@ object IvfKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** Declared end-to-end IVF lifecycle: build (or reuse) the index,
+    * [[saveIndex]] it (inverted file PARTITIONED BY cid), [[loadIndex]]
+    * the checkpoint, and search every held-out query against the
+    * RELOADED index in bounded blocks. On the reloaded table each
+    * block's probe set is a literal cid list, so the scan prunes to
+    * nprobe partition directories (PartitionFilters — IvfKnnSpec pins
+    * it); output is bit-equal to [[topKBatch]].
+    */
+  def topKBatchLifecycle(spark: SparkSession, dir: String, k: Int = 10,
+      nCentroids: Int = 0, nprobe: Int = 0,
+      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
+    import spark.implicits._
+    val (base, queries, _, n) = ExactKnn.split(spark, dir)
+    val nC = if (nCentroids > 0) nCentroids
+             else math.max(4, math.sqrt(n.toDouble).toInt)
+    val nP = if (nprobe > 0) nprobe else math.max(2, nC / 2)
+    val index = IndexCache.getOrBuild(spark, s"ivf:$dir:$nC") {
+      val cs = trainCentroids(base, nC).map(_.toArray).toArray
+      val a = assignCids(base, cs).persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      IvfIndex(cs, a)
+    }
+    val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/graft-ivf-lifecycle-${Integer.toHexString(dir.hashCode)}-$nC"
+    saveIndex(index, path)
+    val reloaded = loadIndex(spark, path)
+    QueryBlocks.chunked(
+      queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])],
+      maxQueryBatch)(qs => searchIndex(reloaded, qs, k, nP))
+  }
+
   /** Top-k for every held-out query, probing `nprobe` of `nCentroids`
     * clusters (defaults: sqrt(n) centroids, a quarter of them probed).
     * Output: (qid, vec_id, dist rounded 6, rk) — same shape as

@@ -140,6 +140,38 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Shape the built-in rate sources' (timestamp, value) rows into the
+    * events schema, deterministically from the monotonic `value` alone
+    * (never the wall clock) — so a rate stream and a `spark.range`
+    * batch produce identical rows for parity testing.
+    */
+  def shapeSyntheticEvents(raw: DataFrame, startMs: Long): DataFrame =
+    raw.select(
+      col("value").as("event_id"),
+      timestamp_micros(lit(startMs) * 1000L + col("value") * 1000000L).as("ts"),
+      pmod(col("value"), lit(97L)).as("user_id"),
+      element_at(
+        typedLit(Seq("click", "view", "purchase", "error", "scroll")),
+        (pmod(col("value"), lit(5L)) + 1).cast("int")).as("event_type"),
+      (pmod(col("value") * 37L, lit(10000L)) / 100.0).as("value"))
+
+  /** Synthetic unbounded source: the built-in `rate-micro-batch` stream
+    * (deterministic rowsPerBatch, not wall-clock-paced) shaped into the
+    * events schema — the zero-egress stand-in for a Kafka topic. Every
+    * downstream plan ([[windowedAgg]], [[sessionize]], [[dedupEvents]])
+    * consumes this or a file/Kafka source interchangeably; swapping in
+    * Kafka is `format("kafka")` + the same shaping select over its
+    * (timestamp, value) projection.
+    */
+  def readSyntheticEventsStream(spark: SparkSession, rowsPerBatch: Int = 1000,
+      startMs: Long = 1700000000000L): DataFrame =
+    shapeSyntheticEvents(
+      spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rowsPerBatch)
+        .option("startTimestamp", startMs)
+        .load(),
+      startMs)
+
   /** Watermarked streaming sessionization via the NATIVE session_window
     * aggregate (the declarative sibling of [[sessionize]]'s keyed-state
     * form): sessions merge inside the aggregation and close — emit in

@@ -36,6 +36,30 @@ class EventStreamSpec extends SparkSpec {
     assert(stream.sameElements(batch))
   }
 
+  test("rate-source synthetic stream: windowed agg equals its batch twin") {
+    // one deterministic micro-batch from the rate-micro-batch source
+    val q = EventStream.windowedAgg(
+        EventStream.readSyntheticEventsStream(spark, rowsPerBatch = 1000),
+        "10 minutes", None)
+      .writeStream.format("memory").queryName("rate_agg_stream")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-rate").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination(60000) } finally { q.stop() }
+    val stream = spark.table("rate_agg_stream")
+      .orderBy("w_start", "event_type").collect()
+    // the batch twin: identical rows from spark.range via the same shaping
+    val batch = EventOps.windowedAgg(
+        EventStream.shapeSyntheticEvents(
+          spark.range(1000).toDF("value"), 1700000000000L),
+        "10 minutes", None)
+      .orderBy("w_start", "event_type").collect()
+    assert(stream.nonEmpty && stream.length == batch.length)
+    assert(stream.sameElements(batch))
+  }
+
   test("streaming sessionization equals the batch lag/prefix-sum sessions") {
     import spark.implicits._
     val evs = Tables.events(spark, sf0001)

@@ -54,6 +54,14 @@ class IvfKnnSpec extends SparkSpec {
       s"probe set not pruned: ${scan.metadata("PartitionFilters")}")
   }
 
+  test("declared ivf lifecycle query equals the in-memory batch, bit for bit") {
+    val inMemory = IvfKnn.topKBatch(spark, sf0001).collect().toSet
+    val lifecycle = IvfKnn.topKBatchLifecycle(spark, sf0001).collect().toSet
+    assert(lifecycle == inMemory,
+      "save->load->probe must answer exactly like the in-memory index")
+    assert(inMemory.nonEmpty)
+  }
+
   test("ivf incremental insert: new vectors land in probe-reachable clusters") {
     import spark.implicits._
     val (base, queries, splitAt, _) = ExactKnn.split(spark, sf0001)
