@@ -145,6 +145,8 @@ object SparkEntry {
     // vs the ground-truth lang column is gated in TextOpsSpec
     "text_langid_ngram" -> ((s, d) => TextOps.languageIdNgram(s, d)),
     "text_fingerprint" -> TextOps.fingerprints _,
+    "text_repetition"  -> TextOps.repetitionScores _,
+    "text_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
     // arbitrary-term-list BM25 (exploded ⨝ broadcast-terms plan); the
     // oracle is generated for the same 8-term query below
@@ -155,6 +157,7 @@ object SparkEntry {
     "pipeline_training_corpus" -> ((s, d) => Pipeline.trainingCorpus(s, d)),
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
     "pipeline_heavy_hitters" -> ((s, d) => Pipeline.heavyHitterTokens(s, d)),
+    "pipeline_pack_shards" -> ((s, d) => Pipeline.packShards(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -477,6 +480,66 @@ object SparkEntry {
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
 
     "text_bm25_general" -> bm25Sql(TextOps.bm25GeneralTerms, 20),
+
+    // repetition: same gram counting, list-comprehension grams; ratios
+    // computed on the same doubles and rounded once
+    "text_repetition" -> """
+      WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w)-1)]
+                    ELSE [] END AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      c AS (SELECT doc_id, len(grams) AS n_grams,
+                   len(list_distinct(grams)) AS n_distinct,
+                   CASE WHEN len(grams) > 0 THEN
+                     list_max(list_transform(list_distinct(grams),
+                       d -> len(list_filter(grams, x -> x = d))))
+                   ELSE 0 END AS top_count
+            FROM g)
+      SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+             CAST(n_distinct AS INT) AS n_distinct,
+             CASE WHEN n_grams > 0
+                  THEN round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6)
+                  ELSE 0.0 END AS dup_ratio,
+             CASE WHEN n_grams > 0
+                  THEN round(CAST(top_count AS DOUBLE) / n_grams, 6)
+                  ELSE 0.0 END AS top_gram_share
+      FROM c""",
+
+    "text_decontaminate" -> """
+      WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3
+                    THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in range(1, len(w)-1)])
+                    ELSE [] END AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      bench AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g
+                WHERE doc_id % 97 = 0),
+      corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                 WHERE doc_id % 97 <> 0),
+      shared AS (
+        SELECT doc_id, max(n_shared) AS max_shared FROM (
+          SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+          FROM corpus c JOIN bench b ON c.gram = b.gram
+          GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT g.doc_id,
+             CAST(coalesce(s.max_shared, 0) AS BIGINT) AS max_shared,
+             coalesce(s.max_shared, 0) >= 5 AS contaminated
+      FROM g LEFT JOIN shared s ON g.doc_id = s.doc_id
+      WHERE g.doc_id % 97 <> 0""",
+
+    "pipeline_pack_shards" -> """
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                     OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) // 2000 AS BIGINT) AS shard
+      FROM documents""",
 
     // k smallest distinct portable hashes -> same KMV estimate formula
     "sketch_distinct_ngrams" -> """

@@ -71,4 +71,29 @@ object Pipeline {
     graft.plans.GraftOps.topKPerGroup(counts, Seq("lang"),
       Seq("n" -> false, "token" -> true), k)
   }
+
+  /** Token-budget shard packing (the sequence-packing step that turns a
+    * kept corpus into fixed-size training shards): docs are laid out in
+    * deterministic (lang, doc_id) order and each doc's shard is the
+    * running token count BEFORE it divided by the budget — contiguous
+    * shards of ~`budgetTokens` whitespace tokens per language.
+    * Output: (lang, doc_id, n_tokens, shard).
+    *
+    * Scale note: the running sum is a window per LANGUAGE — a global
+    * ordering would serialize on one reducer; per-stratum packing is
+    * both the scalable and the semantically right unit (shards never
+    * mix languages). For finer parallelism, sub-bucket the stratum key
+    * (lang, hash(doc) % B) the same way.
+    */
+  def packShards(spark: SparkSession, dir: String,
+      budgetTokens: Long = 2000L): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("shard",
+        (coalesce(sum(col("n_tokens")).over(byLang), lit(0L)) / budgetTokens)
+          .cast("long"))
+  }
 }

