@@ -54,6 +54,8 @@ object Bench {
         () => knn.IvfPqKnn.topKBatch(spark, sfDir).count()),
       timed("bench_build_rp",
         () => knn.RandomProjection.topKBatch(spark, sfDir).count()),
+      timed("bench_build_sq",
+        () => knn.SqKnn.topKBatch(spark, sfDir).count()),
       timed("bench_build_langid",
         () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
       timed("bench_build_grams",

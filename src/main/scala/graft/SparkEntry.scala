@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, PqKnn, RandomProjection}
+import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, PqKnn, RandomProjection, SqKnn}
 import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -73,6 +73,10 @@ object SparkEntry {
     "knn_pq_batch" -> ((s, d) => PqKnn.topKBatch(s, d)),
     "eval_recall_pq" -> ((s, d) => Evaluation.recall(
       PqKnn.topKBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    "knn_sq_batch" -> ((s, d) => SqKnn.topKBatch(s, d)),
+    "eval_recall_sq" -> ((s, d) => Evaluation.recall(
+      SqKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     "knn_ivfpq_batch" -> ((s, d) => IvfPqKnn.topKBatch(s, d)),
     "eval_recall_ivfpq" -> ((s, d) => Evaluation.recall(
