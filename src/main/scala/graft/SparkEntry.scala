@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, PqKnn, RandomProjection, SqKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
+import graft.operators.{Dedup, Evaluation, EventOps, HybridSearch, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -155,6 +155,8 @@ object SparkEntry {
     // arbitrary-term-list BM25 (exploded ⨝ broadcast-terms plan); the
     // oracle is generated for the same 8-term query below
     "text_bm25_general" -> ((s, d) => TextOps.bm25TopKGeneral(s, d)),
+    // lexical + vector reciprocal-rank fusion over the same id space
+    "hybrid_rrf_topk" -> ((s, d) => HybridSearch.rrfTopK(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —
@@ -197,7 +199,10 @@ object SparkEntry {
     * exact 0.0, so the exploded term-index-ordered fold is the same
     * IEEE sum.
     */
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  /** The s/g/sc CTE bodies shared by the BM25 oracle and the hybrid
+    * fusion oracle (names prefixed bm_ to avoid collisions).
+    */
+  private def bm25Ctes(terms: Seq[String]): String = {
     val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(w, x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n               ")
@@ -210,18 +215,56 @@ object SparkEntry {
               / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE) *
                  (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / (CAST(sumdl AS DOUBLE) / n)))""")
       .mkString("\n          +")
-    s"""
-      WITH s AS (
+    s"""bm_s AS (
         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
                $tfDefs
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-      g AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+      bm_g AS (SELECT count(*) AS n, sum(dl) AS sumdl,
                    $dfDefs
-            FROM s),
-      sc AS (SELECT doc_id, round($scoreSum, 6) AS score FROM s, g)
-      SELECT doc_id, score FROM sc WHERE score > 0
-      ORDER BY score DESC, doc_id ASC LIMIT $k"""
+            FROM bm_s),
+      bm_sc AS (SELECT doc_id, round($scoreSum, 6) AS score FROM bm_s, bm_g)"""
   }
+
+  private def bm25Sql(terms: Seq[String], k: Int): String = s"""
+      WITH ${bm25Ctes(terms)}
+      SELECT doc_id, score FROM bm_sc WHERE score > 0
+      ORDER BY score DESC, doc_id ASC LIMIT $k"""
+
+  /** Reciprocal-rank fusion oracle: same two legs (BM25 at `depth`,
+    * exact cosine top-`depth` for held-out query 29) ranked and fused
+    * with every float constant cast to DOUBLE (DuckDB decimal-literal
+    * trap) and ranks cast to INT (Spark row_number type).
+    */
+  private def hybridRrfSql(terms: Seq[String], k: Int, depth: Int,
+      kRrf: Int): String = s"""
+      WITH ${bm25Ctes(terms)},
+      bm_top AS (SELECT doc_id, score FROM bm_sc WHERE score > 0
+                 ORDER BY score DESC, doc_id ASC LIMIT $depth),
+      bm_r AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS INT) AS bm25_rank
+               FROM bm_top),
+      e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s,
+                   count(*) AS c FROM e),
+      v_top AS (SELECT b.vec_id, $cosDistSql AS dist
+                FROM e b, e q, p
+                WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
+                ORDER BY dist, b.vec_id LIMIT $depth),
+      v_r AS (SELECT vec_id AS doc_id,
+                CAST(row_number() OVER (ORDER BY dist, vec_id) AS INT)
+                  AS vec_rank
+              FROM v_top)
+      SELECT coalesce(bm_r.doc_id, v_r.doc_id) AS doc_id,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (bm25_rank + $kRrf),
+                     CAST(0 AS DOUBLE))
+                 + coalesce(CAST(1.0 AS DOUBLE) / (vec_rank + $kRrf),
+                     CAST(0 AS DOUBLE)), 6) AS rrf,
+             bm25_rank, vec_rank
+      FROM bm_r FULL OUTER JOIN v_r ON bm_r.doc_id = v_r.doc_id
+      ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
 
   def oracleSql: Map[String, String] = Map(
     "knn_exact_single" -> s"""
@@ -484,6 +527,8 @@ object SparkEntry {
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
 
     "text_bm25_general" -> bm25Sql(TextOps.bm25GeneralTerms, 20),
+    "hybrid_rrf_topk" -> hybridRrfSql(TextOps.bm25GeneralTerms,
+      k = 20, depth = 100, kRrf = 60),
 
     // repetition: same gram counting, list-comprehension grams; ratios
     // computed on the same doubles and rounded once

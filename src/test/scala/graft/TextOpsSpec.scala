@@ -134,6 +134,22 @@ class TextOpsSpec extends SparkSpec {
     flagged.foreach(s => assert(s >= 5))
   }
 
+  test("hybrid rrf: fused score equals the rank identity on both legs") {
+    val rows = graft.operators.HybridSearch.rrfTopK(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val bm = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val vr = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(bm.isDefined || vr.isDefined)
+      val expect = bm.map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+        vr.map(x => 1.0 / (x + 60)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(1) - expect) < 1e-6)
+    }
+    // descending by fused score with doc_id tiebreak
+    val scores = rows.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(scores == scores.sorted)
+  }
+
   test("bm25 exploded form is bit-identical to the column form") {
     // 3-term (the declared text_bm25_topk query) and 8-term (the
     // declared text_bm25_general query) shapes both fold identically
