@@ -54,6 +54,16 @@ class ExactKnnSpec extends SparkSpec {
     assert(perQ.size == 10 && perQ.values.forall(_.length == 5))
   }
 
+  test("filtered top-k pushes the label predicate to the parquet scan") {
+    val plan = ExactKnn.topKBatchFiltered(spark, sf0001, label = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(label,3)"),
+      s"label filter not pushed to the scan:\n${plan.take(4000)}")
+    // and the scan must NOT read the text-sized columns it doesn't need
+    assert(!plan.contains("ReadSchema") || !plan.contains("struct<vec_id:bigint,label:int,embedding:array<float>,text"),
+      "scan reads more columns than the projection needs")
+  }
+
   test("a base point queried against the base returns itself first") {
     // exact-kNN self-query property (SURVEY.md §5.2)
     val (base, _, _, _) = ExactKnn.split(spark, sf0001)
