@@ -34,6 +34,7 @@ object SparkEntry {
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
     "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
+    "knn_exact_after_insert" -> ((s, d) => ExactKnn.topKAfterInsert(s, d)),
     // HNSW is approximate: no SQL oracle; quality is gated by the recall
     // queries below + HnswSpec (the reference's own pattern, main.rs:89-93)
     "knn_hnsw_single" -> ((s, d) => HnswKnn.topKSingle(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     // vs the ground-truth lang column is gated in TextOpsSpec
     "text_langid_ngram" -> ((s, d) => TextOps.languageIdNgram(s, d)),
     "text_fingerprint" -> TextOps.fingerprints _,
+    "text_pii_scrub"   -> TextOps.redact _,
     "text_repetition"  -> TextOps.repetitionScores _,
     "text_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
@@ -175,6 +177,7 @@ object SparkEntry {
     "events_json_stats" -> EventOps.jsonStats _,
     "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
     "events_quantiles" -> EventOps.valueQuantiles _,
+    "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -309,6 +312,20 @@ object SparkEntry {
             FROM e b, e q, p
             WHERE b.vec_id < p.s AND b.label = 3
               AND q.vec_id >= p.s AND q.vec_id < p.s + 50)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
+
+    "knn_exact_after_insert" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s95 FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s95
+              AND q.vec_id >= p.s95 AND q.vec_id < p.s95 + 20)
       SELECT qid, vec_id, dist,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
@@ -474,6 +491,23 @@ object SparkEntry {
              WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
         s_en, s_es, s_de, s_fr
       FROM s""",
+
+    // redaction oracle generated from the SAME pattern constants the
+    // Spark plan folds over (portable regex subset; DuckDB needs the
+    // explicit 'g' flag for global replace)
+    "text_pii_scrub" -> {
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      val ps = TextOps.redactionPatterns
+      val scrub = ps.foldLeft("text") { case (c, (pat, rep)) =>
+        s"regexp_replace($c, ${q(pat)}, ${q(rep)}, 'g')"
+      }
+      s"""
+      SELECT doc_id, $scrub AS scrubbed,
+             CAST(len(regexp_extract_all(text, ${q(ps(0)._1)})) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(text, ${q(ps(1)._1)})) AS INT) AS n_phones,
+             CAST(len(regexp_extract_all(text, ${q(ps(2)._1)})) AS INT) AS n_entities
+      FROM documents"""
+    },
 
     "text_fingerprint" -> """
       WITH h AS (
@@ -1253,6 +1287,14 @@ object SparkEntry {
              round(quantile_cont(${c100("value")}, 0.9) / 100.0, 6) AS p90,
              max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
+
+    "events_topk_amounts" -> """
+      SELECT event_type, event_id, value, rk FROM (
+        SELECT event_type, event_id, value,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS INT) AS rk
+        FROM events)
+      WHERE rk <= 5""",
 
     "events_json_stats" -> """
       SELECT event_type, count(*) AS n,

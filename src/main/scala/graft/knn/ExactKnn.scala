@@ -130,6 +130,35 @@ object ExactKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** `insert_many` then search (the reference's index mutation path,
+    * `/root/reference/src/index.rs:7-9` — build on a base, append more
+    * vectors, and every later search sees them): the base is the first
+    * 90% prefix, the 90–95% slab arrives through
+    * [[graft.sources.Ingest.insertMany]] (bag union), and the held-out
+    * queries search the union. The oracle phrases the same search over
+    * the full 95% prefix directly, so a hash-match proves the union is
+    * exactly an append (no dropped/duplicated rows, no schema drift).
+    * Output: (qid, vec_id, dist, rk) for the first `nq` queries.
+    */
+  def topKAfterInsert(spark: SparkSession, dir: String, k: Int = 10,
+      nq: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val n = Tables.embeddings(spark, dir).count()
+    val s90 = math.round(0.90 * n)
+    val s95 = math.round(0.95 * n)
+    val base = graft.sources.Ingest.insertMany(
+      emb.filter(col("vec_id") < s90),
+      emb.filter(col("vec_id") >= s90 && col("vec_id") < s95))
+    val q = broadcast(emb
+      .filter(col("vec_id") >= s95 && col("vec_id") < s95 + nq)
+      .select(col("vec_id").as("qid"), col("emb").as("qvec")))
+    val scored = base.crossJoin(q)
+      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** Top-k for EVERY held-out query at once (batch form of T1), via the
     * custom bounded-heap operator (graft.plans.TopKPerGroup) — one
     * shuffle on qid, O(queries x k) memory instead of a per-group sort.

@@ -93,6 +93,21 @@ object EventOps {
         round(percentile(col("c"), lit(0.9)) / 100.0, 6).as("p90"),
         (max(col("c")) / 100.0).as("max_value"))
 
+  /** Top-k highest-value events per type, via the bounded-heap operator
+    * in its two-phase form (map-side per-group prune, then one shuffle
+    * carrying only ≤ partitions × types × k survivors — `event_type` has
+    * 5 distinct values, exactly the low-cardinality skew case the
+    * partial pass exists for). The streaming twin maintaining the same
+    * leaderboard incrementally is
+    * [[graft.streaming.EventStream.streamTopKAmounts]]; both share this
+    * query's oracle.
+    */
+  def topAmounts(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    graft.plans.GraftOps.topKPerGroup(
+      Tables.events(spark, dir).select(col("event_type"), col("event_id"), col("value")),
+      Seq("event_type"), Seq("value" -> false, "event_id" -> true), k,
+      partialFirst = true)
+
   /** JSON extraction (`props` is a JSON string): per-type stats over the
     * extracted integer field `k`.
     */

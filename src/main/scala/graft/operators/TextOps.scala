@@ -385,6 +385,41 @@ object TextOps {
   def bm25TopKGeneral(spark: SparkSession, dir: String): DataFrame =
     bm25TopKExploded(spark, dir, bm25GeneralTerms)
 
+  /** Redaction patterns for [[redact]]: (regex, replacement) applied in
+    * order. Email/phone are the standard PII scrubs every training
+    * pipeline runs pre-tokenization; the entity-token pattern stands in
+    * for a dictionary-based NER scrub and — unlike the PII patterns —
+    * actually fires on the synthetic fixture (which carries no digits or
+    * @-signs), so the oracle check exercises a real rewrite. Patterns
+    * stay in the portable regex subset (character classes, counted
+    * repetition, word boundaries) shared by Java and RE2-style engines.
+    */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9][0-9()\\-. ]{7,}[0-9]" -> "<PHONE>",
+    "\\b(customer|supplier)\\b" -> "<ENTITY>")
+
+  /** PII / entity redaction — the scrub-before-training operator: count
+    * then replace every pattern occurrence, emitting the scrubbed text
+    * plus per-pattern hit counts. Map-only (no shuffle, no UDF — Spark's
+    * codegen'd `regexp_replace`/`regexp_count`), so it runs at scan
+    * speed and composes with any downstream pipeline stage. At 100 TB
+    * the counts side doubles as the audit table (how much PII did we
+    * remove, per source) with one extra aggregation.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = redactionPatterns.zipWithIndex.foldLeft(col("text")) {
+      case (c, ((pat, rep), _)) => regexp_replace(c, pat, rep)
+    }
+    val counts = redactionPatterns.map { case (pat, _) => regexp_count(col("text"), lit(pat)) }
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      scrubbed.as("scrubbed"),
+      counts(0).as("n_emails"),
+      counts(1).as("n_phones"),
+      counts(2).as("n_entities"))
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

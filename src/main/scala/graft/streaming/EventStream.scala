@@ -93,6 +93,46 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One leaderboard row from [[streamTopKAmounts]]. `upd` is the
+    * per-key state-update sequence number — on an unbounded stream the
+    * leaderboard is re-emitted every batch (Update mode), so the current
+    * standing for a key is its rows at `max(upd)`.
+    */
+  case class TopAmount(event_type: String, event_id: Long, value: Double,
+      rk: Int, upd: Long)
+
+  /** Bounded per-key top-k state: parallel (value, id) arrays kept
+    * best-first, never longer than k.
+    */
+  case class TopKState(upd: Long, vals: Seq[Double], ids: Seq[Long])
+
+  /** Running top-k highest-value events per event_type as keyed
+    * streaming state (`flatMapGroupsWithState`, Update mode, no
+    * timeout): each micro-batch folds its rows into a k-bounded
+    * leaderboard and re-emits the key's current standing. State is O(k)
+    * per key on unbounded input — the streaming analog of the
+    * [[graft.plans.TopKPerGroup]] bounded heap; the batch twin (and
+    * shared oracle) is [[graft.operators.EventOps.topAmounts]]. Ordering
+    * matches the batch form exactly: value DESC, event_id ASC tie-break.
+    */
+  def streamTopKAmounts(events: Dataset[Ev], k: Int = 5): Dataset[TopAmount] = {
+    import events.sparkSession.implicits._
+    def update(typ: String, rows: Iterator[Ev],
+        state: GroupState[TopKState]): Iterator[TopAmount] = {
+      val prev = state.getOption.getOrElse(TopKState(0L, Nil, Nil))
+      val merged = ((prev.vals zip prev.ids) ++ rows.map(e => (e.value, e.event_id)))
+        .sortBy { case (v, id) => (-v, id) } // batch is tiny vs stream lifetime; state stays O(k)
+        .take(k)
+      val seq = prev.upd + 1
+      state.update(TopKState(seq, merged.map(_._1), merged.map(_._2)))
+      merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+        TopAmount(typ, id, v, i + 1, seq)
+      }
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-stream interval self-join: every 'error' event joined to the
     * same user's 'click' events within +/- `withinMinutes` (event-time
     * range condition over two watermarked sides of one stream). The

@@ -95,6 +95,43 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming top-k leaderboard converges to the batch top-k over 3 batches") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val chunks = evs.grouped((evs.length + 2) / 3).toSeq // 3 micro-batches
+    val source = MemoryStream[Ev](spark, numPartitions = 2)
+    val q = EventStream.streamTopKAmounts(source.toDS(), k = 5)
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-topk").toString)
+      .start()
+    try {
+      chunks.foreach { c => source.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // final standing per key = its rows at max(upd); earlier emissions are
+    // intermediate leaderboards (each must itself be sorted and ≤ k long)
+    val all = spark.table("topk_stream")
+    val interim = all.groupBy("event_type", "upd").count().collect()
+    assert(interim.forall(_.getLong(2) <= 5))
+    val finalStanding = all
+      .withColumn("mx", max(col("upd")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .filter(col("upd") === col("mx"))
+      .select("event_type", "event_id", "value", "rk")
+      .orderBy("event_type", "rk").collect()
+    val batch = EventOps.topAmounts(spark, sf0001, k = 5)
+      .select("event_type", "event_id", "value", "rk")
+      .orderBy("event_type", "rk").collect()
+    assert(finalStanding.length == batch.length,
+      s"stream ${finalStanding.length} vs batch ${batch.length} rows")
+    assert(finalStanding.sameElements(batch))
+  }
+
   test("file sink resumes from checkpoint without reprocessing old files") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"

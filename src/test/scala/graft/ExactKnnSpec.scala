@@ -64,6 +64,18 @@ class ExactKnnSpec extends SparkSpec {
       "scan reads more columns than the projection needs")
   }
 
+  test("search after insertMany equals searching the full prefix directly") {
+    // the 90% base + 5% inserted slab IS the 95% prefix — insert must be
+    // an exact bag-append (reference index.rs:7-9 semantics)
+    val after = ExactKnn.topKAfterInsert(spark, sf0001, k = 10, nq = 20)
+      .orderBy("qid", "rk").collect()
+    val qids = after.map(_.getLong(0)).distinct.toSet
+    val direct = ExactKnn.topKBatch(spark, sf0001, k = 10)
+      .filter(org.apache.spark.sql.functions.col("qid").isin(qids.toSeq: _*))
+      .orderBy("qid", "rk").collect()
+    assert(after.nonEmpty && after.sameElements(direct))
+  }
+
   test("a base point queried against the base returns itself first") {
     // exact-kNN self-query property (SURVEY.md §5.2)
     val (base, _, _, _) = ExactKnn.split(spark, sf0001)

@@ -150,6 +150,23 @@ class TextOpsSpec extends SparkSpec {
     assert(scores == scores.sorted)
   }
 
+  test("redact: entity tokens scrubbed, counts match, PII patterns inert on fixture") {
+    import org.apache.spark.sql.functions._
+    val r = TextOps.redact(spark, sf0001).persist()
+    val agg = r.agg(sum("n_emails"), sum("n_phones"), sum("n_entities"),
+      sum(when(col("scrubbed").rlike("\\b(customer|supplier)\\b"), 1).otherwise(0)),
+      sum(when(col("scrubbed").contains("<ENTITY>"), 1).otherwise(0))).head()
+    assert(agg.getLong(0) == 0 && agg.getLong(1) == 0, "fixture has no emails/phones")
+    assert(agg.getLong(2) > 0, "entity pattern must fire on the fixture")
+    assert(agg.getLong(3) == 0, "no entity token may survive the scrub")
+    assert(agg.getLong(4) > 0, "replacement marker must appear")
+    // per-row consistency: #markers inserted == #hits counted
+    val bad = r.filter(
+      size(split(col("scrubbed"), "<ENTITY>", -1)) - 1 =!= col("n_entities")).count()
+    assert(bad == 0, s"$bad rows where marker count != n_entities")
+    r.unpersist()
+  }
+
   test("bm25 exploded form is bit-identical to the column form") {
     // 3-term (the declared text_bm25_topk query) and 8-term (the
     // declared text_bm25_general query) shapes both fold identically
