@@ -36,7 +36,14 @@ final class HnswIndex(
     val efConstruction: Int = 200,
     val maxLevel: Int = 4,
     val mL: Double = 1.0 / math.log(4.0),
-    seed: Long = 42L)
+    seed: Long = 42L,
+    /** Opt-in Algorithm 4 (heuristic neighbor selection). Default off =
+      * the reference's live behavior (its Alg 4 is commented-out dead
+      * code, `src/hnsw.rs:255-301`); on, inserts keep only candidates
+      * closer to the new point than to any already-selected neighbor —
+      * the paper's diversity pruning for clustered data.
+      */
+    val heuristic: Boolean = false)
     extends Serializable {
 
   private val rng = new java.util.Random(seed)
@@ -123,6 +130,38 @@ final class HnswIndex(
   private def selectNeighbors(w: ArrayBuffer[(Double, Int)], count: Int): ArrayBuffer[(Double, Int)] =
     w.take(count)
 
+  /** Algorithm 4 (heuristic selection, paper §4): walk the candidates
+    * ascending by distance to the query; keep `e` only if it is closer
+    * to the query than to every neighbor already kept (so the selected
+    * set spreads across directions instead of crowding one cluster),
+    * then refill to `count` from the discarded list — the paper's
+    * `keepPrunedConnections`, so degree never drops below Alg 3's.
+    * The reference ships this commented out (`src/hnsw.rs:255-301`);
+    * enabled here via the `heuristic` constructor flag.
+    */
+  private def selectNeighborsHeuristic(w: ArrayBuffer[(Double, Int)],
+      count: Int): ArrayBuffer[(Double, Int)] = {
+    val r = ArrayBuffer.empty[(Double, Int)]
+    val discarded = ArrayBuffer.empty[(Double, Int)]
+    var i = 0
+    while (i < w.length && r.length < count) {
+      val (dq, e) = w(i)
+      val diverse = r.forall { case (_, s) =>
+        dq < dist(vecs(e), norms(e), vecs(s), norms(s))
+      }
+      if (diverse) r += ((dq, e)) else discarded += ((dq, e))
+      i += 1
+    }
+    var j = 0
+    while (r.length < count && j < discarded.length) {
+      r += discarded(j); j += 1 // discarded is already ascending by dist
+    }
+    r
+  }
+
+  private def select(w: ArrayBuffer[(Double, Int)], count: Int): ArrayBuffer[(Double, Int)] =
+    if (heuristic) selectNeighborsHeuristic(w, count) else selectNeighbors(w, count)
+
   /** Algorithm 1: insert one point. */
   def insert(id: Long, v: Array[Double]): Unit = {
     val node = ids.length
@@ -143,7 +182,7 @@ final class HnswIndex(
     lc = math.min(levels(entry), level)
     while (lc >= 0) { // connect at each layer the node occupies
       val w = searchLayer(v, nq, eps, efConstruction, lc)
-      selectNeighbors(w, m).foreach { case (_, e) =>
+      select(w, m).foreach { case (_, e) =>
         neighbors(node)(lc) += e
         val en = neighbors(e)(lc)
         en += node

@@ -54,6 +54,39 @@ class HnswSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean recall@10 = $mean")
   }
 
+  test("heuristic selection (Alg 4): recall on CLUSTERED data >= 0.9 and >= simple - 0.05") {
+    // clustered gaussians are the case Alg 4 exists for: simple selection
+    // crowds all M links into the local cluster; the diversity rule keeps
+    // cross-cluster links so navigation between clusters survives
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextGaussian() * 3.0))
+    def point() = {
+      val c = centers(rnd.nextInt(centers.length))
+      c.zip(Array.fill(32)(rnd.nextGaussian() * 0.3)).map { case (a, b) => a + b }
+    }
+    val base = (0 until 1200).map(i => i.toLong -> point())
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      1.0 - math.max(d / (na * nb), 0.0)
+    }
+    val queries = (0 until 40).map(_ => point())
+    def meanRecall(idx: HnswIndex): Double = {
+      val rs = queries.map { q =>
+        val exact = base.map { case (id, v) => (cos(q, v), id) }.sorted.take(10).map(_._2).toSet
+        val approx = idx.search(q, 10).map(_._1).toSet
+        (exact intersect approx).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val simple = new HnswIndex(seed = 5)
+    val heur = new HnswIndex(seed = 5, heuristic = true)
+    base.foreach { case (id, v) => simple.insert(id, v); heur.insert(id, v) }
+    val (rs, rh) = (meanRecall(simple), meanRecall(heur))
+    assert(rh >= 0.9, s"heuristic recall@10 = $rh")
+    assert(rh >= rs - 0.05, s"heuristic $rh much worse than simple $rs")
+  }
+
   test("sharded spark hnsw: every query answered with k ascending rows") {
     val df = HnswKnn.topKBatch(spark, sf0001, k = 10).cache()
     val (_, queries, _, _) = ExactKnn.split(spark, sf0001)
