@@ -19,6 +19,38 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(salted.sameElements(direct))
   }
 
+  test("z-ordered layout prunes a non-leading-dimension filter; 1-D sort cannot") {
+    val ev = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val oneD = java.nio.file.Files.createTempDirectory("graft-1d").toString + "/t"
+    val zord = java.nio.file.Files.createTempDirectory("graft-z").toString + "/t"
+    // 1-D layout: range-sorted by user_id — each file spans few users but
+    // the FULL event_id range, so an event_id filter reads every file
+    ev.repartitionByRange(8, col("user_id"))
+      .sortWithinPartitions("user_id").write.parquet(oneD)
+    ScaleTechniques.writeZOrdered(ev, zord, "user_id", "event_id",
+      files = 8, bits = 10)
+
+    // stats-based pruning model: files whose event_id envelope overlaps
+    // the predicate range would be read; others are skipped outright
+    val (lo, hi) = (100, 224) // 1/8 of the 0..999 event_id range
+    def touched(path: String): Long =
+      ScaleTechniques.fileEnvelopes(spark, path, "user_id", "event_id")
+        .filter(col("ymin") <= hi && col("ymax") >= lo).count()
+    val (oneDTouched, zTouched) = (touched(oneD), touched(zord))
+    assert(oneDTouched == 8, s"1-D layout should touch all files, got $oneDTouched")
+    assert(zTouched < oneDTouched,
+      s"z-order must prune: touched $zTouched of $oneDTouched")
+
+    // the rewrite is layout-only: filtered reads return identical rows
+    val a = spark.read.parquet(zord)
+      .filter(col("event_id").between(lo, hi))
+      .orderBy("event_id").collect()
+    val b = ev.filter(col("event_id").between(lo, hi))
+      .orderBy("event_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("bucketed tables co-locate: join runs with zero shuffles") {
     val ev = Tables.events(spark, sf0001)
       .select("event_id", "user_id", "event_type", "value")
