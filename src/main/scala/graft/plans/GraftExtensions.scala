@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimilarityFunction)
     ext.injectFunction(GraftExtensions.cosineDistanceFunction)
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
+    ext.injectOptimizerRule(_ => RewriteWindowTopK) // no-op unless its flag is set
     ext.injectPlannerStrategy(_ => GraftStrategies)
   }
 }
@@ -63,6 +64,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(FuseCosineSimilarity)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseCosineSimilarity
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteWindowTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteWindowTopK
     }
     installStrategy(spark)
   }

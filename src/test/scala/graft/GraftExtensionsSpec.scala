@@ -54,6 +54,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hofOnly.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("window top-k idiom rewrites to the bounded-heap operator when enabled") {
+    import org.apache.spark.sql.expressions.Window
+    GraftExtensions.install(spark)
+    // total order (acctbal desc, custkey tiebreak) so both forms must
+    // return the SAME rows, not merely equally valid ties
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    def q = Tables.customer(spark, sf0001)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+
+    val before = q.queryExecution.executedPlan.toString
+    assert(before.contains("Window") && !before.contains("TopKPerGroup"),
+      "flag off must leave the window plan untouched")
+    val expected = q.orderBy("c_mktsegment", "rk").collect()
+
+    spark.conf.set(graft.plans.RewriteWindowTopK.FLAG, "true")
+    try {
+      val after = q.queryExecution.executedPlan.toString
+      assert(after.contains("TopKPerGroup"), s"not rewritten:\n$after")
+      assert(!after.contains("Window"), "Window node must be gone")
+      assert(!after.contains("Sort"), "the heap form needs no sort")
+      assert(q.orderBy("c_mktsegment", "rk").collect().sameElements(expected))
+    } finally spark.conf.set(graft.plans.RewriteWindowTopK.FLAG, "false")
+  }
+
   test("fused and HOF forms agree on random vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)
