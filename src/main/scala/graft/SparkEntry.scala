@@ -178,6 +178,12 @@ object SparkEntry {
     "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
     "events_quantiles" -> EventOps.valueQuantiles _,
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
+    // same leaderboard, but the rows are PRODUCED BY the streaming
+    // engine (file stream source -> flatMapGroupsWithState keyed state
+    // -> memory sink, Trigger.AvailableNow) — streaming execution
+    // itself sits under the oracle's hash check
+    "events_topk_amounts_streamed" ->
+      ((s, d) => graft.streaming.EventStream.topAmountsStreamed(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -1289,6 +1295,16 @@ object SparkEntry {
       FROM events GROUP BY 1""",
 
     "events_topk_amounts" -> """
+      SELECT event_type, event_id, value, rk FROM (
+        SELECT event_type, event_id, value,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id) AS INT) AS rk
+        FROM events)
+      WHERE rk <= 5""",
+
+    // the streaming-executed twin answers the SAME question (the keyed
+    // leaderboard fold is order-insensitive), so it shares the oracle
+    "events_topk_amounts_streamed" -> """
       SELECT event_type, event_id, value, rk FROM (
         SELECT event_type, event_id, value,
                CAST(row_number() OVER (PARTITION BY event_type

@@ -17,20 +17,39 @@ import org.apache.spark.sql.internal.SQLConf
   * same single shuffle, NO sort, O(groups × k) memory — reusing the rank
   * column's exprId so downstream references resolve unchanged.
   *
-  * Opt-in via `spark.graft.rewriteWindowTopK=true`: row_number over a
-  * non-total order is tie-nondeterministic by definition, and the heap
-  * may keep different (equally valid) tie rows than the sort; the flag
-  * records that the session accepts any valid tie choice. Fires only
-  * when the Window computes NOTHING but the one row_number (other
-  * window columns would be stranded) and the partition spec is
-  * non-empty (TopKPerGroup clusters on it).
+  * Firing policy (`spark.graft.rewriteWindowTopK`, default `auto`):
+  * row_number over a non-total order is tie-nondeterministic by
+  * definition, and the heap may keep different (equally valid) tie rows
+  * than the sort. Under `auto` the rule fires exactly when that cannot
+  * matter: every column of the child either appears as a plain
+  * attribute in the ORDER BY (so tied rows agree on it) or is a plain
+  * partition key (constant within the group) — then any two rows the
+  * heap and the sort could disagree on are value-identical, and the
+  * rewrite is observationally safe. `true` forces the rewrite on any
+  * ordering (the session accepts any valid tie choice); `false`
+  * disables it. Fires only when the Window computes NOTHING but the one
+  * row_number (other window columns would be stranded) and the
+  * partition spec is non-empty (TopKPerGroup clusters on it).
   */
 object RewriteWindowTopK extends Rule[LogicalPlan] {
 
   val FLAG = "spark.graft.rewriteWindowTopK"
 
-  private def enabled: Boolean =
-    SQLConf.get.getConfString(FLAG, "false").toBoolean
+  private def mode: String =
+    SQLConf.get.getConfString(FLAG, "auto").toLowerCase(java.util.Locale.ROOT)
+
+  /** Ties under `order` are value-identical rows: each child column is
+    * either ordered on directly or a plain partition key. Expression
+    * order keys (e.g. `f(x)`) pin nothing — rows tied on `f(x)` may
+    * still differ in `x` — so only bare attributes count.
+    */
+  private def totalOrder(part: Seq[Expression], order: Seq[SortOrder],
+      child: LogicalPlan): Boolean = {
+    val pinned = AttributeSet(
+      order.map(_.child).collect { case a: Attribute => a } ++
+        part.collect { case a: Attribute => a })
+    child.outputSet.subsetOf(pinned)
+  }
 
   /** Window whose single expression is `row_number() AS rk`. */
   private object RowNumberWindow {
@@ -63,15 +82,24 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!enabled) plan
-    else plan.transform {
-      case Filter(KLimit(rk, k), RowNumberWindow(wAttr, part, order, child))
-          if rk.semanticEquals(wAttr) && k >= 1 && part.nonEmpty && order.nonEmpty =>
-        TopKPerGroup(part, order, k, wAttr, child)
-      case Filter(KLimit(rk, k), Project(list, RowNumberWindow(wAttr, part, order, child)))
-          if rk.semanticEquals(wAttr) && k >= 1 && part.nonEmpty && order.nonEmpty &&
-            list.forall(_.isInstanceOf[Attribute]) =>
-        Project(list, TopKPerGroup(part, order, k, wAttr, child))
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val m = mode
+    if (m == "false") plan
+    else {
+      def fires(part: Seq[Expression], order: Seq[SortOrder],
+          child: LogicalPlan): Boolean =
+        m == "true" || totalOrder(part, order, child)
+      plan.transform {
+        case Filter(KLimit(rk, k), RowNumberWindow(wAttr, part, order, child))
+            if rk.semanticEquals(wAttr) && k >= 1 && part.nonEmpty &&
+              order.nonEmpty && fires(part, order, child) =>
+          TopKPerGroup(part, order, k, wAttr, child)
+        case Filter(KLimit(rk, k), Project(list, RowNumberWindow(wAttr, part, order, child)))
+            if rk.semanticEquals(wAttr) && k >= 1 && part.nonEmpty &&
+              order.nonEmpty && list.forall(_.isInstanceOf[Attribute]) &&
+              fires(part, order, child) =>
+          Project(list, TopKPerGroup(part, order, k, wAttr, child))
+      }
     }
+  }
 }

@@ -133,6 +133,52 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The declared STREAMING-EXECUTED leaderboard (shares
+    * `events_topk_amounts`' oracle): the fixture events flow through the
+    * file stream source -> [[streamTopKAmounts]]'s keyed state ->
+    * a memory sink under `Trigger.AvailableNow`, and the returned frame
+    * is each key's final standing (its rows at `max(upd)`) — so the
+    * rows the driver hashes were produced by the streaming engine
+    * itself, not a batch twin. Deterministic because the leaderboard
+    * fold is order-insensitive (value DESC, event_id ASC total order)
+    * regardless of how the source splits micro-batches.
+    */
+  def topAmountsStreamed(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    // the file stream source tails a DIRECTORY; stage the fixture file
+    // into one, once per (session, dataset)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staged = graft.IndexCache.getOrBuild(spark, s"events-stream-dir:$dir") {
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
+        java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+        d.toString
+      }
+    }
+    val name = s"graft_topk_stream_${streamRunSeq.incrementAndGet()}"
+    val q = streamTopKAmounts(
+        readEventsStream(spark, staged)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[Ev], k)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-topk-q").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val all = spark.table(name)
+    all
+      .withColumn("mx", max(col("upd")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .filter(col("upd") === col("mx"))
+      .select(col("event_type"), col("event_id"), col("value"), col("rk"))
+  }
+
   /** Stream-stream interval self-join: every 'error' event joined to the
     * same user's 'click' events within +/- `withinMinutes` (event-time
     * range condition over two watermarked sides of one stream). The

@@ -132,6 +132,21 @@ class EventStreamSpec extends SparkSpec {
     assert(finalStanding.sameElements(batch))
   }
 
+  test("declared streaming-executed leaderboard equals the batch top-k") {
+    val streamed = EventStream.topAmountsStreamed(spark, sf0001)
+      .orderBy("event_type", "rk").collect()
+    val batch = EventOps.topAmounts(spark, sf0001, k = 5)
+      .select("event_type", "event_id", "value", "rk")
+      .orderBy("event_type", "rk").collect()
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} vs batch ${batch.length} rows")
+    assert(streamed.sameElements(batch))
+    // and a second invocation (fresh stream run) is stable
+    val again = EventStream.topAmountsStreamed(spark, sf0001)
+      .orderBy("event_type", "rk").collect()
+    assert(again.sameElements(batch))
+  }
+
   test("file sink resumes from checkpoint without reprocessing old files") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"

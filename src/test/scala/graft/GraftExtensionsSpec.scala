@@ -54,11 +54,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hofOnly.forall(s => s >= 0.0 && s <= 1.0))
   }
 
-  test("window top-k idiom rewrites to the bounded-heap operator when enabled") {
+  test("window top-k idiom rewrites to the bounded-heap operator by default " +
+      "when the order is total") {
     import org.apache.spark.sql.expressions.Window
     GraftExtensions.install(spark)
-    // total order (acctbal desc, custkey tiebreak) so both forms must
-    // return the SAME rows, not merely equally valid ties
+    // total order: every output column is either the partition key or
+    // ordered on directly (acctbal desc, custkey tiebreak) — ties are
+    // value-identical, so heap and sort must return the SAME rows and
+    // the rule fires with NO flag set
     val w = Window.partitionBy("c_mktsegment")
       .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
     def q = Tables.customer(spark, sf0001)
@@ -66,19 +69,46 @@ class GraftExtensionsSpec extends SparkSpec {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
 
-    val before = q.queryExecution.executedPlan.toString
-    assert(before.contains("Window") && !before.contains("TopKPerGroup"),
-      "flag off must leave the window plan untouched")
-    val expected = q.orderBy("c_mktsegment", "rk").collect()
+    spark.conf.unset(graft.plans.RewriteWindowTopK.FLAG)
+    val auto = q.queryExecution.executedPlan.toString
+    assert(auto.contains("TopKPerGroup"), s"not rewritten under auto:\n$auto")
+    assert(!auto.contains("Window"), "Window node must be gone")
+    assert(!auto.contains("Sort"), "the heap form needs no sort")
+
+    // the window form's rows, computed with the rule disabled
+    spark.conf.set(graft.plans.RewriteWindowTopK.FLAG, "false")
+    try {
+      val plain = q.queryExecution.executedPlan.toString
+      assert(plain.contains("Window") && !plain.contains("TopKPerGroup"),
+        "FLAG=false must leave the window plan untouched")
+      val expected = q.orderBy("c_mktsegment", "rk").collect()
+      spark.conf.unset(graft.plans.RewriteWindowTopK.FLAG)
+      assert(q.orderBy("c_mktsegment", "rk").collect().sameElements(expected))
+    } finally spark.conf.unset(graft.plans.RewriteWindowTopK.FLAG)
+  }
+
+  test("non-total window order stays a Window under auto, rewrites under force") {
+    import org.apache.spark.sql.expressions.Window
+    GraftExtensions.install(spark)
+    // c_custkey is in the output but neither ordered on nor a partition
+    // key: ties on acctbal could surface different custkeys, so auto
+    // must NOT fire
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    def q = Tables.customer(spark, sf0001)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+
+    spark.conf.unset(graft.plans.RewriteWindowTopK.FLAG)
+    val auto = q.queryExecution.executedPlan.toString
+    assert(auto.contains("Window") && !auto.contains("TopKPerGroup"),
+      s"auto must not rewrite a tie-ambiguous order:\n$auto")
 
     spark.conf.set(graft.plans.RewriteWindowTopK.FLAG, "true")
     try {
-      val after = q.queryExecution.executedPlan.toString
-      assert(after.contains("TopKPerGroup"), s"not rewritten:\n$after")
-      assert(!after.contains("Window"), "Window node must be gone")
-      assert(!after.contains("Sort"), "the heap form needs no sort")
-      assert(q.orderBy("c_mktsegment", "rk").collect().sameElements(expected))
-    } finally spark.conf.set(graft.plans.RewriteWindowTopK.FLAG, "false")
+      val forced = q.queryExecution.executedPlan.toString
+      assert(forced.contains("TopKPerGroup"), s"force did not rewrite:\n$forced")
+    } finally spark.conf.unset(graft.plans.RewriteWindowTopK.FLAG)
   }
 
   test("fused and HOF forms agree on random vectors") {
