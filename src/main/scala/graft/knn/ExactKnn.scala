@@ -159,6 +159,22 @@ object ExactKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** Exact re-rank of an overfetched candidate set (the shared tail of
+    * the PQ/SQ/IVF-PQ scale paths): fetch only the candidates' full
+    * vectors, score them against the broadcast QUERY RELATION (queries
+    * stay a DataFrame — never driver-collected), keep top-k. Touches
+    * (queries x overfetch*k) vectors, never the base table.
+    */
+  private[knn] def rerank(cand: DataFrame, base: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("emb").as("qvec")))
+    val exact = cand.join(base, "vec_id").join(q, "qid")
+      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** Top-k for EVERY held-out query at once (batch form of T1), via the
     * custom bounded-heap operator (graft.plans.TopKPerGroup) — one
     * shuffle on qid, O(queries x k) memory instead of a per-group sort.

@@ -44,11 +44,35 @@ object HnswKnn {
     * caller-supplied parameter).
     */
   final case class HnswDistIndex(shards: Int, graphs: Dataset[HnswShard]) {
+
+    @transient private var placedCache: org.apache.spark.rdd.RDD[(Int, HnswIndex)] = _
+
+    /** The shard graphs pinned to a FIXED partition layout — partition i
+      * holds exactly shard i (`HashPartitioner(shards)` on the shard id).
+      * Built and persisted once per index: every search batch then
+      * zipPartitions against this layout, so the graphs NEVER move
+      * again — only query replicas shuffle (at 100 TB: index placement
+      * is decided once; query waves stream past it).
+      */
+    def placed: org.apache.spark.rdd.RDD[(Int, HnswIndex)] = synchronized {
+      if (placedCache == null)
+        placedCache = graphs.rdd.map(s => (s.shard, s.graph))
+          .partitionBy(new org.apache.spark.HashPartitioner(shards))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      placedCache
+    }
+
     def persist(level: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): HnswDistIndex = {
       graphs.persist(level); this
     }
-    def unpersist(): HnswDistIndex = { graphs.unpersist(); this }
+    def unpersist(): HnswDistIndex = {
+      graphs.unpersist()
+      synchronized {
+        if (placedCache != null) { placedCache.unpersist(); placedCache = null }
+      }
+      this
+    }
   }
 
   /** Explicit, reproducible shard assignment: `vec_id mod shards`.
@@ -131,36 +155,64 @@ object HnswKnn {
       })
   }
 
-  /** Search every broadcast query against every shard graph and merge
-    * per-query top-k globally. Output: (qid, vec_id, dist, rk).
+  /** Fully distributed scatter-gather search of a QUERY DATAFRAME
+    * (`vec_id`, `emb`) against every shard graph:
+    *
+    *   - scatter: each query row is replicated to all `shards` shard
+    *     ids and shuffled to the shard's fixed partition — one shuffle
+    *     of (qid, vec) pairs, the inherent cost of probing every shard;
+    *   - probe: `zipPartitions` against [[HnswDistIndex.placed]] walks
+    *     the partition's local graph per query, STREAMING the query
+    *     iterator (no per-task materialization of the query set — task
+    *     memory is one graph + one in-flight query);
+    *   - gather: per-shard candidates (qid, id, dist triples, never
+    *     vectors) merge through the bounded-heap top-k.
+    *
+    * No query vector ever visits the driver, at any query-split size.
+    * Output: (qid, vec_id, dist rounded 6, rk).
+    */
+  def searchIndex(index: HnswDistIndex, queries: DataFrame, k: Int,
+      ef: Int): DataFrame = {
+    val spark = index.graphs.sparkSession
+    import spark.implicits._
+    val nShards = index.shards
+    val qrep = queries.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].rdd
+      .flatMap(q => Iterator.range(0, nShards).map(sh => (sh, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(nShards))
+    val cand = index.placed.zipPartitions(qrep) { (git, qit) =>
+      val graphs = git.map(_._2).toArray // 0 or 1 graphs per partition
+      qit.flatMap { case (_, (qid, qv)) =>
+        graphs.iterator.flatMap(g =>
+          g.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) })
+      }
+    }
+    spark.createDataset(cand).toDF("qid", "vec_id", "dist")
+      .withColumn("dist", round(col("dist"), 6))
+      .transform(df => graft.plans.GraftOps.topKPerGroup(df, Seq("qid"),
+        Seq("dist" -> true, "vec_id" -> true), k))
+  }
+
+  /** Driver-array convenience form (tests, single ad-hoc batches):
+    * wraps the array as a local Dataset and runs the SAME distributed
+    * search, so the two forms are bit-equal by construction.
     */
   def searchIndex(index: HnswDistIndex,
       queries: Array[(Long, Array[Double])], k: Int = 10,
       ef: Int = 100): DataFrame = {
     val spark = index.graphs.sparkSession
     import spark.implicits._
-    val bqs = spark.sparkContext.broadcast(queries)
-    val cand = index.graphs.flatMap { s =>
-      bqs.value.iterator.flatMap { case (qid, qv) =>
-        s.graph.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) }
-      }
-    }.toDF("qid", "vec_id", "dist")
-      .withColumn("dist", round(col("dist"), 6))
-    graft.plans.GraftOps.topKPerGroup(cand, Seq("qid"),
-      Seq("dist" -> true, "vec_id" -> true), k)
+    searchIndex(index,
+      spark.createDataset(queries.toSeq).toDF("vec_id", "emb"), k, ef)
   }
 
   /** Per-shard top-k candidates for every held-out query (one-shot
     * build + search). Output: (qid, vec_id, dist rounded 6, rk),
     * rk <= k — same shape as [[ExactKnn.topKBatch]] so the two are
-    * directly joinable for recall. The query split reaches the driver
-    * in blocks of at most `maxQueryBatch` rows ([[QueryBlocks]]), never
-    * whole.
+    * directly joinable for recall.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10, ef: Int = 100,
-      shards: Int = 16,
-      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
-    import spark.implicits._
+      shards: Int = 16): DataFrame = {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     // build once per dataset, search many (single/batch/recall all reuse
     // the same persisted shard graphs — k and ef are search-time knobs)
@@ -169,8 +221,7 @@ object HnswKnn {
       ix.graphs.count()
       ix
     }
-    QueryBlocks.chunked(queries.as[(Long, Array[Double])], maxQueryBatch)(
-      qs => searchIndex(index, qs, k, ef))
+    searchIndex(index, queries, k, ef)
   }
 
   /** Declared end-to-end index LIFECYCLE: build (or reuse) the shard
@@ -183,9 +234,7 @@ object HnswKnn {
     * row re-proves the reloaded index answers every round).
     */
   def topKBatchLifecycle(spark: SparkSession, dir: String, k: Int = 10,
-      ef: Int = 100, shards: Int = 16,
-      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
-    import spark.implicits._
+      ef: Int = 100, shards: Int = 16): DataFrame = {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
       val ix = buildIndex(base, shards).persist()
@@ -203,8 +252,7 @@ object HnswKnn {
       p
     }
     val reloaded = loadIndex(spark, path)
-    QueryBlocks.chunked(queries.as[(Long, Array[Double])], maxQueryBatch)(
-      qs => searchIndex(reloaded, qs, k, ef))
+    searchIndex(reloaded, queries, k, ef)
   }
 
   /** Single-query form (the reference's `query[29]` search,

@@ -208,18 +208,44 @@ object IvfKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** DataFrame-native probe of a built index: each query routes to its
+    * `nprobe` nearest clusters EXECUTOR-SIDE (map-only over the query
+    * split, centroids broadcast), and the (qid, qvec, cid) probe
+    * relation broadcast-joins the inverted file on cid — each code row
+    * fans out only to the queries probing its cluster, and no query
+    * vector ever visits the driver. On a [[loadIndex]]-ed table the cid
+    * equi-join prunes partition directories at runtime (the
+    * static-literal variant of the same pruning is [[searchIndex]]).
+    * Output: (qid, vec_id, dist rounded 6, rk).
+    */
+  def searchIndexDF(index: IvfIndex, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(index.centroids)
+    val q = queries.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, qv) =>
+          probeCids(cs, qv, nprobe).iterator.map(c => (qid, qv, c))
+        }
+      }.toDF("qid", "qvec", "cid")
+    val scored = index.assigned.join(broadcast(q), "cid")
+      .select(col("qid"), col("vec_id"),
+        ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** Declared end-to-end IVF lifecycle: build (or reuse) the index,
-    * [[saveIndex]] it (inverted file PARTITIONED BY cid), [[loadIndex]]
-    * the checkpoint, and search every held-out query against the
-    * RELOADED index in bounded blocks. On the reloaded table each
-    * block's probe set is a literal cid list, so the scan prunes to
-    * nprobe partition directories (PartitionFilters — IvfKnnSpec pins
-    * it); output is bit-equal to [[topKBatch]].
+    * [[saveIndex]] it once per dataset (inverted file PARTITIONED BY
+    * cid), [[loadIndex]] the checkpoint, and search every held-out
+    * query against the RELOADED index via [[searchIndexDF]] — fully
+    * distributed, bit-equal to [[topKBatch]].
     */
   def topKBatchLifecycle(spark: SparkSession, dir: String, k: Int = 10,
-      nCentroids: Int = 0, nprobe: Int = 0,
-      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
-    import spark.implicits._
+      nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
     val (base, queries, _, n) = ExactKnn.split(spark, dir)
     val nC = if (nCentroids > 0) nCentroids
              else math.max(4, math.sqrt(n.toDouble).toInt)
@@ -240,9 +266,7 @@ object IvfKnn {
       p
     }
     val reloaded = loadIndex(spark, path)
-    QueryBlocks.chunked(
-      queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])],
-      maxQueryBatch)(qs => searchIndex(reloaded, qs, k, nP))
+    searchIndexDF(reloaded, queries, k, nP)
   }
 
   /** Top-k for every held-out query, probing `nprobe` of `nCentroids`
@@ -252,7 +276,6 @@ object IvfKnn {
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       nCentroids: Int = 0, nprobe: Int = 0): DataFrame = {
-    import spark.implicits._
     val (base, queries, _, n) = ExactKnn.split(spark, dir)
     val nC = if (nCentroids > 0) nCentroids
              else math.max(4, math.sqrt(n.toDouble).toInt)
@@ -264,20 +287,6 @@ object IvfKnn {
       a.count() // materialize the inverted file once
       IvfIndex(cs, a)
     }
-
-    val bc = spark.sparkContext.broadcast(index.centroids)
-    val q = queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.flatMap { case (qid, qv) =>
-          probeCids(cs, qv, nP).iterator.map(c => (qid, qv, c))
-        }
-      }.toDF("qid", "qvec", "cid")
-
-    val scored = index.assigned.join(broadcast(q), "cid")
-      .select(col("qid"), col("vec_id"),
-        ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
-      Seq("dist" -> true, "vec_id" -> true), k)
+    searchIndexDF(index, queries, k, nP)
   }
 }

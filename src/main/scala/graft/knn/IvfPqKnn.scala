@@ -23,14 +23,19 @@ import graft.IndexCache
 object IvfPqKnn {
 
   /** Top-k for every held-out query. Output: (qid, vec_id, dist
-    * rounded 6, rk) — same shape as [[ExactKnn.topKBatch]]. The query
-    * split reaches the driver in blocks of at most `maxQueryBatch`
-    * rows ([[QueryBlocks]]), never whole.
+    * rounded 6, rk) — same shape as [[ExactKnn.topKBatch]].
+    *
+    * Fully distributed query side: probe routing runs executor-side
+    * (map-only over the query split with the centroids broadcast), the
+    * (qid, cid) probe relation equi-joins the code table on cid — each
+    * code row fans out ONLY to the queries probing its cluster — and a
+    * second broadcast join attaches the per-query flattened ADC table,
+    * scored in codegen by [[graft.functions.PqAdcDistance]]. No query
+    * vector or LUT ever crosses the driver.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       nCentroids: Int = 0, nprobe: Int = 0, m: Int = 8, ksub: Int = 256,
-      overfetch: Int = 16,
-      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
+      overfetch: Int = 16): DataFrame = {
     import spark.implicits._
     val (base, queries, _, n) = ExactKnn.split(spark, dir)
     val nC = if (nCentroids > 0) nCentroids
@@ -49,42 +54,25 @@ object IvfPqKnn {
         (cs, books, coded)
       }
 
-    def searchBlock(qs: Array[(Long, Array[Double])]): DataFrame = {
-      // probe routing + one ADC lookup table per query, grouped by cid
-      val byCid: Map[Int, Array[(Long, Array[Array[Double]])]] = qs
-        .flatMap { case (qid, qv) =>
-          val lut = PqKnn.queryLut(cb, qv)
-          IvfKnn.probeCids(centroids, qv, nP).map(c => (c, (qid, lut)))
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val probes = queries.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.flatMap { case (qid, qv) =>
+          IvfKnn.probeCids(cs, qv, nP).iterator.map(c => (qid, c))
         }
-        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
-      val bc = spark.sparkContext.broadcast(byCid)
+      }.toDF("qid", "cid")
 
-      val scored = lists.select(col("vec_id"), col("codes"), col("cid"))
-        .as[(Long, Array[Byte], Int)]
-        .mapPartitions { it =>
-          val probers = bc.value
-          it.flatMap { case (id, codes, cid) =>
-            probers.getOrElse(cid, Array.empty[(Long, Array[Array[Double]])])
-              .iterator.map { case (qid, lut) =>
-                (qid, id, 1.0 - math.max(PqKnn.adcSim(lut, codes), 0.0))
-              }
-          }
-        }.toDF("qid", "vec_id", "approx_dist")
-      val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
-        Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
-        .select("qid", "vec_id")
-
-      val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
-        .toDF("qid", "qvec"))
-      val exact = cand.join(base, "vec_id").join(bq, "qid")
-        .select(col("qid"), col("vec_id"),
-          ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-      graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
-        Seq("dist" -> true, "vec_id" -> true), k)
-    }
-
-    QueryBlocks.chunked(
-      queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])],
-      maxQueryBatch)(searchBlock)
+    val scored = lists.select(col("vec_id"), col("codes"), col("cid"))
+      .join(broadcast(probes), "cid")
+      .join(broadcast(PqKnn.queryLutsDF(queries, cb, ksub)), "qid")
+      .select(col("qid"), col("vec_id"),
+        graft.functions.QuantizedDistances
+          .pqAdcDistance(col("codes"), col("lut"), ksub).as("approx_dist"))
+    val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
+      .select("qid", "vec_id")
+    ExactKnn.rerank(cand, base, queries, k)
   }
 }

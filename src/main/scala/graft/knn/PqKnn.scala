@@ -152,17 +152,47 @@ object PqKnn {
     s
   }
 
+  /** The (qid, lut) relation: one FLATTENED row-major ADC table per
+    * query row, computed executor-side (map-only over the query split
+    * with the codebooks broadcast — query vectors never visit the
+    * driver). Stride is `ksub` even when a subspace trained fewer
+    * centroids (codes can never index the padding).
+    */
+  private[knn] def queryLutsDF(queries: DataFrame, cb: PqCodebooks,
+      ksub: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    val bcCb = queries.sparkSession.sparkContext.broadcast(cb)
+    queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val b = bcCb.value
+        it.map { case (qid, qv) =>
+          val lut = queryLut(b, qv)
+          val flat = new Array[Double](b.m * ksub)
+          var j = 0
+          while (j < b.m) {
+            val row = lut(j)
+            var c = 0
+            while (c < row.length) { flat(j * ksub + c) = row(c); c += 1 }
+            j += 1
+          }
+          (qid, flat)
+        }
+      }.toDF("qid", "lut")
+  }
+
   /** Top-k for every held-out query: PQ-scored overfetch over the code
     * table, then exact re-rank of the candidates. Output: (qid, vec_id,
-    * dist rounded 6, rk) — same shape as [[ExactKnn.topKBatch]]. The
-    * query split reaches the driver in blocks of at most
-    * `maxQueryBatch` rows ([[QueryBlocks]]), never whole — the LUTs
-    * broadcast per block, not per batch.
+    * dist rounded 6, rk) — same shape as [[ExactKnn.topKBatch]].
+    *
+    * Fully distributed query side: the per-query ADC tables are a
+    * broadcast RELATION (computed executor-side) nested-loop-joined
+    * against the code table, and [[graft.functions.PqAdcDistance]]
+    * scores each pair inside whole-stage codegen reading the joined
+    * rows in place — no query vector or LUT ever crosses the driver,
+    * at any query-split size.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
-      m: Int = 8, ksub: Int = 256, overfetch: Int = 16,
-      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
-    import spark.implicits._
+      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val (cb, codes) = IndexCache.getOrBuild(spark, s"pq:$dir:$m:$ksub") {
       val b = trainCodebooks(base, m, ksub)
@@ -170,34 +200,13 @@ object PqKnn {
       enc.count()
       (b, enc)
     }
-
-    def searchBlock(qs: Array[(Long, Array[Double])]): DataFrame = {
-      val luts: Array[(Long, Array[Array[Double]])] =
-        qs.map { case (qid, qv) => qid -> queryLut(cb, qv) }
-      val bcLuts = spark.sparkContext.broadcast(luts)
-      val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
-        val ls = bcLuts.value
-        it.flatMap { case (id, cs) =>
-          ls.iterator.map { case (qid, lut) =>
-            (qid, id, 1.0 - math.max(adcSim(lut, cs), 0.0))
-          }
-        }
-      }.toDF("qid", "vec_id", "approx_dist")
-      val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
-        Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
-        .select("qid", "vec_id")
-      // exact re-rank of the overfetched candidates
-      val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
-        .toDF("qid", "qvec"))
-      val exact = cand.join(base, "vec_id").join(bq, "qid")
-        .select(col("qid"), col("vec_id"),
-          ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-      graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
-        Seq("dist" -> true, "vec_id" -> true), k)
-    }
-
-    QueryBlocks.chunked(
-      queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])],
-      maxQueryBatch)(searchBlock)
+    val scored = codes.crossJoin(broadcast(queryLutsDF(queries, cb, ksub)))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.QuantizedDistances
+          .pqAdcDistance(col("codes"), col("lut"), ksub).as("approx_dist"))
+    val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
+      .select("qid", "vec_id")
+    ExactKnn.rerank(cand, base, queries, k)
   }
 }

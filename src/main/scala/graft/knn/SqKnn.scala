@@ -88,7 +88,7 @@ object SqKnn {
   /** Approximate cosine distance between a decoded code row and a raw
     * query vector, in one fused loop (decode + dot + norms).
     */
-  private def approxDist(codes: Array[Byte], qv: Array[Double],
+  private[knn] def approxDist(codes: Array[Byte], qv: Array[Double],
       mins: Array[Double], maxs: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -105,13 +105,17 @@ object SqKnn {
 
   /** Top-k for every held-out query: SQ-scored overfetch over the code
     * table, then exact re-rank. Output: (qid, vec_id, dist rounded 6,
-    * rk) — same shape as [[ExactKnn.topKBatch]]. Queries stream through
-    * the driver in bounded blocks ([[QueryBlocks]]).
+    * rk) — same shape as [[ExactKnn.topKBatch]].
+    *
+    * Fully distributed query side: the raw query relation is broadcast
+    * (still a DataFrame — never driver-collected) against the code
+    * table, and [[graft.functions.SqApproxDistance]] fuses decode +
+    * cosine per pair inside whole-stage codegen, reading the joined
+    * rows in place; the per-dimension bounds ride in the expression as
+    * plan constants.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
-      overfetch: Int = 16,
-      maxQueryBatch: Int = QueryBlocks.DefaultMaxQueryBatch): DataFrame = {
-    import spark.implicits._
+      overfetch: Int = 16): DataFrame = {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val (bounds, codes) = IndexCache.getOrBuild(spark, s"sq:$dir") {
       val b = trainBounds(base)
@@ -119,33 +123,16 @@ object SqKnn {
       enc.count()
       (b, enc)
     }
-    val bcBounds = spark.sparkContext.broadcast(bounds)
-
-    def searchBlock(qs: Array[(Long, Array[Double])]): DataFrame = {
-      val bcQs = spark.sparkContext.broadcast(qs)
-      val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
-        val b = bcBounds.value
-        val queries = bcQs.value
-        it.flatMap { case (id, cs) =>
-          queries.iterator.map { case (qid, qv) =>
-            (qid, id, approxDist(cs, qv, b.mins, b.maxs))
-          }
-        }
-      }.toDF("qid", "vec_id", "approx_dist")
-      val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
-        Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
-        .select("qid", "vec_id")
-      val bq = broadcast(qs.toSeq.map { case (qid, qv) => (qid, qv.toSeq) }
-        .toDF("qid", "qvec"))
-      val exact = cand.join(base, "vec_id").join(bq, "qid")
-        .select(col("qid"), col("vec_id"),
-          ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-      graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),
-        Seq("dist" -> true, "vec_id" -> true), k)
-    }
-
-    QueryBlocks.chunked(
-      queries.select(col("vec_id"), col("emb")).as[(Long, Array[Double])],
-      maxQueryBatch)(searchBlock)
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("emb").as("qvec")))
+    val scored = codes.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        graft.functions.QuantizedDistances
+          .sqApproxDistance(col("codes"), col("qvec"), bounds.mins, bounds.maxs)
+          .as("approx_dist"))
+    val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
+      .select("qid", "vec_id")
+    ExactKnn.rerank(cand, base, queries, k)
   }
 }
