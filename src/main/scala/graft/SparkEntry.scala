@@ -18,6 +18,21 @@ import graft.operators.{Dedup, Evaluation, EventOps, HybridSearch, Multimodal, P
   */
 object SparkEntry {
 
+  private val sqlKnnSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Register a [[graft.sources.KnnDataSource]] temp view via pure SQL
+    * and query it — the declared bodies are `spark.sql` text only, so
+    * the whole kNN path is reachable without any Scala API.
+    */
+  private def sqlKnn(s: SparkSession, d: String, options: String,
+      select: String => String): DataFrame = {
+    val v = s"graft_knn_sql_${sqlKnnSeq.incrementAndGet()}"
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $v
+              USING graft.sources.KnnDataSource
+              OPTIONS (dir '$d', $options)""")
+    s.sql(select(v))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end pipeline in one plan: ingest -> split ->
     * exact top-10 neighbors of held-out query 29 by cosine distance
@@ -35,6 +50,15 @@ object SparkEntry {
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
     "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
     "knn_exact_after_insert" -> ((s, d) => ExactKnn.topKAfterInsert(s, d)),
+    // SQL-facing index search (DSv1 relation over the library entry
+    // points): the query bodies are pure SQL — shares knn_exact_single's
+    // oracle (exact backend); the HNSW view is approximate -> rows-only
+    "sql_knn_exact" -> ((s, d) => sqlKnn(s, d,
+      "backend 'exact', k '10', queryIdx '29'",
+      v => s"SELECT vec_id, dist FROM $v ORDER BY dist ASC, vec_id ASC")),
+    "sql_knn_hnsw" -> ((s, d) => sqlKnn(s, d,
+      "backend 'hnsw', k '10'",
+      v => s"SELECT qid, vec_id, dist, rk FROM $v")),
     // HNSW is approximate: no SQL oracle; quality is gated by the recall
     // queries below + HnswSpec (the reference's own pattern, main.rs:89-93)
     "knn_hnsw_single" -> ((s, d) => HnswKnn.topKSingle(s, d)),
@@ -277,6 +301,18 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "knn_exact_single" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s, count(*) AS c FROM e)
+      SELECT b.vec_id, $cosDistSql AS dist
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
+      ORDER BY dist, b.vec_id LIMIT 10""",
+
+    // the SQL-facing view over the exact backend answers the identical
+    // question, so it shares knn_exact_single's oracle
+    "sql_knn_exact" -> s"""
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                  FROM embeddings),

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, TableScan}
+import org.apache.spark.sql.types.StructType
+
+/** SQL-facing entry to the kNN indexes (the reference's one polymorphic
+  * surface, `/root/reference/src/index.rs:4-10`, exposed to `spark.sql`
+  * users): a Data Source V1 relation, so index search is reachable from
+  * pure SQL with no Scala imports —
+  *
+  * {{{
+  * CREATE TEMPORARY VIEW knn
+  * USING graft.sources.KnnDataSource
+  * OPTIONS (dir '/data/sf0.01', backend 'hnsw', k '10')
+  * SELECT * FROM knn WHERE qid = 475 ORDER BY rk
+  * }}}
+  *
+  * Backends map to the library entry points (same plans, same caches —
+  * the relation only defers execution to scan time):
+  *   - `exact`       — single-query brute-force top-k: (vec_id, dist);
+  *                     options `k`, `queryIdx`
+  *   - `exact_batch` — every held-out query: (qid, vec_id, dist, rk)
+  *   - `hnsw`        — sharded graph ANN batch: (qid, vec_id, dist, rk);
+  *                     options `k`, `ef`, `shards`
+  *   - `ivf`         — cluster-pruned ANN batch: (qid, vec_id, dist, rk);
+  *                     options `k`, `nCentroids`, `nprobe`
+  *
+  * The scan stays fully distributed (it returns the underlying
+  * DataFrame's rows); nothing is materialized on the driver at view
+  * creation — schema resolution builds the plan only.
+  */
+class KnnDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-knn"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    def opt(key: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    val dir = opt("dir").getOrElse(
+      throw new IllegalArgumentException("graft-knn: option 'dir' is required"))
+    val k = opt("k").map(_.toInt).getOrElse(10)
+    val df = opt("backend").map(_.toLowerCase).getOrElse("exact") match {
+      case "exact" =>
+        graft.knn.ExactKnn.topKSingle(spark, dir, k,
+          opt("queryIdx").map(_.toLong).getOrElse(29L))
+      case "exact_batch" =>
+        graft.knn.ExactKnn.topKBatch(spark, dir, k)
+      case "hnsw" =>
+        graft.knn.HnswKnn.topKBatch(spark, dir, k,
+          opt("ef").map(_.toInt).getOrElse(100),
+          opt("shards").map(_.toInt).getOrElse(16))
+      case "ivf" =>
+        graft.knn.IvfKnn.topKBatch(spark, dir, k,
+          opt("nCentroids").map(_.toInt).getOrElse(0),
+          opt("nprobe").map(_.toInt).getOrElse(0))
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft-knn: unknown backend '$other' " +
+            "(expected exact, exact_batch, hnsw, ivf)")
+    }
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def buildScan(): RDD[Row] = df.rdd
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.knn.{ExactKnn, HnswKnn}
+
+/** The SQL-facing kNN surface: a `CREATE TEMPORARY VIEW ... USING
+  * graft.sources.KnnDataSource` registration plus plain SELECTs must
+  * answer exactly like the Scala entry points.
+  */
+class KnnDataSourceSpec extends SparkSpec {
+
+  test("exact backend via pure SQL equals ExactKnn.topKSingle") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_exact
+                  USING graft.sources.KnnDataSource
+                  OPTIONS (dir '$sf0001', backend 'exact', k '10', queryIdx '29')""")
+    val viaSql = spark.sql(
+      "SELECT vec_id, dist FROM knn_sql_exact ORDER BY dist, vec_id").collect()
+    val viaApi = ExactKnn.topKSingle(spark, sf0001).collect()
+    assert(viaSql.sameElements(viaApi))
+  }
+
+  test("hnsw backend via pure SQL equals HnswKnn.topKBatch") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_hnsw
+                  USING graft.sources.KnnDataSource
+                  OPTIONS (dir '$sf0001', backend 'hnsw', k '10')""")
+    val viaSql = spark.sql("SELECT * FROM knn_sql_hnsw").collect().toSet
+    val viaApi = HnswKnn.topKBatch(spark, sf0001).collect().toSet
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+    // SQL predicates compose over the view
+    val one = spark.sql(
+      "SELECT count(DISTINCT qid) FROM knn_sql_hnsw WHERE rk <= 3")
+      .head.getLong(0)
+    assert(one == ExactKnn.split(spark, sf0001)._2.count())
+  }
+
+  test("unknown backend and missing dir fail loudly") {
+    val e1 = intercept[Exception] {
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_bad
+                    USING graft.sources.KnnDataSource
+                    OPTIONS (dir '$sf0001', backend 'nope')""")
+    }
+    assert(e1.getMessage.contains("unknown backend"))
+    val e2 = intercept[Exception] {
+      spark.sql("""CREATE OR REPLACE TEMPORARY VIEW knn_sql_bad2
+                   USING graft.sources.KnnDataSource
+                   OPTIONS (backend 'exact')""")
+    }
+    assert(e2.getMessage.contains("dir"))
+  }
+}
