@@ -159,6 +159,32 @@ object ExactKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** Exact ground truth for a DETERMINISTIC 1-in-`everyNth` sample of
+    * the held-out queries (every Nth qid from the split point) — the
+    * scale-honest evaluation mode: at 100 TB the full exact ground
+    * truth is O(|queries| x |base|) = O(n²), while a fixed sample keeps
+    * the brute-force leg O(n) and recall estimates converge at a few
+    * hundred queries regardless of corpus size. Same output shape and
+    * semantics as [[topKBatch]] restricted to the sampled qids (pinned
+    * by spec).
+    */
+  def topKBatchSampled(spark: SparkSession, dir: String, k: Int = 10,
+      everyNth: Int = 10): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"exact-topk-sampled:$dir:$k:$everyNth") {
+      val (base, queries, splitAt, _) = split(spark, dir)
+      val sampled = queries.filter(
+        pmod(col("vec_id") - splitAt, lit(everyNth)) === 0)
+      val q = broadcast(sampled.select(col("vec_id").as("qid"),
+        col("emb").as("qvec")))
+      val scored = base.crossJoin(q)
+        .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+      val topk = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+        Seq("dist" -> true, "vec_id" -> true), k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      topk.count()
+      topk
+    }
+
   /** Exact re-rank of an overfetched candidate set (the shared tail of
     * the PQ/SQ/IVF-PQ scale paths): fetch only the candidates' full
     * vectors, score them against the broadcast QUERY RELATION (queries

@@ -43,6 +43,29 @@ class EvaluationSpec extends SparkSpec {
     assert(Evaluation.ndcgAtK(ex, rel, 10).head.getDouble(0) == 1.0)
   }
 
+  test("sampled ground truth is exactly the full ground truth on its qids") {
+    import org.apache.spark.sql.functions._
+    val full = ExactKnn.topKBatch(spark, sf0001)
+    val sampled = ExactKnn.topKBatchSampled(spark, sf0001, everyNth = 5)
+    val splitAt = ExactKnn.split(spark, sf0001)._3
+    // the sample is every 5th held-out qid, deterministically
+    val qids = sampled.select("qid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(qids.nonEmpty && qids.forall(q => (q - splitAt) % 5 == 0))
+    val restricted = full
+      .join(sampled.select("qid").distinct(), Seq("qid"), "left_semi")
+      .collect().toSet
+    assert(sampled.collect().toSet == restricted,
+      "sampled GT must be the full GT restricted to the sampled qids")
+    // and the sampled-recall estimate tracks the full recall
+    val hnsw = HnswKnn.topKBatch(spark, sf0001)
+    val est = Evaluation.recall(
+      hnsw.join(sampled.select("qid").distinct(), Seq("qid"), "left_semi")
+        .select("qid", "vec_id"),
+      sampled.select("qid", "vec_id")).head.getDouble(0)
+    assert(est >= 0.8, s"sampled recall estimate $est implausibly low")
+  }
+
   test("hnsw quality gates: MRR and nDCG vs the exact oracle") {
     val hnsw = HnswKnn.topKBatch(spark, sf0001)
     val rel = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
