@@ -219,6 +219,8 @@ object SparkEntry {
     // itself sits under the oracle's hash check
     "events_topk_amounts_streamed" ->
       ((s, d) => graft.streaming.EventStream.topAmountsStreamed(s, d)),
+    "events_tumbling_streamed" ->
+      ((s, d) => graft.streaming.EventStream.tumblingStreamed(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -869,6 +871,12 @@ object SparkEntry {
        AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000""",
 
     "events_tumbling" -> s"""
+      SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS w_start,
+             event_type, count(*) AS n, sum(${c100("value")})/100.0 AS sum_value
+      FROM events GROUP BY 1,2""",
+
+    // streaming-executed twin (complete-mode window agg) — same answer
+    "events_tumbling_streamed" -> s"""
       SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS w_start,
              event_type, count(*) AS n, sum(${c100("value")})/100.0 AS sum_value
       FROM events GROUP BY 1,2""",

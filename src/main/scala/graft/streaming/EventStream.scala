@@ -145,12 +145,12 @@ object EventStream {
     * fold is order-insensitive (value DESC, event_id ASC total order)
     * regardless of how the source splits micro-batches.
     */
-  def topAmountsStreamed(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import spark.implicits._
-    // the file stream source tails a DIRECTORY; stage the fixture file
-    // into one, once per (session, dataset)
+  /** The file stream source tails a DIRECTORY; stage the fixture file
+    * into one, once per (session, dataset).
+    */
+  private def stagedEventsDir(spark: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged = graft.IndexCache.getOrBuild(spark, s"events-stream-dir:$dir") {
+    graft.IndexCache.getOrBuild(spark, s"events-stream-dir:$dir") {
       if (java.nio.file.Files.isDirectory(src)) src.toString
       else {
         val d = java.nio.file.Files.createTempDirectory("graft-events-stream")
@@ -158,6 +158,11 @@ object EventStream {
         d.toString
       }
     }
+  }
+
+  def topAmountsStreamed(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val staged = stagedEventsDir(spark, dir)
     val name = s"graft_topk_stream_${streamRunSeq.incrementAndGet()}"
     val q = streamTopKAmounts(
         readEventsStream(spark, staged)
@@ -177,6 +182,29 @@ object EventStream {
         org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
       .filter(col("upd") === col("mx"))
       .select(col("event_type"), col("event_id"), col("value"), col("rk"))
+  }
+
+  /** The declared STREAMING-EXECUTED tumbling aggregation (shares
+    * `events_tumbling`'s oracle): the fixture events flow through the
+    * file stream source -> the SAME [[EventOps.windowedAgg]] plan the
+    * batch row uses (plus a watermark) -> a complete-mode memory sink
+    * under `Trigger.AvailableNow`. Complete mode re-emits the whole
+    * standing result each micro-batch, so the sink table after the last
+    * batch IS the full aggregation — the stateless-window sibling of
+    * [[topAmountsStreamed]]'s keyed-state row.
+    */
+  def tumblingStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEventsDir(spark, dir)
+    val name = s"graft_tumbling_stream_${streamRunSeq.incrementAndGet()}"
+    val q = windowedAgg(readEventsStream(spark, staged), "10 minutes", None)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-tumbling-q").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
   }
 
   /** Stream-stream interval self-join: every 'error' event joined to the

@@ -147,6 +147,15 @@ class EventStreamSpec extends SparkSpec {
     assert(again.sameElements(batch))
   }
 
+  test("declared streaming-executed tumbling agg equals the batch result") {
+    val streamed = EventStream.tumblingStreamed(spark, sf0001)
+      .orderBy("w_start", "event_type").collect()
+    val batch = EventOps.tumbling(spark, sf0001)
+      .orderBy("w_start", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
   test("file sink resumes from checkpoint without reprocessing old files") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"
