@@ -65,6 +65,8 @@ object Bench {
         () => knn.IvfKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_langid",
         () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
+      timed("bench_build_norm_emb",
+        () => operators.Dedup.normalizedEmbeddings(spark, sfDir).count()),
       timed("bench_build_grams",
         () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()))
     val results = builds ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -483,31 +483,40 @@ object SparkEntry {
 
     // same oracle as neardup_embedding: the banded-LSH candidates +
     // exact verification recover the identical pair set (seeded planes,
-    // miss probability ~1.6e-5 per pair at the 64x4 geometry)
+    // miss probability ~1.6e-5 per pair at the 64x4 geometry). Both
+    // normalize FIRST and score by dot product — the same arithmetic as
+    // the engine's norm cache (Dedup.normalizedEmbeddings), so values
+    // stay bit-identical.
     "neardup_embedding_lsh" -> """
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings)
+                 FROM embeddings),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM e)
       SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(greatest(
-                 list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) /
-                 (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
-                  sqrt(list_sum(list_transform(b.v, x -> x*x)))), 0), 6) AS sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+                 list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1]*z[2])),
+                 0), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
       WHERE sim >= 0.4""",
 
     "neardup_embedding" -> """
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings)
+                 FROM embeddings),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM e)
       SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(greatest(
-                 list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) /
-                 (sqrt(list_sum(list_transform(a.v, x -> x*x))) *
-                  sqrt(list_sum(list_transform(b.v, x -> x*x)))), 0), 6) AS sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+                 list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1]*z[2])),
+                 0), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
       WHERE sim >= 0.4""",
 
     "text_tokens" -> """

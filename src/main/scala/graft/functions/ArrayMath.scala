@@ -71,11 +71,55 @@ case class CosineSimilarity(left: Expression, right: Expression)
     })
 }
 
+/** Plain dot product over the shorter zip of two double arrays (same
+  * left-to-right fold as [[CosineSimilarity]]'s dot term) — the whole
+  * scoring kernel once vectors are pre-normalized (the norm-cache
+  * pattern: normalize once per corpus, then every pairwise cosine is
+  * one fused multiply-add loop with no sqrt and no magnitude terms).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_product"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |}
+       """.stripMargin
+    })
+}
+
 /** Column-API front door for the fused expressions. */
 object ArrayMath {
 
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumn(CosineSimilarity(
+      GraftColumn.expression(a), GraftColumn.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftColumn(DotProduct(
       GraftColumn.expression(a), GraftColumn.expression(b)))
 
   /** 1 - similarity — the same final Subtract the HOF path applies, so

@@ -446,20 +446,52 @@ object Dedup {
 
   // — embedding cosine near-dup —
 
+  /** Unit-normalize a (vec_id, v) frame to (vec_id, nv) — one map-only
+    * pass; zero vectors stay zero.
+    */
+  private def l2Normalize(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.as[(Long, Array[Double])].map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val mag = math.sqrt(s)
+      (id, if (mag == 0.0) v else v.map(_ / mag))
+    }.toDF("vec_id", "nv")
+  }
+
+  /** The NORM CACHE: (vec_id, nv) unit vectors, computed once per
+    * dataset and persisted. Both near-dup legs score from this table,
+    * so every pairwise cosine downstream is a single fused
+    * multiply-add loop ([[ArrayMath.dotProduct]]) — no sqrt, no
+    * magnitude terms, and at 100 TB normalization is one map-only pass
+    * instead of extra work on every one of the O(candidates) pairs.
+    */
+  def normalizedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"norm-emb:$dir") {
+      val n = l2Normalize(Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          VectorFunctions.toDoubleArray(col("embedding")).as("v")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n.count()
+      n
+    }
+
   /** Exact cosine-similar pair mining over embeddings: all pairs with
     * clamped cosine similarity >= `threshold`. Output: (vec_a, vec_b,
     * sim rounded 6), vec_a < vec_b. O(n^2) by design — the oracle-checked
-    * baseline; [[embeddingNearDupLsh]] is the blocked scale path.
+    * baseline; [[embeddingNearDupLsh]] is the blocked scale path. Both
+    * score normalized vectors from [[normalizedEmbeddings]] (the oracle
+    * SQL normalizes identically, so hashes still match).
     */
   def embeddingNearDupExact(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), VectorFunctions.toDoubleArray(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val n = normalizedEmbeddings(spark, dir)
+    val a = n.select(col("vec_id").as("vec_a"), col("nv").as("na"))
+    val b = n.select(col("vec_id").as("vec_b"), col("nv").as("nb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(ArrayMath.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+        round(greatest(ArrayMath.dotProduct(col("na"), col("nb")), lit(0.0)), 6)
+          .as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -476,7 +508,7 @@ object Dedup {
     */
   def embeddingNearDupLshQuery(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame =
-    embeddingNearDupLsh(Tables.embeddings(spark, dir), dim = 64,
+    embeddingNearDupLshNormalized(normalizedEmbeddings(spark, dir), dim = 64,
       threshold = threshold, bands = 64, rowsPerBand = 4)
 
   /** Random-hyperplane LSH blocking for high-similarity pair mining:
@@ -488,16 +520,29 @@ object Dedup {
     */
   def embeddingNearDupLsh(embeddings: DataFrame, dim: Int,
       threshold: Double = 0.9, bands: Int = 16, rowsPerBand: Int = 8,
+      seed: Long = 7L): DataFrame =
+    embeddingNearDupLshNormalized(
+      l2Normalize(embeddings.select(col("vec_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("v"))),
+      dim, threshold, bands, rowsPerBand, seed)
+
+  /** [[embeddingNearDupLsh]] over an already-normalized (vec_id, nv)
+    * table (the [[normalizedEmbeddings]] cache): hyperplane sign bits
+    * are invariant under positive scaling, so the band keys are
+    * identical on unit vectors, and verification becomes a clamped dot
+    * product.
+    */
+  def embeddingNearDupLshNormalized(normalized: DataFrame, dim: Int,
+      threshold: Double = 0.9, bands: Int = 16, rowsPerBand: Int = 8,
       seed: Long = 7L): DataFrame = {
-    val spark = embeddings.sparkSession
+    val spark = normalized.sparkSession
     import spark.implicits._
     val rng = new java.util.Random(seed)
     val planes: Array[Array[Double]] =
       Array.fill(bands * rowsPerBand)(Array.fill(dim)(rng.nextGaussian()))
     val bcPlanes = spark.sparkContext.broadcast(planes)
     val rpb = rowsPerBand
-    val e = embeddings.select(col("vec_id"),
-      VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+    val e = normalized.select(col("vec_id"), col("nv").as("v"))
     // sign bit per hyperplane -> per-band bit-string key. Typed
     // mapPartitions, not HOFs: Spark 4 interprets lambda HOFs, and
     // 256 hyperplane dot products per row is exactly the per-row
@@ -532,7 +577,8 @@ object Dedup {
       .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
       .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(ArrayMath.cosineSimilarity(col("va"), col("vb")), 6).as("sim"))
+        round(greatest(ArrayMath.dotProduct(col("va"), col("vb")), lit(0.0)), 6)
+          .as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
