@@ -44,6 +44,8 @@ object Bench {
     val builds = if (only.isDefined) Seq.empty[(String, Double)] else Seq(
       timed("bench_build_exact_gt",
         () => knn.ExactKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_exact_gt_sampled",
+        () => knn.ExactKnn.topKBatchSampled(spark, sfDir).count()),
       timed("bench_build_hnsw",
         () => knn.HnswKnn.topKBatch(spark, sfDir).count()),
       timed("bench_build_ivf",

@@ -56,10 +56,16 @@ class IvfKnnSpec extends SparkSpec {
 
   test("declared ivf lifecycle query equals the in-memory batch, bit for bit") {
     val inMemory = IvfKnn.topKBatch(spark, sf0001).collect().toSet
-    val lifecycle = IvfKnn.topKBatchLifecycle(spark, sf0001).collect().toSet
-    assert(lifecycle == inMemory,
+    val lifecycle = IvfKnn.topKBatchLifecycle(spark, sf0001)
+    assert(lifecycle.collect().toSet == inMemory,
       "save->load->probe must answer exactly like the in-memory index")
     assert(inMemory.nonEmpty)
+    // the probe relation prunes the reloaded partitioned table at
+    // runtime: the cid equi-join must plan a dynamic-pruning partition
+    // filter on the scan (the distributed sibling of the static isin)
+    val plan = lifecycle.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"reloaded scan not dynamically pruned:\n$plan")
   }
 
   test("ivf incremental insert: new vectors land in probe-reachable clusters") {
