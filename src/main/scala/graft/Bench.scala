@@ -69,6 +69,8 @@ object Bench {
         () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
       timed("bench_build_norm_emb",
         () => operators.Dedup.normalizedEmbeddings(spark, sfDir).count()),
+      timed("bench_build_tokens",
+        () => operators.TextOps.tokenizedDocs(spark, sfDir).count()),
       timed("bench_build_grams",
         () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()))
     val results = builds ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
