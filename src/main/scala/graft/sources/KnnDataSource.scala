@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.StructType
   *                     options `k`, `ef`, `shards`
   *   - `ivf`         — cluster-pruned ANN batch: (qid, vec_id, dist, rk);
   *                     options `k`, `nCentroids`, `nprobe`
+  *   - `search`      — top-k for a USER-SUPPLIED query vector over the
+  *                     whole embeddings table (the reference's
+  *                     `index.search(query)` from SQL): (vec_id, dist);
+  *                     options `vector` (comma-separated doubles), `k`
   *
   * The scan stays fully distributed (it returns the underlying
   * DataFrame's rows); nothing is materialized on the driver at view
@@ -57,10 +61,23 @@ class KnnDataSource extends RelationProvider with DataSourceRegister {
         graft.knn.IvfKnn.topKBatch(spark, dir, k,
           opt("nCentroids").map(_.toInt).getOrElse(0),
           opt("nprobe").map(_.toInt).getOrElse(0))
+      case "search" =>
+        val vec = opt("vector").getOrElse(throw new IllegalArgumentException(
+            "graft-knn: backend 'search' requires option 'vector'"))
+          .split(",").map(_.trim.toDouble).toSeq
+        import org.apache.spark.sql.functions.{col, typedlit}
+        graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+              .as("emb"))
+          .select(col("vec_id"),
+            graft.knn.ExactKnn.dist(col("emb"), typedlit(vec)).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id").asc)
+          .limit(k)
       case other =>
         throw new IllegalArgumentException(
           s"graft-knn: unknown backend '$other' " +
-            "(expected exact, exact_batch, hnsw, ivf)")
+            "(expected exact, exact_batch, hnsw, ivf, search)")
     }
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = ctx

@@ -35,6 +35,22 @@ class KnnDataSourceSpec extends SparkSpec {
     assert(one == ExactKnn.split(spark, sf0001)._2.count())
   }
 
+  test("search backend: a user-supplied vector finds itself at distance 0") {
+    import spark.implicits._
+    val (id, emb) = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      .as[(Long, Array[Double])].orderBy("vec_id").head()
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_search
+                  USING graft.sources.KnnDataSource
+                  OPTIONS (dir '$sf0001', backend 'search', k '3',
+                           vector '${emb.mkString(",")}')""")
+    val rows = spark.sql("SELECT vec_id, dist FROM knn_sql_search").collect()
+    assert(rows.length == 3)
+    assert(rows.head.getLong(0) == id && rows.head.getDouble(1) == 0.0,
+      s"query vector must be its own nearest neighbor, got ${rows.head}")
+  }
+
   test("unknown backend and missing dir fail loudly") {
     val e1 = intercept[Exception] {
       spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_bad
