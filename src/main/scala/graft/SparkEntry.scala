@@ -59,6 +59,19 @@ object SparkEntry {
     "sql_knn_hnsw" -> ((s, d) => sqlKnn(s, d,
       "backend 'hnsw', k '10'",
       v => s"SELECT qid, vec_id, dist, rk FROM $v")),
+    // user-supplied query vector from pure SQL (the reference's
+    // index.search(query)): the vector literal is fixture row 29, so
+    // the oracle is full-table knn of that row (self included, dist 0)
+    "sql_knn_search" -> ((s, d) => {
+      import s.implicits._
+      val vec = graft.Tables.embeddings(s, d)
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 29L)
+        .select(graft.functions.VectorFunctions.toDoubleArray(
+          org.apache.spark.sql.functions.col("embedding")))
+        .as[Array[Double]].head()
+      sqlKnn(s, d, s"backend 'search', k '10', vector '${vec.mkString(",")}'",
+        v => s"SELECT vec_id, dist FROM $v ORDER BY dist ASC, vec_id ASC")
+    }),
     // HNSW is approximate: no SQL oracle; quality is gated by the recall
     // queries below + HnswSpec (the reference's own pattern, main.rs:89-93)
     "knn_hnsw_single" -> ((s, d) => HnswKnn.topKSingle(s, d)),
@@ -321,6 +334,17 @@ object SparkEntry {
       SELECT b.vec_id, $cosDistSql AS dist
       FROM e b, e q, p
       WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
+      ORDER BY dist, b.vec_id LIMIT 10""",
+
+    // the 'search' backend's vector literal IS fixture row 29, so the
+    // oracle is full-table knn of that row (self at distance 0)
+    "sql_knn_search" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings)
+      SELECT b.vec_id, $cosDistSql AS dist
+      FROM e b, e q
+      WHERE q.vec_id = 29
       ORDER BY dist, b.vec_id LIMIT 10""",
 
     // the SQL-facing view over the exact backend answers the identical
