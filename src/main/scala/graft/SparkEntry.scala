@@ -93,14 +93,11 @@ object SparkEntry {
     // the 100-TB evaluation mode: ground truth brute-forced only for a
     // deterministic 1-in-10 query sample (O(n) instead of O(n²)), the
     // ANN side semi-joined down to the same qids
-    "eval_recall_hnsw_sampled" -> ((s, d) => {
-      val gt = ExactKnn.topKBatchSampled(s, d)
-      Evaluation.recall(
-        HnswKnn.topKBatch(s, d)
-          .join(gt.select("qid").distinct(), Seq("qid"), "left_semi")
-          .select("qid", "vec_id"),
-        gt.select("qid", "vec_id"))
-    }),
+    // (no qid pre-filter needed: recall's (qid, vec_id) semi-join
+    // against the sampled ground truth already ignores unsampled qids)
+    "eval_recall_hnsw_sampled" -> ((s, d) => Evaluation.recall(
+      HnswKnn.topKBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatchSampled(s, d).select("qid", "vec_id"))),
     "knn_ivf_batch" -> ((s, d) => IvfKnn.topKBatch(s, d)),
     // save (partitioned by cid) -> load -> probe: the reloaded scan
     // prunes to the probed partitions (IvfKnnSpec pins PartitionFilters

@@ -187,14 +187,16 @@ object ExactKnn {
 
   /** Exact re-rank of an overfetched candidate set (the shared tail of
     * the PQ/SQ/IVF-PQ scale paths): fetch only the candidates' full
-    * vectors, score them against the broadcast QUERY RELATION (queries
-    * stay a DataFrame — never driver-collected), keep top-k. Touches
-    * (queries x overfetch*k) vectors, never the base table.
+    * vectors, score them against the query relation, keep top-k.
+    * Touches (queries x overfetch*k) vectors, never the base table.
+    * The join strategy is left to the optimizer: at typical batch
+    * sizes it broadcasts the small side; at a huge query split AQE
+    * picks a shuffled join on qid instead of forcing the whole split
+    * through the driver's broadcast collect.
     */
   private[knn] def rerank(cand: DataFrame, base: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("emb").as("qvec")))
+    val q = queries.select(col("vec_id").as("qid"), col("emb").as("qvec"))
     val exact = cand.join(base, "vec_id").join(q, "qid")
       .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
     graft.plans.GraftOps.topKPerGroup(exact, Seq("qid"),

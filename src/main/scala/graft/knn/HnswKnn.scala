@@ -251,7 +251,11 @@ object HnswKnn {
       saveIndex(index, p)
       p
     }
-    val reloaded = loadIndex(spark, path)
+    // the reloaded index is memoized per (dataset, shards) like every
+    // other cache: without this, each invocation would persist another
+    // `placed` copy of all shard graphs and never release it
+    val reloaded = graft.IndexCache.getOrBuild(spark,
+      s"hnsw-reloaded:$dir:$shards")(loadIndex(spark, path))
     searchIndex(reloaded, queries, k, ef)
   }
 

@@ -25,13 +25,16 @@ object IvfPqKnn {
   /** Top-k for every held-out query. Output: (qid, vec_id, dist
     * rounded 6, rk) — same shape as [[ExactKnn.topKBatch]].
     *
-    * Fully distributed query side: probe routing runs executor-side
+    * Distributed query side: probe routing runs executor-side
     * (map-only over the query split with the centroids broadcast), the
     * (qid, cid) probe relation equi-joins the code table on cid — each
     * code row fans out ONLY to the queries probing its cluster — and a
     * second broadcast join attaches the per-query flattened ADC table,
-    * scored in codegen by [[graft.functions.PqAdcDistance]]. No query
-    * vector or LUT ever crosses the driver.
+    * scored in codegen by [[graft.functions.PqAdcDistance]]. The probe
+    * and LUT relations travel as ENGINE-MANAGED broadcasts (bounded by
+    * nprobe x queries pairs and queries x m x ksub doubles); a query
+    * split too large for a broadcast runs as waves of this plan or
+    * flips to the zipPartitions replication [[PqKnn.topKBatch]] uses.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       nCentroids: Int = 0, nprobe: Int = 0, m: Int = 8, ksub: Int = 256,

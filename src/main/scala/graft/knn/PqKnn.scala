@@ -171,6 +171,10 @@ object PqKnn {
           var j = 0
           while (j < b.m) {
             val row = lut(j)
+            // a codebook row longer than the stride would silently
+            // bleed into subspace j+1's slots — fail loudly instead
+            require(row.length <= ksub,
+              s"codebook row ${row.length} exceeds stride ksub=$ksub")
             var c = 0
             while (c < row.length) { flat(j * ksub + c) = row(c); c += 1 }
             j += 1
@@ -184,15 +188,17 @@ object PqKnn {
     * table, then exact re-rank of the candidates. Output: (qid, vec_id,
     * dist rounded 6, rk) — same shape as [[ExactKnn.topKBatch]].
     *
-    * Fully distributed query side: the per-query ADC tables are a
-    * broadcast RELATION (computed executor-side) nested-loop-joined
-    * against the code table, and [[graft.functions.PqAdcDistance]]
-    * scores each pair inside whole-stage codegen reading the joined
-    * rows in place — no query vector or LUT ever crosses the driver,
-    * at any query-split size.
+    * Fully distributed query side (same mechanism as
+    * [[HnswKnn.searchIndex]]): query rows are replicated to every code
+    * partition in one shuffle and zipPartitions streams them past the
+    * partition's resident codes — one ADC table per (partition, query)
+    * computed on the executor, task memory = one cached code partition
+    * + one in-flight query. No query vector or LUT ever crosses the
+    * driver, at any query-split size.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
+    import spark.implicits._
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val (cb, codes) = IndexCache.getOrBuild(spark, s"pq:$dir:$m:$ksub") {
       val b = trainCodebooks(base, m, ksub)
@@ -200,10 +206,25 @@ object PqKnn {
       enc.count()
       (b, enc)
     }
-    val scored = codes.crossJoin(broadcast(queryLutsDF(queries, cb, ksub)))
-      .select(col("qid"), col("vec_id"),
-        graft.functions.QuantizedDistances
-          .pqAdcDistance(col("codes"), col("lut"), ksub).as("approx_dist"))
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val codesRdd = codes.as[(Long, Array[Byte])].rdd
+    val numP = codesRdd.getNumPartitions
+    val qrep = queries.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].rdd
+      .flatMap(q => Iterator.range(0, numP).map(p => (p, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(numP))
+    val scoredRdd = codesRdd.zipPartitions(qrep) { (cit, qit) =>
+      val local = cit.toArray // one cached code partition per task
+      val b = bcCb.value
+      qit.flatMap { case (_, (qid, qv)) =>
+        val lut = queryLut(b, qv)
+        local.iterator.map { case (id, cs) =>
+          (qid, id, 1.0 - math.max(adcSim(lut, cs), 0.0))
+        }
+      }
+    }
+    val scored = spark.createDataset(scoredRdd)
+      .toDF("qid", "vec_id", "approx_dist")
     val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
       Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
       .select("qid", "vec_id")

@@ -107,15 +107,16 @@ object SqKnn {
     * table, then exact re-rank. Output: (qid, vec_id, dist rounded 6,
     * rk) — same shape as [[ExactKnn.topKBatch]].
     *
-    * Fully distributed query side: the raw query relation is broadcast
-    * (still a DataFrame — never driver-collected) against the code
-    * table, and [[graft.functions.SqApproxDistance]] fuses decode +
-    * cosine per pair inside whole-stage codegen, reading the joined
-    * rows in place; the per-dimension bounds ride in the expression as
-    * plan constants.
+    * Fully distributed query side (same mechanism as
+    * [[HnswKnn.searchIndex]]): query rows are replicated to every code
+    * partition in one shuffle and zipPartitions streams them past the
+    * partition's resident codes, scoring each pair with the fused
+    * decode+cosine loop — task memory = one cached code partition +
+    * one in-flight query; no query vector ever crosses the driver.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       overfetch: Int = 16): DataFrame = {
+    import spark.implicits._
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val (bounds, codes) = IndexCache.getOrBuild(spark, s"sq:$dir") {
       val b = trainBounds(base)
@@ -123,13 +124,24 @@ object SqKnn {
       enc.count()
       (b, enc)
     }
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("emb").as("qvec")))
-    val scored = codes.crossJoin(q)
-      .select(col("qid"), col("vec_id"),
-        graft.functions.QuantizedDistances
-          .sqApproxDistance(col("codes"), col("qvec"), bounds.mins, bounds.maxs)
-          .as("approx_dist"))
+    val bcBounds = spark.sparkContext.broadcast(bounds)
+    val codesRdd = codes.as[(Long, Array[Byte])].rdd
+    val numP = codesRdd.getNumPartitions
+    val qrep = queries.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].rdd
+      .flatMap(q => Iterator.range(0, numP).map(p => (p, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(numP))
+    val scoredRdd = codesRdd.zipPartitions(qrep) { (cit, qit) =>
+      val local = cit.toArray
+      val b = bcBounds.value
+      qit.flatMap { case (_, (qid, qv)) =>
+        local.iterator.map { case (id, cs) =>
+          (qid, id, approxDist(cs, qv, b.mins, b.maxs))
+        }
+      }
+    }
+    val scored = spark.createDataset(scoredRdd)
+      .toDF("qid", "vec_id", "approx_dist")
     val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
       Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
       .select("qid", "vec_id")

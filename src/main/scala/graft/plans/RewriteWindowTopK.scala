@@ -35,8 +35,15 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
 
   val FLAG = "spark.graft.rewriteWindowTopK"
 
-  private def mode: String =
-    SQLConf.get.getConfString(FLAG, "auto").toLowerCase(java.util.Locale.ROOT)
+  private def mode: String = {
+    val m = SQLConf.get.getConfString(FLAG, "auto")
+      .toLowerCase(java.util.Locale.ROOT)
+    // fail loudly on typos: silently treating "on"/"1"/"force" as auto
+    // would ignore the user's stated intent without a trace
+    require(m == "auto" || m == "true" || m == "false",
+      s"$FLAG must be auto, true, or false (got '$m')")
+    m
+  }
 
   /** Ties under `order` are value-identical rows: each child column is
     * either ordered on directly or a plain partition key. Expression

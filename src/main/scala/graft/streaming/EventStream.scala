@@ -176,12 +176,16 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val all = spark.table(name)
-    all
+    val out = spark.table(name)
       .withColumn("mx", max(col("upd")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
       .filter(col("upd") === col("mx"))
       .select(col("event_type"), col("event_id"), col("value"), col("rk"))
+    // bind the sink relation into the plan, then drop the catalog entry
+    // so repeated invocations don't accumulate driver-resident tables
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** The declared STREAMING-EXECUTED tumbling aggregation (shares
@@ -204,7 +208,10 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    val out = spark.table(name)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Stream-stream interval self-join: every 'error' event joined to the

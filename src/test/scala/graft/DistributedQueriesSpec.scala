@@ -24,16 +24,18 @@ class DistributedQueriesSpec extends SparkSpec {
       s"$name still unions per-block sub-plans:\n$lineage")
   }
 
-  test("hnsw batch: no LocalTableScan, zipPartitions probe lineage") {
-    val df = HnswKnn.topKBatch(spark, sf0001)
-    assertNoDriverRows("hnsw", df)
-    assert(df.rdd.toDebugString.contains("ZippedPartitionsRDD2"),
-      "expected the zipPartitions scatter-gather probe in the lineage")
+  test("hnsw / pq / sq batches: zipPartitions scatter-gather lineage") {
+    for ((name, df) <- Seq(
+        "hnsw" -> HnswKnn.topKBatch(spark, sf0001),
+        "pq" -> PqKnn.topKBatch(spark, sf0001),
+        "sq" -> SqKnn.topKBatch(spark, sf0001))) {
+      assertNoDriverRows(name, df)
+      assert(df.rdd.toDebugString.contains("ZippedPartitionsRDD2"),
+        s"$name: expected the zipPartitions scatter-gather probe in the lineage")
+    }
   }
 
-  test("pq / sq / ivfpq / ivf-lifecycle batches: no LocalTableScan") {
-    assertNoDriverRows("pq", PqKnn.topKBatch(spark, sf0001))
-    assertNoDriverRows("sq", SqKnn.topKBatch(spark, sf0001))
+  test("ivfpq / lifecycle batches: no LocalTableScan") {
     assertNoDriverRows("ivfpq", IvfPqKnn.topKBatch(spark, sf0001))
     assertNoDriverRows("ivf_lifecycle", IvfKnn.topKBatchLifecycle(spark, sf0001))
     assertNoDriverRows("hnsw_lifecycle", HnswKnn.topKBatchLifecycle(spark, sf0001))
@@ -49,27 +51,11 @@ class DistributedQueriesSpec extends SparkSpec {
       assert(df.select("qid").distinct().count() == nq, s"$name dropped queries")
   }
 
-  test("quantized scoring expressions match their typed-fold twins") {
+  test("PqAdcDistance expression matches the nested-array adcSim fold") {
     import spark.implicits._
     val (base, queries, _, _) = ExactKnn.split(spark, sf0001)
-    // SQ: expression vs the reference JVM fold on real rows
-    val bounds = SqKnn.trainBounds(base)
-    val enc = SqKnn.encode(base.limit(50), bounds)
     val q = queries.limit(3).select(col("vec_id").as("qid"), col("emb").as("qvec"))
-    val viaExpr = enc.crossJoin(broadcast(q))
-      .select(col("vec_id"), col("qid"),
-        graft.functions.QuantizedDistances
-          .sqApproxDistance(col("codes"), col("qvec"), bounds.mins, bounds.maxs)
-          .as("d"))
-      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
-    val codesMap = enc.as[(Long, Array[Byte])].collect().toMap
     val qMap = q.as[(Long, Array[Double])].collect().toMap
-    for (((vid, qid), d) <- viaExpr) {
-      val expected = SqKnn.approxDist(codesMap(vid), qMap(qid),
-        bounds.mins, bounds.maxs)
-      assert(d == expected, s"sq expr $d != fold $expected for ($vid,$qid)")
-    }
-
     // PQ: flattened-LUT expression vs the nested-array adcSim fold
     val cb = PqKnn.trainCodebooks(base, m = 8, ksub = 16)
     val pqEnc = PqKnn.encode(base.limit(50), cb)
