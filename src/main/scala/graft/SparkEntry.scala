@@ -231,6 +231,11 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStream.topAmountsStreamed(s, d)),
     "events_tumbling_streamed" ->
       ((s, d) => graft.streaming.EventStream.tumblingStreamed(s, d)),
+    // native session_window executed BY the streaming engine: sessions
+    // emit from keyed state when the (sentinel-driven) watermark passes
+    // their end — append-mode stateful execution under the hash gate
+    "events_sessions_streamed" ->
+      ((s, d) => graft.streaming.EventStream.sessionsNativeStreamed(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -247,6 +252,26 @@ object SparkEntry {
   /** 2-decimal column -> exact integer cents (mirror of ExactNum.cents). */
   private def c100(col: String): String =
     s"CAST(round($col*100) AS BIGINT)"
+
+  /** Shared by `events_sessions_native` (batch session_window) and
+    * `events_sessions_streamed` (the same aggregation executed by the
+    * streaming engine): the lag/prefix-sum formulation of 30-minute
+    * inactivity sessions, sid dropped.
+    */
+  private def sessionsNativeOracle: String = s"""
+      WITH x AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      y AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+            FROM x)
+      SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+             count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
+      FROM y GROUP BY user_id, sid"""
 
   /** BM25 oracle for an arbitrary term list — the same per-term
     * arithmetic and left-to-right `t0 + t1 + ...` fold as the
@@ -935,20 +960,11 @@ object SparkEntry {
 
     // the native session_window plan must produce the same sessions the
     // analytic-window formulation does (same oracle, sid dropped)
-    "events_sessions_native" -> s"""
-      WITH x AS (
-        SELECT user_id, event_id, ts, value,
-          CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-               THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      y AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
-            FROM x)
-      SELECT user_id, epoch_us(min(ts)) AS session_start_us,
-             count(*) AS n_events, sum(${c100("value")})/100.0 AS sum_value
-      FROM y GROUP BY user_id, sid""",
+    "events_sessions_native" -> sessionsNativeOracle,
+    // the streaming-executed session_window run shares the same oracle:
+    // watermark-driven append-mode emission must reproduce the batch
+    // sessions exactly
+    "events_sessions_streamed" -> sessionsNativeOracle,
 
     // mediaTable: payload = utf-8 text bytes (ASCII fixture: len == chars),
     // kind video <=> doc_id % 3 = 2; offsets = i * len / 4 in long division

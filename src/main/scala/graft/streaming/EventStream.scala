@@ -293,6 +293,76 @@ object EventStream {
         .load(),
       startMs)
 
+  /** Stage the fixture plus one far-future SENTINEL event (user_id -1,
+    * a user the fixture cannot contain) into a dedicated stream
+    * directory: append-mode session windows only emit once the
+    * watermark passes their end, and the watermark trails the maximum
+    * observed event time — without an event beyond the last real one,
+    * the final sessions of every user would sit in state forever and
+    * never reach the sink. The sentinel drags the watermark a year past
+    * the fixture; its own (never-closed) session is excluded by user_id.
+    */
+  private def stagedSessionsDir(spark: SparkSession, dir: String): String =
+    graft.IndexCache.getOrBuild(spark, s"events-stream-sessions-dir:$dir") {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val d = java.nio.file.Files.createTempDirectory("graft-events-sess")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+      val maxNs = spark.read.parquet(src.toString)
+        .agg(max(col("ts"))).as[Long].head()
+      val sentinel = Seq(
+        (-1L, maxNs + 365L * 24 * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = d.resolve("sentinel.tmp").toString
+      sentinel.repartition(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      java.nio.file.Files.move(part.toPath, d.resolve("sentinel.parquet"))
+      new java.io.File(tmp).listFiles.foreach(_.delete())
+      java.nio.file.Files.delete(java.nio.file.Paths.get(tmp))
+      d.toString
+    }
+
+  /** The declared STREAMING-EXECUTED sessionization (shares
+    * `events_sessions_native`'s oracle): the fixture events plus the
+    * watermark sentinel flow through the file stream source -> the SAME
+    * native session_window aggregation the batch row uses
+    * ([[sessionWindowAgg]]) -> an append-mode memory sink under
+    * `Trigger.AvailableNow`. Sessions merge in keyed state and emit
+    * exactly once when the watermark passes their end — so every row
+    * the driver hashes was produced by the streaming engine's stateful
+    * session operator, the strongest of the three streamed rows (topk =
+    * custom keyed state, tumbling = stateless windows re-emitted in
+    * complete mode, sessions = watermark-driven append-mode state
+    * eviction).
+    */
+  def sessionsNativeStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedSessionsDir(spark, dir)
+    val name = s"graft_sessions_stream_${streamRunSeq.incrementAndGet()}"
+    // NOTE: the sentinel must be excluded AFTER the sink, not here — a
+    // `user_id != -1` filter on the streaming frame is a grouping-key
+    // predicate, so Catalyst pushes it below the aggregation AND the
+    // watermark operator, and the watermark never sees the sentinel
+    // (observed: the final ~90 min of real sessions never emit)
+    val q = sessionWindowAgg(readEventsStream(spark, staged), "30 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-sess-q").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the sentinel's own session never closes (no event after it), so
+    // it can't appear in the sink — the filter is belt-and-braces, and
+    // safe here because the sink table is a BATCH relation
+    val out = spark.table(name).filter(col("user_id") =!= -1L)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Watermarked streaming sessionization via the NATIVE session_window
     * aggregate (the declarative sibling of [[sessionize]]'s keyed-state
     * form): sessions merge inside the aggregation and close — emit in

@@ -147,6 +147,20 @@ class EventStreamSpec extends SparkSpec {
     assert(again.sameElements(batch))
   }
 
+  test("declared streaming-executed sessionization equals the batch sessions") {
+    val streamed = EventStream.sessionsNativeStreamed(spark, sf0001)
+      .orderBy("user_id", "session_start_us").collect()
+    val batch = EventOps.sessionsNative(spark, sf0001)
+      .orderBy("user_id", "session_start_us").collect()
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} vs batch ${batch.length} sessions")
+    assert(streamed.sameElements(batch))
+    // repeatable: the staged dir and sentinel are cached per dataset
+    val again = EventStream.sessionsNativeStreamed(spark, sf0001)
+      .orderBy("user_id", "session_start_us").collect()
+    assert(again.sameElements(batch))
+  }
+
   test("declared streaming-executed tumbling agg equals the batch result") {
     val streamed = EventStream.tumblingStreamed(spark, sf0001)
       .orderBy("w_start", "event_type").collect()
