@@ -59,6 +59,12 @@ object SparkEntry {
     "sql_knn_hnsw" -> ((s, d) => sqlKnn(s, d,
       "backend 'hnsw', k '10'",
       v => s"SELECT qid, vec_id, dist, rk FROM $v")),
+    // the quantized families are reachable from SQL too (PQ standing in
+    // for pq/sq/ivfpq/rp — KnnDataSourceSpec pins all four to their
+    // Scala entry points); approximate -> rows-only
+    "sql_knn_pq" -> ((s, d) => sqlKnn(s, d,
+      "backend 'pq', k '10'",
+      v => s"SELECT qid, vec_id, dist, rk FROM $v")),
     // user-supplied query vector from pure SQL (the reference's
     // index.search(query)): the vector literal is fixture row 29, so
     // the oracle is full-table knn of that row (self included, dist 0)

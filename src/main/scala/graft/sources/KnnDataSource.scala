@@ -26,6 +26,10 @@ import org.apache.spark.sql.types.StructType
   *                     options `k`, `ef`, `shards`
   *   - `ivf`         — cluster-pruned ANN batch: (qid, vec_id, dist, rk);
   *                     options `k`, `nCentroids`, `nprobe`
+  *   - `pq` / `sq` / `ivfpq` / `rp` — the quantized/projected ANN
+  *                     batches, same output shape; options mirror each
+  *                     family's entry point (`m`, `ksub`, `nCentroids`,
+  *                     `nprobe`, `outDim`, `overfetch`)
   *   - `search`      — top-k for a USER-SUPPLIED query vector over the
   *                     whole embeddings table (the reference's
   *                     `index.search(query)` from SQL): (vec_id, dist);
@@ -61,6 +65,25 @@ class KnnDataSource extends RelationProvider with DataSourceRegister {
         graft.knn.IvfKnn.topKBatch(spark, dir, k,
           opt("nCentroids").map(_.toInt).getOrElse(0),
           opt("nprobe").map(_.toInt).getOrElse(0))
+      case "pq" =>
+        graft.knn.PqKnn.topKBatch(spark, dir, k,
+          opt("m").map(_.toInt).getOrElse(8),
+          opt("ksub").map(_.toInt).getOrElse(256),
+          opt("overfetch").map(_.toInt).getOrElse(16))
+      case "sq" =>
+        graft.knn.SqKnn.topKBatch(spark, dir, k,
+          opt("overfetch").map(_.toInt).getOrElse(16))
+      case "ivfpq" =>
+        graft.knn.IvfPqKnn.topKBatch(spark, dir, k,
+          opt("nCentroids").map(_.toInt).getOrElse(0),
+          opt("nprobe").map(_.toInt).getOrElse(0),
+          opt("m").map(_.toInt).getOrElse(8),
+          opt("ksub").map(_.toInt).getOrElse(256),
+          opt("overfetch").map(_.toInt).getOrElse(16))
+      case "rp" =>
+        graft.knn.RandomProjection.topKBatch(spark, dir, k,
+          opt("outDim").map(_.toInt).getOrElse(32),
+          opt("overfetch").map(_.toInt).getOrElse(16))
       case "search" =>
         val vec = opt("vector").getOrElse(throw new IllegalArgumentException(
             "graft-knn: backend 'search' requires option 'vector'"))
@@ -77,7 +100,7 @@ class KnnDataSource extends RelationProvider with DataSourceRegister {
       case other =>
         throw new IllegalArgumentException(
           s"graft-knn: unknown backend '$other' " +
-            "(expected exact, exact_batch, hnsw, ivf, search)")
+            "(expected exact, exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, search)")
     }
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = ctx

@@ -51,6 +51,22 @@ class KnnDataSourceSpec extends SparkSpec {
       s"query vector must be its own nearest neighbor, got ${rows.head}")
   }
 
+  test("quantized backends via pure SQL equal their Scala entry points") {
+    for ((backend, api) <- Seq(
+        "pq" -> graft.knn.PqKnn.topKBatch(spark, sf0001),
+        "sq" -> graft.knn.SqKnn.topKBatch(spark, sf0001),
+        "ivfpq" -> graft.knn.IvfPqKnn.topKBatch(spark, sf0001),
+        "rp" -> graft.knn.RandomProjection.topKBatch(spark, sf0001))) {
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_$backend
+                    USING graft.sources.KnnDataSource
+                    OPTIONS (dir '$sf0001', backend '$backend', k '10')""")
+      val viaSql = spark.sql(s"SELECT * FROM knn_sql_$backend").collect().toSet
+      val viaApi = api.collect().toSet
+      assert(viaSql == viaApi, s"$backend: SQL view != Scala API")
+      assert(viaSql.nonEmpty, s"$backend returned no rows")
+    }
+  }
+
   test("unknown backend and missing dir fail loudly") {
     val e1 = intercept[Exception] {
       spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_bad
