@@ -242,6 +242,11 @@ object SparkEntry {
     // their end — append-mode stateful execution under the hash gate
     "events_sessions_streamed" ->
       ((s, d) => graft.streaming.EventStream.sessionsNativeStreamed(s, d)),
+    // every event delivered TWICE through the stream; the watermarked
+    // dedup state must drop the re-deliveries exactly (oracle = the
+    // events table itself)
+    "events_dedup_streamed" ->
+      ((s, d) => graft.streaming.EventStream.dedupStreamed(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -971,6 +976,12 @@ object SparkEntry {
     // watermark-driven append-mode emission must reproduce the batch
     // sessions exactly
     "events_sessions_streamed" -> sessionsNativeOracle,
+
+    // duplicate-free projection of the doubled stream == the fixture
+    "events_dedup_streamed" -> """
+      SELECT event_id, user_id, event_type, value,
+             epoch_us(ts) AS ts_us
+      FROM events""",
 
     // mediaTable: payload = utf-8 text bytes (ASCII fixture: len == chars),
     // kind video <=> doc_id % 3 = 2; offsets = i * len / 4 in long division

@@ -214,6 +214,48 @@ object EventStream {
     out
   }
 
+  /** Stage the fixture TWICE (two identical files) so the stream
+    * delivers every event as a genuine duplicate pair — the declared
+    * dedup row must actually drop rows, not pass a unique-key fixture
+    * through untouched.
+    */
+  private def stagedDupEventsDir(spark: SparkSession, dir: String): String =
+    graft.IndexCache.getOrBuild(spark, s"events-stream-dup-dir:$dir") {
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val d = java.nio.file.Files.createTempDirectory("graft-events-dup")
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+      java.nio.file.Files.copy(src, d.resolve("events_dup.parquet"))
+      d.toString
+    }
+
+  /** The declared STREAMING-EXECUTED exact dedup (oracle: the events
+    * table itself): every fixture event arrives twice through the file
+    * stream source; [[dedupEvents]]' watermarked
+    * `dropDuplicatesWithinWatermark` state emits each event_id's first
+    * occurrence and drops the re-delivery — so the sink holding exactly
+    * one copy of every event is the streaming engine's dedup state
+    * under the driver's hash check (the at-least-once -> exactly-once
+    * ingest pattern).
+    */
+  def dedupStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDupEventsDir(spark, dir)
+    val name = s"graft_dedup_stream_${streamRunSeq.incrementAndGet()}"
+    val q = dedupEvents(readEventsStream(spark, staged))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-dedup-q").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Stream-stream interval self-join: every 'error' event joined to the
     * same user's 'click' events within +/- `withinMinutes` (event-time
     * range condition over two watermarked sides of one stream). The

@@ -161,6 +161,19 @@ class EventStreamSpec extends SparkSpec {
     assert(again.sameElements(batch))
   }
 
+  test("declared streaming-executed dedup drops the doubled delivery exactly") {
+    val streamed = EventStream.dedupStreamed(spark, sf0001)
+      .orderBy("event_id").collect()
+    val batch = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} vs fixture ${batch.length} rows " +
+        "(duplicates not dropped, or rows lost)")
+    assert(streamed.sameElements(batch))
+  }
+
   test("declared streaming-executed tumbling agg equals the batch result") {
     val streamed = EventStream.tumblingStreamed(spark, sf0001)
       .orderBy("w_start", "event_type").collect()
