@@ -50,6 +50,9 @@ object SparkEntry {
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
     "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
     "knn_exact_after_insert" -> ((s, d) => ExactKnn.topKAfterInsert(s, d)),
+    // the same mutation on the inverted-file family: insert_many into a
+    // built IVF index, exhaustive probe (= exact), shared oracle
+    "knn_ivf_after_insert" -> ((s, d) => IvfKnn.topKAfterInsert(s, d)),
     // SQL-facing index search (DSv1 relation over the library entry
     // points): the query bodies are pure SQL — shares knn_exact_single's
     // oracle (exact backend); the HNSW view is approximate -> rows-only
@@ -264,6 +267,25 @@ object SparkEntry {
   private def c100(col: String): String =
     s"CAST(round($col*100) AS BIGINT)"
 
+  /** Shared by `knn_exact_after_insert` (bag-union append then brute
+    * force) and `knn_ivf_after_insert` (IVF insert_many then EXHAUSTIVE
+    * probe — exact by construction): full-prefix knn of the first 20
+    * held-out queries.
+    */
+  private def afterInsertOracle: String = s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s95 FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s95
+              AND q.vec_id >= p.s95 AND q.vec_id < p.s95 + 20)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10"""
+
   /** Shared by `events_sessions_native` (batch session_window) and
     * `events_sessions_streamed` (the same aggregation executed by the
     * streaming engine): the lag/prefix-sum formulation of 30-minute
@@ -429,19 +451,10 @@ object SparkEntry {
       FROM d
       QUALIFY rk <= 10""",
 
-    "knn_exact_after_insert" -> s"""
-      WITH e AS (SELECT vec_id,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-                 FROM embeddings),
-      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s95 FROM e),
-      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-            FROM e b, e q, p
-            WHERE b.vec_id < p.s95
-              AND q.vec_id >= p.s95 AND q.vec_id < p.s95 + 20)
-      SELECT qid, vec_id, dist,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
-      FROM d
-      QUALIFY rk <= 10""",
+    "knn_exact_after_insert" -> afterInsertOracle,
+    // IVF insert_many + exhaustive probe is exact -> same oracle; the
+    // hash gate covers the inverted-file mutation itself
+    "knn_ivf_after_insert" -> afterInsertOracle,
 
     "knn_euclidean_single" -> s"""
       WITH e AS (SELECT vec_id,

@@ -269,6 +269,42 @@ object IvfKnn {
     searchIndexDF(reloaded, queries, k, nP)
   }
 
+  /** `insert_many` into a BUILT IVF index, then search (the reference's
+    * index mutation path on the inverted-file family): centroids train
+    * on the first 90% prefix only, the 90–95% slab arrives through
+    * [[insertIntoIndex]] (nearest-centroid assignment, centroids fixed —
+    * the standard IVF add path), and the held-out queries probe the
+    * union EXHAUSTIVELY (nprobe = nCentroids), which makes the search
+    * exact — so this shares `knn_exact_after_insert`'s oracle, and a
+    * hash-match proves the insert assigned every slab vector to some
+    * cluster exactly once (a dropped, duplicated, or mis-bucketed row
+    * changes the result). The ANN-regime probe (nprobe << nC) is the
+    * recall-gated [[topKBatch]]; this row gates the MUTATION.
+    * Output: (qid, vec_id, dist rounded 6, rk) for the first `nq`
+    * queries.
+    */
+  def topKAfterInsert(spark: SparkSession, dir: String, k: Int = 10,
+      nq: Int = 20, nCentroids: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val n = emb.count()
+    val s90 = math.round(0.90 * n)
+    val s95 = math.round(0.95 * n)
+    val nC = if (nCentroids > 0) nCentroids
+             else math.max(4, math.sqrt(s90.toDouble).toInt)
+    val index = IndexCache.getOrBuild(spark, s"ivf-ins:$dir:$nC") {
+      val built = buildIndex(emb.filter(col("vec_id") < s90), nC)
+      val grown = insertIntoIndex(built,
+        emb.filter(col("vec_id") >= s90 && col("vec_id") < s95))
+      val a = grown.assigned.persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      grown.copy(assigned = a)
+    }
+    val queries = emb.filter(col("vec_id") >= s95 && col("vec_id") < s95 + nq)
+    searchIndexDF(index, queries, k, nprobe = nC)
+  }
+
   /** Top-k for every held-out query, probing `nprobe` of `nCentroids`
     * clusters (defaults: sqrt(n) centroids, a quarter of them probed).
     * Output: (qid, vec_id, dist rounded 6, rk) — same shape as

@@ -85,4 +85,14 @@ class IvfKnnSpec extends SparkSpec {
     hits.foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"inserted vector ${r.getLong(0)} not its own nearest neighbor"))
   }
+
+  test("declared ivf after-insert query equals the exact after-insert twin") {
+    val viaIvf = IvfKnn.topKAfterInsert(spark, sf0001)
+      .orderBy("qid", "rk").collect()
+    val viaExact = ExactKnn.topKAfterInsert(spark, sf0001)
+      .orderBy("qid", "rk").collect()
+    assert(viaIvf.length == viaExact.length && viaIvf.nonEmpty)
+    assert(viaIvf.sameElements(viaExact),
+      "exhaustive-probe IVF after insert must be exactly the brute force")
+  }
 }
