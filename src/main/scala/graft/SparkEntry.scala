@@ -207,6 +207,10 @@ object SparkEntry {
     "text_pii_scrub"   -> TextOps.redact _,
     "text_repetition"  -> TextOps.repetitionScores _,
     "text_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    // unigram-LM surprisal (the CCNet perplexity signal, corpus-trained)
+    "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(s, d)),
+    // TF-IDF top-3 terms per doc; window order total -> auto bounded heap
+    "text_tfidf_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
     // arbitrary-term-list BM25 (exploded ⨝ broadcast-terms plan); the
     // oracle is generated for the same 8-term query below
@@ -220,6 +224,8 @@ object SparkEntry {
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
     "pipeline_heavy_hitters" -> ((s, d) => Pipeline.heavyHitterTokens(s, d)),
     "pipeline_pack_shards" -> ((s, d) => Pipeline.packShards(s, d)),
+    // mT5-style α=0.5 temperature rebalancing of the language mix
+    "pipeline_temperature_sample" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -1057,6 +1063,49 @@ object SparkEntry {
       r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
               ORDER BY n DESC, token) AS INT) AS rk FROM c)
       SELECT lang, token, n, rk FROM r WHERE rk <= 10""",
+
+    // sqrt (not pow) on both sides: correctly rounded per IEEE-754, so
+    // the α=0.5 weights are bit-identical across engines
+    "pipeline_temperature_sample" -> """
+      WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      s AS (SELECT CAST(sum(sqrt(n)) AS DOUBLE) AS spa FROM c),
+      p AS (SELECT lang, n AS n_docs,
+                   round(sqrt(n) / spa, 6) AS q,
+                   CAST(round(least(1.0, 200 * (sqrt(n) / spa) / n) * 1000)
+                        AS BIGINT) AS keep_permille
+            FROM c CROSS JOIN s),
+      k AS (SELECT d.lang, count(*) AS kept
+            FROM documents d JOIN p ON d.lang = p.lang
+            WHERE d.doc_id % 1000 < p.keep_permille GROUP BY d.lang)
+      SELECT p.lang, n_docs, q, keep_permille,
+             coalesce(kept, CAST(0 AS BIGINT)) AS n_kept
+      FROM p LEFT JOIN k ON p.lang = k.lang""",
+
+    "text_unigram_logprob" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq)
+      SELECT doc_id, count(*) AS n_tokens,
+             round(avg(-ln((c + 1.0) / (t + v))), 6) AS mean_nll
+      FROM tok JOIN freq USING (w) CROSS JOIN tot
+      GROUP BY doc_id""",
+
+    "text_tfidf_terms" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      tf AS (SELECT doc_id, w AS term, count(*) AS c FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+      dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+      sc AS (SELECT t.doc_id, t.term,
+                    round((CAST(c AS DOUBLE) / dl) * ln(nd / df), 6) AS score
+             FROM tf t JOIN dl USING (doc_id) JOIN dft USING (term)
+             CROSS JOIN n)
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS INT) AS rk
+      FROM sc QUALIFY rk <= 3""",
 
     "q4_exists_late_discount" -> """
       SELECT o_orderpriority, count(*) AS n_orders

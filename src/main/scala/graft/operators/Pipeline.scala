@@ -72,6 +72,42 @@ object Pipeline {
       Seq("n" -> false, "token" -> true), k)
   }
 
+  /** Temperature-based multilingual sampling (the mT5/XLM-R α-sampling
+    * step that rebalances a skewed language mix): with α = 0.5, a
+    * language holding share p of the corpus gets sampling weight
+    * q ∝ p^α — here computed as sqrt(n)/Σ sqrt(n), with `sqrt` chosen
+    * over `pow` deliberately: sqrt is correctly rounded in IEEE-754, so
+    * the weights are bit-identical across engines. Each language keeps
+    * ⌊round(1000·min(1, budget·q/n))⌋ permille of its docs, decided by
+    * the deterministic bucket doc_id % 1000 (no rand(): retried tasks
+    * and re-runs pick identical rows; at 100 TB the bucket would be a
+    * salted content hash, same shape).
+    *
+    * Scale shape: the per-language table is |langs|-sized (tiny at any
+    * corpus scale), so the weight computation is one broadcast row and
+    * the keep decision joins it broadcast to the doc scan — map-only
+    * over the corpus. Output: (lang, n_docs, q rounded 6,
+    * keep_permille, n_kept).
+    */
+  def temperatureSample(spark: SparkSession, dir: String,
+      budget: Long = 200L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val spa = counts.agg(sum(sqrt(col("n"))).as("spa"))
+    val rate = least(lit(1.0),
+      lit(budget.toDouble) * (sqrt(col("n")) / col("spa")) / col("n"))
+    val perLang = counts.crossJoin(broadcast(spa))
+      .select(col("lang"), col("n").as("n_docs"),
+        round(sqrt(col("n")) / col("spa"), 6).as("q"),
+        round(rate * 1000).cast("long").as("keep_permille"))
+    val kept = docs.join(broadcast(perLang), "lang")
+      .filter(col("doc_id") % 1000 < col("keep_permille"))
+      .groupBy("lang").agg(count(lit(1)).as("kept"))
+    perLang.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("q"), col("keep_permille"),
+        coalesce(col("kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Token-budget shard packing (the sequence-packing step that turns a
     * kept corpus into fixed-size training shards): docs are laid out in
     * deterministic (lang, doc_id) order and each doc's shard is the

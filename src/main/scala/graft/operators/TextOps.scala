@@ -434,6 +434,66 @@ object TextOps {
       counts(2).as("n_entities"))
   }
 
+  /** Unigram-LM quality scoring — the perplexity signal of a CCNet-style
+    * pipeline in its honest public form: no external KenLM exists in
+    * this container, so the language model IS the corpus unigram
+    * distribution, add-1 smoothed. Per doc: token count and the mean
+    * surprisal −ln p(w) over its tokens (natural-text docs score low,
+    * rare-token spam scores high — same decision axis as LM filtering).
+    *
+    * Scale shape: the frequency table is vocab-sized and joined to the
+    * exploded corpus by a plain equi-join on the token — AQE broadcasts
+    * it while it is small and hash-joins it when it is not, so any
+    * vocab size scales (at 100 TB you'd cap the head vocab and bucket
+    * the tail as OOV); the totals reduce to ONE broadcast row. The
+    * per-doc mean is one partial-aggregated shuffle on doc_id.
+    * Output: (doc_id, n_tokens, mean_nll rounded 6).
+    */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val tok = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("w"))
+    val freq = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+    tok.join(freq, "w")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log((col("c") + lit(1.0)) / (col("t") + col("v")))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("mean_nll"))
+  }
+
+  /** TF-IDF top terms per document — the sparse lexical feature a
+    * retrieval/clustering pipeline materializes next to the dense
+    * embedding: score(d,t) = (tf/dl) · ln(N/df), top `kTerms` per doc
+    * by (rounded score desc, term asc). The rank tie-break is the term
+    * itself (unique within a doc after the tf groupBy), so the window
+    * ordering is total and [[graft.plans.RewriteWindowTopK]] fires in
+    * its no-flag auto mode — the declared query plans to the bounded
+    * heap, not a full per-doc sort.
+    *
+    * Scale shape: tf, dl, and df are partial-aggregated equi-shuffles
+    * on (doc,term)/doc/term; N reduces to one broadcast row; no
+    * all-pairs stage anywhere. Output: (doc_id, term, score, rk).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, kTerms: Int = 3): DataFrame = {
+    val tok = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("c")).cast("double").as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).cast("double").as("nd"))
+    val scored = tf.join(dl, "doc_id").join(dfT, "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        round((col("c").cast("double") / col("dl")) * log(col("nd") / col("df")), 6)
+          .as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rk") <= kTerms)
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

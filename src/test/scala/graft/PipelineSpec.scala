@@ -66,4 +66,30 @@ class PipelineSpec extends SparkSpec {
       assert(ns.zip(ns.drop(1)).forall { case (x, y) => x >= y })
     }
   }
+
+  test("temperature sample: α=0.5 weights, deterministic keeps, rebalancing") {
+    val rows = Pipeline.temperatureSample(spark, sf0001).collect().map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Double]("q"),
+        r.getAs[Long]("keep_permille"), r.getAs[Long]("n_kept"))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // weights are a distribution; permilles bounded
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    rows.foreach { case (_, _, _, p, _) => assert(p >= 0 && p <= 1000) }
+    // n_kept matches a driver-side replay of the doc_id % 1000 rule
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    rows.foreach { case (lang, n, _, p, kept) =>
+      val mine = docs.filter(_._2 == lang)
+      assert(mine.length.toLong == n)
+      assert(mine.count(_._1 % 1000 < p).toLong == kept,
+        s"$lang: kept $kept != replay")
+    }
+    // temperature flattens the mix: keep RATE is monotone non-increasing
+    // in language size (rate ∝ n^-0.5)
+    val bySize = rows.sortBy(_._2)
+    val permilles = bySize.map(_._4)
+    assert(permilles.zip(permilles.drop(1)).forall { case (small, big) =>
+      small >= big },
+      s"keep rates not inverse to size: ${bySize.mkString(", ")}")
+  }
 }

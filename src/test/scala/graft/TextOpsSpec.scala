@@ -180,4 +180,59 @@ class TextOpsSpec extends SparkSpec {
       assert(cols.nonEmpty)
     }
   }
+
+  test("unigram logprob equals a driver-side add-1 recomputation") {
+    val got = TextOps.unigramLogProb(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (w, g) => w -> g.length }
+    val t = freq.values.map(_.toLong).sum
+    val v = freq.size
+    val expect = docs.map { case (id, w) =>
+      val mean = w.map(x => -math.log((freq(x) + 1.0) / (t + v))).sum / w.length
+      (id, w.length.toLong,
+        BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1)
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case ((gi, gn, gm), (ei, en, em)) =>
+      assert(gi == ei && gn == en, s"doc $gi token count mismatch")
+      assert(math.abs(gm - em) < 2e-6, s"doc $gi: nll $gm vs $em")
+    }
+    // rarer tokens must mean higher surprisal: the max-mean doc uses
+    // strictly rarer-on-average vocabulary than the min-mean doc
+    val byM = got.sortBy(_._3)
+    assert(byM.last._3 > byM.head._3)
+  }
+
+  test("tfidf top terms: bounded-heap plan + driver-side recomputation") {
+    graft.plans.GraftExtensions.install(spark)
+    val q = TextOps.tfidfTopTerms(spark, sf0001)
+    // window order is total (term tiebreak) -> auto rewrite must fire
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"tfidf not on the heap plan:\n$plan")
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4))
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val nd = docs.length.toDouble
+    val dfm = docs.flatMap { case (_, w) => w.distinct }.groupBy(identity)
+      .map { case (w, g) => w -> g.length }
+    val expect = docs.flatMap { case (id, w) =>
+      val dl = w.length.toDouble
+      w.groupBy(identity).toSeq.map { case (term, g) =>
+        val s = (g.length.toDouble / dl) * math.log(nd / dfm(term))
+        (id, term,
+          BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (_, term, s) => (-s, term) }.take(3).zipWithIndex
+        .map { case ((i, term, s), rk) => (i, term, s, rk + 1) }
+    }.sortBy(x => (x._1, x._4))
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._4 == e._4,
+        s"rank row mismatch: $g vs $e")
+      assert(math.abs(g._3 - e._3) < 2e-6, s"score mismatch: $g vs $e")
+    }
+  }
 }
