@@ -237,6 +237,10 @@ object SparkEntry {
     "events_json_stats" -> EventOps.jsonStats _,
     "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
     "events_quantiles" -> EventOps.valueQuantiles _,
+    // mergeable-sketch scale twin: approximate -> rows-only; rank-error
+    // gated against the exact quantiles in EventOpsSpec
+    "events_quantiles_approx" -> ((s, d) => EventOps.valueQuantilesApprox(s, d)),
+    "events_funnel" -> EventOps.funnel _,
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state
@@ -1473,6 +1477,19 @@ object SparkEntry {
              round(quantile_cont(${c100("value")}, 0.9) / 100.0, 6) AS p90,
              max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
+
+    "events_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      fv AS (SELECT user_id, min(us) AS fv_us FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      fc AS (SELECT e.user_id, min(us) AS fc_us FROM e JOIN fv USING (user_id)
+             WHERE event_type = 'click' AND us > fv_us GROUP BY 1),
+      fp AS (SELECT e.user_id, min(us) AS fp_us FROM e JOIN fc USING (user_id)
+             WHERE event_type = 'purchase' AND us > fc_us GROUP BY 1)
+      SELECT fv.user_id, fv_us, fc_us, fp_us,
+             CAST(1 + CASE WHEN fc_us IS NULL THEN 0 ELSE 1 END
+                    + CASE WHEN fp_us IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+      FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)""",
 
     "events_topk_amounts" -> """
       SELECT event_type, event_id, value, rk FROM (

@@ -93,6 +93,54 @@ object EventOps {
         round(percentile(col("c"), lit(0.9)) / 100.0, 6).as("p90"),
         (max(col("c")) / 100.0).as("max_value"))
 
+  /** The mergeable-sketch twin of [[valueQuantiles]] — at 100 TB the
+    * exact per-group sort is the wrong plan; `percentile_approx`'s
+    * sketch partial-aggregates map-side and merges associatively, so
+    * the shuffle carries one bounded sketch per (partition, type)
+    * instead of every value. Rank error ≤ 1/accuracy; approximate, so
+    * declared rows-only — EventOpsSpec gates the rank error against
+    * the exact quantiles.
+    */
+  def valueQuantilesApprox(spark: SparkSession, dir: String,
+      accuracy: Int = 1000): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile_approx(col("c"), lit(0.5), lit(accuracy)) / 100.0, 6)
+          .as("p50"),
+        round(percentile_approx(col("c"), lit(0.9), lit(accuracy)) / 100.0, 6)
+          .as("p90"),
+        (max(col("c")) / 100.0).as("max_value"))
+
+  /** Staged funnel analysis (view → click → purchase, in event-time
+    * order): per user, the first view, the first click AFTER that view,
+    * and the first purchase AFTER that click, with the funnel stage
+    * reached (1–3). Timestamps emitted as epoch-µs integers (the
+    * engine-portable form). Output: one row per user with ≥ 1 view.
+    *
+    * Scale shape: each stage is a filtered partial-agged min on
+    * user_id, and every join is a user_id equi-join — co-partitioned
+    * with the aggs, no windows over full event history, nothing
+    * quadratic. Exactly the plan that survives a 100× user count.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val fv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("fv_us"))
+    val fc = ev.filter(col("event_type") === "click").join(fv, "user_id")
+      .filter(col("us") > col("fv_us"))
+      .groupBy("user_id").agg(min(col("us")).as("fc_us"))
+    val fp = ev.filter(col("event_type") === "purchase").join(fc, "user_id")
+      .filter(col("us") > col("fc_us"))
+      .groupBy("user_id").agg(min(col("us")).as("fp_us"))
+    fv.join(fc, Seq("user_id"), "left").join(fp, Seq("user_id"), "left")
+      .select(col("user_id"), col("fv_us"), col("fc_us"), col("fp_us"),
+        (lit(1) + when(col("fc_us").isNotNull, 1).otherwise(0) +
+          when(col("fp_us").isNotNull, 1).otherwise(0)).as("stage"))
+  }
+
   /** Top-k highest-value events per type, via the bounded-heap operator
     * in its two-phase form (map-side per-group prune, then one shuffle
     * carrying only ≤ partitions × types × k survivors — `event_type` has

@@ -47,4 +47,49 @@ class EventOpsSpec extends SparkSpec {
     val b = EventOps.sessionsNative(spark, sf0001).collect().toSet
     assert(a == b, s"analytic ${a.size} vs native ${b.size} sessions")
   }
+
+  test("approx quantiles: rank error within the sketch's 1/accuracy bound") {
+    val acc = 1000
+    val approx = EventOps.valueQuantilesApprox(spark, sf0001, acc).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val data = Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sorted }
+    assert(approx.keySet == data.keySet)
+    for ((t, vals) <- data; (p, got) <- Seq(0.5 -> approx(t)._1, 0.9 -> approx(t)._2)) {
+      // the sketch guarantee: the returned value's true rank is within
+      // n/accuracy of the target rank (cent rounding adds nothing here)
+      val below = vals.count(_ <= got + 0.005).toDouble
+      val atLeast = vals.count(_ >= got - 0.005).toDouble
+      val n = vals.length.toDouble
+      assert(below / n >= p - 1.0 / acc - 1e-9 &&
+        atLeast / n >= (1 - p) - 1.0 / acc - 1e-9,
+        s"$t p$p: $got outside rank tolerance (n=$n)")
+    }
+  }
+
+  test("funnel: stages replay a driver-side per-user scan") {
+    val got = EventOps.funnel(spark, sf0001).collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getInt(4))).sortBy(_._1)
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val fv = g.filter(_._2 == "view").map(_._3).minOption
+      fv.map { v =>
+        val fc = g.filter(e => e._2 == "click" && e._3 > v).map(_._3).minOption
+        val fp = fc.flatMap(c =>
+          g.filter(e => e._2 == "purchase" && e._3 > c).map(_._3).minOption)
+        (u, v, fc, fp, 1 + fc.size + fp.size)
+      }
+    }.toArray.sortBy(_._1)
+    assert(got.nonEmpty && got.sameElements(expect))
+    // the funnel narrows monotonically
+    assert(got.count(_._5 >= 2) <= got.length &&
+      got.count(_._5 == 3) <= got.count(_._5 >= 2))
+  }
 }
