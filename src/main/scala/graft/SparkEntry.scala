@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, PqKnn, RandomProjection, SqKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, HybridSearch, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
+import graft.operators.{Dedup, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -196,6 +196,14 @@ object SparkEntry {
     // shares the exact query's oracle (DedupSpec proves set equality)
     "neardup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLshQuery(s, d)),
     "dedup_clusters"      -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    // retention policy on those clusters: keep the best copy per cluster
+    "dedup_keep_best"     -> Dedup.keepBestPerCluster _,
+    // SemDeDup (cluster-then-compare): k-means assignment is engine-side
+    // -> rows-only; DedupSpec pins exact equality to the brute-force
+    // within-cluster pair set + the planted-duplicate prune
+    "dedup_semantic"      -> ((s, d) => Dedup.semanticDedup(s, d)),
+    // C4-style span-level dedup with document reconstruction
+    "text_span_dedup"     -> ((s, d) => TextOps.spanDedup(s, d)),
     // — text analysis (training-data pipeline ops) —
     "text_tokens"      -> TextOps.tokenCounts _,
     "text_quality"     -> TextOps.qualityScores _,
@@ -229,6 +237,10 @@ object SparkEntry {
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
+    // perceptual-signature bucket dedup (linear, no pairwise stage)
+    "multimodal_signature_dedup" -> Multimodal.signatureDedupGroups _,
+    // — graph analytics (iterative-shuffle workload) —
+    "graph_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -260,6 +272,10 @@ object SparkEntry {
     // events table itself)
     "events_dedup_streamed" ->
       ((s, d) => graft.streaming.EventStream.dedupStreamed(s, d)),
+    // stream-stream interval join executed by the streaming engine
+    // (symmetric-hash join state) — oracle: the equivalent batch join
+    "events_interval_streamed" ->
+      ((s, d) => graft.streaming.EventStream.intervalJoinStreamed(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -560,6 +576,63 @@ object SparkEntry {
       m AS (SELECT s, min(d) AS mn FROM reach GROUP BY s)
       SELECT doc.doc_id, least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
       FROM documents doc LEFT JOIN m ON doc.doc_id = m.s""",
+
+    // the same recursive cluster CTEs, extended by the per-cluster
+    // keep-best election (max n_chars, tie min doc_id)
+    "dedup_keep_best" -> """
+      WITH RECURSIVE
+      g AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w)-1)]) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                     max(a.ng) AS na, max(b.ng) AS nb
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE round(shared / (na + nb - shared), 6) >= 0.8),
+      ed AS (SELECT doc_a AS s, doc_b AS d FROM p
+             UNION SELECT doc_b, doc_a FROM p),
+      reach(s, d) AS (
+        SELECT s, d FROM ed
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+      m AS (SELECT s, min(d) AS mn FROM reach GROUP BY s),
+      cl AS (SELECT doc.doc_id,
+                    least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
+             FROM documents doc LEFT JOIN m ON doc.doc_id = m.s),
+      j AS (SELECT cl.rep_id, cl.doc_id, d.n_chars
+            FROM cl JOIN documents d ON cl.doc_id = d.doc_id),
+      r AS (SELECT rep_id, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY rep_id
+                     ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY rep_id) AS n_docs,
+                   max(n_chars) OVER (PARTITION BY rep_id) AS max_chars
+            FROM j)
+      SELECT rep_id, doc_id AS keep_id, n_docs, max_chars FROM r WHERE rn = 1""",
+
+    // span-level dedup: first occurrence (by doc_id*1e6+idx) of every
+    // 4-word chunk survives; documents reassemble from survivors
+    "text_span_dedup" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, unnest(list_transform(
+              range(greatest(CAST(ceil(CAST(len(w) AS DOUBLE) / 4) AS BIGINT), 1)),
+              i -> {'idx': i, 'chunk': array_to_string(w[i*4+1:i*4+4], ' ')}),
+              recursive := true)
+            FROM w),
+      ck AS (SELECT doc_id, idx, chunk, doc_id * 1000000 + idx AS pk FROM c),
+      f AS (SELECT chunk, min(pk) AS mk FROM ck GROUP BY chunk),
+      kept AS (SELECT ck.doc_id, ck.idx, ck.chunk
+               FROM ck JOIN f ON ck.chunk = f.chunk AND ck.pk = f.mk),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+                    string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+             FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_spans FROM ck GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+             tot.n_spans, coalesce(ka.n_kept, 0) AS n_kept
+      FROM documents d JOIN tot ON d.doc_id = tot.doc_id
+      LEFT JOIN ka ON d.doc_id = ka.doc_id""",
 
     // same oracle as neardup_embedding: the banded-LSH candidates +
     // exact verification recover the identical pair set (seeded planes,
@@ -1005,6 +1078,76 @@ object SparkEntry {
       SELECT event_id, user_id, event_type, value,
              epoch_us(ts) AS ts_us
       FROM events""",
+
+    // the batch equivalent of the streamed stream-stream interval join:
+    // every error joined to same-user clicks within +/- 30 minutes
+    "events_interval_streamed" -> """
+      SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id,
+             abs(epoch_us(e.ts) - epoch_us(c.ts)) AS gap_us
+      FROM events e JOIN events c
+        ON e.user_id = c.user_id
+       AND e.event_type = 'error' AND c.event_type = 'click'
+       AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 1800000000""",
+
+    // 3-iteration weighted PageRank on the u:/t: bipartite graph; every
+    // arithmetic step (double division, 0.85 damping, per-iteration 9dp
+    // quantization, final 6dp round) mirrors GraphOps.pageRank exactly
+    "graph_pagerank" -> """
+      WITH und AS (SELECT user_id, event_type, count(*) AS w
+                   FROM events GROUP BY 1, 2),
+      edges AS (SELECT 'u:' || user_id AS src, 't:' || event_type AS dst, w
+                FROM und
+                UNION ALL
+                SELECT 't:' || event_type, 'u:' || user_id, w FROM und),
+      trans AS (SELECT src, dst,
+                       CAST(w AS DOUBLE) / sum(w) OVER (PARTITION BY src) AS p
+                FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn),
+      r1 AS (SELECT n2.node,
+                    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
+             FROM nodes n2 CROSS JOIN nn
+             LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS inflow
+                        FROM trans t JOIN r0 r ON t.src = r.node
+                        GROUP BY t.dst) c ON c.dst = n2.node),
+      r2 AS (SELECT n2.node,
+                    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
+             FROM nodes n2 CROSS JOIN nn
+             LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS inflow
+                        FROM trans t JOIN r1 r ON t.src = r.node
+                        GROUP BY t.dst) c ON c.dst = n2.node),
+      r3 AS (SELECT n2.node,
+                    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
+             FROM nodes n2 CROSS JOIN nn
+             LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS inflow
+                        FROM trans t JOIN r2 r ON t.src = r.node
+                        GROUP BY t.dst) c ON c.dst = n2.node)
+      SELECT node, round(rank, 6) AS rank FROM r3""",
+
+    // perceptual-signature buckets: 64-bit hash, bit b set iff byte
+    // class b is over-represented (64*count > len) — ASCII fixture so
+    // ord(char) == payload byte; groups with >1 member
+    "multimodal_signature_dedup" -> """
+      WITH ch AS (SELECT doc_id,
+                         list_transform(string_split(text, ''), c -> ord(c) % 64) AS cs,
+                         length(text) AS len,
+                         CASE doc_id % 3 WHEN 0 THEN 'image'
+                                         WHEN 1 THEN 'audio'
+                                         ELSE 'video' END AS kind
+                  FROM documents),
+      ph AS (SELECT doc_id, kind, len,
+                    CAST(list_sum(list_transform(range(64), b ->
+                      CASE WHEN 64 * len(list_filter(cs, c -> c = b)) > len
+                           THEN CAST(1 AS BIGINT) << b
+                           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS signature
+             FROM ch)
+      SELECT kind, signature, count(*) AS n, min(doc_id) AS keep_id,
+             CAST(sum(len) AS BIGINT) AS total_bytes
+      FROM ph GROUP BY 1, 2 HAVING count(*) > 1""",
 
     // mediaTable: payload = utf-8 text bytes (ASCII fixture: len == chars),
     // kind video <=> doc_id % 3 = 2; offsets = i * len / 4 in long division

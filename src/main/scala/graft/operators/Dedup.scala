@@ -581,4 +581,100 @@ object Dedup {
           .as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Canonical-document election: per near-dup cluster (from
+    * [[nearDupClusters]]), keep the highest-quality member — max
+    * `n_chars`, ties to the smallest doc_id — the retention policy a
+    * dedup pass actually applies (drop the dups, keep the best copy).
+    * Output: (rep_id, keep_id, n_docs, max_chars), one row per cluster.
+    *
+    * Scale shape: the cluster labels are one column joined onto the
+    * doc-metadata projection (never the text), and the election is a
+    * single partial-aggregatable max(struct) groupBy — no sort, no
+    * window, no text shuffle.
+    */
+  def keepBestPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, dir)
+    val meta = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    clusters.join(meta, "doc_id")
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_chars")).as("max_chars"),
+        // argmax by (n_chars ASC-max, doc_id ASC-min) via struct max on
+        // (n_chars, -doc_id) — partial-aggregatable, unlike a window
+        max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("rep_id"), (-col("best.negid")).as("keep_id"),
+        col("n_docs"), col("max_chars"))
+  }
+
+  // — SemDeDup (semantic dedup: cluster, then compare within clusters) —
+
+  /** Driver-side union-find over a (small, thresholded) edge list:
+    * rep = component minimum. Same cutover argument as
+    * [[nearDupClusters]] — the SURVIVING near-dup edges are orders of
+    * magnitude smaller than the corpus.
+    */
+  private def unionFindReps(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(v => (v, find(v))).toSeq
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means-cluster the embedding space, then mine
+    * cosine-similar pairs ONLY within a cluster; each within-cluster
+    * similarity component keeps its lowest vec_id. Output: one row per
+    * vector — (vec_id, cid, rep_id, kept).
+    *
+    * The clustering bounds the quadratic term: with n/k vectors per
+    * cluster the comparison count is n²/k instead of n², and at 100 TB
+    * k grows with the corpus so the per-cluster block stays constant-
+    * sized. The join is an equi-join on cid (co-partitioned, never
+    * all-pairs); reuses [[graft.knn.IvfKnn.trainCentroids]] (seeded,
+    * deterministic) and the [[normalizedEmbeddings]] norm cache.
+    * Cross-cluster near-dups are missed by design — that is SemDeDup's
+    * published recall trade-off; DedupSpec pins exact equality to the
+    * brute-force within-cluster pair set.
+    */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nClusters: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = normalizedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("nv").as("emb"))
+    val cents = graft.IndexCache.getOrBuild(spark,
+      s"semdedup-cents:$dir:$nClusters") {
+      graft.knn.IvfKnn.trainCentroids(base, nClusters).map(_.toArray).toArray
+    }
+    val assigned = graft.knn.IvfKnn.assignCids(base, cents)
+      .select(col("vec_id"), col("emb"), col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("emb").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("emb").as("nb"))
+    val pairs = a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(greatest(ArrayMath.dotProduct(col("na"), col("nb")), lit(0.0)), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+    val reps = unionFindReps(
+      pairs.select(col("vec_a"), col("vec_b")).as[(Long, Long)].collect())
+      .toDF("vec_id", "rep0")
+    assigned.select(col("vec_id"), col("cid"))
+      .join(broadcast(reps), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("rep0"), col("vec_id")).as("rep_id"))
+      .withColumn("kept", col("rep_id") === col("vec_id"))
+  }
 }

@@ -138,4 +138,51 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("bin0_hits")).as("bin0_hits"))
       .withColumn("bin0_ratio", round(col("bin0_hits") / col("total_bytes"), 6))
+
+  /** Perceptual signature of a payload: a 64-bit hash whose bit b says
+    * "byte-class b is over-represented" (64-bin byte histogram, bit set
+    * iff 64*count(bin) > length — pure integer arithmetic, so any engine
+    * reproduces it exactly). The stub analog of an image pHash: decoded
+    * content with the same coarse feature profile collides.
+    */
+  def perceptualSignature(payload: Array[Byte]): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < payload.length) {
+      counts((payload(i) & 0xff) % 64) += 1
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (64L * counts(b) > payload.length) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  /** Declared query: perceptual-signature dedup groups — the image-
+    * pipeline near-dup pattern (bucket by fingerprint of the DECODED
+    * content, no pairwise comparison anywhere). One row per (kind,
+    * signature) bucket holding >1 media row: the keeper (min media_id),
+    * member count, and total payload bytes the dedup would reclaim.
+    *
+    * Scale shape: map-only signature extraction fused with the decode
+    * scan, then ONE groupBy on a 64-bit key — the whole dedup is a
+    * single partial-aggregated shuffle of (kind, long) pairs; payloads
+    * never shuffle. Contrast with the quadratic pairing detectors in
+    * [[Dedup]]: bucket-grouping is how media dedup stays linear at 100 TB.
+    */
+  def signatureDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .map(r => (r.media_id, r.kind, perceptualSignature(r.payload),
+        r.payload.length.toLong))
+      .toDF("media_id", "kind", "signature", "n_bytes")
+      .groupBy(col("kind"), col("signature"))
+      .agg(count(lit(1)).as("n"),
+        min(col("media_id")).as("keep_id"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .filter(col("n") > 1)
+  }
 }

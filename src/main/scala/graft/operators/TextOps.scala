@@ -494,6 +494,52 @@ object TextOps {
       .filter(col("rk") <= kTerms)
   }
 
+  /** C4-style span-level dedup: split every document into consecutive
+    * `span`-word chunks, keep only each chunk's globally FIRST occurrence
+    * (ordered by (doc_id, chunk index)), and reconstruct the cleaned
+    * text from the surviving chunks — the "remove any duplicated span
+    * from later documents" rule corpus pipelines apply below document
+    * granularity. Output: (doc_id, clean_text, n_spans, n_kept).
+    *
+    * Scale shape: one shuffle keyed by chunk to elect the first
+    * occurrence (min position key — partial-aggregatable), one join back
+    * on (chunk, position), one per-doc reassembly aggregation. No
+    * all-pairs stage; state per chunk is a single 64-bit position key.
+    * At 100 TB the chunk column would be a 64-bit hash with the text
+    * carried only on the survivor side — same plan shape.
+    */
+  def spanDedup(spark: SparkSession, dir: String, span: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = split(col("text"), " ")
+    val nChunks = ceil(size(w).cast("double") / span).cast("int")
+    // position key: doc_id * 1e6 + idx gives a single orderable long
+    // (documented bound: < 1e6 chunks per document)
+    val chunks = docs
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+          i => array_join(slice(w, i * span + 1, lit(span)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "chunk")
+      .withColumn("pk", col("doc_id") * 1000000L + col("idx"))
+    val first = chunks.groupBy(col("chunk")).agg(min(col("pk")).as("mk"))
+      .select(col("chunk").as("f_chunk"), col("mk"))
+    val kept = chunks.join(first,
+      col("chunk") === col("f_chunk") && col("pk") === col("mk"))
+      .select(col("doc_id"), col("idx"), col("chunk"))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("idx"), col("chunk")))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+    val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"))
+      .join(totals, "doc_id")
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

@@ -282,6 +282,38 @@ object EventStream {
         abs(unix_micros(col("err_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 
+  /** The declared STREAMING-EXECUTED stream-stream interval join
+    * (oracle: the equivalent batch join SQL): the fixture events flow
+    * through the file stream source into BOTH sides of
+    * [[streamErrorClickWithin]] — two watermarked filtered projections
+    * of one stream, joined on user_id with an event-time range
+    * condition — and matches land in an append-mode memory sink under
+    * `Trigger.AvailableNow`. The rows the driver hashes were emitted by
+    * the streaming engine's symmetric-hash join state (the fourth
+    * stateful-operator family under the gate, after keyed state,
+    * windowed aggregation, and dedup state). Inner joins emit eagerly
+    * on match, so the sink holds exactly the batch answer once the
+    * source drains.
+    */
+  def intervalJoinStreamed(spark: SparkSession, dir: String,
+      withinMinutes: Int = 30): DataFrame = {
+    val staged = stagedEventsDir(spark, dir)
+    val name = s"graft_ivj_stream_${streamRunSeq.incrementAndGet()}"
+    val q = streamErrorClickWithin(
+        readEventsStream(spark, staged), withinMinutes, watermark = "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-ivj-q").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(name)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Streaming exact dedup: duplicate event_ids arriving within the
     * watermark horizon are dropped and their keys evicted afterward —
     * the streaming half of the dedup suite (bounded state, unlike a

@@ -122,4 +122,62 @@ class DedupSpec extends SparkSpec {
     val recall = (expected intersect found).size.toDouble / expected.size
     assert(recall >= 0.95, s"recall=$recall found=${found.size}")
   }
+
+  test("semantic dedup prunes exactly the within-cluster similarity components") {
+    val out = Dedup.semanticDedup(spark, sf0001, 0.4, 8).cache()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(out.count() == nVecs, "one row per vector")
+    assert(out.filter(col("rep_id") > col("vec_id")).count() == 0,
+      "rep is a component minimum")
+    assert(out.filter(col("kept") =!= (col("rep_id") === col("vec_id"))).count() == 0)
+    // brute force from the op's own cluster assignment + the norm cache:
+    // within-cluster pairs at rounded sim >= 0.4, then union-find
+    val cid = out.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nv = operators.Dedup.normalizedEmbeddings(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val ids = nv.keys.toArray.sorted
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      BigDecimal(math.max(s, 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for {
+      i <- ids.indices; k <- (i + 1) until ids.length
+      if cid(ids(i)) == cid(ids(k)) && sim(nv(ids(i)), nv(ids(k))) >= 0.4
+    } {
+      val (ra, rb) = (find(ids(i)), find(ids(k)))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expected = ids.map(v => v -> find(v)).toMap
+    val got = out.select("vec_id", "rep_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"diff=${got.filter { case (k, v) => expected(k) != v }.take(5)}")
+    // the clustering must actually split the space (else it's all-pairs)
+    assert(cid.values.toSet.size > 1, "k-means produced a single cluster")
+  }
+
+  test("keep-best election maximizes (n_chars, -doc_id) within each cluster") {
+    val clusters = Dedup.nearDupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val chars = Tables.documents(spark, sf0001).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = clusters.groupBy(_._2).map { case (rep, members) =>
+      val docs = members.map(_._1)
+      val best = docs.maxBy(d => (chars(d), -d))
+      rep -> (best, docs.length.toLong, docs.map(chars).max)
+    }
+    val got = Dedup.keepBestPerCluster(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"diff=${got.filter { case (k, v) => expected.get(k) != Some(v) }.take(5)}")
+  }
 }

@@ -322,4 +322,19 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Map(1L -> 1.0, 2L -> 25.0, 3L -> 3.0, 4L -> 4.0),
       s"got $out")
   }
+
+  test("streamed stream-stream interval join equals the batch join") {
+    val streamed = EventStream.intervalJoinStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // the same plan over the batch frame (watermarks are no-ops in batch)
+    val batch = EventStream.streamErrorClickWithin(
+        Tables.events(spark, sf0001), withinMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(batch.nonEmpty, "fixture has no error-click pairs within 30min?")
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }

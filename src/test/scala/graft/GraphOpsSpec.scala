@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("pagerank: positive, mass-conserving, deterministic, degree-monotone") {
+    val r = GraphOps.pageRank(spark, sf0001).cache()
+    val n = r.count()
+    assert(n > 0)
+    assert(r.filter(col("rank") <= 0.0).count() == 0)
+    // bidirectional edges -> no dangling mass; total rank stays 1
+    // (modulo the declared 9dp/6dp quantization)
+    val total = r.agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-3, s"total=$total")
+    // every event_type node aggregates ~150 users' mass; any user node
+    // holds a tiny slice — the ranking must reflect that degree gap
+    val tmin = r.filter(col("node").startsWith("t:"))
+      .agg(min(col("rank"))).head().getDouble(0)
+    val umax = r.filter(col("node").startsWith("u:"))
+      .agg(max(col("rank"))).head().getDouble(0)
+    assert(tmin > umax, s"tmin=$tmin umax=$umax")
+    // fixed iteration count + quantized state -> bit-equal reruns
+    val again = GraphOps.pageRank(spark, sf0001)
+    assert(r.collect().toSet == again.collect().toSet)
+  }
+
+  test("pagerank matches a driver-side power iteration exactly") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (s"u:${r.getLong(0)}", s"t:${r.getString(1)}"))
+    val w = events.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val edges = w.toSeq.flatMap { case ((u, t), c) => Seq((u, t, c), (t, u, c)) }
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.map(_._1).distinct.sorted
+    val nn = nodes.size.toDouble
+    var rank = nodes.map(_ -> 1.0 / nn).toMap
+    def q(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 3).foreach { _ =>
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, c) => rank(s) * (c.toDouble / outW(s)) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> q((1.0 - 0.85) / nn + 0.85 * inflow.getOrElse(v, 0.0), 9)).toMap
+    }
+    val expected = rank.view.mapValues(q(_, 6)).toMap
+    val got = GraphOps.pageRank(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    // 9dp quantization can land a boundary case 1 ulp apart between the
+    // distributed and driver-side fold orders; 2e-8 absorbs that without
+    // weakening the exact-arithmetic check
+    val off = got.filter { case (k, v) => math.abs(v - expected(k)) > 2e-8 }
+    assert(off.isEmpty, s"mismatches: ${off.take(5)}")
+  }
+}

@@ -50,4 +50,23 @@ class MultimodalSpec extends SparkSpec {
     assert(s.agg(sum("n")).collect()(0).getLong(0) == 500)
     assert(s.filter(col("bin0_ratio") < 0 || col("bin0_ratio") > 1).count() == 0)
   }
+
+  test("signature dedup groups match a brute-force bucket-by-fingerprint") {
+    val media = Multimodal.mediaTable(spark, sf0001).collect()
+    val expected = media
+      .map(r => (r.kind, Multimodal.perceptualSignature(r.payload),
+        r.media_id, r.payload.length.toLong))
+      .groupBy { case (kind, sig, _, _) => (kind, sig) }
+      .collect { case ((kind, sig), rows) if rows.length > 1 =>
+        (kind, sig) -> ((rows.length.toLong, rows.map(_._3).min,
+          rows.map(_._4).sum))
+      }.toMap
+    assert(expected.nonEmpty, "fixture has no signature collisions?")
+    val got = Multimodal.signatureDedupGroups(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected,
+      s"got=${got.size} expected=${expected.size} " +
+        s"diff=${got.filter { case (k, v) => expected.get(k) != Some(v) }.take(3)}")
+  }
 }

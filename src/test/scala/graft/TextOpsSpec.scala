@@ -235,4 +235,26 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(g._3 - e._3) < 2e-6, s"score mismatch: $g vs $e")
     }
   }
+
+  test("span dedup keeps exactly each chunk's first occurrence and reconstructs") {
+    val span = 4
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // brute force in (doc_id, idx) order
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val chunks = text.split(" ", -1).grouped(span).map(_.mkString(" ")).toSeq
+      val kept = chunks.filter(seen.add)
+      id -> ((kept.mkString(" "), chunks.length.toLong, kept.length.toLong))
+    }.toMap
+    val got = operators.TextOps.spanDedup(spark, sf0001, span).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    val off = got.filter { case (k, v) => expected(k) != v }
+    assert(off.isEmpty, s"diff=${off.take(3)}")
+    // the pass must actually drop something on the fixture
+    assert(got.values.exists { case (_, n, k) => k < n },
+      "no duplicate span dropped — fixture degenerate?")
+  }
 }
