@@ -85,4 +85,42 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(merge.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
       "merge hint must force a sort-merge join")
   }
+
+  test("runtime bloom filter prefilters the fact side of a selective join") {
+    // the 100 TB shape: a shuffle join whose dimension side carries a
+    // selective predicate gets a row-level bloom prefilter injected on
+    // the fact side, killing most shuffle traffic before the exchange.
+    // Thresholds are tuned for fixture scale (the optimization is
+    // size-gated; the plan shape is what scales).
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    def joined() = {
+      val ord = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    }
+    val baseline = joined().count()
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = joined()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$opt")
+      assert(j.count() == baseline, "bloom prefilter must not change results")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
