@@ -219,6 +219,11 @@ object SparkEntry {
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(s, d)),
     // TF-IDF top-3 terms per doc; window order total -> auto bounded heap
     "text_tfidf_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    // inverted-index materialization: full df/cf stats + bounded-heap
+    // capped posting segments (no unbounded per-term list)
+    "text_inverted_index" -> ((s, d) => TextOps.invertedIndex(s, d)),
+    // positional-postings intersection for the 2-word phrase "table hash"
+    "text_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
     "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
     // arbitrary-term-list BM25 (exploded ⨝ broadcast-terms plan); the
     // oracle is generated for the same 8-term query below
@@ -253,6 +258,11 @@ object SparkEntry {
     // gated against the exact quantiles in EventOpsSpec
     "events_quantiles_approx" -> ((s, d) => EventOps.valueQuantilesApprox(s, d)),
     "events_funnel" -> EventOps.funnel _,
+    // materialized-view refresh algebra: two independent partial states
+    // merged state-to-state; oracle = the full recompute
+    "events_incremental_agg" -> EventOps.incrementalAgg _,
+    // triangular retention matrix at day granularity
+    "events_retention_cohorts" -> EventOps.retentionCohorts _,
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state
@@ -611,6 +621,39 @@ object SparkEntry {
                    max(n_chars) OVER (PARTITION BY rep_id) AS max_chars
             FROM j)
       SELECT rep_id, doc_id AS keep_id, n_docs, max_chars FROM r WHERE rn = 1""",
+
+    // inverted index: uncapped df/cf stats joined to the first
+    // 16-entry posting segment per term (postings ordered by doc_id)
+    "text_inverted_index" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                       CAST(sum(tf) AS BIGINT) AS cf
+                FROM tf GROUP BY 1),
+      capped AS (SELECT term, doc_id, tf,
+                        row_number() OVER (PARTITION BY term
+                          ORDER BY doc_id) AS rn
+                 FROM tf),
+      post AS (SELECT term,
+                      string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                        AS postings
+               FROM capped WHERE rn <= 16 GROUP BY term)
+      SELECT s.term, s.df, s.cf, p.postings
+      FROM stats s JOIN post p USING (term) WHERE s.df >= 50""",
+
+    // phrase search: each word's positions re-based to the phrase start,
+    // legs intersect on (doc_id, start); docs have <= 100 words (the
+    // range bound 128 is checked at generation time)
+    "text_phrase_search" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS term
+              FROM d, range(1, 128) t(i) WHERE i <= len(w)),
+      l0 AS (SELECT doc_id, pos AS start FROM tok WHERE term = 'table'),
+      l1 AS (SELECT doc_id, pos - 1 AS start FROM tok WHERE term = 'hash')
+      SELECT doc_id, count(*) AS n_hits
+      FROM l0 JOIN l1 USING (doc_id, start)
+      GROUP BY 1""",
 
     // span-level dedup: first occurrence (by doc_id*1e6+idx) of every
     // 4-word chunk survives; documents reassemble from survivors
@@ -1620,6 +1663,27 @@ object SparkEntry {
              round(quantile_cont(${c100("value")}, 0.9) / 100.0, 6) AS p90,
              max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
+
+    // full recompute — the incremental query must merge its two partial
+    // states to exactly this
+    "events_incremental_agg" -> s"""
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+             count(*) AS n,
+             sum(${c100("value")}) / 100.0 AS sum_value,
+             min(${c100("value")}) / 100.0 AS min_value,
+             max(${c100("value")}) / 100.0 AS max_value,
+             round(CAST(sum(${c100("value")}) AS DOUBLE) / count(*) / 100.0, 6)
+               AS avg_value
+      FROM events GROUP BY 1, 2""",
+
+    "events_retention_cohorts" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+      SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+             CAST(date_diff('day', cohort, day) AS INT) AS offset_days,
+             count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY 1, 2""",
 
     "events_funnel" -> """
       WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

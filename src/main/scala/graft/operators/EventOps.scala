@@ -166,4 +166,66 @@ object EventOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         (sum(col("k")) / count(col("k"))).as("avg_k"))
+
+  /** The mergeable partial-aggregate state behind [[incrementalAgg]]:
+    * per (day, event_type) — count, cents sum, cents min/max.
+    */
+  private def dailyPartial(ev: DataFrame): DataFrame =
+    ev.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        min(col("c")).as("mn"), max(col("c")).as("mx"))
+
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * algebra: the daily per-type aggregate is computed as two
+    * INDEPENDENT partial states (an "existing" partition and a "new
+    * batch", split here by event_id parity) merged state-to-state
+    * (counts and sums add, min/max fold; avg derives after the merge).
+    * The declared oracle is the FULL recompute — equality proves the
+    * merge algebra, i.e. a new batch can refresh the view by touching
+    * only its own partials, never re-reading history.
+    *
+    * Scale shape: each leg is a plain partial-aggregatable groupBy; the
+    * merge runs over two already-aggregated relations of |days|×|types|
+    * rows. At 100 TB the "old" leg is the stored view (a metadata read),
+    * and the refresh cost is the new batch's size alone.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+      cents(col("value")).as("c"), col("event_id"))
+    val merged = dailyPartial(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      .unionByName(dailyPartial(ev.filter(pmod(col("event_id"), lit(2)) === 1)))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    merged.select(col("day"), col("event_type"), col("n"),
+      (col("s") / 100.0).as("sum_value"),
+      (col("mn") / 100.0).as("min_value"),
+      (col("mx") / 100.0).as("max_value"),
+      round(col("s").cast("double") / col("n") / 100.0, 6).as("avg_value"))
+  }
+
+  /** Retention cohort analysis: users grouped by first-seen day (their
+    * cohort), activity counted as distinct users per (cohort, day
+    * offset) — the standard triangular retention matrix, at day
+    * granularity over the fixture's 30-day span.
+    *
+    * Scale shape: first-seen is a partial-aggregatable min per user —
+    * the cohort relation is |users|-sized (a broadcastable dimension at
+    * any event volume); the offset join is a broadcast equi-join on
+    * user_id; the final distinct-per-cell is one shuffle keyed
+    * (cohort, offset). No window, no self-join of the fact table.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ev.join(broadcast(cohorts), "user_id")
+      .select(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset_days"), col("n_users"))
+  }
 }

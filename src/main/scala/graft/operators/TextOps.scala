@@ -540,6 +540,63 @@ object TextOps {
         col("n_spans"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Inverted-index construction — the retrieval structure BM25/phrase
+    * queries read from, materialized as a table: per term, the document
+    * frequency `df`, collection frequency `cf`, and a capped posting
+    * segment `postings` ("doc:tf,doc:tf,…" ordered by doc_id).
+    *
+    * Scale shape: collection stats (df/cf) are plain partial-aggregatable
+    * sums — never capped, one shuffle keyed by term. The materialized
+    * posting list is capped at `maxPostings` entries per term via the
+    * bounded-heap [[graft.plans.TopKPerGroup]] (lowest doc_ids — the
+    * first segment, the way real engines cut postings into fixed-size
+    * segment blocks), so no term ever concentrates an unbounded list in
+    * one reducer row and there is no full per-term sort. At 100 TB the
+    * segment cap is the page size and terms stay hash-distributed.
+    */
+  def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 50,
+      maxPostings: Int = 16): DataFrame = {
+    val tf = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val capped = graft.plans.GraftOps.topKPerGroup(tf, Seq("term"),
+      Seq("doc_id" -> true), maxPostings)
+    val postings = capped.groupBy(col("term"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+        s => concat(s.getField("doc_id").cast("string"), lit(":"),
+          s.getField("tf").cast("string"))), ",").as("postings"))
+    stats.filter(col("df") >= minDf).join(postings, "term")
+      .select(col("term"), col("df"), col("cf"), col("postings"))
+  }
+
+  /** Positional phrase search: documents containing the words of
+    * `phrase` at consecutive positions, with the occurrence count.
+    * Each word is one leg over the positional token relation with its
+    * position re-based to the phrase start (`pos - i`), and legs
+    * equi-join on (doc_id, start) — the standard positional-postings
+    * intersection, generalized to any phrase length by folding joins.
+    *
+    * Scale shape: the per-term filters are highly selective and sit
+    * directly on the token scan (dictionary terms prune before any
+    * join); the n-1 joins are all keyed (doc_id, start) equi-joins over
+    * already-small legs — never a cartesian or positions-unaware join.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("table", "hash")): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val tok = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "term")))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      tok.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

@@ -92,4 +92,43 @@ class EventOpsSpec extends SparkSpec {
     assert(got.count(_._5 >= 2) <= got.length &&
       got.count(_._5 == 3) <= got.count(_._5 >= 2))
   }
+
+  test("incremental agg: merged partials equal the full recompute") {
+    val full = Tables.events(spark, sf0001)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(col("c")) / 100.0).as("sum_value"),
+        (min(col("c")) / 100.0).as("min_value"),
+        (max(col("c")) / 100.0).as("max_value"),
+        round(sum(col("c")).cast("double") / count(lit(1)) / 100.0, 6)
+          .as("avg_value"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val got = EventOps.incrementalAgg(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got.keySet == full.keySet && got.nonEmpty)
+    val off = got.filter { case (k, v) => full(k) != v }
+    assert(off.isEmpty, s"diff=${off.take(3)}")
+  }
+
+  test("retention cohorts: triangular matrix replays a driver-side scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val firstDay = ev.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    def epochDay(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val expect = ev.map { case (u, d) =>
+      (firstDay(u), (epochDay(d) - epochDay(firstDay(u))).toInt, u)
+    }.distinct.groupBy(p => (p._1, p._2))
+      .map { case (k, g) => k -> g.size.toLong }
+    val got = EventOps.retentionCohorts(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == expect && got.nonEmpty)
+    // offset 0 exists for every cohort (a user is active on their first day)
+    assert(got.keys.map(_._1).toSet.forall(c => got.contains((c, 0))))
+  }
 }

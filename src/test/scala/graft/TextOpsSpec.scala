@@ -257,4 +257,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.exists { case (_, n, k) => k < n },
       "no duplicate span dropped — fixture degenerate?")
   }
+
+  test("inverted index: stats and capped postings match brute force") {
+    val minDf = 20; val cap = 4
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(w => (w, id)) }
+      .groupBy(identity).map { case ((w, id), xs) => (w, id, xs.length.toLong) }
+    val byTerm = tf.groupBy(_._1)
+    val expected = byTerm.collect {
+      case (term, rows) if rows.size >= minDf =>
+        val sorted = rows.toSeq.sortBy(_._2)
+        term -> ((rows.size.toLong, rows.map(_._3).sum,
+          sorted.take(cap).map(r => s"${r._2}:${r._3}").mkString(",")))
+    }
+    val got = operators.TextOps.invertedIndex(spark, sf0001, minDf, cap)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    val off = got.filter { case (k, v) => expected(k) != v }
+    assert(off.isEmpty, s"diff=${off.take(3)}")
+    assert(got.nonEmpty)
+    // every posting segment respects the cap even where df is larger
+    assert(got.forall(_._2._3.count(_ == ',') < cap))
+  }
+
+  test("phrase search matches brute force, incl. a 3-word phrase") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    for (phrase <- Seq(Seq("table", "hash"), Seq("the", "part", "data"))) {
+      val expected = docs.map { case (id, ws) =>
+        id -> ws.indices.dropRight(phrase.length - 1).count(i =>
+          phrase.indices.forall(j => ws(i + j) == phrase(j)))
+      }.filter(_._2 > 0).toMap
+      val got = operators.TextOps.phraseSearch(spark, sf0001, phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got == expected, s"phrase=$phrase")
+    }
+  }
 }
