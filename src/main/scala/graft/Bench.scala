@@ -72,7 +72,9 @@ object Bench {
       timed("bench_build_tokens",
         () => operators.TextOps.tokenizedDocs(spark, sfDir).count()),
       timed("bench_build_grams",
-        () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()))
+        () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()),
+      timed("bench_build_clusters",
+        () => operators.Dedup.nearDupClusters(spark, sfDir).count()))
     val results = builds ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       timed(name, () => fn(spark, sfDir).count())
     }

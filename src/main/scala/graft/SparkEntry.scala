@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, PqKnn, RandomProjection, SqKnn}
-import graft.operators.{Dedup, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
+import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -224,6 +224,10 @@ object SparkEntry {
     "text_inverted_index" -> ((s, d) => TextOps.invertedIndex(s, d)),
     // positional-postings intersection for the 2-word phrase "table hash"
     "text_phrase_search" -> ((s, d) => TextOps.phraseSearch(s, d)),
+    // BPE tokenizer training (iterative merge loop over the word-freq
+    // table): rows-only — the trained merge table is pinned against a
+    // reference driver-side trainer in TextOpsSpec
+    "text_bpe_vocab"   -> ((s, d) => TextOps.bpeVocab(s, d)),
     "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
     // arbitrary-term-list BM25 (exploded ⨝ broadcast-terms plan); the
     // oracle is generated for the same 8-term query below
@@ -263,6 +267,12 @@ object SparkEntry {
     "events_incremental_agg" -> EventOps.incrementalAgg _,
     // triangular retention matrix at day granularity
     "events_retention_cohorts" -> EventOps.retentionCohorts _,
+    // fixed-width value histogram (50.00-wide buckets)
+    "events_histogram" -> ((s, d) => EventOps.histogram(s, d)),
+    // robust mean: values clamped to exact [p05, p95] before averaging
+    "events_winsorized" -> ((s, d) => EventOps.winsorizedMean(s, d)),
+    // label-centroid separation matrix over quantized-exact means
+    "emb_centroid_distances" -> ((s, d) => EmbeddingStats.centroidDistances(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state
@@ -1663,6 +1673,46 @@ object SparkEntry {
              round(quantile_cont(${c100("value")}, 0.9) / 100.0, 6) AS p90,
              max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
+
+    "events_histogram" -> s"""
+      SELECT event_type,
+             CAST(floor(CAST(${c100("value")} AS DOUBLE) / 5000) AS BIGINT)
+               AS bucket,
+             CAST(floor(CAST(${c100("value")} AS DOUBLE) / 5000) AS BIGINT)
+               * 5000 / 100.0 AS lo_value,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3""",
+
+    // the mean is assembled from exact pieces (BIGINT in-range sum +
+    // clamp-count × bound) in one fixed-association double expression —
+    // no cross-row float accumulation to diverge between engines
+    "events_winsorized" -> s"""
+      WITH e AS (SELECT event_type, ${c100("value")} AS c FROM events),
+      b AS (SELECT event_type, quantile_cont(c, 0.05) AS blo,
+                   quantile_cont(c, 0.95) AS bhi FROM e GROUP BY 1)
+      SELECT event_type, count(*) AS n,
+             round((sum(CASE WHEN c >= blo AND c <= bhi THEN c ELSE 0 END)
+                    + sum(CASE WHEN c < blo THEN 1 ELSE 0 END) * blo
+                    + sum(CASE WHEN c > bhi THEN 1 ELSE 0 END) * bhi)
+                   / count(*) / 100.0, 6) AS wmean
+      FROM e JOIN b USING (event_type) GROUP BY event_type, blo, bhi""",
+
+    // centroids from integer-quantized coordinates (exact BIGINT sums
+    // in any accumulation order), distance as a fixed-order list fold
+    "emb_centroid_distances" -> """
+      WITH d AS (SELECT label, CAST(i AS INT) AS dim,
+                        CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                          * 1000000) AS BIGINT) AS qv
+                 FROM embeddings, range(1, 65) t(i)
+                 WHERE i <= len(embedding)),
+      c AS (SELECT label, dim,
+                   CAST(sum(qv) AS DOUBLE) / (count(*) * 1000000) AS m
+            FROM d GROUP BY 1, 2),
+      l AS (SELECT label, list(m ORDER BY dim) AS cv FROM c GROUP BY 1)
+      SELECT a.label AS label_a, b.label AS label_b,
+             round(sqrt(list_sum(list_transform(list_zip(a.cv, b.cv),
+               z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS centroid_dist
+      FROM l a JOIN l b ON a.label < b.label""",
 
     // full recompute — the incremental query must merge its two partial
     // states to exactly this

@@ -205,6 +205,55 @@ object EventOps {
       round(col("s").cast("double") / col("n") / 100.0, 6).as("avg_value"))
   }
 
+  /** Fixed-width value histogram per event type (bucket width
+    * `widthCents` cents): bucket index, inclusive lower bound, count.
+    * Pure partial-aggregatable groupBy — the OLAP histogram that scales
+    * to any row count because cardinality is |types| × |buckets|.
+    */
+  def histogram(spark: SparkSession, dir: String, widthCents: Int = 5000): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(cents(col("value")).cast("double") / widthCents).cast("long")
+          .as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * widthCents / 100.0).as("lo_value"), col("n"))
+
+  /** Winsorized mean per event type: values clamped to the exact
+    * [p05, p95] quantiles before averaging — the robust-mean rule that
+    * keeps a few corrupt extremes from dragging a quality metric.
+    *
+    * Exactness across engines: the mean is assembled from exact pieces —
+    * the BIGINT sum of unclamped in-range cents plus clamp-count ×
+    * bound products — in one fixed-association double expression, so
+    * there is no cross-row floating accumulation to diverge between
+    * Spark and the oracle. Bounds come from the same R-7 interpolation
+    * both engines share (see [[valueQuantiles]]).
+    *
+    * Scale shape: one exact per-group quantile pass (|types| groups), a
+    * broadcast join of the tiny bounds relation, one partial-agg pass.
+    */
+  def winsorizedMean(spark: SparkSession, dir: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(percentile(col("c"), lit(lo)).as("blo"),
+        percentile(col("c"), lit(hi)).as("bhi"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") >= col("blo") && col("c") <= col("bhi"), col("c"))
+          .otherwise(0L)).as("smid"),
+        sum(when(col("c") < col("blo"), 1L).otherwise(0L)).as("nlo"),
+        sum(when(col("c") > col("bhi"), 1L).otherwise(0L)).as("nhi"),
+        first(col("blo")).as("blo"), first(col("bhi")).as("bhi"))
+      .select(col("event_type"), col("n"),
+        round((col("smid") + col("nlo") * col("blo") + col("nhi") * col("bhi"))
+          / col("n") / 100.0, 6).as("wmean"))
+  }
+
   /** Retention cohort analysis: users grouped by first-seen day (their
     * cohort), activity counted as distinct users per (cohort, day
     * offset) — the standard triangular retention matrix, at day

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -595,6 +595,69 @@ object TextOps {
     }
     legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** BPE (byte-pair-encoding) vocabulary induction — the tokenizer
+    * TRAINING loop, run over the corpus word-frequency table the way
+    * the original algorithm specifies (Sennrich et al. 2016: merges are
+    * learned from unique words weighted by frequency, not from running
+    * text). Output: the learned merge table (step, left, right,
+    * pair_count), deterministic via the (count desc, pair asc)
+    * tie-break.
+    *
+    * Distributed shape: the word-frequency table stays a Dataset end to
+    * end — each of the `nMerges` rounds is (a) one flatMap+reduce pair
+    * count (partial-aggregatable shuffle), (b) a distributed
+    * TakeOrdered(1) for the argmax pair, (c) a map applying the merge.
+    * Only the single winning pair crosses the driver per round — the
+    * corpus never does. At 100 TB the word-freq table is ~millions of
+    * rows (vocabulary-sized, not corpus-sized) and the same plan holds.
+    * The merge loop is inherently iterative (each round depends on the
+    * last), so rounds-not-rows is the only axis that serializes.
+    */
+  def bpeVocab(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import spark.implicits._
+    def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var cur: Dataset[(Seq[String], Long)] = tokenizedDocs(spark, dir)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) =>
+        ((w.map(_.toString) :+ "</w>", c)): (Seq[String], Long) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    while (step <= nMerges) {
+      val top = cur.flatMap { case (syms, c) =>
+        syms.indices.dropRight(1).map(i => (syms(i), syms(i + 1), c))
+      }.groupBy(col("_1").as("l"), col("_2").as("r"))
+        .agg(sum(col("_3")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) step = nMerges + 1
+      else {
+        val (bl, br, bc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((step, bl, br, bc))
+        val next = cur.map { case (syms, c) => (mergePair(syms, bl, br), c) }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        cur.unpersist()
+        cur = next
+        step += 1
+      }
+    }
+    val out = rules.toSeq.toDF("step", "left", "right", "pair_count")
+    cur.unpersist()
+    out
   }
 
   /** Document fingerprinting: whole-text rolling hash plus the minimum

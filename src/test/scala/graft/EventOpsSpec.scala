@@ -115,6 +115,49 @@ class EventOpsSpec extends SparkSpec {
     assert(off.isEmpty, s"diff=${off.take(3)}")
   }
 
+  test("histogram: buckets partition every event; bounds consistent") {
+    val width = 5000
+    val h = EventOps.histogram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val total = Tables.events(spark, sf0001).count()
+    assert(h.map(_._4).sum == total)
+    assert(h.forall { case (_, b, lo, _) => lo == b * width / 100.0 })
+    // cents c lands in bucket floor(c/width): recheck per event
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), graft.functions.ExactNum.cents(col("value")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = ev.groupBy { case (t, c) =>
+      (t, math.floor(c.toDouble / width).toLong)
+    }.map { case (k, g) => k -> g.length.toLong }
+    assert(h.map(r => (r._1, r._2) -> r._4).toMap == expect)
+  }
+
+  test("winsorized mean replays an R-7 driver-side computation") {
+    val byType = Tables.events(spark, sf0001)
+      .select(col("event_type"), graft.functions.ExactNum.cents(col("value")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    def r7(sorted: Array[Long], p: Double): Double = {
+      val rank = p * (sorted.length - 1)
+      val lo = math.floor(rank).toInt; val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    val expect = byType.map { case (t, g) =>
+      val cs = g.map(_._2).sorted
+      val (blo, bhi) = (r7(cs, 0.05), r7(cs, 0.95))
+      val smid = cs.filter(c => c >= blo && c <= bhi).sum
+      val nlo = cs.count(_ < blo); val nhi = cs.count(_ > bhi)
+      t -> ((cs.length.toLong, BigDecimal(
+        (smid + nlo * blo + nhi * bhi) / cs.length / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = EventOps.winsorizedMean(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    got.foreach { case (t, (n, m)) =>
+      assert(n == expect(t)._1 && math.abs(m - expect(t)._2) < 1e-9, t)
+    }
+  }
+
   test("retention cohorts: triangular matrix replays a driver-side scan") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))

@@ -283,6 +283,47 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2._3.count(_ == ',') < cap))
   }
 
+  test("bpe vocab: merge table equals a reference driver-side trainer") {
+    val nMerges = 10
+    def merge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val words = Tables.documents(spark, sf0001).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    var cur: Seq[(Seq[String], Long)] = words.groupBy(identity).map {
+      case (w, g) => (w.map(_.toString) :+ "</w>", g.length.toLong)
+    }.toSeq
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      cur.foreach { case (syms, c) =>
+        syms.indices.dropRight(1).foreach { i =>
+          val k = (syms(i), syms(i + 1)); pc(k) = pc.getOrElse(k, 0L) + c
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        expect += ((step, l, r, c))
+        cur = cur.map { case (syms, cc) => (merge(syms, l, r), cc) }
+      }
+    }
+    val got = operators.TextOps.bpeVocab(spark, sf0001, nMerges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == expect.length && got.sameElements(expect),
+      s"got=${got.take(4).toSeq} expect=${expect.take(4).toSeq}")
+    // merges must actually compose (some rule's left or right side is a
+    // previously merged symbol) on a natural-language-like fixture
+    assert(got.exists(r => r._2.length > 1 || r._3.length > 1))
+  }
+
   test("phrase search matches brute force, incl. a 3-word phrase") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
