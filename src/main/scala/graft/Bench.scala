@@ -58,6 +58,8 @@ object Bench {
         () => knn.RandomProjection.topKBatch(spark, sfDir).count()),
       timed("bench_build_sq",
         () => knn.SqKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_mrl",
+        () => knn.MatryoshkaKnn.topKBatch(spark, sfDir).count()),
       // first lifecycle call pays the one-time checkpoint WRITE (index
       // publication); the declared knn_*_lifecycle queries then measure
       // what a reader pays: load + probe

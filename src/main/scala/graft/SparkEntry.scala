@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, PqKnn, RandomProjection, SqKnn}
+import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, PqKnn, RandomProjection, SqKnn}
 import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -129,6 +129,11 @@ object SparkEntry {
     "eval_recall_pq" -> ((s, d) => Evaluation.recall(
       PqKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // Matryoshka truncated-dimension coarse scan + exact re-rank
+    "knn_mrl_batch" -> ((s, d) => MatryoshkaKnn.topKBatch(s, d)),
+    "eval_recall_mrl" -> ((s, d) => Evaluation.recall(
+      MatryoshkaKnn.topKBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     "knn_sq_batch" -> ((s, d) => SqKnn.topKBatch(s, d)),
     "eval_recall_sq" -> ((s, d) => Evaluation.recall(
       SqKnn.topKBatch(s, d).select("qid", "vec_id"),
@@ -234,6 +239,9 @@ object SparkEntry {
     "text_bm25_general" -> ((s, d) => TextOps.bm25TopKGeneral(s, d)),
     // lexical + vector reciprocal-rank fusion over the same id space
     "hybrid_rrf_topk" -> ((s, d) => HybridSearch.rrfTopK(s, d)),
+    // MMR diversified re-rank of one query's candidate block: rows-only,
+    // pinned in HybridSearchSpec (λ=1 degenerates to plain top-k)
+    "hybrid_mmr_topk" -> ((s, d) => HybridSearch.mmrTopK(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —

@@ -54,4 +54,54 @@ object HybridSearch {
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    * Goldstein 1998) of one query's top-`depth` exact neighbors:
+    * greedily select k results maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected`, so the
+    * answer set trades pure proximity for coverage.
+    *
+    * Scale shape: the candidate FETCH is the distributed part (bounded
+    * heap over the full corpus); the greedy loop then runs on the
+    * `depth`-sized candidate block — ≤ depth unit vectors resident,
+    * k·depth² flops, independent of corpus size (MMR's data dependence
+    * chain is inherently sequential in k). Output:
+    * (rank, vec_id, mmr_score rounded 6). Rows-only: pinned against a
+    * reference driver-side greedy in HybridSearchSpec.
+    */
+  def mmrTopK(spark: SparkSession, dir: String, queryIdx: Long = 29,
+      k: Int = 10, depth: Int = 50, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val cand = graft.knn.ExactKnn.topKSingle(spark, dir, k = depth, queryIdx)
+      .join(Dedup.normalizedEmbeddings(spark, dir), "vec_id")
+      .select(col("vec_id"), col("dist"), col("nv"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Double](2).toArray))
+      .sortBy(p => (p._2, p._1))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, dist, nv) =>
+        val maxSim =
+          if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(c => math.min(math.max(dot(nv, c), 0.0), 1.0)).max
+        (id, lambda * (1.0 - dist) - (1.0 - lambda) * maxSim, nv)
+      }
+      val best = scored.minBy { case (id, s, _) => (-s, id) }
+      selected += ((rank, best._1,
+        BigDecimal(best._2).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+      chosen += best._3
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+      rank += 1
+    }
+    selected.toSeq.toDF("rank", "vec_id", "mmr_score")
+  }
 }
