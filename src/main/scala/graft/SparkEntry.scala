@@ -277,6 +277,10 @@ object SparkEntry {
     "events_retention_cohorts" -> EventOps.retentionCohorts _,
     // fixed-width value histogram (50.00-wide buckets)
     "events_histogram" -> ((s, d) => EventOps.histogram(s, d)),
+    // trailing 7-day rolling aggregates: the RANGE-frame window form
+    "events_rolling_7d" -> EventOps.rolling7d _,
+    // gaps-and-islands change-point segmentation per user
+    "events_state_islands" -> EventOps.stateIslands _,
     // robust mean: values clamped to exact [p05, p95] before averaging
     "events_winsorized" -> ((s, d) => EventOps.winsorizedMean(s, d)),
     // label-centroid separation matrix over quantized-exact means
@@ -1681,6 +1685,37 @@ object SparkEntry {
              round(quantile_cont(${c100("value")}, 0.9) / 100.0, 6) AS p90,
              max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
+
+    "events_rolling_7d" -> s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            count(*) AS n, sum(${c100("value")}) AS s
+                     FROM events GROUP BY 1, 2),
+      d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epday
+             FROM daily)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+             s / 100.0 AS sum_value,
+             sum(s) OVER w / 100.0 AS roll7_sum,
+             round(CAST(sum(s) OVER w AS DOUBLE) / (sum(n) OVER w) / 100.0, 6)
+               AS roll7_avg_event
+      FROM d2
+      WINDOW w AS (PARTITION BY event_type ORDER BY epday
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+
+    "events_state_islands" -> """
+      WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                 FROM events),
+      f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS chg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+            FROM f)
+      SELECT user_id, CAST(island AS BIGINT) AS island,
+             min(event_type) AS event_type,
+             min(us) AS start_us, max(us) AS end_us, count(*) AS n_events
+      FROM i GROUP BY user_id, island""",
 
     "events_histogram" -> s"""
       SELECT event_type,

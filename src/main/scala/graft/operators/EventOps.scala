@@ -205,6 +205,65 @@ object EventOps {
       round(col("s").cast("double") / col("n") / 100.0, 6).as("avg_value"))
   }
 
+  /** Trailing 7-day rolling aggregates per event type over the daily
+    * rollup — the RANGE-frame window form (frame keyed by day DISTANCE,
+    * not row count, so gap days shrink the frame the way a calendar
+    * metric requires).
+    *
+    * Exactness: the frame sums BIGINT cents (exact in any order); the
+    * rolling average divides two exact window sums once. Scale shape:
+    * the window runs over the |types| × |days| daily rollup (already
+    * aggregated — tiny), never over raw events.
+    */
+  def rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      .withColumn("epday",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epday"))
+      .rangeBetween(-6, 0)
+    daily.select(col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+      (col("s") / 100.0).as("sum_value"),
+      (sum(col("s")).over(w) / 100.0).as("roll7_sum"),
+      round(sum(col("s")).over(w).cast("double") / sum(col("n")).over(w)
+        / 100.0, 6).as("roll7_avg_event"))
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    * user (event-time order, event_id tie-break) — the change-point
+    * segmentation that turns a log into state intervals (sessions
+    * segment by time gap; islands segment by value change).
+    *
+    * Scale shape: one window pass flags changes (lag), a running sum
+    * numbers the islands, one groupBy collapses them — all on the same
+    * user_id partitioning, so the three steps share one shuffle.
+    */
+  def stateIslands(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val flagged = e.withColumn("chg",
+      when(lag(col("event_type"), 1).over(w).isNull ||
+        lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+        .otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(first(col("event_type")).as("event_type"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island"), col("event_type"),
+        col("start_us"), col("end_us"), col("n_events"))
+  }
+
   /** Fixed-width value histogram per event type (bucket width
     * `widthCents` cents): bucket index, inclusive lower bound, count.
     * Pure partial-aggregatable groupBy — the OLAP histogram that scales

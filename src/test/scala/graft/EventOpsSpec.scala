@@ -115,6 +115,61 @@ class EventOpsSpec extends SparkSpec {
     assert(off.isEmpty, s"diff=${off.take(3)}")
   }
 
+  test("rolling 7d: RANGE frame replays a driver-side calendar window") {
+    val daily = Tables.events(spark, sf0001)
+      .select(to_date(col("ts")).cast("string").as("day"), col("event_type"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(p => (p._2, p._1))
+      .map { case ((t, d), g) => (t, d, g.length.toLong, g.map(_._3).sum) }
+      .toSeq
+    def epochDay(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val expect = daily.map { case (t, d, _, _) =>
+      val frame = daily.filter(r => r._1 == t &&
+        epochDay(r._2) >= epochDay(d) - 6 && epochDay(r._2) <= epochDay(d))
+      val (sn, ss) = (frame.map(_._3).sum, frame.map(_._4).sum)
+      (t, d) -> ((ss / 100.0, BigDecimal(ss.toDouble / sn / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = EventOps.rolling7d(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    val off = got.filter { case (k, v) =>
+      math.abs(v._1 - expect(k)._1) > 1e-9 ||
+      math.abs(v._2 - expect(k)._2) > 1e-9 }
+    assert(off.isEmpty, s"diff=${off.take(3)}")
+  }
+
+  test("state islands: run-length encoding replays a driver-side scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(e => (e._4, e._3))
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)] // type, start, end, n
+      sorted.foreach { e =>
+        if (runs.nonEmpty && runs.last._1 == e._2) {
+          val l = runs.last
+          runs(runs.length - 1) = (l._1, l._2, e._4, l._4 + 1)
+        } else runs += ((e._2, e._4, e._4, 1L))
+      }
+      runs.zipWithIndex.map { case ((t, s, e, n), i) =>
+        (u, (i + 1).toLong) -> ((t, s, e, n))
+      }
+    }
+    val got = EventOps.stateIslands(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    val off = got.filter { case (k, v) => expect(k) != v }
+    assert(off.isEmpty, s"diff=${off.take(3)}")
+    // segmentation covers every event exactly once
+    assert(got.values.map(_._4).sum == ev.length)
+  }
+
   test("histogram: buckets partition every event; bounds consistent") {
     val width = 5000
     val h = EventOps.histogram(spark, sf0001).collect()
