@@ -308,6 +308,10 @@ object SparkEntry {
     // (symmetric-hash join state) — oracle: the equivalent batch join
     "events_interval_streamed" ->
       ((s, d) => graft.streaming.EventStream.intervalJoinStreamed(s, d)),
+    // stream-STATIC enrichment join (per-micro-batch broadcast of the
+    // cohort dimension, no join state) — oracle: the batch equivalent
+    "events_enriched_streamed" ->
+      ((s, d) => graft.streaming.EventStream.enrichedStreamed(s, d)),
   )
 
   // ——— DuckDB oracle SQL (same tables, same column names) ———
@@ -1685,6 +1689,15 @@ object SparkEntry {
              round(quantile_cont(${c100("value")}, 0.9) / 100.0, 6) AS p90,
              max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
+
+    "events_enriched_streamed" -> s"""
+      WITH c AS (SELECT user_id,
+                        strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS cohort
+                 FROM events GROUP BY 1)
+      SELECT cohort, count(*) AS n,
+             sum(${c100("value")}) / 100.0 AS sum_value
+      FROM events JOIN c USING (user_id)
+      GROUP BY 1""",
 
     "events_rolling_7d" -> s"""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

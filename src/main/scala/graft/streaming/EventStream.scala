@@ -236,6 +236,44 @@ object EventStream {
     out
   }
 
+  /** The declared STREAMING-EXECUTED stream–static enrichment
+    * (`events_enriched_streamed`): the event stream inner-joins a
+    * STATIC cohort dimension (per-user first-seen day, computed
+    * batch-side — the standard "enrich the stream with a dimension
+    * table" pattern) and aggregates per cohort in complete mode. The
+    * static side is planned as a broadcast join executed per
+    * micro-batch — no stream-side state for the join at all, which is
+    * exactly why stream–static is the preferred enrichment shape at
+    * scale (the dimension re-broadcasts on change instead of living in
+    * the state store). Oracle: the equivalent batch join+aggregate.
+    */
+  def enrichedStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactNum.cents
+    val staged = stagedEventsDir(spark, dir)
+    val cohorts = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("cohort"))
+    val name = s"graft_enriched_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 8) {
+      val q = readEventsStream(spark, staged)
+        .join(broadcast(cohorts), "user_id")
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("value"))) / 100.0).as("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-enrich-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Stage the fixture TWICE (two identical files) so the stream
     * delivers every event as a genuine duplicate pair — the declared
     * dedup row must actually drop rows, not pass a unique-key fixture

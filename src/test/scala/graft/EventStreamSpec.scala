@@ -323,6 +323,24 @@ class EventStreamSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("streamed stream-static enrichment equals the batch join+agg") {
+    val streamed = EventStream.enrichedStreamed(spark, sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val ev = Tables.events(spark, sf0001)
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("cohort"))
+    val batch = ev.join(cohorts, "user_id")
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.functions.ExactNum.cents(col("value"))) / 100.0)
+          .as("sum_value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streamed stream-stream interval join equals the batch join") {
     val streamed = EventStream.intervalJoinStreamed(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
