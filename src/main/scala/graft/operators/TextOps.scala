@@ -627,30 +627,40 @@ object TextOps {
       }
       out.toSeq
     }
+    // the word-frequency table is vocabulary-sized (orders of magnitude
+    // below the corpus: ~10M rows even at 100 TB), so a handful of
+    // partitions beats shuffle-width task churn across the merge rounds
     var cur: Dataset[(Seq[String], Long)] = tokenizedDocs(spark, dir)
       .select(explode(col("w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .coalesce(8)
       .as[(String, Long)]
       .map { case (w, c) =>
         ((w.map(_.toString) :+ "</w>", c)): (Seq[String], Long) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var prev: Dataset[(Seq[String], Long)] = null
     var step = 1
     while (step <= nMerges) {
+      // this argmax job also materializes `cur`'s cache (reading the
+      // previous round's cache), so each round is ONE pass — no eager
+      // count job per merge
       val top = cur.flatMap { case (syms, c) =>
         syms.indices.dropRight(1).map(i => (syms(i), syms(i + 1), c))
       }.groupBy(col("_1").as("l"), col("_2").as("r"))
         .agg(sum(col("_3")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      // `cur` is now cached, so the round BEFORE it can be dropped
+      // (one-round deferral keeps every in-flight computation backed)
+      if (prev != null) prev.unpersist(blocking = false)
       if (top.isEmpty) step = nMerges + 1
       else {
         val (bl, br, bc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += ((step, bl, br, bc))
         val next = cur.map { case (syms, c) => (mergePair(syms, bl, br), c) }
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        cur.unpersist()
+        prev = cur
         cur = next
         step += 1
       }

@@ -35,8 +35,9 @@ class DistributedQueriesSpec extends SparkSpec {
     }
   }
 
-  test("ivfpq / lifecycle batches: no LocalTableScan") {
+  test("ivfpq / mrl / lifecycle batches: no LocalTableScan") {
     assertNoDriverRows("ivfpq", IvfPqKnn.topKBatch(spark, sf0001))
+    assertNoDriverRows("mrl", MatryoshkaKnn.topKBatch(spark, sf0001))
     assertNoDriverRows("ivf_lifecycle", IvfKnn.topKBatchLifecycle(spark, sf0001))
     assertNoDriverRows("hnsw_lifecycle", HnswKnn.topKBatchLifecycle(spark, sf0001))
   }
@@ -47,7 +48,8 @@ class DistributedQueriesSpec extends SparkSpec {
         "hnsw" -> HnswKnn.topKBatch(spark, sf0001),
         "pq" -> PqKnn.topKBatch(spark, sf0001),
         "sq" -> SqKnn.topKBatch(spark, sf0001),
-        "ivfpq" -> IvfPqKnn.topKBatch(spark, sf0001)))
+        "ivfpq" -> IvfPqKnn.topKBatch(spark, sf0001),
+        "mrl" -> MatryoshkaKnn.topKBatch(spark, sf0001)))
       assert(df.select("qid").distinct().count() == nq, s"$name dropped queries")
   }
 

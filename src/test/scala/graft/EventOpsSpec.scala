@@ -213,6 +213,13 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("retention cohorts: the first-seen dimension joins broadcast") {
+    val plan = EventOps.retentionCohorts(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cohort dimension must broadcast (|users|-sized at any event volume):\n$plan")
+  }
+
   test("retention cohorts: triangular matrix replays a driver-side scan") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))

@@ -283,6 +283,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2._3.count(_ == ',') < cap))
   }
 
+  test("inverted index plans through the bounded heap; phrase join is keyed") {
+    val ix = operators.TextOps.invertedIndex(spark, sf0001)
+    assert(ix.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "posting-segment cap must use the bounded-heap operator, not a window sort")
+    val ph = operators.TextOps.phraseSearch(spark, sf0001)
+    val plan = ph.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"phrase legs must intersect by equi-join:\n$plan")
+  }
+
   test("bpe vocab: merge table equals a reference driver-side trainer") {
     val nMerges = 10
     def merge(syms: Seq[String], l: String, r: String): Seq[String] = {
