@@ -67,6 +67,8 @@ object Bench {
         () => knn.HnswKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_ivf_ckpt",
         () => knn.IvfKnn.topKBatchLifecycle(spark, sfDir).count()),
+      timed("bench_build_pq_ckpt",
+        () => knn.PqKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_langid",
         () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
       timed("bench_build_norm_emb",

@@ -126,6 +126,9 @@ object SparkEntry {
       RandomProjection.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     "knn_pq_batch" -> ((s, d) => PqKnn.topKBatch(s, d)),
+    // PQ build -> save -> load -> search (bit-equal to the in-memory
+    // index; completes the checkpoint surface across HNSW/IVF/PQ)
+    "knn_pq_lifecycle" -> ((s, d) => PqKnn.topKBatchLifecycle(s, d)),
     "eval_recall_pq" -> ((s, d) => Evaluation.recall(
       PqKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
@@ -244,6 +247,9 @@ object SparkEntry {
     "hybrid_mmr_topk" -> ((s, d) => HybridSearch.mmrTopK(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
+    // HLL++ built-in sketch twin: engine-internal hash -> rows-only,
+    // relative-error gated in TextOpsSpec
+    "sketch_users_hll" -> ((s, d) => TextOps.hllDistinctUsers(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —
     "pipeline_training_corpus" -> ((s, d) => Pipeline.trainingCorpus(s, d)),
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,

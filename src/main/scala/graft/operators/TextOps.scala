@@ -138,6 +138,21 @@ object TextOps {
         countDistinct(col("h")).as("exact_distinct"))
   }
 
+  /** HyperLogLog++ distinct users per event type — the BUILT-IN
+    * mergeable-sketch scale path beside the custom [[graft.functions
+    * .KmvDistinct]] Aggregator: `approx_count_distinct` partial-
+    * aggregates a fixed-size HLL register block map-side, so the
+    * shuffle carries one sketch per (partition, type) at any row
+    * count. Approximate (engine-internal hash) → rows-only; the
+    * relative error is gated against the exact count in TextOpsSpec.
+    */
+  def hllDistinctUsers(spark: SparkSession, dir: String,
+      rsd: Double = 0.02): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("hll_estimate"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+
   /** Distinct character 3-grams of a text (JVM loop; includes spaces —
     * word-boundary trigrams carry strong language signal).
     */

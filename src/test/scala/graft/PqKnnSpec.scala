@@ -38,4 +38,13 @@ class PqKnnSpec extends SparkSpec {
     }
     assert(once.forall(_._2.length == 8), "8 bytes per 64-dim vector = 64x")
   }
+
+  test("lifecycle: reloaded index answers bit-identically to in-memory") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3))
+    val live = PqKnn.topKBatch(spark, sf0001).collect().sortBy(key)
+    val reloaded = PqKnn.topKBatchLifecycle(spark, sf0001).collect()
+      .sortBy(key)
+    assert(live.nonEmpty && live.sameElements(reloaded))
+  }
 }

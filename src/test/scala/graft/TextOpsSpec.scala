@@ -283,6 +283,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2._3.count(_ == ',') < cap))
   }
 
+  test("hll distinct users: relative error within the sketch bound") {
+    val rows = operators.TextOps.hllDistinctUsers(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, est, exact) =>
+      // rsd=0.02 one-sigma; gate at 5 sigma to stay flake-free
+      assert(math.abs(est - exact).toDouble / exact <= 0.10,
+        s"$t: hll=$est exact=$exact")
+    }
+  }
+
   test("inverted index plans through the bounded heap; phrase join is keyed") {
     val ix = operators.TextOps.invertedIndex(spark, sf0001)
     assert(ix.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
