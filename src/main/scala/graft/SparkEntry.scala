@@ -115,6 +115,14 @@ object SparkEntry {
     "eval_recall_ivf" -> ((s, d) => Evaluation.recall(
       IvfKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // MAP self-eval is oracle-exact: every hit's precision@rk is the
+    // exact double rk/rk = 1.0, so the average is order-independent
+    "eval_map_exact_self" -> ((s, d) => Evaluation.meanAveragePrecision(
+      ExactKnn.topKBatch(s, d),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    "eval_map_hnsw" -> ((s, d) => Evaluation.meanAveragePrecision(
+      HnswKnn.topKBatch(s, d),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     "eval_mrr_hnsw" -> ((s, d) => Evaluation.meanReciprocalRank(
       HnswKnn.topKBatch(s, d),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
@@ -555,6 +563,31 @@ object SparkEntry {
                          WHERE EXISTS (SELECT 1 FROM t b
                                        WHERE b.qid = a.qid AND b.vec_id = a.vec_id)) AS DOUBLE)
                    / (SELECT count(*) FROM t), 6) AS recall""",
+
+    // generic MAP SQL over the self pair: per-hit running-hit-count /
+    // rank summed per query, divided by |relevant| — every term is the
+    // exact value 1.0 here, so the mean is engine-exact
+    "eval_map_exact_self" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id >= p.s),
+      t AS (SELECT qid, vec_id, rk FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rk
+              FROM d) WHERE rk <= 10),
+      h AS (SELECT a.qid, a.rk,
+                   CAST(count(*) OVER (PARTITION BY a.qid ORDER BY a.rk)
+                     AS DOUBLE) / a.rk AS prec
+            FROM t a JOIN t r ON a.qid = r.qid AND a.vec_id = r.vec_id),
+      ap AS (SELECT h.qid, sum(prec) / max(n.n_rel) AS ap
+             FROM h JOIN (SELECT qid, count(*) AS n_rel FROM t GROUP BY 1) n
+               ON h.qid = n.qid
+             GROUP BY h.qid)
+      SELECT round(avg(ap), 6) AS map FROM ap""",
 
     "eval_precision_exact_self" -> s"""
       WITH e AS (SELECT vec_id,

@@ -69,6 +69,33 @@ object Evaluation {
         .as("mrr"))
   }
 
+  /** Mean average precision (binary relevance), macro-averaged over
+    * every RETRIEVED query (same population rule as
+    * [[meanReciprocalRank]]): AP(q) = Σ_{hit ranks r} precision@r
+    * divided by |relevant(q)|; queries with no relevant rows score 0.
+    * `retrieved` must carry (qid, vec_id, rk). 1-row output (column
+    * map, rounded 6).
+    */
+  def meanAveragePrecision(retrieved: DataFrame,
+      relevant: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hits = retrieved.select("qid", "vec_id", "rk")
+      .join(relevant, Seq("qid", "vec_id"), "left_semi")
+    val w = Window.partitionBy(col("qid")).orderBy(col("rk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ap = hits
+      .withColumn("prec", count(lit(1)).over(w).cast("double") / col("rk"))
+      .groupBy(col("qid")).agg(sum(col("prec")).as("sum_prec"))
+    val nRel = relevant.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    retrieved.select("qid").distinct()
+      .join(nRel, Seq("qid"), "left")
+      .join(ap, Seq("qid"), "left")
+      .agg(round(avg(
+        when(col("n_rel").isNull || col("n_rel") === 0L, 0.0)
+          .otherwise(coalesce(col("sum_prec"), lit(0.0)) / col("n_rel"))), 6)
+        .as("map"))
+  }
+
   /** Binary-gain nDCG@k, macro-averaged over every RETRIEVED query
     * (same population as [[meanReciprocalRank]] — queries with no
     * relevant rows score 0 instead of being dropped): DCG =

@@ -36,11 +36,26 @@ class EvaluationSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
-  test("identities: MRR and nDCG of a ranking against itself are 1.0") {
+  test("identities: MRR, nDCG, and MAP of a ranking against itself are 1.0") {
     val ex = ExactKnn.topKBatch(spark, sf0001)
     val rel = ex.select("qid", "vec_id")
     assert(Evaluation.meanReciprocalRank(ex, rel).head.getDouble(0) == 1.0)
     assert(Evaluation.ndcgAtK(ex, rel, 10).head.getDouble(0) == 1.0)
+    assert(Evaluation.meanAveragePrecision(ex, rel).head.getDouble(0) == 1.0)
+  }
+
+  test("MAP on a known ranking, incl. a zero-relevance query") {
+    import spark.implicits._
+    // q1: hits at ranks 1 and 3, |rel|=3 -> AP = (1/1 + 2/3)/3 = 5/9
+    // q2: retrieved but nothing relevant -> AP = 0; MAP = 5/18
+    val retrieved = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1)).toDF("qid", "vec_id", "rk")
+    val relevant = Seq((1L, 10L), (1L, 12L), (1L, 13L)).toDF("qid", "vec_id")
+    val map = Evaluation.meanAveragePrecision(retrieved, relevant)
+      .head.getDouble(0)
+    val expected = BigDecimal((1.0 + 2.0 / 3.0) / 3.0 / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(map - expected) < 1e-9, s"map=$map expected=$expected")
   }
 
   test("sampled ground truth is exactly the full ground truth on its qids") {
