@@ -49,6 +49,9 @@ object SparkEntry {
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
     "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
+    // filtered ANN on the shared HNSW graphs (post-filter + overfetch):
+    // rows-only, recall vs the exact filtered scan gated in HnswSpec
+    "knn_hnsw_filtered"    -> ((s, d) => HnswKnn.topKBatchFiltered(s, d)),
     "knn_exact_after_insert" -> ((s, d) => ExactKnn.topKAfterInsert(s, d)),
     // the same mutation on the inverted-file family: insert_many into a
     // built IVF index, exhaustive probe (= exact), shared oracle

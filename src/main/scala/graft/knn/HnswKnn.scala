@@ -259,6 +259,43 @@ object HnswKnn {
     searchIndex(reloaded, queries, k, ef)
   }
 
+  /** Filtered ANN (predicate + vector) on the SHARED shard graphs —
+    * the index-path sibling of [[ExactKnn.topKBatchFiltered]]: search
+    * the unfiltered graphs with `k × overfetch` candidates per query
+    * (post-filtering is the general strategy — it reuses one index for
+    * every predicate; a per-predicate-value index gives unfiltered
+    * recall but only for predicates known at build time), semi-join the
+    * label predicate on the candidate ids (ids only — no vectors), and
+    * keep the top k survivors. Output: (qid, vec_id, dist, rk), same
+    * shape as the exact filtered scan; recall against it is gated in
+    * HnswSpec. More selective predicates want a larger `overfetch` —
+    * the standard post-filter trade.
+    */
+  def topKBatchFiltered(spark: SparkSession, dir: String, label: Int = 3,
+      k: Int = 10, ef: Int = 256, shards: Int = 16, overfetch: Int = 16,
+      nq: Int = 50): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val splitAt = math.round(0.95 * n)
+    val queries = emb
+      .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nq)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("emb"))
+    val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
+      val ix = buildIndex(ExactKnn.split(spark, dir)._1, shards).persist()
+      ix.graphs.count()
+      ix
+    }
+    val cand = searchIndex(index, queries, k * overfetch, math.max(ef, k * overfetch))
+    val allowed = emb
+      .filter(col("label") === label && col("vec_id") < splitAt)
+      .select(col("vec_id"))
+    graft.plans.GraftOps.topKPerGroup(
+      cand.join(allowed, Seq("vec_id"), "left_semi")
+        .select(col("qid"), col("vec_id"), col("dist")),
+      Seq("qid"), Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** Single-query form (the reference's `query[29]` search,
     * `/root/reference/src/main.rs:85-87`). Output: (vec_id, dist) asc.
     *

@@ -172,6 +172,25 @@ class HnswSpec extends SparkSpec {
     assert(inMemory.nonEmpty)
   }
 
+  test("filtered ANN: only-matching labels, k-bounded, recall vs exact") {
+    val got = HnswKnn.topKBatchFiltered(spark, sf0001).cache()
+    // every returned id must satisfy the predicate
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"))
+    assert(got.join(emb, "vec_id")
+      .filter(org.apache.spark.sql.functions.col("label") =!= 3).count() == 0)
+    // bounded at k per query
+    assert(got.groupBy("qid").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 10).count() == 0)
+    val exact = ExactKnn.topKBatchFiltered(spark, sf0001)
+      .select("qid", "vec_id")
+    val recall = Evaluation.recall(got.select("qid", "vec_id"), exact)
+      .head.getDouble(0)
+    assert(recall >= 0.6, s"filtered recall $recall below 0.6")
+    got.unpersist()
+  }
+
   test("evaluation identities: recall(X,X) = precision(X,X) = 1.0") {
     val ex = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
     assert(Evaluation.recall(ex, ex).collect()(0).getDouble(0) == 1.0)
