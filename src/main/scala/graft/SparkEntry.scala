@@ -179,6 +179,8 @@ object SparkEntry {
     "posexplode_tokens" -> Relational.posexplodeTokens _,
     "argmax_events" -> Relational.argmaxEvents _,
     "scalar_order_dates" -> Relational.orderDateParts _,
+    // regex extract / global replace / match-test (portable subset)
+    "scalar_regex_showcase" -> Relational.regexShowcase _,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q7_volume_shipping" -> Relational.q7VolumeShipping _,
     "q8_market_share" -> Relational.q8MarketShare _,
@@ -1471,6 +1473,14 @@ object SparkEntry {
       FROM e
       QUALIFY row_number() OVER (PARTITION BY event_type
         ORDER BY v100 DESC, event_id DESC) = 1""",
+
+    "scalar_regex_showcase" -> """
+      SELECT p_partkey,
+             regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+             regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devowel,
+             CAST(regexp_matches(p_name, '^[a-z]+ ') AS INT)
+               AS starts_lower_word
+      FROM part""",
 
     "scalar_order_dates" -> """
       SELECT o_orderkey,

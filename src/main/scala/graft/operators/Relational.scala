@@ -409,6 +409,18 @@ object Relational {
       quarter(col("o_orderdate")).as("q"),
       unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"))
 
+  /** Regex scalar functions over part (extract / global replace /
+    * match test), restricted to the portable character-class subset
+    * both Java regex and RE2 share (same rule as the PII scrubber) —
+    * map-only codegen'd projections.
+    */
+  def regexShowcase(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+      regexp_replace(col("p_type"), "[AEIOU]", "_").as("type_devowel"),
+      col("p_name").rlike("^[a-z]+ ").cast("int").as("starts_lower_word"))
+
   /** TPC-H Q6-style forecasting revenue change: pure scan + conjunctive
     * filter + scalar agg — every predicate pushes to the parquet scan,
     * the plan is one WholeStageCodegen span with a partial sum.
