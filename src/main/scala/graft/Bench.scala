@@ -60,6 +60,8 @@ object Bench {
         () => knn.SqKnn.topKBatch(spark, sfDir).count()),
       timed("bench_build_mrl",
         () => knn.MatryoshkaKnn.topKBatch(spark, sfDir).count()),
+      timed("bench_build_bq",
+        () => knn.BinaryQuantKnn.topKBatch(spark, sfDir).count()),
       // first lifecycle call pays the one-time checkpoint WRITE (index
       // publication); the declared knn_*_lifecycle queries then measure
       // what a reader pays: load + probe

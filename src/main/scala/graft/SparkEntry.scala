@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, PqKnn, RandomProjection, SqKnn}
-import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Relational, ScaleTechniques, TemporalJoins, TextOps}
+import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, PqKnn, RandomProjection, SqKnn}
+import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Profiling, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -142,6 +142,12 @@ object SparkEntry {
     "knn_pq_lifecycle" -> ((s, d) => PqKnn.topKBatchLifecycle(s, d)),
     "eval_recall_pq" -> ((s, d) => Evaluation.recall(
       PqKnn.topKBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // 1-bit sign quantization: XOR+popcount Hamming coarse scan over
+    // one-long-per-vector codes + exact re-rank (64x scan compression)
+    "knn_bq_batch" -> ((s, d) => BinaryQuantKnn.topKBatch(s, d)),
+    "eval_recall_bq" -> ((s, d) => Evaluation.recall(
+      BinaryQuantKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     // Matryoshka truncated-dimension coarse scan + exact re-rank
     "knn_mrl_batch" -> ((s, d) => MatryoshkaKnn.topKBatch(s, d)),
@@ -302,6 +308,16 @@ object SparkEntry {
     "events_state_islands" -> EventOps.stateIslands _,
     // robust mean: values clamped to exact [p05, p95] before averaging
     "events_winsorized" -> ((s, d) => EventOps.winsorizedMean(s, d)),
+    // OHLC bars: first/last by (ts,event_id) via partial-aggregatable
+    // min_by/max_by — no window pass, no per-bar sort
+    "events_ohlc" -> ((s, d) => EventOps.ohlcBars(s, d)),
+    // statistical outlier screen: z-scores from exact BIGINT moment sums
+    "events_anomaly_zscore" -> ((s, d) => EventOps.anomalyZscore(s, d)),
+    // single-pass per-column profiling (Expand-planned exact distincts)
+    "quality_profile_orders" -> Profiling.profileOrders _,
+    // edit-distance similarity self-join over the token vocabulary
+    // (first-char blocking equi-join + length band, never cartesian)
+    "text_fuzzy_word_pairs" -> ((s, d) => TextOps.fuzzyWordPairs(s, d)),
     // label-centroid separation matrix over quantized-exact means
     "emb_centroid_distances" -> ((s, d) => EmbeddingStats.centroidDistances(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
@@ -1804,6 +1820,82 @@ object SparkEntry {
                     + sum(CASE WHEN c > bhi THEN 1 ELSE 0 END) * bhi)
                    / count(*) / 100.0, 6) AS wmean
       FROM e JOIN b USING (event_type) GROUP BY event_type, blo, bhi""",
+
+    // open/close via first_value/last_value under the same total
+    // (us, event_id) order the Spark min_by/max_by struct key uses;
+    // all four prices are selected cent values — no float accumulation
+    "events_ohlc" -> s"""
+      WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id,
+                        ${c100("value")} AS c FROM events),
+      h AS (SELECT *, CAST(floor(CAST(us AS DOUBLE) / 3600000000.0)
+                           AS BIGINT) AS hour FROM e),
+      w AS (SELECT event_type, hour, c,
+                   first_value(c) OVER
+                     (PARTITION BY event_type, hour ORDER BY us, event_id)
+                     AS o,
+                   last_value(c) OVER
+                     (PARTITION BY event_type, hour ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS cl
+            FROM h)
+      SELECT event_type, hour, min(o) / 100.0 AS open,
+             max(c) / 100.0 AS high, min(c) / 100.0 AS low,
+             min(cl) / 100.0 AS close, count(*) AS n
+      FROM w GROUP BY event_type, hour""",
+
+    // z-scores from exact BIGINT moment sums; the z expression below is
+    // associated EXACTLY like the Spark column (same IEEE op order), so
+    // the unrounded > 2.5 comparison agrees bit-for-bit
+    "events_anomaly_zscore" -> s"""
+      WITH e AS (SELECT event_type, event_id, ${c100("value")} AS c
+                 FROM events),
+      st AS (SELECT event_type, count(*) AS n, sum(c) AS s,
+                    sum(c * c) AS ss FROM e GROUP BY 1)
+      SELECT event_type, event_id, c / 100.0 AS value,
+             round((CAST(c AS DOUBLE) * n - s)
+                   / (CAST(n AS DOUBLE)
+                      * sqrt((CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+                             / (CAST(n AS DOUBLE) * (n - 1)))), 6) AS z
+      FROM e JOIN st USING (event_type)
+      WHERE abs((CAST(c AS DOUBLE) * n - s)
+                / (CAST(n AS DOUBLE)
+                   * sqrt((CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+                          / (CAST(n AS DOUBLE) * (n - 1))))) > 2.5""",
+
+    // per-column profile: one SELECT per column, engine-portable
+    // representations (cents / epoch days) so min/max stringify alike
+    "quality_profile_orders" -> {
+      val prep = s"""SELECT o_orderkey, o_custkey, o_orderstatus,
+          ${c100("o_totalprice")} AS o_totalprice_cents,
+          CAST(date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS BIGINT)
+            AS o_orderdate_epday,
+          o_orderpriority FROM orders"""
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice_cents", "o_orderdate_epday", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+            count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+            CAST(min($c) AS VARCHAR) AS min_repr,
+            CAST(max($c) AS VARCHAR) AS max_repr FROM o"""
+      }.mkString(s"WITH o AS ($prep)\n", "\nUNION ALL\n", "")
+    },
+
+    // UNBLOCKED brute-force pair set: equality proves the Spark side's
+    // deletion-neighborhood blocking is lossless; DuckDB's levenshtein
+    // is the same classic DP as Spark's built-in
+    "text_fuzzy_word_pairs" -> """
+      WITH v AS (
+        SELECT DISTINCT lower(w) AS w FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+          UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
+          UNION ALL SELECT n_name FROM nation
+          UNION ALL SELECT r_name FROM region)
+        WHERE length(w) > 0)
+      SELECT a.w AS w1, b.w AS w2,
+             CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+      FROM v a JOIN v b ON a.w < b.w
+      WHERE levenshtein(a.w, b.w) <= 2""",
 
     // centroids from integer-quantized coordinates (exact BIGINT sums
     // in any accumulation order), distance as a fixed-order list fold

@@ -336,4 +336,71 @@ object EventOps {
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
         col("offset_days"), col("n_users"))
   }
+
+  /** OHLC bars: open/high/low/close + count per (event_type, hour) —
+    * the time-series downsampling primitive (candlesticks, telemetry
+    * rollups). Open/close are the values of the FIRST/LAST event in the
+    * bar under the total (ts, event_id) order, selected by
+    * `min_by`/`max_by` over a struct ordering key.
+    *
+    * Scale shape: pure partial-aggregatable groupBy — min_by/max_by
+    * partial-aggregate map-side like min/max, so the shuffle carries
+    * one candidate row per (partition, type, hour), never the events.
+    * No window pass, no per-bar sort. Exactness: all four prices are
+    * SELECTED cent values (no arithmetic), order key is integer µs +
+    * unique event_id — deterministic in both engines.
+    */
+  def ohlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), cents(col("value")).as("c"))
+      .withColumn("hour", floor(col("us").cast("double") / 3600000000.0)
+        .cast("long"))
+    e.groupBy(col("event_type"), col("hour"))
+      .agg(
+        (min_by(col("c"), struct(col("us"), col("event_id"))) / 100.0)
+          .as("open"),
+        (max(col("c")) / 100.0).as("high"),
+        (min(col("c")) / 100.0).as("low"),
+        (max_by(col("c"), struct(col("us"), col("event_id"))) / 100.0)
+          .as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Statistical outlier detection: events whose value is more than
+    * `sigmas` sample standard deviations from their type's mean — the
+    * data-quality screen that catches corrupt measurements before they
+    * poison a training corpus.
+    *
+    * Exactness across engines: mean and variance derive from EXACT
+    * BIGINT sums (n, Σc, Σc²) — no float accumulation — and the z-score
+    * is one fixed-association double expression over those exact
+    * inputs, so Spark and the oracle compute bit-identical doubles.
+    * The comparison is on z directly (not a rounded copy), with the
+    * same expression on both sides.
+    *
+    * Scale shape: one partial-agg pass for the moment sums (|types|
+    * rows), a broadcast join of that tiny stats relation, one map-only
+    * filter. Σc² of cents overflows BIGINT only past ~4e5 rows × (3e6)²
+    * ≈ 9e18 — beyond that the sums widen to DECIMAL(38,0), same plan.
+    */
+  def anomalyZscore(spark: SparkSession, dir: String,
+      sigmas: Double = 2.5): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+    // sample std-dev from exact sums: var = (n*Σc² - (Σc)²) / (n*(n-1))
+    val sd = sqrt((col("ss").cast("double") * col("n")
+      - col("s").cast("double") * col("s"))
+      / (col("n").cast("double") * (col("n") - 1)))
+    // z from exact pieces: (c*n - s) / (n * sd)
+    val z = ((col("c").cast("double") * col("n") - col("s"))
+      / (col("n").cast("double") * sd))
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(z) > sigmas)
+      .select(col("event_type"), col("event_id"), (col("c") / 100.0).as("value"),
+        round(z, 6).as("z"))
+  }
 }

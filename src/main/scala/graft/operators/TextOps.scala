@@ -685,6 +685,63 @@ object TextOps {
     out
   }
 
+  /** Fuzzy (edit-distance) similarity self-join over the corpus-wide
+    * token vocabulary — the entity-resolution / typo-clustering
+    * primitive: ALL pairs of distinct tokens within Levenshtein
+    * distance `maxDist`, mined across part names, part types, and
+    * nation/region names (the engine's string-dimension vocabulary).
+    *
+    * Candidate generation is the FastSS/SymSpell deletion
+    * neighborhood: each token emits every string reachable by deleting
+    * up to `maxDist` characters; if lev(a,b) <= d then deleting the
+    * edited positions from each side lands both on a common variant,
+    * so a key-equality join is a LOSSLESS candidate generator (unlike
+    * prefix/first-char blocking) and the exact DP afterwards removes
+    * the false positives. The declared oracle is the UNBLOCKED
+    * brute-force pair set — equality proves losslessness.
+    *
+    * Scale notes (100 TB thinking):
+    *   - Vocabulary extraction is a partial-aggregatable DISTINCT — at
+    *     any corpus size the vocab relation is bounded by the language,
+    *     not the row count (a 100 TB text corpus still has ~1e7
+    *     tokens), and key expansion is O(len^maxDist) per token over
+    *     that bounded relation, map-only.
+    *   - The candidate join is an EQUI-join on the variant key — never
+    *     a cartesian product; pairs dedup BEFORE the DP so
+    *     `levenshtein` (Spark's codegen'd built-in, same classic DP as
+    *     the oracle's) runs once per candidate pair.
+    */
+  def fuzzyWordPairs(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+    val vocab = part.select(explode(split(col("p_name"), " ")).as("w"))
+      .unionByName(part.select(explode(split(col("p_type"), " ")).as("w")))
+      .unionByName(Tables.nation(spark, dir).select(col("n_name").as("w")))
+      .unionByName(Tables.region(spark, dir).select(col("r_name").as("w")))
+      .select(lower(col("w")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val keyed = vocab.as[String].flatMap { w =>
+      val seen = scala.collection.mutable.LinkedHashSet(w)
+      var frontier: Set[String] = Set(w)
+      var d = 0
+      while (d < maxDist) {
+        frontier = frontier.flatMap(s =>
+          (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1)))
+        seen ++= frontier
+        d += 1
+      }
+      seen.iterator.map(k => (k, w))
+    }.toDF("key", "w")
+    keyed.toDF("key", "w1").join(keyed.toDF("key", "w2"), Seq("key"))
+      .filter(col("w1") < col("w2"))
+      .select("w1", "w2").distinct()
+      .withColumn("dist", levenshtein(col("w1"), col("w2")))
+      .filter(col("dist") <= maxDist)
+      .select(col("w1"), col("w2"), col("dist").cast("long").as("dist"))
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

@@ -236,4 +236,51 @@ class EventOpsSpec extends SparkSpec {
     // offset 0 exists for every cohort (a user is active on their first day)
     assert(got.keys.map(_._1).toSet.forall(c => got.contains((c, 0))))
   }
+
+  test("ohlc bars replay a driver-side per-bar scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(e => (e._1, e._2 / 3600000000L)).map { case (k, g) =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      k -> (sorted.head._4 / 100.0, g.map(_._4).max / 100.0,
+        g.map(_._4).min / 100.0, sorted.last._4 / 100.0, g.size.toLong)
+    }
+    val got = EventOps.ohlcBars(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(got == expect && got.nonEmpty)
+    // price ordering invariant: low <= open, close <= high
+    got.values.foreach { case (o, h, l, c, _) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  test("anomaly z-scores replay a driver-side moment computation") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val n = g.size.toLong
+      val s = g.map(_._3).sum
+      val ss = g.map(e => e._3 * e._3).sum
+      val sd = math.sqrt((ss.toDouble * n - s.toDouble * s) /
+        (n.toDouble * (n - 1)))
+      g.flatMap { case (t, id, c) =>
+        val z = (c.toDouble * n - s) / (n.toDouble * sd)
+        if (math.abs(z) > 2.5) Some((t, id)) else None
+      }
+    }.toSet
+    val got = EventOps.anomalyZscore(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+    // the stats relation broadcasts (|types|-sized at any event volume)
+    val plan = EventOps.anomalyZscore(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
 }

@@ -359,4 +359,32 @@ class TextOpsSpec extends SparkSpec {
       assert(got == expected, s"phrase=$phrase")
     }
   }
+
+  test("fuzzy word pairs: deletion-neighborhood blocking is lossless") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val part = Tables.part(spark, sf0001)
+    val vocab = (part.select(explode(split(col("p_name"), " ")).as("w"))
+      .unionByName(part.select(explode(split(col("p_type"), " ")).as("w")))
+      .unionByName(Tables.nation(spark, sf0001).select(col("n_name").as("w")))
+      .unionByName(Tables.region(spark, sf0001).select(col("r_name").as("w"))))
+      .select(lower(col("w")).as("w")).filter(length(col("w")) > 0)
+      .distinct().collect().map(_.getString(0))
+    // brute force over the FULL vocab — no blocking at all
+    val expect = (for {
+      a <- vocab; b <- vocab if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    val got = TextOps.fuzzyWordPairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect && got.nonEmpty,
+      s"missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
+  }
 }
