@@ -80,7 +80,9 @@ object Bench {
       timed("bench_build_grams",
         () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()),
       timed("bench_build_clusters",
-        () => operators.Dedup.nearDupClusters(spark, sfDir).count()))
+        () => operators.Dedup.nearDupClusters(spark, sfDir).count()),
+      timed("bench_build_copurchase",
+        () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()))
     val results = builds ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       timed(name, () => fn(spark, sfDir).count())
     }

@@ -315,6 +315,16 @@ object SparkEntry {
     "events_anomaly_zscore" -> ((s, d) => EventOps.anomalyZscore(s, d)),
     // single-pass per-column profiling (Expand-planned exact distincts)
     "quality_profile_orders" -> Profiling.profileOrders _,
+    // gapless hourly grid (sequence+explode) with forward-filled sums
+    "events_resample" -> EventOps.resampleHourly _,
+    // equal-frequency ntile buckets over exact cent values
+    "events_equidepth" -> ((s, d) => EventOps.equidepthHistogram(s, d)),
+    // per-user EWMA as a fixed-association fold over the sorted history
+    "events_ewma" -> ((s, d) => EventOps.ewma(s, d)),
+    // deterministic md5-ordered k-sample through the bounded heap
+    "pipeline_ksample" -> ((s, d) => Pipeline.kSamplePerGroup(s, d)),
+    // co-purchase graph: ordered-edge triangle census
+    "graph_triangles" -> ((s, d) => GraphOps.triangleCensus(s, d)),
     // edit-distance similarity self-join over the token vocabulary
     // (first-char blocking equi-join + length band, never cartesian)
     "text_fuzzy_word_pairs" -> ((s, d) => TextOps.fuzzyWordPairs(s, d)),
@@ -1880,6 +1890,76 @@ object SparkEntry {
             CAST(max($c) AS VARCHAR) AS max_repr FROM o"""
       }.mkString(s"WITH o AS ($prep)\n", "\nUNION ALL\n", "")
     },
+
+    // grid densify + IGNORE NULLS forward fill, mirroring the Spark
+    // sequence/explode + last(ignoreNulls) plan
+    "events_resample" -> s"""
+      WITH e AS (SELECT event_type,
+                        CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+                                   / 3600000000.0) AS BIGINT) AS hour,
+                        ${c100("value")} AS c FROM events),
+      h AS (SELECT event_type, hour, count(*) AS n, sum(c) AS s
+            FROM e GROUP BY 1, 2),
+      b AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+            FROM h GROUP BY 1),
+      grid AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hour
+               FROM b),
+      j AS (SELECT g.event_type, g.hour, coalesce(h.n, 0) AS n, h.s AS s
+            FROM grid g LEFT JOIN h
+              ON g.event_type = h.event_type AND g.hour = h.hour)
+      SELECT event_type, hour, n, s / 100.0 AS sum_value,
+             last_value(s IGNORE NULLS) OVER
+               (PARTITION BY event_type ORDER BY hour) / 100.0 AS ffill_sum
+      FROM j""",
+
+    // same ntile semantics (SQL standard: leading buckets absorb the
+    // remainder) over the same exact (c, event_id) total order
+    "events_equidepth" -> s"""
+      WITH e AS (SELECT event_type, event_id, ${c100("value")} AS c
+                 FROM events),
+      t AS (SELECT event_type, c, CAST(ntile(10) OVER
+              (PARTITION BY event_type ORDER BY c, event_id) AS BIGINT)
+              AS bucket FROM e)
+      SELECT event_type, bucket, count(*) AS n,
+             min(c) / 100.0 AS lo, max(c) / 100.0 AS hi
+      FROM t GROUP BY 1, 2""",
+
+    // list_reduce over the identically-sorted list, identical
+    // fixed-association update acc + 0.3*(x - acc) -> bit-equal doubles
+    "events_ewma" -> s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                        ${c100("value")} AS c FROM events),
+      l AS (SELECT user_id,
+                   list(CAST(c AS DOUBLE) ORDER BY us, event_id) AS xs,
+                   count(*) AS n FROM e GROUP BY 1)
+      SELECT user_id, n,
+             round(list_reduce(xs, (acc, x) -> acc + 0.3 * (x - acc))
+                   / 100.0, 6) AS ewma
+      FROM l""",
+
+    // both engines order by the identical md5 hex of the identical
+    // string rendering of event_id
+    "pipeline_ksample" -> """
+      SELECT event_type, event_id, value, rk FROM (
+        SELECT event_type, event_id, value,
+               CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                 AS INT) AS rk
+        FROM events)
+      WHERE rk <= 20""",
+
+    // ordered-edge triangle enumeration (x<y<z matched exactly once)
+    "graph_triangles" -> """
+      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                  FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+            JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT (SELECT count(*) FROM e) AS n_edges,
+             (SELECT count(*) FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""",
 
     // UNBLOCKED brute-force pair set: equality proves the Spark side's
     // deletion-neighborhood blocking is lossless; DuckDB's levenshtein

@@ -367,6 +367,93 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
+  /** Time-series resampling: the per-(type, hour) rollup densified to a
+    * gapless hourly grid (sequence + explode between each type's min
+    * and max hour), with missing hours carrying n=0 and a
+    * forward-filled value sum (`last(_, ignoreNulls)` over the hour
+    * order) — the resample/ffill primitive every downstream
+    * feature-window computation assumes.
+    *
+    * Scale shape: the grid is |types| x |hours| (calendar-bounded, not
+    * row-bounded); the densify join is a broadcastable equi-join of
+    * the grid against the ALREADY-AGGREGATED rollup; the fill window
+    * orders hours within a type — cardinality |grid|, never raw events.
+    */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")).cast("double") / 3600000000.0)
+          .cast("long").as("hour"),
+        cents(col("value")).as("c"))
+    val h = e.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val grid = h.groupBy(col("event_type"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    grid.join(h, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (col("s") / 100.0).as("sum_value"),
+        (last(col("s"), ignoreNulls = true).over(w) / 100.0).as("ffill_sum"))
+  }
+
+  /** Equi-depth (equal-frequency) histogram: `buckets` ntile buckets
+    * per event type over the exact cent values, with per-bucket count
+    * and value bounds — the quantile-bucketing that feeds monotone
+    * feature binning.
+    *
+    * Scale note: exact ntile is a full per-type sort — correct at
+    * fixture scale and the exact twin of the mergeable-sketch path; at
+    * 100 TB bucket by [[valueQuantilesApprox]] boundaries instead
+    * (broadcast the sketch bounds, map-side bucket assignment), same
+    * output schema.
+    */
+  def equidepthHistogram(spark: SparkSession, dir: String,
+      buckets: Int = 10): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("c"), col("event_id"))
+    e.withColumn("bucket", ntile(buckets).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), (min(col("c")) / 100.0).as("lo"),
+        (max(col("c")) / 100.0).as("hi"))
+  }
+
+  /** Per-user exponential moving average of event values (event-time
+    * order, `ewma = acc + alpha * (x - acc)`) — the time-decayed state
+    * every online feature store maintains.
+    *
+    * Determinism across engines: the per-user sequence materializes as
+    * a SORTED array (sort_array over (us, event_id, c) structs — a
+    * total order), and the fold is a fixed-association expression
+    * using ONLY alpha (the `acc + a*(x-acc)` form; an `a*x + (1-a)*acc`
+    * form would need the complementary weight 1-a, whose rounding can
+    * fall on a representability tie). Same IEEE op order in both
+    * engines -> bit-identical doubles.
+    *
+    * Scale shape: one shuffle on user_id; per-entity history is
+    * bounded (an entity's event count, not the corpus); the streaming
+    * twin is mapGroupsWithState carrying one double per user.
+    */
+  def ewma(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), cents(col("value")).as("c"))
+    val l = e.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"),
+        col("c")))).as("evs"), count(lit(1)).as("n"))
+      .withColumn("xs", transform(col("evs"), s =>
+        s.getField("c").cast("double")))
+    l.select(col("user_id"), col("n"),
+      round(aggregate(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        element_at(col("xs"), 1),
+        (acc, x) => acc + lit(alpha) * (x - acc)) / 100.0, 6).as("ewma"))
+  }
+
   /** Statistical outlier detection: events whose value is more than
     * `sigmas` sample standard deviations from their type's mean — the
     * data-quality screen that catches corrupt measurements before they

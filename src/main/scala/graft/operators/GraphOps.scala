@@ -68,4 +68,56 @@ object GraphOps {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** The customer co-purchase similarity graph: an undirected edge
+    * (u < v) between customers who ordered at least `minShared`
+    * distinct common parts. Built once per dataset (cached): distinct
+    * (customer, part) pairs, a per-part equi-self-join (never a
+    * cartesian — candidates exist only within a part's buyer list),
+    * then a (u, v) count filter.
+    *
+    * Scale notes: the per-part pair expansion is Σ deg(p)², the classic
+    * co-occurrence blow-up — it is bounded by part-degree skew, and the
+    * standard mitigation (cap or sample buyers of ultra-hot parts
+    * before pairing) drops in as a bounded-heap prune per part without
+    * changing the plan shape. Edges are emitted ordered (u < v) so
+    * every undirected edge exists exactly once.
+    */
+  def copurchaseEdges(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"copurchase:$dir:$minShared") {
+      val cp = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = cp.toDF("c1", "p").join(cp.toDF("c2", "p2"),
+          col("p") === col("p2") && col("c1") < col("c2"))
+        .groupBy(col("c1").as("u"), col("c2").as("v"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .select("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count() // materialize once; reused by the triangle joins
+      edges
+    }
+
+  /** Triangle census of the co-purchase graph: edge and triangle
+    * counts in one row. Triangles enumerate via the ORDERED two-hop
+    * join — edges stored u < v mean each triangle x < y < z matches
+    * exactly one (e1=(x,y), e2=(y,z), e3=(x,z)) triple, no
+    * post-dedup, join fan-out bounded by vertex degree (the standard
+    * degree-orientation trick that keeps distributed triangle
+    * counting linear in Σ deg²).
+    */
+  def triangleCensus(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val edges = copurchaseEdges(spark, dir, minShared)
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val nT = edges.toDF("x", "y")
+      .join(edges.toDF("y", "z"), Seq("y"))
+      .join(edges.toDF("x", "z"), Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nE.crossJoin(nT)
+  }
 }

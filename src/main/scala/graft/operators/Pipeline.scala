@@ -132,4 +132,26 @@ object Pipeline {
         (coalesce(sum(col("n_tokens")).over(byLang), lit(0L)) / budgetTokens)
           .cast("long"))
   }
+
+  /** Deterministic uniform k-sample per group: the k events per type
+    * with the smallest md5(event_id) — hash-ordering makes the sample
+    * uniform-at-random yet reproducible on any engine (both Spark and
+    * the oracle compute the identical md5 hex), with no RNG state to
+    * coordinate across a cluster.
+    *
+    * Scale shape: the hash is map-only and the selection runs through
+    * the two-phase bounded heap ([[graft.plans.TopKPerGroup]]) — the
+    * shuffle carries ≤ partitions × types × k candidate rows, never
+    * the fact table. This is how you cut a fixed-size eval slice from
+    * a 100 TB corpus in one pass.
+    */
+  def kSamplePerGroup(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame =
+    graft.plans.GraftOps.topKPerGroup(
+      Tables.events(spark, dir)
+        .select(col("event_type"), col("event_id"), col("value"),
+          md5(col("event_id").cast("string")).as("h")),
+      Seq("event_type"), Seq("h" -> true, "event_id" -> true), k,
+      partialFirst = true)
+      .select(col("event_type"), col("event_id"), col("value"), col("rk"))
 }

@@ -259,6 +259,58 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("resample: grid is gapless per type, counts conserved, ffill correct") {
+    val rs = EventOps.resampleHourly(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    assert(rs.map(_._3).sum == Tables.events(spark, sf0001).count())
+    rs.groupBy(_._1).values.foreach { g =>
+      val hours = g.map(_._2).sorted
+      // dense: every hour between min and max present exactly once
+      assert(hours.sameElements(hours.head to hours.last))
+      // forward fill: after the first observed value, never null, and
+      // constant across gap (n=0) hours
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          if (cur._3 == 0L) assert(cur._4 == prev._4)
+        case _ => ()
+      }
+    }
+  }
+
+  test("equi-depth histogram: near-equal buckets, ordered disjoint bounds") {
+    val rows = EventOps.equidepthHistogram(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._3).sum == Tables.events(spark, sf0001).count())
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1L to 10L))
+      assert(g.map(_._3).max - g.map(_._3).min <= 1) // ntile balance
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4) // hi(k) <= lo(k+1)
+        case _ => ()
+      }
+    }
+  }
+
+  test("ewma replays a driver-side sequential fold") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = ev.groupBy(_._1).map { case (u, g) =>
+      val xs = g.sortBy(e => (e._2, e._3)).map(_._4.toDouble)
+      val e = xs.tail.foldLeft(xs.head)((acc, x) => acc + 0.3 * (x - acc))
+      u -> (math.rint(e / 100.0 * 1e6) / 1e6)
+    }
+    val got = EventOps.ewma(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (u, e) =>
+      assert(math.abs(got(u) - e) < 1e-9, s"user $u: ${got(u)} vs $e") }
+  }
+
   test("anomaly z-scores replay a driver-side moment computation") {
     val ev = Tables.events(spark, sf0001)
       .select(col("event_type"), col("event_id"),

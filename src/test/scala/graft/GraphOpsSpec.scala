@@ -55,4 +55,29 @@ class GraphOpsSpec extends SparkSpec {
     val off = got.filter { case (k, v) => math.abs(v - expected(k)) > 2e-8 }
     assert(off.isEmpty, s"mismatches: ${off.take(5)}")
   }
+
+  test("triangle census replays a driver-side enumeration") {
+    val cp = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byPart = cp.groupBy(_._2).values
+    val shared = scala.collection.mutable.Map[(Long, Long), Int]()
+    byPart.foreach { g =>
+      val cs = g.map(_._1).toSeq.sorted
+      for (i <- cs.indices; j <- (i + 1) until cs.size)
+        shared((cs(i), cs(j))) = shared.getOrElse((cs(i), cs(j)), 0) + 1
+    }
+    val edges = shared.filter(_._2 >= 2).keySet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nTri = edges.toSeq.map { case (x, y) =>
+      adj.getOrElse(x, Set.empty).count(z =>
+        adj.getOrElse(y, Set.empty).contains(z))
+    }.sum.toLong
+    val row = GraphOps.triangleCensus(spark, sf0001).head()
+    assert(row.getLong(0) == edges.size.toLong,
+      s"edges ${row.getLong(0)} vs ${edges.size}")
+    assert(row.getLong(1) == nTri, s"triangles ${row.getLong(1)} vs $nTri")
+  }
 }

@@ -92,4 +92,28 @@ class PipelineSpec extends SparkSpec {
       small >= big },
       s"keep rates not inverse to size: ${bySize.mkString(", ")}")
   }
+
+  test("k-sample per group: md5 order replayed driver-side, heap-planned") {
+    val df = Pipeline.kSamplePerGroup(spark, sf0001, k = 7)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    got.groupBy(_._1).values.foreach { g =>
+      assert(g.length == 7 && g.map(_._3).sorted.sameElements(1 to 7))
+    }
+    // replay: smallest-k md5 hexes per type
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      g.map { case (_, id) => (t, id, md5hex(id.toString)) }
+        .sortBy(e => (e._3, e._2)).take(7).map(e => (t, e._2))
+    }.toSet
+    assert(got.map(e => (e._1, e._2)).toSet == expect)
+    // the selection plans through the bounded-heap operator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(500))
+  }
 }
