@@ -328,6 +328,14 @@ object SparkEntry {
     // edit-distance similarity self-join over the token vocabulary
     // (first-char blocking equi-join + length band, never cartesian)
     "text_fuzzy_word_pairs" -> ((s, d) => TextOps.fuzzyWordPairs(s, d)),
+    // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
+    // graft_word_ngrams(text, 2)
+    "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
+    // left-outer stream-stream interval join EXECUTED BY the streaming
+    // engine: unmatched errors emit null-padded from the join state
+    // when the sentinel-driven watermark passes their horizon
+    "events_interval_outer_streamed" ->
+      ((s, d) => graft.streaming.EventStream.intervalOuterStreamed(s, d)),
     // label-centroid separation matrix over quantized-exact means
     "emb_centroid_distances" -> ((s, d) => EmbeddingStats.centroidDistances(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
@@ -1227,6 +1235,28 @@ object SparkEntry {
         ON e.user_id = c.user_id
        AND e.event_type = 'error' AND c.event_type = 'click'
        AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 1800000000""",
+
+    // batch LEFT JOIN twin of the streaming outer interval join —
+    // unmatched errors carry null click_id/gap_us on both engines
+    "events_interval_outer_streamed" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'error'),
+      c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            WHERE event_type = 'click')
+      SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id,
+             abs(e.us - c.us) AS gap_us
+      FROM e LEFT JOIN c
+        ON e.user_id = c.user_id AND abs(e.us - c.us) <= 1800000000""",
+
+    // the generator's sliding bigrams replayed via list slicing
+    "text_word_ngrams" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(generate_series(1, len(w) - 1)) AS i, w
+            FROM t)
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(w[i:i+1], ' ') AS ngram
+      FROM g""",
 
     // 3-iteration weighted PageRank on the u:/t: bipartite graph; every
     // arithmetic step (double division, 0.85 damping, per-iteration 9dp

@@ -742,6 +742,25 @@ object TextOps {
       .select(col("w1"), col("w2"), col("dist").cast("long").as("dist"))
   }
 
+  private val ngramViewSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Word bigrams of every document through the CUSTOM Catalyst
+    * Generator [[graft.functions.WordNgrams]], invoked from pure SQL
+    * (`LATERAL VIEW graft_word_ngrams(text, 2)`) — the UDTF leg of the
+    * extensibility surface (SURVEY.md §2.12). Map-only: the generator
+    * plans through the same `Generate` operator as `explode`, one pass
+    * per document, no intermediate array-of-arrays.
+    */
+  def wordNgramsSql(spark: SparkSession, dir: String, n: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.install(spark)
+    val v = s"graft_docs_ngrams_${ngramViewSeq.incrementAndGet()}"
+    Tables.documents(spark, dir).createOrReplaceTempView(v)
+    try spark.sql(
+      s"""SELECT doc_id, pos, ngram
+          FROM $v LATERAL VIEW graft_word_ngrams(text, $n) g AS pos, ngram""")
+    finally spark.catalog.dropTempView(v)
+  }
+
   /** Document fingerprinting: whole-text rolling hash plus the minimum
     * word-5-gram shingle hash (the winnowing-style near-dup fingerprint).
     */

@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityFunction)
     ext.injectFunction(GraftExtensions.cosineDistanceFunction)
+    ext.injectFunction(GraftExtensions.wordNgramsFunction)
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
     ext.injectOptimizerRule(_ => RewriteWindowTopK) // no-op unless its flag is set
     ext.injectPlannerStrategy(_ => GraftStrategies)
@@ -55,12 +56,29 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_distance"),
       distBuilder _)
 
+  /** Table-generating function (UDTF): word n-grams via the custom
+    * Catalyst Generator [[graft.functions.WordNgrams]].
+    */
+  private def ngramsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"graft_word_ngrams expects 2 arguments, got ${args.length}")
+    graft.functions.WordNgrams(args.head, args(1))
+  }
+
+  val wordNgramsFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.WordNgrams].getName,
+        "graft_word_ngrams"),
+      ngramsBuilder _)
+
   /** Install all pieces on an already-running session (tests, shells). */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_similarity", builder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine_distance", distBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams", ngramsBuilder, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(FuseCosineSimilarity)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseCosineSimilarity

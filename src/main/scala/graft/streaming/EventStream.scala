@@ -378,6 +378,94 @@ object EventStream {
     out
   }
 
+  /** [[streamErrorClickWithin]] as a LEFT OUTER stream-stream join:
+    * errors with no click in the interval emit null-padded ONCE THE
+    * WATERMARK PASSES their join horizon (Spark holds the left row in
+    * state until no future click can match). gap_us is null exactly on
+    * the unmatched rows.
+    */
+  def streamErrorClickLeftOuter(events: DataFrame, withinMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errs.join(clicks,
+        col("err_user") === col("click_user") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $withinMinutes MINUTE") &&
+          col("click_ts") <= col("err_ts") + expr(s"INTERVAL $withinMinutes MINUTE"),
+        "left_outer")
+      .select(col("err_user").as("user_id"), col("err_id"), col("click_id"),
+        abs(unix_micros(col("err_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** Events plus TWO watermark sentinels (an 'error' for one phantom
+    * user and a 'click' for another, a year past the fixture) — the
+    * outer join's eviction clock: each side's watermark column only
+    * sees rows surviving that side's type filter, so BOTH sides need a
+    * sentinel or trailing unmatched rows would sit in join state
+    * forever. Distinct phantom users keep the sentinels from matching
+    * each other; their own rows are excluded after the sink.
+    */
+  private def stagedOuterEventsDir(spark: SparkSession, dir: String): String =
+    graft.IndexCache.getOrBuild(spark, s"events-stream-outer-dir:$dir") {
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val d = java.nio.file.Files.createTempDirectory("graft-events-outer")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
+      val maxNs = spark.read.parquet(src.toString)
+        .agg(max(col("ts"))).as[Long].head()
+      val far = maxNs + 365L * 24 * 3600 * 1000000000L
+      val sentinel = Seq(
+        (-1L, far, -1L, "error", 0.0, "{}"),
+        (-2L, far, -2L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = d.resolve("sentinel.tmp").toString
+      sentinel.repartition(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      java.nio.file.Files.move(part.toPath, d.resolve("sentinel.parquet"))
+      new java.io.File(tmp).listFiles.foreach(_.delete())
+      java.nio.file.Files.delete(java.nio.file.Paths.get(tmp))
+      d.toString
+    }
+
+  /** The declared STREAMING-EXECUTED left-outer interval join (oracle:
+    * the equivalent batch LEFT JOIN): same two watermarked sides as
+    * [[intervalJoinStreamed]], but unmatched errors surface null-padded
+    * from the join STATE STORE when the (sentinel-driven) watermark
+    * passes their horizon — outer-eviction semantics themselves sit
+    * under the driver's hash gate, the fifth stateful-operator family
+    * after keyed state, windowed aggregation, dedup state, and the
+    * symmetric-hash inner join.
+    */
+  def intervalOuterStreamed(spark: SparkSession, dir: String,
+      withinMinutes: Int = 30): DataFrame = {
+    val staged = stagedOuterEventsDir(spark, dir)
+    val name = s"graft_ivo_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 8) {
+      val q = streamErrorClickLeftOuter(
+          readEventsStream(spark, staged), withinMinutes, watermark = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-ivo-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name).filter(col("user_id") >= 0)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Streaming exact dedup: duplicate event_ids arriving within the
     * watermark horizon are dropped and their keys evicted afterward —
     * the streaming half of the dedup suite (bounded state, unlike a

@@ -355,4 +355,25 @@ class EventStreamSpec extends SparkSpec {
       s"streamed=${streamed.size} batch=${batch.size} " +
         s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("streamed LEFT OUTER interval join equals the batch left join") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    val streamed = EventStream.intervalOuterStreamed(spark, sf0001)
+      .collect().map(key).toSet
+    // same plan over the batch frame (watermarks are no-ops in batch)
+    val batch = EventStream.streamErrorClickLeftOuter(
+        Tables.events(spark, sf0001), withinMinutes = 30)
+      .collect().map(key).toSet
+    val unmatched = batch.filter(_._3.isEmpty)
+    assert(unmatched.nonEmpty,
+      "fixture has no error without a click within 30min? outer adds nothing")
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    // the null-padded rows really came from state-store eviction
+    assert(streamed.filter(_._3.isEmpty) == unmatched)
+  }
 }

@@ -121,4 +121,38 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.ArrayMath.cosineSimilarity(col("a"), col("b")).as("fused"))
     assert(both.filter(col("hof") =!= col("fused")).count() == 0)
   }
+
+  test("custom Generator graft_word_ngrams emits sliding n-grams from SQL") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    Seq((1L, "a b c d"), (2L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t").createOrReplaceTempView("ngram_fixture")
+    val got = spark.sql(
+      """SELECT id, pos, ngram FROM ngram_fixture
+         LATERAL VIEW graft_word_ngrams(t, 2) g AS pos, ngram""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    spark.catalog.dropTempView("ngram_fixture")
+    // short and null texts generate nothing; positions are 1-based
+    assert(got == Set((1L, 1, "a b"), (1L, 2, "b c"), (1L, 3, "c d")))
+  }
+
+  test("graft_word_ngrams agrees with the posexplode composition") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    docs.createOrReplaceTempView("ngram_docs")
+    val gen = spark.sql(
+      """SELECT doc_id, pos, ngram FROM ngram_docs
+         LATERAL VIEW graft_word_ngrams(text, 3) g AS pos, ngram""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    spark.catalog.dropTempView("ngram_docs")
+    val composed = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), greatest(size(col("w")) - 2, lit(0))),
+          i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gen == composed && gen.nonEmpty)
+  }
 }
