@@ -315,6 +315,10 @@ object SparkEntry {
     "events_anomaly_zscore" -> ((s, d) => EventOps.anomalyZscore(s, d)),
     // single-pass per-column profiling (Expand-planned exact distincts)
     "quality_profile_orders" -> Profiling.profileOrders _,
+    // SCD Type-2 dimension versions from the island runs
+    "events_scd2" -> EventOps.scd2UserStates _,
+    // CDC snapshot diff: full-outer key join + change classification
+    "events_cdc_diff" -> EventOps.cdcSnapshotDiff _,
     // gapless hourly grid (sequence+explode) with forward-filled sums
     "events_resample" -> EventOps.resampleHourly _,
     // equal-frequency ntile buckets over exact cent values
@@ -331,6 +335,8 @@ object SparkEntry {
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
+    // connected components of the fuzzy-pair graph (entity resolution)
+    "text_typo_clusters" -> ((s, d) => TextOps.typoClusters(s, d)),
     // left-outer stream-stream interval join EXECUTED BY the streaming
     // engine: unmatched errors emit null-padded from the join state
     // when the sentinel-driven watermark passes their horizon
@@ -1248,6 +1254,32 @@ object SparkEntry {
       FROM e LEFT JOIN c
         ON e.user_id = c.user_id AND abs(e.us - c.us) <= 1800000000""",
 
+    // components via chained min-label rounds (6 rounds; the sf0.01
+    // fuzzy graph converges in 3 — min-propagation is monotone, so
+    // extra rounds are fixpoint no-ops and equality IS convergence)
+    "text_typo_clusters" -> {
+      val vocabSql = """SELECT DISTINCT lower(w) AS w FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+          UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
+          UNION ALL SELECT n_name FROM nation
+          UNION ALL SELECT r_name FROM region)
+        WHERE length(w) > 0"""
+      val rounds = (1 to 6).map { i =>
+        s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
+              SELECT e.b AS node, l${i - 1}.lbl FROM e
+              JOIN l${i - 1} ON l${i - 1}.node = e.a
+              UNION ALL SELECT node, lbl FROM l${i - 1}) GROUP BY node)"""
+      }.mkString(",\n")
+      s"""WITH v AS ($vocabSql),
+          p AS (SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b ON a.w < b.w
+                WHERE levenshtein(a.w, b.w) <= 2),
+          e AS (SELECT w1 AS a, w2 AS b FROM p
+                UNION ALL SELECT w2, w1 FROM p),
+          l0 AS (SELECT w AS node, w AS lbl FROM v),
+          $rounds
+          SELECT node AS w, lbl AS rep_w FROM l6"""
+    },
+
     // the generator's sliding bigrams replayed via list slicing
     "text_word_ngrams" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
@@ -1920,6 +1952,46 @@ object SparkEntry {
             CAST(max($c) AS VARCHAR) AS max_repr FROM o"""
       }.mkString(s"WITH o AS ($prep)\n", "\nUNION ALL\n", "")
     },
+
+    // the islands relation + one lead() = SCD2 intervals
+    "events_scd2" -> """
+      WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+                 FROM events),
+      f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                           THEN 1 ELSE 0 END AS chg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+            FROM f),
+      isl AS (SELECT user_id, CAST(island AS BIGINT) AS island,
+                     min(event_type) AS event_type,
+                     min(us) AS start_us, count(*) AS n_events
+              FROM i GROUP BY user_id, island)
+      SELECT user_id, island AS version, event_type AS state,
+             start_us AS valid_from_us,
+             lead(start_us) OVER w2 AS valid_to_us,
+             CAST(lead(start_us) OVER w2 IS NULL AS INT) AS is_current,
+             n_events
+      FROM isl WINDOW w2 AS (PARTITION BY user_id ORDER BY island)""",
+
+    // two snapshot aggregates full-outer-joined; FULL JOIN USING
+    // coalesces the key columns like Spark's full_outer on Seq(keys)
+    "events_cdc_diff" -> s"""
+      WITH ev AS (SELECT user_id, event_type, ${c100("value")} AS c,
+                         day(ts) AS dom FROM events),
+      so AS (SELECT user_id, event_type, count(*) AS n_old,
+                    sum(c) AS s_old FROM ev WHERE dom % 2 = 0 GROUP BY 1, 2),
+      sn AS (SELECT user_id, event_type, count(*) AS n_new,
+                    sum(c) AS s_new FROM ev WHERE dom % 2 = 1 GROUP BY 1, 2)
+      SELECT user_id, event_type, n_old, s_old / 100.0 AS sum_old,
+             n_new, s_new / 100.0 AS sum_new,
+             CASE WHEN n_old IS NULL THEN 'insert'
+                  WHEN n_new IS NULL THEN 'delete'
+                  WHEN n_old <> n_new OR s_old <> s_new THEN 'update'
+                  ELSE 'unchanged' END AS change
+      FROM so FULL JOIN sn USING (user_id, event_type)""",
 
     // grid densify + IGNORE NULLS forward fill, mirroring the Spark
     // sequence/explode + last(ignoreNulls) plan

@@ -367,6 +367,60 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
+  /** Slowly-changing-dimension Type 2 build: [[stateIslands]] recast as
+    * the warehouse pattern — per user, each run of consecutive
+    * same-type events becomes a versioned dimension row with
+    * `valid_from_us` / `valid_to_us` (exclusive, next version's start;
+    * null while current) and an `is_current` flag. The interval
+    * columns derive from one `lead()` over the already-collapsed
+    * island relation — |islands| rows, never raw events.
+    */
+  def scd2UserStates(spark: SparkSession, dir: String): DataFrame = {
+    val islands = stateIslands(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("island"))
+    islands
+      .withColumn("valid_to_us", lead(col("start_us"), 1).over(w))
+      .select(col("user_id"), col("island").as("version"),
+        col("event_type").as("state"), col("start_us").as("valid_from_us"),
+        col("valid_to_us"),
+        col("valid_to_us").isNull.cast("int").as("is_current"),
+        col("n_events"))
+  }
+
+  /** Change-data-capture snapshot diff: two versions of the per-user
+    * daily aggregate (events split by day parity as the "old" and
+    * "new" snapshot stand-ins) full-outer-joined on the key, each row
+    * classified insert / delete / update / unchanged — the diff every
+    * incremental downstream consumer applies.
+    *
+    * Scale shape: both snapshots are partial-aggregatable groupBys on
+    * the same key; the diff is one co-partitioned full outer join on
+    * that key; the classification is a map-only CASE. At 100 TB both
+    * sides would be stored aggregates (metadata reads), and the join
+    * shuffles |keys|, not events.
+    */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      col("event_type"), cents(col("value")).as("c"),
+      dayofmonth(col("ts")).as("dom"))
+    def snap(filter: org.apache.spark.sql.Column): DataFrame = ev.filter(filter)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val old = snap(pmod(col("dom"), lit(2)) === 0)
+      .withColumnRenamed("n", "n_old").withColumnRenamed("s", "s_old")
+    val nw = snap(pmod(col("dom"), lit(2)) === 1)
+      .withColumnRenamed("n", "n_new").withColumnRenamed("s", "s_new")
+    old.join(nw, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        col("n_old"), (col("s_old") / 100.0).as("sum_old"),
+        col("n_new"), (col("s_new") / 100.0).as("sum_new"),
+        when(col("n_old").isNull, "insert")
+          .when(col("n_new").isNull, "delete")
+          .when(col("n_old") =!= col("n_new") ||
+            col("s_old") =!= col("s_new"), "update")
+          .otherwise("unchanged").as("change"))
+  }
+
   /** Time-series resampling: the per-(type, hour) rollup densified to a
     * gapless hourly grid (sequence + explode between each type's min
     * and max hour), with missing hours carrying n=0 and a

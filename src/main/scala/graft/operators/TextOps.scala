@@ -711,35 +711,93 @@ object TextOps {
     *     `levenshtein` (Spark's codegen'd built-in, same classic DP as
     *     the oracle's) runs once per candidate pair.
     */
-  def fuzzyWordPairs(spark: SparkSession, dir: String,
-      maxDist: Int = 2): DataFrame = {
-    import spark.implicits._
+  /** The engine's string-dimension vocabulary: distinct lowercase
+    * tokens across part names/types and nation/region names (the
+    * corpus [[fuzzyWordPairs]] and [[typoClusters]] mine).
+    */
+  def tokenVocabulary(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)
-    val vocab = part.select(explode(split(col("p_name"), " ")).as("w"))
+    part.select(explode(split(col("p_name"), " ")).as("w"))
       .unionByName(part.select(explode(split(col("p_type"), " ")).as("w")))
       .unionByName(Tables.nation(spark, dir).select(col("n_name").as("w")))
       .unionByName(Tables.region(spark, dir).select(col("r_name").as("w")))
       .select(lower(col("w")).as("w"))
       .filter(length(col("w")) > 0)
       .distinct()
-    val keyed = vocab.as[String].flatMap { w =>
-      val seen = scala.collection.mutable.LinkedHashSet(w)
-      var frontier: Set[String] = Set(w)
-      var d = 0
-      while (d < maxDist) {
-        frontier = frontier.flatMap(s =>
-          (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1)))
-        seen ++= frontier
-        d += 1
-      }
-      seen.iterator.map(k => (k, w))
-    }.toDF("key", "w")
+  }
+
+  def fuzzyWordPairs(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    import spark.implicits._
+    val vocab = tokenVocabulary(spark, dir)
+    // the keyed variant table is SELF-joined below — materialize it once
+    // (it is the ed-join's index; persisting it is the right call at any
+    // vocabulary size, and skipping it would recompute the scan +
+    // distinct + expansion for each join side)
+    val keyed = graft.IndexCache.getOrBuild(spark,
+        s"fuzzy-keyed:$dir:$maxDist") {
+      val k = vocab.as[String].flatMap { w =>
+        val seen = scala.collection.mutable.LinkedHashSet(w)
+        var frontier: Set[String] = Set(w)
+        var d = 0
+        while (d < maxDist) {
+          frontier = frontier.flatMap(s =>
+            (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1)))
+          seen ++= frontier
+          d += 1
+        }
+        seen.iterator.map(k => (k, w))
+      }.toDF("key", "w")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      k.count()
+      k
+    }
     keyed.toDF("key", "w1").join(keyed.toDF("key", "w2"), Seq("key"))
       .filter(col("w1") < col("w2"))
       .select("w1", "w2").distinct()
       .withColumn("dist", levenshtein(col("w1"), col("w2")))
       .filter(col("dist") <= maxDist)
       .select(col("w1"), col("w2"), col("dist").cast("long").as("dist"))
+  }
+
+  /** Typo/variant clusters: connected components of the
+    * [[fuzzyWordPairs]] similarity graph, each token labeled with its
+    * component's lexicographic minimum — the canonicalization step that
+    * turns pairwise fuzzy matches into an entity-resolution dictionary
+    * (composes the ed-join with the same component machinery the
+    * near-dup clusters use, [[Dedup.nearDupClusters]]).
+    *
+    * Scale shape: the vocabulary (and so the edge set) is bounded by
+    * the language, not the corpus — the driver-side path-compressed
+    * union-find is the right plan under the same 10M-edge cutover
+    * argument as Dedup's; past that, Dedup's distributed min-label
+    * loop applies unchanged.
+    */
+  def typoClusters(spark: SparkSession, dir: String,
+      maxDist: Int = 2): DataFrame = {
+    import spark.implicits._
+    val es = fuzzyWordPairs(spark, dir, maxDist)
+      .select("w1", "w2").as[(String, String)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val labels = parent.keysIterator.map(v => (v, find(v))).toSeq
+      .toDF("w", "rep0")
+    tokenVocabulary(spark, dir)
+      .join(broadcast(labels), Seq("w"), "left")
+      .select(col("w"), coalesce(col("rep0"), col("w")).as("rep_w"))
   }
 
   private val ngramViewSeq = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -259,6 +259,52 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2: versions chain gaplessly, one current row per user") {
+    val rows = EventOps.scd2UserStates(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      // exactly the last version is current (null valid_to)
+      assert(sorted.init.forall(v => v._5.isDefined && v._6 == 0))
+      assert(sorted.last._5.isEmpty && sorted.last._6 == 1)
+      // intervals chain: valid_to == next version's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4))
+          assert(a._3 != b._3, "adjacent versions must change state")
+        case _ => ()
+      }
+    }
+    // version rows collapse the same events the islands relation does
+    assert(rows.length ==
+      EventOps.stateIslands(spark, sf0001).count())
+  }
+
+  test("cdc diff: classification replays a driver-side snapshot compare") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"),
+        dayofmonth(col("ts")).as("dom"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    def snap(p: Int) = ev.filter(_._4 % 2 == p)
+      .groupBy(e => (e._1, e._2)).map { case (k, g) =>
+        k -> (g.size.toLong, g.map(_._3).sum) }
+    val old = snap(0); val nw = snap(1)
+    val expect = (old.keySet ++ nw.keySet).map { k =>
+      k -> ((old.get(k), nw.get(k)) match {
+        case (None, Some(_)) => "insert"
+        case (Some(_), None) => "delete"
+        case (Some(a), Some(b)) if a != b => "update"
+        case _ => "unchanged"
+      })
+    }.toMap
+    val got = EventOps.cdcSnapshotDiff(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(6)).toMap
+    assert(got == expect && got.values.exists(_ == "update"))
+  }
+
   test("resample: grid is gapless per type, counts conserved, ffill correct") {
     val rs = EventOps.resampleHourly(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

@@ -387,4 +387,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty,
       s"missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
+
+  test("typo clusters equal brute-force connected components") {
+    val vocab = TextOps.tokenVocabulary(spark, sf0001).collect()
+      .map(_.getString(0))
+    val pairs = TextOps.fuzzyWordPairs(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // reference components by repeated label relaxation to fixpoint
+    var lbl = vocab.map(w => w -> w).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (a, b) =>
+        val m = if (lbl(a) < lbl(b)) lbl(a) else lbl(b)
+        if (lbl(a) != m) { lbl += a -> m; changed = true }
+        if (lbl(b) != m) { lbl += b -> m; changed = true }
+      }
+    }
+    val got = TextOps.typoClusters(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == lbl && got.nonEmpty)
+    // every representative is its component's lexicographic minimum
+    got.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+    }
+  }
 }
