@@ -132,6 +132,10 @@ object SparkEntry {
     "eval_ndcg_hnsw" -> ((s, d) => Evaluation.ndcgAtK(
       HnswKnn.topKBatch(s, d),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"), 10)),
+    // operational surfaces: per-shard graph stats; recall-vs-ef curve
+    // (both approximate-index introspection -> rows-only, spec-gated)
+    "knn_hnsw_stats" -> ((s, d) => HnswKnn.indexStats(s, d)),
+    "eval_hnsw_ef_sweep" -> ((s, d) => Evaluation.hnswEfSweep(s, d)),
     "knn_rp_batch" -> ((s, d) => RandomProjection.topKBatch(s, d)),
     "eval_recall_rp" -> ((s, d) => Evaluation.recall(
       RandomProjection.topKBatch(s, d).select("qid", "vec_id"),
@@ -325,8 +329,17 @@ object SparkEntry {
     "events_equidepth" -> ((s, d) => EventOps.equidepthHistogram(s, d)),
     // per-user EWMA as a fixed-association fold over the sorted history
     "events_ewma" -> ((s, d) => EventOps.ewma(s, d)),
+    // the same fold EXECUTED BY the streaming engine: keyed state
+    // accumulates each user's history, the sentinel-driven event-time
+    // timeout fires the fold exactly once (order-insensitive buffering)
+    "events_ewma_streamed" ->
+      ((s, d) => graft.streaming.EventStream.ewmaStreamed(s, d)),
     // deterministic md5-ordered k-sample through the bounded heap
     "pipeline_ksample" -> ((s, d) => Pipeline.kSamplePerGroup(s, d)),
+    // map-only hash-boundary train/val/test assignment
+    "pipeline_train_val_test" -> Pipeline.trainValTest _,
+    // asymmetric containment pairs (doc-inside-doc dedup)
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // co-purchase graph: ordered-edge triangle census
     "graph_triangles" -> ((s, d) => GraphOps.triangleCensus(s, d)),
     // edit-distance similarity self-join over the token vocabulary
@@ -671,6 +684,34 @@ object SparkEntry {
       SELECT doc_a, doc_b,
              round(shared / (na + nb - shared), 6) AS jaccard
       FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5""",
+
+    // same hash-boundary CASE over the identical md5 hex
+    "pipeline_train_val_test" -> """
+      SELECT doc_id, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'b4'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'd9'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents""",
+
+    // string-gram replay of the containment join (the Spark side joins
+    // on 64-bit gram hashes; the string oracle would catch a collision)
+    "dedup_containment" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                   max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(shared / na, 6) AS cont_a,
+             round(shared / nb, 6) AS cont_b
+      FROM p
+      WHERE greatest(round(shared / na, 6), round(shared / nb, 6)) >= 0.6""",
 
     // connected components of the jaccard>=0.8 pair graph via recursive
     // transitive closure; rep = min doc_id of the component
@@ -2029,6 +2070,19 @@ object SparkEntry {
     // list_reduce over the identically-sorted list, identical
     // fixed-association update acc + 0.3*(x - acc) -> bit-equal doubles
     "events_ewma" -> s"""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                        ${c100("value")} AS c FROM events),
+      l AS (SELECT user_id,
+                   list(CAST(c AS DOUBLE) ORDER BY us, event_id) AS xs,
+                   count(*) AS n FROM e GROUP BY 1)
+      SELECT user_id, n,
+             round(list_reduce(xs, (acc, x) -> acc + 0.3 * (x - acc))
+                   / 100.0, 6) AS ewma
+      FROM l""",
+
+    // the streaming-executed twin answers the SAME question (keyed
+    // state + event-time-timeout fold) -> same oracle text
+    "events_ewma_streamed" -> s"""
       WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
                         ${c100("value")} AS c FROM events),
       l AS (SELECT user_id,

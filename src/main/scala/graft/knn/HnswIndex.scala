@@ -57,6 +57,25 @@ final class HnswIndex(
 
   def size: Int = ids.length
 
+  /** Introspection for the operational stats surface:
+    * (nodes, highest assigned level, layer-0 edges, total edges).
+    */
+  def stats: (Int, Int, Long, Long) = {
+    var maxLvl = 0
+    var l0 = 0L
+    var tot = 0L
+    var i = 0
+    while (i < neighbors.length) {
+      if (levels(i) > maxLvl) maxLvl = levels(i)
+      val layers = neighbors(i)
+      if (layers.nonEmpty) l0 += layers(0).length
+      var l = 0
+      while (l < layers.length) { tot += layers(l).length; l += 1 }
+      i += 1
+    }
+    (ids.length, maxLvl, l0, tot)
+  }
+
   private def l2(v: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }

@@ -318,4 +318,29 @@ object HnswKnn {
       .select(col("vec_id"), col("dist"))
       .orderBy(col("dist").asc, col("vec_id").asc)
   }
+
+  /** Operational introspection of the (cached) shard graphs: one row
+    * per shard — node count, highest assigned level, layer-0 and total
+    * edge counts, layer-0 mean degree. The stats every real vector
+    * store exposes for capacity planning and build validation
+    * (degree bounds, level distribution, shard balance). Executor-side
+    * map over the placed graphs; only |shards| stat rows move.
+    */
+  def indexStats(spark: SparkSession, dir: String,
+      shards: Int = 16): DataFrame = {
+    val (base, _, _, _) = ExactKnn.split(spark, dir)
+    val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
+      val ix = buildIndex(base, shards).persist()
+      ix.graphs.count()
+      ix
+    }
+    import spark.implicits._
+    val rows = index.placed.map { case (sh, g) =>
+      val (n, maxLvl, l0, tot) = g.stats
+      (sh, n, maxLvl, l0, tot,
+        if (n > 0) math.rint(l0.toDouble / n * 1e6) / 1e6 else 0.0)
+    }
+    spark.createDataset(rows).toDF("shard", "n_nodes", "max_level",
+      "l0_edges", "total_edges", "l0_mean_degree")
+  }
 }

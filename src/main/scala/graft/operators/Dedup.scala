@@ -107,6 +107,41 @@ object Dedup {
       df
     }
 
+  /** Sub-document (containment) near-dup pairs: doc pairs where the
+    * SMALLER gram set is mostly inside the other —
+    * `max(|A∩B|/|A|, |A∩B|/|B|) >= threshold`. Containment catches the
+    * doc-inside-doc duplication Jaccard misses (a paragraph quoted
+    * into a much larger page has tiny Jaccard but containment ≈ 1).
+    * Output: (doc_a, doc_b, cont_a, cont_b), doc_a < doc_b, both
+    * containments rounded to 6dp.
+    *
+    * Scale notes: candidates come from the shared-gram equi-join over
+    * the memoized 8-byte gram hashes ([[gramHashSets]]) — never
+    * all-pairs; intersection sizes are one count per surviving pair.
+    * Unlike Jaccard, containment admits no symmetric prefix filter
+    * (the small side can hide anywhere in the big side), so the
+    * production prune is df-capping ultra-hot grams and prefix-
+    * filtering on the SMALLER set only — both drop into this plan
+    * without changing its shape.
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.6): DataFrame = {
+    val e = gramHashSets(spark, dir)
+      .select(col("doc_id"), size(col("ghashes")).as("ng"),
+        explode(col("ghashes")).as("gh"))
+    val a = e.toDF("doc_a", "na", "gh")
+    val b = e.toDF("doc_b", "nb", "gh")
+    a.join(b, Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("shared").cast("double") / col("na"), 6).as("cont_a"),
+        round(col("shared").cast("double") / col("nb"), 6).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
   /** Near-duplicate pairs by word-3-gram Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard rounded 6), doc_a < doc_b.
     * Thresholds >= 0.5 filter a per-dataset memoized pair table, so the

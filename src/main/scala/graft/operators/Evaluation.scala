@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Retrieval-quality evaluation as DataFrame ops — the reference's
@@ -118,5 +118,22 @@ object Evaluation {
         when(col("idcg").isNull || col("idcg") === 0.0, 0.0)
           .otherwise(coalesce(col("dcg"), lit(0.0)) / col("idcg"))), 6)
         .as("ndcg"))
+  }
+
+  /** Recall-vs-ef tuning sweep for the HNSW index: one row per ef
+    * setting — the operational curve that picks the latency/recall
+    * trade-off before a deployment. Ground truth and shard graphs are
+    * both dataset-memoized, so the sweep's cost is |efs| searches, not
+    * |efs| builds.
+    */
+  def hnswEfSweep(spark: SparkSession, dir: String,
+      efs: Seq[Int] = Seq(10, 50, 100)): DataFrame = {
+    val exact = graft.knn.ExactKnn.topKBatch(spark, dir)
+      .select("qid", "vec_id")
+    efs.map { ef =>
+      recall(graft.knn.HnswKnn.topKBatch(spark, dir, ef = ef)
+        .select("qid", "vec_id"), exact)
+        .select(lit(ef).as("ef"), col("recall"))
+    }.reduce(_.unionByName(_))
   }
 }

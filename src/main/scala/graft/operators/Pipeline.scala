@@ -145,6 +145,21 @@ object Pipeline {
     * the fact table. This is how you cut a fixed-size eval slice from
     * a 100 TB corpus in one pass.
     */
+  /** Deterministic train/val/test split (~70/15/15): each doc's split
+    * derives from its md5(doc_id) hex prefix against fixed boundaries —
+    * reproducible on any engine and any cluster size, stable under
+    * corpus growth (a doc's split never changes when others arrive),
+    * and map-only (no global shuffle, no RNG state). The boundaries
+    * b4/d9 cut the 256-value first-byte space at 180/217 ≈ 70.3/14.5%.
+    */
+  def trainValTest(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        when(h < "b4", "train").when(h < "d9", "val")
+          .otherwise("test").as("split"))
+  }
+
   def kSamplePerGroup(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame =
     graft.plans.GraftOps.topKPerGroup(

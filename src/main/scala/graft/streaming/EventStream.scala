@@ -591,6 +591,94 @@ object EventStream {
     out
   }
 
+  /** Accumulated per-user history for the streaming EWMA fold. */
+  case class EwmaState(us: Seq[Long], ids: Seq[Long], cs: Seq[Long])
+
+  /** One streaming-EWMA row (ewma emitted UNROUNDED; the declared
+    * wrapper applies the same `round(_, 6)` the batch plan uses so the
+    * rounding semantics — and so the shared oracle hash — match).
+    */
+  case class EwmaOut(user_id: Long, n: Long, ewma: Double)
+
+  /** Per-user EWMA as keyed streaming state: rows accumulate per user
+    * (order-insensitive buffering — micro-batch boundaries and
+    * in-watermark disorder cannot change the result because the fold
+    * runs ONCE, over the (us, event_id)-sorted history, when the
+    * event-time timeout fires). State is the user's event history —
+    * bounded per ENTITY, the honest cost of an order-sensitive fold
+    * under out-of-order arrival (an O(1)-state variant exists only if
+    * arrival order is trusted). The batch twin (and shared oracle) is
+    * [[graft.operators.EventOps.ewma]].
+    */
+  def ewmaStream(events: Dataset[Ev], alpha: Double = 0.3): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def update(uid: Long, rows: Iterator[Ev],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map { s =>
+          val hist = s.us.lazyZip(s.ids).lazyZip(s.cs).toSeq
+            .sortBy(t => (t._1, t._2)).map(_._3.toDouble)
+          val e = hist.tail.foldLeft(hist.head)((acc, x) => acc + alpha * (x - acc))
+          EwmaOut(uid, hist.length.toLong, e / 100.0)
+        }.iterator
+        state.remove()
+        return out
+      }
+      val buf = rows.toSeq
+      val prev = state.getOption.getOrElse(EwmaState(Nil, Nil, Nil))
+      val next = EwmaState(prev.us ++ buf.map(e => micros(e.ts)),
+        prev.ids ++ buf.map(_.event_id),
+        prev.cs ++ buf.map(e => math.round(e.value * 100)))
+      state.update(next)
+      // fold once the watermark passes one minute after the user's last
+      // event (the sentinel drags it a year past the fixture)
+      state.setTimeoutTimestamp(next.us.max / 1000L + 60000L)
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** The declared STREAMING-EXECUTED per-user EWMA (shares
+    * `events_ewma`'s oracle): fixture events + the watermark sentinel
+    * flow through the file stream source into [[ewmaStream]]'s keyed
+    * state; each user's history folds exactly once, when the
+    * sentinel-driven watermark fires its event-time timeout — the
+    * EIGHTH streaming-executed row, and the first whose state carries
+    * an order-sensitive fold.
+    */
+  def ewmaStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stagedSessionsDir(spark, dir)
+    val name = s"graft_ewma_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 8) {
+      val q = ewmaStream(
+          readEventsStream(spark, staged)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+            .as[Ev])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ckpt-ewma-q").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name).filter(col("user_id") =!= -1L)
+      .select(col("user_id"), col("n"), round(col("ewma"), 6).as("ewma"))
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Watermarked streaming sessionization via the NATIVE session_window
     * aggregate (the declarative sibling of [[sessionize]]'s keyed-state
     * form): sessions merge inside the aggregation and close — emit in

@@ -180,4 +180,30 @@ class DedupSpec extends SparkSpec {
     assert(got == expected,
       s"diff=${got.filter { case (k, v) => expected.get(k) != Some(v) }.take(5)}")
   }
+
+  test("containment pairs equal a brute-force set replay") {
+    val sets = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Dedup.gramsOf(r.getString(1)).toSet)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val expect = (for {
+      (a, ga) <- sets; (b, gb) <- sets if a < b
+      shared = (ga & gb).size if shared > 0
+      ca = r6(shared.toDouble / ga.size); cb = r6(shared.toDouble / gb.size)
+      if math.max(ca, cb) >= 0.6
+    } yield (a, b, ca, cb)).toSet
+    val got = Dedup.containmentPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect && got.nonEmpty,
+      s"missed=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    // containment dominates Jaccard on every pair (the reason it
+    // catches doc-inside-doc cases Jaccard misses; the sf0.01 oracle
+    // run covers pairs where that gap crosses the threshold)
+    got.foreach { case (a, b, ca, cb) =>
+      val (ga, gb) = (sets.toMap.apply(a), sets.toMap.apply(b))
+      val j = (ga & gb).size.toDouble / (ga | gb).size
+      assert(math.max(ca, cb) >= r6(j) - 1e-9)
+    }
+  }
 }

@@ -376,4 +376,13 @@ class EventStreamSpec extends SparkSpec {
     // the null-padded rows really came from state-store eviction
     assert(streamed.filter(_._3.isEmpty) == unmatched)
   }
+
+  test("streamed EWMA equals the batch sorted-fold") {
+    val streamed = EventStream.ewmaStreamed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.EventOps.ewma(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
 }

@@ -198,4 +198,28 @@ class HnswSpec extends SparkSpec {
     val n = Evaluation.intersectionCount(ex, ex).collect()(0).getLong(0)
     assert(n == ex.count())
   }
+
+  test("index stats: shards cover the base, degree bounds hold") {
+    val (base, _, _, _) = ExactKnn.split(spark, sf0001)
+    val rows = HnswKnn.indexStats(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._2.toLong).sum == base.count())
+    rows.foreach { case (_, n, maxLvl, l0, tot, meanDeg) =>
+      assert(maxLvl >= 0 && maxLvl <= 3) // maxLevel=4 -> levels 0..3
+      assert(l0 <= n.toLong * 32, "layer-0 degree exceeds mMax bound")
+      assert(tot >= l0 && (n <= 1 || meanDeg > 0.0))
+    }
+  }
+
+  test("ef sweep: recall is monotone non-decreasing in ef") {
+    val rows = Evaluation.hnswEfSweep(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(10, 50, 100)))
+    rows.sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(b >= a - 1e-9, rows.mkString(","))
+      case _ => ()
+    }
+    assert(rows.last._2 >= 0.85, s"recall@ef=100 ${rows.last._2}")
+  }
 }

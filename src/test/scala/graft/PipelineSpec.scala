@@ -93,6 +93,24 @@ class PipelineSpec extends SparkSpec {
       s"keep rates not inverse to size: ${bySize.mkString(", ")}")
   }
 
+  test("train/val/test: deterministic, complete, roughly 70/15/15, map-only") {
+    val rows = Pipeline.trainValTest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    val frac = rows.groupBy(_._2).view.mapValues(_.length.toDouble / rows.length)
+    assert(math.abs(frac("train") - 0.703) < 0.1, frac.toMap.toString)
+    assert(math.abs(frac("val") - 0.145) < 0.08, frac.toMap.toString)
+    assert(math.abs(frac("test") - 0.152) < 0.08, frac.toMap.toString)
+    // stability: same assignment on re-evaluation (pure hash, no RNG)
+    val again = Pipeline.trainValTest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSet == again.toSet)
+    // map-only: no shuffle anywhere in the plan
+    val plan = Pipeline.trainValTest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
   test("k-sample per group: md5 order replayed driver-side, heap-planned") {
     val df = Pipeline.kSamplePerGroup(spark, sf0001, k = 7)
     val got = df.collect()
