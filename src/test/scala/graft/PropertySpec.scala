@@ -112,4 +112,69 @@ class PropertySpec extends SparkSpec {
             a.zip(b).forall { case (x, y) => x.sameElements(y) }
       }, n = 25)
   }
+
+  test("word n-grams generator: count/shape laws vs a sliding reference") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.oneOf("alpha", "b", "cc", "ddd", "")
+    val texts = Gen.listOf(word).map(_.mkString(" "))
+    check("ngrams", Prop.forAll(texts, Gen.chooseNum(1, 4)) { (text, n) =>
+      val g = graft.functions.WordNgrams(
+        BoundReference(0, StringType, nullable = true),
+        Literal(n))
+      val rows = g.eval(InternalRow(UTF8String.fromString(text)))
+        .iterator.toSeq.map(r =>
+          (r.getInt(0), r.getUTF8String(1).toString))
+      val words = text.split(" ")
+      val expect = if (words.length < n) Seq.empty
+        else words.sliding(n).zipWithIndex
+          .map { case (w, i) => (i + 1, w.mkString(" ")) }.toSeq
+      rows == expect
+    })
+  }
+
+  test("binary quantization: hamming(a,a)=0; popcount equals bit diff") {
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0)).map(_.toArray)
+    check("bq-selfzero", Prop.forAll(vec, vec) { (a, b) =>
+      def code(v: Array[Double]): Long = {
+        var c = 0L; var i = 0
+        while (i < math.min(64, v.length)) {
+          if (v(i) > 0.0) c |= (1L << i); i += 1 }
+        c
+      }
+      val (ca, cb) = (code(a), code(b))
+      val ham = java.lang.Long.bitCount(ca ^ cb)
+      val ref = (0 until 64).count(i => (a(i) > 0.0) != (b(i) > 0.0))
+      java.lang.Long.bitCount(ca ^ ca) == 0 && ham == ref
+    }, n = 25)
+  }
+
+  test("deletion neighborhood is a lossless ed-join blocker (d<=2)") {
+    def dels(w: String, d: Int): Set[String] = {
+      var seen = Set(w)
+      var frontier = Set(w)
+      (1 to d).foreach { _ =>
+        frontier = frontier.flatMap(s =>
+          (0 until s.length).map(i => s.substring(0, i) + s.substring(i + 1)))
+        seen ++= frontier
+      }
+      seen
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val word = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check("fastss", Prop.forAll(word, word) { (a, b) =>
+      // if within distance 2, the deletion neighborhoods must intersect
+      lev(a, b) > 2 || (dels(a, 2) & dels(b, 2)).nonEmpty
+    })
+  }
 }
