@@ -84,6 +84,11 @@ class KnnDataSource extends RelationProvider with DataSourceRegister {
         graft.knn.RandomProjection.topKBatch(spark, dir, k,
           opt("outDim").map(_.toInt).getOrElse(32),
           opt("overfetch").map(_.toInt).getOrElse(16))
+      case "bq" =>
+        graft.knn.BinaryQuantKnn.topKBatch(spark, dir, k,
+          opt("overfetch").map(_.toInt).getOrElse(16))
+      case "mrl" =>
+        graft.knn.MatryoshkaKnn.topKBatch(spark, dir, k)
       case "search" =>
         val vec = opt("vector").getOrElse(throw new IllegalArgumentException(
             "graft-knn: backend 'search' requires option 'vector'"))
@@ -99,8 +104,8 @@ class KnnDataSource extends RelationProvider with DataSourceRegister {
           .limit(k)
       case other =>
         throw new IllegalArgumentException(
-          s"graft-knn: unknown backend '$other' " +
-            "(expected exact, exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, search)")
+          s"graft-knn: unknown backend '$other' (expected exact, " +
+            "exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, bq, mrl, search)")
     }
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = ctx

@@ -56,7 +56,9 @@ class KnnDataSourceSpec extends SparkSpec {
         "pq" -> graft.knn.PqKnn.topKBatch(spark, sf0001),
         "sq" -> graft.knn.SqKnn.topKBatch(spark, sf0001),
         "ivfpq" -> graft.knn.IvfPqKnn.topKBatch(spark, sf0001),
-        "rp" -> graft.knn.RandomProjection.topKBatch(spark, sf0001))) {
+        "rp" -> graft.knn.RandomProjection.topKBatch(spark, sf0001),
+        "bq" -> graft.knn.BinaryQuantKnn.topKBatch(spark, sf0001),
+        "mrl" -> graft.knn.MatryoshkaKnn.topKBatch(spark, sf0001))) {
       spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_$backend
                     USING graft.sources.KnnDataSource
                     OPTIONS (dir '$sf0001', backend '$backend', k '10')""")

@@ -25,12 +25,17 @@ class ProfilingSpec extends SparkSpec {
       (n, n, cents.distinct.length.toLong, cents.min.toString, cents.max.toString))
   }
 
-  test("profile is a single-pass plan (one scan of the input)") {
+  test("profile branches prune columns and avoid the Expand blowup") {
     val plan = Profiling.profileOrders(spark, sf0001)
       .queryExecution.executedPlan.toString
+    // one pruned scan per column branch, and no |columns|x row Expand
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected one parquet scan, got $scans:\n${plan.take(800)}")
-    // multiple exact distincts plan via Expand, the single-pass form
-    assert(plan.contains("Expand"), plan.take(800))
+    assert(scans == 6, s"expected 6 pruned branch scans, got $scans")
+    assert(!plan.contains("Expand"), plan.take(800))
+    // each branch reads at most the columns its stats need
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.forall(s => s.isEmpty || s.count(_ == ',') <= 1),
+      schemas.mkString("; "))
   }
 }
