@@ -1,0 +1,52 @@
+package graft
+
+/** Regression guard over the WHOLE declared batch surface: no query
+  * may plan a cartesian product or an unbounded nested-loop join
+  * unless it is on the explicit allowlist (the intentional
+  * broadcast-NLJ distance scans and 1-row combiner joins).
+  *
+  * This sweeps every `SparkEntry.queries` entry except the families
+  * whose construction executes engine work that other suites already
+  * pin (streaming-executed rows, ANN paths with their own
+  * DistributedQueriesSpec, iterative driver trainers).
+  */
+class PlanShapeSweepSpec extends SparkSpec {
+
+  // families with intentional cross joins (broadcast NLJ distance
+  // scans; 1-row aggregates combined by crossJoin) or whose
+  // construction runs the streaming engine / iterative trainers
+  private val excludedPrefixes = Seq(
+    "knn_", "eval_", "sql_knn", "neardup_", "hybrid_")
+  private val excludedExact = Set(
+    "text_bpe_vocab", // iterative driver-side trainer (own spec)
+    "graph_pagerank") // fixed-iteration loop (own spec)
+  // bounded-by-construction NLJs: a 1-row (or |labels|-row) aggregate
+  // broadcast against the fact side — the canonical scalar-stat attach
+  private val oneRowCrossAllowed = Set(
+    "graph_triangles",            // 1-row edge count x 1-row triangle count
+    "emb_centroid_distances",     // |labels| x |labels| centroid pairs
+    "pipeline_temperature_sample",// 1-row corpus totals
+    "q11_important_parts",        // scalar threshold (sum x fraction)
+    "q22_idle_balance",           // scalar average balance
+    "text_bm25_general",          // 1-row corpus stats
+    "text_bm25_topk",             // 1-row corpus stats
+    "text_tfidf_terms",           // 1-row doc count
+    "text_unigram_logprob")       // 1-row vocab totals
+
+  test("no declared batch query plans an unintended cartesian product") {
+    val swept = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => excludedPrefixes.exists(n.startsWith))
+      .filterNot(n => n.contains("_streamed"))
+      .filterNot(excludedExact)
+    assert(swept.size > 100, s"sweep unexpectedly small: ${swept.size}")
+    val offenders = swept.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (cartesian && !oneRowCrossAllowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian/NLJ plans in: ${offenders.mkString(", ")}")
+  }
+}
