@@ -350,6 +350,13 @@ object SparkEntry {
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
     // connected components of the fuzzy-pair graph (entity resolution)
     "text_typo_clusters" -> ((s, d) => TextOps.typoClusters(s, d)),
+    // RAG chunking: overlapping word windows, map-only
+    "text_chunking" -> ((s, d) => TextOps.chunkDocuments(s, d)),
+    // tokenizer lifecycle part 2: ENCODE with the trained merge table
+    // (greedy lowest-rank merging; map-only, table broadcast) — BPE is
+    // not SQL-expressible -> rows-only, TextOpsSpec pins a reference
+    // encoder replay
+    "text_bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
     // left-outer stream-stream interval join EXECUTED BY the streaming
     // engine: unmatched errors emit null-padded from the join state
     // when the sentinel-driven watermark passes their horizon
@@ -1320,6 +1327,21 @@ object SparkEntry {
           $rounds
           SELECT node AS w, lbl AS rep_w FROM l6"""
     },
+
+    // identical start/size arithmetic over DuckDB list slicing
+    "text_chunking" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      k AS (SELECT doc_id, w,
+                   CAST(ceil(CAST(greatest(len(w) - 10, 1) AS DOUBLE)
+                             / 40.0) AS INT) AS k
+            FROM t),
+      g AS (SELECT doc_id, w,
+                   unnest(generate_series(0, k - 1)) AS i FROM k)
+      SELECT doc_id, CAST(i + 1 AS INT) AS chunk_idx,
+             CAST(len(w[i*40+1:i*40+50]) AS INT) AS n_tokens,
+             array_to_string(w[i*40+1:i*40+50], ' ') AS chunk_text
+      FROM g""",
 
     // the generator's sliding bigrams replayed via list slicing
     "text_word_ngrams" -> """

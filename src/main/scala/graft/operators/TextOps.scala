@@ -630,18 +630,22 @@ object TextOps {
     * The merge loop is inherently iterative (each round depends on the
     * last), so rounds-not-rows is the only axis that serializes.
     */
+  /** One left-to-right pass merging every (l, r) occurrence — shared by
+    * the trainer's vocabulary updates and the encoder's greedy loop.
+    */
+  private def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   def bpeVocab(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     import spark.implicits._
-    def mergePair(syms: Seq[String], l: String, r: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-          out += (l + r); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.toSeq
-    }
     // the word-frequency table is vocabulary-sized (orders of magnitude
     // below the corpus: ~10M rows even at 100 TB), so a handful of
     // partitions beats shuffle-width task churn across the merge rounds
@@ -817,6 +821,80 @@ object TextOps {
       s"""SELECT doc_id, pos, ngram
           FROM $v LATERAL VIEW graft_word_ngrams(text, $n) g AS pos, ngram""")
     finally spark.catalog.dropTempView(v)
+  }
+
+  /** Apply the trained BPE merge table to ENCODE every document — the
+    * other half of the tokenizer lifecycle ([[bpeVocab]] trains; this
+    * tokenizes). Standard greedy encoding: per word, repeatedly merge
+    * the pair with the LOWEST merge rank until no trained pair
+    * remains. Output: (doc_id, n_words, n_bpe_tokens).
+    *
+    * Scale shape: the merge table is nMerges rows — driver-tiny,
+    * broadcast; encoding is a map-only typed pass over the cached
+    * token arrays (no shuffle at all). The trained table is memoized
+    * per (dataset, nMerges) so encode does not re-train.
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+      nMerges: Int = 10): DataFrame = {
+    import spark.implicits._
+    val merges = graft.IndexCache.getOrBuild(spark,
+        s"bpe-merges:$dir:$nMerges") {
+      bpeVocab(spark, dir, nMerges).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    }
+    val bc = spark.sparkContext.broadcast(
+      (merges, merges.zipWithIndex.toMap))
+    tokenizedDocs(spark, dir).select(col("doc_id"), col("w"))
+      .as[(Long, Seq[String])]
+      .map { case (id, words) =>
+        val (table, rank) = bc.value
+        var nTok = 0L
+        words.foreach { word =>
+          var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+          var done = false
+          while (!done) {
+            var best = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              val rk = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (rk < best) best = rk
+              i += 1
+            }
+            if (best == Int.MaxValue) done = true
+            else syms = mergePair(syms, table(best)._1, table(best)._2)
+          }
+          nTok += syms.length
+        }
+        (id, words.length.toLong, nTok)
+      }.toDF("doc_id", "n_words", "n_bpe_tokens")
+  }
+
+  /** Fixed-size overlapping document chunking — the RAG/window-prep
+    * primitive: `chunkSize`-word windows advancing by
+    * `chunkSize - overlap`, the final chunk allowed short. Map-only:
+    * chunk starts come from `sequence` + `transform` over the token
+    * array, one pass per document, no shuffle; chunk count is
+    * ceil(max(n - overlap, 1) / stride) so every token lands in >= 1
+    * chunk and consecutive chunks share exactly `overlap` tokens.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      chunkSize: Int = 50, overlap: Int = 10): DataFrame = {
+    val stride = chunkSize - overlap
+    require(stride > 0, "chunkSize must exceed overlap")
+    val w = split(col("text"), " ")
+    val n = size(w)
+    val nChunks = ceil(greatest(n - overlap, lit(1)).cast("double") / stride)
+      .cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("w"), nChunks.as("k"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("k") - 1)).as("i"), col("w"))
+      .select(col("doc_id"), (col("i") + 1).as("chunk_idx"),
+        slice(col("w"), col("i") * stride + 1, lit(chunkSize)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).as("n_tokens"),
+        concat_ws(" ", col("c")).as("chunk_text"))
   }
 
   /** Document fingerprinting: whole-text rolling hash plus the minimum

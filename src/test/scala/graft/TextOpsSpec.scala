@@ -388,6 +388,72 @@ class TextOpsSpec extends SparkSpec {
       s"missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("chunking: full coverage, exact overlap, reconstruction") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextOps.chunkDocuments(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    chunks.groupBy(_._1).foreach { case (id, g) =>
+      val words = docs(id).split(" ")
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1 to g.length))
+      // stride reconstruction: first chunk + each later chunk minus its
+      // 10-token overlap = the original document
+      val rebuilt = sorted.head._4.split(" ") ++
+        sorted.tail.flatMap(_._4.split(" ").drop(10))
+      assert(rebuilt.sameElements(words), s"doc $id reconstruction")
+      // consecutive chunks share exactly the overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.split(" ").takeRight(10)
+            .sameElements(b._4.split(" ").take(10)))
+        case _ => ()
+      }
+      g.foreach(c => assert(c._3 == c._4.split(" ").length && c._3 <= 50))
+    }
+    assert(chunks.map(_._1).toSet == docs.keySet)
+  }
+
+  test("bpe encode replays a reference greedy encoder") {
+    val merges = TextOps.bpeVocab(spark, sf0001, nMerges = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+    val rank = merges.zipWithIndex.toMap
+    def encodeWord(word: String): Int = {
+      var syms: Seq[String] = word.map(_.toString) :+ "</w>"
+      var done = false
+      while (!done) {
+        val best = syms.zip(syms.tail)
+          .map(p => rank.getOrElse(p, Int.MaxValue)).min
+        if (best == Int.MaxValue) done = true
+        else {
+          val (l, r) = merges(best)
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toSeq
+        }
+      }
+      syms.length
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.bpeEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == docs.size)
+    got.take(50).foreach { case (id, nw, nt) =>
+      val words = docs(id).split(" ")
+      assert(nw == words.length.toLong)
+      assert(nt == words.map(encodeWord).map(_.toLong).sum, s"doc $id")
+    }
+  }
+
   test("typo clusters equal brute-force connected components") {
     val vocab = TextOps.tokenVocabulary(spark, sf0001).collect()
       .map(_.getString(0))
