@@ -71,6 +71,8 @@ object Bench {
         () => knn.IvfKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_pq_ckpt",
         () => knn.PqKnn.topKBatchLifecycle(spark, sfDir).count()),
+      timed("bench_build_ivfpq_ckpt",
+        () => knn.IvfPqKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_langid",
         () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
       timed("bench_build_norm_emb",

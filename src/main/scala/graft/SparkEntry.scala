@@ -153,6 +153,9 @@ object SparkEntry {
     "eval_recall_bq" -> ((s, d) => Evaluation.recall(
       BinaryQuantKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // composed-layout checkpoint: build -> save (cid-partitioned code
+    // lists) -> load -> search, bit-equal to the in-memory index
+    "knn_ivfpq_lifecycle" -> ((s, d) => IvfPqKnn.topKBatchLifecycle(s, d)),
     // Matryoshka truncated-dimension coarse scan + exact re-rank
     "knn_mrl_batch" -> ((s, d) => MatryoshkaKnn.topKBatch(s, d)),
     "eval_recall_mrl" -> ((s, d) => Evaluation.recall(

@@ -22,4 +22,14 @@ class IvfPqKnnSpec extends SparkSpec {
     val r = Evaluation.recall(got, exact).collect()(0).getDouble(0)
     assert(r >= 0.6, s"ivf-pq recall@10 = $r")
   }
+
+  test("lifecycle: the reloaded checkpoint answers bit-identically") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3))
+    val live = IvfPqKnn.topKBatch(spark, sf0001).collect().sortBy(key)
+    val reloaded = IvfPqKnn.topKBatchLifecycle(spark, sf0001)
+      .collect().sortBy(key)
+    assert(live.sameElements(reloaded),
+      s"live ${live.length} rows != reloaded ${reloaded.length}")
+  }
 }
