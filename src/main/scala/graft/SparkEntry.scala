@@ -318,6 +318,10 @@ object SparkEntry {
     // OHLC bars: first/last by (ts,event_id) via partial-aggregatable
     // min_by/max_by — no window pass, no per-bar sort
     "events_ohlc" -> ((s, d) => EventOps.ohlcBars(s, d)),
+    // distinct-over-window idiom as first-occurrence flag + running sum
+    "events_cumulative_distinct" -> EventOps.cumulativeDistinctUsers _,
+    // UNPIVOT/melt: pivot's inverse via stack
+    "unpivot_lineitem_measures" -> Relational.unpivotLineitemMeasures _,
     // statistical outlier screen: z-scores from exact BIGINT moment sums
     "events_anomaly_zscore" -> ((s, d) => EventOps.anomalyZscore(s, d)),
     // single-pass per-column profiling (Expand-planned exact distincts)
@@ -1958,6 +1962,43 @@ object SparkEntry {
                     + sum(CASE WHEN c > bhi THEN 1 ELSE 0 END) * bhi)
                    / count(*) / 100.0, 6) AS wmean
       FROM e JOIN b USING (event_type) GROUP BY event_type, blo, bhi""",
+
+    // same first-occurrence-flag construction (DuckDB CAN window a
+    // DISTINCT count, but per-frame re-dedup is the plan that dies at
+    // scale — both engines run the flag + running-sum form instead)
+    "events_cumulative_distinct" -> """
+      WITH tud AS (SELECT DISTINCT event_type, user_id,
+                          CAST(ts AS DATE) AS day FROM events),
+      f AS (SELECT event_type, day,
+                   CASE WHEN row_number() OVER
+                     (PARTITION BY event_type, user_id ORDER BY day) = 1
+                     THEN 1 ELSE 0 END AS is_first
+            FROM tud),
+      d AS (SELECT event_type, day, sum(is_first) AS new_users,
+                   count(*) AS active_users
+            FROM f GROUP BY 1, 2)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             CAST(new_users AS BIGINT) AS new_users, active_users,
+             CAST(sum(new_users) OVER
+               (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_distinct_users
+      FROM d""",
+
+    // melt replayed as UNION ALL (the portable unpivot)
+    "unpivot_lineitem_measures" -> {
+      val wide = s"""SELECT l_returnflag,
+          sum(${c100("l_quantity")}) / 100.0 AS sum_qty,
+          sum(${c100("l_extendedprice")}) / 100.0 AS sum_price,
+          sum(${c100("l_discount")}) / 100.0 AS sum_disc
+        FROM lineitem GROUP BY 1"""
+      s"""WITH w AS ($wide)
+          SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+          UNION ALL
+          SELECT l_returnflag, 'sum_price', sum_price FROM w
+          UNION ALL
+          SELECT l_returnflag, 'sum_disc', sum_disc FROM w"""
+    },
 
     // open/close via first_value/last_value under the same total
     // (us, event_id) order the Spark min_by/max_by struct key uses;

@@ -367,6 +367,35 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
+  /** Cumulative distinct users per (type, day) — the
+    * distinct-count-over-window idiom, translated to the form that
+    * scales: SQL window engines (and Spark not at all) handle
+    * `COUNT(DISTINCT) OVER` poorly because every frame re-deduplicates;
+    * the first-occurrence-flag construction computes each user's first
+    * active day once (one row_number pass over the deduplicated
+    * (type, user, day) relation), daily new-user counts partial-
+    * aggregate, and the running sum runs over the |types| x |days|
+    * rollup. Same algorithm on both engines -> exact equality.
+    */
+  def cumulativeDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val tud = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("day"))
+    val daily = tud
+      .withColumn("is_first",
+        when(row_number().over(firstDay) === 1, 1L).otherwise(0L))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("is_first")).as("new_users"),
+        count(lit(1)).as("active_users"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.select(col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      col("new_users"), col("active_users"),
+      sum(col("new_users")).over(cum).as("cum_distinct_users"))
+  }
+
   /** Slowly-changing-dimension Type 2 build: [[stateIslands]] recast as
     * the warehouse pattern — per user, each run of consecutive
     * same-type events becomes a versioned dimension row with

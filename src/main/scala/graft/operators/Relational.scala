@@ -363,6 +363,23 @@ object Relational {
       .na.fill(0L)
   }
 
+  /** UNPIVOT (melt): the per-returnflag wide aggregate folded to the
+    * long (flag, measure, value) relation via `stack` — pivot's
+    * inverse, the normalization step feeding generic metric stores.
+    * Map-only after one partial-aggregatable groupBy; exact cents.
+    */
+  def unpivotLineitemMeasures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactNum._
+    val wide = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+        (sum(cents(col("l_discount"))) / 100.0).as("sum_disc"))
+    wide.selectExpr("l_returnflag",
+      """stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,
+               'sum_disc', sum_disc) AS (measure, value)""")
+  }
+
   /** Scalar string/math function coverage over `part` (engine-portable
     * subset: identical semantics in DuckDB for the oracle).
     */

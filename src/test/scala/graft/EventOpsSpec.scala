@@ -259,6 +259,27 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("cumulative distinct users replays a driver-side running set") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).cast("string").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val days = g.map(_._3).distinct.sorted
+      val seen = scala.collection.mutable.Set.empty[Long]
+      days.map { d =>
+        val today = g.filter(_._3 == d).map(_._2).distinct
+        val newU = today.count(!seen(_))
+        seen ++= today
+        (t, d) -> ((newU.toLong, today.length.toLong, seen.size.toLong))
+      }
+    }.toMap
+    val got = EventOps.cumulativeDistinctUsers(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("scd2: versions chain gaplessly, one current row per user") {
     val rows = EventOps.scd2UserStates(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),

@@ -297,4 +297,26 @@ class RelationalSpec extends SparkSpec {
       .head.getLong(0) / 1e4
     assert(values.forall(_ > total / 1000.0))
   }
+
+  test("unpivot: melt triples the wide rows and preserves every value") {
+    import graft.functions.ExactNum._
+    val wide = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+        (sum(cents(col("l_discount"))) / 100.0).as("sum_disc"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val long = Relational.unpivotLineitemMeasures(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(long.length == wide.size * 3)
+    long.foreach { case (flag, measure, v) =>
+      val (q, p, d) = wide(flag)
+      val expect = measure match {
+        case "sum_qty" => q; case "sum_price" => p; case "sum_disc" => d
+      }
+      assert(v == expect, s"$flag/$measure")
+    }
+  }
 }
