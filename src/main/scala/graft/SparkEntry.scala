@@ -343,6 +343,9 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStream.ewmaStreamed(s, d)),
     // deterministic md5-ordered k-sample through the bounded heap
     "pipeline_ksample" -> ((s, d) => Pipeline.kSamplePerGroup(s, d)),
+    // contrastive-training negatives: md5-ordered non-neighbors
+    "pipeline_negative_sampling" ->
+      ((s, d) => Pipeline.negativeSampling(s, d)),
     // map-only hash-boundary train/val/test assignment
     "pipeline_train_val_test" -> Pipeline.trainValTest _,
     // asymmetric containment pairs (doc-inside-doc dedup)
@@ -574,6 +577,34 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
       QUALIFY rk <= 10""",
+
+    // negatives = md5-ordered non-neighbors; positives replayed via
+    // the same exact-top-10 ranking the knn_exact_batch oracle uses
+    "pipeline_negative_sampling" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id >= p.s),
+      pos AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY dist, vec_id) AS rk
+                FROM d) WHERE rk <= 10),
+      cand AS (SELECT b.vec_id, q.vec_id AS qid,
+                      md5(CAST(q.vec_id AS VARCHAR) || ':' ||
+                          CAST(b.vec_id AS VARCHAR)) AS h
+               FROM e b, e q, p
+               WHERE b.vec_id < p.s AND q.vec_id >= p.s
+                 AND NOT EXISTS (SELECT 1 FROM pos
+                                 WHERE pos.qid = q.vec_id
+                                   AND pos.vec_id = b.vec_id))
+      SELECT qid, vec_id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY h, vec_id)
+                  AS INT) AS rk
+      FROM cand QUALIFY rk <= 20""",
 
     "knn_range_search" -> s"""
       WITH e AS (SELECT vec_id,

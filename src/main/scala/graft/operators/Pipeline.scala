@@ -160,6 +160,34 @@ object Pipeline {
           .otherwise("test").as("split"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for
+    * each held-out query, `k` base vectors that are NOT among its
+    * `nPos` exact nearest neighbors, chosen by md5(qid:vec_id) order —
+    * uniform-at-random per query yet reproducible on any engine, with
+    * no RNG state.
+    *
+    * Scale shape: the candidate relation is the broadcast-NLJ
+    * query x base pairing the exact-kNN scan already uses (queries are
+    * the driver-bounded small side); positives leave via a
+    * co-partitioned anti-join; selection runs through the two-phase
+    * bounded heap — the shuffle carries <= partitions x queries x k
+    * survivors, never the pair table.
+    */
+  def negativeSampling(spark: SparkSession, dir: String,
+      k: Int = 20, nPos: Int = 10): DataFrame = {
+    val (base, queries, _, _) = graft.knn.ExactKnn.split(spark, dir)
+    val positives = graft.knn.ExactKnn.topKBatch(spark, dir, nPos)
+      .select(col("qid"), col("vec_id"))
+    val cand = base.select(col("vec_id"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("qid"))))
+      .join(positives, Seq("qid", "vec_id"), "left_anti")
+      .select(col("qid"), col("vec_id"),
+        md5(concat_ws(":", col("qid"), col("vec_id"))).as("h"))
+    graft.plans.GraftOps.topKPerGroup(cand, Seq("qid"),
+      Seq("h" -> true, "vec_id" -> true), k, partialFirst = true)
+      .select(col("qid"), col("vec_id"), col("rk"))
+  }
+
   def kSamplePerGroup(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame =
     graft.plans.GraftOps.topKPerGroup(

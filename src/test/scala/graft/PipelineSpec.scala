@@ -111,6 +111,21 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("negative sampling: k per query, disjoint from positives, stable") {
+    val neg = Pipeline.negativeSampling(spark, sf0001, k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pos = graft.knn.ExactKnn.topKBatch(spark, sf0001, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    neg.groupBy(_._1).values.foreach { g =>
+      assert(g.length == 7 && g.map(_._3).sorted.sameElements(1 to 7))
+    }
+    assert(neg.forall { case (q, v, _) => !pos((q, v)) },
+      "a sampled negative is a true neighbor")
+    val again = Pipeline.negativeSampling(spark, sf0001, k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(neg.toSet == again.toSet)
+  }
+
   test("k-sample per group: md5 order replayed driver-side, heap-planned") {
     val df = Pipeline.kSamplePerGroup(spark, sf0001, k = 7)
     val got = df.collect()
