@@ -86,7 +86,9 @@ object Bench {
       timed("bench_build_copurchase",
         () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()),
       timed("bench_build_fuzzy",
-        () => operators.TextOps.fuzzyWordPairs(spark, sfDir).count()))
+        () => operators.TextOps.fuzzyWordPairs(spark, sfDir).count()),
+      timed("bench_build_bpe",
+        () => operators.TextOps.bpeVocab(spark, sfDir).count()))
     val results = builds ++ selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       timed(name, () => fn(spark, sfDir).count())
     }

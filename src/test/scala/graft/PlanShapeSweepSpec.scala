@@ -30,6 +30,8 @@ class PlanShapeSweepSpec extends SparkSpec {
     "q22_idle_balance",           // scalar average balance
     "text_bm25_general",          // 1-row corpus stats
     "text_bm25_topk",             // 1-row corpus stats
+    "pipeline_negative_sampling", // intentional broadcast-NLJ query x base
+                                  // pairing (the exact-kNN scan shape)
     "text_tfidf_terms",           // 1-row doc count
     "text_unigram_logprob")       // 1-row vocab totals
 
