@@ -322,6 +322,10 @@ object SparkEntry {
     "events_cumulative_distinct" -> EventOps.cumulativeDistinctUsers _,
     // UNPIVOT/melt: pivot's inverse via stack
     "unpivot_lineitem_measures" -> Relational.unpivotLineitemMeasures _,
+    // market-basket association rules (support/confidence/lift)
+    "orders_market_basket" -> ((s, d) => Relational.marketBasketBrands(s, d)),
+    // diurnal profile: hour-of-day rollup per type
+    "events_seasonality" -> EventOps.hourlySeasonality _,
     // statistical outlier screen: z-scores from exact BIGINT moment sums
     "events_anomaly_zscore" -> ((s, d) => EventOps.anomalyZscore(s, d)),
     // single-pass per-column profiling (Expand-planned exact distincts)
@@ -2015,6 +2019,33 @@ object SparkEntry {
                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS cum_distinct_users
       FROM d""",
+
+    // identical integer products and single divisions on both engines
+    "orders_market_basket" -> """
+      WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+                  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      n AS (SELECT count(DISTINCT o) AS total FROM ob),
+      item AS (SELECT b, count(*) AS n_item FROM ob GROUP BY 1),
+      pairs AS (SELECT x.b AS ba, y.b AS bb, count(*) AS n_ab
+                FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+                GROUP BY 1, 2)
+      SELECT ba, bb, n_ab,
+             round(CAST(n_ab AS DOUBLE) / a.n_item, 6) AS conf_ab,
+             round(CAST(n_ab * total AS DOUBLE)
+                   / (a.n_item * b2.n_item), 6) AS lift
+      FROM pairs
+      JOIN item a ON a.b = ba
+      JOIN item b2 ON b2.b = bb
+      CROSS JOIN n
+      WHERE n_ab >= 50""",
+
+    // hour-of-day rollup; exact-sum average
+    "events_seasonality" -> s"""
+      SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod,
+             count(*) AS n,
+             round(CAST(sum(${c100("value")}) AS DOUBLE) / count(*)
+                   / 100.0, 6) AS avg_value
+      FROM events GROUP BY 1, 2""",
 
     // melt replayed as UNION ALL (the portable unpivot)
     "unpivot_lineitem_measures" -> {

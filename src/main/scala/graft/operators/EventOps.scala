@@ -367,6 +367,21 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
+  /** Hour-of-day seasonality profile per event type: count and exact
+    * average value by (type, hour 0-23) — the diurnal-pattern rollup
+    * behind anomaly baselines and traffic forecasts. Pure
+    * partial-aggregatable groupBy; cardinality |types| x 24 at any
+    * event volume.
+    */
+  def hourlySeasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), hour(col("ts")).as("hod"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c")).cast("double") / count(lit(1)) / 100.0, 6)
+          .as("avg_value"))
+
   /** Cumulative distinct users per (type, day) — the
     * distinct-count-over-window idiom, translated to the form that
     * scales: SQL window engines (and Spark not at all) handle

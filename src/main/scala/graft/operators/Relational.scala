@@ -380,6 +380,42 @@ object Relational {
                'sum_disc', sum_disc) AS (measure, value)""")
   }
 
+  /** Market-basket association rules at brand granularity: for every
+    * brand pair co-occurring in >= `minSupport` orders — support count,
+    * confidence P(b|a), and lift. The classic co-occurrence analytics
+    * workload (recommendations, assortment planning).
+    *
+    * Determinism: support counts are exact integers; confidence and
+    * lift are single divisions of exact integer products, rounded 6dp.
+    * Scale shape: baskets self-join per ORDER (pair expansion is
+    * Σ|basket|² — basket sizes are catalog-bounded; production caps
+    * outlier baskets), item counts broadcast as the |brands|-sized
+    * dimension, the 1-row order total attaches by broadcast.
+    */
+  def marketBasketBrands(spark: SparkSession, dir: String,
+      minSupport: Int = 50): DataFrame = {
+    val ob = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    val total = ob.agg(countDistinct(col("o")).as("total"))
+    val item = ob.groupBy(col("b")).agg(count(lit(1)).as("n_item"))
+    val pairs = ob.toDF("o", "ba").join(ob.toDF("o", "bb"), Seq("o"))
+      .filter(col("ba") < col("bb"))
+      .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(item.toDF("ba", "n_a")), Seq("ba"))
+      .join(broadcast(item.toDF("bb", "n_b")), Seq("bb"))
+      .crossJoin(broadcast(total))
+      .select(col("ba"), col("bb"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("conf_ab"),
+        round((col("n_ab") * col("total")).cast("double")
+          / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
   /** Scalar string/math function coverage over `part` (engine-portable
     * subset: identical semantics in DuckDB for the oracle).
     */

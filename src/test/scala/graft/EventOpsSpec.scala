@@ -259,6 +259,22 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("hourly seasonality partitions every event into 24 hod buckets") {
+    val rows = EventOps.hourlySeasonality(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._3).sum == Tables.events(spark, sf0001).count())
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 23))
+    // replay one cell exactly
+    val (t, h, n, avg) = rows.head
+    val cell = Tables.events(spark, sf0001)
+      .filter(col("event_type") === t && hour(col("ts")) === h)
+      .select(round(col("value") * 100).cast("long").as("c")).collect()
+      .map(_.getLong(0))
+    assert(cell.length.toLong == n)
+    assert(math.abs(avg - math.rint(cell.sum.toDouble / n / 100.0 * 1e6) / 1e6)
+      < 1e-9)
+  }
+
   test("cumulative distinct users replays a driver-side running set") {
     val ev = Tables.events(spark, sf0001)
       .select(col("event_type"), col("user_id"),

@@ -32,6 +32,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_bm25_topk",             // 1-row corpus stats
     "pipeline_negative_sampling", // intentional broadcast-NLJ query x base
                                   // pairing (the exact-kNN scan shape)
+    "orders_market_basket",       // 1-row order-total attach
     "text_tfidf_terms",           // 1-row doc count
     "text_unigram_logprob")       // 1-row vocab totals
 

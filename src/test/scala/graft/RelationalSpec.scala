@@ -298,6 +298,32 @@ class RelationalSpec extends SparkSpec {
     assert(values.forall(_ > total / 1000.0))
   }
 
+  test("market basket replays driver-side support/confidence/lift") {
+    val ob = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val total = ob.map(_._1).distinct.length
+    val items = ob.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairCounts = ob.groupBy(_._1).values.flatMap { basket =>
+      val bs = basket.map(_._2).distinct.sorted
+      for (i <- bs.indices; j <- (i + 1) until bs.length) yield (bs(i), bs(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val minSupport = 3 // sf0.001 baskets are sparser than sf0.01's
+    val expect = pairCounts.filter(_._2 >= minSupport).map { case ((a, b), n) =>
+      (a, b) -> ((n.toLong, r6(n.toDouble / items(a)),
+        r6(n.toDouble * total / (items(a).toLong * items(b)))))
+    }
+    val got = Relational.marketBasketBrands(spark, sf0001, minSupport)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expect && got.nonEmpty,
+      s"got=${got.size} expect=${expect.size}")
+  }
+
   test("unpivot: melt triples the wide rows and preserves every value") {
     import graft.functions.ExactNum._
     val wide = Tables.lineitem(spark, sf0001)
