@@ -326,6 +326,10 @@ object SparkEntry {
     "orders_market_basket" -> ((s, d) => Relational.marketBasketBrands(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
+    // seasonal-naive forecast of the last day + backtest error
+    "events_forecast_naive" -> EventOps.seasonalNaiveForecast _,
+    // corpus summary card in long (metric, value) form
+    "pipeline_dataset_card" -> Pipeline.datasetCard _,
     // statistical outlier screen: z-scores from exact BIGINT moment sums
     "events_anomaly_zscore" -> ((s, d) => EventOps.anomalyZscore(s, d)),
     // single-pass per-column profiling (Expand-planned exact distincts)
@@ -2038,6 +2042,44 @@ object SparkEntry {
       JOIN item b2 ON b2.b = bb
       CROSS JOIN n
       WHERE n_ab >= 50""",
+
+    // same two rollups and single-op error arithmetic
+    "events_forecast_naive" -> s"""
+      WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                        CAST(extract(hour FROM ts) AS INT) AS hod,
+                        ${c100("value")} AS c FROM events),
+      mx AS (SELECT max(day) AS dmax FROM e),
+      hist AS (SELECT event_type, hod, sum(c) AS s, count(*) AS n
+               FROM e, mx WHERE day < dmax GROUP BY 1, 2),
+      actual AS (SELECT event_type, hod, sum(c) AS sa, count(*) AS na
+                 FROM e, mx WHERE day = dmax GROUP BY 1, 2)
+      SELECT a.event_type, a.hod,
+             round(CAST(a.sa AS DOUBLE) / a.na / 100.0, 6) AS actual_avg,
+             round(CAST(h.s AS DOUBLE) / h.n / 100.0, 6) AS forecast_avg,
+             round(abs(round(CAST(a.sa AS DOUBLE) / a.na / 100.0, 6)
+                       - round(CAST(h.s AS DOUBLE) / h.n / 100.0, 6)), 6)
+               AS abs_err
+      FROM actual a JOIN hist h USING (event_type, hod)""",
+
+    // the card's scalars replayed as a UNION of aggregates
+    "pipeline_dataset_card" -> """
+      WITH d AS (SELECT doc_id, lang, source,
+                        len(string_split(text, ' ')) AS nw,
+                        md5(text) AS h FROM documents),
+      w AS (SELECT count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_languages,
+                   count(DISTINCT source) AS n_sources,
+                   sum(nw) AS total_words,
+                   count(DISTINCT h) AS n_unique_texts FROM d)
+      SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM w
+      UNION ALL SELECT 'n_languages', CAST(n_languages AS DOUBLE) FROM w
+      UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM w
+      UNION ALL SELECT 'total_words', CAST(total_words AS DOUBLE) FROM w
+      UNION ALL SELECT 'exact_dup_docs',
+                       CAST(n_docs - n_unique_texts AS DOUBLE) FROM w
+      UNION ALL SELECT 'avg_words',
+                       round(CAST(total_words AS DOUBLE) / n_docs, 6)
+                       FROM w""",
 
     // hour-of-day rollup; exact-sum average
     "events_seasonality" -> s"""

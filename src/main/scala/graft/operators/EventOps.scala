@@ -382,6 +382,36 @@ object EventOps {
         round(sum(col("c")).cast("double") / count(lit(1)) / 100.0, 6)
           .as("avg_value"))
 
+  /** Seasonal-naive forecast + backtest: predict the LAST day's hourly
+    * average per type from the same-hour average of all PRIOR days,
+    * and report the absolute error — the baseline every forecasting
+    * pipeline must beat, with its evaluation in the same plan.
+    *
+    * Exactness: both averages derive from exact BIGINT cent sums and
+    * round once; the error is a single subtraction of the two rounded
+    * doubles. Scale shape: two partial-aggregatable rollups over
+    * (type, hod) joined on that key; the 1-row max-day relation
+    * attaches by broadcast.
+    */
+  def seasonalNaiveForecast(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).as("hod"), cents(col("value")).as("c"))
+    val mx = e.agg(max(col("day")).as("dmax"))
+    val withMax = e.crossJoin(broadcast(mx))
+    val hist = withMax.filter(col("day") < col("dmax"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+    val actual = withMax.filter(col("day") === col("dmax"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("c")).as("sa"), count(lit(1)).as("na"))
+    val fc = round(col("s").cast("double") / col("n") / 100.0, 6)
+    val ac = round(col("sa").cast("double") / col("na") / 100.0, 6)
+    actual.join(hist, Seq("event_type", "hod"))
+      .select(col("event_type"), col("hod"), ac.as("actual_avg"),
+        fc.as("forecast_avg"), round(abs(ac - fc), 6).as("abs_err"))
+  }
+
   /** Cumulative distinct users per (type, day) — the
     * distinct-count-over-window idiom, translated to the form that
     * scales: SQL window engines (and Spark not at all) handle

@@ -160,6 +160,33 @@ object Pipeline {
           .otherwise("test").as("split"))
   }
 
+  /** Dataset card: the one-pass corpus summary (docs, languages,
+    * sources, token totals, exact-duplicate count) in long
+    * (metric, value) form — what a data release publishes next to the
+    * shards. One aggregation over documents (multi-distinct planned by
+    * Catalyst), unpivoted map-side via stack.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"),
+      col("source"), size(split(col("text"), " ")).cast("long").as("nw"),
+      md5(col("text")).as("h"))
+    val wide = d.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_languages"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("nw")).as("total_words"),
+      countDistinct(col("h")).as("n_unique_texts"))
+    wide.selectExpr(
+      """stack(6,
+           'n_docs', CAST(n_docs AS DOUBLE),
+           'n_languages', CAST(n_languages AS DOUBLE),
+           'n_sources', CAST(n_sources AS DOUBLE),
+           'total_words', CAST(total_words AS DOUBLE),
+           'exact_dup_docs', CAST(n_docs - n_unique_texts AS DOUBLE),
+           'avg_words', round(CAST(total_words AS DOUBLE) / n_docs, 6)
+         ) AS (metric, value)""")
+  }
+
   /** Deterministic negative sampling for contrastive training: for
     * each held-out query, `k` base vectors that are NOT among its
     * `nPos` exact nearest neighbors, chosen by md5(qid:vec_id) order —

@@ -259,6 +259,31 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal-naive forecast: error is |actual - forecast|, hist excludes dmax") {
+    import java.time.LocalDate
+    val rows = EventOps.seasonalNaiveForecast(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, a, f, e) =>
+      assert(math.abs(e - math.rint(math.abs(a - f) * 1e6) / 1e6) < 1e-9)
+    }
+    // replay one cell's forecast from prior-day events
+    val (t, h, _, f, _) = rows.head
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        hour(col("ts")).as("hod"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val dmax = ev.map(_._2).max
+    val hist = ev.filter(e => e._1 == t && e._3 == h &&
+      LocalDate.parse(e._2).isBefore(LocalDate.parse(dmax)))
+    val expect = math.rint(hist.map(_._4).sum.toDouble / hist.length
+      / 100.0 * 1e6) / 1e6
+    assert(math.abs(f - expect) < 1e-9, s"$t/$h: $f vs $expect")
+  }
+
   test("hourly seasonality partitions every event into 24 hod buckets") {
     val rows = EventOps.hourlySeasonality(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))

@@ -111,6 +111,23 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(500))
   }
 
+  test("dataset card replays driver-side corpus scalars") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val words = docs.map(_._3.split(" ").length.toLong).sum
+    val got = Pipeline.datasetCard(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("n_docs") == docs.length.toDouble)
+    assert(got("n_languages") == docs.map(_._1).distinct.length.toDouble)
+    assert(got("n_sources") == docs.map(_._2).distinct.length.toDouble)
+    assert(got("total_words") == words.toDouble)
+    assert(got("exact_dup_docs") ==
+      (docs.length - docs.map(_._3).distinct.length).toDouble)
+    assert(math.abs(got("avg_words") -
+      math.rint(words.toDouble / docs.length * 1e6) / 1e6) < 1e-9)
+  }
+
   test("negative sampling: k per query, disjoint from positives, stable") {
     val neg = Pipeline.negativeSampling(spark, sf0001, k = 7).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -33,6 +33,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "pipeline_negative_sampling", // intentional broadcast-NLJ query x base
                                   // pairing (the exact-kNN scan shape)
     "orders_market_basket",       // 1-row order-total attach
+    "events_forecast_naive",      // 1-row max-day attach
     "text_tfidf_terms",           // 1-row doc count
     "text_unigram_logprob")       // 1-row vocab totals
 
