@@ -147,6 +147,8 @@ object SparkEntry {
     "eval_recall_pq" -> ((s, d) => Evaluation.recall(
       PqKnn.topKBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // maximum inner product (MIPS): the recommender scoring mode
+    "knn_mips_single" -> ((s, d) => ExactKnn.topKSingleMips(s, d)),
     // 1-bit sign quantization: XOR+popcount Hamming coarse scan over
     // one-long-per-vector codes + exact re-rank (64x scan compression)
     "knn_bq_batch" -> ((s, d) => BinaryQuantKnn.topKBatch(s, d)),
@@ -654,6 +656,18 @@ object SparkEntry {
       FROM e b, e q, p
       WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
       ORDER BY dist, b.vec_id LIMIT 10""",
+
+    "knn_mips_single" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s, count(*) AS c FROM e)
+      SELECT b.vec_id,
+             round(list_sum(list_transform(list_zip(b.emb, q.emb),
+                   z -> z[1]*z[2])), 6) AS score
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
+      ORDER BY score DESC, b.vec_id LIMIT 10""",
 
     // recall/precision of the exact batch result against itself — the
     // oracle recomputes the same top-k in DuckDB and evaluates the same

@@ -72,6 +72,27 @@ object ExactKnn {
       .limit(k)
   }
 
+  /** Single-query top-k under MAXIMUM INNER PRODUCT (MIPS) — the
+    * retrieval mode recommender scoring uses (unnormalized affinity;
+    * NOT equivalent to cosine unless vectors are normalized). Same
+    * broadcast-NLJ scan + TakeOrderedAndProject shape as the cosine
+    * single; score DESC with vec_id tie-break.
+    * Output: (vec_id, score) descending.
+    */
+  def topKSingleMips(spark: SparkSession, dir: String, k: Int = 10,
+      queryIdx: Long = 29): DataFrame = {
+    val (base, _, splitAt, n) = split(spark, dir)
+    val qid = splitAt + (queryIdx % (n - splitAt))
+    val q = broadcast(
+      Tables.embeddings(spark, dir).filter(col("vec_id") === qid)
+        .select(toDoubleArray(col("embedding")).as("qvec")))
+    base.crossJoin(q)
+      .select(col("vec_id"),
+        round(dot(col("emb"), col("qvec")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Top-k nearest base rows for ONE held-out query (the reference's
     * `query[29]` single search, `/root/reference/src/main.rs:78-81`;
     * index taken mod the query-set size to fit any SF).

@@ -86,4 +86,27 @@ class ExactKnnSpec extends SparkSpec {
       .orderBy(col("d").asc, col("vec_id").asc).limit(1).head()
     assert(top.getLong(0) == 7 && top.getDouble(1) == 0.0)
   }
+
+  test("MIPS single: descending scores, top-1 replays the max dot product") {
+    val rows = ExactKnn.topKSingleMips(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length == 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2)
+      case _ => ()
+    }
+    val (base, _, splitAt, n) = ExactKnn.split(spark, sf0001)
+    val qid = splitAt + (29 % (n - splitAt))
+    val qv = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === qid)
+      .select(graft.functions.VectorFunctions.toDoubleArray(col("embedding")))
+      .head().getSeq[Double](0).toArray
+    val best = base.select(col("vec_id"), col("emb")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        val d = v.indices.map(i => v(i) * qv(i)).sum
+        (r.getLong(0), math.rint(d * 1e6) / 1e6)
+      }.maxBy(e => (e._2, -e._1))
+    assert(rows.head._1 == best._1, s"${rows.head} vs $best")
+  }
 }
