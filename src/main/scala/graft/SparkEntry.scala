@@ -360,6 +360,10 @@ object SparkEntry {
     "pipeline_train_val_test" -> Pipeline.trainValTest _,
     // asymmetric containment pairs (doc-inside-doc dedup)
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // near-dup cluster-size distribution (dedup-rate summary)
+    "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
+    // corpus curation: per-source average quality (exact micro-units)
+    "text_quality_by_source" -> TextOps.qualityBySource _,
     // co-purchase graph: ordered-edge triangle census
     "graph_triangles" -> ((s, d) => GraphOps.triangleCensus(s, d)),
     // edit-distance similarity self-join over the token vocabulary
@@ -804,6 +808,55 @@ object SparkEntry {
       m AS (SELECT s, min(d) AS mn FROM reach GROUP BY s)
       SELECT doc.doc_id, least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
       FROM documents doc LEFT JOIN m ON doc.doc_id = m.s""",
+
+    // the same recursive cluster CTEs, collapsed to the size histogram
+    "dedup_cluster_sizes" -> """
+      WITH RECURSIVE
+      g AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w)-1)]) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                     max(a.ng) AS na, max(b.ng) AS nb
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE round(shared / (na + nb - shared), 6) >= 0.8),
+      ed AS (SELECT doc_a AS s, doc_b AS d FROM p
+             UNION SELECT doc_b, doc_a FROM p),
+      reach(s, d) AS (
+        SELECT s, d FROM ed
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+      m AS (SELECT s, min(d) AS mn FROM reach GROUP BY s),
+      labels AS (SELECT doc.doc_id,
+                        least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
+                 FROM documents doc LEFT JOIN m ON doc.doc_id = m.s),
+      sizes AS (SELECT rep_id, count(*) AS cluster_size
+                FROM labels GROUP BY 1)
+      SELECT cluster_size, count(*) AS n_clusters
+      FROM sizes GROUP BY 1""",
+
+    // per-source mean of the SAME per-doc quality expression, summed
+    // as exact integer micro-units (no float accumulation)
+    "text_quality_by_source" -> """
+      WITH q AS (
+        SELECT source,
+          CAST(round(round(
+            least(len(list_filter(w, t -> list_contains(
+                ['the','a','of','and','to','in','on'], t)))
+              / CAST(len(w) AS DOUBLE) * 2.0, 1.0) * 0.4
+            + length(regexp_replace(text, '[^a-z]', '', 'g'))
+              / CAST(length(text) AS DOUBLE) * 0.3
+            + least(len(w) / 50.0, 1.0) * 0.3, 6) * 1000000)
+            AS BIGINT) AS qmicro
+        FROM (SELECT source, text, string_split(text, ' ') AS w
+              FROM documents))
+      SELECT source, count(*) AS n_docs,
+             round(CAST(sum(qmicro) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS avg_quality
+      FROM q GROUP BY 1""",
 
     // the same recursive cluster CTEs, extended by the per-cluster
     // keep-best election (max n_chars, tie min doc_id)

@@ -107,6 +107,17 @@ object Dedup {
       df
     }
 
+  /** Cluster-size distribution of the near-dup components — the
+    * dedup-rate summary a corpus report carries (how much of the
+    * corpus sits in duplicate groups of each size). Two tiny groupBys
+    * over the memoized label relation; |distinct sizes| rows out.
+    */
+  def clusterSizeHistogram(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame =
+    nearDupClusters(spark, dir, threshold)
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   /** Sub-document (containment) near-dup pairs: doc pairs where the
     * SMALLER gram set is mostly inside the other —
     * `max(|A∩B|/|A|, |A∩B|/|B|) >= threshold`. Containment catches the

@@ -75,6 +75,25 @@ object TextOps {
         round(qualityOf(col("text"), w), 6).as("quality"))
   }
 
+  /** Per-source quality rollup: document count and average quality
+    * score by `source` — the corpus-curation view that decides which
+    * feeds to keep. Exact across engines: each doc's 6dp-rounded score
+    * converts to integer micro-units BEFORE summing (float sums are
+    * fold-order-dependent; integer sums are not), one division at the
+    * end. Map-only scoring + one partial-aggregatable groupBy.
+    */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        round(round(qualityOf(col("text"), w), 6) * 1e6)
+          .cast("long").as("qmicro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("qmicro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("avg_quality"))
+  }
+
   /** Stopword-profile language voting. Profiles are fixed tiny lists; the
     * prediction is the argmax with a deterministic CASE cascade (ties
     * resolve in en > es > de > fr order).

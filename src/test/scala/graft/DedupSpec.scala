@@ -181,6 +181,15 @@ class DedupSpec extends SparkSpec {
       s"diff=${got.filter { case (k, v) => expected.get(k) != Some(v) }.take(5)}")
   }
 
+  test("cluster-size histogram conserves the corpus") {
+    val rows = Dedup.clusterSizeHistogram(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = rows.map { case (size, n) => size * n }.sum
+    assert(total == Tables.documents(spark, sf0001).count())
+    // singleton clusters dominate a mostly-unique corpus
+    assert(rows.toMap.getOrElse(1L, 0L) > 0)
+  }
+
   test("containment pairs equal a brute-force set replay") {
     val sets = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()

@@ -388,6 +388,25 @@ class TextOpsSpec extends SparkSpec {
       s"missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("quality by source replays micro-unit means from per-doc scores") {
+    val perDoc = TextOps.qualityScores(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select("doc_id", "source"),
+        "doc_id")
+      .select(col("source"), col("quality")).collect()
+      .map(r => r.getString(0) -> math.round(r.getDouble(1) * 1e6))
+    val expect = perDoc.groupBy(_._1).map { case (s, g) =>
+      s -> ((g.length.toLong,
+        math.rint(g.map(_._2).sum.toDouble / g.length / 1e6 * 1e6) / 1e6))
+    }
+    val got = TextOps.qualityBySource(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (s, (n, avg)) =>
+      assert(got(s)._1 == n)
+      assert(math.abs(got(s)._2 - avg) < 1e-9, s"$s: ${got(s)._2} vs $avg")
+    }
+  }
+
   test("chunking: full coverage, exact overlap, reconstruction") {
     val docs = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text")).collect()
