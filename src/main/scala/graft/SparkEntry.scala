@@ -330,6 +330,10 @@ object SparkEntry {
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
     "events_forecast_naive" -> EventOps.seasonalNaiveForecast _,
+    // day-over-day deltas over the daily rollup
+    "events_day_over_day" -> EventOps.dayOverDayMovers _,
+    // denormalized per-customer lifetime-value rollup
+    "orders_customer_ltv" -> Relational.customerLtv _,
     // corpus summary card in long (metric, value) form
     "pipeline_dataset_card" -> Pipeline.datasetCard _,
     // statistical outlier screen: z-scores from exact BIGINT moment sums
@@ -2109,6 +2113,42 @@ object SparkEntry {
       JOIN item b2 ON b2.b = bb
       CROSS JOIN n
       WHERE n_ab >= 50""",
+
+    // lag over the identical daily rollup; pct is one division of
+    // exact cent sums
+    "events_day_over_day" -> s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            sum(${c100("value")}) AS s, count(*) AS n
+                     FROM events GROUP BY 1, 2),
+      l AS (SELECT *, lag(s) OVER (PARTITION BY event_type ORDER BY day)
+                        AS prev_s
+            FROM daily)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+             s / 100.0 AS sum_value, prev_s / 100.0 AS prev_sum_value,
+             (s - prev_s) / 100.0 AS delta,
+             round(CAST(s - prev_s AS DOUBLE) / prev_s * 100.0, 6)
+               AS pct_change
+      FROM l""",
+
+    // same rollup + broadcast-dimension shape in plain SQL
+    "orders_customer_ltv" -> s"""
+      WITH a AS (SELECT o_custkey,
+                        count(*) AS n_orders,
+                        sum(${c100("o_totalprice")}) / 100.0 AS total_spend,
+                        round(CAST(sum(${c100("o_totalprice")}) AS DOUBLE)
+                              / count(*) / 100.0, 6) AS avg_order_value,
+                        min(CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT))
+                          AS first_order_epday,
+                        max(CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT))
+                          AS last_order_epday
+                 FROM orders GROUP BY 1)
+      SELECT a.o_custkey AS custkey, c.c_mktsegment, a.n_orders,
+             a.total_spend, a.avg_order_value, a.first_order_epday,
+             a.last_order_epday,
+             a.last_order_epday - a.first_order_epday AS tenure_days
+      FROM a JOIN customer c ON a.o_custkey = c.c_custkey""",
 
     // same two rollups and single-op error arithmetic
     "events_forecast_naive" -> s"""

@@ -367,6 +367,31 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
+  /** Day-over-day movers: per (type, day), today's exact value sum
+    * against the previous PRESENT day's (lag over the daily rollup —
+    * reporting semantics, not calendar-gap semantics; [[resampleHourly]]
+    * covers densified grids) with the absolute and percent change.
+    * Window runs over the |types| x |days| rollup, never raw events;
+    * pct is a single division of exact cent sums, rounded 6dp.
+    */
+  def dayOverDayMovers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_s", lag(col("s"), 1).over(w))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        (col("s") / 100.0).as("sum_value"),
+        (col("prev_s") / 100.0).as("prev_sum_value"),
+        ((col("s") - col("prev_s")) / 100.0).as("delta"),
+        round((col("s") - col("prev_s")).cast("double") / col("prev_s")
+          * 100.0, 6).as("pct_change"))
+  }
+
   /** Hour-of-day seasonality profile per event type: count and exact
     * average value by (type, hour 0-23) — the diurnal-pattern rollup
     * behind anomaly baselines and traffic forecasts. Pure

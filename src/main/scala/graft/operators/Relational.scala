@@ -363,6 +363,36 @@ object Relational {
       .na.fill(0L)
   }
 
+  /** Customer lifetime-value table: per customer — order count, exact
+    * total/average spend, first/last order epoch-days, tenure. The
+    * denormalized entity rollup every CRM export carries. One
+    * partial-aggregatable groupBy on the fact table; the customer
+    * dimension attaches by broadcast.
+    */
+  def customerLtv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactNum._
+    val epday = datediff(to_date(col("o_orderdate")),
+      lit("1970-01-01").cast("date")).cast("long")
+    val agg = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("c"),
+        epday.as("d"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("c")) / 100.0).as("total_spend"),
+        round(sum(col("c")).cast("double") / count(lit(1)) / 100.0, 6)
+          .as("avg_order_value"),
+        min(col("d")).as("first_order_epday"),
+        max(col("d")).as("last_order_epday"))
+    agg.join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey").as("custkey"), col("c_mktsegment"),
+        col("n_orders"), col("total_spend"), col("avg_order_value"),
+        col("first_order_epday"), col("last_order_epday"),
+        (col("last_order_epday") - col("first_order_epday"))
+          .as("tenure_days"))
+  }
+
   /** UNPIVOT (melt): the per-returnflag wide aggregate folded to the
     * long (flag, measure, value) relation via `stack` — pivot's
     * inverse, the normalization step feeding generic metric stores.

@@ -259,6 +259,25 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("day-over-day movers: deltas replay the daily rollup chain") {
+    val rows = EventOps.dayOverDayMovers(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        r.getDouble(3),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.head._3.isEmpty) // first day has no predecessor
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          assert(cur._3.contains(prev._4)) // prev_sum = predecessor's sum
+          assert(cur._5.exists(d => math.abs(d - (cur._4 - prev._4)) < 1e-9))
+        case _ => ()
+      }
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("seasonal-naive forecast: error is |actual - forecast|, hist excludes dmax") {
     import java.time.LocalDate
     val rows = EventOps.seasonalNaiveForecast(spark, sf0001).collect()

@@ -298,6 +298,27 @@ class RelationalSpec extends SparkSpec {
     assert(values.forall(_ > total / 1000.0))
   }
 
+  test("customer LTV replays per-customer order scans") {
+    val ord = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = ord.groupBy(_._1).map { case (ck, g) =>
+      ck -> ((g.length.toLong, g.map(_._2).sum / 100.0,
+        g.map(_._3).min, g.map(_._3).max))
+    }
+    val got = Relational.customerLtv(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expect && got.nonEmpty)
+    // the customer dimension attaches by broadcast
+    val plan = Relational.customerLtv(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("market basket replays driver-side support/confidence/lift") {
     val ob = Tables.lineitem(spark, sf0001)
       .join(Tables.part(spark, sf0001),
