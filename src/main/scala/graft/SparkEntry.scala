@@ -334,6 +334,10 @@ object SparkEntry {
     "events_day_over_day" -> EventOps.dayOverDayMovers _,
     // denormalized per-customer lifetime-value rollup
     "orders_customer_ltv" -> Relational.customerLtv _,
+    // RFM quartile scoring over the LTV rollup
+    "orders_rfm_segments" -> Relational.rfmSegments _,
+    // per-source exact-duplicate rate (curation signal)
+    "text_dup_rate_by_source" -> TextOps.dupRateBySource _,
     // corpus summary card in long (metric, value) form
     "pipeline_dataset_card" -> Pipeline.datasetCard _,
     // statistical outlier screen: z-scores from exact BIGINT moment sums
@@ -2149,6 +2153,34 @@ object SparkEntry {
              a.last_order_epday,
              a.last_order_epday - a.first_order_epday AS tenure_days
       FROM a JOIN customer c ON a.o_custkey = c.c_custkey""",
+
+    // the LTV CTE re-quartiled with identical custkey tie-breaks
+    "orders_rfm_segments" -> s"""
+      WITH a AS (SELECT o_custkey AS custkey,
+                        count(*) AS n_orders,
+                        sum(${c100("o_totalprice")}) / 100.0 AS total_spend,
+                        max(CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT))
+                          AS last_order_epday
+                 FROM orders GROUP BY 1)
+      SELECT custkey, n_orders, total_spend, last_order_epday,
+             CAST(ntile(4) OVER (ORDER BY last_order_epday, custkey)
+                  AS INT) AS r,
+             CAST(ntile(4) OVER (ORDER BY n_orders, custkey) AS INT) AS f,
+             CAST(ntile(4) OVER (ORDER BY total_spend, custkey) AS INT) AS m,
+             CAST(ntile(4) OVER (ORDER BY last_order_epday, custkey) AS VARCHAR)
+               || CAST(ntile(4) OVER (ORDER BY n_orders, custkey) AS VARCHAR)
+               || CAST(ntile(4) OVER (ORDER BY total_spend, custkey) AS VARCHAR)
+               AS rfm
+      FROM a""",
+
+    // 16-byte hash distinct per source; one division of exact counts
+    "text_dup_rate_by_source" -> """
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(text)) AS n_unique,
+             round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                   / count(*), 6) AS dup_rate
+      FROM documents GROUP BY 1""",
 
     // same two rollups and single-op error arithmetic
     "events_forecast_naive" -> s"""

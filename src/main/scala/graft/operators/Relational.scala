@@ -393,6 +393,29 @@ object Relational {
           .as("tenure_days"))
   }
 
+  /** RFM segmentation over the [[customerLtv]] rollup: recency
+    * (last-order day), frequency (order count), and monetary (total
+    * spend) each quartiled by ntile — the classic CRM scoring grid.
+    * Windows run over the |customers|-sized rollup, never the fact
+    * table; every ordering carries the custkey tie-break so bin
+    * boundaries are deterministic on both engines.
+    * Output: one row per customer with the three scores and their
+    * "RFM" concatenation.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ltv = customerLtv(spark, dir)
+      .select(col("custkey"), col("n_orders"), col("total_spend"),
+        col("last_order_epday"))
+    def quartile(order: org.apache.spark.sql.Column*) =
+      ntile(4).over(Window.orderBy(order: _*))
+    ltv.select(col("custkey"), col("n_orders"), col("total_spend"),
+        col("last_order_epday"),
+        quartile(col("last_order_epday").asc, col("custkey").asc).as("r"),
+        quartile(col("n_orders").asc, col("custkey").asc).as("f"),
+        quartile(col("total_spend").asc, col("custkey").asc).as("m"))
+      .withColumn("rfm", concat(col("r"), col("f"), col("m")))
+  }
+
   /** UNPIVOT (melt): the per-returnflag wide aggregate folded to the
     * long (flag, measure, value) relation via `stack` — pivot's
     * inverse, the normalization step feeding generic metric stores.

@@ -75,6 +75,21 @@ object TextOps {
         round(qualityOf(col("text"), w), 6).as("quality"))
   }
 
+  /** Per-source exact-duplicate rate: docs vs distinct md5(text) per
+    * source — the per-feed curation signal (which sources re-crawl the
+    * same pages). 16-byte hashes aggregate, text never shuffles;
+    * dup_rate is one division of exact counts, rounded 6dp.
+    */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round((col("n_docs") - col("n_unique")).cast("double")
+          / col("n_docs"), 6).as("dup_rate"))
+
   /** Per-source quality rollup: document count and average quality
     * score by `source` — the corpus-curation view that decides which
     * feeds to keep. Exact across engines: each doc's 6dp-rounded score

@@ -298,6 +298,21 @@ class RelationalSpec extends SparkSpec {
     assert(values.forall(_ > total / 1000.0))
   }
 
+  test("rfm: quartiles are balanced, rfm string encodes the scores") {
+    val rows = Relational.rfmSegments(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getString(7)))
+    val n = rows.length
+    Seq[((Long, Int, Int, Int, String)) => Int](_._2, _._3, _._4)
+      .foreach { dim =>
+        val sizes = rows.groupBy(dim).view.mapValues(_.size)
+        assert(sizes.keySet == Set(1, 2, 3, 4))
+        assert(sizes.values.max - sizes.values.min <= 1, sizes.toMap)
+      }
+    rows.foreach { case (_, r, f, m, rfm) => assert(rfm == s"$r$f$m") }
+    assert(n == Tables.customer(spark, sf0001).count())
+  }
+
   test("customer LTV replays per-customer order scans") {
     val ord = Tables.orders(spark, sf0001)
       .select(col("o_custkey"),

@@ -388,6 +388,21 @@ class TextOpsSpec extends SparkSpec {
       s"missed=${(expect -- got).take(5)} extra=${(got -- expect).take(5)}")
   }
 
+  test("dup rate by source replays driver-side hash counts") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (s, g) =>
+      val uniq = g.map(_._2).distinct.length
+      s -> ((g.length.toLong, uniq.toLong,
+        math.rint((g.length - uniq).toDouble / g.length * 1e6) / 1e6))
+    }
+    val got = TextOps.dupRateBySource(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("quality by source replays micro-unit means from per-doc scores") {
     val perDoc = TextOps.qualityScores(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select("doc_id", "source"),
