@@ -43,9 +43,17 @@ case class WordNgrams(child: Expression, n: Expression)
       TypeCheckResult.TypeCheckFailure(
         "graft_word_ngrams expects a literal integer n")
     else {
-      val k = n.eval().asInstanceOf[Int]
-      if (k < 1) TypeCheckResult.TypeCheckFailure(s"n must be >= 1, got $k")
-      else TypeCheckResult.TypeCheckSuccess
+      // a foldable NULL literal (CAST(NULL AS INT)) is IntegerType and
+      // foldable but evals to null — report it instead of NPEing on the
+      // unbox during analysis
+      n.eval() match {
+        case null => TypeCheckResult.TypeCheckFailure(
+          "graft_word_ngrams expects a non-null literal integer n")
+        case v =>
+          val k = v.asInstanceOf[Int]
+          if (k < 1) TypeCheckResult.TypeCheckFailure(s"n must be >= 1, got $k")
+          else TypeCheckResult.TypeCheckSuccess
+      }
     }
   }
 

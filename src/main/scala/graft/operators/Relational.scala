@@ -168,10 +168,19 @@ object Relational {
     custs("1-URGENT").intersect(custs("2-HIGH")).except(custs("5-LOW"))
   }
 
-  /** Anti join: customers with no orders at all. */
+  /** Anti join: customers with no RECENT orders (none on/after
+    * 1998-06-01) — the churn-candidate query. The date slice is what
+    * makes the declared row non-vacuous: at the oracle scale every
+    * customer has *some* order, so an unsliced anti join would return
+    * 0 rows and its hash match would certify emptiness, not logic
+    * (r5 verdict #5). The filter sits on the orders side BEFORE the
+    * anti join, so at scale the build side shrinks to the slice.
+    */
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
-    val ord = Tables.orders(spark, dir).select("o_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      .select("o_custkey")
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
@@ -761,12 +770,16 @@ object Relational {
   }
 
   /** LATERAL join: each BUILDING customer's top-2 orders by value — the
-    * correlated-subquery-with-LIMIT shape Catalyst plans via
-    * DomainJoin/rewrite into a ranked join (per-customer top-k without a
-    * global window over all customers).
+    * correlated-subquery-with-LIMIT shape Catalyst decorrelates into a
+    * rank-window join. With the graft extensions installed,
+    * RewriteWindowTopK then replaces that window (and both
+    * WindowGroupLimit pre-filters Spark stacks under it, each forcing
+    * a sort) with the two-phase bounded heap: the executed plan has NO
+    * Sort and NO Window (RelationalSpec pins it) — per-customer top-2
+    * via map-side heap prune + one clustering shuffle of candidates.
     */
   def lateralTopOrders(spark: SparkSession, dir: String): DataFrame =
-    sqlWithViews(spark,
+    sqlWithViews({ graft.plans.GraftExtensions.install(spark); spark },
       "customer_lat" -> Tables.customer(spark, dir),
       "orders_lat" -> Tables.orders(spark, dir))("""
       SELECT c.c_custkey, o.o_orderkey, o.o_totalprice

@@ -65,16 +65,51 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       case Window(Seq(al @ Alias(
             WindowExpression(_: RowNumber, WindowSpecDefinition(part, order, _)), _)),
           _, _, child, _) =>
-        // Spark's InsertWindowGroupLimits has already run by the time
-        // injected rules apply; its pre-filter node (and the sorts it
-        // implies) is subsumed by the heap, so strip it
-        val c = child match {
-          case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
-          case other => other
-        }
-        Some((al.toAttribute, part, order, c))
+        Some((al.toAttribute, part, order, child))
       case _ => None
     }
+  }
+
+  /** Spark's InsertWindowGroupLimits has already run by the time
+    * injected rules apply; its pre-filter nodes (and the sorts they
+    * force at execution) are subsumed by the heap, so strip every
+    * WindowGroupLimit that prunes the SAME (partition, order) top-k —
+    * Catalyst's decorrelated LATERAL ... LIMIT k form stacks TWO of
+    * them around a pushed-down partition-key filter
+    * (`lateral_top_orders`). Recursing through a Filter is safe only
+    * when its condition references nothing but partition keys (it then
+    * keeps or drops whole groups, so it commutes with per-group
+    * pruning); a filter on any other column could remove rows WGL
+    * already discarded alternatives for, and must block the strip.
+    */
+  private def stripGroupLimits(p: LogicalPlan, part: Seq[Expression],
+      order: Seq[SortOrder], k: Int): LogicalPlan = p match {
+    case WindowGroupLimit(gPart, gOrder, _: RowNumber, limit, gc)
+        if limit >= k && gPart.length == part.length &&
+          gPart.zip(part).forall { case (a, b) => a.semanticEquals(b) } &&
+          gOrder.length == order.length &&
+          gOrder.zip(order).forall { case (a, b) => a.semanticEquals(b) } =>
+      stripGroupLimits(gc, part, order, k)
+    case f @ Filter(cond, c)
+        if cond.references.subsetOf(AttributeSet(part.flatMap(_.references))) =>
+      val stripped = stripGroupLimits(c, part, order, k)
+      if (stripped eq c) f else Filter(cond, stripped)
+    case other => other
+  }
+
+  /** The rewrite target: a map-side partial heap (no required
+    * distribution -> no shuffle; emits <= groups x k rows per input
+    * partition) feeding the final clustered heap — the same two-phase
+    * shape Spark's own Partial/Final WindowGroupLimit pair had, minus
+    * the sorts both its halves require.
+    */
+  private def heapForm(part: Seq[Expression], order: Seq[SortOrder], k: Int,
+      rkAttr: Attribute, child: LogicalPlan): LogicalPlan = {
+    val pruned = Project(child.output,
+      TopKPerGroup(part, order, k,
+        TopKPerGroup.rankAttribute("_partial_" + rkAttr.name), child,
+        partial = true))
+    TopKPerGroup(part, order, k, rkAttr, pruned)
   }
 
   /** `rk <= k` in any of its spellings, normalized to (rk, k). */
@@ -97,15 +132,17 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
           child: LogicalPlan): Boolean =
         m == "true" || totalOrder(part, order, child)
       plan.transform {
-        case Filter(KLimit(rk, k), RowNumberWindow(wAttr, part, order, child))
+        case Filter(KLimit(rk, k), RowNumberWindow(wAttr, part, order, raw))
             if rk.semanticEquals(wAttr) && k >= 1 && part.nonEmpty &&
-              order.nonEmpty && fires(part, order, child) =>
-          TopKPerGroup(part, order, k, wAttr, child)
-        case Filter(KLimit(rk, k), Project(list, RowNumberWindow(wAttr, part, order, child)))
+              order.nonEmpty && fires(part, order, raw) =>
+          heapForm(part, order, k, wAttr,
+            stripGroupLimits(raw, part, order, k))
+        case Filter(KLimit(rk, k), Project(list, RowNumberWindow(wAttr, part, order, raw)))
             if rk.semanticEquals(wAttr) && k >= 1 && part.nonEmpty &&
               order.nonEmpty && list.forall(_.isInstanceOf[Attribute]) &&
-              fires(part, order, child) =>
-          Project(list, TopKPerGroup(part, order, k, wAttr, child))
+              fires(part, order, raw) =>
+          Project(list, heapForm(part, order, k, wAttr,
+            stripGroupLimits(raw, part, order, k)))
       }
     }
   }

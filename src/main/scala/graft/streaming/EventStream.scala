@@ -184,7 +184,7 @@ object EventStream {
     val name = s"graft_topk_stream_${streamRunSeq.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
       val q = streamTopKAmounts(
-          readEventsStream(spark, staged)
+          readEventsStreamConfigured(spark, staged)
             .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value"))
             .as[Ev], k)
@@ -221,7 +221,7 @@ object EventStream {
     val staged = stagedEventsDir(spark, dir)
     val name = s"graft_tumbling_stream_${streamRunSeq.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
-      val q = windowedAgg(readEventsStream(spark, staged), "10 minutes", None)
+      val q = windowedAgg(readEventsStreamConfigured(spark, staged), "10 minutes", None)
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .option("checkpointLocation",
@@ -255,7 +255,7 @@ object EventStream {
       .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("cohort"))
     val name = s"graft_enriched_stream_${streamRunSeq.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
-      val q = readEventsStream(spark, staged)
+      val q = readEventsStreamConfigured(spark, staged)
         .join(broadcast(cohorts), "user_id")
         .groupBy(col("cohort"))
         .agg(count(lit(1)).as("n"),
@@ -301,7 +301,7 @@ object EventStream {
     val staged = stagedDupEventsDir(spark, dir)
     val name = s"graft_dedup_stream_${streamRunSeq.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
-      val q = dedupEvents(readEventsStream(spark, staged))
+      val q = dedupEvents(readEventsStreamConfigured(spark, staged))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
         .writeStream.format("memory").queryName(name)
@@ -363,7 +363,7 @@ object EventStream {
     val name = s"graft_ivj_stream_${streamRunSeq.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
       val q = streamErrorClickWithin(
-          readEventsStream(spark, staged), withinMinutes, watermark = "1 hour")
+          readEventsStreamConfigured(spark, staged), withinMinutes, watermark = "1 hour")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
@@ -451,7 +451,7 @@ object EventStream {
     val name = s"graft_ivo_stream_${streamRunSeq.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
       val q = streamErrorClickLeftOuter(
-          readEventsStream(spark, staged), withinMinutes, watermark = "1 hour")
+          readEventsStreamConfigured(spark, staged), withinMinutes, watermark = "1 hour")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
@@ -486,6 +486,79 @@ object EventStream {
       .parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  /** The columns `format("kafka")` emits — the wire contract the
+    * broker-free EventStreamSpec test builds a static frame against
+    * (the sandbox has no broker; the schema is Spark's published Kafka
+    * source output, stable across releases).
+    */
+  val kafkaWireSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("topic",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("timestamp",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("timestampType",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** JSON payload carried in a Kafka record's value: `ts_us` is event
+    * time in MICROSECONDS (the fixture's native resolution — Kafka's
+    * own record timestamp is ingest time and is deliberately ignored;
+    * event-time semantics must ride in the payload).
+    */
+  private val kafkaPayloadSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts_us",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType)))
+
+  /** Shape a Kafka-wire frame (see [[kafkaWireSchema]]) into the core
+    * events columns: parse the JSON value, recover the µs event-time
+    * timestamp. Output schema matches the five columns every downstream
+    * plan ([[windowedAgg]], [[sessionize]], [[dedupEvents]],
+    * [[streamTopKAmounts]]) selects from the file source, so the two
+    * sources are drop-in interchangeable.
+    */
+  def shapeKafkaEvents(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), kafkaPayloadSchema).as("e"))
+      .select(col("e.event_id").as("event_id"),
+        timestamp_micros(col("e.ts_us")).as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"))
+
+  /** Config-switched streaming reader: `spark.graft.stream.format=kafka`
+    * routes to the Kafka source (`spark.graft.stream.kafka.servers` /
+    * `.topic`) through [[shapeKafkaEvents]]; anything else stays on the
+    * file source. All declared streamed queries read through this, so a
+    * production deployment points them at a topic with two configs and
+    * zero code changes. The kafka leg's shaping select is contract-
+    * tested broker-free (EventStreamSpec) on a static [[kafkaWireSchema]]
+    * frame — the exact select this reader applies.
+    */
+  def readEventsStreamConfigured(spark: SparkSession, eventsDir: String): DataFrame =
+    if (spark.conf.getOption("spark.graft.stream.format").contains("kafka")) {
+      shapeKafkaEvents(spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers",
+          spark.conf.get("spark.graft.stream.kafka.servers"))
+        .option("subscribe", spark.conf.get("spark.graft.stream.kafka.topic"))
+        .option("startingOffsets", "earliest")
+        .load())
+    } else readEventsStream(spark, eventsDir)
 
   /** Shape the built-in rate sources' (timestamp, value) rows into the
     * events schema, deterministically from the monotonic `value` alone
@@ -573,7 +646,7 @@ object EventStream {
     // watermark operator, and the watermark never sees the sentinel
     // (observed: the final ~90 min of real sessions never emit)
     withStreamPartitions(spark, 8) {
-      val q = sessionWindowAgg(readEventsStream(spark, staged), "30 minutes")
+      val q = sessionWindowAgg(readEventsStreamConfigured(spark, staged), "30 minutes")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
@@ -629,9 +702,13 @@ object EventStream {
       }
       val buf = rows.toSeq
       val prev = state.getOption.getOrElse(EwmaState(Nil, Nil, Nil))
+      // HALF_UP (away from zero), the same rounding as ExactNum.cents —
+      // math.round would round half toward +inf and diverge from the
+      // batch twin on negative values landing exactly on a half cent
       val next = EwmaState(prev.us ++ buf.map(e => micros(e.ts)),
         prev.ids ++ buf.map(_.event_id),
-        prev.cs ++ buf.map(e => math.round(e.value * 100)))
+        prev.cs ++ buf.map(e => BigDecimal(e.value * 100)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong))
       state.update(next)
       // fold once the watermark passes one minute after the user's last
       // event (the sentinel drags it a year past the fixture)
@@ -660,7 +737,7 @@ object EventStream {
     val name = s"graft_ewma_stream_${streamRunSeq.incrementAndGet()}"
     withStreamPartitions(spark, 8) {
       val q = ewmaStream(
-          readEventsStream(spark, staged)
+          readEventsStreamConfigured(spark, staged)
             .select(col("event_id"), col("ts"), col("user_id"),
               col("event_type"), col("value"))
             .as[Ev])

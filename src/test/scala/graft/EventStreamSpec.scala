@@ -385,4 +385,38 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty,
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
+
+  test("kafka wire contract: shaping a kafka-schema frame yields the " +
+      "events schema and values the file source would produce") {
+    // broker-free: build a static frame with Spark's published Kafka
+    // source output schema, payloads as the JSON the configured reader
+    // parses, and run it through the EXACT select
+    // readEventsStreamConfigured applies on its kafka leg
+    import java.sql.Timestamp
+    val rows = Seq(
+      (101L, 1700000000000000L, 7L, "click", 12.34),
+      (102L, 1700000000500000L, 8L, "error", -0.5))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.zipWithIndex.map { case ((id, us, uid, typ, v), i) =>
+        val json = s"""{"event_id":$id,"ts_us":$us,"user_id":$uid,""" +
+          s""""event_type":"$typ","value":$v}"""
+        org.apache.spark.sql.Row(s"k$id".getBytes("UTF-8"), json.getBytes("UTF-8"),
+          "events", 0, i.toLong, new Timestamp(1700000001000L), 0)
+      }), EventStream.kafkaWireSchema)
+    val shaped = EventStream.shapeKafkaEvents(wire)
+    // schema contract: the five columns every downstream plan selects,
+    // with the file-source types (µs-precision timestamp included)
+    val fileSide = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    assert(shaped.schema == fileSide.schema,
+      s"kafka=${shaped.schema.treeString}\nfile=${fileSide.schema.treeString}")
+    val got = shaped.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4)))
+    assert(got.toSet == rows.map(t => (t._1, t._3, t._4, t._5)).toSet)
+    val us = shaped.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).toSet
+    assert(us == rows.map(_._2).toSet, s"microseconds mangled: $us")
+    // and the config switch routes: non-kafka stays on the file source
+    assert(spark.conf.getOption("spark.graft.stream.format").isEmpty)
+  }
 }

@@ -136,6 +136,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(got == Set((1L, 1, "a b"), (1L, 2, "b c"), (1L, 3, "c d")))
   }
 
+  test("graft_word_ngrams rejects a NULL literal n with a clean analysis " +
+      "error, not an NPE") {
+    import spark.implicits._
+    GraftExtensions.install(spark)
+    Seq((1L, "a b c")).toDF("id", "t").createOrReplaceTempView("ngram_null_n")
+    val e = intercept[Exception] {
+      spark.sql("""SELECT * FROM ngram_null_n
+                   LATERAL VIEW graft_word_ngrams(t, CAST(NULL AS INT)) g
+                   AS pos, ngram""").collect()
+    }
+    spark.catalog.dropTempView("ngram_null_n")
+    assert(!e.isInstanceOf[NullPointerException])
+    assert(e.getMessage.contains("non-null literal integer"),
+      s"expected the type-check message, got: ${e.getMessage}")
+  }
+
   test("graft_word_ngrams agrees with the posexplode composition") {
     import spark.implicits._
     GraftExtensions.install(spark)

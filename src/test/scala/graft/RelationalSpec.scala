@@ -63,6 +63,9 @@ class RelationalSpec extends SparkSpec {
     val noOrders = Relational.customersWithoutOrders(spark, sf0001).count()
     val total = Tables.customer(spark, sf0001).count()
     assert(urgent <= total && noOrders <= total)
+    // non-vacuous by construction (r5 verdict #5): the 1998-06-01 slice
+    // leaves customers without recent orders even on the tiny fixture
+    assert(noOrders > 0, "anti join must certify logic, not emptiness")
   }
 
   test("q4-exists: correlated predicate plans as a semi join, counts bounded") {
@@ -242,6 +245,14 @@ class RelationalSpec extends SparkSpec {
       val ps = os.map(_.getAs[Double]("o_totalprice"))
       assert(ps.sameElements(ps.sortBy(-(_: Double))))
     }
+  }
+
+  test("lateral: decorrelated top-k executes on the bounded heap — " +
+      "no Sort, no Window (r5 verdict #4)") {
+    val plan = physicalPlan(Relational.lateralTopOrders(spark, sf0001))
+    assert(plan.contains("TopKPerGroup"), s"heap operator missing:\n$plan")
+    assert(!plan.contains("Window"), s"Window survived the rewrite:\n$plan")
+    assert(!plan.contains("Sort "), s"a sort survived the rewrite:\n$plan")
   }
 
   test("scalar subquery: max quantity matches a grouped-join recompute") {
