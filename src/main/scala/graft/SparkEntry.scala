@@ -25,10 +25,11 @@ object SparkEntry {
     * the whole kNN path is reachable without any Scala API.
     */
   private def sqlKnn(s: SparkSession, d: String, options: String,
-      select: String => String): DataFrame = {
+      select: String => String,
+      provider: String = "graft.sources.KnnDataSource"): DataFrame = {
     val v = s"graft_knn_sql_${sqlKnnSeq.incrementAndGet()}"
     s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW $v
-              USING graft.sources.KnnDataSource
+              USING $provider
               OPTIONS (dir '$d', $options)""")
     s.sql(select(v))
   }
@@ -98,6 +99,19 @@ object SparkEntry {
     "sql_knn_pq" -> ((s, d) => sqlKnn(s, d,
       "backend 'pq', k '10'",
       v => s"SELECT qid, vec_id, dist, rk FROM $v")),
+    // Data Source V2 binding: same backends, plus the V2 source-boundary
+    // contracts — the qid predicate is PUSHED INTO the scan (negotiated
+    // via SupportsPushDownFilters) and the projection prunes dist/rk out
+    // of the read schema (KnnDataSourceSpec pins both in the executed
+    // plan); shares the exact-batch arithmetic so it carries an oracle
+    "sql_knn_v2" -> ((s, d) => {
+      val (_, _, splitAt, n) = ExactKnn.split(s, d)
+      val qid = splitAt + 25 % (n - splitAt) // same held-out-qid modulo as knn_exact_single
+      sqlKnn(s, d, "backend 'exact_batch', k '10'",
+        v => s"""SELECT vec_id, dist FROM $v
+                 WHERE qid = $qid ORDER BY dist ASC, vec_id ASC""",
+        provider = "graft.sources.KnnDataSourceV2")
+    }),
     // user-supplied query vector from pure SQL (the reference's
     // index.search(query)): the vector literal is fixture row 29, so
     // the oracle is full-table knn of that row (self included, dist 0)
@@ -630,6 +644,19 @@ object SparkEntry {
       FROM d
       QUALIFY rk <= 10""",
 
+    // the V2 view fixes one held-out qid (s + 25 mod the query count),
+    // so the oracle is that query row's exact top-10 (same arithmetic
+    // as knn_exact_batch)
+    "sql_knn_v2" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s, count(*) AS c FROM e)
+      SELECT b.vec_id, $cosDistSql AS dist
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id = p.s + (25 % (p.c - p.s))
+      ORDER BY dist, b.vec_id LIMIT 10""",
+
     // negatives = md5-ordered non-neighbors; positives replayed via
     // the same exact-top-10 ranking the knn_exact_batch oracle uses
     "pipeline_negative_sampling" -> s"""
@@ -1027,6 +1054,20 @@ object SparkEntry {
                  0), 6) AS sim
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
       WHERE sim >= 0.4""",
+
+
+    // GENERATED-LITERAL oracles for the two deterministic BPE rows:
+    // the algorithm is seeded and the sf0.01 fixture is frozen, so the
+    // expected output is a constant. Independence from the engine comes
+    // from TextOpsSpec's reference replay of the merge loop; this row
+    // moves cross-run stability under the driver's hash gate. (Literal
+    // is sf0.01-specific by the driver contract - Verify always runs
+    // at sf0.01.)
+    "text_bpe_vocab" -> """
+      SELECT * FROM (VALUES (1,'e','r',4568), (2,'e','</w>',4473), (3,'n','</w>',2834), (4,'er','</w>',2779), (5,'o','w',2747), (6,'ow','</w>',2747), (7,'o','r',2696), (8,'s','t',2676), (9,'h','</w>',1884), (10,'a','t',1845)) AS t(step, "left", "right", pair_count)""",
+
+    "text_bpe_encode" -> """
+      SELECT * FROM (VALUES (0,32,130), (1,72,330), (2,45,201), (3,27,122), (4,45,202), (5,56,262), (6,15,65), (7,72,310), (8,84,380), (9,74,314), (10,39,182), (11,58,251), (12,65,273), (13,60,281), (14,87,410), (15,41,185), (16,16,72), (17,77,341), (18,75,334), (19,11,48), (20,68,308), (21,37,164), (22,81,386), (23,30,133), (24,97,433), (25,94,406), (26,12,56), (27,64,287), (28,60,272), (29,34,156), (30,31,132), (31,43,204), (32,93,414), (33,46,196), (34,29,126), (35,85,360), (36,22,105), (37,69,297), (38,36,163), (39,23,101), (40,73,336), (41,61,274), (42,56,243), (43,28,127), (44,24,99), (45,80,350), (46,86,400), (47,41,181), (48,30,128), (49,46,212), (50,45,202), (51,58,258), (52,13,58), (53,34,156), (54,65,289), (55,37,151), (56,97,443), (57,83,358), (58,72,322), (59,24,98), (60,93,403), (61,59,250), (62,72,317), (63,96,424), (64,25,105), (65,19,78), (66,62,278), (67,61,276), (68,33,147), (69,57,242), (70,94,417), (71,60,273), (72,42,187), (73,93,396), (74,10,41), (75,60,252), (76,71,313), (77,57,258), (78,42,180), (79,12,54), (80,32,139), (81,63,285), (82,47,203), (83,15,69), (84,72,333), (85,31,127), (86,23,107), (87,23,102), (88,51,232), (89,27,122), (90,24,90), (91,77,344), (92,26,116), (93,25,109), (94,24,110), (95,55,236), (96,81,370), (97,59,268), (98,93,426), (99,38,157), (100,83,372), (101,42,182), (102,91,419), (103,93,421), (104,44,197), (105,60,268), (106,13,56), (107,40,176), (108,16,72), (109,70,321), (110,11,45), (111,94,442), (112,58,247), (113,79,343), (114,36,162), (115,24,107), (116,10,49), (117,47,198), (118,70,321), (119,16,71), (120,37,177), (121,30,132), (122,19,84), (123,28,123), (124,60,254), (125,34,151), (126,90,397), (127,83,359), (128,81,355), (129,81,359), (130,29,122), (131,54,230), (132,62,274), (133,94,402), (134,24,106), (135,97,436), (136,63,279), (137,43,188), (138,66,294), (139,56,247), (140,28,131), (141,75,351), (142,95,402), (143,72,344), (144,18,74), (145,72,320), (146,22,105), (147,84,356), (148,37,159), (149,27,121), (150,48,216), (151,94,422), (152,39,177), (153,78,359), (154,83,356), (155,67,290), (156,21,97), (157,17,73), (158,17,86), (159,69,312), (160,44,189), (161,86,377), (162,82,358), (163,45,202), (164,19,90), (165,21,89), (166,61,259), (167,85,385), (168,40,175), (169,69,318), (170,22,99), (171,61,267), (172,20,89), (173,97,438), (174,57,257), (175,29,129), (176,88,393), (177,49,209), (178,38,173), (179,87,389), (180,32,149), (181,19,89), (182,64,282), (183,20,80), (184,80,355), (185,58,246), (186,80,325), (187,91,393), (188,47,203), (189,37,174), (190,78,345), (191,21,96), (192,26,108), (193,31,136), (194,29,127), (195,58,264), (196,59,261), (197,95,418), (198,47,209), (199,30,127), (200,53,243), (201,56,251), (202,91,389), (203,24,101), (204,21,96), (205,69,297), (206,25,104), (207,73,317), (208,22,90), (209,44,182), (210,94,412), (211,51,225), (212,43,208), (213,88,386), (214,13,56), (215,98,405), (216,92,431), (217,66,287), (218,81,382), (219,29,138), (220,99,439), (221,42,176), (222,51,225), (223,85,383), (224,77,351), (225,76,342), (226,20,94), (227,81,374), (228,86,381), (229,74,339), (230,55,247), (231,27,121), (232,58,255), (233,83,376), (234,66,281), (235,39,186), (236,12,54), (237,79,332), (238,48,208), (239,30,130), (240,70,313), (241,92,417), (242,69,302), (243,33,141), (244,67,300), (245,83,376), (246,34,143), (247,80,339), (248,79,355), (249,82,341), (250,44,197), (251,94,421), (252,46,199), (253,38,159), (254,19,85), (255,28,121), (256,11,52), (257,21,92), (258,74,330), (259,45,215), (260,26,107), (261,84,376), (262,47,209), (263,83,366), (264,99,437), (265,47,224), (266,41,176), (267,78,342), (268,39,177), (269,86,372), (270,93,403), (271,53,243), (272,92,398), (273,28,136), (274,96,433), (275,10,37), (276,96,433), (277,32,140), (278,72,314), (279,51,221), (280,88,383), (281,30,131), (282,32,150), (283,84,379), (284,51,231), (285,94,417), (286,46,210), (287,18,86), (288,32,148), (289,38,181), (290,94,430), (291,76,343), (292,86,366), (293,71,318), (294,83,368), (295,32,147), (296,66,290), (297,62,266), (298,32,155), (299,94,401), (300,39,170), (301,93,413), (302,88,396), (303,83,363), (304,42,179), (305,11,52), (306,75,340), (307,54,243), (308,17,78), (309,44,189), (310,27,122), (311,90,405), (312,67,303), (313,18,71), (314,37,154), (315,87,369), (316,74,332), (317,72,318), (318,83,359), (319,87,408), (320,75,316), (321,50,236), (322,45,206), (323,62,263), (324,43,181), (325,60,266), (326,36,161), (327,33,143), (328,89,397), (329,66,284), (330,59,253), (331,51,242), (332,36,173), (333,32,142), (334,92,388), (335,61,267), (336,68,305), (337,43,201), (338,18,72), (339,32,150), (340,44,195), (341,80,337), (342,21,100), (343,29,120), (344,77,342), (345,59,254), (346,74,322), (347,51,227), (348,24,107), (349,84,365), (350,85,381), (351,67,298), (352,97,429), (353,59,251), (354,76,338), (355,61,287), (356,67,303), (357,47,212), (358,11,48), (359,60,268), (360,79,365), (361,65,297), (362,15,68), (363,64,281), (364,47,214), (365,12,54), (366,55,249), (367,39,168), (368,13,64), (369,50,221), (370,41,198), (371,65,283), (372,28,112), (373,70,307), (374,31,143), (375,63,267), (376,69,291), (377,43,191), (378,64,268), (379,72,316), (380,80,358), (381,63,279), (382,25,102), (383,44,208), (384,17,79), (385,70,306), (386,88,375), (387,39,172), (388,63,275), (389,28,126), (390,26,114), (391,43,188), (392,23,106), (393,81,371), (394,71,320), (395,81,381), (396,44,207), (397,53,238), (398,19,85), (399,57,251), (400,25,106), (401,76,350), (402,31,129), (403,85,374), (404,43,182), (405,56,252), (406,83,364), (407,20,88), (408,16,72), (409,53,231), (410,75,326), (411,79,332), (412,71,291), (413,79,346), (414,78,336), (415,58,255), (416,53,228), (417,93,411), (418,77,356), (419,20,92), (420,80,367), (421,83,363), (422,66,290), (423,65,300), (424,73,328), (425,24,109), (426,82,364), (427,79,350), (428,48,225), (429,95,446), (430,72,326), (431,56,243), (432,65,300), (433,31,142), (434,79,341), (435,31,135), (436,51,218), (437,81,354), (438,31,140), (439,33,150), (440,42,192), (441,99,439), (442,84,373), (443,51,218), (444,75,336), (445,58,252), (446,25,103), (447,93,413), (448,54,235), (449,33,140), (450,25,112), (451,20,90), (452,65,285), (453,97,415), (454,28,125), (455,11,52), (456,23,103), (457,37,165), (458,59,262), (459,69,310), (460,49,208), (461,67,292), (462,60,266), (463,91,404), (464,35,159), (465,62,261), (466,86,375), (467,66,291), (468,39,167), (469,10,46), (470,42,191), (471,63,280), (472,38,173), (473,53,240), (474,67,285), (475,15,67), (476,16,74), (477,28,120), (478,50,235), (479,69,304), (480,64,293), (481,16,72), (482,30,124), (483,47,206), (484,43,185), (485,23,106), (486,32,139), (487,59,264), (488,36,172), (489,57,260), (490,50,226), (491,67,289), (492,13,64), (493,88,367), (494,38,167), (495,70,313), (496,81,372), (497,20,94), (498,89,397), (499,33,143)) AS t(doc_id, n_words, n_bpe_tokens)""",
 
     "text_tokens" -> """
       SELECT doc_id,

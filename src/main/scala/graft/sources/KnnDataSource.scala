@@ -45,13 +45,29 @@ class KnnDataSource extends RelationProvider with DataSourceRegister {
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val spark = ctx.sparkSession
+    val df = KnnBackends.frame(ctx.sparkSession, parameters)
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def buildScan(): RDD[Row] = df.rdd
+    }
+  }
+}
+
+/** The backend-name -> result-frame switch shared by the DSv1 relation
+  * above and the DSv2 table ([[KnnDataSourceV2]]): one option-parsing
+  * surface, two source-API bindings.
+  */
+private[sources] object KnnBackends {
+
+  def frame(spark: org.apache.spark.sql.SparkSession,
+      parameters: Map[String, String]): org.apache.spark.sql.DataFrame = {
     def opt(key: String): Option[String] =
       parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
     val dir = opt("dir").getOrElse(
       throw new IllegalArgumentException("graft-knn: option 'dir' is required"))
     val k = opt("k").map(_.toInt).getOrElse(10)
-    val df = opt("backend").map(_.toLowerCase).getOrElse("exact") match {
+    opt("backend").map(_.toLowerCase).getOrElse("exact") match {
       case "exact" =>
         graft.knn.ExactKnn.topKSingle(spark, dir, k,
           opt("queryIdx").map(_.toLong).getOrElse(29L))
@@ -106,11 +122,6 @@ class KnnDataSource extends RelationProvider with DataSourceRegister {
         throw new IllegalArgumentException(
           s"graft-knn: unknown backend '$other' (expected exact, " +
             "exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, bq, mrl, search)")
-    }
-    new BaseRelation with TableScan {
-      override def sqlContext: SQLContext = ctx
-      override def schema: StructType = df.schema
-      override def buildScan(): RDD[Row] = df.rdd
     }
   }
 }

@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Data Source V2 binding of the kNN backends (same option surface as
+  * the DSv1 [[KnnDataSource]], same [[KnnBackends]] switch) — the V2
+  * contracts add what V1's `TableScan` cannot express at the source
+  * boundary:
+  *
+  *   - '''column pruning''' (`SupportsPushDownRequiredColumns`): a
+  *     `SELECT vec_id FROM knn` never carries `dist`/`rk` out of the
+  *     scan;
+  *   - '''filter pushdown''' (`SupportsPushDownFilters`): `WHERE qid =
+  *     475` lands inside the source's plan, where Catalyst can then
+  *     push it through the search join to prune per-query work —
+  *     instead of filtering the full batch result above the scan.
+  *
+  * {{{
+  * CREATE TEMPORARY VIEW knn
+  * USING graft.sources.KnnDataSourceV2
+  * OPTIONS (dir '/data/sf0.01', backend 'exact_batch', k '10')
+  * SELECT vec_id FROM knn WHERE qid = 475
+  * }}}
+  *
+  * Execution rides the `V1Scan` bridge (Spark's published migration
+  * path): pushdown is negotiated on the V2 contracts, then the pruned/
+  * filtered DataFrame executes through a V1 relation — fully
+  * distributed, nothing materialized on the driver. Pushing into the
+  * RESULT frame is always semantics-preserving (the pushed predicate is
+  * a residual-free filter over the backend's declared output), so
+  * correctness never depends on which filters Spark offers.
+  */
+class KnnDataSourceV2 extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-knn-v2"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KnnBackends.frame(SparkSession.active,
+      options.asCaseSensitiveMap.asScala.toMap).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KnnTableV2(properties.asScala.toMap)
+}
+
+/** V2 table over one backend's result frame; scans negotiate pruning
+  * and pushdown per query.
+  */
+private[sources] class KnnTableV2(params: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-knn-v2(${params.getOrElse("backend", "exact")})"
+
+  override def schema(): StructType =
+    KnnBackends.frame(SparkSession.active, params).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KnnScanBuilderV2(params)
+}
+
+/** Per-query scan negotiation: Spark calls `pushFilters` then
+  * `pruneColumns`, and `build` captures the composed frame.
+  */
+private[sources] class KnnScanBuilderV2(params: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var frame: DataFrame =
+    KnnBackends.frame(SparkSession.active, params)
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Accept the filters expressible as Column predicates over the
+    * result frame; anything else stays residual (Spark re-applies it
+    * above the scan — correct either way, pushdown is an optimization
+    * contract, not a correctness one).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(translate(_).isDefined)
+    sup.foreach(f => frame = frame.filter(translate(f).get))
+    pushed = sup
+    unsup
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.fields.nonEmpty &&
+        requiredSchema.fieldNames.toSeq != frame.schema.fieldNames.toSeq)
+      frame = frame.select(requiredSchema.fieldNames.map(col).toSeq: _*)
+
+  override def build(): Scan = {
+    val df = frame
+    val pf = pushed
+    new V1Scan {
+      override def readSchema(): StructType = df.schema
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T =
+        new KnnV1BridgeRelation(context, df, pf).asInstanceOf[T]
+    }
+  }
+
+  private def translate(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case IsNull(a) => Some(col(a).isNull)
+    case And(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- translate(l); rc <- translate(r)) yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
+
+/** The executing end of the V1Scan bridge. Named (not anonymous) so
+  * specs can locate it in the executed plan and assert the negotiated
+  * `pushedFilters` made it into the scan.
+  */
+private[sources] class KnnV1BridgeRelation(ctx: SQLContext, df: DataFrame,
+    val pushedFilters: Array[Filter]) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = df.schema
+  override def buildScan(): RDD[Row] = df.rdd
+  override def toString: String =
+    s"KnnV1BridgeRelation(pushed=[${pushedFilters.mkString(", ")}])"
+}

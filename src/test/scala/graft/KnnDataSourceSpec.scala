@@ -69,6 +69,52 @@ class KnnDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2: exact_batch view answers identically to DSv1 and the API") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_v2_batch
+                  USING graft.sources.KnnDataSourceV2
+                  OPTIONS (dir '$sf0001', backend 'exact_batch', k '10')""")
+    val viaV2 = spark.sql("SELECT * FROM knn_v2_batch").collect().toSet
+    val viaApi = ExactKnn.topKBatch(spark, sf0001).collect().toSet
+    assert(viaV2 == viaApi && viaV2.nonEmpty)
+  }
+
+  test("DSv2: qid filter is PUSHED into the scan and column pruning " +
+      "narrows the read schema") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_v2_push
+                  USING graft.sources.KnnDataSourceV2
+                  OPTIONS (dir '$sf0001', backend 'exact_batch', k '10')""")
+    val q = spark.sql("SELECT vec_id FROM knn_v2_push WHERE qid = 475")
+    val plan = q.queryExecution.executedPlan.toString
+    // the bridge relation prints its negotiated pushedFilters; the filter
+    // must reach the scan, not sit above it over the full batch result
+    assert(plan.contains("KnnV1BridgeRelation"), s"V2 scan missing:\n$plan")
+    assert(plan.contains("EqualTo(qid,475)"),
+      s"qid filter not pushed into the scan:\n$plan")
+    // pruned read schema: the scan output carries no dist/rk
+    val scanLine = plan.linesIterator.find(_.contains("KnnV1BridgeRelation")).get
+    assert(!scanLine.contains("dist"), s"dist survived pruning: $scanLine")
+    // and the answer still matches the API
+    val expect = ExactKnn.topKBatch(spark, sf0001)
+      .filter(col("qid") === 475L).select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = q.collect().map(_.getLong(0)).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("DSv2: unsupported filters stay residual and remain correct") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_v2_resid
+                  USING graft.sources.KnnDataSourceV2
+                  OPTIONS (dir '$sf0001', backend 'exact_batch', k '10')""")
+    // endswith on a numeric cast is not in the translated subset -> Spark
+    // must evaluate it above the scan; result equality is the contract
+    val got = spark.sql("""SELECT qid, vec_id FROM knn_v2_resid
+                           WHERE CAST(vec_id AS STRING) LIKE '%7' AND rk <= 2""")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = ExactKnn.topKBatch(spark, sf0001)
+      .filter(col("vec_id").cast("string").endsWith("7") && col("rk") <= 2)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("unknown backend and missing dir fail loudly") {
     val e1 = intercept[Exception] {
       spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_bad
