@@ -135,6 +135,22 @@ object EventStream {
 
   private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Checkpoint location for the declared one-shot (AvailableNow)
+    * streamed queries: tmpfs when the platform has it. The offset/commit
+    * WAL and per-partition state-store commits are fsync-bound and
+    * dominate the fixed cost of a seconds-long run; these checkpoints
+    * are ephemeral by construction (fresh dir per run, state is KBs), so
+    * RAM-backed files lose nothing — a production job supplies its own
+    * durable checkpointLocation and never passes through here.
+    */
+  private def ckptDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** Stateful streaming cost tracks the state-store count, which Spark
     * sizes from `spark.sql.shuffle.partitions` at plan time — one store
     * (x4 for a stream-stream join) per partition, each with its own
@@ -146,11 +162,25 @@ object EventStream {
     * from its key cardinality and executor count — NOT the batch
     * engine's shuffle width.
     */
-  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+  /** `noData = false` additionally skips the trailing no-data
+    * micro-batch — safe ONLY for queries whose emission does not wait on
+    * the watermark: update/complete-mode sinks and INNER stream joins
+    * (rows emit in the data batch that produced them). Append-mode
+    * watermark-gated plans (outer joins, event-time timeouts) MUST keep
+    * it: their final rows only surface in that batch.
+    */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int,
+      noData: Boolean = true)(f: => T): T = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = spark.conf.get(pKey)
+    val prevNd = spark.conf.get(ndKey)
+    spark.conf.set(pKey, n.toString)
+    spark.conf.set(ndKey, noData.toString)
+    try f finally {
+      spark.conf.set(pKey, prevP)
+      spark.conf.set(ndKey, prevNd)
+    }
   }
 
   /** The declared STREAMING-EXECUTED leaderboard (shares
@@ -182,7 +212,7 @@ object EventStream {
     import spark.implicits._
     val staged = stagedEventsDir(spark, dir)
     val name = s"graft_topk_stream_${streamRunSeq.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4, noData = false) {
       val q = streamTopKAmounts(
           readEventsStreamConfigured(spark, staged)
             .select(col("event_id"), col("ts"), col("user_id"),
@@ -191,7 +221,7 @@ object EventStream {
         .writeStream.format("memory").queryName(name)
         .outputMode("update")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-topk-q").toString)
+          ckptDir("graft-ckpt-topk-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -220,12 +250,12 @@ object EventStream {
   def tumblingStreamed(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedEventsDir(spark, dir)
     val name = s"graft_tumbling_stream_${streamRunSeq.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4, noData = false) {
       val q = windowedAgg(readEventsStreamConfigured(spark, staged), "10 minutes", None)
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-tumbling-q").toString)
+          ckptDir("graft-ckpt-tumbling-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -254,7 +284,7 @@ object EventStream {
       .groupBy(col("user_id"))
       .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd").as("cohort"))
     val name = s"graft_enriched_stream_${streamRunSeq.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4, noData = false) {
       val q = readEventsStreamConfigured(spark, staged)
         .join(broadcast(cohorts), "user_id")
         .groupBy(col("cohort"))
@@ -263,7 +293,7 @@ object EventStream {
         .writeStream.format("memory").queryName(name)
         .outputMode("complete")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-enrich-q").toString)
+          ckptDir("graft-ckpt-enrich-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -300,14 +330,14 @@ object EventStream {
   def dedupStreamed(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedDupEventsDir(spark, dir)
     val name = s"graft_dedup_stream_${streamRunSeq.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4, noData = false) {
       val q = dedupEvents(readEventsStreamConfigured(spark, staged))
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-dedup-q").toString)
+          ckptDir("graft-ckpt-dedup-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -361,13 +391,13 @@ object EventStream {
       withinMinutes: Int = 30): DataFrame = {
     val staged = stagedEventsDir(spark, dir)
     val name = s"graft_ivj_stream_${streamRunSeq.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4, noData = false) {
       val q = streamErrorClickWithin(
           readEventsStreamConfigured(spark, staged), withinMinutes, watermark = "1 hour")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-ivj-q").toString)
+          ckptDir("graft-ckpt-ivj-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -449,13 +479,13 @@ object EventStream {
       withinMinutes: Int = 30): DataFrame = {
     val staged = stagedOuterEventsDir(spark, dir)
     val name = s"graft_ivo_stream_${streamRunSeq.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4) {
       val q = streamErrorClickLeftOuter(
           readEventsStreamConfigured(spark, staged), withinMinutes, watermark = "1 hour")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-ivo-q").toString)
+          ckptDir("graft-ckpt-ivo-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -645,12 +675,12 @@ object EventStream {
     // predicate, so Catalyst pushes it below the aggregation AND the
     // watermark operator, and the watermark never sees the sentinel
     // (observed: the final ~90 min of real sessions never emit)
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4) {
       val q = sessionWindowAgg(readEventsStreamConfigured(spark, staged), "30 minutes")
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-sess-q").toString)
+          ckptDir("graft-ckpt-sess-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -735,7 +765,7 @@ object EventStream {
     import spark.implicits._
     val staged = stagedSessionsDir(spark, dir)
     val name = s"graft_ewma_stream_${streamRunSeq.incrementAndGet()}"
-    withStreamPartitions(spark, 8) {
+    withStreamPartitions(spark, 4) {
       val q = ewmaStream(
           readEventsStreamConfigured(spark, staged)
             .select(col("event_id"), col("ts"), col("user_id"),
@@ -744,7 +774,7 @@ object EventStream {
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ckpt-ewma-q").toString)
+          ckptDir("graft-ckpt-ewma-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
