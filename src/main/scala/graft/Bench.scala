@@ -67,6 +67,8 @@ object Bench {
         () => SparkEntry.queries("knn_mrl_batch")(spark, sfDir).count()),
       timed("bench_build_bq",
         () => SparkEntry.queries("knn_bq_batch")(spark, sfDir).count()),
+      timed("bench_build_bq256",
+        () => SparkEntry.queries("knn_bq256_batch")(spark, sfDir).count()),
       // first lifecycle call pays the one-time checkpoint WRITE (index
       // publication); the declared knn_*_lifecycle queries then measure
       // what a reader pays: load + probe

@@ -61,6 +61,7 @@ object SparkEntry {
     }
 
   private val hnswBatch  = memoBatch("hnsw", HnswKnn.topKBatch(_, _))
+  private val bq256Batch = memoBatch("bq256", BinaryQuantKnn.topKBatchWide(_, _))
   private val ivfBatch   = memoBatch("ivf", IvfKnn.topKBatch(_, _))
   private val pqBatch    = memoBatch("pq", PqKnn.topKBatch(_, _))
   private val ivfpqBatch = memoBatch("ivfpq", IvfPqKnn.topKBatch(_, _))
@@ -195,6 +196,14 @@ object SparkEntry {
     "knn_bq_batch" -> bqBatch,
     "eval_recall_bq" -> ((s, d) => Evaluation.recall(
       bqBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // the BQ family's SCALE operating point: 256 hyperplane bits (4 long
+    // words, still codegen'd XOR+popcount) — ScaleSpec shows the 64-bit
+    // sign code's recall decays at 10x sf0.1 while this holds >= 0.6
+    // with the same constant overfetch; rows-only + recall-gated
+    "knn_bq256_batch" -> bq256Batch,
+    "eval_recall_bq256" -> ((s, d) => Evaluation.recall(
+      bq256Batch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     // composed-layout checkpoint: build -> save (cid-partitioned code
     // lists) -> load -> search, bit-equal to the in-memory index

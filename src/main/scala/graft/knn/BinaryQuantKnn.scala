@@ -55,6 +55,42 @@ object BinaryQuantKnn {
       }.toDF("vec_id", "code")
   }
 
+  /** (vec_id, code0..code{w-1}) — `nBits` random-hyperplane sign bits
+    * packed into w = nBits/64 SEPARATE long columns (not an array), so
+    * the coarse Hamming distance stays a sum of codegen'd
+    * `bit_count(XOR)` terms — same whole-stage-codegen property as the
+    * one-word [[encode]], w x the fidelity. Planes are seeded Gaussian
+    * (deterministic, training-free like the sign quantizer; insertion
+    * stays stateless for any writer holding the seed).
+    */
+  def encodeWide(df: DataFrame, nBits: Int, seed: Long = 11L): DataFrame = {
+    require(nBits % 64 == 0, s"nBits must pack whole words, got $nBits")
+    val words = nBits / 64
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = df.select(col("emb")).as[Array[Double]].head().length
+    val rng = new java.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val bc = spark.sparkContext.broadcast(planes)
+    df.select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val ps = bc.value
+        val code = new Array[Long](words)
+        var b = 0
+        while (b < ps.length) {
+          val p = ps(b)
+          var dot = 0.0
+          var i = 0
+          while (i < v.length && i < p.length) { dot += v(i) * p(i); i += 1 }
+          if (dot > 0.0) code(b / 64) |= (1L << (b % 64))
+          b += 1
+        }
+        (id, code.toSeq)
+      }.toDF("vec_id", "codes")
+      .select(col("vec_id") +:
+        (0 until words).map(i => col("codes")(i).as(s"code$i")): _*)
+  }
+
   /** Top-k per held-out query: Hamming-space candidate mining
     * (k * overfetch) over the packed codes + exact re-rank. Output:
     * (qid, vec_id, dist, rk) — the recall-evaluation shape shared by
@@ -62,8 +98,12 @@ object BinaryQuantKnn {
     *
     * Overfetch is high (16x) for the same reason as
     * [[RandomProjection.topKBatch]]: near-random fixture geometry gives
-    * tiny neighbor margins, and a 1-bit code keeps only the orthant —
-    * the candidate FRACTION k*overfetch/n still vanishes as n grows.
+    * tiny neighbor margins, and a 1-bit code keeps only the orthant.
+    * The candidate FRACTION k*overfetch/n vanishes as n grows — and so,
+    * eventually, does recall: with a FIXED 64-bit code the Hamming
+    * ranking's resolution is constant while the number of competing
+    * rows is not (ScaleSpec measures the decay at 10x sf0.1). The scale
+    * path is [[topKBatchWide]]: more planes, not more overfetch.
     */
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
       overfetch: Int = 16): DataFrame = {
@@ -85,6 +125,48 @@ object BinaryQuantKnn {
       partialFirst = true)
 
     // exact re-rank of the candidate set only
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("emb").as("qvec")))
+    val rescored = cand.select("qid", "vec_id")
+      .join(base, "vec_id")
+      .join(q, "qid")
+      .select(col("qid"), col("vec_id"),
+        ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(rescored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
+  /** [[topKBatch]] on `nBits`-plane codes (default 256 = 4 long words):
+    * the BQ family's SCALE operating point. Wider codes keep the
+    * coarse Hamming ranking's angular resolution ahead of the growing
+    * candidate population, so a constant overfetch holds recall as n
+    * grows (ScaleSpec pins >= 0.6 at 10x sf0.1, where the 64-bit code
+    * has already decayed) — while the scan stays w longs per row
+    * (8x compression at 256 bits on 64-dim floats) and every coarse
+    * compare remains codegen'd bit_count(XOR) terms.
+    */
+  def topKBatchWide(spark: SparkSession, dir: String, k: Int = 10,
+      overfetch: Int = 16, nBits: Int = 256): DataFrame = {
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val words = nBits / 64
+
+    val codes = IndexCache.getOrBuild(spark, s"bq-wide:$dir:$nBits") {
+      val c = encodeWide(base, nBits).persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      c
+    }
+    val qCodes = broadcast(encodeWide(queries, nBits)
+      .select(col("vec_id").as("qid") +:
+        (0 until words).map(i => col(s"code$i").as(s"qcode$i")): _*))
+
+    val hamming = (0 until words).map(i =>
+        bit_count(col(s"code$i").bitwiseXOR(col(s"qcode$i"))))
+      .reduce(_ + _).as("hamming")
+    val cand = graft.plans.GraftOps.topKPerGroup(
+      codes.crossJoin(qCodes)
+        .select(col("qid"), col("vec_id"), hamming),
+      Seq("qid"), Seq("hamming" -> true, "vec_id" -> true), k * overfetch,
+      partialFirst = true)
+
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("emb").as("qvec")))
     val rescored = cand.select("qid", "vec_id")
       .join(base, "vec_id")
