@@ -103,6 +103,7 @@ class ScaleSpec extends SparkSpec {
     val narrow = recallOf(knn.BinaryQuantKnn.topKBatch(spark, dir10x))
     // the declared scale path: 4x the planes, same constant overfetch
     val wide = recallOf(knn.BinaryQuantKnn.topKBatchWide(spark, dir10x))
+    info(s"recall@10 at 10x: 64-bit=$narrow 256-bit=$wide")
     assert(wide >= 0.6, s"256-bit BQ recall at 10x = $wide")
     assert(wide > narrow,
       s"wider codes must out-rank the sign code at 10x: $wide vs $narrow")
