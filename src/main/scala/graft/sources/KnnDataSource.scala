@@ -26,10 +26,11 @@ import org.apache.spark.sql.types.StructType
   *                     options `k`, `ef`, `shards`
   *   - `ivf`         — cluster-pruned ANN batch: (qid, vec_id, dist, rk);
   *                     options `k`, `nCentroids`, `nprobe`
-  *   - `pq` / `sq` / `ivfpq` / `rp` — the quantized/projected ANN
-  *                     batches, same output shape; options mirror each
-  *                     family's entry point (`m`, `ksub`, `nCentroids`,
-  *                     `nprobe`, `outDim`, `overfetch`)
+  *   - `pq` / `sq` / `ivfpq` / `rp` / `bq` / `bq256` — the quantized/
+  *                     projected ANN batches, same output shape; options
+  *                     mirror each family's entry point (`m`, `ksub`,
+  *                     `nCentroids`, `nprobe`, `outDim`, `overfetch`,
+  *                     `nBits`)
   *   - `search`      — top-k for a USER-SUPPLIED query vector over the
   *                     whole embeddings table (the reference's
   *                     `index.search(query)` from SQL): (vec_id, dist);
@@ -103,6 +104,10 @@ private[sources] object KnnBackends {
       case "bq" =>
         graft.knn.BinaryQuantKnn.topKBatch(spark, dir, k,
           opt("overfetch").map(_.toInt).getOrElse(16))
+      case "bq256" =>
+        graft.knn.BinaryQuantKnn.topKBatchWide(spark, dir, k,
+          opt("overfetch").map(_.toInt).getOrElse(16),
+          opt("nBits").map(_.toInt).getOrElse(256))
       case "mrl" =>
         graft.knn.MatryoshkaKnn.topKBatch(spark, dir, k)
       case "search" =>
@@ -121,7 +126,7 @@ private[sources] object KnnBackends {
       case other =>
         throw new IllegalArgumentException(
           s"graft-knn: unknown backend '$other' (expected exact, " +
-            "exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, bq, mrl, search)")
+            "exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, bq, bq256, mrl, search)")
     }
   }
 }

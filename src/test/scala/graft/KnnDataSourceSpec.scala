@@ -58,6 +58,7 @@ class KnnDataSourceSpec extends SparkSpec {
         "ivfpq" -> graft.knn.IvfPqKnn.topKBatch(spark, sf0001),
         "rp" -> graft.knn.RandomProjection.topKBatch(spark, sf0001),
         "bq" -> graft.knn.BinaryQuantKnn.topKBatch(spark, sf0001),
+        "bq256" -> graft.knn.BinaryQuantKnn.topKBatchWide(spark, sf0001),
         "mrl" -> graft.knn.MatryoshkaKnn.topKBatch(spark, sf0001))) {
       spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_$backend
                     USING graft.sources.KnnDataSource
