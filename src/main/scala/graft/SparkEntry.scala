@@ -303,6 +303,11 @@ object SparkEntry {
     "text_pii_scrub"   -> TextOps.redact _,
     "text_repetition"  -> TextOps.repetitionScores _,
     "text_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    // the 100 TB variant: benchmark gram-set as ONE broadcast Bloom
+    // filter, corpus flagged in a map-only scan (no shuffle, no gram
+    // strings leave the partition); probabilistic membership -> rows-
+    // only, spec-pinned no-false-negative + fixture-exact flag set
+    "text_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
     // unigram-LM surprisal (the CCNet perplexity signal, corpus-trained)
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(s, d)),
     // TF-IDF top-3 terms per doc; window order total -> auto bounded heap

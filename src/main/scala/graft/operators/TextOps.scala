@@ -391,6 +391,45 @@ object TextOps {
           .as("contaminated"))
   }
 
+  /** Benchmark decontamination, SCALE variant: instead of equi-joining
+    * the corpus grams against the benchmark ([[decontaminate]] — two
+    * shuffles of matching grams), build ONE Bloom filter over the
+    * benchmark's 3-gram set (distributed bitwise-OR merge, MB-sized,
+    * order-independent => deterministic), broadcast it, and flag each
+    * corpus document in a single map-only pass counting its grams that
+    * hit the filter. At 100 TB the corpus never shuffles and never
+    * materializes its gram strings past the partition — the plan is a
+    * scan. Differences from the exact form are the standard Bloom
+    * trade: membership is against the benchmark SET (no per-bench-doc
+    * attribution) and false positives occur at `fpp` per probe (no
+    * false negatives — TextOpsSpec pins the flagged set against the
+    * exact recompute on the fixture). Output: (doc_id,
+    * n_bench_grams, contaminated).
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      minShared: Int = 5, fpp: Double = 1e-8): DataFrame = {
+    import spark.implicits._
+    val w = split(col("text"), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(0))),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+        element_at(w, i + 2))))
+    val g = Tables.documents(spark, dir)
+      .select(col("doc_id"), grams.as("grams"))
+    val bench = g.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val bloom = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    g.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("grams")).as[(Long, Seq[String])]
+      .map { case (id, gs) =>
+        val b = bc.value
+        var n = 0L
+        gs.foreach(s => if (b.mightContainString(s)) n += 1)
+        (id, n, n >= minShared)
+      }.toDF("doc_id", "n_bench_grams", "contaminated")
+  }
+
   /** BM25 over an ARBITRARY term list: the exploded (doc, term) ⨝
     * broadcast-query-terms formulation. [[bm25TopK]] synthesizes one
     * tf column per term — ideal for a literal handful, quadratic plan

@@ -134,6 +134,47 @@ class TextOpsSpec extends SparkSpec {
     flagged.foreach(s => assert(s >= 5))
   }
 
+  test("bloom decontaminate: no false negatives, and fixture-exact " +
+      "against the set-membership recompute") {
+    import org.apache.spark.sql.functions._
+    val bloom = TextOps.decontaminateBloom(spark, sf0001, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(bloom.nonEmpty && bloom.forall(_._1 % 97 != 0))
+    // exact recompute of the SET semantics (count grams in the bench
+    // gram set — the Bloom's ground truth, distinct from decontaminate's
+    // per-bench-doc max): Bloom may only ever OVER-count (fp), never
+    // under-count
+    val w = split(col("text"), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(0))),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+        element_at(w, i + 2))))
+    val g = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val bench = g.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    val exact = g.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    var fps = 0L
+    bloom.foreach { case (id, n, flagged) =>
+      val e = exact.getOrElse(id, 0L)
+      assert(n >= e, s"doc $id: bloom under-counted $n < exact $e")
+      assert(flagged == (n >= 5))
+      fps += n - e
+    }
+    // the operator's CONTRACT is the flag set, which a >= minShared
+    // threshold makes robust to per-probe false positives — pin it
+    // equal to the exact recompute's, and pin the total FP count tiny
+    // (deterministic: frozen fixture, order-independent OR-merged bits)
+    val exactFlags = exact.collect { case (id, n) if n >= 5 => id }.toSet
+    val bloomFlags = bloom.collect { case (id, _, true) => id }.toSet
+    assert(bloomFlags == exactFlags,
+      s"flag sets differ: +${bloomFlags -- exactFlags} -${exactFlags -- bloomFlags}")
+    assert(fps <= 2, s"$fps false-positive probes across the fixture")
+  }
+
   test("hybrid rrf: fused score equals the rank identity on both legs") {
     val rows = graft.operators.HybridSearch.rrfTopK(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 20)
