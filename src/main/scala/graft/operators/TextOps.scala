@@ -409,23 +409,26 @@ object TextOps {
   def decontaminateBloom(spark: SparkSession, dir: String,
       minShared: Int = 5, fpp: Double = 1e-8): DataFrame = {
     import spark.implicits._
-    val w = split(col("text"), " ")
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(0))),
-      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
-        element_at(w, i + 2))))
-    val g = Tables.documents(spark, dir)
-      .select(col("doc_id"), grams.as("grams"))
+    // the memoized FNV-64 gram table (Dedup.gramHashSets, same word-
+    // 3-gram derivation as the exact operator): the Bloom builds over
+    // and probes with 8-byte hashes — no text is re-tokenized here,
+    // and the membership side carries longs, not gram strings. The
+    // filter is [[graft.functions.LongBloom]] (64-bit double hashing):
+    // the stock stat.bloomFilter's 32-bit probe derivation floors at
+    // ~1e-4 observed fpp on KB-scale filters, which would defeat the
+    // assertable contract below.
+    val g = Dedup.gramHashSets(spark, dir)
     val bench = g.filter(col("doc_id") % 97 === 0)
-      .select(explode(col("grams")).as("gram")).distinct()
-    val bloom = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), fpp)
+      .select(explode(col("ghashes")).as("gh")).distinct()
+    val bloom = graft.functions.LongBloom.build(bench.as[Long],
+      math.max(bench.count(), 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     g.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), col("grams")).as[(Long, Seq[String])]
-      .map { case (id, gs) =>
+      .select(col("doc_id"), col("ghashes")).as[(Long, Seq[Long])]
+      .map { case (id, hs) =>
         val b = bc.value
         var n = 0L
-        gs.foreach(s => if (b.mightContainString(s)) n += 1)
+        hs.foreach(h => if (b.mightContain(h)) n += 1)
         (id, n, n >= minShared)
       }.toDF("doc_id", "n_bench_grams", "contaminated")
   }

@@ -166,13 +166,16 @@ class TextOpsSpec extends SparkSpec {
     }
     // the operator's CONTRACT is the flag set, which a >= minShared
     // threshold makes robust to per-probe false positives — pin it
-    // equal to the exact recompute's, and pin the total FP count tiny
-    // (deterministic: frozen fixture, order-independent OR-merged bits)
+    // equal to the exact recompute's. With LongBloom's 64-bit double
+    // hashing the 1e-8 fpp is real (the stock 32-bit scheme measured
+    // ~1e-4 here), so across the fixture's ~27k probes the expected FP
+    // count is ~3e-4: pin ZERO (deterministic: frozen fixture,
+    // order-independent OR-merged bits)
     val exactFlags = exact.collect { case (id, n) if n >= 5 => id }.toSet
     val bloomFlags = bloom.collect { case (id, _, true) => id }.toSet
     assert(bloomFlags == exactFlags,
       s"flag sets differ: +${bloomFlags -- exactFlags} -${exactFlags -- bloomFlags}")
-    assert(fps <= 2, s"$fps false-positive probes across the fixture")
+    assert(fps == 0, s"$fps false-positive probes across the fixture")
   }
 
   test("hybrid rrf: fused score equals the rank identity on both legs") {
