@@ -272,6 +272,9 @@ object SparkEntry {
     // — dedup / near-dup detection (training-data pipeline ops) —
     "dedup_exact"         -> Dedup.exactDuplicates _,
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
+    // per-doc duplicated-shingle coverage (Lee et al. 2022 substring
+    // signal): linear-shape rollup on the memoized gram hashes
+    "dedup_gram_coverage" -> ((s, d) => Dedup.gramCoverage(s, d)),
     // minhash/simhash use engine-side hashing -> rows-only check; quality
     // gated by DedupSpec (exact-equality vs brute force)
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -310,6 +313,8 @@ object SparkEntry {
     "text_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
     // unigram-LM surprisal (the CCNet perplexity signal, corpus-trained)
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(s, d)),
+    // add-1 bigram LM: per-doc mean surprisal + perplexity
+    "text_bigram_perplexity" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     // TF-IDF top-3 terms per doc; window order total -> auto bounded heap
     "text_tfidf_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // inverted-index materialization: full df/cf stats + bounded-heap
@@ -342,6 +347,8 @@ object SparkEntry {
     "pipeline_pack_shards" -> ((s, d) => Pipeline.packShards(s, d)),
     // mT5-style α=0.5 temperature rebalancing of the language mix
     "pipeline_temperature_sample" -> ((s, d) => Pipeline.temperatureSample(s, d)),
+    // DSIR hashed-unigram importance weights (target = lang 'en')
+    "pipeline_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -356,6 +363,13 @@ object SparkEntry {
     "events_sessions_native" -> EventOps.sessionsNative _,
     "events_json_stats" -> EventOps.jsonStats _,
     "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
+    // Z-order zone maps: the multi-dim clustering layout, as a query —
+    // per-tile envelopes a stats-based reader prunes on (bit-exact oracle)
+    "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
+    // first-order event-type Markov transitions per user stream
+    "events_type_transitions" -> EventOps.typeTransitions _,
+    // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
+    "events_pattern_match" -> EventOps.patternMatch _,
     "events_quantiles" -> EventOps.valueQuantiles _,
     // mergeable-sketch scale twin: approximate -> rows-only; rank-error
     // gated against the exact quantiles in EventOpsSpec
@@ -834,6 +848,57 @@ object SparkEntry {
       SELECT doc_a, doc_b,
              round(shared / (na + nb - shared), 6) AS jaccard
       FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5""",
+
+    // string-gram replay of the hash-side coverage rollup (a 64-bit
+    // gram-hash collision on the Spark side would mismatch here)
+    "dedup_gram_coverage" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      df AS (SELECT gram, count(*) AS df FROM e GROUP BY 1)
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+             round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) / count(*), 6)
+               AS dup_coverage
+      FROM e JOIN df USING (gram) GROUP BY doc_id""",
+
+    // add-1 bigram LM replayed with positional list comprehensions
+    "text_bigram_perplexity" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pr AS (SELECT doc_id,
+                    unnest([w[i] for i in range(1, len(w))]) AS w1,
+                    unnest([w[i+1] for i in range(1, len(w))]) AS w2
+             FROM d),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2),
+      cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw FROM cb GROUP BY 1),
+      v AS (SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest(w) AS t FROM d)),
+      sc AS (SELECT doc_id, -ln((cb + 1.0) / (cw + v)) AS nll
+             FROM pr JOIN cb USING (w1, w2) JOIN cw USING (w1) CROSS JOIN v)
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS mean_nll,
+             round(exp(avg(nll)), 4) AS ppl
+      FROM sc GROUP BY doc_id""",
+
+    // DSIR log-importance weights over md5-bucketed unigram features
+    "pipeline_dsir_weights" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      tb AS (SELECT t.doc_id, d.lang, substr(md5(t.w), 1, 2) AS b
+             FROM tok t JOIN documents d USING (doc_id)),
+      cr AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+      ct AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY 1),
+      c AS (SELECT b, cr, coalesce(ct, 0) AS ct FROM cr LEFT JOIN ct USING (b)),
+      t AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                   CAST(sum(ct) AS BIGINT) AS tt FROM c),
+      sc AS (SELECT doc_id, ln((ct + 1.0) / (tt + 256.0))
+                          - ln((cr + 1.0) / (tr + 256.0)) AS lw
+             FROM tb JOIN c USING (b) CROSS JOIN t)
+      SELECT doc_id, count(*) AS n_tokens, round(sum(lw), 6) AS log_weight
+      FROM sc GROUP BY doc_id""",
 
     // same hash-boundary CASE over the identical md5 hex
     "pipeline_train_val_test" -> """
@@ -2092,6 +2157,31 @@ object SparkEntry {
       SELECT event_type, count(*) AS n,
              sum(${c100("value")})/100.0 AS sum_value
       FROM events GROUP BY 1""",
+
+    // bit-exact replay of the Morton interleave, generated term-by-term
+    "layout_zorder_stats" -> ScaleTechniques.zorderOracleSql(),
+
+    "events_type_transitions" -> """
+      WITH o AS (SELECT user_id, event_type,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+                 FROM events)
+      SELECT prev AS from_type, event_type AS to_type, count(*) AS n,
+             round(count(*) / (sum(count(*)) OVER (PARTITION BY prev)), 6) AS p
+      FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type""",
+
+    "events_pattern_match" -> """
+      WITH s AS (
+        SELECT user_id, count(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+        FROM events GROUP BY user_id)
+      SELECT user_id, n_events,
+             CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT)
+               AS n_conversions,
+             CAST(list_max(list_transform(regexp_extract_all(seq, 'v+'),
+               x -> len(x))) AS BIGINT) AS max_view_run
+      FROM s""",
 
     "events_quantiles" -> s"""
       SELECT event_type,

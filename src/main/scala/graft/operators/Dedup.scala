@@ -118,6 +118,39 @@ object Dedup {
       .groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
+  /** Duplicated-shingle coverage per document — the substring-level
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"): for each doc, the fraction of its
+    * distinct word 3-grams that also occur in at least one OTHER
+    * document. A high coverage marks boilerplate/templated text whose
+    * content is stitched from corpus-repeated spans even when no whole-
+    * document near-dup exists (the case document-level Jaccard misses).
+    * Output: (doc_id, n_grams, n_dup_grams, dup_coverage rounded 6) for
+    * every doc with >= 1 gram (docs under 3 words carry none).
+    *
+    * Scale notes: runs entirely on the memoized 8-byte gram hashes
+    * ([[gramHashSets]]) — one partial-aggregated shuffle on the gram
+    * hash for document frequencies, one equi-join back, one shuffle on
+    * doc_id for the per-doc rollup. No pair enumeration anywhere, so
+    * unlike the pair miners this stays linear in corpus size even when
+    * near-everything is duplicated. Because each doc's gram list is
+    * already distinct, `count(*)` per gram IS document frequency. The
+    * DuckDB oracle replays it on gram STRINGS — a 64-bit hash collision
+    * would surface as a hash mismatch there.
+    */
+  def gramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val e = gramHashSets(spark, dir)
+      .select(col("doc_id"), explode(col("ghashes")).as("gh"))
+    val docFreq = e.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    e.join(docFreq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_coverage"))
+  }
+
   /** Sub-document (containment) near-dup pairs: doc pairs where the
     * SMALLER gram set is mostly inside the other —
     * `max(|A∩B|/|A|, |A∩B|/|B|) >= threshold`. Containment catches the

@@ -643,4 +643,65 @@ object EventOps {
       .select(col("event_type"), col("event_id"), (col("c") / 100.0).as("value"),
         round(z, 6).as("z"))
   }
+
+  /** First-order Markov transition matrix of event types per user
+    * stream: for every (prev → next) adjacent pair in each user's
+    * (ts, event_id)-ordered sequence, the transition count and its
+    * row-normalized probability. The sequence-model summary a behavior
+    * pipeline trains on, and the base relation of anomaly scoring on
+    * rare transitions.
+    *
+    * Scale shape: one lag window per user partition (the same shuffle
+    * the session ops already pay), then a groupBy on (from, to) — at
+    * most |types|² output rows. The row-normalizing window runs over
+    * that tiny aggregate, not the event stream. Output: (from_type,
+    * to_type, n, p rounded 6).
+    */
+  def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val counts = pairs.groupBy(col("prev").as("from_type"),
+      col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6).as("p"))
+  }
+
+  /** MATCH_RECOGNIZE-lite event-pattern matching: each user's stream
+    * collapses to a character sequence (one char per event type, in
+    * (ts, event_id) order) and a regex runs over it — here 'v+p'
+    * (one-or-more views directly followed by a purchase, the classic
+    * browse-then-buy motif) plus the longest uninterrupted view run.
+    * This is the compose-don't-build answer to SQL MATCH_RECOGNIZE:
+    * sequence-to-string + regexp_count expresses the same class of
+    * adjacent-pattern queries with engine-native, codegen'd pieces.
+    *
+    * Scale shape: one groupBy(user) with a sort_array of (us, eid,
+    * char) structs — per-group state is the user's OWN event count
+    * (the per-key sequence any sequence matcher must hold; a capped
+    * `slice` bounds it if a key is pathological). No window-function
+    * full sort, no cross-row regex state. Output: (user_id, n_events,
+    * n_conversions, max_view_run nullable).
+    */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val s = struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+      substring(col("event_type"), 1, 1).as("c"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), s.as("s"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("s"))).as("seq"))
+      .select(col("user_id"), size(col("seq")).cast("long").as("n_events"),
+        concat_ws("", transform(col("seq"), x => x.getField("c")).cast("array<string>"))
+          .as("seq_str"))
+      .select(col("user_id"), col("n_events"),
+        regexp_count(col("seq_str"), lit("v+p")).cast("long")
+          .as("n_conversions"),
+        array_max(transform(regexp_extract_all(col("seq_str"), lit("v+"), lit(0)),
+          x => length(x))).cast("long").as("max_view_run"))
+  }
 }

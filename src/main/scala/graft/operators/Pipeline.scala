@@ -215,6 +215,49 @@ object Pipeline {
       .select(col("qid"), col("vec_id"), col("rk"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every doc by
+    * how much more likely its hashed-unigram features are under a
+    * TARGET distribution (here the lang='en' slice — the in-domain
+    * exemplar set) than under the RAW corpus:
+    *   log w(d) = Σ_tokens [ ln p_tgt(b) − ln p_raw(b) ],
+    * with tokens hashed into 256 buckets (b = first 2 hex chars of
+    * md5 — the same engine-parity hash the dedup suite uses) and both
+    * bucket distributions add-1 smoothed. Resampling by these weights
+    * steers a web-scale corpus toward the target domain; the weight
+    * column is exactly what [[temperatureSample]]-style pickers consume.
+    *
+    * Scale shape: the bucket table is FIXED-width (256 rows however
+    * large the corpus), so both distributions reduce to one partial-
+    * aggregated shuffle each and broadcast back over the token stream;
+    * per-doc weights are one doc_id rollup. No stage grows faster than
+    * the token count. Output: (doc_id, n_tokens, log_weight rounded 6).
+    */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en", buckets: Int = 256): DataFrame = {
+    val tb = TextOps.tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("w"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("w").cast("binary")), 1, 2).as("b"))
+    val rawCnt = tb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtCnt = tb.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val counts = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+    val tots = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val logRatio =
+      log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets.toDouble))) -
+        log((col("cr") + lit(1.0)) / (col("tr") + lit(buckets.toDouble)))
+    tb.join(broadcast(counts), Seq("b"))
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), logRatio.as("lw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lw")), 6).as("log_weight"))
+  }
+
   def kSamplePerGroup(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame =
     graft.plans.GraftOps.topKPerGroup(

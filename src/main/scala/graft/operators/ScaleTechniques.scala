@@ -64,6 +64,57 @@ object ScaleTechniques {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Zone-map statistics of the events table under Z-order clustering —
+    * the declared-query face of [[zorderValue]]/[[writeZOrdered]]: every
+    * row maps to the Morton interleave of (user_id, day) low bits, rows
+    * group into `1 << (2*bits - shift)` Z-tiles, and each tile reports
+    * its count and per-dimension envelope. These envelopes ARE the
+    * parquet min/max stats a reader prunes on: a (user × date-range) box
+    * predicate touches only the tiles whose envelope intersects it,
+    * which is the entire value of multi-dimensional clustering at
+    * 100 TB. The interleave is a pure shift/mask Column fold (codegen,
+    * no UDF) and all-integer, so the DuckDB oracle replays it bit-exactly
+    * from a generated expression.
+    *
+    * Scale shape: map-only z computation + one partial-aggregated
+    * shuffle on the tile id; output is tile-count-bounded (≤ 64 here).
+    */
+  def zorderBucketStats(spark: SparkSession, dir: String,
+      bits: Int = 8, shift: Int = 10): DataFrame = {
+    val mask = (1L << bits) - 1
+    val x = col("user_id").bitwiseAND(lit(mask))
+    val d = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      .bitwiseAND(lit(mask))
+    Tables.events(spark, dir)
+      .select(col("user_id"), x.as("x"), d.as("d"))
+      .withColumn("bucket", shiftright(zorderValue(col("x"), col("d"), bits), shift))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+  }
+
+  /** The DuckDB replay of [[zorderBucketStats]]'s interleave, generated
+    * term-by-term so both engines evaluate the identical shift/mask/or
+    * chain (the oracle-parity rule for engine-hash surfaces, applied to
+    * bit arithmetic).
+    */
+  def zorderOracleSql(bits: Int = 8, shift: Int = 10): String = {
+    val mask = (1L << bits) - 1
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"((x & ${1L << i}) << $i)",
+      s"((d & ${1L << i}) << ${i + 1})"))
+    s"""
+      WITH e AS (SELECT (user_id & $mask) AS x,
+                        ((epoch_us(ts) // 86400000000) & $mask) AS d
+                 FROM events),
+      z AS (SELECT x, d, (${terms.mkString(" | ")}) >> $shift AS bucket FROM e)
+      SELECT bucket, count(*) AS n,
+             min(x) AS xmin, max(x) AS xmax,
+             min(d) AS dmin, max(d) AS dmax
+      FROM z GROUP BY bucket"""
+  }
+
   /** Per-file (min, max) envelopes of two columns — the pruning model a
     * stats-based reader applies: a file whose envelope misses the query
     * box is never read. Used by the spec to show the Z-order layout

@@ -553,6 +553,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("mean_nll"))
   }
 
+  /** Bigram-LM surprisal + perplexity — the corpus-trained step up
+    * from [[unigramLogProb]] toward the KenLM filter of a CCNet-style
+    * pipeline: P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), add-1 smoothed
+    * over the corpus vocabulary V, scored as the mean −ln P over each
+    * doc's bigrams plus its exp (perplexity). Fluent in-distribution
+    * text scores low; shuffled/rare-token text scores high — the axis
+    * a quality gate thresholds on.
+    *
+    * Scale shape: the bigram pair stream is emitted by ONE typed
+    * per-partition pass over the raw text (a sliding-window HOF here
+    * would re-evaluate the split per element — the measured Spark 4
+    * trap); counts are two partial-aggregated shuffles (bigram, then
+    * its w1 margin — the context count is derived from the bigram
+    * table, not recounted from the corpus); V reduces to one broadcast
+    * row; scoring is an equi-join back + one doc_id rollup. At 100 TB
+    * you'd cap the head bigram table and bucket the tail as OOV —
+    * plan shape unchanged. Output: (doc_id, n_bigrams, mean_nll
+    * rounded 6, ppl rounded 4) for docs with >= 2 tokens.
+    */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
+      })
+      .toDF("doc_id", "w1", "w2")
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cw = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val v = tokenizedDocs(spark, dir)
+      .select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    pairs.join(cb, Seq("w1", "w2")).join(cw, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (-log((col("cb") + lit(1.0)) / (col("cw") + col("v")))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("mean_nll"),
+        round(exp(avg(col("nll"))), 4).as("ppl"))
+  }
+
   /** TF-IDF top terms per document — the sparse lexical feature a
     * retrieval/clustering pipeline materializes next to the dense
     * embedding: score(d,t) = (tf/dl) · ln(N/df), top `kTerms` per doc

@@ -22,6 +22,23 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count() == 0)
   }
 
+  test("gram coverage equals the brute-force duplicated-shingle rollup") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), Dedup.gramsOf(r.getString(1)).toSet))
+    val docFreq = docs.iterator.flatMap(_._2).toSeq
+      .groupBy(identity).map { case (g, v) => (g, v.size) }
+    val expected = docs.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val dup = gs.count(g => docFreq(g) > 1)
+      (id, gs.size.toLong, dup.toLong,
+        BigDecimal(dup.toDouble / gs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Dedup.gramCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("prefix-filtered mining equals brute-force jaccard (0.5 and 0.8)") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), Dedup.gramsOf(r.getString(1)).toSet))

@@ -462,4 +462,37 @@ class EventOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
+
+  test("type transitions: rows sum to events-minus-users; rows normalize") {
+    val t = EventOps.typeTransitions(spark, sf0001).cache()
+    val nEvents = Tables.events(spark, sf0001).count()
+    val nUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    // every event except each user's first contributes one transition
+    assert(t.agg(sum(col("n"))).head.getLong(0) == nEvents - nUsers)
+    // each from_type's probabilities sum to 1 (rounded)
+    t.groupBy(col("from_type")).agg(sum(col("p")).as("sp")).collect()
+      .foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-4, r.toString))
+    t.unpersist()
+  }
+
+  test("pattern match equals a driver-side regex over ordered sequences") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getString(3).substring(0, 1))))
+    val expect = ev.groupBy(_._1).map { case (uid, g) =>
+      val seq = g.map(_._2).sortBy(e => (e._1, e._2)).map(_._3).mkString
+      val conv = "v+p".r.findAllIn(seq).size.toLong
+      val runs = "v+".r.findAllIn(seq).map(_.length.toLong).toSeq
+      (uid, seq.length.toLong, conv,
+        if (runs.isEmpty) null else runs.max.asInstanceOf[Any])
+    }.toSet
+    val got = EventOps.patternMatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3).asInstanceOf[Any])).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }

@@ -166,4 +166,25 @@ class PipelineSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), plan.take(500))
   }
+
+  test("dsir weights: target-language docs score higher; token counts exact") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+    val w = Pipeline.dsirWeights(spark, sf0001).join(docs, Seq("doc_id")).cache()
+    assert(w.count() == 500)
+    val avgEn = w.filter(col("lang") === "en")
+      .agg(avg(col("log_weight"))).head.getDouble(0)
+    val avgOther = w.filter(col("lang") =!= "en")
+      .agg(avg(col("log_weight"))).head.getDouble(0)
+    assert(avgEn > avgOther,
+      s"importance weighting must favor the target slice ($avgEn vs $avgOther)")
+    // n_tokens is the exact whitespace token count of each doc
+    val bad = w.join(
+      Tables.documents(spark, sf0001)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("nt")),
+      Seq("doc_id"))
+      .filter(col("n_tokens") =!= col("nt")).count()
+    assert(bad == 0)
+    w.unpersist()
+  }
 }

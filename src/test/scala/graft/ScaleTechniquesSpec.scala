@@ -123,4 +123,22 @@ class ScaleTechniquesSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("zorder zone maps: tiles are disjoint 2-D boxes covering all rows") {
+    val tiles = ScaleTechniques.zorderBucketStats(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(tiles.length > 1, "fixture must split into multiple Z-tiles")
+    assert(tiles.map(_._2).sum == Tables.events(spark, sf0001).count())
+    // with bits=8, shift=10 each tile spans < 32 in both dimensions —
+    // the bounded envelope is what makes the zone map prune
+    tiles.foreach { case (b, _, xmin, xmax, dmin, dmax) =>
+      assert(xmax - xmin < 32 && dmax - dmin < 32, s"bucket $b envelope")
+    }
+    // envelope boxes of distinct tiles never overlap (true Z-tiling)
+    for {
+      a <- tiles; b <- tiles if a._1 < b._1
+    } assert(a._3 > b._4 || b._3 > a._4 || a._5 > b._6 || b._5 > a._6,
+      s"tiles ${a._1} and ${b._1} overlap")
+  }
 }

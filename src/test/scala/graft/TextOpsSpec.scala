@@ -556,4 +556,31 @@ class TextOpsSpec extends SparkSpec {
       assert(members.keys.min == rep)
     }
   }
+
+  test("bigram surprisal matches a driver-side add-1 bigram LM") {
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val pairs = texts.flatMap { case (id, w) =>
+      (0 until w.length - 1).map(i => (id, (w(i), w(i + 1))))
+    }
+    val cb = pairs.groupBy(_._2).map { case (k, v) => (k, v.size) }
+    val cw = cb.groupBy(_._1._1).map { case (k, v) => (k, v.values.sum) }
+    val v = texts.iterator.flatMap(_._2).toSet.size
+    val expected = pairs.groupBy(_._1).map { case (id, ps) =>
+      val nlls = ps.map { case (_, bg) =>
+        -math.log((cb(bg) + 1.0) / (cw(bg._1) + v))
+      }
+      id -> (nlls.size.toLong, nlls.sum / nlls.size)
+    }
+    val got = TextOps.bigramSurprisal(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (id, (n, mean, ppl)) =>
+      val (en, emean) = expected(id)
+      assert(n == en, s"doc $id bigram count")
+      assert(math.abs(mean - emean) < 1e-6, s"doc $id mean_nll")
+      assert(math.abs(ppl - math.exp(emean)) < 1e-3, s"doc $id ppl")
+    }
+  }
 }
