@@ -466,6 +466,19 @@ object EventStream {
       d.toString
     }
 
+  /** Materialize both staged source directories (the shared events dir
+    * and the sentinel-augmented outer-join dir) ahead of any streamed
+    * query. Exists for the bench: staging is per-dataset one-time setup
+    * (a parquet copy + sentinel write), so it is charged to its own
+    * bench_build_* row and the eight streamed rows measure the
+    * streaming engine, not file staging.
+    */
+  def prestageSources(spark: SparkSession, dir: String): Unit = {
+    stagedEventsDir(spark, dir)
+    stagedOuterEventsDir(spark, dir)
+    ()
+  }
+
   /** The declared STREAMING-EXECUTED left-outer interval join (oracle:
     * the equivalent batch LEFT JOIN): same two watermarked sides as
     * [[intervalJoinStreamed]], but unmatched errors surface null-padded

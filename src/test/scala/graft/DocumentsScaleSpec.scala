@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Documents-side scale proof (the text twin of [[ScaleSpec]]): generate
+  * a deterministic synthetic corpus at 1x and 10x the sf0.1 document
+  * count — same (doc_id, text, lang, source, n_chars) schema, so every
+  * `dir`-keyed text/dedup entry point runs on it unchanged — with
+  * near-duplicates PLANTED by construction (every 50th doc is a one-word
+  * mutation of its predecessor, 3-gram Jaccard ≈ 0.94), and pin the
+  * dedup properties that matter at 100 TB:
+  *
+  *   - MinHash+LSH surfaces every planted pair at 10x (no recall decay
+  *     with corpus growth) and surfaces essentially ONLY them (the
+  *     banded join does not flood with background candidates);
+  *   - the duplicated-shingle coverage rollup separates planted dups
+  *     from background cleanly at 10x, and stays one-row-per-doc
+  *     (linear output, no pair stage).
+  *
+  * Wall-clock is deliberately not asserted (CI noise) — the asserts are
+  * recall, precision-by-construction, and output cardinality.
+  */
+class DocumentsScaleSpec extends SparkSpec {
+
+  /** Deterministic synthetic corpus. Per-doc RNG is seeded from the
+    * doc id (not the partition), so content is identical under any
+    * partitioning. Docs with `id % 50 == 49` rewrite one word of doc
+    * id−1; everything else is an independent 60–119-word draw from an
+    * 800-word vocabulary (background trigram collisions negligible).
+    */
+  private def generate(spark: SparkSession, n: Int, seed: Long = 11L): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-docscale-$n").toString
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val base = if (id % 50 == 49) id - 1 else id
+        val r = new java.util.Random(seed ^ (base * 0x9E3779B97F4A7CL))
+        val len = 60 + r.nextInt(60)
+        val words = Array.fill(len)("w" + r.nextInt(800))
+        if (id % 50 == 49) {
+          val rm = new java.util.Random(id)
+          words(rm.nextInt(len)) = "m" + rm.nextInt(10)
+        }
+        val text = words.mkString(" ")
+        (id, text, "en", "s" + (id % 7), text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private lazy val dir1x = generate(spark, 5000)   // sf0.1's doc count
+  private lazy val dir10x = generate(spark, 50000) // 10x that
+
+  private def plantedPairs(n: Int): Set[(Long, Long)] =
+    (49L until n by 50L).map(id => (id - 1, id)).toSet
+
+  test("minhash LSH finds every planted near-dup at 1x and 10x, no flood") {
+    for ((dir, n) <- Seq((dir1x, 5000), (dir10x, 50000))) {
+      val got = Dedup.minhashLshPairs(spark, dir, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = plantedPairs(n)
+      assert((planted -- got).isEmpty,
+        s"n=$n missed ${(planted -- got).size} of ${planted.size} planted pairs")
+      // verified output may only exceed planted by accidental >=0.8
+      // background pairs — with independent 60+-word draws there are none
+      assert(got.size <= planted.size + 5,
+        s"n=$n candidate flood: ${got.size} pairs vs ${planted.size} planted")
+    }
+  }
+
+  test("gram coverage separates planted dups from background at 10x") {
+    val n = 50000
+    val cov = Dedup.gramCoverage(spark, dir10x).cache()
+    assert(cov.count() == n, "one row per doc — output stays linear")
+    val flagged = cov.filter(col("dup_coverage") > 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plantedDocs = plantedPairs(n).flatMap(p => Seq(p._1, p._2))
+    assert((plantedDocs -- flagged).isEmpty,
+      s"missed ${(plantedDocs -- flagged).size} planted-dup docs")
+    // background docs share no trigrams by construction: nothing else flags
+    assert((flagged -- plantedDocs).isEmpty,
+      s"false flags: ${(flagged -- plantedDocs).size}")
+    cov.unpersist()
+  }
+}

@@ -35,7 +35,9 @@ class PlanShapeSweepSpec extends SparkSpec {
     "orders_market_basket",       // 1-row order-total attach
     "events_forecast_naive",      // 1-row max-day attach
     "text_tfidf_terms",           // 1-row doc count
-    "text_unigram_logprob")       // 1-row vocab totals
+    "text_unigram_logprob",       // 1-row vocab totals
+    "text_bigram_perplexity",     // 1-row vocab size attach
+    "pipeline_dsir_weights")      // 1-row distribution totals attach
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
