@@ -305,6 +305,8 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprints _,
     "text_pii_scrub"   -> TextOps.redact _,
     "text_repetition"  -> TextOps.repetitionScores _,
+    // unigram-distribution diversity: TTR + Shannon word entropy
+    "text_word_entropy" -> TextOps.wordEntropy _,
     "text_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     // the 100 TB variant: benchmark gram-set as ONE broadcast Bloom
     // filter, corpus flagged in a map-only scan (no shuffle, no gram
@@ -407,6 +409,8 @@ object SparkEntry {
     "orders_customer_ltv" -> Relational.customerLtv _,
     // RFM quartile scoring over the LTV rollup
     "orders_rfm_segments" -> Relational.rfmSegments _,
+    // 80/20 revenue concentration over the customer rollup
+    "orders_revenue_pareto" -> Relational.revenuePareto _,
     // per-source exact-duplicate rate (curation signal)
     "text_dup_rate_by_source" -> TextOps.dupRateBySource _,
     // corpus summary card in long (metric, value) form
@@ -2329,6 +2333,36 @@ object SparkEntry {
              a.last_order_epday,
              a.last_order_epday - a.first_order_epday AS tenure_days
       FROM a JOIN customer c ON a.o_custkey = c.c_custkey""",
+
+    // exact-cents rollup, then global-order windows on the rollup only
+    "orders_revenue_pareto" -> s"""
+      WITH s AS (SELECT o_custkey AS custkey,
+                        CAST(sum(${c100("o_totalprice")}) AS BIGINT) AS cents
+                 FROM orders GROUP BY 1),
+      r AS (SELECT custkey, cents,
+                   row_number() OVER (ORDER BY cents DESC, custkey) AS rk,
+                   sum(cents) OVER (ORDER BY cents DESC, custkey
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(cents) OVER () AS tot
+            FROM s)
+      SELECT custkey, cents / 100.0 AS spend, CAST(rk AS BIGINT) AS rk,
+             round(cum / CAST(tot AS DOUBLE), 6) AS cum_share,
+             CASE WHEN round(cum / CAST(tot AS DOUBLE), 6) <= 0.8
+                  THEN 1 ELSE 0 END AS top80
+      FROM r""",
+
+    // unigram entropy/TTR replay (identical whitespace tokenization)
+    "text_word_entropy" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      c AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+      n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                   count(*) AS types FROM c GROUP BY 1)
+      SELECT doc_id, n AS n_tokens, CAST(types AS BIGINT) AS n_types,
+             round(types / CAST(n AS DOUBLE), 6) AS ttr,
+             round(-sum((c / CAST(n AS DOUBLE))
+               * ln(c / CAST(n AS DOUBLE))), 6) AS entropy
+      FROM c JOIN n USING (doc_id) GROUP BY doc_id, n, types""",
 
     // the LTV CTE re-quartiled with identical custkey tie-breaks
     "orders_rfm_segments" -> s"""

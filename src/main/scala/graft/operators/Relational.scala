@@ -402,6 +402,36 @@ object Relational {
           .as("tenure_days"))
   }
 
+  /** Pareto / Lorenz concentration of revenue over customers: each
+    * customer's exact-cents spend, their rank by (spend desc, custkey),
+    * the cumulative revenue share at that rank, and a top-80% flag —
+    * the 80/20 concentration report every revenue review opens with,
+    * and (on a corpus) the same math that sizes "how many sources
+    * cover 80% of tokens".
+    *
+    * Scale shape: the global-order windows run over the |customers|
+    * ROLLUP (one partial-aggregated shuffle reduces the fact table
+    * first), never over raw orders — ranking a dimension-sized
+    * relation is the acceptable global sort. Exact integer cents make
+    * the cumulative sums order-independent. Output: (custkey, spend,
+    * rk, cum_share rounded 6, top80).
+    */
+  def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ExactNum._
+    val s = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), cents(col("o_totalprice")).as("c"))
+      .groupBy(col("custkey")).agg(sum(col("c")).as("cents"))
+    val ord = Window.orderBy(col("cents").desc, col("custkey"))
+    val cum = sum(col("cents")).over(
+      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col("cents")).over(Window.partitionBy())
+    s.select(col("custkey"), (col("cents") / 100.0).as("spend"),
+        row_number().over(ord).cast("long").as("rk"),
+        round(cum.cast("double") / tot, 6).as("cum_share"))
+      .withColumn("top80",
+        when(col("cum_share") <= 0.8, 1).otherwise(0))
+  }
+
   /** RFM segmentation over the [[customerLtv]] rollup: recency
     * (last-order day), frequency (order count), and monetary (total
     * spend) each quartiled by ntile — the classic CRM scoring grid.

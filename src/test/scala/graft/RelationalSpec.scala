@@ -392,4 +392,23 @@ class RelationalSpec extends SparkSpec {
       assert(v == expect, s"$flag/$measure")
     }
   }
+
+  test("revenue pareto: ranked permutation, monotone shares ending at 1") {
+    val rows = Relational.revenuePareto(spark, sf0001)
+      .orderBy(col("rk")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    val nCust = Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    assert(rows.length == nCust)
+    assert(rows.map(_._3).toSeq == (1L to nCust).toSeq, "rank permutation")
+    // spend non-increasing down the ranking; cumulative share monotone to 1
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2, s"spend not sorted at rk=${b._3}")
+      assert(a._4 <= b._4 + 1e-9, s"cum_share not monotone at rk=${b._3}")
+    case _ => () }
+    assert(math.abs(rows.last._4 - 1.0) < 1e-6, "last share must be 1")
+    // the top80 flag flips exactly once, at the 0.8 boundary
+    assert(rows.forall(r => (r._5 == 1) == (r._4 <= 0.8)))
+  }
 }

@@ -557,6 +557,27 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("word entropy equals a driver-side distribution recompute") {
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val expected = texts.map { case (id, w) =>
+      val counts = w.groupBy(identity).map { case (_, v) => v.size }
+      val n = w.length.toDouble
+      val h = -counts.map(c => c / n * math.log(c / n)).sum
+      id -> (w.length.toLong, counts.size.toLong, counts.size / n, h)
+    }.toMap
+    val got = TextOps.wordEntropy(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (id, (nt, ty, ttr, h)) =>
+      val (ent, ety, ettr, eh) = expected(id)
+      assert(nt == ent && ty == ety, s"doc $id counts")
+      assert(math.abs(ttr - ettr) < 1e-6 && math.abs(h - eh) < 1e-6,
+        s"doc $id ttr/entropy")
+    }
+  }
+
   test("bigram surprisal matches a driver-side add-1 bigram LM") {
     val texts = Tables.documents(spark, sf0001).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
