@@ -339,6 +339,8 @@ object SparkEntry {
     "hybrid_mmr_topk" -> ((s, d) => HybridSearch.mmrTopK(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
+    // the same KMV Aggregator invoked from pure SQL (registered UDAF)
+    "sql_sketch_users" -> ((s, d) => TextOps.sqlSketchUsers(s, d)),
     // HLL++ built-in sketch twin: engine-internal hash -> rows-only,
     // relative-error gated in TextOpsSpec
     "sketch_users_hll" -> ((s, d) => TextOps.hllDistinctUsers(s, d)),
@@ -1358,6 +1360,27 @@ object SparkEntry {
                         ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
              CAST(exact AS BIGINT) AS exact_distinct
       FROM km""",
+    // identical grouped-KMV replay (the UDAF resolves to the same
+    // Aggregator, so the SQL surface shares the oracle)
+    "sql_sketch_users" -> """
+      WITH h AS (SELECT DISTINCT event_type,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                  c -> CAST(unicode(c) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+            FROM events),
+      r AS (SELECT event_type, hv,
+              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM h),
+      km AS (SELECT event_type, count(*) FILTER (rn <= 256) AS kc,
+               max(hv) FILTER (rn <= 256) AS hk, count(*) AS exact
+             FROM r GROUP BY 1)
+      SELECT event_type,
+             round(CASE WHEN kc < 256 THEN CAST(kc AS DOUBLE)
+                        ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
+             CAST(exact AS BIGINT) AS exact_distinct
+      FROM km""",
+
 
     "q1_pricing_summary" -> s"""
       WITH li AS (SELECT l_returnflag, l_linestatus,

@@ -35,7 +35,7 @@ object Relational {
     * (or two concurrent calls) sharing a JVM catalog can never clobber
     * each other's registrations.
     */
-  private def sqlWithViews(spark: SparkSession, views: (String, DataFrame)*)(
+  private[operators] def sqlWithViews(spark: SparkSession, views: (String, DataFrame)*)(
       template: String): DataFrame = {
     val id = viewSeq.incrementAndGet()
     val named = views.map { case (n, df) => (n, s"${n}_$id", df) }

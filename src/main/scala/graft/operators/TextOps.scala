@@ -172,6 +172,31 @@ object TextOps {
         countDistinct(col("h")).as("exact_distinct"))
   }
 
+  /** The KMV sketch invoked FROM SQL: [[graft.functions.KmvDistinct]]
+    * registered as a session UDAF (`spark.udf.register` over
+    * `functions.udaf`) and called in a plain `GROUP BY` statement —
+    * together with the injected scalar Expressions, the
+    * `graft_word_ngrams` Generator, and the DSv1/DSv2 kNN relations
+    * this completes the SQL-facing extension triangle (scalar /
+    * table-valued / aggregate). Same portable-hash contract and
+    * output as [[sketchDistinctUsers]], so the same oracle applies;
+    * the partial-aggregation property (one k-long buffer per group
+    * crosses the shuffle) is identical because SQL resolves to the
+    * very same Aggregator.
+    */
+  def sqlSketchUsers(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    spark.udf.register("graft_kmv_distinct", udaf(graft.functions.KmvDistinct(k)))
+    Relational.sqlWithViews(spark,
+      "events_h" -> Tables.events(spark, dir)
+        .select(col("event_type"),
+          polyHash(col("user_id").cast("string")).as("h")))("""
+      SELECT event_type,
+             round(graft_kmv_distinct(h), 6) AS kmv_estimate,
+             count(DISTINCT h) AS exact_distinct
+      FROM $events_h
+      GROUP BY event_type""")
+  }
+
   /** HyperLogLog++ distinct users per event type — the BUILT-IN
     * mergeable-sketch scale path beside the custom [[graft.functions
     * .KmvDistinct]] Aggregator: `approx_count_distinct` partial-

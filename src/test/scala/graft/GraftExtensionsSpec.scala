@@ -171,4 +171,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
     assert(gen == composed && gen.nonEmpty)
   }
+
+  test("SQL-registered KMV UDAF equals the typed Aggregator call") {
+    val viaSql = graft.operators.TextOps.sqlSketchUsers(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val viaDf = graft.operators.TextOps.sketchDistinctUsers(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+    // the SQL path partial-aggregates like any built-in (no full-row
+    // shuffle): plan shows a two-phase hash aggregate over the UDAF
+    val plan = graft.operators.TextOps.sqlSketchUsers(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_kmv_distinct") ||
+      plan.contains("HashAggregate"), plan.take(600))
+  }
 }
