@@ -474,6 +474,9 @@ object SparkEntry {
       ((s, d) => graft.streaming.EventStream.intervalOuterStreamed(s, d)),
     // label-centroid separation matrix over quantized-exact means
     "emb_centroid_distances" -> ((s, d) => EmbeddingStats.centroidDistances(s, d)),
+    // one-pass distributed covariance PCA (rows-only: no SQL eigensolve;
+    // moments + spectrum pinned in EmbeddingStatsSpec)
+    "emb_pca_variance" -> ((s, d) => EmbeddingStats.pcaVariance(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state

@@ -37,4 +37,45 @@ class EmbeddingStatsSpec extends SparkSpec {
     // separation sanity: all distances strictly positive
     assert(got.values.forall(_ > 0))
   }
+
+  test("jacobi eigensolver recovers known spectra") {
+    // diagonal matrix: eigenvalues are the diagonal
+    val diag = Array.tabulate(5, 5)((i, j) => if (i == j) (i + 1).toDouble else 0.0)
+    val ev1 = EmbeddingStats.jacobiEigenvalues(diag).sorted
+    assert(ev1.zip(Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // 2x2 [[2,1],[1,2]] has eigenvalues 1 and 3
+    val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val ev2 = EmbeddingStats.jacobiEigenvalues(m).sorted
+    assert(math.abs(ev2.head - 1.0) < 1e-9 && math.abs(ev2(1) - 3.0) < 1e-9)
+  }
+
+  test("distributed PCA equals a driver-side covariance eigensolve") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    val mean = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      vecs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j)
+    }
+    val expect = EmbeddingStats.jacobiEigenvalues(cov)
+      .sorted(Ordering[Double].reverse)
+    val total = expect.sum
+    val got = EmbeddingStats.pcaVariance(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 10)
+    got.zipWithIndex.foreach { case ((c, ev, share, _), i) =>
+      assert(c == i + 1)
+      assert(math.abs(ev - expect(i)) < 1e-6, s"component $c eigenvalue")
+      assert(math.abs(share - expect(i) / total) < 1e-6, s"component $c share")
+    }
+    // spectrum properties: non-increasing, non-negative, shares cumulate
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 >= b._2 - 1e-9)
+    case _ => () }
+    assert(got.forall(_._2 >= -1e-9))
+    assert(got.last._4 <= 1.0 + 1e-6)
+  }
 }
