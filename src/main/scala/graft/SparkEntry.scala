@@ -307,6 +307,8 @@ object SparkEntry {
     "text_repetition"  -> TextOps.repetitionScores _,
     // unigram-distribution diversity: TTR + Shannon word entropy
     "text_word_entropy" -> TextOps.wordEntropy _,
+    // rank-frequency OLS (Zipf) corpus-health diagnostic
+    "text_zipf_fit" -> ((s, d) => TextOps.zipfFit(s, d)),
     "text_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     // the 100 TB variant: benchmark gram-set as ONE broadcast Bloom
     // filter, corpus flagged in a map-only scan (no shuffle, no gram
@@ -372,6 +374,8 @@ object SparkEntry {
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
     // first-order event-type Markov transitions per user stream
     "events_type_transitions" -> EventOps.typeTransitions _,
+    // CUSUM changepoint per type over daily revenue (exact-integer S)
+    "events_cusum_changepoint" -> EventOps.cusumChangepoint _,
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
     "events_pattern_match" -> EventOps.patternMatch _,
     "events_quantiles" -> EventOps.valueQuantiles _,
@@ -2199,6 +2203,44 @@ object SparkEntry {
       SELECT prev AS from_type, event_type AS to_type, count(*) AS n,
              round(count(*) / (sum(count(*)) OVER (PARTITION BY prev)), 6) AS p
       FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type""",
+
+    // integer-cleared CUSUM replay: S' = n*cumsum - t*total, all BIGINT
+    "events_cusum_changepoint" -> s"""
+      WITH daily AS (SELECT event_type, (epoch_us(ts) // 86400000000) AS day,
+                            CAST(sum(${c100("value")}) AS BIGINT) AS dc
+                     FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(sum(dc) AS BIGINT) AS sx, count(*) AS nd
+              FROM daily GROUP BY 1),
+      sc AS (SELECT d.event_type, d.day, tt.nd, tt.sx,
+                    row_number() OVER (PARTITION BY d.event_type
+                      ORDER BY d.day) AS ti,
+                    sum(d.dc) OVER (PARTITION BY d.event_type ORDER BY d.day
+                      ROWS UNBOUNDED PRECEDING) AS cum
+             FROM daily d JOIN tot tt USING (event_type)),
+      s2 AS (SELECT event_type, day, nd, (nd * cum - ti * sx) AS s FROM sc),
+      pick AS (SELECT event_type, day, nd, s,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY abs(s) DESC, day) AS rk FROM s2)
+      SELECT event_type, day AS change_day,
+             round(abs(s) / (nd * 100.0), 6) AS peak_dev
+      FROM pick WHERE rk = 1""",
+
+    // identical ln-moment OLS over the same (freq desc, token) top-N
+    "text_zipf_fit" -> """
+      WITH f AS (SELECT w AS t, count(*) AS f
+                 FROM (SELECT unnest(string_split(text, ' ')) AS w
+                       FROM documents)
+                 GROUP BY 1),
+      r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS rk
+            FROM f ORDER BY f DESC, t LIMIT 200),
+      m AS (SELECT count(*) AS n, sum(ln(rk)) AS sx, sum(ln(f)) AS sy,
+                   sum(ln(rk) * ln(rk)) AS sxx, sum(ln(rk) * ln(f)) AS sxy
+            FROM r)
+      SELECT CAST(n AS BIGINT) AS n_ranks,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+               / n, 6) AS intercept
+      FROM m""",
 
     "events_pattern_match" -> """
       WITH s AS (

@@ -644,6 +644,49 @@ object EventOps {
         round(z, 6).as("z"))
   }
 
+  /** CUSUM changepoint detection per event type over the daily revenue
+    * series: the day T maximizing |S_T|, where
+    * S_T = Σ_{t≤T} (x_t − x̄) is the cumulative deviation from the
+    * series mean — the classic offline changepoint statistic (a level
+    * shift makes |S| peak at the shift). Reported per type with the
+    * normalized peak deviation.
+    *
+    * Exactness across engines: multiplying through by n_days clears
+    * the rational mean — S'_T = n·Σ_{t≤T} x_t − T·Σx is INTEGER cents
+    * arithmetic end to end, so the argmax and the hash-checked score
+    * are deterministic in any accumulation order (the same trick as
+    * ExactNum money sums). |S'| fits a long comfortably at any fixture
+    * scale (≤ days × total-cents).
+    *
+    * Scale shape: the windows run over the (type, day) ROLLUP — one
+    * partial-aggregated shuffle reduces raw events first; the
+    * per-type series is days-sized however many events exist.
+    * Output: (event_type, change_day, peak_dev rounded 6).
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("dc")).as("sx"), count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val scored = daily.join(broadcast(totals), Seq("event_type"))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("dc")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("s", col("nd") * col("cum") - col("t") * col("sx"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("day").asc)
+    scored.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("change_day"),
+        round(abs(col("s")).cast("double") / (col("nd") * 100.0), 6)
+          .as("peak_dev"))
+  }
+
   /** First-order Markov transition matrix of event types per user
     * stream: for every (prev → next) adjacent pair in each user's
     * (ts, event_id)-ordered sequence, the transition count and its

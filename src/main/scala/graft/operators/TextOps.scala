@@ -172,6 +172,38 @@ object TextOps {
         countDistinct(col("h")).as("exact_distinct"))
   }
 
+  /** Zipf-law fit of the corpus token distribution: OLS of ln(freq) on
+    * ln(rank) over the top `topN` tokens — natural corpora slope to
+    * ≈ −1; a slope far from it flags templated/synthetic text, making
+    * this a one-number corpus-health diagnostic next to the per-doc
+    * quality scores.
+    *
+    * Scale shape: one token-frequency shuffle (partial-aggregated),
+    * a bounded top-N by (freq desc, token asc) — NOT a global sort of
+    * the vocabulary — then the OLS moments reduce to ONE scalar row.
+    * Output: one row (n_ranks, slope rounded 6, intercept rounded 6).
+    */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 200): DataFrame = {
+    val freq = tokenizedDocs(spark, dir)
+      .select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .orderBy(col("f").desc, col("t").asc).limit(topN)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("f").desc, col("t").asc)))
+    val x = log(col("rk").cast("double"))
+    val y = log(col("f").cast("double"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+      .select(col("n").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
+
   /** The KMV sketch invoked FROM SQL: [[graft.functions.KmvDistinct]]
     * registered as a session UDAF (`spark.udf.register` over
     * `functions.udaf`) and called in a plain `GROUP BY` statement —

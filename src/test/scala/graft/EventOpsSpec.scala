@@ -463,6 +463,32 @@ class EventOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("cusum changepoint equals a driver-side exact-integer recompute") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, rows) =>
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3))
+      val sx = series.map(_._2).sum
+      val nd = series.length.toLong
+      var cum = 0L
+      val s = series.zipWithIndex.map { case ((day, dc), i) =>
+        cum += dc
+        (day, nd * cum - (i + 1).toLong * sx)
+      }
+      val (day, peak) = s.minBy { case (d, v) => (-math.abs(v), d) }
+      t -> (day, BigDecimal(math.abs(peak).toDouble / (nd * 100.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = EventOps.cusumChangepoint(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("type transitions: rows sum to events-minus-users; rows normalize") {
     val t = EventOps.typeTransitions(spark, sf0001).cache()
     val nEvents = Tables.events(spark, sf0001).count()

@@ -557,6 +557,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("zipf fit equals a driver-side rank-frequency OLS") {
+    val freq = Tables.documents(spark, sf0001).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (t, v) => (t, v.size.toLong) }
+    val ranked = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(200)
+      .zipWithIndex.map { case ((_, f), i) => (i + 1, f) }
+    val n = ranked.size.toDouble
+    val xs = ranked.map { case (rk, _) => math.log(rk.toDouble) }
+    val ys = ranked.map { case (_, f) => math.log(f.toDouble) }
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val r = TextOps.zipfFit(spark, sf0001).head()
+    assert(r.getLong(0) == ranked.size.toLong)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6, "slope")
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-6, "intercept")
+  }
+
   test("word entropy equals a driver-side distribution recompute") {
     val texts = Tables.documents(spark, sf0001).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
