@@ -61,6 +61,8 @@ object Bench {
         () => SparkEntry.queries("knn_ivfpq_batch")(spark, sfDir).count()),
       timed("bench_build_rp",
         () => SparkEntry.queries("knn_rp_batch")(spark, sfDir).count()),
+      timed("bench_build_pca",
+        () => SparkEntry.queries("knn_pca_batch")(spark, sfDir).count()),
       timed("bench_build_sq",
         () => SparkEntry.queries("knn_sq_batch")(spark, sfDir).count()),
       timed("bench_build_mrl",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, PqKnn, RandomProjection, SqKnn}
+import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, PcaKnn, PqKnn, RandomProjection, SqKnn}
 import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Profiling, Relational, ScaleTechniques, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -66,6 +66,7 @@ object SparkEntry {
   private val pqBatch    = memoBatch("pq", PqKnn.topKBatch(_, _))
   private val ivfpqBatch = memoBatch("ivfpq", IvfPqKnn.topKBatch(_, _))
   private val rpBatch    = memoBatch("rp", RandomProjection.topKBatch(_, _))
+  private val pcaBatch   = memoBatch("pca", PcaKnn.topKBatch(_, _))
   private val bqBatch    = memoBatch("bq", BinaryQuantKnn.topKBatch(_, _))
   private val sqBatch    = memoBatch("sq", SqKnn.topKBatch(_, _))
   private val mrlBatch   = memoBatch("mrl", MatryoshkaKnn.topKBatch(_, _))
@@ -181,6 +182,11 @@ object SparkEntry {
     "knn_rp_batch" -> rpBatch,
     "eval_recall_rp" -> ((s, d) => Evaluation.recall(
       rpBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // data-dependent projection twin: covariance-eigenbasis reduction
+    "knn_pca_batch" -> pcaBatch,
+    "eval_recall_pca" -> ((s, d) => Evaluation.recall(
+      pcaBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     "knn_pq_batch" -> pqBatch,
     // PQ build -> save -> load -> search (bit-equal to the in-memory

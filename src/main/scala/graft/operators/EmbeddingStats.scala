@@ -70,10 +70,15 @@ object EmbeddingStats {
     * distributed moments against a driver recompute and the Jacobi
     * spectrum against known matrices.
     */
-  def pcaVariance(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
-    import spark.implicits._
-    val vecs = Tables.embeddings(spark, dir)
-      .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+  /** One-pass distributed sample covariance of an array-column
+    * relation: per-partition (n, Σv, Σvvᵀ) partials — d + d² doubles of
+    * state each — reduced driver-side. The fact table never shuffles;
+    * the driver holds d×d numbers at any row count. Shared by
+    * [[pcaVariance]] and the PCA-projected search family.
+    */
+  private[graft] def covariance(vecs: org.apache.spark.sql.Dataset[Seq[Double]])
+      : (Long, Array[Array[Double]]) = {
+    import vecs.sparkSession.implicits._
     val partials = vecs.mapPartitions { it =>
       var n = 0L
       var s: Array[Double] = null
@@ -93,7 +98,7 @@ object EmbeddingStats {
       }
       if (n == 0) Iterator.empty else Iterator.single((n, s, g))
     }.collect()
-    require(partials.nonEmpty, s"no embeddings under $dir")
+    require(partials.nonEmpty, "no vectors to aggregate")
     val d = partials.head._2.length
     val n = partials.map(_._1).sum
     val s = new Array[Double](d)
@@ -110,6 +115,14 @@ object EmbeddingStats {
       val c = g(i * d + j) / n - (s(i) / n) * (s(j) / n)
       cov(i)(j) = c; cov(j)(i) = c
     }
+    (n, cov)
+  }
+
+  def pcaVariance(spark: SparkSession, dir: String, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+    val (_, cov) = covariance(vecs)
     val eigs = jacobiEigenvalues(cov).sorted(Ordering[Double].reverse)
     val total = eigs.sum
     def r6(x: Double): Double =
@@ -128,9 +141,21 @@ object EmbeddingStats {
     * vanishes; the input array is copied, not mutated.
     */
   private[graft] def jacobiEigenvalues(m0: Array[Array[Double]],
-      maxSweeps: Int = 64, tol: Double = 1e-12): Seq[Double] = {
+      maxSweeps: Int = 64, tol: Double = 1e-12): Seq[Double] =
+    jacobiEigen(m0, maxSweeps, tol)._1
+
+  /** Full symmetric eigendecomposition by cyclic Jacobi: returns
+    * (eigenvalues, V) where COLUMN i of V is the unit eigenvector of
+    * eigenvalue i (V accumulates the same plane rotations applied to
+    * the matrix, so V is orthonormal by construction). The input is
+    * copied, not mutated.
+    */
+  private[graft] def jacobiEigen(m0: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-12)
+      : (Seq[Double], Array[Array[Double]]) = {
     val d = m0.length
     val a = Array.tabulate(d, d)((i, j) => m0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = Double.MaxValue
     while (sweep < maxSweeps && off > tol) {
@@ -155,10 +180,15 @@ object EmbeddingStats {
             a(p)(k) = c * apk - sn * aqk
             a(q)(k) = sn * apk + c * aqk
           }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - sn * vkq
+            v(k)(q) = sn * vkp + c * vkq
+          }
         }
       }
       sweep += 1
     }
-    (0 until d).map(i => a(i)(i))
+    ((0 until d).map(i => a(i)(i)), v)
   }
 }
