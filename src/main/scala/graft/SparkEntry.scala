@@ -361,6 +361,8 @@ object SparkEntry {
     "pipeline_temperature_sample" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     // DSIR hashed-unigram importance weights (target = lang 'en')
     "pipeline_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
+    // Efraimidis-Spirakis weighted k-sample (weight = token count)
+    "pipeline_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -901,6 +903,25 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS mean_nll,
              round(exp(avg(nll)), 4) AS ppl
       FROM sc GROUP BY doc_id""",
+
+    // the full A-ES draw replayed: same polyHash uniform, same rounded
+    // key, same (key desc, doc_id) ranking
+    "pipeline_weighted_sample" -> """
+      WITH d AS (SELECT doc_id, lang,
+                        len(string_split(text, ' ')) AS w,
+                        list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(
+                            CAST(doc_id AS VARCHAR) || ':wsample', ''),
+                            c -> CAST(unicode(c) AS BIGINT))),
+                          (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+                 FROM documents),
+      s AS (SELECT lang, doc_id, CAST(w AS BIGINT) AS n_tokens,
+                   round(ln((h + 1.0) / 1000000008.0) / w, 9) AS es_key
+            FROM d)
+      SELECT lang, doc_id, n_tokens, es_key,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY es_key DESC, doc_id) AS INT) AS rk
+      FROM s QUALIFY rk <= 20""",
 
     // DSIR log-importance weights over md5-bucketed unigram features
     "pipeline_dsir_weights" -> """

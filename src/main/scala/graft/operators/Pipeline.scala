@@ -258,6 +258,40 @@ object Pipeline {
         round(sum(col("lw")), 6).as("log_weight"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006):
+    * per language, the `k` docs with the largest ln(u)/w — drawing
+    * probability proportional to weight w (here the token count, the
+    * "sample long docs more" corpus policy; any positive score column
+    * drops in, e.g. exp of the DSIR log-weight). u is a DETERMINISTIC
+    * uniform derived from the portable polynomial hash of the doc id —
+    * the same reproducibility contract as every sampler here: re-runs
+    * and retried tasks pick identical rows, and the DuckDB oracle
+    * replays the full draw.
+    *
+    * Scale shape: map-only scoring + the two-phase bounded heap
+    * ([[graft.plans.TopKPerGroup]]) — per-partition state is
+    * groups × k, no sort, no shuffle of losers. The A-ES key makes
+    * weighted-without-replacement a plain top-k, which is the entire
+    * trick. Keys are rounded to 9dp BEFORE ranking on both engines so
+    * the order (with the doc_id tie-break) is engine-exact.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val P = 1000000007L
+    val h = TextOps.polyHash(
+      concat(col("doc_id").cast("string"), lit(":wsample")))
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h.as("h"))
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        round(log((col("h") + lit(1.0)) / lit((P + 1).toDouble))
+          / col("n_tokens"), 9).as("es_key"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("lang"),
+      Seq("es_key" -> false, "doc_id" -> true), k, partialFirst = true)
+      .select(col("lang"), col("doc_id"), col("n_tokens"),
+        col("es_key"), col("rk"))
+  }
+
   def kSamplePerGroup(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame =
     graft.plans.GraftOps.topKPerGroup(

@@ -167,6 +167,31 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"), plan.take(500))
   }
 
+  test("weighted sample equals a driver-side A-ES draw; heap-planned") {
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % P)
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong))
+    val expect = docs.map { case (id, lang, w) =>
+      val u = (polyHash(s"$id:wsample") + 1.0) / (P + 1.0)
+      val key = BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (lang, id, w, key)
+    }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.toSeq.sortBy(e => (-e._4, e._2)).take(20).zipWithIndex
+        .map { case ((lang, id, w, key), i) => (lang, id, w, key, i + 1) }
+    }.toSet
+    val df = Pipeline.weightedSample(spark, sf0001)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(got == expect && got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(500))
+  }
+
   test("dsir weights: target-language docs score higher; token counts exact") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
     val w = Pipeline.dsirWeights(spark, sf0001).join(docs, Seq("doc_id")).cache()
