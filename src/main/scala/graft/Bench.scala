@@ -82,6 +82,8 @@ object Bench {
         () => knn.PqKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_ivfpq_ckpt",
         () => knn.IvfPqKnn.topKBatchLifecycle(spark, sfDir).count()),
+      timed("bench_build_pca_ckpt",
+        () => knn.PcaKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_langid",
         () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
       timed("bench_build_norm_emb",

@@ -185,6 +185,8 @@ object SparkEntry {
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     // data-dependent projection twin: covariance-eigenbasis reduction
     "knn_pca_batch" -> pcaBatch,
+    // train -> save -> load -> search over the persisted basis/projection
+    "knn_pca_lifecycle" -> ((s, d) => PcaKnn.topKBatchLifecycle(s, d)),
     "eval_recall_pca" -> ((s, d) => Evaluation.recall(
       pcaBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),

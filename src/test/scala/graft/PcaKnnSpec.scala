@@ -39,4 +39,12 @@ class PcaKnnSpec extends SparkSpec {
       assert(g.map(_.getInt(3)).sorted.sameElements(1 to 5))
     }
   }
+
+  test("lifecycle search is bit-equal to the in-memory index") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getInt(3))
+    val mem = PcaKnn.topKBatch(spark, sf0001).collect().sortBy(key)
+    val ckpt = PcaKnn.topKBatchLifecycle(spark, sf0001).collect().sortBy(key)
+    assert(mem.sameElements(ckpt) && mem.nonEmpty)
+  }
 }
