@@ -486,19 +486,41 @@ object Relational {
     */
   def marketBasketBrands(spark: SparkSession, dir: String,
       minSupport: Int = 50): DataFrame = {
-    val ob = Tables.lineitem(spark, dir)
+    import spark.implicits._
+    // ONE lineitem pass: brand sets per order (the basket relation),
+    // then a single typed flatMap emits every counting key at once —
+    // a total marker per basket, an item marker per distinct brand,
+    // and the ordered brand pairs — so support, item frequencies, and
+    // pair counts all come out of ONE map-side-combined shuffle with
+    // <= 1 + |brands| + |brands|^2/2 reduce keys. (The previous form
+    // re-derived the distinct (order, brand) relation once per
+    // aggregate and self-joined it for pairs — three scans and a join
+    // where one pass suffices.) Marker strings use '§', impossible in
+    // a 'Brand#NN' value.
+    val sets = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)
         .select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-      .distinct()
-    val total = ob.agg(countDistinct(col("o")).as("total"))
-    val item = ob.groupBy(col("b")).agg(count(lit(1)).as("n_item"))
-    val pairs = ob.toDF("o", "ba").join(ob.toDF("o", "bb"), Seq("o"))
-      .filter(col("ba") < col("bb"))
-      .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minSupport)
-    pairs
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("bs"))
+    val counts = sets.select(col("bs")).as[Seq[String]]
+      .mapPartitions(_.flatMap { bs0 =>
+        val bs = bs0.sorted
+        val pairs = for {
+          i <- bs.indices.iterator; j <- (i + 1) until bs.length
+        } yield (bs(i), bs(j))
+        Iterator.single(("§T", "§T")) ++
+          bs.iterator.map(b => (b, "§I")) ++ pairs
+      })
+      .toDF("ba", "bb")
+      .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("n"))
+    val total = counts.filter(col("ba") === "§T")
+      .select(col("n").as("total"))
+    val item = counts.filter(col("bb") === "§I")
+      .select(col("ba").as("b"), col("n").as("n_item"))
+    counts.filter(col("ba") =!= "§T" && col("bb") =!= "§I" &&
+        col("n") >= minSupport)
+      .select(col("ba"), col("bb"), col("n").as("n_ab"))
       .join(broadcast(item.toDF("ba", "n_a")), Seq("ba"))
       .join(broadcast(item.toDF("bb", "n_b")), Seq("bb"))
       .crossJoin(broadcast(total))
