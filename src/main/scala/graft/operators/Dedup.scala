@@ -170,13 +170,27 @@ object Dedup {
     */
   def containmentPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.6): DataFrame = {
-    val e = gramHashSets(spark, dir)
+    import spark.implicits._
+    // one grouped shuffle on the gram hash; each gram's (doc, setsize)
+    // posting list emits its ordered doc pairs in a typed flatMap —
+    // the same candidate stream as the former per-gram self-join,
+    // minus one full shuffle of the exploded relation and the join
+    // (the posting list IS the join's per-key block). The production
+    // df-cap on ultra-hot grams drops into the same flatMap.
+    val pairs = gramHashSets(spark, dir)
       .select(col("doc_id"), size(col("ghashes")).as("ng"),
         explode(col("ghashes")).as("gh"))
-    val a = e.toDF("doc_a", "na", "gh")
-    val b = e.toDF("doc_b", "nb", "gh")
-    a.join(b, Seq("gh"))
-      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("gh"))
+      .agg(collect_list(struct(col("doc_id"), col("ng"))).as("ds"))
+      .select(col("ds")).as[Seq[(Long, Int)]]
+      .mapPartitions(_.flatMap { ds0 =>
+        val ds = ds0.sortBy(_._1)
+        for {
+          i <- ds.indices.iterator; j <- (i + 1) until ds.length
+        } yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
+      })
+      .toDF("doc_a", "doc_b", "na", "nb")
+    pairs
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max(col("na")).as("na"),
         max(col("nb")).as("nb"))
