@@ -168,7 +168,10 @@ object IvfKnn {
     index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cid", "emb")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.assigned.write.mode("overwrite")
+    // co-locate each cluster before the hive-partitioned write: one
+    // file per cid instead of tasks x cids small files (the write-time
+    // twin of the probe-side partition pruning)
+    index.assigned.repartition(col("cid")).write.mode("overwrite")
       .partitionBy("cid").parquet(s"$path/assigned")
   }
 

@@ -111,7 +111,8 @@ object IvfPqKnn {
       yield (j, c, cb.dim, cb.books(j)(c).toSeq)
     cbRows.toDF("j", "c", "dim", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    lists.write.mode("overwrite").partitionBy("cid")
+    // one file per cid, not tasks x cids (see IvfKnn.saveIndex)
+    lists.repartition(col("cid")).write.mode("overwrite").partitionBy("cid")
       .parquet(s"$path/lists")
   }
 
