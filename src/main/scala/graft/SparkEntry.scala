@@ -491,6 +491,8 @@ object SparkEntry {
     // one-pass distributed covariance PCA (rows-only: no SQL eigensolve;
     // moments + spectrum pinned in EmbeddingStatsSpec)
     "emb_pca_variance" -> ((s, d) => EmbeddingStats.pcaVariance(s, d)),
+    // label-conditional outlier screen (farthest-from-own-centroid)
+    "emb_outlier_topk" -> ((s, d) => EmbeddingStats.outlierTopK(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state
@@ -2751,6 +2753,28 @@ object SparkEntry {
 
     // centroids from integer-quantized coordinates (exact BIGINT sums
     // in any accumulation order), distance as a fixed-order list fold
+    // same quantized centroids, then the per-vector distance fold and
+    // the global (dist desc, vec_id) top-20
+    "emb_outlier_topk" -> """
+      WITH d AS (SELECT label, CAST(i AS INT) AS dim,
+                        CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                          * 1000000) AS BIGINT) AS qv
+                 FROM embeddings, range(1, 65) t(i)
+                 WHERE i <= len(embedding)),
+      c AS (SELECT label, dim,
+                   CAST(sum(qv) AS DOUBLE) / (count(*) * 1000000) AS m
+            FROM d GROUP BY 1, 2),
+      l AS (SELECT label, list(m ORDER BY dim) AS cv FROM c GROUP BY 1),
+      s AS (SELECT e.vec_id, e.label,
+                   round(sqrt(list_sum(list_transform(
+                     list_zip(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE)), l.cv),
+                     z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+            FROM embeddings e JOIN l USING (label))
+      SELECT vec_id, label, dist,
+             CAST(row_number() OVER (ORDER BY dist DESC, vec_id) AS INT) AS rk
+      FROM s QUALIFY rk <= 20""",
+
     "emb_centroid_distances" -> """
       WITH d AS (SELECT label, CAST(i AS INT) AS dim,
                         CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)

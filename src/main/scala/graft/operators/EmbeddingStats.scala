@@ -49,6 +49,53 @@ object EmbeddingStats {
           lit(0d), (acc, x) => acc + x)), 6).as("centroid_dist"))
   }
 
+  /** Label-conditional outlier screen: the `k` vectors farthest from
+    * their own label's centroid — the mislabel / out-of-distribution
+    * curation signal a labeled embedding corpus is swept with before
+    * training (SemDeDup's cluster geometry, pointed at anomalies
+    * instead of duplicates). Output: (vec_id, label, dist rounded 6,
+    * rk), ranked (dist desc, vec_id) via the bounded heap.
+    *
+    * Exactness across engines: centroids use the same
+    * quantize-then-sum integer means as [[centroidDistances]], and the
+    * per-vector distance is the fixed-order array fold every declared
+    * distance uses — so the DuckDB oracle replays the whole screen.
+    *
+    * Scale shape: one (label, dim) partial-aggregated shuffle for the
+    * centroids (|labels|·d rows), centroids broadcast back over ONE
+    * map-only pass of the vectors, and the global top-k through
+    * [[graft.plans.TopKPerGroup]] — no per-label sort, no pair stage.
+    */
+  def outlierTopK(spark: SparkSession, dir: String, k: Int = 20,
+      q: Long = 1000000L): DataFrame = {
+    val perDim = Tables.embeddings(spark, dir)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("v") * q, 0).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("sq").cast("double") / (col("n") * q)).as("m"))
+    val cent = perDim.groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("c"))
+    val scored = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0d), (acc, x) => acc + x)), 6).as("dist"))
+    // constant group key = global top-k through the same bounded heap;
+    // partialFirst prunes map-side so the single reducer sees <= k rows
+    // per input partition, not the corpus
+    graft.plans.GraftOps.topKPerGroup(scored.withColumn("g", lit(1)),
+      Seq("g"), Seq("dist" -> false, "vec_id" -> true), k,
+      partialFirst = true)
+      .select(col("vec_id"), col("label"), col("dist"), col("rk"))
+  }
+
   /** Distributed PCA of the embedding cloud via the covariance method —
     * the spectral diagnostic a vector pipeline reads before choosing a
     * reduced dimension (how many Matryoshka/PQ dims carry the

@@ -38,6 +38,38 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(got.values.forall(_ > 0))
   }
 
+  test("outlier top-k equals a driver-side centroid-distance ranking") {
+    val q = 1000000L
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val dims = rows.head._3.length
+    val cents = rows.groupBy(_._2).map { case (lbl, g) =>
+      lbl -> Array.tabulate(dims) { d =>
+        g.map(r => math.round(r._3(d) * q)).sum.toDouble / (g.length * q)
+      }
+    }
+    val expect = rows.map { case (id, lbl, v) =>
+      val c = cents(lbl)
+      val dist = math.sqrt((0 until dims).map { i =>
+        val x = v(i) - c(i); x * x
+      }.sum)
+      (id, lbl, BigDecimal(dist).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(e => (-e._3, e._1)).take(20)
+      .zipWithIndex.map { case ((id, l, d), i) => (id, l, d, i + 1) }.toSeq
+    val got = EmbeddingStats.outlierTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._4).toSeq
+    assert(got == expect && got.nonEmpty)
+    // the global heap runs two-phase (map-side prune feeds one reducer)
+    val plan = EmbeddingStats.outlierTopK(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(500))
+  }
+
   test("jacobi eigensolver recovers known spectra") {
     // diagonal matrix: eigenvalues are the diagonal
     val diag = Array.tabulate(5, 5)((i, j) => if (i == j) (i + 1).toDouble else 0.0)
