@@ -670,10 +670,13 @@ object EventOps {
         cents(col("value")).as("c"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("c")).as("dc"))
-    val totals = daily.groupBy(col("event_type"))
-      .agg(sum(col("dc")).as("sx"), count(lit(1)).as("nd"))
+    // per-type totals as whole-partition windows over the days-sized
+    // rollup — one events pass total (a groupBy+join would scan twice)
+    val wAll = Window.partitionBy(col("event_type"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val scored = daily.join(broadcast(totals), Seq("event_type"))
+    val scored = daily
+      .withColumn("sx", sum(col("dc")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
       .withColumn("t", row_number().over(w).cast("long"))
       .withColumn("cum", sum(col("dc")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -241,11 +241,12 @@ object Pipeline {
         Seq("doc_id"))
       .select(col("doc_id"), col("lang"),
         substring(md5(col("w").cast("binary")), 1, 2).as("b"))
-    val rawCnt = tb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtCnt = tb.filter(col("lang") === targetLang)
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val counts = rawCnt.join(tgtCnt, Seq("b"), "left")
-      .na.fill(0L, Seq("ct"))
+    // both distributions from ONE pass over the token stream: the
+    // target count is a conditional sum inside the same 256-key
+    // aggregate (a separate filtered groupBy would re-tokenize)
+    val counts = tb.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("ct"))
     val tots = counts.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val logRatio =
       log((col("ct") + lit(1.0)) / (col("tt") + lit(buckets.toDouble))) -
