@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, PcaKnn, PqKnn, RandomProjection, SqKnn}
-import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Profiling, Relational, ScaleTechniques, TemporalJoins, TextOps}
+import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Profiling, Relational, ScaleTechniques, Stats, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator from SURVEY.md §2 appears in [[queries]];
@@ -466,9 +466,20 @@ object SparkEntry {
     "text_quality_by_source" -> TextOps.qualityBySource _,
     // co-purchase graph: ordered-edge triangle census
     "graph_triangles" -> ((s, d) => GraphOps.triangleCensus(s, d)),
+    // single-source BFS distances over the co-purchase graph
+    // (Pregel-style frontier join + min fold per round)
+    "graph_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
     // edit-distance similarity self-join over the token vocabulary
     // (FastSS deletion-neighborhood blocking equi-join, never cartesian)
     "text_fuzzy_word_pairs" -> ((s, d) => TextOps.fuzzyWordPairs(s, d)),
+    // prefix-blocked Jaro-Winkler linkage via the SQL-registered
+    // custom codegen Expression (graft_jaro_winkler)
+    "text_jaro_winkler_pairs" -> ((s, d) => TextOps.jaroWinklerPairs(s, d)),
+    // one-pass Pearson correlation matrix over exact decimal moments
+    "stats_correlation_matrix" -> ((s, d) => Stats.correlationMatrix(s, d)),
+    // chi-square independence of priority x segment (window totals,
+    // exact integer-micros statistic)
+    "stats_chi_square" -> ((s, d) => Stats.chiSquareIndependence(s, d)),
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
@@ -2734,6 +2745,116 @@ object SparkEntry {
              (SELECT count(*) FROM e e1
               JOIN e e2 ON e2.u = e1.v
               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""",
+
+    // bounded WITH RECURSIVE walk, UNION-dedup on (node, hop), then
+    // min(hop) per node — the same BFS the frontier loop computes
+    "graph_shortest_paths" -> """
+      WITH RECURSIVE cp AS (SELECT DISTINCT o.o_custkey AS c,
+                                   l.l_partkey AS p
+                  FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+            JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      walk(node, d) AS (
+        SELECT min(u), 0 FROM e
+        UNION
+        SELECT b.v, w.d + 1 FROM walk w JOIN bidir b ON b.u = w.node
+        WHERE w.d < 4)
+      SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS d
+      FROM walk GROUP BY node""",
+
+    // same candidate blocking (2-char prefix + length band), DuckDB's
+    // native jaro_winkler_similarity (same standard definition: 0.7
+    // boost threshold, 4-char prefix cap, p=0.1); both sides filter
+    // on the ROUNDED value so a last-ulp difference cannot flip
+    // membership at the threshold
+    "text_jaro_winkler_pairs" -> """
+      WITH v AS (
+        SELECT DISTINCT lower(w) AS w FROM (
+          SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+          UNION ALL SELECT unnest(string_split(p_type, ' ')) FROM part
+          UNION ALL SELECT n_name FROM nation
+          UNION ALL SELECT r_name FROM region)
+        WHERE length(w) >= 4)
+      SELECT a.w AS w1, b.w AS w2,
+             round(jaro_winkler_similarity(a.w, b.w), 6) AS jw
+      FROM v a JOIN v b
+        ON substr(a.w, 1, 2) = substr(b.w, 1, 2)
+       AND a.w < b.w
+       AND abs(length(a.w) - length(b.w)) <= 2
+      WHERE round(jaro_winkler_similarity(a.w, b.w), 6) >= 0.92""",
+
+    // identical exact-integer moments (DuckDB integer sums promote to
+    // HUGEINT; Spark sums DECIMAL(38,0)) and the identical final
+    // double formula — corr is scale-invariant so cent-space == raw
+    "stats_correlation_matrix" -> """
+      WITH q AS (SELECT CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+                        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS e,
+                        CAST(round(l_discount * 100, 0) AS BIGINT) AS dd,
+                        CAST(round(l_tax * 100, 0) AS BIGINT) AS t
+                 FROM lineitem),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(q) AS s_q, sum(e) AS s_e, sum(dd) AS s_d,
+                   sum(t) AS s_t,
+                   sum(q*q) AS ss_q, sum(e*e) AS ss_e, sum(dd*dd) AS ss_d,
+                   sum(t*t) AS ss_t,
+                   sum(q*e) AS x_qe, sum(q*dd) AS x_qd, sum(q*t) AS x_qt,
+                   sum(e*dd) AS x_ed, sum(e*t) AS x_et, sum(dd*t) AS x_dt
+            FROM q)
+      SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+             round(CAST(n*x_qe - s_q*s_e AS DOUBLE)
+               / sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE))
+               / sqrt(CAST(n*ss_e - s_e*s_e AS DOUBLE)), 6) AS corr FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             round(CAST(n*x_qd - s_q*s_d AS DOUBLE)
+               / sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE))
+               / sqrt(CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_tax',
+             round(CAST(n*x_qt - s_q*s_t AS DOUBLE)
+               / sqrt(CAST(n*ss_q - s_q*s_q AS DOUBLE))
+               / sqrt(CAST(n*ss_t - s_t*s_t AS DOUBLE)), 6) FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             round(CAST(n*x_ed - s_e*s_d AS DOUBLE)
+               / sqrt(CAST(n*ss_e - s_e*s_e AS DOUBLE))
+               / sqrt(CAST(n*ss_d - s_d*s_d AS DOUBLE)), 6) FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_tax',
+             round(CAST(n*x_et - s_e*s_t AS DOUBLE)
+               / sqrt(CAST(n*ss_e - s_e*s_e AS DOUBLE))
+               / sqrt(CAST(n*ss_t - s_t*s_t AS DOUBLE)), 6) FROM m
+      UNION ALL
+      SELECT 'l_discount', 'l_tax',
+             round(CAST(n*x_dt - s_d*s_t AS DOUBLE)
+               / sqrt(CAST(n*ss_d - s_d*s_d AS DOUBLE))
+               / sqrt(CAST(n*ss_t - s_t*s_t AS DOUBLE)), 6) FROM m""",
+
+    // window-sum totals over the 25-cell contingency table; per-cell
+    // (O-E)^2/E quantized to integer millionths before the exact sum
+    "stats_chi_square" -> """
+      WITH cells AS (SELECT o_orderpriority AS a, c_mktsegment AS b,
+                            count(*) AS o
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+      w AS (SELECT a, b, o,
+                   sum(o) OVER (PARTITION BY a) AS r,
+                   sum(o) OVER (PARTITION BY b) AS c,
+                   sum(o) OVER () AS n FROM cells),
+      k AS (SELECT count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b
+            FROM cells),
+      s AS (SELECT sum(CAST(round(pow(CAST(o AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2)
+              / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1000000, 0) AS BIGINT)) AS cm,
+            max(n) AS n FROM w)
+      SELECT CAST(cm AS DOUBLE) / 1000000.0 AS chi2,
+             CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+             CAST(n AS BIGINT) AS n
+      FROM s, k""",
 
     // UNBLOCKED brute-force pair set: equality proves the Spark side's
     // deletion-neighborhood blocking is lossless; DuckDB's levenshtein

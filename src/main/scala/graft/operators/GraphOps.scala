@@ -107,6 +107,45 @@ object GraphOps {
       edges
     }
 
+  /** Single-source BFS over the co-purchase graph: distance (hop
+    * count) from the smallest customer key that has an edge, out to
+    * `maxHops`. The Pregel-style iterative form: each round joins the
+    * CURRENT frontier (nodes first reached last round) against the
+    * bidirectional edge list and folds the discoveries in with a
+    * min-distance aggregate, so a node reached by several paths keeps
+    * its earliest hop.
+    *
+    * The source is an aggregate (`min(u)`) attached declaratively —
+    * no driver-side collect anywhere in the loop. Iteration count is
+    * fixed so the DuckDB oracle is a bounded `WITH RECURSIVE` walk
+    * (UNION-dedup on (node, d), then min(d) per node — identical BFS
+    * semantics).
+    *
+    * Scale notes: per round = one equi-join frontier x edges + one
+    * min-aggregate, the minimal shuffle pair for distributed BFS; the
+    * frontier filter (`d = round-1`) keeps re-expansion of settled
+    * nodes out of the join. At 100 TB the edge list would be bucketed
+    * by `u` so every round's join co-locates, and the distance frame
+    * checkpointed every few rounds to cut lineage.
+    */
+  def shortestPaths(spark: SparkSession, dir: String, maxHops: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val e = copurchaseEdges(spark, dir, minShared)
+    val bidir = e.select(col("u").cast("long").as("u"),
+        col("v").cast("long").as("v"))
+      .unionAll(e.select(col("v").cast("long").as("u"),
+        col("u").cast("long").as("v")))
+    var dist = e.agg(min(col("u")).cast("long").as("node"))
+      .select(col("node"), lit(0L).as("d"))
+    (1 to maxHops).foreach { h =>
+      val next = dist.filter(col("d") === (h - 1))
+        .join(bidir, col("node") === col("u"))
+        .select(col("v").as("node"), lit(h.toLong).as("d"))
+      dist = dist.unionAll(next).groupBy("node").agg(min(col("d")).as("d"))
+    }
+    dist
+  }
+
   /** Triangle census of the co-purchase graph: edge and triangle
     * counts in one row. Triangles enumerate via the ORDERED two-hop
     * join — edges stored u < v mean each triangle x < y < z matches

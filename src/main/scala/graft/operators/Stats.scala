@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.ExactNum
+
+/** Classical statistics over the fact tables — the validation half of
+  * a training-data pipeline (feature sanity: which measures co-vary,
+  * which categorical dimensions are independent). The reference has no
+  * statistics surface (north-star extension, like the profiling and
+  * embedding-stats suites it sits next to).
+  *
+  * Both operators follow the repo's exact-arithmetic discipline
+  * (SURVEY.md §7.6.2): every SUM that crosses engines is over
+  * integers (cent-quantized values or counts), so accumulation order
+  * cannot shift a bit; doubles appear only in a fixed-shape final
+  * formula both engines evaluate identically.
+  */
+object Stats {
+
+  /** Pearson correlation matrix of the lineitem measures
+    * (quantity, extendedprice, discount, tax), upper triangle as rows.
+    *
+    * ONE pass: a single aggregate computes n plus all first/second
+    * moments (4 sums, 4 sums of squares, 6 cross sums) over
+    * cent-quantized values — exact integers, summed as DECIMAL(38,0)
+    * because cross-moments of cent-scaled prices pass Long range at
+    * sf >= 0.1 (~1e19). corr is scale-invariant, so cent-space corr
+    * equals dollar-space corr. The final formula
+    * `(n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²))` runs in
+    * exact decimal up to the two casts to double — deterministic in
+    * both engines.
+    *
+    * Scale: one map-side-combined aggregate over the fact table, 15
+    * running integers per partition — the same shape at 100 TB; the
+    * row-form unpivot is driver-free (`stack` over the 1-row frame).
+    */
+  def correlationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- measures.indices; j <- (i + 1) until measures.size
+    } yield (measures(i), measures(j))
+
+    val dec = DecimalType(38, 0)
+    val cents = Tables.lineitem(spark, dir)
+      .select(measures.map(m => ExactNum.cents(col(m)).as(m)): _*)
+    val sums: Seq[Column] =
+      count(lit(1)).cast(dec).as("n") +:
+      (measures.map(m => sum(col(m).cast(dec)).as(s"s_$m")) ++
+        measures.map(m =>
+          sum((col(m) * col(m)).cast(dec)).as(s"ss_$m")) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(dec)).as(s"sx_${a}_$b") })
+    val mom = cents.agg(sums.head, sums.tail: _*)
+
+    def corrCol(a: String, b: String): Column = {
+      val n = col("n")
+      val num = (n * col(s"sx_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+        .cast("double")
+      val da = (n * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")).cast("double")
+      val db = (n * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")).cast("double")
+      round(num / sqrt(da) / sqrt(db), 6)
+    }
+    val cells = mom.select(pairs.map { case (a, b) =>
+      corrCol(a, b).as(s"${a}__$b") }: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', `${a}__$b`" }.mkString(", ")
+    cells.selectExpr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, corr)")
+  }
+
+  /** Chi-square test of independence between order priority and
+    * customer market segment (the canonical categorical-association
+    * check before stratifying a corpus on either dimension).
+    *
+    * The 5x5 contingency table comes from one join + one aggregate;
+    * row totals, column totals, and the grand total attach as WINDOW
+    * sums over the 25-cell frame — no scalar joins, no second scan.
+    * Each cell's (O−E)²/E is one fixed-shape double formula over
+    * exact counts, quantized to millionths (deterministic per cell),
+    * and the statistic is the exact integer sum of those millionths —
+    * fold-order-proof. Output: one row (chi2, dof, n).
+    *
+    * Scale: the only data-sized work is the orders⨝customer join and
+    * the 25-group count; everything after runs on 25 rows.
+    */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority").as("a"),
+        col("c_mktsegment").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val all = Window.partitionBy()
+    val withTotals = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("a"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("b"))))
+      .withColumn("n", sum(col("o")).over(all))
+      .withColumn("n_a", size(collect_set(col("a")).over(all)))
+      .withColumn("n_b", size(collect_set(col("b")).over(all)))
+    val e = col("r").cast("double") * col("c").cast("double") /
+      col("n").cast("double")
+    val contribMicros = round(
+      pow(col("o").cast("double") - e, 2) / e * 1e6, 0).cast("long")
+    withTotals
+      .withColumn("cm", contribMicros)
+      .groupBy(col("n_a"), col("n_b"), col("n"))
+      .agg(sum(col("cm")).as("chi2_micros"))
+      .select(
+        (col("chi2_micros") / 1e6).as("chi2"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).cast("long").as("dof"),
+        col("n").cast("long").as("n"))
+  }
+}

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimilarityFunction)
     ext.injectFunction(GraftExtensions.cosineDistanceFunction)
     ext.injectFunction(GraftExtensions.wordNgramsFunction)
+    ext.injectFunction(GraftExtensions.jaroWinklerFunction)
     ext.injectOptimizerRule(_ => FuseCosineSimilarity)
     ext.injectOptimizerRule(_ => RewriteWindowTopK) // no-op unless its flag is set
     ext.injectPlannerStrategy(_ => GraftStrategies)
@@ -71,6 +72,21 @@ object GraftExtensions {
         "graft_word_ngrams"),
       ngramsBuilder _)
 
+  /** Scalar string-similarity expression for record linkage:
+    * `graft_jaro_winkler(a, b)` (DuckDB-compatible semantics).
+    */
+  private def jwBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"graft_jaro_winkler expects 2 arguments, got ${args.length}")
+    graft.functions.JaroWinkler(args.head, args(1))
+  }
+
+  val jaroWinklerFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "graft_jaro_winkler"),
+      jwBuilder _)
+
   /** Install all pieces on an already-running session (tests, shells). */
   def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -79,6 +95,8 @@ object GraftExtensions {
       "graft_cosine_distance", distBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_word_ngrams", ngramsBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler", jwBuilder, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(FuseCosineSimilarity)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ FuseCosineSimilarity

@@ -80,4 +80,25 @@ class GraphOpsSpec extends SparkSpec {
       s"edges ${row.getLong(0)} vs ${edges.size}")
     assert(row.getLong(1) == nTri, s"triangles ${row.getLong(1)} vs $nTri")
   }
+
+  test("shortest paths replay a driver-side BFS exactly") {
+    val edges = GraphOps.copurchaseEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val src = edges.map(_._1).min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    (1 to 4).foreach { h =>
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = h.toLong)
+    }
+    val got = GraphOps.shortestPaths(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == dist.toMap,
+      s"BFS mismatch: ${got.size} nodes vs driver ${dist.size}")
+    assert(got(src) == 0L)
+  }
 }
