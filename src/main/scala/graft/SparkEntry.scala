@@ -480,6 +480,10 @@ object SparkEntry {
     // chi-square independence of priority x segment (window totals,
     // exact integer-micros statistic)
     "stats_chi_square" -> ((s, d) => Stats.chiSquareIndependence(s, d)),
+    // revenue-concentration Gini via the exact integer rank formula
+    "stats_gini_revenue" -> ((s, d) => Stats.giniCoefficient(s, d)),
+    // Benford leading-digit profile (digit from the exact cent string)
+    "stats_benford_digits" -> ((s, d) => Stats.benfordDigits(s, d)),
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
@@ -2855,6 +2859,38 @@ object SparkEntry {
              CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
              CAST(n AS BIGINT) AS n
       FROM s, k""",
+
+    // exact integer rank formula: ranks and cent sums are integers on
+    // both engines; the single division is the only floating-point op
+    "stats_gini_revenue" -> """
+      WITH s AS (SELECT o_custkey AS custkey,
+                        sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c
+                 FROM orders GROUP BY 1),
+      r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, custkey) AS BIGINT)
+                   AS rk
+            FROM s),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(c) AS sx,
+                   sum(rk * c) AS srx
+            FROM r)
+      SELECT round(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+               / CAST(n * sx AS DOUBLE), 6) AS gini,
+             CAST(n AS BIGINT) AS n_customers
+      FROM m""",
+
+    // leading digit from the exact cent value's decimal string —
+    // integer-to-string is identical across engines, float log10 near
+    // a power of ten is not
+    "stats_benford_digits" -> """
+      WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+                        AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                 FROM orders),
+      g AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+      t AS (SELECT sum(n_orders) AS total FROM g)
+      SELECT digit, n_orders,
+             round(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS freq,
+             round(log10(1.0 + 1.0 / digit), 6) AS expected
+      FROM g, t""",
 
     // UNBLOCKED brute-force pair set: equality proves the Spark side's
     // deletion-neighborhood blocking is lossless; DuckDB's levenshtein

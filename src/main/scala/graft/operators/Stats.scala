@@ -73,6 +73,66 @@ object Stats {
       s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, corr)")
   }
 
+  /** Gini coefficient of revenue concentration across customers — the
+    * inequality statistic next to the Pareto cut
+    * ([[Relational.revenuePareto]] reports WHO the top customers are;
+    * this reports HOW concentrated the distribution is in one number).
+    *
+    * Exact rank formula over integer cents: with per-customer revenue
+    * x sorted ascending (customer key tie-break) and 1-based rank i,
+    * `G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`. Ranks and cent sums are
+    * exact integers (DECIMAL(38,0) here, HUGEINT in the oracle), so
+    * the only floating-point op is the final division — deterministic
+    * in both engines.
+    *
+    * Scale: the window ranks the |customers|-sized rollup, never the
+    * fact table; at 100 TB the exact global rank would switch to a
+    * range-partitioned sort (rank = partition offset + local rank,
+    * offsets from partition counts), same formula.
+    */
+  def giniCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perCust = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        ExactNum.cents(col("o_totalprice")).as("c"))
+      .groupBy(col("custkey")).agg(sum(col("c")).as("c"))
+    val ranked = perCust.withColumn("rk",
+      row_number().over(Window.orderBy(col("c"), col("custkey")))
+        .cast("long"))
+    val m = ranked.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("c").cast(dec)).as("sx"),
+      sum((col("rk") * col("c")).cast(dec)).as("srx"))
+    m.select(
+      round((lit(2).cast(dec) * col("srx")
+          - (col("n") + lit(1).cast(dec)) * col("sx")).cast("double")
+        / (col("n") * col("sx")).cast("double"), 6).as("gini"),
+      col("n").cast("long").as("n_customers"))
+  }
+
+  /** Benford first-digit profile of order totals: observed frequency
+    * of each leading digit against the Benford expectation
+    * log10(1 + 1/d) — the classic synthetic-data / fraud screen.
+    *
+    * The leading digit comes from the DECIMAL STRING of the exact
+    * cent value (cents = value·100 shifts no leading digit), not from
+    * floor(log10) float math — integer-to-string is identical in both
+    * engines, log10 near a power of ten is not.
+    *
+    * Scale: map + 9-group aggregate, the cheapest possible shape.
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(ExactNum.cents(col("o_totalprice"))
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    digits
+      .withColumn("total", sum(col("n_orders")).over(Window.partitionBy()))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("total"), 6).as("freq"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("expected"))
+  }
+
   /** Chi-square test of independence between order priority and
     * customer market segment (the canonical categorical-association
     * check before stratifying a corpus on either dimension).

@@ -21,6 +21,38 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("gini coefficient matches a driver-side rank-formula replay") {
+    val row = Stats.giniCoefficient(spark, sf0001).head()
+    val (gini, n) = (row.getDouble(0), row.getLong(1))
+    val per = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100, 0)
+        .cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum(col("c")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = per.sortBy { case (k, c) => (c, k) }
+    val sx = sorted.map(_._2).map(BigInt(_)).sum
+    val srx = sorted.zipWithIndex
+      .map { case ((_, c), i) => BigInt(i + 1) * c }.sum
+    val want = ((2 * srx - (n + 1) * sx).toDouble / (n * sx).toDouble)
+    assert(n == per.length)
+    assert(gini >= 0.0 && gini < 1.0)
+    assert(math.abs(gini - want) < 5e-7, s"$gini vs $want")
+  }
+
+  test("benford digit profile is a complete, normalized distribution") {
+    val rows = Stats.benfordDigits(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq == (1 to 9))
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(rows.map(_._2).sum == nOrders)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    rows.foreach { case (d, _, _, exp) =>
+      assert(math.abs(exp - math.log10(1.0 + 1.0 / d)) < 5e-7)
+    }
+    // Benford's law itself: the expectations sum to 1 exactly
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+  }
+
   test("chi-square statistic matches a driver-side recomputation") {
     val out = Stats.chiSquareIndependence(spark, sf0001).head()
     val (chi2, dof, n) = (out.getDouble(0), out.getLong(1), out.getLong(2))
