@@ -365,6 +365,10 @@ object SparkEntry {
     "pipeline_dsir_weights" -> ((s, d) => Pipeline.dsirWeights(s, d)),
     // Efraimidis-Spirakis weighted k-sample (weight = token count)
     "pipeline_weighted_sample" -> ((s, d) => Pipeline.weightedSample(s, d)),
+    // deterministic distributed logistic-regression quality filter
+    // (integer-quantized batch GD; one agg scan per round)
+    "pipeline_quality_classifier" ->
+      ((s, d) => Pipeline.qualityClassifier(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -665,6 +669,69 @@ object SparkEntry {
       FROM bm_r FULL OUTER JOIN v_r ON bm_r.doc_id = v_r.doc_id
       ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
 
+  /** Generated DuckDB replay of [[graft.operators.Pipeline.qualityClassifier]]:
+    * one `g_i`/`w_i` CTE pair per GD round. Every per-row gradient term is
+    * quantized to integer millionths before its sum, so the chain is exactly
+    * reproducible from the features regardless of aggregation order; the
+    * weight update `w - lr*(g/1e6)/n` is the same left-associated double
+    * expression both engines evaluate. `lr` is spliced as text so the SQL
+    * literal matches the Scala double bit-for-bit.
+    */
+  private def qcOracleSql(iters: Int, lr: String): String = {
+    val dot = "a*f0+b*f1+c*f2+d*f3+e*f4"
+    def gradCte(i: Int, prevW: String): String = {
+      val sums = (0 to 4).map { j =>
+        s"""sum(CAST(round((1.0/(1.0+exp(-($dot))) - y)
+           |          * f$j * 1000000.0, 0) AS BIGINT)) AS g$j""".stripMargin
+      }.mkString(",\n        ")
+      s"""g$i AS MATERIALIZED (SELECT
+         |        $sums
+         |        FROM f, $prevW)""".stripMargin
+    }
+    def stepCte(i: Int): String = {
+      val cols = "abcde".zipWithIndex.map { case (w, j) =>
+        s"$w - $lr*(g$j/1000000.0)/n AS $w" }.mkString(", ")
+      s"w$i AS MATERIALIZED (SELECT $cols FROM w${i - 1}, g$i, nn)"
+    }
+    val rounds = (1 to iters)
+      .map(i => gradCte(i, s"w${i - 1}") + ",\n      " + stepCte(i))
+      .mkString(",\n      ")
+    s"""
+      WITH f AS MATERIALIZED (
+        SELECT CASE WHEN least(stop * 2.0, 1.0) * 0.4 + alpha * 0.3
+                       + least(wcnt / 50.0, 1.0) * 0.3 >= 0.5
+                    THEN 1.0 ELSE 0.0 END AS y,
+               1.0 AS f0,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS f1,
+               least(wcnt / 100.0, 1.0) AS f2,
+               least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / wcnt / 10.0, 1.0) AS f3,
+               dcnt / wcnt AS f4
+        FROM (SELECT text,
+                     CAST(len(w) AS DOUBLE) AS wcnt,
+                     CAST(len(list_distinct(w)) AS DOUBLE) AS dcnt,
+                     len(list_filter(w, t -> list_contains(
+                       ['the','a','of','and','to','in','on'], t)))
+                       / CAST(len(w) AS DOUBLE) AS stop,
+                     length(regexp_replace(text, '[^a-z]', '', 'g'))
+                       / CAST(length(text) AS DOUBLE) AS alpha
+              FROM (SELECT text, string_split(text, ' ') AS w
+                    FROM documents))),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+      w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d, 0.0 AS e),
+      $rounds,
+      acc AS (SELECT round(CAST(sum(CASE WHEN
+                (($dot) >= 0.0) = (y = 1.0)
+                THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n), 6) AS ta
+              FROM f, w$iters, nn)
+      SELECT 'w0' AS term, round(a, 6) AS value FROM w$iters
+      UNION ALL SELECT 'w1', round(b, 6) FROM w$iters
+      UNION ALL SELECT 'w2', round(c, 6) FROM w$iters
+      UNION ALL SELECT 'w3', round(d, 6) FROM w$iters
+      UNION ALL SELECT 'w4', round(e, 6) FROM w$iters
+      UNION ALL SELECT 'train_acc', ta FROM acc"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "knn_exact_single" -> s"""
       WITH e AS (SELECT vec_id,
@@ -941,6 +1008,12 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY lang
                ORDER BY es_key DESC, doc_id) AS INT) AS rk
       FROM s QUALIFY rk <= 20""",
+
+    // all 50 GD rounds replayed verbatim as a generated chained CTE:
+    // same features, same millionth-quantized per-row gradient terms
+    // (exact integer sums, order-free), same fixed-shape double
+    // weight update — see qcOracleSql below
+    "pipeline_quality_classifier" -> qcOracleSql(iters = 50, lr = "5.0"),
 
     // DSIR log-importance weights over md5-bucketed unigram features
     "pipeline_dsir_weights" -> """

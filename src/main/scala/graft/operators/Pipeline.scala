@@ -293,6 +293,80 @@ object Pipeline {
         col("es_key"), col("rk"))
   }
 
+  /** Distributed logistic-regression quality classifier: batch
+    * gradient descent over document shape features, the fastText-style
+    * linear filter a corpus pipeline trains to score "keep-worthy"
+    * text. The supervision target is the engine's own composite
+    * quality gate (`TextOps.qualityOf >= 0.5`): the learner distills
+    * the three-term gate (stopword/alpha/length mix) into a 5-weight
+    * scorer over features that deliberately EXCLUDE the gate's
+    * stopword and alpha terms — so the fit is non-trivial (majority
+    * class = 0.736 at sf0.01; the trained model reaches 0.952).
+    *
+    * Training is FULLY deterministic cross-engine, which makes this
+    * the rare trainable model with a DuckDB oracle (the SQL replays
+    * all 50 rounds as a generated chained CTE — see
+    * [[graft.SparkEntry.qcOracleSql]]):
+    *   - fixed iteration count, fixed learning rate, zero init;
+    *   - each per-row gradient contribution `(σ(w·x) − y)·x_j` is
+    *     quantized to integer MILLIONTHS before the sum, so the only
+    *     cross-row reduction is an exact integer sum in any order
+    *     (same discipline as the chi-square statistic);
+    *   - the weight update is a fixed-shape double formula from those
+    *     integers, evaluated identically by both engines.
+    *
+    * Per round: ONE map-side-combined aggregate producing all five
+    * gradient sums; the 5-double weight vector is the only thing that
+    * touches the driver (bounded, like the BPE merge winners). At
+    * 100 TB each round is still one scan + one 5-long-column
+    * aggregate — the textbook distributed-GD shape; mini-batching
+    * would swap the scan for a deterministic-hash sample with the
+    * same plan.
+    *
+    * Output: (term, value) rows — w0..w4 rounded 6dp and the training
+    * accuracy (prediction flips need |w·x| within ~1e-9 of 0, far
+    * below the quantization floor, so accuracy is deterministic too).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+    val w0 = split(col("text"), " ")
+    val wcnt = size(w0).cast("double")
+    val feats = graft.IndexCache.getOrBuild(spark, s"lr-feats:$dir") {
+      val f = Tables.documents(spark, dir).select(
+        when(TextOps.qualityOf(col("text"), w0) >= 0.5, 1.0)
+          .otherwise(0.0).as("y"),
+        lit(1.0).as("f0"),
+        least(length(col("text")).cast("double") / 500.0, lit(1.0)).as("f1"),
+        least(wcnt / 100.0, lit(1.0)).as("f2"),
+        least(length(regexp_replace(col("text"), " ", "")).cast("double")
+          / wcnt / 10.0, lit(1.0)).as("f3"),
+        (size(array_distinct(split(col("text"), " "))).cast("double")
+          / wcnt).as("f4"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
+    val n = feats.count().toDouble
+    val js = 0 to 4
+    var w = Array.fill(5)(0.0)
+    def z(weights: Array[Double]) = js.map(j =>
+      lit(weights(j)) * col(s"f$j")).reduce(_ + _)
+    (1 to iters).foreach { _ =>
+      val sig = lit(1.0) / (lit(1.0) + exp(-z(w)))
+      val gs = js.map(j => sum(round((sig - col("y")) * col(s"f$j")
+        * 1000000.0, 0).cast("long")).as(s"g$j"))
+      val row = feats.agg(gs.head, gs.tail: _*).head()
+      w = js.map(j => w(j) - lr * (row.getLong(j) / 1000000.0) / n).toArray
+    }
+    val correct = (z(w) >= 0.0) === (col("y") === 1.0)
+    val stackArgs = js.map(j => s"'w$j', w$j").mkString(", ") +
+      ", 'train_acc', train_acc"
+    feats.agg(sum(when(correct, 1L).otherwise(0L)).as("ok"))
+      .select(js.map(j => round(lit(w(j)), 6).as(s"w$j")) :+
+        round(col("ok").cast("double") / lit(n), 6).as("train_acc"): _*)
+      .selectExpr(s"stack(6, $stackArgs) AS (term, value)")
+  }
+
   def kSamplePerGroup(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame =
     graft.plans.GraftOps.topKPerGroup(

@@ -192,6 +192,22 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"), plan.take(500))
   }
 
+  test("quality classifier: GD distills the gate well above the majority baseline") {
+    val got = Pipeline.qualityClassifier(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got.keySet == Set("w0", "w1", "w2", "w3", "w4", "train_acc"))
+    // majority-class baseline of the quality>=0.5 gate label
+    val q = operators.TextOps.qualityScores(spark, sf0001)
+      .select(when(col("quality") >= 0.5, 1.0).otherwise(0.0).as("y"))
+    val n = q.count().toDouble
+    val pos = q.agg(sum(col("y"))).head.getDouble(0) / n
+    val base = math.max(pos, 1.0 - pos)
+    assert(got("train_acc") >= base + 0.1,
+      s"model must beat predicting the majority class (${got("train_acc")} vs $base)")
+    // the fit uses the features, not just the intercept
+    assert(math.abs(got("w1")) + math.abs(got("w2")) > 1.0, got.toString)
+  }
+
   test("dsir weights: target-language docs score higher; token counts exact") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
     val w = Pipeline.dsirWeights(spark, sf0001).join(docs, Seq("doc_id")).cache()
