@@ -369,6 +369,11 @@ object SparkEntry {
     // (integer-quantized batch GD; one agg scan per round)
     "pipeline_quality_classifier" ->
       ((s, d) => Pipeline.qualityClassifier(s, d)),
+    // tie-aware Mann-Whitney AUC of the trained scorer (weights memoized)
+    "eval_auc_classifier" -> ((s, d) => Pipeline.classifierAuc(s, d)),
+    // decile reliability bins (exact counts, quantized mean prediction)
+    "eval_calibration_classifier" ->
+      ((s, d) => Pipeline.classifierCalibration(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -677,8 +682,65 @@ object SparkEntry {
     * expression both engines evaluate. `lr` is spliced as text so the SQL
     * literal matches the Scala double bit-for-bit.
     */
-  private def qcOracleSql(iters: Int, lr: String): String = {
-    val dot = "a*f0+b*f1+c*f2+d*f3+e*f4"
+  private def qcOracleSql(iters: Int, lr: String): String =
+    qcChain(iters, lr) + s""",
+      acc AS (SELECT round(CAST(sum(CASE WHEN
+                (($qcDot) >= 0.0) = (y = 1.0)
+                THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n), 6) AS ta
+              FROM f, w$iters, nn)
+      SELECT 'w0' AS term, round(a, 6) AS value FROM w$iters
+      UNION ALL SELECT 'w1', round(b, 6) FROM w$iters
+      UNION ALL SELECT 'w2', round(c, 6) FROM w$iters
+      UNION ALL SELECT 'w3', round(d, 6) FROM w$iters
+      UNION ALL SELECT 'w4', round(e, 6) FROM w$iters
+      UNION ALL SELECT 'train_acc', ta FROM acc"""
+
+  /** Grouped tie-aware Mann–Whitney AUC over the trained scorer —
+    * integer until the single final division, like the Spark side.
+    */
+  private def qcAucSql(iters: Int, lr: String): String =
+    qcChain(iters, lr) + s""",
+      scored AS (SELECT y, $qcDot AS s FROM f, w$iters),
+      bys AS (SELECT s,
+                sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+                sum(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END) AS nn
+              FROM scored GROUP BY s),
+      cum AS (SELECT np, nn,
+                coalesce(sum(nn) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+              FROM bys)
+      SELECT CAST(sum(np) AS BIGINT) AS np, CAST(sum(nn) AS BIGINT) AS nn,
+             round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE)
+               / (2.0 * sum(np) * sum(nn)), 6) AS auc
+      FROM cum"""
+
+  /** Decile reliability bins of σ(w·x) with millionth-quantized mean
+    * predictions (order-free integer sums before the division).
+    */
+  private def qcCalibrationSql(iters: Int, lr: String): String =
+    qcChain(iters, lr) + s""",
+      scored AS (SELECT y,
+                   least(CAST(floor((1.0/(1.0+exp(-($qcDot)))) * 10.0) AS INT),
+                     9) AS bin,
+                   CAST(round((1.0/(1.0+exp(-($qcDot)))) * 1000000.0, 0)
+                     AS BIGINT) AS q
+                 FROM f, w$iters)
+      SELECT bin, count(*) AS n_docs,
+             round(CAST(sum(q) AS DOUBLE) / 1000000.0
+               / CAST(count(*) AS DOUBLE), 6) AS mean_pred,
+             round(CAST(sum(CAST(y AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+      FROM scored GROUP BY bin"""
+
+  private val qcDot = "a*f0+b*f1+c*f2+d*f3+e*f4"
+
+  /** The shared WITH-chain: features, n, and one MATERIALIZED
+    * `g_i`/`w_i` CTE pair per GD round (materialization keeps DuckDB
+    * from inlining the chain exponentially). Ends after `w<iters>`,
+    * WITHOUT a trailing comma.
+    */
+  private def qcChain(iters: Int, lr: String): String = {
+    val dot = qcDot
     def gradCte(i: Int, prevW: String): String = {
       val sums = (0 to 4).map { j =>
         s"""sum(CAST(round((1.0/(1.0+exp(-($dot))) - y)
@@ -719,17 +781,7 @@ object SparkEntry {
                     FROM documents))),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
       w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d, 0.0 AS e),
-      $rounds,
-      acc AS (SELECT round(CAST(sum(CASE WHEN
-                (($dot) >= 0.0) = (y = 1.0)
-                THEN 1 ELSE 0 END) AS DOUBLE) / any_value(n), 6) AS ta
-              FROM f, w$iters, nn)
-      SELECT 'w0' AS term, round(a, 6) AS value FROM w$iters
-      UNION ALL SELECT 'w1', round(b, 6) FROM w$iters
-      UNION ALL SELECT 'w2', round(c, 6) FROM w$iters
-      UNION ALL SELECT 'w3', round(d, 6) FROM w$iters
-      UNION ALL SELECT 'w4', round(e, 6) FROM w$iters
-      UNION ALL SELECT 'train_acc', ta FROM acc"""
+      $rounds"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1014,6 +1066,8 @@ object SparkEntry {
     // (exact integer sums, order-free), same fixed-shape double
     // weight update — see qcOracleSql below
     "pipeline_quality_classifier" -> qcOracleSql(iters = 50, lr = "5.0"),
+    "eval_auc_classifier" -> qcAucSql(iters = 50, lr = "5.0"),
+    "eval_calibration_classifier" -> qcCalibrationSql(iters = 50, lr = "5.0"),
 
     // DSIR log-importance weights over md5-bucketed unigram features
     "pipeline_dsir_weights" -> """

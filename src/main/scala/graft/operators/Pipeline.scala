@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -327,11 +327,13 @@ object Pipeline {
     * accuracy (prediction flips need |w·x| within ~1e-9 of 0, far
     * below the quantization floor, so accuracy is deterministic too).
     */
-  def qualityClassifier(spark: SparkSession, dir: String,
-      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+  private val featIdx = 0 to 4
+
+  /** The cached (y, f0..f4) training table — one documents scan. */
+  private def classifierFeatures(spark: SparkSession, dir: String): DataFrame = {
     val w0 = split(col("text"), " ")
     val wcnt = size(w0).cast("double")
-    val feats = graft.IndexCache.getOrBuild(spark, s"lr-feats:$dir") {
+    graft.IndexCache.getOrBuild(spark, s"lr-feats:$dir") {
       val f = Tables.documents(spark, dir).select(
         when(TextOps.qualityOf(col("text"), w0) >= 0.5, 1.0)
           .otherwise(0.0).as("y"),
@@ -346,25 +348,100 @@ object Pipeline {
       f.count()
       f
     }
-    val n = feats.count().toDouble
-    val js = 0 to 4
-    var w = Array.fill(5)(0.0)
-    def z(weights: Array[Double]) = js.map(j =>
-      lit(weights(j)) * col(s"f$j")).reduce(_ + _)
-    (1 to iters).foreach { _ =>
-      val sig = lit(1.0) / (lit(1.0) + exp(-z(w)))
-      val gs = js.map(j => sum(round((sig - col("y")) * col(s"f$j")
-        * 1000000.0, 0).cast("long")).as(s"g$j"))
-      val row = feats.agg(gs.head, gs.tail: _*).head()
-      w = js.map(j => w(j) - lr * (row.getLong(j) / 1000000.0) / n).toArray
+  }
+
+  /** w·x for a driver-held weight vector (5 doubles, bounded). */
+  private def zOf(w: Array[Double]): Column =
+    featIdx.map(j => lit(w(j)) * col(s"f$j")).reduce(_ + _)
+
+  /** The trained 5-weight vector, memoized per dataset so the AUC and
+    * calibration evals reuse the fit instead of re-running the 50
+    * aggregate rounds (same discipline as the ANN batch-result cache).
+    */
+  private def trainedWeights(spark: SparkSession, dir: String,
+      iters: Int, lr: Double): Array[Double] =
+    graft.IndexCache.getOrBuild(spark, s"lr-weights:$dir:$iters:$lr") {
+      val feats = classifierFeatures(spark, dir)
+      val n = feats.count().toDouble
+      var w = Array.fill(5)(0.0)
+      (1 to iters).foreach { _ =>
+        val sig = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
+        val gs = featIdx.map(j => sum(round((sig - col("y")) * col(s"f$j")
+          * 1000000.0, 0).cast("long")).as(s"g$j"))
+        val row = feats.agg(gs.head, gs.tail: _*).head()
+        w = featIdx.map(j => w(j) - lr * (row.getLong(j) / 1000000.0) / n).toArray
+      }
+      w
     }
-    val correct = (z(w) >= 0.0) === (col("y") === 1.0)
-    val stackArgs = js.map(j => s"'w$j', w$j").mkString(", ") +
+
+  def qualityClassifier(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+    val feats = classifierFeatures(spark, dir)
+    val n = feats.count().toDouble
+    val w = trainedWeights(spark, dir, iters, lr)
+    val correct = (zOf(w) >= 0.0) === (col("y") === 1.0)
+    val stackArgs = featIdx.map(j => s"'w$j', w$j").mkString(", ") +
       ", 'train_acc', train_acc"
     feats.agg(sum(when(correct, 1L).otherwise(0L)).as("ok"))
-      .select(js.map(j => round(lit(w(j)), 6).as(s"w$j")) :+
+      .select(featIdx.map(j => round(lit(w(j)), 6).as(s"w$j")) :+
         round(col("ok").cast("double") / lit(n), 6).as("train_acc"): _*)
       .selectExpr(s"stack(6, $stackArgs) AS (term, value)")
+  }
+
+  /** Threshold-free fit quality: Mann–Whitney AUC of the trained
+    * scorer against its training label, in the tie-aware grouped
+    * form `AUC = Σ_s n⁺_s·(2·cumn⁻_below(s) + n⁻_s) / (2·n⁺·n⁻)`.
+    * Everything before the single final division is integer — exact
+    * in any aggregation order, so both engines agree bit-for-bit
+    * (scores are the same dot product of the same doubles, so tie
+    * groups agree too).
+    *
+    * Scale: the groupBy collapses the corpus to its distinct-score
+    * table before the one ordered window; at 100 TB the exact global
+    * cumulative sum would switch to a range-partitioned prefix sum
+    * (offset = sum of per-partition counts), same formula — the
+    * [[Stats.giniCoefficient]] discipline.
+    */
+  def classifierAuc(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+    val w = trainedWeights(spark, dir, iters, lr)
+    val byScore = classifierFeatures(spark, dir)
+      .select(col("y"), zOf(w).as("s"))
+      .groupBy(col("s"))
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("nn"))
+    byScore
+      .withColumn("cnb", coalesce(sum(col("nn")).over(
+        Window.orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"),
+        sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("u2"))
+      .select(col("np"), col("nn"),
+        round(col("u2").cast("double") / (lit(2.0)
+          * col("np").cast("double") * col("nn").cast("double")), 6)
+          .as("auc"))
+  }
+
+  /** Reliability diagram data: predictions bucketed into deciles of
+    * σ(w·x), each bin reporting exact count, mean predicted
+    * probability, and observed positive rate. The mean prediction
+    * sums integer-millionth-quantized sigmoids (order-free exact sum,
+    * the GD discipline), so both engines bin and average identically.
+    */
+  def classifierCalibration(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+    val w = trainedWeights(spark, dir, iters, lr)
+    val sig = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
+    classifierFeatures(spark, dir)
+      .select(col("y"),
+        least(floor(sig * 10.0).cast("int"), lit(9)).as("bin"),
+        round(sig * 1000000.0, 0).cast("long").as("q"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("q")).cast("double") / 1000000.0 /
+          count(lit(1)).cast("double"), 6).as("mean_pred"),
+        round(sum(col("y").cast("long")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pos_rate"))
   }
 
   def kSamplePerGroup(spark: SparkSession, dir: String,

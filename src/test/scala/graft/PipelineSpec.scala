@@ -208,6 +208,30 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(got("w1")) + math.abs(got("w2")) > 1.0, got.toString)
   }
 
+  test("classifier AUC: counts cover the corpus and the fit separates") {
+    val r = Pipeline.classifierAuc(spark, sf0001).head()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(r.getAs[Long]("np") + r.getAs[Long]("nn") == total)
+    val auc = r.getAs[Double]("auc")
+    assert(auc > 0.8 && auc <= 1.0, s"expected a separating fit, got $auc")
+  }
+
+  test("calibration bins partition the corpus; mean prediction stays in-bin") {
+    val rows = Pipeline.classifierCalibration(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bin")
+      val mp = r.getAs[Double]("mean_pred")
+      assert(b >= 0 && b <= 9)
+      // bin 9 absorbs everything >= 0.9 (sigmoid < 1.0 always)
+      assert(mp >= b / 10.0 - 1e-6 && mp < (b + 1) / 10.0 + (if (b == 9) 0.1 else 1e-6),
+        s"bin $b mean_pred $mp outside its decile")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+  }
+
   test("dsir weights: target-language docs score higher; token counts exact") {
     val docs = Tables.documents(spark, sf0001).select("doc_id", "lang")
     val w = Pipeline.dsirWeights(spark, sf0001).join(docs, Seq("doc_id")).cache()
