@@ -443,28 +443,38 @@ object EventStream {
     */
   private def stagedOuterEventsDir(spark: SparkSession, dir: String): String =
     graft.IndexCache.getOrBuild(spark, s"events-stream-outer-dir:$dir") {
-      import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val d = java.nio.file.Files.createTempDirectory("graft-events-outer")
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
-      val maxNs = spark.read.parquet(src.toString)
-        .agg(max(col("ts"))).as[Long].head()
-      val far = maxNs + 365L * 24 * 3600 * 1000000000L
-      val sentinel = Seq(
-        (-1L, far, -1L, "error", 0.0, "{}"),
-        (-2L, far, -2L, "click", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      val tmp = d.resolve("sentinel.tmp").toString
-      sentinel.repartition(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmp"))
-      java.nio.file.Files.move(part.toPath, d.resolve("sentinel.parquet"))
-      new java.io.File(tmp).listFiles.foreach(_.delete())
-      java.nio.file.Files.delete(java.nio.file.Paths.get(tmp))
-      d.toString
+      stageWithSentinels(spark, dir, "graft-events-outer", farUs => Seq(
+        (-1L, farUs, -1L, "error", 0.0, "{}"),
+        (-2L, farUs, -2L, "click", 0.0, "{}")))
     }
+
+  /** Stage the fixture events NORMALIZED (µs TIMESTAMP, whatever the
+    * fixture's physical vintage — legacy INT64-nanos or µs NTZ; see
+    * [[graft.Tables.events]]) plus the given watermark sentinels (built
+    * from the max event time in µs) into a fresh directory the file
+    * stream source can tail. Writing through Spark rather than copying
+    * the raw file keeps every staged file's timestamp type identical,
+    * so the stream's inferred schema never mixes vintages.
+    */
+  private def stageWithSentinels(spark: SparkSession, dir: String,
+      prefix: String,
+      sentinels: Long => Seq[(Long, Long, Long, String, Double, String)])
+      : String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val farUs = maxUs + 365L * 24 * 3600 * 1000000L
+    val sent = sentinels(farUs)
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    ev.union(sent).repartition(4)
+      .write.parquet(d.resolve("events").toString)
+    d.resolve("events").toString
+  }
 
   /** Materialize both staged source directories (the shared events dir
     * and the sentinel-augmented outer-join dir) ahead of any streamed
@@ -525,9 +535,18 @@ object EventStream {
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.readStream.schema(schema).parquet(eventsDir)
+    // same vintage dispatch as Tables.events: legacy INT64-nanos
+    // fixtures truncate to µs with integer division; µs-NTZ fixtures
+    // cast wall-clock to the session type (UTC everywhere here);
+    // Spark-staged files already carry the session µs TIMESTAMP
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** The columns `format("kafka")` emits — the wire contract the
@@ -646,25 +665,8 @@ object EventStream {
     */
   private def stagedSessionsDir(spark: SparkSession, dir: String): String =
     graft.IndexCache.getOrBuild(spark, s"events-stream-sessions-dir:$dir") {
-      import spark.implicits._
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val d = java.nio.file.Files.createTempDirectory("graft-events-sess")
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      java.nio.file.Files.copy(src, d.resolve("events.parquet"))
-      val maxNs = spark.read.parquet(src.toString)
-        .agg(max(col("ts"))).as[Long].head()
-      val sentinel = Seq(
-        (-1L, maxNs + 365L * 24 * 3600 * 1000000000L, -1L, "click", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      val tmp = d.resolve("sentinel.tmp").toString
-      sentinel.repartition(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part written under $tmp"))
-      java.nio.file.Files.move(part.toPath, d.resolve("sentinel.parquet"))
-      new java.io.File(tmp).listFiles.foreach(_.delete())
-      java.nio.file.Files.delete(java.nio.file.Paths.get(tmp))
-      d.toString
+      stageWithSentinels(spark, dir, "graft-events-sess", farUs => Seq(
+        (-1L, farUs, -1L, "click", 0.0, "{}")))
     }
 
   /** The declared STREAMING-EXECUTED sessionization (shares

@@ -406,8 +406,7 @@ class EventStreamSpec extends SparkSpec {
     val shaped = EventStream.shapeKafkaEvents(wire)
     // schema contract: the five columns every downstream plan selects,
     // with the file-source types (µs-precision timestamp included)
-    val fileSide = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val fileSide = graft.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
     assert(shaped.schema == fileSide.schema,
       s"kafka=${shaped.schema.treeString}\nfile=${fileSide.schema.treeString}")
