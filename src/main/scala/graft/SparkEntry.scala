@@ -517,6 +517,14 @@ object SparkEntry {
     "emb_pca_variance" -> ((s, d) => EmbeddingStats.pcaVariance(s, d)),
     // label-conditional outlier screen (farthest-from-own-centroid)
     "emb_outlier_topk" -> ((s, d) => EmbeddingStats.outlierTopK(s, d)),
+    // deterministic Lloyd k-means (exact integer arithmetic; centroids
+    // broadcast, one map-only pass per iteration — the oracle unrolls
+    // the same three Lloyd steps as CTE stages)
+    "emb_kmeans" -> ((s, d) => EmbeddingStats.kmeansAssignments(s, d)),
+    // centroid-form silhouette (O(n·k), the shape that survives scale)
+    // over the same memoized k-means model
+    "emb_kmeans_silhouette" ->
+      ((s, d) => EmbeddingStats.kmeansSilhouette(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state
@@ -560,6 +568,50 @@ object SparkEntry {
   /** 2-decimal column -> exact integer cents (mirror of ExactNum.cents). */
   private def c100(col: String): String =
     s"CAST(round($col*100) AS BIGINT)"
+
+  /** One unrolled Lloyd step for the k-means oracles: assign to the
+    * nearest centroid by exact integer squared distance (ties to the
+    * smallest cid), then re-derive each centroid as the HALF_UP-rounded
+    * per-dimension mean, empty clusters keeping their previous centroid
+    * — the literal SQL mirror of EmbeddingStats.kmeansCentroids.
+    */
+  private def kmeansStep(i: Int): String = {
+    val p = i - 1
+    s"""
+      d$i AS (SELECT e.vec_id, c.cid,
+                 CAST(list_sum(list_transform(list_zip(e.q, c.q),
+                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d2
+              FROM e, c$p c),
+      a$i AS (SELECT vec_id, cid, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rn FROM d$i) WHERE rn = 1),
+      u$i AS (SELECT cid, i,
+                 CAST(round(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+              FROM a$i JOIN e USING (vec_id), generate_series(1, 64) AS gs(i)
+              GROUP BY cid, i),
+      c$i AS (SELECT p.cid, coalesce(n.q, p.q) AS q
+              FROM c$p p LEFT JOIN (SELECT cid, list(m ORDER BY i) AS q
+                                    FROM u$i GROUP BY cid) n USING (cid))"""
+  }
+
+  /** Shared CTE prefix of both k-means oracles: quantized vectors,
+    * deterministic init (k smallest vec_ids), three unrolled Lloyd
+    * steps, and the final-assignment distance relation `df`.
+    */
+  private def kmeansCtes: String = s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        FROM embeddings),
+      c0 AS (
+        SELECT CAST(rn - 1 AS INT) AS cid, q FROM (
+          SELECT q, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+        WHERE rn <= 8),${kmeansStep(1)},${kmeansStep(2)},${kmeansStep(3)},
+      df AS (SELECT e.vec_id, c.cid,
+                CAST(list_sum(list_transform(list_zip(e.q, c.q),
+                  z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d2
+             FROM e, c3 c)"""
 
   /** Shared by `knn_exact_after_insert` (bag-union append then brute
     * force) and `knn_ivf_after_insert` (IVF insert_many then EXHAUSTIVE
@@ -3073,6 +3125,38 @@ object SparkEntry {
              round(sqrt(list_sum(list_transform(list_zip(a.cv, b.cv),
                z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS centroid_dist
       FROM l a JOIN l b ON a.label < b.label""",
+
+    // the engine's distributed Lloyd loop (integer-exact arithmetic)
+    // replayed serially: three unrolled assign/update CTE stages from
+    // the k-smallest-vec_id init, then the final nearest-centroid
+    // assignment — every output column an integer, so the hash gate
+    // certifies the whole iteration history, not just the last step
+    "emb_kmeans" -> s"""$kmeansCtes
+      SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1""",
+
+    // centroid-form silhouette over the same final centroids: per
+    // vector, a = dist to own centroid, b = dist to nearest other,
+    // s = (b-a)/max(a,b) quantized to micro-units BEFORE the cluster
+    // mean so the aggregation is an exact integer sum in any order
+    "emb_kmeans_silhouette" -> s"""$kmeansCtes,
+      w AS (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2, cid) AS rn FROM df),
+      own AS (SELECT vec_id, cid, d2 AS d2own FROM w WHERE rn = 1),
+      oth AS (SELECT w.vec_id, min(w.d2) AS d2oth
+              FROM w JOIN own USING (vec_id) WHERE w.cid <> own.cid
+              GROUP BY w.vec_id),
+      s AS (SELECT own.cid, CAST(round(
+              (sqrt(CAST(d2oth AS DOUBLE)) - sqrt(CAST(d2own AS DOUBLE)))
+                / greatest(sqrt(CAST(d2own AS DOUBLE)),
+                           sqrt(CAST(d2oth AS DOUBLE)), 1e-300)
+              * 1000000) AS BIGINT) AS sm
+            FROM own JOIN oth USING (vec_id))
+      SELECT CAST(cid AS INT) AS cid, count(*) AS n,
+             round(CAST(sum(sm) AS DOUBLE) / count(*) / 1000000, 6)
+               AS mean_sil
+      FROM s GROUP BY cid""",
 
     // full recompute — the incremental query must merge its two partial
     // states to exactly this

@@ -182,6 +182,171 @@ object EmbeddingStats {
       .toDF("component", "eigenvalue", "var_share", "cum_share")
   }
 
+  /** Embedding vectors quantized to integer micro-units (round(v·1e6)
+    * per coordinate, HALF_UP like every declared quantization) — the
+    * exact-arithmetic substrate for [[kmeansCentroids]]: per-cluster
+    * per-dimension sums of longs are identical in any accumulation
+    * order, so Spark's partial aggregation and DuckDB's serial scan
+    * compute bit-equal centroids. Persisted once per dataset (all
+    * k-means queries and the silhouette read it).
+    */
+  private def quantizedVectors(spark: SparkSession, dir: String,
+      q: Long): org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
+    import spark.implicits._
+    graft.IndexCache.getOrBuild(spark, s"kmeans-quant:$q:$dir") {
+      val d = Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * q, 0).cast("long")).as("qv"))
+        .as[(Long, Array[Long])]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    }
+  }
+
+  /** Nearest centroid by EXACT integer squared distance in quantized
+    * space (|coord| ≤ 2e6 ⇒ per-dim square ≤ 4e12, d=64 ⇒ total ≤
+    * 2.6e14: no Long overflow, no float at all); ties break to the
+    * smallest centroid id, so assignment is a pure function of the
+    * data — the property the cross-engine oracle rests on.
+    */
+  private def nearest(cs: Array[Array[Long]], v: Array[Long]): (Int, Long) = {
+    var best = 0; var bd = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var s = 0L; var i = 0
+      while (i < v.length) { val dl = v(i) - cv(i); s += dl * dl; i += 1 }
+      if (s < bd) { bd = s; best = c }
+      c += 1
+    }
+    (best, bd)
+  }
+
+  /** Deterministic Lloyd k-means over the embedding cloud: init = the
+    * `k` smallest vec_ids' vectors (seedless and replayable in SQL),
+    * `iters` fixed iterations, all arithmetic exact (integer distances,
+    * integer coordinate sums, one double division per centroid
+    * coordinate rounded back to a long — sums stay < 2^53 so the
+    * division is exact-input). Empty clusters keep their previous
+    * centroid (the oracle's LEFT JOIN + coalesce mirrors this).
+    *
+    * Scale shape: centroids are driver-tiny (k·d longs) and broadcast;
+    * each iteration is ONE map-only pass producing per-partition
+    * (cid, count, dim-sums) partials reduced by key — k·|partitions|
+    * rows move, the fact table never shuffles (the same shape
+    * [[covariance]] uses, and the shape distributed k-means always
+    * takes: the 100 TB cost is iters sequential scans, nothing else).
+    */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 3, q: Long = 1000000L): Array[Array[Long]] =
+    graft.IndexCache.getOrBuild(spark, s"kmeans-cents:$k:$iters:$q:$dir") {
+      import spark.implicits._
+      val data = quantizedVectors(spark, dir, q)
+      var cents: Array[Array[Long]] = data.orderBy(col("vec_id")).limit(k)
+        .collect().map(_._2)
+      for (_ <- 1 to iters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val partials = data.rdd.mapPartitions { it =>
+          val cs = bc.value
+          val kk = cs.length
+          var cnt: Array[Long] = null
+          var sums: Array[Array[Long]] = null
+          it.foreach { case (_, v) =>
+            if (cnt == null) {
+              cnt = new Array[Long](kk)
+              sums = Array.ofDim[Long](kk, v.length)
+            }
+            val (c, _) = nearest(cs, v)
+            cnt(c) += 1
+            val s = sums(c); var i = 0
+            while (i < v.length) { s(i) += v(i); i += 1 }
+          }
+          if (cnt == null) Iterator.empty
+          else (0 until kk).iterator.filter(cnt(_) > 0)
+            .map(c => (c, (cnt(c), sums(c))))
+        }.reduceByKey { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+          val m = new Array[Long](a._2.length)
+          var i = 0
+          while (i < a._2.length) { m(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1 + b._1, m)
+        }.collect().toMap
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          partials.get(c) match {
+            // HALF_UP (away from zero) like DuckDB's round(), not
+            // math.round's half-toward-+inf — coordinates go negative
+            case Some((n, s)) => s.map(x => BigDecimal(x.toDouble / n)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+            case None => old
+          }
+        }
+      }
+      cents
+    }
+
+  /** Declared k-means assignment relation: (vec_id, cid, d2) with d2
+    * the exact integer squared distance to the final centroid in
+    * quantized space — every column a BIGINT/INT, so the DuckDB oracle
+    * (which unrolls the same `iters` Lloyd steps as CTE stages)
+    * hash-matches bit-for-bit. One broadcast + one map-only pass.
+    */
+  def kmeansAssignments(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, q: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val cents = kmeansCentroids(spark, dir, k, iters, q)
+    val bc = spark.sparkContext.broadcast(cents)
+    quantizedVectors(spark, dir, q).map { case (id, v) =>
+      val (c, d2) = nearest(bc.value, v)
+      (id, c, d2)
+    }.toDF("vec_id", "cid", "d2")
+  }
+
+  /** Per-cluster simplified silhouette over the final k-means
+    * centroids: a = distance to own centroid, b = distance to the
+    * nearest OTHER centroid, s = (b-a)/max(a,b) — the O(n·k) centroid
+    * form (the O(n²) pairwise silhouette is unusable at scale; the
+    * centroid form is the standard large-n diagnostic). Per-vector s is
+    * quantized to integer micro-units before the cluster mean, so the
+    * aggregation is an exact integer sum in any order. Output:
+    * (cid, n, mean_sil rounded 6).
+    *
+    * Same scale shape as assignment: centroids broadcast, one map-only
+    * pass, a k-row aggregate.
+    */
+  def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, q: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val cents = kmeansCentroids(spark, dir, k, iters, q)
+    val bc = spark.sparkContext.broadcast(cents)
+    val perVec = quantizedVectors(spark, dir, q).map { case (_, v) =>
+      val cs = bc.value
+      val (own, d2own) = nearest(cs, v)
+      var bOther = Long.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        if (c != own) {
+          val cv = cs(c)
+          var s = 0L; var i = 0
+          while (i < v.length) { val dl = v(i) - cv(i); s += dl * dl; i += 1 }
+          if (s < bOther) bOther = s
+        }
+        c += 1
+      }
+      val a = math.sqrt(d2own.toDouble)
+      val b = math.sqrt(bOther.toDouble)
+      val s = if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      val sMicro = BigDecimal(s * 1000000L)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (own, sMicro)
+    }.toDF("cid", "sm")
+    perVec.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("sm")).as("sms"))
+      .select(col("cid"), col("n"),
+        round(col("sms").cast("double") / col("n") / 1000000d, 6)
+          .as("mean_sil"))
+  }
+
   /** Eigenvalues of a symmetric matrix by cyclic Jacobi rotations —
     * dependency-free driver-side solver for the d×d covariance
     * (d = 64: microseconds). Standard sweep until off-diagonal mass

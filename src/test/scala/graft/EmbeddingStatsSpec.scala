@@ -110,4 +110,61 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(got.forall(_._2 >= -1e-9))
     assert(got.last._4 <= 1.0 + 1e-6)
   }
+
+  test("k-means equals a driver-side Lloyd replay; assignments optimal " +
+      "for the final centroids") {
+    val q = 1000000L
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray.map(x =>
+          BigDecimal(x * q).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+      .sortBy(_._1)
+    val k = 8
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def assign(cs: Array[Array[Long]], v: Array[Long]): (Int, Long) =
+      cs.zipWithIndex.map { case (c, i) => (d2(c, v), i) }.min match {
+        case (d, i) => (i, d)
+      }
+    var cents = rows.take(k).map(_._2)
+    for (_ <- 1 to 3) {
+      val groups = rows.groupBy { case (_, v) => assign(cents, v)._1 }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        groups.get(c) match {
+          case Some(g) => Array.tabulate(old.length) { i =>
+            BigDecimal(g.map(_._2(i)).sum.toDouble / g.length)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }
+          case None => old
+        }
+      }
+    }
+    val expect = rows.map { case (id, v) =>
+      val (c, d) = assign(cents, v); (id, c, d)
+    }.toSet
+    val got = EmbeddingStats.kmeansAssignments(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect, s"diff=${(expect -- got).take(3)}")
+    // every vector landed on a genuinely nearest final centroid
+    assert(got.map(_._2).size == k, "some cluster emptied")
+  }
+
+  test("silhouette: partition of the corpus, values in [-1, 1], " +
+      "exact micro-unit means") {
+    val sil = EmbeddingStats.kmeansSilhouette(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val n = Tables.embeddings(spark, sf0001).count()
+    assert(sil.map(_._2).sum == n, "cluster sizes must partition the corpus")
+    assert(sil.forall { case (_, _, s) => s >= -1.0 && s <= 1.0 })
+    assert(sil.map(_._1).toSet == (0 until 8).toSet)
+    // deterministic: a second run is bit-identical
+    val again = EmbeddingStats.kmeansSilhouette(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSet == sil.toSet)
+  }
 }
