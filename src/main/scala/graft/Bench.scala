@@ -98,6 +98,14 @@ object Bench {
         () => operators.Dedup.nearDupClusters(spark, sfDir).count()),
       timed("bench_build_copurchase",
         () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()),
+      // 50 sequential gradient-descent aggregates — one-time training
+      // the three classifier evals then score against
+      timed("bench_build_lr",
+        () => operators.Pipeline.prewarmClassifier(spark, sfDir)),
+      // three Lloyd passes training the k-means model the assignment
+      // and silhouette queries read
+      timed("bench_build_kmeans",
+        () => operators.EmbeddingStats.kmeansCentroids(spark, sfDir).length.toLong),
       timed("bench_build_fuzzy",
         () => operators.TextOps.fuzzyWordPairs(spark, sfDir).count()),
       timed("bench_build_bpe",

@@ -131,17 +131,42 @@ object GraphOps {
   def shortestPaths(spark: SparkSession, dir: String, maxHops: Int = 4,
       minShared: Int = 2): DataFrame = {
     val e = copurchaseEdges(spark, dir, minShared)
-    val bidir = e.select(col("u").cast("long").as("u"),
-        col("v").cast("long").as("v"))
-      .unionAll(e.select(col("v").cast("long").as("u"),
-        col("u").cast("long").as("v")))
+    // adjacency pre-partitioned ON THE JOIN KEY and persisted once per
+    // dataset: every hop's equi-join then reuses that partitioning, so
+    // only the (small) frontier shuffles per round instead of the full
+    // edge list — the layout an iterative graph engine keeps its edges
+    // in for the whole computation, and the difference between O(hops ·
+    // |E|) and O(hops · |frontier|) shuffle volume at 100 TB
+    val bidir = graft.IndexCache.getOrBuild(spark,
+        s"copurchase-bidir:$dir:$minShared") {
+      val b = e.select(col("u").cast("long").as("u"),
+          col("v").cast("long").as("v"))
+        .unionAll(e.select(col("v").cast("long").as("u"),
+          col("u").cast("long").as("v")))
+        .repartition(col("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      b
+    }
     var dist = e.agg(min(col("u")).cast("long").as("node"))
       .select(col("node"), lit(0L).as("d"))
+    // materialize each round: without it, round h's groupBy re-executes
+    // the ENTIRE lineage of rounds 1..h-1 (the unioned plan doubles per
+    // hop) — the iterative-algorithm discipline every Pregel loop needs
+    // at any scale, and the lineage truncation that keeps a 100-round
+    // BFS plan from exploding the optimizer
+    var prev: Option[DataFrame] = None
     (1 to maxHops).foreach { h =>
       val next = dist.filter(col("d") === (h - 1))
         .join(bidir, col("node") === col("u"))
         .select(col("v").as("node"), lit(h.toLong).as("d"))
-      dist = dist.unionAll(next).groupBy("node").agg(min(col("d")).as("d"))
+      val merged = dist.unionAll(next).groupBy("node")
+        .agg(min(col("d")).as("d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      merged.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(merged)
+      dist = merged
     }
     dist
   }

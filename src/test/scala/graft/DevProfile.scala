@@ -18,6 +18,13 @@ object DevProfile {
       val t0 = System.nanoTime(); val n = f
       println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f rows=$n")
     }
+    t("warm_copurchase")(operators.GraphOps.copurchaseEdges(spark, dir).count())
+    t("bfs_warm")(operators.GraphOps.shortestPaths(spark, dir).count())
+    t("bfs_again")(operators.GraphOps.shortestPaths(spark, dir).count())
+    t("lr_train")(operators.Pipeline.prewarmClassifier(spark, dir))
+    t("auc_warm")(operators.Pipeline.classifierAuc(spark, dir).count())
+    t("fuzzy_warm")(operators.TextOps.fuzzyWordPairs(spark, dir).count())
+    t("fuzzy_again")(operators.TextOps.fuzzyWordPairs(spark, dir).count())
     t("warm_tokens")(operators.TextOps.tokenizedDocs(spark, dir).count())
     t("bm25_leg")(operators.TextOps.bm25TopKExploded(
       spark, dir, operators.TextOps.bm25GeneralTerms, 100).count())
