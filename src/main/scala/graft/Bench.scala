@@ -97,7 +97,8 @@ object Bench {
       timed("bench_build_clusters",
         () => operators.Dedup.nearDupClusters(spark, sfDir).count()),
       timed("bench_build_copurchase",
-        () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()),
+        () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()
+          + operators.GraphOps.bidirAdjacency(spark, sfDir).count()),
       // 50 sequential gradient-descent aggregates — one-time training
       // the three classifier evals then score against
       timed("bench_build_lr",

@@ -19,6 +19,7 @@ object DevProfile {
       println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f rows=$n")
     }
     t("warm_copurchase")(operators.GraphOps.copurchaseEdges(spark, dir).count())
+    t("warm_bidir")(operators.GraphOps.bidirAdjacency(spark, dir).count())
     t("bfs_warm")(operators.GraphOps.shortestPaths(spark, dir).count())
     t("bfs_again")(operators.GraphOps.shortestPaths(spark, dir).count())
     t("lr_train")(operators.Pipeline.prewarmClassifier(spark, dir))
