@@ -525,6 +525,9 @@ object SparkEntry {
     // over the same memoized k-means model
     "emb_kmeans_silhouette" ->
       ((s, d) => EmbeddingStats.kmeansSilhouette(s, d)),
+    // density clustering: deterministic DBSCAN (min-label border
+    // attachment) over the planted-density pair relation
+    "emb_dbscan" -> ((s, d) => Dedup.dbscanClusters(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state
@@ -3215,6 +3218,52 @@ object SparkEntry {
              round(sqrt(list_sum(list_transform(list_zip(a.cv, b.cv),
                z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS centroid_dist
       FROM l a JOIN l b ON a.label < b.label""",
+
+    // deterministic DBSCAN replayed in full: the same planted pair
+    // relation as neardup_embedding_lsh, degree-based core test,
+    // recursive-CTE components of the core-core graph (min-label,
+    // exact for any diameter), min-label border attachment
+    "emb_dbscan" -> """
+      WITH RECURSIVE e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      u AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM e0),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM u),
+      p AS (SELECT va, vb FROM (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     round(greatest(list_sum(list_transform(list_zip(a.nv, b.nv),
+                       z -> z[1]*z[2])), 0), 6) AS sim
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            WHERE sim >= 0.45),
+      sym AS (SELECT va AS vid, vb AS nbr FROM p UNION ALL SELECT vb, va FROM p),
+      deg AS (SELECT n.vec_id, count(s.nbr) AS d FROM n
+              LEFT JOIN sym s ON n.vec_id = s.vid GROUP BY 1),
+      cores AS (SELECT vec_id FROM deg WHERE d + 1 >= 3),
+      cc AS (SELECT va, vb FROM p
+             WHERE va IN (SELECT vec_id FROM cores)
+               AND vb IN (SELECT vec_id FROM cores)),
+      ccsym AS (SELECT va AS a, vb AS b FROM cc UNION ALL SELECT vb, va FROM cc),
+      reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM cores
+        UNION
+        SELECT e.b, reach.lbl FROM ccsym e JOIN reach ON reach.node = e.a),
+      corerep AS (SELECT node AS vec_id, min(lbl) AS rep FROM reach GROUP BY 1),
+      border AS (SELECT s.vid AS vec_id, min(c.rep) AS rep
+                 FROM sym s JOIN corerep c ON s.nbr = c.vec_id
+                 WHERE s.vid NOT IN (SELECT vec_id FROM cores)
+                 GROUP BY 1)
+      SELECT n.vec_id,
+             CASE WHEN cr.vec_id IS NOT NULL THEN 'core'
+                  WHEN b.vec_id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             coalesce(cr.rep, b.rep, -1) AS rep
+      FROM n LEFT JOIN corerep cr ON n.vec_id = cr.vec_id
+             LEFT JOIN border b ON n.vec_id = b.vec_id""",
 
     // the engine's distributed Lloyd loop (integer-exact arithmetic)
     // replayed serially: three unrolled assign/update CTE stages from

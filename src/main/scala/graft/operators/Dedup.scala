@@ -766,6 +766,66 @@ object Dedup {
     * [[nearDupClusters]] — the SURVIVING near-dup edges are orders of
     * magnitude smaller than the corpus.
     */
+  /** Deterministic DBSCAN over the embedding cloud in cosine space —
+    * the density-based curation screen (dense regions = semantic
+    * clusters, sparse points = outliers/noise). ε-neighbors are pairs
+    * with rounded cosine ≥ `simThreshold` (the same pair relation the
+    * near-dup suite mines — here over [[plantedNormalizedEmbeddings]],
+    * the fixture's non-vacuous density regime); a point is CORE when
+    * its ε-neighborhood (self included) reaches `minPts`; clusters are
+    * connected components of the core-core graph labeled by min core
+    * vec_id; non-core points with a core neighbor are BORDER (attached
+    * to the MIN label among their core neighbors — classic DBSCAN's
+    * first-found assignment is scan-order-dependent, the min rule is a
+    * pure function of the data); everything else is NOISE (rep -1).
+    * Output: (vec_id, role, rep).
+    *
+    * Scale shape: the pair relation is pluggable — this declared
+    * operating point uses the exact O(n²) leg as its oracle baseline
+    * (same pairing as `neardup_embedding`); at 100 TB the identical
+    * downstream plan consumes [[lshCandidatePairs]] output instead.
+    * Degrees and border attachment are one groupBy each; component
+    * labeling runs driver-side union-find on the THRESHOLDED core-core
+    * edge list (bounded like [[nearDupClusters]]' below-cutover path,
+    * with the same distributed min-label propagation swap above it).
+    */
+  def dbscanClusters(spark: SparkSession, dir: String,
+      simThreshold: Double = 0.45, minPts: Int = 3): DataFrame = {
+    import spark.implicits._
+    val n = plantedNormalizedEmbeddings(spark, dir)
+    val pairs = embeddingNearDupExactNormalized(n, simThreshold)
+      .select(col("vec_a"), col("vec_b"))
+    val sym = pairs.unionAll(
+      pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+    val ids = n.select(col("vec_id"))
+    val deg = ids.join(sym.withColumnRenamed("vec_a", "vec_id"),
+        Seq("vec_id"), "left")
+      .groupBy(col("vec_id"))
+      .agg(count(col("vec_b")).as("deg"))
+    val cores = deg.filter(col("deg") + 1 >= minPts).select("vec_id")
+    val ccEdges = pairs
+      .join(cores.select(col("vec_id").as("vec_a")), Seq("vec_a"), "left_semi")
+      .join(cores.select(col("vec_id").as("vec_b")), Seq("vec_b"), "left_semi")
+      .select(col("vec_a"), col("vec_b"))
+    val reps = unionFindReps(ccEdges.as[(Long, Long)].collect())
+      .toDF("vec_id", "rep0")
+    val coreReps = cores.join(broadcast(reps), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("rep0"), col("vec_id")).as("rep"))
+    val borderReps = sym.toDF("vec_id", "nbr")
+      .join(cores, Seq("vec_id"), "left_anti")
+      .join(broadcast(coreReps.select(col("vec_id").as("nbr"), col("rep"))),
+        Seq("nbr"))
+      .groupBy(col("vec_id")).agg(min(col("rep")).as("rep"))
+    val labeled = coreReps.select(col("vec_id"), lit("core").as("role"),
+        col("rep"))
+      .unionAll(borderReps.select(col("vec_id"), lit("border").as("role"),
+        col("rep")))
+    ids.join(labeled, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        coalesce(col("rep"), lit(-1L)).as("rep"))
+  }
+
   private def unionFindReps(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {

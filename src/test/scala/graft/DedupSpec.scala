@@ -255,4 +255,48 @@ class DedupSpec extends SparkSpec {
       assert(math.max(ca, cb) >= r6(j) - 1e-9)
     }
   }
+
+  test("dbscan: DBSCAN invariants hold against the mined pair relation") {
+    import org.apache.spark.sql.functions.col
+    val simThreshold = 0.45
+    val minPts = 3
+    val rows = operators.Dedup.dbscanClusters(spark, sf0001,
+        simThreshold, minPts)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val n = operators.Dedup.plantedNormalizedEmbeddings(spark, sf0001).count()
+    assert(rows.length == n, "one row per (planted) vector")
+    val pairs = operators.Dedup.embeddingNearDupExactNormalized(
+        operators.Dedup.plantedNormalizedEmbeddings(spark, sf0001),
+        simThreshold)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val role = rows.map(r => r._1 -> r._2).toMap
+    val rep = rows.map(r => r._1 -> r._3).toMap
+    rows.foreach { case (id, ro, rp) =>
+      val deg = nbrs.getOrElse(id, Set.empty).size
+      ro match {
+        case "core" =>
+          assert(deg + 1 >= minPts, s"core $id with deg $deg")
+          assert(rp <= id, s"component label must be a min core id: $id -> $rp")
+        case "border" =>
+          assert(deg + 1 < minPts)
+          val coreNbrReps = nbrs(id).filter(role(_) == "core").map(rep)
+          assert(coreNbrReps.nonEmpty && rp == coreNbrReps.min,
+            s"border $id must take the MIN core-neighbor label")
+        case "noise" =>
+          assert(rp == -1L)
+          assert(nbrs.getOrElse(id, Set.empty).forall(role(_) != "core"),
+            s"noise $id has a core neighbor")
+        case other => fail(s"unknown role $other")
+      }
+    }
+    // core-core edges never cross components
+    pairs.foreach { case (a, b) =>
+      if (role(a) == "core" && role(b) == "core")
+        assert(rep(a) == rep(b), s"core edge ($a,$b) crosses components")
+    }
+    assert(rows.exists(_._2 == "core") && rows.exists(_._2 == "noise"))
+  }
 }
