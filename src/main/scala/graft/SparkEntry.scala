@@ -478,6 +478,10 @@ object SparkEntry {
     // single-source BFS distances over the co-purchase graph
     // (Pregel-style frontier join + min fold per round)
     "graph_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
+    // connected components by alternating large-star/small-star
+    // contraction (O(log n) rounds, diameter-independent)
+    "graph_components" ->
+      ((s, d) => GraphOps.componentsStarContraction(s, d)),
     // edit-distance similarity self-join over the token vocabulary
     // (FastSS deletion-neighborhood blocking equi-join, never cartesian)
     "text_fuzzy_word_pairs" -> ((s, d) => TextOps.fuzzyWordPairs(s, d)),
@@ -3021,6 +3025,23 @@ object SparkEntry {
              (SELECT count(*) FROM e e1
               JOIN e e2 ON e2.u = e1.v
               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""",
+
+    // min-label transitive closure (UNION set semantics) — exact for
+    // any component diameter; certifies the star-contraction fixpoint
+    "graph_components" -> """
+      WITH RECURSIVE cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                            FROM lineitem JOIN orders
+                              ON l_orderkey = o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+            ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 6),
+      nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+      sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      reach(node, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, reach.lbl FROM sym s JOIN reach ON reach.node = s.a)
+      SELECT node, min(lbl) AS component FROM reach GROUP BY 1""",
 
     // bounded WITH RECURSIVE walk, UNION-dedup on (node, hop), then
     // min(hop) per node — the same BFS the frontier loop computes

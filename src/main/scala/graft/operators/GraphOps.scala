@@ -156,12 +156,12 @@ object GraphOps {
     val bidir = bidirAdjacency(spark, dir, minShared)
     var dist = bidir.agg(min(col("u")).cast("long").as("node"))
       .select(col("node"), lit(0L).as("d"))
-    // materialize each round: without it, round h's groupBy re-executes
-    // the ENTIRE lineage of rounds 1..h-1 (the unioned plan doubles per
-    // hop) — the iterative-algorithm discipline every Pregel loop needs
-    // at any scale, and the lineage truncation that keeps a 100-round
-    // BFS plan from exploding the optimizer
-    var prev: Option[DataFrame] = None
+    // localCheckpoint each round: round h would otherwise re-execute
+    // (and re-ANALYZE) the entire lineage of rounds 1..h-1 — the plan
+    // doubles per hop, so both execution and Catalyst analysis go
+    // exponential. Rebasing on a LogicalRDD keeps plan and work
+    // constant per round — the iterative-algorithm discipline every
+    // Pregel-style loop needs at any scale
     (1 to maxHops).foreach { h =>
       // SHUFFLE_HASH on the (small) frontier side: both sides are
       // already hash-partitioned on the key, so a hash join probes the
@@ -170,13 +170,9 @@ object GraphOps {
       val next = dist.filter(col("d") === (h - 1)).hint("shuffle_hash")
         .join(bidir, col("node") === col("u"))
         .select(col("v").as("node"), lit(h.toLong).as("d"))
-      val merged = dist.unionAll(next).groupBy("node")
+      dist = dist.unionAll(next).groupBy("node")
         .agg(min(col("d")).as("d"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      merged.count()
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(merged)
-      dist = merged
+        .localCheckpoint(true)
     }
     dist
   }
@@ -199,4 +195,85 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
     nE.crossJoin(nT)
   }
+
+  /** One LARGE-STAR round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every node links its strictly-LARGER
+    * neighbors to the minimum of its closed neighborhood. One groupBy
+    * + one self-join; output canonicalized (hi, lo) and deduped so
+    * the edge multiset stays bounded by the input.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(m, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One SMALL-STAR round: with edges directed (hi → lo), every node
+    * relinks its smaller neighbors (and itself) to its minimum
+    * neighbor. Together with [[largeStar]] the alternation converges
+    * to a star forest in O(log n) rounds — the distributed connected
+    * components algorithm whose round count does NOT depend on
+    * component diameter (min-label propagation, the other declared
+    * labeler, pays O(diameter) rounds; on a 100 TB path-shaped graph
+    * that difference is the whole game).
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    dir.join(m, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .unionAll(m.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** Connected components by alternating star contractions, run to a
+    * fixpoint with per-round materialization (the iterative-join
+    * discipline: persist, force, drop the previous round). Returns
+    * (node, component) for every node incident to an edge, component =
+    * the component's minimum node id.
+    */
+  private[graft] def starContractionComponents(edges: DataFrame): DataFrame = {
+    // localCheckpoint, NOT persist: persist caches row data but the
+    // LOGICAL plan keeps compounding (each round references the prior
+    // round ~5x: sym union, star joins, the convergence diff), so by
+    // round ~10 Catalyst analysis alone is exponential. Checkpointing
+    // rebases every round on a LogicalRDD — constant plan size, the
+    // mandatory discipline for unbounded iteration counts
+    var e = edges.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val changed = next.exceptAll(e).limit(1).count() +
+        e.exceptAll(next).limit(1).count()
+      converged = changed == 0
+      e = next
+      rounds += 1
+    }
+    // fixpoint is a star forest: every surviving edge points a node at
+    // its component minimum; the minima themselves are their own label
+    e.select(col("u").as("node"), col("v").as("component"))
+      .unionAll(e.select(col("v").as("node"), col("v").as("component")))
+      .distinct()
+  }
+
+  /** Declared star-contraction components of the co-purchase graph at
+    * `minShared` = 6 (the dense-enough slice whose closure the DuckDB
+    * recursive-CTE oracle replays). Output: (node, component).
+    */
+  def componentsStarContraction(spark: SparkSession, dir: String,
+      minShared: Int = 6): DataFrame =
+    starContractionComponents(copurchaseEdges(spark, dir, minShared))
 }

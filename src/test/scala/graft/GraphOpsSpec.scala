@@ -101,4 +101,47 @@ class GraphOpsSpec extends SparkSpec {
       s"BFS mismatch: ${got.size} nodes vs driver ${dist.size}")
     assert(got(src) == 0L)
   }
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("star-contraction components equal a driver union-find on the fixture") {
+    val edges = GraphOps.copurchaseEdges(spark, sf0001, minShared = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assume(edges.nonEmpty)
+    val expect = unionFind(edges)
+    val got = GraphOps.componentsStarContraction(spark, sf0001, minShared = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expect,
+      s"components diverge: got ${got.size} labeled, expect ${expect.size}")
+  }
+
+  test("star contraction handles a path graph (the diameter-killer) " +
+      "and disjoint shapes") {
+    import spark.implicits._
+    // 40-node path (diameter 39: min-label propagation would need 39
+    // rounds; star contraction converges in O(log n)), a triangle, a
+    // star, and an isolated edge
+    val path = (1L until 40L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val star = Seq((200L, 201L), (200L, 202L), (200L, 203L))
+    val iso = Seq((300L, 301L))
+    val edges = (path ++ tri ++ star ++ iso).toDF("u", "v")
+    val got = GraphOps.starContractionComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = unionFind(path ++ tri ++ star ++ iso)
+    assert(got == expect)
+    assert(got(40L) == 1L && got(102L) == 100L &&
+      got(203L) == 200L && got(301L) == 300L)
+  }
 }
