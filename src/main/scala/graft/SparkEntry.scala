@@ -482,6 +482,8 @@ object SparkEntry {
     // contraction (O(log n) rounds, diameter-independent)
     "graph_components" ->
       ((s, d) => GraphOps.componentsStarContraction(s, d)),
+    // synchronous min-tie label-propagation communities (3 rounds)
+    "graph_communities" -> ((s, d) => GraphOps.labelPropagation(s, d)),
     // edit-distance similarity self-join over the token vocabulary
     // (FastSS deletion-neighborhood blocking equi-join, never cartesian)
     "text_fuzzy_word_pairs" -> ((s, d) => TextOps.fuzzyWordPairs(s, d)),
@@ -3025,6 +3027,26 @@ object SparkEntry {
              (SELECT count(*) FROM e e1
               JOIN e e2 ON e2.u = e1.v
               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""",
+
+    // three unrolled synchronous LPA rounds: per round, neighbor-label
+    // counts then mode with ties to the smallest label — the same
+    // deterministic-iteration oracle pattern as emb_kmeans
+    "graph_communities" -> s"""
+      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+            ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 4),
+      nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+      sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      l0 AS (SELECT n AS node, n AS lbl FROM nodes),${Seq(1, 2, 3).map(i => s"""
+      r$i AS (SELECT s.a AS node, l.lbl, count(*) AS c
+              FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
+      l$i AS (SELECT node, lbl FROM (
+                SELECT *, row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, lbl ASC) AS rn FROM r$i) WHERE rn = 1)""")
+        .mkString(",")}
+      SELECT node, lbl AS community FROM l3""",
 
     // min-label transitive closure (UNION set semantics) — exact for
     // any component diameter; certifies the star-contraction fixpoint

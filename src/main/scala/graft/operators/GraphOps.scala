@@ -276,4 +276,40 @@ object GraphOps {
   def componentsStarContraction(spark: SparkSession, dir: String,
       minShared: Int = 6): DataFrame =
     starContractionComponents(copurchaseEdges(spark, dir, minShared))
+
+  /** Deterministic SYNCHRONOUS label propagation (community
+    * detection): every node starts as its own label; each round every
+    * node simultaneously adopts the MODE of its neighbors' previous
+    * labels, ties to the smallest label — classic async LPA is
+    * scan-order-dependent and non-reproducible, the synchronous
+    * min-tie variant is a pure function of the graph, so the DuckDB
+    * oracle unrolls the same `rounds` as CTE stages (the k-means
+    * discipline applied to graphs). Output: (node, community) after
+    * `rounds` rounds.
+    *
+    * Scale shape: per round, ONE equi-join of the (node-sized) label
+    * relation against the edge list plus two partial-aggregatable
+    * groupBys ((node, lbl) counts, then max_by per node) — the same
+    * per-round cost as PageRank; rounds are rebased on localCheckpoint
+    * so plan size stays constant (see [[starContractionComponents]]).
+    */
+  def labelPropagation(spark: SparkSession, dir: String,
+      minShared: Int = 4, rounds: Int = 3): DataFrame = {
+    val e = copurchaseEdges(spark, dir, minShared)
+    val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+    var labels = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    (1 to rounds).foreach { _ =>
+      labels = sym
+        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(max_by(col("lbl"),
+          struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

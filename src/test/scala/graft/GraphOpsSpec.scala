@@ -126,6 +126,29 @@ class GraphOpsSpec extends SparkSpec {
       s"components diverge: got ${got.size} labeled, expect ${expect.size}")
   }
 
+  test("label propagation equals a driver-side synchronous replay") {
+    val edges = GraphOps.copurchaseEdges(spark, sf0001, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assume(edges.nonEmpty)
+    val sym = edges ++ edges.map(_.swap)
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = nbrs.keys.map(n => n -> n).toMap
+    (1 to 3).foreach { _ =>
+      lbl = nbrs.map { case (n, ns) =>
+        val counts = ns.groupBy(lbl).view.mapValues(_.size)
+        // mode of neighbor labels, ties to the smallest label
+        n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+    }
+    val got = GraphOps.labelPropagation(spark, sf0001, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == lbl, s"LPA diverges on ${got.count { case (k, v) => lbl(k) != v }} nodes")
+    // sf0.001's slice is dense enough that 3 rounds can collapse to one
+    // community — the non-degenerate mix is pinned by the sf0.01 oracle
+    // (23 communities); here only labels-are-community-members matters
+    assert(got.values.toSet.subsetOf(got.keySet))
+  }
+
   test("star contraction handles a path graph (the diameter-killer) " +
       "and disjoint shapes") {
     import spark.implicits._
