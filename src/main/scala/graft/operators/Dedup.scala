@@ -793,8 +793,14 @@ object Dedup {
       simThreshold: Double = 0.45, minPts: Int = 3): DataFrame = {
     import spark.implicits._
     val n = plantedNormalizedEmbeddings(spark, dir)
+    // the mined pair relation is referenced four times downstream
+    // (symmetrization x2, core-core edges, border attachment) — without
+    // materialization each reference re-executes the full pair scan;
+    // checkpointing the (thousands-of-rows) edge list makes the
+    // quadratic stage run exactly once
     val pairs = embeddingNearDupExactNormalized(n, simThreshold)
       .select(col("vec_a"), col("vec_b"))
+      .localCheckpoint(true)
     val sym = pairs.unionAll(
       pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
     val ids = n.select(col("vec_id"))

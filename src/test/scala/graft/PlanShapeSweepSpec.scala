@@ -37,7 +37,10 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_tfidf_terms",           // 1-row doc count
     "text_unigram_logprob",       // 1-row vocab totals
     "text_bigram_perplexity",     // 1-row vocab size attach
-    "pipeline_dsir_weights")      // 1-row distribution totals attach
+    "pipeline_dsir_weights",      // 1-row distribution totals attach
+    "emb_dbscan")                 // declared-baseline exact pair scan (the
+                                  // neardup_embedding NLJ; LSH is the
+                                  // documented scale swap)
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
