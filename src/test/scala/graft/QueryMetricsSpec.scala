@@ -48,4 +48,23 @@ class QueryMetricsSpec extends SparkSpec {
     assert(m.shuffleRecordsWritten <= 8, m.toString)
     assert(m.inputRecords > 0)
   }
+
+  test("BFS hops shuffle frontiers, not the edge list, once the " +
+      "adjacency is staged") {
+    // stage adjacency + warm one full run (IndexCache) OUTSIDE the
+    // measured window — the claim is about the per-query cost after
+    // the one-time build, which the bench charges to its build row
+    val edges2 = graft.operators.GraphOps.bidirAdjacency(spark, sf0001)
+    val edgeRows = edges2.count()
+    graft.operators.GraphOps.shortestPaths(spark, sf0001).count()
+    val m = QueryMetrics.measure(spark) {
+      graft.operators.GraphOps.shortestPaths(spark, sf0001).count()
+    }
+    // 4 hops against an |E|-row adjacency: if any hop re-shuffled the
+    // edge list the total would exceed 4x|E|; the staged-partitioning
+    // claim is that only frontiers, merges, and count partials move
+    assert(m.shuffleRecordsWritten < edgeRows,
+      s"BFS shuffled ${m.shuffleRecordsWritten} rows >= edge list " +
+        s"$edgeRows — the adjacency is moving per hop")
+  }
 }
