@@ -98,7 +98,10 @@ object Bench {
         () => operators.Dedup.nearDupClusters(spark, sfDir).count()),
       timed("bench_build_copurchase",
         () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()
-          + operators.GraphOps.bidirAdjacency(spark, sfDir).count()),
+          + operators.GraphOps.bidirAdjacency(spark, sfDir).count()
+          // the components/communities slices (denser minShared cuts)
+          + operators.GraphOps.copurchaseEdges(spark, sfDir, 4).count()
+          + operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count()),
       // 50 sequential gradient-descent aggregates — one-time training
       // the three classifier evals then score against
       timed("bench_build_lr",
