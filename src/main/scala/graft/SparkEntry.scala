@@ -78,6 +78,11 @@ object SparkEntry {
     "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
+    // the same range search EXECUTED BY the streaming engine: queries
+    // flow through the file stream source, the distance predicate runs
+    // in the stream-static broadcast join (stateless, append mode) —
+    // shares knn_range_search's oracle
+    "knn_range_streamed"   -> ((s, d) => streaming.VectorStream.rangeSearchStreamed(s, d)),
     "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
     // filtered ANN on the shared HNSW graphs (post-filter + overfetch):
     // rows-only, recall vs the exact filtered scan gated in HnswSpec
@@ -294,6 +299,11 @@ object SparkEntry {
     // <1% of the pair space is ever inspected (DedupSpec pins the
     // candidate count; sub-0.5 mining stays on the exact leg above)
     "neardup_embedding_lsh" -> ((s, d) => Dedup.embeddingNearDupLshQuery(s, d)),
+    // incremental (batch-vs-corpus) dedup: the new 10% slice's bands
+    // probe the precomputed corpus band table — O(|batch|) per batch,
+    // the corpus never re-pairs; LSH recall ~1 at j>=0.9, so the
+    // exact-verified output equals the oracle's full Jaccard join
+    "dedup_incremental_minhash" -> ((s, d) => Dedup.incrementalMinhashPairs(s, d)),
     "dedup_clusters"      -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // retention policy on those clusters: keep the best copy per cluster
     "dedup_keep_best"     -> Dedup.keepBestPerCluster _,
@@ -323,6 +333,9 @@ object SparkEntry {
     // strings leave the partition); probabilistic membership -> rows-
     // only, spec-pinned no-false-negative + fixture-exact flag set
     "text_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
+    // the SEMANTIC decontamination leg: tiny benchmark embeddings
+    // broadcast, corpus flagged by cosine in one map-only scan
+    "text_decontaminate_embedding" -> ((s, d) => Dedup.embeddingDecontaminate(s, d)),
     // unigram-LM surprisal (the CCNet perplexity signal, corpus-trained)
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(s, d)),
     // add-1 bigram LM: per-doc mean surprisal + perplexity
@@ -354,6 +367,9 @@ object SparkEntry {
     // HLL++ built-in sketch twin: engine-internal hash -> rows-only,
     // relative-error gated in TextOpsSpec
     "sketch_users_hll" -> ((s, d) => TextOps.hllDistinctUsers(s, d)),
+    // Count-Min frequency sketch: one grid-shaped partial aggregate +
+    // broadcast-probe scoring; estimates exact at the declared width
+    "sketch_heavy_hitters_cms" -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —
     "pipeline_training_corpus" -> ((s, d) => Pipeline.trainingCorpus(s, d)),
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
@@ -381,6 +397,9 @@ object SparkEntry {
     "multimodal_signature_dedup" -> Multimodal.signatureDedupGroups _,
     // — graph analytics (iterative-shuffle workload) —
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
+    // Adamic-Adar link prediction: 2-path expansion x broadcast degree
+    // relation, integer micro-unit contributions, TakeOrdered top-k
+    "graph_link_prediction" -> ((s, d) => GraphOps.linkPrediction(s, d)),
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -401,6 +420,10 @@ object SparkEntry {
     // mergeable-sketch scale twin: approximate -> rows-only; rank-error
     // gated against the exact quantiles in EventOpsSpec
     "events_quantiles_approx" -> ((s, d) => EventOps.valueQuantilesApprox(s, d)),
+    // the deterministic bounded-error leg: fixed-width histogram +
+    // integer rank arithmetic -> guaranteed enclosing interval, under
+    // the hash gate (the sketch leg above stays rows-only)
+    "events_quantiles_hist" -> ((s, d) => EventOps.valueQuantilesHistogram(s, d)),
     "events_funnel" -> EventOps.funnel _,
     // materialized-view refresh algebra: two independent partial states
     // merged state-to-state; oracle = the full recompute
@@ -943,6 +966,18 @@ object SparkEntry {
       WHERE b.vec_id < p.s AND q.vec_id >= p.s AND q.vec_id < p.s + 20
         AND $cosDistSql <= 0.7""",
 
+    // streaming-executed twin: every (query, base) pair is scored
+    // exactly once regardless of micro-batching, so the same relation
+    "knn_range_streamed" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e)
+      SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id >= p.s AND q.vec_id < p.s + 20
+        AND $cosDistSql <= 0.7""",
+
     "knn_filtered_batch" -> s"""
       WITH e AS (SELECT vec_id, label,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -1068,6 +1103,26 @@ object SparkEntry {
       SELECT doc_a, doc_b,
              round(shared / (na + nb - shared), 6) AS jaccard
       FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5""",
+
+    // the incremental (batch-vs-corpus) slice of the same exact-Jaccard
+    // relation: new docs are the doc_id % 10 = 7 batch, corpus is the
+    // rest; the engine mines candidates through the corpus band table
+    // (recall ~1 at j >= 0.9) and verifies exactly
+    "dedup_incremental_minhash" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+                   count(*) AS shared, max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram
+              AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+            GROUP BY 1, 2)
+      SELECT doc_new, doc_corpus,
+             round(shared / (na + nb - shared), 6) AS jaccard
+      FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.9""",
 
     // string-gram replay of the hash-side coverage rollup (a 64-bit
     // gram-hash collision on the Spark side would mismatch here)
@@ -1364,6 +1419,31 @@ object SparkEntry {
                  0), 6) AS sim
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
       WHERE sim >= 0.98""",
+
+    // semantic decontamination: the planted twins of every 50th vector
+    // are the "benchmark"; same +0.01 / normalize-then-dot arithmetic
+    "text_decontaminate_embedding" -> """
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      p AS (SELECT vec_id + 100000 AS bench_id,
+                   list_transform(v, x -> x + 0.01) AS v
+            FROM e WHERE vec_id % 50 = 0),
+      nb AS (SELECT bench_id,
+                    list_transform(v, x -> x /
+                      nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+             FROM p),
+      nc AS (SELECT vec_id,
+                    list_transform(v, x -> x /
+                      nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+             FROM e)
+      SELECT * FROM (
+        SELECT c.vec_id, b.bench_id,
+               round(greatest(
+                 list_sum(list_transform(list_zip(c.nv, b.nv), z -> z[1]*z[2])),
+                 0), 6) AS sim
+        FROM nc c CROSS JOIN nb b)
+      WHERE sim >= 0.9""",
 
     "neardup_embedding" -> """
       WITH e AS (SELECT vec_id,
@@ -1672,6 +1752,17 @@ object SparkEntry {
                         ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
              exact AS exact_distinct
       FROM km, e""",
+
+    // at the declared 4x32768 grid an all-rows collision needs
+    // (n/width)^4 luck per key (~1e-9 for the fixture's key count), so
+    // the CMS estimate IS the exact count — the estimate==exact twin
+    // is the contract under the hash gate; the overestimate/eps-bound
+    // behavior at forced collision widths is pinned in CountMinSpec
+    "sketch_heavy_hitters_cms" -> """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             count(*) AS cms_estimate, count(*) AS exact_count
+      FROM events GROUP BY 1
+      ORDER BY cms_estimate DESC, user_id LIMIT 10""",
 
     "sketch_users_per_type" -> """
       WITH h AS (SELECT DISTINCT event_type,
@@ -2586,6 +2677,26 @@ object SparkEntry {
              max(${c100("value")}) / 100.0 AS max_value
       FROM events GROUP BY 1""",
 
+    // same fixed-width binning, cumulative ranks, and integer ceil-div
+    // rank targets as the engine — all integer until the final /100.0
+    "events_quantiles_hist" -> s"""
+      WITH hb AS (SELECT event_type,
+                         CAST(floor(${c100("value")} / 500.0) AS BIGINT) AS b
+                  FROM events),
+      g AS (SELECT event_type, b, count(*) AS n FROM hb GROUP BY 1, 2),
+      c AS (SELECT *,
+              sum(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+              sum(n) OVER (PARTITION BY event_type) AS total
+            FROM g),
+      r AS (SELECT *, (total + 1) // 2 AS r50, (9 * total + 9) // 10 AS r90
+            FROM c)
+      SELECT event_type,
+             min(CASE WHEN cum >= r50 THEN b END) * 500 / 100.0 AS p50_lo,
+             (min(CASE WHEN cum >= r50 THEN b END) + 1) * 500 / 100.0 AS p50_hi,
+             min(CASE WHEN cum >= r90 THEN b END) * 500 / 100.0 AS p90_lo,
+             (min(CASE WHEN cum >= r90 THEN b END) + 1) * 500 / 100.0 AS p90_hi
+      FROM r GROUP BY 1""",
+
     "events_enriched_streamed" -> s"""
       WITH c AS (SELECT user_id,
                         strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS cohort
@@ -3027,6 +3138,31 @@ object SparkEntry {
              (SELECT count(*) FROM e e1
               JOIN e e2 ON e2.u = e1.v
               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""",
+
+    // Adamic-Adar over the same co-purchase edge relation: per-middle-
+    // node contributions quantized to micro-unit BIGINTs (the pagerank
+    // exact-arithmetic discipline) so the sum is order-independent
+    "graph_link_prediction" -> """
+      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                  FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+            JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT u AS z, CAST(round(1e9 / ln(count(*))) AS BIGINT) AS aa
+              FROM bidir GROUP BY u),
+      paths AS (SELECT a.u AS u, a.v AS z, c.v AS w
+                FROM bidir a JOIN bidir c ON a.v = c.u
+                WHERE a.u < c.v),
+      scored AS (SELECT p.u, p.w, count(*) AS common,
+                        CAST(sum(d.aa) AS BIGINT) AS aa_micro
+                 FROM paths p JOIN deg d ON d.z = p.z
+                 GROUP BY 1, 2)
+      SELECT s.u, s.w, s.common, s.aa_micro
+      FROM scored s LEFT JOIN e ON e.u = s.u AND e.v = s.w
+      WHERE e.u IS NULL
+      ORDER BY s.aa_micro DESC, s.u, s.w LIMIT 20""",
 
     // three unrolled synchronous LPA rounds: per round, neighbor-label
     // counts then mode with ties to the smallest label — the same

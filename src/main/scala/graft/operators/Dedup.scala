@@ -359,15 +359,21 @@ object Dedup {
     * with exact Jaccard >= `threshold` (the 32x4 banding has ~100% recall
     * at j >= 0.8). Same output shape as [[ngramJaccardPairs]].
     */
-  def minhashLshPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
-    val docs = gramHashSets(spark, dir)
-    val sigs = minhashSignatures(spark, dir)
-    val banded = sigs.select(col("doc_id"),
+  /** The LSH band relation: (doc_id, band index, band hash) — 32 rows
+    * per document, the bucketing key both the full-corpus and the
+    * incremental pair miners join on.
+    */
+  def bandedSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(spark, dir).select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(LshBands - 1)), j =>
         struct(j.as("b"), hash(slice(col("sig"), j * 4 + 1, lit(4))).as("key"))))
         .as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val docs = gramHashSets(spark, dir)
+    val banded = bandedSignatures(spark, dir)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -378,6 +384,43 @@ object Dedup {
     cand.join(ga, "doc_a").join(gb, "doc_b")
       .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
       .select(col("doc_a"), col("doc_b"),
+        round(col("shared") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("shared")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL MinHash dedup: near-duplicate pairs between a NEW
+    * batch of documents (`doc_id % mod == slot`, the "today's crawl"
+    * stand-in) and the existing corpus (everything else), verified
+    * with exact n-gram Jaccard >= `threshold`. Output
+    * (doc_new, doc_corpus, jaccard).
+    *
+    * This is the shape corpus dedup actually runs at 100 TB: the
+    * corpus's band relation is a PRECOMPUTED, bucketed table (here the
+    * memoized signature scan) that new batches equi-join into — per
+    * batch the work is O(|batch| x bands) probe rows plus the verify
+    * joins, never a corpus x corpus pairing, and the corpus side never
+    * rebuilds. The 32x4 banding has ~100% recall at j >= 0.9 (miss
+    * probability (1-0.9^4)^32 ~= 1.4e-15), so the exact-verified
+    * output equals the full batch x corpus Jaccard join the DuckDB
+    * oracle computes.
+    */
+  def incrementalMinhashPairs(spark: SparkSession, dir: String,
+      mod: Int = 10, slot: Int = 7, threshold: Double = 0.9): DataFrame = {
+    val banded = bandedSignatures(spark, dir)
+    val newBands = banded.filter(col("doc_id") % mod === slot)
+    val corpusBands = banded.filter(col("doc_id") % mod =!= slot)
+    val cand = newBands.as("x").join(corpusBands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_corpus"))
+      .distinct()
+    val docs = gramHashSets(spark, dir)
+    val ga = docs.select(col("doc_id").as("doc_new"), col("ghashes").as("grams_a"))
+    val gb = docs.select(col("doc_id").as("doc_corpus"), col("ghashes").as("grams_b"))
+    cand.join(ga, "doc_new").join(gb, "doc_corpus")
+      .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .select(col("doc_new"), col("doc_corpus"),
         round(col("shared") /
           (size(col("grams_a")) + size(col("grams_b")) - col("shared")), 6)
           .as("jaccard"))
@@ -629,6 +672,34 @@ object Dedup {
       threshold: Double = 0.98): DataFrame =
     embeddingNearDupLshNormalized(plantedNormalizedEmbeddings(spark, dir),
       dim = 64, threshold = threshold, bands = 16, rowsPerBand = 16)
+
+  /** Benchmark decontamination on the EMBEDDING side (the semantic
+    * complement of TextOps.decontaminate's n-gram overlap): flag every
+    * corpus vector whose cosine to ANY benchmark vector reaches
+    * `threshold`, with the matching benchmark id. The benchmark is the
+    * planted twin of every `mod`-th vector ([[plantedNormalizedEmbeddings]],
+    * sim ~0.9968 to its source, <= ~0.63 to everything else), so the
+    * flagged set is exactly the planted sources — non-vacuous and
+    * reproduced verbatim by the DuckDB oracle.
+    *
+    * Scale shape: benchmark suites are tiny (thousands of rows) while
+    * the corpus is the 100 TB side — so the benchmark is BROADCAST and
+    * the corpus side is one map-only scan, zero shuffle, zero corpus
+    * movement; the `sim >= threshold` filter runs inside the scan
+    * stage. Output: (vec_id, bench_id, sim).
+    */
+  def embeddingDecontaminate(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, mod: Int = 50): DataFrame = {
+    val n = plantedNormalizedEmbeddings(spark, dir)
+    val bench = n.filter(col("vec_id") >= 100000L && col("vec_id") % mod === 0)
+      .select(col("vec_id").as("bench_id"), col("nv").as("bv"))
+    val corpus = n.filter(col("vec_id") < 100000L)
+    corpus.join(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        round(greatest(ArrayMath.dotProduct(col("nv"), col("bv")), lit(0.0)), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** [[normalizedEmbeddings]] plus a planted near-duplicate of every
     * vector: vec_id + 100000, every coordinate shifted by +0.01 BEFORE

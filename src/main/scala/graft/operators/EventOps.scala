@@ -113,6 +113,46 @@ object EventOps {
           .as("p90"),
         (max(col("c")) / 100.0).as("max_value"))
 
+  /** The DETERMINISTIC bounded-error quantile plan — the third leg of
+    * the quantile family: [[valueQuantiles]] is exact (per-group sort,
+    * wrong at 100 TB), [[valueQuantilesApprox]] is the built-in KLL-ish
+    * sketch (merge-order-sensitive internals → rows-only), and THIS is
+    * a fixed-width histogram: bucket every value to `stepCents`-wide
+    * bins (map-only), count per (type, bin) — a partial-aggregated
+    * shuffle of at most #bins rows per partition — then read the
+    * rank-`ceil(q*n)` bin off the tiny cumulative relation. The answer
+    * is a GUARANTEED enclosing interval [lo, hi) of width step for the
+    * true type-1 quantile, and every step is exact integer arithmetic,
+    * so the result is bit-deterministic and sits under the DuckDB hash
+    * gate — approximation with error bounds, not approximation with
+    * nondeterminism. Output: (event_type, p50_lo, p50_hi, p90_lo,
+    * p90_hi) in display units.
+    */
+  def valueQuantilesHistogram(spark: SparkSession, dir: String,
+      stepCents: Long = 500L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("b"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val cum = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(cents(col("value")) / lit(stepCents.toDouble)).as("b"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wt))
+      .withColumn("r50", expr("(total + 1) DIV 2"))
+      .withColumn("r90", expr("(9 * total + 9) DIV 10"))
+    cum.groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= col("r50"), col("b"))).as("b50"),
+        min(when(col("cum") >= col("r90"), col("b"))).as("b90"))
+      .select(col("event_type"),
+        (col("b50") * stepCents / 100.0).as("p50_lo"),
+        ((col("b50") + 1) * stepCents / 100.0).as("p50_hi"),
+        (col("b90") * stepCents / 100.0).as("p90_lo"),
+        ((col("b90") + 1) * stepCents / 100.0).as("p90_hi"))
+  }
+
   /** Staged funnel analysis (view → click → purchase, in event-time
     * order): per user, the first view, the first click AFTER that view,
     * and the first purchase AFTER that click, with the funnel stage

@@ -244,6 +244,38 @@ object TextOps {
       .agg(approx_count_distinct(col("user_id"), rsd).as("hll_estimate"),
         countDistinct(col("user_id")).as("exact_distinct"))
 
+  /** Heavy hitters via a Count-Min sketch ([[graft.functions.CountMin]]):
+    * the most frequent `topK` users by SKETCHED event count, beside the
+    * exact count — the frequency sketch completing the mergeable-sketch
+    * trio (KMV distinct, HLL distinct, CMS frequency). Two passes:
+    * (1) ONE partial-aggregated sketch reduction (a depth x width
+    * counter grid per partition crosses the shuffle, never the keys),
+    * (2) candidate keys probe the broadcast sketch map-side and a
+    * bounded heap keeps the top `topK` (estimate desc, user asc).
+    *
+    * At the declared width the fixture's key cardinality makes an
+    * all-rows collision vanishingly rare (P ~ (n/width)^depth per key),
+    * so the estimates equal the exact counts and the row set sits under
+    * the DuckDB hash gate; the approximation behavior itself (strict
+    * overestimates, eps*N bound at forced collision widths) is pinned
+    * in CountMinSpec. Output: (user_id, cms_estimate, exact_count).
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 32768, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cms = graft.functions.CountMin(depth, width)
+    val keys = Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("k")).as[Long]
+    val sketch = keys.select(cms.toColumn.name("sk")).head()
+    val bc = spark.sparkContext.broadcast(sketch)
+    keys.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      .as[(Long, Long)]
+      .map { case (k, c) => (k, cms.estimate(bc.value, k), c) }
+      .toDF("user_id", "cms_estimate", "exact_count")
+      .orderBy(col("cms_estimate").desc, col("user_id"))
+      .limit(topK)
+  }
+
   /** Distinct character 3-grams of a text (JVM loop; includes spaces —
     * word-boundary trigrams carry strong language signal).
     */

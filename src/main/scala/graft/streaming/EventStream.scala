@@ -133,7 +133,7 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
-  private val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[streaming] val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Checkpoint location for the declared one-shot (AvailableNow)
     * streamed queries: tmpfs when the platform has it. The offset/commit
@@ -143,7 +143,7 @@ object EventStream {
     * RAM-backed files lose nothing — a production job supplies its own
     * durable checkpointLocation and never passes through here.
     */
-  private def ckptDir(prefix: String): String = {
+  private[streaming] def ckptDir(prefix: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
@@ -169,7 +169,7 @@ object EventStream {
     * watermark-gated plans (outer joins, event-time timeouts) MUST keep
     * it: their final rows only surface in that batch.
     */
-  private def withStreamPartitions[T](spark: SparkSession, n: Int,
+  private[streaming] def withStreamPartitions[T](spark: SparkSession, n: Int,
       noData: Boolean = true)(f: => T): T = {
     val pKey = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"

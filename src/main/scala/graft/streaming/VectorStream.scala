@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.knn.ExactKnn
+
+/** STREAMING vector search — the online-serving shape of the kNN
+  * surface: query vectors arrive as a stream and are scored against
+  * the standing base corpus without ever batching the query set.
+  *
+  * The declared row is the radius (range) search because it is
+  * STATELESS in streaming terms: the distance predicate evaluates
+  * inside the stream-static broadcast join, every qualifying
+  * (query, base) match emits in the micro-batch that carried the
+  * query, and append mode needs no watermark. That is exactly the
+  * filtered-retrieval pattern of a production serving tier: base
+  * relation resident executor-side, queries flowing through, zero
+  * cross-batch state.
+  *
+  * Scale shape: the static side is broadcast once per stream (at real
+  * scale: the ANN index replica each executor holds — the
+  * [[graft.knn.HnswKnn]] shard layout); each micro-batch does
+  * O(|batch| x |base|) distance work with NO shuffle and NO state
+  * store. Deterministic because every (query, base) pair is scored
+  * exactly once regardless of how the source splits micro-batches —
+  * so the result equals the batch [[ExactKnn.rangeSearch]] and shares
+  * its DuckDB oracle under the hash gate.
+  */
+object VectorStream {
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** The file stream source tails a DIRECTORY; stage the fixture file
+    * into one, once per (session, dataset).
+    */
+  private def stagedEmbeddingsDir(spark: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    graft.IndexCache.getOrBuild(spark, s"embeddings-stream-dir:$dir") {
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-emb-stream")
+        java.nio.file.Files.copy(src, d.resolve("embeddings.parquet"))
+        d.toString
+      }
+    }
+  }
+
+  /** Streamed [[ExactKnn.rangeSearch]] (shares `knn_range_search`'s
+    * oracle): the held-out query split flows through the file stream
+    * source, the base split is the broadcast static side, and the
+    * distance predicate runs inside the join. Output: (qid, vec_id,
+    * dist) — every base point within `radius` of each query.
+    */
+  def rangeSearchStreamed(spark: SparkSession, dir: String,
+      radius: Double = 0.7, nq: Int = 20): DataFrame = {
+    val staged = stagedEmbeddingsDir(spark, dir)
+    val (base, _, splitAt, _) = ExactKnn.split(spark, dir)
+    val b = broadcast(base.select(col("vec_id"), col("emb")))
+    val name = s"graft_knn_stream_${EventStream.streamRunSeq.incrementAndGet()}"
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      val qStream = spark.readStream.schema(embSchema).parquet(staged)
+        .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nq)
+        .select(col("vec_id").as("qid"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("qvec"))
+      val q = qStream
+        .join(b, ExactKnn.dist(col("emb"), col("qvec")) <= radius)
+        .select(col("qid"), col("vec_id"),
+          ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-knn-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name).select(col("qid"), col("vec_id"), col("dist"))
+    // bind the sink relation into the plan, then drop the catalog entry
+    // so repeated invocations don't accumulate driver-resident tables
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+}

@@ -125,6 +125,43 @@ class DedupSpec extends SparkSpec {
     assert(exact.exceptAll(lsh).count() == 0, "LSH missed an exact pair")
   }
 
+  test("incremental minhash equals the brute-force batch x corpus join") {
+    import spark.implicits._
+    // brute force: exact Jaccard over every (batch, corpus) pair at the
+    // declared threshold, from the same memoized gram-hash sets
+    val gs = Dedup.gramHashSets(spark, sf0001)
+      .as[(Long, Array[Long])].collect().toMap
+    val (batch, corpus) = gs.keys.toSeq.partition(_ % 10 == 7)
+    val expect = (for {
+      a <- batch; b <- corpus
+      sa = gs(a).toSet; sb = gs(b).toSet
+      shared = (sa & sb).size
+      j = BigDecimal(shared.toDouble / (sa.size + sb.size - shared))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.9
+    } yield (a, b, j)).toSet
+    val got = Dedup.incrementalMinhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+    // direction contract: new-batch ids on the left, corpus on the right
+    got.foreach { case (n, c, _) => assert(n % 10 == 7 && c % 10 != 7) }
+  }
+
+  test("embedding decontamination flags exactly the planted benchmark sources") {
+    val got = Dedup.embeddingDecontaminate(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "planted contamination must surface (not vacuous)")
+    // every flagged doc matches ITS planted twin at sim ~0.9968
+    got.foreach { case (vecId, benchId, sim) =>
+      assert(vecId % 50 == 0 && benchId == vecId + 100000L)
+      assert(sim >= 0.99 && sim <= 1.0)
+    }
+    // and the flag set is complete: every %50 source is caught
+    val n = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(got.length == n)
+  }
+
   test("LSH blocking inspects a small fraction of the pair space") {
     // the r5-verdict gate: candidate rows << n(n-1)/2 — measured, not
     // asserted. At the declared 16x16 geometry the banded equi-join

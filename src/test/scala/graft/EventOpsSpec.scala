@@ -40,6 +40,26 @@ class EventOpsSpec extends SparkSpec {
       !r.isNullAt(r.fieldIndex("avg_k"))))
   }
 
+  test("histogram quantiles: intervals enclose the true type-1 quantile") {
+    val hist = EventOps.valueQuantilesHistogram(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val data = Tables.events(spark, sf0001)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sorted }
+    assert(hist.keySet == data.keySet)
+    for ((t, cents) <- data) {
+      val n = cents.length
+      val q50 = cents((n + 1) / 2 - 1) / 100.0 // type-1: value at rank ceil(qn)
+      val q90 = cents((9 * n + 9) / 10 - 1) / 100.0
+      val (lo50, hi50, lo90, hi90) = hist(t)
+      assert(lo50 <= q50 && q50 < hi50, s"$t p50 $q50 not in [$lo50,$hi50)")
+      assert(lo90 <= q90 && q90 < hi90, s"$t p90 $q90 not in [$lo90,$hi90)")
+      assert(math.abs(hi50 - lo50 - 5.0) < 1e-9) // declared step width
+    }
+  }
+
   test("native session_window equals the analytic-window sessions") {
     val cols = Seq("user_id", "session_start_us", "n_events", "sum_value")
     val a = EventOps.sessions(spark, sf0001)

@@ -183,6 +183,16 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streamed range search equals the batch range search exactly") {
+    val batch = graft.knn.ExactKnn.rangeSearch(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = graft.streaming.VectorStream.rangeSearchStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} matches")
+  }
+
   test("file sink resumes from checkpoint without reprocessing old files") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"

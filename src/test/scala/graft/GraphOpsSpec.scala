@@ -149,6 +149,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf(got.keySet))
   }
 
+  test("link prediction replays a driver-side Adamic-Adar exactly") {
+    val edges = GraphOps.copurchaseEdges(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assume(edges.nonEmpty)
+    val sym = edges ++ edges.map(_.swap)
+    val nbrs = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val aa = nbrs.view.mapValues(ns =>
+      math.round(1e9 / math.log(ns.size.toDouble))).toMap
+    val edgeSet = edges.toSet
+    val expect = (for {
+      (z, ns) <- nbrs.toSeq
+      u <- ns; w <- ns if u < w
+    } yield ((u, w), z)).groupBy(_._1)
+      .collect { case ((u, w), zs) if !edgeSet((u, w)) =>
+        (u, w, zs.size.toLong, zs.map(t => aa(t._2)).sum)
+      }.toSeq
+      .sortBy { case (u, w, _, micro) => (-micro, u, w) }.take(20)
+    val got = GraphOps.linkPrediction(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+    // predicted pairs are genuinely non-adjacent
+    got.foreach { case (u, w, _, _) => assert(!edgeSet((u, w))) }
+  }
+
   test("star contraction handles a path graph (the diameter-killer) " +
       "and disjoint shapes") {
     import spark.implicits._
