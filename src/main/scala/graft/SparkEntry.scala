@@ -78,6 +78,9 @@ object SparkEntry {
     "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
+    // faceted search: one scan, one bounded-heap pass grouped by
+    // (query, label) — top matches within every category at once
+    "knn_per_label_batch"  -> ((s, d) => ExactKnn.topKPerLabelBatch(s, d)),
     // the same range search EXECUTED BY the streaming engine: queries
     // flow through the file stream source, the distance predicate runs
     // in the stream-static broadcast join (stateless, append mode) —
@@ -316,6 +319,9 @@ object SparkEntry {
     // — text analysis (training-data pipeline ops) —
     "text_tokens"      -> TextOps.tokenCounts _,
     "text_quality"     -> TextOps.qualityScores _,
+    // per-language median gate: micro-unit medians broadcast back,
+    // map-only keep/drop flags in exact long arithmetic
+    "text_quality_gate" -> ((s, d) => TextOps.qualityGate(s, d)),
     "text_langid"      -> TextOps.languageId _,
     // n-gram langid trains profiles on the corpus: rows-only; accuracy
     // vs the ground-truth lang column is gated in TextOpsSpec
@@ -407,6 +413,9 @@ object SparkEntry {
     "events_sessions_native" -> EventOps.sessionsNative _,
     "events_json_stats" -> EventOps.jsonStats _,
     "events_salted_agg" -> ((s, d) => ScaleTechniques.saltedEventAgg(s, d)),
+    // runtime-filter join pruning: dim keys -> broadcast Bloom -> fact
+    // rows drop map-side before the join; exact join removes FPs
+    "orders_bloom_pruned_join" -> ((s, d) => ScaleTechniques.bloomPrunedJoin(s, d)),
     // Z-order zone maps: the multi-dim clustering layout, as a query —
     // per-tile envelopes a stats-based reader prunes on (bit-exact oracle)
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
@@ -991,6 +1000,22 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
       QUALIFY rk <= 10""",
+
+    // faceted twin: the rank window partitions by (query, label)
+    "knn_per_label_batch" -> s"""
+      WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.label, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s
+              AND q.vec_id >= p.s AND q.vec_id < p.s + 20)
+      SELECT qid, label, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid, label
+                                     ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 3""",
 
     "knn_exact_after_insert" -> afterInsertOracle,
     // IVF insert_many + exhaustive probe is exact -> same oracle; the
@@ -1586,6 +1611,27 @@ object SparkEntry {
              round(least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
                    + least(n_words / 50.0, 1.0) * 0.3, 6) AS quality
       FROM q""",
+
+    // same raw-quality arithmetic scaled to micro-unit longs; the *2
+    // trick keeps the even-count interpolated median exact (a+b)
+    "text_quality_gate" -> """
+      WITH q AS (
+        SELECT doc_id, lang,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+              FROM documents)),
+      s AS (SELECT doc_id, lang,
+              CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+            FROM q),
+      m AS (SELECT lang,
+              CAST(round(quantile_cont(q6, 0.5) * 2) AS BIGINT) AS med2
+            FROM s GROUP BY 1)
+      SELECT doc_id, lang, round(q6 / 1000000.0, 6) AS quality,
+             (2 * q6 >= med2) AS kept
+      FROM s JOIN m USING (lang)""",
 
     "text_langid" -> """
       WITH s AS (
@@ -2606,6 +2652,16 @@ object SparkEntry {
       SELECT event_type, count(*) AS n,
              sum(${c100("value")})/100.0 AS sum_value
       FROM events GROUP BY 1""",
+
+    // the PLAIN join — the Bloom prune must not change the answer
+    "orders_bloom_pruned_join" -> s"""
+      SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             count(*) AS n_lines,
+             sum(${c100("l.l_extendedprice")}) / 100.0 AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority = '1-URGENT'
+        AND o.o_orderdate >= TIMESTAMP '1998-06-01'
+      GROUP BY 1""",
 
     // bit-exact replay of the Morton interleave, generated term-by-term
     "layout_zorder_stats" -> ScaleTechniques.zorderOracleSql(),

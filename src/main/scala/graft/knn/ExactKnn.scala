@@ -151,6 +151,32 @@ object ExactKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** FACETED search: top-`k` per (query, label) — "best matches within
+    * every category at once", the retrieval shape faceted navigation
+    * and per-domain evidence selection need. One distance scan (the
+    * same broadcast-NLJ as [[topKBatch]], label riding along from the
+    * base scan) into ONE bounded-heap pass grouped by (qid, label) —
+    * never a per-facet re-query, never a sort. Output:
+    * (qid, label, vec_id, dist, rk).
+    */
+  def topKPerLabelBatch(spark: SparkSession, dir: String, k: Int = 3,
+      nq: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val splitAt = math.round(0.95 * n)
+    val base = emb.filter(col("vec_id") < splitAt)
+      .select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("emb"))
+    val q = broadcast(emb
+      .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nq)
+      .select(col("vec_id").as("qid"), toDoubleArray(col("embedding")).as("qvec")))
+    val scored = base.crossJoin(q)
+      .select(col("qid"), col("label"), col("vec_id"),
+        dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid", "label"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** `insert_many` then search (the reference's index mutation path,
     * `/root/reference/src/index.rs:7-9` — build on a base, append more
     * vectors, and every later search sees them): the base is the first

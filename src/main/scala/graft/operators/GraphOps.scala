@@ -116,12 +116,19 @@ object GraphOps {
   def copurchaseEdges(spark: SparkSession, dir: String,
       minShared: Int = 2): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"copurchase:$dir:$minShared") {
-      // a filter+projection over the persisted counts — no second
-      // cache copy; every consumer scan reads the in-memory relation
+      // each slice persists its own (u,v) projection: consumers like
+      // the label-propagation rounds join it repeatedly, and a derived
+      // filter-over-cache loses the in-memory stats that keep those
+      // join plans broadcast (measured: graph_communities 1.3 s ->
+      // 5.6 s without this). The expensive pair EXPANSION still runs
+      // once, in copurchaseCounts.
       val counts = copurchaseCounts(spark, dir)
-      (if (minShared <= 2) counts
-       else counts.filter(col("shared") >= minShared))
+      val edges = (if (minShared <= 2) counts
+        else counts.filter(col("shared") >= minShared))
         .select("u", "v")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count()
+      edges
     }
 
   /** Single-source BFS over the co-purchase graph: distance (hop

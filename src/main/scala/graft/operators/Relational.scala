@@ -514,6 +514,12 @@ object Relational {
       })
       .toDF("ba", "bb")
       .groupBy(col("ba"), col("bb")).agg(count(lit(1)).as("n"))
+      // the total/item/pair branches below are three consumers of this
+      // <= 1+|brands|+|brands|²/2-row relation; the group-key filters
+      // push below the aggregate and defeat exchange reuse, so WITHOUT
+      // materialization the whole lineitem pass runs 4x (measured:
+      // 4.5 s -> 1.6 s at sf0.01/sf0.1)
+      .localCheckpoint(true)
     val total = counts.filter(col("ba") === "§T")
       .select(col("n").as("total"))
     val item = counts.filter(col("bb") === "§I")

@@ -75,6 +75,32 @@ object TextOps {
         round(qualityOf(col("text"), w), 6).as("quality"))
   }
 
+  /** Per-LANGUAGE quality gating — the curation rule real pipelines
+    * apply (a global threshold over-prunes whichever language scores
+    * low on shared heuristics): keep each document iff its quality
+    * reaches its OWN language's median. Two passes: per-language
+    * medians over micro-unit longs (a |langs|-row relation, broadcast
+    * back), then a map-only flag join. The `*2` trick keeps the even-
+    * count interpolated median in exact integers (a+b), so the gate
+    * comparison is pure long arithmetic under the hash gate. At 100 TB
+    * the median pass swaps for [[graft.operators.EventOps
+    * .valueQuantilesHistogram]]'s bounded-error histogram — the gate
+    * join is unchanged. Output: (doc_id, lang, quality, kept).
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        round(qualityOf(col("text"), w) * 1e6, 0).cast("long").as("q6"))
+    val med = scored.groupBy(col("lang"))
+      .agg(round(percentile(col("q6"), lit(0.5)) * 2, 0).cast("long")
+        .as("med2"))
+    scored.join(broadcast(med), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        round(col("q6") / 1e6, 6).as("quality"),
+        (col("q6") * 2 >= col("med2")).as("kept"))
+  }
+
   /** Per-source exact-duplicate rate: docs vs distinct md5(text) per
     * source — the per-feed curation signal (which sources re-crawl the
     * same pages). 16-byte hashes aggregate, text never shuffles;

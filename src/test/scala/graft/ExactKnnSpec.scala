@@ -64,6 +64,29 @@ class ExactKnnSpec extends SparkSpec {
       "scan reads more columns than the projection needs")
   }
 
+  test("faceted top-k: per-(query,label) groups, consistent with the flat batch") {
+    val rows = ExactKnn.topKPerLabelBatch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(rows.nonEmpty)
+    val groups = rows.groupBy(r => (r._1, r._2))
+    groups.foreach { case ((qid, label), g) =>
+      assert(g.length <= 3, s"($qid,$label) has ${g.length} rows")
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to g.length).toSeq)
+      // rank order == (dist, vec_id) order within the facet
+      assert(sorted.sortBy(x => (x._4, x._3)).toSeq == sorted.toSeq)
+    }
+    // facet union contains the overall top-1: the best base point for
+    // any query is rank 1 within its own label
+    val flat = ExactKnn.topKBatch(spark, sf0001).filter(col("rk") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val facetTop = rows.filter(_._5 == 1).map(r => (r._1, r._3)).toSet
+    val inScope = flat.filter { case (q, _) =>
+      rows.exists(_._1 == q) } // same nq window
+    assert(inScope.subsetOf(facetTop))
+  }
+
   test("search after insertMany equals searching the full prefix directly") {
     // the 90% base + 5% inserted slab IS the 95% prefix — insert must be
     // an exact bag-append (reference index.rs:7-9 semantics)

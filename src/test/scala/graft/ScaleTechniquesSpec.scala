@@ -124,6 +124,33 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("declared bloom-pruned join: sharp prune, exact result") {
+    val dim = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1998-06-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val factTotal = Tables.lineitem(spark, sf0001).count()
+    val survivors = ScaleTechniques.bloomPrunedFact(spark, sf0001, dim).count()
+    // the slice keeps <10% of orders; at fpp 1e-6 false positives add
+    // ~0 — the map-side prune must drop the overwhelming majority
+    assert(survivors < factTotal * 0.15, s"$survivors of $factTotal survived")
+    // and the declared query equals the plain join (FPs removed)
+    val plain = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1998-06-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(graft.functions.ExactNum.cents(col("l_extendedprice"))) / 100.0)
+          .as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = ScaleTechniques.bloomPrunedJoin(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain)
+    assert(got.nonEmpty)
+  }
+
   test("zorder zone maps: tiles are disjoint 2-D boxes covering all rows") {
     val tiles = ScaleTechniques.zorderBucketStats(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

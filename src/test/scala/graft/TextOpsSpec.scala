@@ -557,6 +557,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("quality gate keeps exactly the docs at or above their language median") {
+    val rows = TextOps.qualityGate(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, g) =>
+      val q6 = g.map(t => math.round(t._3 * 1e6)).sorted
+      val n = q6.length
+      // exact interpolated median in doubled micro-units
+      val med2 =
+        if (n % 2 == 1) 2 * q6(n / 2) else q6(n / 2 - 1) + q6(n / 2)
+      g.foreach { case (id, _, q, kept) =>
+        assert(kept == (2 * math.round(q * 1e6) >= med2),
+          s"doc $id lang $lang q=$q")
+      }
+      // a median gate keeps at least half of every language
+      val keptN = g.count(_._4)
+      assert(keptN * 2 >= n, s"$lang kept $keptN of $n")
+    }
+  }
+
   test("zipf fit equals a driver-side rank-frequency OLS") {
     val freq = Tables.documents(spark, sf0001).select("text").collect()
       .flatMap(_.getString(0).split(" ", -1))
