@@ -291,6 +291,9 @@ object SparkEntry {
     // per-doc duplicated-shingle coverage (Lee et al. 2022 substring
     // signal): linear-shape rollup on the memoized gram hashes
     "dedup_gram_coverage" -> ((s, d) => Dedup.gramCoverage(s, d)),
+    // which feeds copy each other: memoized pair relation x source
+    // tags, exact micro-unit mean similarity per source pair
+    "dedup_cross_source" -> ((s, d) => Dedup.crossSourceDupMatrix(s, d)),
     // minhash/simhash use engine-side hashing -> rows-only check; quality
     // gated by DedupSpec (exact-equality vs brute force)
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
@@ -322,6 +325,9 @@ object SparkEntry {
     // per-language median gate: micro-unit medians broadcast back,
     // map-only keep/drop flags in exact long arithmetic
     "text_quality_gate" -> ((s, d) => TextOps.qualityGate(s, d)),
+    // tokenizer health: per-doc OOV rate vs the deterministic
+    // top-1000 corpus vocabulary (broadcast membership, no vocab sort)
+    "text_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "text_langid"      -> TextOps.languageId _,
     // n-gram langid trains profiles on the corpus: rows-only; accuracy
     // vs the ground-truth lang column is gated in TextOpsSpec
@@ -381,6 +387,8 @@ object SparkEntry {
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
     "pipeline_heavy_hitters" -> ((s, d) => Pipeline.heavyHitterTokens(s, d)),
     "pipeline_pack_shards" -> ((s, d) => Pipeline.packShards(s, d)),
+    // packing QA: per-language shard-load distribution + imbalance
+    "pipeline_shard_balance" -> ((s, d) => Pipeline.shardBalance(s, d)),
     // mT5-style α=0.5 temperature rebalancing of the language mix
     "pipeline_temperature_sample" -> ((s, d) => Pipeline.temperatureSample(s, d)),
     // DSIR hashed-unigram importance weights (target = lang 'en')
@@ -1129,6 +1137,32 @@ object SparkEntry {
              round(shared / (na + nb - shared), 6) AS jaccard
       FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.5""",
 
+    // the >= 0.8 slice of the mined pair relation, rolled up per
+    // unordered source pair; the mean replays the micro-unit sum
+    "dedup_cross_source" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                   max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      j AS (SELECT doc_a, doc_b,
+                   round(shared / (na + nb - shared), 6) AS jaccard
+            FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.8),
+      t AS (SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(round(j.jaccard * 1000000) AS BIGINT) AS jm
+            FROM j JOIN documents da ON da.doc_id = j.doc_a
+                   JOIN documents db ON db.doc_id = j.doc_b)
+      SELECT source_a, source_b, count(*) AS n_pairs,
+             round(CAST(sum(jm) AS BIGINT) / count(*) / 1000000.0, 6)
+               AS mean_jaccard
+      FROM t GROUP BY 1, 2""",
+
     // the incremental (batch-vs-corpus) slice of the same exact-Jaccard
     // relation: new docs are the doc_id % 10 = 7 batch, corpus is the
     // rest; the engine mines candidates through the corpus band table
@@ -1612,6 +1646,19 @@ object SparkEntry {
                    + least(n_words / 50.0, 1.0) * 0.3, 6) AS quality
       FROM q""",
 
+    // same deterministic top-1000 vocabulary cut (freq desc, token asc)
+    "text_vocab_coverage" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      v AS (SELECT t FROM (SELECT t, count(*) AS f FROM tok GROUP BY 1)
+            ORDER BY f DESC, t ASC LIMIT 1000)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(count(*) FILTER (tok.t NOT IN (SELECT t FROM v)) AS BIGINT)
+               AS n_oov,
+             round(CAST(count(*) FILTER (tok.t NOT IN (SELECT t FROM v))
+               AS DOUBLE) / count(*), 6) AS oov_rate
+      FROM tok GROUP BY 1""",
+
     // same raw-quality arithmetic scaled to micro-unit longs; the *2
     // trick keeps the even-count interpolated median exact (a+b)
     "text_quality_gate" -> """
@@ -1779,6 +1826,26 @@ object SparkEntry {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0) // 2000 AS BIGINT) AS shard
       FROM documents""",
+
+    // rollup of the same packing assignment; integer loads, one
+    // double division each for mean and imbalance
+    "pipeline_shard_balance" -> """
+      WITH ps AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                       OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) // 2000 AS BIGINT) AS shard
+        FROM documents),
+      g AS (SELECT lang, shard, CAST(sum(n_tokens) AS BIGINT) AS tok
+            FROM ps GROUP BY 1, 2)
+      SELECT lang, count(*) AS n_shards,
+             min(tok) AS min_tokens, max(tok) AS max_tokens,
+             round(CAST(sum(tok) AS DOUBLE) / count(*), 6) AS mean_tokens,
+             round(CAST(max(tok) * count(*) AS DOUBLE) / sum(tok), 6)
+               AS imbalance
+      FROM g GROUP BY 1""",
 
     // k smallest distinct portable hashes -> same KMV estimate formula
     "sketch_distinct_ngrams" -> """

@@ -427,6 +427,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-SOURCE duplication matrix — which feeds copy each other:
+    * the memoized near-dup pair relation joined to each side's source
+    * tag and rolled up per unordered source pair with the pair count
+    * and mean similarity. This is the curation dashboard number that
+    * decides which overlapping crawls to drop wholesale before
+    * doc-level dedup even runs.
+    *
+    * The mean is exact: each 6dp jaccard scales to an integral
+    * micro-unit long, the sum is order-independent integer
+    * arithmetic, and one final division is deterministic. Reads the
+    * O(|pairs|) mined relation — no new pair stage. Output:
+    * (source_a, source_b, n_pairs, mean_jaccard).
+    */
+  def crossSourceDupMatrix(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir, threshold)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+    tagged
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 1e6, 0).cast("long")).as("jsum"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("jsum") / col("n_pairs") / 1e6, 6).as("mean_jaccard"))
+  }
+
   /** Near-dup CLUSTER assignment: every doc mapped to the minimum
     * doc_id of its connected component in the jaccard>=threshold pair
     * graph (the "keep one representative per near-dup cluster" step of

@@ -352,15 +352,18 @@ object GraphOps {
     * Scale shape: the 2-path expansion is the same Σ deg(z)² relation
     * the triangle census walks — bounded by hub degree, and the
     * standard hub-cap prune drops in per node without changing the
-    * plan. Degrees are a node-sized relation (broadcast); the final
-    * top-k is a `TakeOrdered`, never a global sort.
+    * plan. The degree relation is node-sized, so its join strategy is
+    * LEFT TO THE OPTIMIZER: small graphs broadcast it, a 1e9-node
+    * graph equi-joins on z (both sides already shuffle-partitioned by
+    * z from the expansion). The final top-k is a `TakeOrdered`, never
+    * a global sort.
     */
   def linkPrediction(spark: SparkSession, dir: String,
       minShared: Int = 2, topK: Int = 20): DataFrame = {
     val adj = bidirAdjacency(spark, dir, minShared) // (u, v), both dirs
     val deg = adj.groupBy(col("u").as("z")).agg(count(lit(1)).as("d"))
     // middle nodes on a 2-path have deg >= 2, so ln(d) > 0 always
-    val contrib = broadcast(deg).select(col("z"),
+    val contrib = deg.select(col("z"),
       round(lit(1e9) / log(col("d"))).cast("long").as("aa"))
     val paths = adj.select(col("u"), col("v").as("z"))
       .join(adj.select(col("u").as("z"), col("v").as("w")), Seq("z"))

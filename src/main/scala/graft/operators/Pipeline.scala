@@ -133,6 +133,29 @@ object Pipeline {
           .cast("long"))
   }
 
+  /** Shard-balance QA over [[packShards]] — the check a packing layout
+    * ships with: per language, the shard count and the min/max/mean
+    * shard token load plus the max/mean imbalance ratio. A ratio near
+    * 1 means executors draw near-equal work per shard; the trailing
+    * partial shard is the expected outlier. Two partial-aggregated
+    * rollups over the shard assignment (never the corpus), mean and
+    * ratio as single exact-integer divisions rounded 6dp.
+    * Output: (lang, n_shards, min_tokens, max_tokens, mean_tokens,
+    * imbalance).
+    */
+  def shardBalance(spark: SparkSession, dir: String,
+      budgetTokens: Long = 2000L): DataFrame =
+    packShards(spark, dir, budgetTokens)
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_shards"),
+        min(col("tok")).as("min_tokens"),
+        max(col("tok")).as("max_tokens"),
+        round(sum(col("tok")) / count(lit(1)), 6).as("mean_tokens"),
+        round(max(col("tok")) * count(lit(1)) / sum(col("tok")), 6)
+          .as("imbalance"))
+
   /** Deterministic uniform k-sample per group: the k events per type
     * with the smallest md5(event_id) — hash-ordering makes the sample
     * uniform-at-random yet reproducible on any engine (both Spark and

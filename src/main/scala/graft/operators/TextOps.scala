@@ -408,6 +408,35 @@ object TextOps {
       t
     }
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-health signal:
+    * the reference vocabulary is the corpus's `vocabSize` most
+    * frequent tokens (ties broken token-asc, so the cut is
+    * deterministic); every document reports how many of its tokens
+    * fall outside it. High OOV flags encoding damage, language
+    * mismatch, or templated noise before tokens are wasted on them.
+    *
+    * Scale shape: one token-frequency shuffle (partial-aggregated) +
+    * a bounded top-k — never a vocabulary sort; the vocab relation is
+    * O(vocabSize) and broadcast, the per-doc pass is one explode +
+    * map-side membership + one partial-aggregated rollup. Output:
+    * (doc_id, n_tokens, n_oov, oov_rate).
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val toks = tokenizedDocs(spark, dir)
+    val vocab = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("t").asc).limit(vocabSize)
+      .select(col("t"), lit(1).as("inv"))
+    toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   def bm25TopK(spark: SparkSession, dir: String,
       terms: Seq[String] = Seq("join", "window", "scan"), k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

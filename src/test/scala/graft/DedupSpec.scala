@@ -125,6 +125,29 @@ class DedupSpec extends SparkSpec {
     assert(exact.exceptAll(lsh).count() == 0, "LSH missed an exact pair")
   }
 
+  test("cross-source matrix conserves the pair relation and orders sources") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assume(pairs.nonEmpty)
+    val src = Tables.documents(spark, sf0001).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, g) =>
+      val jsum = g.map(t => math.round(t._3 * 1e6)).sum
+      (k._1, k._2, g.length.toLong,
+        BigDecimal(jsum.toDouble / g.length / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Dedup.crossSourceDupMatrix(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expect)
+    assert(got.toSeq.map(_._3).sum == pairs.length)
+    got.foreach { case (a, b, _, _) => assert(a <= b) }
+  }
+
   test("incremental minhash equals the brute-force batch x corpus join") {
     import spark.implicits._
     // brute force: exact Jaccard over every (batch, corpus) pair at the

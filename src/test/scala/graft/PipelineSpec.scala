@@ -192,6 +192,24 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"), plan.take(500))
   }
 
+  test("shard balance: conserves tokens, brackets the mean, imbalance >= 1") {
+    val shards = Pipeline.packShards(spark, sf0001)
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tokens")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Pipeline.shardBalance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.nonEmpty)
+    val byLang = shards.groupBy(_._1)
+    got.foreach { case (lang, nShards, mn, mx, mean, imb) =>
+      val loads = byLang(lang).map(_._3)
+      assert(nShards == loads.length && mn == loads.min && mx == loads.max)
+      assert(mn <= mean && mean <= mx)
+      assert(imb >= 1.0 - 1e-9)
+    }
+  }
+
   test("quality classifier: GD distills the gate well above the majority baseline") {
     val got = Pipeline.qualityClassifier(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getDouble(1))).toMap

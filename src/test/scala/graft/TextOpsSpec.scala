@@ -557,6 +557,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage equals a driver-side OOV replay") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val freq = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, v) => (t, v.size.toLong) }
+    val vocab = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(1000)
+      .map(_._1).toSet
+    val expect = docs.map { case (id, ws) =>
+      val oov = ws.count(!vocab(_)).toLong
+      (id, ws.length.toLong, oov,
+        BigDecimal(oov.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = TextOps.vocabCoverage(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expect)
+  }
+
   test("quality gate keeps exactly the docs at or above their language median") {
     val rows = TextOps.qualityGate(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
