@@ -30,9 +30,14 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
+    // a query that throws must not kill the round's bench, but it must
+    // not masquerade as a normal timing either (a sf0.1-only failure
+    // once hid inside a plausible-looking number) — failures land in
+    // the JSON line's "errors" array
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     def timed(name: String, run: () => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try run() catch { case _: Throwable => () }
+      try run() catch { case _: Throwable => errors += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Index/profile caches (IndexCache) are built once per dataset and
@@ -142,7 +147,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // stdout capture has proven lossy round over round (truncated tails
     // -> unparseable artifacts), so the same line also lands in a file

@@ -3271,7 +3271,7 @@ object SparkEntry {
                     ON l.l_orderkey = o.o_orderkey),
       e AS (SELECT a.c AS u, b.c AS v FROM cp a
             JOIN cp b ON a.p = b.p AND a.c < b.c
-            GROUP BY 1, 2 HAVING count(*) >= 2),
+            GROUP BY 1, 2 HAVING count(*) >= 4),
       bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
       deg AS (SELECT u AS z, CAST(round(1e9 / ln(count(*))) AS BIGINT) AS aa
               FROM bidir GROUP BY u),

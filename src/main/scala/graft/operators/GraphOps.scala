@@ -352,18 +352,25 @@ object GraphOps {
     * Scale shape: the 2-path expansion is the same Σ deg(z)² relation
     * the triangle census walks — bounded by hub degree, and the
     * standard hub-cap prune drops in per node without changing the
-    * plan. The degree relation is node-sized, so its join strategy is
+    * plan (declared on the minShared=4 cut, where co-purchase overlap
+    * is signal: the >= 2 cut is a near-complete hairball whose 62M
+    * 2-paths at sf0.1 are all Adamic-Adar noise). The degree relation
+    * is node-sized, so its join strategy is
     * LEFT TO THE OPTIMIZER: small graphs broadcast it, a 1e9-node
     * graph equi-joins on z (both sides already shuffle-partitioned by
     * z from the expansion). The final top-k is a `TakeOrdered`, never
     * a global sort.
     */
   def linkPrediction(spark: SparkSession, dir: String,
-      minShared: Int = 2, topK: Int = 20): DataFrame = {
+      minShared: Int = 4, topK: Int = 20): DataFrame = {
     val adj = bidirAdjacency(spark, dir, minShared) // (u, v), both dirs
     val deg = adj.groupBy(col("u").as("z")).agg(count(lit(1)).as("d"))
-    // middle nodes on a 2-path have deg >= 2, so ln(d) > 0 always
-    val contrib = deg.select(col("z"),
+    // a degree-1 node can never sit mid-2-path (its only u==w pair is
+    // filtered), so dropping it BEFORE the division both preserves
+    // semantics and keeps ln(d) > 0 — without the filter a shuffle-join
+    // plan evaluates the projection for every node and ANSI mode
+    // raises DIVIDE_BY_ZERO on ln(1) (hit at sf0.1)
+    val contrib = deg.filter(col("d") >= 2).select(col("z"),
       round(lit(1e9) / log(col("d"))).cast("long").as("aa"))
     val paths = adj.select(col("u"), col("v").as("z"))
       .join(adj.select(col("u").as("z"), col("v").as("w")), Seq("z"))

@@ -150,7 +150,7 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("link prediction replays a driver-side Adamic-Adar exactly") {
-    val edges = GraphOps.copurchaseEdges(spark, sf0001)
+    val edges = GraphOps.copurchaseEdges(spark, sf0001, minShared = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assume(edges.nonEmpty)
     val sym = edges ++ edges.map(_.swap)

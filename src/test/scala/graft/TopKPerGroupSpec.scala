@@ -92,6 +92,21 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(df.count() == 25) // 5 segments x 5
   }
 
+  test("faceted kNN plans as heap top-k grouped by (qid, label)") {
+    val df = graft.knn.ExactKnn.topKPerLabelBatch(spark, sf0001)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case e: TopKPerGroupExec => e }.nonEmpty,
+      s"expected TopKPerGroupExec in:\n$plan")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"sort/window found in:\n$plan")
+  }
+
   test("agrees with the window row_number form on the kNN workload") {
     val (base, queries, _, _) = ExactKnn.split(spark, sf0001)
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("emb").as("qvec")))
