@@ -310,6 +310,11 @@ object SparkEntry {
     // the corpus never re-pairs; LSH recall ~1 at j>=0.9, so the
     // exact-verified output equals the oracle's full Jaccard join
     "dedup_incremental_minhash" -> ((s, d) => Dedup.incrementalMinhashPairs(s, d)),
+    // the same miner EXECUTED BY the streaming engine at ingestion
+    // time: new docs sign themselves in-flight, probe the standing
+    // corpus band table in stateless stream-static joins — shares the
+    // batch row's oracle
+    "dedup_incremental_streamed" -> ((s, d) => streaming.CorpusStream.incrementalMinhashStreamed(s, d)),
     "dedup_clusters"      -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // retention policy on those clusters: keep the best copy per cluster
     "dedup_keep_best"     -> Dedup.keepBestPerCluster _,
@@ -1168,6 +1173,24 @@ object SparkEntry {
     // rest; the engine mines candidates through the corpus band table
     // (recall ~1 at j >= 0.9) and verifies exactly
     "dedup_incremental_minhash" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+                   count(*) AS shared, max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram
+              AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+            GROUP BY 1, 2)
+      SELECT doc_new, doc_corpus,
+             round(shared / (na + nb - shared), 6) AS jaccard
+      FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.9""",
+
+    // streamed twin: per-micro-batch pure (no state), so the streamed
+    // pair set equals the batch miner's — same oracle text
+    "dedup_incremental_streamed" -> """
       WITH g AS (
         SELECT doc_id,
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

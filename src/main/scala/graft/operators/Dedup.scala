@@ -304,7 +304,7 @@ object Dedup {
 
   private val MersennePrime = 2147483647L // 2^31 - 1
   private val NumPerms = 128
-  private val LshBands = 32 // 32 bands x 4 rows
+  private[graft] val LshBands = 32 // 32 bands x 4 rows
 
   /** Seeded permutation parameters (a, b) for h_i(x) = (a_i x + b_i) mod p. */
   private lazy val (permA, permB): (Array[Long], Array[Long]) = {

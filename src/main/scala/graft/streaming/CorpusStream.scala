@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+
+/** STREAMING corpus dedup — the ingestion-time shape of
+  * [[graft.operators.Dedup.incrementalMinhashPairs]]: newly crawled
+  * documents arrive as a stream, each computes its gram hashes and
+  * MinHash signature in-flight (one typed map, no corpus access), and
+  * its LSH bands probe the STANDING corpus band table in a stateless
+  * stream-static equi-join; surviving candidates verify exact Jaccard
+  * against the corpus gram sets in a second stream-static join. Every
+  * step is per-micro-batch pure — no watermark, no state store — so
+  * the streamed result equals the batch miner row for row and shares
+  * its DuckDB oracle.
+  *
+  * Scale shape: the corpus side is the precomputed band/gram relations
+  * a production pipeline keeps bucketed on (band, key) — per arriving
+  * batch the work is O(|batch| x bands) probe rows plus verification
+  * of actual candidates; the corpus never re-pairs and never rescans.
+  */
+object CorpusStream {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The file stream source tails a DIRECTORY; stage the fixture file
+    * into one, once per (session, dataset).
+    */
+  private def stagedDocsDir(spark: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    graft.IndexCache.getOrBuild(spark, s"documents-stream-dir:$dir") {
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-docs-stream")
+        java.nio.file.Files.copy(src, d.resolve("documents.parquet"))
+        d.toString
+      }
+    }
+  }
+
+  /** Streamed [[Dedup.incrementalMinhashPairs]] (shares
+    * `dedup_incremental_minhash`'s oracle). Output:
+    * (doc_new, doc_corpus, jaccard) with exact Jaccard >= `threshold`.
+    */
+  def incrementalMinhashStreamed(spark: SparkSession, dir: String,
+      mod: Int = 10, slot: Int = 7, threshold: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val staged = stagedDocsDir(spark, dir)
+    // standing corpus relations, built once (memoized per dataset)
+    val corpusBands = Dedup.bandedSignatures(spark, dir)
+      .filter(col("doc_id") % mod =!= slot)
+      .select(col("doc_id").as("doc_corpus"), col("b"), col("key"))
+    val corpusGrams = Dedup.gramHashSets(spark, dir)
+      .filter(col("doc_id") % mod =!= slot)
+      .select(col("doc_id").as("doc_corpus"), col("ghashes").as("grams_b"))
+    val name = s"graft_incdedup_stream_${EventStream.streamRunSeq.incrementAndGet()}"
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      val docs = spark.readStream.schema(docSchema).parquet(staged)
+        .filter(col("doc_id") % mod === slot)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val hs = Dedup.gramsOf(t).map(Dedup.fnv64).toArray
+          (id, hs, Dedup.minhashSigFromHashes(hs.iterator))
+        }
+        .toDF("doc_new", "grams_a", "sig")
+      val banded = docs.select(col("doc_new"), col("grams_a"),
+        explode(transform(sequence(lit(0), lit(Dedup.LshBands - 1)), j =>
+          struct(j.as("b"),
+            hash(slice(col("sig"), j * 4 + 1, lit(4))).as("key")))).as("bk"))
+        .select(col("doc_new"), col("grams_a"),
+          col("bk.b").as("b"), col("bk.key").as("key"))
+      val q = banded
+        .join(corpusBands, Seq("b", "key"))
+        .join(corpusGrams, Seq("doc_corpus"))
+        .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
+        .select(col("doc_new"), col("doc_corpus"),
+          round(col("shared") /
+            (size(col("grams_a")) + size(col("grams_b")) - col("shared")), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-incdedup-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // a pair colliding in several bands appends one (identical,
+    // exactly-verified) row per band — distinct restores the pair set
+    val out = spark.table(name)
+      .select(col("doc_new"), col("doc_corpus"), col("jaccard")).distinct()
+    // bind the sink relation into the plan, then drop the catalog entry
+    // so repeated invocations don't accumulate driver-resident tables
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+}

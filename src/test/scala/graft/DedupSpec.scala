@@ -125,6 +125,23 @@ class DedupSpec extends SparkSpec {
     assert(exact.exceptAll(lsh).count() == 0, "LSH missed an exact pair")
   }
 
+  test("incremental miner's shuffle stays batch-sized, not corpus-pair-sized") {
+    import spark.implicits._
+    // warm the memoized corpus relations so the measurement captures
+    // the per-batch probe work, which is the 100 TB recurring cost
+    Dedup.bandedSignatures(spark, sf0001).count()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val m = QueryMetrics.measure(spark) {
+      Dedup.incrementalMinhashPairs(spark, sf0001).count()
+    }
+    // all-pairs mining would shuffle O(n * perms) signature state or
+    // O(n^2) candidates; the incremental probe moves band rows (32 per
+    // doc, both sides) + verified candidates — linear in the corpus
+    val bandRows = 32L * nDocs
+    assert(m.shuffleRecordsWritten < 6L * bandRows,
+      s"shuffled=${m.shuffleRecordsWritten} bandRows=$bandRows")
+  }
+
   test("cross-source matrix conserves the pair relation and orders sources") {
     val pairs = Dedup.ngramJaccardPairs(spark, sf0001, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

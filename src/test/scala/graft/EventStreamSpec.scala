@@ -183,6 +183,17 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streamed incremental dedup equals the batch miner exactly") {
+    val batch = graft.operators.Dedup.incrementalMinhashPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = graft.streaming.CorpusStream
+      .incrementalMinhashStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "fixture must yield incremental pairs")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} pairs")
+  }
+
   test("streamed range search equals the batch range search exactly") {
     val batch = graft.knn.ExactKnn.rangeSearch(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
