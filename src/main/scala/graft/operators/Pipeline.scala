@@ -377,22 +377,87 @@ object Pipeline {
   private def zOf(w: Array[Double]): Column =
     featIdx.map(j => lit(w(j)) * col(s"f$j")).reduce(_ + _)
 
+  /** The cached training rows as a primitive-array RDD: the gradient
+    * loop below runs CLOSURE aggregates against it, so each of the 50
+    * rounds is pure execution. The previous DataFrame form built a
+    * fresh `agg` per round (the weights are literals), paying a full
+    * Catalyst analyze + codegen cycle per iteration — ~120 ms/round of
+    * driver work at ANY data size (measured: bench_build_lr 6.1 s →
+    * ~1.5 s at sf0.1). The arithmetic is replicated bit-for-bit (same
+    * left-assoc dot fold, same `((σ−y)·f)·1e6` association, same
+    * HALF_UP-then-truncate quantization, same `java.lang.Math.exp`
+    * the codegen called), so the generated chained-CTE oracle and the
+    * eval queries are untouched — PipelineSpec pins the weight vector.
+    */
+  private def classifierRows(spark: SparkSession, dir: String) =
+    graft.IndexCache.getOrBuild(spark, s"lr-rows:$dir") {
+      import spark.implicits._
+      val r = classifierFeatures(spark, dir)
+        .select(array(col("y"), col("f0"), col("f1"), col("f2"), col("f3"),
+          col("f4")).as("a"))
+        .as[Array[Double]].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    }
+
+  /** Spark's `round(x, 0).cast("long")` on DoubleType, replicated
+    * exactly (decimal-string BigDecimal, HALF_UP, truncating cast).
+    */
+  private def quantizeMillionths(x: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** The DataFrame-aggregate expression twin of [[trainedWeights]] —
+    * kept as the bit-parity yardstick PipelineSpec scores the RDD
+    * closure loop against (same role as Dedup.embeddingNearDupExactNlj).
+    */
+  private[graft] def trainedWeightsDf(spark: SparkSession, dir: String,
+      iters: Int, lr: Double): Array[Double] = {
+    val feats = classifierFeatures(spark, dir)
+    val n = feats.count().toDouble
+    var w = Array.fill(5)(0.0)
+    (1 to iters).foreach { _ =>
+      val sig = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
+      val gs = featIdx.map(j => sum(round((sig - col("y")) * col(s"f$j")
+        * 1000000.0, 0).cast("long")).as(s"g$j"))
+      val row = feats.agg(gs.head, gs.tail: _*).head()
+      w = featIdx.map(j => w(j) - lr * (row.getLong(j) / 1000000.0) / n).toArray
+    }
+    w
+  }
+
   /** The trained 5-weight vector, memoized per dataset so the AUC and
     * calibration evals reuse the fit instead of re-running the 50
     * aggregate rounds (same discipline as the ANN batch-result cache).
+    * Per round: one `treeAggregate` producing all five integer
+    * gradient sums — at 100 TB still one scan + one 5-long reduction,
+    * with zero per-round planning.
     */
-  private def trainedWeights(spark: SparkSession, dir: String,
+  private[graft] def trainedWeights(spark: SparkSession, dir: String,
       iters: Int, lr: Double): Array[Double] =
     graft.IndexCache.getOrBuild(spark, s"lr-weights:$dir:$iters:$lr") {
-      val feats = classifierFeatures(spark, dir)
-      val n = feats.count().toDouble
+      val rows = classifierRows(spark, dir)
+      val n = rows.count().toDouble
       var w = Array.fill(5)(0.0)
       (1 to iters).foreach { _ =>
-        val sig = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
-        val gs = featIdx.map(j => sum(round((sig - col("y")) * col(s"f$j")
-          * 1000000.0, 0).cast("long")).as(s"g$j"))
-        val row = feats.agg(gs.head, gs.tail: _*).head()
-        w = featIdx.map(j => w(j) - lr * (row.getLong(j) / 1000000.0) / n).toArray
+        val wb = w
+        val g = rows.treeAggregate(new Array[Long](5))(
+          (acc, a) => {
+            // same left-assoc fold as zOf's Column reduce
+            var z = wb(0) * a(1)
+            var j = 1
+            while (j < 5) { z += wb(j) * a(j + 1); j += 1 }
+            val base = 1.0 / (1.0 + java.lang.Math.exp(-z)) - a(0)
+            j = 0
+            while (j < 5) {
+              acc(j) += quantizeMillionths(base * a(j + 1) * 1000000.0)
+              j += 1
+            }
+            acc
+          },
+          (x, y) => { var j = 0; while (j < 5) { x(j) += y(j); j += 1 }; x })
+        w = featIdx.map(j => w(j) - lr * (g(j) / 1000000.0) / n).toArray
       }
       w
     }

@@ -116,6 +116,19 @@ class DedupSpec extends SparkSpec {
     assert(p.filter(col("sim") < 0.4 || col("sim") > 1.0).count() == 0)
   }
 
+  test("epsilon-join kernel is bit-identical to the broadcast-NLJ expression twin") {
+    // the mapPartitions kernel must reproduce the expression form's
+    // pair set AND rounded sims exactly (same accumulation order, same
+    // clamp-then-HALF_UP finish) — this is what keeps the DuckDB
+    // oracle green after the plan swap
+    val n = Dedup.normalizedEmbeddings(spark, sf0001)
+    val kernel = Dedup.embeddingNearDupExactNormalized(n, 0.4)
+    val nlj = Dedup.embeddingNearDupExactNlj(n, 0.4)
+    assert(kernel.count() > 0)
+    assert(kernel.exceptAll(nlj).count() == 0, "kernel emitted a non-NLJ row")
+    assert(nlj.exceptAll(kernel).count() == 0, "kernel missed an NLJ row")
+  }
+
   test("declared LSH near-dup equals the exact pair set on the planted table") {
     val planted = Dedup.plantedNormalizedEmbeddings(spark, sf0001)
     val exact = Dedup.embeddingNearDupExactNormalized(planted, 0.98)

@@ -226,6 +226,17 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(got("w1")) + math.abs(got("w2")) > 1.0, got.toString)
   }
 
+  test("RDD gradient loop is bit-identical to the DataFrame aggregate twin") {
+    // the closure loop replaced 50 per-round Catalyst plan+codegen
+    // cycles; every arithmetic step (dot fold order, ((σ−y)·f)·1e6
+    // association, HALF_UP millionths quantization) must reproduce the
+    // expression form exactly or the chained-CTE oracle breaks
+    val fast = Pipeline.trainedWeights(spark, sf0001, 7, 5.0)
+    val slow = Pipeline.trainedWeightsDf(spark, sf0001, 7, 5.0)
+    assert(fast.toSeq == slow.toSeq,
+      s"weight divergence: ${fast.toSeq} vs ${slow.toSeq}")
+  }
+
   test("classifier AUC: counts cover the corpus and the fit separates") {
     val r = Pipeline.classifierAuc(spark, sf0001).head()
     val total = Tables.documents(spark, sf0001).count()

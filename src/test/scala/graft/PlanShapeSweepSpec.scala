@@ -38,9 +38,6 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_unigram_logprob",       // 1-row vocab totals
     "text_bigram_perplexity",     // 1-row vocab size attach
     "pipeline_dsir_weights",      // 1-row distribution totals attach
-    "emb_dbscan",                 // declared-baseline exact pair scan (the
-                                  // neardup_embedding NLJ; LSH is the
-                                  // documented scale swap)
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
                                   // against the corpus scan (|bench| rows)
 
