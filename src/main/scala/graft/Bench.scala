@@ -106,7 +106,9 @@ object Bench {
           + operators.GraphOps.bidirAdjacency(spark, sfDir).count()
           // the components/communities slices (denser minShared cuts)
           + operators.GraphOps.copurchaseEdges(spark, sfDir, 4).count()
-          + operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count()),
+          + operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count()
+          // the k-core peel's adjacency (minShared=3 cut)
+          + operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()),
       // 50 sequential gradient-descent aggregates — one-time training
       // the three classifier evals then score against
       timed("bench_build_lr",

@@ -529,6 +529,10 @@ object SparkEntry {
       ((s, d) => GraphOps.componentsStarContraction(s, d)),
     // synchronous min-tie label-propagation communities (3 rounds)
     "graph_communities" -> ((s, d) => GraphOps.labelPropagation(s, d)),
+    // 2-core of the co-purchase minShared=3 cut: fixed-unroll iterative
+    // peel (oracle equality independent of convergence; the fixpoint is
+    // spec-pinned separately in GraphOpsSpec)
+    "graph_kcore" -> ((s, d) => GraphOps.kCore(s, d)),
     // edit-distance similarity self-join over the token vocabulary
     // (FastSS deletion-neighborhood blocking equi-join, never cartesian)
     "text_fuzzy_word_pairs" -> ((s, d) => TextOps.fuzzyWordPairs(s, d)),
@@ -800,6 +804,34 @@ object SparkEntry {
       UNION ALL SELECT 'w3', round(d, 6) FROM w$iters
       UNION ALL SELECT 'w4', round(e, 6) FROM w$iters
       UNION ALL SELECT 'train_acc', ta FROM acc"""
+
+  /** k-core oracle: GraphOps.kCore's fixed `rounds` unroll replayed as
+    * chained CTEs (degree filter + two survivor joins per round), so
+    * equality never depends on the peel having converged — the
+    * fixpoint is pinned separately in GraphOpsSpec.
+    */
+  private def kcoreOracleSql(k: Int, minShared: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round ~3x (degree filter + two survivor joins), so an INLINED
+    // chain expands 3^rounds-fold and exhausts file handles re-scanning
+    // the base tables
+    val chain = (1 to rounds).map { r =>
+      s"""k$r AS MATERIALIZED (SELECT u FROM s${r - 1}
+              GROUP BY u HAVING count(*) >= $k),
+      s$r AS MATERIALIZED (SELECT s.u, s.v FROM s${r - 1} s
+              JOIN k$r a ON s.u = a.u JOIN k$r b ON s.v = b.u)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a
+            JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= $minShared),
+      s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      $chain
+      SELECT u AS node, count(*) AS deg FROM s$rounds GROUP BY u"""
+  }
 
   /** Grouped tie-aware Mann–Whitney AUC over the trained scorer —
     * integer until the single final division, like the Spark side.
@@ -3346,6 +3378,9 @@ object SparkEntry {
         UNION
         SELECT s.b, reach.lbl FROM sym s JOIN reach ON reach.node = s.a)
       SELECT node, min(lbl) AS component FROM reach GROUP BY 1""",
+
+    // fixed-unroll peel replay — see kcoreOracleSql
+    "graph_kcore" -> kcoreOracleSql(k = 2, minShared = 3, rounds = 10),
 
     // bounded WITH RECURSIVE walk, UNION-dedup on (node, hop), then
     // min(hop) per node — the same BFS the frontier loop computes

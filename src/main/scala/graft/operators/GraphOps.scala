@@ -209,6 +209,115 @@ object GraphOps {
     dist
   }
 
+  /** k-core subgraph of the co-purchase graph: the maximal subgraph in
+    * which every surviving node keeps degree >= k, by the standard
+    * iterative peel (drop all nodes with degree < k, recompute, repeat).
+    * Output: (node, deg) — each core member with its degree INSIDE the
+    * core.
+    *
+    * Declared as the 2-core of the minShared=3 cut — the operating
+    * point where the peel actually demonstrates (at sf0.1 it removes
+    * 40% of nodes over an 8-round cascade; the >=2 hairball's core is
+    * the whole hairball and the >=4 cut's core is empty there). Runs a
+    * FIXED `rounds`-round unroll, and the DuckDB oracle replays
+    * exactly those rounds as chained CTEs — so oracle equality NEVER
+    * depends on convergence (the round-count trap the typo-cluster
+    * oracle once had); GraphOpsSpec separately pins that round
+    * `rounds` is a fixpoint (one extra round changes nothing), which
+    * is what makes the declared rows the true k-core (measured
+    * fixpoints: round 8 at sf0.1, 2 at sf0.01, 1 at sf0.001 — the
+    * declared 10 carries margin).
+    *
+    * Scale shape: per round = one degree aggregate over the surviving
+    * adjacency + two semi-joins against the (node-sized) survivor set,
+    * rebased on `localCheckpoint` so plan and lineage stay constant
+    * (the Pregel discipline); the peel's total work is bounded by
+    * O(rounds · |E|) with the edge list shrinking monotonically. At
+    * 100 TB the adjacency stays bucketed on the join key and each
+    * round's survivor set is broadcast-sized long before the core
+    * stabilizes.
+    */
+  def kCore(spark: SparkSession, dir: String, k: Int = 2,
+      minShared: Int = 3, rounds: Int = 10): DataFrame =
+    kCoreOf(bidirAdjacency(spark, dir, minShared), k, rounds)
+
+  /** [[kCore]] over an arbitrary symmetric (u, v) adjacency — the peel
+    * itself, exposed so GraphOpsSpec can demonstrate it on a synthetic
+    * pendant-chain graph where the cascade provably removes nodes.
+    */
+  def kCoreOf(adjacency: DataFrame, k: Int, rounds: Int,
+      cutover: Long = 10000000L): DataFrame = {
+    // small-graph cutover (the nearDupClusters discipline): an
+    // iterative peel pays ~4 scheduler round-trips per round, which
+    // dominates sub-cutover graphs (measured: 3.4 s for 9 rounds over
+    // a 30k-edge adjacency, ~0.3 s driver-side). Below the explicit
+    // edge cutover the edge list is BOUNDED BY CONSTRUCTION, so
+    // collecting it is not a scale leak; above it the distributed loop
+    // below runs unchanged. GraphOpsSpec pins both legs equal.
+    val nEdges = adjacency.count()
+    if (nEdges <= cutover) return kCoreDriver(adjacency, k, rounds)
+    kCoreDistributed(adjacency, k, rounds)
+  }
+
+  /** The distributed leg of [[kCoreOf]] — per round: one degree
+    * aggregate + two broadcast semi-joins + a lineage-cutting
+    * checkpoint, with a monotone-count early exit at the fixpoint.
+    */
+  private[graft] def kCoreDistributed(adjacency: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var sym = adjacency
+    var prevEdges = -1L
+    var r = 0
+    while (r < rounds && prevEdges != 0L) {
+      // survivor set materialized ONCE per round (the checkpointed
+      // frame has no optimizer stats, so an un-materialized `keep`
+      // would both re-run the degree aggregate per reference and plan
+      // the semi-joins as full sort-merge shuffles), then BROADCAST:
+      // node-sized and shrinking, it fits the broadcast envelope long
+      // before the adjacency does — at 100 TB the first peel rounds
+      // would instead keep the shuffle semi-join co-partitioned with
+      // the bucketed adjacency and flip to broadcast as the set shrinks
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select(col("u"))
+        .localCheckpoint(true)
+      sym = sym.join(broadcast(keep), Seq("u"), "left_semi")
+        .join(broadcast(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val n = sym.count()
+      // the peel only ever REMOVES edges, so an unchanged edge count is
+      // a fixpoint and every remaining round is a no-op — skipping them
+      // cannot change the output (the oracle still unrolls all `rounds`
+      // in SQL; both sides sit at the same fixpoint)
+      if (n == prevEdges) r = rounds else { prevEdges = n; r += 1 }
+    }
+    sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+  }
+
+  /** The sub-cutover leg of [[kCoreOf]]: the same fixed-unroll peel on
+    * the collected edge multiset (same early exit, same output shape).
+    */
+  private[graft] def kCoreDriver(adjacency: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val spark = adjacency.sparkSession
+    import spark.implicits._
+    var edges = adjacency.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    var prevEdges = -1
+    var r = 0
+    while (r < rounds && prevEdges != 0) {
+      val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+      val keep = deg.collect { case (u, d) if d >= k => u }.toSet
+      edges = edges.filter { case (u, v) => keep(u) && keep(v) }
+      if (edges.length == prevEdges) r = rounds
+      else { prevEdges = edges.length; r += 1 }
+    }
+    edges.groupBy(_._1).view.mapValues(_.length.toLong).toSeq
+      .map { case (u, d) => (u, d) }
+      .toDF("node", "deg")
+  }
+
   /** Triangle census of the co-purchase graph: edge and triangle
     * counts in one row. Triangles enumerate via the ORDERED two-hop
     * join — edges stored u < v mean each triangle x < y < z matches

@@ -102,6 +102,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(src) == 0L)
   }
 
+  test("k-core: synthetic pendant chain peels away over a cascade; fixture unroll is a fixpoint") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant chain 3-4-5-6: the 2-core is exactly
+    // the triangle, and the chain peels one node per round (6, then 5,
+    // then 4) — so the test exercises the CASCADE, not just one round
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val sym = (und ++ und.map(_.swap)).toDF("u", "v")
+    val core = GraphOps.kCoreOf(sym, k = 2, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be the triangle with in-core degrees, got $core")
+    // a too-short unroll must NOT reach the core (cascade is real)
+    val short = GraphOps.kCoreOf(sym, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(short.contains(5L) && !short.contains(6L),
+      "one round peels only the chain tip")
+
+    // declared fixture query: non-vacuous, degree invariant, and the
+    // declared 10-round unroll is a FIXPOINT (one more round changes
+    // nothing) — which is what makes the declared rows the true k-core
+    val declared = GraphOps.kCore(spark, sf0001).cache()
+    assert(declared.count() > 0)
+    assert(declared.filter(col("deg") < 2).count() == 0)
+    val oneMore = GraphOps.kCore(spark, sf0001, rounds = 11)
+    assert(declared.exceptAll(oneMore).count() == 0 &&
+      oneMore.exceptAll(declared).count() == 0,
+      "declared unroll must already be a fixpoint")
+
+    // the sub-cutover driver leg and the distributed loop must agree
+    // exactly (same fixed unroll, same early exit) — the cutover is a
+    // constant-factor dispatch, never a semantic fork
+    val adj = GraphOps.bidirAdjacency(spark, sf0001, 3)
+    val dist = GraphOps.kCoreDistributed(adj, 2, 10)
+    val drv = GraphOps.kCoreDriver(adj, 2, 10)
+    assert(dist.exceptAll(drv).count() == 0 && drv.exceptAll(dist).count() == 0,
+      "driver and distributed k-core legs diverged")
+  }
+
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
