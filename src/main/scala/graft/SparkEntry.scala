@@ -548,6 +548,9 @@ object SparkEntry {
     "stats_gini_revenue" -> ((s, d) => Stats.giniCoefficient(s, d)),
     // Benford leading-digit profile (digit from the exact cent string)
     "stats_benford_digits" -> ((s, d) => Stats.benfordDigits(s, d)),
+    // per-source quality-distribution drift vs the corpus baseline
+    // (PSI over 5 equal-width bins, micro-unit-quantized terms)
+    "stats_psi_by_source" -> ((s, d) => Stats.psiBySource(s, d)),
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
@@ -3421,6 +3424,44 @@ object SparkEntry {
        AND a.w < b.w
        AND abs(length(a.w) - length(b.w)) <= 2
       WHERE round(jaro_winkler_similarity(a.w, b.w), 6) >= 0.92""",
+
+    // same quality binning as text_quality, same Laplace-smoothed
+    // ratios, each bin's (p-q)*ln(p/q) quantized to integer millionths
+    // before the per-source sum (the Adamic-Adar discipline)
+    "stats_psi_by_source" -> """
+      WITH d AS (
+        SELECT source,
+          least(CAST(floor(round(least(stop_raw * 2.0, 1.0) * 0.4
+                  + alpha_raw * 0.3 + least(n_words / 50.0, 1.0) * 0.3,
+                6) * 5) AS INT), 4) AS bin
+        FROM (SELECT source, len(w) AS n_words,
+                len(list_filter(w, t -> list_contains(
+                  ['the','a','of','and','to','in','on'], t)))
+                  / CAST(len(w) AS DOUBLE) AS stop_raw,
+                length(regexp_replace(text, '[^a-z]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE) AS alpha_raw
+              FROM (SELECT source, text, string_split(text, ' ') AS w
+                    FROM documents))),
+      g AS (SELECT source, bin, count(*) AS c FROM d GROUP BY 1, 2),
+      st AS (SELECT source, sum(c) AS ns FROM g GROUP BY 1),
+      cb AS (SELECT bin, sum(c) AS cbn FROM g GROUP BY 1),
+      nn AS (SELECT sum(c) AS n FROM g),
+      grid AS (SELECT source, ns, unnest(generate_series(0, 4)) AS bin
+               FROM st),
+      j AS (SELECT grid.source, grid.ns, grid.bin,
+                   coalesce(g.c, 0) AS c, cb.cbn, nn.n
+            FROM grid LEFT JOIN g
+              ON g.source = grid.source AND g.bin = grid.bin
+            JOIN cb ON cb.bin = grid.bin, nn),
+      t AS (SELECT source, CAST(round(
+              ((c + 1) / CAST(ns + 5 AS DOUBLE)
+                - (cbn + 1) / CAST(n + 5 AS DOUBLE))
+              * ln(((c + 1) / CAST(ns + 5 AS DOUBLE))
+                   / ((cbn + 1) / CAST(n + 5 AS DOUBLE)))
+              * 1000000.0) AS BIGINT) AS m
+            FROM j)
+      SELECT source, round(CAST(sum(m) AS DOUBLE) / 1000000.0, 6) AS psi
+      FROM t GROUP BY source""",
 
     // identical exact-integer moments (DuckDB integer sums promote to
     // HUGEINT; Spark sums DECIMAL(38,0)) and the identical final

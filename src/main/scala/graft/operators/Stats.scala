@@ -148,6 +148,51 @@ object Stats {
     * Scale: the only data-sized work is the orders⨝customer join and
     * the 25-group count; everything after runs on 25 rows.
     */
+  /** Population stability index of the per-source quality-score
+    * distribution against the corpus baseline — the standard
+    * data-drift monitor a corpus pipeline runs per ingest source
+    * (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted). Output:
+    * (source, psi).
+    *
+    * Shape: ONE documents scan bins every doc by its (rounded 6dp)
+    * quality score into `bins` equal-width bins; the per-source and
+    * corpus distributions both roll up from the same (source, bin)
+    * counts (rollup-first, no second scan). Laplace smoothing
+    * (+1/bin) keeps empty bins defined without an epsilon constant.
+    * Exact-arithmetic discipline: counts are integers; each bin's
+    * `(p−q)·ln(p/q)` term is a fixed-shape double formula quantized
+    * to integer MILLIONTHS before the per-source sum (the Adamic-Adar
+    * / pagerank discipline), so accumulation order cannot shift a
+    * bit cross-engine. At 100 TB: one map-side-combined count shuffle
+    * of |sources|·bins cells, everything after is cell-sized.
+    */
+  def psiBySource(spark: SparkSession, dir: String, bins: Int = 5): DataFrame = {
+    val w = split(col("text"), " ")
+    val q = round(TextOps.qualityOf(col("text"), w), 6)
+    val binned = Tables.documents(spark, dir)
+      .select(col("source"),
+        least(floor(q * bins), lit(bins - 1)).cast("int").as("bin"))
+    val g = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      // referenced by three rollups below; cell-count-sized
+      .localCheckpoint(true)
+    val srcTot = g.groupBy("source").agg(sum("c").as("ns"))
+    val corpus = g.groupBy("bin").agg(sum("c").as("cb"))
+    val nn = g.agg(sum("c").as("n"))
+    // dense (source, bin) grid via explode — map-only, no cross join
+    val grid = srcTot.select(col("source"), col("ns"),
+      explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    val p = (col("c") + 1).cast("double") / (col("ns") + bins).cast("double")
+    val qq = (col("cb") + 1).cast("double") / (col("n") + bins).cast("double")
+    grid.join(g, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(corpus), Seq("bin"))
+      .crossJoin(broadcast(nn))
+      .select(col("source"),
+        round((p - qq) * log(p / qq) * 1000000.0, 0).cast("long").as("m"))
+      .groupBy("source")
+      .agg(round(sum(col("m")).cast("double") / 1000000.0, 6).as("psi"))
+  }
+
   def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),

@@ -38,6 +38,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_unigram_logprob",       // 1-row vocab totals
     "text_bigram_perplexity",     // 1-row vocab size attach
     "pipeline_dsir_weights",      // 1-row distribution totals attach
+    "stats_psi_by_source",        // 1-row corpus-total attach
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
                                   // against the corpus scan (|bench| rows)
 

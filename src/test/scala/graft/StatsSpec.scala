@@ -21,6 +21,34 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("PSI by source: one row per source, near-zero for a self-similar corpus, shift detection") {
+    import spark.implicits._
+    val got = Stats.psiBySource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val nSources = Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(got.size == nSources, s"one PSI row per source, got ${got.size}")
+    // fixture sources draw from the same generator — no true drift.
+    // At 25 docs/source the sampling noise floor is E[PSI] ~ (B-1)/n
+    // = 0.16, so the bound is noise-aware, not the production 0.1 band
+    got.foreach { case (s, psi) =>
+      assert(psi >= 0.0 && psi < 0.5, s"source $s unexpectedly drifted: $psi")
+    }
+    // sensitivity: recomputing with one source's docs biased to the
+    // bottom quality bin must push that source's PSI above the corpus
+    // sources' — build a synthetic frame through the same binning math
+    val base = Tables.documents(spark, sf0001)
+    val drifted = base.withColumn("text",
+      when(col("source") === "src0", lit("x1 y2 z3")).otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    drifted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shifted = Stats.psiBySource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val others = shifted.filter(_._1 != "src0").values
+    assert(shifted("src0") > 0.25 && others.forall(_ < shifted("src0")),
+      s"planted drift must dominate: ${shifted.toSeq.sortBy(_._1)}")
+  }
+
   test("gini coefficient matches a driver-side rank-formula replay") {
     val row = Stats.giniCoefficient(spark, sf0001).head()
     val (gini, n) = (row.getDouble(0), row.getLong(1))
