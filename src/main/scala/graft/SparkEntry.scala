@@ -579,6 +579,17 @@ object SparkEntry {
     // broadcast, one map-only pass per iteration — the oracle unrolls
     // the same three Lloyd steps as CTE stages)
     "emb_kmeans" -> ((s, d) => EmbeddingStats.kmeansAssignments(s, d)),
+    // the SAME assignment PRODUCED BY the streaming engine at
+    // ingestion time (file stream source -> broadcast centroid argmin
+    // inside the micro-batch -> memory sink): stateless per-row, so
+    // streamed == batch and it shares emb_kmeans's unrolled-Lloyd
+    // oracle — index maintenance without a batch re-assignment job
+    "emb_kmeans_streamed" ->
+      ((s, d) => graft.streaming.VectorStream.kmeansAssignStreamed(s, d)),
+    // sphere-coverage diagnostic: norm of the mean unit vector (the
+    // anisotropy that inflates every cosine) via two-level integer
+    // quantization — one map-side-combinable pass over the coordinates
+    "emb_isotropy" -> ((s, d) => EmbeddingStats.isotropy(s, d)),
     // centroid-form silhouette (O(n·k), the shape that survives scale)
     // over the same memoized k-means model
     "emb_kmeans_silhouette" ->
@@ -3675,6 +3686,37 @@ object SparkEntry {
       SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1""",
+
+    // the streamed assignment is per-row stateless, so it replays the
+    // exact same unrolled-Lloyd oracle as its batch twin
+    "emb_kmeans_streamed" -> s"""$kmeansCtes
+      SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1""",
+
+    // mean-unit-vector norm with the engine's two-level integer
+    // quantization: micro-unit longs per coordinate before the per-dim
+    // sum, 1e-12-unit longs per squared-mean term before the
+    // cross-dim sum — bit-for-bit the Spark arithmetic
+    "emb_isotropy" -> """
+      WITH n AS (SELECT vec_id,
+                   list_transform(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)),
+                     x -> x / nullif(sqrt(list_sum(list_transform(
+                       list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                       y -> y*y))), 0)) AS nv
+                 FROM embeddings),
+      d AS (SELECT CAST(i AS INT) AS pos,
+                   CAST(round(nv[CAST(i AS INT)] * 1000000) AS BIGINT) AS qc
+            FROM n, range(1, 65) t(i) WHERE i <= len(nv)),
+      p AS (SELECT pos, sum(qc) AS qsum, count(*) AS cnt FROM d GROUP BY 1),
+      t AS (SELECT cnt, CAST(round(pow(CAST(qsum AS DOUBLE)/(cnt*1000000), 2)
+                                   * 1e12) AS BIGINT) AS term FROM p),
+      s AS (SELECT cnt AS n_vectors, sum(term) AS t2 FROM t GROUP BY 1)
+      SELECT n_vectors,
+             round(sqrt(CAST(t2 AS DOUBLE)/1e12), 6) AS mean_norm,
+             round(1 - sqrt(CAST(t2 AS DOUBLE)/1e12), 6) AS isotropy
+      FROM s""",
 
     // centroid-form silhouette over the same final centroids: per
     // vector, a = dist to own centroid, b = dist to nearest other,

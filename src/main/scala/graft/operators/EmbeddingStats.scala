@@ -27,6 +27,44 @@ object EmbeddingStats {
     * |labels|²/2 self-join of that tiny relation — the fact table is
     * touched exactly once regardless of vector count.
     */
+  /** Isotropy diagnostic of the embedding cloud — how uniformly the
+    * unit vectors cover the sphere. An anisotropic embedding space (a
+    * dominant "common direction", the well-documented degeneration of
+    * contextual embedding models) inflates every cosine similarity and
+    * silently breaks cosine-threshold dedup and ANN recall targets, so
+    * a 100 TB pipeline gates on this number before trusting them.
+    * Measure: the norm of the MEAN unit vector (0 = perfectly
+    * isotropic, 1 = all vectors collinear) and `isotropy = 1 - that`.
+    *
+    * Exactness across engines: each normalized coordinate quantizes to
+    * micro-unit longs BEFORE the per-dimension sum (exact in any
+    * accumulation order), and each dimension's squared-mean term
+    * quantizes to integer 1e-12 units before the cross-dimension sum —
+    * the same two-level integer discipline as [[centroidDistances]].
+    *
+    * Scale shape: ONE map-side-combinable aggregate over the exploded
+    * coordinates (dims x partitions partial rows), then arithmetic on
+    * a |dims|-row relation — the fact table is scanned once, nothing
+    * else moves. Output: (n_vectors, mean_norm, isotropy).
+    */
+  def isotropy(spark: SparkSession, dir: String,
+      q: Long = 1000000L): DataFrame = {
+    val n = Dedup.normalizedEmbeddings(spark, dir)
+    val dims = n.select(posexplode(transform(col("nv"),
+      x => round(x * q, 0).cast("long"))).as(Seq("pos", "qc")))
+    val perDim = dims.groupBy(col("pos"))
+      .agg(sum(col("qc")).as("qsum"), count(lit(1)).as("cnt"))
+    perDim
+      .select(col("cnt"),
+        round(pow(col("qsum").cast("double") / (col("cnt") * q), 2) * 1e12, 0)
+          .cast("long").as("term"))
+      .groupBy(col("cnt")).agg(sum(col("term")).as("t2"))
+      .select(col("cnt").as("n_vectors"),
+        round(sqrt(col("t2").cast("double") / 1e12), 6).as("mean_norm"),
+        round(lit(1.0) - sqrt(col("t2").cast("double") / 1e12), 6)
+          .as("isotropy"))
+  }
+
   def centroidDistances(spark: SparkSession, dir: String,
       q: Long = 1000000L): DataFrame = {
     val perDim = Tables.embeddings(spark, dir)
@@ -211,7 +249,7 @@ object EmbeddingStats {
     * smallest centroid id, so assignment is a pure function of the
     * data — the property the cross-engine oracle rests on.
     */
-  private def nearest(cs: Array[Array[Long]], v: Array[Long]): (Int, Long) = {
+  private[graft] def nearest(cs: Array[Array[Long]], v: Array[Long]): (Int, Long) = {
     var best = 0; var bd = Long.MaxValue
     var c = 0
     while (c < cs.length) {

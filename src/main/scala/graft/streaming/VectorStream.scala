@@ -86,4 +86,57 @@ object VectorStream {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** STREAMING k-means assignment — index maintenance at ingestion
+    * time: vectors arriving through the file stream source are
+    * assigned to their nearest trained centroid INSIDE the ingest
+    * micro-batch, so the clustered index table is always as fresh as
+    * the corpus (the batch re-assignment job a 100 TB pipeline would
+    * otherwise schedule is gone; this is the same ingestion-time shape
+    * as [[graft.streaming.CorpusStream]]'s incremental dedup).
+    *
+    * The model ([[graft.operators.EmbeddingStats.kmeansCentroids]],
+    * k·d quantized longs) is driver-tiny and broadcast; each arriving
+    * vector quantizes with the exact training formula and takes one
+    * integer argmin — stateless, append-mode, zero shuffle, zero
+    * state store, so the streamed assignment is a pure per-row
+    * function and equals the batch
+    * [[graft.operators.EmbeddingStats.kmeansAssignments]] no matter
+    * how the source splits micro-batches. It therefore shares
+    * `emb_kmeans`'s unrolled-Lloyd DuckDB oracle under the hash gate,
+    * and EventStreamSpec pins streamed == batch row equality.
+    * Output: (vec_id, cid, d2) — d2 the exact integer squared
+    * distance in quantized space.
+    */
+  def kmeansAssignStreamed(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, q: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val staged = stagedEmbeddingsDir(spark, dir)
+    val cents = graft.operators.EmbeddingStats.kmeansCentroids(
+      spark, dir, k, iters, q)
+    val bc = spark.sparkContext.broadcast(cents)
+    val name = s"graft_kmeans_stream_${EventStream.streamRunSeq.incrementAndGet()}"
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      val assigned = spark.readStream.schema(embSchema).parquet(staged)
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => round(x * q, 0).cast("long")).as("qv"))
+        .as[(Long, Array[Long])]
+        .map { case (id, v) =>
+          val (c, d2) = graft.operators.EmbeddingStats.nearest(bc.value, v)
+          (id, c, d2)
+        }
+        .toDF("vec_id", "cid", "d2")
+      val sq = assigned.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-kmeans"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    val out = spark.table(name).select(col("vec_id"), col("cid"), col("d2"))
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
 }

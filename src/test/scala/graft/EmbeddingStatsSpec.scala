@@ -6,6 +6,43 @@ import graft.operators.EmbeddingStats
 
 class EmbeddingStatsSpec extends SparkSpec {
 
+  test("isotropy matches a driver-side quantized recomputation") {
+    val q = 1000000L
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val mag = math.sqrt(s)
+        if (mag == 0.0) v else v.map(_ / mag)
+      }
+    val n = vecs.length
+    val dims = vecs.head.length
+    val qsums = new Array[Long](dims)
+    vecs.foreach { v =>
+      var d = 0
+      while (d < dims) {
+        qsums(d) += math.round(v(d) * q)
+        d += 1
+      }
+    }
+    val t2 = qsums.map { s =>
+      val m = s.toDouble / (n.toLong * q)
+      math.round(m * m * 1e12)
+    }.sum
+    val mn = math.sqrt(t2.toDouble / 1e12)
+    val row = EmbeddingStats.isotropy(spark, sf0001).collect()
+    assert(row.length == 1)
+    assert(row.head.getLong(0) == n.toLong)
+    assert(row.head.getDouble(1) ==
+      BigDecimal(mn).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val iso = row.head.getDouble(2)
+    assert(iso >= 0.0 && iso <= 1.0)
+    // a random-ish unit cloud must not be fully collinear
+    assert(row.head.getDouble(1) < 0.9, s"mean_norm=${row.head.getDouble(1)}")
+  }
+
   test("centroid distances match a driver-side quantized recomputation") {
     val q = 1000000L
     val rows = Tables.embeddings(spark, sf0001)

@@ -204,6 +204,17 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.size} vs batch ${batch.size} matches")
   }
 
+  test("streamed k-means assignment equals the batch assignment exactly") {
+    val batch = graft.operators.EmbeddingStats.kmeansAssignments(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val streamed = graft.streaming.VectorStream
+      .kmeansAssignStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} assignments")
+  }
+
   test("file sink resumes from checkpoint without reprocessing old files") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"
