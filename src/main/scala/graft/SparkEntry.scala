@@ -510,6 +510,16 @@ object SparkEntry {
     // contrastive-training negatives: md5-ordered non-neighbors
     "pipeline_negative_sampling" ->
       ((s, d) => Pipeline.negativeSampling(s, d)),
+    // contrastive HARD negatives: nearest base vectors with a
+    // DIFFERENT label than the query — the label predicate runs inside
+    // the broadcast-NLJ scan stage, one bounded-heap pass per query
+    "knn_hard_negatives" -> ((s, d) => ExactKnn.hardNegatives(s, d)),
+    // α=0.5 temperature token-budget allocation per source (the
+    // data-mixing sheet); micro-quantized sqrt weights, exact shares
+    "pipeline_mixture_plan" -> ((s, d) => Pipeline.mixturePlan(s, d)),
+    // strongest adjacent-word associations by micro-quantized PMI —
+    // tokenizer-merge / boilerplate-phrase candidates
+    "text_pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
     // map-only hash-boundary train/val/test assignment
     "pipeline_train_val_test" -> Pipeline.trainValTest _,
     // asymmetric containment pairs (doc-inside-doc dedup)
@@ -1054,6 +1064,22 @@ object SparkEntry {
       d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
             FROM e b, e q, p
             WHERE b.vec_id < p.s AND b.label = 3
+              AND q.vec_id >= p.s AND q.vec_id < p.s + 50)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
+
+    // hard-negative twin: the base-side predicate is label-INEQUALITY
+    // against the query's own label
+    "knn_hard_negatives" -> s"""
+      WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND b.label <> q.label
               AND q.vec_id >= p.s AND q.vec_id < p.s + 50)
       SELECT qid, vec_id, dist,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
@@ -2394,6 +2420,47 @@ object SparkEntry {
       SELECT p.lang, n_docs, q, keep_permille,
              coalesce(kept, CAST(0 AS BIGINT)) AS n_kept
       FROM p LEFT JOIN k ON p.lang = k.lang""",
+
+    // α=0.5 mixture plan: micro-quantized sqrt weights over exact
+    // per-source token masses; every division on integer inputs
+    "pipeline_mixture_plan" -> """
+      WITH s AS (SELECT source, count(*) AS n_docs,
+                        CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                          AS n_tokens
+                 FROM documents GROUP BY 1),
+      w AS (SELECT source, n_docs, n_tokens,
+                   CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS qw
+            FROM s),
+      t AS (SELECT CAST(sum(qw) AS BIGINT) AS tw FROM w)
+      SELECT source, n_docs, n_tokens,
+             round(CAST(qw AS DOUBLE) / tw, 6) AS share,
+             CAST(round((100000.0 * qw) / tw) AS BIGINT) AS sampled_tokens,
+             round(((100000.0 * qw) / tw) / CAST(n_tokens AS DOUBLE), 6)
+               AS epochs
+      FROM w CROSS JOIN t""",
+
+    // adjacent-pair PMI in integer micro-nats; unigram margins from
+    // the same whitespace tokens, top-20 cut total-ordered
+    "text_pmi_collocations" -> """
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+      pairs AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM (
+                  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                  FROM tok)),
+      cb AS (SELECT w1, w2, count(*) AS cab FROM pairs GROUP BY 1, 2),
+      uni AS (SELECT unnest(w) AS t FROM tok),
+      uc AS (SELECT t, count(*) AS c FROM uni GROUP BY 1),
+      tot AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM cb)
+      SELECT w1 || ' ' || w2 AS ngram, cab AS n_pair,
+             CAST(round(ln((CAST(cab AS DOUBLE) * nb) /
+                           (CAST(a.c AS DOUBLE) * b.c)) * 1000000)
+                  AS BIGINT) AS pmi_micro
+      FROM cb JOIN uc a ON cb.w1 = a.t JOIN uc b ON cb.w2 = b.t
+      CROSS JOIN tot
+      WHERE cab >= 5
+      ORDER BY pmi_micro DESC, ngram ASC
+      LIMIT 20""",
 
     "text_unigram_logprob" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -177,6 +177,38 @@ object ExactKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data step: for
+    * each query, the nearest base vectors whose label DIFFERS from the
+    * query's own (close in embedding space, semantically wrong — the
+    * negatives that actually teach a bi-encoder, vs
+    * [[graft.operators.Pipeline.negativeSampling]]'s uniform draws).
+    *
+    * Plan shape: the same broadcast-NLJ distance scan as [[topKBatch]]
+    * with the query's label riding in the broadcast; the `label !=
+    * qlabel` predicate evaluates INSIDE the scan stage (codegen'd,
+    * before any shuffle) and one bounded-heap pass keeps top-k per
+    * query — at 100 TB this is one pass over the base table, the same
+    * cost as the unfiltered scan. Output: (qid, vec_id, dist, rk).
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 10,
+      nq: Int = 50): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val splitAt = math.round(0.95 * n)
+    val base = emb.filter(col("vec_id") < splitAt)
+      .select(col("vec_id"), col("label"),
+        toDoubleArray(col("embedding")).as("emb"))
+    val q = broadcast(emb
+      .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nq)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        toDoubleArray(col("embedding")).as("qvec")))
+    val scored = base.crossJoin(q)
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** `insert_many` then search (the reference's index mutation path,
     * `/root/reference/src/index.rs:7-9` — build on a base, append more
     * vectors, and every later search sees them): the base is the first

@@ -108,6 +108,43 @@ object Pipeline {
         coalesce(col("kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Token-budget MIXTURE PLAN — the data-mixing sheet a training run
+    * is configured from: given each source's exact token mass, the
+    * α=0.5 temperature weights (sqrt — the mT5/Pile rebalancing that
+    * up-weights small sources without letting any dominate; sqrt is
+    * also IEEE-exact, so the weights replay bit-for-bit cross-engine),
+    * each source's share of a token budget, and the implied epochs
+    * (>1 = the source is oversampled / repeated). Complements
+    * [[temperatureSample]]: that PICKS rows at a fixed rate; this
+    * PLANS the token allocation the picker would be configured with.
+    *
+    * Determinism: sqrt weights quantize to micro-unit longs before
+    * the cross-source total, so every division runs on exact integer
+    * inputs in a fixed order.
+    *
+    * Scale shape: one map-side-combinable scan of documents into a
+    * |sources|-row relation; the total reduces to ONE broadcast row.
+    * Output: (source, n_docs, n_tokens, share, sampled_tokens,
+    * epochs).
+    */
+  def mixturePlan(spark: SparkSession, dir: String,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val w = perSource.select(col("source"), col("n_docs"), col("n_tokens"),
+      round(sqrt(col("n_tokens")) * 1e6, 0).cast("long").as("qw"))
+    val tot = w.agg(sum(col("qw")).as("tw"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("qw").cast("double") / col("tw"), 6).as("share"),
+        round(lit(budgetTokens.toDouble) * col("qw") / col("tw"), 0)
+          .cast("long").as("sampled_tokens"),
+        round((lit(budgetTokens.toDouble) * col("qw") / col("tw"))
+          / col("n_tokens").cast("double"), 6).as("epochs"))
+  }
+
   /** Token-budget shard packing (the sequence-packing step that turns a
     * kept corpus into fixed-size training shards): docs are laid out in
     * deterministic (lang, doc_id) order and each doc's shard is the

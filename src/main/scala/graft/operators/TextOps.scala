@@ -772,6 +772,52 @@ object TextOps {
         round(exp(avg(col("nll"))), 4).as("ppl"))
   }
 
+  /** PMI collocation mining — the corpus's strongest word
+    * associations: adjacent word pairs ranked by pointwise mutual
+    * information PMI = ln(c(w1,w2)·N / (c(w1)·c(w2))), the classic
+    * collocation statistic. Surfaces multi-word entities and templated
+    * phrases (tokenizer-merge candidates; boilerplate detectors key on
+    * the same list), with a `minCount` floor to kill the
+    * rare-pair-PMI explosion.
+    *
+    * Determinism: PMI is quantized to integer micro-nats (round 1e6)
+    * so the top-k cut and the output column are exact; ties break on
+    * the ngram string, so the cut is total.
+    *
+    * Scale shape: one typed per-partition bigram pass (the Spark 4
+    * HOF trap again) into a partial-aggregated count shuffle; unigram
+    * margins come from the memoized token cache; the totals reduce to
+    * ONE broadcast row; final cut is TakeOrdered(k), never a global
+    * sort. Output: (ngram, n_pair, pmi_micro) — top `topK` by PMI.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (_, t) =>
+        val w = t.split(" ", -1)
+        (0 until w.length - 1).iterator.map(i => (w(i), w(i + 1)))
+      })
+      .toDF("w1", "w2")
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+    val uni = tokenizedDocs(spark, dir)
+      .select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cb.agg(sum(col("cab")).as("nb"))
+    cb.filter(col("cab") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("cb2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("ngram"),
+        col("cab").as("n_pair"),
+        round(log((col("cab").cast("double") * col("nb")) /
+          (col("ca").cast("double") * col("cb2"))) * 1e6, 0)
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("ngram").asc)
+      .limit(topK)
+  }
+
   /** TF-IDF top terms per document — the sparse lexical feature a
     * retrieval/clustering pipeline materializes next to the dense
     * embedding: score(d,t) = (tf/dl) · ln(N/df), top `kTerms` per doc

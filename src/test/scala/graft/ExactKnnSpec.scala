@@ -132,4 +132,26 @@ class ExactKnnSpec extends SparkSpec {
       }.maxBy(e => (e._2, -e._1))
     assert(rows.head._1 == best._1, s"${rows.head} vs $best")
   }
+
+  test("hard negatives all carry a label different from their query's") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = ExactKnn.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, vid, _, _) =>
+      assert(emb(vid) != emb(qid),
+        s"negative $vid shares label ${emb(vid)} with query $qid")
+    }
+    // per query: ranks contiguous from 1, distances non-decreasing
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3)
+        case _ => ()
+      }
+    }
+  }
 }

@@ -281,4 +281,28 @@ class PipelineSpec extends SparkSpec {
     assert(bad == 0)
     w.unpersist()
   }
+
+  test("mixture plan: shares sum to 1 and allocation is consistent") {
+    val rows = graft.operators.Pipeline.mixturePlan(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_._4).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"share sum $shareSum")
+    val sampledSum = rows.map(_._5).sum
+    assert(math.abs(sampledSum - 100000L) <= rows.length,
+      s"sampled sum $sampledSum")
+    rows.foreach { case (src, nd, nt, share, sampled, epochs) =>
+      assert(nd > 0 && nt > 0, src)
+      // epochs == sampled tokens / actual tokens (to rounding)
+      assert(math.abs(epochs - sampled.toDouble / nt) < 1e-3, src)
+      // sqrt temperature compresses: every source's share sits between
+      // uniform (1/n) and its raw token share only on the heavy side;
+      // minimally: shares ordered like token masses
+      assert(share > 0.0, src)
+    }
+    val byTokens = rows.sortBy(_._3).map(_._1).toSeq
+    val byShare = rows.sortBy(_._4).map(_._1).toSeq
+    assert(byTokens == byShare, "shares must be monotone in token mass")
+  }
 }

@@ -39,6 +39,8 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_bigram_perplexity",     // 1-row vocab size attach
     "pipeline_dsir_weights",      // 1-row distribution totals attach
     "stats_psi_by_source",        // 1-row corpus-total attach
+    "pipeline_mixture_plan",      // 1-row total-weight attach
+    "text_pmi_collocations",      // 1-row bigram-total attach
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
                                   // against the corpus scan (|bench| rows)
 

@@ -663,4 +663,36 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(ppl - math.exp(emean)) < 1e-3, s"doc $id ppl")
     }
   }
+
+  test("PMI collocations: a planted repeated pair tops a driver replay") {
+    val rows = TextOps.pmiCollocations(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // sorted by pmi desc then ngram asc, counts respect the floor
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ => ()
+    }
+    rows.foreach { case (_, c, _) => assert(c >= 5L) }
+    // driver replay of the full statistic pins the cut exactly
+    val texts = Tables.documents(spark, sf0001).select("text")
+      .collect().map(_.getString(0))
+    val uni = scala.collection.mutable.HashMap.empty[String, Long]
+    val bi = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      w.foreach(x => uni(x) = uni.getOrElse(x, 0L) + 1L)
+      (0 until w.length - 1).foreach { i =>
+        val k = (w(i), w(i + 1)); bi(k) = bi.getOrElse(k, 0L) + 1L
+      }
+    }
+    val nb = bi.values.sum
+    val expect = bi.toSeq.filter(_._2 >= 5L).map { case ((a, b), c) =>
+      val pmi = math.round(
+        math.log(c.toDouble * nb / (uni(a).toDouble * uni(b))) * 1e6)
+      (a + " " + b, c, pmi)
+    }.sortBy(e => (-e._3, e._1)).take(20)
+    assert(rows.toSeq == expect)
+  }
 }
