@@ -522,6 +522,11 @@ object SparkEntry {
     "text_pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
     // map-only hash-boundary train/val/test assignment
     "pipeline_train_val_test" -> Pipeline.trainValTest _,
+    // leakage-safe twin: the split key is the near-dup CLUSTER
+    // representative, so near-duplicates can never straddle
+    // train/test (the eval-inflation leak a doc-hash split permits)
+    "pipeline_leakage_safe_split" ->
+      ((s, d) => Pipeline.leakageSafeSplit(s, d)),
     // asymmetric containment pairs (doc-inside-doc dedup)
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // near-dup cluster-size distribution (dedup-rate summary)
@@ -1365,6 +1370,39 @@ object SparkEntry {
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM documents""",
+
+    // the dedup_clusters recursive CTE with the md5 split rule applied
+    // to the REPRESENTATIVE id instead of the doc id
+    "pipeline_leakage_safe_split" -> """
+      WITH RECURSIVE
+      g AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w)-1)]) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                     max(a.ng) AS na, max(b.ng) AS nb
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE round(shared / (na + nb - shared), 6) >= 0.8),
+      ed AS (SELECT doc_a AS s, doc_b AS d FROM p
+             UNION SELECT doc_b, doc_a FROM p),
+      reach(s, d) AS (
+        SELECT s, d FROM ed
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+      m AS (SELECT s, min(d) AS mn FROM reach GROUP BY s),
+      c AS (SELECT doc.doc_id,
+                   least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
+            FROM documents doc LEFT JOIN m ON doc.doc_id = m.s)
+      SELECT doc_id, rep_id,
+             CASE WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'b4'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(rep_id AS VARCHAR)), 1, 2) < 'd9'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM c""",
 
     // string-gram replay of the containment join (the Spark side joins
     // on 64-bit gram hashes; the string oracle would catch a collision)

@@ -220,6 +220,27 @@ object Pipeline {
           .otherwise("test").as("split"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the decontamination-correct
+    * splitter: the split is decided by each document's near-dup
+    * CLUSTER representative, not by the document itself, so two
+    * near-duplicates can never straddle train and test (the classic
+    * eval-inflation leak a doc-hash split like [[trainValTest]]
+    * silently permits). Same md5-prefix thresholds as the plain
+    * splitter — only the hashed key changes (rep_id).
+    *
+    * Scale shape: one equi-join-free pass over the memoized cluster
+    * relation ([[Dedup.nearDupClusters]], built once per dataset) —
+    * the clustering cost is the dedup pipeline's, already paid.
+    * Output: (doc_id, rep_id, split).
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("rep_id").cast("string")), 1, 2)
+    Dedup.nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("rep_id"),
+        when(h < "b4", "train").when(h < "d9", "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Dataset card: the one-pass corpus summary (docs, languages,
     * sources, token totals, exact-duplicate count) in long
     * (metric, value) form — what a data release publishes next to the

@@ -305,4 +305,20 @@ class PipelineSpec extends SparkSpec {
     val byShare = rows.sortBy(_._4).map(_._1).toSeq
     assert(byTokens == byShare, "shares must be monotone in token mass")
   }
+
+  test("leakage-safe split never splits a near-dup cluster") {
+    val rows = graft.operators.Pipeline.leakageSafeSplit(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500)
+    // one split value per cluster representative
+    rows.groupBy(_._2).foreach { case (rep, g) =>
+      assert(g.map(_._3).distinct.length == 1,
+        s"cluster $rep straddles splits: ${g.map(_._3).distinct.toSeq}")
+    }
+    // all three splits materialize and train dominates
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+    assert(bySplit("train") > bySplit("val") &&
+      bySplit("train") > bySplit("test"), bySplit.toString)
+  }
 }
