@@ -91,6 +91,10 @@ object SparkEntry {
     // rows-only, recall vs the exact filtered scan gated in HnswSpec
     "knn_hnsw_filtered"    -> ((s, d) => HnswKnn.topKBatchFiltered(s, d)),
     "knn_exact_after_insert" -> ((s, d) => ExactKnn.topKAfterInsert(s, d)),
+    // keyed delete (left-anti) then search: the oracle excludes the
+    // slab by predicate, so a hash-match proves the delete dropped
+    // exactly the keyed rows
+    "knn_exact_after_delete" -> ((s, d) => ExactKnn.topKAfterDelete(s, d)),
     // the same mutation on the inverted-file family: insert_many into a
     // built IVF index, exhaustive probe (= exact), shared oracle
     "knn_ivf_after_insert" -> ((s, d) => IvfKnn.topKAfterInsert(s, d)),
@@ -1111,6 +1115,25 @@ object SparkEntry {
     // IVF insert_many + exhaustive probe is exact -> same oracle; the
     // hash gate covers the inverted-file mutation itself
     "knn_ivf_after_insert" -> afterInsertOracle,
+
+    // after-insert oracle with the deleted 80-90% slab excluded by
+    // predicate instead of by anti-join
+    "knn_exact_after_delete" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.80 * count(*)) AS BIGINT) AS s80,
+                   CAST(round(0.90 * count(*)) AS BIGINT) AS s90,
+                   CAST(round(0.95 * count(*)) AS BIGINT) AS s95 FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s95
+              AND NOT (b.vec_id >= p.s80 AND b.vec_id < p.s90)
+              AND q.vec_id >= p.s95 AND q.vec_id < p.s95 + 20)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
 
     "knn_euclidean_single" -> s"""
       WITH e AS (SELECT vec_id,

@@ -238,6 +238,37 @@ object ExactKnn {
       Seq("dist" -> true, "vec_id" -> true), k)
   }
 
+  /** `delete` then search — the other half of the index-mutation
+    * surface next to [[topKAfterInsert]]: the 80–90% vec_id slab is
+    * dropped through [[graft.sources.Ingest.deleteByKey]] (left-anti
+    * on the key) and the held-out queries search what remains. The
+    * oracle phrases the same search with the slab excluded by
+    * predicate, so a hash-match proves the delete removed exactly the
+    * keyed rows — no survivors, no collateral. Output:
+    * (qid, vec_id, dist, rk) for the first `nq` queries.
+    */
+  def topKAfterDelete(spark: SparkSession, dir: String, k: Int = 10,
+      nq: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val n = Tables.embeddings(spark, dir).count()
+    val s80 = math.round(0.80 * n)
+    val s90 = math.round(0.90 * n)
+    val s95 = math.round(0.95 * n)
+    val base = graft.sources.Ingest.deleteByKey(
+      emb.filter(col("vec_id") < s95),
+      emb.filter(col("vec_id") >= s80 && col("vec_id") < s90)
+        .select(col("vec_id")),
+      "vec_id")
+    val q = broadcast(emb
+      .filter(col("vec_id") >= s95 && col("vec_id") < s95 + nq)
+      .select(col("vec_id").as("qid"), col("emb").as("qvec")))
+    val scored = base.crossJoin(q)
+      .select(col("qid"), col("vec_id"), dist(col("emb"), col("qvec")).as("dist"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), k)
+  }
+
   /** Exact ground truth for a DETERMINISTIC 1-in-`everyNth` sample of
     * the held-out queries (every Nth qid from the split point) — the
     * scale-honest evaluation mode: at 100 TB the full exact ground

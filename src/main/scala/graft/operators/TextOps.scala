@@ -995,15 +995,88 @@ object TextOps {
       trainBpeVocab(spark, dir, nMerges)
     }
 
+  /** BPE training always runs on the WORD-FREQUENCY table (vocabulary-
+    * sized — ~1e7 rows even at 100 TB, orders of magnitude below the
+    * corpus). Below `cutover` distinct words the whole table is
+    * BOUNDED BY CONSTRUCTION, and the 10-round merge loop pays ~10
+    * sequential scheduler round-trips for milliseconds of actual work
+    * (measured: bench_build_bpe ~15 s distributed, ~1 s driver-side at
+    * sf0.1's 27k-word vocab) — so the sub-cutover leg collects the
+    * counts and trains in a tight loop, bit-identical tie-breaks
+    * included (the nearDupClusters/kCore small-side discipline; a spec
+    * pins the two legs equal). Above cutover the distributed loop runs
+    * unchanged.
+    */
   private def trainBpeVocab(spark: SparkSession, dir: String,
-      nMerges: Int): DataFrame = {
+      nMerges: Int, cutover: Int = 1000000): DataFrame = {
     import spark.implicits._
-    // the word-frequency table is vocabulary-sized (orders of magnitude
-    // below the corpus: ~10M rows even at 100 TB), so a handful of
-    // partitions beats shuffle-width task churn across the merge rounds
-    var cur: Dataset[(Seq[String], Long)] = tokenizedDocs(spark, dir)
+    val wordCounts = tokenizedDocs(spark, dir)
       .select(explode(col("w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // one job decides the leg AND feeds the driver trainer on the
+    // small side (limit cutover+1: a full collect is never unbounded)
+    val head = wordCounts.as[(String, Long)].limit(cutover + 1).collect()
+    if (head.length <= cutover) trainBpeDriver(spark, head, nMerges)
+    else trainBpeDistributed(spark, wordCounts, nMerges)
+  }
+
+  /** Sub-cutover driver-side BPE trainer: same argmax, same
+    * (cnt desc, left asc, right asc) tie-break as the distributed leg —
+    * string order compared on UTF-8 bytes to match Spark's binary
+    * string ordering exactly.
+    */
+  private[graft] def trainBpeDriver(spark: SparkSession,
+      wc: Array[(String, Long)], nMerges: Int): DataFrame = {
+    import spark.implicits._
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var cur: Array[(Seq[String], Long)] =
+      wc.map { case (w, c) => (w.map(_.toString) :+ "</w>", c) }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      cur.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.put(k, counts.getOrDefault(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null; var bc = 0L
+        counts.forEach { (k, v) =>
+          if (bl == null || v > bc || (v == bc && (utf8Lt(k._1, bl) ||
+              (k._1 == bl && utf8Lt(k._2, br))))) {
+            bl = k._1; br = k._2; bc = v
+          }
+        }
+        rules += ((step, bl, br, bc))
+        cur = cur.map { case (syms, c) => (mergePair(syms, bl, br), c) }
+        step += 1
+      }
+    }
+    rules.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  private[graft] def trainBpeDistributed(spark: SparkSession,
+      wordCounts: DataFrame, nMerges: Int): DataFrame = {
+    import spark.implicits._
+    // a handful of partitions beats shuffle-width task churn across
+    // the merge rounds on the vocabulary-sized table
+    var cur: Dataset[(Seq[String], Long)] = wordCounts
       .coalesce(8)
       .as[(String, Long)]
       .map { case (w, c) =>

@@ -154,4 +154,14 @@ class ExactKnnSpec extends SparkSpec {
       }
     }
   }
+
+  test("after-delete search never returns a deleted vector") {
+    val n = Tables.embeddings(spark, sf0001).count()
+    val (s80, s90) = (math.round(0.8 * n), math.round(0.9 * n))
+    val rows = ExactKnn.topKAfterDelete(spark, sf0001).collect()
+      .map(_.getLong(1))
+    assert(rows.nonEmpty)
+    assert(!rows.exists(v => v >= s80 && v < s90),
+      "a deleted vec_id surfaced in the after-delete search")
+  }
 }

@@ -695,4 +695,20 @@ class TextOpsSpec extends SparkSpec {
     }.sortBy(e => (-e._3, e._1)).take(20)
     assert(rows.toSeq == expect)
   }
+
+  test("bpe distributed trainer equals the sub-cutover driver leg") {
+    val wordCounts = TextOps.tokenizedDocs(spark, sf0001)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val dist = TextOps.trainBpeDistributed(spark, wordCounts, 10)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val wc = wordCounts.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val drv = TextOps.trainBpeDriver(spark, wc, 10)
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(drv.nonEmpty)
+    assert(dist == drv)
+  }
 }
