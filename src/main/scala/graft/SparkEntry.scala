@@ -3928,5 +3928,5 @@ object SparkEntry {
                AS BIGINT)
                / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
       FROM events GROUP BY 1""",
-  )
+  ) ++ GeneratedOracles.sql
 }
