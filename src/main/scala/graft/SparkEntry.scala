@@ -542,6 +542,10 @@ object SparkEntry {
     // single-source BFS distances over the co-purchase graph
     // (Pregel-style frontier join + min fold per round)
     "graph_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
+    // degree histogram + permille share of the co-purchase graph (the
+    // hub/skew QA number that decides whether joins need salting)
+    "graph_degree_distribution" ->
+      ((s, d) => GraphOps.degreeDistribution(s, d)),
     // connected components by alternating large-star/small-star
     // contraction (O(log n) rounds, diameter-independent)
     "graph_components" ->
@@ -3523,6 +3527,24 @@ object SparkEntry {
 
     // fixed-unroll peel replay — see kcoreOracleSql
     "graph_kcore" -> kcoreOracleSql(k = 2, minShared = 3, rounds = 10),
+
+    "graph_degree_distribution" -> """
+      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                  FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+            JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+      hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1),
+      t AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS tn FROM hist)
+      SELECT CAST(degree AS BIGINT) AS degree,
+             CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(round(CAST(n_nodes AS DOUBLE) * 1000 / tn) AS BIGINT)
+               AS permille
+      FROM hist CROSS JOIN t""",
 
     // bounded WITH RECURSIVE walk, UNION-dedup on (node, hop), then
     // min(hop) per node — the same BFS the frontier loop computes

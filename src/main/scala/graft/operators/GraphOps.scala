@@ -175,6 +175,32 @@ object GraphOps {
       b
     }
 
+  /** Degree distribution of the co-purchase graph — the first QA
+    * number a graph pipeline publishes (hubs, skew, the power-law
+    * check that decides whether per-key joins need salting): per
+    * degree value, how many nodes carry it, plus each bucket's share
+    * of all nodes in integer permille.
+    *
+    * Scale shape: two partial-aggregated rollups over the memoized
+    * edge relation (edge → degree, degree → count) and a one-row
+    * total attach — the pair expansion is the cached
+    * copurchase build's, already paid. Output:
+    * (degree, n_nodes, permille).
+    */
+  def degreeDistribution(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val e = copurchaseEdges(spark, dir, minShared)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val tot = hist.agg(sum(col("n_nodes")).as("tn"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        round(col("n_nodes").cast("double") * 1000 / col("tn"), 0)
+          .cast("long").as("permille"))
+  }
+
   def shortestPaths(spark: SparkSession, dir: String, maxHops: Int = 4,
       minShared: Int = 2): DataFrame = {
     val bidir = bidirAdjacency(spark, dir, minShared)

@@ -230,4 +230,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(got(40L) == 1L && got(102L) == 100L &&
       got(203L) == 200L && got(301L) == 300L)
   }
+
+  test("degree distribution: buckets cover all nodes, permille sums to ~1000") {
+    val rows = graft.operators.GraphOps.degreeDistribution(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, n, _) => assert(d >= 1 && n >= 1) }
+    val totalNodes = rows.map(_._2).sum
+    val edges = graft.operators.GraphOps.copurchaseEdges(spark, sf0001)
+    val nodes = edges.select(col("u")).unionAll(edges.select(col("v")))
+      .distinct().count()
+    assert(totalNodes == nodes, s"$totalNodes vs $nodes")
+    val pm = rows.map(_._3).sum
+    assert(math.abs(pm - 1000L) <= rows.length, s"permille sum $pm")
+  }
 }

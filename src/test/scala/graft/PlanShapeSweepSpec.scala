@@ -41,6 +41,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "stats_psi_by_source",        // 1-row corpus-total attach
     "pipeline_mixture_plan",      // 1-row total-weight attach
     "text_pmi_collocations",      // 1-row bigram-total attach
+    "graph_degree_distribution",  // 1-row node-total attach
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
                                   // against the corpus scan (|bench| rows)
 
