@@ -331,6 +331,12 @@ object SparkEntry {
     // — text analysis (training-data pipeline ops) —
     "text_tokens"      -> TextOps.tokenCounts _,
     "text_quality"     -> TextOps.qualityScores _,
+    // the same per-row scoring PRODUCED BY the streaming engine at
+    // ingestion time (stateless projection in the micro-batch) —
+    // shares text_quality's oracle; completes the ingestion trio
+    // (dedup, index, quality) executed by the streaming engine
+    "text_quality_streamed" ->
+      ((s, d) => graft.streaming.CorpusStream.qualityScoresStreamed(s, d)),
     // per-language median gate: micro-unit medians broadcast back,
     // map-only keep/drop flags in exact long arithmetic
     "text_quality_gate" -> ((s, d) => TextOps.qualityGate(s, d)),
@@ -1792,6 +1798,23 @@ object SparkEntry {
       FROM documents""",
 
     "text_quality" -> """
+      WITH q AS (
+        SELECT doc_id, len(w) AS n_words,
+          list_sum(list_transform(w, t -> length(t))) / CAST(len(w) AS DOUBLE) AS mean_wlen_raw,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id, CAST(n_words AS INT) AS n_words,
+             round(mean_wlen_raw, 6) AS mean_wlen,
+             round(stop_raw, 6) AS stopword_ratio,
+             round(alpha_raw, 6) AS alpha_ratio,
+             round(least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                   + least(n_words / 50.0, 1.0) * 0.3, 6) AS quality
+      FROM q""",
+
+    // per-row stateless scoring: the streamed twin replays the exact
+    // same oracle as text_quality
+    "text_quality_streamed" -> """
       WITH q AS (
         SELECT doc_id, len(w) AS n_words,
           list_sum(list_transform(w, t -> length(t))) / CAST(len(w) AS DOUBLE) AS mean_wlen_raw,

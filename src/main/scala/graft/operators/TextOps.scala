@@ -62,12 +62,20 @@ object TextOps {
   /** Quality scoring: word stats + stopword/alpha ratios combined into a
     * bounded [0,1] score (higher = more natural-language-like).
     */
-  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    qualityScoresOf(Tables.documents(spark, dir))
+
+  /** [[qualityScores]] over an arbitrary (doc_id, text, ...) frame —
+    * a pure per-row projection, so the SAME Column expressions score
+    * a batch table or a stream (CorpusStream.qualityScoresStreamed)
+    * identically.
+    */
+  def qualityScoresOf(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val nWords = size(w)
     val meanWlen = aggregate(transform(w, t => length(t).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double") / nWords
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), nWords.as("n_words"),
         round(meanWlen, 6).as("mean_wlen"),
         round(stopRatioOf(w), 6).as("stopword_ratio"),

@@ -46,6 +46,42 @@ object CorpusStream {
     }
   }
 
+  /** STREAMING quality scoring — the ingest-time quality gate every
+    * production corpus pipeline runs (filter junk BEFORE it lands, not
+    * in a later batch sweep): each arriving document computes its word
+    * stats, stopword/alpha ratios, and combined [0,1] score inside the
+    * micro-batch, through the exact same Column expressions as the
+    * batch [[graft.operators.TextOps.qualityScores]]
+    * ([[graft.operators.TextOps.qualityScoresOf]] — one codegen'd
+    * projection, no shuffle, no state). Stateless per-row ⇒ streamed
+    * == batch regardless of micro-batch splits, so it shares
+    * `text_quality`'s DuckDB oracle under the hash gate; with the
+    * incremental dedup above and VectorStream's k-means assignment it
+    * completes the ingestion trio (dedup, index, quality) executed by
+    * the streaming engine. Output: (doc_id, n_words, mean_wlen,
+    * stopword_ratio, alpha_ratio, quality).
+    */
+  def qualityScoresStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedDocsDir(spark, dir)
+    val name = s"graft_quality_stream_${EventStream.streamRunSeq.incrementAndGet()}"
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      val q = graft.operators.TextOps.qualityScoresOf(
+          spark.readStream.schema(docSchema).parquet(staged))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-quality"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name).select(col("doc_id"), col("n_words"),
+      col("mean_wlen"), col("stopword_ratio"), col("alpha_ratio"),
+      col("quality"))
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Streamed [[Dedup.incrementalMinhashPairs]] (shares
     * `dedup_incremental_minhash`'s oracle). Output:
     * (doc_new, doc_corpus, jaccard) with exact Jaccard >= `threshold`.

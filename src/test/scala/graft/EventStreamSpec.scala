@@ -215,6 +215,19 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.size} vs batch ${batch.size} assignments")
   }
 
+  test("streamed quality scoring equals the batch projection exactly") {
+    val batch = graft.operators.TextOps.qualityScores(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val streamed = graft.streaming.CorpusStream
+      .qualityScoresStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} rows")
+  }
+
   test("file sink resumes from checkpoint without reprocessing old files") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"
