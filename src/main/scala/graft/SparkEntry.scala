@@ -88,7 +88,8 @@ object SparkEntry {
     "knn_range_streamed"   -> ((s, d) => streaming.VectorStream.rangeSearchStreamed(s, d)),
     "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
     // filtered ANN on the shared HNSW graphs (post-filter + overfetch):
-    // rows-only, recall vs the exact filtered scan gated in HnswSpec
+    // literal-oracle pinned (GeneratedOracles); recall vs the exact
+    // filtered scan gated in HnswSpec
     "knn_hnsw_filtered"    -> ((s, d) => HnswKnn.topKBatchFiltered(s, d)),
     "knn_exact_after_insert" -> ((s, d) => ExactKnn.topKAfterInsert(s, d)),
     // keyed delete (left-anti) then search: the oracle excludes the
@@ -357,8 +358,9 @@ object SparkEntry {
     "text_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     // the 100 TB variant: benchmark gram-set as ONE broadcast Bloom
     // filter, corpus flagged in a map-only scan (no shuffle, no gram
-    // strings leave the partition); probabilistic membership -> rows-
-    // only, spec-pinned no-false-negative + fixture-exact flag set
+    // strings leave the partition); deterministic, so pinned by a
+    // generated-literal oracle (GeneratedOracles), plus the spec-level
+    // no-false-negative + fixture-exact flag-set gates
     "text_decontaminate_bloom" -> ((s, d) => TextOps.decontaminateBloom(s, d)),
     // the SEMANTIC decontamination leg: tiny benchmark embeddings
     // broadcast, corpus flagged by cosine in one map-only scan
@@ -713,6 +715,33 @@ object SparkEntry {
                 CAST(list_sum(list_transform(list_zip(e.q, c.q),
                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d2
              FROM e, c3 c)"""
+
+  /** Shared by `text_quality` and `text_quality_streamed` (the
+    * streamed row is the same stateless projection executed by the
+    * streaming engine — one string, so the twins cannot diverge).
+    */
+  private def qualityOracle: String = """
+      WITH q AS (
+        SELECT doc_id, len(w) AS n_words,
+          list_sum(list_transform(w, t -> length(t))) / CAST(len(w) AS DOUBLE) AS mean_wlen_raw,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+      SELECT doc_id, CAST(n_words AS INT) AS n_words,
+             round(mean_wlen_raw, 6) AS mean_wlen,
+             round(stop_raw, 6) AS stopword_ratio,
+             round(alpha_raw, 6) AS alpha_ratio,
+             round(least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                   + least(n_words / 50.0, 1.0) * 0.3, 6) AS quality
+      FROM q"""
+
+  /** Shared by `emb_kmeans` and `emb_kmeans_streamed` (same unrolled
+    * Lloyd replay; the streamed row is the same per-row assignment).
+    */
+  private def kmeansAssignOracle: String = s"""$kmeansCtes
+      SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1"""
 
   /** Shared by `knn_exact_after_insert` (bag-union append then brute
     * force) and `knn_ivf_after_insert` (IVF insert_many then EXHAUSTIVE
@@ -1797,37 +1826,12 @@ object SparkEntry {
              CAST(length(text) AS INT) AS len_chars
       FROM documents""",
 
-    "text_quality" -> """
-      WITH q AS (
-        SELECT doc_id, len(w) AS n_words,
-          list_sum(list_transform(w, t -> length(t))) / CAST(len(w) AS DOUBLE) AS mean_wlen_raw,
-          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
-          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
-      SELECT doc_id, CAST(n_words AS INT) AS n_words,
-             round(mean_wlen_raw, 6) AS mean_wlen,
-             round(stop_raw, 6) AS stopword_ratio,
-             round(alpha_raw, 6) AS alpha_ratio,
-             round(least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
-                   + least(n_words / 50.0, 1.0) * 0.3, 6) AS quality
-      FROM q""",
+    "text_quality" -> qualityOracle,
 
-    // per-row stateless scoring: the streamed twin replays the exact
-    // same oracle as text_quality
-    "text_quality_streamed" -> """
-      WITH q AS (
-        SELECT doc_id, len(w) AS n_words,
-          list_sum(list_transform(w, t -> length(t))) / CAST(len(w) AS DOUBLE) AS mean_wlen_raw,
-          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
-          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
-      SELECT doc_id, CAST(n_words AS INT) AS n_words,
-             round(mean_wlen_raw, 6) AS mean_wlen,
-             round(stop_raw, 6) AS stopword_ratio,
-             round(alpha_raw, 6) AS alpha_ratio,
-             round(least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
-                   + least(n_words / 50.0, 1.0) * 0.3, 6) AS quality
-      FROM q""",
+    // per-row stateless scoring: the streamed twin shares the SAME
+    // oracle string as text_quality (one val — the twins can never
+    // silently diverge)
+    "text_quality_streamed" -> qualityOracle,
 
     // same deterministic top-1000 vocabulary cut (freq desc, token asc)
     "text_vocab_coverage" -> """
@@ -3855,17 +3859,11 @@ object SparkEntry {
     // the k-smallest-vec_id init, then the final nearest-centroid
     // assignment — every output column an integer, so the hash gate
     // certifies the whole iteration history, not just the last step
-    "emb_kmeans" -> s"""$kmeansCtes
-      SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1""",
+    "emb_kmeans" -> kmeansAssignOracle,
 
-    // the streamed assignment is per-row stateless, so it replays the
-    // exact same unrolled-Lloyd oracle as its batch twin
-    "emb_kmeans_streamed" -> s"""$kmeansCtes
-      SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id
-                    ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1""",
+    // the streamed assignment is per-row stateless: one shared val, so
+    // the batch and streamed twins can never gate on diverged oracles
+    "emb_kmeans_streamed" -> kmeansAssignOracle,
 
     // mean-unit-vector norm with the engine's two-level integer
     // quantization: micro-unit longs per coordinate before the per-dim

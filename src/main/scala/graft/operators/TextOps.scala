@@ -1021,10 +1021,13 @@ object TextOps {
     val wordCounts = tokenizedDocs(spark, dir)
       .select(explode(col("w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    // one job decides the leg AND feeds the driver trainer on the
-    // small side (limit cutover+1: a full collect is never unbounded)
-    val head = wordCounts.as[(String, Long)].limit(cutover + 1).collect()
-    if (head.length <= cutover) trainBpeDriver(spark, head, nMerges)
+    // a bounded COUNT probe decides the leg (early-exits at cutover+1
+    // rows, ships one Long) — only the proven-small side ever collects
+    // its rows to the driver
+    val probe = wordCounts.limit(cutover + 1).count()
+    if (probe <= cutover)
+      trainBpeDriver(spark,
+        wordCounts.as[(String, Long)].collect(), nMerges)
     else trainBpeDistributed(spark, wordCounts, nMerges)
   }
 
