@@ -367,6 +367,11 @@ object SparkEntry {
     "text_decontaminate_embedding" -> ((s, d) => Dedup.embeddingDecontaminate(s, d)),
     // unigram-LM surprisal (the CCNet perplexity signal, corpus-trained)
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(s, d)),
+    // SentencePiece-family unigram tokenizer training: substring seed
+    // vocab re-estimated by fixed-round Viterbi EM in integer
+    // nano-nat log-probs (deterministic; literal-oracle pinned, EM
+    // replayed driver-side in the spec)
+    "text_unigram_tokenizer" -> ((s, d) => TextOps.unigramVocab(s, d)),
     // add-1 bigram LM: per-doc mean surprisal + perplexity
     "text_bigram_perplexity" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     // TF-IDF top-3 terms per doc; window order total -> auto bounded heap

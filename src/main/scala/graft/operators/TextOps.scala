@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -998,6 +1000,134 @@ object TextOps {
     * read the cached result (Bench charges the training run to
     * bench_build_bpe).
     */
+  /** Unigram-LM tokenizer training (the SentencePiece/Kudo-2018 family
+    * — the OTHER production tokenizer next to [[bpeVocab]]'s BPE): a
+    * substring seed vocabulary is re-estimated by fixed-round EM, each
+    * E-step Viterbi-segmenting every distinct word under the current
+    * piece probabilities and each M-step re-counting piece usage.
+    *
+    * Determinism (the repo-wide discipline): piece log-probs quantize
+    * to integer nano-nats (round(ln(p)·1e9), add-1 smoothed), so every
+    * Viterbi comparison is exact Long arithmetic in any order; score
+    * ties prefer the longer last piece (smaller start index), making
+    * the segmentation a pure function of the data. The declared query
+    * is pinned by a generated-literal oracle; the spec replays the
+    * whole EM driver-side and checks bit-equality.
+    *
+    * Scale shape: training runs on the word-FREQUENCY table (bounded
+    * by the language, not the corpus — the [[bpeVocab]] argument);
+    * seeding is one substring-expansion shuffle with a bounded top-V
+    * cut, and each EM round is ONE map-only pass with the (tiny) piece
+    * table broadcast, reduced by a partial-aggregated piece-count
+    * shuffle of at most V rows per partition. Driver state is O(V).
+    * Output: (piece, cnt, qlp) — the `topOut` highest-count pieces
+    * (count desc, piece asc), qlp the final quantized log-prob.
+    */
+  def unigramVocab(spark: SparkSession, dir: String, vocabSize: Int = 500,
+      iters: Int = 2, maxPiece: Int = 4, topOut: Int = 100): DataFrame =
+    graft.IndexCache.getOrBuild(spark,
+        s"unigram-vocab:$dir:$vocabSize:$iters:$maxPiece:$topOut") {
+      import spark.implicits._
+      val words = tokenizedDocs(spark, dir)
+        .select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // seed: substring counts weighted by word frequency; vocab = the
+      // top-V by (count desc, piece asc) UNION all single chars (so
+      // every word stays segmentable), like SentencePiece's seeding
+      val seedCounts = words.flatMap { case (w, c) =>
+        for {
+          i <- w.indices.iterator
+          l <- 1 to math.min(maxPiece, w.length - i)
+        } yield (w.substring(i, i + l), c)
+      }.toDF("piece", "c").groupBy(col("piece")).agg(sum(col("c")).as("c"))
+      val top = seedCounts.orderBy(col("c").desc, col("piece").asc)
+        .limit(vocabSize).as[(String, Long)].collect()
+      val chars = seedCounts.filter(length(col("piece")) === 1)
+        .as[(String, Long)].collect()
+      var vocab: Array[(String, Long)] =
+        (top ++ chars.filterNot(c => top.exists(_._1 == c._1)))
+          .sortBy(_._1)
+      var iter = 0
+      while (iter < iters) {
+        val bc = spark.sparkContext.broadcast(quantizedLogProbs(vocab))
+        val used = words.mapPartitions { it =>
+          val table = bc.value
+          val acc = new java.util.HashMap[String, Long]()
+          it.foreach { case (w, c) =>
+            viterbiPieces(w, table, maxPiece).foreach { p =>
+              acc.put(p, acc.getOrDefault(p, 0L) + c)
+            }
+          }
+          acc.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+        }.toDF("piece", "c").groupBy(col("piece")).agg(sum(col("c")).as("c"))
+          .as[(String, Long)].collect().toMap
+        // vocab membership is fixed after seeding; unused pieces keep
+        // count 0 and survive only through the add-1 smoothing (chars
+        // must stay segmentable)
+        vocab = vocab.map { case (p, _) => (p, used.getOrElse(p, 0L)) }
+        iter += 1
+      }
+      val qlps = quantizedLogProbs(vocab)
+      val out = vocab.toSeq
+        .sortBy { case (p, c) => (-c, p) }
+        .take(topOut)
+        .map { case (p, c) => (p, c, qlps(p)) }
+        .toDF("piece", "cnt", "qlp")
+      words.unpersist(blocking = false)
+      out
+    }
+
+  /** Add-1-smoothed piece log-probs in integer nano-nats — the exact
+    * arithmetic every Viterbi comparison runs on.
+    */
+  private[graft] def quantizedLogProbs(
+      vocab: Array[(String, Long)]): Map[String, Long] = {
+    val total = vocab.map(_._2).sum
+    val v = vocab.length
+    vocab.map { case (p, c) =>
+      p -> math.round(math.log((c + 1.0) / (total + v.toDouble)) * 1e9)
+    }.toMap
+  }
+
+  /** Deterministic Viterbi segmentation of one word: maximize the sum
+    * of quantized piece log-probs; on a tie prefer the longer last
+    * piece. Exact Long arithmetic, pure function of (word, table).
+    */
+  private[graft] def viterbiPieces(w: String, qlp: Map[String, Long],
+      maxPiece: Int): Seq[String] = {
+    val n = w.length
+    if (n == 0) return Seq.empty
+    val score = Array.fill(n + 1)(Long.MinValue)
+    val back = new Array[Int](n + 1)
+    score(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = math.min(maxPiece, i)
+      // longest candidate first: on equal score the longer last piece
+      // (smaller start) wins because strict > never replaces it
+      while (l >= 1) {
+        val start = i - l
+        if (score(start) != Long.MinValue) {
+          qlp.get(w.substring(start, i)) match {
+            case Some(q) =>
+              val s = score(start) + q
+              if (s > score(i)) { score(i) = s; back(i) = start }
+            case None => ()
+          }
+        }
+        l -= 1
+      }
+      i += 1
+    }
+    if (score(n) == Long.MinValue) return Seq(w) // unsegmentable guard
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) { pieces += w.substring(back(pos), pos); pos = back(pos) }
+    pieces.reverse.toSeq
+  }
+
   def bpeVocab(spark: SparkSession, dir: String, nMerges: Int = 10): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"bpe-table:$dir:$nMerges") {
       trainBpeVocab(spark, dir, nMerges)

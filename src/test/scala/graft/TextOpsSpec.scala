@@ -711,4 +711,45 @@ class TextOpsSpec extends SparkSpec {
     assert(drv.nonEmpty)
     assert(dist == drv)
   }
+
+  test("unigram tokenizer: distributed EM equals a full driver replay") {
+    val words = TextOps.tokenizedDocs(spark, sf0001)
+      .select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (vocabSize, iters, maxPiece, topOut) = (500, 2, 4, 100)
+    // seed replay: substring counts weighted by word freq
+    val seed = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      for (i <- w.indices; l <- 1 to math.min(maxPiece, w.length - i)) {
+        val p = w.substring(i, i + l)
+        seed(p) = seed.getOrElse(p, 0L) + c
+      }
+    }
+    val top = seed.toSeq.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+    val chars = seed.toSeq.filter(_._1.length == 1)
+    var vocab = (top ++ chars.filterNot(c => top.exists(_._1 == c._1)))
+      .sortBy(_._1).toArray
+    for (_ <- 1 to iters) {
+      val table = TextOps.quantizedLogProbs(vocab)
+      val used = scala.collection.mutable.HashMap.empty[String, Long]
+      words.foreach { case (w, c) =>
+        TextOps.viterbiPieces(w, table, maxPiece).foreach { p =>
+          used(p) = used.getOrElse(p, 0L) + c
+        }
+      }
+      vocab = vocab.map { case (p, _) => (p, used.getOrElse(p, 0L)) }
+    }
+    val qlps = TextOps.quantizedLogProbs(vocab)
+    val expect = vocab.toSeq.sortBy { case (p, c) => (-c, p) }.take(topOut)
+      .map { case (p, c) => (p, c, qlps(p)) }
+    val got = TextOps.unigramVocab(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    // every surviving piece segments back to itself under the table
+    got.take(10).foreach { case (p, _, _) =>
+      val segs = TextOps.viterbiPieces(p, qlps, maxPiece)
+      assert(segs.mkString("") == p)
+    }
+  }
 }
