@@ -372,6 +372,9 @@ object SparkEntry {
     // nano-nat log-probs (deterministic; literal-oracle pinned, EM
     // replayed driver-side in the spec)
     "text_unigram_tokenizer" -> ((s, d) => TextOps.unigramVocab(s, d)),
+    // per-doc token cost under the trained unigram tokenizer (the
+    // bpe_encode twin): broadcast piece table, map-only Viterbi pass
+    "text_unigram_encode" -> ((s, d) => TextOps.unigramEncode(s, d)),
     // add-1 bigram LM: per-doc mean surprisal + perplexity
     "text_bigram_perplexity" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
     // TF-IDF top-3 terms per doc; window order total -> auto bounded heap

@@ -1476,6 +1476,45 @@ object TextOps {
       }.toDF("doc_id", "n_words", "n_bpe_tokens")
   }
 
+  /** Corpus encoding under the trained unigram-LM tokenizer — the
+    * serving half of [[unigramVocab]] (the [[bpeEncode]] twin): each
+    * document's words Viterbi-segment under the trained piece table
+    * and the piece count is the document's token cost under that
+    * tokenizer. Same exact integer log-prob arithmetic as training,
+    * so the encoding is a pure function of (corpus, params) — pinned
+    * by a generated-literal oracle; words the table cannot cover fall
+    * back to one piece (the single-char seed makes that unreachable
+    * on the training corpus itself).
+    *
+    * Scale shape: the piece table is O(V) and broadcast; encoding is
+    * one map-only pass (a tight per-word DP loop — a HOF here would
+    * interpret per element, the measured Spark 4 trap), no shuffle.
+    * Output: (doc_id, n_words, n_unigram_tokens).
+    */
+  def unigramEncode(spark: SparkSession, dir: String, vocabSize: Int = 500,
+      iters: Int = 2, maxPiece: Int = 4): DataFrame = {
+    import spark.implicits._
+    val table = graft.IndexCache.getOrBuild(spark,
+        s"unigram-qlp:$dir:$vocabSize:$iters:$maxPiece") {
+      // the FULL trained table (not the top-100 report cut): topOut =
+      // vocab size so every surviving piece keeps its log-prob
+      unigramVocab(spark, dir, vocabSize, iters, maxPiece,
+        topOut = Int.MaxValue).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    }
+    val bc = spark.sparkContext.broadcast(table)
+    tokenizedDocs(spark, dir).select(col("doc_id"), col("w"))
+      .as[(Long, Seq[String])]
+      .map { case (id, words) =>
+        val t = bc.value
+        var nTok = 0L
+        words.foreach { word =>
+          nTok += viterbiPieces(word, t, maxPiece).length
+        }
+        (id, words.length.toLong, nTok)
+      }.toDF("doc_id", "n_words", "n_unigram_tokens")
+  }
+
   /** Fixed-size overlapping document chunking — the RAG/window-prep
     * primitive: `chunkSize`-word windows advancing by
     * `chunkSize - overlap`, the final chunk allowed short. Map-only:

@@ -752,4 +752,21 @@ class TextOpsSpec extends SparkSpec {
       assert(segs.mkString("") == p)
     }
   }
+
+  test("unigram encode: every word costs >= 1 piece, matches a driver replay on a sample") {
+    val rows = TextOps.unigramEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, nw, nt) =>
+      assert(nt >= nw, s"doc $id: $nt pieces for $nw words")
+    }
+    // replay one doc against the trained table through the public DP
+    val table = TextOps.unigramVocab(spark, sf0001, topOut = Int.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val doc0 = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+    val expect = doc0.split(" ", -1)
+      .map(w => TextOps.viterbiPieces(w, table, 4).length.toLong).sum
+    assert(rows.find(_._1 == 0L).get._3 == expect)
+  }
 }
