@@ -147,6 +147,10 @@ object Bench {
         () => operators.TextOps.fuzzyWordPairs(spark, sfDir).count()),
       timed("bench_build_bpe",
         () => operators.TextOps.bpeVocab(spark, sfDir).count()),
+      // unigram-LM EM training (seed shuffle + 2 Viterbi rounds) — the
+      // tokenizer/encode rows then measure serving
+      timed("bench_build_unigram",
+        () => operators.TextOps.unigramVocab(spark, sfDir).count()),
       // one-time per-dataset stream-source staging (parquet copy +
       // watermark sentinels) — charged here so the events_*_streamed
       // rows measure the streaming engine, not file staging

@@ -1024,9 +1024,20 @@ object TextOps {
     * (count desc, piece asc), qlp the final quantized log-prob.
     */
   def unigramVocab(spark: SparkSession, dir: String, vocabSize: Int = 500,
-      iters: Int = 2, maxPiece: Int = 4, topOut: Int = 100): DataFrame =
+      iters: Int = 2, maxPiece: Int = 4, topOut: Int = 100): DataFrame = {
+    import spark.implicits._
+    trainedUnigram(spark, dir, vocabSize, iters, maxPiece)
+      .take(topOut).toSeq.toDF("piece", "cnt", "qlp")
+  }
+
+  /** The memoized EM training itself — ONE train per (dataset, params)
+    * however many consumers cut it ([[unigramVocab]]'s report,
+    * [[unigramEncode]]'s full table). Driver state is O(V).
+    */
+  private def trainedUnigram(spark: SparkSession, dir: String,
+      vocabSize: Int, iters: Int, maxPiece: Int): Array[(String, Long, Long)] =
     graft.IndexCache.getOrBuild(spark,
-        s"unigram-vocab:$dir:$vocabSize:$iters:$maxPiece:$topOut") {
+        s"unigram-vocab:$dir:$vocabSize:$iters:$maxPiece") {
       import spark.implicits._
       val words = tokenizedDocs(spark, dir)
         .select(explode(col("w")).as("word"))
@@ -1070,11 +1081,9 @@ object TextOps {
         iter += 1
       }
       val qlps = quantizedLogProbs(vocab)
-      val out = vocab.toSeq
+      val out = vocab
         .sortBy { case (p, c) => (-c, p) }
-        .take(topOut)
         .map { case (p, c) => (p, c, qlps(p)) }
-        .toDF("piece", "cnt", "qlp")
       words.unpersist(blocking = false)
       out
     }
@@ -1494,14 +1503,10 @@ object TextOps {
   def unigramEncode(spark: SparkSession, dir: String, vocabSize: Int = 500,
       iters: Int = 2, maxPiece: Int = 4): DataFrame = {
     import spark.implicits._
-    val table = graft.IndexCache.getOrBuild(spark,
-        s"unigram-qlp:$dir:$vocabSize:$iters:$maxPiece") {
-      // the FULL trained table (not the top-100 report cut): topOut =
-      // vocab size so every surviving piece keeps its log-prob
-      unigramVocab(spark, dir, vocabSize, iters, maxPiece,
-        topOut = Int.MaxValue).collect()
-        .map(r => r.getString(0) -> r.getLong(2)).toMap
-    }
+    // the FULL trained table (not the top-100 report cut); same memo
+    // as the trainer, so this never re-trains
+    val table = trainedUnigram(spark, dir, vocabSize, iters, maxPiece)
+      .map { case (p, _, q) => p -> q }.toMap
     val bc = spark.sparkContext.broadcast(table)
     tokenizedDocs(spark, dir).select(col("doc_id"), col("w"))
       .as[(Long, Seq[String])]
