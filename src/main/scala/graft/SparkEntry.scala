@@ -96,6 +96,9 @@ object SparkEntry {
     // slab by predicate, so a hash-match proves the delete dropped
     // exactly the keyed rows
     "knn_exact_after_delete" -> ((s, d) => ExactKnn.topKAfterDelete(s, d)),
+    // the INDEX-side delete: the slab leaves the inverted file by the
+    // same keyed anti-join; exhaustive probe is exact -> same oracle
+    "knn_ivf_after_delete" -> ((s, d) => IvfKnn.topKAfterDelete(s, d)),
     // the same mutation on the inverted-file family: insert_many into a
     // built IVF index, exhaustive probe (= exact), shared oracle
     "knn_ivf_after_insert" -> ((s, d) => IvfKnn.topKAfterInsert(s, d)),
@@ -507,6 +510,9 @@ object SparkEntry {
     "pipeline_dataset_card" -> Pipeline.datasetCard _,
     // statistical outlier screen: z-scores from exact BIGINT moment sums
     "events_anomaly_zscore" -> ((s, d) => EventOps.anomalyZscore(s, d)),
+    // robust twin: modified z-score on exact-integer median/MAD
+    // pieces — the detector that survives heavy tails (50% breakdown)
+    "events_anomaly_mad" -> ((s, d) => EventOps.anomalyMad(s, d)),
     // per-column profiling via unioned per-column branches (deliberately
     // NOT the Expand plan — see Profiling.scala's rationale)
     "quality_profile_orders" -> Profiling.profileOrders _,
@@ -750,6 +756,27 @@ object SparkEntry {
       SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1"""
+
+  /** Shared by `knn_exact_after_delete` and `knn_ivf_after_delete`
+    * (keyed delete then search, exact on both paths): the full-prefix
+    * knn with the deleted slab excluded by predicate.
+    */
+  private def afterDeleteOracle: String = s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.80 * count(*)) AS BIGINT) AS s80,
+                   CAST(round(0.90 * count(*)) AS BIGINT) AS s90,
+                   CAST(round(0.95 * count(*)) AS BIGINT) AS s95 FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s95
+              AND NOT (b.vec_id >= p.s80 AND b.vec_id < p.s90)
+              AND q.vec_id >= p.s95 AND q.vec_id < p.s95 + 20)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10"""
 
   /** Shared by `knn_exact_after_insert` (bag-union append then brute
     * force) and `knn_ivf_after_insert` (IVF insert_many then EXHAUSTIVE
@@ -1164,23 +1191,10 @@ object SparkEntry {
     "knn_ivf_after_insert" -> afterInsertOracle,
 
     // after-insert oracle with the deleted 80-90% slab excluded by
-    // predicate instead of by anti-join
-    "knn_exact_after_delete" -> s"""
-      WITH e AS (SELECT vec_id,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-                 FROM embeddings),
-      p AS (SELECT CAST(round(0.80 * count(*)) AS BIGINT) AS s80,
-                   CAST(round(0.90 * count(*)) AS BIGINT) AS s90,
-                   CAST(round(0.95 * count(*)) AS BIGINT) AS s95 FROM e),
-      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-            FROM e b, e q, p
-            WHERE b.vec_id < p.s95
-              AND NOT (b.vec_id >= p.s80 AND b.vec_id < p.s90)
-              AND q.vec_id >= p.s95 AND q.vec_id < p.s95 + 20)
-      SELECT qid, vec_id, dist,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
-      FROM d
-      QUALIFY rk <= 10""",
+    // predicate instead of by anti-join; shared by the exact and the
+    // IVF (exhaustive-probe, exact by construction) delete paths
+    "knn_exact_after_delete" -> afterDeleteOracle,
+    "knn_ivf_after_delete" -> afterDeleteOracle,
 
     "knn_euclidean_single" -> s"""
       WITH e AS (SELECT vec_id,
@@ -3355,6 +3369,27 @@ object SparkEntry {
                 / (CAST(n AS DOUBLE)
                    * sqrt((CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
                           / (CAST(n AS DOUBLE) * (n - 1))))) > 2.5""",
+
+    // median/MAD via the x2 exact-interpolation trick; one fixed
+    // expression order for the modified z
+    "events_anomaly_mad" -> s"""
+      WITH e AS (SELECT event_type, event_id, ${c100("value")} AS c
+                 FROM events),
+      m AS (SELECT event_type,
+                   CAST(round(quantile_cont(c, 0.5) * 2) AS BIGINT) AS med2
+            FROM e GROUP BY 1),
+      d AS (SELECT e.event_type, e.event_id, e.c, m.med2,
+                   abs(e.c * 2 - m.med2) AS d2
+            FROM e JOIN m USING (event_type)),
+      md AS (SELECT event_type,
+                    CAST(round(quantile_cont(d2, 0.5) * 2) AS BIGINT) AS mad4
+             FROM d GROUP BY 1)
+      SELECT event_type, event_id, c / 100.0 AS value,
+             round(0.6745 * (CAST(c AS DOUBLE) * 2 - med2) * 2 / mad4, 6)
+               AS mz
+      FROM d JOIN md USING (event_type)
+      WHERE mad4 > 0
+        AND abs(0.6745 * (CAST(c AS DOUBLE) * 2 - med2) * 2 / mad4) > 3.5""",
 
     // per-column profile: one SELECT per column, engine-portable
     // representations (cents / epoch days) so min/max stringify alike

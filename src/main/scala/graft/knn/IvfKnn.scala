@@ -308,6 +308,49 @@ object IvfKnn {
     searchIndexDF(index, queries, k, nprobe = nC)
   }
 
+  /** `delete` on the INVERTED FILE then search — the index-side twin
+    * of [[graft.knn.ExactKnn.topKAfterDelete]]: the 80–90% vec_id slab
+    * is dropped from the assigned (cid, vec) table by the same keyed
+    * left-anti ([[graft.sources.Ingest.deleteByKey]] — at scale a
+    * tombstone anti-join against the cid-partitioned posting lists,
+    * shuffling only the tombstone keys), centroids untouched, and the
+    * held-out queries probe the shrunken index EXHAUSTIVELY so the
+    * result is exact and shares the predicate-excluded oracle — a
+    * hash-match proves the inverted file dropped exactly the keyed
+    * postings. Reuses the after-insert index build (same memo), so the
+    * only new cost is the anti-join. Output: (qid, vec_id, dist, rk).
+    */
+  def topKAfterDelete(spark: SparkSession, dir: String, k: Int = 10,
+      nq: Int = 20, nCentroids: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val n = emb.count()
+    val s80 = math.round(0.80 * n)
+    val s90 = math.round(0.90 * n)
+    val s95 = math.round(0.95 * n)
+    val nC = if (nCentroids > 0) nCentroids
+             else math.max(4, math.sqrt(s90.toDouble).toInt)
+    val grown = IndexCache.getOrBuild(spark, s"ivf-ins:$dir:$nC") {
+      val built = buildIndex(emb.filter(col("vec_id") < s90), nC)
+      val g = insertIntoIndex(built,
+        emb.filter(col("vec_id") >= s90 && col("vec_id") < s95))
+      val a = g.assigned.persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      g.copy(assigned = a)
+    }
+    val shrunk = IndexCache.getOrBuild(spark, s"ivf-del:$dir:$nC") {
+      val a = graft.sources.Ingest.deleteByKey(grown.assigned,
+          emb.filter(col("vec_id") >= s80 && col("vec_id") < s90)
+            .select(col("vec_id")), "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      a.count()
+      grown.copy(assigned = a)
+    }
+    val queries = emb.filter(col("vec_id") >= s95 && col("vec_id") < s95 + nq)
+    searchIndexDF(shrunk, queries, k, nprobe = nC)
+  }
+
   /** Top-k for every held-out query, probing `nprobe` of `nCentroids`
     * clusters (defaults: sqrt(n) centroids, a quarter of them probed).
     * Output: (qid, vec_id, dist rounded 6, rk) — same shape as

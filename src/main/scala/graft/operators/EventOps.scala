@@ -684,6 +684,46 @@ object EventOps {
         round(z, 6).as("z"))
   }
 
+  /** MAD-based robust anomaly detection — the outlier-resistant twin
+    * of [[anomalyZscore]]: modified z-score
+    * Mz = 0.6745·(x − median) / MAD (Iglewicz–Hoaglin), flagged at
+    * |Mz| > 3.5. Mean/std inflate under the very outliers being
+    * hunted (masking); median/MAD have a 50% breakdown point, so this
+    * is the detector monitoring pipelines actually deploy on heavy
+    * tails.
+    *
+    * Exactness across engines: medians use the ×2 exact-interpolation
+    * trick on integer cents (med2 = 2·median and mad4 = 4·MAD are
+    * exact longs), so Mz is computed from integer pieces in one fixed
+    * expression order. Types with MAD = 0 (a majority-constant
+    * series) are excluded by guard rather than dividing by zero.
+    *
+    * Scale shape: two per-type exact-percentile aggregates (at 100 TB
+    * these swap for the bounded-error histogram quantiles — the flag
+    * join is unchanged) + broadcast stat joins; the event scan never
+    * shuffles. Output: (event_type, event_id, value, mz rounded 6).
+    */
+  def anomalyMad(spark: SparkSession, dir: String,
+      threshold: Double = 3.5): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(percentile(col("c"), lit(0.5)) * 2, 0).cast("long")
+        .as("med2"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("c"), col("med2"),
+        abs(col("c") * 2 - col("med2")).as("d2"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(percentile(col("d2"), lit(0.5)) * 2, 0).cast("long")
+        .as("mad4"))
+    val mz = lit(0.6745) * (col("c").cast("double") * 2 - col("med2")) * 2 /
+      col("mad4")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad4") > 0 && abs(mz) > threshold)
+      .select(col("event_type"), col("event_id"),
+        (col("c") / 100.0).as("value"), round(mz, 6).as("mz"))
+  }
+
   /** CUSUM changepoint detection per event type over the daily revenue
     * series: the day T maximizing |S_T|, where
     * S_T = Σ_{t≤T} (x_t − x̄) is the cumulative deviation from the

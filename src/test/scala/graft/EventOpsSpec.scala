@@ -541,4 +541,33 @@ class EventOpsSpec extends SparkSpec {
         if (r.isNullAt(3)) null else r.getLong(3).asInstanceOf[Any])).toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("MAD anomalies: flags replay a driver-side robust z computation") {
+    val rows = graft.operators.EventOps.anomalyMad(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, mz) => assert(math.abs(mz) > 3.5) }
+    // replay one event type exactly
+    val t = rows.head._1
+    val cs = Tables.events(spark, sf0001)
+      .filter(col("event_type") === t)
+      .select(graft.functions.ExactNum.cents(col("value")))
+      .collect().map(_.getLong(0)).sorted
+    def med2(a: Array[Long]): Long = {
+      val n = a.length
+      if (n % 2 == 1) a(n / 2) * 2 else a(n / 2 - 1) + a(n / 2)
+    }
+    val m2 = med2(cs)
+    val mad4 = med2(cs.map(c => math.abs(c * 2 - m2)).sorted)
+    val expect = cs.map { c =>
+      (c, 0.6745 * (c.toDouble * 2 - m2) * 2 / mad4)
+    }.filter(e => math.abs(e._2) > 3.5).map(_._1).sorted
+    val got = Tables.events(spark, sf0001)
+      .filter(col("event_type") === t)
+      .join(graft.operators.EventOps.anomalyMad(spark, sf0001)
+        .filter(col("event_type") === t).select("event_id"), "event_id")
+      .select(graft.functions.ExactNum.cents(col("value")))
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == expect.toSeq)
+  }
 }

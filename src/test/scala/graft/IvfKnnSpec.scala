@@ -95,4 +95,14 @@ class IvfKnnSpec extends SparkSpec {
     assert(viaIvf.sameElements(viaExact),
       "exhaustive-probe IVF after insert must be exactly the brute force")
   }
+
+  test("after-delete probe never returns a deleted posting") {
+    val n = Tables.embeddings(spark, sf0001).count()
+    val (s80, s90) = (math.round(0.8 * n), math.round(0.9 * n))
+    val rows = graft.knn.IvfKnn.topKAfterDelete(spark, sf0001).collect()
+      .map(_.getLong(1))
+    assert(rows.nonEmpty)
+    assert(!rows.exists(v => v >= s80 && v < s90),
+      "a deleted vec_id surfaced from the inverted file")
+  }
 }
