@@ -429,6 +429,10 @@ object SparkEntry {
       ((s, d) => Pipeline.qualityClassifier(s, d)),
     // tie-aware Mann-Whitney AUC of the trained scorer (weights memoized)
     "eval_auc_classifier" -> ((s, d) => Pipeline.classifierAuc(s, d)),
+    // lift/gains curve at every distinct score cut — the budget view
+    // of the same trained classifier (AUC ranks, calibration trusts
+    // probabilities, lift prices a selection budget)
+    "eval_lift_classifier" -> ((s, d) => Pipeline.classifierLift(s, d)),
     // decile reliability bins (exact counts, quantized mean prediction)
     "eval_calibration_classifier" ->
       ((s, d) => Pipeline.classifierCalibration(s, d)),
@@ -596,6 +600,9 @@ object SparkEntry {
     // per-source quality-distribution drift vs the corpus baseline
     // (PSI over 5 equal-width bins, micro-unit-quantized terms)
     "stats_psi_by_source" -> ((s, d) => Stats.psiBySource(s, d)),
+    // two-sample KS over full ECDFs (integer-numerator exact) — the
+    // unbinned distribution-equality gate next to the PSI monitor
+    "stats_ks_quality" -> ((s, d) => Stats.ksQualityBySource(s, d)),
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
@@ -958,6 +965,28 @@ object SparkEntry {
              round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE)
                / (2.0 * sum(np) * sum(nn)), 6) AS auc
       FROM cum"""
+
+  /** Gains curve over the distinct-score relation: exact cumulative
+    * long counts scanning scores descending, one fixed-order division.
+    */
+  private def qcLiftSql(iters: Int, lr: String): String =
+    qcChain(iters, lr) + s""",
+      scored AS (SELECT y, $qcDot AS s FROM f, w$iters),
+      bys AS (SELECT s, count(*) AS n,
+                sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np
+              FROM scored GROUP BY s),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                   CAST(sum(np) AS BIGINT) AS tp FROM bys),
+      c AS (SELECT s,
+              CAST(sum(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+              CAST(sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_np
+            FROM bys)
+      SELECT s, cum_n, cum_np,
+             round((CAST(cum_np AS DOUBLE) / cum_n)
+               / (CAST(tp AS DOUBLE) / tn), 6) AS lift
+      FROM c CROSS JOIN t"""
 
   /** Decile reliability bins of σ(w·x) with millionth-quantized mean
     * predictions (order-free integer sums before the division).
@@ -1426,6 +1455,7 @@ object SparkEntry {
     // weight update — see qcOracleSql below
     "pipeline_quality_classifier" -> qcOracleSql(iters = 50, lr = "5.0"),
     "eval_auc_classifier" -> qcAucSql(iters = 50, lr = "5.0"),
+    "eval_lift_classifier" -> qcLiftSql(iters = 50, lr = "5.0"),
     "eval_calibration_classifier" -> qcCalibrationSql(iters = 50, lr = "5.0"),
 
     // DSIR log-importance weights over md5-bucketed unigram features
@@ -3659,6 +3689,38 @@ object SparkEntry {
     // same quality binning as text_quality, same Laplace-smoothed
     // ratios, each bin's (p-q)*ln(p/q) quantized to integer millionths
     // before the per-source sum (the Adamic-Adar discipline)
+    // pooled-distinct-value ECDFs, difference kept in integer
+    // numerator form |cum_a*n_b - cum_b*n_a| until one final division
+    "stats_ks_quality" -> """
+      WITH q0 AS (
+        SELECT source,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT source, text, string_split(text, ' ') AS w
+              FROM documents)
+        WHERE source IN ('src0', 'src1')),
+      q AS (SELECT source,
+              CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+            FROM q0),
+      cells AS (SELECT q6,
+                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+                FROM q GROUP BY 1),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b FROM cells),
+      c AS (SELECT q6,
+              CAST(sum(ca) OVER (ORDER BY q6 ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+              CAST(sum(cb) OVER (ORDER BY q6 ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+            FROM cells)
+      SELECT n_a, n_b,
+             round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+               / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
+      FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
     "stats_psi_by_source" -> """
       WITH d AS (
         SELECT source,

@@ -193,6 +193,47 @@ object Stats {
       .agg(round(sum(col("m")).cast("double") / 1000000.0, 6).as("psi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between two ingest
+    * sources' quality-score distributions — the distribution-equality
+    * gate next to [[psiBySource]]'s binned drift monitor: KS compares
+    * the FULL empirical CDFs (no binning choice), so a shape change
+    * PSI's 10 bins wash out still moves D. The classical-stats suite's
+    * missing member beside chi-square.
+    *
+    * Exactness: quality quantizes to micro-unit longs (the engine-wide
+    * discipline); the ECDF difference is kept in INTEGER numerator
+    * form |cum_a·n_b − cum_b·n_a| over the pooled distinct values —
+    * exact longs, any accumulation order — and divides by n_a·n_b once
+    * at the end. Scale: the corpus collapses to pooled distinct
+    * quantized scores before one ordered window (the Gini prefix-sum
+    * discipline at 100 TB). Output: (n_a, n_b, ks_d rounded 6).
+    */
+  def ksQualityBySource(spark: SparkSession, dir: String,
+      srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    val w = split(col("text"), " ")
+    val q = Tables.documents(spark, dir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"),
+        round(graft.operators.TextOps.qualityOf(col("text"), w) * 1e6, 0)
+          .cast("long").as("q6"))
+    val cells = q.groupBy(col("q6"))
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    val win = Window.orderBy(col("q6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cells
+      .withColumn("cum_a", sum(col("ca")).over(win))
+      .withColumn("cum_b", sum(col("cb")).over(win))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .as("dnum"))
+      .select(col("n_a"), col("n_b"),
+        round(col("dnum").cast("double")
+          / (col("n_a").cast("double") * col("n_b")), 6).as("ks_d"))
+  }
+
   def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),

@@ -321,4 +321,23 @@ class PipelineSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") &&
       bySplit("train") > bySplit("test"), bySplit.toString)
   }
+
+  test("lift curve: valid gains invariants, full-set lift is exactly 1") {
+    val rows = graft.operators.Pipeline.classifierLift(spark, sf0001)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._2)
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, np, lift) =>
+      assert(np <= n && lift >= 0.0)
+    }
+    // cumulative counts strictly increase down the score scan
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._2 && a._3 <= b._3)
+      case _ => ()
+    }
+    // the full corpus has lift exactly 1 by construction
+    assert(rows.last._4 == 1.0)
+    // the best cut must beat random selection on this separable target
+    assert(rows.head._4 > 1.0, s"top-cut lift ${rows.head._4}")
+  }
 }

@@ -102,4 +102,34 @@ class StatsSpec extends SparkSpec {
     assert(n == total)
     assert(chi2 >= 0.0)
   }
+
+  test("KS statistic replays a driver-side exact ECDF computation") {
+    val row = graft.operators.Stats.ksQualityBySource(spark, sf0001).head()
+    val (na, nb, d) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(na > 0 && nb > 0 && d >= 0.0 && d <= 1.0)
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def q6(t: String): Long = {
+      val w = t.split(" ", -1)
+      val stop = Set("the", "a", "of", "and", "to", "in", "on")
+      val stopR = w.count(stop) / w.length.toDouble
+      val alphaR = t.count(c => c >= 'a' && c <= 'z') / t.length.toDouble
+      val q = math.min(stopR * 2.0, 1.0) * 0.4 + alphaR * 0.3 +
+        math.min(w.length / 50.0, 1.0) * 0.3
+      math.round(q * 1e6)
+    }
+    val a = docs.filter(_._1 == "src0").map(d => q6(d._2)).sorted
+    val b = docs.filter(_._1 == "src1").map(d => q6(d._2)).sorted
+    val pooled = (a ++ b).distinct.sorted
+    val dnum = pooled.map { x =>
+      math.abs(a.count(_ <= x).toLong * b.length -
+        b.count(_ <= x).toLong * a.length)
+    }.max
+    val expect = BigDecimal(dnum.toDouble / (a.length.toDouble * b.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(na == a.length && nb == b.length)
+    assert(d == expect, s"$d vs $expect")
+  }
 }
