@@ -392,6 +392,10 @@ object SparkEntry {
     // reference driver-side trainer in TextOpsSpec
     "text_bpe_vocab"   -> ((s, d) => TextOps.bpeVocab(s, d)),
     "text_bm25_topk"   -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // PRF second-pass retrieval: top-r feedback docs expand the seed
+    // query; expanded-score contributions quantize to micro-units
+    // before the per-doc sum (order-free exact integers)
+    "text_bm25_prf"    -> ((s, d) => TextOps.bm25PrfTopK(s, d)),
     // arbitrary-term-list BM25 (exploded ⨝ broadcast-terms plan); the
     // oracle is generated for the same 8-term query below
     "text_bm25_general" -> ((s, d) => TextOps.bm25TopKGeneral(s, d)),
@@ -2003,6 +2007,45 @@ object SparkEntry {
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
 
     "text_bm25_general" -> bm25Sql(TextOps.bm25GeneralTerms, 20),
+
+    // PRF: the feedback and expansion CTEs derive the SAME expanded
+    // term set; contributions quantize to micro-units before the
+    // per-doc sum, so the score is an exact integer in any order
+    "text_bm25_prf" -> s"""
+      WITH ${bm25Ctes(Seq("join", "vector", "stream"))},
+      fb AS (SELECT doc_id FROM bm_sc WHERE score > 0
+             ORDER BY score DESC, doc_id ASC LIMIT 5),
+      ft AS (SELECT unnest(string_split(text, ' ')) AS term
+             FROM documents JOIN fb USING (doc_id)),
+      ex AS (SELECT term, count(*) AS c FROM ft
+             WHERE term NOT IN ('join','vector','stream',
+                                'the','a','of','and','to','in','on')
+             GROUP BY 1 ORDER BY c DESC, term ASC LIMIT 3),
+      terms AS (SELECT term FROM (VALUES ('join'), ('vector'), ('stream'))
+                  s(term)
+                UNION ALL SELECT term FROM ex),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents),
+      dl2 AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+      tf2 AS (SELECT doc_id, term, count(*) AS tf
+              FROM tok JOIN terms USING (term) GROUP BY 1, 2),
+      dft AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+      st AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM dl2),
+      ctb AS (SELECT doc_id, CAST(round(
+                ln(CAST(1.0 AS DOUBLE) + (n - df + CAST(0.5 AS DOUBLE))
+                   / (df + CAST(0.5 AS DOUBLE)))
+                * CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+                   (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl
+                    / (CAST(sumdl AS DOUBLE) / n)))
+                * 1000000.0) AS BIGINT) AS qc
+              FROM tf2 JOIN dft USING (term) JOIN dl2 USING (doc_id)
+              CROSS JOIN st)
+      SELECT doc_id, CAST(sum(qc) AS BIGINT) AS score_micro
+      FROM ctb GROUP BY 1 HAVING sum(qc) > 0
+      ORDER BY score_micro DESC, doc_id ASC LIMIT 20""",
     "hybrid_rrf_topk" -> hybridRrfSql(TextOps.bm25GeneralTerms,
       k = 20, depth = 100, kRrf = 60),
 

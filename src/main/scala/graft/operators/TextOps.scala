@@ -666,6 +666,68 @@ object TextOps {
       .limit(k)
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM-style PRF —
+    * the classic second-pass retrieval trick): run the seed query,
+    * take the top-`r` documents as implicit relevance feedback, add
+    * the `e` most frequent non-seed non-stopword terms from them, and
+    * re-score the corpus with the expanded query. Completes the
+    * retrieval suite next to BM25 / TF-IDF / phrase / RRF / MMR.
+    *
+    * Determinism: expansion terms cut by (count desc, term asc) — a
+    * total order — and the expanded-query score quantizes each term's
+    * BM25 contribution to integer micro-units BEFORE the per-doc sum,
+    * so the final score is an exact long in any accumulation order
+    * (no fold-order coupling at all, unlike the fixed-chain fold the
+    * plain BM25 rows pin). Fully SQL-replayable: the oracle derives
+    * the SAME expansion terms from the same feedback CTE.
+    *
+    * Scale shape: pass 1 is the standard exploded BM25; the feedback
+    * relation is r rows; term selection is one bounded TakeOrdered
+    * over the feedback docs' token counts (collected: e terms, bounded
+    * by construction); pass 2 is one more explode+join+rollup with
+    * the expanded term table broadcast. Output: (doc_id, score_micro)
+    * top-`k` by quantized score.
+    */
+  def bm25PrfTopK(spark: SparkSession, dir: String,
+      seeds: Seq[String] = Seq("join", "vector", "stream"), r: Int = 5,
+      e: Int = 3, k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "on")
+    val feedback = bm25TopKExploded(spark, dir, seeds, k = r)
+      .select(col("doc_id"))
+    val expansion = tokenizedDocs(spark, dir)
+      .join(broadcast(feedback), "doc_id")
+      .select(explode(col("w")).as("term"))
+      .filter(!col("term").isin(seeds ++ stop: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(e)
+      .select(col("term")).as[String].collect().toSeq
+    val terms = broadcast((seeds ++ expansion).toDF("term"))
+    val docs = tokenizedDocs(spark, dir)
+    val dl = docs.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .join(terms, "term")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(sum(lit(1L)).as("n"), sum(col("dl")).as("sumdl"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfD = col("tf").cast("double")
+    val contrib = idf * tfD * (k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") /
+        (col("sumdl").cast("double") / col("n"))))
+    tf.join(broadcast(dfPerTerm), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(contrib * 1000000.0, 0).cast("long").as("qc"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("qc")).as("score_micro"))
+      .filter(col("score_micro") > 0)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** The declared general-retrieval query: an 8-term request through
     * the arbitrary-|terms| plan (same oracle arithmetic as
     * [[bm25TopK]], generated per term list in SparkEntry).

@@ -769,4 +769,35 @@ class TextOpsSpec extends SparkSpec {
       .map(w => TextOps.viterbiPieces(w, table, 4).length.toLong).sum
     assert(rows.find(_._1 == 0L).get._3 == expect)
   }
+
+  test("PRF expansion: every hit contains an expanded-query term; expansion is non-seed") {
+    val seeds = Seq("join", "vector", "stream")
+    val stop = Set("the", "a", "of", "and", "to", "in", "on")
+    // replay the expansion selection driver-side
+    val fb = TextOps.bm25TopKExploded(spark, sf0001, seeds, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    Tables.documents(spark, sf0001)
+      .filter(col("doc_id").isin(fb.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.split(" ", -1))
+      .filterNot(t => seeds.contains(t) || stop(t))
+      .foreach(t => counts(t) = counts.getOrElse(t, 0L) + 1L)
+    val expansion = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(3).map(_._1)
+    assert(expansion.length == 3)
+    assert(expansion.toSet.intersect(seeds.toSet ++ stop).isEmpty)
+    val all = (seeds ++ expansion).toSet
+    val hits = TextOps.bm25PrfTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.nonEmpty && hits.forall(_._2 > 0))
+    val texts = Tables.documents(spark, sf0001)
+      .filter(col("doc_id").isin(hits.map(_._1).toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { case (id, _) =>
+      assert(texts(id).split(" ", -1).exists(all),
+        s"doc $id scored without any expanded-query term")
+    }
+  }
 }
