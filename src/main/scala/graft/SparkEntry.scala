@@ -521,6 +521,9 @@ object SparkEntry {
     // robust twin: modified z-score on exact-integer median/MAD
     // pieces — the detector that survives heavy tails (50% breakdown)
     "events_anomaly_mad" -> ((s, d) => EventOps.anomalyMad(s, d)),
+    // Holt level+trend smoothing + h-step forecast over the daily
+    // rollup (sorted-fold recursion, the ewma discipline)
+    "events_holt_forecast" -> ((s, d) => EventOps.holtForecast(s, d)),
     // per-column profiling via unioned per-column branches (deliberately
     // NOT the Expand plan — see Profiling.scala's rationale)
     "quality_profile_orders" -> Profiling.profileOrders _,
@@ -607,6 +610,10 @@ object SparkEntry {
     // two-sample KS over full ECDFs (integer-numerator exact) — the
     // unbinned distribution-equality gate next to the PSI monitor
     "stats_ks_quality" -> ((s, d) => Stats.ksQualityBySource(s, d)),
+    // tie-corrected Mann-Whitney U + common-language effect size —
+    // rank-based stochastic dominance, exact doubled rank sums
+    "stats_mann_whitney_quality" ->
+      ((s, d) => Stats.mannWhitneyQuality(s, d)),
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
@@ -3443,6 +3450,41 @@ object SparkEntry {
                    * sqrt((CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
                           / (CAST(n AS DOUBLE) * (n - 1))))) > 2.5""",
 
+    // the identical day-ordered recursion replayed as a recursive CTE
+    // (DuckDB 1.0's list_reduce mishandles struct accumulators, so the
+    // state threads through (i, l, t) rows instead)
+    "events_holt_forecast" -> s"""
+      WITH RECURSIVE daily AS (SELECT event_type,
+                            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                              AS day,
+                            ${c100("value")} AS c
+                     FROM events),
+      d2 AS (SELECT event_type, day, sum(c) AS dc
+             FROM daily GROUP BY 1, 2),
+      idx AS (SELECT event_type,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS BIGINT) AS i,
+                     CAST(dc AS DOUBLE) / 100.0 AS x
+              FROM d2),
+      nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+             FROM idx GROUP BY 1),
+      rec(event_type, i, l, t) AS (
+        SELECT a.event_type, CAST(2 AS BIGINT), a.x, b.x - a.x
+        FROM idx a JOIN idx b USING (event_type)
+        WHERE a.i = 1 AND b.i = 2
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+               CAST(0.5 AS DOUBLE) * d.x
+                 + CAST(0.5 AS DOUBLE) * (r.l + r.t),
+               CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * d.x
+                 + CAST(0.5 AS DOUBLE) * (r.l + r.t)) - r.l)
+                 + CAST(0.5 AS DOUBLE) * r.t
+        FROM rec r JOIN idx d ON d.event_type = r.event_type AND d.i = r.i)
+      SELECT r.event_type, nn.nd AS n_days,
+             round(r.l, 6) AS level, round(r.t, 6) AS trend,
+             round(r.l + CAST(3.0 AS DOUBLE) * r.t, 6) AS forecast_h3
+      FROM rec r JOIN nn USING (event_type) WHERE r.i = nn.nd + 1""",
+
     // median/MAD via the x2 exact-interpolation trick; one fixed
     // expression order for the modified z
     "events_anomaly_mad" -> s"""
@@ -3732,6 +3774,38 @@ object SparkEntry {
     // same quality binning as text_quality, same Laplace-smoothed
     // ratios, each bin's (p-q)*ln(p/q) quantized to integer millionths
     // before the per-source sum (the Adamic-Adar discipline)
+    // same pooled-distinct-value window; doubled tie-averaged rank
+    // sums stay exact longs, one final division
+    "stats_mann_whitney_quality" -> """
+      WITH q0 AS (
+        SELECT source,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT source, text, string_split(text, ' ') AS w
+              FROM documents)
+        WHERE source IN ('src0', 'src1')),
+      q AS (SELECT source,
+              CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+            FROM q0),
+      cells AS (SELECT q6,
+                  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+                FROM q GROUP BY 1),
+      c AS (SELECT q6, ca, cb, ca + cb AS cnt,
+              coalesce(CAST(sum(ca + cb) OVER (ORDER BY q6 ROWS BETWEEN
+                UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev
+            FROM cells),
+      a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b,
+                   CAST(sum(ca * (2 * prev + cnt + 1)) AS BIGINT) AS r2a
+            FROM c)
+      SELECT n_a, n_b, r2a - n_a * (n_a + 1) AS u2,
+             round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+               / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) AS effect
+      FROM a""",
+
     // pooled-distinct-value ECDFs, difference kept in integer
     // numerator form |cum_a*n_b - cum_b*n_a| until one final division
     "stats_ks_quality" -> """

@@ -743,6 +743,62 @@ object EventOps {
     * per-type series is days-sized however many events exist.
     * Output: (event_type, change_day, peak_dev rounded 6).
     */
+  /** Holt double-exponential (level + trend) smoothing per event type
+    * over the daily revenue series, with an h-step-ahead forecast —
+    * the trend-aware step up from [[ewma]]'s single smoothing and the
+    * [[forecastNaive]] baseline. Standard init (l₁ = x₁, t₁ = x₂−x₁);
+    * per step l' = α·x + (1−α)(l+t), t' = β(l'−l) + (1−β)t; forecast
+    * = l_n + h·t_n.
+    *
+    * Determinism: the recursion is order-sensitive BY DEFINITION, so
+    * it runs as one sorted left fold over each type's day-ordered
+    * series with a two-field struct accumulator — the exact [[ewma]]
+    * discipline; the oracle replays the identical fold via
+    * `list_reduce` over the identically-ordered list. α = β = 0.5
+    * (binary-exact halving keeps every step's arithmetic identical
+    * across engines; any α works — the EWMA rows pin 0.3).
+    *
+    * Scale shape: the fold runs over the DAYS-sized rollup (one
+    * partial-aggregated shuffle collapses raw events first), so state
+    * per type is two doubles and the list is |days| long regardless
+    * of event count. Output:
+    * (event_type, n_days, level, trend, forecast_h3) rounded 6.
+    */
+  def holtForecast(spark: SparkSession, dir: String, alpha: Double = 0.5,
+      beta: Double = 0.5, h: Int = 3): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("dc")))).as("evs"),
+        count(lit(1)).as("n_days"))
+      .withColumn("xs", transform(col("evs"),
+        s => s.getField("dc").cast("double") / 100.0))
+      .filter(size(col("xs")) >= 2)
+    val init = struct(
+      element_at(col("xs"), 1).as("l"),
+      (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("t"))
+    val folded = series.select(col("event_type"), col("n_days"),
+      aggregate(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        init,
+        (acc, x) => {
+          val l2 = lit(alpha) * x +
+            lit(1.0 - alpha) * (acc.getField("l") + acc.getField("t"))
+          struct(l2.as("l"),
+            (lit(beta) * (l2 - acc.getField("l")) +
+              lit(1.0 - beta) * acc.getField("t")).as("t"))
+        }).as("st"))
+    folded.select(col("event_type"), col("n_days"),
+      round(col("st").getField("l"), 6).as("level"),
+      round(col("st").getField("t"), 6).as("trend"),
+      round(col("st").getField("l") + lit(h.toDouble) * col("st").getField("t"), 6)
+        .as("forecast_h3"))
+  }
+
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"),

@@ -234,6 +234,46 @@ object Stats {
           / (col("n_a").cast("double") * col("n_b")), 6).as("ks_d"))
   }
 
+  /** Mann–Whitney U between the same two sources' quality scores —
+    * the rank-based location test completing the nonparametric trio
+    * (chi-square: independence; KS: distribution shape; U: stochastic
+    * dominance). Tie-corrected via average ranks; the reported effect
+    * size U/(n_a·n_b) is the probability a random src-A doc outscores
+    * a random src-B doc (the common-language effect size — the AUC of
+    * "source predicts quality").
+    *
+    * Exactness: on the pooled distinct quantized scores, a tie block
+    * of `cnt` values after `prev` items has average rank
+    * (2·prev + cnt + 1)/2 — so DOUBLED rank sums are exact longs and
+    * U₂ = 2U = 2R_a − n_a(n_a+1) is exact; one final division. Scale:
+    * same pooled-distinct-value window as [[ksQualityBySource]].
+    * Output: (n_a, n_b, u2, effect rounded 6).
+    */
+  def mannWhitneyQuality(spark: SparkSession, dir: String,
+      srcA: String = "src0", srcB: String = "src1"): DataFrame = {
+    val w = split(col("text"), " ")
+    val q = Tables.documents(spark, dir)
+      .filter(col("source").isin(srcA, srcB))
+      .select(col("source"),
+        round(graft.operators.TextOps.qualityOf(col("text"), w) * 1e6, 0)
+          .cast("long").as("q6"))
+    val cells = q.groupBy(col("q6"))
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("cnt", col("ca") + col("cb"))
+    val win = Window.orderBy(col("q6"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("prev", coalesce(sum(col("cnt")).over(win), lit(0L)))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (lit(2L) * col("prev") + col("cnt") + 1L)).as("r2a"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1L)).as("u2"),
+        round((col("r2a") - col("n_a") * (col("n_a") + 1L)).cast("double")
+          / (lit(2.0) * col("n_a").cast("double") * col("n_b")), 6)
+          .as("effect"))
+  }
+
   def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),

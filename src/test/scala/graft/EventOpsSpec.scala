@@ -570,4 +570,33 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("Holt forecast replays the driver-side level/trend recursion") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).flatMap { case (t, g) =>
+      val xs = g.sortBy(_._2).map(_._3.toDouble / 100.0)
+      if (xs.length < 2) None else {
+        var l = xs(0); var tr = xs(1) - xs(0)
+        xs.drop(1).foreach { x =>
+          val l2 = 0.5 * x + 0.5 * (l + tr)
+          tr = 0.5 * (l2 - l) + 0.5 * tr
+          l = l2
+        }
+        def r6(v: Double) = BigDecimal(v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((t, xs.length.toLong, r6(l), r6(tr), r6(l + 3.0 * tr)))
+      }
+    }.toSet
+    val got = graft.operators.EventOps.holtForecast(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
 }

@@ -132,4 +132,35 @@ class StatsSpec extends SparkSpec {
     assert(na == a.length && nb == b.length)
     assert(d == expect, s"$d vs $expect")
   }
+
+  test("Mann-Whitney U replays driver-side tie-averaged rank sums") {
+    val row = graft.operators.Stats.mannWhitneyQuality(spark, sf0001).head()
+    val (na, nb, u2, eff) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    assert(na > 0 && nb > 0 && eff >= 0.0 && eff <= 1.0)
+    val docs = Tables.documents(spark, sf0001)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def q6(t: String): Long = {
+      val w = t.split(" ", -1)
+      val stop = Set("the", "a", "of", "and", "to", "in", "on")
+      val q = math.min(w.count(stop) / w.length.toDouble * 2.0, 1.0) * 0.4 +
+        t.count(c => c >= 'a' && c <= 'z') / t.length.toDouble * 0.3 +
+        math.min(w.length / 50.0, 1.0) * 0.3
+      math.round(q * 1e6)
+    }
+    val a = docs.filter(_._1 == "src0").map(d => q6(d._2))
+    val b = docs.filter(_._1 == "src1").map(d => q6(d._2))
+    // doubled tie-averaged rank sum for sample a over the pooled values
+    val pooled = (a ++ b).sorted
+    val r2a = a.map { x =>
+      val below = pooled.count(_ < x)
+      val tied = pooled.count(_ == x)
+      2L * below + tied + 1L
+    }.sum
+    val expU2 = r2a - a.length.toLong * (a.length + 1L)
+    assert(na == a.length && nb == b.length)
+    assert(u2 == expU2, s"$u2 vs $expU2")
+  }
 }
