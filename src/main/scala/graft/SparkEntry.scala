@@ -524,6 +524,9 @@ object SparkEntry {
     // Holt level+trend smoothing + h-step forecast over the daily
     // rollup (sorted-fold recursion, the ewma discipline)
     "events_holt_forecast" -> ((s, d) => EventOps.holtForecast(s, d)),
+    // ACF lags 1..7 of the daily series (exact integer moments via
+    // the n-cleared mean; consecutive-observation lag indexing)
+    "events_autocorrelation" -> ((s, d) => EventOps.autocorrelation(s, d)),
     // per-column profiling via unioned per-column branches (deliberately
     // NOT the Expand plan — see Profiling.scala's rationale)
     "quality_profile_orders" -> Profiling.profileOrders _,
@@ -653,6 +656,10 @@ object SparkEntry {
     // anisotropy that inflates every cosine) via two-level integer
     // quantization — one map-side-combinable pass over the coordinates
     "emb_isotropy" -> ((s, d) => EmbeddingStats.isotropy(s, d)),
+    // RankMe effective rank: exp-entropy of the covariance spectrum —
+    // representation-collapse monitor (deterministic Jacobi eigensolve
+    // over the one-pass moment aggregation; literal-oracle pinned)
+    "emb_effective_rank" -> ((s, d) => EmbeddingStats.effectiveRank(s, d)),
     // centroid-form silhouette (O(n·k), the shape that survives scale)
     // over the same memoized k-means model
     "emb_kmeans_silhouette" ->
@@ -3449,6 +3456,41 @@ object SparkEntry {
                 / (CAST(n AS DOUBLE)
                    * sqrt((CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
                           / (CAST(n AS DOUBLE) * (n - 1))))) > 2.5""",
+
+    // the same n-cleared integer moments; HUGEINT carries what Spark
+    // holds in DECIMAL(38,0)
+    "events_autocorrelation" -> s"""
+      WITH daily AS (SELECT event_type,
+                            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                              AS day,
+                            ${c100("value")} AS c
+                     FROM events),
+      d2 AS (SELECT event_type, day, sum(c) AS dc
+             FROM daily GROUP BY 1, 2),
+      idx AS (SELECT event_type,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS BIGINT) AS i,
+                     CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n,
+                     CAST(sum(dc) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS s,
+                     dc
+              FROM d2),
+      dd AS (SELECT event_type, i, n,
+                    CAST(n * dc - s AS HUGEINT) AS d
+             FROM idx),
+      den AS (SELECT event_type, sum(d * d) AS den, max(n) AS n_days
+              FROM dd GROUP BY 1),
+      lags AS (SELECT a.event_type, k.lag, sum(a.d * b.d) AS num
+               FROM dd a
+               JOIN (SELECT unnest(generate_series(1, 7)) AS lag) k ON true
+               JOIN dd b ON b.event_type = a.event_type
+                        AND b.i = a.i + k.lag
+               GROUP BY 1, 2)
+      SELECT l.event_type, CAST(l.lag AS BIGINT) AS lag,
+             den.n_days,
+             round(CAST(l.num AS DOUBLE) / CAST(den.den AS DOUBLE), 6) AS acf
+      FROM lags l JOIN den USING (event_type)""",
 
     // the identical day-ordered recursion replayed as a recursive CTE
     // (DuckDB 1.0's list_reduce mishandles struct accumulators, so the

@@ -220,6 +220,35 @@ object EmbeddingStats {
       .toDF("component", "eigenvalue", "var_share", "cum_share")
   }
 
+  /** Effective rank of the embedding cloud (RankMe / Roy-Vetterli):
+    * exp of the Shannon entropy of the normalized covariance
+    * eigen-spectrum — "how many dimensions are actually carrying
+    * signal". A 64-dim embedding with effective rank 9 wastes 55
+    * dims; representation-collapse monitoring gates on this number
+    * next to [[isotropy]]'s mean-vector view (isotropy sees the
+    * common direction, effective rank sees the whole spectrum).
+    *
+    * Same deterministic substrate as [[pcaVariance]] (one-pass moment
+    * aggregation + driver-side Jacobi eigensolve over the d×d
+    * covariance), so the scalar is a pure function of the data —
+    * pinned by a generated-literal oracle. Output:
+    * (dims, effective_rank, top1_share, entropy) rounded 6.
+    */
+  def effectiveRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+    val (_, cov) = covariance(vecs)
+    val eigs = jacobiEigenvalues(cov).sorted(Ordering[Double].reverse)
+    val total = eigs.sum
+    val shares = eigs.map(_ / total).filter(_ > 0.0)
+    val entropy = -shares.map(p => p * math.log(p)).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((eigs.length, r6(math.exp(entropy)), r6(shares.max), r6(entropy)))
+      .toDF("dims", "effective_rank", "top1_share", "entropy")
+  }
+
   /** Embedding vectors quantized to integer micro-units (round(v·1e6)
     * per coordinate, HALF_UP like every declared quantization) — the
     * exact-arithmetic substrate for [[kmeansCentroids]]: per-cluster

@@ -743,6 +743,55 @@ object EventOps {
     * per-type series is days-sized however many events exist.
     * Output: (event_type, change_day, peak_dev rounded 6).
     */
+  /** Lag-k autocorrelation (ACF, lags 1..`maxLag`) of each type's
+    * daily revenue series — the diagnostic that says WHICH lag
+    * matters before fitting any forecaster ([[holtForecast]],
+    * [[seasonality]]): ACF(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)².
+    *
+    * Exactness: multiplying through by n clears the rational mean —
+    * d_t = n·x_t − Σx is an exact integer, so numerator and
+    * denominator are exact integer sums (DECIMAL(38,0) — d_t² can
+    * pass 2^63 at bench scale) in any accumulation order, divided
+    * once. Lags index CONSECUTIVE observations (row number), so
+    * calendar gaps don't silently misalign pairs.
+    *
+    * Scale shape: the series is the days-sized rollup; the lag pairs
+    * come from one self-equi-join on (type, i+k) over that tiny
+    * relation — events are scanned once. Output:
+    * (event_type, lag, n_days, acf rounded 6).
+    */
+  def autocorrelation(spark: SparkSession, dir: String,
+      maxLag: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+    val w = Window.partitionBy(col("event_type"))
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val idx = daily
+      .withColumn("i", row_number().over(w.orderBy(col("day"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("dc")).over(w))
+      .select(col("event_type"), col("i"), col("n"),
+        (col("n") * col("dc") - col("s")).cast(dec).as("d"))
+    val den = idx.groupBy(col("event_type"))
+      .agg(sum(col("d") * col("d")).as("den"), max(col("n")).as("n_days"))
+    val a = idx.select(col("event_type"), col("i"), col("d").as("da"),
+      explode(sequence(lit(1L), lit(maxLag.toLong))).as("lag"))
+    val b = idx.select(col("event_type"), col("i").as("ib"),
+      col("d").as("db"))
+    a.join(b, a("event_type") === b("event_type") &&
+        col("ib") === col("i") + col("lag"))
+      .groupBy(a("event_type"), col("lag"))
+      .agg(sum(col("da") * col("db")).as("num"))
+      .join(den, "event_type")
+      .select(col("event_type"), col("lag"), col("n_days"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+  }
+
   /** Holt double-exponential (level + trend) smoothing per event type
     * over the daily revenue series, with an h-step-ahead forecast —
     * the trend-aware step up from [[ewma]]'s single smoothing and the

@@ -204,4 +204,15 @@ class EmbeddingStatsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(again.toSet == sil.toSet)
   }
+
+  test("effective rank: consistent with the PCA spectrum, bounded by dims") {
+    val row = EmbeddingStats.effectiveRank(spark, sf0001).head()
+    val (dims, er, top1, h) = (row.getInt(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3))
+    assert(er > 1.0 && er <= dims + 1e-6)
+    assert(h > 0.0 && math.abs(math.exp(h) - er) < 1e-3)
+    val pcaTop = EmbeddingStats.pcaVariance(spark, sf0001).collect()
+      .find(_.getInt(0) == 1).get.getDouble(2)
+    assert(math.abs(top1 - pcaTop) < 1e-5, s"$top1 vs $pcaTop")
+  }
 }

@@ -599,4 +599,36 @@ class EventOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got == expect)
   }
+
+  test("autocorrelation replays a driver-side exact-moment computation") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).flatMap { case (t, g) =>
+      val xs = g.sortBy(_._2).map(_._3)
+      val n = xs.length.toLong
+      val sTot = xs.sum
+      val d = xs.map(x => BigInt(n * x - sTot))
+      val den = d.map(v => v * v).sum
+      (1 to 7).flatMap { k =>
+        if (n <= k) None else {
+          val num = (0 until (xs.length - k)).map(i => d(i) * d(i + k)).sum
+          Some((t, k.toLong, n,
+            BigDecimal(BigDecimal(num).toDouble / BigDecimal(den).toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    }.toSet
+    val got = graft.operators.EventOps.autocorrelation(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+    // lag-0 sanity equivalent: every |acf| <= 1 + rounding slack
+    got.foreach { case (_, _, _, acf) => assert(math.abs(acf) <= 1.000001) }
+  }
 }
