@@ -86,6 +86,11 @@ object SparkEntry {
     // in the stream-static broadcast join (stateless, append mode) —
     // shares knn_range_search's oracle
     "knn_range_streamed"   -> ((s, d) => streaming.VectorStream.rangeSearchStreamed(s, d)),
+    // ANN SERVING over the stream: broadcast shard-graph replicas,
+    // per-query scatter-gather + identical round-then-rank merge
+    // inside the micro-batch — streamed == batch exactly, shares
+    // knn_hnsw_batch's literal oracle
+    "knn_hnsw_streamed"    -> ((s, d) => streaming.VectorStream.hnswTopKStreamed(s, d)),
     "knn_filtered_batch"   -> ((s, d) => ExactKnn.topKBatchFiltered(s, d)),
     // filtered ANN on the shared HNSW graphs (post-filter + overfetch):
     // literal-oracle pinned (GeneratedOracles); recall vs the exact

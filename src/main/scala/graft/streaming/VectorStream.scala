@@ -87,6 +87,68 @@ object VectorStream {
     out
   }
 
+  /** STREAMING ANN serving over the HNSW index — the production
+    * serving-tier shape made literal: every executor holds a replica
+    * of the (driver-tiny relative to the corpus) shard graphs via
+    * broadcast, query vectors flow through the stream, and each query
+    * probes ALL shards and merges its top-k INSIDE the micro-batch —
+    * stateless, append-mode, no state store, no shuffle. The same
+    * scatter-gather the batch [[graft.knn.HnswKnn.searchIndex]] runs
+    * across partitions happens per-row here, with the identical
+    * round-then-rank tie-break ((dist rounded 6, vec_id) ascending),
+    * so streamed == batch EXACTLY and the row shares
+    * `knn_hnsw_batch`'s generated-literal oracle under the hash gate.
+    * EventStreamSpec pins the equality. Output:
+    * (qid, vec_id, dist, rk).
+    */
+  def hnswTopKStreamed(spark: SparkSession, dir: String, k: Int = 10,
+      ef: Int = 100, shards: Int = 16): DataFrame = {
+    import spark.implicits._
+    val staged = stagedEmbeddingsDir(spark, dir)
+    val (base, _, splitAt, _) = graft.knn.ExactKnn.split(spark, dir)
+    // same memo key as the batch path: one build serves both
+    val index = graft.IndexCache.getOrBuild(spark, s"hnsw:$dir:$shards") {
+      val ix = graft.knn.HnswKnn.buildIndex(base, shards).persist()
+      ix.graphs.count()
+      ix
+    }
+    val replica = index.graphs.collect().map(_.graph)
+    val bc = spark.sparkContext.broadcast(replica)
+    val name = s"graft_hnsw_stream_${EventStream.streamRunSeq.incrementAndGet()}"
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      val out = spark.readStream.schema(embSchema).parquet(staged)
+        .filter(col("vec_id") >= splitAt)
+        .select(col("vec_id").as("qid"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("qvec"))
+        .as[(Long, Array[Double])]
+        .flatMap { case (qid, qv) =>
+          val graphs = bc.value
+          val cands = graphs.iterator
+            .flatMap(_.search(qv, k, ef).iterator)
+            .map { case (id, d) =>
+              (id, new java.math.BigDecimal(java.lang.Double.toString(d))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+            }.toArray
+          cands.sortBy { case (id, d) => (d, id) }.take(k).iterator
+            .zipWithIndex
+            .map { case ((id, d), i) => (qid, id, d, i + 1) }
+        }
+        .toDF("qid", "vec_id", "dist", "rk")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-hnswq"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      out.awaitTermination()
+    }
+    val res = spark.table(name)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rk"))
+    res.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    res
+  }
+
   /** STREAMING k-means assignment — index maintenance at ingestion
     * time: vectors arriving through the file stream source are
     * assigned to their nearest trained centroid INSIDE the ingest

@@ -228,6 +228,18 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.size} vs batch ${batch.size} rows")
   }
 
+  test("streamed HNSW serving equals the batch scatter-gather exactly") {
+    val batch = graft.knn.HnswKnn.topKBatch(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val streamed = graft.streaming.VectorStream.hnswTopKStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} rows")
+  }
+
   test("file sink resumes from checkpoint without reprocessing old files") {
     val src = Files.createTempDirectory("graft-ss-src").toString
     val sink = Files.createTempDirectory("graft-ss-sink").toString + "/out"
