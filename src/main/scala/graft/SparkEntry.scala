@@ -572,6 +572,9 @@ object SparkEntry {
     // train/test (the eval-inflation leak a doc-hash split permits)
     "pipeline_leakage_safe_split" ->
       ((s, d) => Pipeline.leakageSafeSplit(s, d)),
+    // easy-to-hard curriculum schedule: total-order quality rank +
+    // exact integer deciles (a pure function of the corpus)
+    "pipeline_curriculum" -> ((s, d) => Pipeline.curriculum(s, d)),
     // asymmetric containment pairs (doc-inside-doc dedup)
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // near-dup cluster-size distribution (dedup-rate summary)
@@ -1507,6 +1510,30 @@ object SparkEntry {
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM documents""",
+
+    // the same total order (q6 desc, doc_id) and exact decile integer
+    // arithmetic
+    "pipeline_curriculum" -> """
+      WITH q0 AS (
+        SELECT doc_id,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents)),
+      s AS (SELECT doc_id,
+              CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+            FROM q0),
+      r AS (SELECT doc_id, q6,
+              CAST(row_number() OVER (ORDER BY q6 DESC, doc_id ASC)
+                AS BIGINT) AS curriculum_rank,
+              CAST(count(*) OVER () AS BIGINT) AS n
+            FROM s)
+      SELECT doc_id, round(q6 / 1000000.0, 6) AS quality,
+             curriculum_rank,
+             CAST((curriculum_rank - 1) * 10 // n AS BIGINT) AS decile
+      FROM r""",
 
     // the dedup_clusters recursive CTE with the md5 split rule applied
     // to the REPRESENTATIVE id instead of the doc id

@@ -241,6 +241,37 @@ object Pipeline {
           .otherwise("test").as("split"))
   }
 
+  /** Curriculum ordering — the easy-to-hard training schedule
+    * (curriculum learning): every document gets its global curriculum
+    * rank by quality (highest first — the "easy" end under the shared
+    * quality heuristic) and its decile (0 = first-taught tenth).
+    * Deterministic: ranks order by (quantized quality desc, doc_id) —
+    * a total order, so the schedule is a pure function of the corpus
+    * (ntile would tie-break by partition luck); deciles derive from
+    * the rank by exact integer arithmetic (rank−1)·10 / n.
+    *
+    * Scale shape: one global rank window over (q6, doc_id) — at
+    * 100 TB this becomes the range-partitioned rank (sample
+    * boundaries, per-partition offset sums), same output. Output:
+    * (doc_id, quality, curriculum_rank, decile).
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        round(TextOps.qualityOf(col("text"), w) * 1e6, 0).cast("long")
+          .as("q6"))
+    val n = Window.partitionBy()
+    scored
+      .withColumn("curriculum_rank", row_number().over(
+        Window.orderBy(col("q6").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(n))
+      .select(col("doc_id"), round(col("q6") / 1e6, 6).as("quality"),
+        col("curriculum_rank"),
+        ((col("curriculum_rank") - 1L) * 10L / col("n")).cast("long")
+          .as("decile"))
+  }
+
   /** Dataset card: the one-pass corpus summary (docs, languages,
     * sources, token totals, exact-duplicate count) in long
     * (metric, value) form — what a data release publishes next to the

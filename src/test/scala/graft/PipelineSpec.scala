@@ -340,4 +340,22 @@ class PipelineSpec extends SparkSpec {
     // the best cut must beat random selection on this separable target
     assert(rows.head._4 > 1.0, s"top-cut lift ${rows.head._4}")
   }
+
+  test("curriculum: total order, contiguous deciles of ~equal size") {
+    val rows = graft.operators.Pipeline.curriculum(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == 500)
+    val byRank = rows.sortBy(_._3)
+    assert(byRank.map(_._3).toSeq == (1L to 500L).toSeq)
+    // quality non-increasing down the schedule; ties broken by doc_id
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      case _ => ()
+    }
+    val sizes = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0L to 9L).toSet)
+    assert(sizes.values.forall(_ == 50))
+  }
 }
