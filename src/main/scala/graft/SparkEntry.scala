@@ -452,6 +452,9 @@ object SparkEntry {
     "multimodal_signature_dedup" -> Multimodal.signatureDedupGroups _,
     // — graph analytics (iterative-shuffle workload) —
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
+    // random walk with restart from the min-user seed: sparse rank
+    // frame (only reached nodes), per-round 9dp quantization
+    "graph_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
     // Adamic-Adar link prediction: 2-path expansion x broadcast degree
     // relation, integer micro-unit contributions, TakeOrdered top-k
     "graph_link_prediction" -> ((s, d) => GraphOps.linkPrediction(s, d)),
@@ -575,6 +578,9 @@ object SparkEntry {
     // easy-to-hard curriculum schedule: total-order quality rank +
     // exact integer deciles (a pure function of the corpus)
     "pipeline_curriculum" -> ((s, d) => Pipeline.curriculum(s, d)),
+    // GPT-style concat-then-chunk packing manifest: one exclusive
+    // prefix sum (range-partitionable), pure integer arithmetic
+    "pipeline_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     // asymmetric containment pairs (doc-inside-doc dedup)
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // near-dup cluster-size distribution (dedup-rate summary)
@@ -625,6 +631,10 @@ object SparkEntry {
     // rank-based stochastic dominance, exact doubled rank sums
     "stats_mann_whitney_quality" ->
       ((s, d) => Stats.mannWhitneyQuality(s, d)),
+    // Spearman rank correlation length vs quality per source — exact
+    // doubled tie-averaged ranks, one decimal moment aggregate
+    "stats_spearman_length_quality" ->
+      ((s, d) => Stats.spearmanLengthQuality(s, d)),
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
@@ -1534,6 +1544,24 @@ object SparkEntry {
              curriculum_rank,
              CAST((curriculum_rank - 1) * 10 // n AS BIGINT) AS decile
       FROM r""",
+
+    // one exclusive prefix sum in doc_id order; integer div/mod only
+    "pipeline_pack_sequences" -> """
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      p AS (SELECT doc_id, n_tok,
+              coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS start_tok
+            FROM t)
+      SELECT doc_id, n_tok, start_tok,
+             start_tok // 512 AS start_seq,
+             (start_tok + n_tok - 1) // 512 AS end_seq,
+             start_tok % 512 AS start_off,
+             (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1
+               AS n_seqs
+      FROM p""",
 
     // the dedup_clusters recursive CTE with the md5 split rule applied
     // to the REPRESENTATIVE id instead of the doc id
@@ -2553,6 +2581,54 @@ object SparkEntry {
                         FROM trans t JOIN r2 r ON t.src = r.node
                         GROUP BY t.dst) c ON c.dst = n2.node)
       SELECT node, round(rank, 6) AS rank FROM r3""",
+
+    // same unrolled 3-round chain as graph_pagerank with the teleport
+    // mass concentrated on the min-user seed; restart written as
+    // 1.0 - 0.85 in both engines so the IEEE value matches
+    "graph_ppr" -> """
+      WITH und AS (SELECT user_id, event_type, count(*) AS w
+                   FROM events GROUP BY 1, 2),
+      edges AS (SELECT 'u:' || user_id AS src, 't:' || event_type AS dst, w
+                FROM und
+                UNION ALL
+                SELECT 't:' || event_type, 'u:' || user_id, w FROM und),
+      trans AS (SELECT src, dst,
+                       CAST(w AS DOUBLE) / sum(w) OVER (PARTITION BY src) AS p
+                FROM edges),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      sd AS (SELECT 'u:' || min(user_id) AS seed FROM events),
+      r0 AS (SELECT node,
+                    CASE WHEN node = sd.seed THEN CAST(1.0 AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END AS rank
+             FROM nodes, sd),
+      r1 AS (SELECT n2.node,
+                    round(CASE WHEN n2.node = sd.seed
+                            THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END
+                      + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
+             FROM nodes n2 CROSS JOIN sd
+             LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS inflow
+                        FROM trans t JOIN r0 r ON t.src = r.node
+                        GROUP BY t.dst) c ON c.dst = n2.node),
+      r2 AS (SELECT n2.node,
+                    round(CASE WHEN n2.node = sd.seed
+                            THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END
+                      + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
+             FROM nodes n2 CROSS JOIN sd
+             LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS inflow
+                        FROM trans t JOIN r1 r ON t.src = r.node
+                        GROUP BY t.dst) c ON c.dst = n2.node),
+      r3 AS (SELECT n2.node,
+                    round(CASE WHEN n2.node = sd.seed
+                            THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END
+                      + CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0), 9) AS rank
+             FROM nodes n2 CROSS JOIN sd
+             LEFT JOIN (SELECT t.dst, sum(r.rank * t.p) AS inflow
+                        FROM trans t JOIN r2 r ON t.src = r.node
+                        GROUP BY t.dst) c ON c.dst = n2.node)
+      SELECT node, round(rank, 6) AS rank FROM r3 WHERE rank > 0""",
 
     // perceptual-signature buckets: 64-bit hash, bit b set iff byte
     // class b is over-represented (64*count > len) — ASCII fixture so
@@ -3879,6 +3955,52 @@ object SparkEntry {
              round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
                / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) AS effect
       FROM a""",
+
+    // per-source doubled tie-averaged ranks over distinct values, then
+    // Pearson over the doubled ranks with HUGEINT moments and the
+    // identical num/sqrt/sqrt division order
+    "stats_spearman_length_quality" -> """
+      WITH q0 AS (
+        SELECT source,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT source, text, string_split(text, ' ') AS w
+              FROM documents)),
+      base AS (SELECT source, CAST(n_words AS BIGINT) AS len,
+          CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+            + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+        FROM q0),
+      cx AS (SELECT source, len AS v, CAST(count(*) AS BIGINT) AS cnt
+             FROM base GROUP BY 1, 2),
+      rx AS (SELECT source, v AS len,
+               2 * coalesce(CAST(sum(cnt) OVER (PARTITION BY source
+                 ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 1 PRECEDING) AS BIGINT), 0) + cnt + 1 AS r2x
+             FROM cx),
+      cy AS (SELECT source, q6 AS v, CAST(count(*) AS BIGINT) AS cnt
+             FROM base GROUP BY 1, 2),
+      ry AS (SELECT source, v AS q6,
+               2 * coalesce(CAST(sum(cnt) OVER (PARTITION BY source
+                 ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 1 PRECEDING) AS BIGINT), 0) + cnt + 1 AS r2y
+             FROM cy),
+      j AS (SELECT b.source, rx.r2x, ry.r2y
+            FROM base b
+            JOIN rx ON rx.source = b.source AND rx.len = b.len
+            JOIN ry ON ry.source = b.source AND ry.q6 = b.q6),
+      m AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(r2x) AS HUGEINT) AS sx,
+              CAST(sum(r2y) AS HUGEINT) AS sy,
+              CAST(sum(r2x * r2x) AS HUGEINT) AS sxx,
+              CAST(sum(r2y * r2y) AS HUGEINT) AS syy,
+              CAST(sum(r2x * r2y) AS HUGEINT) AS sxy
+            FROM j GROUP BY 1)
+      SELECT source, CAST(n AS BIGINT) AS n_docs,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+      FROM m""",
 
     // pooled-distinct-value ECDFs, difference kept in integer
     // numerator form |cum_a*n_b - cum_b*n_a| until one final division

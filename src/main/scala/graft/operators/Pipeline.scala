@@ -272,6 +272,43 @@ object Pipeline {
           .as("decile"))
   }
 
+  /** GPT-style sequence packing manifest: the corpus token stream
+    * concatenated in doc_id order and cut every `budget` tokens into
+    * fixed-length training sequences (documents straddle cuts — the
+    * concat-then-chunk discipline pretraining loaders apply, as opposed
+    * to [[packShards]]'s whole-doc bin packing). Per doc: its absolute
+    * token offset, first/last sequence id, offset within the first
+    * sequence, and the span count — the manifest a loader needs to
+    * materialize any sequence by fetching exactly the docs that
+    * intersect it.
+    *
+    * Exactness: pure integer arithmetic on word counts — the entire
+    * row is a function of one exclusive prefix sum.
+    *
+    * Scale shape: like [[curriculum]], the single ordered window is
+    * the sf-fixture form of a range-partitioned prefix sum (per-
+    * partition subtotals + one tiny scan of partition sums at 100 TB);
+    * everything after the prefix sum is a map-only projection.
+    * Output: (doc_id, n_tok, start_tok, start_seq, end_seq, start_off,
+    * n_seqs).
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Int = 512): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("start_seq", expr(s"start_tok div $budget"))
+      .withColumn("end_seq", expr(s"(start_tok + n_tok - 1) div $budget"))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        col("start_seq"), col("end_seq"),
+        (col("start_tok") % budget).as("start_off"),
+        (col("end_seq") - col("start_seq") + 1L).as("n_seqs"))
+  }
+
   /** Dataset card: the one-pass corpus summary (docs, languages,
     * sources, token totals, exact-duplicate count) in long
     * (metric, value) form — what a data release publishes next to the

@@ -274,6 +274,61 @@ object Stats {
           .as("effect"))
   }
 
+  /** Spearman rank correlation between document length (words) and the
+    * quality score, per source — the monotone-association twin of
+    * [[correlationMatrix]]'s Pearson (rank ρ survives the nonlinear
+    * saturation the quality formula applies to length, which Pearson
+    * under-reads). The number a curation pipeline checks before using
+    * length as a cheap quality proxy.
+    *
+    * Exactness: tie-averaged ranks via the [[mannWhitneyQuality]]
+    * doubling trick — per (source, value) block after `prev` items the
+    * average rank is (2·prev + cnt + 1)/2, so DOUBLED ranks are exact
+    * longs; ρ is Pearson over the doubled ranks (rank scaling cancels)
+    * with all moments summed as DECIMAL(38,0) and ONE final
+    * double-precision formula `(n·Sxy − Sx·Sy)/(√dx·√dy)` evaluated in
+    * the identical division order in both engines.
+    *
+    * Scale shape: two per-source distinct-value rollups (the rank
+    * relations are |distinct values|-sized, not |docs|-sized), two
+    * equi-joins back on (source, value), one map-side-combinable
+    * moment aggregate. The per-source rank windows partition by
+    * source — no global single-partition window.
+    * Output: (source, n_docs, rho) rounded 6.
+    */
+  def spearmanLengthQuality(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), size(w).cast("long").as("len"),
+        round(graft.operators.TextOps.qualityOf(col("text"), w) * 1e6, 0)
+          .cast("long").as("q6"))
+    def ranks(value: String, out: String): DataFrame = {
+      val cells = base.groupBy(col("source"), col(value).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.withColumn("prev", coalesce(sum(col("cnt")).over(win), lit(0L)))
+        .select(col("source"), col("v").as(value),
+          (lit(2L) * col("prev") + col("cnt") + 1L).as(out))
+    }
+    val dec = DecimalType(38, 0)
+    base
+      .join(ranks("len", "r2x"), Seq("source", "len"))
+      .join(ranks("q6", "r2y"), Seq("source", "q6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("r2x").cast(dec)).as("sx"),
+        sum(col("r2y").cast(dec)).as("sy"),
+        sum((col("r2x") * col("r2x")).cast(dec)).as("sxx"),
+        sum((col("r2y") * col("r2y")).cast(dec)).as("syy"),
+        sum((col("r2x") * col("r2y")).cast(dec)).as("sxy"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("rho"))
+  }
+
   def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),

@@ -244,4 +244,36 @@ class GraphOpsSpec extends SparkSpec {
     val pm = rows.map(_._3).sum
     assert(math.abs(pm - 1000L) <= rows.length, s"permille sum $pm")
   }
+
+  test("personalized pagerank matches a driver-side restart walk exactly") {
+    val events = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val seed = s"u:${events.map(_._1).min}"
+    val w = events.map { case (u, t) => (s"u:$u", s"t:$t") }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val edges = w.toSeq.flatMap { case ((u, t), c) => Seq((u, t, c), (t, u, c)) }
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.map(_._1).distinct.sorted
+    def q(x: Double, dp: Int): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var rank = nodes.map(v => v -> (if (v == seed) 1.0 else 0.0)).toMap
+    (1 to 3).foreach { _ =>
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, c) => rank(s) * (c.toDouble / outW(s)) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> q((if (v == seed) 1.0 - 0.85 else 0.0) +
+          0.85 * inflow.getOrElse(v, 0.0), 9)).toMap
+    }
+    val expected = rank.filter(_._2 > 0).view.mapValues(q(_, 6)).toMap
+    val got = GraphOps.personalizedPageRank(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    // seed keeps the restart mass: it must dominate every other USER
+    // node (type hubs may aggregate more — they pool all users' mass)
+    val userMax = got.filter(_._1.startsWith("u:")).values.max
+    assert(got(seed) == userMax, "seed not top-ranked among users")
+    val off = got.filter { case (k, v) => math.abs(v - expected(k)) > 2e-8 }
+    assert(off.isEmpty, s"mismatches: ${off.take(5)}")
+  }
 }

@@ -358,4 +358,43 @@ class PipelineSpec extends SparkSpec {
     assert(sizes.keySet == (0L to 9L).toSet)
     assert(sizes.values.forall(_ == 50))
   }
+
+  test("sequence packing: contiguous token stream, consistent seq spans") {
+    val budget = 512L
+    val rows = graft.operators.Pipeline.packSequences(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.length == 500)
+    // offsets tile the concatenated stream with no gaps or overlaps
+    assert(rows.head._3 == 0L)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 == a._3 + a._2,
+        s"doc ${b._1}: start ${b._3} != ${a._3} + ${a._2}")
+      case _ => ()
+    }
+    rows.foreach { case (id, nTok, start, sSeq, eSeq, off, nSeqs) =>
+      assert(nTok >= 1, s"doc $id empty")
+      assert(sSeq * budget + off == start, s"doc $id offset identity")
+      assert(eSeq == (start + nTok - 1) / budget, s"doc $id end seq")
+      assert(nSeqs == eSeq - sSeq + 1 && nSeqs >= 1, s"doc $id span")
+    }
+    // every cut sequence before the last is fully covered: the docs
+    // intersecting seq s contribute exactly `budget` tokens to it
+    val total = rows.last._3 + rows.last._2
+    val lastSeq = (total - 1) / budget
+    val covered = Array.fill((lastSeq + 1).toInt)(0L)
+    rows.foreach { case (_, nTok, start, sSeq, eSeq, _, _) =>
+      (sSeq to eSeq).foreach { s =>
+        val lo = math.max(start, s * budget)
+        val hi = math.min(start + nTok, (s + 1) * budget)
+        covered(s.toInt) += hi - lo
+      }
+    }
+    (0L until lastSeq).foreach { s =>
+      assert(covered(s.toInt) == budget, s"seq $s fill ${covered(s.toInt)}")
+    }
+    assert(covered(lastSeq.toInt) == total - lastSeq * budget)
+  }
 }

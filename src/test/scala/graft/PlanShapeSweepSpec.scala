@@ -19,7 +19,8 @@ class PlanShapeSweepSpec extends SparkSpec {
     "knn_", "eval_", "sql_knn", "neardup_", "hybrid_")
   private val excludedExact = Set(
     "text_bpe_vocab", // iterative driver-side trainer (own spec)
-    "graph_pagerank") // fixed-iteration loop (own spec)
+    "graph_pagerank",  // fixed-iteration loop (own spec)
+    "graph_ppr")       // fixed-iteration loop (own spec)
   // bounded-by-construction NLJs: a 1-row (or |labels|-row) aggregate
   // broadcast against the fact side — the canonical scalar-stat attach
   private val oneRowCrossAllowed = Set(
@@ -42,6 +43,9 @@ class PlanShapeSweepSpec extends SparkSpec {
     "pipeline_mixture_plan",      // 1-row total-weight attach
     "text_pmi_collocations",      // 1-row bigram-total attach
     "graph_degree_distribution",  // 1-row node-total attach
+    "stats_ks_quality",           // 1-row (n_a, n_b) totals attach
+    "text_bm25_prf",              // 1-row corpus-stats attach (the
+                                  // text_bm25_general shape, twice)
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
                                   // against the corpus scan (|bench| rows)
 

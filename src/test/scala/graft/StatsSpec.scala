@@ -163,4 +163,46 @@ class StatsSpec extends SparkSpec {
     assert(na == a.length && nb == b.length)
     assert(u2 == expU2, s"$u2 vs $expU2")
   }
+
+  test("Spearman length-vs-quality replays driver-side tie-averaged rank correlation") {
+    val got = graft.operators.Stats.spearmanLengthQuality(spark, sf0001)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.nonEmpty)
+    got.values.foreach { case (_, rho) =>
+      assert(rho >= -1.0 && rho <= 1.0, s"rho out of range: $rho")
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stop = Set("the", "a", "of", "and", "to", "in", "on")
+    def q6(t: String): Long = {
+      val w = t.split(" ", -1)
+      val q = math.min(w.count(stop) / w.length.toDouble * 2.0, 1.0) * 0.4 +
+        t.count(c => c >= 'a' && c <= 'z') / t.length.toDouble * 0.3 +
+        math.min(w.length / 50.0, 1.0) * 0.3
+      math.round(q * 1e6)
+    }
+    docs.groupBy(_._1).foreach { case (source, ds) =>
+      val xs = ds.map(d => d._2.split(" ", -1).length.toLong)
+      val ys = ds.map(d => q6(d._2))
+      // doubled tie-averaged rank of v within vs
+      def r2(vs: Array[Long])(v: Long): Long =
+        2L * vs.count(_ < v) + vs.count(_ == v) + 1L
+      val rx = xs.map(r2(xs))
+      val ry = ys.map(r2(ys))
+      val n = BigInt(ds.length)
+      def s(a: Array[Long]) = a.map(BigInt(_)).sum
+      def sp(a: Array[Long], b: Array[Long]) =
+        a.zip(b).map { case (u, v) => BigInt(u) * BigInt(v) }.sum
+      val num = (n * sp(rx, ry) - s(rx) * s(ry)).toDouble
+      val rho = num / math.sqrt((n * sp(rx, rx) - s(rx) * s(rx)).toDouble) /
+        math.sqrt((n * sp(ry, ry) - s(ry) * s(ry)).toDouble)
+      val expect = BigDecimal(rho)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nGot, rhoGot) = got(source)
+      assert(nGot == ds.length, s"$source: n $nGot vs ${ds.length}")
+      assert(rhoGot == expect, s"$source: rho $rhoGot vs $expect")
+    }
+  }
 }
