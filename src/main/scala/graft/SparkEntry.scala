@@ -532,6 +532,9 @@ object SparkEntry {
     // Holt level+trend smoothing + h-step forecast over the daily
     // rollup (sorted-fold recursion, the ewma discipline)
     "events_holt_forecast" -> ((s, d) => EventOps.holtForecast(s, d)),
+    // additive Holt-Winters (level+trend+weekly seasonality): sorted
+    // fold threading an m-double seasonal ring, exact integer init
+    "events_holt_winters" -> ((s, d) => EventOps.holtWintersForecast(s, d)),
     // ACF lags 1..7 of the daily series (exact integer moments via
     // the n-cleared mean; consecutive-observation lag indexing)
     "events_autocorrelation" -> ((s, d) => EventOps.autocorrelation(s, d)),
@@ -3634,6 +3637,62 @@ object SparkEntry {
              round(r.l, 6) AS level, round(r.t, 6) AS trend,
              round(r.l + CAST(3.0 AS DOUBLE) * r.t, 6) AS forecast_h3
       FROM rec r JOIN nn USING (event_type) WHERE r.i = nn.nd + 1""",
+
+    // the identical triple-smoothing recursion as a recursive CTE
+    // threading (i, l, b, seasonal ring as a LIST column); integer
+    // init sums, every double op in the same written order
+    "events_holt_winters" -> s"""
+      WITH RECURSIVE daily AS (SELECT event_type,
+                            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                              AS day,
+                            ${c100("value")} AS c
+                     FROM events),
+      d2 AS (SELECT event_type, day, sum(c) AS dc
+             FROM daily GROUP BY 1, 2),
+      idx AS (SELECT event_type,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS BIGINT) AS i,
+                     CAST(dc AS BIGINT) AS c,
+                     CAST(dc AS DOUBLE) / 100.0 AS x
+              FROM d2),
+      nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+             FROM idx GROUP BY 1),
+      i1 AS (SELECT event_type,
+               CAST(sum(CASE WHEN i <= 7 THEN c ELSE 0 END) AS BIGINT)
+                 AS sc1,
+               CAST(sum(CASE WHEN i > 7 AND i <= 14 THEN c ELSE 0 END)
+                 AS BIGINT) AS sc2
+             FROM idx GROUP BY 1),
+      lb AS (SELECT event_type,
+               CAST(sc1 AS DOUBLE) / 100.0 / 7.0 AS lm,
+               CAST(sc2 - sc1 AS DOUBLE) / 100.0 / 49.0 AS bm
+             FROM i1),
+      s0 AS (SELECT i.event_type,
+               list(CAST(i.c AS DOUBLE) / 100.0 - lb.lm ORDER BY i.i) AS s
+             FROM idx i JOIN lb ON lb.event_type = i.event_type
+             WHERE i.i <= 7 GROUP BY i.event_type),
+      rec(event_type, i, l, b, s) AS (
+        SELECT lb.event_type, CAST(7 AS BIGINT), lb.lm, lb.bm, s0.s
+        FROM lb JOIN s0 USING (event_type) JOIN nn USING (event_type)
+        WHERE nn.nd >= 14
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+          CAST(0.5 AS DOUBLE) * (d.x - r.s[1])
+            + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+          CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * (d.x - r.s[1])
+              + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+            + CAST(0.5 AS DOUBLE) * r.b,
+          r.s[2:] || [CAST(0.5 AS DOUBLE) * (d.x
+              - (CAST(0.5 AS DOUBLE) * (d.x - r.s[1])
+                 + CAST(0.5 AS DOUBLE) * (r.l + r.b)))
+            + CAST(0.5 AS DOUBLE) * r.s[1]]
+        FROM rec r JOIN idx d ON d.event_type = r.event_type
+          AND d.i = r.i + 1)
+      SELECT r.event_type, nn.nd AS n_days,
+             round(r.l, 6) AS level, round(r.b, 6) AS trend,
+             round(r.l + CAST(3.0 AS DOUBLE) * r.b + r.s[3], 6)
+               AS forecast_h3
+      FROM rec r JOIN nn USING (event_type) WHERE r.i = nn.nd""",
 
     // median/MAD via the x2 exact-interpolation trick; one fixed
     // expression order for the modified z

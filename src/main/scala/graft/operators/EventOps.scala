@@ -848,6 +848,73 @@ object EventOps {
         .as("forecast_h3"))
   }
 
+  /** Holt-Winters additive triple smoothing (level + trend + weekly
+    * seasonality, m = 7) per event type over the daily revenue series —
+    * the seasonal step up from [[holtForecast]], completing the
+    * forecasting ladder (naive → EWMA → Holt → Holt-Winters). NIST
+    * init from the first two periods: l = mean(x₁..x₇),
+    * b = Σ(x₇₊ᵢ − xᵢ)/49, sᵢ = xᵢ − l; per step from t = m+1:
+    * l' = α(x − s_{t−m}) + (1−α)(l+b); b' = β(l'−l) + (1−β)b;
+    * s_t = γ(x − l') + (1−γ)s_{t−m}. Forecast = l + h·b + s_{n+h−m}.
+    *
+    * Determinism: the init sums run over exact cent longs (one integer
+    * slice-sum each), the recursion is a single sorted fold whose
+    * accumulator carries (l, b, seasonal ring of m doubles) — the
+    * oracle replays the identical recursion as a recursive CTE
+    * threading the ring as a LIST column, every double op in the same
+    * written order, α = β = γ = 0.5. Types with fewer than 2m days are
+    * excluded (init needs two full periods).
+    *
+    * Scale shape: the fold runs over the DAYS-sized rollup (the
+    * [[ewma]]/[[holtForecast]] discipline) — state per type is m+2
+    * doubles no matter how many raw events. Output: (event_type,
+    * n_days, level, trend, forecast_h3) rounded 6.
+    */
+  def holtWintersForecast(spark: SparkSession, dir: String, m: Int = 7,
+      h: Int = 3): DataFrame = {
+    require(h >= 1 && h <= m, "forecast horizon within one period")
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("dc")))).as("evs"),
+        count(lit(1)).as("n_days"))
+      .filter(size(col("evs")) >= 2 * m)
+      .withColumn("cs", transform(col("evs"), s => s.getField("dc")))
+    // exact integer init sums over the first two periods
+    val sc1 = aggregate(slice(col("cs"), 1, m), lit(0L), (a, x) => a + x)
+    val sc2 = aggregate(slice(col("cs"), m + 1, m), lit(0L), (a, x) => a + x)
+    val lm = sc1.cast("double") / 100.0 / m.toDouble
+    val bm = (sc2 - sc1).cast("double") / 100.0 / (m * m).toDouble
+    val s0 = transform(slice(col("cs"), 1, m),
+      c => c.cast("double") / 100.0 - lm)
+    val prepped = series
+      .withColumn("xs", transform(
+        slice(col("cs"), lit(m + 1), greatest(size(col("cs")) - m, lit(0))),
+        c => c.cast("double") / 100.0))
+      .withColumn("init", struct(lm.as("l"), bm.as("b"), s0.as("s")))
+    val folded = prepped.select(col("event_type"), col("n_days"),
+      aggregate(col("xs"), col("init"), (acc, x) => {
+        val s1 = element_at(acc.getField("s"), 1)
+        val l2 = lit(0.5) * (x - s1) +
+          lit(0.5) * (acc.getField("l") + acc.getField("b"))
+        val b2 = lit(0.5) * (l2 - acc.getField("l")) +
+          lit(0.5) * acc.getField("b")
+        val sn = lit(0.5) * (x - l2) + lit(0.5) * s1
+        struct(l2.as("l"), b2.as("b"),
+          concat(slice(acc.getField("s"), 2, m - 1), array(sn)).as("s"))
+      }).as("st"))
+    folded.select(col("event_type"), col("n_days"),
+      round(col("st").getField("l"), 6).as("level"),
+      round(col("st").getField("b"), 6).as("trend"),
+      round(col("st").getField("l") +
+        lit(h.toDouble) * col("st").getField("b") +
+        element_at(col("st").getField("s"), h), 6).as(s"forecast_h$h"))
+  }
+
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"),

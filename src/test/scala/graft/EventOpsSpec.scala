@@ -600,6 +600,42 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("Holt-Winters replays the driver-side seasonal-ring recursion") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m = 7
+    val expect = daily.groupBy(_._1).flatMap { case (t, g) =>
+      val cs = g.sortBy(_._2).map(_._3)
+      if (cs.length < 2 * m) None else {
+        val xs = cs.map(_.toDouble / 100.0)
+        var l = cs.take(m).sum.toDouble / 100.0 / m
+        var b = (cs.slice(m, 2 * m).sum - cs.take(m).sum).toDouble /
+          100.0 / (m * m)
+        var s = cs.take(m).map(c => c.toDouble / 100.0 - l).toVector
+        xs.drop(m).foreach { x =>
+          val s1 = s.head
+          val l2 = 0.5 * (x - s1) + 0.5 * (l + b)
+          val b2 = 0.5 * (l2 - l) + 0.5 * b
+          val sn = 0.5 * (x - l2) + 0.5 * s1
+          l = l2; b = b2; s = s.tail :+ sn
+        }
+        def r6(v: Double) = BigDecimal(v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((t, cs.length.toLong, r6(l), r6(b), r6(l + 3.0 * b + s(2))))
+      }
+    }.toSet
+    val got = graft.operators.EventOps.holtWintersForecast(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
+
   test("autocorrelation replays a driver-side exact-moment computation") {
     val daily = Tables.events(spark, sf0001)
       .select(col("event_type"),
