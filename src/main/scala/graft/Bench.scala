@@ -90,6 +90,8 @@ object Bench {
         () => SparkEntry.queries("knn_pq_batch")(spark, sfDir).count()),
       timed("bench_build_ivfpq",
         () => SparkEntry.queries("knn_ivfpq_batch")(spark, sfDir).count()),
+      timed("bench_build_opq",
+        () => SparkEntry.queries("knn_opq_batch")(spark, sfDir).count()),
       timed("bench_build_rp",
         () => SparkEntry.queries("knn_rp_batch")(spark, sfDir).count()),
       timed("bench_build_pca",

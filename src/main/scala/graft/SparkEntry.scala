@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, PcaKnn, PqKnn, RandomProjection, SqKnn}
+import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, OpqKnn, PcaKnn, PqKnn, RandomProjection, SqKnn}
 import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Profiling, Relational, ScaleTechniques, Stats, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -64,6 +64,7 @@ object SparkEntry {
   private val bq256Batch = memoBatch("bq256", BinaryQuantKnn.topKBatchWide(_, _))
   private val ivfBatch   = memoBatch("ivf", IvfKnn.topKBatch(_, _))
   private val pqBatch    = memoBatch("pq", PqKnn.topKBatch(_, _))
+  private val opqBatch   = memoBatch("opq", OpqKnn.topKBatch(_, _))
   private val ivfpqBatch = memoBatch("ivfpq", IvfPqKnn.topKBatch(_, _))
   private val rpBatch    = memoBatch("rp", RandomProjection.topKBatch(_, _))
   private val pcaBatch   = memoBatch("pca", PcaKnn.topKBatch(_, _))
@@ -217,6 +218,12 @@ object SparkEntry {
     "knn_pq_lifecycle" -> ((s, d) => PqKnn.topKBatchLifecycle(s, d)),
     "eval_recall_pq" -> ((s, d) => Evaluation.recall(
       pqBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
+    // OPQ: eigenvalue-allocation rotation in front of the PQ substrate
+    // — balanced-variance subspaces, same ADC scan + exact re-rank
+    "knn_opq_batch" -> opqBatch,
+    "eval_recall_opq" -> ((s, d) => Evaluation.recall(
+      opqBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     // maximum inner product (MIPS): the recommender scoring mode
     "knn_mips_single" -> ((s, d) => ExactKnn.topKSingleMips(s, d)),

@@ -1,0 +1,88 @@
+package graft.knn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.IndexCache
+
+/** OPQ — product quantization behind a data-dependent ROTATION
+  * (parametric OPQ with eigenvalue allocation, Ge et al., "Optimized
+  * Product Quantization", CVPR 2013). Plain [[PqKnn]] quantizes the
+  * raw coordinate blocks, so correlated dimensions land in the same
+  * subspace and waste code entropy; OPQ first rotates into the
+  * covariance eigenbasis and then ASSIGNS principal dimensions to
+  * subspaces so the products of eigenvalues (subspace variances)
+  * balance — each codebook models an equally hard marginal. The
+  * reference has no quantized family at all (extension surface, like
+  * the rest of the knn package).
+  *
+  * Composition over existing substrates, nothing re-derived:
+  * covariance + Jacobi eigensolve from [[graft.operators.EmbeddingStats]]
+  * (one distributed pass + a 64×64 driver solve), rotation applied by
+  * [[RandomProjection.project]] (map-only, matrix broadcast), training/
+  * encoding/ADC scan from [[PqKnn]] verbatim. The coarse scan runs on
+  * ROTATED queries against rotated codebooks; the exact re-rank runs in
+  * the ORIGINAL space (cosine is rotation-invariant), so the exact leg
+  * stays bit-identical to every other family's.
+  *
+  * Scale notes: identical to [[PqKnn]] — the rotation adds one
+  * broadcast d×d matrix and one map-only projection pass; codes stay
+  * 64× compressed; no extra shuffle anywhere.
+  */
+object OpqKnn {
+
+  /** The d×d rotation (rows = permuted covariance eigenvectors,
+    * bucket-major): dims are assigned greedily in descending-eigenvalue
+    * order to the subspace with the smallest log-eigenvalue sum that
+    * still has a free slot — the balanced-variance allocation.
+    * Orthonormal by construction (Jacobi's V is orthonormal; rows are
+    * a permutation of its columns). Memoized per dataset.
+    */
+  def rotation(spark: SparkSession, dir: String,
+      m: Int = 8): Array[Array[Double]] =
+    IndexCache.getOrBuild(spark, s"opq-rot:$dir:$m") {
+      import spark.implicits._
+      val (base, _, _, _) = ExactKnn.split(spark, dir)
+      val vecs = base.select(col("emb").cast("array<double>"))
+        .as[Seq[Double]]
+      val (_, cov) = graft.operators.EmbeddingStats.covariance(vecs)
+      val (eigs, v) = graft.operators.EmbeddingStats.jacobiEigen(cov)
+      val d = cov.length
+      require(d % m == 0, s"dim $d not divisible by m=$m")
+      val sd = d / m
+      val order = eigs.zipWithIndex
+        .sortBy { case (e, i) => (-e, i) }.map(_._2)
+      val bucketLog = Array.fill(m)(0.0)
+      val buckets = Array.fill(m)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      order.foreach { dimIdx =>
+        val j = (0 until m).filter(buckets(_).size < sd)
+          .minBy(b => (bucketLog(b), b))
+        buckets(j) += dimIdx
+        bucketLog(j) += math.log(math.max(eigs(dimIdx), 1e-300))
+      }
+      buckets.flatten.map(c => Array.tabulate(d)(r => v(r)(c))).toArray
+    }
+
+  /** Top-k per held-out query: rotate → ADC-coarse-scan (rotated
+    * codebooks) → exact re-rank in the original space. Output:
+    * (qid, vec_id, dist rounded 6, rk) — the family-standard shape.
+    */
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val rot = rotation(spark, dir, m)
+    val (cb, codes) = IndexCache.getOrBuild(spark, s"opq:$dir:$m:$ksub") {
+      val rBase = RandomProjection.project(base, rot)
+        .select(col("vec_id"), col("pvec").as("emb"))
+      val b = PqKnn.trainCodebooks(rBase, m, ksub)
+      val enc = PqKnn.encode(rBase, b).persist(StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      (b, enc)
+    }
+    val rQueries = RandomProjection.project(queries, rot)
+      .select(col("vec_id"), col("pvec").as("emb"))
+    PqKnn.searchCodesWith(cb, codes, rQueries, base, queries, k, overfetch)
+  }
+}

@@ -214,13 +214,24 @@ object PqKnn {
     */
   private def searchCodes(cb: PqCodebooks, codes: DataFrame,
       base: DataFrame, queries: DataFrame, k: Int,
-      overfetch: Int): DataFrame = {
+      overfetch: Int): DataFrame =
+    searchCodesWith(cb, codes, queries, base, queries, k, overfetch)
+
+  /** [[searchCodes]] with the coarse-scan query frame decoupled from
+    * the re-rank frames — [[OpqKnn]] scans with ROTATED queries
+    * (matching its rotated codebooks) but re-ranks in the ORIGINAL
+    * space (cosine is rotation-invariant, so the exact leg stays
+    * bit-identical to every other family's).
+    */
+  private[knn] def searchCodesWith(cb: PqCodebooks, codes: DataFrame,
+      scanQueries: DataFrame, rerankBase: DataFrame,
+      rerankQueries: DataFrame, k: Int, overfetch: Int): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cb)
     val codesRdd = codes.as[(Long, Array[Byte])].rdd
     val numP = codesRdd.getNumPartitions
-    val qrep = queries.select(col("vec_id"), col("emb"))
+    val qrep = scanQueries.select(col("vec_id"), col("emb"))
       .as[(Long, Array[Double])].rdd
       .flatMap(q => Iterator.range(0, numP).map(p => (p, q)))
       .partitionBy(new org.apache.spark.HashPartitioner(numP))
@@ -239,7 +250,7 @@ object PqKnn {
     val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
       Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
       .select("qid", "vec_id")
-    ExactKnn.rerank(cand, base, queries, k)
+    ExactKnn.rerank(cand, rerankBase, rerankQueries, k)
   }
 
   /** Persist the PQ index: codebooks flatten to a tiny
