@@ -542,6 +542,9 @@ object SparkEntry {
     // additive Holt-Winters (level+trend+weekly seasonality): sorted
     // fold threading an m-double seasonal ring, exact integer init
     "events_holt_winters" -> ((s, d) => EventOps.holtWintersForecast(s, d)),
+    // median-of-pairwise-slopes robust trend over the daily rollup;
+    // integer slope quantization + the x2 exact-median trick
+    "events_theilsen_trend" -> ((s, d) => EventOps.theilSenTrend(s, d)),
     // ACF lags 1..7 of the daily series (exact integer moments via
     // the n-cleared mean; consecutive-observation lag indexing)
     "events_autocorrelation" -> ((s, d) => EventOps.autocorrelation(s, d)),
@@ -652,6 +655,12 @@ object SparkEntry {
     "text_typo_clusters" -> ((s, d) => TextOps.typoClusters(s, d)),
     // RAG chunking: overlapping word windows, map-only
     "text_chunking" -> ((s, d) => TextOps.chunkDocuments(s, d)),
+    // Dirichlet query-likelihood retrieval (micro-nat-quantized term
+    // contributions, 1-row stats attach, TakeOrdered)
+    "text_qlm_topk" -> ((s, d) => TextOps.queryLikelihoodTopK(s, d)),
+    // cross-doc sliding 5-gram boilerplate mining: linear explode +
+    // one span-keyed rollup, total-ordered top 20
+    "text_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
     // tokenizer lifecycle part 2: ENCODE with the trained merge table
     // (greedy lowest-rank merging; map-only, table broadcast) — BPE is
     // not SQL-expressible -> rows-only, TextOpsSpec pins a reference
@@ -2089,6 +2098,51 @@ object SparkEntry {
         FROM s, g)
       SELECT doc_id, score FROM sc WHERE score > 0
       ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // Dirichlet query likelihood: per-term log-contribution quantized
+    // to integer micro-nats BEFORE the per-doc sum; one final division
+    "text_qlm_topk" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf2
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      g AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot,
+                   CAST(sum(tf0) AS BIGINT) AS cf0,
+                   CAST(sum(tf1) AS BIGINT) AS cf1,
+                   CAST(sum(tf2) AS BIGINT) AS cf2
+            FROM s),
+      sc AS (
+        SELECT doc_id,
+          CAST(round(ln((CAST(tf0 AS DOUBLE)
+              + CAST(2000.0 AS DOUBLE) * CAST(cf0 AS DOUBLE) / CAST(ctot AS DOUBLE))
+              / (CAST(dl AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000) AS BIGINT)
+          + CAST(round(ln((CAST(tf1 AS DOUBLE)
+              + CAST(2000.0 AS DOUBLE) * CAST(cf1 AS DOUBLE) / CAST(ctot AS DOUBLE))
+              / (CAST(dl AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000) AS BIGINT)
+          + CAST(round(ln((CAST(tf2 AS DOUBLE)
+              + CAST(2000.0 AS DOUBLE) * CAST(cf2 AS DOUBLE) / CAST(ctot AS DOUBLE))
+              / (CAST(dl AS DOUBLE) + CAST(2000.0 AS DOUBLE))) * 1000000) AS BIGINT)
+            AS c6
+        FROM s, g)
+      SELECT doc_id, round(c6 / 1000000.0, 6) AS score
+      FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // sliding 5-word windows (list comprehension), span-keyed rollup,
+    // total-ordered top 20
+    "text_repeated_spans" -> """
+      WITH sp AS (
+        SELECT doc_id,
+               unnest([array_to_string(w[i:i+4], ' ')
+                       for i in range(1, len(w) - 3)]) AS span
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        WHERE len(w) >= 5)
+      SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM sp GROUP BY span
+      HAVING count(DISTINCT doc_id) >= 2
+      ORDER BY n_docs DESC, n_occurrences DESC, span ASC LIMIT 20""",
 
     "text_bm25_general" -> bm25Sql(TextOps.bm25GeneralTerms, 20),
 
@@ -3700,6 +3754,30 @@ object SparkEntry {
              round(r.l + CAST(3.0 AS DOUBLE) * r.b + r.s[3], 6)
                AS forecast_h3
       FROM rec r JOIN nn USING (event_type) WHERE r.i = nn.nd""",
+
+    // pairwise slopes over the daily rollup quantized to integer
+    // 1e-4-cent/day units, x2 exact-interpolated median, one division
+    "events_theilsen_trend" -> s"""
+      WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                         AS day,
+                       ${c100("value")} AS c
+                     FROM events),
+      d2 AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS dc
+             FROM daily GROUP BY 1, 2),
+      nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             FROM d2 GROUP BY 1),
+      p AS (SELECT a.event_type,
+              CAST(round(CAST(b.dc - a.dc AS DOUBLE)
+                / CAST(b.day - a.day AS DOUBLE) * 10000) AS BIGINT) AS s4
+            FROM d2 a JOIN d2 b ON a.event_type = b.event_type
+              AND a.day < b.day),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(round(quantile_cont(s4, 0.5) * 2) AS BIGINT) AS med2
+            FROM p GROUP BY 1)
+      SELECT m.event_type, nd.n_days, m.n_pairs,
+             round(CAST(med2 AS DOUBLE) / 2000000.0, 6) AS slope_per_day
+      FROM m JOIN nd USING (event_type)""",
 
     // median/MAD via the x2 exact-interpolation trick; one fixed
     // expression order for the modified z

@@ -915,6 +915,50 @@ object EventOps {
         element_at(col("st").getField("s"), h), 6).as(s"forecast_h$h"))
   }
 
+  /** Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    * slopes (c_j − c_i)/(day_j − day_i) over the daily revenue series —
+    * the 29%-breakdown trend estimator beside [[anomalyMad]]'s robust
+    * scale (one wild day drags an OLS slope; the pairwise-slope median
+    * shrugs it off).
+    *
+    * Exactness: each slope quantizes to integer 1e-4-cent-per-day units
+    * BEFORE the median, and the median itself uses the ×2
+    * exact-interpolation trick (`2·median` of ints is an int for any
+    * parity) — the anomalyMad discipline; one final division.
+    *
+    * Scale shape: the pair join runs on the DAYS-sized rollup
+    * (days²/2 pairs per type regardless of event count — the rollup-
+    * first discipline that makes an O(n²) estimator safe: n is 30, not
+    * 60k). Output: (event_type, n_days, n_pairs, slope_per_day
+    * rounded 6, dollars/day).
+    */
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+    val a = daily.select(col("event_type"), col("day").as("d1"),
+      col("dc").as("c1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"),
+      col("dc").as("c2"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        round((col("c2") - col("c1")).cast("double") /
+          (col("d2") - col("d1")).cast("double") * 1e4, 0)
+          .cast("long").as("s4"))
+    val nd = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("s4"), lit(0.5)) * 2, 0).cast("long")
+          .as("med2"))
+      .join(broadcast(nd), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        round(col("med2").cast("double") / 2e6, 6).as("slope_per_day"))
+  }
+
   def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"),

@@ -475,6 +475,74 @@ object TextOps {
       .limit(k)
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (the language-model
+    * IR family next to BM25's probabilistic one): score(d) =
+    * Σ_t ln((tf_td + μ·cf_t/|C|)/(dl_d + μ)) for the query terms —
+    * Zhai & Lafferty's standard smoothing, μ = 2000. Higher (less
+    * negative) = more likely to generate the query.
+    *
+    * Determinism: each term's log-contribution is quantized to integer
+    * micro-nats BEFORE the per-doc sum (the text_bm25_prf discipline —
+    * order-free exact sum, one final division). Scale shape: one
+    * corpus pass for (|C|, cf_t), a 1-row broadcast attach, map-only
+    * scoring, TakeOrdered top-k — the text_bm25_topk plan with a
+    * different formula.
+    * Output: (doc_id, score rounded 6), top `k` by (score desc, doc_id).
+    */
+  def queryLikelihoodTopK(spark: SparkSession, dir: String,
+      terms: Seq[String] = Seq("join", "window", "scan"), k: Int = 20,
+      mu: Double = 2000.0): DataFrame = {
+    val w = col("w")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(w, x => x === t)).cast("long").as(s"tf$i")
+    }
+    val perDoc = tokenizedDocs(spark, dir)
+      .select(col("doc_id") +: size(w).cast("long").as("dl") +: tfCols: _*)
+    val statAggs = sum(col("dl")).as("ctot") +:
+      terms.indices.map(i => sum(col(s"tf$i")).as(s"cf$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val contrib = terms.indices.map { i =>
+      val prior = lit(mu) * col(s"cf$i").cast("double") /
+        col("ctot").cast("double")
+      round(log((col(s"tf$i").cast("double") + prior) /
+        (col("dl").cast("double") + lit(mu))) * 1e6, 0).cast("long")
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(contrib / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Cross-document repeated spans: every SLIDING 5-word window that
+    * occurs in at least `minDocs` distinct documents, ranked by reach —
+    * the boilerplate/contamination detector below [[spanDedup]]'s
+    * non-overlapping chunks (a repeated span at any alignment is
+    * caught; Lee et al.'s exact-substring result motivates hunting
+    * duplicates below document granularity). Top 20 by
+    * (n_docs desc, n_occurrences desc, span asc) — a total order.
+    *
+    * Scale shape: one explode to the sliding windows (|tokens| rows —
+    * linear, not quadratic), one groupBy keyed by span, TakeOrdered.
+    * At 100 TB the span column would be its 64-bit hash with one
+    * verify join back, same shape as the gram miners.
+    */
+  def repeatedSpans(spark: SparkSession, dir: String, span: Int = 5,
+      minDocs: Int = 2, k: Int = 20): DataFrame = {
+    val w = col("w")
+    val spans = tokenizedDocs(spark, dir)
+      .filter(size(w) >= span)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(w) - span),
+          i => array_join(slice(w, i + 1, lit(span)), " "))).as("span"))
+    spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("span").asc)
+      .limit(k)
+  }
+
   /** Intra-document repetition scoring (the Gopher-style quality rule:
     * heavily repeated n-grams mark templated/spammy text). Per doc:
     * word-3-gram count, distinct count, the duplicate-gram ratio

@@ -600,6 +600,36 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("Theil-Sen trend replays the driver-side pairwise-slope median") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, g) =>
+      val pts = g.sortBy(_._2).map(p => (p._2, p._3))
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield math.round((pts(j)._2 - pts(i)._2).toDouble /
+        (pts(j)._1 - pts(i)._1).toDouble * 1e4)).sorted
+      val n = slopes.length
+      // x2 exact-interpolated median of the integer slopes
+      val med2 =
+        if (n % 2 == 1) 2L * slopes(n / 2)
+        else slopes(n / 2 - 1) + slopes(n / 2)
+      (t, pts.length.toLong, n.toLong,
+        BigDecimal(med2.toDouble / 2e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.operators.EventOps.theilSenTrend(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
+
   test("Holt-Winters replays the driver-side seasonal-ring recursion") {
     val daily = Tables.events(spark, sf0001)
       .select(col("event_type"),

@@ -800,4 +800,50 @@ class TextOpsSpec extends SparkSpec {
         s"doc $id scored without any expanded-query term")
     }
   }
+
+  test("query-likelihood replays the driver-side Dirichlet scoring") {
+    val terms = Seq("join", "window", "scan")
+    val mu = 2000.0
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val ctot = docs.map(_._2.length.toLong).sum
+    val cf = terms.map(t => docs.map(_._2.count(_ == t).toLong).sum)
+    val scored = docs.map { case (id, w) =>
+      val c6 = terms.zipWithIndex.map { case (t, i) =>
+        val tf = w.count(_ == t).toDouble
+        math.round(math.log((tf + mu * cf(i) / ctot) /
+          (w.length + mu)) * 1e6)
+      }.sum
+      (id, BigDecimal(c6 / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = scored.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    val got = TextOps.queryLikelihoodTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    // log-probabilities: every score is negative
+    assert(got.forall(_._2 < 0))
+  }
+
+  test("repeated spans: driver-side sliding-window replay, cross-doc only") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val occ = scala.collection.mutable.Map.empty[String, (Set[Long], Long)]
+    docs.foreach { case (id, w) =>
+      if (w.length >= 5) (0 to w.length - 5).foreach { i =>
+        val s = w.slice(i, i + 5).mkString(" ")
+        val (ds, c) = occ.getOrElse(s, (Set.empty[Long], 0L))
+        occ(s) = (ds + id, c + 1)
+      }
+    }
+    val expect = occ.toSeq.collect {
+      case (s, (ds, c)) if ds.size >= 2 => (s, ds.size.toLong, c)
+    }.sortBy { case (s, d, c) => (-d, -c, s) }.take(20)
+    val got = TextOps.repeatedSpans(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    got.foreach { case (_, d, c) => assert(d >= 2 && c >= d) }
+  }
 }
