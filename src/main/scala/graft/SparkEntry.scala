@@ -648,6 +648,11 @@ object SparkEntry {
     // doubled tie-averaged ranks, one decimal moment aggregate
     "stats_spearman_length_quality" ->
       ((s, d) => Stats.spearmanLengthQuality(s, d)),
+    // Cramér's V effect size from the same chi-square aggregate
+    "stats_cramers_v" -> ((s, d) => Stats.cramersV(s, d)),
+    // greedy k-center diversity coreset: k broadcast-map rounds +
+    // TakeOrdered(1) argmax each; quantized distances, min-id ties
+    "pipeline_kcenter_coreset" -> ((s, d) => Pipeline.kCenterCoreset(s, d)),
     // custom Catalyst Generator (UDTF) from pure SQL: LATERAL VIEW
     // graft_word_ngrams(text, 2)
     "text_word_ngrams" -> ((s, d) => TextOps.wordNgramsSql(s, d)),
@@ -1000,6 +1005,47 @@ object SparkEntry {
       s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
       $chain
       SELECT u AS node, count(*) AS deg FROM s$rounds GROUP BY u"""
+  }
+
+  /** k-center coreset oracle: the identical greedy farthest-point
+    * rounds as a generated chained CTE — per round one argmax pick
+    * (quantized distance desc, vec_id asc) and one incremental
+    * least(running-min, dist-to-new-center) update, the exact fold
+    * [[graft.operators.Pipeline.kCenterCoreset]] computes.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    def dist(p: String, c: String) =
+      s"round(1 - greatest(list_sum(list_transform(list_zip($p.nv, $c.nv), z -> z[1]*z[2])), 0), 6)"
+    val rounds = (2 until k).map { t =>
+      s"""p$t AS (SELECT vec_id, md FROM md${t - 1}
+              ORDER BY md DESC, vec_id ASC LIMIT 1),
+      d$t AS (SELECT p.vec_id, ${dist("p", "c")} AS d
+              FROM n p JOIN n c ON c.vec_id = (SELECT vec_id FROM p$t)),
+      md$t AS (SELECT m.vec_id, least(m.md, d.d) AS md
+               FROM md${t - 1} m JOIN d$t d USING (vec_id))"""
+    }.mkString(",\n      ")
+    val lastPick = s"""p$k AS (SELECT vec_id, md FROM md${k - 1}
+              ORDER BY md DESC, vec_id ASC LIMIT 1)"""
+    val picks = (2 to k).map(t =>
+      s"UNION ALL SELECT CAST($t AS BIGINT), vec_id, md FROM p$t")
+      .mkString("\n      ")
+    s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM e),
+      c1 AS (SELECT min(vec_id) AS vec_id FROM n),
+      md1 AS (SELECT p.vec_id, ${dist("p", "c")} AS md
+              FROM n p JOIN n c ON c.vec_id = (SELECT vec_id FROM c1)),
+      $rounds,
+      $lastPick
+      SELECT CAST(1 AS BIGINT) AS pick_round,
+             (SELECT vec_id FROM c1) AS vec_id,
+             CAST(0.0 AS DOUBLE) AS radius
+      $picks"""
   }
 
   /** Grouped tie-aware Mann–Whitney AUC over the trained scorer —
@@ -1563,6 +1609,9 @@ object SparkEntry {
              curriculum_rank,
              CAST((curriculum_rank - 1) * 10 // n AS BIGINT) AS decile
       FROM r""",
+
+    // greedy farthest-point rounds replayed as a generated chained CTE
+    "pipeline_kcenter_coreset" -> kcenterOracleSql(8),
 
     // one exclusive prefix sum in doc_id order; integer div/mod only
     "pipeline_pack_sequences" -> """
@@ -4281,6 +4330,31 @@ object SparkEntry {
       SELECT CAST(cm AS DOUBLE) / 1000000.0 AS chi2,
              CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
              CAST(n AS BIGINT) AS n
+      FROM s, k""",
+
+    // same micro-quantized chi-square aggregate; V = sqrt(chi2 /
+    // (n * (min(r,c)-1))) in one fixed-shape formula
+    "stats_cramers_v" -> """
+      WITH cells AS (SELECT o_orderpriority AS a, c_mktsegment AS b,
+                            count(*) AS o
+                     FROM orders JOIN customer ON o_custkey = c_custkey
+                     GROUP BY 1, 2),
+      w AS (SELECT a, b, o,
+                   sum(o) OVER (PARTITION BY a) AS r,
+                   sum(o) OVER (PARTITION BY b) AS c,
+                   sum(o) OVER () AS n FROM cells),
+      k AS (SELECT count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b
+            FROM cells),
+      s AS (SELECT sum(CAST(round(pow(CAST(o AS DOUBLE)
+                - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 2)
+              / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+              * 1000000, 0) AS BIGINT)) AS cm,
+            max(n) AS n FROM w)
+      SELECT CAST(cm AS DOUBLE) / 1000000.0 AS chi2,
+             CAST(n AS BIGINT) AS n,
+             round(sqrt((CAST(cm AS DOUBLE) / 1000000.0)
+               / (CAST(n AS DOUBLE)
+                  * CAST(least(n_a, n_b) - 1 AS DOUBLE))), 6) AS v
       FROM s, k""",
 
     // exact integer rank formula: ranks and cent sums are integers on

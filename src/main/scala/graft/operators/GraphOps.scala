@@ -35,26 +35,38 @@ object GraphOps {
     * every iteration so cross-engine fold-order ulps cannot accumulate,
     * and the declared output rounds once more to 6 dp.
     */
+  /** The normalized bipartite transition relation shared by
+    * [[pageRank]] and [[personalizedPageRank]]: (trans, nodes, n) with
+    * both frames cached — memoized per dataset so the two declared
+    * rank queries in one session build the graph once.
+    */
+  private def bipartiteTrans(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, Long) =
+    graft.IndexCache.getOrBuild(spark, s"graph-bipartite-trans:$dir") {
+      val und = Tables.events(spark, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("w"))
+      val edges = und.select(
+          concat(lit("u:"), col("user_id")).as("src"),
+          concat(lit("t:"), col("event_type")).as("dst"), col("w"))
+        .unionAll(und.select(
+          concat(lit("t:"), col("event_type")).as("src"),
+          concat(lit("u:"), col("user_id")).as("dst"), col("w")))
+      val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      val trans = edges.join(outW, "src")
+        .select(col("src"), col("dst"),
+          (col("w").cast("double") / col("outw")).as("p"))
+        .cache()
+      val nodes = edges.select(col("src").as("node")).distinct().cache()
+      // one driver-side scalar (node count) — not a data collect
+      (trans, nodes, nodes.count())
+    }
+
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3,
       damping: Double = 0.85): DataFrame = {
-    val und = Tables.events(spark, dir)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("w"))
-    val edges = und.select(
-        concat(lit("u:"), col("user_id")).as("src"),
-        concat(lit("t:"), col("event_type")).as("dst"), col("w"))
-      .unionAll(und.select(
-        concat(lit("t:"), col("event_type")).as("src"),
-        concat(lit("u:"), col("user_id")).as("dst"), col("w")))
     // transition probabilities, built once and reused every iteration
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val trans = edges.join(outW, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("outw")).as("p"))
-      .cache()
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
-    // one driver-side scalar (node count) — not a data collect
-    val n = nodes.count().toDouble
+    val (trans, nodes, nNodes) = bipartiteTrans(spark, dir)
+    val n = nNodes.toDouble
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     (1 to iters).foreach { _ =>
@@ -87,21 +99,7 @@ object GraphOps {
     */
   def personalizedPageRank(spark: SparkSession, dir: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val und = Tables.events(spark, dir)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("w"))
-    val edges = und.select(
-        concat(lit("u:"), col("user_id")).as("src"),
-        concat(lit("t:"), col("event_type")).as("dst"), col("w"))
-      .unionAll(und.select(
-        concat(lit("t:"), col("event_type")).as("src"),
-        concat(lit("u:"), col("user_id")).as("dst"), col("w")))
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    val trans = edges.join(outW, "src")
-      .select(col("src"), col("dst"),
-        (col("w").cast("double") / col("outw")).as("p"))
-      .cache()
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val (trans, nodes, _) = bipartiteTrans(spark, dir)
     // one driver-side scalar (the seed id) — not a data collect
     val seed = "u:" + Tables.events(spark, dir)
       .agg(min(col("user_id"))).head().getLong(0)

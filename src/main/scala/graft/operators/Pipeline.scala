@@ -272,6 +272,54 @@ object Pipeline {
           .as("decile"))
   }
 
+  /** Greedy k-center coreset over the embedding corpus — diversity
+    * selection (Gonzalez's 2-approximation farthest-point traversal):
+    * seed with the min vec_id, then repeatedly pick the point FARTHEST
+    * from its nearest chosen center. The picked set maximizes coverage
+    * spread — the representative subset a curation pipeline labels /
+    * inspects / distills first, and each pick's `radius` is the exact
+    * covering radius of the previous set (the k-center objective).
+    *
+    * Determinism: distances are the repo-standard clamped cosine
+    * (normalized vectors from [[Dedup.normalizedEmbeddings]], fused
+    * left-to-right dot), rounded 6 BEFORE the min/argmax so both
+    * engines compare identical quantized values; ties break on min
+    * vec_id. The oracle replays the identical greedy rounds as a
+    * generated chained CTE.
+    *
+    * Scale shape: each round is ONE map pass (centers broadcast — at
+    * most k tiny vectors) + a TakeOrdered(1) argmax; the only driver
+    * rows are the k picks themselves. At 100 TB the running
+    * nearest-center distance would persist as a column updated
+    * incrementally per round (least(md, d_new) — the same fold this
+    * computes), keeping every round one scan regardless of k.
+    * Output: (pick_round, vec_id, radius) — k rows.
+    */
+  def kCenterCoreset(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val n = Dedup.normalizedEmbeddings(spark, dir)
+    val seedId = n.agg(min(col("vec_id"))).head().getLong(0)
+    def vecOf(id: Long): Array[Double] =
+      n.filter(col("vec_id") === id).select(col("nv"))
+        .as[Array[Double]].head()
+    var centers = Vector((seedId, vecOf(seedId), 0.0))
+    while (centers.length < k) {
+      val md = centers.map { case (_, v, _) =>
+        round(lit(1.0) - greatest(
+          graft.functions.ArrayMath.dotProduct(col("nv"), typedLit(v.toSeq)),
+          lit(0.0)), 6)
+      }.reduce(least(_, _))
+      val (pickId, radius) = n.select(col("vec_id"), md.as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .as[(Long, Double)].head()
+      centers = centers :+ ((pickId, vecOf(pickId), radius))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, r), i) => (i + 1L, id, r) }
+      .toDF("pick_round", "vec_id", "radius")
+  }
+
   /** GPT-style sequence packing manifest: the corpus token stream
     * concatenated in doc_id order and cut every `budget` tokens into
     * fixed-length training sequences (documents straddle cuts — the

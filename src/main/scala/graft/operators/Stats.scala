@@ -329,7 +329,11 @@ object Stats {
           6).as("rho"))
   }
 
-  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+  /** The 1-row (chi2_micros, n_a, n_b, n) aggregate shared by
+    * [[chiSquareIndependence]] and [[cramersV]] — identical expressions
+    * to the original chi-square so its pinned oracle is unaffected.
+    */
+  private def chiSquareWide(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.orders(spark, dir)
       .join(Tables.customer(spark, dir),
         col("o_custkey") === col("c_custkey"))
@@ -351,9 +355,28 @@ object Stats {
       .withColumn("cm", contribMicros)
       .groupBy(col("n_a"), col("n_b"), col("n"))
       .agg(sum(col("cm")).as("chi2_micros"))
+  }
+
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame =
+    chiSquareWide(spark, dir)
       .select(
         (col("chi2_micros") / 1e6).as("chi2"),
         ((col("n_a") - 1) * (col("n_b") - 1)).cast("long").as("dof"),
         col("n").cast("long").as("n"))
-  }
+
+  /** Cramér's V effect size for the same priority × segment table —
+    * the [0,1] strength number the chi-square statistic (which grows
+    * with n) cannot give: V = √(χ²/(n·(min(r,c)−1))). Same single
+    * aggregate as [[chiSquareIndependence]]; one final fixed-shape
+    * formula. Output: (chi2, n, v rounded 6).
+    */
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    chiSquareWide(spark, dir)
+      .select(
+        (col("chi2_micros") / 1e6).as("chi2"),
+        col("n").cast("long").as("n"),
+        round(sqrt((col("chi2_micros") / 1e6) /
+          (col("n").cast("double") *
+            (least(col("n_a"), col("n_b")) - 1).cast("double"))), 6)
+          .as("v"))
 }

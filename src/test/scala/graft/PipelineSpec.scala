@@ -359,6 +359,51 @@ class PipelineSpec extends SparkSpec {
     assert(sizes.values.forall(_ == 50))
   }
 
+  test("k-center coreset replays the driver-side greedy traversal") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val mag = math.sqrt(s)
+        (r.getLong(0), if (mag == 0.0) v else v.map(_ / mag))
+      }.sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val byId = vecs.toMap
+    var centers = Vector((vecs.head._1, 0.0))
+    while (centers.length < 8) {
+      val picked = centers.map(_._1).toSet
+      val best = vecs
+        .map { case (id, v) =>
+          val md = centers.map { case (cid, _) =>
+            r6(1.0 - math.max(dot(v, byId(cid)), 0.0))
+          }.min
+          (id, md)
+        }
+        .maxBy { case (id, md) => (md, -id) }
+      assert(!picked(best._1), "greedy re-picked a center")
+      centers = centers :+ best
+    }
+    val expect = centers.zipWithIndex
+      .map { case ((id, r), i) => (i + 1L, id, r) }
+    val got = graft.operators.Pipeline.kCenterCoreset(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toVector
+    assert(got == expect)
+    // covering radius is non-increasing down the greedy picks
+    got.drop(1).map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, s"radius grew: $a -> $b")
+      case _ => ()
+    }
+  }
+
   test("sequence packing: contiguous token stream, consistent seq spans") {
     val budget = 512L
     val rows = graft.operators.Pipeline.packSequences(spark, sf0001)

@@ -164,6 +164,21 @@ class StatsSpec extends SparkSpec {
     assert(u2 == expU2, s"$u2 vs $expU2")
   }
 
+  test("Cramér's V derives from the chi-square aggregate; bounded [0,1]") {
+    val chi = graft.operators.Stats.chiSquareIndependence(spark, sf0001)
+      .head()
+    val (chi2, n) = (chi.getDouble(0), chi.getLong(2))
+    val row = graft.operators.Stats.cramersV(spark, sf0001).head()
+    assert(row.getDouble(0) == chi2)
+    assert(row.getLong(1) == n)
+    val v = row.getDouble(2)
+    assert(v >= 0.0 && v <= 1.0, s"V out of range: $v")
+    // priority x segment has 5 rows/5 cols -> min-1 = 4
+    val expect = BigDecimal(math.sqrt(chi2 / (n.toDouble * 4.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(v == expect, s"$v vs $expect")
+  }
+
   test("Spearman length-vs-quality replays driver-side tie-averaged rank correlation") {
     val got = graft.operators.Stats.spearmanLengthQuality(spark, sf0001)
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
