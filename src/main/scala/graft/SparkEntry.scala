@@ -545,6 +545,12 @@ object SparkEntry {
     // median-of-pairwise-slopes robust trend over the daily rollup;
     // integer slope quantization + the x2 exact-median trick
     "events_theilsen_trend" -> ((s, d) => EventOps.theilSenTrend(s, d)),
+    // first/last-touch revenue attribution: BOTH models from one
+    // user-partitioned window pass, exact cents
+    "events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
+    // embedding-dedup threshold tuning sheet over the memoized >= 0.4
+    // exact pair relation: six conditional sums, map-side unpivot
+    "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     // ACF lags 1..7 of the daily series (exact integer moments via
     // the n-cleared mean; consecutive-observation lag indexing)
     "events_autocorrelation" -> ((s, d) => EventOps.autocorrelation(s, d)),
@@ -3803,6 +3809,56 @@ object SparkEntry {
              round(r.l + CAST(3.0 AS DOUBLE) * r.b + r.s[3], 6)
                AS forecast_h3
       FROM rec r JOIN nn USING (event_type) WHERE r.i = nn.nd""",
+
+    // same strict (ts, event_id) row-order window; IGNORE NULLS
+    // first/last over the unbounded-preceding frame, exact cents
+    "events_attribution" -> s"""
+      WITH e AS (SELECT user_id, ts, event_id, event_type,
+                        ${c100("value")} AS c,
+                        CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END AS touch
+                 FROM events),
+      conv AS (SELECT event_type, c,
+                 first_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS first_touch,
+                 last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+               FROM e),
+      p AS (SELECT * FROM conv WHERE event_type = 'purchase')
+      SELECT 'first_touch' AS model, coalesce(first_touch, 'none') AS channel,
+             CAST(count(*) AS BIGINT) AS n_conversions,
+             CAST(sum(c) AS BIGINT) AS revenue_cents
+      FROM p GROUP BY 2
+      UNION ALL
+      SELECT 'last_touch', coalesce(last_touch, 'none'),
+             CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+      FROM p GROUP BY 2""",
+
+    // same >= 0.4 pair relation as neardup_embedding; per-threshold
+    // conditional counts
+    "dedup_threshold_curve" -> """
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM e),
+      p AS (SELECT * FROM (
+              SELECT round(greatest(
+                       list_sum(list_transform(list_zip(a.nv, b.nv),
+                                z -> z[1]*z[2])), 0), 6) AS sim
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            WHERE sim >= 0.4)
+      SELECT CAST(t AS DOUBLE) AS threshold,
+             CAST(sum(CASE WHEN sim >= CAST(t AS DOUBLE) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pairs
+      FROM p CROSS JOIN (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
+      GROUP BY 1""",
 
     // pairwise slopes over the daily rollup quantized to integer
     // 1e-4-cent/day units, x2 exact-interpolated median, one division

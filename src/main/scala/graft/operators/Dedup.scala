@@ -665,6 +665,27 @@ object Dedup {
       threshold: Double = 0.4): DataFrame =
     embeddingNearDupExactNormalized(normalizedEmbeddings(spark, dir), threshold)
 
+  /** The threshold-tuning sheet for embedding dedup: surviving pair
+    * counts at each candidate cosine cut — the curve an engineer reads
+    * before committing a dedup threshold (too low merges distinct
+    * docs, too high leaks near-dups; the knee is data-dependent).
+    * One pass over the ≥ 0.4 exact pair relation (already mined and
+    * memoized for [[embeddingNearDupExact]]), six conditional sums,
+    * unpivoted map-side. Output: (threshold, n_pairs), 6 rows.
+    */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingNearDupExact(spark, dir).select(col("sim"))
+    val ts = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val aggs = ts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("sim") >= t, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val wide = pairs.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = ts.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), c$i" }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${ts.size}, $stackArgs) AS (threshold, n_pairs)")
+  }
+
   /** [[embeddingNearDupExact]] over an already-normalized (vec_id, nv)
     * table — also the brute-force yardstick DedupSpec scores the LSH
     * leg against on the planted table.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -913,6 +913,47 @@ object EventOps {
       round(col("st").getField("l") +
         lit(h.toDouble) * col("st").getField("b") +
         element_at(col("st").getField("s"), h), 6).as(s"forecast_h$h"))
+  }
+
+  /** Marketing-style revenue attribution: every `purchase` conversion
+    * credits its user's FIRST and LAST preceding touch (`click`/`view`)
+    * — the two classic single-touch models, reported side by side per
+    * channel (plus `none` for touchless conversions). "Preceding" is
+    * strict (ts, event_id) row order, so simultaneous events resolve
+    * deterministically.
+    *
+    * Plan: ONE window pass over the user-partitioned event stream
+    * computes both models (first/last ignore-null over the unbounded-
+    * preceding frame) — no self-join of touches × conversions; then one
+    * rollup per model, unioned. Exact cent arithmetic.
+    *
+    * Scale shape: the window partitions by user_id (hash-distributed,
+    * no global order); state per row is two running values. At 100 TB
+    * this is the same one-shuffle sessionization shape as
+    * [[sessionize]]. Output: (model, channel, n_conversions,
+    * revenue_cents).
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), cents(col("value")).as("c"))
+      .withColumn("touch",
+        when(col("event_type").isin("click", "view"), col("event_type")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val conv = e
+      .withColumn("first_touch", first(col("touch"), ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    def roll(model: String, touch: Column): DataFrame =
+      conv.groupBy(coalesce(touch, lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("c")).as("revenue_cents"))
+        .select(lit(model).as("model"), col("channel"),
+          col("n_conversions"), col("revenue_cents"))
+    roll("first_touch", col("first_touch"))
+      .unionAll(roll("last_touch", col("last_touch")))
   }
 
   /** Theil-Sen robust trend per event type: the MEDIAN of all pairwise

@@ -389,4 +389,27 @@ class DedupSpec extends SparkSpec {
     }
     assert(rows.exists(_._2 == "core") && rows.exists(_._2 == "noise"))
   }
+
+  test("threshold curve: non-increasing counts anchored to the pair relation") {
+    val curve = graft.operators.Dedup.thresholdCurve(spark, sf0001)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq ==
+      Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    // monotone: raising the cut can only drop pairs
+    curve.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2, s"curve rose: $a -> $b")
+      case _ => ()
+    }
+    // the 0.4 anchor IS the declared near-dup pair relation's size
+    val pairs = graft.operators.Dedup
+      .embeddingNearDupExact(spark, sf0001).count()
+    assert(curve.head._2 == pairs, s"${curve.head._2} vs $pairs")
+    // per-threshold counts replay against the sim column
+    val sims = graft.operators.Dedup.embeddingNearDupExact(spark, sf0001)
+      .select("sim").collect().map(_.getDouble(0))
+    curve.foreach { case (t, n) =>
+      assert(n == sims.count(_ >= t), s"t=$t")
+    }
+  }
 }

@@ -600,6 +600,48 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("attribution replays a driver-side first/last-touch walk") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), t.getEpochSecond * 1000000000L + t.getNano,
+          r.getLong(2), r.getString(3), r.getLong(4))
+      }
+    val models = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)].withDefaultValue((0L, 0L))
+    evs.groupBy(_._1).foreach { case (_, g) =>
+      val seq = g.sortBy(e => (e._2, e._3))
+      var firstT: Option[String] = None
+      var lastT: Option[String] = None
+      seq.foreach { case (_, _, _, tpe, c) =>
+        if (tpe == "purchase") {
+          val f = firstT.getOrElse("none")
+          val l = lastT.getOrElse("none")
+          val (nf, rf) = models(("first_touch", f))
+          models(("first_touch", f)) = (nf + 1, rf + c)
+          val (nl, rl) = models(("last_touch", l))
+          models(("last_touch", l)) = (nl + 1, rl + c)
+        }
+        if (tpe == "click" || tpe == "view") {
+          if (firstT.isEmpty) firstT = Some(tpe)
+          lastT = Some(tpe)
+        }
+      }
+    }
+    val got = graft.operators.EventOps.attribution(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got == models.toMap)
+    // both models conserve total conversions and revenue
+    val byModel = got.groupBy(_._1._1).view
+      .mapValues(_.values.map(_._2).sum).toMap
+    assert(byModel("first_touch") == byModel("last_touch"))
+  }
+
   test("Theil-Sen trend replays the driver-side pairwise-slope median") {
     val daily = Tables.events(spark, sf0001)
       .select(col("event_type"),

@@ -108,4 +108,22 @@ class ScaleSpec extends SparkSpec {
     assert(wide > narrow,
       s"wider codes must out-rank the sign code at 10x: $wide vs $narrow")
   }
+
+  test("OPQ at 10x: rotated codebooks hold recall on clustered data") {
+    import spark.implicits._
+    val gt = knn.ExactKnn.topKBatchSampled(spark, dir10x)
+      .select("qid", "vec_id")
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      operators.Evaluation.recall(df.select("qid", "vec_id"), gt)
+        .as[Double].head()
+    // the clustered generator is exactly the anisotropic regime the
+    // eigenvalue-allocation rotation exists for: OPQ must hold the
+    // family gate and not regress materially against plain PQ
+    val pq = recallOf(knn.PqKnn.topKBatch(spark, dir10x))
+    val opq = recallOf(knn.OpqKnn.topKBatch(spark, dir10x))
+    info(s"recall@10 at 10x: pq=$pq opq=$opq")
+    assert(opq >= 0.6, s"OPQ recall at 10x = $opq")
+    assert(opq >= pq - 0.05,
+      s"rotation must not cost recall at 10x: opq=$opq vs pq=$pq")
+  }
 }
