@@ -115,6 +115,8 @@ object Bench {
         () => knn.PqKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_ivfpq_ckpt",
         () => knn.IvfPqKnn.topKBatchLifecycle(spark, sfDir).count()),
+      timed("bench_build_opq_ckpt",
+        () => SparkEntry.queries("knn_opq_lifecycle")(spark, sfDir).count()),
       timed("bench_build_pca_ckpt",
         () => knn.PcaKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_langid",

@@ -222,6 +222,9 @@ object SparkEntry {
     // OPQ: eigenvalue-allocation rotation in front of the PQ substrate
     // — balanced-variance subspaces, same ADC scan + exact re-rank
     "knn_opq_batch" -> opqBatch,
+    // rotation + codebooks + codes -> save -> load -> search, bit-equal
+    // to the in-memory index (shares knn_opq_batch's literal pin)
+    "knn_opq_lifecycle" -> ((s, d) => OpqKnn.topKBatchLifecycle(s, d)),
     "eval_recall_opq" -> ((s, d) => Evaluation.recall(
       opqBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
@@ -677,6 +680,9 @@ object SparkEntry {
     // not SQL-expressible -> rows-only, TextOpsSpec pins a reference
     // encoder replay
     "text_bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
+    // token economics of the three tokenizers (whitespace/BPE/unigram)
+    // off the memoized encode relations; literal-pinned
+    "text_tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(s, d)),
     // left-outer stream-stream interval join EXECUTED BY the streaming
     // engine: unmatched errors emit null-padded from the join state
     // when the sentinel-driven watermark passes their horizon
@@ -1985,6 +1991,9 @@ object SparkEntry {
       SELECT * FROM (VALUES (CAST(0.8 AS DOUBLE))) AS t("recall")""",
 
     "eval_recall_pq" -> """
+      SELECT * FROM (VALUES (CAST(1.0 AS DOUBLE))) AS t("recall")""",
+
+    "eval_recall_opq" -> """
       SELECT * FROM (VALUES (CAST(1.0 AS DOUBLE))) AS t("recall")""",
 
     "eval_recall_rp" -> """

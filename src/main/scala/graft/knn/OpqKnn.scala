@@ -85,4 +85,68 @@ object OpqKnn {
       .select(col("vec_id"), col("pvec").as("emb"))
     PqKnn.searchCodesWith(cb, codes, rQueries, base, queries, k, overfetch)
   }
+
+  /** Persist the OPQ index: the rotation as tiny (r, vec) rows (the
+    * PCA-basis layout), codebooks + codes through the PQ checkpoint
+    * format — the full index a serving fleet reloads without touching
+    * raw embeddings except to re-rank survivors.
+    */
+  def saveIndex(rot: Array[Array[Double]], cb: PqKnn.PqCodebooks,
+      codes: DataFrame, path: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    rot.zipWithIndex.map { case (row, r) => (r, row.toSeq) }.toSeq
+      .toDF("r", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    PqKnn.saveIndex(cb, codes, s"$path/pq")
+  }
+
+  /** Reload a [[saveIndex]] checkpoint: rotation rows driver-side
+    * (d×d doubles — tiny), codes stay distributed.
+    */
+  def loadIndex(spark: SparkSession, path: String)
+      : (Array[Array[Double]], PqKnn.PqCodebooks, DataFrame) = {
+    import spark.implicits._
+    val rot = spark.read.parquet(s"$path/rotation").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+    val (cb, codes) = PqKnn.loadIndex(spark, s"$path/pq")
+    (rot, cb, codes)
+  }
+
+  /** Declared OPQ LIFECYCLE (train rotation + codebooks → save → load
+    * → search), extending the checkpoint surface to the rotated
+    * family. Bit-equal to [[topKBatch]] by construction (same scan
+    * body over the reloaded artifacts); OpqKnnSpec pins the equality
+    * and the declared row shares knn_opq_batch's literal oracle.
+    */
+  def topKBatchLifecycle(spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val path = IndexCache.getOrBuild(spark, s"opq-ckpt:$dir:$m:$ksub") {
+      val rot = rotation(spark, dir, m)
+      val (cb, codes) = IndexCache.getOrBuild(spark, s"opq:$dir:$m:$ksub") {
+        val rBase = RandomProjection.project(base, rot)
+          .select(col("vec_id"), col("pvec").as("emb"))
+        val b = PqKnn.trainCodebooks(rBase, m, ksub)
+        val enc = PqKnn.encode(rBase, b)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        enc.count()
+        (b, enc)
+      }
+      val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft-opq-lifecycle-${Integer.toHexString(dir.hashCode)}-$m-$ksub"
+      saveIndex(rot, cb, codes, p)
+      p
+    }
+    val (rot, cb, codes) = IndexCache.getOrBuild(spark,
+      s"opq-reloaded:$dir:$m:$ksub") {
+      val (r, c, enc0) = loadIndex(spark, path)
+      val enc = enc0.persist(StorageLevel.MEMORY_AND_DISK)
+      enc.count()
+      (r, c, enc)
+    }
+    val rQueries = RandomProjection.project(queries, rot)
+      .select(col("vec_id"), col("pvec").as("emb"))
+    PqKnn.searchCodesWith(cb, codes, rQueries, base, queries, k, overfetch)
+  }
 }

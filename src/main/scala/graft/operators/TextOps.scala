@@ -1650,6 +1650,36 @@ object TextOps {
       }.toDF("doc_id", "n_words", "n_unigram_tokens")
   }
 
+  /** Tokenizer fertility sheet: corpus-level token economics of the
+    * three tokenizers this engine trains/serves — whitespace words,
+    * the BPE encoder, the unigram-LM encoder — as (tokenizer,
+    * total_tokens, tokens_per_100_words). Fertility (tokens emitted
+    * per word) is THE number that prices a corpus in training compute
+    * under a given tokenizer; comparing the two learned tokenizers at
+    * equal vocab budget is how one gets picked.
+    *
+    * Exactness: integer token totals from the (memoized, literal-
+    * pinned) encode relations; the ratio quantizes ×100 with one
+    * division per row. Scale: three already-built map-only encodes,
+    * one tiny aggregate each. Declared with a generated-literal
+    * oracle — the encodes are pure functions of the frozen corpus.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    def rowOf(name: String, df: DataFrame, tokCol: String): DataFrame =
+      df.agg(sum(col("n_words")).as("w"), sum(col(tokCol)).as("t"))
+        .select(lit(name).as("tokenizer"),
+          col("t").cast("long").as("total_tokens"),
+          round(col("t").cast("double") * 100.0 /
+            col("w").cast("double"), 6).as("tokens_per_100_words"))
+    val bpe = bpeEncode(spark, dir)
+    rowOf("whitespace",
+        bpe.select(col("n_words"), col("n_words").as("n_ws_tokens")),
+        "n_ws_tokens")
+      .unionAll(rowOf("bpe", bpe, "n_bpe_tokens"))
+      .unionAll(rowOf("unigram", unigramEncode(spark, dir),
+        "n_unigram_tokens"))
+  }
+
   /** Fixed-size overlapping document chunking — the RAG/window-prep
     * primitive: `chunkSize`-word windows advancing by
     * `chunkSize - overlap`, the final chunk allowed short. Map-only:

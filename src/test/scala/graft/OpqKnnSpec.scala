@@ -39,6 +39,12 @@ class OpqKnnSpec extends SparkSpec {
     assert(joined.filter(col("dist") =!= col("edist")).count() == 0)
   }
 
+  test("opq lifecycle: reloaded checkpoint answers bit-identically") {
+    val live = OpqKnn.topKBatch(spark, sf0001).collect().toSet
+    val reloaded = OpqKnn.topKBatchLifecycle(spark, sf0001).collect().toSet
+    assert(reloaded == live)
+  }
+
   test("opq: recall@10 vs exact >= 0.7; deterministic reruns") {
     val opq = OpqKnn.topKBatch(spark, sf0001).select("qid", "vec_id")
     val exact = ExactKnn.topKBatch(spark, sf0001).select("qid", "vec_id")

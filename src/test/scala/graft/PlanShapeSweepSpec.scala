@@ -44,6 +44,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_pmi_collocations",      // 1-row bigram-total attach
     "graph_degree_distribution",  // 1-row node-total attach
     "stats_ks_quality",           // 1-row (n_a, n_b) totals attach
+    "text_qlm_topk",              // 1-row corpus-stats attach
     "text_bm25_prf",              // 1-row corpus-stats attach (the
                                   // text_bm25_general shape, twice)
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
