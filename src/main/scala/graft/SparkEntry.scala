@@ -551,6 +551,11 @@ object SparkEntry {
     // first/last-touch revenue attribution: BOTH models from one
     // user-partitioned window pass, exact cents
     "events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
+    // the same attribution EXECUTED BY the streaming engine: per-user
+    // credit rows emitted from keyed state at watermark eviction
+    // (shares events_attribution's oracle)
+    "events_attribution_streamed" ->
+      ((s, d) => streaming.EventStream.attributionStreamed(s, d)),
     // embedding-dedup threshold tuning sheet over the memoized >= 0.4
     // exact pair relation: six conditional sums, map-side unpivot
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
@@ -3822,6 +3827,34 @@ object SparkEntry {
     // same strict (ts, event_id) row-order window; IGNORE NULLS
     // first/last over the unbounded-preceding frame, exact cents
     "events_attribution" -> s"""
+      WITH e AS (SELECT user_id, ts, event_id, event_type,
+                        ${c100("value")} AS c,
+                        CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END AS touch
+                 FROM events),
+      conv AS (SELECT event_type, c,
+                 first_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS first_touch,
+                 last_value(touch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+               FROM e),
+      p AS (SELECT * FROM conv WHERE event_type = 'purchase')
+      SELECT 'first_touch' AS model, coalesce(first_touch, 'none') AS channel,
+             CAST(count(*) AS BIGINT) AS n_conversions,
+             CAST(sum(c) AS BIGINT) AS revenue_cents
+      FROM p GROUP BY 2
+      UNION ALL
+      SELECT 'last_touch', coalesce(last_touch, 'none'),
+             CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT)
+      FROM p GROUP BY 2""",
+
+    // the streaming-executed twin answers the SAME question (keyed
+    // state, strict-order replay at watermark eviction) -> same oracle
+    "events_attribution_streamed" -> s"""
       WITH e AS (SELECT user_id, ts, event_id, event_type,
                         ${c100("value")} AS c,
                         CASE WHEN event_type IN ('click', 'view')

@@ -801,6 +801,101 @@ object EventStream {
     out
   }
 
+  case class AttState(us: Seq[Long], ids: Seq[Long], types: Seq[String],
+    cs: Seq[Long])
+  case class AttOut(user_id: Long, model: String, channel: String, c: Long)
+
+  /** Keyed-state streaming ATTRIBUTION: each user's history accumulates
+    * in group state and, when the sentinel-driven watermark fires the
+    * event-time timeout, replays in strict (ts, event_id) order — every
+    * `purchase` emits one first-touch and one last-touch credit row,
+    * exactly the batch [[graft.operators.EventOps.attribution]] walk.
+    * The [[ewmaStream]] discipline (same cents rounding, same timeout
+    * shape) with a two-register walk instead of a fold.
+    */
+  def attributionStream(events: Dataset[Ev]): Dataset[AttOut] = {
+    import events.sparkSession.implicits._
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def update(uid: Long, rows: Iterator[Ev],
+        state: GroupState[AttState]): Iterator[AttOut] = {
+      if (state.hasTimedOut) {
+        val out = state.getOption.map { s =>
+          val hist = s.us.lazyZip(s.ids).lazyZip(s.types).lazyZip(s.cs)
+            .toSeq.sortBy(t => (t._1, t._2))
+          var firstT = "none"; var lastT = "none"
+          val buf = scala.collection.mutable.ArrayBuffer.empty[AttOut]
+          hist.foreach { case (_, _, tpe, c) =>
+            if (tpe == "purchase") {
+              buf += AttOut(uid, "first_touch", firstT, c)
+              buf += AttOut(uid, "last_touch", lastT, c)
+            }
+            if (tpe == "click" || tpe == "view") {
+              if (firstT == "none") firstT = tpe
+              lastT = tpe
+            }
+          }
+          buf.iterator
+        }.getOrElse(Iterator.empty)
+        state.remove()
+        return out
+      }
+      val buf = rows.toSeq
+      val prev = state.getOption.getOrElse(AttState(Nil, Nil, Nil, Nil))
+      val next = AttState(prev.us ++ buf.map(e => micros(e.ts)),
+        prev.ids ++ buf.map(_.event_id),
+        prev.types ++ buf.map(_.event_type),
+        prev.cs ++ buf.map(e => BigDecimal(e.value * 100)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong))
+      state.update(next)
+      state.setTimeoutTimestamp(next.us.max / 1000L + 60000L)
+      Iterator.empty
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** The declared STREAMING-EXECUTED attribution (shares
+    * `events_attribution`'s oracle): fixture events + the watermark
+    * sentinel flow through the file stream source into
+    * [[attributionStream]]'s keyed state; each user's credit rows are
+    * produced BY the streaming engine at state eviction, and only the
+    * tiny cross-user (model, channel) rollup runs on the sink output —
+    * the same split as the sessionization rows (per-user semantics in
+    * the stream, final shaping in batch).
+    */
+  def attributionStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stagedSessionsDir(spark, dir)
+    val name = s"graft_attribution_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 4) {
+      val q = attributionStream(
+          readEventsStreamConfigured(spark, staged)
+            .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+            .as[Ev])
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          ckptDir("graft-ckpt-attribution-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name).filter(col("user_id") =!= -1L)
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("c")).as("revenue_cents"))
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Watermarked streaming sessionization via the NATIVE session_window
     * aggregate (the declarative sibling of [[sessionize]]'s keyed-state
     * form): sessions merge inside the aggregation and close — emit in

@@ -443,6 +443,18 @@ class EventStreamSpec extends SparkSpec {
       s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("streamed attribution equals the batch two-register walk") {
+    val streamed = EventStream.attributionStreamed(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.operators.EventOps.attribution(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("kafka wire contract: shaping a kafka-schema frame yields the " +
       "events schema and values the file source would produce") {
     // broker-free: build a static frame with Spark's published Kafka
