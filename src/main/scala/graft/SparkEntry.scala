@@ -465,6 +465,10 @@ object SparkEntry {
     // random walk with restart from the min-user seed: sparse rank
     // frame (only reached nodes), per-round 9dp quantization
     "graph_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
+    // per-node local clustering coefficient: corner-exploded ordered
+    // triangle enumeration + degree rollup, one final division
+    "graph_clustering_coeff" ->
+      ((s, d) => GraphOps.clusteringCoefficient(s, d)),
     // Adamic-Adar link prediction: 2-path expansion x broadcast degree
     // relation, integer micro-unit contributions, TakeOrdered top-k
     "graph_link_prediction" -> ((s, d) => GraphOps.linkPrediction(s, d)),
@@ -548,6 +552,10 @@ object SparkEntry {
     // median-of-pairwise-slopes robust trend over the daily rollup;
     // integer slope quantization + the x2 exact-median trick
     "events_theilsen_trend" -> ((s, d) => EventOps.theilSenTrend(s, d)),
+    // additive seasonal decomposition: centered-7 MA detrend (integer
+    // cent sums), micro-quantized detrended values, per-slot means
+    "events_seasonal_decompose" ->
+      ((s, d) => EventOps.seasonalDecompose(s, d)),
     // first/last-touch revenue attribution: BOTH models from one
     // user-partitioned window pass, exact cents
     "events_attribution" -> ((s, d) => EventOps.attribution(s, d)),
@@ -3902,6 +3910,34 @@ object SparkEntry {
       FROM p CROSS JOIN (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
       GROUP BY 1""",
 
+    // centered-7 ROWS moving average over the daily rollup (integer
+    // cent sums, full windows only), micro-quantized detrended values,
+    // one division per output row
+    "events_seasonal_decompose" -> s"""
+      WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                         AS day,
+                       ${c100("value")} AS c
+                     FROM events),
+      d2 AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS dc
+             FROM daily GROUP BY 1, 2),
+      ma AS (SELECT event_type, day, dc,
+               CAST(sum(dc) OVER w AS BIGINT) AS t7,
+               CAST(count(*) OVER w AS BIGINT) AS nw
+             FROM d2
+             WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      det AS (SELECT event_type, day % 7 AS weekday,
+                CAST(round((CAST(dc AS DOUBLE) / 100.0
+                  - CAST(t7 AS DOUBLE) / 700.0) * 1000000) AS BIGINT)
+                  AS det6
+              FROM ma WHERE nw = 7)
+      SELECT event_type, weekday,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(CAST(sum(det6) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS seasonal
+      FROM det GROUP BY 1, 2""",
+
     // pairwise slopes over the daily rollup quantized to integer
     // 1e-4-cent/day units, x2 exact-interpolated median, one division
     "events_theilsen_trend" -> s"""
@@ -4171,6 +4207,32 @@ object SparkEntry {
              CAST(round(CAST(n_nodes AS DOUBLE) * 1000 / tn) AS BIGINT)
                AS permille
       FROM hist CROSS JOIN t""",
+
+    // same ordered x<y<z triangle enumeration exploded to corners;
+    // exact integers until one final division
+    "graph_clustering_coeff" -> """
+      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                  FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+            JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      corners AS (SELECT node, count(*) AS n_tri FROM (
+                    SELECT x AS node FROM t
+                    UNION ALL SELECT y FROM t
+                    UNION ALL SELECT z FROM t) GROUP BY 1),
+      deg AS (SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1)
+      SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+             CAST(coalesce(c.n_tri, 0) AS BIGINT) AS n_triangles,
+             round(CAST(2.0 AS DOUBLE) * CAST(coalesce(c.n_tri, 0) AS DOUBLE)
+               / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coeff
+      FROM deg d LEFT JOIN corners c USING (node)
+      WHERE d.deg >= 2""",
 
     // bounded WITH RECURSIVE walk, UNION-dedup on (node, hop), then
     // min(hop) per node — the same BFS the frontier loop computes

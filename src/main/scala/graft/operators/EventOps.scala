@@ -915,6 +915,46 @@ object EventOps {
         element_at(col("st").getField("s"), h), 6).as(s"forecast_h$h"))
   }
 
+  /** Classical additive seasonal decomposition (period 7) of the daily
+    * revenue series per type — the weekly-shape profile next to
+    * [[seasonality]]'s raw weekday means and [[holtWintersForecast]]'s
+    * adaptive ring: detrend with a centered 7-row moving average (full
+    * windows only), then average the detrended values per cyclical
+    * weekday slot. A slot's index is how far above/below trend that
+    * weekday sits — the profile a capacity planner reads.
+    *
+    * Determinism: the MA stays an integer cent sum; each day's
+    * detrended value quantizes to micro-dollars (one fixed-shape
+    * double expression) BEFORE the per-slot mean — order-free exact
+    * sums, one division per output row. Consecutive-ROW windows (the
+    * autocorrelation discipline: calendar gaps don't misalign frames,
+    * they just widen the MA's span).
+    *
+    * Scale shape: windows + rollup over the DAYS-sized daily relation.
+    * Output: (event_type, weekday, n_days, seasonal rounded 6).
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("t7", sum(col("dc")).over(w))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === 7)
+      .withColumn("det6",
+        round((col("dc").cast("double") / 100.0 -
+          col("t7").cast("double") / 700.0) * 1e6, 0).cast("long"))
+      .groupBy(col("event_type"), (col("day") % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        round(sum(col("det6")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("seasonal"))
+  }
+
   /** Marketing-style revenue attribution: every `purchase` conversion
     * credits its user's FIRST and LAST preceding touch (`click`/`view`)
     * — the two classic single-touch models, reported side by side per

@@ -414,6 +414,40 @@ object GraphOps {
     nE.crossJoin(nT)
   }
 
+  /** Per-node local clustering coefficient on the co-purchase graph:
+    * coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — the
+    * "how clique-like is this node's neighborhood" number that
+    * separates community cores from bridge hubs (a hub with coeff≈0
+    * connects strangers; a core with coeff≈1 sits in a clique).
+    *
+    * Plan: the [[triangleCensus]] ordered enumeration (x<y<z, two
+    * equi-joins — never a cartesian) exploded to its three corners and
+    * counted per node, joined to the degree rollup. Exact integers up
+    * to one final division. Scale: same degree-bounded expansion as
+    * the census; corners triple the triangle relation, not the graph.
+    * Output: (node, deg, n_triangles, coeff rounded 6).
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val edges = copurchaseEdges(spark, dir, minShared)
+    val tri = edges.toDF("x", "y")
+      .join(edges.toDF("y", "z"), Seq("y"))
+      .join(edges.toDF("x", "z"), Seq("x", "z"))
+    val corners = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("coeff"))
+  }
+
   /** One LARGE-STAR round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"): every node links its strictly-LARGER
     * neighbors to the minimum of its closed neighborhood. One groupBy

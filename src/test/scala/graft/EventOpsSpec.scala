@@ -600,6 +600,42 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("seasonal decomposition replays a driver-side MA-detrend") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).flatMap { case (t, g) =>
+      val s = g.sortBy(_._2)
+      (3 until s.length - 3).map { i =>
+        val t7 = (i - 3 to i + 3).map(j => s(j)._3).sum
+        // HALF_UP away from zero — the engines' round; math.round
+        // would round negative halves toward +inf and diverge
+        val det6 = BigDecimal((s(i)._3.toDouble / 100.0 -
+          t7.toDouble / 700.0) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (t, s(i)._2 % 7, det6)
+      }
+    }.groupBy(x => (x._1, x._2)).map { case ((t, wd), ds) =>
+      val sum6 = ds.map(_._3).sum
+      (t, wd, ds.size.toLong,
+        BigDecimal(sum6.toDouble / ds.size / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = graft.operators.EventOps.seasonalDecompose(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+    // every cyclical slot is represented for every type with >= 13 days
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      assert(rows.map(_._2) == (0L to 6L).toSet, s"$t missing slots")
+    }
+  }
+
   test("attribution replays a driver-side first/last-touch walk") {
     val evs = Tables.events(spark, sf0001)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),

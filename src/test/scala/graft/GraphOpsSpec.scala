@@ -245,6 +245,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(pm - 1000L) <= rows.length, s"permille sum $pm")
   }
 
+  test("clustering coefficient replays a driver-side neighborhood count") {
+    val edges = GraphOps.copurchaseEdges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+    val expect = adj.toSeq.filter(_._2.size >= 2).map { case (n, nb) =>
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a)(b) }
+      val coeff = BigDecimal(2.0 * tri /
+        (nb.size.toLong * (nb.size - 1)).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (n, nb.size.toLong, tri.toLong, coeff)
+    }.toSet
+    val got = GraphOps.clusteringCoefficient(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+    got.foreach { case (_, _, _, c) => assert(c >= 0.0 && c <= 1.0) }
+  }
+
   test("personalized pagerank matches a driver-side restart walk exactly") {
     val events = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_type")).collect()
