@@ -92,6 +92,10 @@ object Bench {
         () => SparkEntry.queries("knn_ivfpq_batch")(spark, sfDir).count()),
       timed("bench_build_opq",
         () => SparkEntry.queries("knn_opq_batch")(spark, sfDir).count()),
+      timed("bench_build_vamana",
+        () => SparkEntry.queries("knn_vamana_batch")(spark, sfDir).count()),
+      timed("bench_build_vamana_ckpt",
+        () => SparkEntry.queries("knn_vamana_lifecycle")(spark, sfDir).count()),
       timed("bench_build_rp",
         () => SparkEntry.queries("knn_rp_batch")(spark, sfDir).count()),
       timed("bench_build_pca",

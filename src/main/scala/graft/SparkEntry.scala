@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, OpqKnn, PcaKnn, PqKnn, RandomProjection, SqKnn}
+import graft.knn.{BinaryQuantKnn, ExactKnn, HnswKnn, IvfKnn, IvfPqKnn, MatryoshkaKnn, OpqKnn, PcaKnn, PqKnn, RandomProjection, SqKnn, VamanaKnn}
 import graft.operators.{Dedup, EmbeddingStats, Evaluation, EventOps, GraphOps, HybridSearch, Multimodal, Pipeline, Profiling, Relational, ScaleTechniques, Stats, TemporalJoins, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,6 +65,7 @@ object SparkEntry {
   private val ivfBatch   = memoBatch("ivf", IvfKnn.topKBatch(_, _))
   private val pqBatch    = memoBatch("pq", PqKnn.topKBatch(_, _))
   private val opqBatch   = memoBatch("opq", OpqKnn.topKBatch(_, _))
+  private val vamanaBatch = memoBatch("vamana", VamanaKnn.topKBatch(_, _))
   private val ivfpqBatch = memoBatch("ivfpq", IvfPqKnn.topKBatch(_, _))
   private val rpBatch    = memoBatch("rp", RandomProjection.topKBatch(_, _))
   private val pcaBatch   = memoBatch("pca", PcaKnn.topKBatch(_, _))
@@ -225,6 +226,14 @@ object SparkEntry {
     // rotation + codebooks + codes -> save -> load -> search, bit-equal
     // to the in-memory index (shares knn_opq_batch's literal pin)
     "knn_opq_lifecycle" -> ((s, d) => OpqKnn.topKBatchLifecycle(s, d)),
+    // Vamana (DiskANN family): flat alpha-pruned graph per shard, the
+    // HnswKnn scatter-gather harness with a different index inside
+    "knn_vamana_batch" -> vamanaBatch,
+    "knn_vamana_lifecycle" ->
+      ((s, d) => VamanaKnn.topKBatchLifecycle(s, d)),
+    "eval_recall_vamana" -> ((s, d) => Evaluation.recall(
+      vamanaBatch(s, d).select("qid", "vec_id"),
+      ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
     "eval_recall_opq" -> ((s, d) => Evaluation.recall(
       opqBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),
@@ -2007,6 +2016,9 @@ object SparkEntry {
       SELECT * FROM (VALUES (CAST(1.0 AS DOUBLE))) AS t("recall")""",
 
     "eval_recall_opq" -> """
+      SELECT * FROM (VALUES (CAST(1.0 AS DOUBLE))) AS t("recall")""",
+
+    "eval_recall_vamana" -> """
       SELECT * FROM (VALUES (CAST(1.0 AS DOUBLE))) AS t("recall")""",
 
     "eval_recall_rp" -> """

@@ -1,0 +1,149 @@
+package graft.knn
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Vamana (DiskANN-family) ANN: the [[HnswKnn]] sharded
+  * scatter-gather layout with the flat α-pruned graph inside each
+  * shard. Same co-sharding rule (vec_id mod shards), same fixed
+  * partition placement, same streaming query replication — only the
+  * per-partition index differs, which is exactly the point: the shard
+  * harness is index-agnostic, so a new graph family costs one class.
+  *
+  * Scale notes: Vamana is the disk-native family — ONE flat adjacency
+  * per node means a shard graph serializes to a contiguous block and
+  * a 100 TB deployment pages neighborhoods off NVMe instead of
+  * holding layers in RAM (the DiskANN paper's operating point). The
+  * checkpoint written by [[saveIndex]] is that layout as a parquet
+  * blob table.
+  */
+object VamanaKnn {
+
+  @SerialVersionUID(1L)
+  case class VamanaShard(shard: Int, graph: VamanaIndex)
+  private implicit val shardEncoder: org.apache.spark.sql.Encoder[VamanaShard] =
+    org.apache.spark.sql.Encoders.kryo[VamanaShard]
+
+  final case class VamanaDistIndex(shards: Int, graphs: Dataset[VamanaShard]) {
+    @transient private var placedCache: org.apache.spark.rdd.RDD[(Int, VamanaIndex)] = _
+    def placed: org.apache.spark.rdd.RDD[(Int, VamanaIndex)] = synchronized {
+      if (placedCache == null)
+        placedCache = graphs.rdd.map(s => (s.shard, s.graph))
+          .partitionBy(new org.apache.spark.HashPartitioner(shards))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      placedCache
+    }
+    def persist(): VamanaDistIndex = { graphs.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); this }
+  }
+
+  /** Build one two-pass Vamana graph per shard (vec_id-mod routing,
+    * id-sorted inserts — bit-reproducible run to run).
+    */
+  def buildIndex(base: DataFrame, shards: Int = 16): VamanaDistIndex = {
+    import base.sparkSession.implicits._
+    VamanaDistIndex(shards, base.select(col("vec_id"), col("emb"))
+      .withColumn("shard", pmod(col("vec_id"), lit(shards)).cast("int"))
+      .as[(Long, Array[Double], Int)]
+      .groupByKey(_._3)
+      .mapGroups { (s, rows) =>
+        val sorted = rows.toArray.sortBy(_._1)
+        VamanaShard(s, new VamanaIndex()
+          .build(sorted.iterator.map(r => (r._1, r._2))))
+      })
+  }
+
+  /** Checkpoint the shard graphs as java-serialized parquet blobs —
+    * the [[HnswKnn.saveIndex]] layout.
+    */
+  def saveIndex(index: VamanaDistIndex, path: String): Unit = {
+    import index.graphs.sparkSession.implicits._
+    val n = index.shards
+    index.graphs.map { s =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(s.graph); oos.close()
+      (s.shard, n, bos.toByteArray)
+    }.toDF("shard", "n_shards", "graph_bytes")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadIndex(spark: SparkSession, path: String): VamanaDistIndex = {
+    import spark.implicits._
+    val stored = spark.read.parquet(path)
+    val n = stored.select("n_shards").head.getInt(0)
+    VamanaDistIndex(n, stored.select("shard", "graph_bytes")
+      .as[(Int, Array[Byte])].map { case (s, b) =>
+        val ois = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(b))
+        VamanaShard(s, ois.readObject().asInstanceOf[VamanaIndex])
+      })
+  }
+
+  /** Scatter-gather search: query rows replicate to every shard's
+    * fixed partition, walk the local flat graph, merge candidates
+    * through the bounded-heap top-k. No query vector visits the
+    * driver. Output: (qid, vec_id, dist rounded 6, rk).
+    */
+  def searchIndex(index: VamanaDistIndex, queries: DataFrame, k: Int,
+      ef: Int): DataFrame = {
+    val spark = index.graphs.sparkSession
+    import spark.implicits._
+    val nShards = index.shards
+    val qrep = queries.select(col("vec_id"), col("emb"))
+      .as[(Long, Array[Double])].rdd
+      .flatMap(q => Iterator.range(0, nShards).map(sh => (sh, q)))
+      .partitionBy(new org.apache.spark.HashPartitioner(nShards))
+    val cand = index.placed.zipPartitions(qrep) { (git, qit) =>
+      val graphs = git.map(_._2).toArray
+      qit.flatMap { case (_, (qid, qv)) =>
+        graphs.iterator.flatMap(g =>
+          g.search(qv, k, ef).iterator.map { case (id, d) => (qid, id, d) })
+      }
+    }
+    spark.createDataset(cand).toDF("qid", "vec_id", "dist")
+      .withColumn("dist", round(col("dist"), 6))
+      .transform(df => graft.plans.GraftOps.topKPerGroup(df, Seq("qid"),
+        Seq("dist" -> true, "vec_id" -> true), k))
+  }
+
+  /** One-shot build + batch search over the held-out queries — the
+    * family-standard declared shape.
+    */
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
+      ef: Int = 100, shards: Int = 16): DataFrame = {
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val index = graft.IndexCache.getOrBuild(spark, s"vamana:$dir:$shards") {
+      val ix = buildIndex(base, shards).persist()
+      ix.graphs.count()
+      ix
+    }
+    searchIndex(index, queries, k, ef)
+  }
+
+  /** Build → save → load → search with the RELOADED graphs, bit-equal
+    * to [[topKBatch]] (same search body; VamanaKnnSpec pins it).
+    */
+  def topKBatchLifecycle(spark: SparkSession, dir: String, k: Int = 10,
+      ef: Int = 100, shards: Int = 16): DataFrame = {
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val path = graft.IndexCache.getOrBuild(spark, s"vamana-ckpt:$dir:$shards") {
+      val index = graft.IndexCache.getOrBuild(spark, s"vamana:$dir:$shards") {
+        val ix = buildIndex(base, shards).persist()
+        ix.graphs.count()
+        ix
+      }
+      val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+        s"/graft-vamana-lifecycle-${Integer.toHexString(dir.hashCode)}-$shards"
+      saveIndex(index, p)
+      p
+    }
+    val index = graft.IndexCache.getOrBuild(spark,
+      s"vamana-reloaded:$dir:$shards") {
+      val ix = loadIndex(spark, path).persist()
+      ix.graphs.count()
+      ix
+    }
+    searchIndex(index, queries, k, ef)
+  }
+}

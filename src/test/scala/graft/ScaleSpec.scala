@@ -109,6 +109,17 @@ class ScaleSpec extends SparkSpec {
       s"wider codes must out-rank the sign code at 10x: $wide vs $narrow")
   }
 
+  test("Vamana at 10x: the flat graph holds recall against sampled GT") {
+    import spark.implicits._
+    val gt = knn.ExactKnn.topKBatchSampled(spark, dir10x)
+      .select("qid", "vec_id")
+    val vam = knn.VamanaKnn.topKBatch(spark, dir10x)
+      .select("qid", "vec_id")
+    val r = operators.Evaluation.recall(vam, gt).as[Double].head()
+    info(s"vamana recall@10 at 10x: $r")
+    assert(r >= 0.85, s"vamana recall at 10x = $r")
+  }
+
   test("OPQ at 10x: rotated codebooks hold recall on clustered data") {
     import spark.implicits._
     val gt = knn.ExactKnn.topKBatchSampled(spark, dir10x)
