@@ -558,6 +558,9 @@ object SparkEntry {
     // additive Holt-Winters (level+trend+weekly seasonality): sorted
     // fold threading an m-double seasonal ring, exact integer init
     "events_holt_winters" -> ((s, d) => EventOps.holtWintersForecast(s, d)),
+    // rolling-origin one-step MAE of naive/EWMA/Holt over the last 7
+    // days: ONE fold threads all three model states + error sums
+    "events_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // median-of-pairwise-slopes robust trend over the daily rollup;
     // integer slope quantization + the x2 exact-median trick
     "events_theilsen_trend" -> ((s, d) => EventOps.theilSenTrend(s, d)),
@@ -3787,6 +3790,59 @@ object SparkEntry {
              round(r.l, 6) AS level, round(r.t, 6) AS trend,
              round(r.l + CAST(3.0 AS DOUBLE) * r.t, 6) AS forecast_h3
       FROM rec r JOIN nn USING (event_type) WHERE r.i = nn.nd + 1""",
+
+    // the identical three-model recursion as one recursive CTE
+    // threading (l, t, e, prev) plus micro-quantized error sums
+    "events_forecast_backtest" -> s"""
+      WITH RECURSIVE daily AS (SELECT event_type,
+                            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                              AS day,
+                            ${c100("value")} AS c
+                     FROM events),
+      d2 AS (SELECT event_type, day, sum(c) AS dc
+             FROM daily GROUP BY 1, 2),
+      idx AS (SELECT event_type,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY day) AS BIGINT) AS i,
+                     CAST(dc AS DOUBLE) / 100.0 AS x
+              FROM d2),
+      nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+             FROM idx GROUP BY 1),
+      rec(event_type, i, l, t, e, prev, sn, se, sh) AS (
+        SELECT a.event_type, CAST(2 AS BIGINT), a.x, b.x - a.x, a.x, a.x,
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM idx a JOIN idx b USING (event_type)
+        JOIN nn USING (event_type)
+        WHERE a.i = 1 AND b.i = 2 AND nn.nd >= 14
+        UNION ALL
+        SELECT r.event_type, r.i + 1,
+          CAST(0.5 AS DOUBLE) * d.x
+            + CAST(0.5 AS DOUBLE) * (r.l + r.t),
+          CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * d.x
+              + CAST(0.5 AS DOUBLE) * (r.l + r.t)) - r.l)
+            + CAST(0.5 AS DOUBLE) * r.t,
+          r.e + CAST(0.5 AS DOUBLE) * (d.x - r.e),
+          d.x,
+          r.sn + CASE WHEN d.i >= nn.nd - 6 THEN
+            CAST(round(abs(d.x - r.prev) * 1000000) AS BIGINT)
+            ELSE 0 END,
+          r.se + CASE WHEN d.i >= nn.nd - 6 THEN
+            CAST(round(abs(d.x - r.e) * 1000000) AS BIGINT)
+            ELSE 0 END,
+          r.sh + CASE WHEN d.i >= nn.nd - 6 THEN
+            CAST(round(abs(d.x - (r.l + r.t)) * 1000000) AS BIGINT)
+            ELSE 0 END
+        FROM rec r JOIN idx d ON d.event_type = r.event_type
+          AND d.i = r.i
+        JOIN nn ON nn.event_type = r.event_type)
+      SELECT r.event_type, m.model, CAST(7 AS BIGINT) AS n_evals,
+             round(CAST(CASE m.model WHEN 'naive' THEN r.sn
+                                     WHEN 'ewma' THEN r.se
+                                     ELSE r.sh END AS DOUBLE)
+               / 7.0 / 1000000.0, 6) AS mae
+      FROM rec r JOIN nn USING (event_type)
+      CROSS JOIN (SELECT unnest(['naive', 'ewma', 'holt']) AS model) m
+      WHERE r.i = nn.nd + 1""",
 
     // the identical triple-smoothing recursion as a recursive CTE
     // threading (i, l, b, seasonal ring as a LIST column); integer

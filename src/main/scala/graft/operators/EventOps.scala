@@ -996,6 +996,82 @@ object EventOps {
       .unionAll(roll("last_touch", col("last_touch")))
   }
 
+  /** Rolling-origin one-step backtest of the forecasting ladder: for
+    * each of the LAST 7 days of every type's daily series, forecast it
+    * from the prefix under three models — naive (yesterday), EWMA
+    * (α = 0.5), Holt level+trend (α = β = 0.5) — and report each
+    * model's MAE. The model-SELECTION layer over the forecast family:
+    * the number that says which model to trust is an out-of-sample
+    * error, not a fit.
+    *
+    * Determinism: ONE sorted fold per type threads all three model
+    * states (l, t, e, prev) plus three micro-quantized error sums —
+    * each |actual − forecast| quantizes to an integer BEFORE its sum,
+    * so accumulation is order-free; the oracle replays the identical
+    * recursion as a recursive CTE carrying the same four state fields.
+    *
+    * Scale shape: the [[holtForecast]] discipline — fold over the
+    * DAYS-sized rollup, state is seven numbers per type. Output:
+    * (event_type, model, n_evals, mae rounded 6), 3 rows per type.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("dc")))).as("evs"),
+        count(lit(1)).as("n_days"))
+      .filter(size(col("evs")) >= 14)
+      .withColumn("xs", transform(col("evs"),
+        s => s.getField("dc").cast("double") / 100.0))
+    val n = col("n_days")
+    // (x_j, j) for j = 2..n; the fold forecasts x_j from state after
+    // x_{j-1}, scores it when j lands in the last 7 days, then updates
+    val seq2 = transform(
+      sequence(lit(2), size(col("xs"))),
+      j => struct(element_at(col("xs"), j).as("x"), j.as("j")))
+    val err6 = (x: org.apache.spark.sql.Column,
+        f: org.apache.spark.sql.Column) =>
+      round(abs(x - f) * 1e6, 0).cast("long")
+    val init = struct(
+      element_at(col("xs"), 1).as("l"),
+      (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("t"),
+      element_at(col("xs"), 1).as("e"),
+      element_at(col("xs"), 1).as("prev"),
+      lit(0L).as("sn"), lit(0L).as("se"), lit(0L).as("sh"))
+    val folded = series.select(col("event_type"), col("n_days"),
+      aggregate(seq2, init, (acc, el) => {
+        val x = el.getField("x"); val j = el.getField("j")
+        val inWin = j >= n - 6
+        val l2c = lit(0.5) * x +
+          lit(0.5) * (acc.getField("l") + acc.getField("t"))
+        struct(
+          l2c.as("l"),
+          (lit(0.5) * (l2c - acc.getField("l")) +
+            lit(0.5) * acc.getField("t")).as("t"),
+          (acc.getField("e") +
+            lit(0.5) * (x - acc.getField("e"))).as("e"),
+          x.as("prev"),
+          (acc.getField("sn") + when(inWin,
+            err6(x, acc.getField("prev"))).otherwise(0L)).as("sn"),
+          (acc.getField("se") + when(inWin,
+            err6(x, acc.getField("e"))).otherwise(0L)).as("se"),
+          (acc.getField("sh") + when(inWin,
+            err6(x, acc.getField("l") + acc.getField("t")))
+            .otherwise(0L)).as("sh"))
+      }).as("st"))
+    def row(model: String, field: String): DataFrame =
+      folded.select(col("event_type"), lit(model).as("model"),
+        lit(7L).as("n_evals"),
+        round(col("st").getField(field).cast("double") / 7.0 / 1e6, 6)
+          .as("mae"))
+    row("naive", "sn").unionAll(row("ewma", "se"))
+      .unionAll(row("holt", "sh"))
+  }
+
   /** Theil-Sen robust trend per event type: the MEDIAN of all pairwise
     * slopes (c_j − c_i)/(day_j − day_i) over the daily revenue series —
     * the 29%-breakdown trend estimator beside [[anomalyMad]]'s robust

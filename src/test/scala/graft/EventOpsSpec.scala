@@ -708,6 +708,49 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("forecast backtest replays the driver-side three-model recursion") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def e6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expect = daily.groupBy(_._1).flatMap { case (ty, g) =>
+      val xs = g.sortBy(_._2).map(_._3.toDouble / 100.0)
+      if (xs.length < 14) Nil else {
+        val nD = xs.length
+        var l = xs(0); var t = xs(1) - xs(0)
+        var e = xs(0); var prev = xs(0)
+        var sn = 0L; var se = 0L; var sh = 0L
+        (2 to nD).foreach { j =>
+          val x = xs(j - 1)
+          if (j >= nD - 6) {
+            sn += e6(math.abs(x - prev))
+            se += e6(math.abs(x - e))
+            sh += e6(math.abs(x - (l + t)))
+          }
+          val l2c = 0.5 * x + 0.5 * (l + t)
+          t = 0.5 * (l2c - l) + 0.5 * t
+          l = l2c
+          e = e + 0.5 * (x - e)
+          prev = x
+        }
+        def r6(s: Long) = BigDecimal(s.toDouble / 7.0 / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Seq((ty, "naive", 7L, r6(sn)), (ty, "ewma", 7L, r6(se)),
+          (ty, "holt", 7L, r6(sh)))
+      }
+    }.toSet
+    val got = graft.operators.EventOps.forecastBacktest(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
+
   test("Holt-Winters replays the driver-side seasonal-ring recursion") {
     val daily = Tables.events(spark, sf0001)
       .select(col("event_type"),
