@@ -561,6 +561,8 @@ object SparkEntry {
     // rolling-origin one-step MAE of naive/EWMA/Holt over the last 7
     // days: ONE fold threads all three model states + error sums
     "events_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
+    // 7-row rolling median (x2 exact interpolation over cent sums)
+    "events_rolling_median" -> ((s, d) => EventOps.rollingMedian(s, d)),
     // median-of-pairwise-slopes robust trend over the daily rollup;
     // integer slope quantization + the x2 exact-median trick
     "events_theilsen_trend" -> ((s, d) => EventOps.theilSenTrend(s, d)),
@@ -697,6 +699,8 @@ object SparkEntry {
     // Dirichlet query-likelihood retrieval (micro-nat-quantized term
     // contributions, 1-row stats attach, TakeOrdered)
     "text_qlm_topk" -> ((s, d) => TextOps.queryLikelihoodTopK(s, d)),
+    // per-doc top-3 TF-IDF keywords through the bounded heap
+    "text_keywords_per_doc" -> ((s, d) => TextOps.keywordsPerDoc(s, d)),
     // cross-doc sliding 5-gram boilerplate mining: linear explode +
     // one span-keyed rollup, total-ordered top 20
     "text_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
@@ -2220,6 +2224,32 @@ object SparkEntry {
         FROM s, g)
       SELECT doc_id, round(c6 / 1000000.0, 6) AS score
       FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // same (doc, term) tf/df rollups; per-score micro-quantization
+    // BEFORE the rank; ties on term asc
+    "text_keywords_per_doc" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      ft AS (SELECT doc_id, term FROM terms
+             WHERE NOT list_contains(['the','a','of','and','to','in','on'], term)
+               AND length(term) >= 2),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM ft GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1 HAVING count(*) >= 2),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.term,
+               CAST(round(CAST(tf.tf AS DOUBLE)
+                 * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                 * 1000000) AS BIGINT) AS score6
+             FROM tf JOIN df USING (term) CROSS JOIN n),
+      rk AS (SELECT doc_id, term, score6,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score6 DESC, term ASC) AS INT) AS rk
+             FROM sc)
+      SELECT doc_id, term, round(score6 / 1000000.0, 6) AS score, rk
+      FROM rk WHERE rk <= 3""",
 
     // sliding 5-word windows (list comprehension), span-keyed rollup,
     // total-ordered top 20
@@ -3977,6 +4007,25 @@ object SparkEntry {
                AS BIGINT) AS n_pairs
       FROM p CROSS JOIN (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
       GROUP BY 1""",
+
+    // x2 exact-interpolated rolling median over the same centered-7
+    // ROWS frame, full windows only
+    "events_rolling_median" -> s"""
+      WITH daily AS (SELECT event_type,
+                       CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+                         AS day,
+                       ${c100("value")} AS c
+                     FROM events),
+      d2 AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS daily_cents
+             FROM daily GROUP BY 1, 2),
+      ma AS (SELECT event_type, day, daily_cents,
+               CAST(round(quantile_cont(daily_cents, 0.5) OVER w * 2)
+                 AS BIGINT) AS med2,
+               CAST(count(*) OVER w AS BIGINT) AS nw
+             FROM d2
+             WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+      SELECT event_type, day, daily_cents, med2 FROM ma WHERE nw = 7""",
 
     // centered-7 ROWS moving average over the daily rollup (integer
     // cent sums, full windows only), micro-quantized detrended values,

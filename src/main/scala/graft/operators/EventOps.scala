@@ -996,6 +996,34 @@ object EventOps {
       .unionAll(roll("last_touch", col("last_touch")))
   }
 
+  /** 7-row rolling MEDIAN of the daily revenue per type — the robust
+    * sibling of the rolling mean (`events_rolling_7d`): one wild day
+    * moves a centered mean by a seventh of its excursion but leaves
+    * the median untouched. Exact via the ×2 interpolation trick over
+    * integer cent sums inside a ROWS window (full windows only, the
+    * [[seasonalDecompose]] frame discipline).
+    * Output: (event_type, day, daily_cents, med2) — med2 is twice the
+    * rolling median in cents, an exact integer for any window parity.
+    */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("daily_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("med2", round(
+        percentile(col("daily_cents"), lit(0.5)).over(w) * 2, 0)
+        .cast("long"))
+      .withColumn("nw", count(lit(1)).over(w))
+      .filter(col("nw") === 7)
+      .select(col("event_type"), col("day"), col("daily_cents"),
+        col("med2"))
+  }
+
   /** Rolling-origin one-step backtest of the forecasting ladder: for
     * each of the LAST 7 days of every type's daily series, forecast it
     * from the prefix under three models — naive (yesterday), EWMA

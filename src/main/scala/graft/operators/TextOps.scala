@@ -1650,6 +1650,43 @@ object TextOps {
       }.toDF("doc_id", "n_words", "n_unigram_tokens")
   }
 
+  /** Per-document keyword extraction: each doc's top-3 terms by
+    * TF-IDF (stopwords excluded, min df 2 so hapaxes/typos don't win
+    * by rarity alone) — the metadata tag a corpus browser or a
+    * retrieval debugger shows next to every document.
+    *
+    * Determinism: each (doc, term) score quantizes to integer
+    * micro-units (tf·ln(N/df) — one fixed-shape double expression)
+    * BEFORE ranking; ties break on term asc. The per-doc top-3 runs
+    * through the bounded-heap [[graft.plans.TopKPerGroup]] — no
+    * global sort, no window. Scale shape: one (doc, term) rollup, one
+    * df rollup, a 1-row N attach, one clustering shuffle for the heap.
+    * Output: (doc_id, term, score rounded 6, rk).
+    */
+  def keywordsPerDoc(spark: SparkSession, dir: String, k: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "on")
+    val terms = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(!col("term").isin(stop: _*) && length(col("term")) >= 2)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val n = tokenizedDocs(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")) *
+          1e6, 0).cast("long").as("score6"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("doc_id"),
+      Seq("score6" -> false, "term" -> true), k)
+      .select(col("doc_id"), col("term"),
+        round(col("score6") / 1e6, 6).as("score"), col("rk"))
+  }
+
   /** Tokenizer fertility sheet: corpus-level token economics of the
     * three tokenizers this engine trains/serves — whitespace words,
     * the BPE encoder, the unigram-LM encoder — as (tokenizer,

@@ -708,6 +708,28 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("rolling median replays a driver-side windowed x2 median") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        graft.functions.ExactNum.cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).flatMap { case (t, g) =>
+      val s = g.sortBy(_._2)
+      (3 until s.length - 3).map { i =>
+        val w = (i - 3 to i + 3).map(j => s(j)._3).sorted
+        (t, s(i)._2, s(i)._3, 2L * w(3)) // odd window: med2 = 2*mid
+      }
+    }.toSet
+    val got = graft.operators.EventOps.rollingMedian(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
+
   test("forecast backtest replays the driver-side three-model recursion") {
     val daily = Tables.events(spark, sf0001)
       .select(col("event_type"),

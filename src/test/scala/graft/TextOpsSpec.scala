@@ -826,6 +826,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2 < 0))
   }
 
+  test("keywords per doc: driver-side TF-IDF replay, heap-ranked") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "on")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ", -1).filter(t => !stop(t) && t.length >= 2)))
+    val nDocs = docs.length.toLong
+    val tf = docs.flatMap { case (id, ws) =>
+      ws.groupBy(identity).map { case (t, g) => ((id, t), g.length.toLong) }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val expect = tf.toSeq.collect {
+      case ((id, t), f) if df.contains(t) =>
+        val s6 = BigDecimal(f.toDouble *
+          math.log(nDocs.toDouble / df(t).toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (id, t, s6)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy { case (_, t, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((id, t, s6), i) =>
+          (id, t, BigDecimal(s6 / 1e6)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            i + 1) }
+    }.toSet
+    val got = TextOps.keywordsPerDoc(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+  }
+
   test("repeated spans: driver-side sliding-window replay, cross-doc only") {
     val docs = Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
