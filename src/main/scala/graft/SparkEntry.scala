@@ -701,6 +701,9 @@ object SparkEntry {
     "text_qlm_topk" -> ((s, d) => TextOps.queryLikelihoodTopK(s, d)),
     // per-doc top-3 TF-IDF keywords through the bounded heap
     "text_keywords_per_doc" -> ((s, d) => TextOps.keywordsPerDoc(s, d)),
+    // Church-Gale burstiness (variance-to-mean of per-doc counts):
+    // exact integer moments, one final division
+    "text_term_burstiness" -> ((s, d) => TextOps.termBurstiness(s, d)),
     // cross-doc sliding 5-gram boilerplate mining: linear explode +
     // one span-keyed rollup, total-ordered top 20
     "text_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
@@ -2224,6 +2227,26 @@ object SparkEntry {
         FROM s, g)
       SELECT doc_id, round(c6 / 1000000.0, 6) AS score
       FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20""",
+
+    // exact integer moments (N*s2 - cf^2)/(N*cf); one division
+    "text_term_burstiness" -> """
+      WITH tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        WHERE NOT list_contains(['the','a','of','and','to','in','on'], term)
+          AND length(term) >= 2
+        GROUP BY 1, 2),
+      bt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf,
+                    CAST(sum(tf * tf) AS BIGINT) AS s2,
+                    CAST(count(*) AS BIGINT) AS df
+             FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      SELECT term, cf, df,
+             round(CAST(n_docs * s2 - cf * cf AS DOUBLE)
+               / CAST(n_docs * cf AS DOUBLE), 6) AS vmr
+      FROM bt CROSS JOIN n
+      ORDER BY cf DESC, term ASC LIMIT 30""",
 
     // same (doc, term) tf/df rollups; per-score micro-quantization
     // BEFORE the rank; ties on term asc

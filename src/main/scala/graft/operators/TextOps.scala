@@ -1650,6 +1650,41 @@ object TextOps {
       }.toDF("doc_id", "n_words", "n_unigram_tokens")
   }
 
+  /** Term burstiness (Church-Gale index of dispersion): for the top
+    * 30 terms by collection frequency, the variance-to-mean ratio of
+    * per-document counts over ALL documents (zeros included) — the
+    * signal that separates topical terms (bursty: absent from most
+    * docs, repeated where present, VMR ≫ 1) from function words
+    * (spread evenly, VMR ≈ 1). The feature a stopword-list builder or
+    * a keyword scorer reads before trusting raw frequency.
+    *
+    * Exactness: VMR = (N·Σtf² − cf²)/(N·cf) — both sides exact longs
+    * from one (doc, term) rollup plus a 1-row doc count; ONE final
+    * division. Output: (term, cf, df, vmr rounded 6), top 30 by
+    * (cf desc, term asc).
+    */
+  def termBurstiness(spark: SparkSession, dir: String,
+      k: Int = 30): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "on")
+    val tf = tokenizedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(!col("term").isin(stop: _*) && length(col("term")) >= 2)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val byTerm = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("cf"),
+        sum(col("tf") * col("tf")).as("s2"),
+        count(lit(1)).as("df"))
+    val n = tokenizedDocs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    byTerm.crossJoin(broadcast(n))
+      .select(col("term"), col("cf"), col("df"),
+        round((col("n_docs") * col("s2") - col("cf") * col("cf"))
+          .cast("double") / (col("n_docs") * col("cf")).cast("double"), 6)
+          .as("vmr"))
+      .orderBy(col("cf").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Per-document keyword extraction: each doc's top-3 terms by
     * TF-IDF (stopwords excluded, min df 2 so hapaxes/typos don't win
     * by rarity alone) — the metadata tag a corpus browser or a

@@ -45,6 +45,8 @@ class PlanShapeSweepSpec extends SparkSpec {
     "graph_degree_distribution",  // 1-row node-total attach
     "stats_ks_quality",           // 1-row (n_a, n_b) totals attach
     "text_qlm_topk",              // 1-row corpus-stats attach
+    "text_keywords_per_doc",      // 1-row doc-count attach
+    "text_term_burstiness",       // 1-row doc-count attach
     "text_bm25_prf",              // 1-row corpus-stats attach (the
                                   // text_bm25_general shape, twice)
     "text_decontaminate_embedding") // tiny benchmark relation broadcast

@@ -826,6 +826,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2 < 0))
   }
 
+  test("term burstiness: driver-side exact-moment replay; topical beats uniform") {
+    val stop = Set("the", "a", "of", "and", "to", "in", "on")
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).split(" ", -1)
+        .filter(t => !stop(t) && t.length >= 2))
+    val nDocs = docs.length.toLong
+    val perTerm = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    docs.foreach { ws =>
+      ws.groupBy(identity).foreach { case (t, g) =>
+        val (cf, s2, df) = perTerm(t)
+        val f = g.length.toLong
+        perTerm(t) = (cf + f, s2 + f * f, df + 1)
+      }
+    }
+    val expect = perTerm.toSeq
+      .sortBy { case (t, (cf, _, _)) => (-cf, t) }.take(30)
+      .map { case (t, (cf, s2, df)) =>
+        (t, cf, df, BigDecimal((nDocs * s2 - cf * cf).toDouble /
+          (nDocs * cf).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = TextOps.termBurstiness(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expect)
+    got.foreach { case (_, _, _, v) => assert(v > 0.0) }
+  }
+
   test("keywords per doc: driver-side TF-IDF replay, heap-ranked") {
     val stop = Set("the", "a", "of", "and", "to", "in", "on")
     val docs = Tables.documents(spark, sf0001)
