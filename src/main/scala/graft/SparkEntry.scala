@@ -478,6 +478,13 @@ object SparkEntry {
     // triangle enumeration + degree rollup, one final division
     "graph_clustering_coeff" ->
       ((s, d) => GraphOps.clusteringCoefficient(s, d)),
+    // Pearson correlation of endpoint degrees over directed stubs,
+    // DECIMAL(38,0) moments, one fixed-shape formula
+    "graph_assortativity" -> ((s, d) => GraphOps.degreeAssortativity(s, d)),
+    // PQ-vs-OPQ mean squared reconstruction error off the cached code
+    // tables — the number the rotation exists to lower
+    "eval_quantization_distortion" ->
+      ((s, d) => OpqKnn.quantizationDistortion(s, d)),
     // Adamic-Adar link prediction: 2-path expansion x broadcast degree
     // relation, integer micro-unit contributions, TakeOrdered top-k
     "graph_link_prediction" -> ((s, d) => GraphOps.linkPrediction(s, d)),
@@ -4347,6 +4354,37 @@ object SparkEntry {
              CAST(round(CAST(n_nodes AS DOUBLE) * 1000 / tn) AS BIGINT)
                AS permille
       FROM hist CROSS JOIN t""",
+
+    // endpoint-degree Pearson over directed stubs; HUGEINT moments,
+    // identical num/sqrt/sqrt division order
+    "graph_assortativity" -> """
+      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                  FROM lineitem l JOIN orders o
+                    ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+            JOIN cp b ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+      bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      dd AS (SELECT du.deg AS dx, dv.deg AS dy
+             FROM bidir b
+             JOIN deg du ON du.node = b.u
+             JOIN deg dv ON dv.node = b.v),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              CAST(sum(dx) AS HUGEINT) AS sx,
+              CAST(sum(dy) AS HUGEINT) AS sy,
+              CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+              CAST(sum(dy * dy) AS HUGEINT) AS syy,
+              CAST(sum(dx * dy) AS HUGEINT) AS sxy
+            FROM dd)
+      SELECT CAST(n AS BIGINT) AS n_stubs,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               AS assortativity
+      FROM m""",
 
     // same ordered x<y<z triangle enumeration exploded to corners;
     // exact integers until one final division

@@ -69,11 +69,14 @@ object OpqKnn {
     * codebooks) → exact re-rank in the original space. Output:
     * (qid, vec_id, dist rounded 6, rk) — the family-standard shape.
     */
-  def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
-      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
-    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+  /** The per-dataset rotated (codebooks, persisted codes) pair —
+    * shared by the search paths and the distortion report.
+    */
+  private[knn] def cachedIndex(spark: SparkSession, dir: String,
+      m: Int = 8, ksub: Int = 256): (PqKnn.PqCodebooks, DataFrame) = {
+    val (base, _, _, _) = ExactKnn.split(spark, dir)
     val rot = rotation(spark, dir, m)
-    val (cb, codes) = IndexCache.getOrBuild(spark, s"opq:$dir:$m:$ksub") {
+    IndexCache.getOrBuild(spark, s"opq:$dir:$m:$ksub") {
       val rBase = RandomProjection.project(base, rot)
         .select(col("vec_id"), col("pvec").as("emb"))
       val b = PqKnn.trainCodebooks(rBase, m, ksub)
@@ -81,9 +84,85 @@ object OpqKnn {
       enc.count()
       (b, enc)
     }
+  }
+
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val rot = rotation(spark, dir, m)
+    val (cb, codes) = cachedIndex(spark, dir, m, ksub)
     val rQueries = RandomProjection.project(queries, rot)
       .select(col("vec_id"), col("pvec").as("emb"))
     PqKnn.searchCodesWith(cb, codes, rQueries, base, queries, k, overfetch)
+  }
+
+  /** Quantization-distortion report: mean squared reconstruction error
+    * of the PQ and OPQ code tables against the (normalized) vectors
+    * they encode — THE number that justifies the rotation: OPQ exists
+    * to lower exactly this, and on anisotropic data it does. Each
+    * family decodes its codes through its own codebooks (OPQ in the
+    * rotated space, where its vectors live) and averages the squared
+    * error, micro-quantized per vector before the sum (order-free).
+    *
+    * Scale shape: two map-only passes over the code tables with the
+    * codebooks broadcast — reconstruction never shuffles. Output:
+    * (family, n_vectors, mse), 2 rows, literal-pinned (both trainings
+    * are deterministic).
+    */
+  def quantizationDistortion(spark: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (base, _, _, _) = ExactKnn.split(spark, dir)
+
+    def mseOf(family: String, vecs: org.apache.spark.sql.DataFrame,
+        cb: PqKnn.PqCodebooks,
+        enc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val joined = vecs.select(col("vec_id"), col("emb"))
+        .join(enc, "vec_id")
+      val bc = spark.sparkContext.broadcast(cb)
+      val err6 = joined.select(col("emb"), col("codes"))
+        .as[(Array[Double], Array[Byte])]
+        .mapPartitions { it =>
+          val b = bc.value
+          val sd = b.dim / b.m
+          it.map { case (v, codes) =>
+            // reconstruct = concat of the coded centroids; error vs the
+            // NORMALIZED vector (what encode() actually quantized)
+            var s = 0.0
+            var norm = 0.0
+            var i = 0
+            while (i < v.length) { norm += v(i) * v(i); i += 1 }
+            val mag = math.sqrt(norm)
+            var j = 0
+            while (j < b.m) {
+              val c = b.books(j)(codes(j) & 0xff)
+              var t = 0
+              while (t < sd) {
+                val x = (if (mag == 0.0) v(j * sd + t)
+                  else v(j * sd + t) / mag) - c(t)
+                s += x * x
+                t += 1
+              }
+              j += 1
+            }
+            BigDecimal(s * 1e9)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          }
+        }.toDF("e9")
+      err6.agg(count(lit(1)).as("n_vectors"), sum(col("e9")).as("s9"))
+        .select(lit(family).as("family"),
+          col("n_vectors").cast("long").as("n_vectors"),
+          round(col("s9").cast("double") / col("n_vectors") / 1e9, 6)
+            .as("mse"))
+    }
+
+    val (pqCb, pqCodes) = PqKnn.cachedIndex(spark, dir)
+    val (opqCb, opqCodes) = cachedIndex(spark, dir)
+    val rot = rotation(spark, dir)
+    val rBase = RandomProjection.project(base, rot)
+      .select(col("vec_id"), col("pvec").as("emb"))
+    mseOf("pq", base, pqCb, pqCodes)
+      .unionAll(mseOf("opq", rBase, opqCb, opqCodes))
   }
 
   /** Persist the OPQ index: the rotation as tiny (r, vec) rows (the
@@ -124,15 +203,7 @@ object OpqKnn {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val path = IndexCache.getOrBuild(spark, s"opq-ckpt:$dir:$m:$ksub") {
       val rot = rotation(spark, dir, m)
-      val (cb, codes) = IndexCache.getOrBuild(spark, s"opq:$dir:$m:$ksub") {
-        val rBase = RandomProjection.project(base, rot)
-          .select(col("vec_id"), col("pvec").as("emb"))
-        val b = PqKnn.trainCodebooks(rBase, m, ksub)
-        val enc = PqKnn.encode(rBase, b)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        enc.count()
-        (b, enc)
-      }
+      val (cb, codes) = cachedIndex(spark, dir, m, ksub)
       val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
         s"/graft-opq-lifecycle-${Integer.toHexString(dir.hashCode)}-$m-$ksub"
       saveIndex(rot, cb, codes, p)

@@ -196,15 +196,24 @@ object PqKnn {
     * + one in-flight query. No query vector or LUT ever crosses the
     * driver, at any query-split size.
     */
-  def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
-      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
-    val (base, queries, _, _) = ExactKnn.split(spark, dir)
-    val (cb, codes) = IndexCache.getOrBuild(spark, s"pq:$dir:$m:$ksub") {
+  /** The per-dataset (codebooks, persisted codes) pair, built once —
+    * shared by the search paths and the distortion report.
+    */
+  private[knn] def cachedIndex(spark: SparkSession, dir: String,
+      m: Int = 8, ksub: Int = 256): (PqCodebooks, DataFrame) = {
+    val (base, _, _, _) = ExactKnn.split(spark, dir)
+    IndexCache.getOrBuild(spark, s"pq:$dir:$m:$ksub") {
       val b = trainCodebooks(base, m, ksub)
       val enc = encode(base, b).persist(StorageLevel.MEMORY_AND_DISK)
       enc.count()
       (b, enc)
     }
+  }
+
+  def topKBatch(spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
+    val (base, queries, _, _) = ExactKnn.split(spark, dir)
+    val (cb, codes) = cachedIndex(spark, dir, m, ksub)
     searchCodes(cb, codes, base, queries, k, overfetch)
   }
 
@@ -295,12 +304,7 @@ object PqKnn {
       m: Int = 8, ksub: Int = 256, overfetch: Int = 16): DataFrame = {
     val (base, queries, _, _) = ExactKnn.split(spark, dir)
     val path = IndexCache.getOrBuild(spark, s"pq-ckpt:$dir:$m:$ksub") {
-      val (cb, codes) = IndexCache.getOrBuild(spark, s"pq:$dir:$m:$ksub") {
-        val b = trainCodebooks(base, m, ksub)
-        val enc = encode(base, b).persist(StorageLevel.MEMORY_AND_DISK)
-        enc.count()
-        (b, enc)
-      }
+      val (cb, codes) = cachedIndex(spark, dir, m, ksub)
       val p = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
         s"/graft-pq-lifecycle-${Integer.toHexString(dir.hashCode)}-$m-$ksub"
       saveIndex(cb, codes, p)

@@ -448,6 +448,46 @@ object GraphOps {
           (col("deg") * (col("deg") - 1)).cast("double"), 6).as("coeff"))
   }
 
+  /** Degree assortativity of the co-purchase graph: the Pearson
+    * correlation of endpoint degrees over all directed stubs — one
+    * number that says whether hubs attach to hubs (assortative > 0,
+    * social-network-like) or to leaves (disassortative < 0,
+    * hub-and-spoke). Read next to [[degreeDistribution]] (how skewed)
+    * and [[clusteringCoefficient]] (how cliquish) before choosing a
+    * partitioning strategy for per-key joins.
+    *
+    * Exactness: all moments are integer sums over (deg(u), deg(v))
+    * pairs accumulated as DECIMAL(38,0) (the [[graft.operators.Stats]]
+    * correlation discipline); ONE final fixed-shape double formula.
+    * Scale: one degree rollup + two broadcast joins onto the edge
+    * list + one map-side-combined aggregate.
+    * Output: (n_stubs, assortativity rounded 6) — 1 row.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame = {
+    val edges = copurchaseEdges(spark, dir, minShared)
+    val deg = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val bidir = edges.unionAll(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val dd = bidir
+      .join(deg.select(col("node").as("u"), col("deg").as("dx")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dy")), Seq("v"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    dd.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum(col("dy").cast(dec)).as("sy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+        sum((col("dy") * col("dy")).cast(dec)).as("syy"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"))
+      .select(col("n").cast("long").as("n_stubs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("assortativity"))
+  }
+
   /** One LARGE-STAR round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"): every node links its strictly-LARGER
     * neighbors to the minimum of its closed neighborhood. One groupBy

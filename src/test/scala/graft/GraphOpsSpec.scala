@@ -245,6 +245,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(pm - 1000L) <= rows.length, s"permille sum $pm")
   }
 
+  test("degree assortativity replays a driver-side stub correlation") {
+    val edges = GraphOps.copurchaseEdges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    edges.foreach { case (u, v) => deg(u) += 1; deg(v) += 1 }
+    val stubs = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val n = BigInt(stubs.length)
+    def s(f: ((Long, Long)) => BigInt) = stubs.map(f).sum
+    val sx = s { case (u, _) => BigInt(deg(u)) }
+    val sy = s { case (_, v) => BigInt(deg(v)) }
+    val sxx = s { case (u, _) => BigInt(deg(u)) * deg(u) }
+    val syy = s { case (_, v) => BigInt(deg(v)) * deg(v) }
+    val sxy = s { case (u, v) => BigInt(deg(u)) * deg(v) }
+    val r = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble) /
+      math.sqrt((n * syy - sy * sy).toDouble)
+    val expect = BigDecimal(r)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = GraphOps.degreeAssortativity(spark, sf0001).head()
+    assert(row.getLong(0) == stubs.length)
+    assert(row.getDouble(1) == expect,
+      s"${row.getDouble(1)} vs $expect")
+  }
+
   test("clustering coefficient replays a driver-side neighborhood count") {
     val edges = GraphOps.copurchaseEdges(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -39,6 +39,24 @@ class OpqKnnSpec extends SparkSpec {
     assert(joined.filter(col("dist") =!= col("edist")).count() == 0)
   }
 
+  test("quantization distortion: positive, full-corpus, rotation not worse") {
+    val rows = OpqKnn.quantizationDistortion(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet == Set("pq", "opq"))
+    val (nBase, _, _, _) = {
+      val (b, q, _, _) = ExactKnn.split(spark, sf0001)
+      (b.count(), q, 0, 0)
+    }
+    rows.values.foreach { case (n, mse) =>
+      assert(n == nBase, s"n=$n vs base $nBase")
+      assert(mse > 0.0 && mse < 1.0, s"mse $mse")
+    }
+    // the rotation must not increase reconstruction error materially
+    // (on anisotropic data it strictly lowers it — ScaleSpec pins that)
+    assert(rows("opq")._2 <= rows("pq")._2 * 1.05,
+      s"opq ${rows("opq")._2} vs pq ${rows("pq")._2}")
+  }
+
   test("opq lifecycle: reloaded checkpoint answers bit-identically") {
     val live = OpqKnn.topKBatch(spark, sf0001).collect().toSet
     val reloaded = OpqKnn.topKBatchLifecycle(spark, sf0001).collect().toSet

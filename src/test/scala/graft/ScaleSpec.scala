@@ -136,5 +136,43 @@ class ScaleSpec extends SparkSpec {
     assert(opq >= 0.6, s"OPQ recall at 10x = $opq")
     assert(opq >= pq - 0.05,
       s"rotation must not cost recall at 10x: opq=$opq vs pq=$pq")
+    // this fixture is near-isotropic per coordinate, so distortion may
+    // only tie — the strict win is pinned on the anisotropic table below
+    val mse = knn.OpqKnn.quantizationDistortion(spark, dir10x).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    info(s"mse at 10x: pq=${mse("pq")} opq=${mse("opq")}")
+    assert(mse("opq") <= mse("pq") * 1.01,
+      s"rotation must not materially raise distortion: $mse")
+  }
+
+  /** An axis-aligned spectrum-decayed table: coordinate i carries
+    * variance 1/(1+i/4)² — the regime where coordinate-BLOCK PQ is
+    * maximally wasteful (its first block holds ALL the dominant dims
+    * and gets the same 256 codes as the near-empty last block) and
+    * OPQ's balanced eigenvalue allocation redistributes one dominant
+    * dim per subspace.
+    */
+  private lazy val dirAniso: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aniso").toString
+    val dim = 64
+    spark.range(2000).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val r = new java.util.Random(id * 2654435761L + 11L)
+        val v = Array.tabulate(dim)(i => r.nextGaussian() / (1.0 + i / 4.0))
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (id, v.map(x => (x / nrm).toFloat), (id % 50).toInt)
+      }
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("OPQ on anisotropic data: the rotation strictly lowers distortion") {
+    val mse = knn.OpqKnn.quantizationDistortion(spark, dirAniso).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    info(s"anisotropic mse: pq=${mse("pq")} opq=${mse("opq")}")
+    assert(mse("opq") < mse("pq"),
+      s"eigen allocation must win on a decayed spectrum: $mse")
   }
 }
