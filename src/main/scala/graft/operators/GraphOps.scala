@@ -100,9 +100,12 @@ object GraphOps {
   def personalizedPageRank(spark: SparkSession, dir: String,
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     val (trans, nodes, _) = bipartiteTrans(spark, dir)
-    // one driver-side scalar (the seed id) — not a data collect
-    val seed = "u:" + Tables.events(spark, dir)
-      .agg(min(col("user_id"))).head().getLong(0)
+    // one driver-side scalar (the seed id), memoized per dataset so
+    // repeated PPR calls don't re-scan events for one number
+    val seed = graft.IndexCache.getOrBuild(spark, s"graph-ppr-seed:$dir") {
+      "u:" + Tables.events(spark, dir)
+        .agg(min(col("user_id"))).head().getLong(0)
+    }
     val restart = lit(1.0) - lit(damping)
 
     var ranks = nodes.select(col("node"),
