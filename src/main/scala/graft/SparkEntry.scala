@@ -693,6 +693,11 @@ object SparkEntry {
       ((s, d) => Stats.spearmanLengthQuality(s, d)),
     // Cramér's V effect size from the same chi-square aggregate
     "stats_cramers_v" -> ((s, d) => Stats.cramersV(s, d)),
+    // k-anonymity audit of the (segment, nation) quasi-identifier
+    "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
+    // Laplace-mechanism noisy counts with a deterministic
+    // poly-hash-seeded draw (the mechanism, oracle-replayable)
+    "privacy_dp_counts" -> ((s, d) => operators.Governance.dpEventCounts(s, d)),
     // greedy k-center diversity coreset: k broadcast-map rounds +
     // TakeOrdered(1) argmax each; quantized distances, min-id ties
     "pipeline_kcenter_coreset" -> ((s, d) => Pipeline.kCenterCoreset(s, d)),
@@ -4669,6 +4674,42 @@ object SparkEntry {
              CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
              CAST(n AS BIGINT) AS n
       FROM s, k""",
+
+    // pure integer counting; risk as integer permille (div)
+    "privacy_k_anonymity" -> """
+      WITH g AS (SELECT c_mktsegment, n_name, CAST(count(*) AS BIGINT) AS sz
+                 FROM customer JOIN nation ON c_nationkey = n_nationkey
+                 GROUP BY 1, 2)
+      SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(sz) AS BIGINT) AS min_group_size,
+             CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k,
+             CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+             CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000
+               // sum(sz) AS BIGINT) AS risk_permille
+      FROM g""",
+
+    // the identical poly-hash-seeded Laplace inverse-CDF release
+    "privacy_dp_counts" -> """
+      WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+      h AS (SELECT event_type, n,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(event_type || ':dp1', ''),
+                  ch -> CAST(unicode(ch) AS BIGINT))),
+                (acc, ch) -> (acc * 31 + ch) % 1000000007) AS hv
+            FROM c),
+      u AS (SELECT event_type, n,
+              (CAST(hv AS DOUBLE) + 1.0) / 1000000009.0 AS u FROM h)
+      SELECT event_type, n AS n_true, CAST(1.0 AS DOUBLE) AS epsilon,
+             round(CAST(n AS DOUBLE)
+               + CAST(-1.0 AS DOUBLE) * sign(u - CAST(0.5 AS DOUBLE))
+                 * ln(CAST(1.0 AS DOUBLE)
+                      - CAST(2.0 AS DOUBLE) * abs(u - CAST(0.5 AS DOUBLE))),
+               6) AS noisy_count
+      FROM u""",
 
     // same micro-quantized chi-square aggregate; V = sqrt(chi2 /
     // (n * (min(r,c)-1))) in one fixed-shape formula

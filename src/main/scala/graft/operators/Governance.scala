@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-governance operators — the release-gate checks a corpus or an
+  * aggregate table passes before leaving the pipeline (the reference
+  * has no governance surface; north-star extension like the profiling
+  * suite). Both follow the exact-arithmetic discipline: integer
+  * counting end-to-end, and where the DP mechanism needs randomness it
+  * derives a DETERMINISTIC uniform from the repo's cross-engine
+  * polynomial hash, so the oracle replays the identical release.
+  */
+object Governance {
+
+  /** k-anonymity audit of the (market segment, nation) quasi-identifier
+    * over customers: how many equivalence classes fall below `k`, and
+    * how many ROWS sit in those re-identifiable classes — the check a
+    * privacy review runs before any per-group table is published.
+    * One rollup + one summary aggregate; pure integers (risk as
+    * integer permille). Output: 1 row.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val groups = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("sz"))
+    groups.agg(
+        sum(col("sz")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("sz")).as("min_group_size"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("groups_below_k"),
+        sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_below_k"))
+      .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+        col("groups_below_k"), col("rows_below_k"),
+        expr("rows_below_k * 1000 div n_rows").as("risk_permille"))
+  }
+
+  /** Laplace-mechanism noisy counts per event type (ε = 1.0) — the
+    * differential-privacy release shape, with the mechanism's draw
+    * made DETERMINISTIC for the oracle gate: u derives from the
+    * cross-engine polynomial hash of the group key (a fixed salt), and
+    * noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) is the exact Laplace
+    * inverse-CDF. A production release would draw u from a CSPRNG —
+    * this pins the MECHANISM (sensitivity-1 count + Laplace(1/ε)),
+    * which is the part an engine owns; it also publishes the true
+    * count side by side because the fixture is not a real release
+    * (documented, not an oversight). Map-only over the |types|-row
+    * rollup. Output: (event_type, n_true, epsilon, noisy_count).
+    */
+  def dpEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val u = ((TextOps.polyHash(concat(col("event_type"), lit(":dp1")))
+      .cast("double") + 1.0) / 1000000009.0).as("u")
+    cnt.select(col("event_type"), col("n"), u)
+      .select(col("event_type"), col("n").as("n_true"),
+        lit(1.0).as("epsilon"),
+        round(col("n").cast("double") +
+          lit(-1.0) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)), 6)
+          .as("noisy_count"))
+  }
+}

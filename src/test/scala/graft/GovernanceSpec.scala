@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Governance
+
+class GovernanceSpec extends SparkSpec {
+
+  test("k-anonymity audit replays a driver-side group census") {
+    val rows = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_mktsegment", "n_name").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sizes = rows.groupBy(identity).values.map(_.length.toLong).toSeq
+    val below = sizes.filter(_ < 10)
+    val row = Governance.kAnonymity(spark, sf0001).head()
+    assert(row.getLong(0) == rows.length)
+    assert(row.getLong(1) == sizes.length)
+    assert(row.getLong(2) == sizes.min)
+    assert(row.getLong(3) == below.length)
+    assert(row.getLong(4) == below.sum)
+    assert(row.getLong(5) == below.sum * 1000 / rows.length)
+    // the tiny fixture MUST have re-identifiable groups — the audit is
+    // not vacuously green
+    assert(row.getLong(3) > 0, "expected sub-k groups at sf0.001")
+  }
+
+  test("dp counts replay the poly-hash Laplace mechanism exactly") {
+    val truth = Tables.events(spark, sf0001)
+      .groupBy("event_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val P = 1000000007L
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => Math.floorMod(acc * 31 + ch.toInt, P))
+    val got = Governance.dpEventCounts(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == truth.size)
+    got.foreach { case (t, n, eps, noisy) =>
+      assert(n == truth(t))
+      assert(eps == 1.0)
+      val u = (polyHash(t + ":dp1").toDouble + 1.0) / 1000000009.0
+      val noise = -1.0 * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val expect = BigDecimal(n.toDouble + noise)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(noisy == expect, s"$t: $noisy vs $expect")
+      // sensitivity-1 Laplace(1) noise is almost surely small here —
+      // the release must stay recognizably near the truth
+      assert(math.abs(noisy - n) < 25.0, s"$t noise ${noisy - n}")
+    }
+  }
+}
