@@ -570,6 +570,9 @@ object SparkEntry {
     "events_forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(s, d)),
     // 7-row rolling median (x2 exact interpolation over cent sums)
     "events_rolling_median" -> ((s, d) => EventOps.rollingMedian(s, d)),
+    // Kaplan-Meier survival over user lifetimes: ordered prefix-slice
+    // factor folds, identical in both engines
+    "events_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(s, d)),
     // median-of-pairwise-slopes robust trend over the daily rollup;
     // integer slope quantization + the x2 exact-median trick
     "events_theilsen_trend" -> ((s, d) => EventOps.theilSenTrend(s, d)),
@@ -4042,6 +4045,36 @@ object SparkEntry {
                AS BIGINT) AS n_pairs
       FROM p CROSS JOIN (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
       GROUP BY 1""",
+
+    // same ordered factor list; survival = left fold of the prefix
+    // slice, seeded 1.0, in identical order
+    "events_kaplan_meier" -> """
+      WITH life AS (SELECT user_id,
+                      CAST(max(day) - min(day) AS BIGINT) AS lt
+                    FROM (SELECT user_id,
+                            CAST(floor(epoch_us(ts) / 86400000000)
+                              AS BIGINT) AS day
+                          FROM events)
+                    GROUP BY user_id),
+      hist AS (SELECT lt, CAST(count(*) AS BIGINT) AS d
+               FROM life GROUP BY 1),
+      steps AS (SELECT lt, d,
+                  CAST(sum(d) OVER (ORDER BY lt ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+                FROM hist),
+      f AS (SELECT lt, d, n,
+              CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS f
+            FROM steps),
+      packed AS (SELECT list(f ORDER BY lt) AS fs FROM f),
+      idx AS (SELECT lt, d, n,
+                CAST(row_number() OVER (ORDER BY lt) AS BIGINT) AS i
+              FROM f)
+      SELECT x.lt AS lifetime_days, x.n AS n_risk, x.d AS n_churn,
+             round(list_reduce(
+               list_prepend(CAST(1.0 AS DOUBLE),
+                 p.fs[1:CAST(x.i AS INT)]),
+               (acc, y) -> acc * y), 6) AS survival
+      FROM idx x CROSS JOIN packed p""",
 
     // x2 exact-interpolated rolling median over the same centered-7
     // ROWS frame, full windows only

@@ -955,6 +955,52 @@ object EventOps {
           .as("seasonal"))
   }
 
+  /** Kaplan-Meier survival curve over user LIFETIMES (days between a
+    * user's first and last event): S(t) = Π_{s≤t} (1 − d_s/n_s) with
+    * d_s churns at lifetime s and n_s users still at risk — the
+    * retention curve's principled form (the fixture window observes
+    * every lifetime, so nothing is censored; with censoring, censored
+    * users would leave the risk set without a death factor — same
+    * plan).
+    *
+    * Determinism: per-step factors (n−d)/n are single fixed divisions;
+    * the survival products fold the factor ARRAY in ascending lifetime
+    * order in BOTH engines (prefix-slice folds — k ≤ days steps, so
+    * the O(k²) prefix expansion is free), matching bit for bit.
+    *
+    * Scale shape: one per-user rollup (first/last day), one
+    * lifetime-histogram rollup, one cumulative window for the risk
+    * sets, one tiny array fold. Output: (lifetime_days, n_risk,
+    * n_churn, survival rounded 6), ascending.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("lt"))
+    val hist = life.groupBy(col("lt")).agg(count(lit(1)).as("d"))
+    val wTail = Window.orderBy(col("lt"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val steps = hist
+      .withColumn("n", sum(col("d")).over(wTail))
+      .withColumn("f",
+        (col("n") - col("d")).cast("double") / col("n").cast("double"))
+    val packed = steps.select(col("lt"), col("d"), col("n"), col("f"))
+      .agg(sort_array(collect_list(
+        struct(col("lt"), col("d"), col("n"), col("f")))).as("xs"))
+    packed.select(posexplode(col("xs")).as(Seq("i", "s")))
+      .crossJoin(packed)
+      .select(
+        col("s").getField("lt").as("lifetime_days"),
+        col("s").getField("n").as("n_risk"),
+        col("s").getField("d").as("n_churn"),
+        round(aggregate(
+          transform(slice(col("xs"), lit(1), col("i") + 1),
+            x => x.getField("f")),
+          lit(1.0), (acc, f) => acc * f), 6).as("survival"))
+  }
+
   /** Marketing-style revenue attribution: every `purchase` conversion
     * credits its user's FIRST and LAST preceding touch (`click`/`view`)
     * — the two classic single-touch models, reported side by side per

@@ -708,6 +708,38 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("Kaplan-Meier replays a driver-side product-limit estimate") {
+    val lives = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("lt"))
+      .collect().map(_.getLong(1))
+    val hist = lives.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    var atRisk = lives.length.toLong
+    var s = 1.0
+    val expect = hist.map { case (lt, d) =>
+      s = s * ((atRisk - d).toDouble / atRisk.toDouble)
+      val row = (lt, atRisk, d,
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      atRisk -= d
+      row
+    }.toSet
+    val got = graft.operators.EventOps.kaplanMeier(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    assert(got == expect)
+    // survival is monotone non-increasing from ~1 toward its floor
+    val byT = got.toSeq.sortBy(_._1).map(_._4)
+    byT.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b)
+      case _ => ()
+    }
+    assert(byT.last >= 0.0 && byT.head <= 1.0)
+  }
+
   test("rolling median replays a driver-side windowed x2 median") {
     val daily = Tables.events(spark, sf0001)
       .select(col("event_type"),

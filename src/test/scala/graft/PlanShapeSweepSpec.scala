@@ -47,6 +47,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_qlm_topk",              // 1-row corpus-stats attach
     "text_keywords_per_doc",      // 1-row doc-count attach
     "text_term_burstiness",       // 1-row doc-count attach
+    "events_kaplan_meier",        // 1-row packed-factor-array attach
     "text_bm25_prf",              // 1-row corpus-stats attach (the
                                   // text_bm25_general shape, twice)
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
