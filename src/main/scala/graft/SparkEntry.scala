@@ -124,6 +124,11 @@ object SparkEntry {
     "sql_knn_pq" -> ((s, d) => sqlKnn(s, d,
       "backend 'pq', k '10'",
       v => s"SELECT qid, vec_id, dist, rk FROM $v")),
+    // the flat-graph family from pure SQL (shares knn_vamana_batch's
+    // literal pin — the view answers with the same shard graphs)
+    "sql_knn_vamana" -> ((s, d) => sqlKnn(s, d,
+      "backend 'vamana', k '10'",
+      v => s"SELECT qid, vec_id, dist, rk FROM $v")),
     // Data Source V2 binding: same backends, plus the V2 source-boundary
     // contracts — the qid predicate is PUSHED INTO the scan (negotiated
     // via SupportsPushDownFilters) and the projection prunes dist/rk out

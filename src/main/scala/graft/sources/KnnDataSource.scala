@@ -110,6 +110,15 @@ private[sources] object KnnBackends {
           opt("nBits").map(_.toInt).getOrElse(256))
       case "mrl" =>
         graft.knn.MatryoshkaKnn.topKBatch(spark, dir, k)
+      case "opq" =>
+        graft.knn.OpqKnn.topKBatch(spark, dir, k,
+          opt("m").map(_.toInt).getOrElse(8),
+          opt("ksub").map(_.toInt).getOrElse(256),
+          opt("overfetch").map(_.toInt).getOrElse(16))
+      case "vamana" =>
+        graft.knn.VamanaKnn.topKBatch(spark, dir, k,
+          opt("ef").map(_.toInt).getOrElse(100),
+          opt("shards").map(_.toInt).getOrElse(16))
       case "search" =>
         val vec = opt("vector").getOrElse(throw new IllegalArgumentException(
             "graft-knn: backend 'search' requires option 'vector'"))
@@ -126,7 +135,8 @@ private[sources] object KnnBackends {
       case other =>
         throw new IllegalArgumentException(
           s"graft-knn: unknown backend '$other' (expected exact, " +
-            "exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, bq, bq256, mrl, search)")
+            "exact_batch, hnsw, ivf, pq, sq, ivfpq, rp, bq, bq256, mrl, " +
+            "opq, vamana, search)")
     }
   }
 }

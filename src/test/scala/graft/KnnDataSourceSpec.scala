@@ -59,7 +59,9 @@ class KnnDataSourceSpec extends SparkSpec {
         "rp" -> graft.knn.RandomProjection.topKBatch(spark, sf0001),
         "bq" -> graft.knn.BinaryQuantKnn.topKBatch(spark, sf0001),
         "bq256" -> graft.knn.BinaryQuantKnn.topKBatchWide(spark, sf0001),
-        "mrl" -> graft.knn.MatryoshkaKnn.topKBatch(spark, sf0001))) {
+        "mrl" -> graft.knn.MatryoshkaKnn.topKBatch(spark, sf0001),
+        "opq" -> graft.knn.OpqKnn.topKBatch(spark, sf0001),
+        "vamana" -> graft.knn.VamanaKnn.topKBatch(spark, sf0001))) {
       spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_sql_$backend
                     USING graft.sources.KnnDataSource
                     OPTIONS (dir '$sf0001', backend '$backend', k '10')""")
