@@ -96,6 +96,8 @@ object Bench {
         () => SparkEntry.queries("knn_vamana_batch")(spark, sfDir).count()),
       timed("bench_build_vamana_ckpt",
         () => SparkEntry.queries("knn_vamana_lifecycle")(spark, sfDir).count()),
+      timed("bench_build_vamana_ins",
+        () => SparkEntry.queries("knn_vamana_after_insert")(spark, sfDir).count()),
       timed("bench_build_rp",
         () => SparkEntry.queries("knn_rp_batch")(spark, sfDir).count()),
       timed("bench_build_pca",

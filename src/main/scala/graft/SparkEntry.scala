@@ -236,6 +236,10 @@ object SparkEntry {
     "knn_vamana_batch" -> vamanaBatch,
     "knn_vamana_lifecycle" ->
       ((s, d) => VamanaKnn.topKBatchLifecycle(s, d)),
+    // insert_many into built shard graphs (the alpha-pass insert IS
+    // the build step), then search — literal-pinned + recall-gated
+    "knn_vamana_after_insert" ->
+      ((s, d) => VamanaKnn.topKAfterInsert(s, d)),
     "eval_recall_vamana" -> ((s, d) => Evaluation.recall(
       vamanaBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatch(s, d).select("qid", "vec_id"))),

@@ -53,6 +53,56 @@ object VamanaKnn {
       })
   }
 
+  /** Incremental `insert_many`: route new vectors by the same fixed
+    * mod rule and extend each shard graph through the paper's α-pass
+    * insert (GreedySearch + RobustPrune — the identical code path the
+    * build runs, which is Vamana's selling point: insertion IS the
+    * build step).
+    */
+  def insertIntoIndex(index: VamanaDistIndex,
+      rows: DataFrame): VamanaDistIndex = {
+    import index.graphs.sparkSession.implicits._
+    val newRows = rows.select(col("vec_id"), col("emb"))
+      .withColumn("shard", pmod(col("vec_id"), lit(index.shards)).cast("int"))
+      .as[(Long, Array[Double], Int)]
+    VamanaDistIndex(index.shards,
+      index.graphs.groupByKey(_.shard).cogroup(newRows.groupByKey(_._3)) {
+        (s, graphs, added) =>
+          val g = graphs.toSeq.headOption.map(_.graph)
+            .getOrElse(new VamanaIndex())
+          added.toArray.sortBy(_._1)
+            .foreach { case (id, v, _) => g.insert(id, v) }
+          Iterator.single(VamanaShard(s, g))
+      })
+  }
+
+  /** `insert_many` into a BUILT Vamana index, then search: graphs
+    * build on the first 90% prefix, the 90-95% slab arrives through
+    * [[insertIntoIndex]], and the held-out queries search the grown
+    * graphs — the mutation path on the flat-graph family, literal-
+    * pinned (deterministic) with a recall gate against the exact
+    * after-insert ground truth in VamanaKnnSpec.
+    */
+  def topKAfterInsert(spark: SparkSession, dir: String, k: Int = 10,
+      nq: Int = 20, ef: Int = 100, shards: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val n = emb.count()
+    val s90 = math.round(0.90 * n)
+    val s95 = math.round(0.95 * n)
+    val index = graft.IndexCache.getOrBuild(spark,
+      s"vamana-ins:$dir:$shards") {
+      val built = buildIndex(emb.filter(col("vec_id") < s90), shards)
+      val grown = insertIntoIndex(built,
+        emb.filter(col("vec_id") >= s90 && col("vec_id") < s95)).persist()
+      grown.graphs.count()
+      grown
+    }
+    val queries = emb.filter(col("vec_id") >= s95 && col("vec_id") < s95 + nq)
+    searchIndex(index, queries, k, ef)
+  }
+
   /** Checkpoint the shard graphs as java-serialized parquet blobs —
     * the [[HnswKnn.saveIndex]] layout.
     */

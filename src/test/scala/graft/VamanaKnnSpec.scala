@@ -40,6 +40,29 @@ class VamanaKnnSpec extends SparkSpec {
     assert(r >= 0.85, s"vamana recall@10 = $r")
   }
 
+  test("vamana after-insert: grown graphs recall the exact union") {
+    val grown = VamanaKnn.topKAfterInsert(spark, sf0001)
+      .select("qid", "vec_id").cache()
+    val exact = ExactKnn.topKAfterInsert(spark, sf0001)
+      .select("qid", "vec_id")
+    val r = Evaluation.recall(grown, exact).collect()(0).getDouble(0)
+    assert(r >= 0.85, s"after-insert recall@10 = $r")
+    // inserted-slab vectors are reachable: some results come from the
+    // 90-95% slab the insert added
+    val (_, _, _, n) = {
+      val (b, q, s, nn) = ExactKnn.split(spark, sf0001)
+      (b, q, s, nn)
+    }
+    val s90 = math.round(0.90 * n)
+    val s95 = math.round(0.95 * n)
+    val fromSlab = grown.filter(col("vec_id") >= s90 &&
+      col("vec_id") < s95).count()
+    assert(fromSlab > 0, "no inserted vector ever surfaced in results")
+    // deterministic rerun
+    assert(VamanaKnn.topKAfterInsert(spark, sf0001).collect().toSet ==
+      VamanaKnn.topKAfterInsert(spark, sf0001).collect().toSet)
+  }
+
   test("vamana: deterministic reruns; lifecycle reload is bit-equal") {
     val a = VamanaKnn.topKBatch(spark, sf0001).collect().toSet
     val b = VamanaKnn.topKBatch(spark, sf0001).collect().toSet
