@@ -707,6 +707,9 @@ object SparkEntry {
     "stats_cramers_v" -> ((s, d) => Stats.cramersV(s, d)),
     // k-anonymity audit of the (segment, nation) quasi-identifier
     "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
+    // LDA-criterion class separability of the labeled embeddings
+    "emb_fisher_separability" ->
+      ((s, d) => EmbeddingStats.fisherSeparability(s, d)),
     // Laplace-mechanism noisy counts with a deterministic
     // poly-hash-seeded draw (the mechanism, oracle-replayable)
     "privacy_dp_counts" -> ((s, d) => operators.Governance.dpEventCounts(s, d)),
@@ -4716,6 +4719,39 @@ object SparkEntry {
              CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
              CAST(n AS BIGINT) AS n
       FROM s, k""",
+
+    // two-level quantization (micro coords, micro re-quantized means),
+    // DECIMAL scatter sums, one final division
+    "emb_fisher_separability" -> """
+      WITH e AS (SELECT label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                     AS BIGINT) AS x6
+                 FROM embeddings),
+      byld AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS nl,
+                 CAST(sum(x6) AS BIGINT) AS s,
+                 CAST(sum(x6 * x6) AS HUGEINT) AS x2
+               FROM e GROUP BY 1, 2),
+      m AS (SELECT label, dim, nl, s, x2,
+              CAST(round(CAST(s AS DOUBLE) / nl) AS BIGINT) AS m6
+            FROM byld),
+      byd AS (SELECT dim,
+                CAST(round(CAST(sum(s) AS DOUBLE) / sum(nl)) AS BIGINT)
+                  AS g6
+              FROM byld GROUP BY 1),
+      agg AS (SELECT CAST(count(DISTINCT m.label) AS BIGINT) AS n_labels,
+                CAST(count(DISTINCT m.dim) AS BIGINT) AS n_dims,
+                CAST(sum(CAST(m.nl * (m.m6 - byd.g6) * (m.m6 - byd.g6)
+                  AS HUGEINT)) AS HUGEINT) AS b,
+                CAST(sum(m.x2 - CAST(2 * m.m6 * m.s AS HUGEINT)
+                  + CAST(m.nl * m.m6 * m.m6 AS HUGEINT)) AS HUGEINT) AS w
+              FROM m JOIN byd USING (dim))
+      SELECT n_labels, n_dims,
+             CAST(b AS BIGINT) AS between_ss,
+             CAST(w AS BIGINT) AS within_ss,
+             round(CAST(b AS DOUBLE) / CAST(w AS DOUBLE), 6)
+               AS fisher_ratio
+      FROM agg""",
 
     // pure integer counting; risk as integer permille (div)
     "privacy_k_anonymity" -> """

@@ -358,6 +358,55 @@ object EmbeddingStats {
     * (which unrolls the same `iters` Lloyd steps as CTE stages)
     * hash-matches bit-for-bit. One broadcast + one map-only pass.
     */
+  /** Fisher class-separability of the labeled embeddings: the ratio
+    * of between-class to within-class scatter (LDA's criterion,
+    * summed over dimensions) — ONE number that says whether the label
+    * column is actually visible in the geometry (high = labels
+    * cluster; near 0 = labels are geometric noise and a classifier
+    * trained on these vectors starts from nothing).
+    *
+    * Exactness: coordinates quantize to integer micro-units before
+    * any sum; per-label and global per-dimension MEANS re-quantize to
+    * integer micro (one fixed division + round each — the two-level
+    * discipline of [[isotropy]]); both scatters are then pure integer
+    * sums (DECIMAL(38,0)) and ONE final division produces the ratio.
+    *
+    * Scale shape: one partial-aggregatable (label, dim) rollup over
+    * the exploded coordinates; everything after is |labels|·|dims|
+    * rows. Output: (n_labels, n_dims, between_ss, within_ss,
+    * fisher_ratio rounded 6) — 1 row.
+    */
+  def fisherSeparability(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        round(col("v").cast("double") * 1e6, 0).cast("long").as("x6"))
+    val byLd = e.groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("nl"), sum(col("x6")).as("s"),
+        sum((col("x6") * col("x6")).cast(dec)).as("x2"))
+      .withColumn("m6",
+        round(col("s").cast("double") / col("nl"), 0).cast("long"))
+    val byD = byLd.groupBy(col("dim"))
+      .agg(sum(col("s")).as("sd"), sum(col("nl")).as("n"))
+      .withColumn("g6",
+        round(col("sd").cast("double") / col("n"), 0).cast("long"))
+      .select(col("dim"), col("g6"))
+    byLd.join(byD, "dim")
+      .agg(
+        countDistinct(col("label")).as("n_labels"),
+        countDistinct(col("dim")).as("n_dims"),
+        sum((col("nl") * (col("m6") - col("g6")) *
+          (col("m6") - col("g6"))).cast(dec)).as("b"),
+        sum(col("x2") - (lit(2L) * col("m6") * col("s")).cast(dec) +
+          (col("nl") * col("m6") * col("m6")).cast(dec)).as("w"))
+      .select(col("n_labels"), col("n_dims"),
+        col("b").cast("long").as("between_ss"),
+        col("w").cast("long").as("within_ss"),
+        round(col("b").cast("double") / col("w").cast("double"), 6)
+          .as("fisher_ratio"))
+  }
+
   def kmeansAssignments(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, q: Long = 1000000L): DataFrame = {
     import spark.implicits._

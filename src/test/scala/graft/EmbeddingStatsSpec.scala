@@ -215,4 +215,42 @@ class EmbeddingStatsSpec extends SparkSpec {
       .find(_.getInt(0) == 1).get.getDouble(2)
     assert(math.abs(top1 - pcaTop) < 1e-5, s"$top1 vs $pcaTop")
   }
+
+  test("fisher separability replays a driver-side two-level scatter") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def q(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val dims = rows.head._2.length
+    val cells = scala.collection.mutable.Map
+      .empty[(Int, Int), (Long, Long, BigInt)]
+      .withDefaultValue((0L, 0L, BigInt(0)))
+    rows.foreach { case (l, v) =>
+      v.indices.foreach { d =>
+        val x6 = q(v(d).toDouble * 1e6)
+        val (nl, s, x2) = cells((l, d))
+        cells((l, d)) = (nl + 1, s + x6, x2 + BigInt(x6) * x6)
+      }
+    }
+    var b = BigInt(0); var w = BigInt(0)
+    (0 until dims).foreach { d =>
+      val forD = cells.filter(_._1._2 == d)
+      val g6 = q(forD.values.map(_._2).sum.toDouble /
+        forD.values.map(_._1).sum)
+      forD.values.foreach { case (nl, s, x2) =>
+        val m6 = q(s.toDouble / nl)
+        b += BigInt(nl) * (m6 - g6) * (m6 - g6)
+        w += x2 - BigInt(2) * m6 * s + BigInt(nl) * m6 * m6
+      }
+    }
+    val expect = BigDecimal(b.toDouble / w.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = EmbeddingStats.fisherSeparability(spark, sf0001).head()
+    assert(row.getLong(0) == rows.map(_._1).distinct.length)
+    assert(row.getLong(1) == dims)
+    assert(row.getLong(2) == b.toLong && row.getLong(3) == w.toLong)
+    assert(row.getDouble(4) == expect)
+    assert(row.getDouble(4) >= 0.0)
+  }
 }
