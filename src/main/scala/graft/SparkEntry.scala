@@ -705,6 +705,13 @@ object SparkEntry {
       ((s, d) => Stats.spearmanLengthQuality(s, d)),
     // Cramér's V effect size from the same chi-square aggregate
     "stats_cramers_v" -> ((s, d) => Stats.cramersV(s, d)),
+    // one-way ANOVA F across ALL sources (quantized-mean integer
+    // scatter sums, one final division)
+    "stats_anova_quality" -> ((s, d) => Stats.anovaQualityBySource(s, d)),
+    // stationary distribution of the type-transition Markov chain
+    // (3 power rounds, 9dp per round — the pagerank discipline)
+    "events_markov_stationary" ->
+      ((s, d) => EventOps.markovStationary(s, d)),
     // k-anonymity audit of the (segment, nation) quasi-identifier
     "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
     // LDA-criterion class separability of the labeled embeddings
@@ -3980,6 +3987,29 @@ object SparkEntry {
                AS forecast_h3
       FROM rec r JOIN nn USING (event_type) WHERE r.i = nn.nd""",
 
+    // same lag-pair transition relation; 3 unrolled power rounds with
+    // per-round 9dp quantization (the graph_pagerank discipline)
+    "events_markov_stationary" -> """
+      WITH pairs AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev
+             FROM events),
+      tr AS (SELECT prev AS src, event_type AS dst, count(*) AS n
+             FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2),
+      trans AS (SELECT src, dst,
+                  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+                FROM tr),
+      types AS (SELECT DISTINCT src AS t FROM trans),
+      kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM types),
+      p0 AS (SELECT t, CAST(1.0 AS DOUBLE) / kk.k AS pi FROM types, kk),
+      p1 AS (SELECT tt.dst AS t, round(sum(p0.pi * tt.p), 9) AS pi
+             FROM trans tt JOIN p0 ON tt.src = p0.t GROUP BY 1),
+      p2 AS (SELECT tt.dst AS t, round(sum(p1.pi * tt.p), 9) AS pi
+             FROM trans tt JOIN p1 ON tt.src = p1.t GROUP BY 1),
+      p3 AS (SELECT tt.dst AS t, round(sum(p2.pi * tt.p), 9) AS pi
+             FROM trans tt JOIN p2 ON tt.src = p2.t GROUP BY 1)
+      SELECT t AS event_type, round(pi, 6) AS stationary FROM p3""",
+
     // same strict (ts, event_id) row-order window; IGNORE NULLS
     // first/last over the unbounded-preceding frame, exact cents
     "events_attribution" -> s"""
@@ -4536,6 +4566,42 @@ object SparkEntry {
              round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
                / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) AS effect
       FROM a""",
+
+    // quantized-mean integer scatter sums (the Fisher discipline),
+    // one final division for F
+    "stats_anova_quality" -> """
+      WITH q0 AS (
+        SELECT source,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT source, text, string_split(text, ' ') AS w
+              FROM documents)),
+      q AS (SELECT source,
+              CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+            FROM q0),
+      byg AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+                CAST(sum(q6) AS BIGINT) AS s,
+                CAST(sum(q6 * q6) AS HUGEINT) AS x2
+              FROM q GROUP BY 1),
+      m AS (SELECT source, ng, s, x2,
+              CAST(round(CAST(s AS DOUBLE) / ng) AS BIGINT) AS m6
+            FROM byg),
+      t AS (SELECT CAST(round(CAST(sum(s) AS DOUBLE) / sum(ng)) AS BIGINT)
+              AS g6
+            FROM byg),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                CAST(sum(ng) AS BIGINT) AS n,
+                CAST(sum(CAST(ng * (m6 - t.g6) * (m6 - t.g6) AS HUGEINT))
+                  AS HUGEINT) AS ssb,
+                CAST(sum(x2 - CAST(2 * m6 * s AS HUGEINT)
+                  + CAST(ng * m6 * m6 AS HUGEINT)) AS HUGEINT) AS ssw
+              FROM m CROSS JOIN t)
+      SELECT k, n, CAST(ssb AS BIGINT) AS ssb, CAST(ssw AS BIGINT) AS ssw,
+             round((CAST(ssb AS DOUBLE) / (k - 1))
+               / (CAST(ssw AS DOUBLE) / (n - k)), 6) AS f_stat
+      FROM agg""",
 
     // per-source doubled tie-averaged ranks over distinct values, then
     // Pearson over the doubled ranks with HUGEINT moments and the

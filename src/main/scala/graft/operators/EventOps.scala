@@ -1245,6 +1245,44 @@ object EventOps {
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 6).as("p"))
   }
 
+  /** Stationary distribution of the [[typeTransitions]] Markov chain:
+    * where the user flow settles if the observed transition behavior
+    * persists — the long-run share of attention per event type, read
+    * against the raw frequency histogram to see which types RETAIN
+    * flow vs merely receive it. Three power-iteration rounds from the
+    * uniform start over the |types|²-row transition relation (the
+    * [[graft.operators.GraphOps.pageRank]] discipline: per-round 9 dp
+    * quantization, final 6 dp; a fixed round count keeps the oracle a
+    * finite unrolled chain). Output: (event_type, stationary), one
+    * row per type.
+    */
+  def markovStationary(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val trans = pairs.groupBy(col("prev").as("src"),
+        col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"),
+        (col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src")))).as("p"))
+      .cache()
+    val types = trans.select(col("src").as("t")).distinct().cache()
+    val k = types.count().toDouble
+    var pi = types.select(col("t"), lit(1.0 / k).as("pi"))
+    (1 to iters).foreach { _ =>
+      pi = trans.join(pi, trans("src") === pi("t"))
+        .groupBy(col("dst"))
+        .agg(round(sum(col("pi") * col("p")), 9).as("pi"))
+        .select(col("dst").as("t"), col("pi"))
+    }
+    pi.select(col("t").as("event_type"), round(col("pi"), 6).as("stationary"))
+  }
+
   /** MATCH_RECOGNIZE-lite event-pattern matching: each user's stream
     * collapses to a character sequence (one char per event type, in
     * (ts, event_id) order) and a regex runs over it — here 'v+p'

@@ -329,6 +329,48 @@ object Stats {
           6).as("rho"))
   }
 
+  /** One-way ANOVA F-statistic of quality across ALL sources — the
+    * parametric omnibus beside the nonparametric pairwise tests
+    * (KS/Mann-Whitney compare two sources; ANOVA asks "does source
+    * matter at all"). F = (SSB/(k−1)) / (SSW/(n−k)) with
+    * SSB = Σ S_g²/n_g − S²/n and SSW = ΣΣx² − Σ S_g²/n_g.
+    *
+    * Exactness: scores quantize to integer micro-units; group and
+    * grand means RE-quantize to integer micro (one fixed division +
+    * round each — the [[graft.operators.EmbeddingStats]] Fisher
+    * discipline), so both sums of squares are pure integer sums in
+    * DECIMAL(38,0); ONE final division produces F.
+    * Output: (k, n, ssb, ssw, f_stat rounded 6) — 1 row.
+    */
+  def anovaQualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = split(col("text"), " ")
+    val q = Tables.documents(spark, dir)
+      .select(col("source"),
+        round(graft.operators.TextOps.qualityOf(col("text"), w) * 1e6, 0)
+          .cast("long").as("q6"))
+    val byG = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("ng"), sum(col("q6")).as("s"),
+        sum((col("q6") * col("q6")).cast(dec)).as("x2"))
+      .withColumn("m6",
+        round(col("s").cast("double") / col("ng"), 0).cast("long"))
+    val tot = byG.agg(sum(col("s")).as("st"), sum(col("ng")).as("n"))
+      .select(round(col("st").cast("double") / col("n"), 0).cast("long")
+        .as("g6"))
+    byG.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+        sum((col("ng") * (col("m6") - col("g6")) *
+          (col("m6") - col("g6"))).cast(dec)).as("ssb"),
+        sum(col("x2") - (lit(2L) * col("m6") * col("s")).cast(dec) +
+          (col("ng") * col("m6") * col("m6")).cast(dec)).as("ssw"))
+      .select(col("k"), col("n"),
+        col("ssb").cast("long").as("ssb"),
+        col("ssw").cast("long").as("ssw"),
+        round((col("ssb").cast("double") / (col("k") - 1))
+          / (col("ssw").cast("double") / (col("n") - col("k"))), 6)
+          .as("f_stat"))
+  }
+
   /** The 1-row (chi2_micros, n_a, n_b, n) aggregate shared by
     * [[chiSquareIndependence]] and [[cramersV]] — identical expressions
     * to the original chi-square so its pinned oracle is unaffected.

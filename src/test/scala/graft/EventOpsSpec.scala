@@ -708,6 +708,28 @@ class EventOpsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("Markov stationary distribution: mass-conserving, fixpoint-consistent") {
+    val rows = graft.operators.EventOps.markovStationary(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach(p => assert(p > 0.0 && p < 1.0))
+    // row-stochastic transitions conserve total mass (mod quantization)
+    assert(math.abs(rows.values.sum - 1.0) < 1e-3, s"mass ${rows.values.sum}")
+    // one more application of the transition matrix barely moves it
+    // (the chain mixes fast on this dense 5x5 matrix)
+    val trans = graft.operators.EventOps.typeTransitions(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(3)))
+      .toMap
+    val next = rows.keys.map { t =>
+      t -> rows.toSeq.collect { case (s, pi) if trans.contains((s, t)) =>
+        pi * trans((s, t))
+      }.sum
+    }.toMap
+    rows.foreach { case (t, pi) =>
+      assert(math.abs(next(t) - pi) < 0.01, s"$t: $pi vs ${next(t)}")
+    }
+  }
+
   test("Kaplan-Meier replays a driver-side product-limit estimate") {
     val lives = Tables.events(spark, sf0001)
       .select(col("user_id"),

@@ -164,6 +164,44 @@ class StatsSpec extends SparkSpec {
     assert(u2 == expU2, s"$u2 vs $expU2")
   }
 
+  test("ANOVA F replays a driver-side quantized-mean scatter decomposition") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stop = Set("the", "a", "of", "and", "to", "in", "on")
+    def q6(t: String): Long = {
+      val w = t.split(" ", -1)
+      val q = math.min(w.count(stop) / w.length.toDouble * 2.0, 1.0) * 0.4 +
+        t.count(c => c >= 'a' && c <= 'z') / t.length.toDouble * 0.3 +
+        math.min(w.length / 50.0, 1.0) * 0.3
+      math.round(q * 1e6)
+    }
+    def qr(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byG = docs.groupBy(_._1).view.mapValues(_.map(d => q6(d._2))).toMap
+    val n = docs.length.toLong
+    val k = byG.size.toLong
+    val g6 = qr(byG.values.flatten.sum.toDouble / n)
+    var ssb = BigInt(0); var ssw = BigInt(0)
+    byG.values.foreach { xs =>
+      val ng = xs.length.toLong
+      val s = xs.sum
+      val m6 = qr(s.toDouble / ng)
+      ssb += BigInt(ng) * (m6 - g6) * (m6 - g6)
+      ssw += xs.map(x => BigInt(x) * x).sum -
+        BigInt(2) * m6 * s + BigInt(ng) * m6 * m6
+    }
+    val expect = BigDecimal((ssb.toDouble / (k - 1)) /
+      (ssw.toDouble / (n - k)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = graft.operators.Stats.anovaQualityBySource(spark, sf0001)
+      .head()
+    assert(row.getLong(0) == k && row.getLong(1) == n)
+    assert(row.getLong(2) == ssb.toLong && row.getLong(3) == ssw.toLong)
+    assert(row.getDouble(4) == expect)
+    assert(row.getDouble(4) >= 0.0)
+  }
+
   test("Cramér's V derives from the chi-square aggregate; bounded [0,1]") {
     val chi = graft.operators.Stats.chiSquareIndependence(spark, sf0001)
       .head()
