@@ -20,7 +20,8 @@ class PlanShapeSweepSpec extends SparkSpec {
   private val excludedExact = Set(
     "text_bpe_vocab", // iterative driver-side trainer (own spec)
     "graph_pagerank",  // fixed-iteration loop (own spec)
-    "graph_ppr")       // fixed-iteration loop (own spec)
+    "graph_ppr",       // fixed-iteration loop (own spec)
+    "events_markov_stationary") // fixed-iteration loop (own spec)
   // bounded-by-construction NLJs: a 1-row (or |labels|-row) aggregate
   // broadcast against the fact side — the canonical scalar-stat attach
   private val oneRowCrossAllowed = Set(
@@ -48,6 +49,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_keywords_per_doc",      // 1-row doc-count attach
     "text_term_burstiness",       // 1-row doc-count attach
     "events_kaplan_meier",        // 1-row packed-factor-array attach
+    "stats_anova_quality",        // 1-row grand-mean attach
     "text_bm25_prf",              // 1-row corpus-stats attach (the
                                   // text_bm25_general shape, twice)
     "text_decontaminate_embedding") // tiny benchmark relation broadcast
