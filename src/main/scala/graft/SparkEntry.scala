@@ -708,6 +708,8 @@ object SparkEntry {
     // one-way ANOVA F across ALL sources (quantized-mean integer
     // scatter sums, one final division)
     "stats_anova_quality" -> ((s, d) => Stats.anovaQualityBySource(s, d)),
+    // post-hoc standardized pairwise contrasts off the same aggregate
+    "stats_anova_contrasts" -> ((s, d) => Stats.anovaContrasts(s, d)),
     // stationary distribution of the type-transition Markov chain
     // (3 power rounds, 9dp per round — the pagerank discipline)
     "events_markov_stationary" ->
@@ -4566,6 +4568,44 @@ object SparkEntry {
              round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
                / (2.0 * CAST(n_a AS DOUBLE) * n_b), 6) AS effect
       FROM a""",
+
+    // same quantized means + integer MSW; per-pair one fixed-shape
+    // formula; total-ordered top 10
+    "stats_anova_contrasts" -> """
+      WITH q0 AS (
+        SELECT source,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT source, text, string_split(text, ' ') AS w
+              FROM documents)),
+      q AS (SELECT source,
+              CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+            FROM q0),
+      byg AS (SELECT source, CAST(count(*) AS BIGINT) AS ng,
+                CAST(sum(q6) AS BIGINT) AS s,
+                CAST(sum(q6 * q6) AS HUGEINT) AS x2
+              FROM q GROUP BY 1),
+      m AS (SELECT source, ng, s, x2,
+              CAST(round(CAST(s AS DOUBLE) / ng) AS BIGINT) AS m6
+            FROM byg),
+      msw AS (SELECT CAST(sum(x2 - CAST(2 * m6 * s AS HUGEINT)
+                  + CAST(ng * m6 * m6 AS HUGEINT)) AS DOUBLE)
+                / CAST(sum(ng) - count(*) AS DOUBLE) AS msw
+              FROM m)
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(CAST(a.m6 - b.m6 AS DOUBLE) / 1000000.0, 6) AS mean_diff,
+             round(CAST(a.m6 - b.m6 AS DOUBLE)
+               / sqrt(msw.msw * (CAST(1.0 AS DOUBLE) / a.ng
+                                 + CAST(1.0 AS DOUBLE) / b.ng)), 6) AS z
+      FROM m a JOIN m b ON a.source < b.source
+      CROSS JOIN msw
+      ORDER BY abs(round(CAST(a.m6 - b.m6 AS DOUBLE)
+               / sqrt(msw.msw * (CAST(1.0 AS DOUBLE) / a.ng
+                                 + CAST(1.0 AS DOUBLE) / b.ng)), 6)) DESC,
+               source_a ASC, source_b ASC
+      LIMIT 10""",
 
     // quantized-mean integer scatter sums (the Fisher discipline),
     // one final division for F

@@ -371,6 +371,57 @@ object Stats {
           .as("f_stat"))
   }
 
+  /** Post-hoc standardized contrasts after [[anovaQualityBySource]]:
+    * for every unordered source pair, the mean-quality difference in
+    * units of its pooled standard error —
+    * z = (m_a − m_b) / √(MSW·(1/n_a + 1/n_b)) — ranked by |z|, top
+    * 10. The "WHICH pairs differ" answer the omnibus F cannot give
+    * (a Tukey test would compare |z|·√2 to a studentized-range
+    * quantile; the standardized contrast itself is the
+    * engine-computable part and carries the full ordering).
+    *
+    * Exactness: the same quantized group means and integer MSW as the
+    * ANOVA; per-pair one fixed-shape double formula, total-ordered
+    * output (|z| desc, source_a asc, source_b asc). Scale: the pair
+    * expansion runs on the |sources|-row aggregate, never the corpus.
+    * Output: (source_a, source_b, mean_diff, z rounded 6), 10 rows.
+    */
+  def anovaContrasts(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val w = split(col("text"), " ")
+    val q = Tables.documents(spark, dir)
+      .select(col("source"),
+        round(graft.operators.TextOps.qualityOf(col("text"), w) * 1e6, 0)
+          .cast("long").as("q6"))
+    val byG = q.groupBy(col("source"))
+      .agg(count(lit(1)).as("ng"), sum(col("q6")).as("s"),
+        sum((col("q6") * col("q6")).cast(dec)).as("x2"))
+      .withColumn("m6",
+        round(col("s").cast("double") / col("ng"), 0).cast("long"))
+    val msw = byG
+      .agg(sum(col("x2") - (lit(2L) * col("m6") * col("s")).cast(dec) +
+          (col("ng") * col("m6") * col("m6")).cast(dec)).as("ssw"),
+        sum(col("ng")).as("n"), count(lit(1)).as("kk"))
+      .select((col("ssw").cast("double") /
+        (col("n") - col("kk")).cast("double")).as("msw"))
+    val a = byG.select(col("source").as("source_a"), col("ng").as("na"),
+      col("m6").as("ma"))
+    val b = byG.select(col("source").as("source_b"), col("ng").as("nb"),
+      col("m6").as("mb"))
+    a.join(b, col("source_a") < col("source_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("source_a"), col("source_b"),
+        round((col("ma") - col("mb")).cast("double") / 1e6, 6)
+          .as("mean_diff"),
+        round((col("ma") - col("mb")).cast("double") /
+          sqrt(col("msw") * (lit(1.0) / col("na") + lit(1.0) / col("nb"))),
+          6).as("z"))
+      .orderBy(abs(col("z")).desc, col("source_a").asc,
+        col("source_b").asc)
+      .limit(k)
+  }
+
   /** The 1-row (chi2_micros, n_a, n_b, n) aggregate shared by
     * [[chiSquareIndependence]] and [[cramersV]] — identical expressions
     * to the original chi-square so its pinned oracle is unaffected.

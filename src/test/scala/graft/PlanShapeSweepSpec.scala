@@ -50,6 +50,8 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_term_burstiness",       // 1-row doc-count attach
     "events_kaplan_meier",        // 1-row packed-factor-array attach
     "stats_anova_quality",        // 1-row grand-mean attach
+    "stats_anova_contrasts",      // |sources|^2 pair NLJ on the tiny
+                                  // per-source aggregate + 1-row MSW
     "text_bm25_prf",              // 1-row corpus-stats attach (the
                                   // text_bm25_general shape, twice)
     "text_decontaminate_embedding") // tiny benchmark relation broadcast

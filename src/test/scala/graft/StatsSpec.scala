@@ -202,6 +202,51 @@ class StatsSpec extends SparkSpec {
     assert(row.getDouble(4) >= 0.0)
   }
 
+  test("ANOVA contrasts replay driver-side; ordering and signs consistent") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stop = Set("the", "a", "of", "and", "to", "in", "on")
+    def q6(t: String): Long = {
+      val w = t.split(" ", -1)
+      val q = math.min(w.count(stop) / w.length.toDouble * 2.0, 1.0) * 0.4 +
+        t.count(c => c >= 'a' && c <= 'z') / t.length.toDouble * 0.3 +
+        math.min(w.length / 50.0, 1.0) * 0.3
+      math.round(q * 1e6)
+    }
+    def qr(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val byG = docs.groupBy(_._1).view
+      .mapValues(_.map(d => q6(d._2))).toMap
+    val stats = byG.map { case (src, xs) =>
+      val ng = xs.length.toLong
+      val s = xs.sum
+      (src, (ng, qr(s.toDouble / ng),
+        xs.map(x => BigInt(x) * x).sum -
+          BigInt(2) * qr(s.toDouble / ng) * s +
+          BigInt(ng) * qr(s.toDouble / ng) * qr(s.toDouble / ng)))
+    }
+    val n = docs.length.toLong
+    val k = byG.size.toLong
+    val msw = stats.values.map(_._3).sum.toDouble / (n - k)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (for {
+      (a, (na, ma, _)) <- stats; (b, (nb, mb, _)) <- stats if a < b
+    } yield {
+      val z = r6((ma - mb).toDouble /
+        math.sqrt(msw * (1.0 / na + 1.0 / nb)))
+      (a, b, r6((ma - mb).toDouble / 1e6), z)
+    }).toSeq.sortBy { case (a, b, _, z) => (-math.abs(z), a, b) }.take(10)
+    val got = graft.operators.Stats.anovaContrasts(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(got == expect)
+    got.foreach { case (_, _, d, z) =>
+      assert(math.signum(d) == math.signum(z))
+    }
+  }
+
   test("Cramér's V derives from the chi-square aggregate; bounded [0,1]") {
     val chi = graft.operators.Stats.chiSquareIndependence(spark, sf0001)
       .head()
