@@ -582,6 +582,9 @@ object SparkEntry {
     // Kaplan-Meier survival over user lifetimes: ordered prefix-slice
     // factor folds, identical in both engines
     "events_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(s, d)),
+    // Nelson-Aalen cumulative hazard: micro-quantized step hazards,
+    // order-free integer prefix sum, one final division
+    "events_nelson_aalen" -> ((s, d) => EventOps.nelsonAalen(s, d)),
     // median-of-pairwise-slopes robust trend over the daily rollup;
     // integer slope quantization + the x2 exact-median trick
     "events_theilsen_trend" -> ((s, d) => EventOps.theilSenTrend(s, d)),
@@ -4089,6 +4092,31 @@ object SparkEntry {
                AS BIGINT) AS n_pairs
       FROM p CROSS JOIN (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
       GROUP BY 1""",
+
+    // micro-quantized step hazards, integer prefix sum, one division
+    "events_nelson_aalen" -> """
+      WITH life AS (SELECT user_id,
+                      CAST(max(day) - min(day) AS BIGINT) AS lt
+                    FROM (SELECT user_id,
+                            CAST(floor(epoch_us(ts) / 86400000000)
+                              AS BIGINT) AS day
+                          FROM events)
+                    GROUP BY user_id),
+      hist AS (SELECT lt, CAST(count(*) AS BIGINT) AS d
+               FROM life GROUP BY 1),
+      steps AS (SELECT lt, d,
+                  CAST(sum(d) OVER (ORDER BY lt ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+                FROM hist),
+      h AS (SELECT lt, d, n,
+              CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+                AS BIGINT) AS h6
+            FROM steps)
+      SELECT lt AS lifetime_days, n AS n_risk, d AS n_churn,
+             round(CAST(sum(h6) OVER (ORDER BY lt ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) / 1000000.0, 6)
+               AS cum_hazard
+      FROM h""",
 
     // same ordered factor list; survival = left fold of the prefix
     // slice, seeded 1.0, in identical order

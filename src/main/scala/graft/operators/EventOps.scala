@@ -1001,6 +1001,36 @@ object EventOps {
           lit(1.0), (acc, f) => acc * f), 6).as("survival"))
   }
 
+  /** Nelson-Aalen cumulative hazard over the same lifetime histogram
+    * as [[kaplanMeier]]: H(t) = Σ_{s≤t} d_s/n_s — the estimator of
+    * choice when hazards are the object (KM's product form compounds
+    * the same increments; at small per-step hazard S ≈ e^−H). Unlike
+    * the product, the SUM quantizes exactly: each step's hazard
+    * d/n rounds to integer micro-units BEFORE the prefix sum, so the
+    * cumulative is an order-free integer until one final division.
+    * Output: (lifetime_days, n_risk, n_churn, cum_hazard rounded 6).
+    */
+  def nelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+      .groupBy(col("user_id"))
+      .agg((max(col("day")) - min(col("day"))).as("lt"))
+    val hist = life.groupBy(col("lt")).agg(count(lit(1)).as("d"))
+    val wTail = Window.orderBy(col("lt"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("lt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n", sum(col("d")).over(wTail))
+      .withColumn("h6", round(col("d").cast("double") /
+        col("n").cast("double") * 1e6, 0).cast("long"))
+      .withColumn("cum6", sum(col("h6")).over(wCum))
+      .select(col("lt").as("lifetime_days"), col("n").as("n_risk"),
+        col("d").as("n_churn"),
+        round(col("cum6") / 1e6, 6).as("cum_hazard"))
+  }
+
   /** Marketing-style revenue attribution: every `purchase` conversion
     * credits its user's FIRST and LAST preceding touch (`click`/`view`)
     * — the two classic single-touch models, reported side by side per

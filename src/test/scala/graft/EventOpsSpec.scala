@@ -730,6 +730,39 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("Nelson-Aalen hazard: consistent with KM risk sets, near -ln(S)") {
+    val na = graft.operators.EventOps.nelsonAalen(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val km = graft.operators.EventOps.kaplanMeier(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(na.nonEmpty)
+    // identical (lifetime, risk set, churn) triples
+    assert(na.map(t => (t._1, t._2, t._3)).toSeq ==
+      km.map(t => (t._1, t._2, t._3)).toSeq)
+    // cumulative hazard is strictly increasing
+    na.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(b > a)
+      case _ => ()
+    }
+    // classical bound: H(t) <= -ln(S(t)) (sum of d/n vs -sum ln(1-d/n))
+    na.zip(km).foreach { case ((_, _, _, h), (_, _, _, s)) =>
+      if (s > 0.0)
+        assert(h <= -math.log(s) + 1e-6,
+          s"H=$h exceeds -ln(S)=${-math.log(s)}")
+    }
+    // driver-side replay of the quantized prefix sums
+    var cum = 0L
+    na.foreach { case (_, n, d, h) =>
+      cum += BigDecimal(d.toDouble / n.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val expect = BigDecimal(cum / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(h == expect, s"$h vs $expect")
+    }
+  }
+
   test("Kaplan-Meier replays a driver-side product-limit estimate") {
     val lives = Tables.events(spark, sf0001)
       .select(col("user_id"),
