@@ -743,6 +743,9 @@ object SparkEntry {
     // Church-Gale burstiness (variance-to-mean of per-doc counts):
     // exact integer moments, one final division
     "text_term_burstiness" -> ((s, d) => TextOps.termBurstiness(s, d)),
+    // langid confusion matrix vs the fixture's true labels — pure
+    // integers, permille via integer div
+    "text_langid_confusion" -> ((s, d) => TextOps.langIdConfusion(s, d)),
     // cross-doc sliding 5-gram boilerplate mining: linear explode +
     // one span-keyed rollup, total-ordered top 20
     "text_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
@@ -2168,6 +2171,30 @@ object SparkEntry {
              WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
         s_en, s_es, s_de, s_fr
       FROM s""",
+
+    // same stopword-profile prediction CTE joined to the true labels;
+    // integer counts, permille via integer div
+    "text_langid_confusion" -> """
+      WITH s AS (
+        SELECT doc_id,
+          round(len(list_filter(w, t -> list_contains(['the','a','of','and','to'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_en,
+          round(len(list_filter(w, t -> list_contains(['el','la','de','y','que'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_es,
+          round(len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_de,
+          round(len(list_filter(w, t -> list_contains(['le','la','de','et','les'], t))) / CAST(len(w) AS DOUBLE), 6) AS s_fr
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      p AS (SELECT doc_id,
+              CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+            FROM s),
+      cells AS (SELECT d.lang AS true_lang, p.pred_lang,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM documents d JOIN p USING (doc_id)
+                GROUP BY 1, 2)
+      SELECT true_lang, pred_lang, n,
+             CAST(n * 1000 // sum(n) OVER (PARTITION BY true_lang)
+               AS BIGINT) AS permille
+      FROM cells""",
 
     // redaction oracle generated from the SAME pattern constants the
     // Spark plan folds over (portable regex subset; DuckDB needs the

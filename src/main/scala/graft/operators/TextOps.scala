@@ -180,6 +180,33 @@ object TextOps {
       .select("doc_id", "pred_lang", "s_en", "s_es", "s_de", "s_fr")
   }
 
+  /** Confusion matrix of the stopword-profile language ID against the
+    * fixture's `lang` labels: (true_lang, pred_lang, n, permille of
+    * the true language's docs) — the eval TABLE the langid accuracy
+    * gates summarize. On THIS fixture it documents two honest
+    * failure modes at once: the fixture's labels sit on a SHARED
+    * English-flavored vocabulary (no real language signal — see
+    * [[languageIdNgram]]'s note), so the detector correctly reads the
+    * TEXT as English for every label and the matrix collapses onto
+    * the 'en' column — exactly the label/content mismatch a
+    * detector-health dashboard exists to catch (TextOpsSpec's
+    * accuracy gate runs the detectors on a synthetic corpus with
+    * genuine per-language signal). Pure integers
+    * (permille via integer div); one join + one rollup + one
+    * per-true-language window on the |langs|²-row cells.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = languageId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val truth = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    truth.join(pred, "doc_id")
+      .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_true", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("true_lang"))))
+      .select(col("true_lang"), col("pred_lang"), col("n"),
+        expr("n * 1000 div n_true").as("permille"))
+  }
+
   /** Declared query: KMV-sketched vs exact distinct 3-gram count over
     * the corpus — a mergeable distinct sketch on portable hashes, so
     * the DuckDB oracle reproduces the estimate exactly (k smallest

@@ -826,6 +826,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(_._2 < 0))
   }
 
+  test("langid confusion: conserves the corpus, permille rows sum per language") {
+    val rows = TextOps.langIdConfusion(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._3).sum
+    assert(total == Tables.documents(spark, sf0001).count())
+    // per true language the cells partition its docs; permille of a
+    // single-cell row is exactly 1000
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      if (cells.length == 1) assert(cells.head._4 == 1000L, s"$lang")
+      assert(cells.map(_._4).sum <= 1000L, s"$lang permille overflow")
+    }
+    // the fixture's content is English-flavored for every label: the
+    // detector must read it as such (the label/content mismatch the
+    // matrix exists to expose; genuine-signal accuracy is gated on the
+    // synthetic corpus elsewhere in this suite)
+    assert(rows.forall(_._2 == "en"))
+  }
+
   test("term burstiness: driver-side exact-moment replay; topical beats uniform") {
     val stop = Set("the", "a", "of", "and", "to", "in", "on")
     val docs = Tables.documents(spark, sf0001)
