@@ -1134,18 +1134,36 @@ object SparkEntry {
       $picks"""
   }
 
-  /** Grouped tie-aware Mann–Whitney AUC over the trained scorer —
-    * integer until the single final division, like the Spark side.
+  /** The identical fixed-width score binning as
+    * `Pipeline.binnedScores`: millionth-quantized scores (HALF_UP round
+    * then truncating BIGINT cast, the calibration discipline) bucketed
+    * by `(q−qmin)·1024 // (qmax−qmin+1)` — truncating integer division
+    * on non-negative operands, matching Spark's `DIV`.
+    */
+  private def qcBinnedSql(iters: Int, lr: String): String =
+    qcChain(iters, lr) + s""",
+      scored AS (SELECT y,
+                   CAST(round(($qcDot) * 1000000.0, 0) AS BIGINT) AS q
+                 FROM f, w$iters),
+      ext AS (SELECT min(q) AS qmin, max(q) AS qmax FROM scored),
+      binned AS (SELECT y,
+                   CAST(((q - qmin) * CAST(1024 AS BIGINT))
+                     // (qmax - qmin + 1) AS BIGINT) AS bin
+                 FROM scored, ext)"""
+
+  /** Grouped tie-aware Mann–Whitney AUC over the binned scorer —
+    * integer until the single final division, like the Spark side;
+    * tie groups are the fixed-width buckets, so the window input is
+    * ≤ 1024 rows at any corpus size.
     */
   private def qcAucSql(iters: Int, lr: String): String =
-    qcChain(iters, lr) + s""",
-      scored AS (SELECT y, $qcDot AS s FROM f, w$iters),
-      bys AS (SELECT s,
+    qcBinnedSql(iters, lr) + s""",
+      bys AS (SELECT bin,
                 sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
                 sum(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END) AS nn
-              FROM scored GROUP BY s),
+              FROM binned GROUP BY bin),
       cum AS (SELECT np, nn,
-                coalesce(sum(nn) OVER (ORDER BY s
+                coalesce(sum(nn) OVER (ORDER BY bin
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
               FROM bys)
       SELECT CAST(sum(np) AS BIGINT) AS np, CAST(sum(nn) AS BIGINT) AS nn,
@@ -1153,24 +1171,23 @@ object SparkEntry {
                / (2.0 * sum(np) * sum(nn)), 6) AS auc
       FROM cum"""
 
-  /** Gains curve over the distinct-score relation: exact cumulative
-    * long counts scanning scores descending, one fixed-order division.
+  /** Gains curve over the binned-score relation: exact cumulative
+    * long counts scanning buckets descending, one fixed-order division.
     */
   private def qcLiftSql(iters: Int, lr: String): String =
-    qcChain(iters, lr) + s""",
-      scored AS (SELECT y, $qcDot AS s FROM f, w$iters),
-      bys AS (SELECT s, count(*) AS n,
+    qcBinnedSql(iters, lr) + s""",
+      bys AS (SELECT bin, count(*) AS n,
                 sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np
-              FROM scored GROUP BY s),
+              FROM binned GROUP BY bin),
       t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
                    CAST(sum(np) AS BIGINT) AS tp FROM bys),
-      c AS (SELECT s,
-              CAST(sum(n) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+      c AS (SELECT bin,
+              CAST(sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
-              CAST(sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+              CAST(sum(np) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_np
             FROM bys)
-      SELECT s, cum_n, cum_np,
+      SELECT bin, cum_n, cum_np,
              round((CAST(cum_np AS DOUBLE) / cum_n)
                / (CAST(tp AS DOUBLE) / tn), 6) AS lift
       FROM c CROSS JOIN t"""

@@ -250,10 +250,12 @@ object Pipeline {
     * (ntile would tie-break by partition luck); deciles derive from
     * the rank by exact integer arithmetic (rank−1)·10 / n.
     *
-    * Scale shape: one global rank window over (q6, doc_id) — at
-    * 100 TB this becomes the range-partitioned rank (sample
-    * boundaries, per-partition offset sums), same output. Output:
-    * (doc_id, quality, curriculum_rank, decile).
+    * Scale shape: the rank is [[graft.plans.GraftOps.globalRank]] —
+    * range-partitioned on (q6 desc, doc_id), local sort + broadcast
+    * per-partition offsets — so no task ever holds more than
+    * ~|corpus|/partitions rows (the unpartitioned `Window.orderBy`
+    * form this replaced funneled the whole corpus through ONE
+    * reducer). Output: (doc_id, quality, curriculum_rank, decile).
     */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     val w = split(col("text"), " ")
@@ -261,11 +263,9 @@ object Pipeline {
       .select(col("doc_id"),
         round(TextOps.qualityOf(col("text"), w) * 1e6, 0).cast("long")
           .as("q6"))
-    val n = Window.partitionBy()
-    scored
-      .withColumn("curriculum_rank", row_number().over(
-        Window.orderBy(col("q6").desc, col("doc_id").asc)).cast("long"))
-      .withColumn("n", count(lit(1)).over(n))
+    graft.plans.GraftOps.globalRank(scored,
+        Seq("q6" -> false, "doc_id" -> true),
+        rankName = "curriculum_rank", countName = Some("n"))
       .select(col("doc_id"), round(col("q6") / 1e6, 6).as("quality"),
         col("curriculum_rank"),
         ((col("curriculum_rank") - 1L) * 10L / col("n")).cast("long")
@@ -333,10 +333,12 @@ object Pipeline {
     * Exactness: pure integer arithmetic on word counts — the entire
     * row is a function of one exclusive prefix sum.
     *
-    * Scale shape: like [[curriculum]], the single ordered window is
-    * the sf-fixture form of a range-partitioned prefix sum (per-
-    * partition subtotals + one tiny scan of partition sums at 100 TB);
-    * everything after the prefix sum is a map-only projection.
+    * Scale shape: the prefix sum is
+    * [[graft.plans.GraftOps.globalPrefixSum]] — range-partitioned on
+    * doc_id, per-partition token subtotals broadcast as offsets, one
+    * running local fold per task — so the corpus never serializes
+    * through a single-partition window; everything after the prefix
+    * sum is a map-only projection.
     * Output: (doc_id, n_tok, start_tok, start_seq, end_seq, start_off,
     * n_seqs).
     */
@@ -345,10 +347,8 @@ object Pipeline {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    toks
-      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    graft.plans.GraftOps.globalPrefixSum(toks, Seq("doc_id" -> true),
+        "n_tok", sumName = "start_tok")
       .withColumn("start_seq", expr(s"start_tok div $budget"))
       .withColumn("end_seq", expr(s"(start_tok + n_tok - 1) div $budget"))
       .select(col("doc_id"), col("n_tok"), col("start_tok"),
@@ -684,45 +684,64 @@ object Pipeline {
     * descending. The curve a data-selection budget is actually read
     * off ("keep the top 20% by classifier → 1.6x positive density").
     *
-    * Exactness: cuts are the distinct-score relation (the AUC
-    * discipline — no per-doc tie-break needed), cumulative counts are
-    * exact long prefix sums, and the lift divides exact integers in
-    * one fixed order. Scale: the corpus collapses to its distinct
-    * scores before the one ordered window (at 100 TB: the
-    * range-partitioned prefix sum, the Gini discipline). Output:
-    * (s, cum_n, cum_np, lift rounded 6) per distinct score.
+    * Exactness: cuts are [[binnedScores]]' fixed-width score buckets,
+    * cumulative counts are exact long prefix sums, and the lift
+    * divides exact integers in one fixed order. Scale: the corpus
+    * collapses to ≤ `bins` rows BEFORE the one ordered window, so the
+    * window input is bounded by the bucket count, not the corpus.
+    * Output: (bin, cum_n, cum_np, lift rounded 6) per occupied bucket.
     */
-  def classifierLift(spark: SparkSession, dir: String,
-      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+  /** (y, bin) with scores quantized to integer millionths then bucketed
+    * into `bins` FIXED-WIDTH buckets over the observed [qmin, qmax] —
+    * the `events_quantiles_hist` discipline applied to the classifier
+    * evals: the lift/AUC cumulative windows below run over AT MOST
+    * `bins` rows however large the corpus (LR scores are continuous,
+    * so the previous distinct-score relation could approach |corpus|
+    * and its ordered window with it). All arithmetic is exact integer
+    * in a fixed order (HALF_UP millionth quantization, then
+    * `(q−qmin)·bins div (qmax−qmin+1)` — truncating division on
+    * non-negative operands, identical in DuckDB as `//`), so both
+    * engines bin identically.
+    */
+  private def binnedScores(spark: SparkSession, dir: String,
+      iters: Int, lr: Double, bins: Int): DataFrame = {
     val w = trainedWeights(spark, dir, iters, lr)
-    val byScore = classifierFeatures(spark, dir)
-      .select(col("y"), zOf(w).as("s"))
-      .groupBy(col("s"))
+    val scored = classifierFeatures(spark, dir)
+      .select(col("y"), round(zOf(w) * 1000000.0, 0).cast("long").as("q"))
+    val ext = scored.agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+    scored.crossJoin(broadcast(ext))
+      .select(col("y"), expr(
+        s"CAST(((q - qmin) * CAST($bins AS BIGINT)) DIV (qmax - qmin + 1) AS BIGINT)")
+        .as("bin"))
+  }
+
+  def classifierLift(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0, bins: Int = 1024): DataFrame = {
+    val byBin = binnedScores(spark, dir, iters, lr, bins)
+      .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"))
-    val tot = byScore.agg(sum(col("n")).as("tn"), sum(col("np")).as("tp"))
-    val win = Window.orderBy(col("s").desc)
+    val tot = byBin.agg(sum(col("n")).as("tn"), sum(col("np")).as("tp"))
+    val win = Window.orderBy(col("bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byScore
+    byBin
       .withColumn("cum_n", sum(col("n")).over(win))
       .withColumn("cum_np", sum(col("np")).over(win))
       .crossJoin(broadcast(tot))
-      .select(col("s"), col("cum_n"), col("cum_np"),
+      .select(col("bin"), col("cum_n"), col("cum_np"),
         round((col("cum_np").cast("double") / col("cum_n"))
           / (col("tp").cast("double") / col("tn")), 6).as("lift"))
   }
 
   def classifierAuc(spark: SparkSession, dir: String,
-      iters: Int = 50, lr: Double = 5.0): DataFrame = {
-    val w = trainedWeights(spark, dir, iters, lr)
-    val byScore = classifierFeatures(spark, dir)
-      .select(col("y"), zOf(w).as("s"))
-      .groupBy(col("s"))
+      iters: Int = 50, lr: Double = 5.0, bins: Int = 1024): DataFrame = {
+    val byBin = binnedScores(spark, dir, iters, lr, bins)
+      .groupBy(col("bin"))
       .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("nn"))
-    byScore
+    byBin
       .withColumn("cnb", coalesce(sum(col("nn")).over(
-        Window.orderBy(col("s"))
+        Window.orderBy(col("bin"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"),
         sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("u2"))

@@ -1,11 +1,122 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, GraftColumn}
+import org.apache.spark.sql.{DataFrame, GraftColumn, Row}
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** User-facing entry points for graft's custom operators. */
 object GraftOps {
+
+  /** The input globally SORTED by `orderCols` across a real multi-
+    * partition range layout: sampled range boundaries decide each row's
+    * partition (`repartitionByRange`), then each partition sorts
+    * locally — partition i's rows all precede partition i+1's in the
+    * total order. The building block of [[globalRank]] /
+    * [[globalPrefixSum]]: at ANY scale no single task ever sees more
+    * than ~|input|/partitions rows, unlike an unpartitioned
+    * `Window.orderBy` which funnels the whole relation through one
+    * reducer.
+    */
+  private def rangeOrdered(df: DataFrame, orderCols: Seq[(String, Boolean)],
+      partitions: Int): DataFrame = {
+    val sortExprs = orderCols.map { case (n, asc) =>
+      if (asc) col(n).asc else col(n).desc
+    }
+    df.repartitionByRange(partitions, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+  }
+
+  /** Per-partition row-count (or value-sum) EXCLUSIVE offsets over a
+    * range-ordered layout — the "one tiny scan of partition subtotals"
+    * both primitives share: one lightweight job computes each
+    * partition's subtotal (|partitions| longs to the driver — bounded
+    * by cluster size, never data size), scanLeft turns them into start
+    * offsets, and the array broadcasts back. Returns (offsets, total).
+    */
+  private def partitionOffsets(rdd: org.apache.spark.rdd.RDD[Row],
+      subtotal: Iterator[Row] => Long): (Array[Long], Long) = {
+    val subs = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, subtotal(it))),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    (subs.scanLeft(0L)(_ + _), subs.sum)
+  }
+
+  /** Scalable GLOBAL total-order rank: `row_number()` over `orderCols`
+    * (name, ascending) without ever forming a single-partition window —
+    * range-partition on the sort keys, local sort, per-partition row
+    * counts as broadcast offsets, then each task stamps
+    * `offset(p) + local_position`. Appends `rankName` (1-based) and,
+    * when `countName` is set, the total row count (the pair a decile /
+    * percentile projection needs). Output rows and values are identical
+    * to the window form for any TOTAL order (give a tie-breaking final
+    * key); only the plan shape changes — this is the 100 TB form of
+    * `row_number().over(Window.orderBy(...))`.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[(String, Boolean)],
+      rankName: String = "grk", countName: Option[String] = None,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ordered = rangeOrdered(df, orderCols, p)
+    val rdd = ordered.rdd
+    val (offsets, total) = partitionOffsets(rdd, it => {
+      var n = 0L; while (it.hasNext) { it.next(); n += 1L }; n
+    })
+    val bc = spark.sparkContext.broadcast(offsets)
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bc.value(i)
+      it.map { row =>
+        r += 1L
+        Row.fromSeq(row.toSeq ++ (Seq(r) ++ countName.map(_ => total)))
+      }
+    }
+    val schema = StructType(ordered.schema.fields ++
+      (Seq(StructField(rankName, LongType, nullable = false)) ++
+        countName.map(StructField(_, LongType, nullable = false))))
+    spark.createDataFrame(stamped, schema)
+  }
+
+  /** Scalable GLOBAL prefix sum of `valueCol` in `orderCols` order
+    * (exclusive by default — each row sees the sum of everything
+    * strictly before it): the same range-partitioned skeleton as
+    * [[globalRank]], with per-partition value subtotals as the
+    * broadcast offsets and a running local fold per task. The 100 TB
+    * form of `sum(v).over(Window.orderBy(...).rowsBetween(
+    * unboundedPreceding, -1))` — identical output, no single-reducer
+    * sort. Values must be non-null longs (exact integer discipline:
+    * order-free per-partition sums, one deterministic scan of
+    * |partitions| subtotals).
+    */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[(String, Boolean)],
+      valueCol: String, sumName: String = "prefix_sum",
+      exclusive: Boolean = true, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ordered = rangeOrdered(df, orderCols, p)
+    val vIdx = ordered.schema.fieldIndex(valueCol)
+    val rdd = ordered.rdd
+    val (offsets, _) = partitionOffsets(rdd, it => {
+      var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
+    })
+    val bc = spark.sparkContext.broadcast(offsets)
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { row =>
+        val v = row.getLong(vIdx)
+        val out = if (exclusive) acc else acc + v
+        acc += v
+        Row.fromSeq(row.toSeq :+ out)
+      }
+    }
+    val schema = StructType(ordered.schema.fields :+
+      StructField(sumName, LongType, nullable = false))
+    spark.createDataFrame(stamped, schema)
+  }
 
   /** Top-k rows per group with a dense 1..k rank column, executed by
     * [[TopKPerGroupExec]] (per-group bounded heaps; one shuffle on the

@@ -87,23 +87,38 @@ object VectorStream {
     out
   }
 
+  /** Micro-batches served through the distributed scatter-gather path
+    * since JVM start — EventStreamSpec pins that streamed HNSW serving
+    * actually ran through [[graft.knn.HnswKnn.searchIndex]] (no
+    * driver-side graph materialization path exists any more; this
+    * counter proves the replacement executed).
+    */
+  val scatterGatherBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** STREAMING ANN serving over the HNSW index — the production
-    * serving-tier shape made literal: every executor holds a replica
-    * of the (driver-tiny relative to the corpus) shard graphs via
-    * broadcast, query vectors flow through the stream, and each query
-    * probes ALL shards and merges its top-k INSIDE the micro-batch —
-    * stateless, append-mode, no state store, no shuffle. The same
-    * scatter-gather the batch [[graft.knn.HnswKnn.searchIndex]] runs
-    * across partitions happens per-row here, with the identical
-    * round-then-rank tie-break ((dist rounded 6, vec_id) ascending),
-    * so streamed == batch EXACTLY and the row shares
+    * serving-tier shape: the shard graphs stay PINNED to their fixed
+    * executor partitions ([[graft.knn.HnswKnn.HnswDistIndex.placed]] —
+    * placement decided once per index), and each arriving micro-batch
+    * of query vectors runs the SAME distributed scatter-gather as the
+    * batch path ([[graft.knn.HnswKnn.searchIndex]] inside
+    * `foreachBatch`): queries replicate to the shard partitions, probe
+    * the local graph, and merge per-query top-k through the
+    * bounded-heap rank. No shard graph ever visits the driver and no
+    * executor holds more than its own shard — at 1e9 vectors the index
+    * fits on NEITHER, which is why the previous whole-index
+    * collect+broadcast replica was a scale-killer (r6 verdict #3).
+    * Results land executor-side in an append parquet sink, never the
+    * driver.
+    *
+    * Identical round-then-rank tie-break ((dist rounded 6, vec_id)
+    * ascending) as batch — each query arrives in exactly one
+    * micro-batch, so streamed == batch EXACTLY and the row shares
     * `knn_hnsw_batch`'s generated-literal oracle under the hash gate.
-    * EventStreamSpec pins the equality. Output:
-    * (qid, vec_id, dist, rk).
+    * EventStreamSpec pins the equality and the scatter-gather counter.
+    * Output: (qid, vec_id, dist, rk).
     */
   def hnswTopKStreamed(spark: SparkSession, dir: String, k: Int = 10,
       ef: Int = 100, shards: Int = 16): DataFrame = {
-    import spark.implicits._
     val staged = stagedEmbeddingsDir(spark, dir)
     val (base, _, splitAt, _) = graft.knn.ExactKnn.split(spark, dir)
     // same memo key as the batch path: one build serves both
@@ -112,41 +127,30 @@ object VectorStream {
       ix.graphs.count()
       ix
     }
-    val replica = index.graphs.collect().map(_.graph)
-    val bc = spark.sparkContext.broadcast(replica)
-    val name = s"graft_hnsw_stream_${EventStream.streamRunSeq.incrementAndGet()}"
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-serve").toString
     EventStream.withStreamPartitions(spark, 4, noData = false) {
-      val out = spark.readStream.schema(embSchema).parquet(staged)
+      val q = spark.readStream.schema(embSchema).parquet(staged)
         .filter(col("vec_id") >= splitAt)
-        .select(col("vec_id").as("qid"),
+        .select(col("vec_id"),
           graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
-            .as("qvec"))
-        .as[(Long, Array[Double])]
-        .flatMap { case (qid, qv) =>
-          val graphs = bc.value
-          val cands = graphs.iterator
-            .flatMap(_.search(qv, k, ef).iterator)
-            .map { case (id, d) =>
-              (id, new java.math.BigDecimal(java.lang.Double.toString(d))
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
-            }.toArray
-          cands.sortBy { case (id, d) => (d, id) }.take(k).iterator
-            .zipWithIndex
-            .map { case ((id, d), i) => (qid, id, d, i + 1) }
+            .as("emb"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          graft.knn.HnswKnn.searchIndex(index, batch, k, ef)
+            .select(col("qid"), col("vec_id"), col("dist"), col("rk"))
+            .write.mode("append").parquet(outDir)
+          scatterGatherBatches.incrementAndGet()
+          ()
         }
-        .toDF("qid", "vec_id", "dist", "rk")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
         .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-hnswq"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      out.awaitTermination()
+      q.awaitTermination()
     }
-    val res = spark.table(name)
+    spark.read.parquet(outDir)
       .select(col("qid"), col("vec_id"), col("dist"), col("rk"))
-    res.queryExecution.assertAnalyzed()
-    spark.catalog.dropTempView(name)
-    res
   }
 
   /** STREAMING k-means assignment — index maintenance at ingestion

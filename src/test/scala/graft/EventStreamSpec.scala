@@ -232,12 +232,18 @@ class EventStreamSpec extends SparkSpec {
     val batch = graft.knn.HnswKnn.topKBatch(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getInt(3))).toSet
+    val before = graft.streaming.VectorStream.scatterGatherBatches.get()
     val streamed = graft.streaming.VectorStream.hnswTopKStreamed(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getInt(3))).toSet
     assert(streamed.nonEmpty)
     assert(streamed == batch,
       s"streamed ${streamed.size} vs batch ${batch.size} rows")
+    // the serving path is the DISTRIBUTED one: every micro-batch went
+    // through HnswKnn.searchIndex against the placed shard partitions —
+    // no driver-side graph materialization path exists (r6 verdict #3)
+    assert(graft.streaming.VectorStream.scatterGatherBatches.get() > before,
+      "streamed serving did not run through the scatter-gather path")
   }
 
   test("file sink resumes from checkpoint without reprocessing old files") {

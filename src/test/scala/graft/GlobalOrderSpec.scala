@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftOps
+
+/** The range-partitioned global-order primitive (globalRank /
+  * globalPrefixSum): output-identical to the single-partition window
+  * forms they replace, while the data stays spread across a real
+  * multi-partition range layout (the r6 verdict's top scale item —
+  * an unpartitioned `Window.orderBy` funnels the whole relation
+  * through one reducer).
+  */
+class GlobalOrderSpec extends SparkSpec {
+
+  private def synth = {
+    import spark.implicits._
+    // duplicate sort keys on purpose: the total order comes from the
+    // (key, id) tie-break, exactly like curriculum's (q6 desc, doc_id)
+    (0L until 997L).map(i => (i, (i * 37L) % 100L, (i % 13L) + 1L))
+      .toDF("id", "key", "v")
+      .repartition(7)
+  }
+
+  test("globalRank equals row_number over the same total order") {
+    val got = GraftOps.globalRank(synth,
+        Seq("key" -> false, "id" -> true), "rk", countName = Some("n"))
+    assert(got.rdd.getNumPartitions > 1,
+      "rank output collapsed to a single partition")
+    val want = synth.withColumn("rk", row_number().over(
+        Window.orderBy(col("key").desc, col("id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val g = got.select("id", "key", "v", "rk", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    val w = want.select("id", "key", "v", "rk", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(g.sameElements(w))
+  }
+
+  test("globalPrefixSum equals the exclusive window prefix sum") {
+    val got = GraftOps.globalPrefixSum(synth, Seq("id" -> true), "v", "ps")
+    assert(got.rdd.getNumPartitions > 1,
+      "prefix-sum output collapsed to a single partition")
+    val want = synth.withColumn("ps", coalesce(sum(col("v")).over(
+      Window.orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val g = got.select("id", "ps").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val w = want.select("id", "ps").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(g.sameElements(w))
+  }
+
+  test("curriculum and packSequences run window-free, multi-partition") {
+    val cur = graft.operators.Pipeline.curriculum(spark, sf0001)
+    val pack = graft.operators.Pipeline.packSequences(spark, sf0001)
+    for ((name, df) <- Seq("curriculum" -> cur, "packSequences" -> pack)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name still plans a window operator:\n$plan")
+      assert(df.rdd.getNumPartitions > 1,
+        s"$name output collapsed to a single partition")
+    }
+  }
+}

@@ -324,7 +324,7 @@ class PipelineSpec extends SparkSpec {
 
   test("lift curve: valid gains invariants, full-set lift is exactly 1") {
     val rows = graft.operators.Pipeline.classifierLift(spark, sf0001)
-      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).sortBy(_._2)
     assert(rows.nonEmpty)
     rows.foreach { case (_, n, np, lift) =>
