@@ -517,9 +517,13 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
     "events_pattern_match" -> EventOps.patternMatch _,
     "events_quantiles" -> EventOps.valueQuantiles _,
-    // mergeable-sketch scale twin: approximate -> rows-only; rank-error
-    // gated against the exact quantiles in EventOpsSpec
-    "events_quantiles_approx" -> ((s, d) => EventOps.valueQuantilesApprox(s, d)),
+    // deterministic mergeable sketch (histogram state + in-bucket
+    // interpolation) — replaces the former percentile_approx row,
+    // whose sketch was merge-order-sensitive and could never sit
+    // under the hash gate; percentile_approx stays as engine surface,
+    // rank-error gated against the exact quantiles in EventOpsSpec
+    "events_quantiles_sketch" ->
+      ((s, d) => EventOps.valueQuantilesSketch(s, d)),
     // the deterministic bounded-error leg: fixed-width histogram +
     // integer rank arithmetic -> guaranteed enclosing interval, under
     // the hash gate (the sketch leg above stays rows-only)
@@ -661,8 +665,12 @@ object SparkEntry {
     // co-purchase graph: ordered-edge triangle census
     "graph_triangles" -> ((s, d) => GraphOps.triangleCensus(s, d)),
     // single-source BFS distances over the co-purchase graph
-    // (Pregel-style frontier join + min fold per round)
-    "graph_shortest_paths" -> ((s, d) => GraphOps.shortestPaths(s, d)),
+    // (Pregel-style frontier join + min fold per round), declared on
+    // the minShared=4 signal cut (the link-prediction regime): the
+    // >=2 hairball reaches everything in <=2 hops and costs 12x the
+    // edges — this cut shows hop structure out to the full horizon
+    "graph_shortest_paths" ->
+      ((s, d) => GraphOps.shortestPaths(s, d, minShared = 4)),
     // degree histogram + permille share of the co-purchase graph (the
     // hub/skew QA number that decides whether joins need salting)
     "graph_degree_distribution" ->
@@ -3557,6 +3565,31 @@ object SparkEntry {
              (min(CASE WHEN cum >= r90 THEN b END) + 1) * 500 / 100.0 AS p90_hi
       FROM r GROUP BY 1""",
 
+    // identical histogram state + in-bucket linear interpolation:
+    // exact integers until one fixed-order double division per type
+    "events_quantiles_sketch" -> s"""
+      WITH hb AS (SELECT event_type, ${c100("value")} AS c FROM events),
+      g AS (SELECT event_type, CAST(floor(c / 500.0) AS BIGINT) AS b,
+                   count(*) AS n, max(c) AS mx
+            FROM hb GROUP BY 1, 2),
+      c2 AS (SELECT *,
+               sum(n) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total
+             FROM g),
+      r AS (SELECT *, (total + 1) // 2 AS r50, (9 * total + 9) // 10 AS r90
+            FROM c2)
+      SELECT event_type,
+             min(CASE WHEN cum >= r50 AND cum - n < r50 THEN
+               round((CAST(b * 500 AS DOUBLE)
+                 + CAST((r50 - cum + n) * 500 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / 100.0, 6) END) AS p50,
+             min(CASE WHEN cum >= r90 AND cum - n < r90 THEN
+               round((CAST(b * 500 AS DOUBLE)
+                 + CAST((r90 - cum + n) * 500 AS DOUBLE) / CAST(n AS DOUBLE))
+                 / 100.0, 6) END) AS p90,
+             max(mx) / 100.0 AS max_value
+      FROM r GROUP BY 1""",
+
     "events_enriched_streamed" -> s"""
       WITH c AS (SELECT user_id,
                         strftime(min(CAST(ts AS DATE)), '%Y-%m-%d') AS cohort
@@ -4567,7 +4600,8 @@ object SparkEntry {
       WHERE d.deg >= 2""",
 
     // bounded WITH RECURSIVE walk, UNION-dedup on (node, hop), then
-    // min(hop) per node — the same BFS the frontier loop computes
+    // min(hop) per node — the same BFS the frontier loop computes,
+    // on the declared minShared=4 signal cut
     "graph_shortest_paths" -> """
       WITH RECURSIVE cp AS (SELECT DISTINCT o.o_custkey AS c,
                                    l.l_partkey AS p
@@ -4575,7 +4609,7 @@ object SparkEntry {
                     ON l.l_orderkey = o.o_orderkey),
       e AS (SELECT a.c AS u, b.c AS v FROM cp a
             JOIN cp b ON a.p = b.p AND a.c < b.c
-            GROUP BY 1, 2 HAVING count(*) >= 2),
+            GROUP BY 1, 2 HAVING count(*) >= 4),
       bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
       walk(node, d) AS (
         SELECT min(u), 0 FROM e

@@ -153,6 +153,52 @@ object EventOps {
         ((col("b90") + 1) * stepCents / 100.0).as("p90_hi"))
   }
 
+  /** DETERMINISTIC MERGEABLE quantile sketch — the point-estimate leg
+    * that closes the family under the hash gate ([[valueQuantilesApprox]]
+    * stays as the built-in `percentile_approx` surface, but its sketch
+    * is merge-order-sensitive by design, so it can never sit under a
+    * value-hash oracle): the sketch STATE is the fixed-width histogram
+    * of (bucket → count) pairs — commutative integer sums, so ANY
+    * merge order over any partitioning yields the identical state —
+    * and the estimate reads rank `ceil(q·n)` off the cumulative
+    * relation with linear interpolation INSIDE the containing bucket:
+    *
+    *   est = b·step + (r − cum_before)·step / n_b
+    *
+    * Exact integers until one fixed-order double division per type, so
+    * both engines agree bit-for-bit; estimation error is bounded by
+    * the bucket width (step/100 display units). At 100 TB the state is
+    * value-domain-bounded (#buckets), never corpus-sized — the sketch
+    * property that matters — and the cumulative window runs over that
+    * bounded relation. Output: (event_type, p50, p90, max_value).
+    */
+  def valueQuantilesSketch(spark: SparkSession, dir: String,
+      stepCents: Long = 500L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("b"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val cum = Tables.events(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("c"))
+      .withColumn("b", floor(col("c") / lit(stepCents.toDouble)))
+      .groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("n"), max(col("c")).as("mx"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(wt))
+      .withColumn("r50", expr("(total + 1) DIV 2"))
+      .withColumn("r90", expr("(9 * total + 9) DIV 10"))
+    // exactly one bucket per type satisfies cum >= r AND cum - n < r
+    // (the bucket containing rank r), so min() just extracts it
+    def est(r: String) =
+      min(when(col("cum") >= col(r) && col("cum") - col("n") < col(r),
+        round(((col("b") * stepCents).cast("double") +
+          ((col(r) - col("cum") + col("n")) * stepCents).cast("double")
+            / col("n").cast("double")) / 100.0, 6)))
+    cum.groupBy(col("event_type"))
+      .agg(est("r50").as("p50"), est("r90").as("p90"),
+        (max(col("mx")) / 100.0).as("max_value"))
+  }
+
   /** Staged funnel analysis (view → click → purchase, in event-time
     * order): per user, the first view, the first click AFTER that view,
     * and the first purchase AFTER that click, with the funnel stage

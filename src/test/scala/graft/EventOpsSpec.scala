@@ -89,6 +89,27 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch quantiles: within one bucket width of exact, merge-order free") {
+    val step = 5.0 // 500 cents in display units
+    val sketch = EventOps.valueQuantilesSketch(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = EventOps.valueQuantiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(sketch.keySet == exact.keySet)
+    for ((t, (p50, p90)) <- sketch) {
+      assert(math.abs(p50 - exact(t)._1) <= step,
+        s"$t p50 $p50 vs exact ${exact(t)._1}")
+      assert(math.abs(p90 - exact(t)._2) <= step,
+        s"$t p90 $p90 vs exact ${exact(t)._2}")
+    }
+    // histogram state is commutative integer sums, so a fresh run
+    // (new task scheduling, new merge order) must be bit-identical —
+    // the property percentile_approx lacks
+    val rerun = EventOps.valueQuantilesSketch(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rerun == sketch)
+  }
+
   test("funnel: stages replay a driver-side per-user scan") {
     val got = EventOps.funnel(spark, sf0001).collect().map(r =>
       (r.getLong(0), r.getLong(1),

@@ -82,7 +82,10 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("shortest paths replay a driver-side BFS exactly") {
-    val edges = GraphOps.copurchaseEdges(spark, sf0001)
+    // the declared minShared=4 signal cut (SparkEntry) — the >=2
+    // hairball reaches everything in <=2 hops; this cut shows real
+    // hop structure, so the spec pins the declared regime
+    val edges = GraphOps.copurchaseEdges(spark, sf0001, minShared = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(edges.nonEmpty)
     val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
@@ -95,7 +98,7 @@ class GraphOpsSpec extends SparkSpec {
         .filterNot(dist.contains)
       frontier.foreach(dist(_) = h.toLong)
     }
-    val got = GraphOps.shortestPaths(spark, sf0001)
+    val got = GraphOps.shortestPaths(spark, sf0001, minShared = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == dist.toMap,
       s"BFS mismatch: ${got.size} nodes vs driver ${dist.size}")
