@@ -4081,16 +4081,22 @@ object SparkEntry {
       trans AS (SELECT src, dst,
                   CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
                 FROM tr),
-      types AS (SELECT DISTINCT src AS t FROM trans),
+      types AS (SELECT src AS t FROM trans UNION SELECT dst FROM trans),
+      tr2 AS (SELECT * FROM trans
+              UNION ALL
+              SELECT t, t, CAST(1.0 AS DOUBLE) FROM types
+              WHERE t NOT IN (SELECT DISTINCT src FROM trans)),
       kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM types),
       p0 AS (SELECT t, CAST(1.0 AS DOUBLE) / kk.k AS pi FROM types, kk),
       p1 AS (SELECT tt.dst AS t, round(sum(p0.pi * tt.p), 9) AS pi
-             FROM trans tt JOIN p0 ON tt.src = p0.t GROUP BY 1),
+             FROM tr2 tt JOIN p0 ON tt.src = p0.t GROUP BY 1),
       p2 AS (SELECT tt.dst AS t, round(sum(p1.pi * tt.p), 9) AS pi
-             FROM trans tt JOIN p1 ON tt.src = p1.t GROUP BY 1),
+             FROM tr2 tt JOIN p1 ON tt.src = p1.t GROUP BY 1),
       p3 AS (SELECT tt.dst AS t, round(sum(p2.pi * tt.p), 9) AS pi
-             FROM trans tt JOIN p2 ON tt.src = p2.t GROUP BY 1)
-      SELECT t AS event_type, round(pi, 6) AS stationary FROM p3""",
+             FROM tr2 tt JOIN p2 ON tt.src = p2.t GROUP BY 1)
+      SELECT types.t AS event_type,
+             round(coalesce(p3.pi, 0.0), 6) AS stationary
+      FROM types LEFT JOIN p3 ON types.t = p3.t""",
 
     // same strict (ts, event_id) row-order window; IGNORE NULLS
     // first/last over the unbounded-preceding frame, exact cents

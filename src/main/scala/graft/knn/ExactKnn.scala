@@ -41,7 +41,19 @@ object ExactKnn {
       : (DataFrame, DataFrame, Long, Long) = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
-    val n = Tables.embeddings(spark, dir).count()
+    // the prefix slices below (and every percentile slab derived from
+    // them across the ANN lifecycles) assume DENSE ids 0..n-1; on a
+    // sparse or non-contiguous id space they would silently shift or
+    // empty out, so the invariant is asserted where the boundaries
+    // are computed (r6 advice item). One job: count+min+max together.
+    val stats = Tables.embeddings(spark, dir)
+      .agg(org.apache.spark.sql.functions.count(col("vec_id")),
+        org.apache.spark.sql.functions.min(col("vec_id")),
+        org.apache.spark.sql.functions.max(col("vec_id"))).head()
+    val n = stats.getLong(0)
+    require(n == 0 || (stats.getLong(1) == 0L && stats.getLong(2) == n - 1),
+      s"vec_id must be dense 0..${n - 1}, got " +
+        s"[${stats.getLong(1)}, ${stats.getLong(2)}]")
     val splitAt = math.round(ratio * n)
     (emb.filter(col("vec_id") < splitAt),
      emb.filter(col("vec_id") >= splitAt), splitAt, n)

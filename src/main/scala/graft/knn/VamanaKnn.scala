@@ -88,7 +88,14 @@ object VamanaKnn {
     import graft.functions.VectorFunctions.toDoubleArray
     val emb = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
-    val n = emb.count()
+    // build/insert/query slabs below slice by id percentile — assert
+    // the dense-id invariant they assume (r6 advice item; one job)
+    val stats = emb.agg(count(col("vec_id")), min(col("vec_id")),
+      max(col("vec_id"))).head()
+    val n = stats.getLong(0)
+    require(n == 0 || (stats.getLong(1) == 0L && stats.getLong(2) == n - 1),
+      s"vec_id must be dense 0..${n - 1}, got " +
+        s"[${stats.getLong(1)}, ${stats.getLong(2)}]")
     val s90 = math.round(0.90 * n)
     val s95 = math.round(0.95 * n)
     val index = graft.IndexCache.getOrBuild(spark,

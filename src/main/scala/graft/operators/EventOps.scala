@@ -1340,23 +1340,47 @@ object EventOps {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
-    val trans = pairs.groupBy(col("prev").as("src"),
-        col("event_type").as("dst"))
-      .agg(count(lit(1)).as("n"))
+    markovStationaryOf(pairs.groupBy(col("prev").as("src"),
+      col("event_type").as("dst")).agg(count(lit(1)).as("n")), iters)
+  }
+
+  /** The power iteration itself over an arbitrary (src, dst, n)
+    * transition-count relation — exposed so EventOpsSpec can pin the
+    * sink-closure semantics on a synthetic chain with a terminal type.
+    */
+  private[graft] def markovStationaryOf(counts: DataFrame,
+      iters: Int): DataFrame = {
+    val trans = counts
       .select(col("src"), col("dst"),
         (col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("src")))).as("p"))
       .cache()
-    val types = trans.select(col("src").as("t")).distinct().cache()
-    val k = types.count().toDouble
-    var pi = types.select(col("t"), lit(1.0 / k).as("pi"))
+    // the node set is the UNION of sources and destinations: a type
+    // seen only as a destination (a terminal/sink event with no
+    // outgoing transitions) would otherwise absorb mass in one power
+    // round and leak it the next, so the output wouldn't sum to 1.
+    // Sinks get the standard self-loop closure (p=1 to themselves),
+    // which conserves total mass every round (r6 advice item).
+    val nodes = trans.select(col("src").as("t"))
+      .unionAll(trans.select(col("dst").as("t"))).distinct().cache()
+    val srcs = trans.select(col("src").as("t")).distinct()
+    val trans2 = trans.unionAll(
+        nodes.join(srcs, Seq("t"), "left_anti")
+          .select(col("t").as("src"), col("t").as("dst"), lit(1.0).as("p")))
+      .cache()
+    val k = nodes.count().toDouble
+    var pi = nodes.select(col("t"), lit(1.0 / k).as("pi"))
     (1 to iters).foreach { _ =>
-      pi = trans.join(pi, trans("src") === pi("t"))
+      pi = trans2.join(pi, trans2("src") === pi("t"))
         .groupBy(col("dst"))
         .agg(round(sum(col("pi") * col("p")), 9).as("pi"))
         .select(col("dst").as("t"), col("pi"))
     }
-    pi.select(col("t").as("event_type"), round(col("pi"), 6).as("stationary"))
+    // one row per NODE, including types whose mass drained to 0 (they
+    // drop out of the join otherwise) — the one-row-per-type contract
+    nodes.join(pi, Seq("t"), "left")
+      .select(col("t").as("event_type"),
+        round(coalesce(col("pi"), lit(0.0)), 6).as("stationary"))
   }
 
   /** MATCH_RECOGNIZE-lite event-pattern matching: each user's stream

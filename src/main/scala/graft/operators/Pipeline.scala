@@ -304,16 +304,29 @@ object Pipeline {
       n.filter(col("vec_id") === id).select(col("nv"))
         .as[Array[Double]].head()
     var centers = Vector((seedId, vecOf(seedId), 0.0))
-    while (centers.length < k) {
+    var exhausted = false
+    while (centers.length < k && !exhausted) {
       val md = centers.map { case (_, v, _) =>
         round(lit(1.0) - greatest(
           graft.functions.ArrayMath.dotProduct(col("nv"), typedLit(v.toSeq)),
           lit(0.0)), 6)
       }.reduce(least(_, _))
-      val (pickId, radius) = n.select(col("vec_id"), md.as("md"))
+      // already-picked ids leave the candidate frame: once every
+      // remaining point has md=0 (duplicates, or k > distinct count)
+      // the argmax tie-break would otherwise silently re-pick a
+      // center with radius 0 forever (r6 advice item) — the anti-
+      // filter plus the radius-0 break terminate with the true
+      // distinct-point coreset instead
+      val picked = centers.map(_._1)
+      val cand = n.filter(!col("vec_id").isInCollection(picked))
+        .select(col("vec_id"), md.as("md"))
         .orderBy(col("md").desc, col("vec_id").asc).limit(1)
-        .as[(Long, Double)].head()
-      centers = centers :+ ((pickId, vecOf(pickId), radius))
+        .as[(Long, Double)].collect().headOption
+      cand match {
+        case Some((pickId, radius)) if radius > 0.0 =>
+          centers = centers :+ ((pickId, vecOf(pickId), radius))
+        case _ => exhausted = true
+      }
     }
     centers.zipWithIndex
       .map { case ((id, _, r), i) => (i + 1L, id, r) }

@@ -801,56 +801,82 @@ object EventStream {
     out
   }
 
-  case class AttState(us: Seq[Long], ids: Seq[Long], types: Seq[String],
-    cs: Seq[Long])
+  case class AttState(firstT: String, lastT: String, maxUs: Long,
+    pus: Seq[Long], pids: Seq[Long], ptypes: Seq[String], pcs: Seq[Long])
   case class AttOut(user_id: Long, model: String, channel: String, c: Long)
 
-  /** Keyed-state streaming ATTRIBUTION: each user's history accumulates
-    * in group state and, when the sentinel-driven watermark fires the
-    * event-time timeout, replays in strict (ts, event_id) order — every
-    * `purchase` emits one first-touch and one last-touch credit row,
-    * exactly the batch [[graft.operators.EventOps.attribution]] walk.
-    * The [[ewmaStream]] discipline (same cents rounding, same timeout
-    * shape) with a two-register walk instead of a fold.
+  /** Keyed-state streaming ATTRIBUTION with BOUNDED state: the two
+    * touch registers (first/last) are carried INCREMENTALLY and the
+    * only buffered rows are the watermark-keyed REORDER BUFFER — the
+    * pending events whose event time is still >= the current
+    * watermark, i.e. events an out-of-order sibling could still
+    * precede. Each batch merges new rows into the buffer, then drains
+    * every event STRICTLY BELOW the watermark in (ts, event_id) order
+    * through the registers (safe: any future arrival has ts >= the
+    * watermark, so the drained prefix's order is final), emitting
+    * purchase credit rows as they settle. State is O(watermark
+    * horizon) per key, not O(history) — the previous full-replay form
+    * concatenated each user's entire history across micro-batches
+    * (O(n²) copying, unbounded memory; r6 advice item). Same strict
+    * order, same cents rounding, so the output row set is exactly the
+    * batch [[graft.operators.EventOps.attribution]] walk.
     */
   def attributionStream(events: Dataset[Ev]): Dataset[AttOut] = {
     import events.sparkSession.implicits._
     def micros(ts: Timestamp): Long =
       math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+    // drain every pending event with us < upToUs (None = all) through
+    // the registers in (us, id) order; returns the advanced state and
+    // the credit rows the drained purchases produced
+    def drain(uid: Long, s: AttState, upToUs: Option[Long])
+        : (AttState, Seq[AttOut]) = {
+      val all = s.pus.lazyZip(s.pids).lazyZip(s.ptypes).lazyZip(s.pcs)
+        .toSeq.sortBy(t => (t._1, t._2))
+      val (safe, rest) = upToUs match {
+        case Some(w) => all.partition(_._1 < w)
+        case None => (all, Seq.empty)
+      }
+      var firstT = s.firstT; var lastT = s.lastT
+      val buf = scala.collection.mutable.ArrayBuffer.empty[AttOut]
+      safe.foreach { case (_, _, tpe, c) =>
+        if (tpe == "purchase") {
+          buf += AttOut(uid, "first_touch", firstT, c)
+          buf += AttOut(uid, "last_touch", lastT, c)
+        }
+        if (tpe == "click" || tpe == "view") {
+          if (firstT == "none") firstT = tpe
+          lastT = tpe
+        }
+      }
+      (AttState(firstT, lastT, s.maxUs, rest.map(_._1), rest.map(_._2),
+        rest.map(_._3), rest.map(_._4)), buf.toSeq)
+    }
+
     def update(uid: Long, rows: Iterator[Ev],
         state: GroupState[AttState]): Iterator[AttOut] = {
       if (state.hasTimedOut) {
-        val out = state.getOption.map { s =>
-          val hist = s.us.lazyZip(s.ids).lazyZip(s.types).lazyZip(s.cs)
-            .toSeq.sortBy(t => (t._1, t._2))
-          var firstT = "none"; var lastT = "none"
-          val buf = scala.collection.mutable.ArrayBuffer.empty[AttOut]
-          hist.foreach { case (_, _, tpe, c) =>
-            if (tpe == "purchase") {
-              buf += AttOut(uid, "first_touch", firstT, c)
-              buf += AttOut(uid, "last_touch", lastT, c)
-            }
-            if (tpe == "click" || tpe == "view") {
-              if (firstT == "none") firstT = tpe
-              lastT = tpe
-            }
-          }
-          buf.iterator
-        }.getOrElse(Iterator.empty)
+        val out = state.getOption
+          .map(s => drain(uid, s, None)._2).getOrElse(Seq.empty)
         state.remove()
-        return out
+        return out.iterator
       }
       val buf = rows.toSeq
-      val prev = state.getOption.getOrElse(AttState(Nil, Nil, Nil, Nil))
-      val next = AttState(prev.us ++ buf.map(e => micros(e.ts)),
-        prev.ids ++ buf.map(_.event_id),
-        prev.types ++ buf.map(_.event_type),
-        prev.cs ++ buf.map(e => BigDecimal(e.value * 100)
+      val prev = state.getOption
+        .getOrElse(AttState("none", "none", 0L, Nil, Nil, Nil, Nil))
+      val newUs = buf.map(e => micros(e.ts))
+      val merged = AttState(prev.firstT, prev.lastT,
+        (prev.maxUs +: newUs).max,
+        prev.pus ++ newUs,
+        prev.pids ++ buf.map(_.event_id),
+        prev.ptypes ++ buf.map(_.event_type),
+        prev.pcs ++ buf.map(e => BigDecimal(e.value * 100)
           .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (next, out) = drain(uid, merged, Some(wmUs))
       state.update(next)
-      state.setTimeoutTimestamp(next.us.max / 1000L + 60000L)
-      Iterator.empty
+      state.setTimeoutTimestamp(next.maxUs / 1000L + 60000L)
+      out.iterator
     }
 
     events

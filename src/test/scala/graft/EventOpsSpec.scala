@@ -751,6 +751,22 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("Markov stationary: sink types self-loop, mass conserved") {
+    import spark.implicits._
+    // a -> b -> c with c TERMINAL (only ever a destination): without
+    // the self-loop closure c would absorb mass one round and leak it
+    // the next, so the output would not sum to 1 (r6 advice item)
+    val counts = Seq(("a", "b", 1L), ("b", "c", 1L))
+      .toDF("src", "dst", "n")
+    val pi = graft.operators.EventOps.markovStationaryOf(counts, iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(pi.keySet == Set("a", "b", "c"), pi.toString)
+    assert(math.abs(pi.values.sum - 1.0) < 1e-6, s"mass ${pi.values.sum}")
+    // after 3 rounds from uniform 1/3: all mass has drained into the
+    // absorbing sink c
+    assert(pi("c") > 0.999, pi.toString)
+  }
+
   test("Nelson-Aalen hazard: consistent with KM risk sets, near -ln(S)") {
     val na = graft.operators.EventOps.nelsonAalen(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
