@@ -73,6 +73,37 @@ class DocumentsScaleSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash at 100x sf0.001: O(batch) candidates, full recall") {
+    // 50k docs = 100x the sf0.001 corpus (the r6 verdict's 100x tier —
+    // the constant-factor regime where the r5 LSH bug class hides).
+    // slot 9 makes every planted pair (id-1, id ≡ 49 mod 50) a
+    // batch-vs-corpus pair: the new side (id mod 10 = 9) is in the
+    // batch, the corpus side (mod 10 = 8) is not.
+    val n = 50000
+    val got = Dedup.incrementalMinhashPairs(spark, dir10x,
+        mod = 10, slot = 9, threshold = 0.8).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet // (corpus, new)
+    val planted = plantedPairs(n)
+    assert((planted -- got).isEmpty,
+      s"missed ${(planted -- got).size} of ${planted.size} planted pairs")
+    assert(got.size <= planted.size + 5,
+      s"candidate flood: ${got.size} pairs vs ${planted.size} planted")
+    // the banded candidate stage is O(|batch|), never batch x corpus:
+    // with independent draws, background band collisions are rare, so
+    // candidates stay within a small constant of the batch size
+    val banded = Dedup.bandedSignatures(spark, dir10x)
+    val nb = banded.filter(col("doc_id") % 10 === 9)
+    val cb = banded.filter(col("doc_id") % 10 =!= 9)
+    val cand = nb.as("x").join(cb.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val batchSize = n / 10L
+    assert(cand <= 5L * batchSize,
+      s"candidate stage not O(batch): $cand candidates for $batchSize new docs")
+    assert(cand.toDouble / (batchSize.toDouble * (n - batchSize)) < 0.001,
+      s"candidate fraction ${cand.toDouble / (batchSize.toDouble * (n - batchSize))}")
+  }
+
   test("gram coverage separates planted dups from background at 10x") {
     val n = 50000
     val cov = Dedup.gramCoverage(spark, dir10x).cache()
