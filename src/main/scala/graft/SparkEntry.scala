@@ -478,6 +478,10 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.frameOffsets _,
     // perceptual-signature bucket dedup (linear, no pairwise stage)
     "multimodal_signature_dedup" -> Multimodal.signatureDedupGroups _,
+    // REAL codec leg: render -> PNG encode -> ImageIO decode -> 8x8
+    // average-hash over decoded pixels -> bucket dedup; the oracle
+    // derives the same groups decoder-free from exact-text identity
+    "multimodal_phash_dedup" -> Multimodal.phashDedupGroups _,
     // — graph analytics (iterative-shuffle workload) —
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
     // random walk with restart from the min-user seed: sparse rank
@@ -2950,6 +2954,16 @@ object SparkEntry {
       SELECT kind, signature, count(*) AS n, min(doc_id) AS keep_id,
              CAST(sum(len) AS BIGINT) AS total_bytes
       FROM ph GROUP BY 1, 2 HAVING count(*) > 1""",
+
+    // the decoded-pixel aHash groups equal the title duplicate groups
+    // (rendering is injective per distinct title, PNG lossless), so
+    // the oracle derives them decoder-free from the first three words;
+    // a broken decode would merge unrelated groups and fail this
+    "multimodal_phash_dedup" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n
+      FROM documents
+      GROUP BY array_to_string(string_split(text, ' ')[1:3], ' ')
+      HAVING count(*) > 1""",
 
     // mediaTable: payload = utf-8 text bytes (ASCII fixture: len == chars),
     // kind video <=> doc_id % 3 = 2; offsets = i * len / 4 in long division

@@ -10,12 +10,14 @@ import graft.Tables
   * batches — the Scala analog of the arrow-batched mapInPandas pattern
   * (north-star extension; training pipelines carry media this way).
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so [[MediaCodec.decodeStub]] derives a deterministic fake feature
-  * vector from the raw bytes. Everything around it — the schema, the
-  * binary payload column, the batched mapPartitions execution, the
-  * metadata struct, partitioning — is the real plumbing a codec would
-  * drop into.
+  * The IMAGE leg is REAL: [[ImageCodec]] encodes and decodes genuine
+  * PNG byte streams through the pure-JVM `javax.imageio`, and the
+  * perceptual hash is computed from decoded pixels
+  * ([[phashDedupGroups]]). The audio/video decode steps remain STUBS
+  * ([[MediaCodec.decodeStub]] — no audio/video codecs in this
+  * container): deterministic fake features over raw bytes, with the
+  * real plumbing (schema, binary payload column, batched mapPartitions
+  * execution, metadata struct, partitioning) around them.
   *
   * Scale notes: payloads never shuffle — every op here is map-only over
   * the scan; batches bound per-task peak memory exactly like Arrow
@@ -184,5 +186,130 @@ object Multimodal {
         min(col("media_id")).as("keep_id"),
         sum(col("n_bytes")).as("total_bytes"))
       .filter(col("n") > 1)
+  }
+
+  /** REAL image codec leg (no stub): `javax.imageio` is pure-JVM, so
+    * the PNG encode/decode round-trip runs for real in this sandbox —
+    * payloads are genuine PNG byte streams and the perceptual hash is
+    * computed from DECODED PIXELS, not payload bytes.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+
+    /** Render a deterministic 16x16 RGB raster from a seed byte string
+      * (pixels drawn from a Random seeded by the bytes' FNV-1a hash)
+      * and encode it as a real PNG. Same seed bytes => bit-identical
+      * pixels; PNG is lossless, so decode returns them exactly.
+      */
+    def renderPng(seed: Array[Byte]): Array[Byte] = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < seed.length) {
+        h ^= (seed(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      val r = new java.util.Random(h)
+      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          img.setRGB(x, y, r.nextInt(1 << 24)); x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Average-hash over DECODED pixels: ImageIO.read the PNG, 2x2
+      * block-average to 8x8 integer grayscale (gray = r+g+b, exact),
+      * bit b set iff 64·gray(b) > Σ gray — pure integer arithmetic on
+      * real decoded content, so identical images collide and the hash
+      * is engine-reproducible given the same decoder.
+      */
+    def averageHash(png: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      require(img != null && img.getWidth == 16 && img.getHeight == 16,
+        "expected a 16x16 PNG payload")
+      val gray = new Array[Long](64)
+      var total = 0L
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          var g = 0L
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val rgb = img.getRGB(bx * 2 + dx, by * 2 + dy)
+              g += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              dx += 1
+            }
+            dy += 1
+          }
+          gray(by * 8 + bx) = g
+          total += g
+          bx += 1
+        }
+        by += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (64L * gray(b) > total) hash |= (1L << b)
+        b += 1
+      }
+      hash
+    }
+  }
+
+  /** Real-PNG media table: one genuine PNG per document, rendered
+    * deterministically from the document TITLE (its first three
+    * whitespace words — the fixture's collision-bearing key: distinct
+    * docs sharing a title render bit-identical images, the thumbnail
+    * situation media dedup exists for).
+    */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val title = text.split(" ").take(3).mkString(" ")
+        (id, ImageCodec.renderPng(title.getBytes("UTF-8")))
+      }
+      .toDF("media_id", "png")
+  }
+
+  /** Declared query: perceptual-hash dedup over REAL decoded pixels —
+    * render → PNG-encode → `ImageIO.read` decode → 8x8 average-hash →
+    * bucket-group. One map-only pass fused with the scan (payloads
+    * never shuffle; only (media_id, long) pairs do), then one
+    * partial-aggregated groupBy on the 64-bit hash — the linear media
+    * dedup shape at any scale.
+    *
+    * Oracle-checkable WITHOUT a decoder on the oracle side: rendering
+    * is injective per distinct title (seeded 16x16 draws; cross-title
+    * hash collisions are ~n²/2⁶⁴) and PNG is lossless, so the decoded
+    * aHash groups are EXACTLY the title duplicate groups — which
+    * DuckDB derives independently from the first three words. A broken
+    * decode (constant pixels, wrong channel order collapsing content)
+    * would merge unrelated groups and fail the row/hash compare.
+    * Output: (keep_id, n) per duplicate group.
+    */
+  def phashDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageTable(spark, dir)
+      .select(col("media_id"), col("png"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, png) => (id, ImageCodec.averageHash(png)) }
+      .toDF("media_id", "phash")
+      .groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("keep_id"), col("n"))
   }
 }

@@ -69,4 +69,40 @@ class MultimodalSpec extends SparkSpec {
       s"got=${got.size} expected=${expected.size} " +
         s"diff=${got.filter { case (k, v) => expected.get(k) != Some(v) }.take(3)}")
   }
+
+  test("PNG round-trip is lossless and aHash runs on decoded pixels") {
+    val seed = "the quick brown fox".getBytes("UTF-8")
+    val png = Multimodal.ImageCodec.renderPng(seed)
+    // a genuine PNG byte stream (magic bytes), not a fake payload
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G', "payload is not a real PNG")
+    // lossless round-trip: decode returns the rendered raster exactly
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.ImageCodec.renderPng(seed)))
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert(img.getRGB(x, y) == img2.getRGB(x, y))
+    // same seed -> same hash; different seed -> different hash
+    val h1 = Multimodal.ImageCodec.averageHash(png)
+    val h2 = Multimodal.ImageCodec.averageHash(
+      Multimodal.ImageCodec.renderPng(seed))
+    val h3 = Multimodal.ImageCodec.averageHash(
+      Multimodal.ImageCodec.renderPng("other text".getBytes("UTF-8")))
+    assert(h1 == h2)
+    assert(h1 != h3)
+  }
+
+  test("decoded-pixel pHash dedup equals the title group structure") {
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").take(3).mkString(" ")))
+    val expected = texts.groupBy(_._2).values
+      .filter(_.length > 1)
+      .map(g => (g.map(_._1).min, g.length.toLong)).toSet
+    assert(expected.nonEmpty, "fixture has no title dups?")
+    val got = Multimodal.phashDedupGroups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
