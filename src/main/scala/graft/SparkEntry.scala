@@ -142,6 +142,12 @@ object SparkEntry {
                  WHERE qid = $qid ORDER BY dist ASC, vec_id ASC""",
         provider = "graft.sources.KnnDataSourceV2")
     }),
+    // DSv2 AGGREGATE pushdown contract: count(*) collapses inside the
+    // source to a one-row scan (KnnDataSourceSpec pins the plan shape)
+    "sql_knn_v2_count" -> ((s, d) =>
+      sqlKnn(s, d, "backend 'exact_batch', k '10'",
+        v => s"SELECT count(*) AS n FROM $v",
+        provider = "graft.sources.KnnDataSourceV2")),
     // user-supplied query vector from pure SQL (the reference's
     // index.search(query)): the vector literal is fixture row 29, so
     // the oracle is full-table knn of that row (self included, dist 0)
@@ -207,6 +213,10 @@ object SparkEntry {
     // (both approximate-index introspection -> rows-only, spec-gated)
     "knn_hnsw_stats" -> ((s, d) => HnswKnn.indexStats(s, d)),
     "eval_hnsw_ef_sweep" -> ((s, d) => Evaluation.hnswEfSweep(s, d)),
+    // the beam-width (L) operating curve on the Vamana graphs — the
+    // flagship family's ef-sweep twin (literal-pinned + spec-gated)
+    "eval_vamana_beam_sweep" ->
+      ((s, d) => Evaluation.vamanaBeamSweep(s, d)),
     "knn_rp_batch" -> rpBatch,
     "eval_recall_rp" -> ((s, d) => Evaluation.recall(
       rpBatch(s, d).select("qid", "vec_id"),
@@ -1333,6 +1343,14 @@ object SparkEntry {
       FROM e b, e q, p
       WHERE b.vec_id < p.s AND q.vec_id = p.s + (25 % (p.c - p.s))
       ORDER BY dist, b.vec_id LIMIT 10""",
+
+    // k rows per held-out query by construction, so the count is
+    // 10 x the query-split size — derived independently of the scan
+    "sql_knn_v2_count" -> """
+      SELECT CAST(10 * (c - s) AS BIGINT) AS n
+      FROM (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s,
+                   count(*) AS c
+            FROM embeddings)""",
 
     // negatives = md5-ordered non-neighbors; positives replayed via
     // the same exact-top-10 ranking the knn_exact_batch oracle uses

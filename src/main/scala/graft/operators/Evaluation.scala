@@ -136,4 +136,22 @@ object Evaluation {
         .select(lit(ef).as("ef"), col("recall"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Beam-width (search list L) operating curve for the Vamana family —
+    * the [[hnswEfSweep]] twin on the disk-native graphs, so the
+    * flagship family carries the same recall-vs-cost tuning surface
+    * (the DiskANN paper's L sweep). The shared shard graphs build once
+    * (memoized); each point is a search-only pass at a different beam.
+    * Output: (beam, recall), one row per swept width.
+    */
+  def vamanaBeamSweep(spark: SparkSession, dir: String,
+      beams: Seq[Int] = Seq(10, 50, 100)): DataFrame = {
+    val exact = graft.knn.ExactKnn.topKBatch(spark, dir)
+      .select("qid", "vec_id")
+    beams.map { l =>
+      recall(graft.knn.VamanaKnn.topKBatch(spark, dir, ef = l)
+        .select("qid", "vec_id"), exact)
+        .select(lit(l).as("beam"), col("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -8,7 +8,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -79,11 +81,12 @@ private[sources] class KnnTableV2(params: Map[String, String])
   */
 private[sources] class KnnScanBuilderV2(params: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var frame: DataFrame =
     KnnBackends.frame(SparkSession.active, params)
   private var pushed: Array[Filter] = Array.empty
+  private var aggPushed = false
 
   /** Accept the filters expressible as Column predicates over the
     * result frame; anything else stays residual (Spark re-applies it
@@ -100,18 +103,69 @@ private[sources] class KnnScanBuilderV2(params: Map[String, String])
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (requiredSchema.fields.nonEmpty &&
+    // after an aggregate pushdown the frame already IS the minimal
+    // aggregated relation (and Spark's requested names are its own
+    // aggregate aliases — matched by position, not name)
+    if (!aggPushed && requiredSchema.fields.nonEmpty &&
         requiredSchema.fieldNames.toSeq != frame.schema.fieldNames.toSeq)
       frame = frame.select(requiredSchema.fieldNames.map(col).toSeq: _*)
+
+  /** '''Aggregate pushdown''' (`SupportsPushDownAggregates`): a
+    * `SELECT count(*)/min/max FROM knn` collapses INSIDE the source to
+    * a one-row relation — the scan ships a single row instead of the
+    * whole result frame (the cardinality/operating-stats queries a
+    * serving tier runs constantly). Complete pushdown: group-free
+    * COUNT(*), COUNT(col), MIN, MAX; anything else is declined and
+    * Spark aggregates above the scan as before (pushdown stays an
+    * optimization contract, never a correctness dependency).
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translateAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translateAgg(agg) match {
+      case Some(cols) =>
+        frame = frame.agg(cols.head, cols.tail: _*)
+        aggPushed = true
+        true
+      case None => false
+    }
+
+  private def translateAgg(agg: Aggregation)
+      : Option[Seq[org.apache.spark.sql.Column]] = {
+    if (agg.groupByExpressions().nonEmpty) return None
+    val cols = agg.aggregateExpressions().toSeq.map(translateAggFunc)
+    if (cols.nonEmpty && cols.forall(_.isDefined)) Some(cols.map(_.get))
+    else None
+  }
+
+  private def translateAggFunc(f: AggregateFunc)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    f match {
+      case _: CountStar => Some(count(lit(1)))
+      case c: Count if !c.isDistinct => fieldOf(c.column).map(n => count(col(n)))
+      case m: Min => fieldOf(m.column).map(n => min(col(n)))
+      case m: Max => fieldOf(m.column).map(n => max(col(n)))
+      case _ => None
+    }
+  }
 
   override def build(): Scan = {
     val df = frame
     val pf = pushed
+    val pa = aggPushed
     new V1Scan {
       override def readSchema(): StructType = df.schema
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
-        new KnnV1BridgeRelation(context, df, pf).asInstanceOf[T]
+        new KnnV1BridgeRelation(context, df, pf, pa).asInstanceOf[T]
     }
   }
 
@@ -138,10 +192,13 @@ private[sources] class KnnScanBuilderV2(params: Map[String, String])
   * `pushedFilters` made it into the scan.
   */
 private[sources] class KnnV1BridgeRelation(ctx: SQLContext, df: DataFrame,
-    val pushedFilters: Array[Filter]) extends BaseRelation with TableScan {
+    val pushedFilters: Array[Filter],
+    val pushedAggregation: Boolean = false)
+    extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = df.schema
   override def buildScan(): RDD[Row] = df.rdd
   override def toString: String =
-    s"KnnV1BridgeRelation(pushed=[${pushedFilters.mkString(", ")}])"
+    s"KnnV1BridgeRelation(pushed=[${pushedFilters.mkString(", ")}]" +
+      (if (pushedAggregation) ", aggPushed" else "") + ")"
 }

@@ -103,6 +103,33 @@ class KnnDataSourceSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("DSv2: COUNT/MIN/MAX aggregate is pushed into the scan") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_v2_agg
+                  USING graft.sources.KnnDataSourceV2
+                  OPTIONS (dir '$sf0001', backend 'exact_batch', k '10')""")
+    val q = spark.sql("SELECT count(*) FROM knn_v2_agg")
+    val plan = q.queryExecution.executedPlan.toString
+    // complete pushdown: the scan itself returns the one aggregated
+    // row (the bridge relation prints aggPushed) and no hash aggregate
+    // runs above it over the full result frame
+    assert(plan.contains("aggPushed"),
+      s"aggregate not pushed into the scan:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"aggregate still planned above the pushed scan:\n$plan")
+    val expect = ExactKnn.topKBatch(spark, sf0001).count()
+    assert(q.collect().head.getLong(0) == expect && expect > 0)
+    // min/max push completely too
+    val mm = spark.sql("SELECT min(qid), max(rk) FROM knn_v2_agg")
+    assert(mm.queryExecution.executedPlan.toString.contains("aggPushed"))
+    val row = mm.collect().head
+    assert(row.getLong(0) == 475L && row.getInt(1) == 10)
+    // grouped aggregates are declined and still answer correctly
+    val grouped = spark.sql(
+      "SELECT qid, count(*) FROM knn_v2_agg GROUP BY qid")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("aggPushed"))
+    assert(grouped.collect().map(_.getLong(1)).forall(_ == 10L))
+  }
+
   test("DSv2: unsupported filters stay residual and remain correct") {
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_v2_resid
                   USING graft.sources.KnnDataSourceV2

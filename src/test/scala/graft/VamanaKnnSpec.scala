@@ -71,4 +71,15 @@ class VamanaKnnSpec extends SparkSpec {
       .collect().toSet
     assert(reloaded == a)
   }
+
+  test("beam sweep: recall is monotone non-decreasing in beam width") {
+    val rows = Evaluation.vamanaBeamSweep(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array(10, 50, 100)))
+    rows.sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(b >= a - 1e-9, rows.mkString(","))
+      case _ => ()
+    }
+    assert(rows.last._2 >= 0.85, s"recall@beam=100 ${rows.last._2}")
+  }
 }
