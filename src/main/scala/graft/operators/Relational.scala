@@ -409,50 +409,58 @@ object Relational {
     * and (on a corpus) the same math that sizes "how many sources
     * cover 80% of tokens".
     *
-    * Scale shape: the global-order windows run over the |customers|
+    * Scale shape: the rank + cumulative sum run over the |customers|
     * ROLLUP (one partial-aggregated shuffle reduces the fact table
-    * first), never over raw orders — ranking a dimension-sized
-    * relation is the acceptable global sort. Exact integer cents make
-    * the cumulative sums order-independent. Output: (custkey, spend,
-    * rk, cum_share rounded 6, top80).
+    * first), never over raw orders, through the fused
+    * [[graft.plans.GraftOps.globalRankAndPrefix]] — range-partitioned
+    * rank and inclusive prefix in ONE layout with the grand total as
+    * a broadcast column, so the rollup never serializes through a
+    * single-partition window. Exact integer cents make the cumulative
+    * sums order-independent. Output: (custkey, spend, rk, cum_share
+    * rounded 6, top80).
     */
   def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactNum._
     val s = Tables.orders(spark, dir)
       .select(col("o_custkey").as("custkey"), cents(col("o_totalprice")).as("c"))
       .groupBy(col("custkey")).agg(sum(col("c")).as("cents"))
-    val ord = Window.orderBy(col("cents").desc, col("custkey"))
-    val cum = sum(col("cents")).over(
-      ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val tot = sum(col("cents")).over(Window.partitionBy())
-    s.select(col("custkey"), (col("cents") / 100.0).as("spend"),
-        row_number().over(ord).cast("long").as("rk"),
-        round(cum.cast("double") / tot, 6).as("cum_share"))
+    graft.plans.GraftOps.globalRankAndPrefix(s,
+        Seq("cents" -> false, "custkey" -> true), "cents",
+        rankName = "rk", sumName = "cum", totalName = Some("tot"))
+      .select(col("custkey"), (col("cents") / 100.0).as("spend"),
+        col("rk"),
+        round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
       .withColumn("top80",
         when(col("cum_share") <= 0.8, 1).otherwise(0))
   }
 
   /** RFM segmentation over the [[customerLtv]] rollup: recency
     * (last-order day), frequency (order count), and monetary (total
-    * spend) each quartiled by ntile — the classic CRM scoring grid.
-    * Windows run over the |customers|-sized rollup, never the fact
-    * table; every ordering carries the custkey tie-break so bin
-    * boundaries are deterministic on both engines.
+    * spend) each quartiled — the classic CRM scoring grid. Each
+    * quartile is [[graft.plans.GraftOps.globalRank]] (range-
+    * partitioned, never a single-partition ntile window over the
+    * |customers| rollup) with the SQL-exact ntile arithmetic
+    * ([[graft.plans.GraftOps.ntileFromRank]]: larger buckets first)
+    * applied to (rank, n); every ordering carries the custkey
+    * tie-break so bin boundaries are deterministic on both engines.
     * Output: one row per customer with the three scores and their
     * "RFM" concatenation.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftOps.{globalRank, ntileFromRank}
     val ltv = customerLtv(spark, dir)
       .select(col("custkey"), col("n_orders"), col("total_spend"),
         col("last_order_epday"))
-    def quartile(order: org.apache.spark.sql.Column*) =
-      ntile(4).over(Window.orderBy(order: _*))
-    ltv.select(col("custkey"), col("n_orders"), col("total_spend"),
-        col("last_order_epday"),
-        quartile(col("last_order_epday").asc, col("custkey").asc).as("r"),
-        quartile(col("n_orders").asc, col("custkey").asc).as("f"),
-        quartile(col("total_spend").asc, col("custkey").asc).as("m"))
-      .withColumn("rfm", concat(col("r"), col("f"), col("m")))
+    def quartile(df: DataFrame, keys: Seq[String], name: String): DataFrame =
+      globalRank(df, keys.map(_ -> true), "_qrk", countName = Some("_qn"))
+        .withColumn(name, ntileFromRank(col("_qrk"), col("_qn"), 4))
+        .drop("_qrk", "_qn")
+    val scored = Seq(
+      (Seq("last_order_epday", "custkey"), "r"),
+      (Seq("n_orders", "custkey"), "f"),
+      (Seq("total_spend", "custkey"), "m"))
+      .foldLeft(ltv) { case (df, (keys, name)) => quartile(df, keys, name) }
+    scored.withColumn("rfm", concat(col("r"), col("f"), col("m")))
   }
 
   /** UNPIVOT (melt): the per-returnflag wide aggregate folded to the

@@ -85,10 +85,11 @@ object Stats {
     * the only floating-point op is the final division — deterministic
     * in both engines.
     *
-    * Scale: the window ranks the |customers|-sized rollup, never the
-    * fact table; at 100 TB the exact global rank would switch to a
-    * range-partitioned sort (rank = partition offset + local rank,
-    * offsets from partition counts), same formula.
+    * Scale: the rank runs over the |customers|-sized rollup, never
+    * the fact table, through [[graft.plans.GraftOps.globalRank]] —
+    * the range-partitioned rank (partition offset + local rank), so
+    * even a billion-customer rollup never funnels through one
+    * reducer; same formula, same output.
     */
   def giniCoefficient(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -96,9 +97,8 @@ object Stats {
       .select(col("o_custkey").as("custkey"),
         ExactNum.cents(col("o_totalprice")).as("c"))
       .groupBy(col("custkey")).agg(sum(col("c")).as("c"))
-    val ranked = perCust.withColumn("rk",
-      row_number().over(Window.orderBy(col("c"), col("custkey")))
-        .cast("long"))
+    val ranked = graft.plans.GraftOps.globalRank(perCust,
+      Seq("c" -> true, "custkey" -> true), "rk")
     val m = ranked.agg(
       count(lit(1)).cast(dec).as("n"),
       sum(col("c").cast(dec)).as("sx"),

@@ -80,6 +80,75 @@ object GraftOps {
     spark.createDataFrame(stamped, schema)
   }
 
+  /** [[globalRank]] and [[globalPrefixSum]] fused into ONE range
+    * layout and ONE stamping pass: appends the 1-based rank, the
+    * prefix sum of `valueCol` (inclusive by default — the Pareto /
+    * cumulative-share shape), and optionally the total row count and
+    * total value sum as broadcast constant columns (the quantities a
+    * share/ntile projection divides by, without a second aggregate
+    * job). One subtotal job collects |partitions| (count, sum) pairs.
+    */
+  def globalRankAndPrefix(df: DataFrame, orderCols: Seq[(String, Boolean)],
+      valueCol: String, rankName: String = "grk",
+      sumName: String = "prefix_sum", exclusive: Boolean = false,
+      countName: Option[String] = None, totalName: Option[String] = None,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ordered = rangeOrdered(df, orderCols, p)
+    val vIdx = ordered.schema.fieldIndex(valueCol)
+    val rdd = ordered.rdd
+    val subs = rdd.mapPartitionsWithIndex({ (i, it) =>
+      var n = 0L; var s = 0L
+      while (it.hasNext) { s += it.next().getLong(vIdx); n += 1L }
+      Iterator((i, n, s))
+    }, preservesPartitioning = true).collect().sortBy(_._1)
+    val cntOff = subs.map(_._2).scanLeft(0L)(_ + _)
+    val sumOff = subs.map(_._3).scanLeft(0L)(_ + _)
+    val totalN = cntOff.last
+    val totalS = sumOff.last
+    val bc = spark.sparkContext.broadcast((cntOff, sumOff))
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rk = bc.value._1(i)
+      var acc = bc.value._2(i)
+      it.map { row =>
+        val v = row.getLong(vIdx)
+        rk += 1L
+        val out = if (exclusive) acc else acc + v
+        acc += v
+        Row.fromSeq(row.toSeq ++ (Seq(rk, out) ++
+          countName.map(_ => totalN) ++ totalName.map(_ => totalS)))
+      }
+    }
+    val schema = StructType(ordered.schema.fields ++
+      (Seq(StructField(rankName, LongType, nullable = false),
+        StructField(sumName, LongType, nullable = false)) ++
+        countName.map(StructField(_, LongType, nullable = false)) ++
+        totalName.map(StructField(_, LongType, nullable = false))))
+    spark.createDataFrame(stamped, schema)
+  }
+
+  /** SQL `ntile(buckets)` reproduced by exact integer arithmetic from
+    * a precomputed (rank, total) pair — the piece that lets an ntile
+    * window re-plan onto [[globalRank]]: the first `n mod buckets`
+    * buckets carry `n div buckets + 1` rows, the rest `n div buckets`
+    * (the standard larger-buckets-first contract, matched bit-for-bit
+    * against `ntile().over` by GlobalOrderSpec on non-divisible n).
+    */
+  def ntileFromRank(rk: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val size = n.divide(lit(buckets)).cast("long")
+    val rem = n.mod(lit(buckets))
+    val bigSpan = (size + lit(1L)) * rem
+    when(rk <= bigSpan,
+      ((rk - lit(1L)) / (size + lit(1L))).cast("long") + lit(1L))
+      .otherwise(
+        rem + ((rk - lit(1L) - bigSpan) / size).cast("long") + lit(1L))
+      .cast("int")
+  }
+
   /** Scalable GLOBAL prefix sum of `valueCol` in `orderCols` order
     * (exclusive by default — each row sees the sum of everything
     * strictly before it): the same range-partitioned skeleton as

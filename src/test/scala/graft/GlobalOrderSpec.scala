@@ -54,6 +54,41 @@ class GlobalOrderSpec extends SparkSpec {
     assert(g.sameElements(w))
   }
 
+  test("globalRankAndPrefix equals rank + inclusive cum + totals") {
+    val got = GraftOps.globalRankAndPrefix(synth,
+      Seq("key" -> false, "id" -> true), "v",
+      rankName = "rk", sumName = "cum",
+      countName = Some("n"), totalName = Some("tot"))
+    val ord = Window.orderBy(col("key").desc, col("id").asc)
+    val want = synth
+      .withColumn("rk", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("tot", sum(col("v")).over(Window.partitionBy()))
+    val cols = Seq("id", "rk", "cum", "n", "tot")
+    def slurp(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).sortBy(_._1)
+    assert(slurp(got).sameElements(slurp(want)))
+  }
+
+  test("ntileFromRank matches SQL ntile bit-for-bit on non-divisible n") {
+    // 997 rows, 4 buckets: 997 = 4*249 + 1, so bucket 1 carries 250
+    // and the rest 249 — the larger-buckets-first contract
+    val ranked = GraftOps.globalRank(synth, Seq("id" -> true), "rk",
+      countName = Some("n"))
+      .withColumn("q", GraftOps.ntileFromRank(col("rk"), col("n"), 4))
+    val want = synth.withColumn("q",
+      ntile(4).over(Window.orderBy(col("id"))))
+    val g = ranked.select("id", "q").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    val w = want.select("id", "q").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(g.sameElements(w))
+  }
+
   test("curriculum and packSequences run window-free, multi-partition") {
     val cur = graft.operators.Pipeline.curriculum(spark, sf0001)
     val pack = graft.operators.Pipeline.packSequences(spark, sf0001)
