@@ -10,23 +10,19 @@ import graft.knn.ExactKnn
   * surface: query vectors arrive as a stream and are scored against
   * the standing base corpus without ever batching the query set.
   *
-  * The declared row is the radius (range) search because it is
-  * STATELESS in streaming terms: the distance predicate evaluates
-  * inside the stream-static broadcast join, every qualifying
-  * (query, base) match emits in the micro-batch that carried the
-  * query, and append mode needs no watermark. That is exactly the
-  * filtered-retrieval pattern of a production serving tier: base
-  * relation resident executor-side, queries flowing through, zero
-  * cross-batch state.
-  *
-  * Scale shape: the static side is broadcast once per stream (at real
-  * scale: the ANN index replica each executor holds — the
-  * [[graft.knn.HnswKnn]] shard layout); each micro-batch does
-  * O(|batch| x |base|) distance work with NO shuffle and NO state
-  * store. Deterministic because every (query, base) pair is scored
-  * exactly once regardless of how the source splits micro-batches —
-  * so the result equals the batch [[ExactKnn.rangeSearch]] and shares
-  * its DuckDB oracle under the hash gate.
+  * Both serving rows are STATELESS in streaming terms (append mode,
+  * no watermark, no state store): each arriving micro-batch of query
+  * vectors runs the corresponding BATCH search via `foreachBatch` —
+  * the range scan broadcasts the (tiny) query batch against the
+  * distributed base; the HNSW top-k scatter-gathers against the
+  * pinned shard partitions. In both, the CORPUS side stays
+  * partitioned where it lives and only the query wave moves — the
+  * orientation that survives 1e9 vectors (neither the raw corpus nor
+  * the full index fits on any single executor or the driver).
+  * Deterministic because every query arrives in exactly one
+  * micro-batch and per-query results are independent — so streamed ==
+  * batch and each row shares its batch twin's oracle under the hash
+  * gate.
   */
 object VectorStream {
 
@@ -51,40 +47,53 @@ object VectorStream {
   }
 
   /** Streamed [[ExactKnn.rangeSearch]] (shares `knn_range_search`'s
-    * oracle): the held-out query split flows through the file stream
-    * source, the base split is the broadcast static side, and the
-    * distance predicate runs inside the join. Output: (qid, vec_id,
-    * dist) — every base point within `radius` of each query.
+    * oracle): held-out query vectors flow through the file stream
+    * source and each micro-batch runs the BATCH range scan inside
+    * `foreachBatch` — the (micro-batch-small) QUERY side broadcasts
+    * against the DISTRIBUTED base scan, the distance predicate
+    * evaluates in the broadcast NLJ, and qualifying pairs land
+    * executor-side in an append parquet sink.
+    *
+    * Scale shape: the previous form broadcast the BASE corpus to every
+    * executor — inverted at 1e9 vectors (the corpus fits on no
+    * executor, while a micro-batch of queries is always tiny). This
+    * form keeps the corpus partitioned where it lives and ships only
+    * the query wave — the same direction as the batch
+    * [[ExactKnn.rangeSearch]] and the scatter-gather HNSW serving
+    * below. Stateless, append-mode; every (query, base) pair is scored
+    * exactly once regardless of micro-batch splits, so streamed ==
+    * batch under the shared oracle. Output: (qid, vec_id, dist).
     */
   def rangeSearchStreamed(spark: SparkSession, dir: String,
       radius: Double = 0.7, nq: Int = 20): DataFrame = {
     val staged = stagedEmbeddingsDir(spark, dir)
     val (base, _, splitAt, _) = ExactKnn.split(spark, dir)
-    val b = broadcast(base.select(col("vec_id"), col("emb")))
-    val name = s"graft_knn_stream_${EventStream.streamRunSeq.incrementAndGet()}"
+    val b = base.select(col("vec_id"), col("emb"))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-range-serve").toString
     EventStream.withStreamPartitions(spark, 4, noData = false) {
-      val qStream = spark.readStream.schema(embSchema).parquet(staged)
+      val q = spark.readStream.schema(embSchema).parquet(staged)
         .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nq)
         .select(col("vec_id").as("qid"),
           graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
             .as("qvec"))
-      val q = qStream
-        .join(b, ExactKnn.dist(col("emb"), col("qvec")) <= radius)
-        .select(col("qid"), col("vec_id"),
-          ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          b.crossJoin(broadcast(batch))
+            .select(col("qid"), col("vec_id"),
+              ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+            .filter(col("dist") <= radius)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
         .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-knn-q"))
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    val out = spark.table(name).select(col("qid"), col("vec_id"), col("dist"))
-    // bind the sink relation into the plan, then drop the catalog entry
-    // so repeated invocations don't accumulate driver-resident tables
-    out.queryExecution.assertAnalyzed()
-    spark.catalog.dropTempView(name)
-    out
+    spark.read.parquet(outDir)
+      .select(col("qid"), col("vec_id"), col("dist"))
   }
 
   /** Micro-batches served through the distributed scatter-gather path
