@@ -411,22 +411,34 @@ object Relational {
     *
     * Scale shape: the rank + cumulative sum run over the |customers|
     * ROLLUP (one partial-aggregated shuffle reduces the fact table
-    * first), never over raw orders, through the fused
-    * [[graft.plans.GraftOps.globalRankAndPrefix]] — range-partitioned
-    * rank and inclusive prefix in ONE layout with the grand total as
-    * a broadcast column, so the rollup never serializes through a
-    * single-partition window. Exact integer cents make the cumulative
-    * sums order-independent. Output: (custkey, spend, rk, cum_share
-    * rounded 6, top80).
+    * first), never over raw orders. Below
+    * [[graft.plans.GraftOps.smallOrderCutover]] the rollup windows on
+    * one reducer (faster there); at or above it the fused
+    * [[graft.plans.GraftOps.globalRankAndPrefix]] takes over —
+    * range-partitioned rank and inclusive prefix in ONE layout with
+    * the grand total as a broadcast column, so a billion-customer
+    * rollup never serializes through a single-partition window (both
+    * legs output-identical; GlobalOrderSpec pins it). Exact integer
+    * cents make the cumulative sums order-independent. Output:
+    * (custkey, spend, rk, cum_share rounded 6, top80).
     */
   def revenuePareto(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ExactNum._
     val s = Tables.orders(spark, dir)
       .select(col("o_custkey").as("custkey"), cents(col("o_totalprice")).as("c"))
       .groupBy(col("custkey")).agg(sum(col("c")).as("cents"))
-    graft.plans.GraftOps.globalRankAndPrefix(s,
+    val ranked =
+      if (s.count() < graft.plans.GraftOps.smallOrderCutover) {
+        val ord = Window.orderBy(col("cents").desc, col("custkey"))
+        s.withColumn("rk", row_number().over(ord).cast("long"))
+          .withColumn("cum", sum(col("cents")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot",
+            sum(col("cents")).over(Window.partitionBy()))
+      } else graft.plans.GraftOps.globalRankAndPrefix(s,
         Seq("cents" -> false, "custkey" -> true), "cents",
         rankName = "rk", sumName = "cum", totalName = Some("tot"))
+    ranked
       .select(col("custkey"), (col("cents") / 100.0).as("spend"),
         col("rk"),
         round(col("cum").cast("double") / col("tot"), 6).as("cum_share"))
@@ -436,30 +448,43 @@ object Relational {
 
   /** RFM segmentation over the [[customerLtv]] rollup: recency
     * (last-order day), frequency (order count), and monetary (total
-    * spend) each quartiled — the classic CRM scoring grid. Each
-    * quartile is [[graft.plans.GraftOps.globalRank]] (range-
-    * partitioned, never a single-partition ntile window over the
-    * |customers| rollup) with the SQL-exact ntile arithmetic
-    * ([[graft.plans.GraftOps.ntileFromRank]]: larger buckets first)
-    * applied to (rank, n); every ordering carries the custkey
-    * tie-break so bin boundaries are deterministic on both engines.
-    * Output: one row per customer with the three scores and their
-    * "RFM" concatenation.
+    * spend) each quartiled — the classic CRM scoring grid. Below
+    * [[graft.plans.GraftOps.smallOrderCutover]] each quartile is a
+    * plain ntile window over the |customers| rollup (faster there);
+    * at or above it each becomes
+    * [[graft.plans.GraftOps.globalRank]] + the SQL-exact ntile
+    * arithmetic ([[graft.plans.GraftOps.ntileFromRank]]: larger
+    * buckets first, bit-parity pinned by GlobalOrderSpec), so a
+    * billion-customer rollup never single-partition-sorts. Every
+    * ordering carries the custkey tie-break so bin boundaries are
+    * deterministic on both engines. Output: one row per customer with
+    * the three scores and their "RFM" concatenation.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import graft.plans.GraftOps.{globalRank, ntileFromRank}
+    import graft.plans.GraftOps.{globalRank, ntileFromRank, smallOrderCutover}
     val ltv = customerLtv(spark, dir)
       .select(col("custkey"), col("n_orders"), col("total_spend"),
         col("last_order_epday"))
-    def quartile(df: DataFrame, keys: Seq[String], name: String): DataFrame =
-      globalRank(df, keys.map(_ -> true), "_qrk", countName = Some("_qn"))
-        .withColumn(name, ntileFromRank(col("_qrk"), col("_qn"), 4))
-        .drop("_qrk", "_qn")
-    val scored = Seq(
-      (Seq("last_order_epday", "custkey"), "r"),
-      (Seq("n_orders", "custkey"), "f"),
-      (Seq("total_spend", "custkey"), "m"))
-      .foldLeft(ltv) { case (df, (keys, name)) => quartile(df, keys, name) }
+    val scored =
+      if (ltv.count() < smallOrderCutover) {
+        def quartile(order: org.apache.spark.sql.Column*) =
+          ntile(4).over(Window.orderBy(order: _*))
+        ltv.select(col("custkey"), col("n_orders"), col("total_spend"),
+          col("last_order_epday"),
+          quartile(col("last_order_epday").asc, col("custkey").asc).as("r"),
+          quartile(col("n_orders").asc, col("custkey").asc).as("f"),
+          quartile(col("total_spend").asc, col("custkey").asc).as("m"))
+      } else {
+        def quartile(df: DataFrame, keys: Seq[String], name: String): DataFrame =
+          globalRank(df, keys.map(_ -> true), "_qrk", countName = Some("_qn"))
+            .withColumn(name, ntileFromRank(col("_qrk"), col("_qn"), 4))
+            .drop("_qrk", "_qn")
+        Seq(
+          (Seq("last_order_epday", "custkey"), "r"),
+          (Seq("n_orders", "custkey"), "f"),
+          (Seq("total_spend", "custkey"), "m"))
+          .foldLeft(ltv) { case (df, (keys, name)) => quartile(df, keys, name) }
+      }
     scored.withColumn("rfm", concat(col("r"), col("f"), col("m")))
   }
 

@@ -86,10 +86,14 @@ object Stats {
     * in both engines.
     *
     * Scale: the rank runs over the |customers|-sized rollup, never
-    * the fact table, through [[graft.plans.GraftOps.globalRank]] —
-    * the range-partitioned rank (partition offset + local rank), so
-    * even a billion-customer rollup never funnels through one
-    * reducer; same formula, same output.
+    * the fact table. Below
+    * [[graft.plans.GraftOps.smallOrderCutover]] the rollup sorts on
+    * one reducer (faster there — the range form's fixed cost
+    * dominates sub-second relations); at or above it the rank
+    * switches to [[graft.plans.GraftOps.globalRank]] (partition
+    * offset + local rank), so a billion-customer rollup never funnels
+    * through one reducer. Same formula, same output on both legs
+    * (GlobalOrderSpec pins the equality).
     */
   def giniCoefficient(spark: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
@@ -97,8 +101,13 @@ object Stats {
       .select(col("o_custkey").as("custkey"),
         ExactNum.cents(col("o_totalprice")).as("c"))
       .groupBy(col("custkey")).agg(sum(col("c")).as("c"))
-    val ranked = graft.plans.GraftOps.globalRank(perCust,
-      Seq("c" -> true, "custkey" -> true), "rk")
+    val ranked =
+      if (perCust.count() < graft.plans.GraftOps.smallOrderCutover)
+        perCust.withColumn("rk",
+          row_number().over(Window.orderBy(col("c"), col("custkey")))
+            .cast("long"))
+      else graft.plans.GraftOps.globalRank(perCust,
+        Seq("c" -> true, "custkey" -> true), "rk")
     val m = ranked.agg(
       count(lit(1)).cast(dec).as("n"),
       sum(col("c").cast(dec)).as("sx"),

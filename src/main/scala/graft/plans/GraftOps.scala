@@ -9,6 +9,21 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 /** User-facing entry points for graft's custom operators. */
 object GraftOps {
 
+  /** Row-count cutover between the single-partition window form and
+    * the range-partitioned global-order primitives (the
+    * [[graft.operators.GraphOps.kCoreOf]]-style explicit-cutover
+    * discipline): below it, one reducer sorts
+    * the relation in well under a second and the primitives' fixed
+    * cost (two extra jobs + Row conversion) dominates — measured 3-6x
+    * slower on 1.5k-row rollups at sf0.1; at or above it, the
+    * single-partition window IS the bottleneck and the range form is
+    * the only shape that survives. Callers with a dimension-sized
+    * rollup (|customers|, |suppliers|) branch on a cheap `count()`;
+    * callers ranking the raw corpus (curriculum, sequence packing)
+    * use the range form unconditionally.
+    */
+  val smallOrderCutover: Long = 4000000L
+
   /** The input globally SORTED by `orderCols` across a real multi-
     * partition range layout: sampled range boundaries decide each row's
     * partition (`repartitionByRange`), then each partition sorts
