@@ -741,6 +741,14 @@ object SparkEntry {
       ((s, d) => EventOps.markovStationary(s, d)),
     // k-anonymity audit of the (segment, nation) quasi-identifier
     "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
+    // l-diversity: per-class sensitive-value diversity + homogeneity
+    "privacy_l_diversity" -> ((s, d) => operators.Governance.lDiversity(s, d)),
+    // Wang-Isola alignment/uniformity embedding-health summary
+    "emb_alignment_uniformity" ->
+      ((s, d) => EmbeddingStats.alignmentUniformity(s, d)),
+    // deterministic per-epoch training-order permutation via the
+    // range-partitioned global rank (corpus-scale by construction)
+    "pipeline_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
     // LDA-criterion class separability of the labeled embeddings
     "emb_fisher_separability" ->
       ((s, d) => EmbeddingStats.fisherSeparability(s, d)),
@@ -5018,6 +5026,64 @@ object SparkEntry {
              CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) * 1000
                // sum(sz) AS BIGINT) AS risk_permille
       FROM g""",
+
+    // same two integer rollups: (class, sensitive) cells then class
+    "privacy_l_diversity" -> """
+      WITH cells AS (
+        SELECT c_mktsegment AS mktsegment, n_name AS nation,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2, 3)
+      SELECT mktsegment, nation,
+             CAST(sum(n) AS BIGINT) AS sz,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(max(n) * 1000 // sum(n) AS BIGINT) AS top_share_permille,
+             CASE WHEN count(*) < 2 THEN 1 ELSE 0 END AS homogeneous
+      FROM cells GROUP BY 1, 2""",
+
+    // identical unit vectors, lead-per-label positives, 64-probe
+    // panel; every cross-row sum is an exact quantized integer
+    "emb_alignment_uniformity" -> """
+      WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM e),
+      p AS (SELECT nv,
+              lead(nv) OVER (PARTITION BY label ORDER BY vec_id) AS nxt
+            FROM n),
+      pos AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+                CAST(sum(CAST(round(round(2.0 - 2.0 *
+                  list_sum(list_transform(list_zip(nv, nxt),
+                    z -> z[1]*z[2])), 6) * 1000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS s6
+              FROM p WHERE nxt IS NOT NULL),
+      panel AS (SELECT vec_id AS pid, nv AS pv FROM n WHERE vec_id < 64),
+      uni AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CAST(round(exp(-2.0 * round(2.0 - 2.0 *
+                  list_sum(list_transform(list_zip(a.nv, panel.pv),
+                    z -> z[1]*z[2])), 6)) * 1000000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS se9
+              FROM n a, panel WHERE a.vec_id <> panel.pid)
+      SELECT n_pos,
+             round(CAST(s6 AS DOUBLE) / n_pos / 1000000.0, 6) AS alignment,
+             n_pairs,
+             round(ln(CAST(se9 AS DOUBLE) / n_pairs / 1000000000.0), 6)
+               AS uniformity
+      FROM pos, uni""",
+
+    // the same md5(doc_id:epoch) total order, tie-broken by doc_id
+    "pipeline_epoch_shuffle" -> """
+      SELECT doc_id,
+             CAST(row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch:1'), doc_id)
+               AS BIGINT) AS shuffle_pos
+      FROM documents""",
 
     // the identical poly-hash-seeded Laplace inverse-CDF release
     "privacy_dp_counts" -> """

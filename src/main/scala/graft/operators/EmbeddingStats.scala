@@ -407,6 +407,64 @@ object EmbeddingStats {
           .as("fisher_ratio"))
   }
 
+  /** Alignment / uniformity of the embedding space (Wang & Isola 2020,
+    * "Understanding Contrastive Representation Learning through
+    * Alignment and Uniformity on the Hypersphere") — the two numbers
+    * that summarize whether an embedding model is healthy:
+    *
+    *   - '''alignment''' = E‖x−y‖² over POSITIVE pairs (here: each
+    *     vector with the next vector of the SAME label in vec_id
+    *     order — one lead window per label partition, a linear pair
+    *     set with real corpus semantics). Lower = positives embed
+    *     close.
+    *   - '''uniformity''' = ln E exp(−2‖x−y‖²) over vector pairs
+    *     (here: a fixed 64-probe panel — the first 64 vec_ids —
+    *     against the whole corpus, a deterministic O(64·n) sample of
+    *     the quadratic pair space). Lower (more negative) = mass
+    *     spreads over the sphere instead of collapsing.
+    *
+    * Exactness: unit vectors from the shared [[Dedup
+    * .normalizedEmbeddings]] cache; ‖x−y‖² = 2−2·dot computed with
+    * the fused left-to-right dot and rounded 6 BEFORE use; each
+    * alignment term micro-quantizes (·1e6) and each uniformity term
+    * nano-quantizes exp(−2d²)·1e9 to a long, so both cross-row sums
+    * are exact integers in any order; one fixed-order division (+ln)
+    * each. Scale: one window over |label| partitions + one broadcast
+    * probe panel against the corpus — both linear. Output: 1 row
+    * (n_pos, alignment, n_pairs, uniformity).
+    */
+  def alignmentUniformity(spark: SparkSession, dir: String,
+      probes: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrm = Dedup.normalizedEmbeddings(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    def d2Of(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(lit(2.0) - lit(2.0) *
+        graft.functions.ArrayMath.dotProduct(a, b), 6)
+    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val pos = nrm
+      .withColumn("nxt", lead(col("nv"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(round(d2Of(col("nv"), col("nxt")) * 1e6, 0)
+        .cast("long").as("q6"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("q6")).as("s6"))
+    val panel = broadcast(nrm.filter(col("vec_id") < probes)
+      .select(col("vec_id").as("pid"), col("nv").as("pv")))
+    val uni = nrm.crossJoin(panel)
+      .filter(col("vec_id") =!= col("pid"))
+      .select(round(exp(lit(-2.0) * d2Of(col("nv"), col("pv"))) * 1e9, 0)
+        .cast("long").as("e9"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("e9")).as("se9"))
+    pos.crossJoin(uni)
+      .select(col("n_pos"),
+        round(col("s6").cast("double") / col("n_pos") / 1e6, 6)
+          .as("alignment"),
+        col("n_pairs"),
+        round(log(col("se9").cast("double") / col("n_pairs") / 1e9), 6)
+          .as("uniformity"))
+  }
+
   def kmeansAssignments(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, q: Long = 1000000L): DataFrame = {
     import spark.implicits._

@@ -51,6 +51,37 @@ object Governance {
     * (documented, not an oversight). Map-only over the |types|-row
     * rollup. Output: (event_type, n_true, epsilon, noisy_count).
     */
+  /** l-diversity audit — k-anonymity's companion: a quasi-identifier
+    * class can be large (k-anonymous) yet still leak its SENSITIVE
+    * attribute if every member shares one value. Per (mktsegment,
+    * nation) class: size, the number of DISTINCT sensitive values
+    * (account-balance sign band as the sensitive attribute), the
+    * dominant value's share in integer permille, and the l<2 flag
+    * (a homogeneous class — the attribute is disclosed for every
+    * member). One rollup over (class, sensitive) then one over class;
+    * pure integers. Output: (mktsegment, nation, sz, l_distinct,
+    * top_share_permille, homogeneous).
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val sensitive = when(col("c_acctbal") < 0, "debt")
+      .when(col("c_acctbal") < 5000, "mid").otherwise("high")
+    val cells = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment").as("mktsegment"),
+        col("n_name").as("nation"), sensitive.as("s"))
+      .groupBy(col("mktsegment"), col("nation"), col("s"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy(col("mktsegment"), col("nation"))
+      .agg(sum(col("n")).as("sz"),
+        count(lit(1)).as("l_distinct"),
+        max(col("n")).as("top"))
+      .select(col("mktsegment"), col("nation"), col("sz"),
+        col("l_distinct"),
+        expr("top * 1000 div sz").as("top_share_permille"),
+        when(col("l_distinct") < 2, 1).otherwise(0).as("homogeneous"))
+  }
+
   def dpEventCounts(spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

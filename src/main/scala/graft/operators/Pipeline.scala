@@ -370,6 +370,34 @@ object Pipeline {
         (col("end_seq") - col("start_seq") + 1L).as("n_seqs"))
   }
 
+  /** Deterministic EPOCH SHUFFLE — the permutation a training loader
+    * draws each epoch: every document's position in the epoch's read
+    * order is its rank by md5(doc_id:epoch) (a fresh pseudo-random
+    * total order per epoch, reproducible on any engine and any
+    * cluster size, zero RNG state — retried tasks and re-runs see the
+    * identical permutation, the property that makes a training run
+    * resumable mid-epoch). Different `epoch` values give independent
+    * permutations of the same corpus.
+    *
+    * Scale shape: the rank is
+    * [[graft.plans.GraftOps.globalRank]] unconditionally — shuffling
+    * IS a corpus-sized global ordering, so the range-partitioned rank
+    * is the only shape that survives (a single-partition window here
+    * would serialize the whole corpus; this is the third corpus-scale
+    * consumer of the primitive after curriculum and sequence
+    * packing). Output: (doc_id, shuffle_pos 1-based).
+    */
+  def epochShuffle(spark: SparkSession, dir: String,
+      epoch: Int = 1): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(s":epoch:$epoch")))
+          .as("h"))
+    graft.plans.GraftOps.globalRank(keyed,
+        Seq("h" -> true, "doc_id" -> true), rankName = "shuffle_pos")
+      .select(col("doc_id"), col("shuffle_pos"))
+  }
+
   /** Dataset card: the one-pass corpus summary (docs, languages,
     * sources, token totals, exact-duplicate count) in long
     * (metric, value) form — what a data release publishes next to the

@@ -253,4 +253,46 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(row.getDouble(4) == expect)
     assert(row.getDouble(4) >= 0.0)
   }
+
+  test("alignment/uniformity replays a driver-side Wang-Isola computation") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).toArray.map(_.toDouble)
+        val mag = math.sqrt(v.map(x => x * x).sum)
+        (r.getLong(0), r.getInt(1), if (mag == 0) v else v.map(_ / mag))
+      }.sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      r6(2.0 - 2.0 * dot)
+    }
+    // positives: lead within label in vec_id order
+    val posTerms = vecs.groupBy(_._2).values.toSeq.flatMap { g =>
+      val s = g.sortBy(_._1)
+      s.zip(s.drop(1)).map { case (a, b) => q(d2(a._3, b._3) * 1e6) }
+    }
+    // uniformity: first-64-ids probe panel against everyone else
+    val panel = vecs.filter(_._1 < 64)
+    val uniTerms = for {
+      a <- vecs; p <- panel if a._1 != p._1
+    } yield q(math.exp(-2.0 * d2(a._3, p._3)) * 1e9)
+    val expAlign = r6(posTerms.sum.toDouble / posTerms.length / 1e6)
+    val expUni = r6(math.log(uniTerms.sum.toDouble / uniTerms.length / 1e9))
+    val row = graft.operators.EmbeddingStats
+      .alignmentUniformity(spark, sf0001).head()
+    assert(row.getLong(0) == posTerms.length)
+    assert(row.getDouble(1) == expAlign,
+      s"alignment ${row.getDouble(1)} vs $expAlign")
+    assert(row.getLong(2) == uniTerms.length)
+    assert(row.getDouble(3) == expUni,
+      s"uniformity ${row.getDouble(3)} vs $expUni")
+    // sanity of the health summary itself: positives sit closer than
+    // the uniform background implies, and mass is spread (uni < 0)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(3) < 0.0)
+  }
 }

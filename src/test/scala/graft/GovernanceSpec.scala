@@ -50,4 +50,22 @@ class GovernanceSpec extends SparkSpec {
       assert(math.abs(noisy - n) < 25.0, s"$t noise ${noisy - n}")
     }
   }
+
+  test("l-diversity: cell-consistent, homogeneity flags exactly l<2") {
+    val rows = Governance.lDiversity(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    // class sizes tile the joined customer table exactly once
+    val total = Tables.customer(spark, sf0001).count()
+    assert(rows.map(_._3).sum == total)
+    rows.foreach { case (seg, nat, sz, l, share, homog) =>
+      assert(l >= 1 && l <= 3, s"$seg/$nat l=$l") // 3 sensitive bands
+      assert(l <= sz)
+      // dominant share is at least the uniform share and at most 1000
+      assert(share >= 1000 / l - 1 && share <= 1000,
+        s"$seg/$nat share=$share l=$l")
+      assert((homog == 1) == (l < 2), s"$seg/$nat homogeneous=$homog l=$l")
+    }
+  }
 }

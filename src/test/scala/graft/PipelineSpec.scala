@@ -359,6 +359,22 @@ class PipelineSpec extends SparkSpec {
     assert(sizes.values.forall(_ == 50))
   }
 
+  test("epoch shuffle: a permutation per epoch, epochs independent, window-free") {
+    val e1 = graft.operators.Pipeline.epochShuffle(spark, sf0001, epoch = 1)
+    val rows1 = e1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows1.length == 500)
+    // a true permutation: positions are exactly 1..n
+    assert(rows1.map(_._2).sorted.toSeq == (1L to 500L).toSeq)
+    // a different epoch draws a genuinely different order
+    val rows2 = graft.operators.Pipeline.epochShuffle(spark, sf0001, epoch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val moved = rows1.count { case (id, p) => rows2(id) != p }
+    assert(moved > 450, s"epoch 2 kept ${500 - moved} positions fixed")
+    // corpus-scale by construction: range-partitioned, no window
+    assert(!e1.queryExecution.executedPlan.toString.contains("Window"))
+    assert(e1.rdd.getNumPartitions > 1)
+  }
+
   test("k-center coreset replays the driver-side greedy traversal") {
     val vecs = Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding").collect()
