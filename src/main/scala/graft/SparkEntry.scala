@@ -739,6 +739,10 @@ object SparkEntry {
     // (3 power rounds, 9dp per round — the pagerank discipline)
     "events_markov_stationary" ->
       ((s, d) => EventOps.markovStationary(s, d)),
+    // declarative Deequ-style expectation suite: completeness,
+    // uniqueness, ranges, domains, referential integrity — exact
+    // violation counts, one conditional-sum scan per table
+    "quality_expectations" -> ((s, d) => operators.Expectations.suite(s, d)),
     // k-anonymity audit of the (segment, nation) quasi-identifier
     "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
     // l-diversity: per-class sensitive-value diversity + homogeneity
@@ -5010,6 +5014,54 @@ object SparkEntry {
              round(CAST(b AS DOUBLE) / CAST(w AS DOUBLE), 6)
                AS fisher_ratio
       FROM agg""",
+
+    // every check replayed as exact integer counting over the same
+    // tables; referential edges as NOT IN orphan counts
+    "quality_expectations" -> """
+      WITH oc AS (SELECT count(*) AS n,
+                    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nc,
+                    count(DISTINCT o_orderkey) AS dk,
+                    sum(CASE WHEN CAST(round(o_totalprice*100) AS BIGINT) <= 0
+                        THEN 1 ELSE 0 END) AS np,
+                    sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS bs
+                  FROM orders),
+      lc AS (SELECT count(*) AS n,
+               count(DISTINCT (l_orderkey, l_linenumber)) AS dk,
+               sum(CASE WHEN CAST(round(l_quantity*100) AS BIGINT) <= 0
+                   THEN 1 ELSE 0 END) AS nq,
+               sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5
+                   THEN 1 ELSE 0 END) AS bd
+             FROM lineitem),
+      ro AS (SELECT count(*) AS v FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      rl AS (SELECT count(*) AS v FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      rows0 AS (
+        SELECT 'orders.o_custkey complete' AS "check",
+               CAST(n AS BIGINT) AS n_checked,
+               CAST(nc AS BIGINT) AS n_violations FROM oc
+        UNION ALL SELECT 'orders.o_orderkey unique',
+               CAST(n AS BIGINT), CAST(n - dk AS BIGINT) FROM oc
+        UNION ALL SELECT 'orders.o_totalprice positive',
+               CAST(n AS BIGINT), CAST(np AS BIGINT) FROM oc
+        UNION ALL SELECT 'orders.o_orderstatus in (O,F,P)',
+               CAST(n AS BIGINT), CAST(bs AS BIGINT) FROM oc
+        UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber) unique',
+               CAST(n AS BIGINT), CAST(n - dk AS BIGINT) FROM lc
+        UNION ALL SELECT 'lineitem.l_quantity positive',
+               CAST(n AS BIGINT), CAST(nq AS BIGINT) FROM lc
+        UNION ALL SELECT 'lineitem.l_discount in [0,0.5]',
+               CAST(n AS BIGINT), CAST(bd AS BIGINT) FROM lc
+        UNION ALL SELECT 'orders.o_custkey -> customer',
+               (SELECT CAST(count(*) AS BIGINT) FROM orders),
+               CAST(v AS BIGINT) FROM ro
+        UNION ALL SELECT 'lineitem.l_orderkey -> orders',
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+               CAST(v AS BIGINT) FROM rl)
+      SELECT "check", n_checked, n_violations,
+             CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+      FROM rows0""",
 
     // pure integer counting; risk as integer permille (div)
     "privacy_k_anonymity" -> """
