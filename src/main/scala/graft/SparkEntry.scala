@@ -476,6 +476,9 @@ object SparkEntry {
       ((s, d) => Pipeline.qualityClassifier(s, d)),
     // tie-aware Mann-Whitney AUC of the trained scorer (weights memoized)
     "eval_auc_classifier" -> ((s, d) => Pipeline.classifierAuc(s, d)),
+    // the model-report-card slice row: per-language AUC on the same
+    // global bin edges (a collapsed slice can hide under global AUC)
+    "eval_auc_by_lang" -> ((s, d) => Pipeline.classifierAucByLang(s, d)),
     // lift/gains curve at every distinct score cut — the budget view
     // of the same trained classifier (AUC ranks, calibration trusts
     // probabilities, lift prices a selection budget)
@@ -1205,6 +1208,37 @@ object SparkEntry {
                / (2.0 * sum(np) * sum(nn)), 6) AS auc
       FROM cum"""
 
+  /** Per-language SLICED AUC — the model-report-card row: GLOBAL
+    * fixed-width bin edges (comparable cuts across slices), then the
+    * tie-aware grouped Mann-Whitney per language; degenerate slices
+    * (single-class) report NULL.
+    */
+  private def qcAucByLangSql(iters: Int, lr: String): String =
+    qcChain(iters, lr) + s""",
+      scored AS (SELECT lang, y,
+                   CAST(round(($qcDot) * 1000000.0, 0) AS BIGINT) AS q
+                 FROM f, w$iters),
+      ext AS (SELECT min(q) AS qmin, max(q) AS qmax FROM scored),
+      binned AS (SELECT lang, y,
+                   CAST(((q - qmin) * CAST(1024 AS BIGINT))
+                     // (qmax - qmin + 1) AS BIGINT) AS bin
+                 FROM scored, ext),
+      bys AS (SELECT lang, bin,
+                sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np,
+                sum(CASE WHEN y <> 1.0 THEN 1 ELSE 0 END) AS nn
+              FROM binned GROUP BY 1, 2),
+      cum AS (SELECT lang, np, nn,
+                coalesce(sum(nn) OVER (PARTITION BY lang ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS cnb
+              FROM bys)
+      SELECT lang, CAST(sum(np) AS BIGINT) AS np,
+             CAST(sum(nn) AS BIGINT) AS nn,
+             CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+                  ELSE round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE)
+                    / (2.0 * sum(np) * sum(nn)), 6) END AS auc
+      FROM cum GROUP BY lang"""
+
   /** Gains curve over the binned-score relation: exact cumulative
     * long counts scanning buckets descending, one fixed-order division.
     */
@@ -1272,7 +1306,8 @@ object SparkEntry {
       .mkString(",\n      ")
     s"""
       WITH f AS MATERIALIZED (
-        SELECT CASE WHEN least(stop * 2.0, 1.0) * 0.4 + alpha * 0.3
+        SELECT lang,
+               CASE WHEN least(stop * 2.0, 1.0) * 0.4 + alpha * 0.3
                        + least(wcnt / 50.0, 1.0) * 0.3 >= 0.5
                     THEN 1.0 ELSE 0.0 END AS y,
                1.0 AS f0,
@@ -1281,7 +1316,7 @@ object SparkEntry {
                least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / wcnt / 10.0, 1.0) AS f3,
                dcnt / wcnt AS f4
-        FROM (SELECT text,
+        FROM (SELECT lang, text,
                      CAST(len(w) AS DOUBLE) AS wcnt,
                      CAST(len(list_distinct(w)) AS DOUBLE) AS dcnt,
                      len(list_filter(w, t -> list_contains(
@@ -1289,7 +1324,7 @@ object SparkEntry {
                        / CAST(len(w) AS DOUBLE) AS stop,
                      length(regexp_replace(text, '[^a-z]', '', 'g'))
                        / CAST(length(text) AS DOUBLE) AS alpha
-              FROM (SELECT text, string_split(text, ' ') AS w
+              FROM (SELECT lang, text, string_split(text, ' ') AS w
                     FROM documents))),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
       w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d, 0.0 AS e),
@@ -1701,6 +1736,7 @@ object SparkEntry {
     // weight update — see qcOracleSql below
     "pipeline_quality_classifier" -> qcOracleSql(iters = 50, lr = "5.0"),
     "eval_auc_classifier" -> qcAucSql(iters = 50, lr = "5.0"),
+    "eval_auc_by_lang" -> qcAucByLangSql(iters = 50, lr = "5.0"),
     "eval_lift_classifier" -> qcLiftSql(iters = 50, lr = "5.0"),
     "eval_calibration_classifier" -> qcCalibrationSql(iters = 50, lr = "5.0"),
 

@@ -573,6 +573,7 @@ object Pipeline {
     val wcnt = size(w0).cast("double")
     graft.IndexCache.getOrBuild(spark, s"lr-feats:$dir") {
       val f = Tables.documents(spark, dir).select(
+        col("lang"),
         when(TextOps.qualityOf(col("text"), w0) >= 0.5, 1.0)
           .otherwise(0.0).as("y"),
         lit(1.0).as("f0"),
@@ -754,6 +755,44 @@ object Pipeline {
       .select(col("y"), expr(
         s"CAST(((q - qmin) * CAST($bins AS BIGINT)) DIV (qmax - qmin + 1) AS BIGINT)")
         .as("bin"))
+  }
+
+  /** Per-language SLICED AUC — the model report card's slice row: the
+    * same GLOBAL fixed-width bin edges as [[classifierAuc]] (so cuts
+    * are comparable across slices), then the tie-aware grouped
+    * Mann-Whitney per language partition. Sliced evals are where
+    * corpus-quality models actually fail (a great global AUC can hide
+    * a collapsed slice); degenerate single-class slices report NULL
+    * rather than a fake number. Windows run per (lang) over ≤ `bins`
+    * rows each — bounded however large the corpus. Output:
+    * (lang, np, nn, auc nullable).
+    */
+  def classifierAucByLang(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0, bins: Int = 1024): DataFrame = {
+    val w = trainedWeights(spark, dir, iters, lr)
+    val scored = classifierFeatures(spark, dir)
+      .select(col("lang"), col("y"),
+        round(zOf(w) * 1000000.0, 0).cast("long").as("q"))
+    val ext = scored.agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+    val byBin = scored.crossJoin(broadcast(ext))
+      .select(col("lang"), col("y"), expr(
+        s"CAST(((q - qmin) * CAST($bins AS BIGINT)) DIV (qmax - qmin + 1) AS BIGINT)")
+        .as("bin"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") =!= 1.0, 1L).otherwise(0L)).as("nn"))
+    byBin
+      .withColumn("cnb", coalesce(sum(col("nn")).over(
+        Window.partitionBy(col("lang")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"),
+        sum(col("np") * (lit(2L) * col("cnb") + col("nn"))).as("u2"))
+      .select(col("lang"), col("np"), col("nn"),
+        when(col("np") === 0L || col("nn") === 0L, lit(null))
+          .otherwise(round(col("u2").cast("double") / (lit(2.0)
+            * col("np").cast("double") * col("nn").cast("double")), 6))
+          .cast("double").as("auc"))
   }
 
   def classifierLift(spark: SparkSession, dir: String,

@@ -322,6 +322,23 @@ class PipelineSpec extends SparkSpec {
       bySplit("train") > bySplit("test"), bySplit.toString)
   }
 
+  test("sliced AUC: one row per language, counts tile the corpus") {
+    val rows = graft.operators.Pipeline.classifierAucByLang(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    // slice counts tile the corpus exactly
+    assert(rows.map(t => t._2 + t._3).sum == 500)
+    rows.foreach { case (lang, np, nn, auc) =>
+      if (np > 0 && nn > 0) {
+        assert(auc.isDefined && auc.get >= 0.0 && auc.get <= 1.0,
+          s"$lang: $auc")
+      } else assert(auc.isEmpty, s"$lang: degenerate slice must be NULL")
+    }
+    // the separable target stays separable on at least one real slice
+    assert(rows.exists(_._4.exists(_ > 0.8)), rows.mkString(","))
+  }
+
   test("lift curve: valid gains invariants, full-set lift is exactly 1") {
     val rows = graft.operators.Pipeline.classifierLift(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
