@@ -810,6 +810,10 @@ object SparkEntry {
     // broadcast, one map-only pass per iteration — the oracle unrolls
     // the same three Lloyd steps as CTE stages)
     "emb_kmeans" -> ((s, d) => EmbeddingStats.kmeansAssignments(s, d)),
+    // does a geometry-only clustering recover the labels: per-cluster
+    // dominant label + integer-permille purity
+    "emb_cluster_label_purity" ->
+      ((s, d) => EmbeddingStats.clusterLabelPurity(s, d)),
     // the SAME assignment PRODUCED BY the streaming engine at
     // ingestion time (file stream source -> broadcast centroid argmin
     // inside the micro-batch -> memory sink): stateless per-row, so
@@ -946,6 +950,26 @@ object SparkEntry {
       SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
                     ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1"""
+
+  /** The unrolled-Lloyd assignment joined to labels: per-cluster
+    * dominant-label contingency with integer-permille purity.
+    */
+  private def kmeansPurityOracle: String = s"""$kmeansCtes,
+      assign AS (SELECT vec_id, CAST(cid AS INT) AS cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cid) AS rn FROM df) WHERE rn = 1),
+      ct AS (SELECT a.cid, emb2.label, CAST(count(*) AS BIGINT) AS n
+             FROM assign a JOIN embeddings emb2 ON a.vec_id = emb2.vec_id
+             GROUP BY 1, 2),
+      tops AS (SELECT *,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY n DESC, label ASC) AS rn,
+                 sum(n) OVER (PARTITION BY cid) AS n_vecs
+               FROM ct)
+      SELECT cid, CAST(n_vecs AS BIGINT) AS n_vecs, label AS top_label,
+             n AS n_top,
+             CAST(n * 1000 // n_vecs AS BIGINT) AS purity_permille
+      FROM tops WHERE rn = 1"""
 
   /** Shared by `knn_exact_after_delete` and `knn_ivf_after_delete`
     * (keyed delete then search, exact on both paths): the full-prefix
@@ -5357,6 +5381,7 @@ object SparkEntry {
     // assignment — every output column an integer, so the hash gate
     // certifies the whole iteration history, not just the last step
     "emb_kmeans" -> kmeansAssignOracle,
+    "emb_cluster_label_purity" -> kmeansPurityOracle,
 
     // the streamed assignment is per-row stateless: one shared val, so
     // the batch and streamed twins can never gate on diverged oracles

@@ -488,6 +488,36 @@ object EmbeddingStats {
     * Same scale shape as assignment: centroids broadcast, one map-only
     * pass, a k-row aggregate.
     */
+  /** Cluster-vs-label PURITY — the clustering-evaluation table that
+    * says whether the learned structure recovers the labels: per
+    * k-means cluster, its size, dominant label (ties: min label), the
+    * dominant count, and purity in integer permille. The unsupervised
+    * twin of [[fisherSeparability]] (that asks "are labels visible in
+    * the geometry"; this asks "does a geometry-only clustering find
+    * them"). Pure integer counting over the memoized assignment
+    * relation; windows run over the k×|labels| contingency, never the
+    * corpus. Output: (cid, n_vecs, top_label, n_top,
+    * purity_permille).
+    */
+  def clusterLabelPurity(spark: SparkSession, dir: String, k: Int = 8,
+      iters: Int = 3, q: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = kmeansAssignments(spark, dir, k, iters, q)
+      .select(col("vec_id"), col("cid"))
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    ct
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("n").desc, col("label").asc)))
+      .withColumn("n_vecs", sum(col("n")).over(Window.partitionBy(col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n_vecs"), col("label").as("top_label"),
+        col("n").as("n_top"),
+        expr("n_top * 1000 div n_vecs").as("purity_permille"))
+  }
+
   def kmeansSilhouette(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, q: Long = 1000000L): DataFrame = {
     import spark.implicits._

@@ -254,6 +254,30 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(row.getDouble(4) >= 0.0)
   }
 
+  test("cluster-label purity replays the assignment contingency") {
+    val assign = graft.operators.EmbeddingStats
+      .kmeansAssignments(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = assign.groupBy(_._2).map { case (cid, members) =>
+      val byLabel = members.keys.toSeq.map(labels).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size.toLong) }
+      val (topL, topN) = byLabel.toSeq.minBy { case (l, n) => (-n, l) }
+      cid -> ((members.size.toLong, topL, topN,
+        topN * 1000L / members.size))
+    }
+    val got = graft.operators.EmbeddingStats
+      .clusterLabelPurity(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    got.values.foreach { case (n, _, nTop, p) =>
+      assert(nTop <= n && p >= 1000 / 50 && p <= 1000) // 50 labels
+    }
+  }
+
   test("alignment/uniformity replays a driver-side Wang-Isola computation") {
     val vecs = Tables.embeddings(spark, sf0001)
       .select("vec_id", "label", "embedding").collect()
