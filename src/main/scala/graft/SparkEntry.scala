@@ -555,6 +555,9 @@ object SparkEntry {
     "events_histogram" -> ((s, d) => EventOps.histogram(s, d)),
     // trailing 7-day rolling aggregates: the RANGE-frame window form
     "events_rolling_7d" -> EventOps.rolling7d _,
+    // supervised lag-feature table for the forecasting ladder (y, lag1,
+    // lag7, leak-free trailing-7 mean; first-week NULLs kept explicit)
+    "events_lag_features" -> EventOps.lagFeatures _,
     // gaps-and-islands change-point segmentation per user
     "events_state_islands" -> EventOps.stateIslands _,
     // robust mean: values clamped to exact [p05, p95] before averaging
@@ -3702,6 +3705,23 @@ object SparkEntry {
              sum(${c100("value")}) / 100.0 AS sum_value
       FROM events JOIN c USING (user_id)
       GROUP BY 1""",
+
+    "events_lag_features" -> s"""
+      WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            sum(${c100("value")}) AS s
+                     FROM events GROUP BY 1, 2),
+      d2 AS (SELECT *, date_diff('day', DATE '1970-01-01', day) AS epday
+             FROM daily)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             s / 100.0 AS y,
+             lag(s, 1) OVER o / 100.0 AS lag1,
+             lag(s, 7) OVER o / 100.0 AS lag7,
+             round(CAST(sum(s) OVER t AS DOUBLE)
+               / (count(s) OVER t) / 100.0, 6) AS trail7_mean
+      FROM d2
+      WINDOW o AS (PARTITION BY event_type ORDER BY epday),
+             t AS (PARTITION BY event_type ORDER BY epday
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""",
 
     "events_rolling_7d" -> s"""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

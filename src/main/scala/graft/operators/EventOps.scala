@@ -319,6 +319,41 @@ object EventOps {
         / 100.0, 6).as("roll7_avg_event"))
   }
 
+  /** Supervised LAG-FEATURE table — the feature-engineering step that
+    * turns the daily revenue series into a forecasting training set:
+    * per (event_type, day), the target `y` (that day's exact-cents
+    * revenue) beside its lag-1 and lag-7 values and the trailing
+    * 7-day mean EXCLUDING the current day (else the feature leaks the
+    * target). Rows whose lag-7 is missing (the first week) carry
+    * NULLs — the loader's mask column, kept explicit rather than
+    * silently dropped.
+    *
+    * Exactness: lags move exact cent longs; the trailing mean divides
+    * two exact integer window sums once. Scale shape: one
+    * partial-agged rollup to the (type, day) calendar relation, then
+    * windows per type over calendar-bounded partitions — nothing
+    * grows with event volume. Output: (event_type, day, y, lag1,
+    * lag7, trail7_mean).
+    */
+  def lagFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        cents(col("value")).as("c"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("c")).as("s"))
+      .withColumn("epday",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("epday"))
+    val trail = ord.rangeBetween(-7, -1)
+    daily.select(col("event_type"),
+      date_format(col("day"), "yyyy-MM-dd").as("day"),
+      (col("s") / 100.0).as("y"),
+      (lag(col("s"), 1).over(ord) / 100.0).as("lag1"),
+      (lag(col("s"), 7).over(ord) / 100.0).as("lag7"),
+      round(sum(col("s")).over(trail).cast("double")
+        / count(col("s")).over(trail) / 100.0, 6).as("trail7_mean"))
+  }
+
   /** Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
     * user (event-time order, event_id tie-break) — the change-point
     * segmentation that turns a log into state intervals (sessions

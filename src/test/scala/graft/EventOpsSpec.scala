@@ -751,6 +751,39 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("lag features: lags address the series, trailing mean is leak-free") {
+    val rows = graft.operators.EventOps.lagFeatures(spark, sf0001)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1._1)
+    byType.foreach { case (_, g) =>
+      val days = g.keys.map(_._2).toSeq.sorted
+      // the fixture calendar is contiguous per type: lag1 of day i must
+      // equal y of day i-1, and lag7 y of day i-7
+      days.zipWithIndex.foreach { case (d, i) =>
+        val (y @ _, lag1, lag7, trail) = g((g.keys.head._1, d))
+        if (i == 0) assert(lag1.isEmpty) else
+          assert(lag1.contains(g((g.keys.head._1, days(i - 1)))._1), s"$d lag1")
+        if (i < 7) assert(lag7.isEmpty) else
+          assert(lag7.contains(g((g.keys.head._1, days(i - 7)))._1), s"$d lag7")
+        // leak-free: the trailing mean never includes the current y —
+        // recompute it from the previous <=7 days' targets
+        if (i == 0) assert(trail.isEmpty) else {
+          val prev = days.slice(math.max(0, i - 7), i)
+            .map(dd => g((g.keys.head._1, dd))._1)
+          val expect = BigDecimal(prev.map(v => math.round(v * 100)).sum
+            .toDouble / prev.length / 100.0)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(trail.contains(expect), s"$d trail: $trail vs $expect")
+        }
+      }
+    }
+  }
+
   test("Markov stationary: sink types self-loop, mass conserved") {
     import spark.implicits._
     // a -> b -> c with c TERMINAL (only ever a destination): without
