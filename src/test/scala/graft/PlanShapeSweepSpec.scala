@@ -54,8 +54,11 @@ class PlanShapeSweepSpec extends SparkSpec {
                                   // per-source aggregate + 1-row MSW
     "text_bm25_prf",              // 1-row corpus-stats attach (the
                                   // text_bm25_general shape, twice)
-    "text_decontaminate_embedding") // tiny benchmark relation broadcast
+    "text_decontaminate_embedding", // tiny benchmark relation broadcast
                                   // against the corpus scan (|bench| rows)
+    "emb_alignment_uniformity",   // fixed 64-row probe panel broadcast
+                                  // against the corpus + 1-row combiner
+    "quality_expectations")       // 1-row violation x total combiners
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
