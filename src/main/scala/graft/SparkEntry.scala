@@ -558,6 +558,14 @@ object SparkEntry {
     // supervised lag-feature table for the forecasting ladder (y, lag1,
     // lag7, leak-free trailing-7 mean; first-week NULLs kept explicit)
     "events_lag_features" -> EventOps.lagFeatures _,
+    // streamable expectation checks (conditional-sum state) in batch
+    "events_expectations" -> ((sp, d) =>
+      graft.streaming.EventStream.eventsExpectations(Tables.events(sp, d))),
+    // the FIFTEENTH streaming-executed row: the same check sheet
+    // maintained by the engine's global aggregation state (complete
+    // mode); shares the batch oracle
+    "events_expectations_streamed" -> ((sp, d) =>
+      graft.streaming.EventStream.expectationsStreamed(sp, d)),
     // gaps-and-islands change-point segmentation per user
     "events_state_islands" -> EventOps.stateIslands _,
     // robust mean: values clamped to exact [p05, p95] before averaging
@@ -949,6 +957,33 @@ object SparkEntry {
   /** Shared by `emb_kmeans` and `emb_kmeans_streamed` (same unrolled
     * Lloyd replay; the streamed row is the same per-row assignment).
     */
+  /** Shared by the batch row and its streaming-executed twin: exact
+    * conditional counting over events (the value-band check is
+    * expected to FAIL — the long tail exceeds 250 by design).
+    */
+  private def eventsExpectationsOracle: String = """
+      WITH a AS (SELECT count(*) AS n,
+                   sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nu,
+                   sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS nt,
+                   sum(CASE WHEN value < 0.0 OR value > 250.0
+                       THEN 1 ELSE 0 END) AS bv,
+                   sum(CASE WHEN event_type NOT IN
+                       ('click','view','purchase','error','signup','scroll')
+                       THEN 1 ELSE 0 END) AS bt
+                 FROM events),
+      r AS (SELECT 'events.user_id complete' AS "check",
+                   CAST(n AS BIGINT) AS n_checked,
+                   CAST(nu AS BIGINT) AS n_violations FROM a
+            UNION ALL SELECT 'events.ts complete',
+                   CAST(n AS BIGINT), CAST(nt AS BIGINT) FROM a
+            UNION ALL SELECT 'events.value in [0,250]',
+                   CAST(n AS BIGINT), CAST(bv AS BIGINT) FROM a
+            UNION ALL SELECT 'events.event_type in domain',
+                   CAST(n AS BIGINT), CAST(bt AS BIGINT) FROM a)
+      SELECT "check", n_checked, n_violations,
+             CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+      FROM r"""
+
   private def kmeansAssignOracle: String = s"""$kmeansCtes
       SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -3705,6 +3740,9 @@ object SparkEntry {
              sum(${c100("value")}) / 100.0 AS sum_value
       FROM events JOIN c USING (user_id)
       GROUP BY 1""",
+
+    "events_expectations" -> eventsExpectationsOracle,
+    "events_expectations_streamed" -> eventsExpectationsOracle,
 
     "events_lag_features" -> s"""
       WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,

@@ -528,6 +528,71 @@ object EventStream {
     stream.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streamable data-quality EXPECTATIONS over the event stream — the
+    * LIVE release gate: the same named-check shape as
+    * [[graft.operators.Expectations.suite]], restricted to the
+    * checks whose state is a commutative conditional sum (so a
+    * streaming global aggregate maintains them exactly; uniqueness /
+    * referential checks need distinct state and stay batch-side). One
+    * check deliberately FLAGS real fixture rows (the value band
+    * [0, 250] — the long tail violates it), so the monitor's exact
+    * violation counting is exercised, not just green lights. Output:
+    * (check, n_checked, n_violations, passed).
+    */
+  def eventsExpectations(events: DataFrame): DataFrame = {
+    val types = Seq("click", "view", "purchase", "error", "signup", "scroll")
+    events.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("null_ts"),
+      sum(when(col("value") < 0.0 || col("value") > 250.0, 1L)
+        .otherwise(0L)).as("bad_value"),
+      sum(when(!col("event_type").isin(types: _*), 1L).otherwise(0L))
+        .as("bad_type"))
+      .select(explode(array(
+        struct(lit("events.user_id complete").as("check"),
+          col("n").as("n_checked"), col("null_user").as("n_violations")),
+        struct(lit("events.ts complete").as("check"),
+          col("n").as("n_checked"), col("null_ts").as("n_violations")),
+        struct(lit("events.value in [0,250]").as("check"),
+          col("n").as("n_checked"), col("bad_value").as("n_violations")),
+        struct(lit("events.event_type in domain").as("check"),
+          col("n").as("n_checked"), col("bad_type").as("n_violations"))))
+        .as("r"))
+      .select(col("r.*"))
+      .withColumn("passed",
+        when(col("n_violations") === 0L, 1).otherwise(0))
+  }
+
+  /** The declared STREAMING-EXECUTED expectations monitor (shares
+    * `events_expectations`'s oracle): fixture events flow through the
+    * file stream source into the SAME conditional-sum aggregate,
+    * maintained by the streaming engine's global aggregation state in
+    * complete mode — the sink table after the last micro-batch IS the
+    * exact check sheet (commutative integer sums: any batch split
+    * yields identical counts). The FIFTEENTH streaming-executed row:
+    * a data-quality release gate running as a live monitor.
+    */
+  def expectationsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEventsDir(spark, dir)
+    val name = s"graft_expect_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 4, noData = false) {
+      val q = eventsExpectations(readEventsStreamConfigured(spark, staged))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir("graft-ckpt-expect-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name)
+      .select(col("check"), col("n_checked"), col("n_violations"),
+        col("passed"))
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** File-source streaming read over a DIRECTORY of events parquet files
     * (the file stream source tails directories) — same schema handling
     * as the batch path, consumed incrementally.

@@ -228,6 +228,23 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.size} vs batch ${batch.size} rows")
   }
 
+  test("streamed expectations monitor equals the batch check sheet") {
+    val batch = graft.streaming.EventStream
+      .eventsExpectations(Tables.events(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val streamed = graft.streaming.EventStream
+      .expectationsStreamed(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // the value-band check must actually flag the fixture's tail —
+    // an all-green sheet would leave the counting path unexercised
+    val bandRow = streamed.find(_._1 == "events.value in [0,250]").get
+    assert(bandRow._3 > 0 && bandRow._4 == 0, bandRow.toString)
+    assert(streamed.count(_._4 == 1) == 3, streamed.toString)
+  }
+
   test("streamed HNSW serving equals the batch scatter-gather exactly") {
     val batch = graft.knn.HnswKnn.topKBatch(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
