@@ -89,6 +89,38 @@ class GlobalOrderSpec extends SparkSpec {
     assert(g.sameElements(w))
   }
 
+  test("globalRank at a 5M-row tier: exact ranks, no single-partition stage") {
+    import spark.implicits._
+    // ~10,000x the synthetic above — the regime where the window form
+    // this primitive replaced would funnel everything through one
+    // reducer. Key is a bijective mix of the id, so the exact rank of
+    // any row is computable in closed form for spot checks.
+    val n = 5000000L
+    val df = spark.range(n).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(n)).as("key"))
+    val ranked = GraftOps.globalRank(df, Seq("key" -> true, "id" -> true),
+      "rk", countName = Some("cnt"))
+    assert(ranked.rdd.getNumPartitions > 1)
+    // multiplication by an odd constant mod n=5e6? not bijective in
+    // general — rank must simply equal 1 + (#rows with smaller key),
+    // checked on 20 sampled rows against a distributed count
+    val sample = ranked.filter(pmod(col("id"), lit(250000L)) === 7L)
+      .select("id", "key", "rk", "cnt").collect()
+    assert(sample.length == 20)
+    sample.foreach { r =>
+      assert(r.getLong(3) == n)
+      val below = df.filter(col("key") < r.getLong(1)).count()
+      val ties = df.filter(col("key") === r.getLong(1) &&
+        col("id") < r.getLong(0)).count()
+      assert(r.getLong(2) == below + ties + 1L,
+        s"id=${r.getLong(0)} rank ${r.getLong(2)} != ${below + ties + 1}")
+    }
+    // the rank column is a permutation: min/max land exactly
+    val mm = ranked.agg(min(col("rk")), max(col("rk")),
+      countDistinct(col("rk"))).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n && mm.getLong(2) == n)
+  }
+
   test("curriculum and packSequences run window-free, multi-partition") {
     val cur = graft.operators.Pipeline.curriculum(spark, sf0001)
     val pack = graft.operators.Pipeline.packSequences(spark, sf0001)
