@@ -121,6 +121,27 @@ class GlobalOrderSpec extends SparkSpec {
     assert(mm.getLong(0) == 1L && mm.getLong(1) == n && mm.getLong(2) == n)
   }
 
+  test("globalRank spreads massive key ties across partitions (skew safety)") {
+    import spark.implicits._
+    // every row shares ONE sort-key value — the skew case that kills
+    // naive range partitioning. The primitive requires a TOTAL order
+    // (tie-breaking id), so the range boundaries cut inside the tie
+    // run and the layout stays balanced.
+    val n = 100000L
+    val df = spark.range(n).select(col("id"), lit(7L).as("key"))
+    val ranked = GraftOps.globalRank(df,
+      Seq("key" -> true, "id" -> true), "rk")
+    val sizes = ranked.rdd
+      .mapPartitions(it => Iterator(it.length)).collect().filter(_ > 0)
+    assert(sizes.length > 1, "tie run collapsed to one partition")
+    assert(sizes.max < n / 2,
+      s"skewed layout: max partition ${sizes.max} of $n")
+    // and the ranks are still the exact id order
+    val mm = ranked.agg(min(col("rk")), max(col("rk")),
+      sum(when(col("rk") === col("id") + 1L, 1L).otherwise(0L))).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n && mm.getLong(2) == n)
+  }
+
   test("curriculum and packSequences run window-free, multi-partition") {
     val cur = graft.operators.Pipeline.curriculum(spark, sf0001)
     val pack = graft.operators.Pipeline.packSequences(spark, sf0001)
