@@ -3752,12 +3752,15 @@ object SparkEntry {
              FROM daily)
       SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
              s / 100.0 AS y,
-             lag(s, 1) OVER o / 100.0 AS lag1,
-             lag(s, 7) OVER o / 100.0 AS lag7,
+             max(s) OVER a1 / 100.0 AS lag1,
+             max(s) OVER a7 / 100.0 AS lag7,
              round(CAST(sum(s) OVER t AS DOUBLE)
                / (count(s) OVER t) / 100.0, 6) AS trail7_mean
       FROM d2
-      WINDOW o AS (PARTITION BY event_type ORDER BY epday),
+      WINDOW a1 AS (PARTITION BY event_type ORDER BY epday
+                    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING),
+             a7 AS (PARTITION BY event_type ORDER BY epday
+                    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING),
              t AS (PARTITION BY event_type ORDER BY epday
                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""",
 
@@ -5233,7 +5236,8 @@ object SparkEntry {
                     z -> z[1]*z[2])), 6) * 1000000.0, 0) AS BIGINT))
                   AS BIGINT) AS s6
               FROM p WHERE nxt IS NOT NULL),
-      panel AS (SELECT vec_id AS pid, nv AS pv FROM n WHERE vec_id < 64),
+      panel AS (SELECT vec_id AS pid, nv AS pv FROM n
+                ORDER BY vec_id LIMIT 64),
       uni AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
                 CAST(sum(CAST(round(exp(-2.0 * round(2.0 - 2.0 *
                   list_sum(list_transform(list_zip(a.nv, panel.pv),

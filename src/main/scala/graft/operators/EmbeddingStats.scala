@@ -449,8 +449,13 @@ object EmbeddingStats {
       .select(round(d2Of(col("nv"), col("nxt")) * 1e6, 0)
         .cast("long").as("q6"))
       .agg(count(lit(1)).as("n_pos"), sum(col("q6")).as("s6"))
-    val panel = broadcast(nrm.filter(col("vec_id") < probes)
-      .select(col("vec_id").as("pid"), col("nv").as("pv")))
+    // the `probes` SMALLEST vec_ids (a TakeOrdered, k tiny), not an
+    // absolute `vec_id < probes` threshold: on a sparse or offset id
+    // space the threshold panel would be empty and the final division
+    // would yield a silent NULL uniformity instead of a real sample
+    val panel = broadcast(nrm
+      .select(col("vec_id").as("pid"), col("nv").as("pv"))
+      .orderBy(col("pid")).limit(probes))
     val uni = nrm.crossJoin(panel)
       .filter(col("vec_id") =!= col("pid"))
       .select(round(exp(lit(-2.0) * d2Of(col("nv"), col("pv"))) * 1e9, 0)

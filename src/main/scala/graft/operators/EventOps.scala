@@ -328,6 +328,14 @@ object EventOps {
     * NULLs — the loader's mask column, kept explicit rather than
     * silently dropped.
     *
+    * All three features share CALENDAR day semantics: the lags are
+    * single-point RANGE frames on `epday` (`RANGE BETWEEN n PRECEDING
+    * AND n PRECEDING` — the row at exactly day−n, or NULL when that
+    * day had no events), NOT row-offset `lag(n)`, which on a calendar
+    * with a zero-event gap day would silently address the wrong day
+    * (n ROWS back ≠ n DAYS back) while the calendar-true trailing
+    * mean stayed correct beside it.
+    *
     * Exactness: lags move exact cent longs; the trailing mean divides
     * two exact integer window sums once. Scale shape: one
     * partial-agged rollup to the (type, day) calendar relation, then
@@ -344,12 +352,14 @@ object EventOps {
       .withColumn("epday",
         datediff(col("day"), lit("1970-01-01").cast("date")))
     val ord = Window.partitionBy(col("event_type")).orderBy(col("epday"))
+    val at1 = ord.rangeBetween(-1, -1)
+    val at7 = ord.rangeBetween(-7, -7)
     val trail = ord.rangeBetween(-7, -1)
     daily.select(col("event_type"),
       date_format(col("day"), "yyyy-MM-dd").as("day"),
       (col("s") / 100.0).as("y"),
-      (lag(col("s"), 1).over(ord) / 100.0).as("lag1"),
-      (lag(col("s"), 7).over(ord) / 100.0).as("lag7"),
+      (max(col("s")).over(at1) / 100.0).as("lag1"),
+      (max(col("s")).over(at7) / 100.0).as("lag7"),
       round(sum(col("s")).over(trail).cast("double")
         / count(col("s")).over(trail) / 100.0, 6).as("trail7_mean"))
   }

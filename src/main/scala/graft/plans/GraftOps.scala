@@ -43,6 +43,40 @@ object GraftOps {
       .sortWithinPartitions(sortExprs: _*)
   }
 
+  /** Persisted range-ordered RDDs, bounded. Persisting the ordered
+    * layout before the two jobs (subtotal, stamp) buys two guarantees
+    * at the cost of one MEMORY_AND_DISK copy:
+    *
+    *   1. the local sort above the reused shuffle files executes ONCE —
+    *      the stamping job reads the materialized partitions instead of
+    *      re-sorting (the self-identified round-7 double-sort);
+    *   2. both jobs observe the SAME physical row order even when
+    *      `orderCols` is not a total order — without the cache, a
+    *      non-deterministic tie layout could disagree between the
+    *      subtotal and stamping executions with no error. (Callers
+    *      should still pass a tie-breaking final key: a recompute after
+    *      executor loss — the only path around the cache, since
+    *      MEMORY_AND_DISK spills rather than evicts — re-runs both
+    *      jobs' lineage together, but the output tie order then
+    *      depends on layout.)
+    *
+    * The queue unpersists the oldest entries past a small bound so a
+    * long-lived session (the 300-query Verify run) never accumulates
+    * cached copies; a stale consumer past the bound silently recomputes.
+    */
+  private val persistedOrders =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[Row]]()
+  private def persistOrdered(
+      rdd: org.apache.spark.rdd.RDD[Row]): org.apache.spark.rdd.RDD[Row] = {
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedOrders.add(rdd)
+    while (persistedOrders.size > 8) {
+      val old = persistedOrders.poll()
+      if (old != null) old.unpersist(blocking = false)
+    }
+    rdd
+  }
+
   /** Per-partition row-count (or value-sum) EXCLUSIVE offsets over a
     * range-ordered layout — the "one tiny scan of partition subtotals"
     * both primitives share: one lightweight job computes each
@@ -77,7 +111,7 @@ object GraftOps {
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val ordered = rangeOrdered(df, orderCols, p)
-    val rdd = ordered.rdd
+    val rdd = persistOrdered(ordered.rdd)
     val (offsets, total) = partitionOffsets(rdd, it => {
       var n = 0L; while (it.hasNext) { it.next(); n += 1L }; n
     })
@@ -113,7 +147,7 @@ object GraftOps {
       else spark.sessionState.conf.numShufflePartitions
     val ordered = rangeOrdered(df, orderCols, p)
     val vIdx = ordered.schema.fieldIndex(valueCol)
-    val rdd = ordered.rdd
+    val rdd = persistOrdered(ordered.rdd)
     val subs = rdd.mapPartitionsWithIndex({ (i, it) =>
       var n = 0L; var s = 0L
       while (it.hasNext) { s += it.next().getLong(vIdx); n += 1L }
@@ -183,7 +217,7 @@ object GraftOps {
       else spark.sessionState.conf.numShufflePartitions
     val ordered = rangeOrdered(df, orderCols, p)
     val vIdx = ordered.schema.fieldIndex(valueCol)
-    val rdd = ordered.rdd
+    val rdd = persistOrdered(ordered.rdd)
     val (offsets, _) = partitionOffsets(rdd, it => {
       var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
     })

@@ -135,6 +135,31 @@ object EventStream {
 
   private[streaming] val streamRunSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Ephemeral dirs (checkpoints, foreachBatch result sinks) registered
+    * for recursive deletion at JVM exit — repeated invocations no
+    * longer accumulate disk for the life of the machine, only the life
+    * of the process (they cannot be deleted eagerly: the returned
+    * DataFrames read the result sinks lazily).
+    */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { d =>
+        try {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => () }
+      }
+    }, "graft-stream-tmp-cleanup"))
+  }
+  private[streaming] def cleanupOnExit(p: java.nio.file.Path): java.nio.file.Path = {
+    cleanupHook
+    tempDirs.add(p)
+    p
+  }
+
   /** Checkpoint location for the declared one-shot (AvailableNow)
     * streamed queries: tmpfs when the platform has it. The offset/commit
     * WAL and per-partition state-store commits are fsync-bound and
@@ -148,7 +173,7 @@ object EventStream {
     val base =
       if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createTempDirectory(base, prefix).toString
+    cleanupOnExit(java.nio.file.Files.createTempDirectory(base, prefix)).toString
   }
 
   /** Stateful streaming cost tracks the state-store count, which Spark

@@ -31,6 +31,44 @@ object VectorStream {
     StructField("embedding", ArrayType(FloatType)),
     StructField("label", IntegerType)))
 
+  /** Result-sink root for a foreachBatch-written serving stream,
+    * registered for JVM-exit deletion (the returned DataFrame reads it
+    * lazily, so eager deletion is impossible).
+    */
+  private def resultDir(prefix: String): String =
+    EventStream.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory(prefix)).toString
+
+  /** foreachBatch is AT-LEAST-ONCE: a retried micro-batch (task or
+    * stage failure after a partial/complete write) re-runs the whole
+    * batch function. Blind `mode("append")` would then duplicate
+    * output rows and break the streamed == batch exactness both
+    * serving sinks declare under the hash gate. Writing each batch to
+    * its OWN `batch=<id>` subdirectory with `mode("overwrite")` makes
+    * the retry idempotent: the replay clobbers exactly its own
+    * earlier partial output and nothing else — the standard
+    * exactly-once-by-idempotence contract for file sinks.
+    */
+  private def writeBatchIdempotent(batch: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+
+  /** Read a foreachBatch result sink back, tolerating the zero-batch
+    * case (an empty query split produces no files, where a blind
+    * `read.parquet` dies on schema inference). The `batch=<id>`
+    * partition column is discovery-added and dropped by the caller's
+    * final projection.
+    */
+  private def readResultSink(spark: SparkSession, outDir: String,
+      schema: StructType): DataFrame = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(outDir))
+    val hasFiles =
+      try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
+    if (hasFiles) spark.read.parquet(outDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** The file stream source tails a DIRECTORY; stage the fixture file
     * into one, once per (session, dataset).
     */
@@ -69,8 +107,10 @@ object VectorStream {
     val staged = stagedEmbeddingsDir(spark, dir)
     val (base, _, splitAt, _) = ExactKnn.split(spark, dir)
     val b = base.select(col("vec_id"), col("emb"))
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-range-serve").toString
+    val outDir = resultDir("graft-range-serve")
+    val outSchema = StructType(Seq(
+      StructField("qid", LongType), StructField("vec_id", LongType),
+      StructField("dist", DoubleType)))
     EventStream.withStreamPartitions(spark, 4, noData = false) {
       val q = spark.readStream.schema(embSchema).parquet(staged)
         .filter(col("vec_id") >= splitAt && col("vec_id") < splitAt + nq)
@@ -79,12 +119,13 @@ object VectorStream {
             .as("qvec"))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          b.crossJoin(broadcast(batch))
-            .select(col("qid"), col("vec_id"),
-              ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
-            .filter(col("dist") <= radius)
-            .write.mode("append").parquet(outDir)
+            org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(
+            b.crossJoin(broadcast(batch))
+              .select(col("qid"), col("vec_id"),
+                ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+              .filter(col("dist") <= radius),
+            outDir, batchId)
           ()
         }
         .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-knn-q"))
@@ -92,7 +133,7 @@ object VectorStream {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(outDir)
+    readResultSink(spark, outDir, outSchema)
       .select(col("qid"), col("vec_id"), col("dist"))
   }
 
@@ -136,8 +177,10 @@ object VectorStream {
       ix.graphs.count()
       ix
     }
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft-hnsw-serve").toString
+    val outDir = resultDir("graft-hnsw-serve")
+    val outSchema = StructType(Seq(
+      StructField("qid", LongType), StructField("vec_id", LongType),
+      StructField("dist", DoubleType), StructField("rk", IntegerType)))
     EventStream.withStreamPartitions(spark, 4, noData = false) {
       val q = spark.readStream.schema(embSchema).parquet(staged)
         .filter(col("vec_id") >= splitAt)
@@ -146,10 +189,11 @@ object VectorStream {
             .as("emb"))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          graft.knn.HnswKnn.searchIndex(index, batch, k, ef)
-            .select(col("qid"), col("vec_id"), col("dist"), col("rk"))
-            .write.mode("append").parquet(outDir)
+            org.apache.spark.sql.Row], batchId: Long) =>
+          writeBatchIdempotent(
+            graft.knn.HnswKnn.searchIndex(index, batch, k, ef)
+              .select(col("qid"), col("vec_id"), col("dist"), col("rk")),
+            outDir, batchId)
           scatterGatherBatches.incrementAndGet()
           ()
         }
@@ -158,7 +202,7 @@ object VectorStream {
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(outDir)
+    readResultSink(spark, outDir, outSchema)
       .select(col("qid"), col("vec_id"), col("dist"), col("rk"))
   }
 
