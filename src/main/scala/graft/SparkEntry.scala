@@ -495,6 +495,14 @@ object SparkEntry {
     // average-hash over decoded pixels -> bucket dedup; the oracle
     // derives the same groups decoder-free from exact-text identity
     "multimodal_phash_dedup" -> Multimodal.phashDedupGroups _,
+    // REAL audio codec leg: synthesize -> WAV encode (AudioSystem) ->
+    // PCM decode -> 64-window energy fingerprint over DECODED samples
+    // -> bucket dedup; decoder-free oracle via title identity
+    "multimodal_audio_dedup" -> Multimodal.audioDedupGroups _,
+    // REAL video codec leg: render 4 frames -> animated-GIF encode ->
+    // per-frame decode -> keyframe-sample -> temporal fingerprint ->
+    // bucket dedup; decoder-free oracle via title identity
+    "multimodal_video_dedup" -> Multimodal.videoDedupGroups _,
     // — graph analytics (iterative-shuffle workload) —
     "graph_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
     // random walk with restart from the min-user seed: sparse rank
@@ -3088,6 +3096,23 @@ object SparkEntry {
     // the oracle derives them decoder-free from the first three words;
     // a broken decode would merge unrelated groups and fail this
     "multimodal_phash_dedup" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n
+      FROM documents
+      GROUP BY array_to_string(string_split(text, ' ')[1:3], ' ')
+      HAVING count(*) > 1""",
+
+    // same decoder-free title-identity argument as the image leg: the
+    // WAV render is injective per title and 16-bit PCM is lossless, so
+    // decoded-fingerprint groups == title groups
+    "multimodal_audio_dedup" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n
+      FROM documents
+      GROUP BY array_to_string(string_split(text, ' ')[1:3], ' ')
+      HAVING count(*) > 1""",
+
+    // gray-palette animated GIF is lossless, render injective per
+    // title => temporal-fingerprint groups == title groups
+    "multimodal_video_dedup" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS n
       FROM documents
       GROUP BY array_to_string(string_split(text, ' ')[1:3], ' ')

@@ -10,14 +10,21 @@ import graft.Tables
   * batches — the Scala analog of the arrow-batched mapInPandas pattern
   * (north-star extension; training pipelines carry media this way).
   *
-  * The IMAGE leg is REAL: [[ImageCodec]] encodes and decodes genuine
-  * PNG byte streams through the pure-JVM `javax.imageio`, and the
-  * perceptual hash is computed from decoded pixels
-  * ([[phashDedupGroups]]). The audio/video decode steps remain STUBS
-  * ([[MediaCodec.decodeStub]] — no audio/video codecs in this
-  * container): deterministic fake features over raw bytes, with the
-  * real plumbing (schema, binary payload column, batched mapPartitions
-  * execution, metadata struct, partitioning) around them.
+  * All THREE media legs are now REAL pure-JVM codecs:
+  *   - IMAGE: [[ImageCodec]] — genuine PNG encode/decode through
+  *     `javax.imageio`, perceptual hash over decoded pixels
+  *     ([[phashDedupGroups]]);
+  *   - AUDIO: [[AudioCodec]] — genuine RIFF/WAVE 16-bit PCM encode
+  *     through `javax.sound.sampled.AudioSystem`, decode back to
+  *     samples, acoustic fingerprint over DECODED samples
+  *     ([[audioDedupGroups]]);
+  *   - VIDEO: [[VideoCodec]] — genuine multi-frame ANIMATED GIF
+  *     encode/decode through `javax.imageio`'s sequence writer,
+  *     keyframe sampling over decoded frames, temporal fingerprint
+  *     ([[videoDedupGroups]]).
+  * The byte-histogram [[MediaCodec.decodeStub]] remains only as the
+  * explicitly-labelled stand-in for codecs genuinely absent from the
+  * JVM (JPEG-XL, H.264, ...), exercised by the batched-plumbing rows.
   *
   * Scale notes: payloads never shuffle — every op here is map-only over
   * the scan; batches bound per-task peak memory exactly like Arrow
@@ -308,6 +315,355 @@ object Multimodal {
       .map { case (id, png) => (id, ImageCodec.averageHash(png)) }
       .toDF("media_id", "phash")
       .groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("keep_id"), col("n"))
+  }
+
+  /** REAL audio codec leg: `javax.sound.sampled` is pure-JVM and needs
+    * no audio device for file I/O, so the RIFF/WAVE encode/decode
+    * round-trip runs for real in this sandbox — payloads are genuine
+    * 16-bit PCM WAV byte streams (44-byte RIFF header, little-endian
+    * frames) and the acoustic fingerprint is computed from DECODED
+    * SAMPLES, not payload bytes.
+    */
+  object AudioCodec {
+    val SampleRate = 8000
+    val NumSamples = 1024
+
+    private def fnv(seed: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < seed.length) {
+        h ^= (seed(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      h
+    }
+
+    /** Synthesize a deterministic 1024-sample square-wave melody from a
+      * seed byte string — 64 seeded NOTES of 16 samples, each with its
+      * own half-period (2..9 samples) and amplitude (4096..20479) — and
+      * encode it as a real WAV file via `AudioSystem.write`. One note
+      * per fingerprint window, so the 64 energy bits below are as
+      * independent as the image hash's 64 block sums (a coarser
+      * segmentation would alias windows together and collapse the
+      * fingerprint space). Pure integer sample math — no trig, no
+      * floats — so the same seed yields bit-identical PCM on any JVM,
+      * and 16-bit PCM WAV is lossless, so decode returns the samples
+      * exactly.
+      */
+    def renderWav(seed: Array[Byte]): Array[Byte] = {
+      val r = new java.util.Random(fnv(seed))
+      val pcm = new Array[Byte](NumSamples * 2)
+      val segLen = NumSamples / 64
+      var s = 0
+      while (s < 64) {
+        val halfPeriod = 2 + r.nextInt(8)
+        val amp = 4096 + r.nextInt(16384)
+        var i = 0
+        while (i < segLen) {
+          val t = s * segLen + i
+          val v = if ((i / halfPeriod) % 2 == 0) amp else -amp
+          pcm(2 * t) = (v & 0xff).toByte
+          pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        s += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, NumSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV byte stream back to its 16-bit PCM samples through
+      * the real `AudioSystem` parser (header walk, frame decode —
+      * wrong-format payloads throw).
+      */
+    def decodeSamples(wav: Array[Byte]): Array[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+        !f.isBigEndian, s"expected 16-bit LE mono PCM, got $f")
+      val raw = in.readAllBytes()
+      val out = new Array[Int](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff))
+        i += 1
+      }
+      out
+    }
+
+    /** Acoustic fingerprint over DECODED samples — the audio analog of
+      * [[ImageCodec.averageHash]]: 64 equal windows, bit b set iff
+      * window b's absolute-amplitude energy exceeds the track mean
+      * (64·energy(b) > Σ energy — pure integer arithmetic on decoded
+      * content). Same decoded waveform => same fingerprint; a broken
+      * decode (header misparse, byte-order flip) scrambles it.
+      */
+    def fingerprint(wav: Array[Byte]): Long = {
+      val s = decodeSamples(wav)
+      require(s.length == NumSamples, s"expected $NumSamples samples")
+      val win = s.length / 64
+      val e = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < s.length) {
+        val a = math.abs(s(i)).toLong
+        e(i / win) += a
+        total += a
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (64L * e(b) > total) h |= (1L << b)
+        b += 1
+      }
+      h
+    }
+  }
+
+  /** Real-WAV media table: one genuine RIFF/WAVE payload per document,
+    * synthesized deterministically from the document TITLE (same
+    * collision-bearing key as [[imageTable]]) — distinct docs sharing
+    * a title render bit-identical audio, the re-uploaded-clip
+    * situation audio dedup exists for.
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val title = text.split(" ").take(3).mkString(" ")
+        (id, AudioCodec.renderWav(title.getBytes("UTF-8")))
+      }
+      .toDF("media_id", "wav")
+  }
+
+  /** Declared query: acoustic-fingerprint dedup over REAL decoded
+    * audio — synthesize → WAV-encode → `AudioSystem` decode → 64-window
+    * energy fingerprint → bucket-group. Identical scale shape to
+    * [[phashDedupGroups]]: map-only decode fused with the scan
+    * (payloads never shuffle, only (media_id, long) pairs), one
+    * partial-aggregated groupBy.
+    *
+    * Oracle-checkable WITHOUT a decoder on the oracle side, by the
+    * same title-identity argument as the image leg: rendering is
+    * injective per distinct title (8 seeded segments ≈ 2⁶⁴ melodies;
+    * the fingerprint keeps 64 independent energy bits) and 16-bit PCM
+    * WAV is lossless, so the decoded fingerprint groups are EXACTLY
+    * the title duplicate groups DuckDB derives from the first three
+    * words. A broken decode would merge or split groups and fail the
+    * hash gate. Output: (keep_id, n) per duplicate group.
+    */
+  def audioDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioTable(spark, dir)
+      .select(col("media_id"), col("wav"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, wav) => (id, AudioCodec.fingerprint(wav)) }
+      .toDF("media_id", "afp")
+      .groupBy(col("afp"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("keep_id"), col("n"))
+  }
+
+  /** REAL video codec leg: multi-frame ANIMATED GIF through
+    * `javax.imageio`'s sequence writer/reader — pure JVM, and with an
+    * explicit 256-entry grayscale palette the encode is LOSSLESS (every
+    * 8-bit gray level is a palette entry), so decoded frames equal
+    * rendered frames bit-for-bit. The closest thing to a genuine video
+    * container this JVM can round-trip: a seekable multi-frame stream
+    * with per-frame decode.
+    */
+  object VideoCodec {
+    val Frames = 4
+    val W = 16
+    val H = 16
+
+    private val grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate[Byte](256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    private def fnv(seed: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < seed.length) {
+        h ^= (seed(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      h
+    }
+
+    /** Render a deterministic 4-frame 16x16 grayscale clip from a seed
+      * byte string (one seeded stream drives all frames, so frames
+      * differ but the clip is a pure function of the seed) and encode
+      * it as a real animated GIF via `prepareWriteSequence` /
+      * `writeToSequence`.
+      */
+    def renderGif(seed: Array[Byte]): Array[Byte] = {
+      val r = new java.util.Random(fnv(seed))
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      var f = 0
+      while (f < Frames) {
+        val img = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val ras = img.getRaster
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) { ras.setSample(x, y, 0, r.nextInt(256)); x += 1 }
+          y += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      w.endWriteSequence()
+      ios.close()
+      w.dispose()
+      bos.toByteArray
+    }
+
+    /** Decode every frame of an animated GIF back to 8-bit gray pixel
+      * arrays through the real `ImageReader` (LZW decode, palette
+      * lookup; `getNumImages(true)` walks the container's frame
+      * directory).
+      */
+    def decodeFrames(gif: Array[Byte]): Array[Array[Int]] = {
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif)))
+      val n = rd.getNumImages(true)
+      val out = Array.ofDim[Array[Int]](n)
+      var f = 0
+      while (f < n) {
+        val img = rd.read(f)
+        require(img.getWidth == W && img.getHeight == H,
+          s"expected ${W}x$H frames")
+        val px = new Array[Int](W * H)
+        var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) { px(y * W + x) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        out(f) = px
+        f += 1
+      }
+      rd.dispose()
+      out
+    }
+
+    /** Per-frame average-hash over DECODED gray pixels (2x2 block
+      * averages to 8x8, bit set iff 64·block > Σ — the
+      * [[ImageCodec.averageHash]] discipline on the gray channel).
+      */
+    def frameHash(px: Array[Int]): Long = {
+      val block = new Array[Long](64)
+      var total = 0L
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          var g = 0L
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              g += px((by * 2 + dy) * W + (bx * 2 + dx)); dx += 1
+            }
+            dy += 1
+          }
+          block(by * 8 + bx) = g
+          total += g
+          bx += 1
+        }
+        by += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < 64) {
+        if (64L * block(b) > total) h |= (1L << b)
+        b += 1
+      }
+      h
+    }
+
+    /** Temporal fingerprint: KEYFRAME-SAMPLE the decoded clip (every
+      * `stride`-th frame — the frame-sampling step a real video
+      * pipeline runs instead of hashing every frame) and FNV-combine
+      * the sampled frame hashes in order, so clips differing only in
+      * unsampled frames collide (exactly the coarse recall/precision
+      * trade frame sampling buys) while reordered clips do not.
+      */
+    def fingerprint(gif: Array[Byte], stride: Int = 2): Long = {
+      val frames = decodeFrames(gif)
+      require(frames.length == Frames, s"expected $Frames frames")
+      var h = 0xcbf29ce484222325L
+      var f = 0
+      while (f < frames.length) {
+        if (f % stride == 0) {
+          val fh = frameHash(frames(f))
+          var b = 0
+          while (b < 8) {
+            h ^= (fh >>> (8 * b)) & 0xffL; h *= 0x100000001b3L; b += 1
+          }
+        }
+        f += 1
+      }
+      h
+    }
+  }
+
+  /** Real-GIF media table: one genuine 4-frame animated GIF per
+    * document, rendered deterministically from the document TITLE —
+    * the same collision-bearing key as the image and audio legs.
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val title = text.split(" ").take(3).mkString(" ")
+        (id, VideoCodec.renderGif(title.getBytes("UTF-8")))
+      }
+      .toDF("media_id", "gif")
+  }
+
+  /** Declared query: temporal-fingerprint dedup over REAL decoded
+    * video — render → animated-GIF encode → per-frame decode →
+    * keyframe-sample → frame-hash chain → bucket-group. Map-only
+    * decode fused with the scan, one partial-aggregated groupBy on a
+    * 64-bit key; GIF payloads never shuffle.
+    *
+    * Decoder-free oracle by the title-identity argument (injective
+    * seeded render, lossless gray-palette GIF, so fingerprint groups
+    * == title groups); a broken frame decode, frame-order scramble, or
+    * mis-sampled keyframe set changes the fingerprint and fails the
+    * hash gate. Output: (keep_id, n) per duplicate group.
+    */
+  def videoDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoTable(spark, dir)
+      .select(col("media_id"), col("gif"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, gif) => (id, VideoCodec.fingerprint(gif)) }
+      .toDF("media_id", "vfp")
+      .groupBy(col("vfp"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(col("keep_id"), col("n"))

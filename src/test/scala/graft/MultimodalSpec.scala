@@ -105,4 +105,81 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("WAV round-trip is lossless and fingerprint runs on decoded samples") {
+    val seed = "the quick brown fox".getBytes("UTF-8")
+    val wav = Multimodal.AudioCodec.renderWav(seed)
+    // a genuine RIFF/WAVE byte stream, not a fake payload
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F' &&
+      wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E',
+      "payload is not a real WAV")
+    // decode through the real AudioSystem parser returns the synthesized
+    // samples exactly (16-bit PCM is lossless)
+    val s1 = Multimodal.AudioCodec.decodeSamples(wav)
+    val s2 = Multimodal.AudioCodec.decodeSamples(
+      Multimodal.AudioCodec.renderWav(seed))
+    assert(s1.length == Multimodal.AudioCodec.NumSamples)
+    assert(s1.sameElements(s2))
+    // square-wave synthesis: every sample is one of the segment amps
+    assert(s1.forall(v => math.abs(v) >= 4096 && math.abs(v) < 20480))
+    val h1 = Multimodal.AudioCodec.fingerprint(wav)
+    val h2 = Multimodal.AudioCodec.fingerprint(
+      Multimodal.AudioCodec.renderWav(seed))
+    val h3 = Multimodal.AudioCodec.fingerprint(
+      Multimodal.AudioCodec.renderWav("other text".getBytes("UTF-8")))
+    assert(h1 == h2)
+    assert(h1 != h3)
+  }
+
+  test("decoded-sample audio dedup equals the title group structure") {
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").take(3).mkString(" ")))
+    val expected = texts.groupBy(_._2).values
+      .filter(_.length > 1)
+      .map(g => (g.map(_._1).min, g.length.toLong)).toSet
+    assert(expected.nonEmpty, "fixture has no title dups?")
+    val got = Multimodal.audioDedupGroups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
+
+  test("animated GIF round-trip is lossless; keyframe sampling shapes the fingerprint") {
+    val seed = "the quick brown fox".getBytes("UTF-8")
+    val gif = Multimodal.VideoCodec.renderGif(seed)
+    // a genuine GIF89a/87a container
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F',
+      "payload is not a real GIF")
+    val f1 = Multimodal.VideoCodec.decodeFrames(gif)
+    val f2 = Multimodal.VideoCodec.decodeFrames(
+      Multimodal.VideoCodec.renderGif(seed))
+    assert(f1.length == Multimodal.VideoCodec.Frames)
+    // gray-palette round trip is pixel-exact and frames genuinely differ
+    for (i <- f1.indices) assert(f1(i).sameElements(f2(i)), s"frame $i")
+    assert(f1.map(_.toSeq).distinct.length == f1.length,
+      "frames should differ within a clip")
+    val h1 = Multimodal.VideoCodec.fingerprint(gif)
+    val h2 = Multimodal.VideoCodec.fingerprint(
+      Multimodal.VideoCodec.renderGif(seed))
+    val h3 = Multimodal.VideoCodec.fingerprint(
+      Multimodal.VideoCodec.renderGif("other text".getBytes("UTF-8")))
+    assert(h1 == h2)
+    assert(h1 != h3)
+    // stride=1 hashes ALL frames, stride=2 only keyframes 0 and 2 —
+    // different sampled sets must fingerprint differently (the
+    // coarse-recall trade frame sampling makes is real, not a no-op)
+    assert(Multimodal.VideoCodec.fingerprint(gif, stride = 1) != h1)
+  }
+
+  test("decoded-frame video dedup equals the title group structure") {
+    val texts = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").take(3).mkString(" ")))
+    val expected = texts.groupBy(_._2).values
+      .filter(_.length > 1)
+      .map(g => (g.map(_._1).min, g.length.toLong)).toSet
+    val got = Multimodal.videoDedupGroups(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
