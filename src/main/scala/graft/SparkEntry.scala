@@ -765,6 +765,10 @@ object SparkEntry {
     // uniqueness, ranges, domains, referential integrity — exact
     // violation counts, one conditional-sum scan per table
     "quality_expectations" -> ((s, d) => operators.Expectations.suite(s, d)),
+    // NULL-bearing compound-key uniqueness with pinned cross-engine
+    // semantics (NULL rows counted out explicitly, never silently)
+    "quality_expectations_nullkeys" ->
+      ((s, d) => operators.Expectations.nullKeyUniqueness(s, d)),
     // k-anonymity audit of the (segment, nation) quasi-identifier
     "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
     // l-diversity: per-class sensitive-value diversity + homogeneity
@@ -5163,6 +5167,31 @@ object SparkEntry {
 
     // every check replayed as exact integer counting over the same
     // tables; referential edges as NOT IN orphan counts
+    // NULL semantics pinned on BOTH sides: NULL-component rows count
+    // out explicitly, distinct runs over the non-NULL remainder only
+    "quality_expectations_nullkeys" -> """
+      WITH k AS (SELECT nullif(l_orderkey % 1000, 0) AS k1,
+                        nullif(l_linenumber, 7) AS k2
+                 FROM lineitem)
+      SELECT 'lineitem.(k1,k2) unique among non-NULL' AS check,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN k1 IS NULL OR k2 IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_nullkey_rows,
+             CAST(count(*) - sum(CASE WHEN k1 IS NULL OR k2 IS NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnull_rows,
+             CAST(count(DISTINCT (k1, k2))
+               FILTER (WHERE k1 IS NOT NULL AND k2 IS NOT NULL)
+               AS BIGINT) AS n_distinct_keys,
+             CAST(count(*) - sum(CASE WHEN k1 IS NULL OR k2 IS NULL
+                 THEN 1 ELSE 0 END)
+               - count(DISTINCT (k1, k2))
+                 FILTER (WHERE k1 IS NOT NULL AND k2 IS NOT NULL)
+               AS BIGINT) AS n_duplicates,
+             CASE WHEN count(*) = count(DISTINCT (k1, k2))
+               FILTER (WHERE k1 IS NOT NULL AND k2 IS NOT NULL)
+               THEN 1 ELSE 0 END AS passed
+      FROM k""",
+
     "quality_expectations" -> """
       WITH oc AS (SELECT count(*) AS n,
                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nc,

@@ -110,4 +110,45 @@ object Expectations {
       .withColumn("passed",
         when(col("n_violations") === 0L, 1).otherwise(0))
   }
+
+  /** Compound-key uniqueness with PINNED NULL semantics — the round-7
+    * carried gap: Spark's `countDistinct(a, b)` silently drops any
+    * tuple with a NULL component while DuckDB's `count(DISTINCT
+    * (a, b))` counts row-tuples (NULL is a value), so the two engines
+    * disagree the moment a key column goes NULL and the fixture (being
+    * NULL-free) never exercised the difference. This check REMOVES the
+    * ambiguity instead of picking an engine's default: NULL-component
+    * rows are counted out EXPLICITLY as their own metric
+    * (`n_nullkey_rows` — completeness failures, the suite's standing
+    * rule) and uniqueness is evaluated over the non-NULL remainder
+    * only, a definition both engines express identically.
+    *
+    * The declared row derives a deliberately NULL-BEARING compound key
+    * from lineitem (`nullif(l_orderkey % 1000, 0)`,
+    * `nullif(l_linenumber, 7)`) so every metric is non-trivially
+    * exercised at any SF. One aggregate scan; |1| output row.
+    */
+  def nullKeyUniqueness(spark: SparkSession, dir: String): DataFrame =
+    nullKeyUniquenessOf(Tables.lineitem(spark, dir)
+      .select(nullif(col("l_orderkey") % 1000L, lit(0L)).as("k1"),
+        nullif(col("l_linenumber"), lit(7)).as("k2")))
+
+  private[graft] def nullKeyUniquenessOf(keys: DataFrame): DataFrame = {
+    val nonNull = col("k1").isNotNull && col("k2").isNotNull
+    keys.agg(
+      count(lit(1)).as("n"),
+      sum(when(!nonNull, 1L).otherwise(0L)).as("nullRows"),
+      countDistinct(when(nonNull, struct(col("k1"), col("k2"))))
+        .as("dk"))
+      .select(lit("lineitem.(k1,k2) unique among non-NULL").as("check"),
+        col("n").cast("long").as("n_rows"),
+        col("nullRows").cast("long").as("n_nullkey_rows"),
+        (col("n") - col("nullRows")).cast("long").as("n_nonnull_rows"),
+        col("dk").cast("long").as("n_distinct_keys"),
+        (col("n") - col("nullRows") - col("dk")).cast("long")
+          .as("n_duplicates"))
+      .withColumn("passed",
+        when(col("n_duplicates") === 0L && col("n_nullkey_rows") === 0L, 1)
+          .otherwise(0))
+  }
 }

@@ -70,4 +70,33 @@ class ExpectationsSpec extends SparkSpec {
     assert(got("orders.o_custkey -> customer") == ((7L, 2L, 0)))
     assert(got("lineitem.l_orderkey -> orders") == ((5L, 1L, 0)))
   }
+
+  test("NULL-key uniqueness pins its semantics on a synthetic with NULLs") {
+    import spark.implicits._
+    // 8 rows: 3 NULL-bearing (two with NULL k1, one with NULL k2),
+    // 5 non-NULL carrying 3 distinct keys -> 2 duplicates; the
+    // (1,1) pair ALSO appears under a NULL row — it must not merge
+    val keys = Seq(
+      (Option(1L), Option(1)), (Option(1L), Option(1)),
+      (Option(1L), Option(2)), (Option(2L), Option(1)),
+      (Option(1L), Option(2)),
+      (None: Option[Long], Option(1)), (None: Option[Long], Option(1)),
+      (Option(1L), None: Option[Int]))
+      .toDF("k1", "k2")
+    val r = Expectations.nullKeyUniquenessOf(keys).collect()(0)
+    assert(r.getLong(1) == 8L, "n_rows")
+    assert(r.getLong(2) == 3L, "n_nullkey_rows")
+    assert(r.getLong(3) == 5L, "n_nonnull_rows")
+    assert(r.getLong(4) == 3L, "n_distinct_keys")
+    assert(r.getLong(5) == 2L, "n_duplicates")
+    assert(r.getInt(6) == 0, "passed")
+  }
+
+  test("declared NULL-key row exercises every metric on the fixture") {
+    val r = Expectations.nullKeyUniqueness(spark, sf0001).collect()(0)
+    assert(r.getLong(2) > 0L, "derived key should bear NULLs")
+    assert(r.getLong(5) > 0L, "mod-collapsed key should bear duplicates")
+    assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    assert(r.getLong(3) == r.getLong(4) + r.getLong(5))
+  }
 }
