@@ -833,6 +833,12 @@ object SparkEntry {
     // broadcast, one map-only pass per iteration — the oracle unrolls
     // the same three Lloyd steps as CTE stages)
     "emb_kmeans" -> ((s, d) => EmbeddingStats.kmeansAssignments(s, d)),
+    // nearest-centroid (Rocchio) classifier: train on the 95% prefix,
+    // classify the held-out tail; the model-based filter-gate shape
+    "emb_centroid_classifier" ->
+      ((s, d) => EmbeddingStats.centroidPredictions(s, d)),
+    "emb_centroid_confusion" ->
+      ((s, d) => EmbeddingStats.centroidConfusion(s, d)),
     // does a geometry-only clustering recover the labels: per-cluster
     // dominant label + integer-permille purity
     "emb_cluster_label_purity" ->
@@ -995,6 +1001,33 @@ object SparkEntry {
       SELECT "check", n_checked, n_violations,
              CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
       FROM r"""
+
+  /** Rocchio prediction relation replayed in SQL: the same
+    * quantization, HALF_UP per-label centroids over the 95% prefix,
+    * and exact integer argmin (ties to the smallest label) as
+    * `EmbeddingStats.centroidPredictions`.
+    */
+  private def centroidClassifierOracle: String = """
+      WITH sp AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s
+                  FROM embeddings),
+      q AS (SELECT vec_id, label,
+              generate_subscripts(embedding, 1) AS dim,
+              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS x6
+            FROM embeddings),
+      tr AS (SELECT label AS cand, dim,
+               CAST(round(CAST(sum(x6) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS m6
+             FROM q, sp WHERE vec_id < sp.s GROUP BY 1, 2),
+      te AS (SELECT vec_id, label, dim, x6 FROM q, sp WHERE vec_id >= sp.s),
+      d AS (SELECT te.vec_id, te.label, tr.cand,
+              sum((te.x6 - tr.m6) * (te.x6 - tr.m6)) AS d2
+            FROM te JOIN tr USING (dim) GROUP BY 1, 2, 3),
+      r AS (SELECT vec_id, label, cand,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand)
+                AS rn
+            FROM d)
+      SELECT vec_id, label, CAST(cand AS INT) AS pred FROM r WHERE rn = 1"""
 
   private def kmeansAssignOracle: String = s"""$kmeansCtes
       SELECT vec_id, CAST(cid AS INT) AS cid, d2 FROM (
@@ -5497,6 +5530,15 @@ object SparkEntry {
     // assignment — every output column an integer, so the hash gate
     // certifies the whole iteration history, not just the last step
     "emb_kmeans" -> kmeansAssignOracle,
+
+    // the same quantize -> per-label HALF_UP centroid -> exact integer
+    // argmin chain, replayed relationally; split point = round(0.95 n)
+    "emb_centroid_classifier" -> centroidClassifierOracle,
+
+    "emb_centroid_confusion" -> s"""
+      WITH preds AS ($centroidClassifierOracle)
+      SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+      FROM preds GROUP BY 1, 2""",
     "emb_cluster_label_purity" -> kmeansPurityOracle,
 
     // the streamed assignment is per-row stateless: one shared val, so

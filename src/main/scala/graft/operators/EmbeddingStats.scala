@@ -470,6 +470,94 @@ object EmbeddingStats {
           .as("uniformity"))
   }
 
+  /** Nearest-centroid (Rocchio) CLASSIFIER over the labeled embedding
+    * cloud — the supervised sibling of the k-means chain and the
+    * simplest real form of the model-based filtering step every
+    * training-data pipeline runs (a learned scorer assigning each
+    * document a class): train one centroid per label on the 95% prefix
+    * split (the engine-wide [[graft.knn.ExactKnn.split]] contract),
+    * then classify each HELD-OUT vector to its nearest label centroid.
+    *
+    * Exactness: the [[kmeansCentroids]] discipline end-to-end —
+    * micro-quantized coordinates, order-free integer dim-sums, ONE
+    * HALF_UP-rounded double division per centroid coordinate, then
+    * exact integer squared distances with ties to the smallest label.
+    * Scale shape: per-label (count, dim-sums) partials reduce by key
+    * (|labels|·|partitions| rows move, the corpus never shuffles),
+    * centroids are driver-tiny (|labels|·d longs) and broadcast, and
+    * prediction is one map-only pass — at 100 TB this is two scans
+    * total, the canonical distributed-classifier shape.
+    */
+  private[graft] def labelCentroids(spark: SparkSession, dir: String,
+      q: Long = 1000000L): (Array[Int], Array[Array[Long]]) =
+    graft.IndexCache.getOrBuild(spark, s"rocchio-cents:$q:$dir") {
+      import spark.implicits._
+      val (_, _, splitAt, _) = graft.knn.ExactKnn.split(spark, dir)
+      val train = quantizedVectors(spark, dir, q)
+        .toDF("vec_id", "qv")
+        .join(Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label")), Seq("vec_id"))
+        .filter(col("vec_id") < splitAt)
+        .select(col("label"), col("qv"))
+        .as[(Int, Array[Long])]
+      val partials = train.rdd.mapPartitions { it =>
+        val acc = scala.collection.mutable.Map[Int, (Long, Array[Long])]()
+        it.foreach { case (l, v) =>
+          val (n, s) = acc.getOrElseUpdate(l, (0L, new Array[Long](v.length)))
+          var i = 0
+          while (i < v.length) { s(i) += v(i); i += 1 }
+          acc(l) = (n + 1L, s)
+        }
+        acc.iterator
+      }.reduceByKey { (a, b) =>
+        val m = new Array[Long](a._2.length)
+        var i = 0
+        while (i < m.length) { m(i) = a._2(i) + b._2(i); i += 1 }
+        (a._1 + b._1, m)
+      }.collect().sortBy(_._1)
+      val labels = partials.map(_._1)
+      val cents = partials.map { case (_, (n, s)) =>
+        s.map(x => BigDecimal(x.toDouble / n)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+      (labels, cents)
+    }
+
+  /** Declared held-out prediction relation: (vec_id, label, pred) for
+    * every vector past the split point — the per-document output of
+    * the classifier gate. All-integer columns; the DuckDB oracle
+    * replays the same centroids and argmin relationally.
+    */
+  def centroidPredictions(spark: SparkSession, dir: String,
+      q: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val (_, _, splitAt, _) = graft.knn.ExactKnn.split(spark, dir)
+    val (labels, cents) = labelCentroids(spark, dir, q)
+    val bcL = spark.sparkContext.broadcast(labels)
+    val bcC = spark.sparkContext.broadcast(cents)
+    quantizedVectors(spark, dir, q)
+      .toDF("vec_id", "qv")
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label")), Seq("vec_id"))
+      .filter(col("vec_id") >= splitAt)
+      .as[(Long, Array[Long], Int)]
+      .map { case (id, v, l) =>
+        val (c, _) = nearest(bcC.value, v)
+        (id, l, bcL.value(c))
+      }
+      .toDF("vec_id", "label", "pred")
+  }
+
+  /** Declared confusion matrix over the held-out predictions —
+    * (label, pred, n), the report-card rollup the per-document
+    * relation feeds. |labels|² output rows at any scale.
+    */
+  def centroidConfusion(spark: SparkSession, dir: String,
+      q: Long = 1000000L): DataFrame =
+    centroidPredictions(spark, dir, q)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
   def kmeansAssignments(spark: SparkSession, dir: String, k: Int = 8,
       iters: Int = 3, q: Long = 1000000L): DataFrame = {
     import spark.implicits._

@@ -319,4 +319,40 @@ class EmbeddingStatsSpec extends SparkSpec {
     // the uniform background implies, and mass is spread (uni < 0)
     assert(row.getDouble(1) >= 0.0 && row.getDouble(3) < 0.0)
   }
+
+  test("centroid classifier matches a driver-side replay of the whole chain") {
+    val q = 1000000L
+    val rows = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(x => BigDecimal(x.toDouble * q)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong),
+        r.getInt(2)))
+      .sortBy(_._1)
+    val splitAt = math.round(0.95 * rows.length)
+    val (train, test) = rows.partition(_._1 < splitAt)
+    val byLabel = train.groupBy(_._3).toSeq.sortBy(_._1)
+    val labels = byLabel.map(_._1).toArray
+    val cents = byLabel.map { case (_, g) =>
+      val dims = g.head._2.length
+      val s = new Array[Long](dims)
+      g.foreach(r => for (i <- 0 until dims) s(i) += r._2(i))
+      s.map(x => BigDecimal(x.toDouble / g.length)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }.toArray
+    val expected = test.map { case (id, v, l) =>
+      val d2 = cents.map(c => c.zip(v).map { case (a, b) =>
+        (b - a) * (b - a) }.sum)
+      val best = d2.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+      (id, l, labels(best))
+    }.toSet
+    assert(expected.nonEmpty)
+    val got = EmbeddingStats.centroidPredictions(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == expected)
+    // the confusion rollup conserves the prediction relation
+    val conf = EmbeddingStats.centroidConfusion(spark, sf0001)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(conf == expected.size)
+  }
 }
