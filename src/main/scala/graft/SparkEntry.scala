@@ -342,6 +342,9 @@ object SparkEntry {
     // per-doc duplicated-shingle coverage (Lee et al. 2022 substring
     // signal): linear-shape rollup on the memoized gram hashes
     "dedup_gram_coverage" -> ((s, d) => Dedup.gramCoverage(s, d)),
+    // exact substring-duplication spans (Lee et al. 2022): per doc,
+    // tokens inside an 8-gram repeated verbatim in another document
+    "dedup_substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
     // which feeds copy each other: memoized pair relation x source
     // tags, exact micro-unit mean similarity per source pair
     "dedup_cross_source" -> ((s, d) => Dedup.crossSourceDupMatrix(s, d)),
@@ -1800,6 +1803,28 @@ object SparkEntry {
              round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) / count(*), 6)
                AS dup_coverage
       FROM e JOIN df USING (gram) GROUP BY doc_id""",
+
+    // the same md5(8-gram) keys, >= 2 distinct docs, distinct covered
+    // positions — replayed with correlated range() laterals
+    "dedup_substring_spans" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      g AS (SELECT doc_id,
+              unnest([i for i in range(1, greatest(len(w) - 6, 1))]) AS pos,
+              unnest([md5(array_to_string(w[i:i+7], ' '))
+                      for i in range(1, greatest(len(w) - 6, 1))]) AS gk
+            FROM d),
+      dup AS (SELECT gk FROM g GROUP BY gk
+              HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS covered
+              FROM (SELECT doc_id,
+                      unnest([pos + j for j in range(0, 8)]) AS p
+                    FROM g JOIN dup USING (gk)) s
+              GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+             coalesce(covered, 0) AS covered_tokens,
+             coalesce(covered, 0) * 1000 // len(w) AS coverage_permille
+      FROM d LEFT JOIN cov USING (doc_id)""",
 
     // add-1 bigram LM replayed with positional list comprehensions
     "text_bigram_perplexity" -> """

@@ -1087,4 +1087,57 @@ object Dedup {
         coalesce(col("rep0"), col("vec_id")).as("rep_id"))
       .withColumn("kept", col("rep_id") === col("vec_id"))
   }
+
+  /** EXACT SUBSTRING-duplication spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for every document,
+    * how many of its tokens sit inside a token `n`-gram that also
+    * occurs VERBATIM in at least one other document — the repeated-
+    * passage statistic that drives substring-level dedup (boilerplate
+    * headers, licence blocks, syndicated paragraphs), which document-
+    * level MinHash cannot see when the rest of the document differs.
+    *
+    * Shape: tokenize once, slide an `n`-token window to (doc, pos,
+    * gram-key) rows, find keys occurring in ≥ 2 DISTINCT docs, join
+    * back and count each doc's DISTINCT covered positions (∪ of
+    * [pos, pos+n-1] — overlap-safe without an islands pass). The
+    * paper's suffix array is the single-JVM form; hash-grouped grams
+    * are the distributed form: every step is a partial-aggregated
+    * shuffle of (hash, id) pairs, token text never moves after the
+    * gram projection, and the heavy key space shrinks to the
+    * duplicated grams only before anything joins back.
+    *
+    * Gram key = md5 of the joined window (identical in both engines;
+    * a 2⁻¹²⁸ collision is the standard trade for not shuffling raw
+    * n-gram strings at 100 TB). Output: (doc_id, n_tokens,
+    * covered_tokens, coverage_permille) for EVERY document.
+    */
+  def substringSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // NB sequence(1, stop) REVERSES when stop < 1 (Spark generates
+    // descending sequences), so short docs must hit the empty branch
+    val grams = toks
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= n,
+          sequence(lit(1), size(col("toks")) - (n - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("toks"), col("pos"), lit(n)), " ")).as("gk"))
+    val dupKeys = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gk"))
+    val covered = grams.join(dupKeys, Seq("gk"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("covered_tokens"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_permille",
+        expr("covered_tokens * 1000 div n_tokens"))
+  }
 }

@@ -412,4 +412,54 @@ class DedupSpec extends SparkSpec {
       assert(n == sims.count(_ >= t), s"t=$t")
     }
   }
+
+  test("substring spans equal a brute-force token replay on the fixture") {
+    val n = 8
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val gramDocs = scala.collection.mutable.Map[String, Set[Long]]()
+    docs.foreach { case (id, w) =>
+      (0 to w.length - n).foreach { i =>
+        val g = w.slice(i, i + n).mkString(" ")
+        gramDocs(g) = gramDocs.getOrElse(g, Set.empty) + id
+      }
+    }
+    val expected = docs.map { case (id, w) =>
+      val covered = (0 to w.length - n)
+        .filter(i => gramDocs(w.slice(i, i + n).mkString(" ")).size >= 2)
+        .flatMap(i => i until i + n).distinct.size.toLong
+      (id, w.length.toLong, covered, covered * 1000 / w.length)
+    }.toSet
+    val got = graft.operators.Dedup.substringSpans(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    assert(expected.exists(_._3 > 0), "fixture should bear repeated spans")
+    assert(expected.exists(_._3 == 0), "and docs without them")
+  }
+
+  test("substring spans: planted shared run is recovered; short docs survive") {
+    import spark.implicits._
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ") // a 9-token run
+    val docs = Seq(
+      (0L, s"alpha beta $shared gamma delta"),
+      (1L, s"one two three four $shared"),
+      (2L, "totally unrelated words that repeat nothing at all here okay"),
+      (3L, "tiny doc")) // < 8 tokens: no grams, zero coverage, no crash
+      .toDF("doc_id", "text")
+    // the operator reads a dataset dir; stage the synthetic as one
+    val dir = java.nio.file.Files.createTempDirectory("substr-docs").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.Dedup.substringSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 0: tokens 3..11 (0-based 2..10) covered -> two 8-gram starts
+    // merge to the 9-token run
+    assert(out(0L) == ((13L, 9L)))
+    assert(out(1L) == ((13L, 9L)))
+    assert(out(2L)._2 == 0L)
+    assert(out(3L) == ((2L, 0L)))
+  }
 }
