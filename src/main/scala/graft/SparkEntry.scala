@@ -400,6 +400,9 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprints _,
     "text_pii_scrub"   -> TextOps.redact _,
     "text_repetition"  -> TextOps.repetitionScores _,
+    // per-doc TextRank keywords: exact-integer PageRank over each
+    // document's word co-occurrence graph, map-only at any scale
+    "text_textrank_keywords" -> ((s, d) => TextOps.textrankKeywords(s, d)),
     // unigram-distribution diversity: TTR + Shannon word entropy
     "text_word_entropy" -> TextOps.wordEntropy _,
     // rank-frequency OLS (Zipf) corpus-health diagnostic
@@ -1803,6 +1806,57 @@ object SparkEntry {
              round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) / count(*), 6)
                AS dup_coverage
       FROM e JOIN df USING (gram) GROUP BY doc_id""",
+
+    // the identical integer random-walk recurrence, 3 unrolled
+    // iterations over per-doc DISTINCT-neighbor adjacency
+    "text_textrank_keywords" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+      e0 AS (SELECT doc_id,
+               unnest([w[i] for i in range(1, len(w))]) AS a,
+               unnest([w[i+1] for i in range(1, len(w))]) AS b
+             FROM d),
+      e AS (SELECT DISTINCT doc_id, a, b FROM (
+              SELECT doc_id, a, b FROM e0 WHERE a <> b
+              UNION ALL
+              SELECT doc_id, b AS a, a AS b FROM e0 WHERE a <> b)),
+      v AS (SELECT DISTINCT doc_id, unnest(w) AS word FROM d),
+      dg AS (SELECT doc_id, a AS word, CAST(count(*) AS BIGINT) AS deg
+             FROM e GROUP BY 1, 2),
+      s0 AS (SELECT v.doc_id, v.word,
+               CAST(1000000 AS BIGINT) AS s, coalesce(dg.deg, 0) AS deg
+             FROM v LEFT JOIN dg
+               ON dg.doc_id = v.doc_id AND dg.word = v.word),
+      s1 AS (SELECT p.doc_id, p.word, p.deg,
+               CAST(150000 + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT)
+                 AS s
+             FROM s0 p LEFT JOIN (
+               SELECT e.doc_id, e.a AS word, sum(q.s // q.deg) AS sc
+               FROM e JOIN s0 q ON q.doc_id = e.doc_id AND q.word = e.b
+               GROUP BY 1, 2) c
+               ON c.doc_id = p.doc_id AND c.word = p.word),
+      s2 AS (SELECT p.doc_id, p.word, p.deg,
+               CAST(150000 + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT)
+                 AS s
+             FROM s1 p LEFT JOIN (
+               SELECT e.doc_id, e.a AS word, sum(q.s // q.deg) AS sc
+               FROM e JOIN s1 q ON q.doc_id = e.doc_id AND q.word = e.b
+               GROUP BY 1, 2) c
+               ON c.doc_id = p.doc_id AND c.word = p.word),
+      s3 AS (SELECT p.doc_id, p.word,
+               CAST(150000 + (850 * coalesce(c.sc, 0)) // 1000 AS BIGINT)
+                 AS s
+             FROM s2 p LEFT JOIN (
+               SELECT e.doc_id, e.a AS word, sum(q.s // q.deg) AS sc
+               FROM e JOIN s2 q ON q.doc_id = e.doc_id AND q.word = e.b
+               GROUP BY 1, 2) c
+               ON c.doc_id = p.doc_id AND c.word = p.word)
+      SELECT doc_id, CAST(rk AS INT) AS rk, word AS keyword, s AS score
+      FROM (SELECT doc_id, word, s,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY s DESC, word ASC) AS rk
+            FROM s3)
+      WHERE rk <= 3""",
 
     // the same md5(8-gram) keys, >= 2 distinct docs, distinct covered
     // positions — replayed with correlated range() laterals

@@ -1822,4 +1822,74 @@ object TextOps {
         when(size(col("wh")) >= 5, array_min(shingles))
           .otherwise(lit(null).cast("long")).as("fp_min_shingle"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): per
+    * document, PageRank over the word co-occurrence graph (window 2 —
+    * adjacent distinct words, undirected, self-loops excluded, DISTINCT
+    * neighbor sets) and the top-3 words by final score — the unsupervised
+    * keyword step a training pipeline runs for topic tagging and
+    * dataset cards, and the graph×text composition of the suite: the
+    * same random-walk recurrence as [[GraphOps.pageRank]], but over a
+    * million tiny per-document graphs instead of one big one.
+    *
+    * Exactness: the walk runs in EXACT INTEGER micro-units — scores
+    * start at 1e6 and each of the 3 fixed iterations applies
+    * `s'(w) = 150000 + (850 · Σ_{v∈N(w)} (s(v) div deg(v))) div 1000`
+    * (integer floor division at both points, the damping 0.85/0.15
+    * split in thousandths), so every intermediate is a BIGINT and the
+    * DuckDB oracle unrolls the identical recurrence relationally.
+    * Ties in the final ranking break to the lexicographically smaller
+    * word.
+    *
+    * Scale shape: each document's graph is bounded by its own length,
+    * so the whole extraction is ONE map-only typed pass — zero
+    * shuffle, zero state, embarrassingly parallel at any corpus size
+    * (the per-doc twin of the cluster-wide PageRank, which shuffles
+    * per iteration because its ONE graph spans the corpus).
+    * Output: (doc_id, rk, keyword, score).
+    */
+  def textrankKeywords(spark: SparkSession, dir: String, iters: Int = 3,
+      topK: Int = 3): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          val words = w.distinct.sorted
+          val idx = words.zipWithIndex.toMap
+          val nbrs = Array.fill(words.length)(
+            scala.collection.mutable.SortedSet.empty[Int])
+          var i = 0
+          while (i < w.length - 1) {
+            if (w(i) != w(i + 1)) {
+              val a = idx(w(i)); val b = idx(w(i + 1))
+              nbrs(a) += b; nbrs(b) += a
+            }
+            i += 1
+          }
+          val deg = nbrs.map(_.size.toLong)
+          var s = Array.fill(words.length)(1000000L)
+          var t = 0
+          while (t < iters) {
+            val contrib = Array.tabulate(words.length)(j =>
+              if (deg(j) > 0) s(j) / deg(j) else 0L)
+            val next = new Array[Long](words.length)
+            var j = 0
+            while (j < words.length) {
+              var sum = 0L
+              nbrs(j).foreach(v => sum += contrib(v))
+              next(j) = 150000L + (850L * sum) / 1000L
+              j += 1
+            }
+            s = next
+            t += 1
+          }
+          words.indices
+            .sortBy(j => (-s(j), words(j)))
+            .take(topK)
+            .zipWithIndex
+            .map { case (j, r) => (id, r + 1, words(j), s(j)) }
+        }
+      }.toDF("doc_id", "rk", "keyword", "score")
+  }
 }

@@ -927,4 +927,44 @@ class TextOpsSpec extends SparkSpec {
     assert(got == expect)
     got.foreach { case (_, d, c) => assert(d >= 2 && c >= d) }
   }
+
+  test("textrank: hand-computed walk on a path graph; fixture invariants") {
+    import spark.implicits._
+    // "a b c": edges a-b, b-c; deg a=1 b=2 c=1. One exact-integer
+    // iteration: contrib a=1e6, b=5e5, c=1e6;
+    //   s(a) = 150000 + 850*500000/1000  = 575000
+    //   s(b) = 150000 + 850*2000000/1000 = 1850000
+    //   s(c) = 575000
+    // iter 2: contrib a=575000, b=925000, c=575000
+    //   s(a) = 150000 + 850*925000/1000  = 936250
+    //   s(b) = 150000 + 850*1150000/1000 = 1127500
+    // iter 3: contrib a=936250, b=563750, c=936250
+    //   s(a) = 150000 + 850*563750/1000  = 629187 (floor)
+    //   s(b) = 150000 + 850*1872500/1000 = 1741625
+    val dir = java.nio.file.Files.createTempDirectory("textrank-docs").toString
+    Seq((0L, "a b c"), (1L, "solo"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.textrankKeywords(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (0L, 1, "b", 1741625L), (0L, 2, "a", 629187L), (0L, 3, "c", 629187L),
+      (1L, 1, "solo", 150000L)))
+    // fixture: exactly top-3 per doc (or fewer for tiny docs), dense
+    // ranks, deterministic across runs
+    val rows = TextOps.textrankKeywords(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val perDoc = rows.groupBy(_._1)
+    assert(perDoc.size == 500)
+    perDoc.values.foreach { g =>
+      assert(g.map(_._2).sorted.sameElements(1 to g.length))
+      assert(g.length <= 3)
+    }
+    val again = TextOps.textrankKeywords(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSet == again.toSet)
+  }
 }
