@@ -118,4 +118,28 @@ class DocumentsScaleSpec extends SparkSpec {
       s"false flags: ${(flagged -- plantedDocs).size}")
     cov.unpersist()
   }
+
+  test("substring spans at 10x: planted runs covered, background silent, linear output") {
+    // a planted mutation pair differs in ONE word, so the shared
+    // verbatim 8-gram runs must cover everything except the window
+    // around the mutated position (<= 15 positions on a 60..119-word
+    // doc => coverage_permille comfortably above 700); background
+    // docs are independent draws from an 800-word vocabulary, where an
+    // accidental verbatim 8-token match is ~(1/800)^8 — zero coverage.
+    val n = 50000
+    val spans = Dedup.substringSpans(spark, dir10x).cache()
+    assert(spans.count() == n, "one row per doc — output stays linear")
+    val plantedDocs = plantedPairs(n).flatMap(p => Seq(p._1, p._2))
+    val covered = spans.filter(col("coverage_permille") >= 700)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((plantedDocs -- covered).isEmpty,
+      s"missed ${(plantedDocs -- covered).size} planted docs")
+    assert((covered -- plantedDocs).isEmpty,
+      s"false coverage: ${(covered -- plantedDocs).size}")
+    val background = spans.filter(col("covered_tokens") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet -- plantedDocs
+    assert(background.isEmpty,
+      s"background docs with covered spans: ${background.size}")
+    spans.unpersist()
+  }
 }
