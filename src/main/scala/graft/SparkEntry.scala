@@ -695,6 +695,15 @@ object SparkEntry {
     // easy-to-hard curriculum schedule: total-order quality rank +
     // exact integer deciles (a pure function of the corpus)
     "pipeline_curriculum" -> ((s, d) => Pipeline.curriculum(s, d)),
+    // END-TO-END curation flagship: ingest -> exact dedup -> near-dup
+    // keep-best (memoized clusters) -> per-lang quality gate ->
+    // tokenize -> fused curriculum rank + sequence packing (one range
+    // layout) -> shard assignment, under one plan and one hash gate
+    "pipeline_end_to_end" -> ((s, d) => Pipeline.endToEndCuration(s, d)),
+    // its final shard-balance manifest rolled up from the same
+    // composed relation
+    "pipeline_end_to_end_shards" ->
+      ((s, d) => Pipeline.endToEndShards(s, d)),
     // GPT-style concat-then-chunk packing manifest: one exclusive
     // prefix sum (range-partitionable), pure integer arithmetic
     "pipeline_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
@@ -963,6 +972,76 @@ object SparkEntry {
     * streamed row is the same stateless projection executed by the
     * streaming engine — one string, so the twins cannot diverge).
     */
+  /** The end-to-end curation pipeline as one chained CTE — shared by
+    * `pipeline_end_to_end` (per-doc manifest) and its shard rollup.
+    * Stages mirror [[graft.operators.Pipeline.endToEndCuration]]
+    * exactly: exact dedup (min doc_id per md5), the dedup_keep_best
+    * recursive near-dup cluster chain restricted to exact survivors,
+    * the per-lang doubled-median quality gate over the DEDUPED corpus,
+    * whitespace token counts, rank + exclusive token prefix sum over
+    * (q6 desc, doc_id), and integer seq/shard arithmetic (budget 512
+    * tokens/seq, 32 seqs/shard).
+    */
+  private def endToEndOracleSql: String = """
+      WITH RECURSIVE
+      ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      g AS (SELECT doc_id,
+              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             for i in range(1, len(w)-1)]) AS grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT doc_a, doc_b FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                     max(a.ng) AS na, max(b.ng) AS nb
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            WHERE round(shared / (na + nb - shared), 6) >= 0.8),
+      ed AS (SELECT doc_a AS s, doc_b AS d FROM p
+             UNION SELECT doc_b, doc_a FROM p),
+      reach(s, d) AS (
+        SELECT s, d FROM ed
+        UNION
+        SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+      m AS (SELECT s, min(d) AS mn FROM reach GROUP BY s),
+      cl AS (SELECT doc.doc_id,
+                    least(doc.doc_id, coalesce(m.mn, doc.doc_id)) AS rep_id
+             FROM documents doc LEFT JOIN m ON doc.doc_id = m.s),
+      sv AS (SELECT cl.rep_id, cl.doc_id, d.n_chars
+             FROM cl JOIN ex ON cl.doc_id = ex.doc_id
+             JOIN documents d ON cl.doc_id = d.doc_id),
+      kb AS (SELECT doc_id, row_number() OVER (PARTITION BY rep_id
+               ORDER BY n_chars DESC, doc_id ASC) AS rn FROM sv),
+      q0 AS (SELECT d.doc_id, d.lang,
+               len(w) AS n_words,
+               len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+               length(regexp_replace(d.text, '[^a-z]', '', 'g')) / CAST(length(d.text) AS DOUBLE) AS alpha_raw
+             FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+                   FROM documents) d
+             JOIN kb ON d.doc_id = kb.doc_id AND kb.rn = 1),
+      s2 AS (SELECT doc_id, lang,
+               CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                 + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6,
+               CAST(n_words AS BIGINT) AS n_tok
+             FROM q0),
+      md AS (SELECT lang,
+               CAST(round(quantile_cont(q6, 0.5) * 2) AS BIGINT) AS med2
+             FROM s2 GROUP BY 1),
+      gt AS (SELECT s2.doc_id, s2.lang, s2.q6, s2.n_tok
+             FROM s2 JOIN md USING (lang) WHERE 2 * q6 >= med2),
+      rk AS (SELECT doc_id, lang, q6, n_tok,
+               CAST(row_number() OVER (ORDER BY q6 DESC, doc_id ASC)
+                 AS BIGINT) AS curriculum_rank,
+               coalesce(CAST(sum(n_tok) OVER (ORDER BY q6 DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS start_tok
+             FROM gt)
+      SELECT doc_id, lang, round(q6 / 1000000.0, 6) AS quality, n_tok,
+             curriculum_rank, start_tok,
+             start_tok // 512 AS start_seq,
+             (start_tok + n_tok - 1) // 512 AS end_seq,
+             (start_tok // 512) // 32 AS shard
+      FROM rk"""
+
   private def qualityOracle: String = """
       WITH q AS (
         SELECT doc_id, len(w) AS n_words,
@@ -1976,6 +2055,19 @@ object SparkEntry {
              curriculum_rank,
              CAST((curriculum_rank - 1) * 10 // n AS BIGINT) AS decile
       FROM r""",
+
+    // the full curation pipeline as one chained CTE: exact dedup ->
+    // near-dup keep-best (the dedup_keep_best recursive-CTE cluster
+    // chain) -> per-lang median gate -> rank + token prefix sum ->
+    // integer seq/shard arithmetic
+    "pipeline_end_to_end" -> endToEndOracleSql,
+    "pipeline_end_to_end_shards" -> s"""
+      WITH m AS ($endToEndOracleSql)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(min(curriculum_rank) AS BIGINT) AS first_rank,
+             CAST(max(curriculum_rank) AS BIGINT) AS last_rank
+      FROM m GROUP BY shard""",
 
     // greedy farthest-point rounds replayed as a generated chained CTE
     "pipeline_kcenter_coreset" -> kcenterOracleSql(8),

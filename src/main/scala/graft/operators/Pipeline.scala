@@ -241,6 +241,98 @@ object Pipeline {
           .otherwise("test").as("split"))
   }
 
+  /** END-TO-END CURATION FLAGSHIP — the full training-data pipeline the
+    * individual operators exist for, composed under ONE plan and ONE
+    * hash gate (the same composition as the reference's own main
+    * pipeline, `/root/reference/src/main.rs:61-94`, re-expressed over
+    * a corpus):
+    *
+    *   1. ingest the raw documents table;
+    *   2. EXACT dedup — one survivor (min doc_id) per md5(text);
+    *   3. NEAR dedup — the memoized corpus-wide n-gram Jaccard cluster
+    *      labels ([[Dedup.nearDupClusters]], threshold 0.8) restricted
+    *      to the exact survivors, keeping the best doc per cluster
+    *      (longest text, ties to min doc_id) via a partial-aggregatable
+    *      struct-max (no window);
+    *   4. QUALITY gate — per-language median threshold computed over
+    *      the DEDUPED corpus (pipeline semantics: each stage's stats
+    *      see its input, not the raw feed), keep 2·q6 ≥ med2;
+    *   5. TOKENIZE — whitespace token counts (the declared tokenizer
+    *      counting stage);
+    *   6. CURRICULUM rank + 7. SEQUENCE packing — ONE fused
+    *      [[graft.plans.GraftOps.globalRankAndPrefix]] pass over
+    *      (q6 desc, doc_id): the global rank and the exclusive token
+    *      prefix sum come out of a single range-partitioned layout —
+    *      documents pack into `budget`-token training sequences in
+    *      curriculum order;
+    *   8. SHARD assignment — `shardSeqs` sequences per output shard by
+    *      exact integer arithmetic on the packed offsets.
+    *
+    * Scale shape: every stage keeps its operator's audited plan — hash
+    * rollups for exact dedup (text never shuffles twice), the memoized
+    * bucketed-join cluster relation, a broadcast |langs|-row median, a
+    * map-only gate, and the range-partitioned fused rank/prefix
+    * primitive (no single-reducer window anywhere). The composition
+    * adds NO new shuffle beyond its stages' own.
+    *
+    * Output — the per-document training manifest: (doc_id, lang,
+    * quality, n_tok, curriculum_rank, start_tok, start_seq, end_seq,
+    * shard).
+    */
+  def endToEndCuration(spark: SparkSession, dir: String,
+      budget: Int = 512, shardSeqs: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val clusters = Dedup.nearDupClusters(spark, dir)
+    val surviving = exact.join(docs.select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+    val keep = surviving.groupBy(col("rep_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid")))
+        .as("best"))
+      .select((-col("best.negid")).as("doc_id"))
+    val w = split(col("text"), " ")
+    val scored = keep.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        round(TextOps.qualityOf(col("text"), w) * 1e6, 0).cast("long")
+          .as("q6"),
+        size(w).cast("long").as("n_tok"))
+    val med = scored.groupBy(col("lang"))
+      .agg(round(percentile(col("q6"), lit(0.5)) * 2, 0).cast("long")
+        .as("med2"))
+    val gated = scored.join(broadcast(med), Seq("lang"))
+      .filter(col("q6") * 2 >= col("med2"))
+      .select(col("doc_id"), col("lang"), col("q6"), col("n_tok"))
+    graft.plans.GraftOps.globalRankAndPrefix(gated,
+        Seq("q6" -> false, "doc_id" -> true), "n_tok",
+        rankName = "curriculum_rank", sumName = "start_tok",
+        exclusive = true)
+      .withColumn("start_seq", expr(s"start_tok div $budget"))
+      .select(col("doc_id"), col("lang"),
+        round(col("q6") / 1e6, 6).as("quality"), col("n_tok"),
+        col("curriculum_rank"), col("start_tok"), col("start_seq"),
+        expr(s"(start_tok + n_tok - 1) div $budget").as("end_seq"),
+        expr(s"start_seq div $shardSeqs").as("shard"))
+  }
+
+  /** The SHARD manifest of [[endToEndCuration]] — the pipeline's final
+    * balance check rolled up from the same composed relation: per
+    * output shard, document count, total tokens, and the curriculum
+    * rank span it covers (contiguous spans prove the packing preserved
+    * the curriculum order). Every shard except the last carries
+    * ~shardSeqs·budget tokens — the balance the packing stage exists
+    * to deliver. Output: (shard, n_docs, n_tokens, first_rank,
+    * last_rank).
+    */
+  def endToEndShards(spark: SparkSession, dir: String): DataFrame =
+    endToEndCuration(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("curriculum_rank")).as("first_rank"),
+        max(col("curriculum_rank")).as("last_rank"))
+
   /** Curriculum ordering — the easy-to-hard training schedule
     * (curriculum learning): every document gets its global curriculum
     * rank by quality (highest first — the "easy" end under the shared
