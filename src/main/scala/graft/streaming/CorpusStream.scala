@@ -86,10 +86,17 @@ object CorpusStream {
     * `dedup_incremental_minhash`'s oracle). Output:
     * (doc_new, doc_corpus, jaccard) with exact Jaccard >= `threshold`.
     */
-  def incrementalMinhashStreamed(spark: SparkSession, dir: String,
-      mod: Int = 10, slot: Int = 7, threshold: Double = 0.9): DataFrame = {
+  /** The streaming dedup FRAME — the stream-static plan pre-sink,
+    * shared by the declared memory-sink row below and the
+    * crash-recovery spec's checkpointed foreachBatch harness (both
+    * must drive the SAME plan or the recovery proof proves nothing).
+    * `stagedDir` is the directory the file stream source tails.
+    */
+  def incrementalMinhashFrame(spark: SparkSession, dir: String,
+      stagedDir: String, mod: Int = 10, slot: Int = 7,
+      threshold: Double = 0.9,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val staged = stagedDocsDir(spark, dir)
     // standing corpus relations, built once (memoized per dataset)
     val corpusBands = Dedup.bandedSignatures(spark, dir)
       .filter(col("doc_id") % mod =!= slot)
@@ -97,31 +104,40 @@ object CorpusStream {
     val corpusGrams = Dedup.gramHashSets(spark, dir)
       .filter(col("doc_id") % mod =!= slot)
       .select(col("doc_id").as("doc_corpus"), col("ghashes").as("grams_b"))
+    val reader = spark.readStream.schema(docSchema)
+    val docs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(stagedDir)
+      .filter(col("doc_id") % mod === slot)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val hs = Dedup.gramsOf(t).map(Dedup.fnv64).toArray
+        (id, hs, Dedup.minhashSigFromHashes(hs.iterator))
+      }
+      .toDF("doc_new", "grams_a", "sig")
+    val banded = docs.select(col("doc_new"), col("grams_a"),
+      explode(transform(sequence(lit(0), lit(Dedup.LshBands - 1)), j =>
+        struct(j.as("b"),
+          hash(slice(col("sig"), j * 4 + 1, lit(4))).as("key")))).as("bk"))
+      .select(col("doc_new"), col("grams_a"),
+        col("bk.b").as("b"), col("bk.key").as("key"))
+    banded
+      .join(corpusBands, Seq("b", "key"))
+      .join(corpusGrams, Seq("doc_corpus"))
+      .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
+      .select(col("doc_new"), col("doc_corpus"),
+        round(col("shared") /
+          (size(col("grams_a")) + size(col("grams_b")) - col("shared")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def incrementalMinhashStreamed(spark: SparkSession, dir: String,
+      mod: Int = 10, slot: Int = 7, threshold: Double = 0.9): DataFrame = {
+    val staged = stagedDocsDir(spark, dir)
     val name = s"graft_incdedup_stream_${EventStream.streamRunSeq.incrementAndGet()}"
     EventStream.withStreamPartitions(spark, 4, noData = false) {
-      val docs = spark.readStream.schema(docSchema).parquet(staged)
-        .filter(col("doc_id") % mod === slot)
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) =>
-          val hs = Dedup.gramsOf(t).map(Dedup.fnv64).toArray
-          (id, hs, Dedup.minhashSigFromHashes(hs.iterator))
-        }
-        .toDF("doc_new", "grams_a", "sig")
-      val banded = docs.select(col("doc_new"), col("grams_a"),
-        explode(transform(sequence(lit(0), lit(Dedup.LshBands - 1)), j =>
-          struct(j.as("b"),
-            hash(slice(col("sig"), j * 4 + 1, lit(4))).as("key")))).as("bk"))
-        .select(col("doc_new"), col("grams_a"),
-          col("bk.b").as("b"), col("bk.key").as("key"))
-      val q = banded
-        .join(corpusBands, Seq("b", "key"))
-        .join(corpusGrams, Seq("doc_corpus"))
-        .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))))
-        .select(col("doc_new"), col("doc_corpus"),
-          round(col("shared") /
-            (size(col("grams_a")) + size(col("grams_b")) - col("shared")), 6)
-            .as("jaccard"))
-        .filter(col("jaccard") >= threshold)
+      val q = incrementalMinhashFrame(spark, dir, staged, mod, slot, threshold)
         .writeStream.format("memory").queryName(name)
         .outputMode("append")
         .option("checkpointLocation", EventStream.ckptDir("graft-ckpt-incdedup-q"))
