@@ -121,6 +121,65 @@ class GlobalOrderSpec extends SparkSpec {
     assert(mm.getLong(0) == 1L && mm.getLong(1) == n && mm.getLong(2) == n)
   }
 
+  test("globalPrefixSum at the 5M-row tier: closed-form sums, multi-partition") {
+    // same regime as the 5M rank tier, for the variant that carries the
+    // packing re-plan: v = id % 7 in id order has an exact closed-form
+    // exclusive prefix sum (full cycles of 0..6 sum to 21):
+    //   ps(id) = (id div 7)·21 + r·(r−1)/2,  r = id mod 7
+    val n = 5000000L
+    val df = spark.range(n).select(col("id"), (col("id") % 7L).as("v"))
+    val ps = GraftOps.globalPrefixSum(df, Seq("id" -> true), "v", "ps")
+    assert(ps.rdd.getNumPartitions > 1,
+      "prefix-sum output collapsed to a single partition")
+    val sample = ps.filter(pmod(col("id"), lit(250000L)) === 11L)
+      .select("id", "ps").collect()
+    assert(sample.length == 20)
+    sample.foreach { r =>
+      val id = r.getLong(0); val rr = id % 7L
+      val want = (id / 7L) * 21L + rr * (rr - 1L) / 2L
+      assert(r.getLong(1) == want, s"id=$id ps ${r.getLong(1)} != $want")
+    }
+    // the global total survives the partition offsets exactly
+    val tot = ps.agg(max(col("ps") + col("v"))).head().getLong(0)
+    val rn = n % 7L
+    assert(tot == (n / 7L) * 21L + rn * (rn - 1L) / 2L)
+  }
+
+  test("globalRankAndPrefix at the 5M-row tier: fused rank+cum spot checks") {
+    // the fused variant (one layout, one stamping pass) carries the
+    // gini/pareto/rfm and end-to-end packing re-plans; probe it in the
+    // same non-trivial (key, id) order as the 5M rank tier, checking
+    // each sampled row's rank AND inclusive cum against independent
+    // distributed recomputation.
+    val n = 5000000L
+    val df = spark.range(n).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(n)).as("key"),
+      (col("id") % 7L + 1L).as("v"))
+    val got = GraftOps.globalRankAndPrefix(df,
+      Seq("key" -> true, "id" -> true), "v",
+      rankName = "rk", sumName = "cum",
+      countName = Some("cnt"), totalName = Some("tot"))
+    assert(got.rdd.getNumPartitions > 1)
+    val totalV = df.agg(sum(col("v"))).head().getLong(0)
+    val sample = got.filter(pmod(col("id"), lit(500000L)) === 13L)
+      .select("id", "key", "v", "rk", "cum", "cnt", "tot").collect()
+    assert(sample.length == 10)
+    sample.foreach { r =>
+      val (id, key) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(5) == n); assert(r.getLong(6) == totalV)
+      val below = df.filter(col("key") < key).count()
+      val ties = df.filter(col("key") === key && col("id") < id).count()
+      assert(r.getLong(3) == below + ties + 1L,
+        s"id=$id rank ${r.getLong(3)} != ${below + ties + 1}")
+      val cumBelow = df.filter(col("key") < key)
+        .agg(coalesce(sum(col("v")), lit(0L))).head().getLong(0)
+      val cumTies = df.filter(col("key") === key && col("id") <= id)
+        .agg(coalesce(sum(col("v")), lit(0L))).head().getLong(0)
+      assert(r.getLong(4) == cumBelow + cumTies,
+        s"id=$id cum ${r.getLong(4)} != ${cumBelow + cumTies}")
+    }
+  }
+
   test("globalRank spreads massive key ties across partitions (skew safety)") {
     import spark.implicits._
     // every row shares ONE sort-key value — the skew case that kills
