@@ -213,9 +213,15 @@ object Stats {
     * discipline); the ECDF difference is kept in INTEGER numerator
     * form |cum_a·n_b − cum_b·n_a| over the pooled distinct values —
     * exact longs, any accumulation order — and divides by n_a·n_b once
-    * at the end. Scale: the corpus collapses to pooled distinct
-    * quantized scores before one ordered window (the Gini prefix-sum
-    * discipline at 100 TB). Output: (n_a, n_b, ks_d rounded 6).
+    * at the end.
+    *
+    * Scale: the corpus collapses to pooled distinct quantized scores —
+    * bounded at ≤ 1e6+1 rows by the micro-unit grid REGARDLESS of
+    * corpus size (the designed cap) — and the two running CDFs stamp
+    * via [[graft.plans.GraftOps.globalPrefixSum]] over that relation:
+    * range-partitioned, no single-reducer window anywhere in the plan
+    * (StatsSpec pins the window-free shape).
+    * Output: (n_a, n_b, ks_d rounded 6).
     */
   def ksQualityBySource(spark: SparkSession, dir: String,
       srcA: String = "src0", srcB: String = "src1"): DataFrame = {
@@ -228,12 +234,11 @@ object Stats {
     val cells = q.groupBy(col("q6"))
       .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
-    val win = Window.orderBy(col("q6"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = cells.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    cells
-      .withColumn("cum_a", sum(col("ca")).over(win))
-      .withColumn("cum_b", sum(col("cb")).over(win))
+    graft.plans.GraftOps.globalPrefixSum(
+        graft.plans.GraftOps.globalPrefixSum(cells, Seq("q6" -> true),
+          "ca", "cum_a", exclusive = false),
+        Seq("q6" -> true), "cb", "cum_b", exclusive = false)
       .crossJoin(broadcast(tot))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
@@ -254,8 +259,13 @@ object Stats {
     * Exactness: on the pooled distinct quantized scores, a tie block
     * of `cnt` values after `prev` items has average rank
     * (2·prev + cnt + 1)/2 — so DOUBLED rank sums are exact longs and
-    * U₂ = 2U = 2R_a − n_a(n_a+1) is exact; one final division. Scale:
-    * same pooled-distinct-value window as [[ksQualityBySource]].
+    * U₂ = 2U = 2R_a − n_a(n_a+1) is exact; one final division.
+    *
+    * Scale: same pooled-distinct-value relation as
+    * [[ksQualityBySource]] (≤ 1e6+1 rows by the quantization grid, at
+    * any corpus size), with the running pooled count stamped by
+    * [[graft.plans.GraftOps.globalPrefixSum]] — window-free
+    * (StatsSpec pins the plan shape).
     * Output: (n_a, n_b, u2, effect rounded 6).
     */
   def mannWhitneyQuality(spark: SparkSession, dir: String,
@@ -270,10 +280,8 @@ object Stats {
       .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
       .withColumn("cnt", col("ca") + col("cb"))
-    val win = Window.orderBy(col("q6"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    cells
-      .withColumn("prev", coalesce(sum(col("cnt")).over(win), lit(0L)))
+    graft.plans.GraftOps.globalPrefixSum(cells, Seq("q6" -> true),
+        "cnt", "prev", exclusive = true)
       .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
         sum(col("ca") * (lit(2L) * col("prev") + col("cnt") + 1L)).as("r2a"))
       .select(col("n_a"), col("n_b"),

@@ -303,4 +303,17 @@ class StatsSpec extends SparkSpec {
       assert(rhoGot == expect, s"$source: rho $rhoGot vs $expect")
     }
   }
+
+  test("KS and Mann-Whitney plan window-free (range-partitioned CDFs)") {
+    // the pooled distinct-score relation is grid-bounded (≤ 1e6+1 rows)
+    // but its running CDFs now stamp via globalPrefixSum — no
+    // unpartitioned Window operator may appear anywhere in either plan
+    for ((name, df) <- Seq(
+        "ks" -> graft.operators.Stats.ksQualityBySource(spark, sf0001),
+        "mw" -> graft.operators.Stats.mannWhitneyQuality(spark, sf0001))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name still plans a window operator:\n$plan")
+    }
+  }
 }
