@@ -788,6 +788,9 @@ object SparkEntry {
     "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
     // l-diversity: per-class sensitive-value diversity + homogeneity
     "privacy_l_diversity" -> ((s, d) => operators.Governance.lDiversity(s, d)),
+    // t-closeness: per-class EMD of the ordered sensitive distribution
+    // vs the corpus marginal, exact integer permille
+    "privacy_t_closeness" -> ((s, d) => operators.Governance.tCloseness(s, d)),
     // Wang-Isola alignment/uniformity embedding-health summary
     "emb_alignment_uniformity" ->
       ((s, d) => EmbeddingStats.alignmentUniformity(s, d)),
@@ -5474,6 +5477,30 @@ object SparkEntry {
              CAST(max(n) * 1000 // sum(n) AS BIGINT) AS top_share_permille,
              CASE WHEN count(*) < 2 THEN 1 ELSE 0 END AS homogeneous
       FROM cells GROUP BY 1, 2""",
+
+    // ordered-attribute EMD (Li et al.): cumulative-band counts
+    // cross-multiplied against corpus totals, HUGEINT-exact, one
+    // integral division to permille
+    "privacy_t_closeness" -> """
+      WITH cells AS (
+        SELECT c_mktsegment AS mktsegment, n_name AS nation,
+               CAST(count(*) AS BIGINT) AS sz,
+               CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cum1,
+               CAST(sum(CASE WHEN c_acctbal < 5000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS cum2
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n,
+                     CAST(sum(cum1) AS BIGINT) AS t1,
+                     CAST(sum(cum2) AS BIGINT) AS t2
+              FROM cells)
+      SELECT mktsegment, nation, sz,
+             CAST((abs(CAST(cum1 AS HUGEINT) * n - CAST(t1 AS HUGEINT) * sz)
+                 + abs(CAST(cum2 AS HUGEINT) * n - CAST(t2 AS HUGEINT) * sz))
+                * 1000 // (2 * CAST(sz AS HUGEINT) * n) AS BIGINT)
+               AS t_permille
+      FROM cells CROSS JOIN tot""",
 
     // identical unit vectors, lead-per-label positives, 64-probe
     // panel; every cross-row sum is an exact quantized integer

@@ -82,6 +82,52 @@ object Governance {
         when(col("l_distinct") < 2, 1).otherwise(0).as("homogeneous"))
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymity]] (class size) and [[lDiversity]] (sensitive-value
+    * count): a class can be large AND diverse yet still leak if its
+    * sensitive-value DISTRIBUTION sits far from the corpus marginal
+    * (e.g. a class that is 90% "debt" against a 10% baseline discloses
+    * by proportion). Per (mktsegment, nation) class: the Earth Mover's
+    * Distance between the class distribution and the corpus marginal
+    * over the ORDERED 3-band account-balance attribute (debt < mid <
+    * high) — for an ordered attribute with m levels,
+    * EMD = (1/(m−1)) · Σ_{i<m} |Σ_{j≤i} (p_j − q_j)| (Li et al. 2007).
+    *
+    * Exactness: cumulative-band counts cross-multiply against the
+    * corpus totals so every |·| term is the integer
+    * |cum_i·N − T_i·sz| over the common denominator sz·N; t reports in
+    * integer permille via one exact integral division. DECIMAL(38,0)
+    * intermediates (HUGEINT in the oracle) keep the cross-products
+    * exact at any N.
+    *
+    * Scale shape: one rollup over the broadcast-joined customer
+    * relation (cumulative band sums as conditional counts — no second
+    * pass), corpus totals as a broadcast 1-row fold OF THE ROLLUP, one
+    * map-only projection. Output: (mktsegment, nation, sz,
+    * t_permille) — |classes| rows.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val band = when(col("c_acctbal") < 0, 0)
+      .when(col("c_acctbal") < 5000, 1).otherwise(2)
+    val cells = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment").as("mktsegment"),
+        col("n_name").as("nation"), band.as("s"))
+      .groupBy(col("mktsegment"), col("nation"))
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("s") <= 0, 1L).otherwise(0L)).as("cum1"),
+        sum(when(col("s") <= 1, 1L).otherwise(0L)).as("cum2"))
+    val tot = cells.agg(sum(col("sz")).as("n"),
+      sum(col("cum1")).as("t1"), sum(col("cum2")).as("t2"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("mktsegment"), col("nation"), col("sz"),
+        expr("""CAST((abs(CAST(cum1 AS DECIMAL(38,0)) * n - CAST(t1 AS DECIMAL(38,0)) * sz)
+                    + abs(CAST(cum2 AS DECIMAL(38,0)) * n - CAST(t2 AS DECIMAL(38,0)) * sz))
+                   * 1000 div (2 * CAST(sz AS DECIMAL(38,0)) * n) AS BIGINT)""")
+          .as("t_permille"))
+  }
+
   def dpEventCounts(spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -68,4 +68,34 @@ class GovernanceSpec extends SparkSpec {
       assert((homog == 1) == (l < 2), s"$seg/$nat homogeneous=$homog l=$l")
     }
   }
+
+  test("t-closeness replays a driver-side ordered-attribute EMD") {
+    val base = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_mktsegment", "n_name", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.getDouble(2) < 0) 0 else if (r.getDouble(2) < 5000) 1 else 2))
+    val n = base.length.toLong
+    val t1 = base.count(_._3 <= 0).toLong
+    val t2 = base.count(_._3 <= 1).toLong
+    val got = Governance.tCloseness(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val classes = base.groupBy(t => (t._1, t._2))
+    assert(got.size == classes.size)
+    classes.foreach { case (k, members) =>
+      val sz = members.length.toLong
+      val c1 = members.count(_._3 <= 0).toLong
+      val c2 = members.count(_._3 <= 1).toLong
+      val want = (BigInt((c1 * n - t1 * sz).abs) + BigInt((c2 * n - t2 * sz).abs)) *
+        1000 / (2 * BigInt(sz) * n)
+      val (szGot, t) = got(k)
+      assert(szGot == sz)
+      assert(t == want.toLong, s"$k: t=$t want=$want")
+      assert(t >= 0 && t <= 1000)
+    }
+    // the fixture must exercise a non-trivial spread — not vacuously 0
+    assert(got.values.map(_._2).max > 0, "expected a nonzero EMD class")
+  }
 }
