@@ -148,6 +148,17 @@ object SparkEntry {
       sqlKnn(s, d, "backend 'exact_batch', k '10'",
         v => s"SELECT count(*) AS n FROM $v",
         provider = "graft.sources.KnnDataSourceV2")),
+    // DSv2 TOP-N pushdown contract: ORDER BY dist LIMIT k collapses
+    // into the scan — no Sort above it (KnnDataSourceSpec pins the
+    // shape); total (dist, vec_id) order keeps the cut deterministic
+    "sql_knn_v2_topn" -> ((s, d) => {
+      val (_, _, splitAt, n) = ExactKnn.split(s, d)
+      val qid = splitAt + 25 % (n - splitAt)
+      sqlKnn(s, d, "backend 'exact_batch', k '10'",
+        v => s"""SELECT vec_id, dist FROM $v
+                 WHERE qid = $qid ORDER BY dist ASC, vec_id ASC LIMIT 5""",
+        provider = "graft.sources.KnnDataSourceV2")
+    }),
     // user-supplied query vector from pure SQL (the reference's
     // index.search(query)): the vector literal is fixture row 29, so
     // the oracle is full-table knn of that row (self included, dist 0)
@@ -1585,6 +1596,17 @@ object SparkEntry {
       FROM e b, e q, p
       WHERE b.vec_id < p.s AND q.vec_id = p.s + (25 % (p.c - p.s))
       ORDER BY dist, b.vec_id LIMIT 10""",
+
+    // the pushed top-5 of the same fixed held-out query's exact top-10
+    "sql_knn_v2_topn" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s, count(*) AS c FROM e)
+      SELECT b.vec_id, $cosDistSql AS dist
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id = p.s + (25 % (p.c - p.s))
+      ORDER BY dist, b.vec_id LIMIT 5""",
 
     // k rows per held-out query by construction, so the count is
     // 10 x the query-split size — derived independently of the scan

@@ -7,10 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, V1Scan}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -81,12 +80,14 @@ private[sources] class KnnTableV2(params: Map[String, String])
   */
 private[sources] class KnnScanBuilderV2(params: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownTopN with SupportsPushDownLimit {
 
   private var frame: DataFrame =
     KnnBackends.frame(SparkSession.active, params)
   private var pushed: Array[Filter] = Array.empty
   private var aggPushed = false
+  private var topNPushed = false
 
   /** Accept the filters expressible as Column predicates over the
     * result frame; anything else stays residual (Spark re-applies it
@@ -131,6 +132,52 @@ private[sources] class KnnScanBuilderV2(params: Map[String, String])
       case None => false
     }
 
+  /** '''Top-N pushdown''' (`SupportsPushDownTopN`): `ORDER BY dist
+    * LIMIT k` collapses INTO the scan — the serving tier's "best k by
+    * distance" never plans a Sort or TakeOrderedAndProject above the
+    * source (KnnDataSourceSpec pins the shape). COMPLETE pushdown
+    * (`isPartiallyPushed = false`): the source frame's
+    * `orderBy(...).limit(k)` IS the exact global top-N (Catalyst plans
+    * it as a distributed TakeOrderedAndProject inside the bridged
+    * scan), so Spark drops its own sort+limit entirely. Declined — and
+    * planned above the scan as before — for orders over anything but
+    * plain columns, or after an aggregate push.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (aggPushed || topNPushed) return false
+    val cols = orders.toSeq.map(translateSortOrder)
+    if (cols.isEmpty || cols.exists(_.isEmpty)) return false
+    frame = frame.orderBy(cols.map(_.get): _*).limit(limit)
+    topNPushed = true
+    true
+  }
+
+  /** Bare `LIMIT n` (no ordering) also collapses into the scan; any n
+    * rows satisfy it, so the source's own limit is complete.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (aggPushed || topNPushed) return false
+    frame = frame.limit(limit)
+    topNPushed = true
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = false
+
+  private def translateSortOrder(o: SortOrder)
+      : Option[org.apache.spark.sql.Column] = o.expression() match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val c = col(nr.fieldNames.head)
+      Some((o.direction(), o.nullOrdering()) match {
+        case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) =>
+          c.asc_nulls_first
+        case (SortDirection.ASCENDING, _) => c.asc_nulls_last
+        case (_, NullOrdering.NULLS_FIRST) => c.desc_nulls_first
+        case _ => c.desc_nulls_last
+      })
+    case _ => None
+  }
+
   private def translateAgg(agg: Aggregation)
       : Option[Seq[org.apache.spark.sql.Column]] = {
     if (agg.groupByExpressions().nonEmpty) return None
@@ -161,11 +208,12 @@ private[sources] class KnnScanBuilderV2(params: Map[String, String])
     val df = frame
     val pf = pushed
     val pa = aggPushed
+    val pt = topNPushed
     new V1Scan {
       override def readSchema(): StructType = df.schema
       override def toV1TableScan[T <: BaseRelation with TableScan](
           context: SQLContext): T =
-        new KnnV1BridgeRelation(context, df, pf, pa).asInstanceOf[T]
+        new KnnV1BridgeRelation(context, df, pf, pa, pt).asInstanceOf[T]
     }
   }
 
@@ -193,12 +241,14 @@ private[sources] class KnnScanBuilderV2(params: Map[String, String])
   */
 private[sources] class KnnV1BridgeRelation(ctx: SQLContext, df: DataFrame,
     val pushedFilters: Array[Filter],
-    val pushedAggregation: Boolean = false)
+    val pushedAggregation: Boolean = false,
+    val pushedTopN: Boolean = false)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = df.schema
   override def buildScan(): RDD[Row] = df.rdd
   override def toString: String =
     s"KnnV1BridgeRelation(pushed=[${pushedFilters.mkString(", ")}]" +
-      (if (pushedAggregation) ", aggPushed" else "") + ")"
+      (if (pushedAggregation) ", aggPushed" else "") +
+      (if (pushedTopN) ", topNPushed" else "") + ")"
 }

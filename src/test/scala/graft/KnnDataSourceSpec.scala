@@ -130,6 +130,38 @@ class KnnDataSourceSpec extends SparkSpec {
     assert(grouped.collect().map(_.getLong(1)).forall(_ == 10L))
   }
 
+  test("DSv2: ORDER BY dist LIMIT k collapses into the scan (TopN pushdown)") {
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_v2_topn
+                  USING graft.sources.KnnDataSourceV2
+                  OPTIONS (dir '$sf0001', backend 'exact_batch', k '10')""")
+    val q = spark.sql("""SELECT vec_id, dist FROM knn_v2_topn
+                         WHERE qid = 475 ORDER BY dist ASC, vec_id ASC
+                         LIMIT 5""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("topNPushed"),
+      s"top-N not pushed into the scan:\n$plan")
+    // complete pushdown: no sort or TakeOrdered planned ABOVE the scan
+    val aboveScan = plan.linesIterator
+      .takeWhile(!_.contains("KnnV1BridgeRelation")).mkString("\n")
+    assert(!aboveScan.contains("Sort") && !aboveScan.contains("TakeOrdered"),
+      s"sort/limit still planned above the pushed scan:\n$plan")
+    val expect = ExactKnn.topKBatch(spark, sf0001)
+      .filter(col("qid") === 475L)
+      .orderBy(col("dist").asc, col("vec_id").asc).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val got = q.collect().map(_.getLong(0)).toSeq
+    assert(got == expect && got.length == 5)
+    // bare LIMIT (no ordering) pushes too and returns the right count
+    val lim = spark.sql("SELECT vec_id FROM knn_v2_topn LIMIT 7")
+    assert(lim.queryExecution.executedPlan.toString.contains("topNPushed"))
+    assert(lim.collect().length == 7)
+    // an order over an expression is declined and still answers right
+    val expr = spark.sql("""SELECT vec_id FROM knn_v2_topn
+                            WHERE qid = 475 ORDER BY dist * 2 LIMIT 3""")
+    assert(!expr.queryExecution.executedPlan.toString.contains("topNPushed"))
+    assert(expr.collect().map(_.getLong(0)).toSeq == expect.take(3))
+  }
+
   test("DSv2: unsupported filters stay residual and remain correct") {
     spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW knn_v2_resid
                   USING graft.sources.KnnDataSourceV2
