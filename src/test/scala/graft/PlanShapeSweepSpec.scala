@@ -58,7 +58,8 @@ class PlanShapeSweepSpec extends SparkSpec {
                                   // against the corpus scan (|bench| rows)
     "emb_alignment_uniformity",   // fixed 64-row probe panel broadcast
                                   // against the corpus + 1-row combiner
-    "quality_expectations")       // 1-row violation x total combiners
+    "quality_expectations",       // 1-row violation x total combiners
+    "privacy_t_closeness")        // 1-row corpus-marginal totals attach
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
