@@ -217,10 +217,11 @@ object Stats {
     *
     * Scale: the corpus collapses to pooled distinct quantized scores —
     * bounded at ≤ 1e6+1 rows by the micro-unit grid REGARDLESS of
-    * corpus size (the designed cap) — and the two running CDFs stamp
-    * via [[graft.plans.GraftOps.globalPrefixSum]] over that relation:
-    * range-partitioned, no single-reducer window anywhere in the plan
-    * (StatsSpec pins the window-free shape).
+    * corpus size (the designed cap) — and BOTH running CDFs stamp in
+    * one fused [[graft.plans.GraftOps.globalPrefixSums]] pass over
+    * that relation: range-partitioned, one layout, no single-reducer
+    * window anywhere in the plan (StatsSpec pins the window-free
+    * shape).
     * Output: (n_a, n_b, ks_d rounded 6).
     */
   def ksQualityBySource(spark: SparkSession, dir: String,
@@ -235,10 +236,8 @@ object Stats {
       .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
     val tot = cells.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
-    graft.plans.GraftOps.globalPrefixSum(
-        graft.plans.GraftOps.globalPrefixSum(cells, Seq("q6" -> true),
-          "ca", "cum_a", exclusive = false),
-        Seq("q6" -> true), "cb", "cum_b", exclusive = false)
+    graft.plans.GraftOps.globalPrefixSums(cells, Seq("q6" -> true),
+        Seq("ca", "cb"), Seq("cum_a", "cum_b"), exclusive = false)
       .crossJoin(broadcast(tot))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))

@@ -236,6 +236,56 @@ object GraftOps {
     spark.createDataFrame(stamped, schema)
   }
 
+  /** [[globalPrefixSum]] over SEVERAL value columns in ONE range
+    * layout and ONE stamping pass — the fused form for consumers that
+    * need parallel running sums in the same total order (the KS
+    * statistic's two CDFs): per-partition subtotal VECTORS collect as
+    * |partitions|·|values| longs, broadcast back, and every column
+    * stamps in the same per-task fold. Appends `sumNames(i)` for each
+    * `valueCols(i)`.
+    */
+  def globalPrefixSums(df: DataFrame, orderCols: Seq[(String, Boolean)],
+      valueCols: Seq[String], sumNames: Seq[String],
+      exclusive: Boolean = true, partitions: Int = 0): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.length == sumNames.length)
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ordered = rangeOrdered(df, orderCols, p)
+    val vIdx = valueCols.map(ordered.schema.fieldIndex).toArray
+    val rdd = persistOrdered(ordered.rdd)
+    val subs = rdd.mapPartitionsWithIndex({ (i, it) =>
+      val s = new Array[Long](vIdx.length)
+      while (it.hasNext) {
+        val row = it.next()
+        var j = 0
+        while (j < vIdx.length) { s(j) += row.getLong(vIdx(j)); j += 1 }
+      }
+      Iterator((i, s))
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    val offsets = subs.scanLeft(new Array[Long](vIdx.length)) { (acc, s) =>
+      acc.zip(s).map { case (a, b) => a + b }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      val acc = bc.value(i).clone()
+      it.map { row =>
+        val out = new Array[Any](vIdx.length)
+        var j = 0
+        while (j < vIdx.length) {
+          val v = row.getLong(vIdx(j))
+          out(j) = if (exclusive) acc(j) else acc(j) + v
+          acc(j) += v
+          j += 1
+        }
+        Row.fromSeq(row.toSeq ++ out)
+      }
+    }
+    val schema = StructType(ordered.schema.fields ++
+      sumNames.map(StructField(_, LongType, nullable = false)))
+    spark.createDataFrame(stamped, schema)
+  }
+
   /** Top-k rows per group with a dense 1..k rank column, executed by
     * [[TopKPerGroupExec]] (per-group bounded heaps; one shuffle on the
     * group keys). `orderCols` are (name, ascending) pairs. Drop-in for

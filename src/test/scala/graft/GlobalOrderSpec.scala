@@ -54,6 +54,20 @@ class GlobalOrderSpec extends SparkSpec {
     assert(g.sameElements(w))
   }
 
+  test("globalPrefixSums stamps several columns in one pass, window-equal") {
+    val got = GraftOps.globalPrefixSums(synth, Seq("id" -> true),
+      Seq("v", "key"), Seq("pv", "pk"), exclusive = false)
+    assert(got.rdd.getNumPartitions > 1)
+    val w = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = synth.withColumn("pv", sum(col("v")).over(w))
+      .withColumn("pk", sum(col("key")).over(w))
+    def slurp(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "pv", "pk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(slurp(got).sameElements(slurp(want)))
+  }
+
   test("globalRankAndPrefix equals rank + inclusive cum + totals") {
     val got = GraftOps.globalRankAndPrefix(synth,
       Seq("key" -> false, "id" -> true), "v",
