@@ -142,4 +142,62 @@ class DocumentsScaleSpec extends SparkSpec {
       s"background docs with covered spans: ${background.size}")
     spans.unpersist()
   }
+
+  test("end-to-end curation pipeline at 50k docs: dedup collapse, " +
+      "exact packing, balanced shards") {
+    // the composed flagship at 10x sf0.1's corpus — every stage's
+    // invariant checked on output the sf0.01 oracle can't reach:
+    val n = 50000
+    val manifest = graft.operators.Pipeline
+      .endToEndCuration(spark, dir10x).cache()
+    assert(manifest.rdd.getNumPartitions > 1,
+      "manifest collapsed to a single partition")
+    val m = manifest.count()
+    // near-dup stage: no planted pair survives whole — at most one of
+    // (a, a+1) may appear in the final manifest
+    val ids = manifest.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bothSurvive = plantedPairs(n).filter(p =>
+      ids.contains(p._1) && ids.contains(p._2))
+    assert(bothSurvive.isEmpty,
+      s"${bothSurvive.size} planted near-dup pairs survived dedup intact")
+    // quality gate: the per-lang median keeps roughly half the deduped
+    // corpus (49k docs after 1000 collapses)
+    assert(m >= (n - 1000) * 2 / 5 && m <= (n - 1000) * 13 / 20,
+      s"gate kept $m of ${n - 1000} — median gate should keep ~half")
+    // curriculum rank is a 1..m permutation and the token prefix sums
+    // pack exactly: start_tok(rank k+1) = start_tok(k) + n_tok(k)
+    val packed = manifest.select("curriculum_rank", "start_tok", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(packed.head._1 == 1L && packed.last._1 == m &&
+      packed.map(_._1).distinct.length == m, "rank is not a permutation")
+    assert(packed.head._2 == 0L, "first doc must start at token 0")
+    packed.sliding(2).foreach { case Array((_, s1, t1), (rk2, s2, _)) =>
+      assert(s2 == s1 + t1, s"packing gap at rank $rk2: $s2 != ${s1 + t1}")
+    case _ => ()
+    }
+    // shard manifest: token totals tile the corpus exactly, rank spans
+    // are contiguous and non-overlapping in shard order
+    val shards = graft.operators.Pipeline.endToEndShards(spark, dir10x)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(shards.map(_._3).sum == packed.map(_._3).sum,
+      "shard tokens do not tile the packed corpus")
+    assert(shards.map(_._2).sum == m)
+    shards.sliding(2).foreach {
+      case Array((_, _, _, _, last1), (sh2, _, _, first2, _)) =>
+        assert(first2 == last1 + 1,
+          s"shard $sh2 rank span not contiguous: $first2 after $last1")
+      case _ => ()
+    }
+    // balance: every full shard carries shardSeqs*budget = 16384 tokens
+    // up to one straddling document's spill on each side
+    val maxDoc = packed.map(_._3).max
+    shards.dropRight(1).foreach { case (sh, _, tok, _, _) =>
+      assert(math.abs(tok - 16384L) <= maxDoc,
+        s"shard $sh imbalanced: $tok tokens vs 16384 ± $maxDoc")
+    }
+    manifest.unpersist()
+    ()
+  }
 }
