@@ -503,6 +503,9 @@ object SparkEntry {
     // decile reliability bins (exact counts, quantized mean prediction)
     "eval_calibration_classifier" ->
       ((s, d) => Pipeline.classifierCalibration(s, d)),
+    // Brier proper score + Murphy REL/RES/UNC decomposition over the
+    // same 10 probability bins (quantize-before-sum discipline)
+    "eval_brier_classifier" -> ((s, d) => Pipeline.classifierBrier(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -1484,6 +1487,54 @@ object SparkEntry {
                / CAST(count(*) AS DOUBLE), 6) AS pos_rate
       FROM scored GROUP BY bin"""
 
+  /** Brier + Murphy decomposition over the same replayed fit: integer
+    * DECIMAL/HUGEINT sums for the brier numerator; per-bin REL/RES
+    * terms evaluated in the identical fixed-order double expression as
+    * the Spark side and quantized to picounit longs BEFORE the
+    * cross-bin sum (never sum raw doubles across rows).
+    */
+  private def qcBrierSql(iters: Int, lr: String): String =
+    qcChain(iters, lr) + s""",
+      scored AS (SELECT CAST(y AS BIGINT) AS y,
+                   least(CAST(floor((1.0/(1.0+exp(-($qcDot)))) * 10.0) AS INT),
+                     9) AS bin,
+                   CAST(round((1.0/(1.0+exp(-($qcDot)))) * 1000000.0, 0)
+                     AS BIGINT) AS q
+                 FROM f, w$iters),
+      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS nk,
+              CAST(sum(CAST(q AS HUGEINT)) AS HUGEINT) AS sp,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS spp,
+              CAST(sum(CAST(q AS HUGEINT) * y) AS HUGEINT) AS spy
+            FROM scored GROUP BY bin),
+      t AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+                   CAST(sum(sy) AS BIGINT) AS sytot
+            FROM b),
+      terms AS (SELECT n, sytot, spp, spy,
+                  CAST(round((CAST(sp AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE)
+                      - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+                    * (CAST(sp AS DOUBLE) / 1000000.0 / CAST(nk AS DOUBLE)
+                      - CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE))
+                    * CAST(nk AS DOUBLE) * 1000000000000.0, 0) AS BIGINT) AS relq,
+                  CAST(round((CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                      - CAST(sytot AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                      - CAST(sytot AS DOUBLE) / CAST(n AS DOUBLE))
+                    * CAST(nk AS DOUBLE) * 1000000000000.0, 0) AS BIGINT) AS resq
+                FROM b CROSS JOIN t)
+      SELECT n AS n_docs,
+             round((CAST(sum(spp) AS DOUBLE) - 2000000.0 * CAST(sum(spy) AS DOUBLE)
+               + 1000000000000.0 * CAST(sytot AS DOUBLE))
+               / (1000000000000.0 * CAST(n AS DOUBLE)), 6) AS brier,
+             round(CAST(sytot AS DOUBLE) / CAST(n AS DOUBLE)
+               * (1.0 - CAST(sytot AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS uncertainty,
+             round(CAST(sum(relq) AS DOUBLE)
+               / (1000000000000.0 * CAST(n AS DOUBLE)), 6) AS reliability,
+             round(CAST(sum(resq) AS DOUBLE)
+               / (1000000000000.0 * CAST(n AS DOUBLE)), 6) AS resolution
+      FROM terms GROUP BY n, sytot"""
+
   private val qcDot = "a*f0+b*f1+c*f2+d*f3+e*f4"
 
   /** The shared WITH-chain: features, n, and one MATERIALIZED
@@ -2029,6 +2080,7 @@ object SparkEntry {
     "eval_auc_by_lang" -> qcAucByLangSql(iters = 50, lr = "5.0"),
     "eval_lift_classifier" -> qcLiftSql(iters = 50, lr = "5.0"),
     "eval_calibration_classifier" -> qcCalibrationSql(iters = 50, lr = "5.0"),
+    "eval_brier_classifier" -> qcBrierSql(iters = 50, lr = "5.0"),
 
     // DSIR log-importance weights over md5-bucketed unigram features
     "pipeline_dsir_weights" -> """

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -943,6 +944,71 @@ object Pipeline {
           count(lit(1)).cast("double"), 6).as("mean_pred"),
         round(sum(col("y").cast("long")).cast("double") /
           count(lit(1)).cast("double"), 6).as("pos_rate"))
+  }
+
+  /** Brier score with the Murphy decomposition — the proper-scoring
+    * companion to [[classifierAuc]] (ranking) and
+    * [[classifierCalibration]] (the reliability diagram's rows):
+    * brier = mean (p − y)², split over the same 10 probability bins
+    * into REL − RES + UNC (reliability: how far bin-mean predictions
+    * sit from bin outcome rates; resolution: how much bin outcome
+    * rates spread from the base rate; uncertainty: the base rate's own
+    * variance). One number each for "is the model sharp" and "is it
+    * honest" — the pair a quality-classifier release gate reports.
+    *
+    * Exactness: predictions quantize to millionth longs (the
+    * calibration row's q); the brier numerator is a pure integer
+    * DECIMAL sum, and each bin's REL/RES term evaluates as ONE
+    * fixed-order double expression quantized to an integer picounit
+    * BEFORE the cross-bin sum (the alignment/uniformity discipline:
+    * never sum raw doubles across rows). One final division each,
+    * rounded 6. Scale: one scan → ≤10-bin rollup → 1-row fold.
+    * Output: (n_docs, brier, uncertainty, reliability, resolution).
+    */
+  def classifierBrier(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+    val w = trainedWeights(spark, dir, iters, lr)
+    val sig = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
+    val dec = DecimalType(38, 0)
+    val scored = classifierFeatures(spark, dir)
+      .select(col("y").cast("long").as("y"),
+        least(floor(sig * 10.0).cast("int"), lit(9)).as("bin"),
+        round(sig * 1000000.0, 0).cast("long").as("q"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"),
+        sum(col("q").cast(dec)).as("sp"),
+        sum(col("y")).as("sy"),
+        sum((col("q") * col("q")).cast(dec)).as("spp"),
+        sum((col("q") * col("y")).cast(dec)).as("spy"))
+    val tot = bins.agg(sum(col("nk")).as("n"), sum(col("sy")).as("sytot"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("sytot"), col("nk"), col("sp"), col("sy"),
+        col("spp"), col("spy"),
+        round((col("sp").cast("double") / 1e6 / col("nk").cast("double")
+            - col("sy").cast("double") / col("nk").cast("double"))
+          * (col("sp").cast("double") / 1e6 / col("nk").cast("double")
+            - col("sy").cast("double") / col("nk").cast("double"))
+          * col("nk").cast("double") * 1e12, 0).cast("long").as("relq"),
+        round((col("sy").cast("double") / col("nk").cast("double")
+            - col("sytot").cast("double") / col("n").cast("double"))
+          * (col("sy").cast("double") / col("nk").cast("double")
+            - col("sytot").cast("double") / col("n").cast("double"))
+          * col("nk").cast("double") * 1e12, 0).cast("long").as("resq"))
+      .groupBy(col("n"), col("sytot"))
+      .agg(sum(col("spp")).as("sppt"), sum(col("spy")).as("spyt"),
+        sum(col("relq")).as("relt"), sum(col("resq")).as("rest"))
+      .select(col("n").as("n_docs"),
+        round((col("sppt").cast("double")
+            - lit(2e6) * col("spyt").cast("double")
+            + lit(1e12) * col("sytot").cast("double"))
+          / (lit(1e12) * col("n").cast("double")), 6).as("brier"),
+        round(col("sytot").cast("double") / col("n").cast("double")
+          * (lit(1.0) - col("sytot").cast("double")
+            / col("n").cast("double")), 6).as("uncertainty"),
+        round(col("relt").cast("double")
+          / (lit(1e12) * col("n").cast("double")), 6).as("reliability"),
+        round(col("rest").cast("double")
+          / (lit(1e12) * col("n").cast("double")), 6).as("resolution"))
   }
 
   def kSamplePerGroup(spark: SparkSession, dir: String,

@@ -475,4 +475,23 @@ class PipelineSpec extends SparkSpec {
     }
     assert(covered(lastSeq.toInt) == total - lastSeq * budget)
   }
+
+  test("Brier score: bounds, Murphy identity within binning slack") {
+    val row = graft.operators.Pipeline.classifierBrier(spark, sf0001).head()
+    val (n, brier, unc, rel, res) = (row.getLong(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(n > 0)
+    assert(brier >= 0.0 && brier <= 1.0)
+    assert(unc >= 0.0 && unc <= 0.25 + 1e-9) // p(1-p) peaks at 0.25
+    assert(rel >= 0.0 && res >= 0.0)
+    assert(res <= unc + 1e-6, "resolution cannot exceed uncertainty")
+    // REL − RES + UNC equals the brier computed from BINNED
+    // predictions; the gap to the unbinned brier is the within-bin
+    // prediction variance — small for 10 bins, never negative-large
+    val gap = brier - (rel - res + unc)
+    assert(math.abs(gap) <= 0.02, s"Murphy identity gap $gap")
+    // a trained model must beat the climatological forecaster (whose
+    // brier IS the uncertainty term)
+    assert(brier < unc, s"brier $brier not better than base rate $unc")
+  }
 }
