@@ -515,6 +515,10 @@ object SparkEntry {
     // average-hash over decoded pixels -> bucket dedup; the oracle
     // derives the same groups decoder-free from exact-text identity
     "multimodal_phash_dedup" -> Multimodal.phashDedupGroups _,
+    // PNG container metadata parsed from the real encoded binaries
+    // (IHDR at fixed offsets, no pixel decode); oracle derives the
+    // dims codec-free from the same n_chars arithmetic
+    "multimodal_png_meta" -> Multimodal.pngMetaQuery _,
     // REAL audio codec leg: synthesize -> WAV encode (AudioSystem) ->
     // PCM decode -> 64-window energy fingerprint over DECODED samples
     // -> bucket dedup; decoder-free oracle via title identity
@@ -3385,6 +3389,17 @@ object SparkEntry {
       FROM documents
       GROUP BY array_to_string(string_split(text, ' ')[1:3], ' ')
       HAVING count(*) > 1""",
+
+    // codec-free expectation for the IHDR parse: dims follow the same
+    // n_chars arithmetic the renderer used; truecolor 8-bit is the
+    // declared encode contract
+    "multimodal_png_meta" -> """
+      SELECT doc_id AS media_id,
+             CAST((n_chars % 24) + 8 AS INT) AS width,
+             CAST((n_chars % 17) + 8 AS INT) AS height,
+             CAST(8 AS INT) AS bit_depth,
+             CAST(2 AS INT) AS color_type
+      FROM documents""",
 
     // same decoder-free title-identity argument as the image leg: the
     // WAV render is injective per title and 16-bit PCM is lossless, so

@@ -208,18 +208,24 @@ object Multimodal {
       * and encode it as a real PNG. Same seed bytes => bit-identical
       * pixels; PNG is lossless, so decode returns them exactly.
       */
-    def renderPng(seed: Array[Byte]): Array[Byte] = {
+    def renderPng(seed: Array[Byte]): Array[Byte] =
+      renderPngSized(seed, 16, 16)
+
+    /** [[renderPng]] at arbitrary dimensions (the metadata-extraction
+      * row renders per-doc sizes so IHDR parsing is non-vacuous).
+      */
+    def renderPngSized(seed: Array[Byte], w: Int, h0: Int): Array[Byte] = {
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < seed.length) {
         h ^= (seed(i) & 0xffL); h *= 0x100000001b3L; i += 1
       }
       val r = new java.util.Random(h)
-      val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+      val img = new BufferedImage(w, h0, BufferedImage.TYPE_INT_RGB)
       var y = 0
-      while (y < 16) {
+      while (y < h0) {
         var x = 0
-        while (x < 16) {
+        while (x < w) {
           img.setRGB(x, y, r.nextInt(1 << 24)); x += 1
         }
         y += 1
@@ -271,6 +277,54 @@ object Multimodal {
       }
       hash
     }
+  }
+
+  /** Parse the IHDR metadata out of a raw PNG byte stream WITHOUT
+    * decoding pixels — the catalog-ingest operation a media pipeline
+    * runs over every object before deciding what to decode at all
+    * (dimensions, bit depth, color type straight from the container
+    * header). Pure binary parsing: the 8-byte signature, then the
+    * IHDR chunk's big-endian fields at fixed offsets (PNG spec
+    * ISO/IEC 15948 §11.2.2). Returns (width, height, bitDepth,
+    * colorType).
+    */
+  def pngHeader(png: Array[Byte]): (Int, Int, Int, Int) = {
+    require(png.length >= 26 &&
+      (png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G', "not a PNG stream")
+    def be32(o: Int): Int =
+      ((png(o) & 0xff) << 24) | ((png(o + 1) & 0xff) << 16) |
+        ((png(o + 2) & 0xff) << 8) | (png(o + 3) & 0xff)
+    require(png(12) == 'I' && png(13) == 'H' && png(14) == 'D' &&
+      png(15) == 'R', "first chunk is not IHDR")
+    (be32(16), be32(20), png(24) & 0xff, png(25) & 0xff)
+  }
+
+  /** Declared query: PNG container metadata extracted from the real
+    * encoded BINARIES — per document, a genuine variable-size PNG
+    * (width = n_chars mod 24 + 8, height = n_chars mod 17 + 8,
+    * seeded from the title) renders, encodes, and has its IHDR header
+    * parsed back WITHOUT pixel decode. The oracle derives the expected
+    * dimensions from the same n_chars arithmetic with no codec at all
+    * — so a broken encoder (wrong dims, wrong color declaration) or a
+    * broken parser (endianness, offsets) fails the hash gate. Map-only
+    * fused with the scan; payloads never shuffle. Output: (media_id,
+    * width, height, bit_depth, color_type).
+    */
+  def pngMetaQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        val title = text.split(" ").take(3).mkString(" ")
+        val w = (nChars % 24).toInt + 8
+        val h = (nChars % 17).toInt + 8
+        val png = ImageCodec.renderPngSized(title.getBytes("UTF-8"), w, h)
+        val (pw, ph, depth, color) = pngHeader(png)
+        (id, pw, ph, depth, color)
+      }
+      .toDF("media_id", "width", "height", "bit_depth", "color_type")
   }
 
   /** Real-PNG media table: one genuine PNG per document, rendered

@@ -182,4 +182,19 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("IHDR parse reads real container headers at arbitrary sizes") {
+    for ((w, h) <- Seq((8, 8), (31, 9), (16, 24))) {
+      val png = Multimodal.ImageCodec.renderPngSized(
+        s"t$w x$h".getBytes("UTF-8"), w, h)
+      val (pw, ph, depth, color) = Multimodal.pngHeader(png)
+      assert((pw, ph) == (w, h), s"dims ($pw,$ph) != ($w,$h)")
+      assert(depth == 8 && color == 2, s"depth=$depth color=$color")
+    }
+    // a non-PNG stream is rejected, not misparsed
+    intercept[IllegalArgumentException] {
+      Multimodal.pngHeader("RIFFxxxxWAVE not a png at all".getBytes)
+    }
+    ()
+  }
 }
