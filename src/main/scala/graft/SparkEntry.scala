@@ -731,6 +731,10 @@ object SparkEntry {
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     // corpus curation: per-source average quality (exact micro-units)
     "text_quality_by_source" -> TextOps.qualityBySource _,
+    // per-source quantile normalization (tie-averaged mid-rank over
+    // the grid-bounded distinct-score cells; one division per row)
+    "text_quality_quantile_norm" ->
+      ((s, d) => TextOps.qualityQuantileNorm(s, d)),
     // co-purchase graph: ordered-edge triangle census
     "graph_triangles" -> ((s, d) => GraphOps.triangleCensus(s, d)),
     // single-source BFS distances over the co-purchase graph
@@ -2295,6 +2299,36 @@ object SparkEntry {
              round(CAST(sum(qmicro) AS DOUBLE) / count(*) / 1000000.0, 6)
                AS avg_quality
       FROM q GROUP BY 1""",
+
+    // mid-rank quantile per (source, q6) cell: doubled-rank integers,
+    // one division, rounded 6 — identical arithmetic to the Spark side
+    "text_quality_quantile_norm" -> """
+      WITH q0 AS (
+        SELECT doc_id, source,
+          CAST(round((least(len(list_filter(w, t -> list_contains(
+                ['the','a','of','and','to','in','on'], t)))
+              / CAST(len(w) AS DOUBLE) * 2.0, 1.0) * 0.4
+            + length(regexp_replace(text, '[^a-z]', '', 'g'))
+              / CAST(length(text) AS DOUBLE) * 0.3
+            + least(len(w) / 50.0, 1.0) * 0.3) * 1000000)
+            AS BIGINT) AS q6
+        FROM (SELECT doc_id, source, text, string_split(text, ' ') AS w
+              FROM documents)),
+      cells AS (SELECT source, q6, CAST(count(*) AS BIGINT) AS cnt
+                FROM q0 GROUP BY 1, 2),
+      ranked AS (SELECT source, q6, cnt,
+                   coalesce(CAST(sum(cnt) OVER (PARTITION BY source
+                     ORDER BY q6 ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING) AS BIGINT), 0) AS prev
+                 FROM cells),
+      ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             FROM q0 GROUP BY 1)
+      SELECT q0.doc_id, q0.source,
+             round(q0.q6 / 1000000.0, 6) AS quality,
+             round(CAST(2 * r.prev + r.cnt + 1 AS DOUBLE)
+               / CAST(2 * ns.n AS DOUBLE), 6) AS qnorm
+      FROM q0 JOIN ranked r ON q0.source = r.source AND q0.q6 = r.q6
+      JOIN ns ON q0.source = ns.source""",
 
     // the same recursive cluster CTEs, extended by the per-cluster
     // keep-best election (max n_chars, tie min doc_id)

@@ -3,6 +3,7 @@ package graft.operators
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -143,6 +144,42 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("qmicro")).cast("double") / count(lit(1)) / 1e6, 6)
           .as("avg_quality"))
+  }
+
+  /** Per-source QUANTILE NORMALIZATION of the quality score — the
+    * score-calibration step a mixing pipeline runs before comparing or
+    * thresholding scores ACROSS heterogeneous sources (each source's
+    * raw score distribution differs; its empirical quantile is the
+    * comparable unit). Every doc maps to its tie-averaged mid-rank
+    * quantile within its source: qnorm = (2·prev + cnt + 1) / (2·n) —
+    * the Mann-Whitney doubled-rank trick, so the numerator is an exact
+    * integer and ONE division runs per row, rounded 6.
+    *
+    * Scale shape: ranks compute over the per-source DISTINCT quantized
+    * score cells (grid-bounded, ≤1e6+1 rows per source regardless of
+    * corpus size) under a source-PARTITIONED window — keyed, never a
+    * global single-reducer order — then join back to the doc scan on
+    * (source, q6) with the |sources|-row count relation broadcast.
+    * Output: (doc_id, source, quality, qnorm).
+    */
+  def qualityQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(qualityOf(col("text"), w) * 1e6, 0).cast("long").as("q6"))
+    val cells = base.groupBy(col("source"), col("q6"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = Window.partitionBy(col("source")).orderBy(col("q6"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("prev", coalesce(sum(col("cnt")).over(win), lit(0L)))
+    val ns = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    base.join(ranked, Seq("source", "q6"))
+      .join(broadcast(ns), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        round(col("q6") / 1e6, 6).as("quality"),
+        round((lit(2L) * col("prev") + col("cnt") + 1L).cast("double")
+          / (lit(2L) * col("n")).cast("double"), 6).as("qnorm"))
   }
 
   /** Stopword-profile language voting. Profiles are fixed tiny lists; the

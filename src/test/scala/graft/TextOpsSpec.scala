@@ -967,4 +967,28 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
     assert(rows.toSet == again.toSet)
   }
+
+  test("quantile norm: mid-rank identities hold exactly per source") {
+    val rows = TextOps.qualityQuantileNorm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      val n = g.length
+      g.foreach { case (id, _, _, qn) =>
+        assert(qn > 0.0 && qn <= 1.0, s"$src/$id qnorm $qn out of range") }
+      // mid-ranks always sum to n(n+1)/2 whatever the ties, so the
+      // qnorm mean is exactly (n+1)/(2n) up to per-row rounding
+      val mean = g.map(_._4).sum / n
+      val want = (n + 1).toDouble / (2.0 * n)
+      assert(math.abs(mean - want) < 1e-5, s"$src mean $mean != $want")
+      // monotone in quality; equal scores share one quantile
+      g.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._4 + 1e-12, s"$src not monotone at ${b._1}")
+          if (a._3 == b._3)
+            assert(a._4 == b._4, s"$src tie split at ${b._1}")
+        case _ => ()
+      }
+    }
+  }
 }
