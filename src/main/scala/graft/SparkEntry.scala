@@ -700,6 +700,11 @@ object SparkEntry {
     // α=0.5 temperature token-budget allocation per source (the
     // data-mixing sheet); micro-quantized sqrt weights, exact shares
     "pipeline_mixture_plan" -> ((s, d) => Pipeline.mixturePlan(s, d)),
+    // the same allocation sheet computed AFTER exact dedup — the
+    // weights a release actually trains from (duplicate tokens train
+    // nothing; raw masses over-credit re-crawling sources)
+    "pipeline_mixture_dedup" ->
+      ((s, d) => Pipeline.mixturePlanDeduped(s, d)),
     // strongest adjacent-word associations by micro-quantized PMI —
     // tokenizer-merge / boilerplate-phrase candidates
     "text_pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
@@ -3538,6 +3543,28 @@ object SparkEntry {
                         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                           AS n_tokens
                  FROM documents GROUP BY 1),
+      w AS (SELECT source, n_docs, n_tokens,
+                   CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                        AS BIGINT) AS qw
+            FROM s),
+      t AS (SELECT CAST(sum(qw) AS BIGINT) AS tw FROM w)
+      SELECT source, n_docs, n_tokens,
+             round(CAST(qw AS DOUBLE) / tw, 6) AS share,
+             CAST(round((100000.0 * qw) / tw) AS BIGINT) AS sampled_tokens,
+             round(((100000.0 * qw) / tw) / CAST(n_tokens AS DOUBLE), 6)
+               AS epochs
+      FROM w CROSS JOIN t""",
+
+    // identical plan over the exact-dedup survivors (min doc_id per
+    // md5(text))
+    "pipeline_mixture_dedup" -> """
+      WITH ex AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY md5(text)),
+      d AS (SELECT doc.* FROM documents doc JOIN ex USING (doc_id)),
+      s AS (SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM d GROUP BY 1),
       w AS (SELECT source, n_docs, n_tokens,
                    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
                         AS BIGINT) AS qw

@@ -129,8 +129,31 @@ object Pipeline {
     * epochs).
     */
   def mixturePlan(spark: SparkSession, dir: String,
+      budgetTokens: Long = 100000L): DataFrame =
+    mixturePlanOf(Tables.documents(spark, dir), budgetTokens)
+
+  /** [[mixturePlan]] over the EXACT-DEDUPED corpus — the allocation
+    * sheet a release actually trains from: raw per-source token masses
+    * over-credit the sources that re-crawl the same pages (their
+    * duplicate tokens train nothing), so the mixing weights must be
+    * computed AFTER dedup. One md5 rollup picks the min-doc_id
+    * survivor per distinct text, then the same α=0.5 plan runs on the
+    * survivors; comparing this row against `pipeline_mixture_plan`
+    * shows exactly how much each source's share was duplicate
+    * inflation.
+    */
+  def mixturePlanDeduped(spark: SparkSession, dir: String,
       budgetTokens: Long = 100000L): DataFrame = {
-    val perSource = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val survivors = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+    mixturePlanOf(survivors, budgetTokens)
+  }
+
+  private def mixturePlanOf(docs: DataFrame,
+      budgetTokens: Long): DataFrame = {
+    val perSource = docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
