@@ -224,6 +224,10 @@ object SparkEntry {
     // (both approximate-index introspection -> rows-only, spec-gated)
     "knn_hnsw_stats" -> ((s, d) => HnswKnn.indexStats(s, d)),
     "eval_hnsw_ef_sweep" -> ((s, d) => Evaluation.hnswEfSweep(s, d)),
+    // re-rank depth (overfetch) curve for the PQ family — the third
+    // tuning surface after ef and beam; literal-pinned like its twins
+    "eval_pq_overfetch_sweep" ->
+      ((s, d) => Evaluation.pqOverfetchSweep(s, d)),
     // the beam-width (L) operating curve on the Vamana graphs — the
     // flagship family's ef-sweep twin (literal-pinned + spec-gated)
     "eval_vamana_beam_sweep" ->
@@ -2595,6 +2599,11 @@ object SparkEntry {
 
     "eval_hnsw_ef_sweep" -> """
       SELECT * FROM (VALUES (10,CAST(1.0 AS DOUBLE)), (100,CAST(1.0 AS DOUBLE)), (50,CAST(1.0 AS DOUBLE))) AS t("ef", "recall")""",
+
+    // literal pin (fresh-JVM bit-stable, the sweep-twin discipline):
+    // the re-rank depth curve 0.672 -> 0.952 -> 1.0 at sf0.01
+    "eval_pq_overfetch_sweep" -> """
+      SELECT * FROM (VALUES (1,CAST(0.672 AS DOUBLE)), (16,CAST(1.0 AS DOUBLE)), (4,CAST(0.952 AS DOUBLE))) AS t("overfetch", "recall")""",
 
     "knn_hnsw_stats" -> """
       SELECT * FROM (VALUES (0,30,2,688,700,CAST(22.933333 AS DOUBLE)), (1,30,2,688,724,CAST(22.933333 AS DOUBLE)), (10,30,3,688,784,CAST(22.933333 AS DOUBLE)), (11,29,2,656,686,CAST(22.62069 AS DOUBLE)), (12,29,1,656,698,CAST(22.62069 AS DOUBLE)), (13,29,1,656,676,CAST(22.62069 AS DOUBLE)), (14,29,2,656,676,CAST(22.62069 AS DOUBLE)), (15,29,2,656,698,CAST(22.62069 AS DOUBLE)), (2,30,3,688,704,CAST(22.933333 AS DOUBLE)), (3,30,1,688,708,CAST(22.933333 AS DOUBLE)), (4,30,2,688,710,CAST(22.933333 AS DOUBLE)), (5,30,3,688,736,CAST(22.933333 AS DOUBLE)), (6,30,2,688,730,CAST(22.933333 AS DOUBLE)), (7,30,2,688,760,CAST(22.933333 AS DOUBLE)), (8,30,1,688,708,CAST(22.933333 AS DOUBLE)), (9,30,2,688,730,CAST(22.933333 AS DOUBLE))) AS t("shard", "n_nodes", "max_level", "l0_edges", "total_edges", "l0_mean_degree")""",

@@ -154,4 +154,24 @@ object Evaluation {
         .select(lit(l).as("beam"), col("recall"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Re-rank depth (overfetch) operating curve for the PQ family —
+    * the third tuning surface after HNSW's ef and Vamana's beam: the
+    * ADC scan keeps `overfetch`·k coarse candidates per query and the
+    * exact leg re-ranks them, so recall climbs with depth while the
+    * re-rank cost grows linearly. The curve a deployment reads to pick
+    * the smallest depth that hits its recall SLO. Codes and ground
+    * truth are dataset-memoized; each point is one scan+re-rank pass.
+    * Output: (overfetch, recall), one row per swept depth.
+    */
+  def pqOverfetchSweep(spark: SparkSession, dir: String,
+      ofs: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
+    val exact = graft.knn.ExactKnn.topKBatch(spark, dir)
+      .select("qid", "vec_id")
+    ofs.map { of =>
+      recall(graft.knn.PqKnn.topKBatch(spark, dir, overfetch = of)
+        .select("qid", "vec_id"), exact)
+        .select(lit(of).as("overfetch"), col("recall"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -89,4 +89,17 @@ class EvaluationSpec extends SparkSpec {
     assert(mrr >= 0.85, s"hnsw MRR $mrr below 0.85")
     assert(ndcg >= 0.85, s"hnsw nDCG $ndcg below 0.85")
   }
+
+  test("pq overfetch sweep: recall climbs with re-rank depth to >= 0.95") {
+    val curve = Evaluation.pqOverfetchSweep(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(curve.map(_._1).sameElements(Array(1, 4, 16)))
+    curve.sliding(2).foreach {
+      case Array((_, r1), (of2, r2)) =>
+        assert(r2 >= r1, s"recall fell at overfetch $of2: $r2 < $r1")
+      case _ => ()
+    }
+    assert(curve.last._2 >= 0.95,
+      s"deep re-rank recall ${curve.last._2} below gate")
+  }
 }

@@ -42,6 +42,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "pipeline_dsir_weights",      // 1-row distribution totals attach
     "stats_psi_by_source",        // 1-row corpus-total attach
     "pipeline_mixture_plan",      // 1-row total-weight attach
+    "pipeline_mixture_dedup",     // same attach over the deduped corpus
     "text_pmi_collocations",      // 1-row bigram-total attach
     "graph_degree_distribution",  // 1-row node-total attach
     "stats_ks_quality",           // 1-row (n_a, n_b) totals attach
