@@ -510,4 +510,44 @@ class EventStreamSpec extends SparkSpec {
     // and the config switch routes: non-kafka stays on the file source
     assert(spark.conf.getOption("spark.graft.stream.format").isEmpty)
   }
+
+  test("watermark discipline: late rows are dropped, COUNTED in the " +
+      "progress metrics, and the sink stays correct") {
+    import spark.implicits._
+    // an hour-gapped session stream: batch 1 delivers two on-time
+    // events; batch 2's far-future sentinel advances the watermark past
+    // them; batch 3 delivers a LATE event (behind the watermark) that
+    // a correct engine must drop — and report dropping
+    val t0 = 1700000000000L
+    def ev(id: Long, offMin: Long, uid: Long) =
+      Ev(id, new java.sql.Timestamp(t0 + offMin * 60000L), uid, "click", 1.0)
+    val source = MemoryStream[Ev](spark, numPartitions = 1)
+    val q = EventStream.sessionWindowAgg(source.toDS().toDF(),
+        "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("late_drop_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-late").toString)
+      .start()
+    try {
+      source.addData(ev(1, 0, 7L), ev(2, 5, 7L))
+      q.processAllAvailable()
+      source.addData(ev(99, 10000, 999999L)) // watermark -> far future
+      q.processAllAvailable()
+      source.addData(ev(3, 10, 7L)) // LATE: behind the watermark
+      q.processAllAvailable()
+      val dropped = q.lastProgress.stateOperators
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 1L,
+        s"expected exactly the late row dropped, metrics say $dropped")
+    } finally q.stop()
+    // the emitted session for user 7 contains ONLY the on-time events
+    val rows = spark.table("late_drop_stream")
+      .filter(col("user_id") === 7L)
+      .select("n_events", "sum_value").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 2L,
+      s"late row leaked into the session: ${rows.head}")
+    spark.catalog.dropTempView("late_drop_stream")
+  }
 }
