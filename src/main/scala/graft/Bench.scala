@@ -137,6 +137,10 @@ object Bench {
         () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()),
       timed("bench_build_clusters",
         () => operators.Dedup.nearDupClusters(spark, sfDir).count()),
+      // the composed curation manifest materializes once per dataset
+      // (the release artifact both pipeline_end_to_end rows read)
+      timed("bench_build_e2e",
+        () => operators.Pipeline.endToEndManifest(spark, sfDir).count()),
       timed("bench_build_copurchase",
         () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()
           + operators.GraphOps.bidirAdjacency(spark, sfDir).count()

@@ -726,7 +726,7 @@ object SparkEntry {
     // keep-best (memoized clusters) -> per-lang quality gate ->
     // tokenize -> fused curriculum rank + sequence packing (one range
     // layout) -> shard assignment, under one plan and one hash gate
-    "pipeline_end_to_end" -> ((s, d) => Pipeline.endToEndCuration(s, d)),
+    "pipeline_end_to_end" -> ((s, d) => Pipeline.endToEndManifest(s, d)),
     // its final shard-balance manifest rolled up from the same
     // composed relation
     "pipeline_end_to_end_shards" ->

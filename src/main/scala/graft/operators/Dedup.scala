@@ -57,6 +57,19 @@ object Dedup {
       .select("doc_id", "keeper_id", "group_size")
   }
 
+  /** The exact-dedup SURVIVOR relation over an arbitrary (doc_id,
+    * text, ...) frame: one doc (min doc_id) per distinct text, full
+    * rows. THE corpus-wide "same document" key defined once —
+    * consumers (the mixture sheet, the curation flagship) share this
+    * helper so a future key change (e.g. text normalization before
+    * hashing) can never desynchronize them. 16-byte hashes shuffle;
+    * text never does.
+    */
+  def exactSurvivors(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text").cast("binary")).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .join(docs, Seq("doc_id"))
+
   /** Distinct word 3-grams, computed once per doc in the JVM. Identical
     * output to [[grams3]]; exists because Catalyst inlines the full
     * `split(text)` tree into every element_at inside the HOF lambda and

@@ -211,30 +211,11 @@ object GraftOps {
     */
   def globalPrefixSum(df: DataFrame, orderCols: Seq[(String, Boolean)],
       valueCol: String, sumName: String = "prefix_sum",
-      exclusive: Boolean = true, partitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val p = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ordered = rangeOrdered(df, orderCols, p)
-    val vIdx = ordered.schema.fieldIndex(valueCol)
-    val rdd = persistOrdered(ordered.rdd)
-    val (offsets, _) = partitionOffsets(rdd, it => {
-      var s = 0L; while (it.hasNext) { s += it.next().getLong(vIdx) }; s
-    })
-    val bc = spark.sparkContext.broadcast(offsets)
-    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = bc.value(i)
-      it.map { row =>
-        val v = row.getLong(vIdx)
-        val out = if (exclusive) acc else acc + v
-        acc += v
-        Row.fromSeq(row.toSeq :+ out)
-      }
-    }
-    val schema = StructType(ordered.schema.fields :+
-      StructField(sumName, LongType, nullable = false))
-    spark.createDataFrame(stamped, schema)
-  }
+      exclusive: Boolean = true, partitions: Int = 0): DataFrame =
+    // the single-column form IS the fused form at width 1 — one
+    // implementation of the subtle offset/stamping machinery
+    globalPrefixSums(df, orderCols, Seq(valueCol), Seq(sumName),
+      exclusive, partitions)
 
   /** [[globalPrefixSum]] over SEVERAL value columns in ONE range
     * layout and ONE stamping pass — the fused form for consumers that

@@ -157,7 +157,7 @@ class KnnDataSourceSpec extends SparkSpec {
     assert(lim.collect().length == 7)
     // an order over an expression is declined and still answers right
     val expr = spark.sql("""SELECT vec_id FROM knn_v2_topn
-                            WHERE qid = 475 ORDER BY dist * 2 LIMIT 3""")
+                            WHERE qid = 475 ORDER BY dist * 2, vec_id LIMIT 3""")
     assert(!expr.queryExecution.executedPlan.toString.contains("topNPushed"))
     assert(expr.collect().map(_.getLong(0)).toSeq == expect.take(3))
   }
