@@ -43,6 +43,52 @@ object GraftOps {
       .sortWithinPartitions(sortExprs: _*)
   }
 
+  /** The range-ordered layout as an `InternalRow` RDD + its schema —
+    * the primitives stay on UnsafeRows end to end (one buffer copy per
+    * row for the persist) instead of round-tripping every field
+    * through boxed external Rows on both the way out AND the way back
+    * in. Partition index i is range bucket i, exactly as with `.rdd`.
+    */
+  private def rangeOrderedInternal(df: DataFrame,
+      orderCols: Seq[(String, Boolean)], partitions: Int)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+        StructType) = {
+    val ordered = rangeOrdered(df, orderCols, partitions)
+    (ordered.queryExecution.toRdd.map(_.copy()), ordered.schema)
+  }
+
+  /** Stamp `nExtra` long columns onto every row of a partition through
+    * one reusable UnsafeProjection — `fill(i, row, extra)` writes the
+    * per-row values into `extra` (a mutable buffer) as the iterator
+    * advances. The projection's output buffer is reused per row (the
+    * standard scan contract; buffering consumers copy).
+    */
+  private def stampedFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      inSchema: StructType, extraFields: Seq[StructField])(
+      fill: Int =>
+        (org.apache.spark.sql.catalyst.InternalRow => Array[Long]))
+      : DataFrame = {
+    val outSchema = StructType(inSchema.fields ++ extraFields)
+    val nExtra = extraFields.length
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outSchema)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nExtra)
+      val f = fill(i) // fresh stateful stamper per partition (no sharing)
+      it.map { row =>
+        val vals = f(row)
+        var j = 0
+        while (j < nExtra) { extra.update(j, vals(j)); j += 1 }
+        proj(joined(row, extra))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftColumn.ofInternal(spark, stamped, outSchema)
+  }
+
   /** Persisted range-ordered RDDs, bounded. Persisting the ordered
     * layout before the two jobs (subtotal, stamp) buys two guarantees
     * at the cost of one MEMORY_AND_DISK copy:
@@ -64,10 +110,11 @@ object GraftOps {
     * long-lived session (the 300-query Verify run) never accumulates
     * cached copies; a stale consumer past the bound silently recomputes.
     */
-  private val persistedOrders =
-    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[Row]]()
+  private val persistedOrders = new java.util.concurrent.ConcurrentLinkedQueue[
+    org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]()
   private def persistOrdered(
-      rdd: org.apache.spark.rdd.RDD[Row]): org.apache.spark.rdd.RDD[Row] = {
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedOrders.add(rdd)
     while (persistedOrders.size > 8) {
@@ -84,8 +131,10 @@ object GraftOps {
     * by cluster size, never data size), scanLeft turns them into start
     * offsets, and the array broadcasts back. Returns (offsets, total).
     */
-  private def partitionOffsets(rdd: org.apache.spark.rdd.RDD[Row],
-      subtotal: Iterator[Row] => Long): (Array[Long], Long) = {
+  private def partitionOffsets(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      subtotal: Iterator[org.apache.spark.sql.catalyst.InternalRow] => Long)
+      : (Array[Long], Long) = {
     val subs = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, subtotal(it))),
         preservesPartitioning = true)
@@ -110,23 +159,21 @@ object GraftOps {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ordered = rangeOrdered(df, orderCols, p)
-    val rdd = persistOrdered(ordered.rdd)
+    val (rdd0, inSchema) = rangeOrderedInternal(df, orderCols, p)
+    val rdd = persistOrdered(rdd0)
     val (offsets, total) = partitionOffsets(rdd, it => {
       var n = 0L; while (it.hasNext) { it.next(); n += 1L }; n
     })
     val bc = spark.sparkContext.broadcast(offsets)
-    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+    val extras = Seq(StructField(rankName, LongType, nullable = false)) ++
+      countName.map(StructField(_, LongType, nullable = false))
+    val nOut = 1 + countName.size
+    stampedFrame(spark, rdd, inSchema, extras) { i =>
       var r = bc.value(i)
-      it.map { row =>
-        r += 1L
-        Row.fromSeq(row.toSeq ++ (Seq(r) ++ countName.map(_ => total)))
-      }
+      val out = new Array[Long](nOut)
+      if (nOut > 1) out(1) = total
+      _ => { r += 1L; out(0) = r; out }
     }
-    val schema = StructType(ordered.schema.fields ++
-      (Seq(StructField(rankName, LongType, nullable = false)) ++
-        countName.map(StructField(_, LongType, nullable = false))))
-    spark.createDataFrame(stamped, schema)
   }
 
   /** [[globalRank]] and [[globalPrefixSum]] fused into ONE range
@@ -145,9 +192,9 @@ object GraftOps {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ordered = rangeOrdered(df, orderCols, p)
-    val vIdx = ordered.schema.fieldIndex(valueCol)
-    val rdd = persistOrdered(ordered.rdd)
+    val (rdd0, inSchema) = rangeOrderedInternal(df, orderCols, p)
+    val vIdx = inSchema.fieldIndex(valueCol)
+    val rdd = persistOrdered(rdd0)
     val subs = rdd.mapPartitionsWithIndex({ (i, it) =>
       var n = 0L; var s = 0L
       while (it.hasNext) { s += it.next().getLong(vIdx); n += 1L }
@@ -158,24 +205,26 @@ object GraftOps {
     val totalN = cntOff.last
     val totalS = sumOff.last
     val bc = spark.sparkContext.broadcast((cntOff, sumOff))
-    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+    val extras = Seq(StructField(rankName, LongType, nullable = false),
+      StructField(sumName, LongType, nullable = false)) ++
+      countName.map(StructField(_, LongType, nullable = false)) ++
+      totalName.map(StructField(_, LongType, nullable = false))
+    stampedFrame(spark, rdd, inSchema, extras) { i =>
       var rk = bc.value._1(i)
       var acc = bc.value._2(i)
-      it.map { row =>
+      val out = new Array[Long](extras.length)
+      var j = 2
+      countName.foreach { _ => out(j) = totalN; j += 1 }
+      totalName.foreach { _ => out(j) = totalS }
+      row => {
         val v = row.getLong(vIdx)
         rk += 1L
-        val out = if (exclusive) acc else acc + v
+        out(0) = rk
+        out(1) = if (exclusive) acc else acc + v
         acc += v
-        Row.fromSeq(row.toSeq ++ (Seq(rk, out) ++
-          countName.map(_ => totalN) ++ totalName.map(_ => totalS)))
+        out
       }
     }
-    val schema = StructType(ordered.schema.fields ++
-      (Seq(StructField(rankName, LongType, nullable = false),
-        StructField(sumName, LongType, nullable = false)) ++
-        countName.map(StructField(_, LongType, nullable = false)) ++
-        totalName.map(StructField(_, LongType, nullable = false))))
-    spark.createDataFrame(stamped, schema)
   }
 
   /** SQL `ntile(buckets)` reproduced by exact integer arithmetic from
@@ -232,9 +281,9 @@ object GraftOps {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ordered = rangeOrdered(df, orderCols, p)
-    val vIdx = valueCols.map(ordered.schema.fieldIndex).toArray
-    val rdd = persistOrdered(ordered.rdd)
+    val (rdd0, inSchema) = rangeOrderedInternal(df, orderCols, p)
+    val vIdx = valueCols.map(inSchema.fieldIndex).toArray
+    val rdd = persistOrdered(rdd0)
     val subs = rdd.mapPartitionsWithIndex({ (i, it) =>
       val s = new Array[Long](vIdx.length)
       while (it.hasNext) {
@@ -248,10 +297,11 @@ object GraftOps {
       acc.zip(s).map { case (a, b) => a + b }
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+    val extras = sumNames.map(StructField(_, LongType, nullable = false))
+    stampedFrame(spark, rdd, inSchema, extras) { i =>
       val acc = bc.value(i).clone()
-      it.map { row =>
-        val out = new Array[Any](vIdx.length)
+      val out = new Array[Long](vIdx.length)
+      row => {
         var j = 0
         while (j < vIdx.length) {
           val v = row.getLong(vIdx(j))
@@ -259,12 +309,9 @@ object GraftOps {
           acc(j) += v
           j += 1
         }
-        Row.fromSeq(row.toSeq ++ out)
+        out
       }
     }
-    val schema = StructType(ordered.schema.fields ++
-      sumNames.map(StructField(_, LongType, nullable = false)))
-    spark.createDataFrame(stamped, schema)
   }
 
   /** Top-k rows per group with a dense 1..k rank column, executed by

@@ -18,4 +18,13 @@ object GraftColumn {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** DataFrame straight from an `InternalRow` RDD (no external-Row
+    * round trip) — the fast re-entry for operators that compute on
+    * UnsafeRows outside Catalyst (the global-order primitives).
+    */
+  def ofInternal(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
