@@ -357,6 +357,9 @@ object SparkEntry {
     // per-doc duplicated-shingle coverage (Lee et al. 2022 substring
     // signal): linear-shape rollup on the memoized gram hashes
     "dedup_gram_coverage" -> ((s, d) => Dedup.gramCoverage(s, d)),
+    // corpus-level duplicated-gram histogram (memorization-risk
+    // fingerprint): grams at each document frequency >= 2
+    "dedup_gram_spectrum" -> ((s, d) => Dedup.gramFrequencySpectrum(s, d)),
     // exact substring-duplication spans (Lee et al. 2022): per doc,
     // tokens inside an 8-gram repeated verbatim in another document
     "dedup_substring_spans" -> ((s, d) => Dedup.substringSpans(s, d)),
@@ -1961,6 +1964,19 @@ object SparkEntry {
       SELECT doc_new, doc_corpus,
              round(shared / (na + nb - shared), 6) AS jaccard
       FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.9""",
+
+    // string-gram replay of the hash-side df histogram (same
+    // collision-surfacing argument as the coverage row)
+    "dedup_gram_spectrum" -> """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY 1)
+      SELECT df, CAST(count(*) AS BIGINT) AS n_grams
+      FROM d WHERE df >= 2 GROUP BY df""",
 
     // string-gram replay of the hash-side coverage rollup (a 64-bit
     // gram-hash collision on the Spark side would mismatch here)

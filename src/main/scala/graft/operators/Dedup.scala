@@ -164,6 +164,27 @@ object Dedup {
           .as("dup_coverage"))
   }
 
+  /** Duplicated-gram FREQUENCY SPECTRUM — the corpus-level histogram
+    * behind [[gramCoverage]]'s per-doc signal: for every word 3-gram
+    * occurring in ≥ 2 documents, how many distinct grams sit at each
+    * document frequency. The memorization-risk fingerprint of a corpus
+    * (Lee et al. 2022 framing at the aggregate level): a long high-df
+    * tail means boilerplate the model will see hundreds of times per
+    * epoch; the df=2 mass is near-dup residue. What a curation run
+    * reads to decide whether substring-level dedup is worth a pass.
+    *
+    * Scale: one partial-aggregated shuffle of the memoized 8-byte gram
+    * hashes for document frequencies, one |distinct df|-sized rollup —
+    * text never moves, no pair stage, output bounded by max df.
+    * Output: (df, n_grams), df ≥ 2.
+    */
+  def gramFrequencySpectrum(spark: SparkSession, dir: String): DataFrame =
+    gramHashSets(spark, dir)
+      .select(col("doc_id"), explode(col("ghashes")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+
   /** Sub-document (containment) near-dup pairs: doc pairs where the
     * SMALLER gram set is mostly inside the other —
     * `max(|A∩B|/|A|, |A∩B|/|B|) >= threshold`. Containment catches the

@@ -462,4 +462,16 @@ class DedupSpec extends SparkSpec {
     assert(out(2L)._2 == 0L)
     assert(out(3L) == ((2L, 0L)))
   }
+
+  test("gram spectrum ties out against coverage: Σ df·n_grams equals " +
+      "the total (doc, dup-gram) incidences") {
+    val spectrum = graft.operators.Dedup.gramFrequencySpectrum(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(spectrum.nonEmpty && spectrum.forall(_._1 >= 2))
+    val incidences = spectrum.map { case (df, n) => df * n }.sum
+    val fromCoverage = graft.operators.Dedup.gramCoverage(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_dup_grams")).head.getLong(0)
+    assert(incidences == fromCoverage,
+      s"spectrum incidences $incidences != coverage total $fromCoverage")
+  }
 }
