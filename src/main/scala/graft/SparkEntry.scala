@@ -447,6 +447,9 @@ object SparkEntry {
     "text_unigram_encode" -> ((s, d) => TextOps.unigramEncode(s, d)),
     // add-1 bigram LM: per-doc mean surprisal + perplexity
     "text_bigram_perplexity" -> ((s, d) => TextOps.bigramSurprisal(s, d)),
+    // interpolated Kneser-Ney bigram LM (the KenLM smoothing): per-doc
+    // mean surprisal + perplexity, D=0.75, all margins off the type table
+    "text_kneser_ney" -> ((s, d) => TextOps.kneserNeySurprisal(s, d)),
     // TF-IDF top-3 terms per doc; window order total -> auto bounded heap
     "text_tfidf_terms" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // inverted-index materialization: full df/cf stats + bounded-heap
@@ -473,6 +476,9 @@ object SparkEntry {
     "hybrid_mmr_topk" -> ((s, d) => HybridSearch.mmrTopK(s, d)),
     "sketch_distinct_ngrams" -> ((s, d) => TextOps.sketchDistinctNgrams(s, d)),
     "sketch_users_per_type" -> ((s, d) => TextOps.sketchDistinctUsers(s, d)),
+    // KMV set algebra: pairwise cross-source vocab overlap off one scan
+    // + |sources| mergeable sketches (vs the S^2 join); exact yardstick
+    "sketch_source_overlap" -> ((s, d) => TextOps.kmvSourceOverlap(s, d)),
     // the same KMV Aggregator invoked from pure SQL (registered UDAF)
     "sql_sketch_users" -> ((s, d) => TextOps.sqlSketchUsers(s, d)),
     // HLL++ built-in sketch twin: engine-internal hash -> rows-only,
@@ -2085,6 +2091,28 @@ object SparkEntry {
              round(exp(avg(nll)), 4) AS ppl
       FROM sc GROUP BY doc_id""",
 
+    // interpolated Kneser-Ney replay: identical margin rollups off the
+    // bigram-type table, identical left-assoc double arithmetic (D=0.75
+    // is exact in binary, so both engines evaluate the same tree)
+    "text_kneser_ney" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pr AS (SELECT doc_id,
+                    unnest([w[i] for i in range(1, len(w))]) AS w1,
+                    unnest([w[i+1] for i in range(1, len(w))]) AS w2
+             FROM d),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2),
+      cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw, count(*) AS n1f
+             FROM cb GROUP BY 1),
+      ct AS (SELECT w2, count(*) AS cont FROM cb GROUP BY 1),
+      b AS (SELECT count(*) AS b FROM cb),
+      sc AS (SELECT doc_id,
+                    -ln(((cb - 0.75) + 0.75 * n1f * cont / b) / cw) AS nll
+             FROM pr JOIN cb USING (w1, w2) JOIN cw USING (w1)
+                     JOIN ct USING (w2) CROSS JOIN b)
+      SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS kn_mean_nll,
+             round(exp(avg(nll)), 4) AS kn_ppl
+      FROM sc GROUP BY doc_id""",
+
     // the full A-ES draw replayed: same polyHash uniform, same rounded
     // key, same (key desc, doc_id) ranking
     "pipeline_weighted_sample" -> """
@@ -3044,6 +3072,46 @@ object SparkEntry {
                         ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
              CAST(exact AS BIGINT) AS exact_distinct
       FROM km""",
+    // full KMV set-algebra replay: per-source k-min sketches over the
+    // same portable hashes, the pair's combined k-min list L, the
+    // membership count m, and the identical rho * est(union) formula
+    "sketch_source_overlap" -> """
+      WITH h AS (SELECT DISTINCT source,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(t, ''),
+                  c -> CAST(unicode(c) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                  FROM documents)),
+      r AS (SELECT source, hv,
+              row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+            FROM h),
+      sk AS (SELECT source, hv FROM r WHERE rn <= 256),
+      srcs AS (SELECT DISTINCT source FROM documents),
+      pr AS (SELECT a.source AS sa, b.source AS sb
+             FROM srcs a JOIN srcs b ON a.source < b.source),
+      u AS (SELECT sa, sb, hv,
+              row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT pr.sa, pr.sb, s.hv
+                  FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb)),
+      l AS (SELECT sa, sb, hv FROM u WHERE rn <= 256),
+      mm AS (SELECT l.sa, l.sb, count(*) AS lsz,
+               count(*) FILTER (ka.hv IS NOT NULL AND kb.hv IS NOT NULL) AS m,
+               max(l.hv) AS hk
+             FROM l LEFT JOIN sk ka ON ka.source = l.sa AND ka.hv = l.hv
+                    LEFT JOIN sk kb ON kb.source = l.sb AND kb.hv = l.hv
+             GROUP BY 1, 2),
+      ex AS (SELECT a.source AS sa, b.source AS sb, count(*) AS exact_overlap
+             FROM h a JOIN h b ON a.hv = b.hv AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT mm.sa AS source_a, mm.sb AS source_b,
+             round(CAST(m AS DOUBLE) / lsz, 6) AS kmv_jaccard,
+             round((CAST(m AS DOUBLE) / lsz) *
+                   (CASE WHEN lsz < 256 THEN CAST(lsz AS DOUBLE)
+                         ELSE 255 * 1000000007.0 / hk END), 6) AS kmv_overlap,
+             COALESCE(ex.exact_overlap, 0) AS exact_overlap
+      FROM mm LEFT JOIN ex ON ex.sa = mm.sa AND ex.sb = mm.sb""",
+
     // identical grouped-KMV replay (the UDAF resolves to the same
     // Aggregator, so the SQL surface shares the oracle)
     "sql_sketch_users" -> """

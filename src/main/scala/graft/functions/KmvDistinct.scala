@@ -53,3 +53,32 @@ case class KmvDistinct(k: Int, p: Long = 1000000007L)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** The same KMV reduction, finishing with the SKETCH itself (the sorted
+  * k smallest distinct hashes) instead of the scalar estimate — the form
+  * set ALGEBRA needs: two groups' sketches combine into their union's
+  * sketch (merge), and the Beyer et al. (2007) ρ-estimator reads the
+  * intersection off the combined sketch ([[graft.operators.TextOps
+  * .kmvSourceOverlap]]). One |groups| × k-long matrix leaves the
+  * executors — never the value sets.
+  */
+case class KmvSketch(k: Int, p: Long = 1000000007L)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+
+  private val inner = KmvDistinct(k, p)
+
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], h: Long): Array[Long] = inner.reduce(b, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  /** The scalar estimate of a finished sketch (== [[KmvDistinct.finish]]). */
+  def estimate(b: Array[Long]): Double =
+    if (b.length < k) b.length.toDouble
+    else (k - 1).toDouble * p / b(k - 1)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

@@ -272,6 +272,62 @@ object TextOps {
         countDistinct(col("h")).as("exact_distinct"))
   }
 
+  /** Pairwise cross-source VOCABULARY overlap estimated by KMV set
+    * algebra (Beyer et al., SIGMOD 2007) — "how much do two corpus
+    * slices share" WITHOUT joining them: each source reduces to one
+    * k-long sketch of its distinct token hashes
+    * ([[graft.functions.KmvSketch]]); any pair's Jaccard and
+    * intersection size then read off the combined sketches driver-side:
+    * L = the k smallest of K_a ∪ K_b, m = |L ∩ K_a ∩ K_b|,
+    * ρ = m/|L|, |A∩B| ≈ ρ · est(A∪B).
+    *
+    * Why it matters at 100 TB: the overlap MATRIX of S sources costs
+    * ONE corpus scan plus S·k longs — the S² alternative joins every
+    * slice pair. The sketches are the same mergeable partial aggregates
+    * as [[sketchDistinctUsers]]'s, so new data folds in without
+    * re-scanning old. The exact yardstick column (a distinct-hash
+    * self-equi-join) is the fixture-scale audit the estimator is
+    * graded against — at scale only the sketch leg runs.
+    *
+    * Determinism: portable polyHash + a fixed estimator formula, so the
+    * DuckDB oracle replays estimate AND exact bit-for-bit; estimator
+    * accuracy at small k is pinned in KmvDistinctSpec. Output, one row
+    * per unordered source pair: (source_a, source_b, kmv_jaccard r6,
+    * kmv_overlap r6, exact_overlap).
+    */
+  def kmvSourceOverlap(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    import spark.implicits._
+    val agg = graft.functions.KmvSketch(k)
+    val sk = udaf(agg)
+    val hashes = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .select(col("source"), polyHash(col("t")).as("h"))
+    val sketches = hashes
+      .groupBy(col("source")).agg(sk(col("h")).as("sk"))
+      .as[(String, Array[Long])].collect() // |sources| rows of k longs
+      .sortBy(_._1)
+    val pairEst = for {
+      (sa, ka) <- sketches; (sb, kb) <- sketches if sa < sb
+    } yield {
+      val l = agg.merge(ka, kb) // reduce copies; inputs stay intact
+      val (inA, inB) = (ka.toSet, kb.toSet)
+      val m = l.count(h => inA(h) && inB(h))
+      val jac = m.toDouble / l.length
+      (sa, sb, jac, jac * agg.estimate(l))
+    }
+    val sh = hashes.distinct()
+    val exact = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("ex"))
+    pairEst.toSeq.toDF("source_a", "source_b", "jac", "ov")
+      .join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        round(col("jac"), 6).as("kmv_jaccard"),
+        round(col("ov"), 6).as("kmv_overlap"),
+        coalesce(col("ex"), lit(0L)).as("exact_overlap"))
+  }
+
   /** Zipf-law fit of the corpus token distribution: OLS of ln(freq) on
     * ln(rank) over the top `topN` tokens — natural corpora slope to
     * ≈ −1; a slope far from it flags templated/synthetic text, making
@@ -974,6 +1030,58 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("nll")), 6).as("mean_nll"),
         round(exp(avg(col("nll"))), 4).as("ppl"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999 — the smoothing inside KenLM, i.e. the actual LM a
+    * CCNet-style perplexity filter runs):
+    *
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1·) + λ(w1)·P_cont(w2)
+    *   λ(w1)    = D·N1+(w1,·)/c(w1·)
+    *   P_cont   = N1+(·,w2) / |distinct bigram types|
+    *
+    * with absolute discount D = 0.75 (exactly representable in binary,
+    * so the arithmetic replays bit-for-bit cross-engine). The
+    * continuation probability — "how many contexts does w2 complete" —
+    * is the statistic add-k smoothing ([[bigramSurprisal]]) cannot
+    * express: a word frequent only inside one collocation ("Francisco")
+    * scores low even though its raw unigram count is high. Scored as
+    * the mean −ln P over each doc's bigrams plus its exp (perplexity).
+    * Every scored bigram is seen (the corpus trains on itself), so
+    * c − D > 0 and no max(·,0) clip is needed.
+    *
+    * Scale shape: identical plan class to [[bigramSurprisal]] — one
+    * typed per-partition pair pass, then EVERY margin (c(w1·),
+    * N1+(w1,·), N1+(·,w2), |types|) derives from the bigram-type table
+    * by partial-aggregated rollups, never recounted from the corpus;
+    * the type total reduces to ONE broadcast row; scoring is equi-joins
+    * back + one doc_id rollup. Output: (doc_id, n_bigrams, kn_mean_nll
+    * rounded 6, kn_ppl rounded 4) for docs with >= 2 tokens.
+    */
+  def kneserNeySurprisal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
+      })
+      .toDF("doc_id", "w1", "w2")
+    val cb = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cw = cb.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw"), count(lit(1)).as("n1f"))
+    val ct = cb.groupBy(col("w2")).agg(count(lit(1)).as("cont"))
+    val b = cb.agg(count(lit(1)).as("b"))
+    pairs.join(cb, Seq("w1", "w2")).join(cw, Seq("w1")).join(ct, Seq("w2"))
+      .crossJoin(broadcast(b))
+      .select(col("doc_id"),
+        (-log(((col("cb") - lit(0.75)) +
+          lit(0.75) * col("n1f") * col("cont") / col("b")) / col("cw")))
+          .as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("kn_mean_nll"),
+        round(exp(avg(col("nll"))), 4).as("kn_ppl"))
   }
 
   /** PMI collocation mining — the corpus's strongest word

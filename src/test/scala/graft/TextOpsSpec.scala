@@ -664,6 +664,50 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("Kneser-Ney surprisal matches a driver-side interpolated-KN LM " +
+      "and the model normalizes to 1 per context") {
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val pairs = texts.flatMap { case (id, w) =>
+      (0 until w.length - 1).map(i => (id, (w(i), w(i + 1))))
+    }
+    val cb = pairs.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val cw = cb.groupBy(_._1._1).map { case (k, v) => (k, v.values.sum) }
+    val n1f = cb.groupBy(_._1._1).map { case (k, v) => (k, v.size.toLong) }
+    val cont = cb.groupBy(_._1._2).map { case (k, v) => (k, v.size.toLong) }
+    val b = cb.size.toLong
+    val d = 0.75
+    def p(bg: (String, String)): Double =
+      ((cb(bg) - d) + d * n1f(bg._1) * cont(bg._2) / b) / cw(bg._1)
+    val expected = pairs.groupBy(_._1).map { case (id, ps) =>
+      val nlls = ps.map { case (_, bg) => -math.log(p(bg)) }
+      id -> (nlls.size.toLong, nlls.sum / nlls.size)
+    }
+    val got = TextOps.kneserNeySurprisal(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    got.foreach { case (id, (n, mean, ppl)) =>
+      val (en, emean) = expected(id)
+      assert(n == en, s"doc $id bigram count")
+      assert(math.abs(mean - emean) < 1e-6, s"doc $id kn_mean_nll")
+      assert(math.abs(ppl - math.exp(emean)) < 1e-3, s"doc $id kn_ppl")
+    }
+    // the defining property of interpolated KN: for every context w1,
+    // the seen-bigram mass (c-D)/cw plus lambda(w1) times the FULL
+    // continuation distribution (which sums to 1 over the vocabulary)
+    // is exactly 1 — the discount mass is redistributed, not lost.
+    val vocabContSum = cont.values.sum.toDouble / b // == 1 by construction
+    assert(math.abs(vocabContSum - 1.0) < 1e-12)
+    cw.keys.take(50).foreach { w1 =>
+      val seen = cb.keys.filter(_._1 == w1)
+      val base = seen.iterator.map(bg => (cb(bg) - d) / cw(bg._1)).sum
+      val lambda = d * n1f(w1) / cw(w1)
+      assert(math.abs(base + lambda * vocabContSum - 1.0) < 1e-9,
+        s"context '$w1' does not normalize")
+    }
+  }
+
   test("PMI collocations: a planted repeated pair tops a driver replay") {
     val rows = TextOps.pmiCollocations(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
