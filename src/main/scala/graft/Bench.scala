@@ -165,6 +165,11 @@ object Bench {
       // tokenizer/encode rows then measure serving
       timed("bench_build_unigram",
         () => operators.TextOps.unigramVocab(spark, sfDir).count()),
+      // one-time month-partitioned orders layout — the declared DPP row
+      // then measures the pruned join, not the artifact write
+      timed("bench_build_part_orders",
+        () => spark.read.parquet(
+          operators.ScaleTechniques.partitionedOrdersPath(spark, sfDir)).count()),
       // one-time per-dataset stream-source staging (parquet copy +
       // watermark sentinels) — charged here so the events_*_streamed
       // rows measure the streaming engine, not file staging

@@ -569,6 +569,10 @@ object SparkEntry {
     // runtime-filter join pruning: dim keys -> broadcast Bloom -> fact
     // rows drop map-side before the join; exact join removes FPs
     "orders_bloom_pruned_join" -> ((s, d) => ScaleTechniques.bloomPrunedJoin(s, d)),
+    // dynamic partition pruning: month-partitioned fact x broadcast
+    // calendar dim -> runtime IN-filter on the partition column reads
+    // 3 of 84 month dirs (plan + pruned-I/O pinned in the spec)
+    "orders_dpp_pruned" -> ((s, d) => ScaleTechniques.dppPrunedJoin(s, d)),
     // Z-order zone maps: the multi-dim clustering layout, as a query —
     // per-tile envelopes a stats-based reader prunes on (bit-exact oracle)
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
@@ -4094,6 +4098,17 @@ object SparkEntry {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderpriority = '1-URGENT'
         AND o.o_orderdate >= TIMESTAMP '1998-06-01'
+      GROUP BY 1""",
+
+    // the dim-filtered pruning join collapses to a direct quarter
+    // filter over the unpartitioned source rows (same rows by
+    // construction of the partitioned artifact)
+    "orders_dpp_pruned" -> s"""
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
+             count(*) AS n_orders,
+             sum(${c100("o_totalprice")}) / 100.0 AS revenue
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 1
       GROUP BY 1""",
 
     // bit-exact replay of the Morton interleave, generated term-by-term

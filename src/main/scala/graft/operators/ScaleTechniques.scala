@@ -83,6 +83,62 @@ object ScaleTechniques {
       .toDF("o_orderkey", "p100")
   }
 
+  /** Hive-partitioned orders artifact (directory per order month),
+    * written once per dataset and memoized — the table LAYOUT dynamic
+    * partition pruning needs. The month directories are what a
+    * partition-column filter skips without any I/O; at 100 TB the
+    * date-partitioned fact table is the default physical design this
+    * models.
+    */
+  private[graft] def partitionedOrdersPath(spark: SparkSession, dir: String): String =
+    graft.IndexCache.getOrBuild(spark, s"dpp_orders:$dir") {
+      val p = graft.streaming.EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_part_orders")).toString
+      Tables.orders(spark, dir)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(p)
+      p
+    }
+
+  /** A tiny calendar dimension: one row per month 1992-01..1998-12 with
+    * its quarter label — the date-dim side of the TPC-DS-style pruning
+    * join. Built from `spark.range`, so its filter is a genuine runtime
+    * predicate Catalyst cannot fold into a static partition filter.
+    */
+  private[graft] def monthDim(spark: SparkSession): DataFrame = {
+    val m = add_months(lit("1992-01-01").cast("date"), col("id").cast("int"))
+    spark.range(0, 84)
+      .select(date_format(m, "yyyy-MM").as("o_month"),
+        concat(year(m), lit("-Q"), quarter(m)).as("qtr"))
+  }
+
+  /** Dynamic partition pruning, demonstrated end to end: the
+    * month-partitioned orders fact joins the broadcast calendar dim
+    * filtered to one quarter, and Spark's PartitionPruning rule reuses
+    * the broadcast result as a runtime IN-filter on the fact scan's
+    * PARTITION column — only the 3 matching month directories are read,
+    * the other 81 are never opened. This is the mechanism that makes a
+    * "WHERE dim.attribute = …" query on a 100 TB date-partitioned fact
+    * table cost 3 partitions of I/O instead of 84: the partition filter
+    * is not known until the dim side evaluates, so static pruning
+    * cannot help and row-group stats still pay footer reads.
+    *
+    * ScaleTechniquesSpec pins the plan (`dynamicpruningexpression` in
+    * the scan's PartitionFilters), the pruned I/O (files read < files
+    * on disk), and result equality with the unpartitioned direct
+    * computation. The DuckDB oracle filters the same quarter directly.
+    * Output: (o_month, n_orders, revenue).
+    */
+  def dppPrunedJoin(spark: SparkSession, dir: String,
+      qtr: String = "1996-Q1"): DataFrame = {
+    val facts = spark.read.parquet(partitionedOrdersPath(spark, dir))
+    val dim = monthDim(spark).filter(col("qtr") === qtr)
+    facts.join(broadcast(dim), Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("revenue"))
+  }
+
   /** Morton (Z-order) value of two non-negative integer columns: the
     * low `bits` bits of each, interleaved (x in even positions, y in
     * odd). A pure Column fold — 2×`bits` shift/mask/or terms, all inside

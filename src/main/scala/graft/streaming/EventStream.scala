@@ -154,7 +154,7 @@ object EventStream {
       }
     }, "graft-stream-tmp-cleanup"))
   }
-  private[streaming] def cleanupOnExit(p: java.nio.file.Path): java.nio.file.Path = {
+  private[graft] def cleanupOnExit(p: java.nio.file.Path): java.nio.file.Path = {
     cleanupHook
     tempDirs.add(p)
     p

@@ -151,6 +151,52 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dynamic partition pruning: runtime IN-filter reads only the " +
+      "dim-selected month dirs, result equals the direct computation") {
+    val df = ScaleTechniques.dppPrunedJoin(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // plan pin: the fact scan's partition filters carry a runtime
+    // dynamicpruningexpression fed by the broadcast dim result
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$planStr")
+    // pruned I/O: the scan touched only the quarter's month dirs, out
+    // of the full month layout on disk
+    val path = ScaleTechniques.partitionedOrdersPath(spark, sf0001)
+    val monthsOnDisk = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("o_month="))
+    // AQE wraps materialized stages in leaf QueryStageExec nodes, so a
+    // plain collect never reaches the scan — walk through them
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val scan = nodes(df.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_part_orders")) => s
+    }.getOrElse(fail(s"no partitioned fact scan found:\n${df.queryExecution.executedPlan}"))
+    val partsRead = scan.metrics("numPartitions").value
+    assert(monthsOnDisk > 40, s"fixture spans $monthsOnDisk months")
+    assert(partsRead <= 3, s"DPP must read <=3 of $monthsOnDisk dirs, read $partsRead")
+    // rewrite is layout+pruning only: equality with the direct filter
+    val direct = Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")) === 1996 &&
+        quarter(col("o_orderdate")) === 1)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      == direct)
+  }
+
   test("zorder zone maps: tiles are disjoint 2-D boxes covering all rows") {
     val tiles = ScaleTechniques.zorderBucketStats(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
