@@ -776,6 +776,9 @@ object SparkEntry {
       ((s, d) => GraphOps.componentsStarContraction(s, d)),
     // synchronous min-tie label-propagation communities (3 rounds)
     "graph_communities" -> ((s, d) => GraphOps.labelPropagation(s, d)),
+    // Newman modularity of those communities: exact (4me_c - d_c^2)
+    // integer contributions, one half-up round per community
+    "graph_modularity" -> ((s, d) => GraphOps.modularity(s, d)),
     // 2-core of the co-purchase minShared=3 cut: fixed-unroll iterative
     // peel (oracle equality independent of convergence; the fixpoint is
     // spec-pinned separately in GraphOpsSpec)
@@ -920,6 +923,9 @@ object SparkEntry {
     // representation-collapse monitor (deterministic Jacobi eigensolve
     // over the one-pass moment aggregation; literal-oracle pinned)
     "emb_effective_rank" -> ((s, d) => EmbeddingStats.effectiveRank(s, d)),
+    // TwoNN intrinsic dimension: MLE over r2/r1 NN-distance ratios —
+    // the MANIFOLD dimension next to effective_rank's linear span
+    "emb_intrinsic_dim" -> ((s, d) => EmbeddingStats.twoNNIntrinsicDim(s, d)),
     // centroid-form silhouette (O(n·k), the shape that survives scale)
     // over the same memoized k-means model
     "emb_kmeans_silhouette" ->
@@ -5169,6 +5175,39 @@ object SparkEntry {
         .mkString(",")}
       SELECT node, lbl AS community FROM l3""",
 
+    // the same unrolled LPA chain, then the exact integer modularity
+    // contributions (4*m*e_in - d_sum^2, one final half-up round)
+    "graph_modularity" -> s"""
+      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+            ON a.p = b.p AND a.c < b.c
+            GROUP BY 1, 2 HAVING count(*) >= 4),
+      nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+      sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      l0 AS (SELECT n AS node, n AS lbl FROM nodes),${Seq(1, 2, 3).map(i => s"""
+      r$i AS (SELECT s.a AS node, l.lbl, count(*) AS c
+              FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
+      l$i AS (SELECT node, lbl FROM (
+                SELECT *, row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, lbl ASC) AS rn FROM r$i) WHERE rn = 1)""")
+        .mkString(",")},
+      deg AS (SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1),
+      mm AS (SELECT count(*) AS m FROM e),
+      ein AS (SELECT la.lbl AS community, count(*) AS e_in
+              FROM e JOIN l3 la ON la.node = e.u
+                     JOIN l3 lb ON lb.node = e.v
+              WHERE la.lbl = lb.lbl GROUP BY 1),
+      ds AS (SELECT l3.lbl AS community, CAST(sum(d) AS BIGINT) AS d_sum,
+               count(*) AS n_nodes
+             FROM deg JOIN l3 ON deg.node = l3.node GROUP BY 1)
+      SELECT ds.community, n_nodes, COALESCE(e_in, 0) AS e_in, d_sum,
+             CAST(round((4 * m * COALESCE(e_in, 0) - d_sum * d_sum)
+               * 1000000.0 / (4.0 * m * m)) AS BIGINT) AS q_micro
+      FROM ds LEFT JOIN ein USING (community) CROSS JOIN mm""",
+
     // min-label transitive closure (UNION set semantics) — exact for
     // any component diameter; certifies the star-contraction fixpoint
     "graph_components" -> """
@@ -6002,6 +6041,30 @@ object SparkEntry {
     "emb_kmeans_streamed" -> kmeansAssignOracle,
 
     // mean-unit-vector norm with the engine's two-level integer
+    // TwoNN replay: the same round-6 cosine all-pairs distances, the
+    // same (r1, r2) read off the sorted per-point distance multiset
+    // (tie order cannot change the position-1/2 VALUES), micro-nat
+    // integer log quantization before the sum, one final division
+    "emb_intrinsic_dim" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q WHERE b.vec_id <> q.vec_id),
+      r AS (SELECT qid, dist, row_number() OVER (PARTITION BY qid
+              ORDER BY dist, vec_id) AS rk FROM d),
+      t AS (SELECT qid,
+              max(CASE WHEN rk = 1 THEN dist END) AS r1,
+              max(CASE WHEN rk = 2 THEN dist END) AS r2
+            FROM r WHERE rk <= 2 GROUP BY qid),
+      u AS (SELECT CAST(round(ln(r2 / r1) * 1000000.0) AS BIGINT) AS lg
+            FROM t WHERE r1 > 0),
+      s AS (SELECT count(*) AS n_used, CAST(sum(lg) AS BIGINT) AS sm FROM u),
+      n AS (SELECT count(*) AS n_points FROM e)
+      SELECT n_points, n_used, sm AS sum_log_mu_micro,
+             round(n_used * 1000000.0 / sm, 4) AS twonn_dim
+      FROM n CROSS JOIN s""",
+
     // quantization: micro-unit longs per coordinate before the per-dim
     // sum, 1e-12-unit longs per squared-mean term before the
     // cross-dim sum — bit-for-bit the Spark arithmetic

@@ -700,4 +700,54 @@ object EmbeddingStats {
     }
     ((0 until d).map(i => a(i)(i)), v)
   }
+
+  /** TwoNN intrinsic-dimension estimate (Facco et al., Scientific
+    * Reports 2017): for each vector, μ = r2/r1 — the ratio of its
+    * second- to first-nearest-neighbor distance — and the MLE
+    * d̂ = n / Σ ln μ. Complements [[effective rank]] and isotropy: those
+    * measure the LINEAR span, TwoNN the (possibly curved) manifold the
+    * vectors actually occupy — the gap between them is the trained-in
+    * nonlinearity, and a collapsing d̂ over training is the
+    * representation-collapse alarm.
+    *
+    * Determinism: distances are the corpus-standard round-6 cosine
+    * ([[graft.knn.ExactKnn.dist]]), each ln μ quantizes to integer
+    * micro-nats BEFORE the sum (order-free), and one final division
+    * rounds to 4 — the DuckDB oracle replays every step. Points whose
+    * r1 rounds to 0 (duplicate-grade neighbors) are excluded from the
+    * MLE, and reported via n_used.
+    *
+    * Scale shape: the estimator needs only a SAMPLE to converge
+    * (O(1e4) points saturate it), so the declared all-pairs pass over
+    * the fixture — the broadcast-matrix kernel every exact-knn
+    * yardstick rides — IS the production shape with the sample as the
+    * query side: broadcast sample × one corpus scan, bounded-heap
+    * top-2 per sampled point ([[graft.plans.TopKPerGroup]]), never a
+    * global sort. Output: one row (n_points, n_used,
+    * sum_log_mu_micro, twonn_dim rounded 4).
+    */
+  def twoNNIntrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDoubleArray
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+    val q = broadcast(emb.select(col("vec_id").as("qid"),
+      col("emb").as("qvec")))
+    val scored = emb.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.knn.ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
+    val top2 = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+      Seq("dist" -> true, "vec_id" -> true), 2)
+    val rs = top2.groupBy(col("qid"))
+      .agg(min(when(col("rk") === 1, col("dist"))).as("r1"),
+        min(when(col("rk") === 2, col("dist"))).as("r2"))
+    val logs = rs.filter(col("r1") > 0)
+      .select(round(log(col("r2") / col("r1")) * lit(1000000.0), 0)
+        .cast("long").as("lg"))
+      .agg(count(lit(1)).as("n_used"), sum(col("lg")).as("sum_log_mu_micro"))
+    emb.agg(count(lit(1)).as("n_points"))
+      .crossJoin(broadcast(logs))
+      .select(col("n_points"), col("n_used"), col("sum_log_mu_micro"),
+        round(col("n_used") * lit(1000000.0) / col("sum_log_mu_micro"), 4)
+          .as("twonn_dim"))
+  }
 }

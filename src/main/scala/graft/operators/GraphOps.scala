@@ -608,6 +608,48 @@ object GraphOps {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Newman modularity of the [[labelPropagation]] communities — the
+    * quality score community detection is judged by (Newman & Girvan
+    * 2004): Q = Σ_c [ e_c/m − (d_c/2m)² ], where e_c counts edges
+    * INSIDE community c, d_c sums its nodes' degrees, and m is the
+    * edge total. Q > 0 means denser-than-random partitions; the
+    * per-community contribution also ranks which communities are real
+    * structure vs hairball residue. Reported exactly: the contribution is the
+    * integer (4·m·e_c − d_c²) scaled by 1e6/(4m²) with ONE final
+    * half-up round per community, so the DuckDB oracle replays the
+    * identical arithmetic.
+    *
+    * Scale shape: two node-sized equi-joins of the label relation
+    * against the (memoized) edge list and one community rollup —
+    * strictly cheaper than a single LPA round; the m total reduces to
+    * ONE broadcast row. Output per community:
+    * (community, n_nodes, e_in, d_sum, q_micro).
+    */
+  def modularity(spark: SparkSession, dir: String,
+      minShared: Int = 4, rounds: Int = 3): DataFrame = {
+    val e = copurchaseEdges(spark, dir, minShared) // (u, v), u < v
+    val labels = labelPropagation(spark, dir, minShared, rounds)
+    val lu = labels.select(col("node").as("u"), col("community").as("cu"))
+    val lv = labels.select(col("node").as("v"), col("community").as("cv"))
+    val inner = e.join(lu, "u").join(lv, "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dsum = deg.join(labels, "node").groupBy(col("community"))
+      .agg(sum(col("d")).as("d_sum"), count(lit(1)).as("n_nodes"))
+    val mrow = e.agg(count(lit(1)).as("m"))
+    dsum.join(inner, Seq("community"), "left")
+      .crossJoin(broadcast(mrow))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"), col("m"))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_sum"),
+        round((lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+          * lit(1000000.0) / (lit(4.0) * col("m") * col("m")), 0)
+          .cast("long").as("q_micro"))
+  }
+
   /** Link prediction over the co-purchase graph: Adamic–Adar scores
     * for the top non-adjacent candidate pairs. For every 2-path
     * u—z—w (u < w) the middle node contributes 1/ln(deg(z)); pairs

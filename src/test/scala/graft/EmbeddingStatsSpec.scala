@@ -355,4 +355,38 @@ class EmbeddingStatsSpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0)
     assert(conf == expected.size)
   }
+
+  test("TwoNN intrinsic dimension matches a driver-side MLE replay") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(1 - math.max(dot / (math.sqrt(na) * math.sqrt(nb)), 0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val logs = vecs.flatMap { case (id, v) =>
+      val ds = vecs.filter(_._1 != id).map(o => cosDist(v, o._2)).sorted
+      val (r1, r2) = (ds(0), ds(1))
+      if (r1 > 0)
+        Some(BigDecimal(math.log(r2 / r1) * 1000000.0)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      else None
+    }
+    val expDim = BigDecimal(logs.length * 1000000.0 / logs.sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = EmbeddingStats.twoNNIntrinsicDim(spark, sf0001).collect()(0)
+    assert(row.getLong(0) == vecs.length)
+    assert(row.getLong(1) == logs.length, s"n_used ${row.getLong(1)}")
+    assert(row.getLong(2) == logs.sum, s"sum_log ${row.getLong(2)}")
+    assert(row.getDouble(3) == expDim, s"dim ${row.getDouble(3)} vs $expDim")
+    // a 64-d cloud's manifold dimension is positive and bounded by the
+    // ambient dimension (sanity of the estimator, not just the replay)
+    assert(row.getDouble(3) > 0 && row.getDouble(3) <= 64.0)
+  }
 }

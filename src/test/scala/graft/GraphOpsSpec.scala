@@ -190,6 +190,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.toSet.subsetOf(got.keySet))
   }
 
+  test("modularity replays a driver-side Newman Q over the LPA labels") {
+    val edges = GraphOps.copurchaseEdges(spark, sf0001, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assume(edges.nonEmpty)
+    val labels = GraphOps.labelPropagation(spark, sf0001, minShared = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val m = edges.size.toLong
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = labels.groupBy(_._2).map { case (c, members) =>
+      val nodes = members.keySet
+      val eIn = edges.count(e => labels(e._1) == c && labels(e._2) == c).toLong
+      val dSum = nodes.iterator.map(deg).sum
+      val qMicro = BigDecimal( // HALF_UP like Spark's round(col, 0)
+        (4L * m * eIn - dSum * dSum) * 1000000.0 / (4.0 * m * m))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      c -> (nodes.size.toLong, eIn, dSum, qMicro)
+    }
+    val got = GraphOps.modularity(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect, s"modularity rows diverge")
+    // structural identities: degrees sum to 2m across communities, and
+    // every inner edge is counted in exactly one community
+    assert(got.values.map(_._3).sum == 2 * m)
+    assert(got.values.map(_._2).sum <= m)
+    // total Q is a proper modularity (within per-community round slack)
+    val q = got.values.map(_._4).sum / 1e6
+    assert(q >= -0.5 && q <= 1.0, s"Q=$q out of range")
+  }
+
   test("link prediction replays a driver-side Adamic-Adar exactly") {
     val edges = GraphOps.copurchaseEdges(spark, sf0001, minShared = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

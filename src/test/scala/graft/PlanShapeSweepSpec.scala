@@ -60,7 +60,11 @@ class PlanShapeSweepSpec extends SparkSpec {
     "emb_alignment_uniformity",   // fixed 64-row probe panel broadcast
                                   // against the corpus + 1-row combiner
     "quality_expectations",       // 1-row violation x total combiners
-    "privacy_t_closeness")        // 1-row corpus-marginal totals attach
+    "privacy_t_closeness",        // 1-row corpus-marginal totals attach
+    "text_kneser_ney",            // 1-row bigram-type-total attach
+    "graph_modularity",           // 1-row edge-total attach
+    "emb_intrinsic_dim")          // intentional broadcast-NLJ all-pairs
+                                  // distance scan + 1-row MLE combiner
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
