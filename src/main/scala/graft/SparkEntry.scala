@@ -519,6 +519,10 @@ object SparkEntry {
     // Brier proper score + Murphy REL/RES/UNC decomposition over the
     // same 10 probability bins (quantize-before-sum discipline)
     "eval_brier_classifier" -> ((s, d) => Pipeline.classifierBrier(s, d)),
+    // isotonic (PAV) calibration map via the minimax characterization
+    // over 64 score bins — the monotone fit a serving tier looks up
+    "eval_isotonic_calibration" ->
+      ((s, d) => Pipeline.classifierIsotonic(s, d)),
     // — multimodal plumbing (stubbed codec; see Multimodal scaladoc) —
     "multimodal_stats" -> Multimodal.featureStats _,
     "multimodal_frames" -> Multimodal.frameOffsets _,
@@ -722,6 +726,10 @@ object SparkEntry {
     // nothing; raw masses over-credit re-crawling sources)
     "pipeline_mixture_dedup" ->
       ((s, d) => Pipeline.mixturePlanDeduped(s, d)),
+    // CCNet-style interquartile perplexity band per language over the
+    // Kneser-Ney surprisal (integer 4x-quantile band, exact membership)
+    "pipeline_perplexity_band" ->
+      ((s, d) => Pipeline.perplexityBandPrune(s, d)),
     // strongest adjacent-word associations by micro-quantized PMI —
     // tokenizer-merge / boilerplate-phrase candidates
     "text_pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
@@ -976,6 +984,27 @@ object SparkEntry {
   /** 2-decimal column -> exact integer cents (mirror of ExactNum.cents). */
   private def c100(col: String): String =
     s"CAST(round($col*100) AS BIGINT)"
+
+  /** Shared interpolated-Kneser-Ney chain: per-doc-bigram surprisal
+    * rows `sc(doc_id, nll)` — every margin off the bigram-type table,
+    * the identical left-assoc double arithmetic as the Spark side
+    * (D = 0.75 is exact in binary).
+    */
+  private val knChainSql: String = """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      pr AS (SELECT doc_id,
+                    unnest([w[i] for i in range(1, len(w))]) AS w1,
+                    unnest([w[i+1] for i in range(1, len(w))]) AS w2
+             FROM d),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2),
+      cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw, count(*) AS n1f
+             FROM cb GROUP BY 1),
+      ct AS (SELECT w2, count(*) AS cont FROM cb GROUP BY 1),
+      b AS (SELECT count(*) AS b FROM cb),
+      sc AS (SELECT doc_id,
+                    -ln(((cb - 0.75) + 0.75 * n1f * cont / b) / cw) AS nll
+             FROM pr JOIN cb USING (w1, w2) JOIN cw USING (w1)
+                     JOIN ct USING (w2) CROSS JOIN b)"""
 
   /** One unrolled Lloyd step for the k-means oracles: assign to the
     * nearest centroid by exact integer squared distance (ties to the
@@ -1422,14 +1451,14 @@ object SparkEntry {
     * by `(q−qmin)·1024 // (qmax−qmin+1)` — truncating integer division
     * on non-negative operands, matching Spark's `DIV`.
     */
-  private def qcBinnedSql(iters: Int, lr: String): String =
+  private def qcBinnedSql(iters: Int, lr: String, bins: Int = 1024): String =
     qcChain(iters, lr) + s""",
       scored AS (SELECT y,
                    CAST(round(($qcDot) * 1000000.0, 0) AS BIGINT) AS q
                  FROM f, w$iters),
       ext AS (SELECT min(q) AS qmin, max(q) AS qmax FROM scored),
       binned AS (SELECT y,
-                   CAST(((q - qmin) * CAST(1024 AS BIGINT))
+                   CAST(((q - qmin) * CAST($bins AS BIGINT))
                      // (qmax - qmin + 1) AS BIGINT) AS bin
                  FROM scored, ext)"""
 
@@ -2104,24 +2133,27 @@ object SparkEntry {
     // interpolated Kneser-Ney replay: identical margin rollups off the
     // bigram-type table, identical left-assoc double arithmetic (D=0.75
     // is exact in binary, so both engines evaluate the same tree)
-    "text_kneser_ney" -> """
-      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      pr AS (SELECT doc_id,
-                    unnest([w[i] for i in range(1, len(w))]) AS w1,
-                    unnest([w[i+1] for i in range(1, len(w))]) AS w2
-             FROM d),
-      cb AS (SELECT w1, w2, count(*) AS cb FROM pr GROUP BY 1, 2),
-      cw AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cw, count(*) AS n1f
-             FROM cb GROUP BY 1),
-      ct AS (SELECT w2, count(*) AS cont FROM cb GROUP BY 1),
-      b AS (SELECT count(*) AS b FROM cb),
-      sc AS (SELECT doc_id,
-                    -ln(((cb - 0.75) + 0.75 * n1f * cont / b) / cw) AS nll
-             FROM pr JOIN cb USING (w1, w2) JOIN cw USING (w1)
-                     JOIN ct USING (w2) CROSS JOIN b)
+    "text_kneser_ney" -> s"""$knChainSql
       SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS kn_mean_nll,
              round(exp(avg(nll)), 4) AS kn_ppl
       FROM sc GROUP BY doc_id""",
+
+    // the same per-doc KN surprisal, micro-nat quantized, then the
+    // exact-integer 4x interquartile band per language
+    "pipeline_perplexity_band" -> s"""$knChainSql,
+      doc AS (SELECT doc_id,
+                CAST(round(round(avg(nll), 6) * 1000000.0) AS BIGINT) AS m6
+              FROM sc GROUP BY doc_id),
+      j AS (SELECT lang, m6 FROM doc JOIN documents USING (doc_id)),
+      q AS (SELECT lang,
+              CAST(round(quantile_cont(m6, 0.25) * 4) AS BIGINT) AS lo4,
+              CAST(round(quantile_cont(m6, 0.75) * 4) AS BIGINT) AS hi4
+            FROM j GROUP BY lang)
+      SELECT j.lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN m6 * 4 >= lo4 AND m6 * 4 <= hi4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             lo4, hi4
+      FROM j JOIN q USING (lang) GROUP BY j.lang, lo4, hi4""",
 
     // the full A-ES draw replayed: same polyHash uniform, same rounded
     // key, same (key desc, doc_id) ranking
@@ -2151,6 +2183,33 @@ object SparkEntry {
     "eval_auc_by_lang" -> qcAucByLangSql(iters = 50, lr = "5.0"),
     "eval_lift_classifier" -> qcLiftSql(iters = 50, lr = "5.0"),
     "eval_calibration_classifier" -> qcCalibrationSql(iters = 50, lr = "5.0"),
+
+    // minimax isotonic regression over the 64-bin score relation:
+    // fit(i) = max_{j<=i} min_{k>=i} avg(j..k), every interval average
+    // ONE double division of exact integer prefix-sum differences —
+    // the identical formula the Spark side evaluates driver-side
+    "eval_isotonic_calibration" -> (qcBinnedSql(50, "5.0", 64) + s""",
+      bys AS (SELECT bin, count(*) AS nk,
+                sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS sy
+              FROM binned GROUP BY bin),
+      pre AS (SELECT bin, nk, sy,
+                row_number() OVER (ORDER BY bin) AS rn,
+                sum(nk) OVER (ORDER BY bin) AS cnk,
+                sum(sy) OVER (ORDER BY bin) AS csy
+              FROM bys),
+      iv AS (SELECT j.rn AS j, k.rn AS k,
+               CAST(k.csy - j.csy + j.sy AS DOUBLE)
+                 / (k.cnk - j.cnk + j.nk) AS a
+             FROM pre j JOIN pre k ON j.rn <= k.rn),
+      mn AS (SELECT i.rn AS i, v.j, min(v.a) AS mr
+             FROM pre i JOIN iv v ON v.j <= i.rn AND v.k >= i.rn
+             GROUP BY 1, 2),
+      ft AS (SELECT i, max(mr) AS iso FROM mn GROUP BY 1)
+      SELECT p.bin, CAST(p.nk AS BIGINT) AS n_docs,
+             CAST(p.sy AS BIGINT) AS pos,
+             round(CAST(p.sy AS DOUBLE) / p.nk, 6) AS rate,
+             round(ft.iso, 6) AS iso_fit
+      FROM pre p JOIN ft ON ft.i = p.rn"""),
     "eval_brier_classifier" -> qcBrierSql(iters = 50, lr = "5.0"),
 
     // DSIR log-importance weights over md5-bucketed unigram features

@@ -1043,6 +1043,105 @@ object Pipeline {
           / (lit(1e12) * col("n").cast("double")), 6).as("resolution"))
   }
 
+  /** Isotonic (pool-adjacent-violators) calibration map of the trained
+    * scorer — the nonparametric upgrade of the decile reliability
+    * diagram ([[classifierCalibration]]): the weighted monotone fit of
+    * bin positive-rates on bin order, i.e. the calibrated probability a
+    * serving tier would look up per score. Computed through the MINIMAX
+    * characterization fit(i) = max_{j≤i} min_{k≥i} avg(j..k) (Barlow et
+    * al. 1972 — identical to the PAV stack by theorem, and expressible
+    * as pure dataflow), with every interval average one fixed-order
+    * double division of exact integer sums — so the DuckDB oracle
+    * replays it bit-for-bit, and PipelineSpec separately pins equality
+    * with the classic stack algorithm.
+    *
+    * Scale shape: the corpus collapses to ≤`bins` (score-bin, nk, sy)
+    * rows in one partial-aggregated shuffle (the 1024-bin discipline,
+    * at isotonic's customary coarser grid); the O(bins³) minimax
+    * evaluates on the driver over that bounded relation — corpus size
+    * never enters. Output: (bin, n_docs, pos, rate r6, iso_fit r6),
+    * iso_fit non-decreasing in bin.
+    */
+  def classifierIsotonic(spark: SparkSession, dir: String,
+      iters: Int = 50, lr: Double = 5.0, bins: Int = 64): DataFrame = {
+    import spark.implicits._
+    val byBin = binnedScores(spark, dir, iters, lr, bins)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nk"),
+        sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("sy"))
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = byBin.length
+    val cnk = new Array[Long](m + 1)
+    val csy = new Array[Long](m + 1)
+    var i = 0
+    while (i < m) {
+      cnk(i + 1) = cnk(i) + byBin(i)._2
+      csy(i + 1) = csy(i) + byBin(i)._3
+      i += 1
+    }
+    // interval mean over present bins j..k (0-based, inclusive) — the
+    // ONE double division both engines evaluate identically
+    def avg(j: Int, k: Int): Double =
+      (csy(k + 1) - csy(j)).toDouble / (cnk(k + 1) - cnk(j)).toDouble
+    val fit = Array.tabulate(m) { idx =>
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j <= idx) {
+        var mn = Double.PositiveInfinity
+        var k = idx
+        while (k < m) { val a = avg(j, k); if (a < mn) mn = a; k += 1 }
+        if (mn > best) best = mn
+        j += 1
+      }
+      best
+    }
+    byBin.indices.map { ix =>
+      val (bin, nk, sy) = byBin(ix)
+      (bin, nk, sy, sy.toDouble / nk.toDouble, fit(ix))
+    }.toSeq.toDF("bin", "n_docs", "pos", "rate_raw", "iso_raw")
+      .select(col("bin"), col("n_docs"), col("pos"),
+        round(col("rate_raw"), 6).as("rate"),
+        round(col("iso_raw"), 6).as("iso_fit"))
+  }
+
+  /** CCNet-style perplexity-band pruning plan (Wenzek et al. 2020):
+    * per language, keep only documents whose Kneser-Ney surprisal
+    * ([[TextOps.kneserNeySurprisal]]) lies in the interquartile band —
+    * the heads (boilerplate/templated text scores suspiciously fluent)
+    * AND the tails (noise) both go; the middle is the training set.
+    * Documents under 2 tokens have no bigram score and are excluded
+    * upstream.
+    *
+    * Exactness: the per-doc mean surprisal quantizes to micro-nat longs;
+    * the quartile interpolation positions for p ∈ {¼, ¾} have fractional
+    * parts in {0, ¼, ½, ¾}, so 4·quantile over integers is itself an
+    * exact integer (the ×2 median trick, doubled) — band membership is
+    * a pure integer comparison both engines evaluate identically.
+    *
+    * Scale shape: the KN scoring plan (audited at its own row), one
+    * |langs|-row quartile rollup broadcast back, one map-only band
+    * test, one rollup. Output per language:
+    * (lang, n_docs, n_kept, lo4, hi4).
+    */
+  def perplexityBandPrune(spark: SparkSession, dir: String): DataFrame = {
+    val nll = TextOps.kneserNeySurprisal(spark, dir)
+      .select(col("doc_id"),
+        round(col("kn_mean_nll") * lit(1000000.0), 0).cast("long").as("m6"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang")).join(nll, "doc_id")
+    val qs = scored.groupBy(col("lang")).agg(
+      round(percentile(col("m6"), lit(0.25)) * 4, 0).cast("long").as("lo4"),
+      round(percentile(col("m6"), lit(0.75)) * 4, 0).cast("long").as("hi4"))
+    scored.join(broadcast(qs), Seq("lang"))
+      .groupBy(col("lang"), col("lo4"), col("hi4"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("m6") * 4 >= col("lo4") &&
+          col("m6") * 4 <= col("hi4"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        col("lo4"), col("hi4"))
+  }
+
   def kSamplePerGroup(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame =
     graft.plans.GraftOps.topKPerGroup(

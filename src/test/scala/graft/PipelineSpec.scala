@@ -494,4 +494,92 @@ class PipelineSpec extends SparkSpec {
     // brier IS the uncertainty term)
     assert(brier < unc, s"brier $brier not better than base rate $unc")
   }
+
+  test("isotonic calibration: minimax fit equals the classic PAV stack, " +
+      "is monotone, and preserves the weighted mean") {
+    val rows = Pipeline.classifierIsotonic(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 2 && rows.length <= 64)
+    // bins arrive sorted and the fit never decreases
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._1 < b._1, "bins out of order")
+        assert(a._5 <= b._5 + 1e-12, s"fit not monotone at bin ${b._1}")
+      case _ => ()
+    }
+    // classic pool-adjacent-violators stack on the same (nk, sy) rows —
+    // by the Barlow et al. theorem the two constructions coincide
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.foreach { case (_, nk, sy, _, _) =>
+      var (cn, cs) = (nk, sy)
+      while (stack.nonEmpty &&
+          stack.last._2.toDouble * cn >= cs.toDouble * stack.last._1) {
+        val (pn, ps) = stack.remove(stack.length - 1)
+        cn += pn; cs += ps
+      }
+      stack += ((cn, cs))
+    }
+    // re-expand the pooled blocks back over their member bins
+    val fits = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var bi = 0
+    stack.foreach { case (cn, cs) =>
+      var covered = 0L
+      while (covered < cn) {
+        fits += cs.toDouble / cn.toDouble
+        covered += rows(bi)._2
+        bi += 1
+      }
+    }
+    assert(fits.length == rows.length)
+    rows.indices.foreach { i =>
+      // the declared column is rounded 6; PAV raw values match under it
+      val pav6 = BigDecimal(fits(i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(i)._5 == pav6,
+        s"bin ${rows(i)._1}: minimax ${rows(i)._5} vs PAV $pav6")
+    }
+    // the isotonic fit preserves total positives (projection property)
+    val wsum = rows.map { case (_, nk, _, _, f) => nk.toDouble * f }.sum
+    val posSum = rows.map(_._3).sum.toDouble
+    // slack: each of the <=64 published fits is rounded to 6 decimals,
+    // so the weighted sum drifts at most n_docs * 5e-7 from exact
+    assert(math.abs(wsum - posSum) < 5e-7 * rows.map(_._2).sum + 1e-9,
+      s"weighted fit sum $wsum vs positives $posSum")
+  }
+
+  test("perplexity band keeps the per-language interquartile middle " +
+      "exactly (driver quartile replay)") {
+    val nll = graft.operators.TextOps.kneserNeySurprisal(spark, sf0001)
+      .select(col("doc_id"), col("kn_mean_nll")).collect()
+      .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toMap
+    val langs = Tables.documents(spark, sf0001).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = nll.toSeq.groupBy { case (id, _) => langs(id) }
+      .view.mapValues(_.map(_._2).sorted).toMap
+    def q4(xs: Seq[Long], p: Double): Long = {
+      // 4x the (n-1)p-interpolated quantile of integers — exact
+      val h = (xs.length - 1) * p
+      val lo = h.toInt
+      val g4 = math.round(4 * (h - lo)) // in {0,1,2,3}
+      (4 - g4) * xs(lo) + g4 * xs(math.min(lo + 1, xs.length - 1))
+    }
+    val got = Pipeline.perplexityBandPrune(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == byLang.keySet)
+    got.foreach { case (lang, (nDocs, nKept, lo4, hi4)) =>
+      val xs = byLang(lang)
+      assert(nDocs == xs.length, s"$lang n_docs")
+      assert(lo4 == q4(xs, 0.25), s"$lang lo4 $lo4 vs ${q4(xs, 0.25)}")
+      assert(hi4 == q4(xs, 0.75), s"$lang hi4 $hi4 vs ${q4(xs, 0.75)}")
+      val kept = xs.count(x => x * 4 >= lo4 && x * 4 <= hi4)
+      assert(nKept == kept, s"$lang n_kept $nKept vs $kept")
+      // the closed interquartile band keeps ~half: at least
+      // floor(n/2) - 1 (interpolated cut points can sit strictly
+      // between discrete values, shaving one element per side)
+      assert(nKept >= nDocs / 2 - 1, s"$lang band too narrow: $nKept/$nDocs")
+    }
+  }
 }

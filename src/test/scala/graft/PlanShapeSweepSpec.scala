@@ -62,6 +62,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "quality_expectations",       // 1-row violation x total combiners
     "privacy_t_closeness",        // 1-row corpus-marginal totals attach
     "text_kneser_ney",            // 1-row bigram-type-total attach
+    "pipeline_perplexity_band",   // the same KN 1-row attach upstream
     "graph_modularity",           // 1-row edge-total attach
     "emb_intrinsic_dim")          // intentional broadcast-NLJ all-pairs
                                   // distance scan + 1-row MLE combiner
