@@ -479,6 +479,10 @@ object SparkEntry {
     // KMV set algebra: pairwise cross-source vocab overlap off one scan
     // + |sources| mergeable sketches (vs the S^2 join); exact yardstick
     "sketch_source_overlap" -> ((s, d) => TextOps.kmvSourceOverlap(s, d)),
+    // the SAME sketch computed BY the streaming engine (k-long state
+    // buffers merging across micro-batches); exact column batch-audited
+    "sketch_users_streamed" ->
+      ((s, d) => graft.streaming.EventStream.sketchUsersStreamed(s, d)),
     // the same KMV Aggregator invoked from pure SQL (registered UDAF)
     "sql_sketch_users" -> ((s, d) => TextOps.sqlSketchUsers(s, d)),
     // HLL++ built-in sketch twin: engine-internal hash -> rows-only,
@@ -3180,6 +3184,27 @@ object SparkEntry {
                          ELSE 255 * 1000000007.0 / hk END), 6) AS kmv_overlap,
              COALESCE(ex.exact_overlap, 0) AS exact_overlap
       FROM mm LEFT JOIN ex ON ex.sa = mm.sa AND ex.sb = mm.sb""",
+
+    // the streamed sketch is bit-identical to the batch one (mergeable
+    // buffers; complete-mode sink), so it replays the same oracle
+    "sketch_users_streamed" -> """
+      WITH h AS (SELECT DISTINCT event_type,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+                  c -> CAST(unicode(c) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+            FROM events),
+      r AS (SELECT event_type, hv,
+              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+            FROM h),
+      km AS (SELECT event_type, count(*) FILTER (rn <= 256) AS kc,
+               max(hv) FILTER (rn <= 256) AS hk, count(*) AS exact
+             FROM r GROUP BY 1)
+      SELECT event_type,
+             round(CASE WHEN kc < 256 THEN CAST(kc AS DOUBLE)
+                        ELSE 255 * 1000000007.0 / hk END, 6) AS kmv_estimate,
+             CAST(exact AS BIGINT) AS exact_distinct
+      FROM km""",
 
     // identical grouped-KMV replay (the UDAF resolves to the same
     // Aggregator, so the SQL surface shares the oracle)
@@ -6100,10 +6125,12 @@ object SparkEntry {
     "emb_kmeans_streamed" -> kmeansAssignOracle,
 
     // mean-unit-vector norm with the engine's two-level integer
-    // TwoNN replay: the same round-6 cosine all-pairs distances, the
-    // same (r1, r2) read off the sorted per-point distance multiset
-    // (tie order cannot change the position-1/2 VALUES), micro-nat
-    // integer log quantization before the sum, one final division
+    // TwoNN replay: at sf0.01 the probe stride is 1 (500 < maxProbes),
+    // so the sample IS the corpus and the oracle replays the full
+    // all-pairs form — same round-6 cosine distances, same (r1, r2)
+    // read off the sorted per-point distance multiset (tie order
+    // cannot change the position-1/2 VALUES), micro-nat integer log
+    // quantization before the sum, one final division
     "emb_intrinsic_dim" -> s"""
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

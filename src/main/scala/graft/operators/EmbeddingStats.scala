@@ -718,20 +718,24 @@ object EmbeddingStats {
     * MLE, and reported via n_used.
     *
     * Scale shape: the estimator needs only a SAMPLE to converge
-    * (O(1e4) points saturate it), so the declared all-pairs pass over
-    * the fixture — the broadcast-matrix kernel every exact-knn
-    * yardstick rides — IS the production shape with the sample as the
-    * query side: broadcast sample × one corpus scan, bounded-heap
-    * top-2 per sampled point ([[graft.plans.TopKPerGroup]]), never a
-    * global sort. Output: one row (n_points, n_used,
-    * sum_log_mu_micro, twonn_dim rounded 4).
+    * (O(1e3) probes saturate it), so the probe side is a deterministic
+    * stride sample capped near `maxProbes` — at the oracle scale the
+    * stride is 1 and the sample IS the corpus — broadcast against one
+    * corpus scan (the broadcast-matrix kernel every exact-knn
+    * yardstick rides), bounded-heap top-2 per probe
+    * ([[graft.plans.TopKPerGroup]]), never a global sort: probe count
+    * stays ~constant however large the corpus grows. Output: one row
+    * (n_points, n_used, sum_log_mu_micro, twonn_dim rounded 4).
     */
-  def twoNNIntrinsicDim(spark: SparkSession, dir: String): DataFrame = {
+  def twoNNIntrinsicDim(spark: SparkSession, dir: String,
+      maxProbes: Long = 512L): DataFrame = {
     import graft.functions.VectorFunctions.toDoubleArray
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
-    val q = broadcast(emb.select(col("vec_id").as("qid"),
-      col("emb").as("qvec")))
+    val stride = math.max(1L, emb.count() / maxProbes)
+    val q = broadcast(emb
+      .filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("qid"), col("emb").as("qvec")))
     val scored = emb.crossJoin(q).filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.knn.ExactKnn.dist(col("emb"), col("qvec")).as("dist"))

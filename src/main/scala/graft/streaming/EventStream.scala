@@ -291,6 +291,55 @@ object EventStream {
     out
   }
 
+  /** The declared STREAMING-EXECUTED KMV distinct sketch
+    * (`sketch_users_streamed`, shares `sketch_users_per_type`'s
+    * oracle): the per-type k-minimum-values sketch computed BY the
+    * streaming engine — each micro-batch folds its rows into the
+    * k-long state buffer and buffers MERGE across batches, which is
+    * the "mergeable" in mergeable sketch proven by execution rather
+    * than by unit test: the streamed estimate is bit-identical to the
+    * batch one regardless of how the file source slices the input.
+    * State per group is exactly the k-long array, not the user set —
+    * the sketch IS the state-store entry, so distinct-counting a
+    * 100 TB stream costs |groups|·k longs of state (the reason
+    * `count(DISTINCT)` is unsupported in streaming but sketches are
+    * the production answer). The exact yardstick column joins on
+    * batch-side AFTER the stream completes (it is the audit, not the
+    * streamed computation).
+    */
+  def sketchUsersStreamed(spark: SparkSession, dir: String,
+      k: Int = 256): DataFrame = {
+    val staged = stagedEventsDir(spark, dir)
+    val name = s"graft_kmv_stream_${streamRunSeq.incrementAndGet()}"
+    val kmv = org.apache.spark.sql.functions.udaf(
+      graft.functions.KmvDistinct(k))
+    withStreamPartitions(spark, 4, noData = false) {
+      val q = readEventsStreamConfigured(spark, staged)
+        .select(col("event_type"),
+          graft.operators.TextOps.polyHash(col("user_id").cast("string"))
+            .as("h"))
+        .groupBy(col("event_type"))
+        .agg(round(kmv(col("h")), 6).as("kmv_estimate"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir("graft-ckpt-kmv-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val exact = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        graft.operators.TextOps.polyHash(col("user_id").cast("string"))
+          .as("h"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("h")).as("exact_distinct"))
+    val out = spark.table(name).join(exact, "event_type")
+      .select(col("event_type"), col("kmv_estimate"), col("exact_distinct"))
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** The declared STREAMING-EXECUTED stream–static enrichment
     * (`events_enriched_streamed`): the event stream inner-joins a
     * STATIC cohort dimension (per-user first-seen day, computed

@@ -183,6 +183,16 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streamed KMV sketch equals the batch sketch bit-for-bit") {
+    val streamed = EventStream.sketchUsersStreamed(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val batch = graft.operators.TextOps.sketchDistinctUsers(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed $streamed\nvs batch $batch")
+  }
+
   test("streamed incremental dedup equals the batch miner exactly") {
     val batch = graft.operators.Dedup.incrementalMinhashPairs(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
