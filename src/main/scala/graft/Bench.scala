@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (the bucketed-layout rows) land in a temp
+      // warehouse, never the working directory
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup is best-effort: a fixture without lineitem must not stop
@@ -170,6 +174,13 @@ object Bench {
       timed("bench_build_part_orders",
         () => spark.read.parquet(
           operators.ScaleTechniques.partitionedOrdersPath(spark, sfDir)).count()),
+      // one-time co-bucketed table writes — the declared bucketed-join
+      // row then measures the exchange-free merge, not the layout cost
+      timed("bench_build_buckets",
+        () => {
+          val (ot, _) = operators.ScaleTechniques.bucketedTables(spark, sfDir)
+          spark.table(ot).count()
+        }),
       // one-time per-dataset stream-source staging (parquet copy +
       // watermark sentinels) — charged here so the events_*_streamed
       // rows measure the streaming engine, not file staging

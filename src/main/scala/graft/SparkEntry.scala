@@ -581,6 +581,10 @@ object SparkEntry {
     // calendar dim -> runtime IN-filter on the partition column reads
     // 3 of 84 month dirs (plan + pruned-I/O pinned in the spec)
     "orders_dpp_pruned" -> ((s, d) => ScaleTechniques.dppPrunedJoin(s, d)),
+    // co-bucketed fact-to-fact join: both sides pre-hashed and sorted
+    // by the key, so the SMJ runs with no exchange and no sort
+    // (spec-pinned); only the |priorities|-group rollup shuffles
+    "orders_bucketed_join" -> ((s, d) => ScaleTechniques.bucketedJoin(s, d)),
     // Z-order zone maps: the multi-dim clustering layout, as a query —
     // per-tile envelopes a stats-based reader prunes on (bit-exact oracle)
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
@@ -4188,6 +4192,13 @@ object SparkEntry {
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderpriority = '1-URGENT'
         AND o.o_orderdate >= TIMESTAMP '1998-06-01'
+      GROUP BY 1""",
+
+    // bucketing is pure physical layout: the oracle is the plain join
+    "orders_bucketed_join" -> s"""
+      SELECT o_orderpriority, count(*) AS n_lines,
+             sum(${c100("l_extendedprice")}) / 100.0 AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1""",
 
     // the dim-filtered pruning join collapses to a direct quarter

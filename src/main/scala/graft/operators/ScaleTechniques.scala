@@ -83,6 +83,56 @@ object ScaleTechniques {
       .toDF("o_orderkey", "p100")
   }
 
+  /** Co-bucketed orders + lineitem managed tables (16 buckets on the
+    * join key, bucket-sorted), written once per dataset — the physical
+    * layout that deletes the join shuffle: both sides' files are
+    * already hash-partitioned AND sorted by key, so the sort-merge
+    * join reads co-located buckets with NO exchange and NO sort on
+    * either side. At 100 TB this turns the nightly fact-to-fact join
+    * from a network-bound shuffle of both tables into a local merge —
+    * the single biggest plan-shape lever bucketing buys.
+    * Returns (ordersTable, lineitemTable) catalog names.
+    */
+  private[graft] def bucketedTables(spark: SparkSession,
+      dir: String): (String, String) =
+    graft.IndexCache.getOrBuild(spark, s"buckets:$dir") {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+      // repartition by the bucket key FIRST (same murmur3 hash as the
+      // bucket spec) so every bucket lands in exactly one file — the
+      // single-file-per-bucket condition under which the scan's output
+      // is already sorted and the SMJ drops its Sort nodes too
+      graft.sources.Ingest.writeBucketed(
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(16, col("o_orderkey")),
+        ot, Seq("o_orderkey"), 16)
+      graft.sources.Ingest.writeBucketed(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(16, col("l_orderkey")),
+        lt, Seq("l_orderkey"), 16)
+      (ot, lt)
+    }
+
+  /** The declared co-bucketed join: lineitem ⋈ orders on the bucket
+    * key, rolled up per order priority. The join side of the plan runs
+    * exchange-free off the [[bucketedTables]] layout (pinned by
+    * ScaleTechniquesSpec with broadcast disabled — only the final
+    * |priorities|-group rollup shuffles, and that exchange carries
+    * five partial rows per task). The DuckDB oracle replays the plain
+    * join — bucketing is pure layout, the result is identical.
+    * Output: (o_orderpriority, n_lines, revenue).
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ot, lt) = bucketedTables(spark, dir)
+    spark.table(lt)
+      .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+  }
+
   /** Hive-partitioned orders artifact (directory per order month),
     * written once per dataset and memoized — the table LAYOUT dynamic
     * partition pruning needs. The month directories are what a

@@ -151,6 +151,45 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("declared bucketed join: exchange-free and sort-free merge, " +
+      "result equals the plain join") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = ScaleTechniques.bucketedJoin(spark, sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // join-side shape: the only exchange in the whole plan is the
+      // final tiny rollup; the SMJ below it reads co-located buckets
+      val shuffles = plan.toString.split('\n').count(_.contains("Exchange hashpartitioning"))
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"expected SMJ off the bucketed layout:\n$plan")
+      assert(shuffles <= 1, s"bucketed join must not shuffle its inputs:\n$plan")
+      // no Sort operator below the join either: bucket files are sorted
+      val joinIdx = plan.toString.indexOf("SortMergeJoin")
+      assert(!plan.toString.substring(joinIdx).contains("+- Sort "),
+        s"bucketed join inputs must arrive pre-sorted:\n$plan")
+      // layout never changes results
+      val direct = Tables.lineitem(spark, sf0001)
+        .join(Tables.orders(spark, sf0001),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == direct)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dynamic partition pruning: runtime IN-filter reads only the " +
       "dim-selected month dirs, result equals the direct computation") {
     val df = ScaleTechniques.dppPrunedJoin(spark, sf0001)
