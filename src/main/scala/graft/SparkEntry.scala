@@ -820,6 +820,10 @@ object SparkEntry {
     // two-sample KS over full ECDFs (integer-numerator exact) — the
     // unbinned distribution-equality gate next to the PSI monitor
     "stats_ks_quality" -> ((s, d) => Stats.ksQualityBySource(s, d)),
+    // pairwise Jensen-Shannon divergence between source histograms —
+    // the symmetric always-finite drift metric (picounit-quantized
+    // per-bin terms before the cross-bin sum)
+    "stats_jsd_sources" -> ((s, d) => Stats.jsdBySource(s, d)),
     // tie-corrected Mann-Whitney U + common-language effect size —
     // rank-based stochastic dominance, exact doubled rank sums
     "stats_mann_whitney_quality" ->
@@ -866,6 +870,10 @@ object SparkEntry {
     // Laplace-mechanism noisy counts with a deterministic
     // poly-hash-seeded draw (the mechanism, oracle-replayable)
     "privacy_dp_counts" -> ((s, d) => operators.Governance.dpEventCounts(s, d)),
+    // keyed sha256 pseudonymization: join-preserving one-way tokens,
+    // injectivity audit + the mapping itself pinned under the hash gate
+    "privacy_pseudonymize" ->
+      ((s, d) => operators.Governance.pseudonymizeUsers(s, d)),
     // greedy k-center diversity coreset: k broadcast-map rounds +
     // TakeOrdered(1) argmax each; quantized distances, min-id ties
     "pipeline_kcenter_coreset" -> ((s, d) => Pipeline.kCenterCoreset(s, d)),
@@ -5625,6 +5633,65 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // JSD replay: same 8-bin quality histogram, identical per-bin
+    // double term quantized to picounit longs before the pair sum
+    "stats_jsd_sources" -> """
+      WITH d AS (
+        SELECT source,
+          least(CAST(floor(round(least(stop_raw * 2.0, 1.0) * 0.4
+                  + alpha_raw * 0.3 + least(n_words / 50.0, 1.0) * 0.3,
+                6) * 8) AS INT), 7) AS bin
+        FROM (SELECT source, len(w) AS n_words,
+                len(list_filter(w, t -> list_contains(
+                  ['the','a','of','and','to','in','on'], t)))
+                  / CAST(len(w) AS DOUBLE) AS stop_raw,
+                length(regexp_replace(text, '[^a-z]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE) AS alpha_raw
+              FROM (SELECT source, text, string_split(text, ' ') AS w
+                    FROM documents))),
+      g AS (SELECT source, bin, count(*) AS c FROM d GROUP BY 1, 2),
+      st AS (SELECT source, sum(c) AS ns FROM g GROUP BY 1),
+      grid AS (SELECT gg.source, gg.ns, gg.bin, coalesce(g.c, 0) AS c
+               FROM (SELECT source, ns,
+                       unnest(generate_series(0, 7)) AS bin
+                     FROM st) gg
+               LEFT JOIN g ON g.source = gg.source AND g.bin = gg.bin),
+      a AS (SELECT source AS source_a, bin, c AS ca, ns AS na FROM grid),
+      b AS (SELECT source AS source_b, bin, c AS cb, ns AS nb FROM grid),
+      t AS (SELECT source_a, source_b,
+              CAST(round((
+                (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+                   * ln(2.0 * (CAST(ca AS DOUBLE) / na)
+                        / ((CAST(ca AS DOUBLE) / na)
+                           + (CAST(cb AS DOUBLE) / nb)))
+                 ELSE 0 END)
+              + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+                   * ln(2.0 * (CAST(cb AS DOUBLE) / nb)
+                        / ((CAST(ca AS DOUBLE) / na)
+                           + (CAST(cb AS DOUBLE) / nb)))
+                 ELSE 0 END)) * 1000000000000.0) AS BIGINT) AS t12
+            FROM a JOIN b USING (bin) WHERE source_a < source_b)
+      SELECT source_a, source_b,
+             round(CAST(sum(t12) AS DOUBLE) / 2000000000000.0, 6) AS jsd
+      FROM t GROUP BY 1, 2""",
+
+    // identical keyed-hash tokens (sha256 over the same concatenated
+    // string), identical (n_events desc, user_id) top-3 cut
+    "privacy_pseudonymize" -> """
+      WITH base AS (SELECT event_type, user_id,
+              sha256('graft-pseu-k1:' || CAST(user_id AS VARCHAR)) AS tok
+            FROM events),
+      aud AS (SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(DISTINCT tok) AS n_tokens
+              FROM base GROUP BY 1),
+      cnt AS (SELECT event_type, user_id, tok, count(*) AS n_events
+              FROM base GROUP BY 1, 2, 3),
+      top AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY n_events DESC, user_id ASC) AS rk FROM cnt)
+      SELECT t.event_type, t.user_id, substr(t.tok, 1, 16) AS token16,
+             t.n_events, a.n_users, a.n_tokens
+      FROM top t JOIN aud a USING (event_type) WHERE t.rk <= 3""",
 
     "stats_psi_by_source" -> """
       WITH d AS (

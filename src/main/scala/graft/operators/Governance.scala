@@ -128,6 +128,43 @@ object Governance {
           .as("t_permille"))
   }
 
+  /** Keyed pseudonymization of the user identifier — the
+    * join-preserving de-identification step between raw ids and DP
+    * aggregates: token = sha256(key ‖ user_id), so the same user maps
+    * to the same token everywhere (joins, sessionization, and distinct
+    * counts keep working on the pseudonymized table) while the mapping
+    * is one-way without the key. Output: the top-`perType` most active
+    * users per event type with their token prefix — which pins the
+    * MAPPING itself under the hash gate, not just its cardinality —
+    * plus each type's (distinct users == distinct tokens) injectivity
+    * audit columns.
+    *
+    * Scale shape: token derivation is a map-only codegen'd expression
+    * (sha2 over concat — no UDF); the per-type rollups are
+    * partial-aggregated; the top-k cut is the bounded-heap operator.
+    * At 100 TB the key lives in a KMS and arrives as a secret literal
+    * per job — the plan is identical.
+    */
+  def pseudonymizeUsers(spark: SparkSession, dir: String,
+      key: String = "graft-pseu-k1", perType: Int = 3): DataFrame = {
+    val token = sha2(concat(lit(key), lit(":"),
+      col("user_id").cast("string")), 256)
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), token.as("tok"))
+    val audit = base.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("tok")).as("n_tokens"))
+    val top = graft.plans.GraftOps.topKPerGroup(
+      base.groupBy(col("event_type"), col("user_id"), col("tok"))
+        .agg(count(lit(1)).as("n_events")),
+      Seq("event_type"),
+      Seq("n_events" -> false, "user_id" -> true), perType)
+    top.join(broadcast(audit), Seq("event_type"))
+      .select(col("event_type"), col("user_id"),
+        substring(col("tok"), 1, 16).as("token16"),
+        col("n_events"), col("n_users"), col("n_tokens"))
+  }
+
   def dpEventCounts(spark: SparkSession, dir: String): DataFrame = {
     val cnt = Tables.events(spark, dir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

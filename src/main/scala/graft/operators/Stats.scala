@@ -202,6 +202,56 @@ object Stats {
       .agg(round(sum(col("m")).cast("double") / 1000000.0, 6).as("psi"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between the ingest sources'
+    * quality-score histograms — the SYMMETRIC, always-finite member of
+    * the drift trio beside [[psiBySource]] (asymmetric, smoothed
+    * against the corpus marginal) and [[ksQualityBySource]] (unbinned
+    * two-sample): JSD(P,Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2.
+    * Zero-count bins contribute exactly 0 on their side (no smoothing
+    * needed — M > 0 wherever either side is), and √JSD is a metric, so
+    * the 10 pair values rank source similarity directly.
+    *
+    * Exactness: each per-bin term is ONE fixed-order double expression
+    * quantized to picounit longs BEFORE the cross-bin sum (the brier
+    * discipline), one final ÷2e12 rounded 6 — replayed bit-for-bit by
+    * the oracle.
+    *
+    * Scale shape: corpus → |sources|×`bins` cell rollup (one
+    * partial-aggregated shuffle), dense grid via explode (map-only, no
+    * cross join), then the pair relation is a self equi-join ON BIN of
+    * that tiny grid — the fact table is touched once.
+    * Output: (source_a, source_b, jsd).
+    */
+  def jsdBySource(spark: SparkSession, dir: String, bins: Int = 8): DataFrame = {
+    val w = split(col("text"), " ")
+    val q = round(TextOps.qualityOf(col("text"), w), 6)
+    val binned = Tables.documents(spark, dir)
+      .select(col("source"),
+        least(floor(q * bins), lit(bins - 1)).cast("int").as("bin"))
+    val g = binned.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val grid = g.groupBy("source").agg(sum("c").as("ns"))
+      .select(col("source"), col("ns"),
+        explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+      .join(g, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val a = grid.select(col("source").as("source_a"), col("bin"),
+      col("c").as("ca"), col("ns").as("na"))
+    val b = grid.select(col("source").as("source_b"), col("bin"),
+      col("c").as("cb"), col("ns").as("nb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val term =
+      when(col("ca") > 0, pa * log(lit(2.0) * pa / (pa + pb)))
+        .otherwise(lit(0.0)) +
+      when(col("cb") > 0, pb * log(lit(2.0) * pb / (pa + pb)))
+        .otherwise(lit(0.0))
+    a.join(b, Seq("bin")).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        round(term * lit(1e12), 0).cast("long").as("t12"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(sum(col("t12")).cast("double") / lit(2e12), 6).as("jsd"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between two ingest
     * sources' quality-score distributions — the distribution-equality
     * gate next to [[psiBySource]]'s binned drift monitor: KS compares

@@ -98,4 +98,35 @@ class GovernanceSpec extends SparkSpec {
     // the fixture must exercise a non-trivial spread — not vacuously 0
     assert(got.values.map(_._2).max > 0, "expected a nonzero EMD class")
   }
+
+  test("pseudonymization: deterministic keyed tokens, injective on the " +
+      "fixture, top-3 cut replays") {
+    val rows = graft.operators.Governance.pseudonymizeUsers(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // exactly perType rows per event type; injectivity audit holds
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.length == 3, s"$t should emit 3 rows")
+      assert(rs.head._5 == rs.head._6, s"$t token collision: ${rs.head}")
+    }
+    // the token is the declared keyed sha256, reproducible driver-side
+    rows.foreach { case (_, uid, tok16, _, _, _) =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"graft-pseu-k1:$uid"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      assert(tok16 == hex.take(16), s"user $uid token mismatch")
+    }
+    // driver replay of the (n_events desc, user_id) cut
+    val counts = Tables.events(spark, sf0001)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = counts.groupBy(_._1).toSeq.flatMap { case (t, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(3).map(r => (t, r._2, r._3)).toSeq
+    }.toSet
+    assert(rows.map(r => (r._1, r._2, r._4)).toSet == expect)
+  }
 }

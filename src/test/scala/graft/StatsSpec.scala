@@ -316,4 +316,53 @@ class StatsSpec extends SparkSpec {
         s"$name still plans a window operator:\n$plan")
     }
   }
+
+  test("JSD between sources: driver replay, symmetric pair coverage, " +
+      "bounded by ln 2") {
+    val bins = 8
+    // driver replay of the binned histograms with the same quality expr
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def quality(t: String): Double = {
+      val w = t.split(" ", -1)
+      val stops = Set("the", "a", "of", "and", "to", "in", "on")
+      val stopR = w.count(stops) / w.length.toDouble
+      val alphaR = t.count(c => c >= 'a' && c <= 'z') / t.length.toDouble
+      val q = math.min(stopR * 2.0, 1.0) * 0.4 + alphaR * 0.3 +
+        math.min(w.length / 50.0, 1.0) * 0.3
+      BigDecimal(q).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val binned = docs.map { case (s0, t) =>
+      (s0, math.min(math.floor(quality(t) * bins).toInt, bins - 1))
+    }
+    val bySrc = binned.groupBy(_._1).view.mapValues { xs =>
+      val h = new Array[Long](bins)
+      xs.foreach { case (_, b) => h(b) += 1 }
+      (h, xs.length.toLong)
+    }.toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expect = (for {
+      sa <- srcs; sb <- srcs if sa < sb
+    } yield {
+      val (ha, na) = bySrc(sa); val (hb, nb) = bySrc(sb)
+      val t12 = (0 until bins).map { b =>
+        val pa = ha(b).toDouble / na.toDouble
+        val pb = hb(b).toDouble / nb.toDouble
+        val term = (if (ha(b) > 0) pa * math.log(2.0 * pa / (pa + pb)) else 0.0) +
+          (if (hb(b) > 0) pb * math.log(2.0 * pb / (pa + pb)) else 0.0)
+        BigDecimal(term * 1e12).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      (sa, sb) -> BigDecimal(t12.toDouble / 2e12)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+    val got = graft.operators.Stats.jsdBySource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    got.foreach { case (k, v) =>
+      assert(v == expect(k), s"$k: got $v expect ${expect(k)}")
+      // JSD in nats is bounded by ln 2 and never negative
+      assert(v >= 0.0 && v <= math.log(2.0) + 1e-9, s"$k out of range: $v")
+    }
+  }
 }
