@@ -824,6 +824,9 @@ object SparkEntry {
     // the symmetric always-finite drift metric (picounit-quantized
     // per-bin terms before the cross-bin sum)
     "stats_jsd_sources" -> ((s, d) => Stats.jsdBySource(s, d)),
+    // Bayesian-bootstrap 95% CI for the mean order value: deterministic
+    // Exp(1) weights off the cross-engine hash, ranked replicate means
+    "stats_bootstrap_ci" -> ((s, d) => Stats.bootstrapCiOrderValue(s, d)),
     // tie-corrected Mann-Whitney U + common-language effect size —
     // rank-based stochastic dominance, exact doubled rank sums
     "stats_mann_whitney_quality" ->
@@ -5633,6 +5636,43 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // full bootstrap replay: identical hash-derived Exp(1) weights,
+    // identical milli-cent/nano-weight quantization before the
+    // per-replicate sums, identical rank-3/rank-98 cut of B=100
+    "stats_bootstrap_ci" -> """
+      WITH r AS (SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS x100,
+                   unnest(generate_series(1, 100)) AS b
+                 FROM orders),
+      h AS (SELECT b, x100,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(
+                  CAST(o_orderkey AS VARCHAR) || ':bs' ||
+                    CAST(b AS VARCHAR), ''),
+                  c -> CAST(unicode(c) AS BIGINT))),
+                (acc, c) -> (acc * 31 + c) % 1000000007) AS hv
+            FROM r),
+      h2 AS (SELECT b, x100,
+               (hv * hv + hv) % 1000000007 AS hv2 FROM h),
+      w AS (SELECT b,
+              CAST(round(-(ln((CAST(hv2 AS DOUBLE) + 1.0) / 1000000008.0))
+                * x100 * 1000.0) AS BIGINT) AS qwx,
+              CAST(round(-(ln((CAST(hv2 AS DOUBLE) + 1.0) / 1000000008.0))
+                * 1000000000.0) AS BIGINT) AS qw
+            FROM h2),
+      m AS (SELECT b, CAST(sum(qwx) AS DOUBLE) * 1000000.0
+                        / CAST(sum(qw) AS DOUBLE) / 100.0 AS m
+            FROM w GROUP BY b),
+      rk AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM m),
+      t AS (SELECT count(*) AS n_orders,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                / count(*) AS mean_raw
+            FROM orders)
+      SELECT n_orders, round(mean_raw, 6) AS mean,
+             (SELECT round(m, 6) FROM rk WHERE rk = 3) AS lo95,
+             (SELECT round(m, 6) FROM rk WHERE rk = 98) AS hi95
+      FROM t""",
 
     // JSD replay: same 8-bin quality histogram, identical per-bin
     // double term quantized to picounit longs before the pair sum

@@ -202,6 +202,69 @@ object Stats {
       .agg(round(sum(col("m")).cast("double") / 1000000.0, 6).as("psi"))
   }
 
+  /** Bayesian-bootstrap 95% confidence interval for the mean order
+    * value (Rubin 1981) — the uncertainty-quantification layer the
+    * point statistics lack: every release metric ("mean quality",
+    * "mean order value") should ship with a CI, and the Bayesian
+    * bootstrap is the form that distributes — per replicate b, each
+    * row gets weight w = −ln(u) (Exp(1), a closed-form inverse
+    * transform, no iterative sampling), and the replicate mean is the
+    * weighted mean; the CI reads off the ranked replicate means. The
+    * classical resample-count bootstrap needs Poisson draws (iterative
+    * inverse CDF) — the exponential-weight form is the one expressible
+    * as pure dataflow in BOTH engines.
+    *
+    * Determinism: u derives from the cross-engine polynomial hash of
+    * (o_orderkey, b) passed through a squaring finisher
+    * (h·(h+1) mod p): the bare polynomial hash has NO avalanche — a
+    * replicate-suffix change only shifts the low digits, so every
+    * replicate would draw nearly the same weights — while squaring
+    * turns a delta δ into a 2hδ jump that wraps mod p thousands of
+    * times (measured: without it the 100 replicate means collapse
+    * onto one biased draw). Weighted numerator/denominator quantize to
+    * integer milli-cent / nano-weight longs BEFORE the per-replicate
+    * sums (order-free), one double division per replicate; the 2.5%
+    * and 97.5% cut points are the rank-3 and rank-98 replicate means
+    * of B = 100 (fixed ranks, no interpolation — documented choice).
+    *
+    * Scale shape: one map-only explode of the fact rows by B (weights
+    * are computed, never stored), a partial-aggregated shuffle to
+    * |B| rows, and a ranked pick over those 100 — corpus size only
+    * enters the scan. Output: one row (n_orders, mean, lo95, hi95).
+    */
+  def bootstrapCiOrderValue(spark: SparkSession, dir: String,
+      b: Int = 100): DataFrame = {
+    val cents = ExactNum.cents(col("o_totalprice"))
+    val h = TextOps.polyHash(concat(col("o_orderkey").cast("string"),
+      lit(":bs"), col("b").cast("string")))
+    val h2 = pmod(h * h + h, lit(1000000007L))
+    val u = (h2.cast("double") + 1.0) / 1000000008.0
+    val w = -log(u)
+    val rep = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents.as("x100"))
+      .select(col("o_orderkey"), col("x100"),
+        explode(sequence(lit(1), lit(b))).as("b"))
+      .select(col("b"),
+        round(w * col("x100") * lit(1000.0), 0).cast("long").as("qwx"),
+        round(w * lit(1e9), 0).cast("long").as("qw"))
+      .groupBy(col("b"))
+      .agg(sum(col("qwx")).as("num"), sum(col("qw")).as("den"))
+      .select(col("b"),
+        (col("num").cast("double") * lit(1e6) / col("den").cast("double")
+          / lit(100.0)).as("m"))
+    val ranked = rep.withColumn("rk",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    val tot = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(cents) / lit(100.0) / count(lit(1))).as("mean_raw"))
+    tot.crossJoin(broadcast(
+        ranked.filter(col("rk") === 3).select(col("m").as("lo_raw"))))
+      .crossJoin(broadcast(
+        ranked.filter(col("rk") === 98).select(col("m").as("hi_raw"))))
+      .select(col("n_orders"), round(col("mean_raw"), 6).as("mean"),
+        round(col("lo_raw"), 6).as("lo95"), round(col("hi_raw"), 6).as("hi95"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between the ingest sources'
     * quality-score histograms — the SYMMETRIC, always-finite member of
     * the drift trio beside [[psiBySource]] (asymmetric, smoothed

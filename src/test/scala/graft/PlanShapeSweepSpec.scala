@@ -64,6 +64,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_kneser_ney",            // 1-row bigram-type-total attach
     "pipeline_perplexity_band",   // the same KN 1-row attach upstream
     "graph_modularity",           // 1-row edge-total attach
+    "stats_bootstrap_ci",         // two 1-row ranked-cut attaches
     "emb_intrinsic_dim")          // intentional broadcast-NLJ all-pairs
                                   // distance scan + 1-row MLE combiner
 

@@ -365,4 +365,43 @@ class StatsSpec extends SparkSpec {
       assert(v >= 0.0 && v <= math.log(2.0) + 1e-9, s"$k out of range: $v")
     }
   }
+
+  test("bootstrap CI: driver replay of the deterministic Bayesian " +
+      "bootstrap; interval brackets the mean") {
+    def ph(str: String): Long =
+      str.foldLeft(0L)((acc, c) =>
+        math.floorMod(acc * 31 + c.toLong, 1000000007L))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def q0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), q0(r.getDouble(1) * 100)))
+    val reps = (1 to 100).map { b =>
+      var num = 0L; var den = 0L
+      orders.foreach { case (k, x100) =>
+        val h = ph(s"$k:bs$b")
+        val h2 = math.floorMod(h * h + h, 1000000007L)
+        val u = (h2.toDouble + 1.0) / 1000000008.0
+        val w = -math.log(u)
+        num += q0(w * x100.toDouble * 1000.0)
+        den += q0(w * 1e9)
+      }
+      (b, num.toDouble * 1e6 / den.toDouble / 100.0)
+    }.sortBy { case (b, m) => (m, b) }
+    val expLo = r6(reps(2)._2)
+    val expHi = r6(reps(97)._2)
+    val expMean = r6(orders.map(_._2).sum / 100.0 / orders.length)
+    val row = graft.operators.Stats.bootstrapCiOrderValue(spark, sf0001)
+      .collect()(0)
+    assert(row.getLong(0) == orders.length)
+    assert(row.getDouble(1) == expMean, s"mean ${row.getDouble(1)} vs $expMean")
+    assert(row.getDouble(2) == expLo, s"lo95 ${row.getDouble(2)} vs $expLo")
+    assert(row.getDouble(3) == expHi, s"hi95 ${row.getDouble(3)} vs $expHi")
+    // the interval is proper and brackets the point estimate
+    assert(row.getDouble(2) < row.getDouble(1) &&
+      row.getDouble(1) < row.getDouble(3),
+      s"CI [${row.getDouble(2)}, ${row.getDouble(3)}] vs mean ${row.getDouble(1)}")
+  }
 }
