@@ -590,6 +590,9 @@ object SparkEntry {
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
     // first-order event-type Markov transitions per user stream
     "events_type_transitions" -> EventOps.typeTransitions _,
+    // GSP-style length-2 sequential-pattern support: a precedes b
+    // anywhere in a user's history (min/max-envelope existential)
+    "events_sequence_support" -> EventOps.sequenceSupport _,
     // CUSUM changepoint per type over daily revenue (exact-integer S)
     "events_cusum_changepoint" -> EventOps.cusumChangepoint _,
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
@@ -741,6 +744,9 @@ object SparkEntry {
     // strongest adjacent-word associations by micro-quantized PMI —
     // tokenizer-merge / boilerplate-phrase candidates
     "text_pmi_collocations" -> ((s, d) => TextOps.pmiCollocations(s, d)),
+    // Gopher-style named rule report: each heuristic auditable on its
+    // own (exact integer bounds), beside the blended quality score
+    "text_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     // map-only hash-boundary train/val/test assignment
     "pipeline_train_val_test" -> Pipeline.trainValTest _,
     // leakage-safe twin: the split key is the near-dup CLUSTER
@@ -5636,6 +5642,44 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // envelope existential replay: same min/max rollup, same strict
+    // precedence test, same permille integer division
+    "events_sequence_support" -> """
+      WITH env AS (SELECT user_id, event_type,
+                     min(ts) AS mn, max(ts) AS mx
+                   FROM events GROUP BY 1, 2),
+      tot AS (SELECT count(DISTINCT user_id) AS n_total FROM events),
+      sup AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                count(*) AS n_users
+              FROM env a JOIN env b ON a.user_id = b.user_id
+              WHERE a.mn < b.mx GROUP BY 1, 2)
+      SELECT type_a, type_b, n_users,
+             n_users * 1000 // n_total AS permille
+      FROM sup CROSS JOIN tot""",
+
+    // integer rule replay: identical word-count / summed-length /
+    // alpha-word / distinct-stopword bounds, cross-multiplied
+    "text_gopher_rules" -> """
+      WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                 FROM documents),
+      f AS (SELECT doc_id,
+              len(w) AS n,
+              length(text) - (len(w) - 1) AS sum_len,
+              len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+                AS alpha_words,
+              len(list_intersect(list_distinct(w),
+                ['the','a','of','and','to','in','on'])) AS n_stops
+            FROM d)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+             n >= 20 AND n <= 1000 AS wc_ok,
+             sum_len >= n * 3 AND sum_len <= n * 10 AS mwl_ok,
+             alpha_words * 1000 >= n * 800 AS alpha_ok,
+             n_stops >= 2 AS stop_ok,
+             (n >= 20 AND n <= 1000) AND
+               (sum_len >= n * 3 AND sum_len <= n * 10) AND
+               (alpha_words * 1000 >= n * 800) AND (n_stops >= 2) AS pass
+      FROM f""",
 
     // full bootstrap replay: identical hash-derived Exp(1) weights,
     // identical milli-cent/nano-weight quantization before the

@@ -1351,6 +1351,40 @@ object EventOps {
     * that tiny aggregate, not the event stream. Output: (from_type,
     * to_type, n, p rounded 6).
     */
+  /** Sequential-pattern SUPPORT of every ordered event-type pair — the
+    * GSP/PrefixSpan support statistic at length 2: a user supports
+    * (a → b) when SOME a-event strictly precedes SOME b-event,
+    * anywhere in their history (not necessarily adjacent — the
+    * statistic [[typeTransitions]]' adjacent bigrams cannot express).
+    * The existential collapses exactly to min_ts(a) < max_ts(b) over
+    * the per-(user, type) envelope — which also covers the diagonal
+    * (a → a ⟺ two events of a at distinct times) — so support
+    * counting never enumerates event pairs.
+    *
+    * Scale shape: one partial-aggregated rollup to the |users|×|types|
+    * envelope relation, a self equi-join ON USER of that envelope
+    * (typed-bounded fan-out |types|² per user), one |types|²-group
+    * rollup; the raw event table is scanned once. Output:
+    * (type_a, type_b, n_users, permille of all users).
+    */
+  def sequenceSupport(spark: SparkSession, dir: String): DataFrame = {
+    val env = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val a = env.select(col("user_id"), col("event_type").as("type_a"),
+      col("mn"))
+    val b = env.select(col("user_id"), col("event_type").as("type_b"),
+      col("mx"))
+    val tot = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("n_total"))
+    a.join(b, Seq("user_id")).filter(col("mn") < col("mx"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        expr("n_users * 1000 div n_total").as("permille"))
+  }
+
   def typeTransitions(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

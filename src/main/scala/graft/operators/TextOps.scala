@@ -1032,6 +1032,45 @@ object TextOps {
         round(exp(avg(col("nll"))), 4).as("ppl"))
   }
 
+  /** Gopher-style NAMED quality rules (Rae et al. 2021, §A1.1) — the
+    * rule-report complement to the continuous [[qualityScores]] axis: a
+    * production filter chain wants each named heuristic auditable on
+    * its own (which rule kills how many docs), not one blended score.
+    * Each rule is exact integer arithmetic:
+    *
+    *   - `wc_ok`: word count within [minWords, maxWords];
+    *   - `mwl_ok`: mean word length within [3, 10] — the text is
+    *     single-space joined, so Σ|word| = len − (n−1) exactly and the
+    *     bound cross-multiplies to integers (no division);
+    *   - `alpha_ok`: ≥ 80% of words contain an alphabetic character
+    *     (permille cross-multiplied);
+    *   - `stop_ok`: ≥ 2 DISTINCT stopwords present (the
+    *     boilerplate/gibberish tell);
+    *   - `pass`: conjunction.
+    *
+    * Scale shape: map-only projection — one scan, no shuffle, no UDF
+    * (HOF filters + length arithmetic, all codegen). Output:
+    * (doc_id, n_words, wc_ok, mwl_ok, alpha_ok, stop_ok, pass).
+    */
+  def gopherRules(spark: SparkSession, dir: String, minWords: Int = 20,
+      maxWords: Int = 1000): DataFrame = {
+    val w = split(col("text"), " ")
+    val n = size(w)
+    val sumLen = length(col("text")) - (n - lit(1))
+    val alphaWords = size(filter(w, t => t.rlike("[a-z]")))
+    val nStops = size(array_intersect(array_distinct(w),
+      array(stopwords.map(lit): _*)))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      n.cast("long").as("n_words"),
+      (n >= minWords && n <= maxWords).as("wc_ok"),
+      (sumLen >= n * 3 && sumLen <= n * 10).as("mwl_ok"),
+      (alphaWords * 1000 >= n * 800).as("alpha_ok"),
+      (nStops >= 2).as("stop_ok"))
+      .withColumn("pass",
+        col("wc_ok") && col("mwl_ok") && col("alpha_ok") && col("stop_ok"))
+  }
+
   /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
     * Goodman 1999 — the smoothing inside KenLM, i.e. the actual LM a
     * CCNet-style perplexity filter runs):

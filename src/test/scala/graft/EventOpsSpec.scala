@@ -997,4 +997,27 @@ class EventOpsSpec extends SparkSpec {
     // lag-0 sanity equivalent: every |acf| <= 1 + rounding slack
     got.foreach { case (_, _, _, acf) => assert(math.abs(acf) <= 1.000001) }
   }
+
+  test("sequence support equals a driver-side existential pair scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val users = ev.map(_._1).distinct
+    val types = ev.map(_._2).distinct
+    val byUser = ev.groupBy(_._1)
+    val expect = (for {
+      ta <- types; tb <- types
+      n = users.count { u =>
+        val es = byUser(u)
+        es.exists { case (_, t1, ts1) => t1 == ta &&
+          es.exists { case (_, t2, ts2) => t2 == tb && ts1 < ts2 } }
+      } if n > 0
+    } yield (ta, tb) -> (n.toLong, n.toLong * 1000 / users.length)).toMap
+    val got = graft.operators.EventOps.sequenceSupport(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, s"support diverges: ${got.size} vs ${expect.size}")
+    assert(got.nonEmpty)
+  }
 }

@@ -1035,4 +1035,32 @@ class TextOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("gopher rules replay driver-side and each rule discriminates") {
+    val rows = TextOps.gopherRules(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stops = Set("the", "a", "of", "and", "to", "in", "on")
+    docs.foreach { case (id, t) =>
+      val w = t.split(" ", -1)
+      val n = w.length
+      val sumLen = t.length - (n - 1)
+      val alphaW = w.count(_.exists(c => c >= 'a' && c <= 'z'))
+      val nStops = w.distinct.count(stops)
+      val wc = n >= 20 && n <= 1000
+      val mwl = sumLen >= n * 3 && sumLen <= n * 10
+      val al = alphaW * 1000 >= n * 800
+      val st = nStops >= 2
+      val (gn, gwc, gmwl, gal, gst, gp) = rows(id)
+      assert(gn == n && gwc == wc && gmwl == mwl && gal == al && gst == st,
+        s"doc $id rules diverge")
+      assert(gp == (wc && mwl && al && st), s"doc $id pass")
+    }
+    // on a natural-text fixture most docs pass, but not vacuously all
+    val passed = rows.values.count(_._6)
+    assert(passed > 0, "no doc passes - thresholds wrong for fixture")
+  }
 }
