@@ -227,23 +227,43 @@ object Stats {
     * and 97.5% cut points are the rank-3 and rank-98 replicate means
     * of B = 100 (fixed ranks, no interpolation — documented choice).
     *
-    * Scale shape: one map-only explode of the fact rows by B (weights
-    * are computed, never stored), a partial-aggregated shuffle to
-    * |B| rows, and a ranked pick over those 100 — corpus size only
-    * enters the scan. Output: one row (n_orders, mean, lo95, hi95).
+    * Scale shape: one map-only broadcast fan-out of the fact rows by B
+    * (weights are computed, never stored), a partial-aggregated shuffle
+    * to |B| rows, and a ranked pick over those 100 — corpus size only
+    * enters the scan. The char-fold hash runs ONCE per fact row over
+    * the "<key>:bs" prefix; each replicate extends it arithmetically
+    * (h·31^len(b) + poly(digits(b)) mod p, the Horner suffix identity)
+    * with the 31-power/digit-hash pair precomputed per replicate in a
+    * broadcast B-row table — O(rows·(len+B)) integer ops instead of
+    * O(rows·B·len) per-char string folds, same value bit-for-bit.
+    * Output: one row (n_orders, mean, lo95, hi95).
     */
   def bootstrapCiOrderValue(spark: SparkSession, dir: String,
       b: Int = 100): DataFrame = {
+    val p = 1000000007L
+    val reps = (1 to b).map { i =>
+      val s = i.toString
+      val mult = s.foldLeft(1L)((m, _) => m * 31 % p)
+      val add = s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % p)
+      (i, mult, add)
+    }
+    val repDf = spark.createDataFrame(reps).toDF("b", "hmult", "hadd")
     val cents = ExactNum.cents(col("o_totalprice"))
-    val h = TextOps.polyHash(concat(col("o_orderkey").cast("string"),
-      lit(":bs"), col("b").cast("string")))
+    val hp = TextOps.polyHash(concat(col("o_orderkey").cast("string"),
+      lit(":bs")))
+    val h = pmod(col("hp") * col("hmult") + col("hadd"), lit(p))
     val h2 = pmod(h * h + h, lit(1000000007L))
     val u = (h2.cast("double") + 1.0) / 1000000008.0
     val w = -log(u)
     val rep = Tables.orders(spark, dir)
       .select(col("o_orderkey"), cents.as("x100"))
-      .select(col("o_orderkey"), col("x100"),
-        explode(sequence(lit(1), lit(b))).as("b"))
+      .select(col("o_orderkey"), col("x100"), hp.as("hp"))
+      // spread the B-fold fan-out across all cores: the skinny
+      // pre-fan-out relation (|orders| rows, 3 cols) round-robins once
+      // so a single input split can't serialize the 15M-row map side
+      // (order-free quantized-integer sums — layout can't change them)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(repDf))
       .select(col("b"),
         round(w * col("x100") * lit(1000.0), 0).cast("long").as("qwx"),
         round(w * lit(1e9), 0).cast("long").as("qw"))
