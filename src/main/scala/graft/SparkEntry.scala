@@ -860,6 +860,10 @@ object SparkEntry {
     // semantics (NULL rows counted out explicitly, never silently)
     "quality_expectations_nullkeys" ->
       ((s, d) => operators.Expectations.nullKeyUniqueness(s, d)),
+    // functional-dependency audit: declared candidate lhs->rhs pairs,
+    // exact violating-group/row counts from one rollup per candidate
+    "quality_fd_violations" ->
+      ((s, d) => operators.Expectations.fdViolations(s, d)),
     // k-anonymity audit of the (segment, nation) quasi-identifier
     "privacy_k_anonymity" -> ((s, d) => operators.Governance.kAnonymity(s, d)),
     // l-diversity: per-class sensitive-value diversity + homogeneity
@@ -5919,6 +5923,39 @@ object SparkEntry {
     // tables; referential edges as NOT IN orphan counts
     // NULL semantics pinned on BOTH sides: NULL-component rows count
     // out explicitly, distinct runs over the non-NULL remainder only
+    // FD audit replay: the same per-candidate two-phase rollup
+    // (groupBy lhs, countDistinct rhs) folded to one audit row each
+    "quality_fd_violations" -> """
+      WITH
+      a1 AS (SELECT n_nationkey AS l, count(DISTINCT n_regionkey) AS d,
+               count(*) AS c FROM nation GROUP BY 1),
+      a2 AS (SELECT p_brand AS l, count(DISTINCT p_type) AS d,
+               count(*) AS c FROM part GROUP BY 1),
+      a3 AS (SELECT c_nationkey AS l, count(DISTINCT c_mktsegment) AS d,
+               count(*) AS c FROM customer GROUP BY 1),
+      a4 AS (SELECT o_custkey AS l, count(DISTINCT o_orderpriority) AS d,
+               count(*) AS c FROM orders GROUP BY 1),
+      a5 AS (SELECT o_orderdate AS l, count(DISTINCT o_orderstatus) AS d,
+               count(*) AS c FROM orders GROUP BY 1),
+      a6 AS (SELECT l_orderkey AS l, count(DISTINCT l_shipdate) AS d,
+               count(*) AS c FROM lineitem GROUP BY 1),
+      f AS (
+        SELECT 'nation.n_nationkey -> n_regionkey' AS fd, * FROM a1
+        UNION ALL SELECT 'part.p_brand -> p_type', * FROM a2
+        UNION ALL SELECT 'customer.c_nationkey -> c_mktsegment', * FROM a3
+        UNION ALL SELECT 'orders.o_custkey -> o_orderpriority', * FROM a4
+        UNION ALL SELECT 'orders.o_orderdate -> o_orderstatus', * FROM a5
+        UNION ALL SELECT 'lineitem.l_orderkey -> l_shipdate', * FROM a6)
+      SELECT fd, CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+             CAST(sum(CASE WHEN d > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS n_violating_rows,
+             CASE WHEN sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) = 0
+               THEN 1 ELSE 0 END AS holds
+      FROM f GROUP BY fd""",
+
     "quality_expectations_nullkeys" -> """
       WITH k AS (SELECT nullif(l_orderkey % 1000, 0) AS k1,
                         nullif(l_linenumber, 7) AS k2

@@ -133,6 +133,53 @@ object Expectations {
       .select(nullif(col("l_orderkey") % 1000L, lit(0L)).as("k1"),
         nullif(col("l_linenumber"), lit(7)).as("k2")))
 
+  /** Functional-dependency AUDIT (the profiling step of FD discovery,
+    * Huhtala et al. 1999 TANE — here the candidate set is declared, the
+    * engine measures): for each candidate `lhs -> rhs`, how many lhs
+    * groups exist, how many carry MORE than one distinct rhs (the FD
+    * violation witness), and how many rows sit inside violating groups
+    * — the exact evidence a schema-inference / data-contract layer
+    * needs before promoting a column pair to an invariant. A key-borne
+    * FD (`n_nationkey -> n_regionkey`) anchors the holds=1 case; the
+    * rest probe real dependency strength at every rate.
+    *
+    * Scale shape: ONE partial-aggregated rollup per candidate on its
+    * own table (groupBy lhs, countDistinct rhs — two-phase, map-side
+    * combined), then a |groups|-row second fold to the 1-row audit;
+    * candidates on the same table still scan independently (Catalyst
+    * shares nothing across the union legs, but each leg is the minimal
+    * two-column projection — the scan reads only lhs+rhs thanks to
+    * column pruning). Output: one row per candidate FD.
+    */
+  def fdViolations(spark: SparkSession, dir: String): DataFrame = {
+    val cands = Seq(
+      (Tables.nation(spark, dir), "nation", "n_nationkey", "n_regionkey"),
+      (Tables.part(spark, dir), "part", "p_brand", "p_type"),
+      (Tables.customer(spark, dir), "customer", "c_nationkey",
+        "c_mktsegment"),
+      (Tables.orders(spark, dir), "orders", "o_custkey", "o_orderpriority"),
+      (Tables.orders(spark, dir), "orders", "o_orderdate", "o_orderstatus"),
+      (Tables.lineitem(spark, dir), "lineitem", "l_orderkey", "l_shipdate"))
+    cands.map { case (df, t, lhs, rhs) => fdAuditOf(df, t, lhs, rhs) }
+      .reduce(_ unionByName _)
+  }
+
+  private[graft] def fdAuditOf(df: DataFrame, table: String, lhs: String,
+      rhs: String): DataFrame =
+    df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("d"),
+        count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("c")).as("n_rows"),
+        sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("d") > 1, col("c")).otherwise(0L))
+          .as("n_violating_rows"))
+      .select(lit(s"$table.$lhs -> $rhs").as("fd"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_groups").cast("long").as("n_groups"),
+        col("n_violating_groups").cast("long").as("n_violating_groups"),
+        col("n_violating_rows").cast("long").as("n_violating_rows"),
+        when(col("n_violating_groups") === 0L, 1).otherwise(0).as("holds"))
+
   private[graft] def nullKeyUniquenessOf(keys: DataFrame): DataFrame = {
     val nonNull = col("k1").isNotNull && col("k2").isNotNull
     keys.agg(

@@ -99,4 +99,36 @@ class ExpectationsSpec extends SparkSpec {
     assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
     assert(r.getLong(3) == r.getLong(4) + r.getLong(5))
   }
+
+  test("FD audit counts violating groups and rows exactly") {
+    import spark.implicits._
+    // groups: a->(x,x,y) violates with 3 rows; b->(x) holds (2 rows);
+    // c->(y,z,z) violates with 3 rows
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"),
+      ("b", "x"), ("c", "y"), ("c", "z"), ("c", "z")).toDF("l", "r")
+    val got = Expectations.fdAuditOf(df, "t", "l", "r").collect()(0)
+    assert(got.getString(0) == "t.l -> r")
+    assert(got.getLong(1) == 8L, "n_rows")
+    assert(got.getLong(2) == 3L, "n_groups")
+    assert(got.getLong(3) == 2L, "n_violating_groups")
+    assert(got.getLong(4) == 6L, "n_violating_rows")
+    assert(got.getInt(5) == 0, "holds")
+    // a holding FD
+    val ok = Expectations.fdAuditOf(
+      Seq(("a", "x"), ("b", "y")).toDF("l", "r"), "t", "l", "r")
+      .collect()(0)
+    assert(ok.getLong(3) == 0L && ok.getInt(5) == 1)
+  }
+
+  test("declared FD candidates mix holding and violated dependencies") {
+    val rows = Expectations.fdViolations(spark, sf0001).collect()
+    assert(rows.length == 6)
+    val byFd = rows.map(r => r.getString(0) -> r.getInt(5)).toMap
+    assert(byFd("nation.n_nationkey -> n_regionkey") == 1, "key FD holds")
+    assert(byFd.values.count(_ == 0) >= 3, "violated candidates present")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "violating rows bounded")
+      assert(r.getLong(3) <= r.getLong(2), "violating groups bounded")
+    }
+  }
 }
