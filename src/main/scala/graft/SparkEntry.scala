@@ -416,6 +416,11 @@ object SparkEntry {
     // vs the ground-truth lang column is gated in TextOpsSpec
     "text_langid_ngram" -> ((s, d) => TextOps.languageIdNgram(s, d)),
     "text_fingerprint" -> TextOps.fingerprints _,
+    // MOSS winnowing: per-window min shingle hash, RIGHTMOST tie-break,
+    // distinct (pos, hash) selection — map-only per document
+    "text_winnowing" -> ((s, d) => TextOps.winnowingFingerprints(s, d)),
+    // cross-doc shared-winnowed-hash pairs (df-capped bucket join)
+    "text_winnowing_pairs" -> ((s, d) => TextOps.winnowingPairs(s, d)),
     "text_pii_scrub"   -> TextOps.redact _,
     "text_repetition"  -> TextOps.repetitionScores _,
     // per-doc TextRank keywords: exact-integer PageRank over each
@@ -2874,6 +2879,64 @@ object SparkEntry {
             (acc, x) -> (acc * 131 + x) % 1000000007) for i in range(1, len(wh)-3)])
         ELSE NULL END AS fp_min_shingle
       FROM h""",
+
+    // winnowing replay: identical shingle fold, window minima via list
+    // slices, rightmost tie via reversed list_position
+    "text_winnowing" -> """
+      WITH h AS (
+        SELECT doc_id,
+          list_transform(string_split(text, ' '), t ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(t, ''),
+                c -> CAST(unicode(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)
+           for i in range(1, len(wh) - 3)] AS sh
+        FROM h WHERE len(wh) >= 8),
+      sel AS (
+        SELECT doc_id,
+          [struct_pack(
+             pos := j + 4 - list_position(list_reverse(sh[j:j+3]),
+                                          list_min(sh[j:j+3])),
+             h := list_min(sh[j:j+3]))
+           for j in range(1, len(sh) - 2)] AS fps
+        FROM s)
+      SELECT DISTINCT doc_id, CAST(f.pos AS BIGINT) AS pos, f.h AS h
+      FROM (SELECT doc_id, unnest(fps) AS f FROM sel)""",
+
+    // pair replay: distinct (doc, hash) selection, df-capped buckets,
+    // self-join, >= 2 shared hashes
+    "text_winnowing_pairs" -> """
+      WITH h AS (
+        SELECT doc_id,
+          list_transform(string_split(text, ' '), t ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(t, ''),
+                c -> CAST(unicode(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)
+           for i in range(1, len(wh) - 3)] AS sh
+        FROM h WHERE len(wh) >= 8),
+      fp AS (
+        SELECT DISTINCT doc_id,
+          unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
+        FROM s),
+      rare AS (SELECT h FROM fp GROUP BY h
+               HAVING count(DISTINCT doc_id) <= 64)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared
+      FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
+      JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2""",
 
     // BM25: same operation order as the Spark plan; every constant cast
     // to DOUBLE so DuckDB never routes through decimal arithmetic

@@ -2007,6 +2007,92 @@ object TextOps {
           .otherwise(lit(null).cast("long")).as("fp_min_shingle"))
   }
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003, SIGMOD — the MOSS algorithm): over each document's word
+    * `k`-gram shingle-hash sequence, slide a window of `window`
+    * shingles and select the MINIMUM hash per window, breaking ties to
+    * the RIGHTMOST position; the distinct selected (pos, hash) pairs
+    * are the document's fingerprint set. The guarantee the global-min
+    * fingerprint ([[fingerprints]]) lacks: any shared substring of
+    * length ≥ k + window − 1 words produces at least one shared
+    * SELECTED hash, while the selected set stays a ~2/(window+1)
+    * density sample — position-robust local dedup evidence, bounded
+    * storage. Reference behavioral anchor: the reference's dedup
+    * surface hashes whole texts only; winnowing is the substring-robust
+    * extension (Schleimer et al. 2003, §4).
+    *
+    * Scale shape: map-only per document (nested HOFs, no UDF) — the
+    * shingle fold, window minima, and rightmost-tie scan are all
+    * array expressions over each row; the corpus never shuffles.
+    * Output: (doc_id, pos, h), one row per selected fingerprint.
+    */
+  def winnowingFingerprints(spark: SparkSession, dir: String, k: Int = 5,
+      window: Int = 4): DataFrame =
+    winnowingOf(Tables.documents(spark, dir), k, window)
+
+  private[graft] def winnowingOf(docs: DataFrame, k: Int,
+      window: Int): DataFrame = {
+    val w = split(col("text"), " ")
+    val wordHashes = transform(w, t => polyHash(t))
+    val shingles = transform(sequence(lit(1), size(col("wh")) - (k - 1)),
+      i => aggregate(slice(col("wh"), i, lit(k)),
+        lit(0L), (acc, h) => pmod(acc * 131 + h, lit(P))))
+    val sel = transform(sequence(lit(1), size(col("sh")) - (window - 1)),
+      j => {
+        val ws = slice(col("sh"), j, lit(window))
+        val mn = array_min(ws)
+        val rightmost = aggregate(sequence(j, j + lit(window - 1)),
+          lit(0L), (acc, kk) =>
+            when(element_at(col("sh"), kk.cast("int")) === mn, kk)
+              .otherwise(acc))
+        struct(rightmost.as("pos"), mn.as("h"))
+      })
+    docs
+      .select(col("doc_id"), col("text"))
+      // the per-doc HOF chain is the cost: spread it across cores even
+      // when the corpus arrives as one input split (tiny shuffle of the
+      // raw two-column rows, then embarrassingly parallel)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), wordHashes.as("wh"))
+      .filter(size(col("wh")) >= k + window - 1)
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), explode(array_distinct(sel)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
+  }
+
+  /** Cross-document WINNOWING match pairs — the plagiarism-detection /
+    * near-dup join over [[winnowingFingerprints]]: documents sharing at
+    * least `minShared` distinct selected hashes, after dropping hashes
+    * selected in more than `maxDf` documents (the MOSS "too common to
+    * be evidence" cut, which is also what bounds the join: every
+    * surviving hash bucket fans out ≤ maxDf·(maxDf−1)/2 pairs, so the
+    * pair relation is banded — never all-pairs — and hot boilerplate
+    * shingles cannot skew a bucket at any corpus size).
+    *
+    * Plan shape: the selection computes ONCE — one groupBy-hash shuffle
+    * folds each bucket to its `collect_set` of doc ids (bounded by the
+    * df cap check downstream), and the pairs expand IN the bucket via
+    * array HOFs — no self-join, so no second shuffle and no duplicate
+    * evaluation of the per-doc fingerprint chain.
+    * Output: (doc_a, doc_b, n_shared).
+    */
+  def winnowingPairs(spark: SparkSession, dir: String, k: Int = 5,
+      window: Int = 4, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val buckets = winnowingFingerprints(spark, dir, k, window)
+      .groupBy(col("h"))
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+      .select(array_sort(col("docs")).as("ds"))
+    val pairs = flatten(transform(sequence(lit(1), size(col("ds")) - 1),
+      i => transform(slice(col("ds"), i + 1, size(col("ds"))), b =>
+        struct(element_at(col("ds"), i.cast("int")).as("doc_a"),
+          b.as("doc_b")))))
+    buckets.select(explode(pairs).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): per
     * document, PageRank over the word co-occurrence graph (window 2 —
     * adjacent distinct words, undirected, self-loops excluded, DISTINCT

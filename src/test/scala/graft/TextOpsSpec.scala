@@ -1063,4 +1063,66 @@ class TextOpsSpec extends SparkSpec {
     val passed = rows.values.count(_._6)
     assert(passed > 0, "no doc passes - thresholds wrong for fixture")
   }
+
+  test("winnowing selection replays driver-side on the fixture") {
+    val p = 1000000007L
+    def poly(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % p)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      if (ws.length < 8) Seq.empty
+      else {
+        val wh = ws.map(poly)
+        val sh = (0 to wh.length - 5).map(i =>
+          wh.slice(i, i + 5).foldLeft(0L)((a, h) => (a * 131 + h) % p))
+        (0 to sh.length - 4).map { j =>
+          val mn = sh.slice(j, j + 4).min
+          val rp = (j until j + 4).filter(kk => sh(kk) == mn).max
+          (id, (rp + 1).toLong, mn)
+        }.distinct
+      }
+    }.toSet
+    val got = TextOps.winnowingFingerprints(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"selection diverges: ${got.size} vs ${expect.size}")
+    assert(got.nonEmpty)
+    // density: winnowing selects ~2/(w+1) of shingles, never all
+    val shingleTotal = docs.map { case (_, t) =>
+      math.max(t.split(" ").length - 4, 0) }.sum
+    assert(got.size < shingleTotal / 2, "selection not sparse")
+  }
+
+  test("winnowing breaks ties to the RIGHTMOST window position") {
+    import spark.implicits._
+    // 12 identical words -> every shingle hash equal -> every window
+    // tied; rightmost rule selects pos j+3 per window j=1..5 -> {4..8}
+    val docs = Seq((1L, Seq.fill(12)("x").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.winnowingOf(docs, 5, 4).collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    assert(got == Seq(4L, 5L, 6L, 7L, 8L), s"got $got")
+  }
+
+  test("winnowing pairs recover planted near-duplicates, bounded fanout") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 37) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowingOf(docs, 5, 4)
+      .select(col("doc_id"), col("h")).distinct()
+    val shared = fp.as("a").join(fp.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id"), col("b.doc_id")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shared.getOrElse((1L, 2L), 0L) >= 2L,
+      "near-dup pair shares winnowed fingerprints")
+    assert(!shared.contains((1L, 3L)) && !shared.contains((2L, 3L)),
+      "disjoint docs share nothing")
+    // declared pair query runs end to end on the fixture
+    val pairs = TextOps.winnowingPairs(spark, sf0001).collect()
+    pairs.foreach(r => assert(r.getLong(2) >= 2L))
+  }
 }
