@@ -593,6 +593,10 @@ object SparkEntry {
     // Z-order zone maps: the multi-dim clustering layout, as a query —
     // per-tile envelopes a stats-based reader prunes on (bit-exact oracle)
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
+    // zone-map skip-rate audit: natural vs shipdate-sorted file layout
+    // for a one-month band — the pay-for-the-sort-rewrite evidence
+    "layout_minmax_skipping" ->
+      ((s, d) => ScaleTechniques.minmaxSkipping(s, d)),
     // first-order event-type Markov transitions per user stream
     "events_type_transitions" -> EventOps.typeTransitions _,
     // GSP-style length-2 sequential-pattern support: a precedes b
@@ -4298,6 +4302,44 @@ object SparkEntry {
 
     // bit-exact replay of the Morton interleave, generated term-by-term
     "layout_zorder_stats" -> ScaleTechniques.zorderOracleSql(),
+
+    // zone-map replay: same epoch-day band, same 4096-row file model
+    // under both total orders (row_number = the rank primitive's value)
+    "layout_minmax_skipping" -> """
+      WITH li AS (SELECT l_orderkey, l_linenumber,
+                    epoch_us(l_shipdate) // 86400000000 AS epday
+                  FROM lineitem),
+      m AS (SELECT CAST(sum(CASE WHEN epday BETWEEN 9190 AND 9220
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match FROM li),
+      rn AS (SELECT epday,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS grk
+             FROM li),
+      fn AS (SELECT (grk - 1) // 4096 AS fid, min(epday) AS mn,
+               max(epday) AS mx, count(*) AS c FROM rn GROUP BY 1),
+      rs AS (SELECT epday,
+               row_number() OVER (ORDER BY epday, l_orderkey, l_linenumber)
+                 AS grk
+             FROM li),
+      fs AS (SELECT (grk - 1) // 4096 AS fid, min(epday) AS mn,
+               max(epday) AS mx, count(*) AS c FROM rs GROUP BY 1),
+      a AS (
+        SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN mx < 9190 OR mn > 9220 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_skipped,
+               CAST(sum(CASE WHEN mx >= 9190 AND mn <= 9220 THEN c ELSE 0
+                 END) AS BIGINT) AS n_rows_scanned
+        FROM fn
+        UNION ALL
+        SELECT 'shipdate_sorted', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN mx < 9190 OR mn > 9220 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN mx >= 9190 AND mn <= 9220 THEN c ELSE 0
+                 END) AS BIGINT)
+        FROM fs)
+      SELECT layout, n_files, n_skipped,
+             n_skipped * 1000 // n_files AS skip_permille,
+             n_rows_scanned, n_match
+      FROM a CROSS JOIN m""",
 
     "events_type_transitions" -> """
       WITH o AS (SELECT user_id, event_type,

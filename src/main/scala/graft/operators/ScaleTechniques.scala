@@ -283,4 +283,59 @@ object ScaleTechniques {
       .groupBy(input_file_name().as("file"))
       .agg(min(xCol).as("xmin"), max(xCol).as("xmax"),
         min(yCol).as("ymin"), max(yCol).as("ymax"))
+
+  /** ZONE-MAP skipping effectiveness — min/max file statistics, the 1-D
+    * sibling of [[zorderBucketStats]]: model lineitem written as
+    * `rowsPerFile`-row files under two layouts — the NATURAL insert
+    * order (l_orderkey, l_linenumber) and a SHIPDATE-SORTED rewrite —
+    * and report, for a one-month ship-date band, how many files a
+    * stats-based reader (parquet row groups, Iceberg/Delta data files)
+    * skips outright under each. The audit a lakehouse runs before
+    * paying for a sort/OPTIMIZE rewrite: same bytes, same rows, and the
+    * skip rate goes from near-zero (every natural file spans the whole
+    * date range) to all-but-the-band — at 100 TB this is the difference
+    * between scanning everything and scanning one month.
+    *
+    * The file model is the range-partitioned [[graft.plans.GraftOps
+    * .globalRank]] (the 100 TB global-order primitive — no
+    * single-partition window), bucketed every `rowsPerFile` rows; the
+    * band compares exact integer epoch-days (the engine-parity idiom).
+    * Scale shape: two range layouts + one |files|-row rollup each; the
+    * matched-row count is one conditional sum shared by both rows.
+    * Output: (layout, n_files, n_skipped, skip_permille,
+    * n_rows_scanned, n_match) — n_match identical across layouts by
+    * construction, pinning that pruning never changes results.
+    */
+  def minmaxSkipping(spark: SparkSession, dir: String,
+      rowsPerFile: Int = 4096, d1: Long = 9190L, d2: Long = 9220L)
+      : DataFrame = {
+    val epday = floor(unix_micros(col("l_shipdate")) / lit(86400000000L))
+      .cast("long")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), epday.as("epday"))
+    val inBand = col("epday") >= d1 && col("epday") <= d2
+    val matches = broadcast(li.agg(
+      sum(when(inBand, 1L).otherwise(0L)).cast("long").as("n_match")))
+    def audit(layout: String, orderCols: Seq[(String, Boolean)]) =
+      graft.plans.GraftOps.globalRank(li, orderCols, "grk")
+        .withColumn("file_id", ((col("grk") - 1) / rowsPerFile).cast("long"))
+        .groupBy(col("file_id"))
+        .agg(min(col("epday")).as("mn"), max(col("epday")).as("mx"),
+          count(lit(1)).as("n_rows"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("mx") < d1 || col("mn") > d2, 1L).otherwise(0L))
+            .as("n_skipped"),
+          sum(when(col("mx") >= d1 && col("mn") <= d2, col("n_rows"))
+            .otherwise(0L)).as("n_rows_scanned"))
+        .crossJoin(matches)
+        .select(lit(layout).as("layout"),
+          col("n_files").cast("long").as("n_files"),
+          col("n_skipped").cast("long").as("n_skipped"),
+          expr("n_skipped * 1000 div n_files").as("skip_permille"),
+          col("n_rows_scanned").cast("long").as("n_rows_scanned"),
+          col("n_match"))
+    audit("natural", Seq("l_orderkey" -> true, "l_linenumber" -> true))
+      .unionByName(audit("shipdate_sorted",
+        Seq("epday" -> true, "l_orderkey" -> true, "l_linenumber" -> true)))
+  }
 }

@@ -253,4 +253,24 @@ class ScaleTechniquesSpec extends SparkSpec {
     } assert(a._3 > b._4 || b._3 > a._4 || a._5 > b._6 || b._5 > a._6,
       s"tiles ${a._1} and ${b._1} overlap")
   }
+
+  test("minmax skipping: sorted layout prunes, natural barely; results equal") {
+    // small files so even sf0.001 yields a multi-file model
+    val rows = ScaleTechniques.minmaxSkipping(spark, sf0001,
+      rowsPerFile = 256).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val (nfN, skN, _, scanN, mN) = rows("natural")
+    val (nfS, skS, pmS, scanS, mS) = rows("shipdate_sorted")
+    assert(nfN == nfS, "same row count -> same file count")
+    assert(nfN > 4, "fixture must model multiple files")
+    assert(mN == mS && mN > 0, "matched rows identical across layouts")
+    // every unskipped file may contain matches; scanned covers them
+    assert(scanN >= mN && scanS >= mS)
+    // the point of the rewrite: sorted layout skips strictly more
+    assert(skS > skN, s"sorted should skip more: $skS vs $skN")
+    assert(pmS >= 500, "one-month band over 6+ years: most files skip")
+    // scanned rows shrink accordingly
+    assert(scanS < scanN, "sorted layout scans fewer rows")
+  }
 }
