@@ -476,6 +476,9 @@ object SparkEntry {
     "text_bm25_general" -> ((s, d) => TextOps.bm25TopKGeneral(s, d)),
     // lexical + vector reciprocal-rank fusion over the same id space
     "hybrid_rrf_topk" -> ((s, d) => HybridSearch.rrfTopK(s, d)),
+    // serving-side composition flagship: BM25 + vector retrieval ->
+    // RRF fuse -> per-source diversity cap -> ranked answer, one plan
+    "hybrid_end_to_end" -> ((s, d) => HybridSearch.hybridEndToEnd(s, d)),
     // MMR diversified re-rank of one query's candidate block: rows-only,
     // pinned in HybridSearchSpec (λ=1 degenerates to plain top-k)
     "hybrid_mmr_topk" -> ((s, d) => HybridSearch.mmrTopK(s, d)),
@@ -1362,8 +1365,12 @@ object SparkEntry {
     * with every float constant cast to DOUBLE (DuckDB decimal-literal
     * trap) and ranks cast to INT (Spark row_number type).
     */
-  private def hybridRrfSql(terms: Seq[String], k: Int, depth: Int,
-      kRrf: Int): String = s"""
+  /** The fusion CTE chain shared by the rrf row and the composed
+    * serving flagship: both legs, both rank relations, and a `fused`
+    * relation holding the top-`fuseK` RRF results.
+    */
+  private def hybridFusionCtes(terms: Seq[String], depth: Int,
+      kRrf: Int, fuseK: Int): String = s"""
       WITH ${bm25Ctes(terms)},
       bm_top AS (SELECT doc_id, score FROM bm_sc WHERE score > 0
                  ORDER BY score DESC, doc_id ASC LIMIT $depth),
@@ -1383,15 +1390,34 @@ object SparkEntry {
       v_r AS (SELECT vec_id AS doc_id,
                 CAST(row_number() OVER (ORDER BY dist, vec_id) AS INT)
                   AS vec_rank
-              FROM v_top)
-      SELECT coalesce(bm_r.doc_id, v_r.doc_id) AS doc_id,
-             round(coalesce(CAST(1.0 AS DOUBLE) / (bm25_rank + $kRrf),
-                     CAST(0 AS DOUBLE))
-                 + coalesce(CAST(1.0 AS DOUBLE) / (vec_rank + $kRrf),
-                     CAST(0 AS DOUBLE)), 6) AS rrf,
-             bm25_rank, vec_rank
-      FROM bm_r FULL OUTER JOIN v_r ON bm_r.doc_id = v_r.doc_id
-      ORDER BY rrf DESC, doc_id ASC LIMIT $k"""
+              FROM v_top),
+      fused AS (
+        SELECT coalesce(bm_r.doc_id, v_r.doc_id) AS doc_id,
+               round(coalesce(CAST(1.0 AS DOUBLE) / (bm25_rank + $kRrf),
+                       CAST(0 AS DOUBLE))
+                   + coalesce(CAST(1.0 AS DOUBLE) / (vec_rank + $kRrf),
+                       CAST(0 AS DOUBLE)), 6) AS rrf,
+               bm25_rank, vec_rank
+        FROM bm_r FULL OUTER JOIN v_r ON bm_r.doc_id = v_r.doc_id
+        ORDER BY rrf DESC, doc_id ASC LIMIT $fuseK)"""
+
+  private def hybridRrfSql(terms: Seq[String], k: Int, depth: Int,
+      kRrf: Int): String =
+    hybridFusionCtes(terms, depth, kRrf, k) + """
+      SELECT doc_id, rrf, bm25_rank, vec_rank FROM fused"""
+
+  private def hybridEndToEndSql(terms: Seq[String], k: Int, depth: Int,
+      kRrf: Int, fuseK: Int, perSource: Int): String =
+    hybridFusionCtes(terms, depth, kRrf, fuseK) + s""",
+      ws AS (SELECT f.doc_id, d.source, f.rrf, f.bm25_rank, f.vec_rank,
+               row_number() OVER (PARTITION BY d.source
+                 ORDER BY f.rrf DESC, f.doc_id ASC) AS sr
+             FROM fused f JOIN documents d USING (doc_id)),
+      kept AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC,
+                 doc_id ASC) AS INT) AS rank
+               FROM ws WHERE sr <= $perSource)
+      SELECT rank, doc_id, source, rrf, bm25_rank, vec_rank
+      FROM kept WHERE rank <= $k"""
 
   /** Generated DuckDB replay of [[graft.operators.Pipeline.qualityClassifier]]:
     * one `g_i`/`w_i` CTE pair per GD round. Every per-row gradient term is
@@ -3108,6 +3134,11 @@ object SparkEntry {
       ORDER BY score_micro DESC, doc_id ASC LIMIT 20""",
     "hybrid_rrf_topk" -> hybridRrfSql(TextOps.bm25GeneralTerms,
       k = 20, depth = 100, kRrf = 60),
+
+    // composed serving replay: the same fusion chain extended with the
+    // source join, the per-source window cap, and the final ranked cut
+    "hybrid_end_to_end" -> hybridEndToEndSql(TextOps.bm25GeneralTerms,
+      k = 10, depth = 100, kRrf = 60, fuseK = 30, perSource = 2),
 
     // repetition: same gram counting, list-comprehension grams; ratios
     // computed on the same doubles and rounded once

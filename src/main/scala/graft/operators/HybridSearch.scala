@@ -55,6 +55,43 @@ object HybridSearch {
       .limit(k)
   }
 
+  /** The SERVING-SIDE composition flagship — the full RAG retrieval
+    * pipeline under ONE plan and one hash gate: lexical BM25 top-`depth`
+    * + vector top-`depth` → reciprocal-rank fusion → keep the fused
+    * top-`fuseK` → RELATIONAL diversification (at most `perSource`
+    * results per ingest source — the window-expressible diversity
+    * constraint, unlike MMR's inherently sequential greedy) → final
+    * top-`k` answer with full provenance (both leg ranks, the fused
+    * score, the source). Every stage is individually green elsewhere;
+    * this row proves they compose.
+    *
+    * Scale shape: the two retrievals carry all the data-size cost in
+    * their own audited shapes (broadcast BM25 stats; bounded-heap kNN);
+    * everything downstream operates on ≤ fuseK rows — the tiny fused
+    * relation broadcasts INTO the documents join (the fact table never
+    * shuffles), and both windows run on ≤ fuseK rows.
+    * Output: (rank, doc_id, source, rrf, bm25_rank, vec_rank).
+    */
+  def hybridEndToEnd(spark: SparkSession, dir: String,
+      terms: Seq[String] = TextOps.bm25GeneralTerms, queryIdx: Long = 29,
+      k: Int = 10, depth: Int = 100, kRrf: Int = 60, fuseK: Int = 30,
+      perSource: Int = 2): DataFrame = {
+    val fused = rrfTopK(spark, dir, terms, queryIdx, fuseK, depth, kRrf)
+    val withSrc = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(fused), Seq("doc_id"))
+    withSrc
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("src_rank") <= perSource)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("source"), col("rrf"),
+        col("bm25_rank"), col("vec_rank"))
+  }
+
   /** Maximal-marginal-relevance diversified re-ranking (Carbonell &
     * Goldstein 1998) of one query's top-`depth` exact neighbors:
     * greedily select k results maximizing
