@@ -920,6 +920,10 @@ object SparkEntry {
     // langid confusion matrix vs the fixture's true labels — pure
     // integers, permille via integer div
     "text_langid_confusion" -> ((s, d) => TextOps.langIdConfusion(s, d)),
+    // TRAINED multinomial NB langid: add-one likelihoods in integer
+    // micro-nats on the 80% split, held-out confusion matrix
+    "text_naive_bayes_langid" ->
+      ((s, d) => TextOps.naiveBayesLangid(s, d)),
     // cross-doc sliding 5-gram boilerplate mining: linear explode +
     // one span-keyed rollup, total-ordered top 20
     "text_repeated_spans" -> ((s, d) => TextOps.repeatedSpans(s, d)),
@@ -2853,6 +2857,48 @@ object SparkEntry {
 
     // same stopword-profile prediction CTE joined to the true labels;
     // integer counts, permille via integer div
+    // NB replay: same 80/20 split, same dense vocab x class micro-nat
+    // grid, same integer posterior sums, same lexicographic tie rule
+    "text_naive_bayes_langid" -> """
+      WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                 FROM documents),
+      tr AS (SELECT lang, unnest(w) AS word FROM d WHERE doc_id % 5 <> 4),
+      tf AS (SELECT word, lang, count(*) AS tf FROM tr GROUP BY 1, 2),
+      ct AS (SELECT lang, count(*) AS tot FROM tr GROUP BY 1),
+      nd AS (SELECT lang, count(*) AS nd FROM d
+             WHERE doc_id % 5 <> 4 GROUP BY 1),
+      nt AS (SELECT count(*) AS n FROM d WHERE doc_id % 5 <> 4),
+      vv AS (SELECT count(DISTINCT word) AS v FROM tr),
+      cls AS (SELECT ct.lang AS c,
+                CAST(round(ln(CAST(nd.nd AS DOUBLE) / n) * 1000000.0)
+                  AS BIGINT) AS prior_q,
+                CAST(round(ln(CAST(1.0 AS DOUBLE) / (ct.tot + v))
+                  * 1000000.0) AS BIGINT) AS unseen_q,
+                ct.tot AS tot, v
+              FROM ct JOIN nd USING (lang) CROSS JOIN nt CROSS JOIN vv),
+      grid AS (SELECT vw.word AS mword, cls.c AS mlang,
+                 CAST(round(ln((coalesce(tf.tf, 0) + CAST(1.0 AS DOUBLE))
+                   / (cls.tot + cls.v)) * 1000000.0) AS BIGINT) AS qll
+               FROM (SELECT DISTINCT word FROM tr) vw
+               CROSS JOIN cls
+               LEFT JOIN tf ON tf.word = vw.word AND tf.lang = cls.c),
+      te AS (SELECT doc_id, lang, word, count(*) AS cnt
+             FROM (SELECT doc_id, lang, unnest(w) AS word FROM d
+                   WHERE doc_id % 5 = 4)
+             GROUP BY 1, 2, 3),
+      sc AS (SELECT te.doc_id, te.lang, cls.c,
+               any_value(cls.prior_q)
+                 + sum(te.cnt * coalesce(g.qll, cls.unseen_q)) AS score
+             FROM te CROSS JOIN cls
+             LEFT JOIN grid g ON g.mword = te.word AND g.mlang = cls.c
+             GROUP BY 1, 2, 3),
+      pr AS (SELECT doc_id, lang, c,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, c ASC) AS rk
+             FROM sc)
+      SELECT lang, c AS pred_lang, count(*) AS n
+      FROM pr WHERE rk = 1 GROUP BY 1, 2""",
+
     "text_langid_confusion" -> """
       WITH s AS (
         SELECT doc_id,

@@ -474,6 +474,83 @@ object TextOps {
   def languageIdNgram(docs: DataFrame, profileSize: Int = 40): DataFrame =
     classify(docs.select("doc_id", "text"), trainProfiles(docs, profileSize))
 
+  /** TRAINED multinomial Naive Bayes language classifier — the
+    * supervised member of the langid trio (beside the stopword
+    * heuristic and the n-gram profile ranking): add-one-smoothed word
+    * likelihoods and class priors fit on the deterministic 80% split
+    * (doc_id % 5 ≠ 4), argmax posterior on the held-out 20%, confusion
+    * matrix out. This is the fastText-shaped supervised langid a real
+    * curation pipeline trains when labels exist.
+    *
+    * Exactness: every model weight is an integer micro-nat —
+    * `round(ln((tf+1)/(tot_c+V))·1e6)` per (word, class) on the DENSE
+    * vocab×class grid (so in-vocab-unseen-in-class gets the same
+    * smoothed mass both engines agree on), `round(ln(n_c/n)·1e6)`
+    * priors, per-class unseen mass for out-of-vocab test words — so
+    * per-doc scores are exact integer sums and the argmax (ties to the
+    * lexicographically smaller lang) is engine-independent.
+    *
+    * Scale shape: training is one vocab-bounded rollup (|V|×|classes|
+    * grid ≤ a few hundred rows here, ≤ vocab·langs anywhere) broadcast
+    * to the scoring side; scoring is map-only per test word + one
+    * (doc, class)-key rollup and a 5-row-per-doc partitioned argmax
+    * window; the confusion fold is |classes|². The corpus shuffles
+    * once, by (doc, class). Output: (lang, pred_lang, n).
+    */
+  def naiveBayesLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      // spread the explode/count work across cores even off one split
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    val isTest = col("doc_id") % 5 === 4
+    val trainWords = docs.filter(!isTest)
+      .select(col("lang"), explode(col("w")).as("word"))
+    val tf = trainWords.groupBy(col("word"), col("lang"))
+      .agg(count(lit(1)).as("tf"))
+    val classTot = trainWords.groupBy(col("lang"))
+      .agg(count(lit(1)).as("tot"))
+    val nDocs = docs.filter(!isTest).groupBy(col("lang"))
+      .agg(count(lit(1)).as("nd"))
+    val nTrain = docs.filter(!isTest).agg(count(lit(1)).as("n"))
+    val vSize = trainWords.agg(countDistinct(col("word")).as("v"))
+    val cls = classTot.join(nDocs, Seq("lang"))
+      .crossJoin(nTrain).crossJoin(vSize)
+      .select(col("lang").as("c"),
+        round(log(col("nd").cast("double") / col("n")) * 1e6, 0)
+          .cast("long").as("prior_q"),
+        round(log(lit(1.0) / (col("tot") + col("v"))) * 1e6, 0)
+          .cast("long").as("unseen_q"),
+        col("tot"), col("v"))
+    val grid = trainWords.select(col("word").as("mword")).distinct()
+      .crossJoin(cls.select(col("c"), col("tot"), col("v")))
+      .join(tf, col("mword") === tf("word") && col("c") === tf("lang"),
+        "left")
+      .select(col("mword"), col("c").as("mlang"),
+        round(log((coalesce(tf("tf"), lit(0L)) + lit(1.0)) /
+          (col("tot") + col("v"))) * 1e6, 0).cast("long").as("qll"))
+    val testWords = docs.filter(isTest)
+      .select(col("doc_id"), col("lang"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val scored = testWords
+      .crossJoin(broadcast(cls.select(col("c"), col("prior_q"),
+        col("unseen_q"))))
+      .join(broadcast(grid),
+        col("word") === col("mword") && col("c") === col("mlang"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("c"), col("prior_q"))
+      .agg(sum(col("cnt") * coalesce(col("qll"), col("unseen_q")))
+        .as("like_q"))
+      .select(col("doc_id"), col("lang"), col("c"),
+        (col("prior_q") + col("like_q")).as("score"))
+    val pred = scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("c").asc)))
+      .filter(col("rk") === 1)
+    pred.groupBy(col("lang"), col("c").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Profile training: one shuffle on (lang, gram) + bounded-heap top-k
     * per language, collected to a langs x profileSize map (driver-tiny).
     */

@@ -1064,6 +1064,57 @@ class TextOpsSpec extends SparkSpec {
     assert(passed > 0, "no doc passes - thresholds wrong for fixture")
   }
 
+  test("naive bayes langid replays driver-side; matrix covers the test split") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val train = docs.filter(_._1 % 5 != 4)
+    val test = docs.filter(_._1 % 5 == 4)
+    val trWords = train.flatMap { case (_, l, t) => t.split(" ").map(l -> _) }
+    val tf = trWords.groupBy(identity).map { case (k, v) => k -> v.length }
+    val tot = trWords.groupBy(_._1).map { case (l, v) => l -> v.length }
+    val nd = train.groupBy(_._2).map { case (l, v) => l -> v.length }
+    val vocab = trWords.map(_._2).distinct
+    val v = vocab.size
+    val langs = tot.keys.toSeq.sorted
+    def q(x: Double) = math.round(x * 1e6)
+    val prior = langs.map(l => l -> q(math.log(nd(l).toDouble / train.length))).toMap
+    val unseen = langs.map(l => l -> q(math.log(1.0 / (tot(l) + v)))).toMap
+    val qll = (for { w <- vocab; l <- langs } yield (w, l) ->
+      q(math.log((tf.getOrElse((l, w), 0) + 1.0) / (tot(l) + v)))).toMap
+    val expect = test.map { case (_, l, t) =>
+      val cnt = t.split(" ").groupBy(identity).map { case (w, a) => w -> a.length }
+      val best = langs.map { c =>
+        val s = prior(c) + cnt.map { case (w, n) =>
+          n * qll.getOrElse((w, c), unseen(c)) }.sum
+        (c, s)
+      }.minBy { case (c, s) => (-s, c) }._1
+      (l, best)
+    }.groupBy(identity).map { case (k, a) => k -> a.length.toLong }
+    val got = TextOps.naiveBayesLangid(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"confusion diverges: $got vs $expect")
+    assert(got.values.sum == test.length.toLong, "all test docs classified")
+  }
+
+  test("naive bayes recovers labels when the vocab carries real signal") {
+    import spark.implicits._
+    // 40 docs, 2 'languages' with disjoint vocabularies + shared noise
+    val docs = (0L until 40L).map { i =>
+      val l = if (i % 2 == 0) "aa" else "bb"
+      val core = if (l == "aa") Seq("foo", "bar", "baz") else Seq("qux", "quux", "corge")
+      (i, l, (core ++ Seq("shared")).mkString(" ") + " " + core((i % 3).toInt))
+    }.toDF("doc_id", "lang", "text")
+    // route through the same pipeline by writing a temp parquet layout
+    val dirTmp = java.nio.file.Files.createTempDirectory("nbtest").toString
+    docs.write.mode("overwrite").parquet(s"$dirTmp/documents.parquet")
+    val conf = TextOps.naiveBayesLangid(spark, dirTmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val correct = conf.collect { case ((a, b), n) if a == b => n }.sum
+    val all = conf.values.sum
+    assert(correct == all, s"disjoint-vocab corpus must classify perfectly: $conf")
+  }
+
   test("winnowing selection replays driver-side on the fixture") {
     val p = 1000000007L
     def poly(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % p)
