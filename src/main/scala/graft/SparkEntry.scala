@@ -800,6 +800,9 @@ object SparkEntry {
     // edges — this cut shows hop structure out to the full horizon
     "graph_shortest_paths" ->
       ((s, d) => GraphOps.shortestPaths(s, d, minShared = 4)),
+    // weighted SSSP (Bellman-Ford worklist): similarity-as-distance
+    // costs 1000 div shared, 6 relaxation rounds, same seed node
+    "graph_weighted_sssp" -> ((s, d) => GraphOps.weightedSssp(s, d)),
     // degree histogram + permille share of the co-purchase graph (the
     // hub/skew QA number that decides whether joins need salting)
     "graph_degree_distribution" ->
@@ -1470,6 +1473,38 @@ object SparkEntry {
       s0 AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
       $chain
       SELECT u AS node, count(*) AS deg FROM s$rounds GROUP BY u"""
+  }
+
+  /** Weighted-SSSP oracle: `rounds` FULL Bellman–Ford relaxations as
+    * chained MATERIALIZED CTEs. The engine runs the worklist form; both
+    * equal min cost over ≤ r-edge paths after round r, so the replay is
+    * exact without depending on convergence.
+    */
+  private def ssspOracleSql(rounds: Int, minShared: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+        SELECT node, min(d) AS d FROM (
+          SELECT node, d FROM d${r - 1}
+          UNION ALL
+          SELECT e.v, p.d + e.w FROM d${r - 1} p JOIN e ON p.node = e.u)
+        GROUP BY node)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      e0 AS MATERIALIZED (
+        SELECT a.c AS u, b.c AS v, count(*) AS shared FROM cp a
+        JOIN cp b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2 HAVING count(*) >= $minShared),
+      e AS MATERIALIZED (
+        SELECT u, v, 1000 // shared AS w FROM e0
+        UNION ALL SELECT v, u, 1000 // shared FROM e0),
+      d0 AS (SELECT CAST(min(u) AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+             FROM e),
+      $chain
+      SELECT CAST(node AS BIGINT) AS node, CAST(d AS BIGINT) AS d
+      FROM d$rounds"""
   }
 
   /** k-center coreset oracle: the identical greedy farthest-point
@@ -5604,6 +5639,10 @@ object SparkEntry {
     // bounded WITH RECURSIVE walk, UNION-dedup on (node, hop), then
     // min(hop) per node — the same BFS the frontier loop computes,
     // on the declared minShared=4 signal cut
+    // full-relaxation Bellman-Ford unroll; equals the worklist engine
+    // result after the same round count by construction
+    "graph_weighted_sssp" -> ssspOracleSql(rounds = 6, minShared = 4),
+
     "graph_shortest_paths" -> """
       WITH RECURSIVE cp AS (SELECT DISTINCT o.o_custkey AS c,
                                    l.l_partkey AS p

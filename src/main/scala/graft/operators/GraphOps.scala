@@ -289,6 +289,58 @@ object GraphOps {
     dist
   }
 
+  /** Single-source WEIGHTED shortest paths (Bellman–Ford, the
+    * delta/worklist form) over the co-purchase graph: edge cost
+    * `1000 div shared` (stronger ties are cheaper to traverse — the
+    * similarity-as-distance transform), source = smallest keyed node,
+    * `rounds` relaxation rounds. After r rounds both this and the
+    * oracle's full-relaxation unroll equal THE SAME well-defined
+    * relation — min cost over paths of ≤ r edges — so oracle equality
+    * never depends on convergence (the k-core discipline); the
+    * fixpoint is pinned separately in the spec.
+    *
+    * Scale shape: per round, only the IMPROVED node set (the worklist)
+    * joins the adjacency — the weighted sibling of the BFS frontier
+    * discipline — via a shuffle-hash probe into the pre-partitioned
+    * edge layout; the distance frame updates by anti-join + union of
+    * checkpointed O(|improved|) deltas. Per-round shuffle volume is
+    * O(|worklist ⋈ E|), not O(|V|·rounds). Output: (node, d).
+    */
+  def weightedSssp(spark: SparkSession, dir: String, rounds: Int = 6,
+      minShared: Int = 4): DataFrame = {
+    val e0 = copurchaseCounts(spark, dir)
+      .filter(col("shared") >= minShared)
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+        expr("1000 div shared").cast("long").as("w"))
+    val bidir = e0
+      .unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bidir.count()
+    val seed = bidir.agg(min(col("u")).cast("long").as("node"))
+      .select(col("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var dist = seed
+    var frontier = seed
+    (1 to rounds).foreach { _ =>
+      val cand = frontier.hint("shuffle_hash")
+        .join(bidir, col("node") === col("u"))
+        .select(col("v").as("cnode"), (col("d") + col("w")).as("nd"))
+        .groupBy(col("cnode")).agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(dist, col("cnode") === col("node"), "left_outer")
+        .filter(col("node").isNull || col("nd") < col("d"))
+        .select(col("cnode").as("node"), col("nd").as("d"))
+        .localCheckpoint(true)
+      dist = dist.join(improved, Seq("node"), "left_anti")
+        .unionAll(improved)
+        .localCheckpoint(true)
+      frontier = improved
+    }
+    bidir.unpersist()
+    dist
+  }
+
   /** k-core subgraph of the co-purchase graph: the maximal subgraph in
     * which every surviving node keeps degree >= k, by the standard
     * iterative peel (drop all nodes with degree < k, recompute, repeat).
