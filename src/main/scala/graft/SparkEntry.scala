@@ -605,6 +605,9 @@ object SparkEntry {
     // GSP-style length-2 sequential-pattern support: a precedes b
     // anywhere in a user's history (min/max-envelope existential)
     "events_sequence_support" -> EventOps.sequenceSupport _,
+    // CUPED variance-reduced A/B readout: pooled theta off exact cent
+    // moments, adjusted arm means, rho^2 reduction permille
+    "events_cuped_lift" -> ((s, d) => EventOps.cupedLift(s, d)),
     // CUSUM changepoint per type over daily revenue (exact-integer S)
     "events_cusum_changepoint" -> EventOps.cusumChangepoint _,
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
@@ -5867,6 +5870,44 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // CUPED replay: same cent moments, same fixed-order IEEE chain for
+    // theta / adjusted means / rho^2 (num*num, never pow)
+    "events_cuped_lift" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS c,
+                    (epoch_us(ts) // 86400000000) < 19738 AS pre
+                  FROM events),
+      s AS (SELECT user_id,
+              sum(CASE WHEN pre THEN c ELSE 0 END) AS x,
+              sum(CASE WHEN NOT pre THEN c ELSE 0 END) AS y
+            FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM events),
+      pu AS (SELECT u.user_id, u.user_id % 2 AS arm,
+               coalesce(s.x, 0) AS x, coalesce(s.y, 0) AS y
+             FROM u LEFT JOIN s USING (user_id)),
+      p AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+              sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pu),
+      a AS (SELECT arm, count(*) AS na, sum(x) AS sxa, sum(y) AS sya
+            FROM pu GROUP BY 1)
+      SELECT arm, CAST(na AS BIGINT) AS n_users,
+        round(CAST(sxa AS DOUBLE) / na / 100.0, 6) AS mean_x,
+        round(CAST(sya AS DOUBLE) / na / 100.0, 6) AS mean_y,
+        round(CAST(sya AS DOUBLE) / na / 100.0 -
+          ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+          * (CAST(sxa AS DOUBLE) / na / 100.0
+             - CAST(sx AS DOUBLE) / n / 100.0), 6) AS mean_y_adj,
+        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+          AS theta,
+        CAST(round(((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy))
+          / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+          * 1000.0) AS BIGINT) AS var_reduction_permille
+      FROM a CROSS JOIN p""",
 
     // envelope existential replay: same min/max rollup, same strict
     // precedence test, same permille integer division

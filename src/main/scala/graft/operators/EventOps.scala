@@ -505,6 +505,80 @@ object EventOps {
     * Window runs over the |types| x |days| rollup, never raw events;
     * pct is a single division of exact cent sums, rounded 6dp.
     */
+  /** CUPED variance-reduced A/B readout (Deng et al. 2013, WSDM — the
+    * standard production experimentation estimator): arms by user-id
+    * parity, the PRE-period purchase spend per user as the covariate
+    * X, the POST-period spend as the metric Y, and the pooled
+    * θ = cov(X,Y)/var(X) adjustment
+    * `Ŷ = ȳ_arm − θ·(x̄_arm − x̄_all)` that removes the
+    * pre-existing-behavior variance an A/B readout otherwise pays for.
+    * The theoretical variance-reduction factor ρ²(X,Y) ships beside
+    * the means (permille), as a report-card number.
+    *
+    * Exactness: X/Y are integer cent sums per user (zero-filled over
+    * the full user universe); all five pooled moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) are exact integer sums, so θ, the adjusted means, and
+    * ρ² are single fixed-order double expressions over exactly-agreed
+    * integers — both engines evaluate the identical IEEE chain.
+    *
+    * Scale shape: one (user, period)-rollup shuffle of the purchase
+    * slice, a broadcast zero-fill join against the user dimension, a
+    * 1-row pooled moment fold crossJoined into the 2-row arm rollup.
+    * Output: (arm, n_users, mean_x, mean_y, mean_y_adj, theta,
+    * var_reduction_permille).
+    */
+  def cupedLift(spark: SparkSession, dir: String,
+      cutoffDay: Long = 19738L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
+      .cast("long")
+    val sums = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("c"),
+        (epday < cutoffDay).as("pre"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+    val perUser = ev.select(col("user_id")).distinct()
+      .join(sums, Seq("user_id"), "left")
+      .na.fill(0L, Seq("x", "y"))
+      .select(col("user_id"), (col("user_id") % 2).as("arm"),
+        col("x"), col("y"))
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val theta = (col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")) /
+      (col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx"))
+    // num*num, not pow(num, 2): Math.pow is not correctly-rounded and
+    // may differ from DuckDB's ^ in the last ulp; a plain double
+    // multiply is the identical IEEE op in both engines
+    val covNum = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val rho2 = (covNum * covNum) /
+      ((col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx")) *
+       (col("n").cast("double") * col("syy") -
+        col("sy").cast("double") * col("sy")))
+    perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("na"), sum(col("x")).as("sxa"),
+        sum(col("y")).as("sya"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("na").as("n_users"),
+        round(col("sxa").cast("double") / col("na") / 100.0, 6)
+          .as("mean_x"),
+        round(col("sya").cast("double") / col("na") / 100.0, 6)
+          .as("mean_y"),
+        round(col("sya").cast("double") / col("na") / 100.0 -
+          theta * (col("sxa").cast("double") / col("na") / 100.0 -
+            col("sx").cast("double") / col("n") / 100.0), 6)
+          .as("mean_y_adj"),
+        round(theta, 6).as("theta"),
+        round(rho2 * 1000.0, 0).cast("long").as("var_reduction_permille"))
+  }
+
   def dayOverDayMovers(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"),

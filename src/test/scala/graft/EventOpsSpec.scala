@@ -998,6 +998,49 @@ class EventOpsSpec extends SparkSpec {
     got.foreach { case (_, _, _, acf) => assert(math.abs(acf) <= 1.000001) }
   }
 
+  test("cuped lift replays driver-side; adjustment is mean-preserving") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("value"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("epday"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val users = ev.map(_._1).distinct.sorted
+    val xy = users.map { u =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase")
+      val x = p.filter(_._4 < 19738L).map(e => math.round(e._3 * 100)).sum
+      val y = p.filter(_._4 >= 19738L).map(e => math.round(e._3 * 100)).sum
+      (u, u % 2, x, y)
+    }
+    val n = xy.length.toDouble
+    val sx = xy.map(_._3).sum; val sy = xy.map(_._4).sum
+    val sxy = xy.map(t => t._3 * t._4).sum
+    val sxx = xy.map(t => t._3 * t._3).sum
+    val syy = xy.map(t => t._4 * t._4).sum
+    val theta = (n * sxy - sx.toDouble * sy) / (n * sxx - sx.toDouble * sx)
+    val num = n * sxy - sx.toDouble * sy
+    val rho2 = num * num /
+      ((n * sxx - sx.toDouble * sx) * (n * syy - sy.toDouble * sy))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = xy.groupBy(_._2).map { case (arm, g) =>
+      val na = g.length
+      val mx = g.map(_._3).sum.toDouble / na / 100.0
+      val my = g.map(_._4).sum.toDouble / na / 100.0
+      arm -> (na.toLong, r6(mx), r6(my),
+        r6(my - theta * (mx - sx.toDouble / n / 100.0)), r6(theta),
+        math.round(rho2 * 1000.0))
+    }
+    val got = graft.operators.EventOps.cupedLift(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(got == expect, s"cuped diverges:\n$got\nvs\n$expect")
+    // sanity: rho^2 in [0, 1000], both arms populated
+    got.values.foreach { case (_, _, _, _, _, vr) =>
+      assert(vr >= 0L && vr <= 1000L) }
+    assert(got.size == 2)
+  }
+
   test("sequence support equals a driver-side existential pair scan") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_type"), col("ts")).collect()
