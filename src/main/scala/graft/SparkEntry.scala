@@ -946,6 +946,11 @@ object SparkEntry {
     // when the sentinel-driven watermark passes their horizon
     "events_interval_outer_streamed" ->
       ((s, d) => graft.streaming.EventStream.intervalOuterStreamed(s, d)),
+    // FULL OUTER stream-stream interval join: both sides' unmatched
+    // rows emit from join state on watermark passage (join-mode matrix
+    // complete: inner, left outer, full outer)
+    "events_interval_full_streamed" ->
+      ((s, d) => graft.streaming.EventStream.intervalFullStreamed(s, d)),
     // label-centroid separation matrix over quantized-exact means
     "emb_centroid_distances" -> ((s, d) => EmbeddingStats.centroidDistances(s, d)),
     // one-pass distributed covariance PCA (rows-only: no SQL eigensolve;
@@ -3656,6 +3661,19 @@ object SparkEntry {
       SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id,
              abs(e.us - c.us) AS gap_us
       FROM e LEFT JOIN c
+        ON e.user_id = c.user_id AND abs(e.us - c.us) <= 1800000000""",
+
+    // batch FULL JOIN twin of the streaming full-outer interval join —
+    // either side's unmatched rows null-pad; user_id coalesces
+    "events_interval_full_streamed" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+                 WHERE event_type = 'error'),
+      c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            WHERE event_type = 'click')
+      SELECT coalesce(e.user_id, c.user_id) AS user_id,
+             e.event_id AS err_id, c.event_id AS click_id,
+             abs(e.us - c.us) AS gap_us
+      FROM e FULL JOIN c
         ON e.user_id = c.user_id AND abs(e.us - c.us) <= 1800000000""",
 
     // components via a RECURSIVE transitive closure (UNION set

@@ -593,6 +593,62 @@ object EventStream {
     out
   }
 
+  /** [[streamErrorClickWithin]] as a FULL OUTER stream-stream join —
+    * the last cell of the streamed join-mode matrix (inner, left
+    * outer, full outer): unmatched rows from EITHER side surface
+    * null-padded when their side's watermark passes the join horizon,
+    * so both buffers evict and both eviction paths sit under the
+    * gate. user_id coalesces across sides (exactly one side is
+    * non-null on unmatched rows).
+    */
+  def streamErrorClickFullOuter(events: DataFrame, withinMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    errs.join(clicks,
+        col("err_user") === col("click_user") &&
+          col("click_ts") >= col("err_ts") - expr(s"INTERVAL $withinMinutes MINUTE") &&
+          col("click_ts") <= col("err_ts") + expr(s"INTERVAL $withinMinutes MINUTE"),
+        "full_outer")
+      .select(coalesce(col("err_user"), col("click_user")).as("user_id"),
+        col("err_id"), col("click_id"),
+        abs(unix_micros(col("err_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
+  /** The declared STREAMING-EXECUTED full-outer interval join (oracle:
+    * the equivalent batch FULL JOIN): unmatched errors AND unmatched
+    * clicks each emit from their own side's join state on watermark
+    * passage — both sentinel types in [[stagedOuterEventsDir]] now do
+    * eviction work.
+    */
+  def intervalFullStreamed(spark: SparkSession, dir: String,
+      withinMinutes: Int = 30): DataFrame = {
+    val staged = stagedOuterEventsDir(spark, dir)
+    val name = s"graft_ivf_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 4) {
+      val q = streamErrorClickFullOuter(
+          readEventsStreamConfigured(spark, staged), withinMinutes,
+          watermark = "1 hour")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          ckptDir("graft-ckpt-ivf-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = spark.table(name).filter(col("user_id") >= 0)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Streaming exact dedup: duplicate event_ids arriving within the
     * watermark horizon are dropped and their keys evicted afterward —
     * the streaming half of the dedup suite (bounded state, unlike a

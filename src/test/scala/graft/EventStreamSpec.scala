@@ -467,6 +467,28 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.filter(_._3.isEmpty) == unmatched)
   }
 
+  test("streamed FULL OUTER interval join equals the batch full join") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    val streamed = EventStream.intervalFullStreamed(spark, sf0001)
+      .collect().map(key).toSet
+    val batch = EventStream.streamErrorClickFullOuter(
+        Tables.events(spark, sf0001), withinMinutes = 30)
+      .collect().map(key).toSet
+    // both eviction paths must do work: unmatched errors (null click)
+    // AND unmatched clicks (null error)
+    assert(batch.exists(r => r._2.nonEmpty && r._3.isEmpty),
+      "no unmatched error in fixture")
+    assert(batch.exists(r => r._2.isEmpty && r._3.nonEmpty),
+      "no unmatched click in fixture")
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+  }
+
   test("streamed EWMA equals the batch sorted-fold") {
     val streamed = EventStream.ewmaStreamed(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

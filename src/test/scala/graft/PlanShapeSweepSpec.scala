@@ -64,9 +64,15 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_kneser_ney",            // 1-row bigram-type-total attach
     "pipeline_perplexity_band",   // the same KN 1-row attach upstream
     "graph_modularity",           // 1-row edge-total attach
-    "stats_bootstrap_ci",         // two 1-row ranked-cut attaches
-    "emb_intrinsic_dim")          // intentional broadcast-NLJ all-pairs
+    "stats_bootstrap_ci",         // two 1-row ranked-cut attaches + the
+                                  // broadcast B-row replicate fan-out
+    "emb_intrinsic_dim",          // intentional broadcast-NLJ all-pairs
                                   // distance scan + 1-row MLE combiner
+    "events_sequence_support",    // 1-row user-total attach
+    "events_cuped_lift",          // 1-row pooled-moments attach
+    "layout_minmax_skipping",     // 1-row matched-count attach
+    "text_naive_bayes_langid")    // |classes|-row model fan-out against
+                                  // the test words + 1-row V/n attaches
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
