@@ -104,6 +104,34 @@ class DocumentsScaleSpec extends SparkSpec {
       s"candidate fraction ${cand.toDouble / (batchSize.toDouble * (n - batchSize))}")
   }
 
+  test("winnowing pairs at 10x: full planted recall, no background flood") {
+    // the winnowing guarantee: any shared word run >= k+w-1 = 8 words
+    // yields a shared SELECTED hash; a planted near-dup differs in one
+    // word, so at least one intact side of the edit clears minShared=2
+    val got = graft.operators.TextOps.winnowingPairs(spark, dir10x)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = plantedPairs(50000)
+    assert((planted -- got).isEmpty,
+      s"missed ${(planted -- got).size} of ${planted.size} planted pairs")
+    // independent 800-word-vocab draws share no 5-gram shingles, so
+    // the df-capped bucket join must not manufacture background pairs
+    assert(got.size <= planted.size + 5,
+      s"pair flood: ${got.size} vs ${planted.size} planted")
+    // density: the selected fingerprint relation stays a sparse sample
+    // of the shingle stream even at 10x (the storage bound that makes
+    // winnowing an INDEX, not a copy)
+    val nSel = graft.operators.TextOps
+      .winnowingFingerprints(spark, dir10x).count()
+    val nShingles = graft.Tables.documents(spark, dir10x)
+      .select(org.apache.spark.sql.functions.greatest(
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions
+          .split(org.apache.spark.sql.functions.col("text"), " ")) - 4,
+        org.apache.spark.sql.functions.lit(0)).as("m"))
+      .agg(org.apache.spark.sql.functions.sum("m")).collect()(0).getLong(0)
+    assert(nSel * 2 < nShingles,
+      s"selection not sparse at 10x: $nSel of $nShingles shingles")
+  }
+
   test("gram coverage separates planted dups from background at 10x") {
     val n = 50000
     val cov = Dedup.gramCoverage(spark, dir10x).cache()
