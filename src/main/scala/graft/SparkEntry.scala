@@ -516,6 +516,10 @@ object SparkEntry {
     // (integer-quantized batch GD; one agg scan per round)
     "pipeline_quality_classifier" ->
       ((s, d) => Pipeline.qualityClassifier(s, d)),
+    // active-learning cut: the 50 docs nearest the trained decision
+    // boundary (smallest |w.x| micro-units, bounded-heap TakeOrdered)
+    "pipeline_uncertainty_sample" ->
+      ((s, d) => Pipeline.uncertaintySample(s, d)),
     // tie-aware Mann-Whitney AUC of the trained scorer (weights memoized)
     "eval_auc_classifier" -> ((s, d) => Pipeline.classifierAuc(s, d)),
     // the model-report-card slice row: per-language AUC on the same
@@ -1739,7 +1743,7 @@ object SparkEntry {
       .mkString(",\n      ")
     s"""
       WITH f AS MATERIALIZED (
-        SELECT lang,
+        SELECT doc_id, lang,
                CASE WHEN least(stop * 2.0, 1.0) * 0.4 + alpha * 0.3
                        + least(wcnt / 50.0, 1.0) * 0.3 >= 0.5
                     THEN 1.0 ELSE 0.0 END AS y,
@@ -1749,7 +1753,7 @@ object SparkEntry {
                least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / wcnt / 10.0, 1.0) AS f3,
                dcnt / wcnt AS f4
-        FROM (SELECT lang, text,
+        FROM (SELECT doc_id, lang, text,
                      CAST(len(w) AS DOUBLE) AS wcnt,
                      CAST(len(list_distinct(w)) AS DOUBLE) AS dcnt,
                      len(list_filter(w, t -> list_contains(
@@ -1757,7 +1761,7 @@ object SparkEntry {
                        / CAST(len(w) AS DOUBLE) AS stop,
                      length(regexp_replace(text, '[^a-z]', '', 'g'))
                        / CAST(length(text) AS DOUBLE) AS alpha
-              FROM (SELECT lang, text, string_split(text, ' ') AS w
+              FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
                     FROM documents))),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
       w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d, 0.0 AS e),
@@ -2290,6 +2294,15 @@ object SparkEntry {
     // (exact integer sums, order-free), same fixed-shape double
     // weight update — see qcOracleSql below
     "pipeline_quality_classifier" -> qcOracleSql(iters = 50, lr = "5.0"),
+    // boundary-distance replay off the same weight chain: identical
+    // micro-quantized score, abs margin, lexicographic tie cut
+    "pipeline_uncertainty_sample" -> (qcChain(50, "5.0") + s""",
+      sc AS (SELECT doc_id,
+               CAST(round(($qcDot) * 1000000.0, 0) AS BIGINT) AS q
+             FROM f, w50)
+      SELECT doc_id, abs(q) AS margin_micro,
+             CASE WHEN q >= 0 THEN 1 ELSE 0 END AS pred
+      FROM sc ORDER BY abs(q), doc_id LIMIT 50"""),
     "eval_auc_classifier" -> qcAucSql(iters = 50, lr = "5.0"),
     "eval_auc_by_lang" -> qcAucByLangSql(iters = 50, lr = "5.0"),
     "eval_lift_classifier" -> qcLiftSql(iters = 50, lr = "5.0"),

@@ -698,6 +698,7 @@ object Pipeline {
     val wcnt = size(w0).cast("double")
     graft.IndexCache.getOrBuild(spark, s"lr-feats:$dir") {
       val f = Tables.documents(spark, dir).select(
+        col("doc_id"),
         col("lang"),
         when(TextOps.qualityOf(col("text"), w0) >= 0.5, 1.0)
           .otherwise(0.0).as("y"),
@@ -831,6 +832,27 @@ object Pipeline {
     * (offset = sum of per-partition counts), same formula — the
     * [[Stats.giniCoefficient]] discipline.
     */
+  /** Active-learning UNCERTAINTY SAMPLE (Lewis & Gale 1994): the `k`
+    * documents closest to the trained classifier's decision boundary —
+    * smallest |w·x| in integer micro-units, ties to the smaller
+    * doc_id — the batch a labeling loop sends for annotation next,
+    * where a label buys the most model improvement. Reuses the
+    * memoized 50-round fit; scoring is map-only and the cut is a
+    * bounded-heap TakeOrdered (never a global sort). Output:
+    * (doc_id, margin_micro, pred).
+    */
+  def uncertaintySample(spark: SparkSession, dir: String, k: Int = 50,
+      iters: Int = 50, lr: Double = 5.0): DataFrame = {
+    val w = trainedWeights(spark, dir, iters, lr)
+    classifierFeatures(spark, dir)
+      .select(col("doc_id"),
+        round(zOf(w) * 1000000.0, 0).cast("long").as("q"))
+      .select(col("doc_id"), abs(col("q")).as("margin_micro"),
+        when(col("q") >= 0L, 1).otherwise(0).as("pred"))
+      .orderBy(col("margin_micro").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Force the one-time feature materialization + 50-round gradient
     * descent for the declared classifier family — the bench charges
     * this to its own bench_build_* row so the three eval queries

@@ -582,4 +582,33 @@ class PipelineSpec extends SparkSpec {
       assert(nKept >= nDocs / 2 - 1, s"$lang band too narrow: $nKept/$nDocs")
     }
   }
+
+  test("uncertainty sample is the exact boundary-distance cut") {
+    val w = Pipeline.trainedWeights(spark, sf0001, 50, 5.0)
+    // independent margin replay straight from the raw text (same
+    // feature formulas), using the separately-gated trained weights
+    val all = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect().map { r =>
+        val id = r.getLong(0); val t = r.getString(1)
+        val ws = t.split(" ")
+        val wcnt = ws.length.toDouble
+        val f = Array(1.0,
+          math.min(t.length.toDouble / 500.0, 1.0),
+          math.min(wcnt / 100.0, 1.0),
+          math.min(t.replace(" ", "").length.toDouble / wcnt / 10.0, 1.0),
+          ws.distinct.length.toDouble / wcnt)
+        val z = (0 to 4).map(j => w(j) * f(j)).sum
+        val q = new java.math.BigDecimal(java.lang.Double.toString(z * 1e6))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        (id, math.abs(q), if (q >= 0) 1 else 0)
+      }
+    val expect = all.sortBy(t => (t._2, t._1)).take(50).toSeq
+    val got = Pipeline.uncertaintySample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expect, s"cut diverges: ${got.take(3)} vs ${expect.take(3)}")
+    // the cut property: every selected margin <= every excluded margin
+    val maxSel = got.map(_._2).max
+    val excluded = all.map(t => (t._1, t._2)).toMap -- got.map(_._1)
+    assert(excluded.values.forall(_ >= maxSel))
+  }
 }
