@@ -855,6 +855,9 @@ object SparkEntry {
     // Bayesian-bootstrap 95% CI for the mean order value: deterministic
     // Exp(1) weights off the cross-engine hash, ranked replicate means
     "stats_bootstrap_ci" -> ((s, d) => Stats.bootstrapCiOrderValue(s, d)),
+    // delta-method CI for the ratio metric revenue-per-order with
+    // customer as the randomization unit (linearized variance)
+    "stats_ratio_ci_delta" -> ((s, d) => Stats.ratioCiDelta(s, d)),
     // tie-corrected Mann-Whitney U + common-language effect size —
     // rank-based stochastic dominance, exact doubled rank sums
     "stats_mann_whitney_quality" ->
@@ -5981,6 +5984,41 @@ object SparkEntry {
     // full bootstrap replay: identical hash-derived Exp(1) weights,
     // identical milli-cent/nano-weight quantization before the
     // per-replicate sums, identical rank-3/rank-98 cut of B=100
+    // delta-method replay: same integer moments, same fixed-order
+    // linearized-variance chain, population divisors
+    "stats_ratio_ci_delta" -> """
+      WITH per AS (SELECT o_custkey,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS y,
+                     count(*) AS k
+                   FROM orders GROUP BY 1),
+      pu AS (SELECT c.c_custkey, coalesce(p.y, 0) AS y,
+               coalesce(p.k, 0) AS k
+             FROM customer c LEFT JOIN per p ON c.c_custkey = p.o_custkey),
+      m AS (SELECT count(*) AS n, sum(y) AS sy, sum(k) AS sk,
+              sum(CAST(y AS HUGEINT) * k) AS syk,
+              sum(CAST(y AS HUGEINT) * y) AS syy,
+              sum(k * k) AS skk
+            FROM pu),
+      d AS (SELECT n, CAST(sy AS DOUBLE) / sk AS r,
+              (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n
+                AS vy,
+              (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n) / n
+                AS vk,
+              (CAST(syk AS DOUBLE) - CAST(sy AS DOUBLE) * sk / n) / n
+                AS cyk,
+              CAST(sk AS DOUBLE) / n AS mk
+            FROM m),
+      s AS (SELECT n, r,
+              sqrt((vy - 2.0 * r * cyk + r * r * vk)
+                   / (CAST(n AS DOUBLE) * mk * mk)) AS se
+            FROM d)
+      SELECT CAST(n AS BIGINT) AS n_customers,
+             round(r / 100.0, 6) AS ratio,
+             round(se / 100.0, 6) AS se,
+             round((r - 1.96 * se) / 100.0, 6) AS lo95,
+             round((r + 1.96 * se) / 100.0, 6) AS hi95
+      FROM s""",
+
     "stats_bootstrap_ci" -> """
       WITH r AS (SELECT o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS x100,

@@ -285,6 +285,64 @@ object Stats {
         round(col("lo_raw"), 6).as("lo95"), round(col("hi_raw"), 6).as("hi95"))
   }
 
+  /** DELTA-METHOD confidence interval for a RATIO metric (revenue per
+    * order, randomization unit = customer): the analytic member of the
+    * uncertainty trio beside [[bootstrapCiOrderValue]] (nonparametric)
+    * and [[graft.operators.EventOps.cupedLift]] (variance reduction).
+    * A per-order mean is NOT iid when customers are the unit — the
+    * correct estimator is R = ΣY_u / ΣN_u over the customer universe
+    * with the linearized variance
+    *
+    *   var(R) ≈ (var(Y) − 2R·cov(Y,N) + R²·var(N)) / (n·mean(N)²),
+    *
+    * the standard production experimentation formula (Deng et al. 2018).
+    * Customers with no orders stay in the universe (zero-filled) — they
+    * are real members of the randomization population.
+    *
+    * Exactness: Y is integer cents, N integer counts; all five moments
+    * (ΣY, ΣN, ΣYN, ΣY², ΣN²) are exact integer sums, so R, the SE and
+    * the ±1.96 bounds are one fixed-order double chain both engines
+    * evaluate identically (population variances, n divisor).
+    *
+    * Scale shape: one per-customer rollup of orders, a broadcast
+    * zero-fill join against the customer dimension, one 1-row moment
+    * fold. Output: (n_customers, ratio, se, lo95, hi95).
+    */
+  def ratioCiDelta(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(ExactNum.cents(col("o_totalprice"))).as("y"),
+        count(lit(1)).as("k"))
+    val perUser = Tables.customer(spark, dir)
+      .select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .na.fill(0L, Seq("y", "k"))
+    // second moments overflow long at cent scale (y^2 ~ 2.5e17/row):
+    // DECIMAL(38,0) sums stay exact, one double cast at the end
+    val yd = col("y").cast("decimal(38,0)")
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("k")).as("sk"),
+      sum(yd * col("k")).as("syk"),
+      sum(yd * col("y")).as("syy"),
+      sum(col("k") * col("k")).as("skk"))
+    val nD = col("n").cast("double")
+    val r = col("sy").cast("double") / col("sk")
+    val varY = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy") / nD) / nD
+    val varK = (col("skk").cast("double") -
+      col("sk").cast("double") * col("sk") / nD) / nD
+    val covYK = (col("syk").cast("double") -
+      col("sy").cast("double") * col("sk") / nD) / nD
+    val meanK = col("sk").cast("double") / nD
+    val se = sqrt((varY - lit(2.0) * r * covYK + r * r * varK) /
+      (nD * meanK * meanK))
+    m.select(col("n").cast("long").as("n_customers"),
+      round(r / 100.0, 6).as("ratio"),
+      round(se / 100.0, 6).as("se"),
+      round((r - lit(1.96) * se) / 100.0, 6).as("lo95"),
+      round((r + lit(1.96) * se) / 100.0, 6).as("hi95"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between the ingest sources'
     * quality-score histograms — the SYMMETRIC, always-finite member of
     * the drift trio beside [[psiBySource]] (asymmetric, smoothed

@@ -404,4 +404,39 @@ class StatsSpec extends SparkSpec {
       row.getDouble(1) < row.getDouble(3),
       s"CI [${row.getDouble(2)}, ${row.getDouble(3)}] vs mean ${row.getDouble(1)}")
   }
+
+  test("delta-method ratio CI replays driver-side; bounds bracket the ratio") {
+    val per = graft.Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"),
+        count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val custs = graft.Tables.customer(spark, sf0001)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val rows = custs.map(c => per.getOrElse(c, (0L, 0L)))
+    val n = rows.length.toDouble
+    val sy = rows.map(_._1).sum; val sk = rows.map(_._2).sum
+    // second moments exceed Long (y^2 ~ 2.5e17/row): BigInt, like the
+    // operator's DECIMAL(38,0) sums
+    val syk = rows.map(t => BigInt(t._1) * t._2).sum
+    val syy = rows.map(t => BigInt(t._1) * t._1).sum
+    val skk = rows.map(t => t._2 * t._2).sum
+    val r = sy.toDouble / sk
+    val vy = (syy.toDouble - sy.toDouble * sy / n) / n
+    val vk = (skk.toDouble - sk.toDouble * sk / n) / n
+    val cyk = (syk.toDouble - sy.toDouble * sk / n) / n
+    val mk = sk.toDouble / n
+    val se = math.sqrt((vy - 2.0 * r * cyk + r * r * vk) / (n * mk * mk))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Stats.ratioCiDelta(spark, sf0001).collect()(0)
+    assert(got.getLong(0) == rows.length.toLong)
+    assert(got.getDouble(1) == r6(r / 100.0), "ratio")
+    assert(got.getDouble(2) == r6(se / 100.0), "se")
+    assert(got.getDouble(3) == r6((r - 1.96 * se) / 100.0), "lo95")
+    assert(got.getDouble(4) == r6((r + 1.96 * se) / 100.0), "hi95")
+    assert(got.getDouble(3) < got.getDouble(1) &&
+      got.getDouble(1) < got.getDouble(4), "CI brackets the estimate")
+    assert(got.getDouble(2) > 0.0)
+  }
 }
