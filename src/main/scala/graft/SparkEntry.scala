@@ -606,6 +606,10 @@ object SparkEntry {
       ((s, d) => ScaleTechniques.minmaxSkipping(s, d)),
     // first-order event-type Markov transitions per user stream
     "events_type_transitions" -> EventOps.typeTransitions _,
+    // held-out next-event accuracy of the Markov bigram model vs the
+    // majority-class baseline (80/20 user split, integer permille)
+    "events_markov_holdout" ->
+      ((s, d) => EventOps.markovHoldoutAccuracy(s, d)),
     // GSP-style length-2 sequential-pattern support: a precedes b
     // anywhere in a user's history (min/max-envelope existential)
     "events_sequence_support" -> EventOps.sequenceSupport _,
@@ -4489,6 +4493,37 @@ object SparkEntry {
              n_skipped * 1000 // n_files AS skip_permille,
              n_rows_scanned, n_match
       FROM a CROSS JOIN m""",
+
+    // holdout replay: same lag pairs, same argmax tie rule, same
+    // prior-only baseline, same integer permille
+    "events_markov_holdout" -> """
+      WITH o AS (SELECT user_id, event_type AS nxt,
+                        lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+                 FROM events),
+      p AS (SELECT user_id, prev, nxt FROM o WHERE prev IS NOT NULL),
+      tr AS (SELECT prev, nxt FROM p WHERE user_id % 5 <> 4),
+      model AS (SELECT prev, nxt AS predicted FROM (
+                  SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+                    ORDER BY count(*) DESC, nxt ASC) AS rk
+                  FROM tr GROUP BY prev, nxt)
+                WHERE rk = 1),
+      base AS (SELECT nxt AS base_pred FROM (
+                 SELECT nxt, row_number() OVER (
+                   ORDER BY count(*) DESC, nxt ASC) AS rk
+                 FROM tr GROUP BY nxt)
+               WHERE rk = 1)
+      SELECT p.prev AS from_type, m.predicted,
+             count(*) AS n_test,
+             CAST(sum(CASE WHEN p.nxt = m.predicted THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             CAST(sum(CASE WHEN p.nxt = m.predicted THEN 1 ELSE 0 END)
+               * 1000 // count(*) AS BIGINT) AS acc_permille,
+             CAST(sum(CASE WHEN p.nxt = b.base_pred THEN 1 ELSE 0 END)
+               * 1000 // count(*) AS BIGINT) AS baseline_permille
+      FROM p JOIN model m ON p.prev = m.prev CROSS JOIN base b
+      WHERE p.user_id % 5 = 4
+      GROUP BY 1, 2""",
 
     "events_type_transitions" -> """
       WITH o AS (SELECT user_id, event_type,

@@ -1474,6 +1474,59 @@ object EventOps {
         sum(col("n")).over(Window.partitionBy(col("from_type"))), 6).as("p"))
   }
 
+  /** HELD-OUT next-event prediction accuracy of the Markov bigram
+    * model — the train/eval split applied to [[typeTransitions]]: fit
+    * argmax(next | prev) on the 80% user split (user_id % 5 ≠ 4,
+    * ties to the lexicographically smaller type), score every
+    * held-out adjacent transition, report per-prev-type accuracy
+    * beside the majority-class baseline the model must beat to be
+    * worth shipping. Pure integer counting end to end.
+    *
+    * Scale shape: train = one bigram rollup (|types|² rows) + a
+    * |types|-row argmax window; test transitions join the broadcast
+    * model by prev type; one |types|-row fold out. The event table
+    * shuffles once per side (the lag window's user partitioning).
+    * Output: (from_type, predicted, n_test, n_correct, acc_permille,
+    * baseline_permille).
+    */
+  def markovHoldoutAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"), col("event_type").as("nxt"))
+    val isTest = col("user_id") % 5 === 4
+    val model = pairs.filter(!isTest)
+      .groupBy(col("prev"), col("nxt")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("prev"))
+        .orderBy(col("n").desc, col("nxt").asc)))
+      .filter(col("rk") === 1)
+      .select(col("prev"), col("nxt").as("predicted"))
+    // majority-class baseline: the single most frequent NEXT type in
+    // train, independent of prev (what a prior-only predictor does)
+    val base = pairs.filter(!isTest)
+      .groupBy(col("nxt")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("nxt").asc)))
+      .filter(col("rk") === 1)
+      .select(col("nxt").as("base_pred"))
+    pairs.filter(isTest)
+      .join(broadcast(model), Seq("prev"))
+      .crossJoin(broadcast(base))
+      .groupBy(col("prev").as("from_type"), col("predicted"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("nxt") === col("predicted"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("nxt") === col("base_pred"), 1L).otherwise(0L))
+          .as("n_base"))
+      .select(col("from_type"), col("predicted"), col("n_test"),
+        col("n_correct"),
+        expr("n_correct * 1000 div n_test").as("acc_permille"),
+        expr("n_base * 1000 div n_test").as("baseline_permille"))
+  }
+
   /** Stationary distribution of the [[typeTransitions]] Markov chain:
     * where the user flow settles if the observed transition behavior
     * persists — the long-run share of attention per event type, read

@@ -998,6 +998,38 @@ class EventOpsSpec extends SparkSpec {
     got.foreach { case (_, _, _, acf) => assert(math.abs(acf) <= 1.000001) }
   }
 
+  test("markov holdout accuracy replays driver-side") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._3, e._4))
+      s.sliding(2).collect { case Array(a, b) => (u, a._2, b._2) }
+    }
+    val tr = pairs.filter(_._1 % 5 != 4)
+    val te = pairs.filter(_._1 % 5 == 4)
+    val model = tr.groupBy(p => (p._2, p._3)).view.mapValues(_.size).toSeq
+      .groupBy(_._1._1).map { case (prev, g) =>
+        prev -> g.minBy { case ((_, nxt), n) => (-n, nxt) }._1._2 }
+    val basePred = tr.groupBy(_._3).view.mapValues(_.size).toSeq
+      .minBy { case (nxt, n) => (-n, nxt) }._1
+    val expect = te.filter(p => model.contains(p._2))
+      .groupBy(p => (p._2, model(p._2))).map { case ((prev, pred), g) =>
+        val n = g.size.toLong
+        val c = g.count(_._3 == pred).toLong
+        val b = g.count(_._3 == basePred).toLong
+        (prev, pred) -> (n, c, c * 1000 / n, b * 1000 / n)
+      }
+    val got = graft.operators.EventOps.markovHoldoutAccuracy(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == expect, s"holdout diverges: $got vs $expect")
+    assert(got.nonEmpty)
+  }
+
   test("cuped lift replays driver-side; adjustment is mean-preserving") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_type"), col("value"),
