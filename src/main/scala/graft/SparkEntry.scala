@@ -78,6 +78,9 @@ object SparkEntry {
     // — reference parity: vector search (SURVEY §2.1-2.5, §2.9) —
     "knn_exact_single" -> ((s, d) => ExactKnn.topKSingle(s, d)),
     "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
+    // reciprocal-kNN pairs over the base split (hub-free neighborhood
+    // evidence; mutual filter = one self-join of the n*k top-k rows)
+    "knn_mutual_pairs" -> ((s, d) => ExactKnn.mutualKnnPairs(s, d)),
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
     // faceted search: one scan, one bounded-heap pass grouped by
@@ -1821,6 +1824,25 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
       FROM d
       QUALIFY rk <= 10""",
+
+    // reciprocal filter replay: same base-side self top-5 (self-match
+    // excluded), then the (a,b)x(b,a) join with a < b
+    "knn_mutual_pairs" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id < p.s
+              AND b.vec_id <> q.vec_id),
+      t AS (SELECT qid, vec_id, dist,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                AS rk
+            FROM d QUALIFY rk <= 5)
+      SELECT a.qid AS vec_a, a.vec_id AS vec_b, a.dist
+      FROM t a JOIN t r ON a.qid = r.vec_id AND a.vec_id = r.qid
+      WHERE a.qid < a.vec_id""",
 
     // the V2 view fixes one held-out qid (s + 25 mod the query count),
     // so the oracle is that query row's exact top-10 (same arithmetic

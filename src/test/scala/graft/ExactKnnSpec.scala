@@ -164,4 +164,35 @@ class ExactKnnSpec extends SparkSpec {
     assert(!rows.exists(v => v >= s80 && v < s90),
       "a deleted vec_id surfaced in the after-delete search")
   }
+
+  test("mutual kNN pairs replay a driver-side reciprocal filter") {
+    val (base, _, _, _) = ExactKnn.split(spark, sf0001)
+    val vecs = base.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val c = math.max(d / (math.sqrt(na) * math.sqrt(nb)), 0.0)
+      BigDecimal(1 - c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val topk = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .map(v => (v, cos(vecs(q), vecs(v))))
+        .sortBy { case (v, d) => (d, v) }.take(5)
+    }.toMap
+    val expect = (for {
+      (a, nbrs) <- topk.toSeq; (b, d) <- nbrs
+      if a < b && topk(b).exists(_._1 == a)
+    } yield (a, b, d)).toSet
+    val got = ExactKnn.mutualKnnPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect, s"mutual pairs diverge: ${got.size} vs ${expect.size}")
+    assert(got.nonEmpty)
+    // mutuality strictly prunes the one-directional pair list
+    val oneWay = topk.toSeq.flatMap { case (a, nbrs) =>
+      nbrs.map { case (b, _) => (math.min(a, b), math.max(a, b)) } }.toSet
+    assert(got.size < oneWay.size, "mutual filter pruned nothing")
+  }
 }
