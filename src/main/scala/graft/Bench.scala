@@ -153,6 +153,10 @@ object Bench {
           + operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count()
           // the k-core peel's adjacency (minShared=3 cut)
           + operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()),
+      // base-side self top-k scan behind the mutual-pair relation the
+      // pair and cluster rows read
+      timed("bench_build_mutual_knn",
+        () => knn.ExactKnn.mutualKnnPairs(spark, sfDir).count()),
       // 50 sequential gradient-descent aggregates — one-time training
       // the three classifier evals then score against
       timed("bench_build_lr",

@@ -81,6 +81,10 @@ object SparkEntry {
     // reciprocal-kNN pairs over the base split (hub-free neighborhood
     // evidence; mutual filter = one self-join of the n*k top-k rows)
     "knn_mutual_pairs" -> ((s, d) => ExactKnn.mutualKnnPairs(s, d)),
+    // embedding-space clustering: star-contraction components of the
+    // mutual-kNN graph (no k-clusters hyperparameter, hub-free)
+    "emb_mutual_knn_clusters" ->
+      ((s, d) => EmbeddingStats.mutualKnnClusters(s, d)),
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
     // faceted search: one scan, one bounded-heap pass grouped by
@@ -1843,6 +1847,33 @@ object SparkEntry {
       SELECT a.qid AS vec_a, a.vec_id AS vec_b, a.dist
       FROM t a JOIN t r ON a.qid = r.vec_id AND a.vec_id = r.qid
       WHERE a.qid < a.vec_id""",
+
+    // component replay: the same mutual-pair relation, closed by a
+    // RECURSIVE reach; cluster = min reachable label (the star-
+    // contraction fixpoint's invariant)
+    "emb_mutual_knn_clusters" -> s"""
+      WITH RECURSIVE e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id < p.s
+              AND b.vec_id <> q.vec_id),
+      t AS (SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                AS rk
+            FROM d QUALIFY rk <= 5),
+      mp AS (SELECT a.qid AS u, a.vec_id AS v
+             FROM t a JOIN t r ON a.qid = r.vec_id AND a.vec_id = r.qid
+             WHERE a.qid < a.vec_id),
+      sym AS (SELECT u, v FROM mp UNION ALL SELECT v, u FROM mp),
+      reach(node, lbl) AS (
+        SELECT DISTINCT u, u FROM sym
+        UNION
+        SELECT s.v, reach.lbl FROM sym s JOIN reach ON reach.node = s.u)
+      SELECT node AS vec_id, min(lbl) AS cluster
+      FROM reach GROUP BY node""",
 
     // the V2 view fixes one held-out qid (s + 25 mod the query count),
     // so the oracle is that query row's exact top-10 (same arithmetic

@@ -345,7 +345,19 @@ object ExactKnn {
     * bounded by construction. Output: (vec_a, vec_b, dist).
     */
   def mutualKnnPairs(spark: SparkSession, dir: String, k: Int = 5)
-      : DataFrame = {
+      : DataFrame =
+    // memoized per dataset (n*k/2 rows — tiny): the pair relation is a
+    // corpus artifact two declared rows and the component fixpoint all
+    // read; the self top-k scan runs once, charged to its bench_build
+    graft.IndexCache.getOrBuild(spark, s"mutual-knn:$dir:$k") {
+      val p = mutualKnnPairsUncached(spark, dir, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    }
+
+  private def mutualKnnPairsUncached(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     import spark.implicits._
     val (base, _, _, _) = split(spark, dir)
     val rows = base.select(col("vec_id"), col("emb"))

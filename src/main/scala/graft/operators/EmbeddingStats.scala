@@ -12,6 +12,27 @@ import graft.Tables
   */
 object EmbeddingStats {
 
+  /** Connected components of the MUTUAL-kNN graph — embedding-space
+    * clustering without a k hyperparameter (Brito et al. 1997: mutual
+    * neighborhood graphs consistently recover high-density clusters;
+    * reciprocal edges kill hub links, so components are tight groups,
+    * not the giant blob one-directional kNN collapses into). Nodes in
+    * no mutual pair are singletons and stay out of the output.
+    *
+    * Scale shape: the edge list is ≤ n·k/2 rows out of
+    * [[graft.knn.ExactKnn.mutualKnnPairs]] (ANN-swappable at corpus
+    * scale); components run the distributed star-contraction fixpoint
+    * — per round two self-joins of the edge relation, O(log n) rounds,
+    * never a driver union-find. Output: (vec_id, cluster = component
+    * minimum).
+    */
+  def mutualKnnClusters(spark: SparkSession, dir: String, k: Int = 5)
+      : DataFrame =
+    GraphOps.starContractionComponents(
+      graft.knn.ExactKnn.mutualKnnPairs(spark, dir, k)
+        .select(col("vec_a").as("u"), col("vec_b").as("v")))
+      .select(col("node").as("vec_id"), col("component").as("cluster"))
+
   /** Pairwise euclidean distances between per-label centroids — the
     * label-drift / cluster-separation matrix. Output: one row per
     * unordered label pair (label_a < label_b, dist rounded 6).

@@ -589,6 +589,32 @@ object GraphOps {
     * the component's minimum node id.
     */
   private[graft] def starContractionComponents(edges: DataFrame): DataFrame = {
+    // the contraction relations are node-bounded and tiny next to the
+    // corpus; at 32 shuffle partitions the loop is pure scheduling
+    // overhead (star steps x stages x rounds of near-empty tasks).
+    // Run the loop single-partition, restore after — output is
+    // partitioning-independent (distinct/groupBy set relations), and
+    // at 100 TB node scale this knob moves with the graph (AQE's
+    // coalescing does the same dynamically).
+    val spark = edges.sparkSession
+    val pKey = "spark.sql.shuffle.partitions"
+    val cgKey = "spark.sql.codegen.wholeStage"
+    val prevP = spark.conf.get(pKey)
+    val prevCg = spark.conf.get(cgKey, "true")
+    spark.conf.set(pKey, "8")
+    // every round plans against a fresh LogicalRDD, so whole-stage
+    // codegen recompiles ~6 generated classes per round — ~1 s/round
+    // of COMPILATION on relations of a few thousand rows. Interpreted
+    // execution is instant at node scale; restore after.
+    spark.conf.set(cgKey, "false")
+    try starContractionLoop(edges)
+    finally {
+      spark.conf.set(pKey, prevP)
+      spark.conf.set(cgKey, prevCg)
+    }
+  }
+
+  private def starContractionLoop(edges: DataFrame): DataFrame = {
     // localCheckpoint, NOT persist: persist caches row data but the
     // LOGICAL plan keeps compounding (each round references the prior
     // round ~5x: sym union, star joins, the convergence diff), so by
@@ -602,9 +628,16 @@ object GraphOps {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val changed = next.exceptAll(e).limit(1).count() +
-        e.exceptAll(next).limit(1).count()
+      // materialize the intermediate star step: each star references
+      // its input twice, so an unmaterialized k-step chain recomputes
+      // 2^k subplans (measured 2.8 s/round on a 2.4k-edge relation);
+      // persisted intermediates keep each step to one computation
+      val ls = largeStar(e)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = smallStar(ls).localCheckpoint(true)
+      ls.unpersist(false)
+      val changed = next.exceptAll(e).unionAll(e.exceptAll(next))
+        .limit(1).count()
       converged = changed == 0
       e = next
       rounds += 1

@@ -389,4 +389,30 @@ class EmbeddingStatsSpec extends SparkSpec {
     // ambient dimension (sanity of the estimator, not just the replay)
     assert(row.getDouble(3) > 0 && row.getDouble(3) <= 64.0)
   }
+
+  test("mutual-kNN clusters equal a driver union-find over the pairs") {
+    val pairs = graft.knn.ExactKnn.mutualKnnPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // canonicalize to component MINIMUM (union by min above only
+    // guarantees a consistent root, which is already the min here)
+    val comp = parent.keys.groupBy(find).flatMap { case (_, ms) =>
+      val mn = ms.min; ms.map(_ -> mn) }
+    val got = EmbeddingStats.mutualKnnClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == comp, s"components diverge: ${got.size} vs ${comp.size}")
+    // clustering is non-trivial: at least one component has >= 3
+    // members (a transitive merge happened, not just isolated pairs)
+    assert(got.groupBy(_._2).values.map(_.size).max >= 3,
+      "no transitive cluster formed on the fixture")
+  }
 }
