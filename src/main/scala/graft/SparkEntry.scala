@@ -85,6 +85,9 @@ object SparkEntry {
     // mutual-kNN graph (no k-clusters hyperparameter, hub-free)
     "emb_mutual_knn_clusters" ->
       ((s, d) => EmbeddingStats.mutualKnnClusters(s, d)),
+    // k-occurrence histogram + skewness off the same memoized self
+    // top-k (the hub-pathology diagnostic of high-dim spaces)
+    "emb_hubness" -> ((s, d) => EmbeddingStats.hubness(s, d)),
     "knn_euclidean_single" -> ((s, d) => ExactKnn.topKSingleEuclidean(s, d)),
     "knn_range_search"     -> ((s, d) => ExactKnn.rangeSearch(s, d)),
     // faceted search: one scan, one bounded-heap pass grouped by
@@ -1847,6 +1850,46 @@ object SparkEntry {
       SELECT a.qid AS vec_a, a.vec_id AS vec_b, a.dist
       FROM t a JOIN t r ON a.qid = r.vec_id AND a.vec_id = r.qid
       WHERE a.qid < a.vec_id""",
+
+    // hubness replay: same self top-5 relation, zero-filled
+    // k-occurrence, exact integer moments, m2*sqrt(m2) denominator
+    "emb_hubness" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id < p.s
+              AND b.vec_id <> q.vec_id),
+      t AS (SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                AS rk
+            FROM d QUALIFY rk <= 5),
+      occ AS (SELECT b.vec_id, count(t.qid) AS n_occ
+              FROM (SELECT vec_id FROM e, p WHERE vec_id < p.s) b
+              LEFT JOIN t ON t.vec_id = b.vec_id GROUP BY 1),
+      m AS (SELECT count(*) AS n, sum(n_occ) AS s1,
+              sum(n_occ * n_occ) AS s2,
+              sum(n_occ * n_occ * n_occ) AS s3
+            FROM occ),
+      sk AS (SELECT round(
+               (CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n)
+                        * (CAST(s1 AS DOUBLE) / n))
+               / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))
+                  * sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))), 6) AS skewness
+             FROM m)
+      SELECT occ.n_occ AS n_occ, CAST(count(*) AS BIGINT) AS n_vecs,
+             any_value(sk.skewness) AS skewness
+      FROM occ CROSS JOIN sk GROUP BY 1""",
 
     // component replay: the same mutual-pair relation, closed by a
     // RECURSIVE reach; cluster = min reachable label (the star-

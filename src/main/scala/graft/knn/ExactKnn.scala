@@ -345,18 +345,30 @@ object ExactKnn {
     * bounded by construction. Output: (vec_a, vec_b, dist).
     */
   def mutualKnnPairs(spark: SparkSession, dir: String, k: Int = 5)
-      : DataFrame =
-    // memoized per dataset (n*k/2 rows — tiny): the pair relation is a
-    // corpus artifact two declared rows and the component fixpoint all
-    // read; the self top-k scan runs once, charged to its bench_build
-    graft.IndexCache.getOrBuild(spark, s"mutual-knn:$dir:$k") {
-      val p = mutualKnnPairsUncached(spark, dir, k)
+      : DataFrame = {
+    val topk = selfTopK(spark, dir, k)
+    val fwd = topk.filter(col("qid") < col("vec_id"))
+      .select(col("qid").as("vec_a"), col("vec_id").as("vec_b"),
+        col("dist"))
+    val rev = topk.select(col("vec_id").as("vec_a"),
+      col("qid").as("vec_b"))
+    fwd.join(rev, Seq("vec_a", "vec_b"))
+  }
+
+  /** The memoized BASE-side self top-k relation (n·k rows — tiny to
+    * persist) behind [[mutualKnnPairs]] and the hubness diagnostic:
+    * the expensive self scan runs once per dataset, charged to its
+    * bench_build row; derivations are joins over the cached relation.
+    */
+  def selfTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"self-topk:$dir:$k") {
+      val p = selfTopKUncached(spark, dir, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       p.count()
       p
     }
 
-  private def mutualKnnPairsUncached(spark: SparkSession, dir: String,
+  private def selfTopKUncached(spark: SparkSession, dir: String,
       k: Int): DataFrame = {
     import spark.implicits._
     val (base, _, _, _) = split(spark, dir)
@@ -424,12 +436,7 @@ object ExactKnn {
         (0 until cnt).iterator.map(p => (qid, bi(p), bd(p)))
       }
     }.toDF("qid", "vec_id", "dist")
-    val fwd = topk.filter(col("qid") < col("vec_id"))
-      .select(col("qid").as("vec_a"), col("vec_id").as("vec_b"),
-        col("dist"))
-    val rev = topk.select(col("vec_id").as("vec_a"),
-      col("qid").as("vec_b"))
-    fwd.join(rev, Seq("vec_a", "vec_b"))
+    topk
   }
 
   def topKBatch(spark: SparkSession, dir: String, k: Int = 10): DataFrame =

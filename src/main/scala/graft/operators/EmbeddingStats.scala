@@ -26,6 +26,45 @@ object EmbeddingStats {
     * never a driver union-find. Output: (vec_id, cluster = component
     * minimum).
     */
+  /** HUBNESS diagnostic (Radovanović et al. 2010, JMLR): the
+    * k-occurrence distribution — N_k(v) = how many base vectors list v
+    * in their top-k — with its population skewness. High-dimensional
+    * spaces grow HUBS (vectors in everyone's neighbor list) and
+    * anti-hubs (N_k = 0, zero-filled here against the base universe);
+    * positive skew of N_k is THE standard symptom, and it degrades
+    * every kNN consumer (which is exactly why [[mutualKnnClusters]]
+    * uses the reciprocal graph). Moments are exact integer sums; the
+    * skew is one fixed-order double chain (m2^1.5 as m2·√m2, never
+    * pow). Output: (n_occ, n_vecs, skewness) — the histogram with the
+    * corpus-level skew attached.
+    *
+    * Scale shape: one groupBy over the memoized n·k self-top-k rows, a
+    * zero-fill join against the base ids, a 1-row moment fold, a
+    * ≤max(N_k)-row histogram.
+    */
+  def hubness(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (base, _, _, _) = graft.knn.ExactKnn.split(spark, dir)
+    val occ0 = graft.knn.ExactKnn.selfTopK(spark, dir, k)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_occ"))
+    val occ = base.select(col("vec_id"))
+      .join(occ0, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_occ"))
+    val m = occ.agg(count(lit(1)).as("n"),
+      sum(col("n_occ")).as("s1"),
+      sum(col("n_occ") * col("n_occ")).as("s2"),
+      sum(col("n_occ") * col("n_occ") * col("n_occ")).as("s3"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mu * (col("s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    occ.groupBy(col("n_occ")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(m))
+      .select(col("n_occ"), col("n_vecs"),
+        round(m3 / (m2 * sqrt(m2)), 6).as("skewness"))
+  }
+
   def mutualKnnClusters(spark: SparkSession, dir: String, k: Int = 5)
       : DataFrame =
     GraphOps.starContractionComponents(

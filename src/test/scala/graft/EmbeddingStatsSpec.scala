@@ -390,6 +390,31 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(row.getDouble(3) > 0 && row.getDouble(3) <= 64.0)
   }
 
+  test("hubness: histogram covers the universe, skew replays driver-side") {
+    val topk = graft.knn.ExactKnn.selfTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (baseDf, _, _, _) = graft.knn.ExactKnn.split(spark, sf0001)
+    val baseIds = baseDf.select("vec_id").collect().map(_.getLong(0))
+    val occ = baseIds.map(v => topk.count(_._2 == v).toLong)
+    val n = occ.length.toDouble
+    val s1 = occ.sum; val s2 = occ.map(x => x * x).sum
+    val s3 = occ.map(x => x * x * x).sum
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    val skew = BigDecimal(m3 / (m2 * math.sqrt(m2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hist = occ.groupBy(identity).map { case (o, g) => o -> g.length.toLong }
+    val got = graft.operators.EmbeddingStats.hubness(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => t._1 -> t._2).toMap == hist, "histogram diverges")
+    got.foreach(t => assert(t._3 == skew, s"skew ${t._3} vs $skew"))
+    // the mean of N_k is exactly k when every row has a full top-k
+    assert(s1 == occ.length * 5L, "sum of k-occurrences must be n*k")
+    // zero-filled anti-hubs are present on a gaussian fixture
+    assert(hist.contains(0L), "no anti-hubs found - zero-fill broken?")
+  }
+
   test("mutual-kNN clusters equal a driver union-find over the pairs") {
     val pairs = graft.knn.ExactKnn.mutualKnnPairs(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -70,6 +70,7 @@ class PlanShapeSweepSpec extends SparkSpec {
                                   // distance scan + 1-row MLE combiner
     "events_sequence_support",    // 1-row user-total attach
     "events_markov_holdout",      // 1-row baseline-prediction attach
+    "emb_hubness",                // 1-row moment attach
     "events_cuped_lift",          // 1-row pooled-moments attach
     "layout_minmax_skipping",     // 1-row matched-count attach
     "text_naive_bayes_langid")    // |classes|-row model fan-out against
