@@ -271,20 +271,22 @@ object GraphOps {
     // -> ~1.5 s at sf0.1 on the minShared=2 hairball.
     var dist = seed
     var frontier = seed
-    (1 to maxHops).foreach { h =>
-      // SHUFFLE_HASH on the (small) frontier side: the adjacency is
-      // already hash-partitioned on the key, so a hash join probes it
-      // in place — the default sort-merge would re-SORT the full edge
-      // list every hop, which dominates an iterative join
-      val cand = frontier.hint("shuffle_hash")
-        .join(bidir, col("node") === col("u"))
-        .select(col("v").as("node")).distinct()
-      // first-reach = BFS minimality: a candidate already in dist was
-      // reached at an earlier hop, so the anti-join IS the min(d)
-      frontier = cand.join(dist, Seq("node"), "left_anti")
-        .select(col("node"), lit(h.toLong).as("d"))
-        .localCheckpoint(true)
-      dist = dist.unionAll(frontier)
+    withIterativeExecution(spark) {
+      (1 to maxHops).foreach { h =>
+        // SHUFFLE_HASH on the (small) frontier side: the adjacency is
+        // already hash-partitioned on the key, so a hash join probes it
+        // in place — the default sort-merge would re-SORT the full edge
+        // list every hop, which dominates an iterative join
+        val cand = frontier.hint("shuffle_hash")
+          .join(bidir, col("node") === col("u"))
+          .select(col("v").as("node")).distinct()
+        // first-reach = BFS minimality: a candidate already in dist was
+        // reached at an earlier hop, so the anti-join IS the min(d)
+        frontier = cand.join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(h.toLong).as("d"))
+          .localCheckpoint(true)
+        dist = dist.unionAll(frontier)
+      }
     }
     dist
   }
@@ -322,20 +324,24 @@ object GraphOps {
       .localCheckpoint(true)
     var dist = seed
     var frontier = seed
-    (1 to rounds).foreach { _ =>
-      val cand = frontier.hint("shuffle_hash")
-        .join(bidir, col("node") === col("u"))
-        .select(col("v").as("cnode"), (col("d") + col("w")).as("nd"))
-        .groupBy(col("cnode")).agg(min(col("nd")).as("nd"))
-      val improved = cand
-        .join(dist, col("cnode") === col("node"), "left_outer")
-        .filter(col("node").isNull || col("nd") < col("d"))
-        .select(col("cnode").as("node"), col("nd").as("d"))
-        .localCheckpoint(true)
-      dist = dist.join(improved, Seq("node"), "left_anti")
-        .unionAll(improved)
-        .localCheckpoint(true)
-      frontier = improved
+    // relaxation rounds are node-bounded — run them in the iterative
+    // execution scope (no per-round codegen recompilation)
+    withIterativeExecution(spark) {
+      (1 to rounds).foreach { _ =>
+        val cand = frontier.hint("shuffle_hash")
+          .join(bidir, col("node") === col("u"))
+          .select(col("v").as("cnode"), (col("d") + col("w")).as("nd"))
+          .groupBy(col("cnode")).agg(min(col("nd")).as("nd"))
+        val improved = cand
+          .join(dist, col("cnode") === col("node"), "left_outer")
+          .filter(col("node").isNull || col("nd") < col("d"))
+          .select(col("cnode").as("node"), col("nd").as("d"))
+          .localCheckpoint(true)
+        dist = dist.join(improved, Seq("node"), "left_anti")
+          .unionAll(improved)
+          .localCheckpoint(true)
+        frontier = improved
+      }
     }
     bidir.unpersist()
     dist
@@ -400,6 +406,7 @@ object GraphOps {
     var sym = adjacency
     var prevEdges = -1L
     var r = 0
+    withIterativeExecution(adjacency.sparkSession) {
     while (r < rounds && prevEdges != 0L) {
       // survivor set materialized ONCE per round (the checkpointed
       // frame has no optimizer stats, so an un-materialized `keep`
@@ -422,6 +429,7 @@ object GraphOps {
       // cannot change the output (the oracle still unrolls all `rounds`
       // in SQL; both sides sit at the same fixpoint)
       if (n == prevEdges) r = rounds else { prevEdges = n; r += 1 }
+    }
     }
     sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
@@ -596,18 +604,28 @@ object GraphOps {
     // partitioning-independent (distinct/groupBy set relations), and
     // at 100 TB node scale this knob moves with the graph (AQE's
     // coalescing does the same dynamically).
-    val spark = edges.sparkSession
+    withIterativeExecution(edges.sparkSession)(starContractionLoop(edges))
+  }
+
+  /** Execution scope for node-bounded ITERATIVE loops: every round
+    * plans against a fresh LogicalRDD, so whole-stage codegen
+    * recompiles ~6 generated classes per round — ~1 s/round of pure
+    * COMPILATION on relations of a few thousand rows — and 32-way
+    * shuffles of near-empty tasks add scheduling on top. Interpreted
+    * execution at 8 partitions is instant at node scale; both knobs
+    * restore after (the corpus-shaped work outside the loop keeps its
+    * codegen). At 100 TB node counts the knob moves with the graph —
+    * AQE's partition coalescing covers the shuffle half dynamically.
+    */
+  private[operators] def withIterativeExecution[T](
+      spark: SparkSession)(f: => T): T = {
     val pKey = "spark.sql.shuffle.partitions"
     val cgKey = "spark.sql.codegen.wholeStage"
     val prevP = spark.conf.get(pKey)
     val prevCg = spark.conf.get(cgKey, "true")
     spark.conf.set(pKey, "8")
-    // every round plans against a fresh LogicalRDD, so whole-stage
-    // codegen recompiles ~6 generated classes per round — ~1 s/round
-    // of COMPILATION on relations of a few thousand rows. Interpreted
-    // execution is instant at node scale; restore after.
     spark.conf.set(cgKey, "false")
-    try starContractionLoop(edges)
+    try f
     finally {
       spark.conf.set(pKey, prevP)
       spark.conf.set(cgKey, prevCg)
@@ -680,15 +698,17 @@ object GraphOps {
       .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
     var labels = sym.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    (1 to rounds).foreach { _ =>
-      labels = sym
-        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
-        .groupBy(col("node"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("node"))
-        .agg(max_by(col("lbl"),
-          struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
-        .localCheckpoint(true)
+    withIterativeExecution(spark) {
+      (1 to rounds).foreach { _ =>
+        labels = sym
+          .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+          .groupBy(col("node"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("node"))
+          .agg(max_by(col("lbl"),
+            struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
+          .localCheckpoint(true)
+      }
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
