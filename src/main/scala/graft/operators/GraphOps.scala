@@ -69,14 +69,16 @@ object GraphOps {
     val n = nNodes.toDouble
 
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    (1 to iters).foreach { _ =>
-      val inflow = trans.join(ranks, trans("src") === ranks("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") * col("p")).as("inflow"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(col("node"),
-          round(lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
+    withIterativeExecution(spark) {
+      (1 to iters).foreach { _ =>
+        val inflow = trans.join(ranks, trans("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") * col("p")).as("inflow"))
+        ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .select(col("node"),
+            round(lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
+      }
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -110,14 +112,16 @@ object GraphOps {
 
     var ranks = nodes.select(col("node"),
       when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)).as("rank"))
-    (1 to iters).foreach { _ =>
-      val inflow = trans.join(ranks, trans("src") === ranks("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") * col("p")).as("inflow"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
-        .select(col("node"),
-          round(when(col("node") === seed, restart).otherwise(lit(0.0)) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
+    withIterativeExecution(spark) {
+      (1 to iters).foreach { _ =>
+        val inflow = trans.join(ranks, trans("src") === ranks("node"))
+          .groupBy(col("dst"))
+          .agg(sum(col("rank") * col("p")).as("inflow"))
+        ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .select(col("node"),
+            round(when(col("node") === seed, restart).otherwise(lit(0.0)) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
+      }
     }
     ranks.filter(col("rank") > 0)
       .select(col("node"), round(col("rank"), 6).as("rank"))
