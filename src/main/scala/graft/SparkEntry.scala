@@ -802,6 +802,9 @@ object SparkEntry {
     // GPT-style concat-then-chunk packing manifest: one exclusive
     // prefix sum (range-partitionable), pure integer arithmetic
     "pipeline_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    // padding-waste audit: arrival-order vs length-sorted batch-of-32
+    // composition, both on the range-partitioned rank primitive
+    "pipeline_pad_efficiency" -> ((s, d) => Pipeline.padEfficiency(s, d)),
     // asymmetric containment pairs (doc-inside-doc dedup)
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // near-dup cluster-size distribution (dedup-rate summary)
@@ -2507,6 +2510,36 @@ object SparkEntry {
     "pipeline_kcenter_coreset" -> kcenterOracleSql(8),
 
     // one exclusive prefix sum in doc_id order; integer div/mod only
+    // pad-efficiency replay: the same two total orders via
+    // row_number, same batch-of-32 bucketing, exact integer waste
+    "pipeline_pad_efficiency" -> """
+      WITH t AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+      ra AS (SELECT n_tok,
+               (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b
+             FROM t),
+      rs AS (SELECT n_tok,
+               (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32 AS b
+             FROM t),
+      aa AS (SELECT b, count(*) AS bn, sum(n_tok) AS bt, max(n_tok) AS bm
+             FROM ra GROUP BY b),
+      sa AS (SELECT b, count(*) AS bn, sum(n_tok) AS bt, max(n_tok) AS bm
+             FROM rs GROUP BY b),
+      u AS (
+        SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(bt) AS BIGINT) AS total_tokens,
+               CAST(sum(bn * bm) AS BIGINT) AS padded_tokens
+        FROM aa
+        UNION ALL
+        SELECT 'length_sorted', CAST(count(*) AS BIGINT),
+               CAST(sum(bt) AS BIGINT), CAST(sum(bn * bm) AS BIGINT)
+        FROM sa)
+      SELECT strategy, n_batches, total_tokens, padded_tokens,
+             (padded_tokens - total_tokens) * 1000 // padded_tokens
+               AS waste_permille
+      FROM u""",
+
     "pipeline_pack_sequences" -> """
       WITH t AS (SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

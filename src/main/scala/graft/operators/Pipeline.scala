@@ -495,6 +495,44 @@ object Pipeline {
         (col("end_seq") - col("start_seq") + 1L).as("n_seqs"))
   }
 
+  /** PADDING-EFFICIENCY audit of batch composition — the dynamic-
+    * batching business case, measured: fixed-size batches padded to
+    * their longest member waste `batch·max − Σ len` tokens, and
+    * LENGTH-SORTED batching (every serving/training stack's trick)
+    * collapses that waste because batch members are near-equal length.
+    * Both strategies are ranked by [[graft.plans.GraftOps.globalRank]]
+    * (arrival = doc_id order; sorted = (n_tok, doc_id)), bucketed every
+    * `batchSize` ranks, padded to the batch max — so the audit itself
+    * runs window-free at any corpus size, and the one ordering that
+    * differs between strategies is exactly the thing being priced.
+    * Output per strategy: (strategy, n_batches, total_tokens,
+    * padded_tokens, waste_permille) — exact integers.
+    */
+  def padEfficiency(spark: SparkSession, dir: String,
+      batchSize: Int = 32): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    def audit(strategy: String, order: Seq[(String, Boolean)]) =
+      graft.plans.GraftOps.globalRank(toks, order, "grk")
+        .withColumn("batch_id", expr(s"(grk - 1) div $batchSize"))
+        .groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("bn"), sum(col("n_tok")).as("bt"),
+          max(col("n_tok")).as("bm"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("bt")).as("total_tokens"),
+          sum(col("bn") * col("bm")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"),
+          col("n_batches").cast("long").as("n_batches"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          col("padded_tokens").cast("long").as("padded_tokens"),
+          expr("(padded_tokens - total_tokens) * 1000 div padded_tokens")
+            .as("waste_permille"))
+    audit("arrival", Seq("doc_id" -> true))
+      .unionByName(audit("length_sorted",
+        Seq("n_tok" -> true, "doc_id" -> true)))
+  }
+
   /** Deterministic EPOCH SHUFFLE — the permutation a training loader
     * draws each epoch: every document's position in the epoch's read
     * order is its rank by md5(doc_id:epoch) (a fresh pseudo-random

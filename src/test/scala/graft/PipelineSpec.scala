@@ -583,6 +583,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pad efficiency: driver replay; sorting strictly reduces waste") {
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def audit(sorted: Boolean): (Long, Long, Long, Long) = {
+      val ord = if (sorted) toks.sortBy(t => (t._2, t._1))
+        else toks.sortBy(_._1)
+      val batches = ord.grouped(32).toSeq
+      val total = ord.map(_._2).sum
+      val padded = batches.map(b => b.length * b.map(_._2).max).sum
+      (batches.length.toLong, total, padded,
+        (padded - total) * 1000 / padded)
+    }
+    val expect = Map("arrival" -> audit(false),
+      "length_sorted" -> audit(true))
+    val got = Pipeline.padEfficiency(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect, s"$got vs $expect")
+    // the business case: sorting must strictly cut padded volume on a
+    // variable-length corpus
+    assert(got("length_sorted")._3 < got("arrival")._3,
+      "length-sorted batching saved nothing")
+  }
+
   test("uncertainty sample is the exact boundary-distance cut") {
     val w = Pipeline.trainedWeights(spark, sf0001, 50, 5.0)
     // independent margin replay straight from the raw text (same
