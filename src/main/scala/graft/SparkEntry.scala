@@ -509,6 +509,11 @@ object SparkEntry {
     // Count-Min frequency sketch: one grid-shaped partial aggregate +
     // broadcast-probe scoring; estimates exact at the declared width
     "sketch_heavy_hitters_cms" -> ((s, d) => TextOps.cmsHeavyHitters(s, d)),
+    // the SAME CMS registers maintained by the streaming engine as one
+    // global-aggregate state entry (mergeable-sketch family #2 under
+    // the gate); estimates + exact yardstick derived batch-side after
+    "sketch_heavy_hitters_streamed" ->
+      ((s, d) => graft.streaming.EventStream.cmsHeavyHittersStreamed(s, d)),
     // — composed pipeline ops (training-corpus preparation shapes) —
     "pipeline_training_corpus" -> ((s, d) => Pipeline.trainingCorpus(s, d)),
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
@@ -3483,6 +3488,14 @@ object SparkEntry {
     // is the contract under the hash gate; the overestimate/eps-bound
     // behavior at forced collision widths is pinned in CountMinSpec
     "sketch_heavy_hitters_cms" -> """
+      SELECT CAST(user_id AS BIGINT) AS user_id,
+             count(*) AS cms_estimate, count(*) AS exact_count
+      FROM events GROUP BY 1
+      ORDER BY cms_estimate DESC, user_id LIMIT 10""",
+
+    // streamed == batch: the CMS monoid makes the streamed registers
+    // bit-identical, so the same collision-free-width oracle replays
+    "sketch_heavy_hitters_streamed" -> """
       SELECT CAST(user_id AS BIGINT) AS user_id,
              count(*) AS cms_estimate, count(*) AS exact_count
       FROM events GROUP BY 1

@@ -340,6 +340,49 @@ object EventStream {
     out
   }
 
+  /** The declared STREAMING-EXECUTED Count-Min heavy hitters
+    * (`sketch_heavy_hitters_streamed`, shares the batch row's oracle):
+    * the CMS register array is maintained BY the streaming engine as
+    * ONE global-aggregate state entry (depth·width longs — the sketch
+    * IS the state, the second mergeable-sketch family proven by
+    * execution after KMV), folded per micro-batch and merged across
+    * them; CMS is a commutative monoid of element-wise sums, so the
+    * final registers are bit-identical to the batch sketch however the
+    * file source slices the input. Point estimates + the exact
+    * yardstick join happen batch-side AFTER the stream drains (the
+    * audit, not the streamed computation — the KMV discipline).
+    */
+  def cmsHeavyHittersStreamed(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 32768, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val staged = stagedEventsDir(spark, dir)
+    val name = s"graft_cms_stream_${streamRunSeq.incrementAndGet()}"
+    val cms = graft.functions.CountMin(depth, width)
+    val cmsUdaf = org.apache.spark.sql.functions.udaf(cms)
+    withStreamPartitions(spark, 4, noData = false) {
+      val q = readEventsStreamConfigured(spark, staged)
+        .select(col("user_id").cast("long").as("k"))
+        .agg(cmsUdaf(col("k")).as("sk"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir("graft-ckpt-cms-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val sketch = spark.table(name).head().getSeq[Long](0).toArray
+    spark.catalog.dropTempView(name)
+    val bc = spark.sparkContext.broadcast(sketch)
+    graft.Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      .as[(Long, Long)]
+      .map { case (k, c) => (k, cms.estimate(bc.value, k), c) }
+      .toDF("user_id", "cms_estimate", "exact_count")
+      .orderBy(col("cms_estimate").desc, col("user_id"))
+      .limit(topK)
+  }
+
   /** The declared STREAMING-EXECUTED stream–static enrichment
     * (`events_enriched_streamed`): the event stream inner-joins a
     * STATIC cohort dimension (per-user first-seen day, computed

@@ -489,6 +489,17 @@ class EventStreamSpec extends SparkSpec {
         s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
   }
 
+  test("streamed CMS heavy hitters equal the batch sketch row for row") {
+    val streamed = EventStream.cmsHeavyHittersStreamed(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.operators.TextOps.cmsHeavyHitters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streamed=${streamed.take(3).toSeq} batch=${batch.take(3).toSeq}")
+    // the sketch did real work: estimates upper-bound exact counts
+    streamed.foreach { case (_, est, exact) => assert(est >= exact) }
+  }
+
   test("streamed EWMA equals the batch sorted-fold") {
     val streamed = EventStream.ewmaStreamed(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
