@@ -631,6 +631,9 @@ object SparkEntry {
     // CUPED variance-reduced A/B readout: pooled theta off exact cent
     // moments, adjusted arm means, rho^2 reduction permille
     "events_cuped_lift" -> ((s, d) => EventOps.cupedLift(s, d)),
+    // difference-in-differences on the same frame: per-user post-pre
+    // deltas, arm contrast, two-sample SE, 95% interval
+    "events_did_lift" -> ((s, d) => EventOps.didLift(s, d)),
     // CUSUM changepoint per type over daily revenue (exact-integer S)
     "events_cusum_changepoint" -> EventOps.cusumChangepoint _,
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
@@ -6081,6 +6084,51 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // DiD replay: same per-user deltas, same population variances of
+    // the deltas, same fixed-order interval chain
+    "events_did_lift" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS c,
+                    (epoch_us(ts) // 86400000000) < 19738 AS pre
+                  FROM events),
+      s AS (SELECT user_id,
+              sum(CASE WHEN pre THEN c ELSE 0 END) AS x,
+              sum(CASE WHEN NOT pre THEN c ELSE 0 END) AS y
+            FROM ev WHERE event_type = 'purchase' GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM events),
+      pu AS (SELECT u.user_id % 2 AS arm,
+               coalesce(s.y, 0) - coalesce(s.x, 0) AS d
+             FROM u LEFT JOIN s USING (user_id)),
+      a AS (SELECT arm, count(*) AS n, sum(d) AS sd,
+              sum(CAST(d AS HUGEINT) * d) AS sdd
+            FROM pu GROUP BY 1),
+      t AS (SELECT n AS nt, sd AS sdt, sdd AS sddt FROM a WHERE arm = 1),
+      c AS (SELECT n AS nc, sd AS sdc, sdd AS sddc FROM a WHERE arm = 0)
+      SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+        round((CAST(sdt AS DOUBLE) / nt - CAST(sdc AS DOUBLE) / nc)
+          / 100.0, 6) AS did,
+        round(sqrt(
+            ((CAST(sddt AS DOUBLE) - CAST(sdt AS DOUBLE)
+                * CAST(sdt AS DOUBLE) / nt) / nt) / CAST(nt AS DOUBLE)
+          + ((CAST(sddc AS DOUBLE) - CAST(sdc AS DOUBLE)
+                * CAST(sdc AS DOUBLE) / nc) / nc) / CAST(nc AS DOUBLE))
+          / 100.0, 6) AS se,
+        round((CAST(sdt AS DOUBLE) / nt - CAST(sdc AS DOUBLE) / nc)
+          / 100.0 - 1.96 * (sqrt(
+            ((CAST(sddt AS DOUBLE) - CAST(sdt AS DOUBLE)
+                * CAST(sdt AS DOUBLE) / nt) / nt) / CAST(nt AS DOUBLE)
+          + ((CAST(sddc AS DOUBLE) - CAST(sdc AS DOUBLE)
+                * CAST(sdc AS DOUBLE) / nc) / nc) / CAST(nc AS DOUBLE))
+          / 100.0), 6) AS lo95,
+        round((CAST(sdt AS DOUBLE) / nt - CAST(sdc AS DOUBLE) / nc)
+          / 100.0 + 1.96 * (sqrt(
+            ((CAST(sddt AS DOUBLE) - CAST(sdt AS DOUBLE)
+                * CAST(sdt AS DOUBLE) / nt) / nt) / CAST(nt AS DOUBLE)
+          + ((CAST(sddc AS DOUBLE) - CAST(sdc AS DOUBLE)
+                * CAST(sdc AS DOUBLE) / nc) / nc) / CAST(nc AS DOUBLE))
+          / 100.0), 6) AS hi95
+      FROM t CROSS JOIN c""",
 
     // CUPED replay: same cent moments, same fixed-order IEEE chain for
     // theta / adjusted means / rho^2 (num*num, never pow)

@@ -579,6 +579,63 @@ object EventOps {
         round(rho2 * 1000.0, 0).cast("long").as("var_reduction_permille"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES over the same experiment frame as
+    * [[cupedLift]] — the quasi-experimental estimator (Card & Krueger
+    * 1994 canon): per-user spend delta d = post − pre, DiD =
+    * mean_T(d) − mean_C(d), which nets out both the time trend
+    * (hitting both arms) and the static arm difference (present in
+    * both periods). SE via the two-sample variance of the per-user
+    * deltas (population variances, the CUPED discipline) with a ±1.96
+    * interval; exact cent/DECIMAL moments, one fixed-order double
+    * chain per output.
+    *
+    * Scale shape: the same one-rollup + zero-fill join as CUPED, a
+    * 2-row arm fold. Output: one row (n_treat, n_ctrl, did, se,
+    * lo95, hi95).
+    */
+  def didLift(spark: SparkSession, dir: String,
+      cutoffDay: Long = 19738L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
+      .cast("long")
+    val sums = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("c"),
+        (epday < cutoffDay).as("pre"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("c")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("c")).otherwise(0L)).as("y"))
+    val perUser = ev.select(col("user_id")).distinct()
+      .join(sums, Seq("user_id"), "left")
+      .na.fill(0L, Seq("x", "y"))
+      .select((col("user_id") % 2).as("arm"), (col("y") - col("x")).as("d"))
+    val dd = col("d").cast("decimal(38,0)")
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("sd"),
+        sum(dd * col("d")).as("sdd"))
+      .select(col("arm"), col("n"), col("sd"), col("sdd"))
+    val t = arms.filter(col("arm") === 1)
+      .select(col("n").as("nt"), col("sd").as("sdt"), col("sdd").as("sddt"))
+    val c = arms.filter(col("arm") === 0)
+      .select(col("n").as("nc"), col("sd").as("sdc"), col("sdd").as("sddc"))
+    val mt = col("sdt").cast("double") / col("nt")
+    val mc = col("sdc").cast("double") / col("nc")
+    val vt = (col("sddt").cast("double") -
+      col("sdt").cast("double") * col("sdt").cast("double") / col("nt")) /
+      col("nt")
+    val vc = (col("sddc").cast("double") -
+      col("sdc").cast("double") * col("sdc").cast("double") / col("nc")) /
+      col("nc")
+    val did = (mt - mc) / lit(100.0)
+    val se = sqrt(vt / col("nt").cast("double") +
+      vc / col("nc").cast("double")) / lit(100.0)
+    t.crossJoin(broadcast(c))
+      .select(col("nt").cast("long").as("n_treat"),
+        col("nc").cast("long").as("n_ctrl"),
+        round(did, 6).as("did"), round(se, 6).as("se"),
+        round(did - lit(1.96) * se, 6).as("lo95"),
+        round(did + lit(1.96) * se, 6).as("hi95"))
+  }
+
   def dayOverDayMovers(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"),

@@ -1030,6 +1030,42 @@ class EventOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("did lift replays driver-side; interval brackets the estimate") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"), col("value"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("epday"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val users = ev.map(_._1).distinct
+    val ds = users.map { u =>
+      val p = ev.filter(e => e._1 == u && e._2 == "purchase")
+      val x = p.filter(_._4 < 19738L).map(e => math.round(e._3 * 100)).sum
+      val y = p.filter(_._4 >= 19738L).map(e => math.round(e._3 * 100)).sum
+      (u % 2, y - x)
+    }
+    def arm(a: Long) = {
+      val g = ds.filter(_._1 == a).map(_._2)
+      val n = g.length.toDouble
+      val sd = g.sum; val sdd = g.map(d => BigInt(d) * d).sum
+      (g.length.toLong, sd.toDouble / n,
+        (sdd.toDouble - sd.toDouble * sd.toDouble / n) / n)
+    }
+    val (nt, mt, vt) = arm(1); val (nc, mc, vc) = arm(0)
+    val did = (mt - mc) / 100.0
+    val se = math.sqrt(vt / nt + vc / nc) / 100.0
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.operators.EventOps.didLift(spark, sf0001).collect()(0)
+    assert(got.getLong(0) == nt && got.getLong(1) == nc)
+    assert(got.getDouble(2) == r6(did), s"did ${got.getDouble(2)} vs $did")
+    assert(got.getDouble(3) == r6(se), "se")
+    assert(got.getDouble(4) == r6(did - 1.96 * se), "lo95")
+    assert(got.getDouble(5) == r6(did + 1.96 * se), "hi95")
+    assert(got.getDouble(4) < got.getDouble(2) &&
+      got.getDouble(2) < got.getDouble(5))
+  }
+
   test("cuped lift replays driver-side; adjustment is mean-preserving") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_type"), col("value"),
