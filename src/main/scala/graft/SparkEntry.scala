@@ -634,6 +634,9 @@ object SparkEntry {
     // difference-in-differences on the same frame: per-user post-pre
     // deltas, arm contrast, two-sample SE, 95% interval
     "events_did_lift" -> ((s, d) => EventOps.didLift(s, d)),
+    // mSPRT always-valid monitor: running effect, mixture likelihood
+    // ratio, monotone peeking-safe p per experiment day
+    "events_msprt_monitor" -> ((s, d) => EventOps.msprtMonitor(s, d)),
     // CUSUM changepoint per type over daily revenue (exact-integer S)
     "events_cusum_changepoint" -> EventOps.cusumChangepoint _,
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
@@ -6084,6 +6087,59 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // mSPRT replay: same daily cent/HUGEINT rollup, same cumulative
+    // windows over the calendar-bounded day relation, same Λ chain
+    "events_msprt_monitor" -> """
+      WITH daily AS (
+        SELECT epoch_us(ts) // 86400000000 AS epday,
+          sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nt,
+          sum(CASE WHEN user_id % 2 = 1
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS st,
+          sum(CASE WHEN user_id % 2 = 1
+              THEN CAST(round(value * 100) AS HUGEINT)
+                   * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS qt,
+          sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS nc,
+          sum(CASE WHEN user_id % 2 = 0
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS sc,
+          sum(CASE WHEN user_id % 2 = 0
+              THEN CAST(round(value * 100) AS HUGEINT)
+                   * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS qc
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      cum AS (
+        SELECT epday,
+          sum(nt) OVER w AS cnt, sum(st) OVER w AS cst,
+          sum(qt) OVER w AS cqt,
+          sum(nc) OVER w AS cnc, sum(sc) OVER w AS csc,
+          sum(qc) OVER w AS cqc
+        FROM daily
+        WINDOW w AS (ORDER BY epday
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      f AS (SELECT * FROM cum WHERE cnt > 1 AND cnc > 1),
+      x AS (
+        SELECT epday, cnt, cnc,
+          CAST(cst AS DOUBLE) / cnt / 100.0
+            - CAST(csc AS DOUBLE) / cnc / 100.0 AS eff,
+          (CAST(cqt AS DOUBLE) / 10000.0
+             - (CAST(cst AS DOUBLE) / 100.0) * (CAST(cst AS DOUBLE) / 100.0)
+               / cnt) / cnt / CAST(cnt AS DOUBLE)
+          + (CAST(cqc AS DOUBLE) / 10000.0
+             - (CAST(csc AS DOUBLE) / 100.0) * (CAST(csc AS DOUBLE) / 100.0)
+               / cnc) / cnc / CAST(cnc AS DOUBLE) AS v
+        FROM f),
+      lr AS (
+        SELECT epday, cnt, cnc, eff,
+          sqrt(v / (v + 100.0))
+            * exp(eff * eff * 100.0 / (2.0 * v * (v + 100.0))) AS lam
+        FROM x)
+      SELECT epday, CAST(cnt AS BIGINT) AS n_treat,
+             CAST(cnc AS BIGINT) AS n_ctrl,
+             round(eff, 6) AS effect, round(lam, 6) AS lam,
+             round(min(least(1.0, 1.0 / lam)) OVER
+               (ORDER BY epday
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS p_always_valid
+      FROM lr""",
 
     // DiD replay: same per-user deltas, same population variances of
     // the deltas, same fixed-order interval chain

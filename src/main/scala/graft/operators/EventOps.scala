@@ -636,6 +636,73 @@ object EventOps {
         round(did + lit(1.96) * se, 6).as("hi95"))
   }
 
+  /** mSPRT ALWAYS-VALID experiment monitor (Johari, Pekelis & Walsh
+    * 2017 — the "peeking problem" fix every experimentation platform
+    * ships): per experiment day, the RUNNING two-sample effect on
+    * purchase value (arms by user parity), the normal-mixture
+    * sequential likelihood ratio
+    *
+    *   Λ_t = √(V/(V+τ²)) · exp(δ²·τ² / (2·V·(V+τ²))),
+    *
+    * and the always-valid p-value p_t = running min of min(1, 1/Λ) —
+    * monotone by construction, so the experimenter can look EVERY day
+    * without inflating false positives (a fixed-horizon t-test cannot
+    * be read mid-flight).
+    *
+    * Exactness: per-day arm aggregates are exact cent / DECIMAL(38,0)
+    * sums; cumulative sums run over the ≤|days| calendar-bounded day
+    * relation (the kaplan–meier window discipline); δ, V, Λ, p are one
+    * fixed-order double chain rounded 6 (`exp`/`sqrt` are single IEEE
+    * calls in both engines, the established ln/sqrt tolerance).
+    * Output: (epday, n_treat, n_ctrl, effect, lam, p_always_valid).
+    */
+  def msprtMonitor(spark: SparkSession, dir: String,
+      tau2: Double = 100.0): DataFrame = {
+    val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
+      .cast("long")
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(epday.as("epday"), (col("user_id") % 2 === 1).as("treat"),
+        cents(col("value")).as("c"))
+      .groupBy(col("epday"))
+      .agg(
+        sum(when(col("treat"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("treat"), col("c")).otherwise(0L)).as("st"),
+        sum(when(col("treat"),
+          col("c").cast("decimal(38,0)") * col("c")).otherwise(
+            lit(0).cast("decimal(38,0)"))).as("qt"),
+        sum(when(!col("treat"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("treat"), col("c")).otherwise(0L)).as("sc"),
+        sum(when(!col("treat"),
+          col("c").cast("decimal(38,0)") * col("c")).otherwise(
+            lit(0).cast("decimal(38,0)"))).as("qc"))
+    val w = Window.orderBy(col("epday"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("epday"),
+      sum(col("nt")).over(w).as("cnt"), sum(col("st")).over(w).as("cst"),
+      sum(col("qt")).over(w).as("cqt"),
+      sum(col("nc")).over(w).as("cnc"), sum(col("sc")).over(w).as("csc"),
+      sum(col("qc")).over(w).as("cqc"))
+      .filter(col("cnt") > 1 && col("cnc") > 1)
+    val mt = col("cst").cast("double") / col("cnt") / 100.0
+    val mc = col("csc").cast("double") / col("cnc") / 100.0
+    val vt = (col("cqt").cast("double") / 10000.0 -
+      (col("cst").cast("double") / 100.0) *
+      (col("cst").cast("double") / 100.0) / col("cnt")) / col("cnt")
+    val vc = (col("cqc").cast("double") / 10000.0 -
+      (col("csc").cast("double") / 100.0) *
+      (col("csc").cast("double") / 100.0) / col("cnc")) / col("cnc")
+    val eff = mt - mc
+    val v = vt / col("cnt").cast("double") + vc / col("cnc").cast("double")
+    val lam = sqrt(v / (v + tau2)) *
+      exp(eff * eff * tau2 / (lit(2.0) * v * (v + tau2)))
+    val p = least(lit(1.0), lit(1.0) / lam)
+    cum.select(col("epday"), col("cnt").cast("long").as("n_treat"),
+        col("cnc").cast("long").as("n_ctrl"),
+        round(eff, 6).as("effect"), round(lam, 6).as("lam"),
+        round(min(p).over(w), 6).as("p_always_valid"))
+  }
+
   def dayOverDayMovers(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"),

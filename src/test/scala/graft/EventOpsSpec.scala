@@ -1030,6 +1030,53 @@ class EventOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("msprt monitor replays driver-side; p is monotone non-increasing") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("epday"))
+      .collect()
+      .map(r => (r.getLong(0) % 2 == 1, math.round(r.getDouble(1) * 100),
+        r.getLong(2)))
+    val days = ev.map(_._3).distinct.sorted
+    var (cnt, cst, cnc, csc) = (0L, 0L, 0L, 0L)
+    var (cqt, cqc) = (BigInt(0), BigInt(0))
+    var pMin = Double.MaxValue
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = days.flatMap { d =>
+      val rows = ev.filter(_._3 == d)
+      val t = rows.filter(_._1); val c = rows.filterNot(_._1)
+      cnt += t.length; cst += t.map(_._2).sum
+      cqt += t.map(x => BigInt(x._2) * x._2).sum
+      cnc += c.length; csc += c.map(_._2).sum
+      cqc += c.map(x => BigInt(x._2) * x._2).sum
+      if (cnt <= 1 || cnc <= 1) None
+      else {
+        val eff = cst.toDouble / cnt / 100.0 - csc.toDouble / cnc / 100.0
+        val v = (cqt.toDouble / 10000.0 -
+          (cst.toDouble / 100.0) * (cst.toDouble / 100.0) / cnt) / cnt /
+          cnt.toDouble +
+          (cqc.toDouble / 10000.0 -
+          (csc.toDouble / 100.0) * (csc.toDouble / 100.0) / cnc) / cnc /
+          cnc.toDouble
+        val lam = math.sqrt(v / (v + 100.0)) *
+          math.exp(eff * eff * 100.0 / (2.0 * v * (v + 100.0)))
+        pMin = math.min(pMin, math.min(1.0, 1.0 / lam))
+        Some((d, cnt, cnc, r6(eff), r6(lam), r6(pMin)))
+      }
+    }.toSet
+    val got = graft.operators.EventOps.msprtMonitor(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expect, s"monitor diverges: ${got.size} vs ${expect.size}")
+    // always-valid property: p never increases as days accumulate
+    val ps = got.toSeq.sortBy(_._1).map(_._6)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a })
+    assert(got.nonEmpty)
+  }
+
   test("did lift replays driver-side; interval brackets the estimate") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), col("event_type"), col("value"),
