@@ -637,6 +637,9 @@ object SparkEntry {
     // mSPRT always-valid monitor: running effect, mixture likelihood
     // ratio, monotone peeking-safe p per experiment day
     "events_msprt_monitor" -> ((s, d) => EventOps.msprtMonitor(s, d)),
+    // all source-pair KS tests under Benjamini-Hochberg FDR control:
+    // integer sup-gaps, asymptotic p, running-min q-values
+    "stats_ks_fdr" -> ((s, d) => Stats.ksFdrBySource(s, d)),
     // CUSUM changepoint per type over daily revenue (exact-integer S)
     "events_cusum_changepoint" -> EventOps.cusumChangepoint _,
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
@@ -6087,6 +6090,83 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // BH-FDR replay: same per-source CDF grid, same integer sup-gap,
+    // same 3-term asymptotic p, same rank/running-min q chain
+    "stats_ks_fdr" -> """
+      WITH q0 AS (
+        SELECT source,
+          len(w) AS n_words,
+          len(list_filter(w, t -> list_contains(['the','a','of','and','to','in','on'], t))) / CAST(len(w) AS DOUBLE) AS stop_raw,
+          length(regexp_replace(text, '[^a-z]', '', 'g')) / CAST(length(text) AS DOUBLE) AS alpha_raw
+        FROM (SELECT source, text, string_split(text, ' ') AS w
+              FROM documents)),
+      q AS (SELECT source,
+              CAST(round((least(stop_raw * 2.0, 1.0) * 0.4 + alpha_raw * 0.3
+                + least(n_words / 50.0, 1.0) * 0.3) * 1000000) AS BIGINT) AS q6
+            FROM q0),
+      cells AS (SELECT source, q6, count(*) AS c FROM q GROUP BY 1, 2),
+      grid AS (SELECT g.q6, s.source, coalesce(cells.c, 0) AS c
+               FROM (SELECT DISTINCT q6 FROM cells) g
+               CROSS JOIN (SELECT DISTINCT source FROM cells) s
+               LEFT JOIN cells ON cells.q6 = g.q6
+                 AND cells.source = s.source),
+      cdf AS (SELECT source, q6,
+                CAST(sum(c) OVER (PARTITION BY source ORDER BY q6
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+              FROM grid),
+      tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+              FROM cells GROUP BY 1),
+      pd AS (SELECT a.source AS sa, b.source AS sb,
+               ta.n AS na, tb.n AS nb,
+               max(abs(a.cum * tb.n - b.cum * ta.n)) AS dint
+             FROM cdf a JOIN cdf b ON a.q6 = b.q6 AND a.source < b.source
+             JOIN tot ta ON ta.source = a.source
+             JOIN tot tb ON tb.source = b.source
+             GROUP BY 1, 2, 3, 4),
+      pp AS (SELECT sa, sb,
+               CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * nb) AS d,
+               least(1.0, greatest(0.0, 2.0 * (
+                 exp(-2.0 * (((sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                     + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb
+                       / (na + nb)))
+                   * (CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * nb)))
+                   * ((sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                     + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb
+                       / (na + nb)))
+                   * (CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * nb)))))
+                 - exp(-8.0 * (((sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                     + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb
+                       / (na + nb)))
+                   * (CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * nb)))
+                   * ((sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                     + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb
+                       / (na + nb)))
+                   * (CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * nb)))))
+                 + exp(-18.0 * (((sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                     + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb
+                       / (na + nb)))
+                   * (CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * nb)))
+                   * ((sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+                     + 0.12 + 0.11 / sqrt(CAST(na AS DOUBLE) * nb
+                       / (na + nb)))
+                   * (CAST(dint AS DOUBLE) / (CAST(na AS DOUBLE) * nb)))))
+                 ))) AS p
+             FROM pd),
+      rk AS (SELECT sa, sb, d, p,
+               row_number() OVER (ORDER BY p, sa, sb) AS rk,
+               count(*) OVER () AS m
+             FROM pp)
+      SELECT sa AS source_a, sb AS source_b,
+             round(d, 6) AS d, round(p, 6) AS p_raw,
+             round(least(1.0, min(p * m / rk) OVER (ORDER BY rk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)), 6)
+               AS q_value,
+             CASE WHEN least(1.0, min(p * m / rk) OVER (ORDER BY rk
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) <= 0.05
+               THEN 1 ELSE 0 END AS significant
+      FROM rk""",
 
     // mSPRT replay: same daily cent/HUGEINT rollup, same cumulative
     // windows over the calendar-bounded day relation, same Λ chain

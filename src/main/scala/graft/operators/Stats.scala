@@ -458,6 +458,80 @@ object Stats {
     * (StatsSpec pins the plan shape).
     * Output: (n_a, n_b, u2, effect rounded 6).
     */
+  /** ALL-PAIRS KS tests with BENJAMINI–HOCHBERG false-discovery-rate
+    * control — the multiple-testing layer the single-pair
+    * [[ksQualityBySource]] row lacks: a drift monitor comparing every
+    * source pair runs C(s,2) simultaneous tests, and raw p < 0.05
+    * readings are exactly how drift dashboards cry wolf. Per pair:
+    * the two-sample KS D over the quantized quality grid, the
+    * asymptotic p (Numerical-Recipes effective-n form,
+    * λ = (√n_e + 0.12 + 0.11/√n_e)·D, the 3-term alternating
+    * exp(−2k²λ²) series — documented truncation), then BH:
+    * q_i = min_{j≥i} p_j·m/j over the p-ascending ranking (ties to
+    * pair name), significant at q ≤ α.
+    *
+    * Exactness: counts and cumulative counts are exact integers (the
+    * per-source CDF window runs over the quantization-grid relation,
+    * ≤1e6+1 rows per source — the documented KS cap); every double
+    * (CDF gap, λ, the exp series, q) is a fixed-order chain over those
+    * integers, and BH's running min runs over the C(s,2)-row pair
+    * relation. Output: (source_a, source_b, d, p_raw, q_value,
+    * significant).
+    */
+  def ksFdrBySource(spark: SparkSession, dir: String,
+      alpha: Double = 0.05): DataFrame = {
+    val w = split(col("text"), " ")
+    val q = Tables.documents(spark, dir)
+      .select(col("source"),
+        round(graft.operators.TextOps.qualityOf(col("text"), w) * 1e6, 0)
+          .cast("long").as("q6"))
+    val cells = q.groupBy(col("source"), col("q6"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cells.select(col("q6")).distinct()
+      .crossJoin(cells.select(col("source")).distinct())
+      .join(cells, Seq("source", "q6"), "left")
+      .na.fill(0L, Seq("c"))
+    val wcum = Window.partitionBy(col("source")).orderBy(col("q6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = grid.select(col("source"), col("q6"),
+      sum(col("c")).over(wcum).as("cum"))
+    val tot = cells.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val aa = cdf.join(tot, Seq("source"))
+      .select(col("source").as("sa"), col("q6"), col("cum").as("cua"),
+        col("n").as("na"))
+    val bb = cdf.join(tot, Seq("source"))
+      .select(col("source").as("sb"), col("q6"), col("cum").as("cub"),
+        col("n").as("nb"))
+    // exact-integer sup-gap (the single-pair row's discipline):
+    // max |cua·nb − cub·na| is an integer max, one division at the end
+    val pairD = aa.join(bb, Seq("q6")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+      .agg(max(abs(col("cua") * col("nb") - col("cub") * col("na")))
+        .as("dint"))
+      .withColumn("d", col("dint").cast("double") /
+        (col("na").cast("double") * col("nb")))
+    val ne = col("na").cast("double") * col("nb") / (col("na") + col("nb"))
+    val lam = (sqrt(ne) + lit(0.12) + lit(0.11) / sqrt(ne)) * col("d")
+    val l2 = lam * lam
+    val p = least(lit(1.0), greatest(lit(0.0),
+      lit(2.0) * (exp(lit(-2.0) * l2) - exp(lit(-8.0) * l2) +
+        exp(lit(-18.0) * l2))))
+    val ranked = pairD.select(col("sa"), col("sb"), col("d"), p.as("p"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("p"), col("sa"), col("sb"))))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy()))
+    val wdown = Window.orderBy(col("rk"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("qv", least(lit(1.0),
+        min(col("p") * col("m") / col("rk")).over(wdown)))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        round(col("d"), 6).as("d"), round(col("p"), 6).as("p_raw"),
+        round(col("qv"), 6).as("q_value"),
+        when(col("qv") <= alpha, 1).otherwise(0).as("significant"))
+  }
+
   def mannWhitneyQuality(spark: SparkSession, dir: String,
       srcA: String = "src0", srcB: String = "src1"): DataFrame = {
     val w = split(col("text"), " ")

