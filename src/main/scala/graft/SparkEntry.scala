@@ -640,6 +640,12 @@ object SparkEntry {
     // all source-pair KS tests under Benjamini-Hochberg FDR control:
     // integer sup-gaps, asymptotic p, running-min q-values
     "stats_ks_fdr" -> ((s, d) => Stats.ksFdrBySource(s, d)),
+    // sample-ratio-mismatch guardrail: 1-dof chi-square of the arm
+    // split vs 50/50 against the 3.841 critical value
+    "events_srm_check" -> ((s, d) => EventOps.srmCheck(s, d)),
+    // minimum detectable effect at 80% power / 5% size from the
+    // observed post-period variance and arm sizes
+    "events_mde" -> ((s, d) => EventOps.mdeEstimate(s, d)),
     // CUSUM changepoint per type over daily revenue (exact-integer S)
     "events_cusum_changepoint" -> EventOps.cusumChangepoint _,
     // MATCH_RECOGNIZE-lite: per-user sequence regex ('v+p' conversions)
@@ -6090,6 +6096,66 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // SRM replay: same distinct-user arm counts, same chi-square chain
+    "events_srm_check" -> """
+      WITH a AS (SELECT
+          sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nt,
+          sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS nc
+        FROM (SELECT DISTINCT user_id FROM events))
+      SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+        round((CAST(nt AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            * (CAST(nt AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            / (CAST(nt + nc AS DOUBLE) / 2.0)
+          + (CAST(nc AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            * (CAST(nc AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            / (CAST(nt + nc AS DOUBLE) / 2.0), 6) AS chi2,
+        CASE WHEN (CAST(nt AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            * (CAST(nt AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            / (CAST(nt + nc AS DOUBLE) / 2.0)
+          + (CAST(nc AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            * (CAST(nc AS DOUBLE) - CAST(nt + nc AS DOUBLE) / 2.0)
+            / (CAST(nt + nc AS DOUBLE) / 2.0) > 3.841
+          THEN 1 ELSE 0 END AS srm_flag
+      FROM a""",
+
+    // MDE replay: same zero-filled post-period cent moments, same
+    // pooled variance, same 2.8-sigma chain
+    "events_mde" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                    CAST(round(value * 100) AS BIGINT) AS c,
+                    (epoch_us(ts) // 86400000000) < 19738 AS pre
+                  FROM events),
+      s AS (SELECT user_id, sum(c) AS y FROM ev
+            WHERE event_type = 'purchase' AND NOT pre GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM events),
+      pu AS (SELECT u.user_id % 2 AS arm, coalesce(s.y, 0) AS y
+             FROM u LEFT JOIN s USING (user_id)),
+      m AS (SELECT count(*) AS n,
+              sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nt,
+              sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nc,
+              sum(y) AS sy, sum(CAST(y AS HUGEINT) * y) AS syy,
+              sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS syc
+            FROM pu)
+      SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_ctrl,
+        round(sqrt(
+            ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n)
+              / CAST(nt AS DOUBLE)
+          + ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n)
+              / CAST(nc AS DOUBLE)) / 100.0, 6) AS se,
+        round(2.8 * (sqrt(
+            ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n)
+              / CAST(nt AS DOUBLE)
+          + ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n)
+              / CAST(nc AS DOUBLE)) / 100.0), 6) AS mde_abs,
+        CAST(round(2.8 * (sqrt(
+            ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n)
+              / CAST(nt AS DOUBLE)
+          + ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / n)
+              / CAST(nc AS DOUBLE)) / 100.0) * 1000.0
+          / (CAST(syc AS DOUBLE) / nc / 100.0)) AS BIGINT)
+          AS mde_rel_permille
+      FROM m""",
 
     // BH-FDR replay: same per-source CDF grid, same integer sup-gap,
     // same 3-term asymptotic p, same rank/running-min q chain

@@ -579,6 +579,76 @@ object EventOps {
         round(rho2 * 1000.0, 0).cast("long").as("var_reduction_permille"))
   }
 
+  /** SAMPLE-RATIO-MISMATCH guardrail — the first validity check every
+    * experimentation platform runs before reading ANY metric: under
+    * the declared 50/50 user-parity assignment, the arm sizes must
+    * match a binomial split, and χ² = Σ (n_arm − E)²/E against the
+    * 1-dof critical value 3.841 (α = 0.05, a literal — no erf needed)
+    * flags broken randomization (bot filtering, logging loss,
+    * triggering bugs). A flagged SRM invalidates CUPED/DiD/mSPRT
+    * downstream, which is why it ships beside them. Pure integer
+    * counts, one fixed-order double; one aggregate scan.
+    * Output: (n_treat, n_ctrl, chi2, srm_flag).
+    */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .agg(sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("nc"))
+    val e = (col("nt") + col("nc")).cast("double") / lit(2.0)
+    val chi2 =
+      (col("nt").cast("double") - e) * (col("nt").cast("double") - e) / e +
+        (col("nc").cast("double") - e) * (col("nc").cast("double") - e) / e
+    arms.select(col("nt").cast("long").as("n_treat"),
+      col("nc").cast("long").as("n_ctrl"),
+      round(chi2, 6).as("chi2"),
+      when(chi2 > 3.841, 1).otherwise(0).as("srm_flag"))
+  }
+
+  /** MINIMUM DETECTABLE EFFECT of the experiment frame — the power
+    * planning number beside the readouts: with the observed per-user
+    * post-period spend variance and arm sizes,
+    * MDE = (z_{α/2} + z_β)·SE = 2.8·√(var/n_t + var/n_c) at the
+    * standard 80% power / 5% two-sided size (2.8 = 1.96 + 0.84,
+    * literals), reported absolute and as permille of the control mean.
+    * Exact cent/DECIMAL moments over the zero-filled user universe;
+    * one fixed-order double chain. Output: one row
+    * (n_treat, n_ctrl, se, mde_abs, mde_rel_permille).
+    */
+  def mdeEstimate(spark: SparkSession, dir: String,
+      cutoffDay: Long = 19738L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
+      .cast("long")
+    val sums = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), cents(col("value")).as("c"),
+        (epday < cutoffDay).as("pre"))
+      .filter(!col("pre"))
+      .groupBy(col("user_id")).agg(sum(col("c")).as("y"))
+    val perUser = ev.select(col("user_id")).distinct()
+      .join(sums, Seq("user_id"), "left")
+      .na.fill(0L, Seq("y"))
+      .select((col("user_id") % 2).as("arm"), col("y"))
+    val yd = col("y").cast("decimal(38,0)")
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("nc"),
+      sum(col("y")).as("sy"), sum(yd * col("y")).as("syy"),
+      sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("syc"))
+    val nD = col("n").cast("double")
+    val varY = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy") / nD) / nD
+    val se = sqrt(varY / col("nt").cast("double") +
+      varY / col("nc").cast("double")) / lit(100.0)
+    val meanC = col("syc").cast("double") / col("nc") / lit(100.0)
+    val mde = lit(2.8) * se
+    m.select(col("nt").cast("long").as("n_treat"),
+      col("nc").cast("long").as("n_ctrl"),
+      round(se, 6).as("se"), round(mde, 6).as("mde_abs"),
+      round(mde * lit(1000.0) / meanC, 0).cast("long")
+        .as("mde_rel_permille"))
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES over the same experiment frame as
     * [[cupedLift]] — the quasi-experimental estimator (Card & Krueger
     * 1994 canon): per-user spend delta d = post − pre, DiD =

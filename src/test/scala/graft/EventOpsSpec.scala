@@ -1030,6 +1030,43 @@ class EventOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("srm check and mde replay driver-side on the fixture") {
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    val nt = users.count(_ % 2 == 1).toLong
+    val nc = users.count(_ % 2 == 0).toLong
+    val e = (nt + nc).toDouble / 2.0
+    val chi2 = (nt - e) * (nt - e) / e + (nc - e) * (nc - e) / e
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val srm = graft.operators.EventOps.srmCheck(spark, sf0001).collect()(0)
+    assert(srm.getLong(0) == nt && srm.getLong(1) == nc)
+    assert(srm.getDouble(2) == r6(chi2))
+    assert(srm.getInt(3) == (if (chi2 > 3.841) 1 else 0))
+    // mde: replay the pooled-variance chain
+    val post = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("epday"))
+      .collect().filter(_.getLong(2) >= 19738L)
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(r => math.round(r.getDouble(1) * 100)).sum }
+    val ys = users.map(u => post.getOrElse(u, 0L))
+    val n = ys.length.toDouble
+    val sy = ys.sum; val syy = ys.map(y => BigInt(y) * y).sum
+    val varY = (syy.toDouble - sy.toDouble * sy / n) / n
+    val se = math.sqrt(varY / nt + varY / nc) / 100.0
+    val syc = users.filter(_ % 2 == 0).map(u => post.getOrElse(u, 0L)).sum
+    val meanC = syc.toDouble / nc / 100.0
+    val mde = graft.operators.EventOps.mdeEstimate(spark, sf0001).collect()(0)
+    assert(mde.getLong(0) == nt && mde.getLong(1) == nc)
+    assert(mde.getDouble(2) == r6(se), s"se ${mde.getDouble(2)} vs $se")
+    assert(mde.getDouble(3) == r6(2.8 * se))
+    assert(mde.getLong(4) == math.round(2.8 * se * 1000.0 / meanC))
+    assert(mde.getDouble(3) > 0.0)
+  }
+
   test("msprt monitor replays driver-side; p is monotone non-increasing") {
     val ev = Tables.events(spark, sf0001)
       .filter(col("event_type") === "purchase")
