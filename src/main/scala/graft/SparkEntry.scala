@@ -643,6 +643,9 @@ object SparkEntry {
     // sample-ratio-mismatch guardrail: 1-dof chi-square of the arm
     // split vs 50/50 against the 3.841 critical value
     "events_srm_check" -> ((s, d) => EventOps.srmCheck(s, d)),
+    // DAU/WAU/MAU + stickiness: trailing distincts via the bounded
+    // calendar fan-out of the (user, day) activity relation
+    "events_dau_wau_mau" -> ((s, d) => EventOps.dauWauMau(s, d)),
     // minimum detectable effect at 80% power / 5% size from the
     // observed post-period variance and arm sizes
     "events_mde" -> ((s, d) => EventOps.mdeEstimate(s, d)),
@@ -6096,6 +6099,26 @@ object SparkEntry {
              round(CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
                / (CAST(n_a AS DOUBLE) * n_b), 6) AS ks_d
       FROM c CROSS JOIN t GROUP BY n_a, n_b""",
+
+    // engagement replay: same distinct activity relation, same
+    // 30-day calendar fan-out, same conditional distincts
+    "events_dau_wau_mau" -> """
+      WITH act AS (SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS d
+                   FROM events),
+      days AS (SELECT DISTINCT d AS day FROM act),
+      fan AS (SELECT a.user_id, a.d, y.day
+              FROM act a JOIN days y
+                ON y.day >= a.d AND y.day <= a.d + 29)
+      SELECT day AS epday,
+             CAST(count(DISTINCT CASE WHEN d = day THEN user_id END)
+               AS BIGINT) AS dau,
+             CAST(count(DISTINCT CASE WHEN day - d <= 6 THEN user_id END)
+               AS BIGINT) AS wau,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+             count(DISTINCT CASE WHEN d = day THEN user_id END) * 1000
+               // count(DISTINCT user_id) AS stickiness_permille
+      FROM fan GROUP BY 1""",
 
     // SRM replay: same distinct-user arm counts, same chi-square chain
     "events_srm_check" -> """

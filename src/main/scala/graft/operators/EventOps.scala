@@ -579,6 +579,43 @@ object EventOps {
         round(rho2 * 1000.0, 0).cast("long").as("var_reduction_permille"))
   }
 
+  /** DAU / WAU / MAU engagement with DAU/MAU stickiness — the
+    * top-of-dashboard product metric: per calendar day, the distinct
+    * actives that day, over the trailing 7 days, and over the trailing
+    * 30 days, plus stickiness = DAU·1000 div MAU. Trailing distinct
+    * counts are NOT window-expressible (count distinct over a sliding
+    * range); the relational form is the (user, day) DISTINCT activity
+    * relation joined to the day calendar within each horizon — a
+    * bounded ≤30× fan-out of the activity relation, then one
+    * partial-aggregated distinct per (day, horizon). Pure integers.
+    *
+    * Scale shape: events collapse to |users|×|active-days| rows FIRST
+    * (the only corpus-sized pass), the calendar join fans that small
+    * relation out by ≤ horizon, and at 100 TB the same shape holds
+    * because activity relations are orders of magnitude smaller than
+    * event logs. Output: (epday, dau, wau, mau, stickiness_permille).
+    */
+  def dauWauMau(spark: SparkSession, dir: String): DataFrame = {
+    val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
+      .cast("long")
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), epday.as("d")).distinct()
+    val days = act.select(col("d").as("day")).distinct()
+    val fan = act.join(days,
+      col("day") >= col("d") && col("day") <= col("d") + 29L)
+    val agg = fan.groupBy(col("day"))
+      .agg(countDistinct(when(col("d") === col("day"),
+        col("user_id"))).as("dau"),
+        countDistinct(when(col("day") - col("d") <= 6L,
+          col("user_id"))).as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+    agg.select(col("day").as("epday"),
+      col("dau").cast("long").as("dau"),
+      col("wau").cast("long").as("wau"),
+      col("mau").cast("long").as("mau"),
+      expr("dau * 1000 div mau").as("stickiness_permille"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH guardrail — the first validity check every
     * experimentation platform runs before reading ANY metric: under
     * the declared 50/50 user-parity assignment, the arm sizes must

@@ -1030,6 +1030,29 @@ class EventOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dau/wau/mau replay driver-side; nesting invariant holds") {
+    val act = Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = act.map(_._2).distinct
+    val expect = days.map { day =>
+      val dau = act.filter(_._2 == day).map(_._1).distinct.length.toLong
+      val wau = act.filter(a => a._2 <= day && day - a._2 <= 6)
+        .map(_._1).distinct.length.toLong
+      val mau = act.filter(a => a._2 <= day && day - a._2 <= 29)
+        .map(_._1).distinct.length.toLong
+      day -> (dau, wau, mau, dau * 1000 / mau)
+    }.toMap
+    val got = graft.operators.EventOps.dauWauMau(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got == expect, s"engagement diverges: ${got.size} vs ${expect.size}")
+    got.values.foreach { case (dau, wau, mau, _) =>
+      assert(dau <= wau && wau <= mau, "active sets must nest") }
+  }
+
   test("srm check and mde replay driver-side on the fixture") {
     val users = Tables.events(spark, sf0001)
       .select("user_id").distinct().collect().map(_.getLong(0))
