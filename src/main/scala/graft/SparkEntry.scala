@@ -709,6 +709,9 @@ object SparkEntry {
     "orders_customer_ltv" -> Relational.customerLtv _,
     // RFM quartile scoring over the LTV rollup
     "orders_rfm_segments" -> Relational.rfmSegments _,
+    // open-order backlog aging: integer epoch-day ages vs the max
+    // order date, bucketed, counts + open cents value per status
+    "orders_backlog_aging" -> Relational.backlogAging _,
     // 80/20 revenue concentration over the customer rollup
     "orders_revenue_pareto" -> Relational.revenuePareto _,
     // per-source exact-duplicate rate (curation signal)
@@ -4991,6 +4994,24 @@ object SparkEntry {
       FROM c JOIN n USING (doc_id) GROUP BY doc_id, n, types""",
 
     // the LTV CTE re-quartiled with identical custkey tie-breaks
+    // aging replay: same epoch-day ages, same bucket bounds, exact
+    // cent sums divided once
+    "orders_backlog_aging" -> """
+      WITH o AS (SELECT o_orderstatus AS status,
+                   epoch_us(o_orderdate) // 86400000000 AS d,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                 FROM orders WHERE o_orderstatus IN ('O', 'P')),
+      mx AS (SELECT max(epoch_us(o_orderdate) // 86400000000) AS mx
+             FROM orders)
+      SELECT status,
+             CASE WHEN mx - d <= 30 THEN 'a_0_30'
+                  WHEN mx - d <= 90 THEN 'b_31_90'
+                  WHEN mx - d <= 365 THEN 'c_91_365'
+                  ELSE 'd_over_365' END AS age_bucket,
+             count(*) AS n_orders,
+             sum(c) / 100.0 AS open_value
+      FROM o CROSS JOIN mx GROUP BY 1, 2""",
+
     "orders_rfm_segments" -> s"""
       WITH a AS (SELECT o_custkey AS custkey,
                         count(*) AS n_orders,

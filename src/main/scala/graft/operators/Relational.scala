@@ -460,6 +460,37 @@ object Relational {
     * deterministic on both engines. Output: one row per customer with
     * the three scores and their "RFM" concatenation.
     */
+  /** OPEN-ORDER BACKLOG AGING — the operations dashboard cut: every
+    * order still open (status 'O' or 'P') bucketed by its age in days
+    * relative to the dataset's latest order date (0–30 / 31–90 /
+    * 91–365 / 365+), with order counts and open value per bucket and
+    * status. Ages are exact integer epoch-day differences; the
+    * max-date anchor is a 1-row broadcast attach; value is exact
+    * cents. One rollup; |buckets|×|statuses| rows out.
+    * Output: (status, age_bucket, n_orders, open_value).
+    */
+  def backlogAging(spark: SparkSession, dir: String): DataFrame = {
+    val epday = floor(unix_micros(col("o_orderdate")) / lit(86400000000L))
+      .cast("long")
+    val open = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "P"))
+      .select(col("o_orderstatus").as("status"), epday.as("d"),
+        cents(col("o_totalprice")).as("c"))
+    val anchor = Tables.orders(spark, dir)
+      .agg(max(floor(unix_micros(col("o_orderdate")) / lit(86400000000L))
+        .cast("long")).as("mx"))
+    open.crossJoin(broadcast(anchor))
+      .select(col("status"), (col("mx") - col("d")).as("age"), col("c"))
+      .select(col("status"),
+        when(col("age") <= 30L, "a_0_30")
+          .when(col("age") <= 90L, "b_31_90")
+          .when(col("age") <= 365L, "c_91_365")
+          .otherwise("d_over_365").as("age_bucket"), col("c"))
+      .groupBy(col("status"), col("age_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("c")) / lit(100.0)).as("open_value"))
+  }
+
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.GraftOps.{globalRank, ntileFromRank, smallOrderCutover}
     val ltv = customerLtv(spark, dir)

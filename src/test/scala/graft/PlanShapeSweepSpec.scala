@@ -75,6 +75,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "events_cuped_lift",          // 1-row pooled-moments attach
     "events_did_lift",            // 1-row x 1-row arm-fold combiner
     "events_dau_wau_mau",         // calendar-bounded range fan-out NLJ
+    "orders_backlog_aging",       // 1-row max-date anchor attach
     "layout_minmax_skipping",     // 1-row matched-count attach
     "text_naive_bayes_langid")    // |classes|-row model fan-out against
                                   // the test words + 1-row V/n attaches

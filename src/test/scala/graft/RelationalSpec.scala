@@ -411,4 +411,28 @@ class RelationalSpec extends SparkSpec {
     // the top80 flag flips exactly once, at the 0.8 boundary
     assert(rows.forall(r => (r._5 == 1) == (r._4 <= 0.8)))
   }
+
+  test("backlog aging replays driver-side; partitions the open orders") {
+    val orders = Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"),
+        floor(unix_micros(col("o_orderdate")) / lit(86400000000L))
+          .cast("long").as("d"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mx = orders.map(_._2).max
+    def bucket(age: Long) =
+      if (age <= 30) "a_0_30" else if (age <= 90) "b_31_90"
+      else if (age <= 365) "c_91_365" else "d_over_365"
+    val open = orders.filter(o => o._1 == "O" || o._1 == "P")
+    val expect = open.groupBy(o => (o._1, bucket(mx - o._2)))
+      .map { case (k, g) =>
+        k -> (g.length.toLong, g.map(_._3).sum / 100.0) }
+    val got = Relational.backlogAging(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expect, s"aging diverges: $got vs $expect")
+    assert(got.values.map(_._1).sum == open.length.toLong,
+      "buckets must partition the open orders")
+    assert(got.keys.map(_._2).toSet.size >= 2, "one bucket only - vacuous")
+  }
 }
