@@ -712,6 +712,9 @@ object SparkEntry {
     // open-order backlog aging: integer epoch-day ages vs the max
     // order date, bucketed, counts + open cents value per status
     "orders_backlog_aging" -> Relational.backlogAging _,
+    // supplier-concentration HHI per part type (picounit-quantized
+    // share^2 terms, DOJ x10000 convention, 2500 flag)
+    "orders_supplier_hhi" -> Relational.supplierHhi _,
     // 80/20 revenue concentration over the customer rollup
     "orders_revenue_pareto" -> Relational.revenuePareto _,
     // per-source exact-duplicate rate (curation signal)
@@ -4994,6 +4997,29 @@ object SparkEntry {
       FROM c JOIN n USING (doc_id) GROUP BY doc_id, n, types""",
 
     // the LTV CTE re-quartiled with identical custkey tie-breaks
+    // HHI replay: same cent revenue rollup, same picounit-quantized
+    // squared shares, same x10000 scaling and 2500 flag
+    "orders_supplier_hhi" -> """
+      WITH rev AS (SELECT p.p_type, l.l_suppkey,
+                     sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                       AS r
+                   FROM lineitem l JOIN part p
+                     ON l.l_partkey = p.p_partkey
+                   GROUP BY 1, 2),
+      tot AS (SELECT p_type, sum(r) AS t, count(*) AS ns
+              FROM rev GROUP BY 1),
+      q AS (SELECT rev.p_type, any_value(tot.ns) AS ns,
+              sum(CAST(round((CAST(rev.r AS DOUBLE) / tot.t)
+                * (CAST(rev.r AS DOUBLE) / tot.t)
+                * 1000000000000.0) AS BIGINT)) AS qsum
+            FROM rev JOIN tot USING (p_type) GROUP BY 1)
+      SELECT p_type, CAST(ns AS BIGINT) AS n_suppliers,
+             round(CAST(qsum AS DOUBLE) / 1000000000000.0 * 10000.0, 2)
+               AS hhi,
+             CASE WHEN round(CAST(qsum AS DOUBLE) / 1000000000000.0
+               * 10000.0, 2) > 2500.0 THEN 1 ELSE 0 END AS concentrated
+      FROM q""",
+
     // aging replay: same epoch-day ages, same bucket bounds, exact
     // cent sums divided once
     "orders_backlog_aging" -> """

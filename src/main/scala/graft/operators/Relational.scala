@@ -491,6 +491,43 @@ object Relational {
         (sum(col("c")) / lit(100.0)).as("open_value"))
   }
 
+  /** SUPPLIER-CONCENTRATION HHI per part type — the
+    * Herfindahl–Hirschman index (Σ share², scaled ×10000, the DOJ
+    * convention) of each supplier's revenue share within a part type:
+    * the supply-chain concentration-risk table (HHI > 2500 =
+    * "highly concentrated" — flagged). Revenue is exact cents; shares
+    * are one double division each off integer sums, squared and summed
+    * in a fixed order, rounded 2.
+    *
+    * Scale shape: one (type, supplier) rollup of the lineitem⋈part
+    * join (dimension broadcast), one |types|-row total attach, a
+    * |types|×|suppliers|-bounded share fold. Output:
+    * (p_type, n_suppliers, hhi, concentrated).
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("r"))
+    val tot = rev.groupBy(col("p_type")).agg(sum(col("r")).as("t"),
+      count(lit(1)).as("ns"))
+    // each share^2 term quantizes to integer picounits BEFORE the sum
+    // (the jsd/brier discipline) so the fold order cannot move the hhi
+    val share = col("r").cast("double") / col("t")
+    rev.join(tot, Seq("p_type"))
+      .groupBy(col("p_type"))
+      .agg(first(col("ns")).as("ns2"),
+        sum(round(share * share * lit(1e12), 0).cast("long")).as("q"))
+      .select(col("p_type"), col("ns2"),
+        round(col("q").cast("double") / lit(1e12) * lit(10000.0), 2)
+          .as("hhi"))
+      .select(col("p_type"), col("ns2").cast("long").as("n_suppliers"),
+        col("hhi"),
+        when(col("hhi") > 2500.0, 1).otherwise(0).as("concentrated"))
+  }
+
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.GraftOps.{globalRank, ntileFromRank, smallOrderCutover}
     val ltv = customerLtv(spark, dir)

@@ -412,6 +412,36 @@ class RelationalSpec extends SparkSpec {
     assert(rows.forall(r => (r._5 == 1) == (r._4 <= 0.8)))
   }
 
+  test("supplier hhi replays driver-side; bounds hold") {
+    val rows = Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def r2(x: Double) =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = rows.groupBy(_._1).map { case (t, g) =>
+      val bySupp = g.groupBy(_._2).map { case (_, v) => v.map(_._3).sum }
+      val tot = bySupp.sum
+      val q = bySupp.map { r =>
+        val s = r.toDouble / tot
+        math.round(s * s * 1e12)
+      }.sum
+      val hhi = r2(q.toDouble / 1e12 * 10000.0)
+      t -> (bySupp.size.toLong, hhi, if (hhi > 2500.0) 1 else 0)
+    }
+    val got = Relational.supplierHhi(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toMap
+    assert(got == expect, s"hhi diverges: $got vs $expect")
+    // HHI in (0, 10000]; a monopoly type would be exactly 10000
+    got.values.foreach { case (ns, hhi, _) =>
+      assert(hhi > 0.0 && hhi <= 10000.0 + 1e-9)
+      assert(hhi >= 10000.0 / ns - 1.0, "HHI below the 1/n lower bound")
+    }
+  }
+
   test("backlog aging replays driver-side; partitions the open orders") {
     val orders = Tables.orders(spark, sf0001)
       .select(col("o_orderstatus"),
