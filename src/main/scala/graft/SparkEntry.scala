@@ -431,6 +431,9 @@ object SparkEntry {
     "text_winnowing" -> ((s, d) => TextOps.winnowingFingerprints(s, d)),
     // cross-doc shared-winnowed-hash pairs (df-capped bucket join)
     "text_winnowing_pairs" -> ((s, d) => TextOps.winnowingPairs(s, d)),
+    // asymmetric containment off the same selection (quote detection)
+    "text_winnowing_containment" ->
+      ((s, d) => TextOps.winnowingContainment(s, d)),
     "text_pii_scrub"   -> TextOps.redact _,
     "text_repetition"  -> TextOps.repetitionScores _,
     // per-doc TextRank keywords: exact-integer PageRank over each
@@ -3234,6 +3237,42 @@ object SparkEntry {
       JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
         ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2""",
+
+    // containment replay: the pair relation joined to per-doc
+    // distinct-fingerprint counts, integer permille both directions
+    "text_winnowing_containment" -> """
+      WITH h AS (
+        SELECT doc_id,
+          list_transform(string_split(text, ' '), t ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(t, ''),
+                c -> CAST(unicode(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)
+           for i in range(1, len(wh) - 3)] AS sh
+        FROM h WHERE len(wh) >= 8),
+      fp AS (
+        SELECT DISTINCT doc_id,
+          unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
+        FROM s),
+      sz AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+      rare AS (SELECT h FROM fp GROUP BY h
+               HAVING count(DISTINCT doc_id) <= 64),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+             FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
+             JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
+               ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+             pr.n_shared * 1000 // sa.nfp AS cont_a_permille,
+             pr.n_shared * 1000 // sb.nfp AS cont_b_permille
+      FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+      JOIN sz sb ON sb.doc_id = pr.doc_b""",
 
     // BM25: same operation order as the Spark plan; every constant cast
     // to DOUBLE so DuckDB never routes through decimal arithmetic

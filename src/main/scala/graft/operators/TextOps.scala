@@ -2170,6 +2170,34 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** ASYMMETRIC winnowing containment — quote/inclusion detection over
+    * the selected-fingerprint sets: for each matching pair, what share
+    * of EACH document's winnowed fingerprints the other side covers
+    * (Broder's containment, on winnowing's position-robust selection
+    * instead of full shingle sets). A near-100‰ one-sided containment
+    * with a low symmetric overlap is the quotation/subset signature
+    * Jaccard-style dedup misses. Integer permille off the same
+    * df-capped bucket machinery as [[winnowingPairs]]; per-doc
+    * fingerprint counts broadcast-join the pair relation.
+    * Output: (doc_a, doc_b, n_shared, cont_a_permille,
+    * cont_b_permille).
+    */
+  def winnowingContainment(spark: SparkSession, dir: String, k: Int = 5,
+      window: Int = 4, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val fp = winnowingFingerprints(spark, dir, k, window)
+      .select(col("doc_id"), col("h")).distinct()
+    val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val pairs = winnowingPairs(spark, dir, k, window, maxDf, minShared)
+    pairs
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("nfp").as("na"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("nfp").as("nb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("n_shared * 1000 div na").as("cont_a_permille"),
+        expr("n_shared * 1000 div nb").as("cont_b_permille"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): per
     * document, PageRank over the word co-occurrence graph (window 2 —
     * adjacent distinct words, undirected, self-loops excluded, DISTINCT

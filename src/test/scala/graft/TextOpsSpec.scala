@@ -1155,6 +1155,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(4L, 5L, 6L, 7L, 8L), s"got $got")
   }
 
+  test("winnowing containment: a strict subset document reads near 1000") {
+    import spark.implicits._
+    val big = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 40).map(i => s"w$i").mkString(" ")  // subset run
+    val docs = Seq((1L, big), (2L, quote)).toDF("doc_id", "text")
+    val fp = TextOps.winnowingOf(docs, 5, 4)
+      .select(col("doc_id"), col("h")).distinct()
+    val sizes = fp.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shared = fp.as("a").join(fp.as("b"), "h")
+      .filter(col("a.doc_id") < col("b.doc_id")).count()
+    // the quote's fingerprints are (almost) all inside the big doc
+    assert(shared * 1000 / sizes(2L) >= 900,
+      s"subset containment too low: $shared of ${sizes(2L)}")
+    // and the big doc is NOT contained in the quote
+    assert(shared * 1000 / sizes(1L) < 700)
+    // declared query runs end to end with coherent bounds
+    val rows = TextOps.winnowingContainment(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0 && r.getLong(3) <= 1000)
+      assert(r.getLong(4) > 0 && r.getLong(4) <= 1000)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("winnowing pairs recover planted near-duplicates, bounded fanout") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
