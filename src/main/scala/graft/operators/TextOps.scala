@@ -2101,11 +2101,20 @@ object TextOps {
     * Scale shape: map-only per document (nested HOFs, no UDF) — the
     * shingle fold, window minima, and rightmost-tie scan are all
     * array expressions over each row; the corpus never shuffles.
+    * Memoized + persisted per (dataset, k, window) like the gram sets
+    * ([[Dedup.gramSets]]): [[winnowingPairs]] and
+    * [[winnowingContainment]] both consume this relation, so the
+    * per-doc HOF chain runs once per dataset, not once per consumer.
     * Output: (doc_id, pos, h), one row per selected fingerprint.
     */
   def winnowingFingerprints(spark: SparkSession, dir: String, k: Int = 5,
       window: Int = 4): DataFrame =
-    winnowingOf(Tables.documents(spark, dir), k, window)
+    graft.IndexCache.getOrBuild(spark, s"winnow-fp:$dir:$k:$window") {
+      val df = winnowingOf(Tables.documents(spark, dir), k, window)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
 
   private[graft] def winnowingOf(docs: DataFrame, k: Int,
       window: Int): DataFrame = {
@@ -2177,8 +2186,15 @@ object TextOps {
     * instead of full shingle sets). A near-100‰ one-sided containment
     * with a low symmetric overlap is the quotation/subset signature
     * Jaccard-style dedup misses. Integer permille off the same
-    * df-capped bucket machinery as [[winnowingPairs]]; per-doc
-    * fingerprint counts broadcast-join the pair relation.
+    * df-capped bucket machinery as [[winnowingPairs]].
+    *
+    * Join orientation (the side that broadcasts): the per-document
+    * fingerprint-count relation `sizes` is CORPUS-sized (one row per
+    * document — multi-GB at 10⁹ docs), so it must never broadcast;
+    * the df-capped PAIR relation is the designed small side and is the
+    * broadcast build side for both lookups. `sizes` streams through
+    * each BroadcastHashJoin exactly once, map-side — no corpus-sized
+    * exchange anywhere in the plan (pinned by WinnowingSpec).
     * Output: (doc_a, doc_b, n_shared, cont_a_permille,
     * cont_b_permille).
     */
@@ -2188,11 +2204,10 @@ object TextOps {
       .select(col("doc_id"), col("h")).distinct()
     val sizes = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val pairs = winnowingPairs(spark, dir, k, window, maxDf, minShared)
-    pairs
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
-        col("nfp").as("na"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
-        col("nfp").as("nb"))), Seq("doc_b"))
+    val withA = sizes.select(col("doc_id").as("doc_a"), col("nfp").as("na"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    sizes.select(col("doc_id").as("doc_b"), col("nfp").as("nb"))
+      .join(broadcast(withA), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         expr("n_shared * 1000 div na").as("cont_a_permille"),
         expr("n_shared * 1000 div nb").as("cont_b_permille"))

@@ -1180,6 +1180,31 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("winnowing containment broadcasts only the pair side, never the corpus") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val df = TextOps.winnowingContainment(spark, sf0001)
+    val nPairs = df.count() // executes the plan, populating metrics
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case q: QueryStageExec        => p +: nodes(q.plan)
+      case _                        => p +: p.children.flatMap(nodes)
+    }
+    val bx = nodes(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastExchangeExec => b }
+    assert(bx.nonEmpty, "expected the pair side to broadcast-hash join")
+    // the corpus-sized per-doc count relation must never be the build
+    // side: every broadcast is bounded by the df-capped pair relation,
+    // not the document count
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    bx.foreach { b =>
+      val out = b.metrics("numOutputRows").value
+      assert(out <= nPairs && out < nDocs / 2,
+        s"corpus-sized broadcast: $out rows (pairs=$nPairs, docs=$nDocs)")
+    }
+  }
+
   test("winnowing pairs recover planted near-duplicates, bounded fanout") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
