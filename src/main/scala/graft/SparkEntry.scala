@@ -76,6 +76,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // — reference parity: vector search (SURVEY §2.1-2.5, §2.9) —
+    // the reference's literal main() as ONE row (S1 lenient NDJSON
+    // ingest + limit, S2 prefix split, J1/T1 exact top-k, P1
+    // first-sentence projection); oracle replays each step on the
+    // embeddings parquet (file order == vec_id by construction)
+    "ingest_ndjson_topk" ->
+      ((s, d) => sources.Ingest.ndjsonTopKPipeline(s, d)),
     "knn_exact_single" -> ((s, d) => ExactKnn.topKSingle(s, d)),
     "knn_exact_batch"  -> ((s, d) => ExactKnn.topKBatch(s, d)),
     // reciprocal-kNN pairs over the base split (hub-free neighborhood
@@ -1821,6 +1827,21 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // ingest-pipeline replay: the first 300 VALID ndjson records are
+    // vec_id 0..299 (planted malformed/vectorless lines drop at parse
+    // time), the split is round(0.95·n), the body's first sentence is
+    // 'Doc <id> label <label>' by construction of the render
+    "ingest_ndjson_topk" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                        'Doc ' || vec_id || ' label ' || label AS first_sentence
+                 FROM embeddings WHERE vec_id < 300),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s, count(*) AS c FROM e)
+      SELECT b.vec_id, $cosDistSql AS dist, b.first_sentence
+      FROM e b, e q, p
+      WHERE b.vec_id < p.s AND q.vec_id = p.s + (29 % (p.c - p.s))
+      ORDER BY dist, b.vec_id LIMIT 10""",
+
     "knn_exact_single" -> s"""
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

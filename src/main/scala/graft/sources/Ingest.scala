@@ -52,6 +52,72 @@ object Ingest {
     (df.filter(col("row_id") < splitAt), df.filter(col("row_id") >= splitAt))
   }
 
+  /** Render the embeddings fixture to NDJSON in the reference's on-disk
+    * format (`/root/reference/src/point.rs:5-10`: `body` + the
+    * literally-named `"text-embedding-ada-002"` array), with planted
+    * defects the lenient reader must survive: a malformed-JSON line
+    * after every 10th record and a valid-JSON-but-vectorless line after
+    * every 25th (the `dataset.rs:12-15` drop cases). Bodies are
+    * deterministic two-sentence strings keyed on (vec_id, label) so the
+    * first-sentence projection is replayable relationally; floats are
+    * serialized via `Double.toString` of the WIDENED value, so the JSON
+    * parse recovers exactly `CAST(embedding AS DOUBLE)` — the oracle's
+    * arithmetic on the parquet table matches bit-for-bit. Memoized per
+    * dataset; at cluster scale this render is a plain export job and
+    * the collect is the fixture-scale shortcut for it.
+    */
+  def ndjsonFixture(spark: SparkSession, dir: String): String =
+    graft.IndexCache.getOrBuild(spark, s"ndjson-fixture:$dir") {
+      val rows = graft.Tables.embeddings(spark, dir)
+        .orderBy("vec_id").select("vec_id", "embedding", "label").collect()
+      val sb = new StringBuilder
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val id = r.getLong(0)
+        val emb = r.getSeq[Float](1).map(_.toDouble.toString)
+          .mkString("[", ",", "]")
+        sb ++= s"""{"body": "Doc $id label ${r.getInt(2)}. Row $id of the embeddings fixture.", "text-embedding-ada-002": $emb}"""
+        sb += '\n'
+        if (i % 10 == 9) { sb ++= """{"body": 17 "broken json"""; sb += '\n' }
+        if (i % 25 == 24) {
+          sb ++= """{"body": "stray row without a vector", "text-embedding-ada-002": null}"""
+          sb += '\n'
+        }
+      }
+      val p = java.nio.file.Files.createTempFile("graft-ndjson", ".ndjson")
+      p.toFile.deleteOnExit()
+      java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
+      p.toString
+    }
+
+  /** The reference's own `main()` pipeline as ONE declared query
+    * (`/root/reference/src/main.rs:61-94`): lenient NDJSON ingest with
+    * a head limit (S1, `dataset.rs:8-17`), deterministic prefix split
+    * (S2), exact cosine top-k for one held-out query (J1/T1), and the
+    * first-sentence projection of each hit's body (P1,
+    * `main.rs:34-39`). The oracle replays every step relationally on
+    * the embeddings parquet: file order == vec_id order by
+    * construction of [[ndjsonFixture]] (planted defect lines are
+    * dropped by the lenient read), so "first `limit` valid records" ==
+    * `vec_id < limit`.
+    * Output: (vec_id, dist, first_sentence), ascending by distance.
+    */
+  def ndjsonTopKPipeline(spark: SparkSession, dir: String,
+      limit: Int = 300, k: Int = 10, queryIdx: Long = 29): DataFrame = {
+    val df = readNdjson(spark, ndjsonFixture(spark, dir), limit)
+    val n = df.count()
+    val splitAt = math.round(0.95 * n)
+    val qid = splitAt + (queryIdx % (n - splitAt))
+    val base = df.filter(col("row_id") < splitAt)
+    val q = broadcast(df.filter(col("row_id") === qid)
+      .select(col("vector").as("qvec")))
+    base.crossJoin(q)
+      .select(col("row_id").as("vec_id"),
+        graft.knn.ExactKnn.dist(col("vector"), col("qvec")).as("dist"),
+        split(col("body"), "\\.").getItem(0).as("first_sentence"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** `insert_many` semantics (`/root/reference/src/index.rs:7-9`,
     * `exact_knn.rs:23-25`): bag-append of new rows to the base relation.
     */

@@ -65,6 +65,20 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.insertMany(base, base).count() == 2 * base.count())
   }
 
+  test("declared ndjson pipeline: ingest -> split -> top-k -> first sentence") {
+    val rows = Ingest.ndjsonTopKPipeline(spark, sf0001).collect()
+    assert(rows.length == 10)
+    // distances ascend; the projected first sentence replays Doc/label
+    val dists = rows.map(_.getDouble(1))
+    assert(dists.sameElements(dists.sorted))
+    rows.foreach { r =>
+      assert(r.getString(2).matches(s"Doc ${r.getLong(0)} label \\d"),
+        s"unexpected first sentence: ${r.getString(2)}")
+    }
+    // every hit is a base-side row (the held-out query never matches itself)
+    assert(rows.forall(_.getLong(0) < 285))
+  }
+
   test("first-sentence projection (P1) over ingested bodies") {
     val df = Ingest.readNdjson(spark, ndjsonPath, limit = 5)
       .withColumn("first_sentence", split(col("body"), "\\.").getItem(0))
