@@ -600,16 +600,8 @@ object GraphOps {
     * (node, component) for every node incident to an edge, component =
     * the component's minimum node id.
     */
-  private[graft] def starContractionComponents(edges: DataFrame): DataFrame = {
-    // the contraction relations are node-bounded and tiny next to the
-    // corpus; at 32 shuffle partitions the loop is pure scheduling
-    // overhead (star steps x stages x rounds of near-empty tasks).
-    // Run the loop single-partition, restore after — output is
-    // partitioning-independent (distinct/groupBy set relations), and
-    // at 100 TB node scale this knob moves with the graph (AQE's
-    // coalescing does the same dynamically).
-    withIterativeExecution(edges.sparkSession)(starContractionLoop(edges))
-  }
+  private[graft] def starContractionComponents(edges: DataFrame): DataFrame =
+    starContractionLoop(edges)
 
   /** Execution scope for node-bounded ITERATIVE loops: every round
     * plans against a fresh LogicalRDD, so whole-stage codegen
@@ -636,39 +628,83 @@ object GraphOps {
     }
   }
 
+  /** The fixpoint runs as a PURE RDD loop over (Long, Long) pairs —
+    * the textbook justified RDD use: a DataFrame loop re-plans every
+    * round against a fresh LogicalRDD (Catalyst analysis + optimizer +
+    * ~6 recompiled codegen classes per round on relations of a few
+    * thousand rows), while the RDD operators below compile ONCE and
+    * each round is plain reduceByKey/join/distinct over primitive
+    * pairs (the GraphX shape). A shared HashPartitioner keeps the
+    * star joins co-partitioned, so per round only the symmetrized /
+    * re-directed edge set shuffles. At 100 TB node counts the
+    * partition count moves with the graph; the alternation still
+    * converges in O(log n) rounds independent of component diameter.
+    */
   private def starContractionLoop(edges: DataFrame): DataFrame = {
-    // localCheckpoint, NOT persist: persist caches row data but the
-    // LOGICAL plan keeps compounding (each round references the prior
-    // round ~5x: sym union, star joins, the convergence diff), so by
-    // round ~10 Catalyst analysis alone is exponential. Checkpointing
-    // rebases every round on a LogicalRDD — constant plan size, the
-    // mandatory discipline for unbounded iteration counts
-    var e = edges.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
-    var converged = false
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism / 4, 2)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // one large-star round (Kiveris et al.): every node links its
+    // strictly-larger neighbors to the minimum of its closed
+    // neighborhood
+    def largeStarR(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val sym = e.flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      val m = sym.reduceByKey(part, math.min(_: Long, _: Long))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(mn, u)) },
+          preservesPartitioning = true) // closed-neighborhood min, no reshuffle
+      sym.partitionBy(part)
+        .join(m)
+        .flatMap { case (u, (v, mm)) =>
+          if (v > u && v != mm) Iterator((v, mm)) else Iterator.empty }
+        .distinct(parts)
+    }
+
+    // one small-star round: with edges directed (hi -> lo), every node
+    // relinks its smaller neighbors (and itself) to its minimum
+    // neighbor
+    def smallStarR(e: org.apache.spark.rdd.RDD[(Long, Long)]) = {
+      val dir = e.map { case (u, v) => (math.max(u, v), math.min(u, v)) }
+        .filter { case (u, v) => u != v }
+      val m = dir.reduceByKey(part, math.min(_: Long, _: Long))
+      dir.partitionBy(part)
+        .join(m)
+        .flatMap { case (_, (v, mm)) =>
+          if (v != mm) Iterator((v, mm)) else Iterator.empty }
+        .union(m)
+        .distinct(parts)
+    }
+
+    var e = edges.select(col("u"), col("v")).as[(Long, Long)].rdd
+      .map { case (u, v) => (math.max(u, v), math.min(u, v)) }
+      .filter { case (u, v) => u != v }
+      .distinct(parts)
+      .persist(lvl)
+    var eCount = e.count()
+    var converged = eCount == 0
     var rounds = 0
     while (!converged && rounds < 50) {
-      // materialize the intermediate star step: each star references
-      // its input twice, so an unmaterialized k-step chain recomputes
-      // 2^k subplans (measured 2.8 s/round on a 2.4k-edge relation);
-      // persisted intermediates keep each step to one computation
-      val ls = largeStar(e)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val next = smallStar(ls).localCheckpoint(true)
+      val ls = largeStarR(e).persist(lvl)
+      ls.count() // materialize: smallStar reads it twice (dir + join)
+      val next = smallStarR(ls).persist(lvl)
+      val nextCount = next.count()
       ls.unpersist(false)
-      val changed = next.exceptAll(e).unionAll(e.exceptAll(next))
-        .limit(1).count()
-      converged = changed == 0
+      // both sides are distinct sets: equal iff same size and no novel pair
+      converged = nextCount == eCount && next.subtract(e, parts).isEmpty()
+      e.unpersist(false)
       e = next
+      eCount = nextCount
       rounds += 1
     }
     // fixpoint is a star forest: every surviving edge points a node at
     // its component minimum; the minima themselves are their own label
-    e.select(col("u").as("node"), col("v").as("component"))
-      .unionAll(e.select(col("v").as("node"), col("v").as("component")))
-      .distinct()
+    val out = e
+      .flatMap { case (u, v) => Iterator((u, v), (v, v)) }
+      .distinct(parts)
+      .toDF("node", "component")
+    out
   }
 
   /** Declared star-contraction components of the co-purchase graph at
