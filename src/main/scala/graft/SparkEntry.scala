@@ -646,6 +646,11 @@ object SparkEntry {
     // mSPRT always-valid monitor: running effect, mixture likelihood
     // ratio, monotone peeking-safe p per experiment day
     "events_msprt_monitor" -> ((s, d) => EventOps.msprtMonitor(s, d)),
+    // the NINETEENTH streaming-executed row: the same per-day moment
+    // rollup maintained as complete-mode aggregation state, the Λ
+    // chain read off the drained state; shares the batch oracle
+    "events_msprt_monitor_streamed" -> ((s, d) =>
+      graft.streaming.EventStream.msprtMonitorStreamed(s, d)),
     // all source-pair KS tests under Benjamini-Hochberg FDR control:
     // integer sup-gaps, asymptotic p, running-min q-values
     "stats_ks_fdr" -> ((s, d) => Stats.ksFdrBySource(s, d)),
@@ -6366,7 +6371,14 @@ object SparkEntry {
 
     // mSPRT replay: same daily cent/HUGEINT rollup, same cumulative
     // windows over the calendar-bounded day relation, same Λ chain
-    "events_msprt_monitor" -> """
+    // (streamed twin shares it: the stream maintains the identical
+    // daily moment state, so the chain output matches bit-for-bit)
+    "events_msprt_monitor_streamed" -> msprtOracle,
+    "events_msprt_monitor" -> msprtOracle,
+  ) ++ oracleSqlRest
+
+  /** mSPRT oracle shared by the batch row and its streamed twin. */
+  private val msprtOracle: String = """
       WITH daily AS (
         SELECT epoch_us(ts) // 86400000000 AS epday,
           sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nt,
@@ -6415,8 +6427,9 @@ object SparkEntry {
                (ORDER BY epday
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS p_always_valid
-      FROM lr""",
+      FROM lr"""
 
+  private val oracleSqlRest: Map[String, String] = Map(
     // DiD replay: same per-user deltas, same population variances of
     // the deltas, same fixed-order interval chain
     "events_did_lift" -> """

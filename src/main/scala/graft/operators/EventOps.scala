@@ -764,10 +764,20 @@ object EventOps {
     * Output: (epday, n_treat, n_ctrl, effect, lam, p_always_valid).
     */
   def msprtMonitor(spark: SparkSession, dir: String,
-      tau2: Double = 100.0): DataFrame = {
+      tau2: Double = 100.0): DataFrame =
+    msprtChain(msprtDaily(Tables.events(spark, dir)), tau2)
+
+  /** The per-day arm rollup feeding [[msprtChain]] — exact cent /
+    * DECIMAL(38,0) sums per (day, arm), a plain partial-aggregatable
+    * groupBy with NO ordering or window, which is what makes it
+    * STREAMABLE: the streamed twin maintains exactly this relation as
+    * complete-mode aggregation state (|days| rows), and the Λ chain
+    * runs batch-side on either source.
+    */
+  private[graft] def msprtDaily(events: DataFrame): DataFrame = {
     val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
       .cast("long")
-    val daily = Tables.events(spark, dir)
+    events
       .filter(col("event_type") === "purchase")
       .select(epday.as("epday"), (col("user_id") % 2 === 1).as("treat"),
         cents(col("value")).as("c"))
@@ -783,6 +793,15 @@ object EventOps {
         sum(when(!col("treat"),
           col("c").cast("decimal(38,0)") * col("c")).otherwise(
             lit(0).cast("decimal(38,0)"))).as("qc"))
+  }
+
+  /** The cumulative mixture-likelihood chain over the (≤|days|) daily
+    * rollup: running moments, effect, Λ, and the monotone always-valid
+    * p. Calendar-bounded input, so the windows are trivial at any
+    * event volume.
+    */
+  private[graft] def msprtChain(daily: DataFrame,
+      tau2: Double): DataFrame = {
     val w = Window.orderBy(col("epday"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = daily.select(col("epday"),

@@ -766,6 +766,42 @@ object EventStream {
     out
   }
 
+  /** The declared STREAMING-EXECUTED mSPRT always-valid monitor
+    * (`events_msprt_monitor_streamed`, shares the batch row's oracle):
+    * the per-day arm rollup — exact cent / DECIMAL(38,0) moment sums
+    * per experiment day — is maintained BY the streaming engine as
+    * complete-mode aggregation state (|days| rows of integer moments;
+    * the sums are commutative monoids, so the state is bit-identical
+    * to the batch rollup however the file source slices the input).
+    * The cumulative mixture-likelihood Λ chain and the monotone
+    * peeking-safe p run batch-side on the drained state — they READ
+    * the |days|-bounded monitor relation, which is exactly how a live
+    * experimentation dashboard consumes it: the stream keeps the
+    * moments current; every look recomputes the always-valid p from
+    * them, and the peeking guarantee is the statistic's, not the
+    * scheduler's. The NINETEENTH streaming-executed row, composing the
+    * experimentation suite with the streaming engine.
+    */
+  def msprtMonitorStreamed(spark: SparkSession, dir: String,
+      tau2: Double = 100.0): DataFrame = {
+    val staged = stagedEventsDir(spark, dir)
+    val name = s"graft_msprt_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 4, noData = false) {
+      val q = graft.operators.EventOps
+        .msprtDaily(readEventsStreamConfigured(spark, staged))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir("graft-ckpt-msprt-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val out = graft.operators.EventOps.msprtChain(spark.table(name), tau2)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** File-source streaming read over a DIRECTORY of events parquet files
     * (the file stream source tails directories) — same schema handling
     * as the batch path, consumed incrementally.

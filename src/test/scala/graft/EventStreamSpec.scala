@@ -255,6 +255,23 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.count(_._4 == 1) == 3, streamed.toString)
   }
 
+  test("streamed mSPRT monitor equals the batch always-valid chain") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val batch = graft.operators.EventOps.msprtMonitor(spark, sf0001)
+      .collect().map(key).toSet
+    val streamed = graft.streaming.EventStream
+      .msprtMonitorStreamed(spark, sf0001).collect().map(key).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} rows")
+    // the always-valid p must be monotone non-increasing over days
+    val ps = streamed.toSeq.sortBy(_._1).map(_._6)
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a },
+      s"p_always_valid not monotone: $ps")
+  }
+
   test("streamed HNSW serving equals the batch scatter-gather exactly") {
     val batch = graft.knn.HnswKnn.topKBatch(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
