@@ -153,6 +153,14 @@ object Bench {
           + operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count()
           // the k-core peel's adjacency (minShared=3 cut)
           + operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()),
+      // item-item transpose (deg² basket expansion) the
+      // basket-completion serving row reads
+      timed("bench_build_itempairs",
+        () => operators.GraphOps.itemPairCounts(spark, sfDir).count()),
+      // per-doc winnowing fingerprint selection shared by the
+      // winnowing pair + containment rows
+      timed("bench_build_winnow",
+        () => operators.TextOps.winnowingFingerprints(spark, sfDir).count()),
       // base-side self top-k scan behind the mutual-pair relation the
       // pair and cluster rows read
       timed("bench_build_mutual_knn",

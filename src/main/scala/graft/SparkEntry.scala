@@ -603,6 +603,10 @@ object SparkEntry {
     // Adamic-Adar link prediction: 2-path expansion x broadcast degree
     // relation, integer micro-unit contributions, TakeOrdered top-k
     "graph_link_prediction" -> ((s, d) => GraphOps.linkPrediction(s, d)),
+    // item-item CF serving: top-k unowned parts per customer scored by
+    // summed co-purchase affinity (the co-purchase TRANSPOSE), grouped
+    // top-k via the bounded-heap TopKPerGroup operator
+    "orders_basket_completion" -> ((s, d) => GraphOps.basketCompletion(s, d)),
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -5831,6 +5835,27 @@ object SparkEntry {
       FROM scored s LEFT JOIN e ON e.u = s.u AND e.v = s.w
       WHERE e.u IS NULL
       ORDER BY s.aa_micro DESC, s.u, s.w LIMIT 20""",
+
+    // basket-completion replay: item-pair counts off the same distinct
+    // (customer, part) incidence, symmetrized, summed per (customer,
+    // candidate), owned parts removed, top-5 per customer with ties to
+    // the smaller part key
+    "orders_basket_completion" -> """
+      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ip AS (SELECT a.p AS p1, b.p AS p2, count(*) AS cnt
+             FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT p1 AS p, p2 AS rec, cnt FROM ip
+              UNION ALL SELECT p2, p1, cnt FROM ip),
+      sc AS (SELECT cp.c, sym.rec, sum(sym.cnt) AS score
+             FROM cp JOIN sym USING (p) GROUP BY 1, 2),
+      f AS (SELECT * FROM sc WHERE NOT EXISTS
+              (SELECT 1 FROM cp WHERE cp.c = sc.c AND cp.p = sc.rec))
+      SELECT c AS custkey, rec AS partkey, CAST(score AS BIGINT) AS score,
+             CAST(row_number() OVER (PARTITION BY c
+               ORDER BY score DESC, rec) AS INT) AS rk
+      FROM f QUALIFY rk <= 5""",
 
     // three unrolled synchronous LPA rounds: per round, neighbor-label
     // counts then mode with ties to the smallest label — the same

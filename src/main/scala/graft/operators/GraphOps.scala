@@ -149,6 +149,22 @@ object GraphOps {
     * (r6 measured the three-cut build at 16.8 s; one expansion + two
     * filters is ~3x less work).
     */
+  /** The distinct (customer, part) purchase relation — the bipartite
+    * incidence both co-purchase expansions and the basket-completion
+    * consumer read; memoized + persisted per dataset.
+    */
+  private def custPartPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"cust-part-pairs:$dir") {
+      val cp = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cp.count()
+      cp
+    }
+
   private def copurchaseCounts(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"copurchase-counts:$dir") {
       // NOTE kept as the codegen'd equi-self-join deliberately: a
@@ -156,11 +172,7 @@ object GraphOps {
       // on paper) measured 5.9 s vs 3.7 s here — the 7M-pair emission
       // through Scala tuple encoders loses whole-stage codegen and
       // costs more than the shuffle it saves at this deg² volume.
-      val cp = Tables.lineitem(spark, dir)
-        .join(Tables.orders(spark, dir),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-        .distinct()
+      val cp = custPartPairs(spark, dir)
       val counts = cp.toDF("c1", "p").join(cp.toDF("c2", "p2"),
           col("p") === col("p2") && col("c1") < col("c2"))
         .groupBy(col("c1").as("u"), col("c2").as("v"))
@@ -170,6 +182,59 @@ object GraphOps {
       counts.count() // materialize once; every minShared slice reads it
       counts
     }
+
+  /** Item–item co-purchase counts — the TRANSPOSE of
+    * [[copurchaseCounts]] (Amazon-style item-item CF, Linden, Smith &
+    * York 2003): unordered part pairs bought by at least 2 common
+    * customers, with the common-customer count as the affinity. Same
+    * bounded equi-self-join shape as the customer side — candidates
+    * exist only within one customer's basket, never all-pairs; the
+    * deg² blow-up is basket skew, mitigated the same way (cap
+    * ultra-hot baskets before pairing). Memoized per dataset.
+    */
+  private[graft] def itemPairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"copurchase-itempairs:$dir") {
+      val cp = custPartPairs(spark, dir)
+      val counts = cp.toDF("c", "p1").join(cp.toDF("c2", "p2"),
+          col("c") === col("c2") && col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      counts.count()
+      counts
+    }
+
+  /** BASKET COMPLETION off the item-item transpose: for every
+    * customer, the top-k parts they have NOT bought, scored by the
+    * summed item-item affinity between each candidate and the parts
+    * they HAVE bought (the "customers who bought X also bought Y"
+    * serving query of item-item CF). Ties break to the smaller part
+    * key; already-owned parts leave by a keyed anti-join.
+    *
+    * Scale shape: the incidence joins the symmetrized pair relation on
+    * the part key (shuffle on p — item-bounded), one (customer,
+    * candidate) partial-aggregatable sum, the anti-join on (c, p), and
+    * the grouped top-k runs as [[graft.plans.TopKPerGroup]] bounded
+    * heaps — O(customers × k) memory, no per-customer sort anywhere.
+    * Output: (custkey, partkey, score, rk).
+    */
+  def basketCompletion(spark: SparkSession, dir: String,
+      topK: Int = 5): DataFrame = {
+    val cp = custPartPairs(spark, dir)
+    val ip = itemPairCounts(spark, dir)
+    val sym = ip.select(col("p1").as("p"), col("p2").as("rec"), col("cnt"))
+      .unionAll(ip.select(col("p2").as("p"), col("p1").as("rec"), col("cnt")))
+    val scored = cp.join(sym, "p")
+      .groupBy(col("c"), col("rec"))
+      .agg(sum(col("cnt")).as("score"))
+    val fresh = scored.join(cp.select(col("c"), col("p").as("rec")),
+      Seq("c", "rec"), "left_anti")
+    graft.plans.GraftOps.topKPerGroup(
+      fresh.select(col("c").as("custkey"), col("rec").as("partkey"),
+        col("score")),
+      Seq("custkey"), Seq(("score", false), ("partkey", true)), topK)
+  }
 
   def copurchaseEdges(spark: SparkSession, dir: String,
       minShared: Int = 2): DataFrame =

@@ -304,6 +304,36 @@ class GraphOpsSpec extends SparkSpec {
       got(203L) == 200L && got(301L) == 300L)
   }
 
+  test("basket completion replays a driver-side item-item CF exactly") {
+    val cp = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = cp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    baskets.values.foreach { b =>
+      val s = b.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        pairCnt((s(i), s(j))) += 1
+    }
+    val ip = pairCnt.filter(_._2 >= 2)
+    val sym = ip.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    val nbr = sym.groupBy(_._1)
+    val expect = baskets.flatMap { case (c, owned) =>
+      val scores = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      owned.foreach(p => nbr.getOrElse(p, Seq.empty)
+        .foreach { case (_, rec, n) => if (!owned(rec)) scores(rec) += n })
+      scores.toSeq.sortBy { case (rec, s) => (-s, rec) }.take(5)
+        .zipWithIndex.map { case ((rec, s), i) => (c, rec, s, i + 1) }
+    }.toSet
+    val got = GraphOps.basketCompletion(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
+    assert(got.nonEmpty)
+  }
+
   test("degree distribution: buckets cover all nodes, permille sums to ~1000") {
     val rows = graft.operators.GraphOps.degreeDistribution(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
