@@ -632,6 +632,11 @@ object SparkEntry {
     // for a one-month band — the pay-for-the-sort-rewrite evidence
     "layout_minmax_skipping" ->
       ((s, d) => ScaleTechniques.minmaxSkipping(s, d)),
+    // the two-key layout tradeoff: 3 layouts x 2 predicates — each
+    // single-key sort prunes its own access path and not the other
+    // (the evidence for Z-order interleaving)
+    "layout_tradeoff_matrix" ->
+      ((s, d) => ScaleTechniques.layoutTradeoffMatrix(s, d)),
     // first-order event-type Markov transitions per user stream
     "events_type_transitions" -> EventOps.typeTransitions _,
     // held-out next-event accuracy of the Markov bigram model vs the
@@ -4727,6 +4732,63 @@ object SparkEntry {
       SELECT layout, n_files, n_skipped,
              n_skipped * 1000 // n_files AS skip_permille,
              n_rows_scanned, n_match
+      FROM a CROSS JOIN m""",
+
+    // layout tradeoff replay: same three row_number layouts, one
+    // dual-key envelope rollup per layout, two conditional-sum legs
+    "layout_tradeoff_matrix" -> """
+      WITH li AS (SELECT l_orderkey, l_linenumber,
+                    epoch_us(l_shipdate) // 86400000000 AS epday,
+                    CAST(l_suppkey AS BIGINT) AS supp
+                  FROM lineitem),
+      m AS (SELECT CAST(sum(CASE WHEN epday BETWEEN 9190 AND 9220
+                     THEN 1 ELSE 0 END) AS BIGINT) AS m_date,
+                   CAST(sum(CASE WHEN supp BETWEEN 0 AND 9
+                     THEN 1 ELSE 0 END) AS BIGINT) AS m_supp
+            FROM li),
+      rn AS (SELECT epday, supp,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS grk
+             FROM li),
+      rd AS (SELECT epday, supp,
+               row_number() OVER (ORDER BY epday, l_orderkey, l_linenumber)
+                 AS grk
+             FROM li),
+      rs AS (SELECT epday, supp,
+               row_number() OVER (ORDER BY supp, l_orderkey, l_linenumber)
+                 AS grk
+             FROM li),
+      env AS (
+        SELECT 'natural' AS layout, (grk - 1) // 4096 AS fid,
+               min(epday) AS dmn, max(epday) AS dmx,
+               min(supp) AS smn, max(supp) AS smx, count(*) AS c
+        FROM rn GROUP BY 1, 2
+        UNION ALL
+        SELECT 'shipdate_sorted', (grk - 1) // 4096,
+               min(epday), max(epday), min(supp), max(supp), count(*)
+        FROM rd GROUP BY 1, 2
+        UNION ALL
+        SELECT 'supplier_sorted', (grk - 1) // 4096,
+               min(epday), max(epday), min(supp), max(supp), count(*)
+        FROM rs GROUP BY 1, 2),
+      a AS (
+        SELECT layout, 'date_band' AS predicate,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN dmx < 9190 OR dmn > 9220 THEN 1 ELSE 0
+                 END) AS BIGINT) AS n_skipped,
+               CAST(sum(CASE WHEN dmx >= 9190 AND dmn <= 9220 THEN c
+                 ELSE 0 END) AS BIGINT) AS n_rows_scanned
+        FROM env GROUP BY 1
+        UNION ALL
+        SELECT layout, 'supp_band', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN smx < 0 OR smn > 9 THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(sum(CASE WHEN smx >= 0 AND smn <= 9 THEN c ELSE 0 END)
+                 AS BIGINT)
+        FROM env GROUP BY 1)
+      SELECT layout, predicate, n_files, n_skipped,
+             n_skipped * 1000 // n_files AS skip_permille, n_rows_scanned,
+             CASE WHEN predicate = 'date_band' THEN m_date ELSE m_supp END
+               AS n_match
       FROM a CROSS JOIN m""",
 
     // holdout replay: same lag pairs, same argmax tie rule, same

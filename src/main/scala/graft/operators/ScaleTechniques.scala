@@ -338,4 +338,69 @@ object ScaleTechniques {
       .unionByName(audit("shipdate_sorted",
         Seq("epday" -> true, "l_orderkey" -> true, "l_linenumber" -> true)))
   }
+
+  /** The LAYOUT TRADEOFF MATRIX — [[minmaxSkipping]] extended to a
+    * second sort key: three physical layouts of the same rows (natural
+    * insert order, ship-date-sorted, supplier-sorted) audited against
+    * two predicates (a one-month date band, a 10-supplier band). The
+    * point is the OFF-DIAGONAL: each single-key sort gives near-total
+    * skipping for its own predicate and near-zero for the other —
+    * sorting is not free pruning for every query, which is exactly the
+    * tradeoff Z-ORDER interleaving ([[zorderBucketStats]]) exists to
+    * split. The audit a lakehouse runs when choosing ONE sort order
+    * for a table serving both access paths.
+    *
+    * Same file model as [[minmaxSkipping]] (range-partitioned
+    * [[graft.plans.GraftOps.globalRank]] bucketed every `rowsPerFile`
+    * rows — no single-partition window); per layout ONE |files|-row
+    * envelope rollup carries min/max of BOTH keys, and each predicate
+    * reads it with one conditional sum. Matched-row counts attach from
+    * a broadcast 1-row fold, pinning that pruning never changes
+    * results. Output: (layout, predicate, n_files, n_skipped,
+    * skip_permille, n_rows_scanned, n_match).
+    */
+  def layoutTradeoffMatrix(spark: SparkSession, dir: String,
+      rowsPerFile: Int = 4096, d1: Long = 9190L, d2: Long = 9220L,
+      s1: Long = 0L, s2: Long = 9L): DataFrame = {
+    val epday = floor(unix_micros(col("l_shipdate")) / lit(86400000000L))
+      .cast("long")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), epday.as("epday"),
+        col("l_suppkey").cast("long").as("supp"))
+    val inDate = col("epday") >= d1 && col("epday") <= d2
+    val inSupp = col("supp") >= s1 && col("supp") <= s2
+    val matches = broadcast(li.agg(
+      sum(when(inDate, 1L).otherwise(0L)).cast("long").as("m_date"),
+      sum(when(inSupp, 1L).otherwise(0L)).cast("long").as("m_supp")))
+    def audit(layout: String, orderCols: Seq[(String, Boolean)]) = {
+      val env = graft.plans.GraftOps.globalRank(li, orderCols, "grk")
+        .withColumn("file_id", ((col("grk") - 1) / rowsPerFile).cast("long"))
+        .groupBy(col("file_id"))
+        .agg(min(col("epday")).as("dmn"), max(col("epday")).as("dmx"),
+          min(col("supp")).as("smn"), max(col("supp")).as("smx"),
+          count(lit(1)).as("n_rows"))
+      def leg(pred: String, mn: org.apache.spark.sql.Column,
+          mx: org.apache.spark.sql.Column, lo: Long, hi: Long,
+          m: String) =
+        env.agg(count(lit(1)).as("n_files"),
+            sum(when(mx < lo || mn > hi, 1L).otherwise(0L)).as("n_skipped"),
+            sum(when(mx >= lo && mn <= hi, col("n_rows")).otherwise(0L))
+              .as("n_rows_scanned"))
+          .crossJoin(matches)
+          .select(lit(layout).as("layout"), lit(pred).as("predicate"),
+            col("n_files").cast("long").as("n_files"),
+            col("n_skipped").cast("long").as("n_skipped"),
+            expr("n_skipped * 1000 div n_files").as("skip_permille"),
+            col("n_rows_scanned").cast("long").as("n_rows_scanned"),
+            col(m).as("n_match"))
+      leg("date_band", col("dmn"), col("dmx"), d1, d2, "m_date")
+        .unionByName(leg("supp_band", col("smn"), col("smx"), s1, s2,
+          "m_supp"))
+    }
+    audit("natural", Seq("l_orderkey" -> true, "l_linenumber" -> true))
+      .unionByName(audit("shipdate_sorted",
+        Seq("epday" -> true, "l_orderkey" -> true, "l_linenumber" -> true)))
+      .unionByName(audit("supplier_sorted",
+        Seq("supp" -> true, "l_orderkey" -> true, "l_linenumber" -> true)))
+  }
 }

@@ -346,6 +346,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("gram and winnowing containment agree on a planted quote pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 2 is a verbatim contiguous quote from doc 1; doc 3 disjoint.
+    // The two asymmetric-containment detectors (full gram sets vs the
+    // winnowed ~2/(w+1) selection) must agree: quote-side containment
+    // near 1, big-side low, disjoint pair absent from both.
+    val big = (1 to 80).map(i => s"w$i").mkString(" ")
+    val quote = (30 to 55).map(i => s"w$i").mkString(" ")
+    val other = (200 to 260).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, quote), (3L, other))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val dirTmp = java.nio.file.Files
+      .createTempDirectory("conttest").toString
+    docs.write.mode("overwrite").parquet(s"$dirTmp/documents.parquet")
+    val gram = graft.operators.Dedup.containmentPairs(spark, dirTmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val winn = graft.operators.TextOps.winnowingContainment(spark, dirTmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(gram.contains((1L, 2L)) && winn.contains((1L, 2L)),
+      s"quote pair missed: gram=$gram winn=$winn")
+    // containment of the QUOTE side (doc 2, the b side) reads near 1
+    assert(gram((1L, 2L))._2 >= 0.9, gram.toString)
+    assert(winn((1L, 2L))._2 >= 900L, winn.toString)
+    // the big doc is NOT contained in the quote on either detector
+    assert(gram((1L, 2L))._1 < 0.7 && winn((1L, 2L))._1 < 700L)
+    // disjoint docs are flagged by neither
+    assert(!gram.contains((1L, 3L)) && !gram.contains((2L, 3L)))
+    assert(!winn.contains((1L, 3L)) && !winn.contains((2L, 3L)))
+  }
+
   test("dbscan: DBSCAN invariants hold against the mined pair relation") {
     import org.apache.spark.sql.functions.col
     val simThreshold = 0.45

@@ -77,6 +77,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "events_dau_wau_mau",         // calendar-bounded range fan-out NLJ
     "orders_backlog_aging",       // 1-row max-date anchor attach
     "layout_minmax_skipping",     // 1-row matched-count attach
+    "layout_tradeoff_matrix",     // same 1-row matched-count attach x6
     "text_naive_bayes_langid")    // |classes|-row model fan-out against
                                   // the test words + 1-row V/n attaches
 
