@@ -153,10 +153,11 @@ object Bench {
           + operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count()
           // the k-core peel's adjacency (minShared=3 cut)
           + operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()),
-      // item-item transpose (deg² basket expansion) the
-      // basket-completion serving row reads
+      // item-item transpose (deg² basket expansion) + the truncated
+      // neighbor-list index the basket-completion serving row reads
       timed("bench_build_itempairs",
-        () => operators.GraphOps.itemPairCounts(spark, sfDir).count()),
+        () => operators.GraphOps.itemPairCounts(spark, sfDir).count()
+          + operators.GraphOps.itemNeighborLists(spark, sfDir).size),
       // per-doc winnowing fingerprint selection shared by the
       // winnowing pair + containment rows
       timed("bench_build_winnow",

@@ -5899,17 +5899,22 @@ object SparkEntry {
       ORDER BY s.aa_micro DESC, s.u, s.w LIMIT 20""",
 
     // basket-completion replay: item-pair counts off the same distinct
-    // (customer, part) incidence, symmetrized, summed per (customer,
-    // candidate), owned parts removed, top-5 per customer with ties to
-    // the smaller part key
+    // (customer, part) incidence, symmetrized then CAPPED to each
+    // item's 20 strongest neighbors (affinity desc, part ties asc —
+    // the truncated-neighbor-list serving discipline), summed per
+    // (customer, candidate), owned parts removed, top-5 per customer
+    // with ties to the smaller part key
     "orders_basket_completion" -> """
       WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       ip AS (SELECT a.p AS p1, b.p AS p2, count(*) AS cnt
              FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
              GROUP BY 1, 2 HAVING count(*) >= 2),
-      sym AS (SELECT p1 AS p, p2 AS rec, cnt FROM ip
-              UNION ALL SELECT p2, p1, cnt FROM ip),
+      sym0 AS (SELECT p1 AS p, p2 AS rec, cnt FROM ip
+               UNION ALL SELECT p2, p1, cnt FROM ip),
+      sym AS (SELECT p, rec, cnt FROM sym0
+              QUALIFY row_number() OVER (PARTITION BY p
+                ORDER BY cnt DESC, rec) <= 20),
       sc AS (SELECT cp.c, sym.rec, sum(sym.cnt) AS score
              FROM cp JOIN sym USING (p) GROUP BY 1, 2),
       f AS (SELECT * FROM sc WHERE NOT EXISTS

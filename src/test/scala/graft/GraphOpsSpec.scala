@@ -319,7 +319,9 @@ class GraphOpsSpec extends SparkSpec {
     }
     val ip = pairCnt.filter(_._2 >= 2)
     val sym = ip.toSeq.flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
-    val nbr = sym.groupBy(_._1)
+    // the truncated-neighbor-list cap: 20 strongest per item
+    val nbr = sym.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, rec, n) => (-n, rec) }.take(20)).toMap
     val expect = baskets.flatMap { case (c, owned) =>
       val scores = scala.collection.mutable.Map.empty[Long, Long]
         .withDefaultValue(0L)

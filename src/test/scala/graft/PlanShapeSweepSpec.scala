@@ -25,6 +25,8 @@ class PlanShapeSweepSpec extends SparkSpec {
   // bounded-by-construction NLJs: a 1-row (or |labels|-row) aggregate
   // broadcast against the fact side — the canonical scalar-stat attach
   private val oneRowCrossAllowed = Set(
+    "ingest_ndjson_topk",         // intentional 1-row-query broadcast NLJ
+                                  // (the exact-kNN distance-scan shape)
     "graph_triangles",            // 1-row edge count x 1-row triangle count
     "emb_centroid_distances",     // |labels| x |labels| centroid pairs
     "pipeline_temperature_sample",// 1-row corpus totals
