@@ -306,6 +306,43 @@ object ScaleTechniques {
     * n_rows_scanned, n_match) — n_match identical across layouts by
     * construction, pinning that pruning never changes results.
     */
+  /** Per-file DUAL-KEY min/max envelopes of lineitem under a named
+    * sort layout — the shared relation behind [[minmaxSkipping]] and
+    * [[layoutTradeoffMatrix]] (both audit stats off these |files|-row
+    * rollups; the ship-date band reads the epday columns, the supplier
+    * band the supp columns). One range-partitioned
+    * [[graft.plans.GraftOps.globalRank]] pass per layout, memoized +
+    * persisted per (dataset, layout, rowsPerFile) so the two declared
+    * rows never repeat a layout's sort.
+    */
+  private[graft] def layoutEnvelopes(spark: SparkSession, dir: String,
+      layout: String, rowsPerFile: Int = 4096): DataFrame =
+    graft.IndexCache.getOrBuild(spark,
+        s"layout-env:$dir:$layout:$rowsPerFile") {
+      val epday = floor(unix_micros(col("l_shipdate")) / lit(86400000000L))
+        .cast("long")
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), epday.as("epday"),
+          col("l_suppkey").cast("long").as("supp"))
+      val orderCols = layout match {
+        case "natural" => Seq("l_orderkey" -> true, "l_linenumber" -> true)
+        case "shipdate_sorted" =>
+          Seq("epday" -> true, "l_orderkey" -> true, "l_linenumber" -> true)
+        case "supplier_sorted" =>
+          Seq("supp" -> true, "l_orderkey" -> true, "l_linenumber" -> true)
+        case other => throw new IllegalArgumentException(other)
+      }
+      val env = graft.plans.GraftOps.globalRank(li, orderCols, "grk")
+        .withColumn("file_id", ((col("grk") - 1) / rowsPerFile).cast("long"))
+        .groupBy(col("file_id"))
+        .agg(min(col("epday")).as("dmn"), max(col("epday")).as("dmx"),
+          min(col("supp")).as("smn"), max(col("supp")).as("smx"),
+          count(lit(1)).as("n_rows"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      env.count()
+      env
+    }
+
   def minmaxSkipping(spark: SparkSession, dir: String,
       rowsPerFile: Int = 4096, d1: Long = 9190L, d2: Long = 9220L)
       : DataFrame = {
@@ -316,12 +353,9 @@ object ScaleTechniques {
     val inBand = col("epday") >= d1 && col("epday") <= d2
     val matches = broadcast(li.agg(
       sum(when(inBand, 1L).otherwise(0L)).cast("long").as("n_match")))
-    def audit(layout: String, orderCols: Seq[(String, Boolean)]) =
-      graft.plans.GraftOps.globalRank(li, orderCols, "grk")
-        .withColumn("file_id", ((col("grk") - 1) / rowsPerFile).cast("long"))
-        .groupBy(col("file_id"))
-        .agg(min(col("epday")).as("mn"), max(col("epday")).as("mx"),
-          count(lit(1)).as("n_rows"))
+    def audit(layout: String) =
+      layoutEnvelopes(spark, dir, layout, rowsPerFile)
+        .select(col("dmn").as("mn"), col("dmx").as("mx"), col("n_rows"))
         .agg(count(lit(1)).as("n_files"),
           sum(when(col("mx") < d1 || col("mn") > d2, 1L).otherwise(0L))
             .as("n_skipped"),
@@ -334,9 +368,7 @@ object ScaleTechniques {
           expr("n_skipped * 1000 div n_files").as("skip_permille"),
           col("n_rows_scanned").cast("long").as("n_rows_scanned"),
           col("n_match"))
-    audit("natural", Seq("l_orderkey" -> true, "l_linenumber" -> true))
-      .unionByName(audit("shipdate_sorted",
-        Seq("epday" -> true, "l_orderkey" -> true, "l_linenumber" -> true)))
+    audit("natural").unionByName(audit("shipdate_sorted"))
   }
 
   /** The LAYOUT TRADEOFF MATRIX — [[minmaxSkipping]] extended to a
@@ -365,20 +397,14 @@ object ScaleTechniques {
     val epday = floor(unix_micros(col("l_shipdate")) / lit(86400000000L))
       .cast("long")
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), epday.as("epday"),
-        col("l_suppkey").cast("long").as("supp"))
+      .select(epday.as("epday"), col("l_suppkey").cast("long").as("supp"))
     val inDate = col("epday") >= d1 && col("epday") <= d2
     val inSupp = col("supp") >= s1 && col("supp") <= s2
     val matches = broadcast(li.agg(
       sum(when(inDate, 1L).otherwise(0L)).cast("long").as("m_date"),
       sum(when(inSupp, 1L).otherwise(0L)).cast("long").as("m_supp")))
-    def audit(layout: String, orderCols: Seq[(String, Boolean)]) = {
-      val env = graft.plans.GraftOps.globalRank(li, orderCols, "grk")
-        .withColumn("file_id", ((col("grk") - 1) / rowsPerFile).cast("long"))
-        .groupBy(col("file_id"))
-        .agg(min(col("epday")).as("dmn"), max(col("epday")).as("dmx"),
-          min(col("supp")).as("smn"), max(col("supp")).as("smx"),
-          count(lit(1)).as("n_rows"))
+    def audit(layout: String) = {
+      val env = layoutEnvelopes(spark, dir, layout, rowsPerFile)
       def leg(pred: String, mn: org.apache.spark.sql.Column,
           mx: org.apache.spark.sql.Column, lo: Long, hi: Long,
           m: String) =
@@ -397,10 +423,8 @@ object ScaleTechniques {
         .unionByName(leg("supp_band", col("smn"), col("smx"), s1, s2,
           "m_supp"))
     }
-    audit("natural", Seq("l_orderkey" -> true, "l_linenumber" -> true))
-      .unionByName(audit("shipdate_sorted",
-        Seq("epday" -> true, "l_orderkey" -> true, "l_linenumber" -> true)))
-      .unionByName(audit("supplier_sorted",
-        Seq("supp" -> true, "l_orderkey" -> true, "l_linenumber" -> true)))
+    audit("natural")
+      .unionByName(audit("shipdate_sorted"))
+      .unionByName(audit("supplier_sorted"))
   }
 }
