@@ -35,12 +35,15 @@ object SparkEntry {
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's end-to-end pipeline in one plan: ingest -> split ->
-    * exact top-10 neighbors of held-out query 29 by cosine distance
-    * (`/root/reference/src/main.rs:61-94`).
+    * The reference's LITERAL end-to-end pipeline
+    * (`/root/reference/src/main.rs:61-94`), through the real ingest
+    * path: lenient NDJSON read with a head limit -> prefix split ->
+    * exact top-10 neighbors of one held-out query by cosine distance
+    * -> first-sentence projection of each hit's body (the same plan the
+    * hash-gated `ingest_ndjson_topk` row verifies against DuckDB).
     */
   def entry(spark: SparkSession): DataFrame =
-    ExactKnn.topKSingle(spark, "/root/testdata/sf0.001")
+    sources.Ingest.ndjsonTopKPipeline(spark, "/root/testdata/sf0.001")
 
   /** Per-dataset memo of an ANN family's BATCH SEARCH RESULT: each
     * eval_* row scores the exact same (qid, vec_id) table its
