@@ -917,6 +917,10 @@ object SparkEntry {
     // per-source quality-distribution drift vs the corpus baseline
     // (PSI over 5 equal-width bins, micro-unit-quantized terms)
     "stats_psi_by_source" -> ((s, d) => Stats.psiBySource(s, d)),
+    // day-over-day PSI of the purchase-value distribution: the
+    // temporal drift monitor (fixed cent bins, Laplace-smoothed,
+    // micro-quantized terms — the psiBySource discipline)
+    "stats_psi_drift_daily" -> ((s, d) => Stats.psiDriftDaily(s, d)),
     // two-sample KS over full ECDFs (integer-numerator exact) — the
     // unbinned distribution-equality gate next to the PSI monitor
     "stats_ks_quality" -> ((s, d) => Stats.ksQualityBySource(s, d)),
@@ -6776,6 +6780,31 @@ object SparkEntry {
       SELECT t.event_type, t.user_id, substr(t.tok, 1, 16) AS token16,
              t.n_events, a.n_users, a.n_tokens
       FROM top t JOIN aud a USING (event_type) WHERE t.rk <= 3""",
+
+    // daily PSI drift replay: same fixed cent bins, same dense
+    // |days|x10 grid, same smoothed micro-quantized term sum
+    "stats_psi_drift_daily" -> """
+      WITH e AS (SELECT epoch_us(ts) // 86400000000 AS epday,
+                   least(CAST(round(value * 100) AS BIGINT) // 5000, 9)
+                     AS bin
+                 FROM events WHERE event_type = 'purchase'),
+      g AS (SELECT epday, bin, count(*) AS c FROM e GROUP BY 1, 2),
+      t AS (SELECT epday, sum(c) AS nd FROM g GROUP BY 1),
+      grid AS (SELECT t.epday, t.nd,
+                 unnest(generate_series(0, 9)) AS bin FROM t),
+      d AS (SELECT grid.epday, grid.nd, grid.bin, coalesce(g.c, 0) AS c
+            FROM grid LEFT JOIN g
+              ON g.epday = grid.epday AND g.bin = grid.bin),
+      j AS (SELECT a.epday, a.nd AS n_curr, p.nd AS n_prev,
+                   (a.c + 1) / CAST(a.nd + 10 AS DOUBLE) AS pc,
+                   (p.c + 1) / CAST(p.nd + 10 AS DOUBLE) AS pp
+            FROM d a JOIN d p
+              ON p.epday = a.epday - 1 AND p.bin = a.bin)
+      SELECT epday, CAST(max(n_curr) AS BIGINT) AS n_curr,
+             CAST(max(n_prev) AS BIGINT) AS n_prev,
+             round(sum(CAST(round((pc - pp) * ln(pc / pp) * 1000000.0)
+               AS BIGINT)) / 1000000.0, 6) AS psi
+      FROM j GROUP BY 1""",
 
     "stats_psi_by_source" -> """
       WITH d AS (

@@ -202,6 +202,55 @@ object Stats {
       .agg(round(sum(col("m")).cast("double") / 1000000.0, 6).as("psi"))
   }
 
+  /** DAY-OVER-DAY PSI drift monitor over purchase values — the
+    * temporal twin of [[psiBySource]] and the ops staple behind "did
+    * yesterday's deploy shift the money distribution": per calendar
+    * day, the population-stability index between that day's and the
+    * PREVIOUS day's binned purchase-value distributions (fixed
+    * 50.00-wide cent bins, capped at `bins`; Laplace-smoothed like the
+    * source-wise row so empty bins never divide by zero).
+    *
+    * Exactness: bins are exact integer cent arithmetic; each PSI term
+    * quantizes to micro-unit longs BEFORE the sum (order-free), one
+    * final round 6 — the [[psiBySource]] discipline.
+    *
+    * Scale shape: one partial-aggregatable (day, bin) rollup, a dense
+    * |days|×bins grid via explode (calendar-bounded), and a self-join
+    * shifted by one day on that grid — corpus size only enters the
+    * first scan. Output: (epday, n_curr, n_prev, psi), one row per day
+    * with a preceding calendar day.
+    */
+  def psiDriftDaily(spark: SparkSession, dir: String,
+      bins: Int = 10): DataFrame = {
+    val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
+      .cast("long")
+    val cents = round(col("value") * 100, 0).cast("long")
+    val g = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(epday.as("epday"),
+        least(floor(cents / 5000.0), lit(bins - 1L)).cast("long").as("bin"))
+      .groupBy(col("epday"), col("bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // referenced by totals + both join sides
+    val tot = g.groupBy("epday").agg(sum("c").as("nd"))
+    val grid = tot.select(col("epday"), col("nd"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+      .join(g, Seq("epday", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val cur = grid.select(col("epday"), col("bin"), col("nd").as("n_curr"),
+      col("c").as("cc"))
+    val prv = grid.select((col("epday") + 1).as("epday"), col("bin"),
+      col("nd").as("n_prev"), col("c").as("cp"))
+    val p = (col("cc") + 1).cast("double") / (col("n_curr") + bins).cast("double")
+    val q = (col("cp") + 1).cast("double") / (col("n_prev") + bins).cast("double")
+    cur.join(prv, Seq("epday", "bin"))
+      .select(col("epday"), col("n_curr"), col("n_prev"),
+        round((p - q) * log(p / q) * 1000000.0, 0).cast("long").as("m"))
+      .groupBy("epday")
+      .agg(max(col("n_curr")).cast("long").as("n_curr"),
+        max(col("n_prev")).cast("long").as("n_prev"),
+        round(sum(col("m")).cast("double") / 1000000.0, 6).as("psi"))
+  }
+
   /** Bayesian-bootstrap 95% confidence interval for the mean order
     * value (Rubin 1981) — the uncertainty-quantification layer the
     * point statistics lack: every release metric ("mean quality",

@@ -79,6 +79,25 @@ class IngestSpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) < 285))
   }
 
+  test("row_id preserves file order even when the scan splits the file") {
+    // line-splittable JSON reads as multiple partitions once the file
+    // exceeds maxPartitionBytes; coalesce(1) concatenates partitions in
+    // index order = file-offset order, so row_id must still equal file
+    // position — the invariant ingest_ndjson_topk's oracle relies on
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      val df = Ingest.readNdjson(spark, ndjsonPath, limit = 1000)
+      assert(df.rdd.getNumPartitions == 1) // after coalesce
+      val bodies = df.orderBy("row_id").select("body").collect()
+        .map(_.getString(0))
+      assert(bodies.length == 100)
+      bodies.zipWithIndex.foreach { case (b, i) =>
+        assert(b == s"Doc $i. Second sentence.", s"row $i got $b")
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("first-sentence projection (P1) over ingested bodies") {
     val df = Ingest.readNdjson(spark, ndjsonPath, limit = 5)
       .withColumn("first_sentence", split(col("body"), "\\.").getItem(0))

@@ -405,6 +405,35 @@ class StatsSpec extends SparkSpec {
       s"CI [${row.getDouble(2)}, ${row.getDouble(3)}] vs mean ${row.getDouble(1)}")
   }
 
+  test("daily PSI drift: non-negative, near-zero on identical days, " +
+      "large on a planted shift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // day 0 and day 1 share one distribution; day 2 shifts all mass to
+    // the high-value bins
+    def day(d: Long, values: Seq[Double]) = values.zipWithIndex.map {
+      case (v, i) => (d * 86400000000L + i * 1000L, "purchase", v)
+    }
+    val rows = day(0, Seq.fill(50)(10.0) ++ Seq.fill(50)(60.0)) ++
+      day(1, Seq.fill(50)(10.0) ++ Seq.fill(50)(60.0)) ++
+      day(2, Seq.fill(100)(310.0))
+    val dirTmp = java.nio.file.Files.createTempDirectory("psidrift").toString
+    rows.toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"),
+        col("value"), lit(1L).as("user_id"), lit(1L).as("event_id"))
+      .write.mode("overwrite").parquet(s"$dirTmp/events.parquet")
+    val got = graft.operators.Stats.psiDriftDaily(spark, dirTmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    got.values.foreach(psi => assert(psi >= -1e-6, s"negative PSI: $got"))
+    assert(got(1L) < 0.01, s"identical days must read ~0: $got")
+    assert(got(2L) > 1.0, s"planted shift must read large: $got")
+    // fixture run: every day with a predecessor appears, psi >= 0
+    val fx = graft.operators.Stats.psiDriftDaily(spark, sf0001).collect()
+    assert(fx.nonEmpty)
+    fx.foreach(r => assert(r.getDouble(3) >= -1e-6))
+  }
+
   test("ks-fdr: BH q-values replay driver-side, monotone in rank") {
     val rows = Stats.ksFdrBySource(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
