@@ -921,6 +921,11 @@ object SparkEntry {
     // temporal drift monitor (fixed cent bins, Laplace-smoothed,
     // micro-quantized terms — the psiBySource discipline)
     "stats_psi_drift_daily" -> ((s, d) => Stats.psiDriftDaily(s, d)),
+    // the TWENTIETH streaming-executed row: the (day, bin) histogram
+    // cells maintained as complete-mode state, the PSI chain read off
+    // the drained state; shares the batch oracle
+    "stats_psi_drift_streamed" -> ((s, d) =>
+      graft.streaming.EventStream.psiDriftStreamed(s, d)),
     // two-sample KS over full ECDFs (integer-numerator exact) — the
     // unbinned distribution-equality gate next to the PSI monitor
     "stats_ks_quality" -> ((s, d) => Stats.ksQualityBySource(s, d)),
@@ -6528,6 +6533,33 @@ object SparkEntry {
                AS p_always_valid
       FROM lr"""
 
+  /** Daily PSI drift oracle shared by the batch row and its streamed
+    * twin: same fixed cent bins, same dense |days|×10 grid, same
+    * smoothed micro-quantized term sum.
+    */
+  private val psiDriftOracle: String = """
+      WITH e AS (SELECT epoch_us(ts) // 86400000000 AS epday,
+                   least(CAST(round(value * 100) AS BIGINT) // 5000, 9)
+                     AS bin
+                 FROM events WHERE event_type = 'purchase'),
+      g AS (SELECT epday, bin, count(*) AS c FROM e GROUP BY 1, 2),
+      t AS (SELECT epday, sum(c) AS nd FROM g GROUP BY 1),
+      grid AS (SELECT t.epday, t.nd,
+                 unnest(generate_series(0, 9)) AS bin FROM t),
+      d AS (SELECT grid.epday, grid.nd, grid.bin, coalesce(g.c, 0) AS c
+            FROM grid LEFT JOIN g
+              ON g.epday = grid.epday AND g.bin = grid.bin),
+      j AS (SELECT a.epday, a.nd AS n_curr, p.nd AS n_prev,
+                   (a.c + 1) / CAST(a.nd + 10 AS DOUBLE) AS pc,
+                   (p.c + 1) / CAST(p.nd + 10 AS DOUBLE) AS pp
+            FROM d a JOIN d p
+              ON p.epday = a.epday - 1 AND p.bin = a.bin)
+      SELECT epday, CAST(max(n_curr) AS BIGINT) AS n_curr,
+             CAST(max(n_prev) AS BIGINT) AS n_prev,
+             round(sum(CAST(round((pc - pp) * ln(pc / pp) * 1000000.0)
+               AS BIGINT)) / 1000000.0, 6) AS psi
+      FROM j GROUP BY 1"""
+
   private val oracleSqlRest: Map[String, String] = Map(
     // DiD replay: same per-user deltas, same population variances of
     // the deltas, same fixed-order interval chain
@@ -6783,28 +6815,10 @@ object SparkEntry {
 
     // daily PSI drift replay: same fixed cent bins, same dense
     // |days|x10 grid, same smoothed micro-quantized term sum
-    "stats_psi_drift_daily" -> """
-      WITH e AS (SELECT epoch_us(ts) // 86400000000 AS epday,
-                   least(CAST(round(value * 100) AS BIGINT) // 5000, 9)
-                     AS bin
-                 FROM events WHERE event_type = 'purchase'),
-      g AS (SELECT epday, bin, count(*) AS c FROM e GROUP BY 1, 2),
-      t AS (SELECT epday, sum(c) AS nd FROM g GROUP BY 1),
-      grid AS (SELECT t.epday, t.nd,
-                 unnest(generate_series(0, 9)) AS bin FROM t),
-      d AS (SELECT grid.epday, grid.nd, grid.bin, coalesce(g.c, 0) AS c
-            FROM grid LEFT JOIN g
-              ON g.epday = grid.epday AND g.bin = grid.bin),
-      j AS (SELECT a.epday, a.nd AS n_curr, p.nd AS n_prev,
-                   (a.c + 1) / CAST(a.nd + 10 AS DOUBLE) AS pc,
-                   (p.c + 1) / CAST(p.nd + 10 AS DOUBLE) AS pp
-            FROM d a JOIN d p
-              ON p.epday = a.epday - 1 AND p.bin = a.bin)
-      SELECT epday, CAST(max(n_curr) AS BIGINT) AS n_curr,
-             CAST(max(n_prev) AS BIGINT) AS n_prev,
-             round(sum(CAST(round((pc - pp) * ln(pc / pp) * 1000000.0)
-               AS BIGINT)) / 1000000.0, 6) AS psi
-      FROM j GROUP BY 1""",
+    // (streamed twin shares it: the stream maintains the identical
+    // cell state, so the chain output matches bit-for-bit)
+    "stats_psi_drift_daily" -> psiDriftOracle,
+    "stats_psi_drift_streamed" -> psiDriftOracle,
 
     "stats_psi_by_source" -> """
       WITH d AS (

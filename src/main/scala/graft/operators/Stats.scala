@@ -221,16 +221,35 @@ object Stats {
     * with a preceding calendar day.
     */
   def psiDriftDaily(spark: SparkSession, dir: String,
+      bins: Int = 10): DataFrame =
+    psiDriftChain(
+      psiDailyCells(Tables.events(spark, dir), bins)
+        .localCheckpoint(true), // referenced by totals + both join sides
+      bins)
+
+  /** The per-(day, bin) purchase-value cell counts feeding
+    * [[psiDriftChain]] — a plain partial-aggregatable groupBy with no
+    * ordering, which is what makes it STREAMABLE: the streamed twin
+    * maintains exactly this relation as complete-mode aggregation
+    * state (|days|×bins rows).
+    */
+  private[graft] def psiDailyCells(events: DataFrame,
       bins: Int = 10): DataFrame = {
     val epday = floor(unix_micros(col("ts")) / lit(86400000000L))
       .cast("long")
     val cents = round(col("value") * 100, 0).cast("long")
-    val g = Tables.events(spark, dir)
+    events
       .filter(col("event_type") === "purchase")
       .select(epday.as("epday"),
         least(floor(cents / 5000.0), lit(bins - 1L)).cast("long").as("bin"))
       .groupBy(col("epday"), col("bin")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // referenced by totals + both join sides
+  }
+
+  /** The smoothed day-over-day PSI off the (≤|days|×bins) cell
+    * relation: dense grid, shifted self-join, micro-quantized term
+    * sum. Calendar-bounded input at any event volume.
+    */
+  private[graft] def psiDriftChain(g: DataFrame, bins: Int): DataFrame = {
     val tot = g.groupBy("epday").agg(sum("c").as("nd"))
     val grid = tot.select(col("epday"), col("nd"),
         explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))

@@ -802,6 +802,41 @@ object EventStream {
     out
   }
 
+  /** The declared STREAMING-EXECUTED day-over-day PSI drift monitor
+    * (`stats_psi_drift_streamed`, shares the batch row's oracle): the
+    * per-(day, bin) purchase-value cell counts are maintained BY the
+    * streaming engine as complete-mode aggregation state (|days|×bins
+    * integer rows — commutative sums, so the state is bit-identical to
+    * the batch rollup however the file source slices the input); the
+    * dense-grid shifted self-join and the smoothed micro-quantized PSI
+    * sum run batch-side on the drained state, which is how a drift
+    * dashboard consumes it: the stream keeps the histogram cells
+    * current, every look recomputes the day-over-day index from them.
+    * The TWENTIETH streaming-executed row.
+    */
+  def psiDriftStreamed(spark: SparkSession, dir: String,
+      bins: Int = 10): DataFrame = {
+    val staged = stagedEventsDir(spark, dir)
+    val name = s"graft_psidrift_stream_${streamRunSeq.incrementAndGet()}"
+    withStreamPartitions(spark, 4, noData = false) {
+      val q = graft.operators.Stats
+        .psiDailyCells(readEventsStreamConfigured(spark, staged), bins)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckptDir("graft-ckpt-psidrift-q"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // localCheckpoint like the batch wrapper: the chain self-joins the
+    // cell relation, so both sides need fresh attribute ids
+    val out = graft.operators.Stats.psiDriftChain(
+      spark.table(name).localCheckpoint(true), bins)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** File-source streaming read over a DIRECTORY of events parquet files
     * (the file stream source tails directories) — same schema handling
     * as the batch path, consumed incrementally.

@@ -272,6 +272,18 @@ class EventStreamSpec extends SparkSpec {
       s"p_always_valid not monotone: $ps")
   }
 
+  test("streamed daily PSI drift equals the batch chain") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val batch = graft.operators.Stats.psiDriftDaily(spark, sf0001)
+      .collect().map(key).toSet
+    val streamed = graft.streaming.EventStream
+      .psiDriftStreamed(spark, sf0001).collect().map(key).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size} rows")
+  }
+
   test("streamed HNSW serving equals the batch scatter-gather exactly") {
     val batch = graft.knn.HnswKnn.topKBatch(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
