@@ -610,6 +610,10 @@ object SparkEntry {
     // summed co-purchase affinity (the co-purchase TRANSPOSE), grouped
     // top-k via the bounded-heap TopKPerGroup operator
     "orders_basket_completion" -> ((s, d) => GraphOps.basketCompletion(s, d)),
+    // the normalized "related items" table: per-part top-10 by
+    // co-purchase cosine (cnt / sqrt(pop_a*pop_b)), the popularity
+    // correction raw co-counts lack; shares the CF build
+    "orders_item_similarity" -> ((s, d) => GraphOps.itemSimilarity(s, d)),
     // — event-time processing (SURVEY §2.11 extensions) —
     "events_tumbling" -> EventOps.tumbling _,
     "events_sliding"  -> EventOps.sliding _,
@@ -5935,6 +5939,28 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY c
                ORDER BY score DESC, rec) AS INT) AS rk
       FROM f QUALIFY rk <= 5""",
+
+    // related-items replay: same pair counts, same popularity
+    // normalization (exact BIGINT product under one sqrt), rounded 6
+    // BEFORE ranking, ties to the smaller neighbor key
+    "orders_item_similarity" -> """
+      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ip AS (SELECT a.p AS p1, b.p AS p2, count(*) AS cnt
+             FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym AS (SELECT p1 AS p, p2 AS rec, cnt FROM ip
+              UNION ALL SELECT p2, p1, cnt FROM ip),
+      pop AS (SELECT p, count(*) AS n FROM cp GROUP BY 1),
+      s AS (SELECT sym.p, sym.rec, sym.cnt,
+              round(sym.cnt / sqrt(CAST(a.n * b.n AS DOUBLE)), 6)
+                AS cosine
+            FROM sym JOIN pop a ON a.p = sym.p
+            JOIN pop b ON b.p = sym.rec)
+      SELECT p AS partkey, rec AS neighbor, cnt AS n_common, cosine,
+             CAST(row_number() OVER (PARTITION BY p
+               ORDER BY cosine DESC, rec) AS INT) AS rk
+      FROM s QUALIFY rk <= 10""",
 
     // three unrolled synchronous LPA rounds: per round, neighbor-label
     // counts then mode with ties to the smallest label — the same

@@ -260,6 +260,43 @@ object GraphOps {
         .map { case (p, rows) => p -> rows.map(r => (r._2, r._3)) }
     }
 
+  /** ITEM SIMILARITY — the normalized "related items" table (the
+    * cosine form of item-item CF: raw co-purchase counts over-weight
+    * popular items, so production tables store
+    * `cnt / sqrt(pop_a · pop_b)`): per part, its `topK` most similar
+    * parts by cosine, ties to the smaller part key. Shares the
+    * memoized incidence + pair counts with [[basketCompletion]].
+    *
+    * Exactness: popularities are exact counts; `na·nb` is an exact
+    * BIGINT ≤ 2^53, so `sqrt` and the one division are single IEEE
+    * calls in both engines (the established ln/sqrt tolerance),
+    * rounded 6 BEFORE ranking.
+    *
+    * Scale shape: the |items|-bounded popularity relation broadcasts
+    * into the pair relation twice; the grouped top-k runs as
+    * [[graft.plans.TopKPerGroup]] bounded heaps — one shuffle on the
+    * part key. Output: (partkey, neighbor, n_common, cosine, rk).
+    */
+  def itemSimilarity(spark: SparkSession, dir: String,
+      topK: Int = 10): DataFrame = {
+    val ip = itemPairCounts(spark, dir)
+    val pop = custPartPairs(spark, dir)
+      .groupBy(col("p")).agg(count(lit(1)).as("n"))
+    val sym = ip.select(col("p1").as("p"), col("p2").as("rec"), col("cnt"))
+      .unionAll(ip.select(col("p2").as("p"), col("p1").as("rec"),
+        col("cnt")))
+    val scored = sym
+      .join(broadcast(pop.select(col("p"), col("n").as("na"))), Seq("p"))
+      .join(broadcast(pop.select(col("p").as("rec"), col("n").as("nb"))),
+        Seq("rec"))
+      .select(col("p").as("partkey"), col("rec").as("neighbor"),
+        col("cnt").as("n_common"),
+        round(col("cnt").cast("double")
+          / sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("partkey"),
+      Seq(("cosine", false), ("neighbor", true)), topK)
+  }
+
   def basketCompletion(spark: SparkSession, dir: String,
       topK: Int = 5, nbrCap: Int = 20): DataFrame = {
     import spark.implicits._

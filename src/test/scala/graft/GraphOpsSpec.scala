@@ -336,6 +336,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("item similarity replays a driver-side cosine ranking exactly") {
+    val cp = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pop = cp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    cp.groupBy(_._1).values.foreach { rows =>
+      val s = rows.map(_._2).distinct.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        pairCnt((s(i), s(j))) += 1
+    }
+    val sym = pairCnt.filter(_._2 >= 2).toSeq
+      .flatMap { case ((a, b), n) => Seq((a, b, n), (b, a, n)) }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = sym.groupBy(_._1).flatMap { case (p, rows) =>
+      rows.map { case (_, rec, n) =>
+        (rec, n, r6(n / math.sqrt((pop(p) * pop(rec)).toDouble))) }
+        .sortBy { case (rec, _, cos) => (-cos, rec) }.take(10)
+        .zipWithIndex
+        .map { case ((rec, n, cos), i) => (p, rec, n, cos, i + 1) }
+    }.toSet
+    val got = GraphOps.itemSimilarity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(got == expect, s"got ${got.size} vs expect ${expect.size}")
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, cos, _) =>
+      assert(cos > 0.0 && cos <= 1.0, s"cosine out of range: $cos") }
+  }
+
   test("degree distribution: buckets cover all nodes, permille sums to ~1000") {
     val rows = graft.operators.GraphOps.degreeDistribution(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
