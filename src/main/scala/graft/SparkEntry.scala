@@ -729,6 +729,10 @@ object SparkEntry {
     "unpivot_lineitem_measures" -> Relational.unpivotLineitemMeasures _,
     // market-basket association rules (support/confidence/lift)
     "orders_market_basket" -> ((s, d) => Relational.marketBasketBrands(s, d)),
+    // MERGE semantics end to end: keyed upsert (whole-row replace +
+    // append) applied to orders, end state summarized under the hash
+    // gate; the oracle reconstructs the merge with CASE + UNION
+    "orders_merge_upsert" -> ((s, d) => sources.Ingest.mergeUpsertShowcase(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -5059,6 +5063,30 @@ object SparkEntry {
       FROM d""",
 
     // identical integer products and single divisions on both engines
+    // MERGE replay: merged relation reconstructed relationally — every
+    // 500th order re-priced to cents*11 div 10 with a sentinel status,
+    // a clone appended per update, untouched rows carried through
+    "orders_merge_upsert" -> """
+      WITH up AS (SELECT o_orderkey,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      m AS (SELECT CASE WHEN o.o_orderkey % 500 = 0 THEN up.nc
+                        ELSE CAST(round(o.o_totalprice * 100) AS BIGINT)
+                   END AS c,
+                   CASE WHEN o.o_orderkey % 500 = 0 THEN 'U!'
+                        ELSE o.o_orderstatus END AS st
+            FROM orders o LEFT JOIN up ON up.o_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT nc, 'I!' FROM up)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN st = 'U!' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+             CAST(sum(CASE WHEN st = 'I!' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM m""",
+
     "orders_market_basket" -> """
       WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
                   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),

@@ -158,6 +158,38 @@ object Ingest {
           .otherwise(col(s"t.$c")).as(c)): _*)
   }
 
+  /** The declared MERGE showcase (`orders_merge_upsert`): apply a
+    * deterministic update+insert batch to `orders` through [[upsert]]
+    * — every 500th order re-prices to exactly `cents·11 div 10` with a
+    * sentinel status, and a clone of each lands as a new key — then
+    * summarize the END STATE (row count, updated/inserted counts,
+    * exact total cents). The oracle reconstructs the merged relation
+    * with a CASE + UNION, so a hash match proves updates replaced
+    * whole rows, inserts appended, and every untouched row carried
+    * through. One full-outer shuffle on the key — [[upsert]]'s plan.
+    * Output: (n_rows, n_updated, n_inserted, total_cents).
+    */
+  def mergeUpsertShowcase(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+    val updates = orders.filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U!").as("o_orderstatus"),
+        (expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10")
+          / 100.0).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val inserts = updates
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      .withColumn("o_orderstatus", lit("I!"))
+    upsert(orders, updates.unionByName(inserts), "o_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "U!", 1L).otherwise(0L))
+          .as("n_updated"),
+        sum(when(col("o_orderstatus") === "I!", 1L).otherwise(0L))
+          .as("n_inserted"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("total_cents"))
+  }
+
   /** Keyed delete — the MERGE DELETE half: drop target rows whose key
     * appears in `deletes` (left-anti join, shuffle-on-key only).
     */
