@@ -733,6 +733,8 @@ object SparkEntry {
     // append) applied to orders, end state summarized under the hash
     // gate; the oracle reconstructs the merge with CASE + UNION
     "orders_merge_upsert" -> ((s, d) => sources.Ingest.mergeUpsertShowcase(s, d)),
+    // the MERGE DELETE half: keyed anti-join end state under the gate
+    "orders_merge_delete" -> ((s, d) => sources.Ingest.mergeDeleteShowcase(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -5063,6 +5065,15 @@ object SparkEntry {
       FROM d""",
 
     // identical integer products and single divisions on both engines
+    // MERGE DELETE replay: the remaining relation is the key filter
+    "orders_merge_delete" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 500 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_deleted_present,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderkey % 500 <> 0""",
+
     // MERGE replay: merged relation reconstructed relationally — every
     // 500th order re-priced to cents*11 div 10 with a sentinel status,
     // a clone appended per update, untouched rows carried through

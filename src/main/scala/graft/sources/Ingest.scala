@@ -196,6 +196,25 @@ object Ingest {
   def deleteByKey(target: DataFrame, deletes: DataFrame, key: String): DataFrame =
     target.join(deletes.select(col(key)), Seq(key), "left_anti")
 
+  /** The declared MERGE DELETE showcase (`orders_merge_delete`,
+    * [[mergeUpsertShowcase]]'s other half): drop every 500th order by
+    * keyed anti-join and summarize the end state — row count, a
+    * deleted-keys-still-present audit column (must be 0), and the
+    * exact remaining total cents. Output: (n_rows, n_deleted_present,
+    * total_cents).
+    */
+  def mergeDeleteShowcase(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+    val deletes = orders.filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"))
+    deleteByKey(orders, deletes, "o_orderkey")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderkey") % 500 === 0, 1L).otherwise(0L))
+          .as("n_deleted_present"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("total_cents"))
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(bytes / targetBytes) files. The streaming file sink and
     * per-batch ingests leave many small files; compaction restores scan
