@@ -157,7 +157,20 @@ object Bench {
       // neighbor-list index the basket-completion serving row reads
       timed("bench_build_itempairs",
         () => operators.GraphOps.itemPairCounts(spark, sfDir).count()
-          + operators.GraphOps.itemNeighborLists(spark, sfDir).size),
+          + operators.GraphOps.itemNeighborListsDF(spark, sfDir).count()
+          + operators.GraphOps.itemNeighborBroadcast(spark, sfDir)
+              .value.size),
+      // one-time per-layout dual-key file envelopes (three global-rank
+      // sorts) shared by the two layout-audit rows — charged here so
+      // whichever audit row runs first doesn't absorb the sorts
+      timed("bench_build_layout_envelopes",
+        () => Seq("natural", "shipdate_sorted", "supplier_sorted")
+          .map(l => operators.ScaleTechniques
+            .layoutEnvelopes(spark, sfDir, l).count()).sum),
+      // one-time NDJSON fixture render (driver-side string build +
+      // tmpfile write) read by the ingest_ndjson_topk pipeline row
+      timed("bench_build_ndjson_fixture",
+        () => { sources.Ingest.ndjsonFixture(spark, sfDir); 1L }),
       // per-doc winnowing fingerprint selection shared by the
       // winnowing pair + containment rows
       timed("bench_build_winnow",
@@ -213,8 +226,10 @@ object Bench {
       "text_")
     // cache-dependent rows whose name prefix lives in the cache-free
     // section: the item-item CF pair reads the persisted incidence +
-    // pair-count builds (bench_build_itempairs)
-    val cachedExact = Set("orders_basket_completion", "orders_item_similarity")
+    // pair-count builds (bench_build_itempairs); the layout-audit pair
+    // reads the persisted envelopes (bench_build_layout_envelopes)
+    val cachedExact = Set("orders_basket_completion", "orders_item_similarity",
+      "layout_minmax_skipping", "layout_tradeoff_matrix")
     val (cachedQs, freeQs) = selected.toSeq.sortBy(_._1).partition {
       case (n, _) => cachedPrefixes.exists(n.startsWith) || cachedExact(n)
     }

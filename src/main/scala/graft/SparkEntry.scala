@@ -735,6 +735,10 @@ object SparkEntry {
     "orders_merge_upsert" -> ((s, d) => sources.Ingest.mergeUpsertShowcase(s, d)),
     // the MERGE DELETE half: keyed anti-join end state under the gate
     "orders_merge_delete" -> ((s, d) => sources.Ingest.mergeDeleteShowcase(s, d)),
+    // the CDC half of MERGE: per-key insert/update/delete changelog,
+    // |batch|-bounded (every join broadcasts a batch-sized side)
+    "orders_merge_changelog" ->
+      ((s, d) => sources.Ingest.mergeChangelogShowcase(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -5097,6 +5101,27 @@ object SparkEntry {
                AS n_inserted,
              CAST(sum(c) AS BIGINT) AS total_cents
       FROM m""",
+
+    // CDC changelog replay: the update leg reads old cents off orders
+    // directly (the batch derives from orders, so the reconstruction
+    // needs no join); inserts are the -(k+1)-keyed clones; deletes the
+    // disjoint every-700th set — all values exact BIGINT cents
+    "orders_merge_changelog" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS oc,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0)
+      SELECT k AS o_orderkey, 'update' AS action, oc AS old_cents,
+             nc AS new_cents
+      FROM up
+      UNION ALL
+      SELECT -(k + 1), 'insert', CAST(NULL AS BIGINT), nc FROM up
+      UNION ALL
+      SELECT o_orderkey, 'delete',
+             CAST(round(o_totalprice * 100) AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM orders WHERE o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0""",
 
     "orders_market_basket" -> """
       WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b

@@ -231,33 +231,73 @@ object GraphOps {
     * incidence — no candidate fan-out relation ever materializes or
     * shuffles (the relational join+agg+anti-join+topk form measured
     * 6.7 s at sf0.1; this form ~1.5 s). The `.collect()` of the capped
-    * lists is bounded by |items| × nbrCap by construction (the
-    * broadcast-centroids discipline); at extreme item counts the same
-    * plan co-partitions instead of broadcasting.
-    * Output: (custkey, partkey, score, rk).
+    * lists is bounded by |items| × nbrCap by construction AND gated:
+    * past [[ItemNbrDriverMaxEntries]] the plan switches to
+    * [[basketCompletionDistributed]], which co-partitions the same
+    * index instead of broadcasting it (the union-find cutover
+    * discipline). Output: (custkey, partkey, score, rk).
     */
-  /** The truncated per-item neighbor lists — the PUBLISHED index of
-    * item-item CF (built offline, served online; Linden et al. 2003):
-    * each item's `nbrCap` strongest co-purchase neighbors, as a
-    * driver map ready to broadcast. |items| × nbrCap entries by
-    * construction; memoized per (dataset, cap) and charged to
-    * `bench_build_itempairs`.
+  /** Driver-size cutover for [[basketCompletion]]'s broadcast serving
+    * leg: the capped neighbor lists hold at most |items| × nbrCap
+    * entries — collected as a driver map only while that product stays
+    * under this bound (4M entries of 3 boxed longs ≈ low hundreds of
+    * MB driver heap, the same order as the 10M-edge union-find
+    * cutover in [[Dedup]]). Past it [[basketCompletion]] switches to
+    * the co-partitioned relational leg
+    * ([[basketCompletionDistributed]]) and nothing collects.
+    */
+  private[graft] val ItemNbrDriverMaxEntries = 4000000L
+
+  /** The truncated per-item neighbor lists as a RELATION — the
+    * PUBLISHED index of item-item CF (built offline, served online;
+    * Linden et al. 2003): each item's `nbrCap` strongest co-purchase
+    * neighbors (affinity desc, part-key ties asc), |items| × nbrCap
+    * rows by construction. Memoized + persisted per (dataset, cap);
+    * the driver map / broadcast below derive from it, and past
+    * [[ItemNbrDriverMaxEntries]] it IS the serving index (joined
+    * co-partitioned, never collected). Output: (p, rec, n).
+    */
+  private[graft] def itemNeighborListsDF(spark: SparkSession, dir: String,
+      nbrCap: Int = 20): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"item-nbr-df:$dir:$nbrCap") {
+      val ip = itemPairCounts(spark, dir)
+      val sym = ip.select(col("p1").as("p"), col("p2").as("rec"), col("cnt"))
+        .unionAll(ip.select(col("p2").as("p"), col("p1").as("rec"),
+          col("cnt")))
+      val df = graft.plans.GraftOps.topKPerGroup(sym, Seq("p"),
+          Seq(("cnt", false), ("rec", true)), nbrCap)
+        .select(col("p").cast("long"), col("rec").cast("long"),
+          col("cnt").cast("long").as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    }
+
+  /** [[itemNeighborListsDF]] collected to a driver map. Bound: callers
+    * gate on [[ItemNbrDriverMaxEntries]] BEFORE collecting (the
+    * broadcast-centroids discipline — every driver-side artifact here
+    * carries an explicit bound plus a distributed fallback).
     */
   private[graft] def itemNeighborLists(spark: SparkSession, dir: String,
       nbrCap: Int = 20): Map[Long, Array[(Long, Long)]] =
     graft.IndexCache.getOrBuild(spark, s"item-nbr-lists:$dir:$nbrCap") {
       import spark.implicits._
-      val ip = itemPairCounts(spark, dir)
-      val sym = ip.select(col("p1").as("p"), col("p2").as("rec"), col("cnt"))
-        .unionAll(ip.select(col("p2").as("p"), col("p1").as("rec"),
-          col("cnt")))
-      graft.plans.GraftOps.topKPerGroup(sym, Seq("p"),
-          Seq(("cnt", false), ("rec", true)), nbrCap)
-        .select(col("p").cast("long"), col("rec").cast("long"),
-          col("cnt").cast("long"))
+      itemNeighborListsDF(spark, dir, nbrCap)
         .as[(Long, Long, Long)].collect()
         .groupBy(_._1)
         .map { case (p, rows) => p -> rows.map(r => (r._2, r._3)) }
+    }
+
+  /** The driver map wrapped in a MEMOIZED Broadcast — one broadcast
+    * per (dataset, cap) per session, however many times the serving
+    * query runs (an un-memoized `sc.broadcast` per invocation leaks
+    * broadcast blocks across a bench + test session).
+    */
+  private[graft] def itemNeighborBroadcast(spark: SparkSession, dir: String,
+      nbrCap: Int = 20)
+      : org.apache.spark.broadcast.Broadcast[Map[Long, Array[(Long, Long)]]] =
+    graft.IndexCache.getOrBuild(spark, s"item-nbr-bc:$dir:$nbrCap") {
+      spark.sparkContext.broadcast(itemNeighborLists(spark, dir, nbrCap))
     }
 
   /** ITEM SIMILARITY — the normalized "related items" table (the
@@ -301,8 +341,14 @@ object GraphOps {
       topK: Int = 5, nbrCap: Int = 20): DataFrame = {
     import spark.implicits._
     val cp = custPartPairs(spark, dir)
-    val bc = cp.sparkSession.sparkContext.broadcast(
-      itemNeighborLists(spark, dir, nbrCap))
+    // cutover: the broadcast leg holds |items| × nbrCap entries on the
+    // driver — fine for any real catalog (the count reads the persisted
+    // index, no recompute), unservable at web-catalog extremes, where
+    // the co-partitioned relational leg takes over
+    if (itemNeighborListsDF(spark, dir, nbrCap).count()
+        > ItemNbrDriverMaxEntries)
+      return basketCompletionDistributed(spark, dir, topK, nbrCap)
+    val bc = itemNeighborBroadcast(spark, dir, nbrCap)
     cp.select(col("c").cast("long"), col("p").cast("long"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -319,6 +365,32 @@ object GraphOps {
           .map { case ((rec, s), i) => (c, rec, s, i + 1) }
       }
       .toDF("custkey", "partkey", "score", "rk")
+  }
+
+  /** The past-cutover serving leg of [[basketCompletion]] — identical
+    * semantics, nothing driver-side: the capped neighbor index joins
+    * the incidence as a plain equi-join on the item key (co-partitioned
+    * with the pair-count shuffle that built it), owned parts leave by
+    * a keyed anti-join on (customer, candidate), and the per-customer
+    * top-k runs as [[graft.plans.TopKPerGroup]] bounded heaps. Fan-out
+    * is |incidence| × nbrCap — the same bound the broadcast leg scores
+    * locally, paid here as one extra shuffle instead of driver memory.
+    * Kept semantically pinned to the broadcast leg by GraphOpsSpec.
+    */
+  private[graft] def basketCompletionDistributed(spark: SparkSession,
+      dir: String, topK: Int = 5, nbrCap: Int = 20): DataFrame = {
+    val cp = custPartPairs(spark, dir)
+      .select(col("c").cast("long"), col("p").cast("long"))
+    val scored = cp
+      .join(itemNeighborListsDF(spark, dir, nbrCap), Seq("p"))
+      .groupBy(col("c"), col("rec"))
+      .agg(sum(col("n")).as("score"))
+      .join(cp.select(col("c"), col("p").as("rec")), Seq("c", "rec"),
+        "left_anti")
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("c"),
+        Seq(("score", false), ("rec", true)), topK)
+      .select(col("c").as("custkey"), col("rec").as("partkey"),
+        col("score"), col("rk"))
   }
 
   def copurchaseEdges(spark: SparkSession, dir: String,

@@ -2142,8 +2142,16 @@ object TextOps {
           while (i < ws.length) {
             var a = 0L
             val t = ws(i)
+            // fold over Unicode CODE POINTS, not UTF-16 units — the HOF
+            // form (ascii over split) and the DuckDB oracle (unicode(c))
+            // both hash code points, and supplementary-plane characters
+            // (emoji, rare CJK) occupy two UTF-16 units
             var c = 0
-            while (c < t.length) { a = (a * 31 + t.charAt(c)) % mod; c += 1 }
+            while (c < t.length) {
+              val cp = t.codePointAt(c)
+              a = (a * 31 + cp) % mod
+              c += Character.charCount(cp)
+            }
             wh(i) = a
             i += 1
           }

@@ -177,8 +177,14 @@ object Ingest {
         (expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10")
           / 100.0).as("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
+    // clone keys must be collision-free at ANY scale factor: orderkeys
+    // are non-negative at every SF, so -(k+1) is always strictly
+    // negative and injective — it can never alias a real key OR another
+    // clone (a fixed +1e9 offset collides once keys pass 1e9, ~sf170,
+    // silently turning inserts into whole-row updates; plain -k
+    // collides at k=0)
     val inserts = updates
-      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+      .withColumn("o_orderkey", -(col("o_orderkey") + 1))
       .withColumn("o_orderstatus", lit("I!"))
     upsert(orders, updates.unionByName(inserts), "o_orderkey")
       .agg(count(lit(1)).as("n_rows"),
@@ -213,6 +219,55 @@ object Ingest {
           .as("n_deleted_present"),
         sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .as("total_cents"))
+  }
+
+  /** CDC CHANGELOG of a MERGE — the other half of the lakehouse MERGE
+    * contract ([[mergeUpsertShowcase]] proves the END STATE; real MERGE
+    * implementations also emit a changelog consumed by downstream
+    * incremental views): one row PER AFFECTED KEY with its action
+    * (`insert` / `update` / `delete`) and the old/new value. Same
+    * deterministic batch as the upsert showcase (every 500th order
+    * re-priced to cents·11 div 10, a -(k+1)-keyed clone inserted) plus
+    * a disjoint delete set (every 700th order not already updated —
+    * SQL MERGE forbids one source row both updating and deleting).
+    *
+    * Plan: every join BROADCASTS a |batch|-bounded side into a
+    * column-pruned target scan (Spark's BroadcastHashJoin cannot
+    * broadcast the preserved side of an outer join, so the classify
+    * runs as inner + anti, never full-outer): `update` rows are the
+    * inner join of target×batch; `insert` rows are the batch
+    * anti-joined against the (|batch|-bounded) matched keys; `delete`
+    * rows are the target semi-joined with the delete keys. The
+    * changelog is |batch|-bounded — what makes CDC cheap at 100 TB:
+    * cost scales with the change set, never the table. Exactness: all
+    * values are exact BIGINT cents.
+    * Output: (o_orderkey, action, old_cents, new_cents).
+    */
+  def mergeChangelogShowcase(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.orders(spark, dir)
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val tgt = orders.select(col("o_orderkey").as("k"), cents.as("old_cents"))
+    val up = orders.filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10")
+          .as("new_cents"))
+    val batch = up
+      .unionByName(up.select((-(col("k") + 1)).as("k"), col("new_cents")))
+    val updateLog = tgt.join(broadcast(batch), Seq("k"), "inner")
+      .select(col("k").as("o_orderkey"), lit("update").as("action"),
+        col("old_cents"), col("new_cents"))
+    val insertLog = batch
+      .join(broadcast(updateLog.select(col("o_orderkey").as("k"))),
+        Seq("k"), "left_anti")
+      .select(col("k").as("o_orderkey"), lit("insert").as("action"),
+        lit(null).cast("long").as("old_cents"), col("new_cents"))
+    val del = orders
+      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
+      .select(col("o_orderkey").as("k"))
+    val deleteLog = tgt.join(broadcast(del), Seq("k"), "left_semi")
+      .select(col("k").as("o_orderkey"), lit("delete").as("action"),
+        col("old_cents"), lit(null).cast("long").as("new_cents"))
+    updateLog.unionByName(insertLog).unionByName(deleteLog)
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -336,6 +336,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("basket completion: the past-cutover distributed leg equals the broadcast leg") {
+    // the ItemNbrDriverMaxEntries fallback must be semantically
+    // invisible — same rows, same scores, same tie-broken ranks
+    val bcLeg = GraphOps.basketCompletion(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val distLeg = GraphOps.basketCompletionDistributed(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(bcLeg == distLeg,
+      s"legs diverge: bc=${bcLeg.size} dist=${distLeg.size}")
+    assert(bcLeg.nonEmpty)
+  }
+
   test("item similarity replays a driver-side cosine ranking exactly") {
     val cp = Tables.lineitem(spark, sf0001)
       .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))

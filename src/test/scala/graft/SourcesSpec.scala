@@ -80,6 +80,31 @@ class SourcesSpec extends SparkSpec {
       s"orc filter not pushed:\n$plan")
   }
 
+  test("merge changelog: per-key actions reconcile with the end-state showcases") {
+    val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(log.nonEmpty)
+    // one action per key — the MERGE contract
+    assert(log.map(_._1).distinct.length == log.length)
+    val byAction = log.groupBy(_._2)
+    // inserts: negated clone keys, no prior value
+    assert(byAction("insert").forall(e => e._1 < 0 && e._3.isEmpty
+      && e._4.nonEmpty))
+    // updates: real every-500th keys, new = old*11 div 10 exactly
+    assert(byAction("update").forall(e => e._1 % 500 == 0
+      && e._4.get == e._3.get * 11 / 10))
+    // deletes: the disjoint every-700th set, no new value
+    assert(byAction("delete").forall(e => e._1 % 700 == 0
+      && e._1 % 500 != 0 && e._4.isEmpty && e._3.nonEmpty))
+    // counts reconcile with the upsert end-state row
+    val up = graft.sources.Ingest.mergeUpsertShowcase(spark, sf0001).head()
+    assert(byAction("update").length.toLong == up.getAs[Long]("n_updated"))
+    assert(byAction("insert").length.toLong == up.getAs[Long]("n_inserted"))
+  }
+
   test("upsert fails loudly on duplicate update keys (MERGE contract)") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "name")

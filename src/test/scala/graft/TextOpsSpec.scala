@@ -1117,7 +1117,16 @@ class TextOpsSpec extends SparkSpec {
 
   test("winnowing selection replays driver-side on the fixture") {
     val p = 1000000007L
-    def poly(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % p)
+    // code-point fold, as the engine and the DuckDB oracle both hash
+    def poly(s: String) = {
+      var a = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        a = (a * 31 + cp) % p
+        i += Character.charCount(cp)
+      }
+      a
+    }
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -1153,6 +1162,38 @@ class TextOpsSpec extends SparkSpec {
     val got = TextOps.winnowingOf(docs, 5, 4).collect()
       .map(r => r.getLong(1)).sorted.toSeq
     assert(got == Seq(4L, 5L, 6L, 7L, 8L), s"got $got")
+  }
+
+  test("winnowing word hash folds CODE POINTS — non-BMP parity with the HOF form") {
+    import spark.implicits._
+    // supplementary-plane words (emoji, math alphanumerics) occupy two
+    // UTF-16 units each; a charAt fold would hash the surrogate halves
+    // and silently diverge from polyHash/unicode(c). Pin the typed
+    // winnowing pass to the HOF fold on exactly such text.
+    val words = Seq("😀ok", "𝕊𝕡", "plain",
+      "mix🚀ed", "🍕", "ascii7", "😀ok",
+      "tail𝕊")
+    val text = (words ++ words).mkString(" ") // 16 words >= k+w-1
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val typed = TextOps.winnowingOf(docs, 5, 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    // HOF-side word hashes (ascii over split folds code points), then
+    // the same shingle/window/rightmost selection replayed driver-side
+    val p = 1000000007L
+    val wh = Seq(expr("transform(split(text, ' '), w -> " +
+      "aggregate(filter(split(w, ''), ch -> ch != ''), 0L, " +
+      s"(acc, ch) -> pmod(acc * 31 + ascii(ch), ${p}L)))").as("wh"))
+    val hofWordHashes = docs.select(wh: _*).collect()(0)
+      .getSeq[Long](0).toArray
+    val sh = (0 to hofWordHashes.length - 5).map(i =>
+      (i until i + 5).foldLeft(0L)((a, j) => (a * 131 + hofWordHashes(j)) % p))
+    val expect = (0 to sh.length - 4).map { j =>
+      val mn = sh.slice(j, j + 4).min
+      val rp = (j until j + 4).filter(kk => sh(kk) == mn).max
+      ((rp + 1).toLong, mn)
+    }.toSet
+    assert(typed == expect,
+      s"non-BMP divergence: typed=$typed hof=$expect")
   }
 
   test("winnowing containment: a strict subset document reads near 1000") {
