@@ -164,7 +164,7 @@ object Bench {
       // sorts) shared by the two layout-audit rows — charged here so
       // whichever audit row runs first doesn't absorb the sorts
       timed("bench_build_layout_envelopes",
-        () => Seq("natural", "shipdate_sorted", "supplier_sorted")
+        () => Seq("natural", "shipdate_sorted", "supplier_sorted", "zorder")
           .map(l => operators.ScaleTechniques
             .layoutEnvelopes(spark, sfDir, l).count()).sum),
       // one-time NDJSON fixture render (driver-side string build +
@@ -229,7 +229,8 @@ object Bench {
     // pair-count builds (bench_build_itempairs); the layout-audit pair
     // reads the persisted envelopes (bench_build_layout_envelopes)
     val cachedExact = Set("orders_basket_completion", "orders_item_similarity",
-      "layout_minmax_skipping", "layout_tradeoff_matrix")
+      "layout_minmax_skipping", "layout_tradeoff_matrix",
+      "layout_zorder_box")
     val (cachedQs, freeQs) = selected.toSeq.sortBy(_._1).partition {
       case (n, _) => cachedPrefixes.exists(n.startsWith) || cachedExact(n)
     }

@@ -635,6 +635,11 @@ object SparkEntry {
     // Z-order zone maps: the multi-dim clustering layout, as a query —
     // per-tile envelopes a stats-based reader prunes on (bit-exact oracle)
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
+    // the box predicate (date AND supplier band) on all four layouts:
+    // the measured case FOR Morton interleaving — neither 1-D sort
+    // serves the conjunctive query; the z-ordered files prune both axes
+    "layout_zorder_box" ->
+      ((s, d) => ScaleTechniques.zorderBoxAudit(s, d)),
     // zone-map skip-rate audit: natural vs shipdate-sorted file layout
     // for a one-month band — the pay-for-the-sort-rewrite evidence
     "layout_minmax_skipping" ->
@@ -876,6 +881,11 @@ object SparkEntry {
     "pipeline_pad_efficiency" -> ((s, d) => Pipeline.padEfficiency(s, d)),
     // asymmetric containment pairs (doc-inside-doc dedup)
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // gram-set vs winnowing containment, full-outer on the pair key:
+    // which doc-inside-doc findings the detectors share and which are
+    // selection-sparsity misses
+    "dedup_containment_crosscheck" ->
+      ((s, d) => Dedup.containmentCrossCheck(s, d)),
     // near-dup cluster-size distribution (dedup-rate summary)
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     // corpus curation: per-source average quality (exact micro-units)
@@ -1866,6 +1876,75 @@ object SparkEntry {
       $rounds"""
   }
 
+  private val gramContainmentSql = """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                   max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(shared / na, 6) AS cont_a,
+             round(shared / nb, 6) AS cont_b
+      FROM p
+      WHERE greatest(round(shared / na, 6), round(shared / nb, 6)) >= 0.6"""
+
+  private val winnowContainmentSql = """
+      WITH h AS (
+        SELECT doc_id,
+          list_transform(string_split(text, ' '), t ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(t, ''),
+                c -> CAST(unicode(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)
+           for i in range(1, len(wh) - 3)] AS sh
+        FROM h WHERE len(wh) >= 8),
+      fp AS (
+        SELECT DISTINCT doc_id,
+          unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
+        FROM s),
+      sz AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+      rare AS (SELECT h FROM fp GROUP BY h
+               HAVING count(DISTINCT doc_id) <= 64),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+             FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
+             JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
+               ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+             pr.n_shared * 1000 // sa.nfp AS cont_a_permille,
+             pr.n_shared * 1000 // sb.nfp AS cont_b_permille
+      FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
+      JOIN sz sb ON sb.doc_id = pr.doc_b"""
+
+  /** Cross-detector containment replay: the two detectors' full
+    * chains as CTE subqueries, full-outer-joined on the pair key.
+    */
+  private val containmentCrossCheckSql = s"""
+      WITH gram AS (SELECT * FROM ($gramContainmentSql)),
+      winn AS (SELECT * FROM ($winnowContainmentSql))
+      SELECT coalesce(g.doc_a, w.doc_a) AS doc_a,
+             coalesce(g.doc_b, w.doc_b) AS doc_b,
+             CAST(CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS in_gram,
+             CAST(CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS in_winnow,
+             g.cont_a AS gram_cont_a, g.cont_b AS gram_cont_b,
+             w.n_shared AS winn_shared,
+             w.cont_a_permille AS winn_cont_a_permille,
+             w.cont_b_permille AS winn_cont_b_permille
+      FROM gram g FULL JOIN winn w
+        ON g.doc_a = w.doc_a AND g.doc_b = w.doc_b"""
+
   def oracleSql: Map[String, String] = Map(
     // ingest-pipeline replay: the first 300 VALID ndjson records are
     // vec_id 0..299 (planted malformed/vectorless lines drop at parse
@@ -2685,21 +2764,11 @@ object SparkEntry {
 
     // string-gram replay of the containment join (the Spark side joins
     // on 64-bit gram hashes; the string oracle would catch a collision)
-    "dedup_containment" -> """
-      WITH g AS (
-        SELECT doc_id,
-               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                              for i in range(1, len(w)-1)]) AS grams
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
-      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
-                   max(a.ng) AS na, max(b.ng) AS nb
-            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-      SELECT doc_a, doc_b, round(shared / na, 6) AS cont_a,
-             round(shared / nb, 6) AS cont_b
-      FROM p
-      WHERE greatest(round(shared / na, 6), round(shared / nb, 6)) >= 0.6""",
+    "dedup_containment" -> gramContainmentSql,
+
+    // the two asymmetric-containment detectors (full gram sets vs the
+    // winnowed selection) cross-checked pair by pair under the gate
+    "dedup_containment_crosscheck" -> containmentCrossCheckSql,
 
     // connected components of the jaccard>=0.8 pair graph via recursive
     // transitive closure; rep = min doc_id of the component
@@ -3301,39 +3370,7 @@ object SparkEntry {
 
     // containment replay: the pair relation joined to per-doc
     // distinct-fingerprint counts, integer permille both directions
-    "text_winnowing_containment" -> """
-      WITH h AS (
-        SELECT doc_id,
-          list_transform(string_split(text, ' '), t ->
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(t, ''),
-                c -> CAST(unicode(c) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
-        FROM documents),
-      s AS (
-        SELECT doc_id,
-          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
-            (acc, x) -> (acc * 131 + x) % 1000000007)
-           for i in range(1, len(wh) - 3)] AS sh
-        FROM h WHERE len(wh) >= 8),
-      fp AS (
-        SELECT DISTINCT doc_id,
-          unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
-        FROM s),
-      sz AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
-      rare AS (SELECT h FROM fp GROUP BY h
-               HAVING count(DISTINCT doc_id) <= 64),
-      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS n_shared
-             FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
-             JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
-               ON a.h = b.h AND a.doc_id < b.doc_id
-             GROUP BY 1, 2 HAVING count(*) >= 2)
-      SELECT pr.doc_a, pr.doc_b, pr.n_shared,
-             pr.n_shared * 1000 // sa.nfp AS cont_a_permille,
-             pr.n_shared * 1000 // sb.nfp AS cont_b_permille
-      FROM pr JOIN sz sa ON sa.doc_id = pr.doc_a
-      JOIN sz sb ON sb.doc_id = pr.doc_b""",
+    "text_winnowing_containment" -> winnowContainmentSql,
 
     // BM25: same operation order as the Spark plan; every constant cast
     // to DOUBLE so DuckDB never routes through decimal arithmetic
@@ -4721,6 +4758,10 @@ object SparkEntry {
 
     // bit-exact replay of the Morton interleave, generated term-by-term
     "layout_zorder_stats" -> ScaleTechniques.zorderOracleSql(),
+
+    // the interleaved-layout answer to the tradeoff matrix: box
+    // predicate on all four layouts, zorder replayed term-by-term
+    "layout_zorder_box" -> ScaleTechniques.zorderBoxOracleSql(),
 
     // zone-map replay: same epoch-day band, same 4096-row file model
     // under both total orders (row_number = the rank primitive's value)

@@ -234,6 +234,36 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
   }
 
+  /** CROSS-DETECTOR containment check — [[containmentPairs]] (full
+    * gram sets) full-outer-joined with
+    * [[TextOps.winnowingContainment]] (the winnowed ~2/(w+1)
+    * fingerprint selection) on the pair key: which doc-inside-doc
+    * findings the two detectors share, and which are misses of the
+    * sparser selection (or sub-threshold on the denser one). The audit
+    * a curation pipeline runs before trusting ONE detector's
+    * containment flags at 100 TB — both inputs are pair-bounded
+    * relations, so the join costs nothing next to the detectors
+    * themselves (both memoized).
+    * Output: (doc_a, doc_b, in_gram, in_winnow, gram_cont_a,
+    * gram_cont_b, winn_shared, winn_cont_a_permille,
+    * winn_cont_b_permille).
+    */
+  def containmentCrossCheck(spark: SparkSession, dir: String): DataFrame = {
+    val gram = containmentPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"),
+        col("cont_a").as("gram_cont_a"), col("cont_b").as("gram_cont_b"))
+    val winn = TextOps.winnowingContainment(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_shared").as("winn_shared"),
+        col("cont_a_permille").as("winn_cont_a_permille"),
+        col("cont_b_permille").as("winn_cont_b_permille"))
+    gram.join(winn, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("gram_cont_a").isNotNull, 1L).otherwise(0L).as("in_gram"),
+        when(col("winn_shared").isNotNull, 1L).otherwise(0L).as("in_winnow"),
+        col("gram_cont_a"), col("gram_cont_b"), col("winn_shared"),
+        col("winn_cont_a_permille"), col("winn_cont_b_permille"))
+  }
+
   /** Near-duplicate pairs by word-3-gram Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard rounded 6), doc_a < doc_b.
     * Thresholds >= 0.5 filter a per-dataset memoized pair table, so the

@@ -321,15 +321,22 @@ object ScaleTechniques {
         s"layout-env:$dir:$layout:$rowsPerFile") {
       val epday = floor(unix_micros(col("l_shipdate")) / lit(86400000000L))
         .cast("long")
-      val li = Tables.lineitem(spark, dir)
+      val base = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"), epday.as("epday"),
           col("l_suppkey").cast("long").as("supp"))
+      // the interleaved layout clusters on the Morton value of BOTH
+      // keys (16 bits each covers the full epday/supp ranges exactly)
+      val li = if (layout == "zorder")
+        base.withColumn("z", zorderValue(col("epday"), col("supp"), 16))
+      else base
       val orderCols = layout match {
         case "natural" => Seq("l_orderkey" -> true, "l_linenumber" -> true)
         case "shipdate_sorted" =>
           Seq("epday" -> true, "l_orderkey" -> true, "l_linenumber" -> true)
         case "supplier_sorted" =>
           Seq("supp" -> true, "l_orderkey" -> true, "l_linenumber" -> true)
+        case "zorder" =>
+          Seq("z" -> true, "l_orderkey" -> true, "l_linenumber" -> true)
         case other => throw new IllegalArgumentException(other)
       }
       val env = graft.plans.GraftOps.globalRank(li, orderCols, "grk")
@@ -426,5 +433,118 @@ object ScaleTechniques {
     audit("natural")
       .unionByName(audit("shipdate_sorted"))
       .unionByName(audit("supplier_sorted"))
+  }
+
+  /** The Z-ORDER ANSWER to [[layoutTradeoffMatrix]]'s off-diagonal
+    * problem, measured under the gate: the BOX predicate (a one-month
+    * date band AND a 10-supplier band together) audited on all four
+    * layouts — the query NEITHER single-key sort serves. A 1-D sort
+    * prunes on its own key and scans everything the other key would
+    * have excluded; the Morton-interleaved layout clusters both keys,
+    * so each file covers a small 2-D tile and the box prunes on both
+    * axes at once. This is the measured case FOR interleaved layouts
+    * at 100 TB: one physical order serving two independent access
+    * paths.
+    *
+    * Same file model as [[layoutTradeoffMatrix]] (range-partitioned
+    * [[graft.plans.GraftOps.globalRank]], `rowsPerFile` rows per file);
+    * the zorder layout orders by [[zorderValue]] (16 bits per key —
+    * exact for the full epday/supp ranges), a pure codegen bit fold the
+    * DuckDB oracle replays term-by-term. Envelopes memoized via
+    * [[layoutEnvelopes]] and shared with the other layout rows.
+    * Output: (layout, n_files, n_skipped, skip_permille,
+    * n_rows_scanned, n_match) — n_match identical across layouts.
+    */
+  def zorderBoxAudit(spark: SparkSession, dir: String,
+      rowsPerFile: Int = 4096, d1: Long = 9190L, d2: Long = 9220L,
+      s1: Long = 0L, s2: Long = 9L): DataFrame = {
+    val epday = floor(unix_micros(col("l_shipdate")) / lit(86400000000L))
+      .cast("long")
+    val li = Tables.lineitem(spark, dir)
+      .select(epday.as("epday"), col("l_suppkey").cast("long").as("supp"))
+    val inBox = col("epday").between(d1, d2) && col("supp").between(s1, s2)
+    val matches = broadcast(li.agg(
+      sum(when(inBox, 1L).otherwise(0L)).cast("long").as("n_match")))
+    def leg(layout: String) = {
+      val skip = col("dmx") < d1 || col("dmn") > d2 ||
+        col("smx") < s1 || col("smn") > s2
+      layoutEnvelopes(spark, dir, layout, rowsPerFile)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(skip, 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(!skip, col("n_rows")).otherwise(0L))
+            .as("n_rows_scanned"))
+        .crossJoin(matches)
+        .select(lit(layout).as("layout"),
+          col("n_files").cast("long").as("n_files"),
+          col("n_skipped").cast("long").as("n_skipped"),
+          expr("n_skipped * 1000 div n_files").as("skip_permille"),
+          col("n_rows_scanned").cast("long").as("n_rows_scanned"),
+          col("n_match"))
+    }
+    Seq("natural", "shipdate_sorted", "supplier_sorted", "zorder")
+      .map(leg).reduce(_.unionByName(_))
+  }
+
+  /** DuckDB replay of [[zorderBoxAudit]]: the same four row_number
+    * layouts (the zorder one over the generated term-by-term Morton
+    * expression), one dual-key envelope rollup each, one conditional
+    * box-skip sum per layout.
+    */
+  def zorderBoxOracleSql(rowsPerFile: Int = 4096, d1: Long = 9190L,
+      d2: Long = 9220L, s1: Long = 0L, s2: Long = 9L,
+      bits: Int = 16): String = {
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"((epday & ${1L << i}) << $i)",
+      s"((supp & ${1L << i}) << ${i + 1})"))
+    val skip = s"dmx < $d1 OR dmn > $d2 OR smx < $s1 OR smn > $s2"
+    s"""
+      WITH li AS (SELECT l_orderkey, l_linenumber,
+                    epoch_us(l_shipdate) // 86400000000 AS epday,
+                    CAST(l_suppkey AS BIGINT) AS supp
+                  FROM lineitem),
+      m AS (SELECT CAST(sum(CASE WHEN epday BETWEEN $d1 AND $d2
+                     AND supp BETWEEN $s1 AND $s2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_match FROM li),
+      zli AS (SELECT epday, supp, (${terms.mkString(" | ")}) AS z,
+                l_orderkey, l_linenumber FROM li),
+      rn AS (SELECT epday, supp,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS grk
+             FROM li),
+      rd AS (SELECT epday, supp,
+               row_number() OVER (ORDER BY epday, l_orderkey, l_linenumber)
+                 AS grk FROM li),
+      rs AS (SELECT epday, supp,
+               row_number() OVER (ORDER BY supp, l_orderkey, l_linenumber)
+                 AS grk FROM li),
+      rz AS (SELECT epday, supp,
+               row_number() OVER (ORDER BY z, l_orderkey, l_linenumber)
+                 AS grk FROM zli),
+      env AS (
+        SELECT 'natural' AS layout, (grk - 1) // $rowsPerFile AS fid,
+               min(epday) AS dmn, max(epday) AS dmx,
+               min(supp) AS smn, max(supp) AS smx, count(*) AS c
+        FROM rn GROUP BY 1, 2
+        UNION ALL
+        SELECT 'shipdate_sorted', (grk - 1) // $rowsPerFile,
+               min(epday), max(epday), min(supp), max(supp), count(*)
+        FROM rd GROUP BY 1, 2
+        UNION ALL
+        SELECT 'supplier_sorted', (grk - 1) // $rowsPerFile,
+               min(epday), max(epday), min(supp), max(supp), count(*)
+        FROM rs GROUP BY 1, 2
+        UNION ALL
+        SELECT 'zorder', (grk - 1) // $rowsPerFile,
+               min(epday), max(epday), min(supp), max(supp), count(*)
+        FROM rz GROUP BY 1, 2),
+      a AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(CASE WHEN $skip THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_skipped,
+              CAST(sum(CASE WHEN NOT ($skip) THEN c ELSE 0 END) AS BIGINT)
+                AS n_rows_scanned
+            FROM env GROUP BY 1)
+      SELECT layout, n_files, n_skipped,
+             n_skipped * 1000 // n_files AS skip_permille,
+             n_rows_scanned, n_match
+      FROM a CROSS JOIN m"""
   }
 }

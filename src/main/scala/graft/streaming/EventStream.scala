@@ -795,11 +795,27 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordCompleteStateRows("msprt", q)
     }
     val out = graft.operators.EventOps.msprtChain(spark.table(name), tau2)
     out.queryExecution.assertAnalyzed()
     spark.catalog.dropTempView(name)
     out
+  }
+
+  /** State-store row counts of the complete-mode monitors' last run,
+    * keyed by monitor tag — recorded so EventStreamSpec can PIN the
+    * design claim that their state is rollup-bounded (|days| /
+    * |days|×bins rows of integer moments), never |events|-proportional.
+    */
+  private[graft] val lastCompleteStateRows =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def recordCompleteStateRows(tag: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val p = q.lastProgress
+    if (p != null && p.stateOperators != null)
+      lastCompleteStateRows.put(tag, p.stateOperators.map(_.numRowsTotal).sum)
   }
 
   /** The declared STREAMING-EXECUTED day-over-day PSI drift monitor
@@ -827,6 +843,7 @@ object EventStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      recordCompleteStateRows("psidrift", q)
     }
     // localCheckpoint like the batch wrapper: the chain self-joins the
     // cell relation, so both sides need fresh attribute ids

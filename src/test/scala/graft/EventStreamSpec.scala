@@ -284,6 +284,66 @@ class EventStreamSpec extends SparkSpec {
       s"streamed ${streamed.size} vs batch ${batch.size} rows")
   }
 
+  test("complete-mode monitor state is rollup-bounded, never |events|-proportional") {
+    // the design claim behind running always-on monitors in complete
+    // mode: the streaming state holds the ROLLUP (|days| rows for
+    // mSPRT, <=|days|x bins cells for PSI), so it never grows with the
+    // event volume. Pin the recorded state-store row counts of the two
+    // monitors' last runs to exactly the batch rollup cardinality.
+    graft.streaming.EventStream.msprtMonitorStreamed(spark, sf0001).collect()
+    graft.streaming.EventStream.psiDriftStreamed(spark, sf0001).collect()
+    val events = Tables.events(spark, sf0001)
+    val nEvents = events.count()
+    val days = graft.operators.EventOps.msprtDaily(events).count()
+    val cells = graft.operators.Stats.psiDailyCells(events).count()
+    val msprtState = graft.streaming.EventStream
+      .lastCompleteStateRows.get("msprt")
+    val psiState = graft.streaming.EventStream
+      .lastCompleteStateRows.get("psidrift")
+    assert(msprtState == days,
+      s"mSPRT state $msprtState != |days| $days")
+    assert(psiState == cells,
+      s"PSI state $psiState != |day x bin cells| $cells")
+    assert(msprtState < nEvents / 10 && psiState < nEvents / 10,
+      s"monitor state tracks event volume: $msprtState/$psiState of $nEvents")
+  }
+
+  test("tumbling window state EVICTS once the watermark passes the window") {
+    import spark.implicits._
+    def ev(id: Long, offMin: Long, uid: Long) =
+      Ev(id, new java.sql.Timestamp(1700000000000L + offMin * 60000L),
+        uid, "click", 1.0)
+    val source = MemoryStream[Ev](spark, numPartitions = 1)
+    val q = EventStream.windowedAgg(source.toDS().toDF())
+      .writeStream.format("memory").queryName("evict_stream")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt-evict").toString)
+      .start()
+    try {
+      source.addData(ev(1, 0, 1L), ev(2, 5, 2L)) // one 10-min window
+      q.processAllAvailable()
+      // advance event time far past window end + 30-min watermark:
+      // the closed window must EMIT and its state row must LEAVE the
+      // store — eviction, not accumulation, is what keeps windowed
+      // state O(open windows) on an unbounded stream
+      source.addData(ev(3, 10000, 3L))
+      q.processAllAvailable()
+      source.addData(ev(4, 10001, 3L)) // one more batch to flush
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      assert(removed >= 1L,
+        s"closed window never evicted from the state store ($removed)")
+      val live = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(live <= 2L, s"state holds closed windows: $live rows")
+    } finally q.stop()
+    assert(spark.table("evict_stream")
+      .filter(col("n") === 2L).count() == 1L) // the closed window emitted
+    spark.catalog.dropTempView("evict_stream")
+  }
+
   test("streamed HNSW serving equals the batch scatter-gather exactly") {
     val batch = graft.knn.HnswKnn.topKBatch(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
