@@ -33,6 +33,14 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ImageIO's default stream cache writes a TEMPFILE per encode /
+  // decode — at corpus scale that is one disk file (and one fd) per
+  // image on every executor, and it exhausts the process fd limit
+  // long before memory (measured: the sf1 audit's phash/video rows
+  // died on "Too many open files"). All payloads here are in-memory
+  // byte arrays; the memory-backed cache is strictly better.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: opaque payload + typed metadata, like a real
     * lakehouse media table (kind in {image, audio, video}).
     */

@@ -80,6 +80,7 @@ class PlanShapeSweepSpec extends SparkSpec {
     "orders_backlog_aging",       // 1-row max-date anchor attach
     "layout_minmax_skipping",     // 1-row matched-count attach
     "layout_tradeoff_matrix",     // same 1-row matched-count attach x6
+    "layout_zorder_box",          // same 1-row matched-count attach x4
     "text_naive_bayes_langid")    // |classes|-row model fan-out against
                                   // the test words + 1-row V/n attaches
 

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Derive a 10x scale tier (sf1) from the driver's sf0.1 parquet for the
+one-off SCALE10 audit (SCALE10.md). Ten key-shifted copies of every fact
+table; dimension tables (region, nation) stay 1x like real star schemas.
+
+Distribution-preserving perturbations so the 10x tier stresses VOLUME,
+not artifacts of replication:
+  - keys shift by copy*stride (strides are multiples of 1000, so the
+    %500/%700 showcase densities and %2 arm splits are preserved);
+  - document text of copy i>0 rotates its vowels by i (same lengths,
+    whitespace and punctuation -> same quality stats; every word hash
+    differs -> no cross-copy near-duplicate pairs);
+  - embeddings of copy i circularly shift coordinates by i (an
+    orthogonal permutation: within-copy geometry identical, cross-copy
+    vectors distinct -> no degenerate exact-dup neighbors);
+  - event timestamps stay put: |days| is constant, volume/day is 10x,
+    matching how a real deployment scales.
+
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+"""
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+
+COPIES = 10
+VOWELS = "aeiou"
+
+con = duckdb.connect()
+con.execute(f"CREATE TEMP TABLE copies AS SELECT unnest(range({COPIES})) AS i")
+
+import os
+os.makedirs(DST, exist_ok=True)
+
+
+def emit(table, select):
+    q = (f"COPY ({select}) TO '{DST}/{table}.parquet' "
+         f"(FORMAT PARQUET, COMPRESSION SNAPPY)")
+    con.execute(q)
+    n = con.execute(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+    print(f"  {table}: {n} rows")
+
+
+def src(table):
+    return f"read_parquet('{SRC}/{table}.parquet')"
+
+
+def rot(expr, i_expr):
+    """Per-copy vowel rotation: copy 0 verbatim."""
+    cases = []
+    for i in range(1, COPIES):
+        to = VOWELS[i % 5:] + VOWELS[:i % 5]
+        cases.append(f"WHEN {i_expr} = {i} THEN translate({expr}, "
+                     f"'{VOWELS}', '{to}')")
+    return f"CASE {' '.join(cases)} ELSE {expr} END"
+
+
+print(f"deriving {DST} from {SRC} (x{COPIES})")
+
+emit("region", f"SELECT * FROM {src('region')}")
+emit("nation", f"SELECT * FROM {src('nation')}")
+
+emit("customer", f"""
+  SELECT c_custkey + i * 100000 AS c_custkey, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
+  FROM {src('customer')} CROSS JOIN copies""")
+
+emit("supplier", f"""
+  SELECT s_suppkey + i * 10000 AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM {src('supplier')} CROSS JOIN copies""")
+
+emit("part", f"""
+  SELECT p_partkey + i * 100000 AS p_partkey, p_name, p_brand, p_type,
+         p_size, p_retailprice
+  FROM {src('part')} CROSS JOIN copies""")
+
+emit("orders", f"""
+  SELECT o_orderkey + i * 1000000 AS o_orderkey,
+         o_custkey + i * 100000 AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM {src('orders')} CROSS JOIN copies""")
+
+emit("lineitem", f"""
+  SELECT l_orderkey + i * 1000000 AS l_orderkey,
+         l_partkey + i * 100000 AS l_partkey,
+         l_suppkey + i * 10000 AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM {src('lineitem')} CROSS JOIN copies""")
+
+emit("events", f"""
+  SELECT event_id + i * 1000000 AS event_id, ts,
+         user_id + i * 100000 AS user_id, event_type, value, props
+  FROM {src('events')} CROSS JOIN copies""")
+
+emit("documents", f"""
+  SELECT doc_id + i * 100000 AS doc_id,
+         {rot('text', 'i')} AS text,
+         lang, source, n_chars
+  FROM {src('documents')} CROSS JOIN copies""")
+
+# vec_id must stay DENSE 0..n-1 (the hybrid-serving pipeline requires
+# it), so copies stack by the source cardinality, not a sparse stride
+n_emb = con.execute(f"SELECT count(*) FROM {src('embeddings')}").fetchone()[0]
+emit("embeddings", f"""
+  SELECT vec_id + i * {n_emb} AS vec_id,
+         CASE WHEN i = 0 THEN embedding
+              ELSE embedding[(i % len(embedding)) + 1:]
+                   || embedding[1:(i % len(embedding))]
+         END AS embedding,
+         label
+  FROM {src('embeddings')} CROSS JOIN copies""")
+
+print("done")
