@@ -228,7 +228,8 @@ object Bench {
     // section: the item-item CF pair reads the persisted incidence +
     // pair-count builds (bench_build_itempairs); the layout-audit pair
     // reads the persisted envelopes (bench_build_layout_envelopes)
-    val cachedExact = Set("orders_basket_completion", "orders_item_similarity",
+    val cachedExact = Set("orders_basket_completion",
+      "orders_basket_completion_dist", "orders_item_similarity",
       "layout_minmax_skipping", "layout_tradeoff_matrix",
       "layout_zorder_box")
     val (cachedQs, freeQs) = selected.toSeq.sortBy(_._1).partition {

@@ -610,6 +610,9 @@ object SparkEntry {
     // summed co-purchase affinity (the co-purchase TRANSPOSE), grouped
     // top-k via the bounded-heap TopKPerGroup operator
     "orders_basket_completion" -> ((s, d) => GraphOps.basketCompletion(s, d)),
+    // the ItemNbrDriverMaxEntries fallback leg, gated on the same oracle
+    "orders_basket_completion_dist" ->
+      ((s, d) => GraphOps.basketCompletionDistributed(s, d)),
     // the normalized "related items" table: per-part top-10 by
     // co-purchase cosine (cnt / sqrt(pop_a*pop_b)), the popularity
     // correction raw co-counts lack; shares the CF build
@@ -1109,6 +1112,9 @@ object SparkEntry {
     // density clustering: deterministic DBSCAN (min-label border
     // attachment) over the planted-density pair relation
     "emb_dbscan" -> ((s, d) => Dedup.dbscanClusters(s, d)),
+    // the LSH-banded pair source with the identical downstream chain —
+    // the dbscan scale path, measured linear at the 10x tier
+    "emb_dbscan_lsh" -> ((s, d) => Dedup.dbscanClustersLsh(s, d)),
     "events_topk_amounts" -> ((s, d) => EventOps.topAmounts(s, d)),
     // same leaderboard, but the rows are PRODUCED BY the streaming
     // engine (file stream source -> flatMapGroupsWithState keyed state
@@ -1875,6 +1881,76 @@ object SparkEntry {
       w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c, 0.0 AS d, 0.0 AS e),
       $rounds"""
   }
+
+  private val basketCompletionSql = """
+      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      ip AS (SELECT a.p AS p1, b.p AS p2, count(*) AS cnt
+             FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+      sym0 AS (SELECT p1 AS p, p2 AS rec, cnt FROM ip
+               UNION ALL SELECT p2, p1, cnt FROM ip),
+      sym AS (SELECT p, rec, cnt FROM sym0
+              QUALIFY row_number() OVER (PARTITION BY p
+                ORDER BY cnt DESC, rec) <= 20),
+      sc AS (SELECT cp.c, sym.rec, sum(sym.cnt) AS score
+             FROM cp JOIN sym USING (p) GROUP BY 1, 2),
+      f AS (SELECT * FROM sc WHERE NOT EXISTS
+              (SELECT 1 FROM cp WHERE cp.c = sc.c AND cp.p = sc.rec))
+      SELECT c AS custkey, rec AS partkey, CAST(score AS BIGINT) AS score,
+             CAST(row_number() OVER (PARTITION BY c
+               ORDER BY score DESC, rec) AS INT) AS rk
+      FROM f QUALIFY rk <= 5"""
+
+  /** DBSCAN replayed in full, parametric in the operating point: the
+    * same planted pair relation as neardup_embedding_lsh, degree-based
+    * core test, recursive-CTE components of the core-core graph
+    * (min-label, exact for any diameter), min-label border attachment.
+    * Shared by the exact leg (0.45 / minPts 3) and the LSH-legged
+    * scale path (0.98 / minPts 2 — the regime where banding has
+    * near-certain recall, so the exact reconstruction IS its oracle).
+    */
+  private def dbscanOracleSql(threshold: String, minPts: Int): String = s"""
+      WITH RECURSIVE e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      u AS (SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM e0),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM u),
+      p AS (SELECT va, vb FROM (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     round(greatest(list_sum(list_transform(list_zip(a.nv, b.nv),
+                       z -> z[1]*z[2])), 0), 6) AS sim
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+            WHERE sim >= $threshold),
+      sym AS (SELECT va AS vid, vb AS nbr FROM p UNION ALL SELECT vb, va FROM p),
+      deg AS (SELECT n.vec_id, count(s.nbr) AS d FROM n
+              LEFT JOIN sym s ON n.vec_id = s.vid GROUP BY 1),
+      cores AS (SELECT vec_id FROM deg WHERE d + 1 >= $minPts),
+      cc AS (SELECT va, vb FROM p
+             WHERE va IN (SELECT vec_id FROM cores)
+               AND vb IN (SELECT vec_id FROM cores)),
+      ccsym AS (SELECT va AS a, vb AS b FROM cc UNION ALL SELECT vb, va FROM cc),
+      reach(node, lbl) AS (
+        SELECT vec_id, vec_id FROM cores
+        UNION
+        SELECT e.b, reach.lbl FROM ccsym e JOIN reach ON reach.node = e.a),
+      corerep AS (SELECT node AS vec_id, min(lbl) AS rep FROM reach GROUP BY 1),
+      border AS (SELECT s.vid AS vec_id, min(c.rep) AS rep
+                 FROM sym s JOIN corerep c ON s.nbr = c.vec_id
+                 WHERE s.vid NOT IN (SELECT vec_id FROM cores)
+                 GROUP BY 1)
+      SELECT n.vec_id,
+             CASE WHEN cr.vec_id IS NOT NULL THEN 'core'
+                  WHEN b.vec_id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             coalesce(cr.rep, b.rep, -1) AS rep
+      FROM n LEFT JOIN corerep cr ON n.vec_id = cr.vec_id
+             LEFT JOIN border b ON n.vec_id = b.vec_id"""
 
   private val gramContainmentSql = """
       WITH g AS (
@@ -6025,25 +6101,11 @@ object SparkEntry {
     // the truncated-neighbor-list serving discipline), summed per
     // (customer, candidate), owned parts removed, top-5 per customer
     // with ties to the smaller part key
-    "orders_basket_completion" -> """
-      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
-                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      ip AS (SELECT a.p AS p1, b.p AS p2, count(*) AS cnt
-             FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
-             GROUP BY 1, 2 HAVING count(*) >= 2),
-      sym0 AS (SELECT p1 AS p, p2 AS rec, cnt FROM ip
-               UNION ALL SELECT p2, p1, cnt FROM ip),
-      sym AS (SELECT p, rec, cnt FROM sym0
-              QUALIFY row_number() OVER (PARTITION BY p
-                ORDER BY cnt DESC, rec) <= 20),
-      sc AS (SELECT cp.c, sym.rec, sum(sym.cnt) AS score
-             FROM cp JOIN sym USING (p) GROUP BY 1, 2),
-      f AS (SELECT * FROM sc WHERE NOT EXISTS
-              (SELECT 1 FROM cp WHERE cp.c = sc.c AND cp.p = sc.rec))
-      SELECT c AS custkey, rec AS partkey, CAST(score AS BIGINT) AS score,
-             CAST(row_number() OVER (PARTITION BY c
-               ORDER BY score DESC, rec) AS INT) AS rk
-      FROM f QUALIFY rk <= 5""",
+    "orders_basket_completion" -> basketCompletionSql,
+
+    // the past-cutover serving leg under the SAME oracle: the fallback
+    // must be semantically invisible, so it earns its own gated row
+    "orders_basket_completion_dist" -> basketCompletionSql,
 
     // related-items replay: same pair counts, same popularity
     // normalization (exact BIGINT product under one sqrt), rounded 6
@@ -7430,47 +7492,10 @@ object SparkEntry {
     // relation as neardup_embedding_lsh, degree-based core test,
     // recursive-CTE components of the core-core graph (min-label,
     // exact for any diameter), min-label border attachment
-    "emb_dbscan" -> """
-      WITH RECURSIVE e0 AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
-      u AS (SELECT vec_id, v FROM e0
-            UNION ALL
-            SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM e0),
-      n AS (SELECT vec_id,
-                   list_transform(v, x -> x /
-                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
-            FROM u),
-      p AS (SELECT va, vb FROM (
-              SELECT a.vec_id AS va, b.vec_id AS vb,
-                     round(greatest(list_sum(list_transform(list_zip(a.nv, b.nv),
-                       z -> z[1]*z[2])), 0), 6) AS sim
-              FROM n a JOIN n b ON a.vec_id < b.vec_id)
-            WHERE sim >= 0.45),
-      sym AS (SELECT va AS vid, vb AS nbr FROM p UNION ALL SELECT vb, va FROM p),
-      deg AS (SELECT n.vec_id, count(s.nbr) AS d FROM n
-              LEFT JOIN sym s ON n.vec_id = s.vid GROUP BY 1),
-      cores AS (SELECT vec_id FROM deg WHERE d + 1 >= 3),
-      cc AS (SELECT va, vb FROM p
-             WHERE va IN (SELECT vec_id FROM cores)
-               AND vb IN (SELECT vec_id FROM cores)),
-      ccsym AS (SELECT va AS a, vb AS b FROM cc UNION ALL SELECT vb, va FROM cc),
-      reach(node, lbl) AS (
-        SELECT vec_id, vec_id FROM cores
-        UNION
-        SELECT e.b, reach.lbl FROM ccsym e JOIN reach ON reach.node = e.a),
-      corerep AS (SELECT node AS vec_id, min(lbl) AS rep FROM reach GROUP BY 1),
-      border AS (SELECT s.vid AS vec_id, min(c.rep) AS rep
-                 FROM sym s JOIN corerep c ON s.nbr = c.vec_id
-                 WHERE s.vid NOT IN (SELECT vec_id FROM cores)
-                 GROUP BY 1)
-      SELECT n.vec_id,
-             CASE WHEN cr.vec_id IS NOT NULL THEN 'core'
-                  WHEN b.vec_id IS NOT NULL THEN 'border'
-                  ELSE 'noise' END AS role,
-             coalesce(cr.rep, b.rep, -1) AS rep
-      FROM n LEFT JOIN corerep cr ON n.vec_id = cr.vec_id
-             LEFT JOIN border b ON n.vec_id = b.vec_id""",
+    "emb_dbscan" -> dbscanOracleSql("0.45", 3),
+
+    // the LSH-legged scale path at the high-similarity operating point
+    "emb_dbscan_lsh" -> dbscanOracleSql("0.98", 2),
 
     // the engine's distributed Lloyd loop (integer-exact arithmetic)
     // replayed serially: three unrolled assign/update CTE stages from

@@ -1047,16 +1047,48 @@ object Dedup {
     */
   def dbscanClusters(spark: SparkSession, dir: String,
       simThreshold: Double = 0.45, minPts: Int = 3): DataFrame = {
-    import spark.implicits._
     val n = plantedNormalizedEmbeddings(spark, dir)
+    dbscanOverPairs(n,
+      embeddingNearDupExactNormalized(n, simThreshold)
+        .select(col("vec_a"), col("vec_b")),
+      minPts)
+  }
+
+  /** [[dbscanClusters]] on its documented SCALE PATH: the ε-pair
+    * relation comes from the seeded-hyperplane LSH banding
+    * ([[embeddingNearDupLshNormalized]] — bucket-mates verified
+    * exactly, <1% of the pair space inspected) instead of the exact
+    * O(n²) scan, with the identical downstream chain. Declared at the
+    * high-similarity operating point banding is FOR (the planted-twin
+    * 0.98 regime, where a band collision for every true pair is
+    * near-certain — the same argument the `neardup_embedding_lsh`
+    * oracle documents), so the DuckDB replay is the same exact-pair
+    * reconstruction. Measured at the 10x tier: linear where the exact
+    * leg is quadratic (SCALE10.md).
+    */
+  def dbscanClustersLsh(spark: SparkSession, dir: String,
+      simThreshold: Double = 0.98, minPts: Int = 2): DataFrame = {
+    val n = plantedNormalizedEmbeddings(spark, dir)
+    dbscanOverPairs(n,
+      embeddingNearDupLshNormalized(n, dim = 64, threshold = simThreshold,
+          bands = 16, rowsPerBand = 16)
+        .select(col("vec_a"), col("vec_b")),
+      minPts)
+  }
+
+  /** The pair-source-agnostic DBSCAN chain (degree → core → core-core
+    * components → border attachment), shared by the exact and LSH legs.
+    */
+  private[graft] def dbscanOverPairs(n: DataFrame, minedPairs: DataFrame,
+      minPts: Int): DataFrame = {
+    val spark = n.sparkSession
+    import spark.implicits._
     // the mined pair relation is referenced four times downstream
     // (symmetrization x2, core-core edges, border attachment) — without
     // materialization each reference re-executes the full pair scan;
     // checkpointing the (thousands-of-rows) edge list makes the
-    // quadratic stage run exactly once
-    val pairs = embeddingNearDupExactNormalized(n, simThreshold)
-      .select(col("vec_a"), col("vec_b"))
-      .localCheckpoint(true)
+    // mining stage run exactly once
+    val pairs = minedPairs.localCheckpoint(true)
     val sym = pairs.unionAll(
       pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
     val ids = n.select(col("vec_id"))

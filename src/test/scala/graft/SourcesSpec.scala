@@ -105,6 +105,44 @@ class SourcesSpec extends SparkSpec {
     assert(byAction("insert").length.toLong == up.getAs[Long]("n_inserted"))
   }
 
+  test("merge changelog APPLIES: replaying the actions reproduces the composed end state") {
+    import org.apache.spark.sql.functions._
+    // the CDC contract: a consumer holding only the target and the
+    // changelog must reach the same end state as running the MERGE
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val state = scala.collection.mutable.Map(
+      Tables.orders(spark, sf0001)
+        .select(col("o_orderkey"), cents.as("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)): _*)
+    graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001).collect()
+      .foreach { r =>
+        val (k, action) = (r.getLong(0), r.getString(1))
+        action match {
+          case "update" | "insert" => state(k) = r.getLong(3)
+          case "delete" => state -= k
+        }
+      }
+    // the composed end state: the same upsert batch applied, then the
+    // same disjoint delete set removed
+    val orders = Tables.orders(spark, sf0001)
+    val updates = orders.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10")
+          / 100.0)
+    val inserts = updates.withColumn("o_orderkey", -(col("o_orderkey") + 1))
+    val dels = orders
+      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
+      .select(col("o_orderkey"))
+    val expected = graft.sources.Ingest.deleteByKey(
+        graft.sources.Ingest.upsert(orders, updates.unionByName(inserts),
+          "o_orderkey"),
+        dels, "o_orderkey")
+      .select(col("o_orderkey"), cents.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state.toMap == expected,
+      s"changelog replay diverges: ${state.size} vs ${expected.size} keys")
+  }
+
   test("upsert fails loudly on duplicate update keys (MERGE contract)") {
     import spark.implicits._
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
