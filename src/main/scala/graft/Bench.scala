@@ -139,6 +139,10 @@ object Bench {
         () => operators.TextOps.tokenizedDocs(spark, sfDir).count()),
       timed("bench_build_grams",
         () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()),
+      // gram-posting containment pairing shared by the containment row
+      // and the cross-detector check
+      timed("bench_build_containment",
+        () => operators.Dedup.containmentPairs(spark, sfDir).count()),
       timed("bench_build_clusters",
         () => operators.Dedup.nearDupClusters(spark, sfDir).count()),
       // the composed curation manifest materializes once per dataset

@@ -119,6 +119,7 @@ object IndexCache {
     "gram-sets" -> ("persisted gram-set DataFrame handle", 8L),
     "gram-hash-sets" -> ("persisted hashed-gram DataFrame handle", 8L),
     "jaccard-pairs" -> ("persisted PPJoin pair DataFrame handle", 8L),
+    "containment-pairs" -> ("persisted containment pair handle", 8L),
     "clusters" -> ("persisted dedup-cluster DataFrame handle", 8L),
     "norm-emb" -> ("persisted normalized-embedding handle", 8L),
     "norm-emb-planted" -> ("persisted planted variant handle", 8L),

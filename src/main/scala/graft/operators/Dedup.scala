@@ -203,7 +203,22 @@ object Dedup {
     * without changing its shape.
     */
   def containmentPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6): DataFrame =
+    // memoized at the declared operating point: the pairing is consumed
+    // by BOTH the dedup_containment row and the cross-detector check —
+    // without the memo each consumer repeats the posting-list expansion
+    // (measured: the crosscheck row paid the full mining twice)
+    if (threshold == 0.6)
+      graft.IndexCache.getOrBuild(spark, s"containment-pairs:$dir") {
+        val df = minedContainmentPairs(spark, dir, 0.6)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
+    else minedContainmentPairs(spark, dir, threshold)
+
+  private def minedContainmentPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     import spark.implicits._
     // one grouped shuffle on the gram hash; each gram's (doc, setsize)
     // posting list emits its ordered doc pairs in a typed flatMap —
