@@ -152,6 +152,7 @@ object IndexCache {
     "events-stream-sessions-dir" -> ("staging dir path string", 4L),
     "buckets" -> ("two bucketed-table name strings", 4L),
     "dpp_orders" -> ("partitioned-layout path string", 4L),
+    "orders-cdc-dir" -> ("staged changelog dir path string", 4L),
     // --- genuinely driver-side artifacts, each with its design bound ---
     "ivf" -> ("nCentroids x dim doubles (KMEANS_CENTROIDS cap)", 1000000L),
     "ivf-ckpt" -> ("nCentroids x dim doubles", 1000000L),

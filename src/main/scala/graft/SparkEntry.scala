@@ -747,6 +747,12 @@ object SparkEntry {
     // |batch|-bounded (every join broadcasts a batch-sized side)
     "orders_merge_changelog" ->
       ((s, d) => sources.Ingest.mergeChangelogShowcase(s, d)),
+    // the CONSUMPTION half: the streaming engine tails the changelog
+    // one chunk per micro-batch and MERGEs it into a versioned state
+    // table (foreachBatch, the crash-proven v=<id> overwrite contract);
+    // the hash gate proves incremental maintenance == the batch MERGE
+    "orders_cdc_apply_streamed" ->
+      ((s, d) => streaming.CdcStream.applyChangelogStreamed(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -5218,6 +5224,32 @@ object SparkEntry {
                AS n_inserted,
              CAST(sum(c) AS BIGINT) AS total_cents
       FROM m""",
+
+    // CDC apply replay: the composed end state (updates re-priced,
+    // clones appended, the disjoint every-700th set removed) plus the
+    // changelog's own action counts
+    "orders_cdc_apply_streamed" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      kept AS (SELECT CASE WHEN o_orderkey % 500 = 0
+                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                             // 10
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END AS c
+               FROM orders
+               WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)),
+      allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up),
+      nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM up),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+             WHERE o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             (SELECT n FROM nu) AS n_updated,
+             (SELECT n FROM nu) AS n_inserted,
+             (SELECT n FROM nd) AS n_deleted,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM allr""",
 
     // CDC changelog replay: the update leg reads old cents off orders
     // directly (the batch derives from orders, so the reconstruction

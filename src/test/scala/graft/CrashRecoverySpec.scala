@@ -190,4 +190,60 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got.length == want.length)
     assert(got.sameElements(want))
   }
+
+  test("streaming CDC apply survives a mid-flight crash: versioned-state " +
+      "recovery converges to the batch MERGE end state exactly once") {
+    import graft.streaming.CdcStream
+    // stage the changelog chunks ourselves (4 chunks -> 4 micro-batches)
+    val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
+      .localCheckpoint(true)
+    val staged = Files.createTempDirectory("graft-crash-cdc-src")
+    val t0 = System.currentTimeMillis() - 60000L
+    (0 until 4).foreach { i =>
+      stageChunk(log.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        staged, s"c$i.parquet", t0 + i * 10000L)
+    }
+    val base = Files.createTempDirectory("graft-crash-cdc-base").toString
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .write.mode("overwrite").parquet(base)
+    val stateRoot = Files.createTempDirectory("graft-crash-cdc-state").toString
+    val ckptDir = Files.createTempDirectory("graft-crash-cdc-ckpt").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // crash AFTER v=2 is written but before its commit: the restart must
+    // REPLAY batch 2 — rewriting v=2 from v=1 (not from its own partial
+    // self) is exactly what the versioned read-prev/write-next contract
+    // guarantees
+    intercept[StreamingQueryException] {
+      withShufflePartitions(4) {
+        CdcStream.runApply(spark, staged.toString, base, stateRoot,
+          ckptDir, crashAt = 2L, crashed = crashed)
+      }
+    }
+    assert(Files.exists(Paths.get(ckptDir, "commits", "1")))
+    assert(!Files.exists(Paths.get(ckptDir, "commits", "2")))
+    withShufflePartitions(4) {
+      CdcStream.runApply(spark, staged.toString, base, stateRoot,
+        ckptDir, crashAt = 2L, crashed = crashed)
+    }
+    val got = CdcStream.endState(spark, stateRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    // batch composition: same upsert batch applied, same deletes removed
+    val orders = Tables.orders(spark, sf0001)
+    val updates = orders.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10") / 100.0)
+    val inserts = updates.withColumn("o_orderkey", -(col("o_orderkey") + 1))
+    val dels = orders
+      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
+      .select(col("o_orderkey"))
+    val want = graft.sources.Ingest.deleteByKey(
+        graft.sources.Ingest.upsert(orders, updates.unionByName(inserts),
+          "o_orderkey"), dels, "o_orderkey")
+      .agg(count(lit(1)),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got == want, s"recovered state $got != batch MERGE $want")
+  }
 }
