@@ -215,7 +215,11 @@ object Bench {
       // watermark sentinels) — charged here so the events_*_streamed
       // rows measure the streaming engine, not file staging
       timed("bench_build_stream_stage",
-        () => streaming.EventStream.prestageSources(spark, sfDir)))
+        () => streaming.EventStream.prestageSources(spark, sfDir)),
+      // one-time CDC staging (chunked changelog + base state snapshot)
+      // — the declared apply row then measures the MERGE loop itself
+      timed("bench_build_cdc_stage",
+        () => streaming.CdcStream.prestage(spark, sfDir)))
     // Run the cache-DEPENDENT families first (they read the persisted
     // builds above), then drop every persisted block before the
     // cache-free relational/events section. r5 measured unchanged

@@ -153,6 +153,7 @@ object IndexCache {
     "buckets" -> ("two bucketed-table name strings", 4L),
     "dpp_orders" -> ("partitioned-layout path string", 4L),
     "orders-cdc-dir" -> ("staged changelog dir path string", 4L),
+    "orders-cdc-base" -> ("base state snapshot path string", 4L),
     // --- genuinely driver-side artifacts, each with its design bound ---
     "ivf" -> ("nCentroids x dim doubles (KMEANS_CENTROIDS cap)", 1000000L),
     "ivf-ckpt" -> ("nCentroids x dim doubles", 1000000L),
