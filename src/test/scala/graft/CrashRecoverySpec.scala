@@ -206,8 +206,10 @@ class CrashRecoverySpec extends SparkSpec {
     val base = Files.createTempDirectory("graft-crash-cdc-base").toString
     Tables.orders(spark, sf0001)
       .select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      .write.mode("overwrite").parquet(base)
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"),
+          lit(graft.streaming.CdcStream.NStateBuckets)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(base)
     val stateRoot = Files.createTempDirectory("graft-crash-cdc-state").toString
     val ckptDir = Files.createTempDirectory("graft-crash-cdc-ckpt").toString
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -227,7 +229,7 @@ class CrashRecoverySpec extends SparkSpec {
       CdcStream.runApply(spark, staged.toString, base, stateRoot,
         ckptDir, crashAt = 2L, crashed = crashed)
     }
-    val got = CdcStream.endState(spark, stateRoot)
+    val got = CdcStream.endState(spark, stateRoot, base)
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     // batch composition: same upsert batch applied, same deletes removed
     val orders = Tables.orders(spark, sf0001)
