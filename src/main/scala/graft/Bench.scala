@@ -45,11 +45,22 @@ object Bench {
     // the JSON line's "errors" array
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // one execution; NaN marks failure so a fast crash can never
-    // masquerade as a fast measurement in a min()
+    // masquerade as a fast measurement in a min(). Every attempt also
+    // records its JVM-environment deltas (GC / JIT time, heap /
+    // code-cache occupancy) to the sidecar diag file — the r10 verdict's
+    // stats_bootstrap_ci driver-run trend was only explainable with
+    // per-row environment attribution, so it stays a permanent fixture.
+    val diag = new scala.collection.mutable.ArrayBuffer[String]()
     def runOnce(name: String, run: () => Unit): Double = {
+      val (gc0, jit0) = (Diag.gcMs, Diag.jitMs)
       val t0 = System.nanoTime()
-      try { run(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => errors += name; Double.NaN }
+      val sec =
+        try { run(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => errors += name; Double.NaN }
+      diag += s"""{"q":"$name","sec":$sec,"gc_ms":${Diag.gcMs - gc0},""" +
+        s""""jit_ms":${Diag.jitMs - jit0},"heap_mb":${Diag.heapUsedMb},""" +
+        s""""codecache_mb":${Diag.codeCacheMb},"meta_mb":${Diag.metaspaceMb}}"""
+      sec
     }
     // dev loop only (driver never sets it): run each row N times and
     // keep the MIN — the host VM shows heavy steal-time bursts (same
@@ -160,10 +171,21 @@ object Bench {
       // item-item transpose (deg² basket expansion) + the truncated
       // neighbor-list index the basket-completion serving row reads
       timed("bench_build_itempairs",
-        () => operators.GraphOps.itemPairCounts(spark, sfDir).count()
-          + operators.GraphOps.itemNeighborListsDF(spark, sfDir).count()
-          + operators.GraphOps.itemNeighborBroadcast(spark, sfDir)
-              .value.size),
+        () => {
+          val nbrs = operators.GraphOps.itemNeighborListsDF(spark, sfDir)
+            .count()
+          // the driver broadcast exists only below basketCompletion's
+          // cutover — past it the serving row takes the distributed leg,
+          // so collecting here would trip the build bound on an artifact
+          // nothing reads (ADVICE r10)
+          val bcSize =
+            if (nbrs <= operators.GraphOps.ItemNbrDriverMaxEntries)
+              operators.GraphOps.itemNeighborBroadcast(spark, sfDir)
+                .value.size.toLong
+            else 0L
+          operators.GraphOps.itemPairCounts(spark, sfDir).count()
+            + nbrs + bcSize
+        }),
       // one-time per-layout dual-key file envelopes (three global-rank
       // sorts) shared by the two layout-audit rows — charged here so
       // whichever audit row runs first doesn't absorb the sorts
@@ -192,7 +214,8 @@ object Bench {
       timed("bench_build_kmeans",
         () => operators.EmbeddingStats.kmeansCentroids(spark, sfDir).length.toLong),
       timed("bench_build_fuzzy",
-        () => operators.TextOps.fuzzyWordPairs(spark, sfDir).count()),
+        () => operators.TextOps.fuzzyWordPairs(spark, sfDir).count()
+          + operators.TextOps.typoLabelDictionary(spark, sfDir).count()),
       timed("bench_build_bpe",
         () => operators.TextOps.bpeVocab(spark, sfDir).count()),
       // unigram-LM EM training (seed shuffle + 2 Viterbi rounds) — the
@@ -289,7 +312,39 @@ object Bench {
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // per-attempt environment attribution (one JSON object per line) —
+    // sidecar so the driver's single-line contract stays untouched
+    val diagOut = out.resolveSibling("bench_diag.jsonl")
+    java.nio.file.Files.write(diagOut,
+      (diag.mkString("\n") + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+  }
+
+  /** JVM-environment gauges for per-row bench attribution. */
+  private object Diag {
+    import java.lang.management.{ManagementFactory => mgmt}
+    def gcMs: Long = {
+      var s = 0L
+      mgmt.getGarbageCollectorMXBeans.forEach(b =>
+        s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    def jitMs: Long = Option(mgmt.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    def heapUsedMb: Long =
+      mgmt.getMemoryMXBean.getHeapMemoryUsage.getUsed >> 20
+    private def poolMb(pred: String => Boolean): Long = {
+      var s = 0L
+      mgmt.getMemoryPoolMXBeans.forEach { p =>
+        if (pred(p.getName)) s += p.getUsage.getUsed
+      }
+      s >> 20
+    }
+    def codeCacheMb: Long =
+      poolMb(n => n.contains("CodeHeap") || n.contains("Code Cache"))
+    def metaspaceMb: Long = poolMb(_.contains("Metaspace"))
   }
 
   /** Drop every persisted block in the session — Dataset caches AND
@@ -302,6 +357,10 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+    // broadcast blocks (the CF neighbor lists are ~100s of MB) survive
+    // both calls above — destroy + evict them too, so the cache-free
+    // section starts from a genuinely quiet block manager
+    IndexCache.releaseBroadcasts(spark)
     System.gc()
   }
 

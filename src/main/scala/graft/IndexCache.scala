@@ -80,6 +80,25 @@ object IndexCache {
     */
   def clear(): Unit = { cache.clear(); locks.clear() }
 
+  /** Destroy and evict this session's BROADCAST-valued entries — the
+    * bench's between-section release: broadcast blocks survive
+    * `catalog.clearCache()` + RDD unpersists, and nothing after the
+    * release point reads one (a later getOrBuild on the same key would
+    * simply rebuild). Dataset handles / scalars / path memos stay.
+    */
+  def releaseBroadcasts(spark: SparkSession): Unit = {
+    val prefix = spark.sparkContext.applicationId + "|"
+    import scala.jdk.CollectionConverters._
+    cache.asScala.foreach { case (k, v) =>
+      if (k.startsWith(prefix)) v match {
+        case b: org.apache.spark.broadcast.Broadcast[_] =>
+          cache.remove(k)
+          b.destroy()
+        case _ => ()
+      }
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Driver-artifact bound enforcement
   //
@@ -140,6 +159,8 @@ object IndexCache {
     "layout-env" -> ("persisted |files|-row envelope handle", 8L),
     "copurchase-bidir" -> ("persisted bidirectional-edge handle", 8L),
     "fuzzy-keyed" -> ("persisted deletion-keyed vocab handle", 8L),
+    "fuzzy-pairs" -> ("persisted verified ed-join pair handle", 8L),
+    "fuzzy-labels" -> ("persisted vocab-bounded label-dictionary handle", 8L),
     "hnsw-reloaded" -> ("shards int + reloaded Dataset handle", 8L),
     "vamana-reloaded" -> ("shards int + reloaded Dataset handle", 8L),
     // --- paths / names (O(1) strings) ---

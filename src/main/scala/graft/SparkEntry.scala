@@ -217,6 +217,14 @@ object SparkEntry {
     "eval_recall_hnsw_sampled" -> ((s, d) => Evaluation.recall(
       hnswBatch(s, d).select("qid", "vec_id"),
       ExactKnn.topKBatchSampled(s, d).select("qid", "vec_id"))),
+    // the sampled ground truth ITSELF as a declared row with a REAL SQL
+    // oracle (not a literal): O(|sample|·n) on both engines, so this is
+    // the embedding row the 10x-tier hash replay can cover (the full
+    // exact-GT oracle is deliberately quadratic) — r10 verdict ask #5
+    "knn_exact_batch_sampled" ->
+      ((s, d) => ExactKnn.topKBatchSampled(s, d)),
+    "emb_hubness_sampled" ->
+      ((s, d) => EmbeddingStats.hubnessSampled(s, d)),
     "knn_ivf_batch" -> ivfBatch,
     // save (partitioned by cid) -> load -> probe: the reloaded scan
     // prunes to the probed partitions (IvfKnnSpec pins PartitionFilters
@@ -390,6 +398,10 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "neardup_embedding"   -> ((s, d) => Dedup.embeddingNearDupExact(s, d)),
+    // anchor-sampled dup-rate estimator: O(n²/10) on both engines →
+    // sf1-replayable oracle (the embedding-family replay gap, r10 ask #5)
+    "neardup_embedding_sampled" ->
+      ((s, d) => Dedup.embeddingNearDupExactSampled(s, d)),
     // the scale path AT its design regime: every vector gets a planted
     // near-dup (+0.01 shift, sim ~0.9968; mirrored in the oracle), then
     // 16x16-bit banded LSH candidates + exact verification at 0.98 —
@@ -2089,6 +2101,43 @@ object SparkEntry {
       FROM d
       QUALIFY rk <= 10""",
 
+    // the sampled exact GT replayed with REAL SQL: same split + top-k
+    // reconstruction as knn_exact_batch, restricted to the 1-in-10
+    // deterministic query sample — O(|sample|·n), the form that stays
+    // replayable at the 10x tier (r10 verdict ask #5)
+    "knn_exact_batch_sampled" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id >= p.s
+              AND (q.vec_id - p.s) % 10 = 0)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
+
+    // retrieved-set k-occurrence histogram over the same sampled GT
+    "emb_hubness_sampled" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
+            FROM e b, e q, p
+            WHERE b.vec_id < p.s AND q.vec_id >= p.s
+              AND (q.vec_id - p.s) % 10 = 0),
+      t AS (SELECT qid, vec_id,
+              row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+                AS rk
+            FROM d QUALIFY rk <= 10),
+      o AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS k_occ
+            FROM t GROUP BY 1)
+      SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM o GROUP BY 1""",
+
     // reciprocal filter replay: same base-side self top-5 (self-match
     // excluded), then the (a,b)x(b,a) join with a < b
     "knn_mutual_pairs" -> s"""
@@ -3111,6 +3160,26 @@ object SparkEntry {
                  list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1]*z[2])),
                  0), 6) AS sim
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      WHERE sim >= 0.4""",
+
+    // anchor-sampled dup-rate estimator: anchors (vec_id % 10 = 0)
+    // scored against the whole corpus — O(n²/10) reconstruction, the
+    // near-dup row the 10x replay can afford (r10 verdict ask #5);
+    // directional by design (an anchor-anchor pair appears per side)
+    "neardup_embedding_sampled" -> """
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id,
+                   list_transform(v, x -> x /
+                     nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
+            FROM e)
+      SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(greatest(
+                 list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1]*z[2])),
+                 0), 6) AS sim
+        FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id)
       WHERE sim >= 0.4""",
 
 

@@ -65,6 +65,23 @@ object EmbeddingStats {
         round(m3 / (m2 * sqrt(m2)), 6).as("skewness"))
   }
 
+  /** k-occurrence histogram over the SAMPLED exact ground truth
+    * ([[graft.knn.ExactKnn.topKBatchSampled]]) — the sf1-replayable
+    * hubness face (r10 verdict ask #5): how many sampled queries list
+    * each base vector in their exact top-10. The sampled GT is
+    * O(|sample|·n) on both engines, so the DuckDB reconstruction stays
+    * tractable at the 10x tier where [[hubness]]'s self-top-k oracle is
+    * deliberately quadratic. Output: (k_occ, n_vectors) — base vectors
+    * never retrieved are not rows here (zero-occurrence counting is
+    * [[hubness]]'s job; this is the retrieved-set histogram).
+    */
+  def hubnessSampled(spark: SparkSession, dir: String): DataFrame =
+    graft.knn.ExactKnn.topKBatchSampled(spark, dir)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("k_occ"))
+      .groupBy(col("k_occ")).agg(count(lit(1)).as("n_vectors"))
+      .select(col("k_occ").cast("long").as("k_occ"),
+        col("n_vectors").cast("long").as("n_vectors"))
+
   def mutualKnnClusters(spark: SparkSession, dir: String, k: Int = 5)
       : DataFrame =
     GraphOps.starContractionComponents(

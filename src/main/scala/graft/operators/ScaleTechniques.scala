@@ -306,6 +306,12 @@ object ScaleTechniques {
     * n_rows_scanned, n_match) — n_match identical across layouts by
     * construction, pinning that pruning never changes results.
     */
+  /** Morton width of the lineitem (epday, supp) layout: 17 bits spans
+    * epday (~10k) and the derived tiers' strided supplier keys (~91k at
+    * the 10x tier) with headroom; the build asserts the range.
+    */
+  private[graft] val ZorderLayoutBits = 17
+
   /** Per-file DUAL-KEY min/max envelopes of lineitem under a named
     * sort layout — the shared relation behind [[minmaxSkipping]] and
     * [[layoutTradeoffMatrix]] (both audit stats off these |files|-row
@@ -325,10 +331,22 @@ object ScaleTechniques {
         .select(col("l_orderkey"), col("l_linenumber"), epday.as("epday"),
           col("l_suppkey").cast("long").as("supp"))
       // the interleaved layout clusters on the Morton value of BOTH
-      // keys (16 bits each covers the full epday/supp ranges exactly)
-      val li = if (layout == "zorder")
-        base.withColumn("z", zorderValue(col("epday"), col("supp"), 16))
-      else base
+      // keys. Overflow is a SILENT quality killer (dropped high bits
+      // keep every hash gate green while de-clustering the layout —
+      // ADVICE r10: the 10x tier's strided supplier keys exceeded 16
+      // bits), so the width covers the derived tiers (17 bits = 131k)
+      // AND the build asserts the ranges loudly.
+      val li = if (layout == "zorder") {
+        val mx = base.agg(max(col("epday")), max(col("supp")))
+          .collect().head
+        require(mx.getLong(0) < (1L << ZorderLayoutBits) &&
+          mx.getLong(1) < (1L << ZorderLayoutBits),
+          s"zorder layout: key range (epday=${mx.getLong(0)}, " +
+            s"supp=${mx.getLong(1)}) exceeds $ZorderLayoutBits bits — " +
+            "raise ZorderLayoutBits (clustering would silently degrade)")
+        base.withColumn("z",
+          zorderValue(col("epday"), col("supp"), ZorderLayoutBits))
+      } else base
       val orderCols = layout match {
         case "natural" => Seq("l_orderkey" -> true, "l_linenumber" -> true)
         case "shipdate_sorted" =>
@@ -448,8 +466,8 @@ object ScaleTechniques {
     *
     * Same file model as [[layoutTradeoffMatrix]] (range-partitioned
     * [[graft.plans.GraftOps.globalRank]], `rowsPerFile` rows per file);
-    * the zorder layout orders by [[zorderValue]] (16 bits per key —
-    * exact for the full epday/supp ranges), a pure codegen bit fold the
+    * the zorder layout orders by [[zorderValue]] ([[ZorderLayoutBits]]
+    * bits per key — range-asserted at build), a pure codegen bit fold the
     * DuckDB oracle replays term-by-term. Envelopes memoized via
     * [[layoutEnvelopes]] and shared with the other layout rows.
     * Output: (layout, n_files, n_skipped, skip_permille,
@@ -492,7 +510,7 @@ object ScaleTechniques {
     */
   def zorderBoxOracleSql(rowsPerFile: Int = 4096, d1: Long = 9190L,
       d2: Long = 9220L, s1: Long = 0L, s2: Long = 9L,
-      bits: Int = 16): String = {
+      bits: Int = ZorderLayoutBits): String = {
     val terms = (0 until bits).flatMap(i => Seq(
       s"((epday & ${1L << i}) << $i)",
       s"((supp & ${1L << i}) << ${i + 1})"))

@@ -423,6 +423,30 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_._2 == "core") && rows.exists(_._2 == "noise"))
   }
 
+  test("dbscan pair source is cutover-gated: exact at/below the bound, " +
+      "LSH above, and the LSH leg loses only recall, never precision") {
+    import org.apache.spark.sql.functions.col
+    val n = operators.Dedup.plantedNormalizedEmbeddings(spark, sf0001)
+    val bound = operators.Dedup.DbscanExactMaxRows
+    assert(operators.Dedup.dbscanPairSource(n, bound, 0.45)._1 == "exact")
+    val (tag, lshPairs) = operators.Dedup.dbscanPairSource(n, bound + 1, 0.45)
+    assert(tag == "lsh")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = toSet(operators.Dedup
+      .embeddingNearDupExactNormalized(n, 0.45))
+    val lsh = toSet(lshPairs)
+    assert(lsh.subsetOf(exact), "LSH candidates are exactly verified — " +
+      s"every mined pair must be a true epsilon-pair; extras: ${lsh -- exact}")
+    // the high-similarity pairs (the planted-twin regime banding is FOR)
+    // must all survive the 8-bit x 32-band blocking
+    val twins = toSet(operators.Dedup
+      .embeddingNearDupExactNormalized(n, 0.9))
+    assert(twins.nonEmpty && twins.subsetOf(lsh),
+      s"planted twins missed by banding: ${twins -- lsh}")
+  }
+
   test("threshold curve: non-increasing counts anchored to the pair relation") {
     val curve = graft.operators.Dedup.thresholdCurve(spark, sf0001)
       .collect().map(r => (r.getDouble(0), r.getLong(1)))

@@ -74,6 +74,8 @@ class PlanShapeSweepSpec extends SparkSpec {
     "events_sequence_support",    // 1-row user-total attach
     "events_markov_holdout",      // 1-row baseline-prediction attach
     "emb_hubness",                // 1-row moment attach
+    "emb_hubness_sampled",        // sampled-GT broadcast-NLJ distance
+                                  // scan (the exact-kNN shape) upstream
     "events_cuped_lift",          // 1-row pooled-moments attach
     "events_did_lift",            // 1-row x 1-row arm-fold combiner
     "events_dau_wau_mau",         // calendar-bounded range fan-out NLJ

@@ -5,11 +5,14 @@ table; dimension tables (region, nation) stay 1x like real star schemas.
 
 Distribution-preserving perturbations so the 10x tier stresses VOLUME,
 not artifacts of replication:
-  - keys shift by copy*stride (strides are multiples of 1000, so the
-    %500/%700 showcase densities and %2 arm splits are preserved);
+  - keys shift by copy*stride; the orderkey stride is lcm(500,700)*1000
+    = 3,500,000 so the %500/%700 showcase sets are key-preserved
+    exactly (every copy of a %700 delete key is itself %700), and all
+    strides are multiples of 1000 so %2 arm splits are preserved;
   - document text of copy i>0 rotates its vowels by i (same lengths,
-    whitespace and punctuation -> same quality stats; every word hash
-    differs -> no cross-copy near-duplicate pairs);
+    whitespace and punctuation -> same quality stats; word hashes
+    differ except for vowel-free tokens, so cross-copy near-dup pairs
+    are approximately — not absolutely — eliminated);
   - embeddings of copy i circularly shift coordinates by i (an
     orthogonal permutation: within-copy geometry identical, cross-copy
     vectors distinct -> no degenerate exact-dup neighbors);
@@ -77,13 +80,13 @@ emit("part", f"""
   FROM {src('part')} CROSS JOIN copies""")
 
 emit("orders", f"""
-  SELECT o_orderkey + i * 1000000 AS o_orderkey,
+  SELECT o_orderkey + i * 3500000 AS o_orderkey,
          o_custkey + i * 100000 AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM {src('orders')} CROSS JOIN copies""")
 
 emit("lineitem", f"""
-  SELECT l_orderkey + i * 1000000 AS l_orderkey,
+  SELECT l_orderkey + i * 3500000 AS l_orderkey,
          l_partkey + i * 100000 AS l_partkey,
          l_suppkey + i * 10000 AS l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
