@@ -227,6 +227,12 @@ object Bench {
       timed("bench_build_part_orders",
         () => spark.read.parquet(
           operators.ScaleTechniques.partitionedOrdersPath(spark, sfDir)).count()),
+      // one-time z-tile-partitioned events layout — the declared
+      // zorder-DPP row then measures the pruned join, not the write
+      timed("bench_build_zorder_part",
+        () => spark.read.parquet(
+          operators.ScaleTechniques.zorderPartitionedEventsPath(
+            spark, sfDir)).count()),
       // one-time co-bucketed table writes — the declared bucketed-join
       // row then measures the exchange-free merge, not the layout cost
       timed("bench_build_buckets",

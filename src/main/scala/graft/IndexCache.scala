@@ -173,6 +173,7 @@ object IndexCache {
     "events-stream-sessions-dir" -> ("staging dir path string", 4L),
     "buckets" -> ("two bucketed-table name strings", 4L),
     "dpp_orders" -> ("partitioned-layout path string", 4L),
+    "zorder-part" -> ("z-tile-partitioned layout path string", 4L),
     "orders-cdc-dir" -> ("staged changelog dir path string", 4L),
     "orders-cdc-base" -> ("base state snapshot path string", 4L),
     // --- genuinely driver-side artifacts, each with its design bound ---

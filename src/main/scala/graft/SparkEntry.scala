@@ -655,6 +655,11 @@ object SparkEntry {
     // serves the conjunctive query; the z-ordered files prune both axes
     "layout_zorder_box" ->
       ((s, d) => ScaleTechniques.zorderBoxAudit(s, d)),
+    // runtime partition pruning OVER the z-tiled layout: the tile
+    // directory deinterleaved into envelopes, DPP prunes to the box's
+    // tiles (plan pinned in ScaleTechniquesSpec) — r10 optional ask
+    "layout_zorder_dpp" ->
+      ((s, d) => ScaleTechniques.zorderDppBox(s, d)),
     // zone-map skip-rate audit: natural vs shipdate-sorted file layout
     // for a one-month band — the pay-for-the-sort-rewrite evidence
     "layout_minmax_skipping" ->
@@ -907,6 +912,10 @@ object SparkEntry {
     // selection-sparsity misses
     "dedup_containment_crosscheck" ->
       ((s, d) => Dedup.containmentCrossCheck(s, d)),
+    // MinHash-signature vs winnowing detectors on the pair key — the
+    // remaining detector pair of the cross-check matrix (r10 optional)
+    "dedup_minhash_winnow_crosscheck" ->
+      ((s, d) => Dedup.minhashWinnowCrossCheck(s, d)),
     // near-dup cluster-size distribution (dedup-rate summary)
     "dedup_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
     // corpus curation: per-source average quality (exact micro-units)
@@ -2023,6 +2032,62 @@ object SparkEntry {
   /** Cross-detector containment replay: the two detectors' full
     * chains as CTE subqueries, full-outer-joined on the pair key.
     */
+  // MinHash-vs-winnowing cross-check: the MinHash side reconstructed
+  // INDEPENDENTLY from brute-force exact word-3-gram Jaccard >= 0.8
+  // (banding completeness at the declared operating point is thereby
+  // under the hash gate, not assumed), the winnowing side the same
+  // rolling-hash fingerprint replay as text_winnowing_pairs
+  private val minhashWinnowCrossCheckSql = """
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                   max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      mh AS (SELECT doc_a, doc_b,
+                    round(shared / (na + nb - shared), 6) AS jaccard
+             FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.8),
+      h AS (
+        SELECT doc_id,
+          list_transform(string_split(text, ' '), t ->
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(t, ''),
+                c -> CAST(unicode(c) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)
+           for i in range(1, len(wh) - 3)] AS sh
+        FROM h WHERE len(wh) >= 8),
+      fp AS (
+        SELECT DISTINCT doc_id,
+          unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
+        FROM s),
+      rare AS (SELECT h FROM fp GROUP BY h
+               HAVING count(DISTINCT doc_id) <= 64),
+      winn AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS winn_shared
+        FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
+        JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT coalesce(m.doc_a, w.doc_a) AS doc_a,
+             coalesce(m.doc_b, w.doc_b) AS doc_b,
+             CAST(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS in_minhash,
+             CAST(CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS in_winnow,
+             m.jaccard, w.winn_shared
+      FROM mh m FULL JOIN winn w
+        ON m.doc_a = w.doc_a AND m.doc_b = w.doc_b"""
+
   private val containmentCrossCheckSql = s"""
       WITH gram AS (SELECT * FROM ($gramContainmentSql)),
       winn AS (SELECT * FROM ($winnowContainmentSql))
@@ -2900,6 +2965,7 @@ object SparkEntry {
     // the two asymmetric-containment detectors (full gram sets vs the
     // winnowed selection) cross-checked pair by pair under the gate
     "dedup_containment_crosscheck" -> containmentCrossCheckSql,
+    "dedup_minhash_winnow_crosscheck" -> minhashWinnowCrossCheckSql,
 
     // connected components of the jaccard>=0.8 pair graph via recursive
     // transitive closure; rep = min doc_id of the component
@@ -4913,6 +4979,8 @@ object SparkEntry {
     // the interleaved-layout answer to the tradeoff matrix: box
     // predicate on all four layouts, zorder replayed term-by-term
     "layout_zorder_box" -> ScaleTechniques.zorderBoxOracleSql(),
+    // pruning changes I/O, never results: the plain filtered rollup
+    "layout_zorder_dpp" -> ScaleTechniques.zorderDppOracleSql(),
 
     // zone-map replay: same epoch-day band, same 4096-row file model
     // under both total orders (row_number = the rank primitive's value)

@@ -279,6 +279,35 @@ object Dedup {
         col("winn_cont_a_permille"), col("winn_cont_b_permille"))
   }
 
+  /** CROSS-DETECTOR near-dup check, MinHash leg — completes the
+    * detector-pair matrix next to [[containmentCrossCheck]]
+    * (gram-vs-winnow): the MinHash-SIGNATURE near-dup detector
+    * ([[minhashLshPairs]], banded signatures, candidates verified to
+    * exact Jaccard >= 0.8) full-outer-joined with the winnowing pair
+    * detector ([[TextOps.winnowingPairs]], shared rare fingerprints) on
+    * the pair key. Near-dups missing from the winnowing side are
+    * fingerprint-selection misses; winnowing pairs absent from MinHash
+    * are sub-threshold overlaps (quotes/containment) — the audit run
+    * before trusting one detector's flags at 100 TB. Both inputs are
+    * memoized pair-bounded relations, so the join costs nothing next to
+    * the detectors. The oracle reconstructs the MinHash side from
+    * brute-force exact Jaccard (a genuinely independent derivation —
+    * banding completeness at the 0.8 operating point is part of what
+    * the hash gate then proves). Output: (doc_a, doc_b, in_minhash,
+    * in_winnow, jaccard, winn_shared).
+    */
+  def minhashWinnowCrossCheck(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val winn = TextOps.winnowingPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("n_shared").as("winn_shared"))
+    mh.join(winn, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("jaccard").isNotNull, 1L).otherwise(0L).as("in_minhash"),
+        when(col("winn_shared").isNotNull, 1L).otherwise(0L).as("in_winnow"),
+        col("jaccard"), col("winn_shared"))
+  }
+
   /** Near-duplicate pairs by word-3-gram Jaccard >= `threshold`.
     * Output: (doc_a, doc_b, jaccard rounded 6), doc_a < doc_b.
     * Thresholds >= 0.5 filter a per-dataset memoized pair table, so the
@@ -758,17 +787,41 @@ object Dedup {
     */
   def embeddingNearDupExactSampled(spark: SparkSession, dir: String,
       threshold: Double = 0.4, everyNth: Int = 10): DataFrame = {
+    import spark.implicits._
     val n = normalizedEmbeddings(spark, dir)
-    val anchors = broadcast(
-      n.filter(pmod(col("vec_id"), lit(everyNth)) === 0)
-        .select(col("vec_id").as("vec_a"), col("nv").as("va")))
-    n.select(col("vec_id").as("vec_b"), col("nv").as("vb"))
-      .crossJoin(anchors)
-      .filter(col("vec_a") =!= col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(greatest(ArrayMath.dotProduct(col("va"), col("vb")),
-          lit(0.0)), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+    // the ANCHOR slice broadcasts as the exact kernel's flat envelope
+    // (n/everyNth rows); the full table streams once — fused FMA per
+    // (row, anchor), no joined-array materialization (the crossJoin
+    // expression form measured 28.7 s at the 10x tier for 40M pairs;
+    // this form is the same arithmetic in a tight loop)
+    val (aIds, aFlat, _) =
+      collectFlat(n.filter(pmod(col("vec_id"), lit(everyNth)) === 0))
+    val bc = spark.sparkContext.broadcast((aIds, aFlat))
+    val guard = threshold - 1e-6
+    n.select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (ids, flat) = bc.value
+        val m = ids.length
+        it.flatMap { case (idb, vb) =>
+          val d = vb.length
+          val buf =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var j = 0
+          while (j < m) {
+            if (ids(j) != idb) {
+              var s = 0.0; var k = 0; val off = j * d
+              while (k < d) { s += flat(off + k) * vb(k); k += 1 }
+              val clamped = if (s > 0.0) s else 0.0
+              if (clamped >= guard) {
+                val sim = roundHalfUp6(clamped)
+                if (sim >= threshold) buf += ((ids(j), idb, sim))
+              }
+            }
+            j += 1
+          }
+          buf.iterator
+        }
+      }.toDF("vec_a", "vec_b", "sim")
   }
 
   /** The threshold-tuning sheet for embedding dedup: surviving pair
@@ -972,15 +1025,48 @@ object Dedup {
   def embeddingNearDupLshNormalized(normalized: DataFrame, dim: Int,
       threshold: Double = 0.9, bands: Int = 16, rowsPerBand: Int = 8,
       seed: Long = 7L): DataFrame = {
-    val e = normalized.select(col("vec_id"), col("nv").as("v"))
-    val cand = lshCandidatePairs(normalized, dim, bands, rowsPerBand, seed)
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(greatest(ArrayMath.dotProduct(col("va"), col("vb")), lit(0.0)), 6)
-          .as("sim"))
-      .filter(col("sim") >= threshold)
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    // verification rides the SAME flattened broadcast envelope as the
+    // exact kernel: candidates carry two 8-byte ids through the join,
+    // vectors are looked up in the broadcast matrix inside a fused FMA
+    // loop, and the pair dedup runs AFTER the threshold (the surviving
+    // relation, not the raw band collisions). The former plan joined
+    // both 64-dim arrays onto every raw candidate and deduped the full
+    // collision relation first — at the 10x tier's moderate-threshold
+    // regime (23M collisions) that materialization measured 197 s vs
+    // seconds for this form (r11; the same lesson as the exact leg's
+    // NLJ-to-kernel move).
+    val (ids, flat, _) = collectFlat(normalized)
+    val bc = spark.sparkContext.broadcast((ids, flat))
+    val guard = threshold - 1e-6
+    lshCandidatePairsRaw(normalized, dim, bands, rowsPerBand, seed)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val (bIds, bFlat) = bc.value
+        it.flatMap { case (a, b) =>
+          val ia = java.util.Arrays.binarySearch(bIds, a)
+          val ib = java.util.Arrays.binarySearch(bIds, b)
+          if (ia < 0 || ib < 0) Iterator.empty
+          else {
+            val d = bFlat.length / bIds.length
+            var s = 0.0; var k = 0
+            val oa = ia * d; val ob = ib * d
+            while (k < d) { s += bFlat(oa + k) * bFlat(ob + k); k += 1 }
+            val clamped = if (s > 0.0) s else 0.0
+            if (clamped >= guard) {
+              val sim = roundHalfUp6(clamped)
+              if (sim >= threshold) Iterator.single((a, b, sim))
+              else Iterator.empty
+            } else Iterator.empty
+          }
+        }
+      }.toDF("vec_a", "vec_b", "sim")
+      // pair dedup via grouped max (sim is a pure function of the pair,
+      // so max == the value; dropDuplicates through the typed-kernel
+      // boundary trips a Catalyst binding bug in Spark 4.1)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("sim")).as("sim"))
   }
 
   /** The BLOCKING stage of [[embeddingNearDupLshNormalized]], exposed
@@ -991,7 +1077,21 @@ object Dedup {
     * ID pair BEFORE any vector moves.
     */
   def lshCandidatePairs(normalized: DataFrame, dim: Int, bands: Int,
-      rowsPerBand: Int, seed: Long = 7L): DataFrame = {
+      rowsPerBand: Int, seed: Long = 7L): DataFrame =
+    // candidates = bucket-mates in >= 1 band; dedup the (a, b) ID pairs
+    // (16-byte rows) — the introspection/spec surface. The verification
+    // path consumes the RAW collision stream instead and dedups after
+    // thresholding (cheaper: survivors << collisions).
+    lshCandidatePairsRaw(normalized, dim, bands, rowsPerBand, seed)
+      .dropDuplicates("vec_a", "vec_b")
+
+  /** The banded collision stream BEFORE pair dedup (a true pair that
+    * collides in k bands appears k times). Verification dedups after
+    * the threshold filter; [[lshCandidatePairs]] dedups here for the
+    * candidate-count surface.
+    */
+  private[graft] def lshCandidatePairsRaw(normalized: DataFrame, dim: Int,
+      bands: Int, rowsPerBand: Int, seed: Long = 7L): DataFrame = {
     val spark = normalized.sparkSession
     import spark.implicits._
     val rng = new java.util.Random(seed)
@@ -1022,14 +1122,31 @@ object Dedup {
         bandKeys.iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
       }
     }.toDF("vec_id", "b", "key")
-    // candidates = bucket-mates in >= 1 band; dedup the (a, b) ID pairs
-    // BEFORE fetching vectors, so the shuffle dedups 16-byte pairs and
-    // each unique candidate moves its two vectors exactly once
     keys.as("x").join(keys.as("y"),
         col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** Collect a normalized (vec_id, nv) table to the id-sorted flat
+    * row-major matrix the fused kernels broadcast — the exact leg's
+    * envelope (bounded: the same single-copy the BroadcastExchange of a
+    * `broadcast()` NLJ would stage through the driver).
+    */
+  private def collectFlat(n: DataFrame): (Array[Long], Array[Double], Int) = {
+    val spark = n.sparkSession
+    import spark.implicits._
+    val side = n.select(col("vec_id"), col("nv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val nRows = side.length
+    val dim = if (nRows == 0) 0 else side(0)._2.length
+    val ids = side.map(_._1)
+    val flat = new Array[Double](nRows * dim)
+    var r = 0
+    while (r < nRows) {
+      System.arraycopy(side(r)._2, 0, flat, r * dim, dim); r += 1
+    }
+    (ids, flat, dim)
   }
 
   /** Canonical-document election: per near-dup cluster (from

@@ -272,6 +272,106 @@ object ScaleTechniques {
       FROM z GROUP BY bucket"""
   }
 
+  /** Events written hive-partitioned by Z-TILE — the
+    * [[zorderBucketStats]] bucket shape (morton(user_id & mask,
+    * epday & mask) >> shift) turned into a PHYSICAL partition key, so
+    * the tile envelopes become partitions a runtime filter can prune
+    * instead of just stats a reader consults. shift=4 gives 4-wide
+    * tiles on both axes — sized so even the smallest fixture (15
+    * users × 30 days) spans dozens of populated tiles; only populated
+    * tiles materialize as directories. Memoized per dataset; charged
+    * to `bench_build_zorder_part` so the declared DPP row measures the
+    * pruned join, not the layout write.
+    */
+  private[graft] def zorderPartitionedEventsPath(spark: SparkSession,
+      dir: String, bits: Int = 8, shift: Int = 4): String =
+    graft.IndexCache.getOrBuild(spark, s"zorder-part:$dir:$bits:$shift") {
+      val p = graft.streaming.EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_zpart_events")).toString
+      val mask = (1L << bits) - 1
+      val x = col("user_id").bitwiseAND(lit(mask))
+      val d = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+        .bitwiseAND(lit(mask))
+      Tables.events(spark, dir)
+        .select(x.as("x"), d.as("d"), cents(col("value")).as("cents"))
+        .withColumn("ztile",
+          shiftright(zorderValue(col("x"), col("d"), bits), shift)
+            .cast("int"))
+        .write.mode("overwrite").partitionBy("ztile").parquet(p)
+      p
+    }
+
+  /** DYNAMIC PARTITION PRUNING over the Z-ordered layout — the declared
+    * consumer completing the interleave story (r10 verdict optional
+    * ask): the fact side is [[zorderPartitionedEventsPath]] (events
+    * partitioned by z-tile), the dim side is the tile DIRECTORY — each
+    * tile id DEINTERLEAVED back into its exact (x, y) envelope with the
+    * same shift/mask folds as [[zorderValue]] (a tile's Morton prefix
+    * fixes the high bits of both axes; the `shift` free bits span a
+    * 2^⌈shift/2⌉-wide rectangle) — filtered to the tiles overlapping a
+    * 2-D box. Joining fact to that filtered dim on the PARTITION column
+    * makes Catalyst plan a `dynamicpruningexpression` in the scan's
+    * PartitionFilters (ScaleTechniquesSpec pins it + files-read <
+    * files-on-disk): only the overlapping tiles' directories are ever
+    * opened, the partition-level form of the envelope skipping the
+    * layout_zorder_box row audits. The residual box filter then drops
+    * the tile-resident rows outside the box — exactly a lakehouse
+    * z-order + partition-pruning read at 100 TB.
+    * Output: one row (n_tiles, n_rows, value_cents).
+    */
+  def zorderDppBox(spark: SparkSession, dir: String,
+      x1: Long = 5L, x2: Long = 10L, y1: Long = 17L, y2: Long = 34L,
+      bits: Int = 8, shift: Int = 4): DataFrame = {
+    val facts = spark.read.parquet(
+      zorderPartitionedEventsPath(spark, dir, bits, shift))
+    val nTiles = 1L << (2 * bits - shift)
+    val freeX = (shift + 1) / 2  // free low x-bits inside a tile
+    val freeY = shift / 2
+    val zPrefix = shiftleft(col("id"), shift)
+    def compact(offset: Int): org.apache.spark.sql.Column =
+      (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc.bitwiseOR(shiftleft(
+          shiftright(zPrefix, 2 * i + offset).bitwiseAND(lit(1L)), i))
+      }
+    val xlo = compact(0)
+    val ylo = compact(1)
+    val dim = spark.range(0, nTiles)
+      .select(col("id").cast("int").as("ztile"),
+        xlo.as("xlo"), (xlo + ((1L << freeX) - 1)).as("xhi"),
+        ylo.as("ylo"), (ylo + ((1L << freeY) - 1)).as("yhi"))
+      .filter(col("xhi") >= x1 && col("xlo") <= x2 &&
+        col("yhi") >= y1 && col("ylo") <= y2)
+    facts.join(broadcast(dim), Seq("ztile"))
+      .filter(col("x").between(x1, x2) && col("d").between(y1, y2))
+      .agg(countDistinct(col("ztile")).as("n_tiles"),
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("value_cents"))
+  }
+
+  /** DuckDB replay of [[zorderDppBox]]: the interleave generated
+    * term-by-term, the box applied directly — pruning changes I/O,
+    * never results, so the oracle is the plain filtered rollup.
+    */
+  def zorderDppOracleSql(bits: Int = 8, shift: Int = 4,
+      x1: Long = 5L, x2: Long = 10L, y1: Long = 17L,
+      y2: Long = 34L): String = {
+    val mask = (1L << bits) - 1
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"((x & ${1L << i}) << $i)",
+      s"((d & ${1L << i}) << ${i + 1})"))
+    s"""
+      WITH e AS (SELECT (user_id & $mask) AS x,
+                        ((epoch_us(ts) // 86400000000) & $mask) AS d,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      z AS (SELECT x, d, cents,
+                   (${terms.mkString(" | ")}) >> $shift AS ztile FROM e)
+      SELECT CAST(count(DISTINCT ztile) AS BIGINT) AS n_tiles,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM z WHERE x BETWEEN $x1 AND $x2 AND d BETWEEN $y1 AND $y2"""
+  }
+
   /** Per-file (min, max) envelopes of two columns — the pruning model a
     * stats-based reader applies: a file whose envelope misses the query
     * box is never read. Used by the spec to show the Z-order layout

@@ -236,6 +236,52 @@ class ScaleTechniquesSpec extends SparkSpec {
       == direct)
   }
 
+  test("zorder DPP: runtime filter prunes the box to its z-tile dirs; " +
+      "result equals the direct box rollup") {
+    val df = ScaleTechniques.zorderDppBox(spark, sf0001)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$planStr")
+    val path = ScaleTechniques.zorderPartitionedEventsPath(spark, sf0001)
+    val tilesOnDisk = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("ztile="))
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val scan = nodes(df.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_zpart_events")) => s
+    }.getOrElse(fail(s"no z-tiled fact scan found:\n${df.queryExecution.executedPlan}"))
+    val partsRead = scan.metrics("numPartitions").value
+    // the default box (x 5..10, d 17..34) overlaps 2 x-bands x 5
+    // d-bands of the 4-wide tile grid — DPP must read at most those 10
+    assert(tilesOnDisk > 12, s"fixture spans only $tilesOnDisk tiles")
+    assert(partsRead <= 10,
+      s"DPP must read <=10 of $tilesOnDisk tile dirs, read $partsRead")
+    // layout + pruning only: equality with the direct box rollup
+    val mask = 255L
+    val x = col("user_id").bitwiseAND(lit(mask))
+    val d = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      .bitwiseAND(lit(mask))
+    val direct = Tables.events(spark, sf0001)
+      .select(x.as("x"), d.as("d"), cents(col("value")).as("c"))
+      .withColumn("ztile",
+        shiftright(ScaleTechniques.zorderValue(col("x"), col("d"), 8), 4))
+      .filter(col("x").between(5, 10) && col("d").between(17, 34))
+      .agg(countDistinct(col("ztile")), count(lit(1)), sum(col("c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got == direct, s"pruned $got != direct $direct")
+  }
+
   test("zorder zone maps: tiles are disjoint 2-D boxes covering all rows") {
     val tiles = ScaleTechniques.zorderBucketStats(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
