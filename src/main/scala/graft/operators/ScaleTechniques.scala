@@ -297,6 +297,10 @@ object ScaleTechniques {
         .withColumn("ztile",
           shiftright(zorderValue(col("x"), col("d"), bits), shift)
             .cast("int"))
+        // co-locate each tile before the hive write: one file per tile
+        // dir instead of (tasks x tiles) shards — at 10x the unshuffled
+        // write fans out to ~16k files, an fd/small-file hazard
+        .repartition(col("ztile"))
         .write.mode("overwrite").partitionBy("ztile").parquet(p)
       p
     }
