@@ -197,10 +197,16 @@ object Bench {
       // tmpfile write) read by the ingest_ndjson_topk pipeline row
       timed("bench_build_ndjson_fixture",
         () => { sources.Ingest.ndjsonFixture(spark, sfDir); 1L }),
-      // per-doc winnowing fingerprint selection shared by the
-      // winnowing pair + containment rows
+      // per-doc winnowing fingerprint selection + the pair relation
+      // shared by the winnowing pair/containment rows and both
+      // detector cross-checks
       timed("bench_build_winnow",
-        () => operators.TextOps.winnowingFingerprints(spark, sfDir).count()),
+        () => operators.TextOps.winnowingFingerprints(spark, sfDir).count()
+          + operators.TextOps.winnowingPairs(spark, sfDir).count()),
+      // banded-signature mining + exact-Jaccard verification behind the
+      // minhash row and the minhash-winnow cross-check
+      timed("bench_build_minhash",
+        () => operators.Dedup.minhashLshPairs(spark, sfDir).count()),
       // base-side self top-k scan behind the mutual-pair relation the
       // pair and cluster rows read
       timed("bench_build_mutual_knn",

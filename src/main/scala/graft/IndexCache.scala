@@ -143,6 +143,8 @@ object IndexCache {
     "norm-emb" -> ("persisted normalized-embedding handle", 8L),
     "norm-emb-planted" -> ("persisted planted variant handle", 8L),
     "winnow-fp" -> ("persisted fingerprint DataFrame handle", 8L),
+    "winnow-pairs" -> ("persisted winnowing pair handle", 8L),
+    "minhash-pairs" -> ("persisted verified MinHash pair handle", 8L),
     "tokens" -> ("persisted token DataFrame handle", 8L),
     "bpe-table" -> ("persisted BPE-encode DataFrame handle", 8L),
     "cust-part-pairs" -> ("persisted incidence DataFrame handle", 8L),

@@ -479,7 +479,20 @@ object Dedup {
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
 
   def minhashLshPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8): DataFrame =
+    // memoized at the declared operating point: consumed by the
+    // dedup_minhash_lsh row AND the minhash-winnow cross-check
+    if (threshold == 0.8)
+      graft.IndexCache.getOrBuild(spark, s"minhash-pairs:$dir") {
+        val df = minedMinhashLshPairs(spark, dir, 0.8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
+    else minedMinhashLshPairs(spark, dir, threshold)
+
+  private def minedMinhashLshPairs(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     val docs = gramHashSets(spark, dir)
     val banded = bandedSignatures(spark, dir)
     val cand = banded.as("x").join(banded.as("y"),

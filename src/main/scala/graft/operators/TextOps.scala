@@ -2231,7 +2231,21 @@ object TextOps {
     * Output: (doc_a, doc_b, n_shared).
     */
   def winnowingPairs(spark: SparkSession, dir: String, k: Int = 5,
-      window: Int = 4, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+      window: Int = 4, maxDf: Int = 64, minShared: Int = 2): DataFrame =
+    // memoized at the declared operating point — the pair relation is
+    // consumed by the pair row, the containment row, and BOTH detector
+    // cross-checks (the containment-pairs discipline)
+    if (k == 5 && window == 4 && maxDf == 64 && minShared == 2)
+      graft.IndexCache.getOrBuild(spark, s"winnow-pairs:$dir") {
+        val df = minedWinnowingPairs(spark, dir, k, window, maxDf, minShared)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
+    else minedWinnowingPairs(spark, dir, k, window, maxDf, minShared)
+
+  private def minedWinnowingPairs(spark: SparkSession, dir: String, k: Int,
+      window: Int, maxDf: Int, minShared: Int): DataFrame = {
     val buckets = winnowingFingerprints(spark, dir, k, window)
       .groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("docs"))
