@@ -141,7 +141,8 @@ object Bench {
       timed("bench_build_pca_ckpt",
         () => knn.PcaKnn.topKBatchLifecycle(spark, sfDir).count()),
       timed("bench_build_langid",
-        () => operators.TextOps.languageIdNgram(spark, sfDir).count()),
+        () => operators.TextOps.languageIdNgram(spark, sfDir).count()
+          + operators.TextOps.prewarmNbModel(spark, sfDir)),
       timed("bench_build_norm_emb",
         () => operators.Dedup.normalizedEmbeddings(spark, sfDir).count()),
       timed("bench_build_norm_emb_planted",

@@ -208,6 +208,7 @@ object IndexCache {
     "rocchio-cents" -> ("|labels| x dim centroid doubles", 1000000L),
     "lr-weights" -> ("|features|+1 trained weights", 10000L),
     "langid-profiles" -> ("|langs| x top-gram profile entries", 100000L),
+    "nb-model" -> ("two persisted model DataFrame handles", 8L),
     "unigram-vocab" -> ("capped unigram-LM vocab entries", 1000000L),
     "bpe-merges" -> ("nMerges merge-rule entries", 100000L),
     "gram-topfreq" -> ("TopFreqGrams (64k) df-map entries", 200000L),

@@ -498,37 +498,9 @@ object TextOps {
     * once, by (doc, class). Output: (lang, pred_lang, n).
     */
   def naiveBayesLangid(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"))
-      // spread the explode/count work across cores even off one split
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+    val docs = nbDocs(spark, dir)
     val isTest = col("doc_id") % 5 === 4
-    val trainWords = docs.filter(!isTest)
-      .select(col("lang"), explode(col("w")).as("word"))
-    val tf = trainWords.groupBy(col("word"), col("lang"))
-      .agg(count(lit(1)).as("tf"))
-    val classTot = trainWords.groupBy(col("lang"))
-      .agg(count(lit(1)).as("tot"))
-    val nDocs = docs.filter(!isTest).groupBy(col("lang"))
-      .agg(count(lit(1)).as("nd"))
-    val nTrain = docs.filter(!isTest).agg(count(lit(1)).as("n"))
-    val vSize = trainWords.agg(countDistinct(col("word")).as("v"))
-    val cls = classTot.join(nDocs, Seq("lang"))
-      .crossJoin(nTrain).crossJoin(vSize)
-      .select(col("lang").as("c"),
-        round(log(col("nd").cast("double") / col("n")) * 1e6, 0)
-          .cast("long").as("prior_q"),
-        round(log(lit(1.0) / (col("tot") + col("v"))) * 1e6, 0)
-          .cast("long").as("unseen_q"),
-        col("tot"), col("v"))
-    val grid = trainWords.select(col("word").as("mword")).distinct()
-      .crossJoin(cls.select(col("c"), col("tot"), col("v")))
-      .join(tf, col("mword") === tf("word") && col("c") === tf("lang"),
-        "left")
-      .select(col("mword"), col("c").as("mlang"),
-        round(log((coalesce(tf("tf"), lit(0L)) + lit(1.0)) /
-          (col("tot") + col("v"))) * 1e6, 0).cast("long").as("qll"))
+    val (cls, grid) = nbModel(spark, dir)
     val testWords = docs.filter(isTest)
       .select(col("doc_id"), col("lang"), explode(col("w")).as("word"))
       .groupBy(col("doc_id"), col("lang"), col("word"))
@@ -549,6 +521,60 @@ object TextOps {
       .filter(col("rk") === 1)
     pred.groupBy(col("lang"), col("c").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  private def nbDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      // spread the explode/count work across cores even off one split
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+
+  /** The trained NB model — (class table, dense vocab×class grid),
+    * a pure function of the corpus: train once per dataset (the
+    * build-once discipline), persist both relations; scoring reads
+    * them broadcast. Charged to `bench_build_langid`.
+    */
+  private def nbModel(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    graft.IndexCache.getOrBuild(spark, s"nb-model:$dir") {
+      val docs = nbDocs(spark, dir)
+      val isTest = col("doc_id") % 5 === 4
+      val trainWords = docs.filter(!isTest)
+        .select(col("lang"), explode(col("w")).as("word"))
+      val tf = trainWords.groupBy(col("word"), col("lang"))
+        .agg(count(lit(1)).as("tf"))
+      val classTot = trainWords.groupBy(col("lang"))
+        .agg(count(lit(1)).as("tot"))
+      val nDocs = docs.filter(!isTest).groupBy(col("lang"))
+        .agg(count(lit(1)).as("nd"))
+      val nTrain = docs.filter(!isTest).agg(count(lit(1)).as("n"))
+      val vSize = trainWords.agg(countDistinct(col("word")).as("v"))
+      val cls = classTot.join(nDocs, Seq("lang"))
+        .crossJoin(nTrain).crossJoin(vSize)
+        .select(col("lang").as("c"),
+          round(log(col("nd").cast("double") / col("n")) * 1e6, 0)
+            .cast("long").as("prior_q"),
+          round(log(lit(1.0) / (col("tot") + col("v"))) * 1e6, 0)
+            .cast("long").as("unseen_q"),
+          col("tot"), col("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grid = trainWords.select(col("word").as("mword")).distinct()
+        .crossJoin(cls.select(col("c"), col("tot"), col("v")))
+        .join(tf, col("mword") === tf("word") && col("c") === tf("lang"),
+          "left")
+        .select(col("mword"), col("c").as("mlang"),
+          round(log((coalesce(tf("tf"), lit(0L)) + lit(1.0)) /
+            (col("tot") + col("v"))) * 1e6, 0).cast("long").as("qll"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cls.count(); grid.count()
+      (cls, grid)
+    }
+
+  /** Force the NB model build (bench charge hook). */
+  private[graft] def prewarmNbModel(spark: SparkSession, dir: String): Long = {
+    val (cls, grid) = nbModel(spark, dir)
+    cls.count() + grid.count()
   }
 
   /** Profile training: one shuffle on (lang, gram) + bounded-heap top-k
