@@ -178,6 +178,8 @@ object IndexCache {
     "zorder-part" -> ("z-tile-partitioned layout path string", 4L),
     "orders-cdc-dir" -> ("staged changelog dir path string", 4L),
     "orders-cdc-base" -> ("base state snapshot path string", 4L),
+    "orders-cdc-applied" -> ("applied-state (root, base) path strings", 4L),
+    "orders-cdc-ivm-base" -> ("initial view-state dir path string", 4L),
     // --- genuinely driver-side artifacts, each with its design bound ---
     "ivf" -> ("nCentroids x dim doubles (KMEANS_CENTROIDS cap)", 1000000L),
     "ivf-ckpt" -> ("nCentroids x dim doubles", 1000000L),

@@ -650,6 +650,16 @@ object SparkEntry {
     // Z-order zone maps: the multi-dim clustering layout, as a query —
     // per-tile envelopes a stats-based reader prunes on (bit-exact oracle)
     "layout_zorder_stats" -> ((s, d) => ScaleTechniques.zorderBucketStats(s, d)),
+    // Hilbert-curve tile envelopes — same granularity as the zorder
+    // row; the index is a native codegen Expression (the rotation
+    // recurrence doesn't unroll into a Column fold)
+    "layout_hilbert_stats" ->
+      ((s, d) => ScaleTechniques.hilbertBucketStats(s, d)),
+    // measured read amplification of the two curves on one box
+    // predicate: tiles a stats-pruning reader opens + rows scanned vs
+    // rows matched, per curve — the I/O bill of the layout choice
+    "layout_curve_read_amp" ->
+      ((s, d) => ScaleTechniques.curveReadAmp(s, d)),
     // the box predicate (date AND supplier band) on all four layouts:
     // the measured case FOR Morton interleaving — neither 1-D sort
     // serves the conjunctive query; the z-ordered files prune both axes
@@ -770,6 +780,17 @@ object SparkEntry {
     // the hash gate proves incremental maintenance == the batch MERGE
     "orders_cdc_apply_streamed" ->
       ((s, d) => streaming.CdcStream.applyChangelogStreamed(s, d)),
+    // the transaction-log CHECKPOINT: fold the applied version chain
+    // into one bucketed snapshot and summarize the table read back from
+    // the snapshot alone — the hash gate proves the fold lost nothing
+    "orders_cdc_compacted" ->
+      ((s, d) => streaming.CdcStream.compactedStateSummary(s, d)),
+    // incremental view maintenance: a per-segment (rows, cents) view
+    // maintained from changelog deltas ALONE — O(changes+groups) per
+    // trigger, the base table scanned exactly once at view build; the
+    // oracle re-aggregates the composed end table from scratch
+    "orders_cdc_ivm_streamed" ->
+      ((s, d) => streaming.CdcStream.ivmChangelogStreamed(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -4975,6 +4996,8 @@ object SparkEntry {
 
     // bit-exact replay of the Morton interleave, generated term-by-term
     "layout_zorder_stats" -> ScaleTechniques.zorderOracleSql(),
+    "layout_hilbert_stats" -> ScaleTechniques.hilbertOracleSql(),
+    "layout_curve_read_amp" -> ScaleTechniques.curveReadAmpOracleSql(),
 
     // the interleaved-layout answer to the tradeoff matrix: box
     // predicate on all four layouts, zorder replayed term-by-term
@@ -5387,6 +5410,63 @@ object SparkEntry {
              (SELECT n FROM nd) AS n_deleted,
              CAST(sum(c) AS BIGINT) AS total_cents
       FROM allr""",
+
+    // CDC compaction replay: the composed end table keyed (the snapshot
+    // holds keys, so buckets = occupied pmod-16 cells); versions folded
+    // = distinct pmod-4 staging chunks carrying at least one action
+    "orders_cdc_compacted" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      fin AS (SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 500 = 0
+                       THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                            // 10
+                       ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                     END AS c
+              FROM orders
+              WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)
+              UNION ALL
+              SELECT -(k + 1), nc FROM up),
+      chunks AS (SELECT DISTINCT ((k0 % 4) + 4) % 4 AS ch FROM (
+                   SELECT o_orderkey AS k0 FROM orders
+                   WHERE o_orderkey % 500 = 0
+                   UNION ALL
+                   SELECT -(o_orderkey + 1) FROM orders
+                   WHERE o_orderkey % 500 = 0
+                   UNION ALL
+                   SELECT o_orderkey FROM orders
+                   WHERE o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0))
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT ((k % 16) + 16) % 16) AS BIGINT)
+               AS n_buckets,
+             (SELECT CAST(count(*) AS BIGINT) FROM chunks)
+               AS n_versions_folded,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM fin""",
+
+    // IVM replay: the view re-aggregated from the composed end table
+    // from scratch — hash match proves delta maintenance == recompute
+    "orders_cdc_ivm_streamed" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      fin AS (SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 500 = 0
+                       THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                            // 10
+                       ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                     END AS c
+              FROM orders
+              WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)
+              UNION ALL
+              SELECT -(k + 1), nc FROM up)
+      SELECT CAST(((k % 8) + 8) % 8 AS BIGINT) AS segment,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM fin GROUP BY 1""",
 
     // CDC changelog replay: the update leg reads old cents off orders
     // directly (the batch derives from orders, so the reconstruction

@@ -376,6 +376,164 @@ object ScaleTechniques {
       FROM z WHERE x BETWEEN $x1 AND $x2 AND d BETWEEN $y1 AND $y2"""
   }
 
+  /** Zone-map statistics of the events table under HILBERT clustering —
+    * [[zorderBucketStats]] with the Morton interleave swapped for the
+    * Hilbert index ([[graft.functions.HilbertIndex]], a native codegen
+    * Expression: the rotation recurrence doesn't unroll into a Column
+    * fold). Same tile granularity (`1 << (2*bits - shift)` tiles), same
+    * envelope semantics — so this row and the zorder row are directly
+    * comparable, and [[curveReadAmp]] quantifies the difference. The
+    * oracle replays the recurrence as `bits` chained CTE steps, one
+    * rotation level each — both engines walk the identical CASE chain.
+    *
+    * Scale shape: map-only index computation (one fused loop per row
+    * inside whole-stage codegen) + one partial-aggregated shuffle on
+    * the tile id; output is tile-count-bounded.
+    */
+  def hilbertBucketStats(spark: SparkSession, dir: String,
+      bits: Int = 8, shift: Int = 10): DataFrame = {
+    val mask = (1L << bits) - 1
+    val x = col("user_id").bitwiseAND(lit(mask))
+    val d = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      .bitwiseAND(lit(mask))
+    Tables.events(spark, dir)
+      .select(x.as("x"), d.as("d"))
+      .withColumn("bucket", shiftright(
+        graft.functions.HilbertCurve.hilbertIndex(col("x"), col("d"), bits),
+        shift))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+  }
+
+  /** The Hilbert recurrence as chained SQL CTE steps: starting from
+    * `srcCte` (which must provide masked `hx`, `hy`, a BIGINT `dd` = 0,
+    * and `carry` pass-through columns), emits `h{bits-1} .. h0`, each
+    * one bit level: accumulate the quadrant digit, then rotate. The
+    * final CTE's `dd` is the Hilbert index. Generated term-by-term so
+    * DuckDB evaluates the exact integer chain the codegen'd loop does.
+    */
+  private def hilbertSqlSteps(bits: Int, srcCte: String,
+      carry: Seq[String]): String = {
+    val n = 1L << bits
+    val keep = carry.map(c => s"$c, ").mkString
+    var prev = srcCte
+    val steps = ((bits - 1) to 0 by -1).map { i =>
+      val s = 1L << i
+      val digit = s"(CASE WHEN (hx & $s) > 0 AND (hy & $s) > 0 THEN 2" +
+        s" WHEN (hx & $s) > 0 THEN 3" +
+        s" WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      val nx = s"CASE WHEN (hy & $s) > 0 THEN hx" +
+        s" WHEN (hx & $s) > 0 THEN ${n - 1} - hy ELSE hy END"
+      val ny = s"CASE WHEN (hy & $s) > 0 THEN hy" +
+        s" WHEN (hx & $s) > 0 THEN ${n - 1} - hx ELSE hx END"
+      val cte = s"h$i AS (SELECT ${keep}dd + ${s * s} * $digit AS dd, " +
+        s"$nx AS hx, $ny AS hy FROM $prev)"
+      prev = s"h$i"
+      cte
+    }
+    steps.mkString(",\n      ")
+  }
+
+  /** DuckDB replay of [[hilbertBucketStats]]. */
+  def hilbertOracleSql(bits: Int = 8, shift: Int = 10): String = {
+    val mask = (1L << bits) - 1
+    s"""
+      WITH e AS (SELECT (user_id & $mask) AS x,
+                        ((epoch_us(ts) // 86400000000) & $mask) AS d
+                 FROM events),
+      hb AS (SELECT x, d, x AS hx, d AS hy, CAST(0 AS BIGINT) AS dd FROM e),
+      ${hilbertSqlSteps(bits, "hb", Seq("x", "d"))},
+      ht AS (SELECT x, d, (dd >> $shift) AS bucket FROM h0)
+      SELECT bucket, count(*) AS n,
+             min(x) AS xmin, max(x) AS xmax,
+             min(d) AS dmin, max(d) AS dmax
+      FROM ht GROUP BY bucket"""
+  }
+
+  /** READ AMPLIFICATION of the two space-filling curves on the same box
+    * predicate — the measured form of "Hilbert clusters tighter than
+    * Z-order". Both curves tile the (user, day) grid at identical
+    * granularity; a tile is READ iff its data envelope (the parquet
+    * min/max stats of a file holding that tile) intersects the box.
+    * Per curve: how many tiles a stats-pruning reader opens, how many
+    * rows those tiles hold (= bytes actually scanned), and the rows
+    * truly matching (identical for both — pruning never changes
+    * results). At 100 TB the rows_scanned/rows_matched ratio IS the
+    * I/O bill of the layout choice.
+    * Output: (curve, n_tiles_hit, rows_scanned, rows_matched) × 2.
+    */
+  def curveReadAmp(spark: SparkSession, dir: String,
+      x1: Long = 4L, x2: Long = 11L, y1: Long = 15L, y2: Long = 30L,
+      bits: Int = 8, shift: Int = 10): DataFrame = {
+    val mask = (1L << bits) - 1
+    val base = Tables.events(spark, dir)
+      .select(col("user_id").bitwiseAND(lit(mask)).as("x"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .bitwiseAND(lit(mask)).as("d"))
+    def leg(name: String, tile: org.apache.spark.sql.Column): DataFrame =
+      base.withColumn("tile", tile)
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+        .filter(col("xmax") >= x1 && col("xmin") <= x2
+          && col("dmax") >= y1 && col("dmin") <= y2)
+        .agg(count(lit(1)).as("n_tiles_hit"),
+          coalesce(sum(col("n")), lit(0L)).as("rows_scanned"))
+        .select(lit(name).as("curve"), col("n_tiles_hit"),
+          col("rows_scanned"))
+    val matched = base
+      .filter(col("x").between(x1, x2) && col("d").between(y1, y2))
+      .agg(count(lit(1)).as("rows_matched"))
+    leg("zorder", shiftright(zorderValue(col("x"), col("d"), bits), shift))
+      .unionByName(leg("hilbert", shiftright(
+        graft.functions.HilbertCurve.hilbertIndex(col("x"), col("d"), bits),
+        shift)))
+      .crossJoin(broadcast(matched))
+  }
+
+  /** DuckDB replay of [[curveReadAmp]]: both curve expressions
+    * generated term-by-term, envelopes and the intersection test
+    * applied relationally.
+    */
+  def curveReadAmpOracleSql(
+      x1: Long = 4L, x2: Long = 11L, y1: Long = 15L, y2: Long = 30L,
+      bits: Int = 8, shift: Int = 10): String = {
+    val mask = (1L << bits) - 1
+    val zterms = (0 until bits).flatMap(i => Seq(
+      s"((x & ${1L << i}) << $i)",
+      s"((d & ${1L << i}) << ${i + 1})"))
+    val hit = s"xmax >= $x1 AND xmin <= $x2 AND dmax >= $y1 AND dmin <= $y2"
+    s"""
+      WITH e AS (SELECT (user_id & $mask) AS x,
+                        ((epoch_us(ts) // 86400000000) & $mask) AS d
+                 FROM events),
+      zt AS (SELECT x, d, ((${zterms.mkString(" | ")}) >> $shift) AS tile
+             FROM e),
+      zs AS (SELECT tile, count(*) AS n, min(x) AS xmin, max(x) AS xmax,
+                    min(d) AS dmin, max(d) AS dmax
+             FROM zt GROUP BY tile),
+      hb AS (SELECT x, d, x AS hx, d AS hy, CAST(0 AS BIGINT) AS dd FROM e),
+      ${hilbertSqlSteps(bits, "hb", Seq("x", "d"))},
+      ht AS (SELECT x, d, (dd >> $shift) AS tile FROM h0),
+      hs AS (SELECT tile, count(*) AS n, min(x) AS xmin, max(x) AS xmax,
+                    min(d) AS dmin, max(d) AS dmax
+             FROM ht GROUP BY tile),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS rows_matched FROM e
+            WHERE x BETWEEN $x1 AND $x2 AND d BETWEEN $y1 AND $y2)
+      SELECT 'zorder' AS curve, CAST(count(*) AS BIGINT) AS n_tiles_hit,
+             CAST(coalesce(sum(n), 0) AS BIGINT) AS rows_scanned,
+             (SELECT rows_matched FROM m) AS rows_matched
+      FROM zs WHERE $hit
+      UNION ALL
+      SELECT 'hilbert', CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(n), 0) AS BIGINT),
+             (SELECT rows_matched FROM m)
+      FROM hs WHERE $hit"""
+  }
+
   /** Per-file (min, max) envelopes of two columns — the pruning model a
     * stats-based reader applies: a file whose envelope misses the query
     * box is never read. Used by the spec to show the Z-order layout

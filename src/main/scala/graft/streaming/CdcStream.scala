@@ -89,12 +89,15 @@ object CdcStream {
       base
     }
 
-  /** One-time staging for the declared CDC row (chunked changelog +
-    * base snapshot) — the bench charges it here.
+  /** One-time staging for the declared CDC rows (chunked changelog +
+    * base snapshot + the IVM view's initial build + the applied state
+    * the compaction row folds) — the bench charges it here.
     */
   def prestage(spark: SparkSession, dir: String): Long = {
     stagedChangelogDir(spark, dir)
     baseStateDir(spark, dir)
+    ivmBaseAggDir(spark, dir)
+    appliedStateDirs(spark, dir)
     1L
   }
 
@@ -221,5 +224,213 @@ object CdcStream {
     endState(spark, stateRoot, base).crossJoin(broadcast(counts))
       .select(col("n_rows"), col("n_updated"), col("n_inserted"),
         col("n_deleted"), col("total_cents"))
+  }
+
+  // ------------------------------------------------------------------
+  // State COMPACTION — the transaction-log checkpoint of this
+  // in-miniature lakehouse. The apply loop accumulates one v=<id>
+  // directory per micro-batch; as-of resolution walks that list per
+  // bucket. Unbounded, that walk (and the base+delta read fan-in) grows
+  // with stream lifetime — real systems fold the log into a checkpoint
+  // (Delta checkpoints, Hudi compaction, Iceberg snapshot expiry).
+  // compactState is that fold: resolve every bucket to its newest
+  // writer, rewrite ONE full bucketed snapshot, and (optionally) drop
+  // the folded version directories. The compacted dir then serves as
+  // the new base: versions written after it resolve in front of it
+  // exactly as before. Crash-safe by construction: the fold writes to
+  // its own directory and deletes folded versions only after the write
+  // commits; a re-run is idempotent (same resolution inputs -> same
+  // snapshot).
+  // ------------------------------------------------------------------
+
+  /** Fold all version directories under `stateRoot` into one bucketed
+    * snapshot (every state bucket resolved to its newest writer, base
+    * fallback) written beside them, returning (compactedDir, the folded
+    * version ids ascending). When `removeFolded`, the folded `v=<id>`
+    * directories are deleted after the snapshot commits — subsequent
+    * [[stateAt]] reads with the compacted dir as `baseDir` resolve
+    * identically (CdcCompactSpec pins byte-level equivalence).
+    */
+  private[graft] def compactState(spark: SparkSession, stateRoot: String,
+      baseDir: String, removeFolded: Boolean = false): (String, Seq[Long]) = {
+    val root = new java.io.File(stateRoot)
+    val folded = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
+    val out = s"$stateRoot/compact-v=${folded.lastOption.getOrElse(-1L)}"
+    stateAt(spark, stateRoot, baseDir, 0 until NStateBuckets, Long.MaxValue)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    if (removeFolded) folded.foreach { v =>
+      val dir = java.nio.file.Paths.get(s"$stateRoot/v=$v")
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    (out, folded)
+  }
+
+  /** The fully-applied versioned state for this dataset — the apply
+    * loop run once and memoized (a staging artifact like the chunked
+    * changelog; charged to `bench_build_cdc_stage`), so consumers that
+    * need "the state after the stream" (the compaction row) measure
+    * their own work, not a re-run of the stream. The DECLARED apply row
+    * deliberately does not use this: it re-executes the stream per
+    * invocation because the stream IS what it declares.
+    */
+  private def appliedStateDirs(spark: SparkSession,
+      dir: String): (String, String) =
+    graft.IndexCache.getOrBuild(spark,
+        s"orders-cdc-applied:$dir:$NStateBuckets") {
+      val staged = stagedChangelogDir(spark, dir)
+      val base = baseStateDir(spark, dir)
+      val stateRoot = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-cdc-applied")).toString
+      EventStream.withStreamPartitions(spark, 4, noData = false) {
+        runApply(spark, staged, base, stateRoot,
+          EventStream.ckptDir("graft-ckpt-cdc-applied"))
+      }
+      (stateRoot, base)
+    }
+
+  /** The declared compaction row (`orders_cdc_compacted`): fold the
+    * applied versioned state into one snapshot and summarize the
+    * TABLE READ BACK FROM THAT SNAPSHOT ALONE — a hash match against
+    * the relational reconstruction proves the fold lost nothing. Also
+    * carries the structural facts: how many version directories the
+    * fold absorbed (= changelog chunks that touched state) and how many
+    * buckets the snapshot holds (= occupied `pmod(key, 16)` cells).
+    * Output: (n_rows, n_buckets, n_versions_folded, total_cents).
+    */
+  def compactedStateSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (stateRoot, base) = appliedStateDirs(spark, dir)
+    val (compactDir, folded) = compactState(spark, stateRoot, base)
+    spark.read.parquet(compactDir)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("bucket")).as("n_buckets"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("n_rows"), col("n_buckets"),
+        lit(folded.size.toLong).as("n_versions_folded"), col("total_cents"))
+  }
+
+  // ------------------------------------------------------------------
+  // INCREMENTAL VIEW MAINTENANCE — the other thing a changelog is for.
+  // The apply loop maintains the TABLE; IVM maintains an AGGREGATE over
+  // it without ever rescanning it: for distributive aggregates
+  // (count/sum), the changelog alone determines the delta — an update
+  // contributes (new - old), an insert (+new, +1 row), a delete
+  // (-old, -1 row) — so a trigger costs O(|batch| + groups), never
+  // O(|table|). At 100 TB this is the difference between a dashboard
+  // that refreshes per commit and one that re-aggregates the lake. The
+  // view state is O(groups) (here NIvmSegments rows), versioned under
+  // the same strictly-below/truncate-own crash discipline as the
+  // table state (IvmCrashSpec proves exactly-once convergence).
+  // ------------------------------------------------------------------
+
+  /** Group count for the maintained view — pmod(o_orderkey, 8) stands
+    * in for a real grouping dimension (the changelog carries only keys
+    * and cents; any key-derivable group works identically).
+    */
+  private[graft] val NIvmSegments = 8
+
+  /** The view's initial build — the ONLY scan of the base table the
+    * IVM loop ever performs, rendered once per dataset (charged to
+    * `bench_build_cdc_stage`).
+    */
+  private def ivmBaseAggDir(spark: SparkSession, dir: String): String =
+    graft.IndexCache.getOrBuild(spark,
+        s"orders-cdc-ivm-base:$dir:$NIvmSegments") {
+      val out = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-cdc-ivm-base")).toString
+      graft.Tables.orders(spark, dir)
+        .groupBy(pmod(col("o_orderkey"), lit(NIvmSegments)).as("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("total_cents"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** The view as of version `beforeV - 1`: the newest whole-state
+    * version strictly below, base fallback. The state is O(groups), so
+    * each version is one tiny file — no bucketing needed.
+    */
+  private def ivmStateAt(spark: SparkSession, aggRoot: String,
+      baseDir: String, beforeV: Long): DataFrame = {
+    val root = new java.io.File(aggRoot)
+    val vs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(_ < beforeV)
+    val path = if (vs.isEmpty) baseDir else s"$aggRoot/v=${vs.max}"
+    spark.read.parquet(path)
+  }
+
+  /** Drive the IVM loop: tail `stagedDir` one chunk per trigger; each
+    * micro-batch folds its per-group delta (sum of signed cent moves +
+    * signed row counts, computed from the changelog slice ALONE) into
+    * the O(groups) view state at `aggRoot/v=<batchId>`. Exposed so the
+    * crash spec can drive the same loop with an injected failure.
+    */
+  private[graft] def runIvm(spark: SparkSession, stagedDir: String,
+      baseDir: String, aggRoot: String, ckpt: String,
+      crashAt: Long = -1L,
+      crashed: java.util.concurrent.atomic.AtomicBoolean = null): Unit = {
+    val q = spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val s = batch.sparkSession
+        val delta = batch.localCheckpoint(true)
+          .groupBy(pmod(col("o_orderkey"), lit(NIvmSegments)).as("segment"))
+          .agg(
+            sum(when(col("action") === "insert", 1L)
+              .when(col("action") === "delete", -1L)
+              .otherwise(0L)).as("d_rows"),
+            sum(when(col("action") === "update",
+                col("new_cents") - col("old_cents"))
+              .when(col("action") === "insert", col("new_cents"))
+              .otherwise(-col("old_cents"))).as("d_cents"))
+        val prev = ivmStateAt(s, aggRoot, baseDir, id)
+        prev.join(delta, Seq("segment"), "full_outer")
+          .select(col("segment"),
+            (coalesce(col("n_rows"), lit(0L))
+              + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+            (coalesce(col("total_cents"), lit(0L))
+              + coalesce(col("d_cents"), lit(0L))).as("total_cents"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$aggRoot/v=$id")
+        if (crashAt >= 0 && id >= crashAt
+            && crashed.compareAndSet(false, true))
+          throw new RuntimeException("graft-injected-crash")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The declared STREAMING-EXECUTED IVM row
+    * (`orders_cdc_ivm_streamed`): maintain the per-segment
+    * (rows, cents) view from the changelog deltas alone and emit the
+    * final view; the oracle re-aggregates the fully-composed end table
+    * from scratch — a hash match proves O(changes)-per-trigger
+    * maintenance converged to exactly the full recompute. Groups whose
+    * row count reaches zero leave the view (GROUP BY semantics).
+    * Output: (segment, n_rows, total_cents).
+    */
+  def ivmChangelogStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedChangelogDir(spark, dir)
+    val base = ivmBaseAggDir(spark, dir)
+    val aggRoot = EventStream.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-cdc-ivm")).toString
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      runIvm(spark, staged, base, aggRoot,
+        EventStream.ckptDir("graft-ckpt-ivm"))
+    }
+    ivmStateAt(spark, aggRoot, base, Long.MaxValue)
+      .filter(col("n_rows") > 0)
+      .select(col("segment"), col("n_rows"), col("total_cents"))
   }
 }

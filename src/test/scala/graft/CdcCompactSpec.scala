@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.streaming.CdcStream
+
+/** Pins the two round-11 CDC extensions structurally.
+  *
+  * COMPACTION: folding the version chain into one snapshot must (a)
+  * preserve the resolved table row-for-row, (b) actually remove the
+  * folded `v=` directories when asked, and (c) leave a snapshot that
+  * serves as the base for FURTHER versions — the transaction-log
+  * checkpoint contract (fold, then keep appending).
+  *
+  * IVM: the delta-maintained view must carry O(groups) state per
+  * version and converge exactly-once through an injected mid-stream
+  * crash, the same discipline CrashRecoverySpec pins for the table
+  * state.
+  */
+class CdcCompactSpec extends SparkSpec {
+
+  private def stageChunk(df: DataFrame, destDir: Path, name: String,
+      mtimeMs: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft-cpt-chunk")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.resolve("p").toString)
+    val part = {
+      val s = Files.list(tmp.resolve("p"))
+      try s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      finally s.close()
+    }
+    val dest = destDir.resolve(name)
+    Files.copy(part, dest)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    ()
+  }
+
+  /** The 4-chunk changelog staged + bucketed base snapshot + apply run,
+    * returning (stateRoot, baseDir).
+    */
+  private def applied(): (String, String) = {
+    val nB = CdcStream.NStateBuckets
+    val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
+      .localCheckpoint(true)
+    val staged = Files.createTempDirectory("graft-cpt-src")
+    val t0 = System.currentTimeMillis() - 60000L
+    (0 until 4).foreach { i =>
+      stageChunk(log.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        staged, s"c$i.parquet", t0 + i * 10000L)
+    }
+    val base = Files.createTempDirectory("graft-cpt-base").toString
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(nB)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(base)
+    val stateRoot = Files.createTempDirectory("graft-cpt-state").toString
+    CdcStream.runApply(spark, staged.toString, base, stateRoot,
+      Files.createTempDirectory("graft-cpt-ckpt").toString)
+    (stateRoot, base)
+  }
+
+  test("compaction folds the version chain losslessly, removes the folded " +
+      "dirs, and the snapshot serves as base for further versions") {
+    val (stateRoot, base) = applied()
+    val resolvedPre = CdcStream
+      .endState(spark, stateRoot, base).collect().head
+    val rowsPre = {
+      val (cdirPeek, _) = CdcStream.compactState(spark, stateRoot, base)
+      spark.read.parquet(cdirPeek)
+        .select(col("o_orderkey"), col("cents"))
+        .orderBy("o_orderkey").collect()
+    }
+    // fold again, this time dropping the version chain
+    val (cdir, folded) = CdcStream.compactState(spark, stateRoot, base,
+      removeFolded = true)
+    // the expected version set = the chunks carrying at least one
+    // action (update/delete keys are ≡0 mod 4 — multiples of 500/700;
+    // inserts -(k+1) are ≡3 — so chunks 1 and 2 stage empty files and
+    // their batches touch nothing)
+    val expectVersions = graft.sources.Ingest
+      .mergeChangelogShowcase(spark, sf0001)
+      .select(pmod(col("o_orderkey"), lit(4)).cast("long"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(folded == expectVersions,
+      s"expected versions $expectVersions folded, got $folded")
+    assert(folded.nonEmpty)
+    folded.foreach { v =>
+      assert(!Files.exists(Paths.get(s"$stateRoot/v=$v")),
+        s"folded v=$v still on disk")
+    }
+    // (a) lossless: snapshot rows == the pre-compaction resolved table
+    val rowsPost = spark.read.parquet(cdir)
+      .select(col("o_orderkey"), col("cents"))
+      .orderBy("o_orderkey").collect()
+    assert(rowsPost.length == resolvedPre.getLong(0))
+    assert(rowsPost.sameElements(rowsPre))
+    // with the version chain gone, resolution must fall back to the
+    // snapshot wholesale and still agree
+    val resolvedPost = CdcStream.endState(spark, stateRoot, cdir)
+      .collect().head
+    assert(resolvedPost == resolvedPre)
+
+    // (c) further versions stack on the snapshot: delete one surviving
+    // key through a fresh one-chunk apply using the snapshot as base
+    val k0 = rowsPost.head.getLong(0)
+    val c0 = rowsPost.head.getLong(1)
+    val extra = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(k0, "delete", c0, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("action",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("old_cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("new_cents",
+          org.apache.spark.sql.types.LongType))))
+    val staged2 = Files.createTempDirectory("graft-cpt-src2")
+    stageChunk(extra, staged2, "c0.parquet", System.currentTimeMillis())
+    val stateRoot2 = Files.createTempDirectory("graft-cpt-state2").toString
+    CdcStream.runApply(spark, staged2.toString, cdir, stateRoot2,
+      Files.createTempDirectory("graft-cpt-ckpt2").toString)
+    val after = CdcStream.endState(spark, stateRoot2, cdir).collect().head
+    assert(after.getLong(0) == resolvedPre.getLong(0) - 1)
+    assert(after.getLong(1) == resolvedPre.getLong(1) - c0)
+  }
+
+  test("IVM view state is O(groups) per version and survives a mid-flight " +
+      "crash: replay converges to the from-scratch re-aggregation") {
+    val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
+      .localCheckpoint(true)
+    val staged = Files.createTempDirectory("graft-ivm-src")
+    val t0 = System.currentTimeMillis() - 60000L
+    (0 until 4).foreach { i =>
+      stageChunk(log.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        staged, s"c$i.parquet", t0 + i * 10000L)
+    }
+    val nSeg = CdcStream.NIvmSegments
+    val base = Files.createTempDirectory("graft-ivm-base").toString
+    Tables.orders(spark, sf0001)
+      .groupBy(pmod(col("o_orderkey"), lit(nSeg)).as("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("total_cents"))
+      .coalesce(1).write.mode("overwrite").parquet(base)
+    val aggRoot = Files.createTempDirectory("graft-ivm-state").toString
+    val ckpt = Files.createTempDirectory("graft-ivm-ckpt").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    intercept[StreamingQueryException] {
+      CdcStream.runIvm(spark, staged.toString, base, aggRoot, ckpt,
+        crashAt = 2L, crashed = crashed)
+    }
+    assert(Files.exists(Paths.get(ckpt, "commits", "1")))
+    assert(!Files.exists(Paths.get(ckpt, "commits", "2")))
+    CdcStream.runIvm(spark, staged.toString, base, aggRoot, ckpt,
+      crashAt = 2L, crashed = crashed)
+
+    // O(groups): every version holds at most nSeg rows
+    (0 until 4).foreach { v =>
+      val n = spark.read.parquet(s"$aggRoot/v=$v").count()
+      assert(n <= nSeg, s"v=$v carries $n rows — state is not O(groups)")
+    }
+    // exactly-once: the final view == the composed table re-aggregated
+    val got = spark.read.parquet(s"$aggRoot/v=3")
+      .filter(col("n_rows") > 0)
+      .orderBy("segment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val orders = Tables.orders(spark, sf0001)
+    val updates = orders.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10") / 100.0)
+    val inserts = updates.withColumn("o_orderkey", -(col("o_orderkey") + 1))
+    val dels = orders
+      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
+      .select(col("o_orderkey"))
+    val want = graft.sources.Ingest.deleteByKey(
+        graft.sources.Ingest.upsert(orders, updates.unionByName(inserts),
+          "o_orderkey"), dels, "o_orderkey")
+      .groupBy(pmod(col("o_orderkey"), lit(nSeg)).as("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("total_cents"))
+      .orderBy("segment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want),
+      s"IVM view ${got.toSeq} != recompute ${want.toSeq}")
+  }
+}

@@ -83,6 +83,8 @@ class PlanShapeSweepSpec extends SparkSpec {
     "layout_minmax_skipping",     // 1-row matched-count attach
     "layout_tradeoff_matrix",     // same 1-row matched-count attach x6
     "layout_zorder_box",          // same 1-row matched-count attach x4
+    "layout_curve_read_amp",      // same 1-row matched-count attach,
+                                  // once per curve leg
     "text_naive_bayes_langid")    // |classes|-row model fan-out against
                                   // the test words + 1-row V/n attaches
 
