@@ -791,6 +791,13 @@ object SparkEntry {
     // oracle re-aggregates the composed end table from scratch
     "orders_cdc_ivm_streamed" ->
       ((s, d) => streaming.CdcStream.ivmChangelogStreamed(s, d)),
+    // TIME TRAVEL over the version chain: the table read back as of
+    // EVERY version boundary (base, then chunk 0..3 applied), each
+    // as-of read resolved purely from the bucketed v=<id> layout —
+    // the hash gate proves snapshot-boundary reads across the whole
+    // timeline, not just the end state
+    "orders_cdc_timetravel" ->
+      ((s, d) => streaming.CdcStream.timeTravelSummary(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -5467,6 +5474,32 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(c) AS BIGINT) AS total_cents
       FROM fin GROUP BY 1""",
+
+    // time-travel replay: each version boundary's state reconstructed
+    // relationally — actions whose key-chunk ((|key| div 500) mod 4)
+    // <= v applied; v = -1 is the untouched base snapshot. An insert
+    // clone -(k+1) has |clone| = k+1 in the same 500-block as its
+    // update key k, so the pair always lands in one version.
+    "orders_cdc_timetravel" -> """
+      WITH vs AS (SELECT range AS v FROM range(-1, 4)),
+      base AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+      st AS (
+        SELECT vs.v,
+               CASE WHEN b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v
+                 THEN (b.c * 11) // 10 ELSE b.c END AS c
+        FROM vs, base b
+        WHERE NOT (b.k % 700 = 0 AND b.k % 500 <> 0
+                   AND ((b.k // 500) % 4) <= vs.v)
+        UNION ALL
+        SELECT vs.v, (b.c * 11) // 10 AS c
+        FROM vs, base b
+        WHERE b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v)
+      SELECT CAST(v AS BIGINT) AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM st GROUP BY 1""",
 
     // CDC changelog replay: the update leg reads old cents off orders
     // directly (the batch derives from orders, so the reconstruction

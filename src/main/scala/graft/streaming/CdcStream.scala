@@ -98,6 +98,7 @@ object CdcStream {
     baseStateDir(spark, dir)
     ivmBaseAggDir(spark, dir)
     appliedStateDirs(spark, dir)
+    versionChainDirs(spark, dir)
     1L
   }
 
@@ -133,6 +134,37 @@ object CdcStream {
     spark.read.parquet(paths: _*)
   }
 
+  /** MERGE one changelog slice into the bucketed state as version
+    * `id` — the shared batch body of the streaming apply loop and the
+    * deterministic version-chain builder. Touched-bucket discovery is a
+    * bounded collect (<= the NStateBuckets constant, never data-sized);
+    * every slice key lands in a touched bucket by construction, so
+    * merging only those buckets is the complete merge.
+    */
+  private def mergeSliceIntoState(slice: DataFrame, id: Long,
+      stateRoot: String, baseDir: String): Unit = {
+    val s = slice.sparkSession
+    val touched = slice
+      .select(pmod(col("o_orderkey"), lit(NStateBuckets)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (touched.nonEmpty) {
+      val prev = stateAt(s, stateRoot, baseDir, touched.toSeq, id)
+      val upserts = slice
+        .filter(col("action").isin("update", "insert"))
+        .select(col("o_orderkey"), col("new_cents").as("cents"))
+      val dels = slice.filter(col("action") === "delete")
+        .select(col("o_orderkey"))
+      val next = graft.sources.Ingest.deleteByKey(
+        graft.sources.Ingest.upsert(prev, upserts, "o_orderkey"),
+        dels, "o_orderkey")
+      next
+        .withColumn("bucket",
+          pmod(col("o_orderkey"), lit(NStateBuckets)))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$stateRoot/v=$id")
+    }
+  }
+
   /** Drive the apply loop: tail `stagedDir` one file per trigger and
     * maintain the bucketed (o_orderkey, cents) state table under
     * `stateRoot/v=<batchId>/bucket=<b>`, starting from the bucketed
@@ -148,31 +180,8 @@ object CdcStream {
       .parquet(stagedDir)
       .writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        val s = batch.sparkSession
-        val slice = batch.localCheckpoint(true)
-        // the batch's touched buckets — a bounded collect (<= the
-        // NStateBuckets constant, never data-sized)
-        val touched = slice
-          .select(pmod(col("o_orderkey"), lit(NStateBuckets)).cast("int"))
-          .distinct().collect().map(_.getInt(0)).sorted
-        if (touched.nonEmpty) {
-          val prev = stateAt(s, stateRoot, baseDir, touched.toSeq, id)
-          val upserts = slice
-            .filter(col("action").isin("update", "insert"))
-            .select(col("o_orderkey"), col("new_cents").as("cents"))
-          val dels = slice.filter(col("action") === "delete")
-            .select(col("o_orderkey"))
-          // every slice key lands in a touched bucket by construction,
-          // so merging only those buckets is the complete merge
-          val next = graft.sources.Ingest.deleteByKey(
-            graft.sources.Ingest.upsert(prev, upserts, "o_orderkey"),
-            dels, "o_orderkey")
-          next
-            .withColumn("bucket",
-              pmod(col("o_orderkey"), lit(NStateBuckets)))
-            .write.partitionBy("bucket").mode("overwrite")
-            .parquet(s"$stateRoot/v=$id")
-        }
+        mergeSliceIntoState(batch.localCheckpoint(true), id,
+          stateRoot, baseDir)
         if (crashAt >= 0 && id >= crashAt
             && crashed.compareAndSet(false, true))
           throw new RuntimeException("graft-injected-crash")
@@ -310,6 +319,82 @@ object CdcStream {
         sum(col("cents")).as("total_cents"))
       .select(col("n_rows"), col("n_buckets"),
         lit(folded.size.toLong).as("n_versions_folded"), col("total_cents"))
+  }
+
+  // ------------------------------------------------------------------
+  // TIME TRAVEL — the read-side payoff of keeping the version chain.
+  // Every v=<id> directory the apply loop leaves behind is a queryable
+  // snapshot boundary: "the table as of version v" is, per bucket, the
+  // newest writer with version <= v (base fallback) — exactly the
+  // stateAt resolver the apply loop itself uses to find its inputs.
+  // Reading as-of v therefore costs the same as reading the live
+  // table (one directory per bucket); no log replay, no copy. The
+  // declared row audits the WHOLE timeline: one summary per version
+  // boundary, each read back purely from the layout.
+  //
+  // The audited chain is built by the deterministic batch driver below
+  // (chunk c applied as version c), NOT the stream: the file source
+  // commits chunks in discovery order, which the apply row is
+  // deliberately insensitive to (disjoint keys), but as-of reads ARE
+  // order-sensitive, so the declared timeline pins chunk->version
+  // explicitly. Layout and resolver are byte-identical to the
+  // stream-built chain (CdcBucketSpec pins the layout contract).
+  // ------------------------------------------------------------------
+
+  /** Version count of the deterministic chain — version v applies the
+    * pmod(abs(o_orderkey) div 500, NLogChunks) == v slice. (Chunking by
+    * pmod(key, 4) like the stream staging would leave versions 1-2
+    * empty: the %500/%700 showcase keys are all ≡ 0 mod 4, and an
+    * insert clone -(k+1) is ≡ 3. The div-500 digit spreads actions
+    * across every version, so each boundary summarizes differently and
+    * the as-of audit is non-degenerate.)
+    */
+  private[graft] val NLogChunks = 4
+
+  /** The chain's chunk id for a changelog key: (|key| div 500) mod 4.
+    * |key| stays far below 2^53, so the double floor-divide is exact.
+    */
+  private def chainChunk(key: org.apache.spark.sql.Column) =
+    pmod(floor(abs(key) / lit(500L)).cast("long"), lit(NLogChunks))
+
+  /** The deterministic version chain: chunk c MERGEd as version c via
+    * the same batch body the stream uses. Memoized per dataset; charged
+    * to `bench_build_cdc_stage`. Returns (stateRoot, bucketedBaseDir).
+    */
+  private def versionChainDirs(spark: SparkSession,
+      dir: String): (String, String) =
+    graft.IndexCache.getOrBuild(spark,
+        s"orders-cdc-chain:$dir:$NStateBuckets:$NLogChunks") {
+      val base = baseStateDir(spark, dir)
+      val stateRoot = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-cdc-chain")).toString
+      val log = graft.sources.Ingest.mergeChangelogShowcase(spark, dir)
+        .localCheckpoint(true)
+      (0 until NLogChunks).foreach { c =>
+        mergeSliceIntoState(
+          log.filter(chainChunk(col("o_orderkey")) === c),
+          c.toLong, stateRoot, base)
+      }
+      (stateRoot, base)
+    }
+
+  /** The declared TIME-TRAVEL row (`orders_cdc_timetravel`): read the
+    * table as of EVERY version boundary of the deterministic chain —
+    * version -1 is the base snapshot, version v applies chunks 0..v —
+    * and summarize each read. The oracle reconstructs each boundary
+    * relationally (actions whose key-chunk <= v applied); a hash match
+    * proves the layout + resolver implement as-of semantics exactly,
+    * across the whole timeline at once.
+    * Output: (version, n_rows, total_cents) x (NLogChunks + 1).
+    */
+  def timeTravelSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (stateRoot, base) = versionChainDirs(spark, dir)
+    (-1 until NLogChunks).map { v =>
+      stateAt(spark, stateRoot, base, 0 until NStateBuckets, v + 1L)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------------------------

@@ -106,4 +106,43 @@ class CdcBucketSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     assert(got == want, s"bucketed end state $got != batch MERGE $want")
   }
+
+  test("time travel: the last version boundary equals the live end state, " +
+      "boundaries are cumulative, and version -1 is the untouched base") {
+    val tl = CdcStream.timeTravelSummary(spark, sf0001)
+      .orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tl.map(_._1).toSeq == Seq(-1L, 0L, 1L, 2L, 3L))
+    val orders = Tables.orders(spark, sf0001)
+    val baseWant = orders
+      .agg(count(lit(1)),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert((tl.head._2, tl.head._3) == baseWant,
+      "version -1 must summarize the untouched base snapshot")
+    // the final boundary == the composed batch MERGE (the same end
+    // state the apply row's oracle reconstructs)
+    val updates = orders.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10") / 100.0)
+    val inserts = updates.withColumn("o_orderkey", -(col("o_orderkey") + 1))
+    val dels = orders
+      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
+      .select(col("o_orderkey"))
+    val endWant = graft.sources.Ingest.deleteByKey(
+        graft.sources.Ingest.upsert(orders, updates.unionByName(inserts),
+          "o_orderkey"), dels, "o_orderkey")
+      .agg(count(lit(1)),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert((tl.last._2, tl.last._3) == endWant,
+      "the last boundary must equal the fully-applied table")
+    // the div-500 chunking spreads actions across versions; sparse
+    // TPC-H orderkeys can leave one chunk empty at this tiny sf, so
+    // pin non-degeneracy as "several distinct boundaries", not strictly
+    // all-distinct (the sf0.01 hash gate pins the exact per-version
+    // values)
+    assert(tl.map(t => (t._2, t._3)).distinct.length >= 3,
+      s"timeline nearly flat: $tl")
+  }
 }
