@@ -798,6 +798,13 @@ object SparkEntry {
     // timeline, not just the end state
     "orders_cdc_timetravel" ->
       ((s, d) => streaming.CdcStream.timeTravelSummary(s, d)),
+    // MERGE-ON-READ: the changelog applied as equality-delete +
+    // insert-delta sidecars beside the UNTOUCHED base (the deletion-
+    // vector strategy — a delete writes keys, never rewrites data);
+    // the read-side anti-join + union must hash to the same end state
+    // as the copy-on-write apply row
+    "orders_merge_on_read" ->
+      ((s, d) => streaming.CdcStream.mergeOnReadSummary(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -5500,6 +5507,32 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(c) AS BIGINT) AS total_cents
       FROM st GROUP BY 1""",
+
+    // merge-on-read replay: identical end state to the apply row (the
+    // strategies differ physically, never logically) plus the sidecar
+    // sizes — delete keys = updates' old images + deletes; insert rows
+    // = updates' new images + insert clones
+    "orders_merge_on_read" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      kept AS (SELECT CASE WHEN o_orderkey % 500 = 0
+                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                             // 10
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END AS c
+               FROM orders
+               WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)),
+      allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up),
+      nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM up),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+             WHERE o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             (SELECT n FROM nu) + (SELECT n FROM nd) AS n_delete_keys,
+             (SELECT n FROM nu) * 2 AS n_insert_rows,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM allr""",
 
     // CDC changelog replay: the update leg reads old cents off orders
     // directly (the batch derives from orders, so the reconstruction

@@ -99,6 +99,7 @@ object CdcStream {
     ivmBaseAggDir(spark, dir)
     appliedStateDirs(spark, dir)
     versionChainDirs(spark, dir)
+    morSidecarDirs(spark, dir)
     1L
   }
 
@@ -395,6 +396,96 @@ object CdcStream {
         .select(lit(v.toLong).as("version"), col("n_rows"),
           col("total_cents"))
     }.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE-ON-READ — the other half of the write-amplification tradeoff.
+  // The apply loop above is COPY-ON-WRITE: a change rewrites its whole
+  // bucket (read-optimal, write cost ~ bucket size). Merge-on-read
+  // instead writes only the change itself as sidecar files beside the
+  // untouched base — an equality-delete file (just the superseded keys,
+  // the key-based form of a deletion vector) and an insert-delta file
+  // (the new row images) — and every reader applies them on the fly:
+  //   read = base ANTI-JOIN deletes UNION ALL inserts.
+  // A delete of 50 keys in a 100 TB table writes 50 ids and rewrites
+  // NOTHING; the bill moves to read amplification (every scan carries
+  // the anti-join) until a compaction folds the sidecars down. Both
+  // sidecars are hive-partitioned by the SAME pmod bucket as the base,
+  // so at scale the anti-join is bucket-local (zero shuffle of the big
+  // side); at these sf sizes Spark simply broadcasts the key sidecar.
+  // The declared row reads the MOR table and must hash-match the SAME
+  // end-state oracle family as the copy-on-write path — same answer,
+  // opposite physical tradeoff, both under the gate.
+  // ------------------------------------------------------------------
+
+  /** The MOR table's layout: the untouched bucketed base plus the two
+    * sidecar directories, rendered once per dataset (charged to
+    * `bench_build_cdc_stage`). Returns (baseDir, deletesDir, insertsDir).
+    */
+  private def morSidecarDirs(spark: SparkSession,
+      dir: String): (String, String, String) =
+    graft.IndexCache.getOrBuild(spark,
+        s"orders-cdc-mor:$dir:$NStateBuckets") {
+      val base = baseStateDir(spark, dir)
+      val root = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-cdc-mor")).toString
+      val log = graft.sources.Ingest.mergeChangelogShowcase(spark, dir)
+        .localCheckpoint(true)
+      // equality-delete sidecar: every key whose base row is superseded
+      // (an update's old image) or removed (a delete) — keys only,
+      // never row data
+      log.filter(col("action").isin("update", "delete"))
+        .select(col("o_orderkey"),
+          pmod(col("o_orderkey"), lit(NStateBuckets)).as("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$root/deletes")
+      // insert-delta sidecar: the new row images (updates' new values
+      // ride as delete-old + insert-new, the canonical MOR upsert)
+      log.filter(col("action").isin("update", "insert"))
+        .select(col("o_orderkey"), col("new_cents").as("cents"),
+          pmod(col("o_orderkey"), lit(NStateBuckets)).as("bucket"))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$root/inserts")
+      (base, s"$root/deletes", s"$root/inserts")
+    }
+
+  /** The merge-on-read resolution: base minus superseded keys plus the
+    * insert deltas. Both sidecars share the base's bucket partitioning,
+    * so the anti-join co-locates per bucket at scale; Spark broadcasts
+    * the (tiny) key sidecar here.
+    */
+  private def morRead(spark: SparkSession, baseDir: String,
+      deletesDir: String, insertsDir: String): DataFrame = {
+    val base = spark.read.parquet(baseDir)
+      .select(col("o_orderkey"), col("cents"))
+    val dels = spark.read.parquet(deletesDir).select(col("o_orderkey"))
+    val ins = spark.read.parquet(insertsDir)
+      .select(col("o_orderkey"), col("cents"))
+    base.join(broadcast(dels), Seq("o_orderkey"), "left_anti")
+      .unionByName(ins)
+  }
+
+  /** The declared MERGE-ON-READ row (`orders_merge_on_read`): resolve
+    * the MOR table and summarize it beside its structural facts — how
+    * many keys the delete sidecar holds and how many row images the
+    * insert delta carries (the TOTAL bytes this layout wrote for the
+    * whole changelog, vs the copy-on-write path's bucket rewrites).
+    * The (n_rows, total_cents) pair must equal the copy-on-write apply
+    * row's — the same composed end state through the opposite physical
+    * strategy. Output: (n_rows, n_delete_keys, n_insert_rows,
+    * total_cents).
+    */
+  def mergeOnReadSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (base, dels, ins) = morSidecarDirs(spark, dir)
+    val facts = spark.read.parquet(dels)
+      .agg(count(lit(1)).as("n_delete_keys"))
+      .crossJoin(spark.read.parquet(ins)
+        .agg(count(lit(1)).as("n_insert_rows")))
+    morRead(spark, base, dels, ins)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .crossJoin(broadcast(facts))
+      .select(col("n_rows"), col("n_delete_keys"), col("n_insert_rows"),
+        col("total_cents"))
   }
 
   // ------------------------------------------------------------------
