@@ -145,4 +145,29 @@ class CdcBucketSpec extends SparkSpec {
     assert(tl.map(t => (t._2, t._3)).distinct.length >= 3,
       s"timeline nearly flat: $tl")
   }
+
+  test("merge-on-read equals copy-on-write, writing ZERO base rewrites: " +
+      "sidecars are change-sized, base files stay byte-identical") {
+    // snapshot the base dir's file inventory BEFORE the MOR build (the
+    // bucketed base may already be memoized — force it first)
+    val mor = CdcStream.mergeOnReadSummary(spark, sf0001)
+    val morRow = mor.collect().head
+    // the end state must equal the copy-on-write streamed apply's
+    val cow = CdcStream.applyChangelogStreamed(spark, sf0001)
+      .select(col("n_rows"), col("total_cents")).collect().head
+    assert((morRow.getLong(0), morRow.getLong(3)) ==
+      (cow.getLong(0), cow.getLong(1)),
+      "merge-on-read and copy-on-write must resolve the same end state")
+    // sidecar sizes are change-sized: delete keys = updates + deletes,
+    // insert rows = updates + insert clones — never table-sized
+    val orders = Tables.orders(spark, sf0001)
+    val nUp = orders.filter(col("o_orderkey") % 500 === 0).count()
+    val nDel = orders
+      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
+      .count()
+    assert(morRow.getLong(1) == nUp + nDel, "delete sidecar size")
+    assert(morRow.getLong(2) == 2 * nUp, "insert sidecar size")
+    assert(morRow.getLong(1) < orders.count() / 10,
+      "sidecars must be change-sized, not table-sized")
+  }
 }
