@@ -255,7 +255,12 @@ object Bench {
       // one-time CDC staging (chunked changelog + base state snapshot)
       // — the declared apply row then measures the MERGE loop itself
       timed("bench_build_cdc_stage",
-        () => streaming.CdcStream.prestage(spark, sfDir)))
+        () => streaming.CdcStream.prestage(spark, sfDir)),
+      // one-time two-generation schema-evolution export — the declared
+      // row then measures the mergeSchema read, not the staging write
+      timed("bench_build_evolved",
+        () => spark.read.parquet(
+          sources.Ingest.evolvedOrdersDir(spark, sfDir)).count()))
     // Run the cache-DEPENDENT families first (they read the persisted
     // builds above), then drop every persisted block before the
     // cache-free relational/events section. r5 measured unchanged

@@ -805,6 +805,12 @@ object SparkEntry {
     // as the copy-on-write apply row
     "orders_merge_on_read" ->
       ((s, d) => streaming.CdcStream.mergeOnReadSummary(s, d)),
+    // SCHEMA EVOLUTION: one mergeSchema read across two real file
+    // generations (the priority column added mid-stream); planning-time
+    // footer union, NULL back-fill at scan — generation 1 is never
+    // rewritten, and the hash gate proves no row loss or misalignment
+    "ingest_schema_evolution" ->
+      ((s, d) => sources.Ingest.schemaEvolutionRollup(s, d)),
     // diurnal profile: hour-of-day rollup per type
     "events_seasonality" -> EventOps.hourlySeasonality _,
     // seasonal-naive forecast of the last day + backtest error
@@ -2140,6 +2146,17 @@ object SparkEntry {
         ON g.doc_a = w.doc_a AND g.doc_b = w.doc_b"""
 
   def oracleSql: Map[String, String] = Map(
+    // schema-evolution replay: generation 1 (even keys) landed before
+    // the priority column existed, so those rows roll up under the
+    // sentinel; generation 2 (odd keys) carries the real priority
+    "ingest_schema_evolution" -> """
+      SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                  ELSE '(pre-evolution)' END AS o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders GROUP BY 1""",
+
     // ingest-pipeline replay: the first 300 VALID ndjson records are
     // vec_id 0..299 (planted malformed/vectorless lines drop at parse
     // time), the split is round(0.95·n), the body's first sentence is

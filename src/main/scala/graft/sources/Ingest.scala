@@ -360,4 +360,56 @@ object Ingest {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  // ------------------------------------------------------------------
+  // SCHEMA EVOLUTION — long-lived ingest paths never have one schema.
+  // A column added in generation 2 must not force a rewrite of the
+  // petabytes generation 1 already landed: Spark's mergeSchema read
+  // unions the per-file footers at PLANNING time (footer metadata only
+  // — no data scan, no rewrite) and back-fills the missing column with
+  // NULLs row-free at scan time. The staged fixture below writes two
+  // real generations into ONE directory; the declared row reads them
+  // through one evolved schema and aggregates per priority, with the
+  // pre-evolution rows surfacing under a sentinel label. The DuckDB
+  // oracle reconstructs the same union from the orders table — a hash
+  // match proves the evolved read neither lost rows nor misaligned
+  // columns across generations.
+  // ------------------------------------------------------------------
+
+  /** Stage the two-generation orders export (memoized; charged to
+    * `bench_build_cdc_stage`'s sibling `bench_build_evolved`):
+    * generation 1 = even orderkeys as (o_orderkey, cents) — written
+    * BEFORE the schema grew; generation 2 = odd orderkeys as
+    * (o_orderkey, cents, o_orderpriority). Same directory, two file
+    * schemas, exactly what a long-lived landing zone looks like.
+    */
+  private[graft] def evolvedOrdersDir(spark: SparkSession,
+      dir: String): String =
+    graft.IndexCache.getOrBuild(spark, s"orders-evolved:$dir") {
+      val out = graft.streaming.EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-evolved")).toString
+      val o = graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderpriority"))
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .drop("o_orderpriority")
+        .write.mode("append").parquet(out)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .write.mode("append").parquet(out)
+      out
+    }
+
+  /** The declared schema-evolution row (`ingest_schema_evolution`):
+    * one mergeSchema read across both generations, rolled up per
+    * priority; generation-1 rows (the column did not exist yet) land
+    * under the '(pre-evolution)' sentinel. Output:
+    * (o_orderpriority, n_orders, total_cents).
+    */
+  def schemaEvolutionRollup(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(evolvedOrdersDir(spark, dir))
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)"))
+        .as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
 }
