@@ -57,7 +57,10 @@ object Bench {
       val sec =
         try { run(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => errors += name; Double.NaN }
-      diag += s"""{"q":"$name","sec":$sec,"gc_ms":${Diag.gcMs - gc0},""" +
+      // NaN is the in-JVM failure marker but not valid JSON — the
+      // sidecar line must stay machine-readable even on errored rows
+      val secJson = if (sec.isNaN) "null" else sec.toString
+      diag += s"""{"q":"$name","sec":$secJson,"gc_ms":${Diag.gcMs - gc0},""" +
         s""""jit_ms":${Diag.jitMs - jit0},"heap_mb":${Diag.heapUsedMb},""" +
         s""""codecache_mb":${Diag.codeCacheMb},"meta_mb":${Diag.metaspaceMb}}"""
       sec
@@ -316,7 +319,10 @@ object Bench {
     val qmap = selected
     val cachedResults = polish(runAll(cachedQs), 120.0, qmap)
     if (withBuilds) releaseCaches(spark)
-    val results = builds ++ cachedResults ++ polish(runAll(freeQs), 60.0, qmap)
+    val all = builds ++ cachedResults ++ polish(runAll(freeQs), 60.0, qmap)
+    // failed rows live in the errors array; a NaN in the queries map or
+    // the total would make the whole contract line unparseable JSON
+    val results = all.filterNot(_._2.isNaN)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

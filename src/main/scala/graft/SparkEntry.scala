@@ -2036,8 +2036,15 @@ object SparkEntry {
       FROM p
       WHERE greatest(round(shared / na, 6), round(shared / nb, 6)) >= 0.6"""
 
-  private val winnowContainmentSql = """
-      WITH h AS (
+  /** The winnowing replay's shared CTE chain — word rolling hashes
+    * (`h`), 4-gram shingles (`s`), window-min fingerprints (`fp`),
+    * df-capped buckets (`rare`) and the >=2-shared pair relation — ONE
+    * definition interpolated into every consumer oracle
+    * (text_winnowing, text_winnowing_pairs, the containment row, both
+    * detector cross-checks), so a hash-constant or window-arithmetic
+    * fix can never silently diverge the replays.
+    */
+  private val winnowHashCtes = """h AS (
         SELECT doc_id,
           list_transform(string_split(text, ' '), t ->
             list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2050,20 +2057,28 @@ object SparkEntry {
           [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
             (acc, x) -> (acc * 131 + x) % 1000000007)
            for i in range(1, len(wh) - 3)] AS sh
-        FROM h WHERE len(wh) >= 8),
-      fp AS (
+        FROM h WHERE len(wh) >= 8)"""
+
+  private val winnowFpRareCtes = """fp AS (
         SELECT DISTINCT doc_id,
           unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
         FROM s),
-      sz AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
       rare AS (SELECT h FROM fp GROUP BY h
-               HAVING count(DISTINCT doc_id) <= 64),
-      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               count(*) AS n_shared
+               HAVING count(DISTINCT doc_id) <= 64)"""
+
+  private def winnowPairSql(alias: String) =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS $alias
              FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
              JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
                ON a.h = b.h AND a.doc_id < b.doc_id
-             GROUP BY 1, 2 HAVING count(*) >= 2)
+             GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+  private val winnowContainmentSql = s"""
+      WITH $winnowHashCtes,
+      $winnowFpRareCtes,
+      sz AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY 1),
+      pr AS (${winnowPairSql("n_shared")})
       SELECT pr.doc_a, pr.doc_b, pr.n_shared,
              pr.n_shared * 1000 // sa.nfp AS cont_a_permille,
              pr.n_shared * 1000 // sb.nfp AS cont_b_permille
@@ -2078,7 +2093,7 @@ object SparkEntry {
   // (banding completeness at the declared operating point is thereby
   // under the hash gate, not assumed), the winnowing side the same
   // rolling-hash fingerprint replay as text_winnowing_pairs
-  private val minhashWinnowCrossCheckSql = """
+  private val minhashWinnowCrossCheckSql = s"""
       WITH g AS (
         SELECT doc_id,
                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -2092,33 +2107,9 @@ object SparkEntry {
       mh AS (SELECT doc_a, doc_b,
                     round(shared / (na + nb - shared), 6) AS jaccard
              FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.8),
-      h AS (
-        SELECT doc_id,
-          list_transform(string_split(text, ' '), t ->
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(t, ''),
-                c -> CAST(unicode(c) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
-        FROM documents),
-      s AS (
-        SELECT doc_id,
-          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
-            (acc, x) -> (acc * 131 + x) % 1000000007)
-           for i in range(1, len(wh) - 3)] AS sh
-        FROM h WHERE len(wh) >= 8),
-      fp AS (
-        SELECT DISTINCT doc_id,
-          unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
-        FROM s),
-      rare AS (SELECT h FROM fp GROUP BY h
-               HAVING count(DISTINCT doc_id) <= 64),
-      winn AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(count(*) AS BIGINT) AS winn_shared
-        FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
-        JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
-          ON a.h = b.h AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 2)
+      $winnowHashCtes,
+      $winnowFpRareCtes,
+      winn AS (${winnowPairSql("winn_shared")})
       SELECT coalesce(m.doc_a, w.doc_a) AS doc_a,
              coalesce(m.doc_b, w.doc_b) AS doc_b,
              CAST(CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END
@@ -3581,21 +3572,8 @@ object SparkEntry {
 
     // winnowing replay: identical shingle fold, window minima via list
     // slices, rightmost tie via reversed list_position
-    "text_winnowing" -> """
-      WITH h AS (
-        SELECT doc_id,
-          list_transform(string_split(text, ' '), t ->
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(t, ''),
-                c -> CAST(unicode(c) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
-        FROM documents),
-      s AS (
-        SELECT doc_id,
-          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
-            (acc, x) -> (acc * 131 + x) % 1000000007)
-           for i in range(1, len(wh) - 3)] AS sh
-        FROM h WHERE len(wh) >= 8),
+    "text_winnowing" -> s"""
+      WITH $winnowHashCtes,
       sel AS (
         SELECT doc_id,
           [struct_pack(
@@ -3608,34 +3586,12 @@ object SparkEntry {
       FROM (SELECT doc_id, unnest(fps) AS f FROM sel)""",
 
     // pair replay: distinct (doc, hash) selection, df-capped buckets,
-    // self-join, >= 2 shared hashes
-    "text_winnowing_pairs" -> """
-      WITH h AS (
-        SELECT doc_id,
-          list_transform(string_split(text, ' '), t ->
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(t, ''),
-                c -> CAST(unicode(c) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % 1000000007)) AS wh
-        FROM documents),
-      s AS (
-        SELECT doc_id,
-          [list_reduce(list_prepend(CAST(0 AS BIGINT), wh[i:i+4]),
-            (acc, x) -> (acc * 131 + x) % 1000000007)
-           for i in range(1, len(wh) - 3)] AS sh
-        FROM h WHERE len(wh) >= 8),
-      fp AS (
-        SELECT DISTINCT doc_id,
-          unnest([list_min(sh[j:j+3]) for j in range(1, len(sh) - 2)]) AS h
-        FROM s),
-      rare AS (SELECT h FROM fp GROUP BY h
-               HAVING count(DISTINCT doc_id) <= 64)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             count(*) AS n_shared
-      FROM (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) a
-      JOIN (SELECT * FROM fp WHERE h IN (SELECT h FROM rare)) b
-        ON a.h = b.h AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= 2""",
+    // self-join, >= 2 shared hashes (the SHARED winnowing CTE chain —
+    // one definition across all five consumer oracles)
+    "text_winnowing_pairs" -> s"""
+      WITH $winnowHashCtes,
+      $winnowFpRareCtes
+      ${winnowPairSql("n_shared")}""",
 
     // containment replay: the pair relation joined to per-doc
     // distinct-fingerprint counts, integer permille both directions

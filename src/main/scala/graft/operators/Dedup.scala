@@ -882,15 +882,7 @@ object Dedup {
     val spark = n.sparkSession
     import spark.implicits._
     val rows = n.select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
-    val side = rows.collect().sortBy(_._1)
-    val nRows = side.length
-    val dim = if (nRows == 0) 0 else side(0)._2.length
-    val ids = side.map(_._1)
-    val flat = new Array[Double](nRows * dim)
-    var r = 0
-    while (r < nRows) {
-      System.arraycopy(side(r)._2, 0, flat, r * dim, dim); r += 1
-    }
+    val (ids, flat, _) = collectFlat(n)
     val bc = spark.sparkContext.broadcast((ids, flat))
     // rounding moves a value by <= 5e-7, so anything below this guard
     // cannot reach `threshold` after rounding — the exact filter runs
@@ -1035,11 +1027,49 @@ object Dedup {
     * identical on unit vectors, and verification becomes a clamped dot
     * product.
     */
+  /** Fused-verification broadcast bound: the flat matrix the LSH leg
+    * ships is n x dim doubles; past this entry count (256 MB of
+    * doubles) the kernel would stage an executor-memory-sized artifact
+    * through the driver, so verification cuts over to the fully
+    * distributed join form below — slower per candidate, unbounded in
+    * corpus size. Same cutover discipline as the CF neighbor lists and
+    * the union-find edge bound.
+    */
+  private[graft] val LshBroadcastMaxEntries = 32000000L
+
   def embeddingNearDupLshNormalized(normalized: DataFrame, dim: Int,
       threshold: Double = 0.9, bands: Int = 16, rowsPerBand: Int = 8,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      maxBroadcastEntries: Long = LshBroadcastMaxEntries): DataFrame = {
     val spark = normalized.sparkSession
     import spark.implicits._
+    val guard0 = threshold - 1e-6
+    // past the broadcast bound: verify on the DEDUPED candidate pairs
+    // (16-byte rows) with both vectors joined on — two candidate-
+    // bounded shuffles, no driver artifact, identical arithmetic. (The
+    // 197 s regression this kernel replaced joined vectors onto the
+    // RAW collision stream and deduped the full collision relation;
+    // deduping the id pairs FIRST keeps the join input survivors-sized.)
+    if (normalized.count() * dim > maxBroadcastEntries) {
+      val v = normalized.select(col("vec_id"), col("nv"))
+      return lshCandidatePairs(normalized, dim, bands, rowsPerBand, seed)
+        .join(v.withColumnRenamed("vec_id", "vec_a")
+          .withColumnRenamed("nv", "va"), "vec_a")
+        .join(v.withColumnRenamed("vec_id", "vec_b")
+          .withColumnRenamed("nv", "vb"), "vec_b")
+        .select(col("vec_a"), col("vec_b"), col("va"), col("vb"))
+        .as[(Long, Long, Array[Double], Array[Double])]
+        .flatMap { case (a, b, va, vb) =>
+          var s = 0.0; var k = 0
+          while (k < va.length) { s += va(k) * vb(k); k += 1 }
+          val clamped = if (s > 0.0) s else 0.0
+          if (clamped >= guard0) {
+            val sim = roundHalfUp6(clamped)
+            if (sim >= threshold) Iterator.single((a, b, sim))
+            else Iterator.empty
+          } else Iterator.empty
+        }.toDF("vec_a", "vec_b", "sim")
+    }
     // verification rides the SAME flattened broadcast envelope as the
     // exact kernel: candidates carry two 8-byte ids through the join,
     // vectors are looked up in the broadcast matrix inside a fused FMA

@@ -131,8 +131,15 @@ object CdcStream {
         case -1L => s"$baseDir/bucket=$b"
         case v => s"$stateRoot/v=$v/bucket=$b"
       }
-    }
-    spark.read.parquet(paths: _*)
+    // a pmod residue no base row ever occupied (sparse/skewed keys, or
+    // NStateBuckets raised past key diversity) has no directory at all
+    // — an empty bucket, not an error
+    }.filter(p => new java.io.File(p).exists())
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("cents", LongType))))
+    else spark.read.parquet(paths: _*)
   }
 
   /** MERGE one changelog slice into the bucketed state as version
@@ -163,6 +170,22 @@ object CdcStream {
           pmod(col("o_orderkey"), lit(NStateBuckets)))
         .write.partitionBy("bucket").mode("overwrite")
         .parquet(s"$stateRoot/v=$id")
+      // a touched bucket whose merge result is EMPTY gets no hive dir
+      // from partitionBy — but this batch is still its newest writer,
+      // and leaving no directory would resolve as-of reads to an OLDER
+      // version, resurrecting the rows this batch deleted. Materialize
+      // the emptiness: a zero-row parquet file per emptied bucket
+      // (<= NStateBuckets tiny footer writes, never data-sized).
+      val written = Option(new java.io.File(s"$stateRoot/v=$id").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(_.getName.stripPrefix("bucket=").toInt).toSet
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("cents", LongType)))
+      touched.filterNot(written).foreach { b =>
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+          .write.mode("overwrite").parquet(s"$stateRoot/v=$id/bucket=$b")
+      }
     }
   }
 

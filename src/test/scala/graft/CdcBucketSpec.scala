@@ -77,15 +77,25 @@ class CdcBucketSpec extends SparkSpec {
       assert(got.forall(_ % 4 == i % 4))
       assert(got.size < nB, s"v=$i rewrote every bucket — full-table write")
     }
-    // 2) untouched-by-later-versions: v=0's files are byte-identical
-    //    after the whole run (nothing after batch 0 may rewrite them)
-    val v0files = Option(new java.io.File(s"$stateRoot/v=0").listFiles())
-      .getOrElse(Array.empty).filter(_.isDirectory)
-      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
-    assert(v0files.nonEmpty)
-    // mtimes unchanged since batch 0 committed is the physical form of
-    // "not rewritten": every later version lives in its own v= dir
-    assert(v0files.forall(_.lastModified() <= t0 + 10L * 60000L))
+    // 2) untouched-by-later-versions: earlier versions' files must all
+    //    predate later versions' files — if any batch rewrote an
+    //    earlier v= dir, that dir's max mtime would exceed the next
+    //    version's min mtime (batches commit strictly in sequence)
+    def mtimes(v: Int): Array[Long] =
+      Option(new java.io.File(s"$stateRoot/v=$v").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(_.lastModified())
+    // only versions whose slice carried actions exist (empty batches
+    // write nothing); across the versions that DO exist, batches
+    // commit strictly in sequence — an earlier dir rewritten later
+    // would carry mtimes past the next version's
+    val present = (0 until 4).filter(v => mtimes(v).nonEmpty)
+    assert(present.size >= 2, s"too few versions to order: $present")
+    present.sliding(2).foreach { case Seq(a, b) =>
+      assert(mtimes(a).max <= mtimes(b).min,
+        s"v=$a files newer than v=$b — an earlier version was rewritten")
+    }
 
     // 3) end state resolved across versions equals the batch MERGE
     val got = CdcStream.endState(spark, stateRoot, base)
@@ -105,6 +115,40 @@ class CdcBucketSpec extends SparkSpec {
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     assert(got == want, s"bucketed end state $got != batch MERGE $want")
+  }
+
+  test("a batch that empties a bucket writes an explicit empty bucket dir " +
+      "— as-of reads must not fall back past it and resurrect the rows") {
+    import spark.implicits._
+    val nB = CdcStream.NStateBuckets
+    // tiny base: keys 0..31 -> two keys per pmod-16 bucket
+    val base = Files.createTempDirectory("graft-cdce-base").toString
+    (0L until 32L).map(k => (k, 100L + k)).toDF("o_orderkey", "cents")
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(nB)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(base)
+    // one chunk deleting BOTH keys of bucket 3 (3 and 19) and updating
+    // one key of bucket 5 (so the batch is a normal multi-bucket merge)
+    val log = Seq(
+      (3L, "delete", 103L, null.asInstanceOf[java.lang.Long]),
+      (19L, "delete", 119L, null.asInstanceOf[java.lang.Long]),
+      (5L, "update", 105L, 999L.asInstanceOf[java.lang.Long]))
+      .toDF("o_orderkey", "action", "old_cents", "new_cents")
+      .select(col("o_orderkey"), col("action"),
+        col("old_cents").cast("long"), col("new_cents").cast("long"))
+    val staged = Files.createTempDirectory("graft-cdce-src")
+    stageChunk(log, staged, "c0.parquet", System.currentTimeMillis())
+    val stateRoot = Files.createTempDirectory("graft-cdce-state").toString
+    val ckpt = Files.createTempDirectory("graft-cdce-ckpt").toString
+    CdcStream.runApply(spark, staged.toString, base, stateRoot, ckpt)
+    // the emptied bucket's version dir must exist (the empty marker)
+    assert(new java.io.File(s"$stateRoot/v=0/bucket=3").exists(),
+      "emptied bucket must still get a version dir — its newest writer")
+    val end = CdcStream.endState(spark, stateRoot, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val wantCents = (0L until 32L).map(100L + _).sum - 103L - 119L +
+      (999L - 105L)
+    assert(end == ((30L, wantCents)),
+      s"deleted rows resurrected or update lost: $end")
   }
 
   test("time travel: the last version boundary equals the live end state, " +

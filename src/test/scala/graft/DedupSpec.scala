@@ -253,6 +253,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall=$recall found=${found.size}")
   }
 
+  test("LSH verification past the broadcast bound: the distributed join " +
+      "leg is bit-identical to the fused broadcast kernel") {
+    val n = Dedup.normalizedEmbeddings(spark, sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_a", "vec_b", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // maxBroadcastEntries = 0 forces the cutover's distributed leg on
+    // the same inputs; outputs must match pair-for-pair AND bit-for-bit
+    // on sim (identical accumulation order + clamp + HALF_UP rounding)
+    val broadcastLeg = rows(Dedup.embeddingNearDupLshNormalized(n, 64, 0.45))
+    val distributedLeg = rows(Dedup.embeddingNearDupLshNormalized(
+      n, 64, 0.45, maxBroadcastEntries = 0L))
+    assert(broadcastLeg.nonEmpty, "fixture must produce pairs at 0.45")
+    assert(distributedLeg == broadcastLeg,
+      s"legs diverge: ${distributedLeg.size} vs ${broadcastLeg.size} pairs")
+  }
+
   test("semantic dedup prunes exactly the within-cluster similarity components") {
     val out = Dedup.semanticDedup(spark, sf0001, 0.4, 8).cache()
     val nVecs = Tables.embeddings(spark, sf0001).count()

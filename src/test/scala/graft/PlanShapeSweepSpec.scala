@@ -85,8 +85,10 @@ class PlanShapeSweepSpec extends SparkSpec {
     "layout_zorder_box",          // same 1-row matched-count attach x4
     "layout_curve_read_amp",      // same 1-row matched-count attach,
                                   // once per curve leg
-    "text_naive_bayes_langid")    // |classes|-row model fan-out against
+    "text_naive_bayes_langid",    // |classes|-row model fan-out against
                                   // the test words + 1-row V/n attaches
+    "orders_merge_on_read")       // 1-row sidecar-size facts attach
+                                  // (n_delete_keys x n_insert_rows)
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
