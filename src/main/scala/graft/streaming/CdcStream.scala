@@ -149,7 +149,7 @@ object CdcStream {
     * every slice key lands in a touched bucket by construction, so
     * merging only those buckets is the complete merge.
     */
-  private def mergeSliceIntoState(slice: DataFrame, id: Long,
+  private[graft] def mergeSliceIntoState(slice: DataFrame, id: Long,
       stateRoot: String, baseDir: String): Unit = {
     val s = slice.sparkSession
     val touched = slice

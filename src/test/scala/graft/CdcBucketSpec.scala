@@ -190,6 +190,54 @@ class CdcBucketSpec extends SparkSpec {
       s"timeline nearly flat: $tl")
   }
 
+  test("property: the versioned bucketed merge equals a driver-side model " +
+      "fold for random changelogs (sparse keys, emptied buckets, inserts)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      // sparse random base over keys 0..199: most pmod-16 residues are
+      // thin, so deletes regularly EMPTY buckets (the resurrection
+      // regression's exact shape) and some residues never exist at all
+      // (the stateAt missing-path shape)
+      val baseKeys = (0L until 200L).filter(_ => rnd.nextDouble() < 0.12)
+      var model = baseKeys.map(k => k -> (rnd.nextInt(1000) + 1).toLong).toMap
+      val base = Files.createTempDirectory(s"graft-cdcp-base$trial").toString
+      model.toSeq.toDF("o_orderkey", "cents")
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(CdcStream.NStateBuckets)))
+        .write.partitionBy("bucket").mode("overwrite").parquet(base)
+      // one random action per touched key, assigned to a random chunk;
+      // keys are unique across the log so fold order cannot matter
+      val acts = (0L until 220L).flatMap { k =>
+        if (rnd.nextDouble() >= 0.25) None
+        else if (model.contains(k) && rnd.nextBoolean())
+          Some((k, "delete", model(k): java.lang.Long,
+            null.asInstanceOf[java.lang.Long], rnd.nextInt(3)))
+        else if (model.contains(k))
+          Some((k, "update", model(k): java.lang.Long,
+            (rnd.nextInt(1000) + 1).toLong: java.lang.Long, rnd.nextInt(3)))
+        else Some((k, "insert", null.asInstanceOf[java.lang.Long],
+          (rnd.nextInt(1000) + 1).toLong: java.lang.Long, rnd.nextInt(3)))
+      }
+      val stateRoot = Files.createTempDirectory(s"graft-cdcp-st$trial").toString
+      (0 until 3).foreach { c =>
+        val slice = acts.filter(_._5 == c)
+          .map(a => (a._1, a._2, a._3, a._4))
+          .toDF("o_orderkey", "action", "old_cents", "new_cents")
+        CdcStream.mergeSliceIntoState(slice, c.toLong, stateRoot, base)
+      }
+      acts.foreach {
+        case (k, "delete", _, _, _) => model -= k
+        case (k, _, _, nc, _) => model += k -> nc.longValue()
+      }
+      val got = CdcStream.endState(spark, stateRoot, base)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))).head
+      assert(got == ((model.size.toLong, model.values.sum)),
+        s"trial $trial: versioned merge $got != model fold " +
+          s"(${model.size}, ${model.values.sum})")
+    }
+  }
+
   test("merge-on-read equals copy-on-write, writing ZERO base rewrites: " +
       "sidecars are change-sized, base files stay byte-identical") {
     // snapshot the base dir's file inventory BEFORE the MOR build (the
