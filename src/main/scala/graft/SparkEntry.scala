@@ -805,6 +805,12 @@ object SparkEntry {
     // as the copy-on-write apply row
     "orders_merge_on_read" ->
       ((s, d) => streaming.CdcStream.mergeOnReadSummary(s, d)),
+    // the STREAMING merge-on-read apply: each micro-batch appends its
+    // slice as sidecar files (|batch|-row writes, base never touched),
+    // the read side resolves them — same oracle as the batch MOR row,
+    // the true O(changes) end of the CDC write-strategy spectrum
+    "orders_mor_apply_streamed" ->
+      ((s, d) => streaming.CdcStream.morApplyStreamed(s, d)),
     // SCHEMA EVOLUTION: one mergeSchema read across two real file
     // generations (the priority column added mid-stream); planning-time
     // footer union, NULL back-fill at scan — generation 1 is never
@@ -2135,6 +2141,32 @@ object SparkEntry {
              w.cont_b_permille AS winn_cont_b_permille
       FROM gram g FULL JOIN winn w
         ON g.doc_a = w.doc_a AND g.doc_b = w.doc_b"""
+
+  /** The composed MOR end state + sidecar sizes — shared by the batch
+    * row (orders_merge_on_read) and its streamed twin
+    * (orders_mor_apply_streamed): one definition, one oracle.
+    */
+  private val morEndStateSql = """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      kept AS (SELECT CASE WHEN o_orderkey % 500 = 0
+                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                             // 10
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END AS c
+               FROM orders
+               WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)),
+      allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up),
+      nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM up),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+             WHERE o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             (SELECT n FROM nu) + (SELECT n FROM nd) AS n_delete_keys,
+             (SELECT n FROM nu) * 2 AS n_insert_rows,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM allr"""
 
   def oracleSql: Map[String, String] = Map(
     // schema-evolution replay: generation 1 (even keys) landed before
@@ -5485,27 +5517,10 @@ object SparkEntry {
     // strategies differ physically, never logically) plus the sidecar
     // sizes — delete keys = updates' old images + deletes; insert rows
     // = updates' new images + insert clones
-    "orders_merge_on_read" -> """
-      WITH up AS (SELECT o_orderkey AS k,
-                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
-                      AS nc
-                  FROM orders WHERE o_orderkey % 500 = 0),
-      kept AS (SELECT CASE WHEN o_orderkey % 500 = 0
-                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
-                             // 10
-                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
-                      END AS c
-               FROM orders
-               WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)),
-      allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up),
-      nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM up),
-      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
-             WHERE o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)
-      SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             (SELECT n FROM nu) + (SELECT n FROM nd) AS n_delete_keys,
-             (SELECT n FROM nu) * 2 AS n_insert_rows,
-             CAST(sum(c) AS BIGINT) AS total_cents
-      FROM allr""",
+    "orders_merge_on_read" -> morEndStateSql,
+    // the streamed sidecar apply converges to the identical end state
+    "orders_mor_apply_streamed" -> morEndStateSql,
+
 
     // CDC changelog replay: the update leg reads old cents off orders
     // directly (the batch derives from orders, so the reconstruction

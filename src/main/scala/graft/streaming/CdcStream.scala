@@ -511,6 +511,86 @@ object CdcStream {
         col("total_cents"))
   }
 
+  /** Drive the STREAMING merge-on-read apply: tail `stagedDir` one
+    * chunk per trigger; each micro-batch APPENDS its slice as sidecar
+    * files — superseded keys under `deletes/batch=<id>`, new row images
+    * under `inserts/batch=<id>` — and never touches the base or any
+    * earlier sidecar. Per-trigger write volume is exactly |batch| rows:
+    * the true O(changes) point of the CDC write-strategy spectrum
+    * (the copy-on-write loop above pays bucket granularity). Crash
+    * discipline: a replayed batch overwrites ITS OWN batch=<id> dirs —
+    * idempotent by construction, no read-prev dependency at all.
+    * Exposed for the crash spec.
+    */
+  private[graft] def runMorApply(spark: SparkSession, stagedDir: String,
+      morRoot: String, ckpt: String, crashAt: Long = -1L,
+      crashed: java.util.concurrent.atomic.AtomicBoolean = null): Unit = {
+    val q = spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val slice = batch.localCheckpoint(true)
+        slice.filter(col("action").isin("update", "delete"))
+          .select(col("o_orderkey"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$morRoot/deletes/batch=$id")
+        slice.filter(col("action").isin("update", "insert"))
+          .select(col("o_orderkey"), col("new_cents").as("cents"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$morRoot/inserts/batch=$id")
+        if (crashAt >= 0 && id >= crashAt
+            && crashed.compareAndSet(false, true))
+          throw new RuntimeException("graft-injected-crash")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The merge-on-read resolution over streamed sidecars (partition
+    * discovery turns the batch=<id> dirs into one relation each).
+    * Output: (n_rows, n_delete_keys, n_insert_rows, total_cents) —
+    * the same summary, and the same oracle, as the batch MOR row.
+    */
+  private[graft] def morStreamedSummary(spark: SparkSession,
+      baseDir: String, morRoot: String): DataFrame = {
+    val dels = spark.read.parquet(s"$morRoot/deletes")
+      .select(col("o_orderkey"))
+    val ins = spark.read.parquet(s"$morRoot/inserts")
+      .select(col("o_orderkey"), col("cents"))
+    val facts = dels.agg(count(lit(1)).as("n_delete_keys"))
+      .crossJoin(ins.agg(count(lit(1)).as("n_insert_rows")))
+    spark.read.parquet(baseDir).select(col("o_orderkey"), col("cents"))
+      .join(broadcast(dels), Seq("o_orderkey"), "left_anti")
+      .unionByName(ins)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .crossJoin(broadcast(facts))
+      .select(col("n_rows"), col("n_delete_keys"), col("n_insert_rows"),
+        col("total_cents"))
+  }
+
+  /** The declared STREAMING merge-on-read row
+    * (`orders_mor_apply_streamed`, the twenty-third streaming row):
+    * the changelog consumed incrementally with |batch|-row sidecar
+    * appends per trigger, then resolved read-side. Hash-matches the
+    * SAME oracle as the batch MOR row — the streaming sidecar appends
+    * converge to exactly the composed end state.
+    */
+  def morApplyStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedChangelogDir(spark, dir)
+    val base = baseStateDir(spark, dir)
+    val morRoot = EventStream.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-cdc-mor-stream")).toString
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      runMorApply(spark, staged, morRoot,
+        EventStream.ckptDir("graft-ckpt-mor"))
+    }
+    morStreamedSummary(spark, base, morRoot)
+  }
+
   // ------------------------------------------------------------------
   // INCREMENTAL VIEW MAINTENANCE — the other thing a changelog is for.
   // The apply loop maintains the TABLE; IVM maintains an AGGREGATE over

@@ -248,4 +248,59 @@ class CrashRecoverySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     assert(got == want, s"recovered state $got != batch MERGE $want")
   }
+
+  test("streaming merge-on-read apply survives a mid-flight crash: the " +
+      "replayed batch overwrites its own sidecar dirs, end state exact") {
+    import graft.streaming.CdcStream
+    val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
+      .localCheckpoint(true)
+    val staged = Files.createTempDirectory("graft-crash-mor-src")
+    val t0 = System.currentTimeMillis() - 60000L
+    (0 until 4).foreach { i =>
+      stageChunk(log.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        staged, s"c$i.parquet", t0 + i * 10000L)
+    }
+    val base = Files.createTempDirectory("graft-crash-mor-base").toString
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"),
+          lit(CdcStream.NStateBuckets)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(base)
+    val morRoot = Files.createTempDirectory("graft-crash-mor-st").toString
+    val ckptDir = Files.createTempDirectory("graft-crash-mor-ckpt").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // crash AFTER batch 2's sidecars are written but before its commit:
+    // the restart replays batch 2, overwriting batch=2's dirs — the
+    // sidecar layout is idempotent by construction (no read-prev)
+    intercept[StreamingQueryException] {
+      withShufflePartitions(4) {
+        CdcStream.runMorApply(spark, staged.toString, morRoot,
+          ckptDir, crashAt = 2L, crashed = crashed)
+      }
+    }
+    assert(Files.exists(Paths.get(ckptDir, "commits", "1")))
+    assert(!Files.exists(Paths.get(ckptDir, "commits", "2")))
+    withShufflePartitions(4) {
+      CdcStream.runMorApply(spark, staged.toString, morRoot,
+        ckptDir, crashAt = 2L, crashed = crashed)
+    }
+    val got = CdcStream.morStreamedSummary(spark, base, morRoot)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).head
+    val orders = Tables.orders(spark, sf0001)
+    val updates = orders.filter(col("o_orderkey") % 500 === 0)
+      .withColumn("o_totalprice",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10") / 100.0)
+    val inserts = updates.withColumn("o_orderkey", -(col("o_orderkey") + 1))
+    val dels = orders
+      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
+      .select(col("o_orderkey"))
+    val want = graft.sources.Ingest.deleteByKey(
+        graft.sources.Ingest.upsert(orders, updates.unionByName(inserts),
+          "o_orderkey"), dels, "o_orderkey")
+      .agg(count(lit(1)),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got == want, s"recovered MOR state $got != batch MERGE $want")
+  }
 }
