@@ -811,6 +811,12 @@ object SparkEntry {
     // the true O(changes) end of the CDC write-strategy spectrum
     "orders_mor_apply_streamed" ->
       ((s, d) => streaming.CdcStream.morApplyStreamed(s, d)),
+    // MOR major compaction: fold the sidecars into a clean bucketed
+    // snapshot (the deferred write, paid once) and summarize the table
+    // read back from the snapshot ALONE — the hash gate proves the
+    // fold lost nothing
+    "orders_mor_compacted" ->
+      ((s, d) => streaming.CdcStream.morCompactedSummary(s, d)),
     // SCHEMA EVOLUTION: one mergeSchema read across two real file
     // generations (the priority column added mid-stream); planning-time
     // footer union, NULL back-fill at scan — generation 1 is never
@@ -5520,6 +5526,8 @@ object SparkEntry {
     "orders_merge_on_read" -> morEndStateSql,
     // the streamed sidecar apply converges to the identical end state
     "orders_mor_apply_streamed" -> morEndStateSql,
+    // the compacted snapshot alone must reconstruct the same end state
+    "orders_mor_compacted" -> morEndStateSql,
 
 
     // CDC changelog replay: the update leg reads old cents off orders

@@ -511,6 +511,35 @@ object CdcStream {
         col("total_cents"))
   }
 
+  /** The declared MOR MAJOR COMPACTION row (`orders_mor_compacted`):
+    * fold the sidecars into a clean bucketed snapshot — the write the
+    * merge-on-read strategy DEFERS, paid once instead of per change —
+    * and summarize the table read back FROM THE SNAPSHOT ALONE beside
+    * the folded sidecar sizes. A hash match against the same composed
+    * end-state oracle proves the fold lost nothing; after it, readers
+    * drop the anti-join until new sidecars accumulate (the write/read
+    * amplification trade cycled back). Real lakehouses alternate
+    * exactly this way: cheap MOR commits, periodic major compaction.
+    * Output: (n_rows, n_delete_keys, n_insert_rows, total_cents).
+    */
+  def morCompactedSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (base, dels, ins) = morSidecarDirs(spark, dir)
+    val out = EventStream.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-mor-compact")).toString
+    morRead(spark, base, dels, ins)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    val facts = spark.read.parquet(dels)
+      .agg(count(lit(1)).as("n_delete_keys"))
+      .crossJoin(spark.read.parquet(ins)
+        .agg(count(lit(1)).as("n_insert_rows")))
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .crossJoin(broadcast(facts))
+      .select(col("n_rows"), col("n_delete_keys"), col("n_insert_rows"),
+        col("total_cents"))
+  }
+
   /** Drive the STREAMING merge-on-read apply: tail `stagedDir` one
     * chunk per trigger; each micro-batch APPENDS its slice as sidecar
     * files — superseded keys under `deletes/batch=<id>`, new row images

@@ -87,8 +87,10 @@ class PlanShapeSweepSpec extends SparkSpec {
                                   // once per curve leg
     "text_naive_bayes_langid",    // |classes|-row model fan-out against
                                   // the test words + 1-row V/n attaches
-    "orders_merge_on_read")       // 1-row sidecar-size facts attach
+    "orders_merge_on_read",       // 1-row sidecar-size facts attach
                                   // (n_delete_keys x n_insert_rows)
+    "orders_mor_compacted")       // same 1-row facts attach over the
+                                  // compacted snapshot summary
 
   test("no declared batch query plans an unintended cartesian product") {
     val swept = SparkEntry.queries.keys.toSeq.sorted
