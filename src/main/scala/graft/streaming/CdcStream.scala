@@ -488,27 +488,39 @@ object CdcStream {
       .unionByName(ins)
   }
 
-  /** The declared MERGE-ON-READ row (`orders_merge_on_read`): resolve
-    * the MOR table and summarize it beside its structural facts — how
-    * many keys the delete sidecar holds and how many row images the
-    * insert delta carries (the TOTAL bytes this layout wrote for the
-    * whole changelog, vs the copy-on-write path's bucket rewrites).
-    * The (n_rows, total_cents) pair must equal the copy-on-write apply
-    * row's — the same composed end state through the opposite physical
-    * strategy. Output: (n_rows, n_delete_keys, n_insert_rows,
+  /** The sidecar-size facts relation (1 row): delete keys + insert row
+    * images — the TOTAL write volume the MOR layout paid for the whole
+    * changelog.
+    */
+  private def morFacts(spark: SparkSession, deletesDir: String,
+      insertsDir: String): DataFrame =
+    spark.read.parquet(deletesDir)
+      .agg(count(lit(1)).as("n_delete_keys"))
+      .crossJoin(spark.read.parquet(insertsDir)
+        .agg(count(lit(1)).as("n_insert_rows")))
+
+  /** Summarize a resolved MOR table beside its sidecar facts — the
+    * shared tail of all three declared MOR rows (one definition, one
+    * oracle). Output: (n_rows, n_delete_keys, n_insert_rows,
     * total_cents).
     */
-  def mergeOnReadSummary(spark: SparkSession, dir: String): DataFrame = {
-    val (base, dels, ins) = morSidecarDirs(spark, dir)
-    val facts = spark.read.parquet(dels)
-      .agg(count(lit(1)).as("n_delete_keys"))
-      .crossJoin(spark.read.parquet(ins)
-        .agg(count(lit(1)).as("n_insert_rows")))
-    morRead(spark, base, dels, ins)
+  private def morSummarize(resolved: DataFrame,
+      facts: DataFrame): DataFrame =
+    resolved
       .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
       .crossJoin(broadcast(facts))
       .select(col("n_rows"), col("n_delete_keys"), col("n_insert_rows"),
         col("total_cents"))
+
+  /** The declared MERGE-ON-READ row (`orders_merge_on_read`): resolve
+    * the MOR table and summarize it beside its structural facts. The
+    * (n_rows, total_cents) pair must equal the copy-on-write apply
+    * row's — the same composed end state through the opposite physical
+    * strategy.
+    */
+  def mergeOnReadSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (base, dels, ins) = morSidecarDirs(spark, dir)
+    morSummarize(morRead(spark, base, dels, ins), morFacts(spark, dels, ins))
   }
 
   /** The declared MOR MAJOR COMPACTION row (`orders_mor_compacted`):
@@ -529,15 +541,7 @@ object CdcStream {
     morRead(spark, base, dels, ins)
       .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
       .write.partitionBy("bucket").mode("overwrite").parquet(out)
-    val facts = spark.read.parquet(dels)
-      .agg(count(lit(1)).as("n_delete_keys"))
-      .crossJoin(spark.read.parquet(ins)
-        .agg(count(lit(1)).as("n_insert_rows")))
-    spark.read.parquet(out)
-      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
-      .crossJoin(broadcast(facts))
-      .select(col("n_rows"), col("n_delete_keys"), col("n_insert_rows"),
-        col("total_cents"))
+    morSummarize(spark.read.parquet(out), morFacts(spark, dels, ins))
   }
 
   /** Drive the STREAMING merge-on-read apply: tail `stagedDir` one
@@ -585,21 +589,10 @@ object CdcStream {
     * the same summary, and the same oracle, as the batch MOR row.
     */
   private[graft] def morStreamedSummary(spark: SparkSession,
-      baseDir: String, morRoot: String): DataFrame = {
-    val dels = spark.read.parquet(s"$morRoot/deletes")
-      .select(col("o_orderkey"))
-    val ins = spark.read.parquet(s"$morRoot/inserts")
-      .select(col("o_orderkey"), col("cents"))
-    val facts = dels.agg(count(lit(1)).as("n_delete_keys"))
-      .crossJoin(ins.agg(count(lit(1)).as("n_insert_rows")))
-    spark.read.parquet(baseDir).select(col("o_orderkey"), col("cents"))
-      .join(broadcast(dels), Seq("o_orderkey"), "left_anti")
-      .unionByName(ins)
-      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
-      .crossJoin(broadcast(facts))
-      .select(col("n_rows"), col("n_delete_keys"), col("n_insert_rows"),
-        col("total_cents"))
-  }
+      baseDir: String, morRoot: String): DataFrame =
+    morSummarize(
+      morRead(spark, baseDir, s"$morRoot/deletes", s"$morRoot/inserts"),
+      morFacts(spark, s"$morRoot/deletes", s"$morRoot/inserts"))
 
   /** The declared STREAMING merge-on-read row
     * (`orders_mor_apply_streamed`, the twenty-third streaming row):

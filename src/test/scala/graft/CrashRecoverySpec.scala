@@ -191,47 +191,35 @@ class CrashRecoverySpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
-  test("streaming CDC apply survives a mid-flight crash: versioned-state " +
-      "recovery converges to the batch MERGE end state exactly once") {
-    import graft.streaming.CdcStream
-    // stage the changelog chunks ourselves (4 chunks -> 4 micro-batches)
+  /** Stage the sf0.001 changelog as 4 pmod-keyed chunks with ascending
+    * mtimes (batch i == chunk i) and render the bucketed base snapshot.
+    * Chunks 1-2 are EMPTY by construction (update/delete keys are all
+    * ≡ 0 mod 4, insert clones ≡ 3), so batch 3 is the data-carrying
+    * one a crash must land on to prove anything.
+    */
+  private def stageCdcFixture(prefix: String): (String, String) = {
     val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
       .localCheckpoint(true)
-    val staged = Files.createTempDirectory("graft-crash-cdc-src")
+    val staged = Files.createTempDirectory(s"$prefix-src")
     val t0 = System.currentTimeMillis() - 60000L
     (0 until 4).foreach { i =>
       stageChunk(log.filter(pmod(col("o_orderkey"), lit(4)) === i),
         staged, s"c$i.parquet", t0 + i * 10000L)
     }
-    val base = Files.createTempDirectory("graft-crash-cdc-base").toString
+    val base = Files.createTempDirectory(s"$prefix-base").toString
     Tables.orders(spark, sf0001)
       .select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
         pmod(col("o_orderkey"),
           lit(graft.streaming.CdcStream.NStateBuckets)).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(base)
-    val stateRoot = Files.createTempDirectory("graft-crash-cdc-state").toString
-    val ckptDir = Files.createTempDirectory("graft-crash-cdc-ckpt").toString
-    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
-    // crash AFTER v=2 is written but before its commit: the restart must
-    // REPLAY batch 2 — rewriting v=2 from v=1 (not from its own partial
-    // self) is exactly what the versioned read-prev/write-next contract
-    // guarantees
-    intercept[StreamingQueryException] {
-      withShufflePartitions(4) {
-        CdcStream.runApply(spark, staged.toString, base, stateRoot,
-          ckptDir, crashAt = 2L, crashed = crashed)
-      }
-    }
-    assert(Files.exists(Paths.get(ckptDir, "commits", "1")))
-    assert(!Files.exists(Paths.get(ckptDir, "commits", "2")))
-    withShufflePartitions(4) {
-      CdcStream.runApply(spark, staged.toString, base, stateRoot,
-        ckptDir, crashAt = 2L, crashed = crashed)
-    }
-    val got = CdcStream.endState(spark, stateRoot, base)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).head
-    // batch composition: same upsert batch applied, same deletes removed
+    (staged.toString, base)
+  }
+
+  /** The batch-composed MERGE end state (n_rows, total_cents) both CDC
+    * crash tests must converge to.
+    */
+  private def batchMergeWant(): (Long, Long) = {
     val orders = Tables.orders(spark, sf0001)
     val updates = orders.filter(col("o_orderkey") % 500 === 0)
       .withColumn("o_totalprice",
@@ -240,67 +228,75 @@ class CrashRecoverySpec extends SparkSpec {
     val dels = orders
       .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
       .select(col("o_orderkey"))
-    val want = graft.sources.Ingest.deleteByKey(
+    graft.sources.Ingest.deleteByKey(
         graft.sources.Ingest.upsert(orders, updates.unionByName(inserts),
           "o_orderkey"), dels, "o_orderkey")
       .agg(count(lit(1)),
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
+  }
+
+  test("streaming CDC apply survives a mid-flight crash: versioned-state " +
+      "recovery converges to the batch MERGE end state exactly once") {
+    import graft.streaming.CdcStream
+    val (staged, base) = stageCdcFixture("graft-crash-cdc")
+    val stateRoot = Files.createTempDirectory("graft-crash-cdc-state").toString
+    val ckptDir = Files.createTempDirectory("graft-crash-cdc-ckpt").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // crash AFTER v=3 — the DATA-CARRYING batch (the insert-clone
+    // chunk) — is written but before its commit: the restart must
+    // REPLAY batch 3, rewriting v=3 from the pre-batch-3 state (not
+    // from its own partial self) — exactly the versioned
+    // read-strictly-below/truncate-own contract. (Batches 1-2 are
+    // empty; crashing there would prove nothing.)
+    intercept[StreamingQueryException] {
+      withShufflePartitions(4) {
+        CdcStream.runApply(spark, staged, base, stateRoot,
+          ckptDir, crashAt = 3L, crashed = crashed)
+      }
+    }
+    assert(Files.exists(Paths.get(ckptDir, "commits", "2")))
+    assert(!Files.exists(Paths.get(ckptDir, "commits", "3")))
+    assert(Files.exists(Paths.get(stateRoot, "v=3")),
+      "the crash must land AFTER the uncommitted batch wrote its dir")
+    withShufflePartitions(4) {
+      CdcStream.runApply(spark, staged, base, stateRoot,
+        ckptDir, crashAt = 3L, crashed = crashed)
+    }
+    val got = CdcStream.endState(spark, stateRoot, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val want = batchMergeWant()
     assert(got == want, s"recovered state $got != batch MERGE $want")
   }
 
   test("streaming merge-on-read apply survives a mid-flight crash: the " +
       "replayed batch overwrites its own sidecar dirs, end state exact") {
     import graft.streaming.CdcStream
-    val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
-      .localCheckpoint(true)
-    val staged = Files.createTempDirectory("graft-crash-mor-src")
-    val t0 = System.currentTimeMillis() - 60000L
-    (0 until 4).foreach { i =>
-      stageChunk(log.filter(pmod(col("o_orderkey"), lit(4)) === i),
-        staged, s"c$i.parquet", t0 + i * 10000L)
-    }
-    val base = Files.createTempDirectory("graft-crash-mor-base").toString
-    Tables.orders(spark, sf0001)
-      .select(col("o_orderkey"),
-        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-        pmod(col("o_orderkey"),
-          lit(CdcStream.NStateBuckets)).as("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(base)
+    val (staged, base) = stageCdcFixture("graft-crash-mor")
     val morRoot = Files.createTempDirectory("graft-crash-mor-st").toString
     val ckptDir = Files.createTempDirectory("graft-crash-mor-ckpt").toString
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
-    // crash AFTER batch 2's sidecars are written but before its commit:
-    // the restart replays batch 2, overwriting batch=2's dirs — the
-    // sidecar layout is idempotent by construction (no read-prev)
+    // crash AFTER batch 3 — the DATA-CARRYING insert-clone chunk —
+    // writes its sidecars but before its commit: the restart replays
+    // batch 3, overwriting batch=3's dirs with the same rows. A blind
+    // mode("append") sidecar sink fails this with doubled inserts.
     intercept[StreamingQueryException] {
       withShufflePartitions(4) {
-        CdcStream.runMorApply(spark, staged.toString, morRoot,
-          ckptDir, crashAt = 2L, crashed = crashed)
+        CdcStream.runMorApply(spark, staged, morRoot,
+          ckptDir, crashAt = 3L, crashed = crashed)
       }
     }
-    assert(Files.exists(Paths.get(ckptDir, "commits", "1")))
-    assert(!Files.exists(Paths.get(ckptDir, "commits", "2")))
+    assert(Files.exists(Paths.get(ckptDir, "commits", "2")))
+    assert(!Files.exists(Paths.get(ckptDir, "commits", "3")))
+    assert(Files.exists(Paths.get(morRoot, "inserts", "batch=3")),
+      "the crash must land AFTER the uncommitted batch wrote sidecars")
     withShufflePartitions(4) {
-      CdcStream.runMorApply(spark, staged.toString, morRoot,
-        ckptDir, crashAt = 2L, crashed = crashed)
+      CdcStream.runMorApply(spark, staged, morRoot,
+        ckptDir, crashAt = 3L, crashed = crashed)
     }
     val got = CdcStream.morStreamedSummary(spark, base, morRoot)
       .collect().map(r => (r.getLong(0), r.getLong(3))).head
-    val orders = Tables.orders(spark, sf0001)
-    val updates = orders.filter(col("o_orderkey") % 500 === 0)
-      .withColumn("o_totalprice",
-        expr("CAST(round(o_totalprice * 100) AS BIGINT) * 11 div 10") / 100.0)
-    val inserts = updates.withColumn("o_orderkey", -(col("o_orderkey") + 1))
-    val dels = orders
-      .filter(col("o_orderkey") % 700 === 0 && col("o_orderkey") % 500 =!= 0)
-      .select(col("o_orderkey"))
-    val want = graft.sources.Ingest.deleteByKey(
-        graft.sources.Ingest.upsert(orders, updates.unionByName(inserts),
-          "o_orderkey"), dels, "o_orderkey")
-      .agg(count(lit(1)),
-        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val want = batchMergeWant()
     assert(got == want, s"recovered MOR state $got != batch MERGE $want")
   }
 }
