@@ -197,6 +197,8 @@ object IndexCache {
     "opq-reloaded" -> ("reloaded rotation + codebooks", 2000000L),
     "pca-reloaded" -> ("reloaded basis doubles + handle", 1000000L),
     "semdedup-cents" -> ("k x dim SemDeDup centroid doubles", 1000000L),
+    "anchor-flat" -> ("~AnchorTarget x dim anchor-panel doubles " +
+      "(count-derived stride, corpus-independent)", 1000000L),
     "opq" -> ("rotation dim^2 + codebook doubles", 2000000L),
     "opq-ckpt" -> ("rotation + codebook doubles", 2000000L),
     "opq-rot" -> ("dim x dim rotation doubles", 1000000L),

@@ -398,8 +398,10 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLshPairs(s, d)),
     "dedup_simhash"       -> ((s, d) => Dedup.simhashPairs(s, d)),
     "neardup_embedding"   -> ((s, d) => Dedup.embeddingNearDupExact(s, d)),
-    // anchor-sampled dup-rate estimator: O(n²/10) on both engines →
-    // sf1-replayable oracle (the embedding-family replay gap, r10 ask #5)
+    // anchor-sampled dup-rate estimator: a ~50-row anchor panel whose
+    // stride derives from the corpus COUNT (r11 weak #1 closed: O(n·C)
+    // work, O(C·dim) bounded driver artifact) — sf1-replayable oracle
+    // (the embedding-family replay gap, r10 ask #5)
     "neardup_embedding_sampled" ->
       ((s, d) => Dedup.embeddingNearDupExactSampled(s, d)),
     // the scale path AT its design regime: every vector gets a planted
@@ -3309,9 +3311,10 @@ object SparkEntry {
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
       WHERE sim >= 0.4""",
 
-    // anchor-sampled dup-rate estimator: anchors (vec_id % 10 = 0)
-    // scored against the whole corpus — O(n²/10) reconstruction, the
-    // near-dup row the 10x replay can afford (r10 verdict ask #5);
+    // anchor-sampled dup-rate estimator: a fixed-COUNT anchor panel
+    // (vec_id ≡ 0 mod stride, stride = max(1, n // 50) — at sf0.01's
+    // 500 vectors the stride is 10) scored against the whole corpus —
+    // an O(n·C) reconstruction at every tier (r11 weak #1 closed);
     // directional by design (an anchor-anchor pair appears per side)
     "neardup_embedding_sampled" -> """
       WITH e AS (SELECT vec_id,
@@ -3320,13 +3323,15 @@ object SparkEntry {
       n AS (SELECT vec_id,
                    list_transform(v, x -> x /
                      nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
-            FROM e)
+            FROM e),
+      s AS (SELECT greatest(1, count(*) // 50) AS stride FROM n)
       SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(greatest(
                  list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1]*z[2])),
                  0), 6) AS sim
-        FROM n a JOIN n b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id)
+        FROM n a, n b, s
+        WHERE a.vec_id % s.stride = 0 AND a.vec_id <> b.vec_id)
       WHERE sim >= 0.4""",
 
 

@@ -786,29 +786,49 @@ object Dedup {
       threshold: Double = 0.4): DataFrame =
     embeddingNearDupExactNormalized(normalizedEmbeddings(spark, dir), threshold)
 
+  /** Fixed ANCHOR-COUNT target of the sampled dup-rate estimator: the
+    * stride between anchor ids is computed FROM the corpus count
+    * (`stride = max(1, n / AnchorTarget)`), so the anchor panel stays
+    * ~AnchorTarget rows at EVERY scale — O(n·C) work, O(C·dim) driver
+    * memory — instead of a fixed sampling FRACTION whose work grows
+    * O(n²/fraction) (the r11 weak flag: 13.2x measured at 10x). At the
+    * sf0.01 oracle tier (500 vectors) the stride resolves to 10, i.e.
+    * exactly the former every-10th panel.
+    */
+  private[graft] val AnchorTarget = 50L
+
   /** SAMPLED near-dup audit — the sf1-REPLAYABLE face of the exact
-    * pair miner (r10 verdict ask #5): every `everyNth`-th vec_id is an
-    * ANCHOR, scored against the whole corpus (vec_a = anchor,
+    * pair miner (r10 verdict ask #5): a ~[[AnchorTarget]]-row panel of
+    * ANCHORS (vec_id ≡ 0 mod stride, stride derived from the corpus
+    * count) is scored against the whole corpus (vec_a = anchor,
     * vec_b != vec_a, clamped cosine >= threshold, rounded 6). This is
     * the estimator a production pipeline runs to measure dup rate
-    * before paying for a full pass, and it is O(n²/everyNth) on BOTH
-    * engines — so its DuckDB reconstruction stays tractable at the 10x
-    * tier, where the full pair oracle is deliberately quadratic.
+    * before paying for a full pass; with the anchor COUNT fixed the
+    * work is one linear corpus scan times a constant panel, so both
+    * engines stay tractable at any tier.
     * An anchor-anchor pair appears once per anchored side
     * (directional by design; documented, mirrored in the oracle).
     * Output: (vec_a, vec_b, sim).
     */
   def embeddingNearDupExactSampled(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, everyNth: Int = 10): DataFrame = {
+      threshold: Double = 0.4, anchorTarget: Long = AnchorTarget): DataFrame = {
     import spark.implicits._
     val n = normalizedEmbeddings(spark, dir)
-    // the ANCHOR slice broadcasts as the exact kernel's flat envelope
-    // (n/everyNth rows); the full table streams once — fused FMA per
-    // (row, anchor), no joined-array materialization (the crossJoin
-    // expression form measured 28.7 s at the 10x tier for 40M pairs;
-    // this form is the same arithmetic in a tight loop)
-    val (aIds, aFlat, _) =
-      collectFlat(n.filter(pmod(col("vec_id"), lit(everyNth)) === 0))
+    // the ANCHOR panel broadcasts as the exact kernel's flat envelope
+    // (~anchorTarget rows — corpus-count-derived stride, so the
+    // artifact is O(C·dim) at every scale); the full table streams
+    // once — fused FMA per (row, anchor), no joined-array
+    // materialization (the crossJoin expression form measured 28.7 s
+    // at the 10x tier for 40M pairs; this form is the same arithmetic
+    // in a tight loop). The collect rides IndexCache so the panel is
+    // built once per dataset AND its size is enforced by the
+    // registered `anchor-flat` driver-artifact bound (visible to
+    // BoundAuditSweepSpec, closing the r11 escape hatch).
+    val (aIds, aFlat, _) = graft.IndexCache.getOrBuild(spark,
+        s"anchor-flat:$dir:$anchorTarget") {
+      val stride = math.max(1L, n.count() / anchorTarget)
+      collectFlat(n.filter(pmod(col("vec_id"), lit(stride)) === 0))
+    }
     val bc = spark.sparkContext.broadcast((aIds, aFlat))
     val guard = threshold - 1e-6
     n.select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
@@ -1044,13 +1064,21 @@ object Dedup {
     val spark = normalized.sparkSession
     import spark.implicits._
     val guard0 = threshold - 1e-6
+    // Leg selection WITHOUT a separate count() action (r11 advice): one
+    // bounded collect of at most maxRows+1 rows both decides the regime
+    // and, in the (common) broadcast regime, IS the flat envelope — the
+    // broadcast path costs one scan instead of count-then-recollect.
+    val maxRows = math.max(1L, maxBroadcastEntries / math.max(1, dim))
+    val limitN = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val headRows = normalized.select(col("vec_id"), col("nv"))
+      .as[(Long, Array[Double])].limit(limitN).collect()
     // past the broadcast bound: verify on the DEDUPED candidate pairs
     // (16-byte rows) with both vectors joined on — two candidate-
     // bounded shuffles, no driver artifact, identical arithmetic. (The
     // 197 s regression this kernel replaced joined vectors onto the
     // RAW collision stream and deduped the full collision relation;
     // deduping the id pairs FIRST keeps the join input survivors-sized.)
-    if (normalized.count() * dim > maxBroadcastEntries) {
+    if (headRows.length > maxRows) {
       val v = normalized.select(col("vec_id"), col("nv"))
       return lshCandidatePairs(normalized, dim, bands, rowsPerBand, seed)
         .join(v.withColumnRenamed("vec_id", "vec_a")
@@ -1080,7 +1108,7 @@ object Dedup {
     // regime (23M collisions) that materialization measured 197 s vs
     // seconds for this form (r11; the same lesson as the exact leg's
     // NLJ-to-kernel move).
-    val (ids, flat, _) = collectFlat(normalized)
+    val (ids, flat, _) = flattenRows(headRows)
     val bc = spark.sparkContext.broadcast((ids, flat))
     val guard = threshold - 1e-6
     lshCandidatePairsRaw(normalized, dim, bands, rowsPerBand, seed)
@@ -1179,8 +1207,17 @@ object Dedup {
   private def collectFlat(n: DataFrame): (Array[Long], Array[Double], Int) = {
     val spark = n.sparkSession
     import spark.implicits._
-    val side = n.select(col("vec_id"), col("nv"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    flattenRows(n.select(col("vec_id"), col("nv"))
+      .as[(Long, Array[Double])].collect())
+  }
+
+  /** Flatten already-collected (vec_id, nv) rows to the id-sorted flat
+    * row-major matrix — the shared tail of [[collectFlat]] and the LSH
+    * kernel's decide-and-reuse bounded collect.
+    */
+  private def flattenRows(
+      rows: Array[(Long, Array[Double])]): (Array[Long], Array[Double], Int) = {
+    val side = rows.sortBy(_._1)
     val nRows = side.length
     val dim = if (nRows == 0) 0 else side(0)._2.length
     val ids = side.map(_._1)

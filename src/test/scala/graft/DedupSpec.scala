@@ -464,6 +464,28 @@ class DedupSpec extends SparkSpec {
       s"planted twins missed by banding: ${twins -- lsh}")
   }
 
+  test("sampled estimator: anchor panel is COUNT-derived and rides the " +
+      "registered anchor-flat bound (r11 weak #1)") {
+    val out = Dedup.embeddingNearDupExactSampled(spark, sf0001).cache()
+    assert(out.count() > 0, "fixture has planted near-dups")
+    // at the 500-vector fixture the count-derived stride is 10 — every
+    // pair's anchor side is a panel member
+    assert(out.filter(pmod(col("vec_a"), lit(10)) =!= 0).count() == 0)
+    // the panel collect is AUDITED: the anchor-flat family must appear
+    // in IndexCache's bound log (the r11 escape hatch closed — a raw
+    // collect would be invisible to BoundAuditSweepSpec)
+    val entries = IndexCache.auditLog.filter(_._2 == "anchor-flat")
+    assert(entries.nonEmpty, "anchor panel must ride IndexCache")
+    entries.foreach { case (k, _, measured, bound) =>
+      assert(measured <= bound, s"$k: $measured > $bound") }
+    // fixed-COUNT discipline: shrinking the target shrinks the panel
+    // (stride grows with n/target), independent of corpus size
+    val small =
+      Dedup.embeddingNearDupExactSampled(spark, sf0001, anchorTarget = 7L)
+    val anchorsUsed = small.select("vec_a").distinct().count()
+    assert(anchorsUsed <= 14, s"panel grew past ~2x target: $anchorsUsed")
+  }
+
   test("threshold curve: non-increasing counts anchored to the pair relation") {
     val curve = graft.operators.Dedup.thresholdCurve(spark, sf0001)
       .collect().map(r => (r.getDouble(0), r.getLong(1)))
