@@ -819,6 +819,18 @@ object SparkEntry {
     // fold lost nothing
     "orders_mor_compacted" ->
       ((s, d) => streaming.CdcStream.morCompactedSummary(s, d)),
+    // TIME TRAVEL over the MOR sidecar chain: as-of reads resolve base
+    // + the sidecar PREFIX <= v with sequence-aware delete masking —
+    // same oracle as the copy-on-write timetravel row, proving the two
+    // physical strategies implement identical as-of semantics
+    "orders_mor_timetravel" ->
+      ((s, d) => streaming.CdcStream.morTimeTravelSummary(s, d)),
+    // MOR MINOR compaction: fold the 3 oldest sidecar batches into one
+    // consolidated pair (manifest-committed, base untouched) — the
+    // read-side fan-in drops 8 -> 4 while the end state hash-matches
+    // the same composed-state oracle family
+    "orders_mor_minor_compacted" ->
+      ((s, d) => streaming.CdcStream.morMinorCompactedSummary(s, d)),
     // SCHEMA EVOLUTION: one mergeSchema read across two real file
     // generations (the priority column added mid-stream); planning-time
     // footer union, NULL back-fill at scan — generation 1 is never
@@ -2149,6 +2161,32 @@ object SparkEntry {
              w.cont_b_permille AS winn_cont_b_permille
       FROM gram g FULL JOIN winn w
         ON g.doc_a = w.doc_a AND g.doc_b = w.doc_b"""
+
+  /** Every version boundary's state reconstructed relationally —
+    * shared by the copy-on-write chain row (orders_cdc_timetravel) and
+    * its merge-on-read twin (orders_mor_timetravel): the two physical
+    * strategies must implement IDENTICAL as-of semantics.
+    */
+  private val timeTravelSql = """
+      WITH vs AS (SELECT range AS v FROM range(-1, 4)),
+      base AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+      st AS (
+        SELECT vs.v,
+               CASE WHEN b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v
+                 THEN (b.c * 11) // 10 ELSE b.c END AS c
+        FROM vs, base b
+        WHERE NOT (b.k % 700 = 0 AND b.k % 500 <> 0
+                   AND ((b.k // 500) % 4) <= vs.v)
+        UNION ALL
+        SELECT vs.v, (b.c * 11) // 10 AS c
+        FROM vs, base b
+        WHERE b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v)
+      SELECT CAST(v AS BIGINT) AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM st GROUP BY 1"""
 
   /** The composed MOR end state + sidecar sizes — shared by the batch
     * row (orders_merge_on_read) and its streamed twin
@@ -5503,26 +5541,33 @@ object SparkEntry {
     // <= v applied; v = -1 is the untouched base snapshot. An insert
     // clone -(k+1) has |clone| = k+1 in the same 500-block as its
     // update key k, so the pair always lands in one version.
-    "orders_cdc_timetravel" -> """
-      WITH vs AS (SELECT range AS v FROM range(-1, 4)),
-      base AS (SELECT o_orderkey AS k,
-                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
-               FROM orders),
-      st AS (
-        SELECT vs.v,
-               CASE WHEN b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v
-                 THEN (b.c * 11) // 10 ELSE b.c END AS c
-        FROM vs, base b
-        WHERE NOT (b.k % 700 = 0 AND b.k % 500 <> 0
-                   AND ((b.k // 500) % 4) <= vs.v)
-        UNION ALL
-        SELECT vs.v, (b.c * 11) // 10 AS c
-        FROM vs, base b
-        WHERE b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v)
-      SELECT CAST(v AS BIGINT) AS version,
-             CAST(count(*) AS BIGINT) AS n_rows,
+    "orders_cdc_timetravel" -> timeTravelSql,
+    // the MOR sidecar chain must resolve EVERY as-of boundary to the
+    // same state as the copy-on-write chain — one oracle, two physical
+    // strategies under the same gate
+    "orders_mor_timetravel" -> timeTravelSql,
+    // minor compaction: the end state survives the fold untouched
+    // (same composed-state core as the MOR family); the 8 -> 4
+    // sidecar fan-in drop is the structural design pin of the
+    // 4-chunk chain folded 3-oldest (2 consolidated + 2 remaining)
+    "orders_mor_minor_compacted" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      kept AS (SELECT CASE WHEN o_orderkey % 500 = 0
+                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                             // 10
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END AS c
+               FROM orders
+               WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)),
+      allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(8 AS BIGINT) AS n_sidecars_before,
+             CAST(4 AS BIGINT) AS n_sidecars_after,
              CAST(sum(c) AS BIGINT) AS total_cents
-      FROM st GROUP BY 1""",
+      FROM allr""",
 
     // merge-on-read replay: identical end state to the apply row (the
     // strategies differ physically, never logically) plus the sidecar

@@ -100,6 +100,11 @@ object CdcStream {
     appliedStateDirs(spark, dir)
     versionChainDirs(spark, dir)
     morSidecarDirs(spark, dir)
+    morChainDirs(spark, dir)
+    // the deferred folds (major + minor) are stagings too — building
+    // the summary DataFrames runs their memoized writes
+    morCompactedSummary(spark, dir)
+    morMinorCompactedSummary(spark, dir)
     1L
   }
 
@@ -474,8 +479,12 @@ object CdcStream {
 
   /** The merge-on-read resolution: base minus superseded keys plus the
     * insert deltas. Both sidecars share the base's bucket partitioning,
-    * so the anti-join co-locates per bucket at scale; Spark broadcasts
-    * the (tiny) key sidecar here.
+    * so the anti-join co-locates per bucket at scale. No hard
+    * `broadcast()` hint on the key sidecar (r11 advice): at these sf
+    * sizes AQE picks a broadcast anti-join on its own from the runtime
+    * size, while a 100 TB table's large delete sidecar falls back to
+    * the bucket-local sort-merge form instead of being forced through
+    * the driver.
     */
   private def morRead(spark: SparkSession, baseDir: String,
       deletesDir: String, insertsDir: String): DataFrame = {
@@ -484,7 +493,7 @@ object CdcStream {
     val dels = spark.read.parquet(deletesDir).select(col("o_orderkey"))
     val ins = spark.read.parquet(insertsDir)
       .select(col("o_orderkey"), col("cents"))
-    base.join(broadcast(dels), Seq("o_orderkey"), "left_anti")
+    base.join(dels, Seq("o_orderkey"), "left_anti")
       .unionByName(ins)
   }
 
@@ -536,12 +545,296 @@ object CdcStream {
     */
   def morCompactedSummary(spark: SparkSession, dir: String): DataFrame = {
     val (base, dels, ins) = morSidecarDirs(spark, dir)
-    val out = EventStream.cleanupOnExit(
-      java.nio.file.Files.createTempDirectory("graft-mor-compact")).toString
-    morRead(spark, base, dels, ins)
-      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
-      .write.partitionBy("bucket").mode("overwrite").parquet(out)
+    // the deferred O(table) fold is a one-time staging memoized like
+    // versionChainDirs (r11 advice — each verify/bench construction
+    // was re-paying the full snapshot rewrite); its cost is charged to
+    // `bench_build_cdc_stage` via prestage, and the declared row
+    // measures the read-back proof that the fold lost nothing
+    val out = graft.IndexCache.getOrBuild(spark,
+        s"orders-mor-compacted:$dir:$NStateBuckets") {
+      val o = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-mor-compact")).toString
+      morRead(spark, base, dels, ins)
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+        .write.partitionBy("bucket").mode("overwrite").parquet(o)
+      o
+    }
     morSummarize(spark.read.parquet(out), morFacts(spark, dels, ins))
+  }
+
+  // ------------------------------------------------------------------
+  // MOR VERSION CHAIN — time travel and minor compaction over the
+  // sidecar log. The streamed MOR apply leaves one sidecar pair per
+  // micro-batch (`deletes/batch=<id>`, `inserts/batch=<id>`); that
+  // batch axis IS a version chain: "the table as of batch v" resolves
+  // base + the sidecar PREFIX <= v, with equality-deletes masking only
+  // rows whose sequence number is strictly older (an Iceberg
+  // sequence-number read: base rows carry seq -1, an insert from batch
+  // b carries seq b, a delete from batch b masks keys with seq < b).
+  // Between as-of reads nothing is copied — the same sidecar files
+  // serve every boundary, and partition pruning on `batch` keeps an
+  // as-of read from even listing later sidecars. Minor compaction is
+  // the tier every production MOR table runs between major
+  // compactions: fold the K OLDEST sidecar batches into one
+  // consolidated pair (internal delete-masking pre-applied), leave the
+  // base and the newer sidecars untouched — read-side fan-in drops
+  // from O(batches) to O(1 + recent) while the write stays
+  // O(folded sidecar rows), never O(table).
+  // ------------------------------------------------------------------
+
+  /** The deterministic MOR version chain: chunk c's actions land as
+    * sidecar pair `batch=c` via the same div-500 chunking as the
+    * copy-on-write chain (so every version carries actions and each
+    * boundary summarizes differently). Memoized per dataset; charged
+    * to `bench_build_cdc_stage`. Returns (bucketedBaseDir, morRoot).
+    */
+  private def morChainDirs(spark: SparkSession,
+      dir: String): (String, String) =
+    graft.IndexCache.getOrBuild(spark,
+        s"orders-mor-chain:$dir:$NLogChunks") {
+      val base = baseStateDir(spark, dir)
+      val root = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-mor-chain")).toString
+      val log = graft.sources.Ingest.mergeChangelogShowcase(spark, dir)
+        .localCheckpoint(true)
+      (0 until NLogChunks).foreach { c =>
+        val slice = log.filter(chainChunk(col("o_orderkey")) === c)
+        slice.filter(col("action").isin("update", "delete"))
+          .select(col("o_orderkey"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/deletes/batch=$c")
+        slice.filter(col("action").isin("update", "insert"))
+          .select(col("o_orderkey"), col("new_cents").as("cents"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/inserts/batch=$c")
+      }
+      (base, root)
+    }
+
+  /** Sequence-aware MOR resolution as of batch `v` (v = -1 reads the
+    * untouched base): rows = base(seq -1) ∪ inserts(batch <= v, seq =
+    * batch); a row survives unless some delete key with a STRICTLY
+    * newer sequence matches it. One anti-join, no per-version copies;
+    * the `batch <= v` filters are partition-pruned off the sidecar
+    * layout. With the showcase changelog's disjoint keys this reduces
+    * to prefix-union-minus-prefix, but the resolver implements the
+    * general contract (an insert later deleted IS masked).
+    */
+  private[graft] def morResolveAsOf(spark: SparkSession, baseDir: String,
+      morRoot: String, v: Long): DataFrame = {
+    val base = spark.read.parquet(baseDir)
+      .select(col("o_orderkey"), col("cents"), lit(-1L).as("seq"))
+    if (v < 0) return base.select(col("o_orderkey"), col("cents"))
+    val ins = spark.read.parquet(s"$morRoot/inserts")
+      .filter(col("batch") <= v)
+      .select(col("o_orderkey"), col("cents"),
+        col("batch").cast("long").as("seq"))
+    val dels = spark.read.parquet(s"$morRoot/deletes")
+      .filter(col("batch") <= v)
+      .select(col("o_orderkey").as("dk"),
+        col("batch").cast("long").as("dseq"))
+    base.unionByName(ins)
+      .join(dels, col("o_orderkey") === col("dk")
+        && col("dseq") > col("seq"), "left_anti")
+      .select(col("o_orderkey"), col("cents"))
+  }
+
+  /** The declared MOR TIME-TRAVEL row (`orders_mor_timetravel`): read
+    * the merge-on-read table as of EVERY version boundary of the
+    * deterministic sidecar chain and summarize each read — the exact
+    * parity row to `orders_cdc_timetravel`, same oracle: a hash match
+    * proves the sidecar prefix resolution implements as-of semantics
+    * identically to the copy-on-write version chain (and to the
+    * relational reconstruction), with zero data rewritten between
+    * boundaries. Output: (version, n_rows, total_cents) x
+    * (NLogChunks + 1).
+    */
+  def morTimeTravelSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (base, root) = morChainDirs(spark, dir)
+    (-1 until NLogChunks).map { v =>
+      morResolveAsOf(spark, base, root, v.toLong)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Sorted batch ids present under a sidecar dir (`batch=<id>` hive
+    * names) — driver-side O(|batches|) metadata listing.
+    */
+  private def batchIds(dirPath: String): Seq[Long] =
+    Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).sorted.toSeq
+
+  /** Recursive file copy of a sidecar layout — the minor-compaction
+    * row folds a COPY so the memoized chain stays pristine for the
+    * time-travel row.
+    */
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** MINOR compaction: fold the `foldK` OLDEST sidecar batches into
+    * one consolidated pair under `morRoot/minor` (internal
+    * delete-masking applied inside the folded range), leaving the base
+    * and every newer sidecar untouched. Returns the folded high-water
+    * batch id (`upto`).
+    *
+    * Crash discipline (proven by CrashRecoverySpec): the fold writes
+    * everything under `minor-staging/` (consolidated sidecars + the
+    * UPTO manifest), then RENAMES the staging dir to `minor/` — the
+    * single atomic commit point — and only then deletes the folded
+    * `batch=` dirs. A crash before the rename leaves readers on the
+    * original sidecars (staging is invisible); a crash after it leaves
+    * folded originals on disk but readers filter `batch > upto`, so
+    * they are dead files, and a re-run (manifest present) just
+    * finishes the deletions — idempotent from either side of the
+    * commit. `crashAfter` injects the spec's failures at the two
+    * windows.
+    */
+  private[graft] def morMinorCompact(spark: SparkSession, morRoot: String,
+      foldK: Int, crashAfter: String = ""): Long = {
+    val minorDir = s"$morRoot/minor"
+    val staging = s"$morRoot/minor-staging"
+    def upToOf(dir: String): Long = new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(s"$dir/UPTO"))).trim.toLong
+    def dropFolded(upto: Long): Unit =
+      Seq("deletes", "inserts").foreach { side =>
+        batchIds(s"$morRoot/$side").filter(_ <= upto).foreach { b =>
+          val p = java.nio.file.Paths.get(s"$morRoot/$side/batch=$b")
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      }
+    def rmStaging(): Unit = {
+      val p = java.nio.file.Paths.get(staging)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
+    // re-run past the commit point: finish the deletions and return
+    if (new java.io.File(s"$minorDir/UPTO").exists()) {
+      rmStaging()
+      val upto = upToOf(minorDir)
+      dropFolded(upto)
+      return upto
+    }
+    val folded = batchIds(s"$morRoot/deletes")
+      .union(batchIds(s"$morRoot/inserts")).distinct.sorted.take(foldK)
+    val upto = folded.max
+    rmStaging() // a crashed earlier attempt's partial staging
+    // consolidated deletes: the distinct folded keys (they still mask
+    // base rows; masking nothing is harmless)
+    spark.read.parquet(s"$morRoot/deletes").filter(col("batch") <= upto)
+      .select(col("o_orderkey")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/deletes")
+    // consolidated inserts: folded inserts that survive STRICTLY-newer
+    // folded deletes (the fold pre-applies the range's own masking, so
+    // post-fold both consolidated sides read at seq = upto)
+    spark.read.parquet(s"$morRoot/inserts").filter(col("batch") <= upto)
+      .select(col("o_orderkey"), col("cents"),
+        col("batch").cast("long").as("seq"))
+      .join(spark.read.parquet(s"$morRoot/deletes")
+          .filter(col("batch") <= upto)
+          .select(col("o_orderkey").as("dk"),
+            col("batch").cast("long").as("dseq")),
+        col("o_orderkey") === col("dk") && col("dseq") > col("seq"),
+        "left_anti")
+      .select(col("o_orderkey"), col("cents"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/inserts")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$staging/UPTO"),
+      upto.toString.getBytes)
+    if (crashAfter == "staged")
+      throw new RuntimeException("graft-injected-crash")
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(minorDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (crashAfter == "committed")
+      throw new RuntimeException("graft-injected-crash")
+    dropFolded(upto)
+    upto
+  }
+
+  /** MOR resolution over a possibly-minor-compacted layout: if the
+    * `minor/` manifest exists, rows = base(-1) ∪ consolidated
+    * inserts(seq upto) ∪ remaining inserts(batch > upto), masked by
+    * consolidated deletes(seq upto) ∪ remaining deletes — readers
+    * ALWAYS filter `batch > upto`, which is what makes the
+    * post-commit crash window safe (undeleted folded dirs are dead
+    * files). Without the manifest this is [[morResolveAsOf]] at HEAD.
+    */
+  private[graft] def morMinorRead(spark: SparkSession, baseDir: String,
+      morRoot: String): DataFrame = {
+    val minorDir = s"$morRoot/minor"
+    if (!new java.io.File(s"$minorDir/UPTO").exists())
+      return morResolveAsOf(spark, baseDir, morRoot, Long.MaxValue)
+    val upto = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$minorDir/UPTO"))).trim.toLong
+    val base = spark.read.parquet(baseDir)
+      .select(col("o_orderkey"), col("cents"), lit(-1L).as("seq"))
+    val minIns = spark.read.parquet(s"$minorDir/inserts")
+      .select(col("o_orderkey"), col("cents"), lit(upto).as("seq"))
+    val minDels = spark.read.parquet(s"$minorDir/deletes")
+      .select(col("o_orderkey").as("dk"), lit(upto).as("dseq"))
+    def remaining(side: String, f: DataFrame => DataFrame): Option[DataFrame] =
+      if (batchIds(s"$morRoot/$side").exists(_ > upto))
+        Some(f(spark.read.parquet(s"$morRoot/$side")
+          .filter(col("batch") > upto)))
+      else None
+    val rows = Seq(Some(base), Some(minIns),
+      remaining("inserts", d => d.select(col("o_orderkey"), col("cents"),
+        col("batch").cast("long").as("seq")))).flatten.reduce(_ unionByName _)
+    val dels = Seq(Some(minDels),
+      remaining("deletes", d => d.select(col("o_orderkey").as("dk"),
+        col("batch").cast("long").as("dseq")))).flatten.reduce(_ unionByName _)
+    rows.join(dels, col("o_orderkey") === col("dk")
+        && col("dseq") > col("seq"), "left_anti")
+      .select(col("o_orderkey"), col("cents"))
+  }
+
+  /** The declared MOR MINOR-COMPACTION row
+    * (`orders_mor_minor_compacted`): fold the 3 oldest sidecar batches
+    * of a COPY of the deterministic chain and summarize the table read
+    * through the compacted layout beside the structural proof — the
+    * sidecar fan-in before (8 `batch=` dirs) and after (2 consolidated
+    * + 2 remaining = 4). The end state must hash-match the same
+    * composed-state oracle family as every other CDC/MOR row: the
+    * fold lost nothing, the base was never touched, and readers
+    * dropped half their sidecar fan-in. The fold itself is a one-time
+    * staging memoized per dataset (charged to `bench_build_cdc_stage`);
+    * the declared row measures the compacted READ.
+    * Output: (n_rows, n_sidecars_before, n_sidecars_after,
+    * total_cents).
+    */
+  def morMinorCompactedSummary(spark: SparkSession, dir: String): DataFrame = {
+    val (base, root, nBefore, nAfter) = graft.IndexCache.getOrBuild(spark,
+        s"orders-mor-minor:$dir:$NLogChunks") {
+      val (baseDir, chainRoot) = morChainDirs(spark, dir)
+      val root = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-mor-minor")).toString
+      copyTree(chainRoot, root)
+      val before =
+        batchIds(s"$root/deletes").size + batchIds(s"$root/inserts").size
+      val upto = morMinorCompact(spark, root, foldK = 3)
+      val after = Seq("deletes", "inserts")
+        .map(s => batchIds(s"$root/$s").count(_ > upto)).sum + 2
+      (baseDir, root, before.toLong, after.toLong)
+    }
+    morMinorRead(spark, base, root)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .select(col("n_rows"), lit(nBefore).as("n_sidecars_before"),
+        lit(nAfter).as("n_sidecars_after"), col("total_cents"))
   }
 
   /** Drive the STREAMING merge-on-read apply: tail `stagedDir` one

@@ -77,24 +77,36 @@ class CdcBucketSpec extends SparkSpec {
       assert(got.forall(_ % 4 == i % 4))
       assert(got.size < nB, s"v=$i rewrote every bucket — full-table write")
     }
-    // 2) untouched-by-later-versions: earlier versions' files must all
-    //    predate later versions' files — if any batch rewrote an
-    //    earlier v= dir, that dir's max mtime would exceed the next
-    //    version's min mtime (batches commit strictly in sequence)
-    def mtimes(v: Int): Array[Long] =
-      Option(new java.io.File(s"$stateRoot/v=$v").listFiles())
-        .getOrElse(Array.empty).filter(_.isDirectory)
-        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
-        .map(_.lastModified())
-    // only versions whose slice carried actions exist (empty batches
-    // write nothing); across the versions that DO exist, batches
-    // commit strictly in sequence — an earlier dir rewritten later
-    // would carry mtimes past the next version's
-    val present = (0 until 4).filter(v => mtimes(v).nonEmpty)
-    assert(present.size >= 2, s"too few versions to order: $present")
-    present.sliding(2).foreach { case Seq(a, b) =>
-      assert(mtimes(a).max <= mtimes(b).min,
-        s"v=$a files newer than v=$b — an earlier version was rewritten")
+    // 2) untouched-by-later-versions, CONTENT-checked (r11 advice: the
+    //    former mtime ordering is filesystem-granularity-dependent):
+    //    drive the SAME batch body version by version into a second
+    //    state root, snapshotting every file's (path, length, sha256)
+    //    after each merge — each later merge must leave every earlier
+    //    file byte-identical, the strongest form of "untouched"
+    val stateRoot2 = Files.createTempDirectory("graft-cdcb-inv").toString
+    def inventory(): Map[String, (Long, String)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(stateRoot2)
+      val s = Files.walk(root)
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p)).map { p =>
+        val bytes = Files.readAllBytes(p)
+        val h = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(bytes).map("%02x".format(_)).mkString
+        (root.relativize(p).toString, (bytes.length.toLong, h))
+      }.toMap
+      finally s.close()
+    }
+    var prev = Map.empty[String, (Long, String)]
+    (0 until 4).foreach { i =>
+      CdcStream.mergeSliceIntoState(
+        log.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        i.toLong, stateRoot2, base)
+      val now = inventory()
+      prev.foreach { case (p, sig) =>
+        assert(now.get(p).contains(sig),
+          s"after v=$i, earlier file $p was rewritten or removed")
+      }
+      prev = now
     }
 
     // 3) end state resolved across versions equals the batch MERGE

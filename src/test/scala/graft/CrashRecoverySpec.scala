@@ -299,4 +299,69 @@ class CrashRecoverySpec extends SparkSpec {
     val want = batchMergeWant()
     assert(got == want, s"recovered MOR state $got != batch MERGE $want")
   }
+
+  private def morState(base: String, morRoot: String): (Long, Long) =
+    graft.streaming.CdcStream.morMinorRead(spark, base, morRoot)
+      .agg(count(lit(1)), sum(col("cents")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+
+  /** Stage a streamed MOR sidecar layout to fold. */
+  private def morLayout(tag: String): (String, String) = {
+    import graft.streaming.CdcStream
+    val (staged, base) = stageCdcFixture(tag)
+    val morRoot = Files.createTempDirectory(s"$tag-root").toString
+    withShufflePartitions(4) {
+      CdcStream.runMorApply(spark, staged, morRoot,
+        Files.createTempDirectory(s"$tag-ckpt").toString)
+    }
+    (base, morRoot)
+  }
+
+  test("MOR minor compaction crash BEFORE the manifest commit: staging " +
+      "is invisible, readers stay on the originals, the re-run folds") {
+    import graft.streaming.CdcStream
+    val (base, morRoot) = morLayout("graft-crash-minor-a")
+    val want = batchMergeWant()
+    intercept[RuntimeException] {
+      CdcStream.morMinorCompact(spark, morRoot, 3, crashAfter = "staged")
+    }
+    assert(Files.exists(Paths.get(morRoot, "minor-staging", "UPTO")),
+      "the crash must land AFTER staging was fully written")
+    assert(!Files.exists(Paths.get(morRoot, "minor")),
+      "nothing may be committed before the rename")
+    assert(morState(base, morRoot) == want,
+      "pre-commit crash must leave readers on the original sidecars")
+    val upto = CdcStream.morMinorCompact(spark, morRoot, 3)
+    assert(upto == 2L, s"folded high-water $upto")
+    assert(!Files.exists(Paths.get(morRoot, "minor-staging")))
+    assert(!Files.exists(Paths.get(morRoot, "deletes", "batch=0")) &&
+      !Files.exists(Paths.get(morRoot, "inserts", "batch=2")),
+      "folded batch dirs must be deleted by the completed fold")
+    assert(Files.exists(Paths.get(morRoot, "inserts", "batch=3")),
+      "newer sidecars stay untouched")
+    assert(morState(base, morRoot) == want,
+      "the completed fold must preserve the end state")
+  }
+
+  test("MOR minor compaction crash AFTER the manifest commit: undeleted " +
+      "folded dirs are dead files, the re-run finishes the deletions") {
+    import graft.streaming.CdcStream
+    val (base, morRoot) = morLayout("graft-crash-minor-b")
+    val want = batchMergeWant()
+    intercept[RuntimeException] {
+      CdcStream.morMinorCompact(spark, morRoot, 3, crashAfter = "committed")
+    }
+    assert(Files.exists(Paths.get(morRoot, "minor", "UPTO")),
+      "the crash must land AFTER the rename committed")
+    assert(Files.exists(Paths.get(morRoot, "deletes", "batch=0")),
+      "the crash must land BEFORE the folded dirs were deleted")
+    assert(morState(base, morRoot) == want,
+      "post-commit readers filter batch > upto — leftover folded dirs " +
+        "must not double-count")
+    val upto = CdcStream.morMinorCompact(spark, morRoot, 3)
+    assert(upto == 2L)
+    assert(!Files.exists(Paths.get(morRoot, "deletes", "batch=0")),
+      "the idempotent re-run must finish the deletions")
+    assert(morState(base, morRoot) == want)
+  }
 }
