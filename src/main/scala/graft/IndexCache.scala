@@ -176,6 +176,7 @@ object IndexCache {
     "buckets" -> ("two bucketed-table name strings", 4L),
     "dpp_orders" -> ("partitioned-layout path string", 4L),
     "zorder-part" -> ("z-tile-partitioned layout path string", 4L),
+    "hilbert-part" -> ("hilbert-tile-partitioned layout path string", 4L),
     "orders-cdc-dir" -> ("staged changelog dir path string", 4L),
     "orders-cdc-base" -> ("base state snapshot path string", 4L),
     "orders-cdc-applied" -> ("applied-state (root, base) path strings", 4L),

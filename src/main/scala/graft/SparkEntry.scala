@@ -672,6 +672,12 @@ object SparkEntry {
     // tiles (plan pinned in ScaleTechniquesSpec) — r10 optional ask
     "layout_zorder_dpp" ->
       ((s, d) => ScaleTechniques.zorderDppBox(s, d)),
+    // the curve-story twin: DPP over the HILBERT-clustered layout, the
+    // tile catalog's exact envelopes derived via the inverse transform
+    // (layout-constant geometry) — completes the interleave family
+    // under the gate (r11 optional ask)
+    "layout_hilbert_dpp" ->
+      ((s, d) => ScaleTechniques.hilbertDppBox(s, d)),
     // zone-map skip-rate audit: natural vs shipdate-sorted file layout
     // for a one-month band — the pay-for-the-sort-rewrite evidence
     "layout_minmax_skipping" ->
@@ -5072,6 +5078,7 @@ object SparkEntry {
     "layout_zorder_box" -> ScaleTechniques.zorderBoxOracleSql(),
     // pruning changes I/O, never results: the plain filtered rollup
     "layout_zorder_dpp" -> ScaleTechniques.zorderDppOracleSql(),
+    "layout_hilbert_dpp" -> ScaleTechniques.hilbertDppOracleSql(),
 
     // zone-map replay: same epoch-day band, same 4096-row file model
     // under both total orders (row_number = the rank primitive's value)

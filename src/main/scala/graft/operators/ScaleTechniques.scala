@@ -376,6 +376,109 @@ object ScaleTechniques {
       FROM z WHERE x BETWEEN $x1 AND $x2 AND d BETWEEN $y1 AND $y2"""
   }
 
+  /** Events written hive-partitioned by HILBERT tile — the
+    * [[hilbertBucketStats]] bucket shape turned into a physical
+    * partition key, exactly as [[zorderPartitionedEventsPath]] does for
+    * the Morton tile. Memoized per dataset; charged to
+    * `bench_build_zorder_part`'s staging family.
+    */
+  private[graft] def hilbertPartitionedEventsPath(spark: SparkSession,
+      dir: String, bits: Int = 8, shift: Int = 4): String =
+    graft.IndexCache.getOrBuild(spark, s"hilbert-part:$dir:$bits:$shift") {
+      val p = graft.streaming.EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft_hpart_events")).toString
+      val mask = (1L << bits) - 1
+      val x = col("user_id").bitwiseAND(lit(mask))
+      val d = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+        .bitwiseAND(lit(mask))
+      Tables.events(spark, dir)
+        .select(x.as("x"), d.as("d"), cents(col("value")).as("cents"))
+        .withColumn("htile", shiftright(
+          graft.functions.HilbertCurve.hilbertIndex(col("x"), col("d"), bits),
+          shift).cast("int"))
+        .repartition(col("htile"))
+        .write.mode("overwrite").partitionBy("htile").parquet(p)
+      p
+    }
+
+  /** DYNAMIC PARTITION PRUNING over the HILBERT-clustered layout — the
+    * curve-story twin of [[zorderDppBox]] (r11 verdict optional ask):
+    * facts are [[hilbertPartitionedEventsPath]] (events partitioned by
+    * Hilbert tile), the dim side is the TILE CATALOG — each tile's
+    * exact (x, y) envelope derived by walking its 2^shift curve
+    * positions through the inverse transform
+    * ([[graft.functions.HilbertImpl.position]]). The catalog is
+    * LAYOUT-constant (4^bits / 2^shift tiles — geometry, not data), so
+    * the driver-side derivation is O(4^bits) integer steps once per
+    * plan; at coarser clusterings the same envelopes come from the
+    * layout's own zone-map stats table. A Hilbert tile's curve segment
+    * is one aligned quadrant square (even shift), which is exactly why
+    * Hilbert envelopes are tighter than Morton's (the
+    * layout_curve_read_amp row measures it); the box filter on the
+    * catalog + the broadcast join on the PARTITION column makes
+    * Catalyst plan a `dynamicpruningexpression` in the scan, so only
+    * overlapping tiles' directories are opened.
+    * Output: one row (n_tiles, n_rows, value_cents).
+    */
+  def hilbertDppBox(spark: SparkSession, dir: String,
+      x1: Long = 5L, x2: Long = 10L, y1: Long = 17L, y2: Long = 34L,
+      bits: Int = 8, shift: Int = 4): DataFrame = {
+    import spark.implicits._
+    val facts = spark.read.parquet(
+      hilbertPartitionedEventsPath(spark, dir, bits, shift))
+    val nTiles = 1L << (2 * bits - shift)
+    val span = 1L << shift
+    val catalog = (0L until nTiles).map { t =>
+      var (xlo, xhi, ylo, yhi) = (Long.MaxValue, Long.MinValue,
+        Long.MaxValue, Long.MinValue)
+      var i = 0L
+      while (i < span) {
+        val (px, py) = graft.functions.HilbertImpl.position(
+          (t << shift) + i, bits)
+        if (px < xlo) xlo = px; if (px > xhi) xhi = px
+        if (py < ylo) ylo = py; if (py > yhi) yhi = py
+        i += 1
+      }
+      (t.toInt, xlo, xhi, ylo, yhi)
+    }
+    // RDD-backed, not a LocalRelation: ConvertToLocalRelation would
+    // fold the box filter into the literal rows and leave Catalyst's
+    // PartitionPruning rule no selective predicate to key DPP off
+    val dim = spark.createDataFrame(
+        spark.sparkContext.parallelize(catalog, 1))
+      .toDF("htile", "xlo", "xhi", "ylo", "yhi")
+      .filter(col("xhi") >= x1 && col("xlo") <= x2 &&
+        col("yhi") >= y1 && col("ylo") <= y2)
+    facts.join(broadcast(dim), Seq("htile"))
+      .filter(col("x").between(x1, x2) && col("d").between(y1, y2))
+      .agg(countDistinct(col("htile")).as("n_tiles"),
+        count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("value_cents"))
+  }
+
+  /** DuckDB replay of [[hilbertDppBox]]: the recurrence as chained
+    * CTEs, the box applied directly — pruning changes I/O, never
+    * results.
+    */
+  def hilbertDppOracleSql(bits: Int = 8, shift: Int = 4,
+      x1: Long = 5L, x2: Long = 10L, y1: Long = 17L,
+      y2: Long = 34L): String = {
+    val mask = (1L << bits) - 1
+    s"""
+      WITH e AS (SELECT (user_id & $mask) AS x,
+                        ((epoch_us(ts) // 86400000000) & $mask) AS d,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events),
+      hb AS (SELECT x, d, cents, x AS hx, d AS hy,
+                    CAST(0 AS BIGINT) AS dd FROM e),
+      ${hilbertSqlSteps(bits, "hb", Seq("x", "d", "cents"))},
+      ht AS (SELECT x, d, cents, (dd >> $shift) AS htile FROM h0)
+      SELECT CAST(count(DISTINCT htile) AS BIGINT) AS n_tiles,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS value_cents
+      FROM ht WHERE x BETWEEN $x1 AND $x2 AND d BETWEEN $y1 AND $y2"""
+  }
+
   /** Zone-map statistics of the events table under HILBERT clustering —
     * [[zorderBucketStats]] with the Morton interleave swapped for the
     * Hilbert index ([[graft.functions.HilbertIndex]], a native codegen

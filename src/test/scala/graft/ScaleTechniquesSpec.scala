@@ -282,6 +282,72 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(got == direct, s"pruned $got != direct $direct")
   }
 
+  test("hilbert DPP: runtime filter prunes the box to its tile dirs; " +
+      "catalog envelopes are exact; result equals the direct rollup") {
+    val df = ScaleTechniques.hilbertDppBox(spark, sf0001)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$planStr")
+    val path = ScaleTechniques.hilbertPartitionedEventsPath(spark, sf0001)
+    val tilesOnDisk = new java.io.File(path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("htile="))
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => p.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val scan = nodes(df.queryExecution.executedPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("graft_hpart_events")) => s
+    }.getOrElse(fail(s"no hilbert fact scan found:\n${df.queryExecution.executedPlan}"))
+    val partsRead = scan.metrics("numPartitions").value
+    // even shift=4 makes each Hilbert tile one ALIGNED 4x4 square, so
+    // the box (x 5..10, d 17..34) overlaps the same 2 x 5 band grid as
+    // the Morton tiling — at most 10 dirs
+    assert(tilesOnDisk > 12, s"fixture spans only $tilesOnDisk tiles")
+    assert(partsRead <= 10,
+      s"DPP must read <=10 of $tilesOnDisk tile dirs, read $partsRead")
+    // the driver-derived catalog envelopes are EXACT: every stored row
+    // falls inside its own tile's inverse-transform envelope
+    val span = 1L << 4
+    val facts = spark.read.parquet(path)
+      .select("htile", "x", "d").collect()
+    facts.foreach { r =>
+      val (t, x, d) = (r.getInt(0).toLong, r.getLong(1), r.getLong(2))
+      var (xlo, xhi, ylo, yhi) = (Long.MaxValue, Long.MinValue,
+        Long.MaxValue, Long.MinValue)
+      var i = 0L
+      while (i < span) {
+        val (px, py) = graft.functions.HilbertImpl.position((t << 4) + i, 8)
+        if (px < xlo) xlo = px; if (px > xhi) xhi = px
+        if (py < ylo) ylo = py; if (py > yhi) yhi = py
+        i += 1
+      }
+      assert(x >= xlo && x <= xhi && d >= ylo && d <= yhi,
+        s"row ($x,$d) outside tile $t envelope [$xlo,$xhi]x[$ylo,$yhi]")
+    }
+    // layout + pruning only: equality with the direct box rollup
+    val mask = 255L
+    val x = col("user_id").bitwiseAND(lit(mask))
+    val d = floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      .bitwiseAND(lit(mask))
+    val direct = Tables.events(spark, sf0001)
+      .select(x.as("x"), d.as("d"), cents(col("value")).as("c"))
+      .withColumn("htile", shiftright(
+        graft.functions.HilbertCurve.hilbertIndex(col("x"), col("d"), 8), 4))
+      .filter(col("x").between(5, 10) && col("d").between(17, 34))
+      .agg(countDistinct(col("htile")), count(lit(1)), sum(col("c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got == direct, s"pruned $got != direct $direct")
+  }
+
   test("zorder zone maps: tiles are disjoint 2-D boxes covering all rows") {
     val tiles = ScaleTechniques.zorderBucketStats(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
