@@ -44,7 +44,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // tier-aware overlay: generated-literal pins bind the tier they
+    // were generated at — when the input is the 10x sf1 tier (detected
+    // by its exact embeddings cardinality) the sf1 pin set replaces
+    // the sf0.01 pins, so the same hash gate replays those rows at 10x
+    val nEmb =
+      try spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      catch { case _: Throwable => 0L }
+    val oracles =
+      if (nEmb == GeneratedOraclesSf1.EmbeddingRows)
+        SparkEntry.oracleSql ++ GeneratedOraclesSf1.sql
+      else SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
