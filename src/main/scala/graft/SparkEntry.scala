@@ -6499,38 +6499,46 @@ object SparkEntry {
 
     // three unrolled synchronous LPA rounds: per round, neighbor-label
     // counts then mode with ties to the smallest label — the same
-    // deterministic-iteration oracle pattern as emb_kmeans
+    // deterministic-iteration oracle pattern as emb_kmeans. The shared
+    // CTEs are MATERIALIZED (r11 sweep finding: DuckDB inlines plain
+    // CTEs, so the chained rounds re-evaluated the co-purchase pair
+    // join once per reference — at the sf1 tier that blew the oracle's
+    // time/spill budget; materialized, the same replay runs in ~23 s)
     "graph_communities" -> s"""
-      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+      e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
             ON a.p = b.p AND a.c < b.c
             GROUP BY 1, 2 HAVING count(*) >= 4),
       nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
-      sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-      l0 AS (SELECT n AS node, n AS lbl FROM nodes),${Seq(1, 2, 3).map(i => s"""
-      r$i AS (SELECT s.a AS node, l.lbl, count(*) AS c
+      sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v, u FROM e),
+      l0 AS MATERIALIZED (SELECT n AS node, n AS lbl FROM nodes),${Seq(1, 2, 3).map(i => s"""
+      r$i AS MATERIALIZED (SELECT s.a AS node, l.lbl, count(*) AS c
               FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
-      l$i AS (SELECT node, lbl FROM (
+      l$i AS MATERIALIZED (SELECT node, lbl FROM (
                 SELECT *, row_number() OVER (PARTITION BY node
                   ORDER BY c DESC, lbl ASC) AS rn FROM r$i) WHERE rn = 1)""")
         .mkString(",")}
       SELECT node, lbl AS community FROM l3""",
 
     // the same unrolled LPA chain, then the exact integer modularity
-    // contributions (4*m*e_in - d_sum^2, one final half-up round)
+    // contributions (4*m*e_in - d_sum^2, one final half-up round);
+    // CTEs materialized like graph_communities (l3 is referenced three
+    // times here — inlined, that re-ran the whole chain per reference)
     "graph_modularity" -> s"""
-      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+      e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
             ON a.p = b.p AND a.c < b.c
             GROUP BY 1, 2 HAVING count(*) >= 4),
       nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
-      sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-      l0 AS (SELECT n AS node, n AS lbl FROM nodes),${Seq(1, 2, 3).map(i => s"""
-      r$i AS (SELECT s.a AS node, l.lbl, count(*) AS c
+      sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+            UNION ALL SELECT v, u FROM e),
+      l0 AS MATERIALIZED (SELECT n AS node, n AS lbl FROM nodes),${Seq(1, 2, 3).map(i => s"""
+      r$i AS MATERIALIZED (SELECT s.a AS node, l.lbl, count(*) AS c
               FROM sym s JOIN l${i - 1} l ON s.b = l.node GROUP BY 1, 2),
-      l$i AS (SELECT node, lbl FROM (
+      l$i AS MATERIALIZED (SELECT node, lbl FROM (
                 SELECT *, row_number() OVER (PARTITION BY node
                   ORDER BY c DESC, lbl ASC) AS rn FROM r$i) WHERE rn = 1)""")
         .mkString(",")},
@@ -6620,15 +6628,19 @@ object SparkEntry {
       FROM m""",
 
     // same ordered x<y<z triangle enumeration exploded to corners;
-    // exact integers until one final division
+    // exact integers until one final division. cp/e/t MATERIALIZED
+    // (r11 sweep finding: inlined, the wedge join re-derived the 4M-
+    // edge relation per reference and exhausted spill disk at sf1;
+    // materialized, the replay runs in ~36 s)
     "graph_clustering_coeff" -> """
-      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      WITH cp AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+                    l.l_partkey AS p
                   FROM lineitem l JOIN orders o
                     ON l.l_orderkey = o.o_orderkey),
-      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+      e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a
             JOIN cp b ON a.p = b.p AND a.c < b.c
             GROUP BY 1, 2 HAVING count(*) >= 2),
-      t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      t AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z
             FROM e e1 JOIN e e2 ON e2.u = e1.v
             JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
       corners AS (SELECT node, count(*) AS n_tri FROM (
