@@ -131,6 +131,55 @@ class CdcCompactSpec extends SparkSpec {
     assert(after.getLong(1) == resolvedPre.getLong(1) - c0)
   }
 
+  test("MOR sequence masking: an insert later deleted IS masked, a same-" +
+      "batch delete+insert upserts, and the minor fold preserves both") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // synthetic sidecar chain exercising the general semantics the
+    // showcase changelog's disjoint keys never reach:
+    //   base: keys 1..6 (cents 10k)
+    //   batch 0: +100, -1
+    //   batch 1: -100 (kills the batch-0 insert), -2 & +2@999 (upsert)
+    //   batch 2: +200
+    val schema2 = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("cents", LongType)))
+    val schema1 = StructType(Seq(StructField("o_orderkey", LongType)))
+    def write(rows: Seq[Row], schema: StructType, path: String): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    val base = Files.createTempDirectory("graft-seq-base").toString
+    write((1L to 6L).map(k => Row(k, 10L * k)), schema2, base)
+    val root = Files.createTempDirectory("graft-seq-mor").toString
+    write(Seq(Row(100L, 1L)), schema2, s"$root/inserts/batch=0")
+    write(Seq(Row(1L)), schema1, s"$root/deletes/batch=0")
+    write(Seq(Row(2L, 999L)), schema2, s"$root/inserts/batch=1")
+    write(Seq(Row(100L), Row(2L)), schema1, s"$root/deletes/batch=1")
+    write(Seq(Row(200L, 7L)), schema2, s"$root/inserts/batch=2")
+    write(Seq.empty[Row], schema1, s"$root/deletes/batch=2")
+    def state(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseState = (1L to 6L).map(k => k -> 10L * k).toMap
+    val want = Map(
+      -1L -> baseState,
+      0L -> (baseState - 1L + (100L -> 1L)),
+      1L -> (baseState - 1L - 2L + (2L -> 999L)),
+      2L -> (baseState - 1L - 2L + (2L -> 999L) + (200L -> 7L)))
+    want.foreach { case (v, w) =>
+      assert(state(CdcStream.morResolveAsOf(spark, base, root, v)) == w,
+        s"as-of v=$v")
+    }
+    // minor fold of batches 0..1: the batch-0 insert must NOT resurrect
+    // (internal masking), the upsert must survive at the consolidated
+    // sequence, and the head read equals the unfolded resolution
+    val upto = CdcStream.morMinorCompact(spark, root, foldK = 2)
+    assert(upto == 1L)
+    val minIns = state(spark.read.parquet(s"$root/minor/inserts"))
+    assert(minIns == Map(2L -> 999L),
+      s"consolidated inserts carry only the surviving upsert: $minIns")
+    assert(state(CdcStream.morMinorRead(spark, base, root)) == want(2L))
+  }
+
   test("IVM view state is O(groups) per version and survives a mid-flight " +
       "crash: replay converges to the from-scratch re-aggregation") {
     val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
