@@ -184,6 +184,7 @@ object IndexCache {
     "orders-cdc-chain" -> ("deterministic version-chain (root, base) path strings", 4L),
     "orders-cdc-mor" -> ("merge-on-read (base, deletes, inserts) path strings", 4L),
     "orders-mor-chain" -> ("MOR version-chain (base, root) path strings", 4L),
+    "orders-cdc-expired" -> ("expired-chain (root, base) paths + count", 4L),
     "orders-mor-minor" -> ("minor-compacted layout paths + 2 dir counts", 8L),
     "orders-mor-compacted" -> ("major-compacted snapshot path string", 4L),
     "orders-evolved" -> ("two-generation schema-evolution dir path string", 4L),

@@ -837,6 +837,16 @@ object SparkEntry {
     // the same composed-state oracle family
     "orders_mor_minor_compacted" ->
       ((s, d) => streaming.CdcStream.morMinorCompactedSummary(s, d)),
+    // the production MOR loop: streamed apply with AUTO minor
+    // compaction (pointer-file generations) — two folds fire during
+    // the 4-chunk stream, read fan-in stays bounded forever, end state
+    // under the same gate
+    "orders_mor_autocompact_streamed" ->
+      ((s, d) => streaming.CdcStream.morAutoCompactStreamed(s, d)),
+    // SNAPSHOT EXPIRY (retention): versions below the horizon fold
+    // into a new base, every RETAINED boundary reads back identically
+    "orders_cdc_expired" ->
+      ((s, d) => streaming.CdcStream.expiredChainSummary(s, d)),
     // SCHEMA EVOLUTION: one mergeSchema read across two real file
     // generations (the priority column added mid-stream); planning-time
     // footer union, NULL back-fill at scan — generation 1 is never
@@ -1983,14 +1993,14 @@ object SparkEntry {
   }
 
   private val basketCompletionSql = """
-      WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      ip AS (SELECT a.p AS p1, b.p AS p2, count(*) AS cnt
+      ip AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2, count(*) AS cnt
              FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
              GROUP BY 1, 2 HAVING count(*) >= 2),
       sym0 AS (SELECT p1 AS p, p2 AS rec, cnt FROM ip
                UNION ALL SELECT p2, p1, cnt FROM ip),
-      sym AS (SELECT p, rec, cnt FROM sym0
+      sym AS MATERIALIZED (SELECT p, rec, cnt FROM sym0
               QUALIFY row_number() OVER (PARTITION BY p
                 ORDER BY cnt DESC, rec) <= 20),
       sc AS (SELECT cp.c, sym.rec, sum(sym.cnt) AS score
@@ -2476,26 +2486,35 @@ object SparkEntry {
                   AS INT) AS rk
       FROM cand QUALIFY rk <= 20""",
 
+    // the 20-query panel is carved out FIRST (materialized CTEs): as a
+    // flat cross-join + filter DuckDB evaluated the n x n pair space
+    // before pruning the query side — 400M list-dots at the sf1 tier
     "knn_range_search" -> s"""
-      WITH e AS (SELECT vec_id,
+      WITH e AS MATERIALIZED (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                  FROM embeddings),
-      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e)
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      q AS MATERIALIZED (SELECT * FROM e
+            WHERE vec_id >= (SELECT s FROM p)
+              AND vec_id < (SELECT s FROM p) + 20)
       SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-      FROM e b, e q, p
-      WHERE b.vec_id < p.s AND q.vec_id >= p.s AND q.vec_id < p.s + 20
+      FROM e b, q
+      WHERE b.vec_id < (SELECT s FROM p)
         AND $cosDistSql <= 0.7""",
 
     // streaming-executed twin: every (query, base) pair is scored
     // exactly once regardless of micro-batching, so the same relation
     "knn_range_streamed" -> s"""
-      WITH e AS (SELECT vec_id,
+      WITH e AS MATERIALIZED (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                  FROM embeddings),
-      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e)
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      q AS MATERIALIZED (SELECT * FROM e
+            WHERE vec_id >= (SELECT s FROM p)
+              AND vec_id < (SELECT s FROM p) + 20)
       SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-      FROM e b, e q, p
-      WHERE b.vec_id < p.s AND q.vec_id >= p.s AND q.vec_id < p.s + 20
+      FROM e b, q
+      WHERE b.vec_id < (SELECT s FROM p)
         AND $cosDistSql <= 0.7""",
 
     "knn_filtered_batch" -> s"""
@@ -3364,18 +3383,20 @@ object SparkEntry {
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
-      n AS (SELECT vec_id,
+      n AS MATERIALIZED (SELECT vec_id,
                    list_transform(v, x -> x /
                      nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
             FROM e),
-      s AS (SELECT greatest(1, count(*) // 50) AS stride FROM n)
+      s AS (SELECT greatest(1, count(*) // 50) AS stride FROM n),
+      a AS MATERIALIZED (SELECT vec_id, nv FROM n
+           WHERE vec_id % (SELECT stride FROM s) = 0)
       SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(greatest(
                  list_sum(list_transform(list_zip(a.nv, b.nv), z -> z[1]*z[2])),
                  0), 6) AS sim
-        FROM n a, n b, s
-        WHERE a.vec_id % s.stride = 0 AND a.vec_id <> b.vec_id)
+        FROM a, n b
+        WHERE a.vec_id <> b.vec_id)
       WHERE sim >= 0.4""",
 
 
@@ -5553,6 +5574,31 @@ object SparkEntry {
     // same state as the copy-on-write chain — one oracle, two physical
     // strategies under the same gate
     "orders_mor_timetravel" -> timeTravelSql,
+    // retention: the horizon boundary (v=1, served by the folded base
+    // alone) and every live version above it must read back exactly as
+    // the unexpired chain would serve them; the expired count (v0, v1)
+    // is the structural design pin of the keepFrom=2 horizon
+    "orders_cdc_expired" -> """
+      WITH vs AS (SELECT range AS v FROM range(1, 4)),
+      base AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+      st AS (
+        SELECT vs.v,
+               CASE WHEN b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v
+                 THEN (b.c * 11) // 10 ELSE b.c END AS c
+        FROM vs, base b
+        WHERE NOT (b.k % 700 = 0 AND b.k % 500 <> 0
+                   AND ((b.k // 500) % 4) <= vs.v)
+        UNION ALL
+        SELECT vs.v, (b.c * 11) // 10 AS c
+        FROM vs, base b
+        WHERE b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v)
+      SELECT CAST(v AS BIGINT) AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS total_cents,
+             CAST(2 AS BIGINT) AS n_versions_expired
+      FROM st GROUP BY 1""",
     // minor compaction: the end state survives the fold untouched
     // (same composed-state core as the MOR family); the 8 -> 4
     // sidecar fan-in drop is the structural design pin of the
@@ -5573,6 +5619,27 @@ object SparkEntry {
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(8 AS BIGINT) AS n_sidecars_before,
              CAST(4 AS BIGINT) AS n_sidecars_after,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM allr""",
+    // the auto-compacting stream: same composed end state; the fold
+    // count (generations g0+g1 at maxLive=1 over 4 chunks) and the
+    // zero live-batch tail are the structural pins of repeated folds
+    "orders_mor_autocompact_streamed" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      kept AS (SELECT CASE WHEN o_orderkey % 500 = 0
+                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                             // 10
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END AS c
+               FROM orders
+               WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)),
+      allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(2 AS BIGINT) AS n_folds,
+             CAST(0 AS BIGINT) AS n_live_batches,
              CAST(sum(c) AS BIGINT) AS total_cents
       FROM allr""",
 
@@ -6442,16 +6509,19 @@ object SparkEntry {
     // node contributions quantized to micro-unit BIGINTs (the pagerank
     // exact-arithmetic discipline) so the sum is order-independent
     "graph_link_prediction" -> """
-      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      WITH cp AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+                    l.l_partkey AS p
                   FROM lineitem l JOIN orders o
                     ON l.l_orderkey = o.o_orderkey),
-      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+      e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a
             JOIN cp b ON a.p = b.p AND a.c < b.c
             GROUP BY 1, 2 HAVING count(*) >= 4),
-      bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-      deg AS (SELECT u AS z, CAST(round(1e9 / ln(count(*))) AS BIGINT) AS aa
+      bidir AS MATERIALIZED (SELECT u, v FROM e
+            UNION ALL SELECT v, u FROM e),
+      deg AS MATERIALIZED (SELECT u AS z,
+              CAST(round(1e9 / ln(count(*))) AS BIGINT) AS aa
               FROM bidir GROUP BY u),
-      paths AS (SELECT a.u AS u, a.v AS z, c.v AS w
+      paths AS MATERIALIZED (SELECT a.u AS u, a.v AS z, c.v AS w
                 FROM bidir a JOIN bidir c ON a.v = c.u
                 WHERE a.u < c.v),
       scored AS (SELECT p.u, p.w, count(*) AS common,
@@ -6599,16 +6669,18 @@ object SparkEntry {
     // endpoint-degree Pearson over directed stubs; HUGEINT moments,
     // identical num/sqrt/sqrt division order
     "graph_assortativity" -> """
-      WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      WITH cp AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+                    l.l_partkey AS p
                   FROM lineitem l JOIN orders o
                     ON l.l_orderkey = o.o_orderkey),
-      e AS (SELECT a.c AS u, b.c AS v FROM cp a
+      e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a
             JOIN cp b ON a.p = b.p AND a.c < b.c
             GROUP BY 1, 2 HAVING count(*) >= 2),
-      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
                 SELECT u AS node FROM e UNION ALL SELECT v FROM e)
               GROUP BY 1),
-      bidir AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+      bidir AS MATERIALIZED (SELECT u, v FROM e
+            UNION ALL SELECT v, u FROM e),
       dd AS (SELECT du.deg AS dx, dv.deg AS dy
              FROM bidir b
              JOIN deg du ON du.node = b.u

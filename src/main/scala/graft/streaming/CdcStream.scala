@@ -101,10 +101,11 @@ object CdcStream {
     versionChainDirs(spark, dir)
     morSidecarDirs(spark, dir)
     morChainDirs(spark, dir)
-    // the deferred folds (major + minor) are stagings too — building
-    // the summary DataFrames runs their memoized writes
+    // the deferred folds (major + minor + retention) are stagings
+    // too — building the summary DataFrames runs their memoized writes
     morCompactedSummary(spark, dir)
     morMinorCompactedSummary(spark, dir)
+    expiredChainSummary(spark, dir)
     1L
   }
 
@@ -426,6 +427,68 @@ object CdcStream {
     }.reduce(_ unionByName _)
   }
 
+  /** SNAPSHOT EXPIRY — the retention half of keeping a version chain
+    * (Iceberg's expire_snapshots / Delta's VACUUM horizon): fold the
+    * base and every version BELOW `keepFrom` into a new bucketed base
+    * snapshot written beside the chain, then drop those version dirs.
+    * As-of reads at or above the horizon resolve exactly as before
+    * (per bucket, newest keeper <= v, new-base fallback); history
+    * below it is deliberately gone — that is what retention means.
+    * Crash-safe like compactState: the new base commits to its own
+    * directory before any deletion, and a re-run re-derives the same
+    * fold. Returns (newBaseDir, expired version ids ascending).
+    */
+  private[graft] def expireSnapshots(spark: SparkSession, stateRoot: String,
+      baseDir: String, keepFrom: Long): (String, Seq[Long]) = {
+    val newBase = s"$stateRoot/expired-base-v=${keepFrom - 1}"
+    stateAt(spark, stateRoot, baseDir, 0 until NStateBuckets, keepFrom)
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(newBase)
+    val expired = Option(new java.io.File(stateRoot).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).filter(_ < keepFrom)
+      .sorted.toSeq
+    expired.foreach(v => {
+      val p = java.nio.file.Paths.get(s"$stateRoot/v=$v")
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    })
+    (newBase, expired)
+  }
+
+  /** The declared SNAPSHOT-EXPIRY row (`orders_cdc_expired`): expire
+    * the deterministic chain below version 2 ON A COPY (the memoized
+    * chain stays pristine for the timetravel row), then read back
+    * EVERY RETAINED boundary — the horizon boundary (v=1, now served
+    * by the folded base alone) plus the live versions above it. A
+    * hash match against the same relational reconstruction as the
+    * timetravel rows proves retention lost nothing a reader is still
+    * entitled to. One-time staging memoized per dataset; the declared
+    * row measures the retained-boundary reads.
+    * Output: (version, n_rows, total_cents, n_versions_expired) x 3.
+    */
+  def expiredChainSummary(spark: SparkSession, dir: String): DataFrame = {
+    val keepFrom = 2L
+    val (root, base, nExpired) = graft.IndexCache.getOrBuild(spark,
+        s"orders-cdc-expired:$dir:$NLogChunks:$keepFrom") {
+      val (chainRoot, chainBase) = versionChainDirs(spark, dir)
+      val root = EventStream.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-cdc-expire")).toString
+      copyTree(chainRoot, root)
+      val (newBase, expired) = expireSnapshots(spark, root, chainBase,
+        keepFrom)
+      (root, newBase, expired.size.toLong)
+    }
+    (keepFrom - 1 until NLogChunks).map { v =>
+      stateAt(spark, root, base, 0 until NStateBuckets, v + 1L)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("total_cents"), lit(nExpired).as("n_versions_expired"))
+    }.reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------------------------
   // MERGE-ON-READ — the other half of the write-amplification tradeoff.
   // The apply loop above is COPY-ON-WRITE: a change rewrites its whole
@@ -683,104 +746,146 @@ object CdcStream {
     }
   }
 
-  /** MINOR compaction: fold the `foldK` OLDEST sidecar batches into
-    * one consolidated pair under `morRoot/minor` (internal
-    * delete-masking applied inside the folded range), leaving the base
-    * and every newer sidecar untouched. Returns the folded high-water
-    * batch id (`upto`).
+  private def rmTree(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  /** The current minor-compaction GENERATION, resolved through the
+    * `MINOR_CURRENT` pointer file — the `_last_checkpoint` pattern: a
+    * generation directory is immutable once written, and the pointer
+    * swap (one atomic file move) is the only commit. Returns
+    * (generationDir, foldedHighWaterBatchId).
+    */
+  private[graft] def currentMinor(morRoot: String): Option[(String, Long)] = {
+    val ptr = java.nio.file.Paths.get(s"$morRoot/MINOR_CURRENT")
+    if (!java.nio.file.Files.exists(ptr)) None
+    else {
+      val gen = new String(java.nio.file.Files.readAllBytes(ptr)).trim
+      val dir = s"$morRoot/$gen"
+      val upto = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/UPTO"))).trim.toLong
+      Some((dir, upto))
+    }
+  }
+
+  /** MINOR compaction, REPEATABLE: fold the `foldK` OLDEST live
+    * sidecar batches — absorbing the previous minor generation, if
+    * any — into a new immutable generation dir, and commit it by
+    * atomically swapping the `MINOR_CURRENT` pointer. The base and
+    * every newer sidecar stay untouched; repeated folds keep read-side
+    * fan-in bounded over an unbounded stream (the production MOR
+    * cycle between major compactions). Returns the new folded
+    * high-water batch id (`upto`).
     *
-    * Crash discipline (proven by CrashRecoverySpec): the fold writes
-    * everything under `minor-staging/` (consolidated sidecars + the
-    * UPTO manifest), then RENAMES the staging dir to `minor/` — the
-    * single atomic commit point — and only then deletes the folded
-    * `batch=` dirs. A crash before the rename leaves readers on the
-    * original sidecars (staging is invisible); a crash after it leaves
-    * folded originals on disk but readers filter `batch > upto`, so
-    * they are dead files, and a re-run (manifest present) just
-    * finishes the deletions — idempotent from either side of the
-    * commit. `crashAfter` injects the spec's failures at the two
-    * windows.
+    * Crash discipline (proven by CrashRecoverySpec): the new
+    * generation is fully written under `minor-staging/`, renamed to
+    * its `minor-g<k>/` name, and only then referenced by the pointer
+    * swap — the single commit point. A crash before the swap leaves
+    * readers on the previous generation (an unreferenced gen dir is
+    * garbage, collected at the next call); a crash after it leaves
+    * the retired generation and folded `batch=` dirs on disk, but
+    * readers resolve through the pointer and filter `batch > upto`,
+    * so they are dead files — the next call's entry sweep finishes
+    * the deletions. `crashAfter` injects the spec's failures at the
+    * two windows.
     */
   private[graft] def morMinorCompact(spark: SparkSession, morRoot: String,
       foldK: Int, crashAfter: String = ""): Long = {
-    val minorDir = s"$morRoot/minor"
     val staging = s"$morRoot/minor-staging"
-    def upToOf(dir: String): Long = new String(java.nio.file.Files
-      .readAllBytes(java.nio.file.Paths.get(s"$dir/UPTO"))).trim.toLong
-    def dropFolded(upto: Long): Unit =
-      Seq("deletes", "inserts").foreach { side =>
-        batchIds(s"$morRoot/$side").filter(_ <= upto).foreach { b =>
-          val p = java.nio.file.Paths.get(s"$morRoot/$side/batch=$b")
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.delete(f))
-        }
-      }
-    def rmStaging(): Unit = {
-      val p = java.nio.file.Paths.get(staging)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
+    val cur = currentMinor(morRoot)
+    val curUpto = cur.map(_._2).getOrElse(-1L)
+    val curGenIdx = cur.map(_._1.split("minor-g").last.toLong).getOrElse(-1L)
+    // entry sweep: garbage from crashed attempts — partial staging,
+    // unreferenced generation dirs, folded batch dirs the pointer has
+    // already moved past
+    rmTree(staging)
+    Option(new java.io.File(morRoot).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("minor-g")
+        && f.getName != s"minor-g$curGenIdx")
+      .foreach(f => rmTree(f.getPath))
+    Seq("deletes", "inserts").foreach { side =>
+      batchIds(s"$morRoot/$side").filter(_ <= curUpto)
+        .foreach(b => rmTree(s"$morRoot/$side/batch=$b"))
     }
-    // re-run past the commit point: finish the deletions and return
-    if (new java.io.File(s"$minorDir/UPTO").exists()) {
-      rmStaging()
-      val upto = upToOf(minorDir)
-      dropFolded(upto)
-      return upto
-    }
-    val folded = batchIds(s"$morRoot/deletes")
-      .union(batchIds(s"$morRoot/inserts")).distinct.sorted.take(foldK)
-    val upto = folded.max
-    rmStaging() // a crashed earlier attempt's partial staging
-    // consolidated deletes: the distinct folded keys (they still mask
-    // base rows; masking nothing is harmless)
-    spark.read.parquet(s"$morRoot/deletes").filter(col("batch") <= upto)
-      .select(col("o_orderkey")).distinct()
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/deletes")
-    // consolidated inserts: folded inserts that survive STRICTLY-newer
-    // folded deletes (the fold pre-applies the range's own masking, so
-    // post-fold both consolidated sides read at seq = upto)
-    spark.read.parquet(s"$morRoot/inserts").filter(col("batch") <= upto)
-      .select(col("o_orderkey"), col("cents"),
-        col("batch").cast("long").as("seq"))
-      .join(spark.read.parquet(s"$morRoot/deletes")
-          .filter(col("batch") <= upto)
-          .select(col("o_orderkey").as("dk"),
-            col("batch").cast("long").as("dseq")),
+    val live = batchIds(s"$morRoot/deletes")
+      .union(batchIds(s"$morRoot/inserts"))
+      .distinct.sorted.filter(_ > curUpto)
+    if (live.isEmpty) return curUpto
+    val upto = live.take(foldK).max
+    // prior generation's consolidated sides read at seq = curUpto
+    def genSide(side: String): Option[DataFrame] =
+      cur.map { case (dir, _) => spark.read.parquet(s"$dir/$side") }
+    val batchDels = spark.read.parquet(s"$morRoot/deletes")
+      .filter(col("batch") > curUpto && col("batch") <= upto)
+      .select(col("o_orderkey"), col("batch").cast("long").as("dseq"))
+    val allDelKeys = (genSide("deletes").map(_.select(col("o_orderkey")))
+      .toSeq :+ batchDels.select(col("o_orderkey")))
+      .reduce(_ unionByName _).distinct()
+    val rows = (genSide("inserts")
+      .map(_.select(col("o_orderkey"), col("cents"),
+        lit(curUpto).as("seq"))).toSeq :+
+      spark.read.parquet(s"$morRoot/inserts")
+        .filter(col("batch") > curUpto && col("batch") <= upto)
+        .select(col("o_orderkey"), col("cents"),
+          col("batch").cast("long").as("seq")))
+      .reduce(_ unionByName _)
+    // consolidated inserts: rows that survive STRICTLY-newer deletes
+    // inside the folded range (prior-gen deletes read at curUpto, so
+    // they never re-mask the prior gen's own survivors)
+    rows.join(batchDels.withColumnRenamed("o_orderkey", "dk"),
         col("o_orderkey") === col("dk") && col("dseq") > col("seq"),
         "left_anti")
       .select(col("o_orderkey"), col("cents"))
       .coalesce(1).write.mode("overwrite").parquet(s"$staging/inserts")
+    // consolidated deletes: every folded delete key (still masks base)
+    allDelKeys.coalesce(1).write.mode("overwrite")
+      .parquet(s"$staging/deletes")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$staging/UPTO"),
       upto.toString.getBytes)
+    val nextGen = s"minor-g${curGenIdx + 1}"
+    rmTree(s"$morRoot/$nextGen")
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(s"$morRoot/$nextGen"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     if (crashAfter == "staged")
       throw new RuntimeException("graft-injected-crash")
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
-      java.nio.file.Paths.get(minorDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // THE commit: atomic pointer swap
+    val tmpPtr = java.nio.file.Paths.get(s"$morRoot/MINOR_CURRENT.tmp")
+    java.nio.file.Files.write(tmpPtr, nextGen.getBytes)
+    java.nio.file.Files.move(tmpPtr,
+      java.nio.file.Paths.get(s"$morRoot/MINOR_CURRENT"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     if (crashAfter == "committed")
       throw new RuntimeException("graft-injected-crash")
-    dropFolded(upto)
+    // post-commit cleanup (a crash here leaves only dead files)
+    cur.foreach { case (dir, _) => rmTree(dir) }
+    Seq("deletes", "inserts").foreach { side =>
+      batchIds(s"$morRoot/$side").filter(_ <= upto)
+        .foreach(b => rmTree(s"$morRoot/$side/batch=$b"))
+    }
     upto
   }
 
   /** MOR resolution over a possibly-minor-compacted layout: if the
-    * `minor/` manifest exists, rows = base(-1) ∪ consolidated
+    * `MINOR_CURRENT` pointer exists, rows = base(-1) ∪ consolidated
     * inserts(seq upto) ∪ remaining inserts(batch > upto), masked by
     * consolidated deletes(seq upto) ∪ remaining deletes — readers
-    * ALWAYS filter `batch > upto`, which is what makes the
-    * post-commit crash window safe (undeleted folded dirs are dead
-    * files). Without the manifest this is [[morResolveAsOf]] at HEAD.
+    * ALWAYS resolve through the pointer and filter `batch > upto`,
+    * which is what makes the post-commit crash window safe (retired
+    * generations and undeleted folded dirs are dead files). Without
+    * the pointer this is [[morResolveAsOf]] at HEAD.
     */
   private[graft] def morMinorRead(spark: SparkSession, baseDir: String,
       morRoot: String): DataFrame = {
-    val minorDir = s"$morRoot/minor"
-    if (!new java.io.File(s"$minorDir/UPTO").exists())
+    val cur = currentMinor(morRoot)
+    if (cur.isEmpty)
       return morResolveAsOf(spark, baseDir, morRoot, Long.MaxValue)
-    val upto = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$minorDir/UPTO"))).trim.toLong
+    val (minorDir, upto) = cur.get
     val base = spark.read.parquet(baseDir)
       .select(col("o_orderkey"), col("cents"), lit(-1L).as("seq"))
     val minIns = spark.read.parquet(s"$minorDir/inserts")
@@ -904,6 +1009,84 @@ object CdcStream {
         EventStream.ckptDir("graft-ckpt-mor"))
     }
     morStreamedSummary(spark, base, morRoot)
+  }
+
+  /** Drive the streamed MOR apply WITH AUTO minor compaction: each
+    * micro-batch appends its |batch|-row sidecars, then — whenever the
+    * live (unfolded) batch count exceeds `maxLive` — folds all live
+    * batches into the next minor generation via [[morMinorCompact]].
+    * This is the loop a production MOR table actually runs: sidecar
+    * fan-in stays <= maxLive + 2 consolidated files FOREVER, however
+    * long the stream lives, while every write stays O(changes). Crash
+    * discipline composes from the parts: a replayed batch overwrites
+    * its own `batch=<id>` dirs (dead files if a fold already absorbed
+    * that id — readers resolve through the pointer and filter
+    * `batch > upto`), and the fold itself commits via the atomic
+    * pointer swap. Exposed for the crash spec.
+    */
+  private[graft] def runMorApplyAutoCompact(spark: SparkSession,
+      stagedDir: String, morRoot: String, ckpt: String, maxLive: Int = 1,
+      crashAt: Long = -1L,
+      crashed: java.util.concurrent.atomic.AtomicBoolean = null): Unit = {
+    val q = spark.readStream.schema(logSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stagedDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val slice = batch.localCheckpoint(true)
+        slice.filter(col("action").isin("update", "delete"))
+          .select(col("o_orderkey"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$morRoot/deletes/batch=$id")
+        slice.filter(col("action").isin("update", "insert"))
+          .select(col("o_orderkey"), col("new_cents").as("cents"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$morRoot/inserts/batch=$id")
+        val curUpto = currentMinor(morRoot).map(_._2).getOrElse(-1L)
+        val live = batchIds(s"$morRoot/deletes")
+          .union(batchIds(s"$morRoot/inserts"))
+          .distinct.count(_ > curUpto)
+        if (live > maxLive)
+          morMinorCompact(spark, morRoot, foldK = live)
+        if (crashAt >= 0 && id >= crashAt
+            && crashed.compareAndSet(false, true))
+          throw new RuntimeException("graft-injected-crash")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The declared AUTO-COMPACTING streamed MOR row
+    * (`orders_mor_autocompact_streamed`): the changelog consumed
+    * incrementally with maxLive = 1, so the 4-chunk stream triggers
+    * TWO minor folds (after batches 1 and 3 — generations g0 then g1,
+    * g1 absorbing g0) and ends with ZERO live sidecar batches. The end
+    * state must hash-match the same composed-state oracle family; the
+    * structural columns pin the repeated-fold mechanics (fold count =
+    * final generation index + 1, live batches = 0) — bounded read
+    * fan-in over an unbounded stream, the claim a one-shot fold can't
+    * make. Output: (n_rows, n_folds, n_live_batches, total_cents).
+    */
+  def morAutoCompactStreamed(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stagedChangelogDir(spark, dir)
+    val base = baseStateDir(spark, dir)
+    val morRoot = EventStream.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-mor-auto")).toString
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      runMorApplyAutoCompact(spark, staged, morRoot,
+        EventStream.ckptDir("graft-ckpt-mor-auto"), maxLive = 1)
+    }
+    val (genDir, upto) = currentMinor(morRoot).getOrElse(("minor-g-1", -1L))
+    val nFolds = genDir.split("minor-g").last.toLong + 1
+    val nLive = batchIds(s"$morRoot/deletes")
+      .union(batchIds(s"$morRoot/inserts")).distinct.count(_ > upto).toLong
+    morMinorRead(spark, base, morRoot)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .select(col("n_rows"), lit(nFolds).as("n_folds"),
+        lit(nLive).as("n_live_batches"), col("total_cents"))
   }
 
   // ------------------------------------------------------------------

@@ -174,9 +174,17 @@ class CdcCompactSpec extends SparkSpec {
     // sequence, and the head read equals the unfolded resolution
     val upto = CdcStream.morMinorCompact(spark, root, foldK = 2)
     assert(upto == 1L)
-    val minIns = state(spark.read.parquet(s"$root/minor/inserts"))
+    val gen = CdcStream.currentMinor(root).get._1
+    val minIns = state(spark.read.parquet(s"$gen/inserts"))
     assert(minIns == Map(2L -> 999L),
       s"consolidated inserts carry only the surviving upsert: $minIns")
+    assert(state(CdcStream.morMinorRead(spark, base, root)) == want(2L))
+    // SECOND fold: g1 absorbs g0 + batch 2 — repeated generations must
+    // preserve the head state and retire the prior generation
+    val upto2 = CdcStream.morMinorCompact(spark, root, foldK = 2)
+    assert(upto2 == 2L)
+    assert(CdcStream.currentMinor(root).get._1.endsWith("minor-g1"))
+    assert(!Files.exists(Paths.get(gen)), "g0 must be retired")
     assert(state(CdcStream.morMinorRead(spark, base, root)) == want(2L))
   }
 

@@ -317,23 +317,25 @@ class CrashRecoverySpec extends SparkSpec {
     (base, morRoot)
   }
 
-  test("MOR minor compaction crash BEFORE the manifest commit: staging " +
-      "is invisible, readers stay on the originals, the re-run folds") {
+  test("MOR minor compaction crash BEFORE the pointer swap: the " +
+      "unreferenced generation is invisible, readers stay on the " +
+      "originals, the re-run collects it and folds") {
     import graft.streaming.CdcStream
     val (base, morRoot) = morLayout("graft-crash-minor-a")
     val want = batchMergeWant()
     intercept[RuntimeException] {
       CdcStream.morMinorCompact(spark, morRoot, 3, crashAfter = "staged")
     }
-    assert(Files.exists(Paths.get(morRoot, "minor-staging", "UPTO")),
-      "the crash must land AFTER staging was fully written")
-    assert(!Files.exists(Paths.get(morRoot, "minor")),
-      "nothing may be committed before the rename")
+    assert(Files.exists(Paths.get(morRoot, "minor-g0", "UPTO")),
+      "the crash must land AFTER the generation dir was fully written")
+    assert(!Files.exists(Paths.get(morRoot, "MINOR_CURRENT")),
+      "nothing may be committed before the pointer swap")
     assert(morState(base, morRoot) == want,
       "pre-commit crash must leave readers on the original sidecars")
     val upto = CdcStream.morMinorCompact(spark, morRoot, 3)
     assert(upto == 2L, s"folded high-water $upto")
     assert(!Files.exists(Paths.get(morRoot, "minor-staging")))
+    assert(Files.exists(Paths.get(morRoot, "MINOR_CURRENT")))
     assert(!Files.exists(Paths.get(morRoot, "deletes", "batch=0")) &&
       !Files.exists(Paths.get(morRoot, "inserts", "batch=2")),
       "folded batch dirs must be deleted by the completed fold")
@@ -343,25 +345,62 @@ class CrashRecoverySpec extends SparkSpec {
       "the completed fold must preserve the end state")
   }
 
-  test("MOR minor compaction crash AFTER the manifest commit: undeleted " +
-      "folded dirs are dead files, the re-run finishes the deletions") {
+  test("MOR minor compaction crash AFTER the pointer swap: retired " +
+      "leftovers are dead files, the next call sweeps them and keeps " +
+      "folding") {
     import graft.streaming.CdcStream
     val (base, morRoot) = morLayout("graft-crash-minor-b")
     val want = batchMergeWant()
     intercept[RuntimeException] {
       CdcStream.morMinorCompact(spark, morRoot, 3, crashAfter = "committed")
     }
-    assert(Files.exists(Paths.get(morRoot, "minor", "UPTO")),
-      "the crash must land AFTER the rename committed")
+    assert(Files.exists(Paths.get(morRoot, "MINOR_CURRENT")),
+      "the crash must land AFTER the pointer swap committed")
     assert(Files.exists(Paths.get(morRoot, "deletes", "batch=0")),
       "the crash must land BEFORE the folded dirs were deleted")
     assert(morState(base, morRoot) == want,
-      "post-commit readers filter batch > upto — leftover folded dirs " +
-        "must not double-count")
+      "post-commit readers resolve through the pointer — leftover " +
+        "folded dirs must not double-count")
+    // the next call sweeps the leftovers and folds the remaining live
+    // batch into generation g1 — repeated folds are the normal path
     val upto = CdcStream.morMinorCompact(spark, morRoot, 3)
-    assert(upto == 2L)
+    assert(upto == 3L, s"second fold high-water $upto")
     assert(!Files.exists(Paths.get(morRoot, "deletes", "batch=0")),
-      "the idempotent re-run must finish the deletions")
+      "the entry sweep must finish the crashed fold's deletions")
+    assert(!Files.exists(Paths.get(morRoot, "minor-g0")),
+      "the retired generation must be collected")
+    assert(Files.exists(Paths.get(morRoot, "minor-g1", "UPTO")))
     assert(morState(base, morRoot) == want)
+  }
+
+  test("auto-compacting streamed MOR apply survives a crash landing " +
+      "right after a fold: the replayed batch's re-written sidecars " +
+      "are dead files behind the pointer") {
+    import graft.streaming.CdcStream
+    val (staged, base) = stageCdcFixture("graft-crash-mor-auto")
+    val morRoot = Files.createTempDirectory("graft-crash-auto-root").toString
+    val ckptDir = Files.createTempDirectory("graft-crash-auto-ckpt").toString
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // crash in batch 3, AFTER its sidecar append and the second fold
+    // (maxLive=1 folds at batches 1 and 3) but before its commit: the
+    // restart replays batch 3, re-writing batch=3 dirs that g1 already
+    // absorbed — readers resolve through the pointer and must not
+    // double-count them
+    intercept[StreamingQueryException] {
+      withShufflePartitions(4) {
+        CdcStream.runMorApplyAutoCompact(spark, staged, morRoot,
+          ckptDir, maxLive = 1, crashAt = 3L, crashed = crashed)
+      }
+    }
+    assert(!Files.exists(Paths.get(ckptDir, "commits", "3")))
+    assert(Files.exists(Paths.get(morRoot, "minor-g1", "UPTO")),
+      "the crash must land AFTER the second fold committed")
+    withShufflePartitions(4) {
+      CdcStream.runMorApplyAutoCompact(spark, staged, morRoot,
+        ckptDir, maxLive = 1, crashAt = 3L, crashed = crashed)
+    }
+    val want = batchMergeWant()
+    assert(morState(base, morRoot) == want,
+      s"recovered auto-compacted state != batch MERGE $want")
   }
 }
