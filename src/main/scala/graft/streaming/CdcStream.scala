@@ -836,14 +836,37 @@ object CdcStream {
     // consolidated inserts: rows that survive STRICTLY-newer deletes
     // inside the folded range (prior-gen deletes read at curUpto, so
     // they never re-mask the prior gen's own survivors)
+    // consolidated sides are hash-bucketed like the BASE (per-batch
+    // sidecars are |batch|-sized and stay single-file, but a
+    // consolidated sidecar grows with table churn — at 100 TB a
+    // coalesce(1) here would be a single-task write, and bucketing
+    // keeps the read-side anti-join co-located per bucket)
     rows.join(batchDels.withColumnRenamed("o_orderkey", "dk"),
         col("o_orderkey") === col("dk") && col("dseq") > col("seq"),
         "left_anti")
       .select(col("o_orderkey"), col("cents"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/inserts")
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$staging/inserts")
     // consolidated deletes: every folded delete key (still masks base)
-    allDelKeys.coalesce(1).write.mode("overwrite")
+    allDelKeys
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+      .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$staging/deletes")
+    // a side whose consolidated relation is EMPTY gets no part files
+    // from partitionBy — materialize the emptiness (one zero-row
+    // footer) so readers never hit a schema-less directory
+    Seq("inserts" -> StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("cents", LongType))),
+      "deletes" -> StructType(Seq(StructField("o_orderkey", LongType))))
+      .foreach { case (side, schema) =>
+        val dir = java.nio.file.Paths.get(s"$staging/$side")
+        val hasPart = java.nio.file.Files.walk(dir)
+          .anyMatch(p => p.toString.endsWith(".parquet"))
+        if (!hasPart)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+            .write.mode("overwrite").parquet(dir.toString)
+      }
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$staging/UPTO"),
       upto.toString.getBytes)
     val nextGen = s"minor-g${curGenIdx + 1}"
