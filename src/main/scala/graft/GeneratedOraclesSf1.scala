@@ -17,15 +17,11 @@ package graft
   * keeps the artifact dependency-free to load. The sf1 tier itself is
   * a DETERMINISTIC pure-SQL derivation of the driver's sf0.1 parquet
   * (`tools/make_sf1.py` — no randomness), so the pins stay valid
-  * across tier regenerations.
+  * across tier regenerations. Verify keys the overlay off the tier's
+  * explicit `_GRAFT_TIER` marker file (written by the generator),
+  * never off a coincidental row count.
   */
 object GeneratedOraclesSf1 {
-
-  /** The sf1 tier's exact embeddings cardinality — the tier fingerprint
-    * Verify keys the overlay off (sf0.001/sf0.01 carry 500, sf0.1
-    * carries 2000; ten key-shifted copies of sf0.1 give 20000).
-    */
-  val EmbeddingRows = 20000L
 
   lazy val sql: Map[String, String] = {
     val in = getClass.getResourceAsStream("/sf1_pins.tsv.gz")

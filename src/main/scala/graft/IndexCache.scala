@@ -204,6 +204,17 @@ object IndexCache {
     "semdedup-cents" -> ("k x dim SemDeDup centroid doubles", 1000000L),
     "anchor-flat" -> ("~AnchorTarget x dim anchor-panel doubles " +
       "(count-derived stride, corpus-independent)", 1000000L),
+    // ORACLE-BASELINE EXEMPTION — the ONE deliberately
+    // corpus-proportional artifact: the exact near-dup yardstick's
+    // whole-corpus flat matrix (n x dim doubles + n ids), envelope-
+    // identical to the BroadcastExchange a broadcast-NLJ would stage.
+    // Every scale consumer is cutover-gated to the LSH leg
+    // (DbscanExactMaxRows; the LSH twin rows); the bound is sized to
+    // the sf10 audit tier (200k x 64 ≈ 13M leaves) so running the
+    // O(n²) baseline past the measured tiers trips the audit instead
+    // of silently ballooning the driver.
+    "neardup-oracle-corpus" -> ("whole-corpus n x dim flat matrix " +
+      "(oracle-baseline exemption, cutover-gated consumers)", 32000000L),
     "opq" -> ("rotation dim^2 + codebook doubles", 2000000L),
     "opq-ckpt" -> ("rotation + codebook doubles", 2000000L),
     "opq-rot" -> ("dim x dim rotation doubles", 1000000L),

@@ -831,6 +831,13 @@ object SparkEntry {
     // physical strategies implement identical as-of semantics
     "orders_mor_timetravel" ->
       ((s, d) => streaming.CdcStream.morTimeTravelSummary(s, d)),
+    // TIME TRAVEL through a MINOR-COMPACTED layout: every RETAINED
+    // boundary (>= the fold high-water) resolves off the folded chain
+    // — consolidated generation + live sidecar prefix — exactly as the
+    // pristine chain served it: the as-of guarantee that must survive
+    // compaction
+    "orders_mor_timetravel_folded" ->
+      ((s, d) => streaming.CdcStream.morFoldedTimeTravelSummary(s, d)),
     // MOR MINOR compaction: fold the 3 oldest sidecar batches into one
     // consolidated pair (manifest-committed, base untouched) — the
     // read-side fan-in drops 8 -> 4 while the end state hash-matches
@@ -5574,6 +5581,32 @@ object SparkEntry {
     // same state as the copy-on-write chain — one oracle, two physical
     // strategies under the same gate
     "orders_mor_timetravel" -> timeTravelSql,
+    // time travel THROUGH the minor fold: the retained boundaries
+    // (v >= 2, the foldK=3 high-water over the 4-chunk chain) must
+    // read back off the folded layout exactly as the pristine chain
+    // serves them — the same boundary reconstruction restricted to
+    // the retained window; fold_upto pins the fold horizon
+    "orders_mor_timetravel_folded" -> """
+      WITH vs AS (SELECT range AS v FROM range(2, 4)),
+      base AS (SELECT o_orderkey AS k,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders),
+      st AS (
+        SELECT vs.v,
+               CASE WHEN b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v
+                 THEN (b.c * 11) // 10 ELSE b.c END AS c
+        FROM vs, base b
+        WHERE NOT (b.k % 700 = 0 AND b.k % 500 <> 0
+                   AND ((b.k // 500) % 4) <= vs.v)
+        UNION ALL
+        SELECT vs.v, (b.c * 11) // 10 AS c
+        FROM vs, base b
+        WHERE b.k % 500 = 0 AND ((b.k // 500) % 4) <= vs.v)
+      SELECT CAST(v AS BIGINT) AS version,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(c) AS BIGINT) AS total_cents,
+             CAST(2 AS BIGINT) AS fold_upto
+      FROM st GROUP BY 1""",
     // retention: the horizon boundary (v=1, served by the folded base
     // alone) and every live version above it must read back exactly as
     // the unexpired chain would serve them; the expired count (v0, v1)

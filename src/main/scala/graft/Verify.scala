@@ -45,15 +45,20 @@ object Verify {
       case c => c.toString
     } + "\""
     // tier-aware overlay: generated-literal pins bind the tier they
-    // were generated at — when the input is the 10x sf1 tier (detected
-    // by its exact embeddings cardinality) the sf1 pin set replaces
-    // the sf0.01 pins, so the same hash gate replays those rows at 10x
-    val nEmb =
-      try spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-      catch { case _: Throwable => 0L }
+    // were generated at — when the input is the 10x sf1 tier the sf1
+    // pin set replaces the sf0.01 pins, so the same hash gate replays
+    // those rows at 10x. The tier is named by the explicit _GRAFT_TIER
+    // marker tools/make_sf1.py writes into every derived tier (r12
+    // advice: the former exact-row-count trigger could fire on a
+    // coincidental dataset and silently swap the oracle set, and its
+    // catch-all read hid genuine errors). Driver-generated sf dirs
+    // carry no marker and get the sf0.01-generation oracles unchanged.
+    val tierMarker = Paths.get(s"$sfDir/_GRAFT_TIER")
+    val tier =
+      if (Files.exists(tierMarker)) Files.readString(tierMarker).trim
+      else ""
     val oracles =
-      if (nEmb == GeneratedOraclesSf1.EmbeddingRows)
-        SparkEntry.oracleSql ++ GeneratedOraclesSf1.sql
+      if (tier == "sf1") SparkEntry.oracleSql ++ GeneratedOraclesSf1.sql
       else SparkEntry.oracleSql
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

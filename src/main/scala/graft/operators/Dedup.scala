@@ -896,13 +896,28 @@ object Dedup {
     * finish as `round(greatest(dot, 0), 6)` — DedupSpec pins pair-set
     * AND sim bit-equality against the expression twin
     * ([[embeddingNearDupExactNlj]]).
+    *
+    * The whole-corpus flat matrix is DELIBERATELY corpus-proportional
+    * (it IS the broadcast envelope a `broadcast(b)` NLJ would stage
+    * through the driver) — the one registered oracle-baseline
+    * exemption in [[graft.IndexCache.driverArtifactBounds]]. Routing
+    * it through IndexCache (keyed by the corpus plan's semantic hash)
+    * makes the collect VISIBLE to BoundAuditSweepSpec and caps it at
+    * the audited-tier envelope, so running the O(n²) yardstick past
+    * the tiers it exists for trips the audit instead of silently
+    * ballooning the driver (r12 verdict #2: every scale consumer is
+    * cutover-gated to the LSH leg; this baseline serves DedupSpec,
+    * the sub-cutover dbscan leg, and the DuckDB oracle replay).
     */
   def embeddingNearDupExactNormalized(n: DataFrame,
       threshold: Double): DataFrame = {
     val spark = n.sparkSession
     import spark.implicits._
     val rows = n.select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
-    val (ids, flat, _) = collectFlat(n)
+    val (ids, flat, _) = graft.IndexCache.getOrBuild(spark,
+        s"neardup-oracle-corpus:${n.queryExecution.analyzed.semanticHash()}") {
+      collectFlat(n)
+    }
     val bc = spark.sparkContext.broadcast((ids, flat))
     // rounding moves a value by <= 5e-7, so anything below this guard
     // cannot reach `threshold` after rounding — the exact filter runs

@@ -435,26 +435,26 @@ object CdcStream {
     * (per bucket, newest keeper <= v, new-base fallback); history
     * below it is deliberately gone — that is what retention means.
     * Crash-safe like compactState: the new base commits to its own
-    * directory before any deletion, and a re-run re-derives the same
-    * fold. Returns (newBaseDir, expired version ids ascending).
+    * directory before any deletion, and the COMPLETED new-base write
+    * (its parquet `_SUCCESS`) is the commit point — a re-run after a
+    * crash mid-deletion skips the rebuild (the fold's inputs may be
+    * partially deleted by then) and only resumes the deletion sweep.
+    * Returns (newBaseDir, expired version ids ascending).
     */
   private[graft] def expireSnapshots(spark: SparkSession, stateRoot: String,
       baseDir: String, keepFrom: Long): (String, Seq[Long]) = {
     val newBase = s"$stateRoot/expired-base-v=${keepFrom - 1}"
-    stateAt(spark, stateRoot, baseDir, 0 until NStateBuckets, keepFrom)
-      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
-      .write.partitionBy("bucket").mode("overwrite").parquet(newBase)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$newBase/_SUCCESS")))
+      stateAt(spark, stateRoot, baseDir, 0 until NStateBuckets, keepFrom)
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+        .write.partitionBy("bucket").mode("overwrite").parquet(newBase)
     val expired = Option(new java.io.File(stateRoot).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v="))
       .map(_.getName.stripPrefix("v=").toLong).filter(_ < keepFrom)
       .sorted.toSeq
-    expired.foreach(v => {
-      val p = java.nio.file.Paths.get(s"$stateRoot/v=$v")
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-    })
+    expired.foreach(v => rmTree(s"$stateRoot/v=$v"))
     (newBase, expired)
   }
 
@@ -730,6 +730,17 @@ object CdcStream {
       .filter(f => f.isDirectory && f.getName.startsWith("batch="))
       .map(_.getName.stripPrefix("batch=").toLong).sorted.toSeq
 
+  /** Run `f` over a closed-on-exit Files.walk stream — every walk in
+    * this object rides through here (an unclosed walk holds directory
+    * handles until GC, and the staging/compaction paths run repeatedly
+    * in long-lived bench JVMs).
+    */
+  private def walking[T](p: java.nio.file.Path)(
+      f: java.util.stream.Stream[java.nio.file.Path] => T): T = {
+    val s = java.nio.file.Files.walk(p)
+    try f(s) finally s.close()
+  }
+
   /** Recursive file copy of a sidecar layout — the minor-compaction
     * row folds a COPY so the memoized chain stays pristine for the
     * time-travel row.
@@ -737,21 +748,20 @@ object CdcStream {
   private def copyTree(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
+    walking(s)(_.forEach { p =>
       val t = d.resolve(s.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    })
   }
 
   private def rmTree(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
+      walking(p)(_.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f)))
   }
 
   /** The current minor-compaction GENERATION, resolved through the
@@ -771,6 +781,14 @@ object CdcStream {
       Some((dir, upto))
     }
   }
+
+  /** Generation index of a `minor-g<k>` directory, parsed from its
+    * BASENAME (the name stored in the pointer) — never from the full
+    * path, which misparses when a caller-supplied morRoot itself
+    * contains the substring "minor-g" (r12 advice).
+    */
+  private def genIndex(genDir: String): Long =
+    new java.io.File(genDir).getName.stripPrefix("minor-g").toLong
 
   /** MINOR compaction, REPEATABLE: fold the `foldK` OLDEST live
     * sidecar batches — absorbing the previous minor generation, if
@@ -798,7 +816,7 @@ object CdcStream {
     val staging = s"$morRoot/minor-staging"
     val cur = currentMinor(morRoot)
     val curUpto = cur.map(_._2).getOrElse(-1L)
-    val curGenIdx = cur.map(_._1.split("minor-g").last.toLong).getOrElse(-1L)
+    val curGenIdx = cur.map(c => genIndex(c._1)).getOrElse(-1L)
     // entry sweep: garbage from crashed attempts — partial staging,
     // unreferenced generation dirs, folded batch dirs the pointer has
     // already moved past
@@ -861,8 +879,8 @@ object CdcStream {
       "deletes" -> StructType(Seq(StructField("o_orderkey", LongType))))
       .foreach { case (side, schema) =>
         val dir = java.nio.file.Paths.get(s"$staging/$side")
-        val hasPart = java.nio.file.Files.walk(dir)
-          .anyMatch(p => p.toString.endsWith(".parquet"))
+        val hasPart =
+          walking(dir)(_.anyMatch(p => p.toString.endsWith(".parquet")))
         if (!hasPart)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
             .write.mode("overwrite").parquet(dir.toString)
@@ -894,21 +912,29 @@ object CdcStream {
     upto
   }
 
-  /** MOR resolution over a possibly-minor-compacted layout: if the
-    * `MINOR_CURRENT` pointer exists, rows = base(-1) ∪ consolidated
-    * inserts(seq upto) ∪ remaining inserts(batch > upto), masked by
-    * consolidated deletes(seq upto) ∪ remaining deletes — readers
-    * ALWAYS resolve through the pointer and filter `batch > upto`,
-    * which is what makes the post-commit crash window safe (retired
-    * generations and undeleted folded dirs are dead files). Without
-    * the pointer this is [[morResolveAsOf]] at HEAD.
+  /** MOR resolution over a possibly-minor-compacted layout, as of
+    * batch `asOf` (default HEAD): if the `MINOR_CURRENT` pointer
+    * exists, rows = base(-1) ∪ consolidated inserts(seq upto) ∪
+    * remaining inserts(upto < batch <= asOf), masked by consolidated
+    * deletes(seq upto) ∪ remaining deletes in the same window —
+    * readers ALWAYS resolve through the pointer and filter
+    * `batch > upto`, which is what makes the post-commit crash window
+    * safe (retired generations and undeleted folded dirs are dead
+    * files). Boundaries BELOW the fold high-water are no longer
+    * servable (the fold pre-applied their internal masking — the same
+    * contract as snapshot expiry's horizon), so `asOf < upto` throws
+    * rather than silently answering from the wrong state. Without the
+    * pointer this is [[morResolveAsOf]].
     */
   private[graft] def morMinorRead(spark: SparkSession, baseDir: String,
-      morRoot: String): DataFrame = {
+      morRoot: String, asOf: Long = Long.MaxValue): DataFrame = {
     val cur = currentMinor(morRoot)
     if (cur.isEmpty)
-      return morResolveAsOf(spark, baseDir, morRoot, Long.MaxValue)
+      return morResolveAsOf(spark, baseDir, morRoot, asOf)
     val (minorDir, upto) = cur.get
+    require(asOf >= upto,
+      s"as-of $asOf predates the minor-fold high-water $upto — " +
+        "folded boundaries are not retained")
     val base = spark.read.parquet(baseDir)
       .select(col("o_orderkey"), col("cents"), lit(-1L).as("seq"))
     val minIns = spark.read.parquet(s"$minorDir/inserts")
@@ -916,9 +942,9 @@ object CdcStream {
     val minDels = spark.read.parquet(s"$minorDir/deletes")
       .select(col("o_orderkey").as("dk"), lit(upto).as("dseq"))
     def remaining(side: String, f: DataFrame => DataFrame): Option[DataFrame] =
-      if (batchIds(s"$morRoot/$side").exists(_ > upto))
+      if (batchIds(s"$morRoot/$side").exists(b => b > upto && b <= asOf))
         Some(f(spark.read.parquet(s"$morRoot/$side")
-          .filter(col("batch") > upto)))
+          .filter(col("batch") > upto && col("batch") <= asOf)))
       else None
     val rows = Seq(Some(base), Some(minIns),
       remaining("inserts", d => d.select(col("o_orderkey"), col("cents"),
@@ -946,7 +972,22 @@ object CdcStream {
     * total_cents).
     */
   def morMinorCompactedSummary(spark: SparkSession, dir: String): DataFrame = {
-    val (base, root, nBefore, nAfter) = graft.IndexCache.getOrBuild(spark,
+    val (base, root, nBefore, nAfter, _) = morMinorLayout(spark, dir)
+    morMinorRead(spark, base, root)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .select(col("n_rows"), lit(nBefore).as("n_sidecars_before"),
+        lit(nAfter).as("n_sidecars_after"), col("total_cents"))
+  }
+
+  /** The minor-compacted COPY of the deterministic MOR chain — one
+    * fold of the 3 oldest sidecar batches, memoized per dataset and
+    * shared by the minor-compaction row and the folded time-travel
+    * row (charged to `bench_build_cdc_stage`). Returns (baseDir,
+    * foldedRoot, sidecarsBefore, sidecarsAfter, foldHighWater).
+    */
+  private def morMinorLayout(spark: SparkSession,
+      dir: String): (String, String, Long, Long, Long) =
+    graft.IndexCache.getOrBuild(spark,
         s"orders-mor-minor:$dir:$NLogChunks") {
       val (baseDir, chainRoot) = morChainDirs(spark, dir)
       val root = EventStream.cleanupOnExit(
@@ -957,12 +998,33 @@ object CdcStream {
       val upto = morMinorCompact(spark, root, foldK = 3)
       val after = Seq("deletes", "inserts")
         .map(s => batchIds(s"$root/$s").count(_ > upto)).sum + 2
-      (baseDir, root, before.toLong, after.toLong)
+      (baseDir, root, before.toLong, after.toLong, upto)
     }
-    morMinorRead(spark, base, root)
-      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
-      .select(col("n_rows"), lit(nBefore).as("n_sidecars_before"),
-        lit(nAfter).as("n_sidecars_after"), col("total_cents"))
+
+  /** The declared FOLDED MOR TIME-TRAVEL row
+    * (`orders_mor_timetravel_folded`): read every RETAINED version
+    * boundary (>= the fold high-water) THROUGH the minor-compacted
+    * layout — base ∪ consolidated generation ∪ the still-live sidecar
+    * prefix <= v — the as-of guarantee users actually rely on after a
+    * compaction has folded part of the chain. Hash-matches the same
+    * relational boundary reconstruction as the pristine-chain
+    * time-travel row restricted to the retained window: the fold
+    * changed the physical layout, not one answer a reader is still
+    * entitled to. (`orders_mor_timetravel` keeps covering the
+    * pristine chain; boundaries BELOW the high-water are gone by
+    * design — the retention contract, spec-pinned by CdcCompactSpec.)
+    * Output: (version, n_rows, total_cents, fold_upto) x
+    * (NLogChunks - fold_upto).
+    */
+  def morFoldedTimeTravelSummary(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (base, root, _, _, upto) = morMinorLayout(spark, dir)
+    (upto until NLogChunks).map { v =>
+      morMinorRead(spark, base, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+        .select(lit(v).as("version"), col("n_rows"), col("total_cents"),
+          lit(upto).as("fold_upto"))
+    }.reduce(_ unionByName _)
   }
 
   /** Drive the STREAMING merge-on-read apply: tail `stagedDir` one
@@ -1034,21 +1096,39 @@ object CdcStream {
     morStreamedSummary(spark, base, morRoot)
   }
 
+  /** Total on-disk bytes of the LIVE (unfolded) sidecar batches — the
+    * size half of the auto-compaction policy. Driver-side metadata
+    * walk, O(live files): the live set is what the policy bounds, so
+    * the walk can never grow past maxLive batches' worth of files.
+    */
+  private[graft] def liveSidecarBytes(morRoot: String, curUpto: Long): Long =
+    Seq("deletes", "inserts").map { side =>
+      batchIds(s"$morRoot/$side").filter(_ > curUpto).map { b =>
+        walking(java.nio.file.Paths.get(s"$morRoot/$side/batch=$b"))(
+          _.filter(p => java.nio.file.Files.isRegularFile(p))
+            .mapToLong(p => java.nio.file.Files.size(p)).sum)
+      }.sum
+    }.sum
+
   /** Drive the streamed MOR apply WITH AUTO minor compaction: each
     * micro-batch appends its |batch|-row sidecars, then — whenever the
-    * live (unfolded) batch count exceeds `maxLive` — folds all live
-    * batches into the next minor generation via [[morMinorCompact]].
-    * This is the loop a production MOR table actually runs: sidecar
-    * fan-in stays <= maxLive + 2 consolidated files FOREVER, however
-    * long the stream lives, while every write stays O(changes). Crash
-    * discipline composes from the parts: a replayed batch overwrites
-    * its own `batch=<id>` dirs (dead files if a fold already absorbed
-    * that id — readers resolve through the pointer and filter
-    * `batch > upto`), and the fold itself commits via the atomic
-    * pointer swap. Exposed for the crash spec.
+    * live (unfolded) batch count exceeds `maxLive` OR the live
+    * batches' total file size exceeds `maxLiveBytes` (production folds
+    * trigger on bytes as well as counts: one huge batch costs readers
+    * what many small ones do) — folds all live batches into the next
+    * minor generation via [[morMinorCompact]]. This is the loop a
+    * production MOR table actually runs: sidecar fan-in stays <=
+    * maxLive + 2 consolidated files FOREVER, however long the stream
+    * lives, while every write stays O(changes). Crash discipline
+    * composes from the parts: a replayed batch overwrites its own
+    * `batch=<id>` dirs (dead files if a fold already absorbed that id
+    * — readers resolve through the pointer and filter `batch > upto`),
+    * and the fold itself commits via the atomic pointer swap. Exposed
+    * for the crash spec; both triggers share the one fold path.
     */
   private[graft] def runMorApplyAutoCompact(spark: SparkSession,
       stagedDir: String, morRoot: String, ckpt: String, maxLive: Int = 1,
+      maxLiveBytes: Long = Long.MaxValue,
       crashAt: Long = -1L,
       crashed: java.util.concurrent.atomic.AtomicBoolean = null): Unit = {
     val q = spark.readStream.schema(logSchema)
@@ -1069,7 +1149,8 @@ object CdcStream {
         val live = batchIds(s"$morRoot/deletes")
           .union(batchIds(s"$morRoot/inserts"))
           .distinct.count(_ > curUpto)
-        if (live > maxLive)
+        if (live > maxLive
+            || (live > 0 && liveSidecarBytes(morRoot, curUpto) > maxLiveBytes))
           morMinorCompact(spark, morRoot, foldK = live)
         if (crashAt >= 0 && id >= crashAt
             && crashed.compareAndSet(false, true))
@@ -1103,7 +1184,7 @@ object CdcStream {
         EventStream.ckptDir("graft-ckpt-mor-auto"), maxLive = 1)
     }
     val (genDir, upto) = currentMinor(morRoot).getOrElse(("minor-g-1", -1L))
-    val nFolds = genDir.split("minor-g").last.toLong + 1
+    val nFolds = genIndex(genDir) + 1
     val nLive = batchIds(s"$morRoot/deletes")
       .union(batchIds(s"$morRoot/inserts")).distinct.count(_ > upto).toLong
     morMinorRead(spark, base, morRoot)

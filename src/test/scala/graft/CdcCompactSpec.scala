@@ -188,6 +188,119 @@ class CdcCompactSpec extends SparkSpec {
     assert(state(CdcStream.morMinorRead(spark, base, root)) == want(2L))
   }
 
+  test("folded time travel: retained boundaries resolve through the minor " +
+      "generation, the fold horizon is enforced, and reads racing the " +
+      "pointer swap are safe on both sides of the commit") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema2 = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("cents", LongType)))
+    val schema1 = StructType(Seq(StructField("o_orderkey", LongType)))
+    def write(rows: Seq[Row], schema: StructType, path: String): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    val base = Files.createTempDirectory("graft-ftt-base").toString
+    write((1L to 6L).map(k => Row(k, 10L * k)), schema2, base)
+    val root = Files.createTempDirectory("graft-ftt-mor").toString
+    write(Seq(Row(100L, 1L)), schema2, s"$root/inserts/batch=0")
+    write(Seq(Row(1L)), schema1, s"$root/deletes/batch=0")
+    write(Seq(Row(2L, 999L)), schema2, s"$root/inserts/batch=1")
+    write(Seq(Row(100L), Row(2L)), schema1, s"$root/deletes/batch=1")
+    write(Seq(Row(200L, 7L)), schema2, s"$root/inserts/batch=2")
+    write(Seq.empty[Row], schema1, s"$root/deletes/batch=2")
+    def state(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseState = (1L to 6L).map(k => k -> 10L * k).toMap
+    val want = Map(
+      0L -> (baseState - 1L + (100L -> 1L)),
+      1L -> (baseState - 1L - 2L + (2L -> 999L)),
+      2L -> (baseState - 1L - 2L + (2L -> 999L) + (200L -> 7L)))
+
+    // crash BEFORE the pointer swap: the staged generation exists but
+    // is unreferenced — a racing reader resolves the PRISTINE chain at
+    // every boundary (the uncommitted fold is invisible)
+    intercept[RuntimeException] {
+      CdcStream.morMinorCompact(spark, root, foldK = 2,
+        crashAfter = "staged")
+    }
+    assert(CdcStream.currentMinor(root).isEmpty, "uncommitted fold leaked")
+    (0L to 2L).foreach { v =>
+      assert(state(CdcStream.morMinorRead(spark, base, root, v)) == want(v),
+        s"pre-commit racing read at v=$v")
+    }
+
+    // recovery fold commits (entry sweep collects the crashed gen):
+    // retained boundaries >= upto resolve THROUGH the generation
+    // exactly as the pristine chain served them; below it throws
+    val upto = CdcStream.morMinorCompact(spark, root, foldK = 2)
+    assert(upto == 1L)
+    (1L to 2L).foreach { v =>
+      assert(state(CdcStream.morMinorRead(spark, base, root, v)) == want(v),
+        s"folded as-of v=$v")
+    }
+    intercept[IllegalArgumentException] {
+      CdcStream.morMinorRead(spark, base, root, 0L)
+    }
+
+    // crash AFTER the pointer swap of a SECOND fold: the commit is the
+    // swap, so a racing reader already resolves the new generation —
+    // the retired g0 dir and folded batch dirs still on disk are dead
+    // files it must ignore
+    intercept[RuntimeException] {
+      CdcStream.morMinorCompact(spark, root, foldK = 1,
+        crashAfter = "committed")
+    }
+    assert(CdcStream.currentMinor(root).get._2 == 2L)
+    assert(state(CdcStream.morMinorRead(spark, base, root, 2L)) == want(2L),
+      "post-commit racing read")
+    intercept[IllegalArgumentException] {
+      CdcStream.morMinorRead(spark, base, root, 1L)
+    }
+  }
+
+  test("auto-compaction triggers on live sidecar BYTES where the count " +
+      "policy alone would not, through the same fold path") {
+    val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
+      .localCheckpoint(true)
+    val staged = Files.createTempDirectory("graft-szt-src")
+    val t0 = System.currentTimeMillis() - 60000L
+    (0 until 4).foreach { i =>
+      stageChunk(log.filter(pmod(col("o_orderkey"), lit(4)) === i),
+        staged, s"c$i.parquet", t0 + i * 10000L)
+    }
+    // control: count-only policy with a huge threshold — never folds
+    val rootCount = Files.createTempDirectory("graft-szt-cnt").toString
+    CdcStream.runMorApplyAutoCompact(spark, staged.toString, rootCount,
+      Files.createTempDirectory("graft-szt-ck1").toString, maxLive = 100)
+    assert(CdcStream.currentMinor(rootCount).isEmpty,
+      "count policy must not fire at maxLive=100")
+    // size policy: 1-byte budget — every non-empty live set exceeds it,
+    // so each micro-batch folds (count threshold still never reached)
+    val rootSize = Files.createTempDirectory("graft-szt-sz").toString
+    CdcStream.runMorApplyAutoCompact(spark, staged.toString, rootSize,
+      Files.createTempDirectory("graft-szt-ck2").toString, maxLive = 100,
+      maxLiveBytes = 1L)
+    val (gen, upto) = CdcStream.currentMinor(rootSize).getOrElse(
+      fail("size policy never folded"))
+    assert(gen.endsWith("minor-g3") && upto == 3L,
+      s"expected a fold per batch (g3, upto 3), got ($gen, $upto)")
+    assert(CdcStream.liveSidecarBytes(rootSize, upto) == 0L)
+    // both policies converge to the identical end state
+    val nB = CdcStream.NStateBuckets
+    val base = Files.createTempDirectory("graft-szt-base").toString
+    Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        pmod(col("o_orderkey"), lit(nB)).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(base)
+    def state(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unfolded = state(CdcStream.morMinorRead(spark, base, rootCount))
+    val folded = state(CdcStream.morMinorRead(spark, base, rootSize))
+    assert(folded == unfolded && folded.nonEmpty)
+  }
+
   test("IVM view state is O(groups) per version and survives a mid-flight " +
       "crash: replay converges to the from-scratch re-aggregation") {
     val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)

@@ -19,7 +19,17 @@ not artifacts of replication:
   - event timestamps stay put: |days| is constant, volume/day is 10x,
     matching how a real deployment scales.
 
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir]
+An optional third argument scales the copy count (default 10): 100
+derives the sf10 spot tier the SCALE100 protocol measures — all key
+strides already clear 100 copies (max source key x stride headroom),
+and every distribution-preserving property below is per-copy, so it
+holds at any copy count.
+
+Each derived tier gets a `_GRAFT_TIER` marker file naming it —
+`graft.Verify` keys its literal-pin overlay off that marker instead of
+a coincidental row count (r12 advice).
+
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies]
 """
 import sys
 
@@ -28,7 +38,7 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 
-COPIES = 10
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 VOWELS = "aeiou"
 
 con = duckdb.connect()
@@ -116,4 +126,8 @@ emit("embeddings", f"""
          label
   FROM {src('embeddings')} CROSS JOIN copies""")
 
-print("done")
+# tier marker: sf0.1 x copies/10 (10 -> sf1, 100 -> sf10)
+tier = f"sf{COPIES / 10:g}"
+with open(f"{DST}/_GRAFT_TIER", "w") as f:
+    f.write(tier + "\n")
+print(f"done ({tier})")
