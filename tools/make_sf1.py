@@ -40,6 +40,17 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 VOWELS = "aeiou"
+# Second text-transform dimension for tiers PAST 10 copies: the vowel
+# rotation alone cycles mod 5, so at 100 copies every document would
+# have ~20 byte-identical clones — and the pair-mining relations
+# (containment, MinHash, winnowing) would densify QUADRATICALLY by
+# construction of the tier, not by any property of the data (the first
+# sf10 derivation measured exactly that: a ~190x-dense clone-cluster
+# pair relation). Each DECADE of copies therefore also rotates the
+# consonant alphabet; decade 0 (i < 10) uses consonant rotation 0, so
+# every tier up to 10 copies is BYTE-IDENTICAL to the historical sf1
+# derivation and its generated pins stay valid.
+CONSONANTS = "bcdfghjklmnpqrstvwxz"
 
 con = duckdb.connect()
 con.execute(f"CREATE TEMP TABLE copies AS SELECT unnest(range({COPIES})) AS i")
@@ -61,12 +72,21 @@ def src(table):
 
 
 def rot(expr, i_expr):
-    """Per-copy vowel rotation: copy 0 verbatim."""
+    """Per-copy text transform: vowel rotation by i%5 composed with a
+    consonant rotation by the copy's decade — all COPIES transforms
+    distinct, copy 0 (and any identity composition) verbatim."""
     cases = []
     for i in range(1, COPIES):
-        to = VOWELS[i % 5:] + VOWELS[:i % 5]
+        v = i % 5
+        c = (i // 10) % len(CONSONANTS)
+        frm, to = VOWELS, VOWELS[v:] + VOWELS[:v]
+        if c:
+            frm = frm + CONSONANTS
+            to = to + CONSONANTS[c:] + CONSONANTS[:c]
+        if frm == to:
+            continue  # identity (i=5 in decade 0) -> ELSE branch
         cases.append(f"WHEN {i_expr} = {i} THEN translate({expr}, "
-                     f"'{VOWELS}', '{to}')")
+                     f"'{frm}', '{to}')")
     return f"CASE {' '.join(cases)} ELSE {expr} END"
 
 
@@ -115,13 +135,20 @@ emit("documents", f"""
   FROM {src('documents')} CROSS JOIN copies""")
 
 # vec_id must stay DENSE 0..n-1 (the hybrid-serving pipeline requires
-# it), so copies stack by the source cardinality, not a sparse stride
+# it), so copies stack by the source cardinality, not a sparse stride.
+# The circular shift cycles mod dim (64), so copies past 64 compose it
+# with a coordinate REVERSAL (another orthogonal permutation — within-
+# copy geometry identical, and rev∘shift never equals a pure shift) to
+# keep all 100 sf10 copies free of degenerate exact-dup neighbors;
+# copies below 64 are untouched, so tiers up to sf6.4 are byte-stable.
 n_emb = con.execute(f"SELECT count(*) FROM {src('embeddings')}").fetchone()[0]
 emit("embeddings", f"""
   SELECT vec_id + i * {n_emb} AS vec_id,
          CASE WHEN i = 0 THEN embedding
-              ELSE embedding[(i % len(embedding)) + 1:]
+              WHEN i < 64 THEN embedding[(i % len(embedding)) + 1:]
                    || embedding[1:(i % len(embedding))]
+              ELSE list_reverse(embedding)[(i % len(embedding)) + 1:]
+                   || list_reverse(embedding)[1:(i % len(embedding))]
          END AS embedding,
          label
   FROM {src('embeddings')} CROSS JOIN copies""")
