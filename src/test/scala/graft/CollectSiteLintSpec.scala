@@ -171,7 +171,8 @@ class CollectSiteLintSpec extends AnyFunSuite {
         val t = raw.trim
         val comment = t.startsWith("//") || t.startsWith("*")
         if (!comment && !t.contains("def collectFlat")
-            && (t.contains(".collect()") || t.contains("collectFlat(")))
+            && (t.contains(".collect()") || t.contains("collectFlat(")
+              || t.contains("collectAsList(") || t.contains("toLocalIterator(")))
           found((name, t)) += 1
       }
     }
