@@ -301,6 +301,51 @@ class CdcCompactSpec extends SparkSpec {
     assert(folded == unfolded && folded.nonEmpty)
   }
 
+  test("snapshot expiry re-run resumes at the commit point: the completed " +
+      "new-base write is never rebuilt from a partially-deleted chain") {
+    val (stateRoot, base) = applied()
+    val (newBase, expired) = CdcStream.expireSnapshots(spark, stateRoot,
+      base, keepFrom = 2L)
+    assert(expired.nonEmpty)
+    val success = Paths.get(s"$newBase/_SUCCESS")
+    assert(Files.exists(success), "parquet commit marker missing")
+    val mtime = Files.getLastModifiedTime(success)
+    // simulate the crash-mid-deletion re-run: versions below the
+    // horizon are already gone, so a rebuild would derive a DIFFERENT
+    // (wrong) base — the re-run must skip it and only resume the sweep
+    val (newBase2, expired2) = CdcStream.expireSnapshots(spark, stateRoot,
+      base, keepFrom = 2L)
+    assert(newBase2 == newBase)
+    assert(expired2.isEmpty, "nothing left to delete on resume")
+    assert(Files.getLastModifiedTime(success) == mtime,
+      "re-run rewrote the committed new base")
+  }
+
+  test("generation index parses from the pointer basename even when the " +
+      "morRoot path itself contains the substring 'minor-g'") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema2 = StructType(Seq(StructField("o_orderkey", LongType),
+      StructField("cents", LongType)))
+    val schema1 = StructType(Seq(StructField("o_orderkey", LongType)))
+    def write(rows: Seq[Row], schema: StructType, path: String): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    // the r12-advice trap: a caller-supplied root whose PATH contains
+    // the generation prefix (split-on-substring parsing misread this)
+    val root = Files.createTempDirectory("graft-minor-g7-trap").toString
+    write(Seq(Row(9L, 1L)), schema2, s"$root/inserts/batch=0")
+    write(Seq.empty[Row], schema1, s"$root/deletes/batch=0")
+    write(Seq(Row(10L, 2L)), schema2, s"$root/inserts/batch=1")
+    write(Seq.empty[Row], schema1, s"$root/deletes/batch=1")
+    assert(CdcStream.morMinorCompact(spark, root, foldK = 1) == 0L)
+    assert(CdcStream.currentMinor(root).get._1.endsWith("minor-g0"))
+    assert(CdcStream.morMinorCompact(spark, root, foldK = 1) == 1L)
+    assert(CdcStream.currentMinor(root).get._1.endsWith("minor-g1"),
+      "second fold must advance to g1 (basename parse, not path split)")
+  }
+
   test("IVM view state is O(groups) per version and survives a mid-flight " +
       "crash: replay converges to the from-scratch re-aggregation") {
     val log = graft.sources.Ingest.mergeChangelogShowcase(spark, sf0001)
