@@ -2310,6 +2310,43 @@ object SparkEntry {
       FROM d
       QUALIFY rk <= 10""",
 
+    // the Matryoshka batch replayed with REAL SQL at ANY tier (the
+    // first quantizer-batch pin converted to a reconstruction — r12
+    // verdict ask #5): stage 1 coarse-scores on the 32-dim PREFIX
+    // (DuckDB's 1-based inclusive slice emb[1:32] is Spark's
+    // slice(emb,1,32)) with the identical clamp-then-round cosine,
+    // keeps k*overfetch=160 candidates per query under the same
+    // (cdist, vec_id) tie order as the bounded heap, then stage 2
+    // re-ranks only the survivors at full dimension — the same
+    // two-stage plan the engine runs, so the hash certifies BOTH
+    // stages including the coarse-boundary tie behavior
+    "knn_mrl_batch" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      cd AS (SELECT q.vec_id AS qid, b.vec_id,
+                    round(1 - greatest(
+                      list_sum(list_transform(list_zip(b.emb[1:32], q.emb[1:32]),
+                                              z -> z[1]*z[2])) /
+                      (sqrt(list_sum(list_transform(b.emb[1:32], x -> x*x))) *
+                       sqrt(list_sum(list_transform(q.emb[1:32], x -> x*x)))),
+                      0), 6) AS cdist
+             FROM e b, e q, p
+             WHERE b.vec_id < p.s AND q.vec_id >= p.s),
+      cand AS (SELECT qid, vec_id FROM cd
+               QUALIFY row_number()
+                 OVER (PARTITION BY qid ORDER BY cdist, vec_id) <= 160),
+      d AS (SELECT c.qid, b.vec_id, $cosDistSql AS dist
+            FROM cand c
+            JOIN e b ON b.vec_id = c.vec_id
+            JOIN e q ON q.vec_id = c.qid)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+               AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
+
     // the sampled exact GT replayed with REAL SQL: same split + top-k
     // reconstruction as knn_exact_batch, restricted to the 1-in-10
     // deterministic query sample — O(|sample|·n), the form that stays
