@@ -2347,6 +2347,89 @@ object SparkEntry {
       FROM d
       QUALIFY rk <= 10""",
 
+    // the SQ8 batch replayed with REAL SQL at ANY tier (second
+    // quantizer-batch pin converted — r12 verdict ask #5): the
+    // "training" is just per-dimension min/max over the base split, so
+    // the oracle re-derives the bounds, re-encodes (floor(x+0.5)
+    // replicates Java Math.round exactly; clamp [0,255]; degenerate
+    // span encodes the min), decodes base vectors, coarse-scores the
+    // decoded base against raw queries with the same clamp cosine,
+    // keeps k*overfetch=160 per query under the engine's
+    // (approx_dist, vec_id) tie order, and exact-re-ranks the
+    // survivors — certifying train+encode+decode+both rankings
+    "knn_sq_batch" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      dims AS (SELECT i AS dim, min(e.emb[i]) AS mn, max(e.emb[i]) AS mx
+               FROM e, p, range(1, 65) t(i)
+               WHERE e.vec_id < p.s
+               GROUP BY i),
+      db AS (SELECT e.vec_id,
+                    list(CASE WHEN d.mx - d.mn <= 0 THEN d.mn
+                              ELSE d.mn + LEAST(255, GREATEST(0,
+                                CAST(floor(255.0 * (e.emb[d.dim] - d.mn)
+                                           / (d.mx - d.mn) + 0.5) AS INT)))
+                                / 255.0 * (d.mx - d.mn)
+                         END ORDER BY d.dim) AS demb
+             FROM e, p, dims d
+             WHERE e.vec_id < p.s
+             GROUP BY e.vec_id),
+      cd AS (SELECT q.vec_id AS qid, b.vec_id,
+                    1 - greatest(
+                      list_sum(list_transform(list_zip(b.demb, q.emb),
+                                              z -> z[1]*z[2])) /
+                      (sqrt(list_sum(list_transform(b.demb, x -> x*x))) *
+                       sqrt(list_sum(list_transform(q.emb, x -> x*x)))),
+                      0) AS adist
+             FROM db b, e q, p
+             WHERE q.vec_id >= p.s),
+      cand AS (SELECT qid, vec_id FROM cd
+               QUALIFY row_number()
+                 OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 160),
+      d AS (SELECT c.qid, b.vec_id, $cosDistSql AS dist
+            FROM cand c
+            JOIN e b ON b.vec_id = c.vec_id
+            JOIN e q ON q.vec_id = c.qid)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+               AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
+
+    // the 1-bit sign-quantization batch replayed with REAL SQL at ANY
+    // tier (third quantizer pin converted — r12 verdict ask #5): the
+    // quantizer is the CONSTANT sign-at-zero threshold, so the coarse
+    // stage is pure INTEGER Hamming — count of dimensions whose sign
+    // bit differs (exactly bit_count(code XOR qcode) on the packed
+    // words) — with zero float risk; k*overfetch=160 candidates per
+    // query under the engine's (hamming, vec_id) tie order, then the
+    // shared exact re-rank
+    "knn_bq_batch" -> s"""
+      WITH e AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                 FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      cd AS (SELECT q.vec_id AS qid, b.vec_id,
+                    list_sum(list_transform(list_zip(b.emb, q.emb),
+                      z -> CASE WHEN (z[1] > 0) <> (z[2] > 0)
+                           THEN 1 ELSE 0 END)) AS hamming
+             FROM e b, e q, p
+             WHERE b.vec_id < p.s AND q.vec_id >= p.s),
+      cand AS (SELECT qid, vec_id FROM cd
+               QUALIFY row_number()
+                 OVER (PARTITION BY qid ORDER BY hamming, vec_id) <= 160),
+      d AS (SELECT c.qid, b.vec_id, $cosDistSql AS dist
+            FROM cand c
+            JOIN e b ON b.vec_id = c.vec_id
+            JOIN e q ON q.vec_id = c.qid)
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
+               AS INT) AS rk
+      FROM d
+      QUALIFY rk <= 10""",
+
     // the sampled exact GT replayed with REAL SQL: same split + top-k
     // reconstruction as knn_exact_batch, restricted to the 1-in-10
     // deterministic query sample — O(|sample|·n), the form that stays
