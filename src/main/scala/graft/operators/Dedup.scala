@@ -914,8 +914,14 @@ object Dedup {
     val spark = n.sparkSession
     import spark.implicits._
     val rows = n.select(col("vec_id"), col("nv")).as[(Long, Array[Double])]
+    // key = semantic hash AND row count (r13 advice): a 32-bit plan-hash
+    // collision between two corpora in one session — or the same path
+    // re-written with different data mid-session — must not serve a
+    // stale flat matrix to the exact yardstick. The count is one cheap
+    // action on what is in practice the persisted norm cache.
     val (ids, flat, _) = graft.IndexCache.getOrBuild(spark,
-        s"neardup-oracle-corpus:${n.queryExecution.analyzed.semanticHash()}") {
+        s"neardup-oracle-corpus:${n.queryExecution.analyzed.semanticHash()}" +
+          s":${n.count()}") {
       collectFlat(n)
     }
     val bc = spark.sparkContext.broadcast((ids, flat))

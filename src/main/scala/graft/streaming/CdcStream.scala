@@ -449,11 +449,27 @@ object CdcStream {
       stateAt(spark, stateRoot, baseDir, 0 until NStateBuckets, keepFrom)
         .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
         .write.partitionBy("bucket").mode("overwrite").parquet(newBase)
-    val expired = Option(new java.io.File(stateRoot).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong).filter(_ < keepFrom)
-      .sorted.toSeq
+    // The expired-id list is committed to a manifest BEFORE any
+    // deletion starts (r13 advice): enumerating surviving v= dirs on a
+    // crash-resume mid-sweep would report a smaller list per attempt,
+    // and callers pin the expired ids. Between the fold's _SUCCESS and
+    // the manifest no dir has been deleted yet, so the (re-)enumeration
+    // there is still complete; once the manifest exists it is the
+    // attempt-invariant answer and only the deletion sweep resumes.
+    val manifest = java.nio.file.Paths.get(s"$newBase/_EXPIRED_VERSIONS")
+    val expired: Seq[Long] =
+      if (java.nio.file.Files.exists(manifest))
+        java.nio.file.Files.readString(manifest).split("\\s+")
+          .filter(_.nonEmpty).map(_.toLong).toSeq
+      else {
+        val ids = Option(new java.io.File(stateRoot).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong).filter(_ < keepFrom)
+          .sorted.toSeq
+        java.nio.file.Files.writeString(manifest, ids.mkString("\n"))
+        ids
+      }
     expired.foreach(v => rmTree(s"$stateRoot/v=$v"))
     (newBase, expired)
   }

@@ -316,7 +316,12 @@ class CdcCompactSpec extends SparkSpec {
     val (newBase2, expired2) = CdcStream.expireSnapshots(spark, stateRoot,
       base, keepFrom = 2L)
     assert(newBase2 == newBase)
-    assert(expired2.isEmpty, "nothing left to delete on resume")
+    // the expired-id list is ATTEMPT-INVARIANT (r13 advice): the resume
+    // reads the manifest committed before the first deletion instead of
+    // enumerating whichever dirs survived the partial sweep — a caller
+    // pinning the expired count sees the same answer on every attempt
+    assert(expired2 == expired,
+      s"resume must report the committed expired list, got $expired2")
     assert(Files.getLastModifiedTime(success) == mtime,
       "re-run rewrote the committed new base")
   }

@@ -73,8 +73,14 @@ def src(table):
 
 def rot(expr, i_expr):
     """Per-copy text transform: vowel rotation by i%5 composed with a
-    consonant rotation by the copy's decade — all COPIES transforms
-    distinct, copy 0 (and any identity composition) verbatim."""
+    consonant rotation by the copy's decade. The composition
+    (i % 5, i // 10) is shared by copies i and i+5 of a decade, so each
+    transform is used exactly TWICE and every document keeps exactly
+    ONE byte-identical twin per decade — the same per-copy clone
+    density at every tier (sf1's copy 5 is the identity rotation,
+    cloning verbatim copy 0). What the decade rotation removes is the
+    ~20-clone pile-up a pure mod-5 cycle produced at 100 copies, not
+    clones entirely. Copy 0 (and any identity composition) verbatim."""
     cases = []
     for i in range(1, COPIES):
         v = i % 5
