@@ -850,6 +850,12 @@ object SparkEntry {
     // under the same gate
     "orders_mor_autocompact_streamed" ->
       ((s, d) => streaming.CdcStream.morAutoCompactStreamed(s, d)),
+    // the SIZE policy under the gate (r13 verdict #3): count trigger
+    // provably inert (maxLive = 100), 1-byte budget — every fold is
+    // byte-triggered (4 generations vs the count row's 2), same
+    // composed end state
+    "orders_mor_autocompact_bytes" ->
+      ((s, d) => streaming.CdcStream.morAutoCompactBytesStreamed(s, d)),
     // SNAPSHOT EXPIRY (retention): versions below the horizon fold
     // into a new base, every RETAINED boundary reads back identically
     "orders_cdc_expired" ->
@@ -2019,7 +2025,71 @@ object SparkEntry {
                ORDER BY score DESC, rec) AS INT) AS rk
       FROM f QUALIFY rk <= 5"""
 
-  /** DBSCAN replayed in full, parametric in the operating point: the
+  /** The MMR greedy loop replayed as UNROLLED SQL (r14: was a
+    * generated literal at both tiers) — the kmeans-oracle discipline
+    * applied to re-ranking: candidates are the held-out query's exact
+    * top-`depth` (the knn_exact_single arithmetic, LIMIT depth), and
+    * each of the k selection rounds is one CTE pair
+    * (p_i = the argmax row by (score DESC, vec_id), r_i = the
+    * remaining candidates with the running max-similarity-to-selected
+    * folded in via greatest()). Float parity: the engine's
+    * `λ·(1−dist) − (1−λ)·maxSim` is replayed with explicit DOUBLE
+    * casts so (1.0 − 0.7) is the same binary 0.30000000000000004 on
+    * both sides; dots ride the corpus-standard list_zip fold; each
+    * per-chosen dot clamps to [0,1] before the max, and only the
+    * emitted score rounds (HALF_UP 6, like the engine's BigDecimal).
+    * O(depth·n + k·depth²) at any tier — replays where quadratic
+    * relations cannot.
+    */
+  private def mmrOracleSql(k: Int, depth: Int): String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val oml = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    val score = s"$lam * (CAST(1.0 AS DOUBLE) - dist) - $oml * ms"
+    val head = s"""
+      WITH e AS MATERIALIZED (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s,
+                   count(*) AS c FROM e),
+      qv AS MATERIALIZED (SELECT vec_id, emb FROM e, p
+            WHERE vec_id = p.s + (29 % (p.c - p.s))),
+      cand0 AS (SELECT b.vec_id, $cosDistSql AS dist
+                FROM e b, qv q, p
+                WHERE b.vec_id < p.s
+                ORDER BY dist, b.vec_id LIMIT $depth),
+      nrm AS (SELECT vec_id,
+              list_transform(emb, x -> x /
+                nullif(sqrt(list_sum(list_transform(emb, y -> y*y))), 0))
+                AS nv
+              FROM e),
+      r0 AS MATERIALIZED (SELECT c.vec_id, c.dist, n.nv,
+              CAST(0.0 AS DOUBLE) AS ms
+            FROM cand0 c JOIN nrm n USING (vec_id))"""
+    val stages = (1 to k).flatMap { i =>
+      val pick = s"""
+      p$i AS MATERIALIZED (SELECT vec_id, dist, nv, ms, $score AS score
+        FROM r${i - 1} ORDER BY score DESC, vec_id LIMIT 1)"""
+      val next =
+        if (i == k) Nil
+        else Seq(s"""
+      r$i AS MATERIALIZED (SELECT r.vec_id, r.dist, r.nv,
+          greatest(r.ms, least(greatest(
+            list_sum(list_transform(list_zip(r.nv, s.nv), z -> z[1]*z[2])),
+            CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))) AS ms
+        FROM r${i - 1} r, p$i s WHERE r.vec_id <> s.vec_id)""")
+      pick +: next
+    }
+    val union = (1 to k).map(i =>
+      s"SELECT $i AS rank, vec_id, round(score, 6) AS mmr_score FROM p$i")
+      .mkString("\n      UNION ALL\n      ")
+    head + "," + stages.mkString(",") + "\n      " + union
+  }
+
+  /** DBSCAN replayed exactly over the deterministic planted PANEL
+    * universe (stride = ceil(n/2000) before planting — 1, the full
+    * historical fixture, at this tier; ≤ 4000 vectors at derived
+    * tiers so this quadratic reconstruction replays there instead of
+    * pinning, r13 verdict #1), parametric in the operating point: the
     * same planted pair relation as neardup_embedding_lsh, degree-based
     * core test, recursive-CTE components of the core-core graph
     * (min-label, exact for any diameter), min-label border attachment.
@@ -2028,17 +2098,19 @@ object SparkEntry {
     * near-certain recall, so the exact reconstruction IS its oracle).
     */
   private def dbscanOracleSql(threshold: String, minPts: Int): String = s"""
-      WITH RECURSIVE e0 AS (
+      WITH RECURSIVE st AS (SELECT (count(*) + 1999) // 2000 AS k
+                            FROM embeddings),
+      e0 AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings, st WHERE vec_id % st.k = 0),
       u AS (SELECT vec_id, v FROM e0
             UNION ALL
             SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM e0),
-      n AS (SELECT vec_id,
+      n AS MATERIALIZED (SELECT vec_id,
                    list_transform(v, x -> x /
                      nullif(sqrt(list_sum(list_transform(v, y -> y*y))), 0)) AS nv
             FROM u),
-      p AS (SELECT va, vb FROM (
+      p AS MATERIALIZED (SELECT va, vb FROM (
               SELECT a.vec_id AS va, b.vec_id AS vb,
                      round(greatest(list_sum(list_transform(list_zip(a.nv, b.nv),
                        z -> z[1]*z[2])), 0), 6) AS sim
@@ -2467,17 +2539,24 @@ object SparkEntry {
       SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vectors
       FROM o GROUP BY 1""",
 
-    // reciprocal filter replay: same base-side self top-5 (self-match
-    // excluded), then the (a,b)x(b,a) join with a < b
+    // reciprocal filter replay: self top-5 within the deterministic
+    // ~2000-vector panel universe (stride = greatest(1, s // 2000) — 1,
+    // i.e. the full base, at this tier; bounds the quadratic leg so
+    // the SAME SQL replays at derived tiers, r13 verdict #1), then the
+    // (a,b)x(b,a) join with a < b
     "knn_mutual_pairs" -> s"""
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                  FROM embeddings),
-      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s,
+                   greatest(1, CAST(round(0.95 * count(*)) AS BIGINT) // 2000)
+                     AS st
+            FROM e),
+      u AS MATERIALIZED (SELECT vec_id, emb FROM e, p
+            WHERE vec_id < p.s AND vec_id % p.st = 0),
       d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-            FROM e b, e q, p
-            WHERE b.vec_id < p.s AND q.vec_id < p.s
-              AND b.vec_id <> q.vec_id),
+            FROM u b, u q
+            WHERE b.vec_id <> q.vec_id),
       t AS (SELECT qid, vec_id, dist,
               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
                 AS rk
@@ -2486,17 +2565,26 @@ object SparkEntry {
       FROM t a JOIN t r ON a.qid = r.vec_id AND a.vec_id = r.qid
       WHERE a.qid < a.vec_id""",
 
-    // hubness replay: same self top-5 relation, zero-filled
-    // k-occurrence, exact integer moments, m2*sqrt(m2) denominator
+    // hubness replay: the anchored self top-5 relation — queries are
+    // the deterministic ~512-anchor stride panel (stride 1, i.e. every
+    // base vector, at this tier; bounds the oracle at O(panel·n) so it
+    // replays at derived tiers, r13 verdict #1), candidates the FULL
+    // base — zero-filled k-occurrence over the full base, exact
+    // integer moments, m2*sqrt(m2) denominator
     "emb_hubness" -> s"""
       WITH e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                  FROM embeddings),
-      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s,
+                   greatest(1, CAST(round(0.95 * count(*)) AS BIGINT) // 512)
+                     AS st
+            FROM e),
+      bb AS MATERIALIZED (SELECT vec_id, emb FROM e, p WHERE vec_id < p.s),
+      qq AS MATERIALIZED (SELECT vec_id, emb FROM e, p
+            WHERE vec_id < p.s AND vec_id % p.st = 0),
       d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-            FROM e b, e q, p
-            WHERE b.vec_id < p.s AND q.vec_id < p.s
-              AND b.vec_id <> q.vec_id),
+            FROM bb b, qq q
+            WHERE b.vec_id <> q.vec_id),
       t AS (SELECT qid, vec_id,
               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
                 AS rk
@@ -2526,18 +2614,23 @@ object SparkEntry {
              any_value(sk.skewness) AS skewness
       FROM occ CROSS JOIN sk GROUP BY 1""",
 
-    // component replay: the same mutual-pair relation, closed by a
-    // RECURSIVE reach; cluster = min reachable label (the star-
-    // contraction fixpoint's invariant)
+    // component replay: the same panel-universe mutual-pair relation
+    // (identical stride arithmetic), closed by a RECURSIVE reach;
+    // cluster = min reachable label (the star-contraction fixpoint's
+    // invariant)
     "emb_mutual_knn_clusters" -> s"""
       WITH RECURSIVE e AS (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                  FROM embeddings),
-      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s FROM e),
+      p AS (SELECT CAST(round(0.95 * count(*)) AS BIGINT) AS s,
+                   greatest(1, CAST(round(0.95 * count(*)) AS BIGINT) // 2000)
+                     AS st
+            FROM e),
+      u AS MATERIALIZED (SELECT vec_id, emb FROM e, p
+            WHERE vec_id < p.s AND vec_id % p.st = 0),
       d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-            FROM e b, e q, p
-            WHERE b.vec_id < p.s AND q.vec_id < p.s
-              AND b.vec_id <> q.vec_id),
+            FROM u b, u q
+            WHERE b.vec_id <> q.vec_id),
       t AS (SELECT qid, vec_id,
               row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id)
                 AS rk
@@ -3434,17 +3527,21 @@ object SparkEntry {
       FROM documents d JOIN tot ON d.doc_id = tot.doc_id
       LEFT JOIN ka ON d.doc_id = ka.doc_id""",
 
-    // the oracle reproduces the planted augmentation verbatim (+0.01
-    // to every coordinate of a copy at vec_id+100000, BEFORE
-    // normalization), then brute-forces all pairs at >= 0.98. The
+    // the oracle reproduces the deterministic panel (stride =
+    // ceil(n/2000) — 1, the full corpus, at this tier; r13 verdict #1)
+    // and the planted augmentation verbatim (+0.01 to every coordinate
+    // of a copy at vec_id+100000, BEFORE normalization), then
+    // brute-forces all panel pairs at >= 0.98 — ≤ 8M pair dots at any
+    // tier, so the reconstruction replays instead of pinning. The
     // seeded 16x16 banding catches each planted pair with prob
     // 1 - ~1e-8, so the LSH output equals this exact pair set
     // deterministically. Normalize-then-dot uses the same fold order
     // as the engine's norm cache, so values stay bit-identical.
     "neardup_embedding_lsh" -> """
-      WITH e AS (SELECT vec_id,
-                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                 FROM embeddings),
+      WITH st AS (SELECT (count(*) + 1999) // 2000 AS k FROM embeddings),
+      e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings, st WHERE vec_id % st.k = 0),
       u AS (SELECT vec_id, v FROM e
             UNION ALL
             SELECT vec_id + 100000, list_transform(v, x -> x + 0.01) FROM e),
@@ -3540,20 +3637,107 @@ object SparkEntry {
     "text_bpe_encode" -> """
       SELECT * FROM (VALUES (0,32,130), (1,72,330), (2,45,201), (3,27,122), (4,45,202), (5,56,262), (6,15,65), (7,72,310), (8,84,380), (9,74,314), (10,39,182), (11,58,251), (12,65,273), (13,60,281), (14,87,410), (15,41,185), (16,16,72), (17,77,341), (18,75,334), (19,11,48), (20,68,308), (21,37,164), (22,81,386), (23,30,133), (24,97,433), (25,94,406), (26,12,56), (27,64,287), (28,60,272), (29,34,156), (30,31,132), (31,43,204), (32,93,414), (33,46,196), (34,29,126), (35,85,360), (36,22,105), (37,69,297), (38,36,163), (39,23,101), (40,73,336), (41,61,274), (42,56,243), (43,28,127), (44,24,99), (45,80,350), (46,86,400), (47,41,181), (48,30,128), (49,46,212), (50,45,202), (51,58,258), (52,13,58), (53,34,156), (54,65,289), (55,37,151), (56,97,443), (57,83,358), (58,72,322), (59,24,98), (60,93,403), (61,59,250), (62,72,317), (63,96,424), (64,25,105), (65,19,78), (66,62,278), (67,61,276), (68,33,147), (69,57,242), (70,94,417), (71,60,273), (72,42,187), (73,93,396), (74,10,41), (75,60,252), (76,71,313), (77,57,258), (78,42,180), (79,12,54), (80,32,139), (81,63,285), (82,47,203), (83,15,69), (84,72,333), (85,31,127), (86,23,107), (87,23,102), (88,51,232), (89,27,122), (90,24,90), (91,77,344), (92,26,116), (93,25,109), (94,24,110), (95,55,236), (96,81,370), (97,59,268), (98,93,426), (99,38,157), (100,83,372), (101,42,182), (102,91,419), (103,93,421), (104,44,197), (105,60,268), (106,13,56), (107,40,176), (108,16,72), (109,70,321), (110,11,45), (111,94,442), (112,58,247), (113,79,343), (114,36,162), (115,24,107), (116,10,49), (117,47,198), (118,70,321), (119,16,71), (120,37,177), (121,30,132), (122,19,84), (123,28,123), (124,60,254), (125,34,151), (126,90,397), (127,83,359), (128,81,355), (129,81,359), (130,29,122), (131,54,230), (132,62,274), (133,94,402), (134,24,106), (135,97,436), (136,63,279), (137,43,188), (138,66,294), (139,56,247), (140,28,131), (141,75,351), (142,95,402), (143,72,344), (144,18,74), (145,72,320), (146,22,105), (147,84,356), (148,37,159), (149,27,121), (150,48,216), (151,94,422), (152,39,177), (153,78,359), (154,83,356), (155,67,290), (156,21,97), (157,17,73), (158,17,86), (159,69,312), (160,44,189), (161,86,377), (162,82,358), (163,45,202), (164,19,90), (165,21,89), (166,61,259), (167,85,385), (168,40,175), (169,69,318), (170,22,99), (171,61,267), (172,20,89), (173,97,438), (174,57,257), (175,29,129), (176,88,393), (177,49,209), (178,38,173), (179,87,389), (180,32,149), (181,19,89), (182,64,282), (183,20,80), (184,80,355), (185,58,246), (186,80,325), (187,91,393), (188,47,203), (189,37,174), (190,78,345), (191,21,96), (192,26,108), (193,31,136), (194,29,127), (195,58,264), (196,59,261), (197,95,418), (198,47,209), (199,30,127), (200,53,243), (201,56,251), (202,91,389), (203,24,101), (204,21,96), (205,69,297), (206,25,104), (207,73,317), (208,22,90), (209,44,182), (210,94,412), (211,51,225), (212,43,208), (213,88,386), (214,13,56), (215,98,405), (216,92,431), (217,66,287), (218,81,382), (219,29,138), (220,99,439), (221,42,176), (222,51,225), (223,85,383), (224,77,351), (225,76,342), (226,20,94), (227,81,374), (228,86,381), (229,74,339), (230,55,247), (231,27,121), (232,58,255), (233,83,376), (234,66,281), (235,39,186), (236,12,54), (237,79,332), (238,48,208), (239,30,130), (240,70,313), (241,92,417), (242,69,302), (243,33,141), (244,67,300), (245,83,376), (246,34,143), (247,80,339), (248,79,355), (249,82,341), (250,44,197), (251,94,421), (252,46,199), (253,38,159), (254,19,85), (255,28,121), (256,11,52), (257,21,92), (258,74,330), (259,45,215), (260,26,107), (261,84,376), (262,47,209), (263,83,366), (264,99,437), (265,47,224), (266,41,176), (267,78,342), (268,39,177), (269,86,372), (270,93,403), (271,53,243), (272,92,398), (273,28,136), (274,96,433), (275,10,37), (276,96,433), (277,32,140), (278,72,314), (279,51,221), (280,88,383), (281,30,131), (282,32,150), (283,84,379), (284,51,231), (285,94,417), (286,46,210), (287,18,86), (288,32,148), (289,38,181), (290,94,430), (291,76,343), (292,86,366), (293,71,318), (294,83,368), (295,32,147), (296,66,290), (297,62,266), (298,32,155), (299,94,401), (300,39,170), (301,93,413), (302,88,396), (303,83,363), (304,42,179), (305,11,52), (306,75,340), (307,54,243), (308,17,78), (309,44,189), (310,27,122), (311,90,405), (312,67,303), (313,18,71), (314,37,154), (315,87,369), (316,74,332), (317,72,318), (318,83,359), (319,87,408), (320,75,316), (321,50,236), (322,45,206), (323,62,263), (324,43,181), (325,60,266), (326,36,161), (327,33,143), (328,89,397), (329,66,284), (330,59,253), (331,51,242), (332,36,173), (333,32,142), (334,92,388), (335,61,267), (336,68,305), (337,43,201), (338,18,72), (339,32,150), (340,44,195), (341,80,337), (342,21,100), (343,29,120), (344,77,342), (345,59,254), (346,74,322), (347,51,227), (348,24,107), (349,84,365), (350,85,381), (351,67,298), (352,97,429), (353,59,251), (354,76,338), (355,61,287), (356,67,303), (357,47,212), (358,11,48), (359,60,268), (360,79,365), (361,65,297), (362,15,68), (363,64,281), (364,47,214), (365,12,54), (366,55,249), (367,39,168), (368,13,64), (369,50,221), (370,41,198), (371,65,283), (372,28,112), (373,70,307), (374,31,143), (375,63,267), (376,69,291), (377,43,191), (378,64,268), (379,72,316), (380,80,358), (381,63,279), (382,25,102), (383,44,208), (384,17,79), (385,70,306), (386,88,375), (387,39,172), (388,63,275), (389,28,126), (390,26,114), (391,43,188), (392,23,106), (393,81,371), (394,71,320), (395,81,381), (396,44,207), (397,53,238), (398,19,85), (399,57,251), (400,25,106), (401,76,350), (402,31,129), (403,85,374), (404,43,182), (405,56,252), (406,83,364), (407,20,88), (408,16,72), (409,53,231), (410,75,326), (411,79,332), (412,71,291), (413,79,346), (414,78,336), (415,58,255), (416,53,228), (417,93,411), (418,77,356), (419,20,92), (420,80,367), (421,83,363), (422,66,290), (423,65,300), (424,73,328), (425,24,109), (426,82,364), (427,79,350), (428,48,225), (429,95,446), (430,72,326), (431,56,243), (432,65,300), (433,31,142), (434,79,341), (435,31,135), (436,51,218), (437,81,354), (438,31,140), (439,33,150), (440,42,192), (441,99,439), (442,84,373), (443,51,218), (444,75,336), (445,58,252), (446,25,103), (447,93,413), (448,54,235), (449,33,140), (450,25,112), (451,20,90), (452,65,285), (453,97,415), (454,28,125), (455,11,52), (456,23,103), (457,37,165), (458,59,262), (459,69,310), (460,49,208), (461,67,292), (462,60,266), (463,91,404), (464,35,159), (465,62,261), (466,86,375), (467,66,291), (468,39,167), (469,10,46), (470,42,191), (471,63,280), (472,38,173), (473,53,240), (474,67,285), (475,15,67), (476,16,74), (477,28,120), (478,50,235), (479,69,304), (480,64,293), (481,16,72), (482,30,124), (483,47,206), (484,43,185), (485,23,106), (486,32,139), (487,59,264), (488,36,172), (489,57,260), (490,50,226), (491,67,289), (492,13,64), (493,88,367), (494,38,167), (495,70,313), (496,81,372), (497,20,94), (498,89,397), (499,33,143)) AS t(doc_id, n_words, n_bpe_tokens)""",
 
-    // GENERATED-LITERAL oracles for six more deterministic rows-only
-    // queries (the BPE-literal pattern): seeded MinHash banding, SimHash
-    // Hamming pairs, SemDeDup keep/drop labels, the HLL twin, the MMR
-    // re-rank, and n-gram language ID are all exact functions of the
-    // frozen sf0.01 fixture (order-insensitive aggregations or
-    // pid-sorted merges only), so their expected outputs are constants.
+    // GENERATED-LITERAL oracles for the remaining deterministic
+    // rows-only queries (the BPE-literal pattern): SemDeDup keep/drop
+    // labels and the HLL twin are exact functions of the frozen
+    // fixture whose defining computation is not SQL-replicable
+    // (Spark's HLL++ registers; the Lloyd-loop centroid path feeding
+    // SemDeDup). The four that WERE replicable left this block in r14
+    // — MinHash banding, SimHash, MMR, and n-gram language ID are now
+    // real SQL reconstructions at both tiers.
     // Independence from the engine comes from each family's spec-level
     // gate (brute-force equality / reference replay / accuracy bounds);
     // these rows move cross-run stability under the driver's hash gate.
+    // REAL SQL since r14 (was a generated literal at both tiers): the
+    // engine's output is the exact word-3-gram Jaccard >= 0.8 relation
+    // — the 32x4 banding misses a j >= 0.8 pair with probability
+    // (1 - 0.8^4)^32 ~= 4.7e-8 and every candidate is verified exactly
+    // on the gram sets, so the banded miner equals this brute
+    // reconstruction (the same CTE chain dedup_cross_source and
+    // dedup_ngram_jaccard already replay green at both tiers; the
+    // gram join is O(shared-gram pairs), never docs²)
     "dedup_minhash_lsh" -> """
-      SELECT * FROM (VALUES (107,387,CAST(0.973684 AS DOUBLE)), (120,332,CAST(0.971429 AS DOUBLE)), (152,178,CAST(0.972973 AS DOUBLE)), (166,323,CAST(0.983333 AS DOUBLE)), (26,455,CAST(0.9 AS DOUBLE)), (267,413,CAST(0.986842 AS DOUBLE)), (285,301,CAST(0.98913 AS DOUBLE)), (295,374,CAST(0.966667 AS DOUBLE)), (31,383,CAST(0.97619 AS DOUBLE)), (310,389,CAST(0.961538 AS DOUBLE)), (326,457,CAST(0.971429 AS DOUBLE)), (393,420,CAST(0.987342 AS DOUBLE)), (435,486,CAST(0.966667 AS DOUBLE)), (44,446,CAST(0.956522 AS DOUBLE)), (45,267,CAST(0.974026 AS DOUBLE)), (45,413,CAST(0.987013 AS DOUBLE)), (458,462,CAST(0.982759 AS DOUBLE)), (58,293,CAST(0.985714 AS DOUBLE)), (61,185,CAST(0.982456 AS DOUBLE)), (70,447,CAST(0.98913 AS DOUBLE)), (72,377,CAST(0.97561 AS DOUBLE)), (8,245,CAST(0.987805 AS DOUBLE)), (87,134,CAST(0.954545 AS DOUBLE)), (92,450,CAST(0.958333 AS DOUBLE)), (98,290,CAST(0.98913 AS DOUBLE))) AS t("doc_a", "doc_b", "jaccard")""",
+      WITH g AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w)-1)]) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      e AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared,
+                   max(a.ng) AS na, max(b.ng) AS nb
+            FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             round(shared / (na + nb - shared), 6) AS jaccard
+      FROM p WHERE round(shared / (na + nb - shared), 6) >= 0.8""",
 
+    // REAL SQL since r14 (was a generated literal at both tiers): the
+    // full SimHash chain replayed relationally — FNV-1a 64 per DISTINCT
+    // token in HUGEINT (xor on the low byte, wrapping multiply as
+    // (h·prime) mod 2^64; products stay < 2^104, inside HUGEINT),
+    // tf-weighted bit voting via per-(doc, token) counts, sign
+    // assembly against an exact powers-of-two CTE (`**` is DOUBLE in
+    // DuckDB and silently corrupts bit extraction), unsigned→signed
+    // two's-complement fold, then the SAME 4x16-bit banding the engine
+    // uses — lossless here by pigeonhole (hamming <= 3 over 4 bands
+    // GUARANTEES a shared intact band), so the banded reconstruction
+    // IS the exact all-pairs relation without the docs² scan.
+    // Verified equal to the engine at 17 (sf0.01) and 35,084 (sf1)
+    // pairs; ~94 s at the 10x tier.
     "dedup_simhash" -> """
-      SELECT * FROM (VALUES (107,387,3), (120,332,2), (152,178,2), (24,357,3), (267,413,0), (285,301,1), (31,383,1), (393,420,0), (45,267,2), (45,413,2), (458,462,2), (58,293,1), (61,185,1), (70,447,1), (72,377,3), (92,450,3), (98,290,1)) AS t("doc_a", "doc_b", "hamming")""",
+      WITH RECURSIVE pow2(j, p) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT j + 1, p * 2 FROM pow2 WHERE j < 63),
+      toks AS MATERIALIZED (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2),
+      vh AS MATERIALIZED (
+        SELECT tok,
+          list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(string_split(tok, ''),
+                c -> CAST(unicode(c) AS HUGEINT))),
+            (h, b) -> ((h - h % 256 +
+                        CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))
+                             AS HUGEINT))
+                       * 1099511628211)
+                      % CAST(18446744073709551616 AS HUGEINT)) AS h
+        FROM (SELECT DISTINCT tok FROM toks)),
+      votes AS (
+        SELECT t.doc_id, w.j,
+               sum(CASE WHEN (v.h // w.p) % 2 = 1 THEN t.cnt ELSE -t.cnt END) AS acc
+        FROM toks t JOIN vh v USING (tok), pow2 w
+        GROUP BY 1, 2),
+      sh AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                         THEN u - CAST(18446744073709551616 AS HUGEINT)
+                         ELSE u END AS BIGINT) AS simhash,
+               u
+        FROM (SELECT v.doc_id,
+                     coalesce(sum(CASE WHEN v.acc > 0 THEN p2.p
+                       ELSE CAST(0 AS HUGEINT) END),
+                       CAST(0 AS HUGEINT)) AS u
+              FROM votes v JOIN pow2 p2 ON v.j = p2.j GROUP BY 1)),
+      bands AS MATERIALIZED (
+        SELECT doc_id, simhash, t.b,
+               CAST((u // (CASE t.b WHEN 0 THEN CAST(1 AS HUGEINT)
+                                    WHEN 1 THEN CAST(65536 AS HUGEINT)
+                                    WHEN 2 THEN CAST(4294967296 AS HUGEINT)
+                                    ELSE CAST(281474976710656 AS HUGEINT) END))
+                    % 65536 AS BIGINT) AS key
+        FROM sh, range(0, 4) t(b)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sha,
+                        b.doc_id AS doc_b, b.simhash AS shb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sha, shb)) <= 3""",
 
     "dedup_semantic" -> """
       SELECT * FROM (VALUES (0,0,0,TRUE), (1,1,1,TRUE), (10,3,10,TRUE), (100,2,100,TRUE), (101,4,101,TRUE), (102,6,102,TRUE), (103,7,103,TRUE), (104,3,104,TRUE), (105,6,105,TRUE), (106,3,106,TRUE), (107,7,107,TRUE), (108,0,108,TRUE), (109,6,109,TRUE), (11,6,11,TRUE), (110,1,110,TRUE), (111,5,111,TRUE), (112,2,112,TRUE), (113,7,113,TRUE), (114,4,114,TRUE), (115,6,115,TRUE), (116,4,116,TRUE), (117,2,117,TRUE), (118,2,118,TRUE), (119,6,119,TRUE), (12,5,12,TRUE), (120,3,120,TRUE), (121,5,121,TRUE), (122,4,122,TRUE), (123,6,123,TRUE), (124,1,124,TRUE), (125,3,125,TRUE), (126,5,126,TRUE), (127,5,127,TRUE), (128,2,128,TRUE), (129,3,129,TRUE), (13,1,13,TRUE), (130,3,130,TRUE), (131,0,131,TRUE), (132,0,132,TRUE), (133,5,133,TRUE), (134,3,134,TRUE), (135,0,135,TRUE), (136,6,136,TRUE), (137,7,137,TRUE), (138,1,138,TRUE), (139,4,139,TRUE), (14,0,14,TRUE), (140,3,140,TRUE), (141,2,141,TRUE), (142,0,108,FALSE), (143,5,143,TRUE), (144,3,144,TRUE), (145,6,145,TRUE), (146,6,146,TRUE), (147,3,147,TRUE), (148,0,148,TRUE), (149,2,149,TRUE), (15,3,15,TRUE), (150,5,150,TRUE), (151,0,151,TRUE), (152,5,150,FALSE), (153,7,153,TRUE), (154,7,154,TRUE), (155,6,155,TRUE), (156,7,156,TRUE), (157,5,157,TRUE), (158,3,158,TRUE), (159,6,159,TRUE), (16,1,16,TRUE), (160,0,160,TRUE), (161,1,161,TRUE), (162,5,162,TRUE), (163,0,163,TRUE), (164,4,164,TRUE), (165,0,165,TRUE), (166,1,166,TRUE), (167,7,167,TRUE), (168,7,168,TRUE), (169,7,169,TRUE), (17,4,17,TRUE), (170,7,170,TRUE), (171,4,171,TRUE), (172,2,172,TRUE), (173,5,173,TRUE), (174,3,174,TRUE), (175,0,175,TRUE), (176,7,176,TRUE), (177,6,177,TRUE), (178,2,178,TRUE), (179,6,179,TRUE), (18,5,18,TRUE), (180,7,180,TRUE), (181,1,181,TRUE), (182,5,182,TRUE), (183,2,183,TRUE), (184,2,184,TRUE), (185,7,185,TRUE), (186,2,186,TRUE), (187,5,187,TRUE), (188,2,188,TRUE), (189,7,189,TRUE), (19,4,19,TRUE), (190,0,84,FALSE), (191,4,191,TRUE), (192,3,192,TRUE), (193,2,193,TRUE), (194,4,194,TRUE), (195,1,195,TRUE), (196,1,196,TRUE), (197,2,197,TRUE), (198,5,198,TRUE), (199,1,199,TRUE), (2,2,2,TRUE), (20,2,20,TRUE), (200,5,200,TRUE), (201,3,201,TRUE), (202,2,202,TRUE), (203,1,203,TRUE), (204,6,204,TRUE), (205,1,205,TRUE), (206,6,206,TRUE), (207,3,207,TRUE), (208,5,208,TRUE), (209,7,209,TRUE), (21,5,21,TRUE), (210,3,70,FALSE), (211,7,211,TRUE), (212,4,212,TRUE), (213,7,213,TRUE), (214,6,214,TRUE), (215,1,215,TRUE), (216,7,216,TRUE), (217,6,217,TRUE), (218,3,218,TRUE), (219,6,219,TRUE), (22,5,22,TRUE), (220,1,220,TRUE), (221,7,221,TRUE), (222,1,222,TRUE), (223,1,223,TRUE), (224,3,224,TRUE), (225,5,225,TRUE), (226,6,226,TRUE), (227,6,227,TRUE), (228,4,228,TRUE), (229,0,229,TRUE), (23,3,23,TRUE), (230,0,230,TRUE), (231,3,231,TRUE), (232,6,232,TRUE), (233,1,233,TRUE), (234,4,234,TRUE), (235,0,235,TRUE), (236,0,236,TRUE), (237,4,237,TRUE), (238,6,238,TRUE), (239,2,239,TRUE), (24,5,24,TRUE), (240,7,240,TRUE), (241,2,241,TRUE), (242,5,242,TRUE), (243,6,243,TRUE), (244,2,244,TRUE), (245,2,202,FALSE), (246,5,246,TRUE), (247,4,247,TRUE), (248,2,248,TRUE), (249,4,249,TRUE), (25,5,25,TRUE), (250,4,250,TRUE), (251,5,251,TRUE), (252,6,252,TRUE), (253,1,253,TRUE), (254,5,254,TRUE), (255,0,255,TRUE), (256,5,75,FALSE), (257,4,257,TRUE), (258,1,258,TRUE), (259,7,259,TRUE), (26,5,26,TRUE), (260,6,260,TRUE), (261,0,261,TRUE), (262,5,262,TRUE), (263,5,263,TRUE), (264,0,264,TRUE), (265,6,265,TRUE), (266,5,266,TRUE), (267,6,267,TRUE), (268,1,268,TRUE), (269,7,7,FALSE), (27,1,27,TRUE), (270,6,270,TRUE), (271,0,271,TRUE), (272,3,272,TRUE), (273,7,273,TRUE), (274,6,274,TRUE), (275,7,275,TRUE), (276,6,276,TRUE), (277,6,277,TRUE), (278,4,278,TRUE), (279,5,279,TRUE), (28,6,28,TRUE), (280,4,280,TRUE), (281,6,281,TRUE), (282,1,282,TRUE), (283,3,283,TRUE), (284,1,284,TRUE), (285,1,285,TRUE), (286,7,286,TRUE), (287,6,238,FALSE), (288,7,288,TRUE), (289,0,289,TRUE), (29,0,29,TRUE), (290,2,290,TRUE), (291,2,291,TRUE), (292,7,292,TRUE), (293,2,293,TRUE), (294,1,294,TRUE), (295,5,295,TRUE), (296,3,296,TRUE), (297,6,297,TRUE), (298,4,298,TRUE), (299,7,299,TRUE), (3,3,3,TRUE), (30,5,30,TRUE), (300,1,300,TRUE), (301,3,44,FALSE), (302,7,302,TRUE), (303,6,303,TRUE), (304,6,304,TRUE), (305,4,305,TRUE), (306,4,306,TRUE), (307,7,307,TRUE), (308,1,308,TRUE), (309,3,309,TRUE), (31,3,31,TRUE), (310,0,83,FALSE), (311,7,311,TRUE), (312,5,312,TRUE), (313,6,313,TRUE), (314,1,314,TRUE), (315,3,315,TRUE), (316,5,316,TRUE), (317,4,317,TRUE), (318,0,318,TRUE), (319,7,319,TRUE), (32,0,32,TRUE), (320,0,320,TRUE), (321,2,321,TRUE), (322,6,322,TRUE), (323,4,323,TRUE), (324,1,166,FALSE), (325,2,290,FALSE), (326,3,207,FALSE), (327,1,327,TRUE), (328,2,328,TRUE), (329,1,329,TRUE), (33,5,33,TRUE), (330,5,330,TRUE), (331,2,290,FALSE), (332,7,332,TRUE), (333,4,333,TRUE), (334,7,156,FALSE), (335,2,335,TRUE), (336,0,336,TRUE), (337,5,337,TRUE), (338,3,338,TRUE), (339,7,339,TRUE), (34,1,34,TRUE), (340,7,7,FALSE), (341,3,341,TRUE), (342,2,342,TRUE), (343,3,343,TRUE), (344,0,344,TRUE), (345,6,345,TRUE), (346,4,346,TRUE), (347,3,347,TRUE), (348,0,348,TRUE), (349,3,349,TRUE), (35,0,35,TRUE), (350,6,350,TRUE), (351,0,35,FALSE), (352,1,352,TRUE), (353,1,353,TRUE), (354,2,354,TRUE), (355,4,355,TRUE), (356,5,356,TRUE), (357,7,357,TRUE), (358,2,358,TRUE), (359,4,359,TRUE), (36,0,36,TRUE), (360,6,360,TRUE), (361,1,361,TRUE), (362,5,362,TRUE), (363,3,363,TRUE), (364,0,364,TRUE), (365,0,365,TRUE), (366,4,366,TRUE), (367,1,367,TRUE), (368,4,368,TRUE), (369,6,369,TRUE), (37,2,37,TRUE), (370,6,370,TRUE), (371,6,371,TRUE), (372,3,372,TRUE), (373,7,373,TRUE), (374,6,374,TRUE), (375,2,375,TRUE), (376,3,376,TRUE), (377,3,377,TRUE), (378,0,378,TRUE), (379,5,379,TRUE), (38,1,38,TRUE), (380,0,380,TRUE), (381,6,381,TRUE), (382,7,156,FALSE), (383,0,383,TRUE), (384,4,234,FALSE), (385,1,253,FALSE), (386,1,386,TRUE), (387,0,387,TRUE), (388,1,388,TRUE), (389,2,389,TRUE), (39,1,39,TRUE), (390,3,390,TRUE), (391,3,391,TRUE), (392,0,392,TRUE), (393,1,393,TRUE), (394,4,394,TRUE), (395,2,395,TRUE), (396,3,396,TRUE), (397,3,397,TRUE), (398,1,398,TRUE), (399,6,399,TRUE), (4,4,4,TRUE), (40,6,40,TRUE), (400,1,400,TRUE), (401,0,401,TRUE), (402,1,16,FALSE), (403,6,403,TRUE), (404,5,404,TRUE), (405,1,405,TRUE), (406,3,338,FALSE), (407,1,407,TRUE), (408,4,408,TRUE), (409,5,409,TRUE), (41,3,41,TRUE), (410,3,410,TRUE), (411,2,411,TRUE), (412,0,412,TRUE), (413,6,413,TRUE), (414,1,203,FALSE), (415,0,415,TRUE), (416,2,416,TRUE), (417,2,417,TRUE), (418,2,418,TRUE), (419,5,419,TRUE), (42,4,42,TRUE), (420,7,420,TRUE), (421,3,120,FALSE), (422,0,422,TRUE), (423,0,423,TRUE), (424,4,424,TRUE), (425,7,7,FALSE), (426,2,426,TRUE), (427,7,427,TRUE), (428,0,428,TRUE), (429,6,429,TRUE), (43,5,43,TRUE), (430,6,53,FALSE), (431,5,431,TRUE), (432,4,432,TRUE), (433,5,433,TRUE), (434,7,434,TRUE), (435,7,435,TRUE), (436,5,436,TRUE), (437,3,437,TRUE), (438,7,156,FALSE), (439,3,439,TRUE), (44,3,44,TRUE), (440,2,172,FALSE), (441,3,441,TRUE), (442,7,442,TRUE), (443,6,443,TRUE), (444,2,444,TRUE), (445,7,445,TRUE), (446,6,446,TRUE), (447,6,447,TRUE), (448,3,448,TRUE), (449,3,449,TRUE), (45,7,45,TRUE), (450,2,450,TRUE), (451,5,451,TRUE), (452,7,452,TRUE), (453,5,453,TRUE), (454,5,454,TRUE), (455,5,455,TRUE), (456,1,456,TRUE), (457,6,457,TRUE), (458,4,458,TRUE), (459,6,459,TRUE), (46,5,46,TRUE), (460,3,460,TRUE), (461,0,461,TRUE), (462,2,462,TRUE), (463,3,463,TRUE), (464,5,464,TRUE), (465,6,465,TRUE), (466,7,169,FALSE), (467,1,467,TRUE), (468,2,468,TRUE), (469,3,469,TRUE), (47,4,47,TRUE), (470,4,470,TRUE), (471,2,471,TRUE), (472,1,472,TRUE), (473,1,473,TRUE), (474,3,474,TRUE), (475,1,475,TRUE), (476,2,476,TRUE), (477,1,477,TRUE), (478,0,478,TRUE), (479,7,479,TRUE), (48,7,48,TRUE), (480,5,480,TRUE), (481,1,481,TRUE), (482,4,482,TRUE), (483,0,483,TRUE), (484,7,484,TRUE), (485,1,205,FALSE), (486,4,486,TRUE), (487,3,487,TRUE), (488,4,488,TRUE), (489,5,489,TRUE), (49,7,49,TRUE), (490,3,490,TRUE), (491,3,491,TRUE), (492,4,492,TRUE), (493,5,493,TRUE), (494,3,494,TRUE), (495,3,495,TRUE), (496,4,496,TRUE), (497,1,497,TRUE), (498,0,498,TRUE), (499,3,499,TRUE), (5,5,5,TRUE), (50,3,50,TRUE), (51,3,51,TRUE), (52,3,52,TRUE), (53,6,53,TRUE), (54,2,54,TRUE), (55,7,55,TRUE), (56,0,56,TRUE), (57,5,57,TRUE), (58,0,58,TRUE), (59,7,59,TRUE), (6,6,6,TRUE), (60,7,60,TRUE), (61,3,61,TRUE), (62,6,62,TRUE), (63,3,63,TRUE), (64,1,64,TRUE), (65,5,65,TRUE), (66,4,66,TRUE), (67,0,67,TRUE), (68,2,68,TRUE), (69,2,69,TRUE), (7,7,7,TRUE), (70,3,70,TRUE), (71,2,71,TRUE), (72,6,72,TRUE), (73,0,73,TRUE), (74,0,74,TRUE), (75,5,75,TRUE), (76,4,76,TRUE), (77,0,77,TRUE), (78,6,78,TRUE), (79,3,79,TRUE), (8,1,8,TRUE), (80,1,80,TRUE), (81,4,81,TRUE), (82,6,82,TRUE), (83,0,83,TRUE), (84,0,84,TRUE), (85,6,85,TRUE), (86,5,86,TRUE), (87,7,87,TRUE), (88,6,88,TRUE), (89,4,89,TRUE), (9,7,9,TRUE), (90,6,90,TRUE), (91,7,91,TRUE), (92,5,92,TRUE), (93,6,93,TRUE), (94,5,94,TRUE), (95,7,95,TRUE), (96,4,96,TRUE), (97,2,97,TRUE), (98,2,98,TRUE), (99,7,99,TRUE)) AS t("vec_id", "cid", "rep_id", "kept")""",
@@ -3561,11 +3745,43 @@ object SparkEntry {
     "sketch_users_hll" -> """
       SELECT * FROM (VALUES ('click',150,150), ('error',150,150), ('purchase',150,150), ('signup',150,150), ('view',150,150)) AS t("event_type", "hll_estimate", "exact_distinct")""",
 
-    "hybrid_mmr_topk" -> """
-      SELECT * FROM (VALUES (1,350,CAST(0.310045 AS DOUBLE)), (10,250,CAST(0.112394 AS DOUBLE)), (2,13,CAST(0.215355 AS DOUBLE)), (3,270,CAST(0.195818 AS DOUBLE)), (4,14,CAST(0.174298 AS DOUBLE)), (5,96,CAST(0.1631 AS DOUBLE)), (6,413,CAST(0.143009 AS DOUBLE)), (7,327,CAST(0.139213 AS DOUBLE)), (8,150,CAST(0.138059 AS DOUBLE)), (9,319,CAST(0.117234 AS DOUBLE))) AS t("rank", "vec_id", "mmr_score")""",
+    // REAL SQL since r14: the unrolled greedy replay (see
+    // [[mmrOracleSql]]) — verified equal to the engine at both tiers
+    "hybrid_mmr_topk" -> mmrOracleSql(k = 10, depth = 50),
 
+    // REAL SQL since r14 (was a generated literal at both tiers — the
+    // classifier is fully relational): profiles = each language's 40
+    // most doc-frequent DISTINCT char trigrams (ties gram asc) over
+    // the labeled corpus; prediction = argmax profile overlap of the
+    // doc's distinct trigram set (ties lang asc). Pure ASCII corpus,
+    // so JVM code-unit and DuckDB code-point slicing agree; verified
+    // equal to the engine at 500 (sf0.01) and 50,000 (sf1) docs.
     "text_langid_ngram" -> """
-      SELECT * FROM (VALUES (0,'es'), (1,'fr'), (10,'es'), (100,'de'), (101,'en'), (102,'zh'), (103,'es'), (104,'es'), (105,'en'), (106,'de'), (107,'de'), (108,'fr'), (109,'fr'), (11,'en'), (110,'zh'), (111,'de'), (112,'es'), (113,'de'), (114,'fr'), (115,'en'), (116,'es'), (117,'en'), (118,'en'), (119,'zh'), (12,'en'), (120,'en'), (121,'zh'), (122,'de'), (123,'fr'), (124,'fr'), (125,'es'), (126,'fr'), (127,'de'), (128,'en'), (129,'en'), (13,'de'), (130,'es'), (131,'en'), (132,'en'), (133,'fr'), (134,'es'), (135,'de'), (136,'fr'), (137,'zh'), (138,'de'), (139,'es'), (14,'fr'), (140,'de'), (141,'en'), (142,'de'), (143,'es'), (144,'fr'), (145,'de'), (146,'de'), (147,'de'), (148,'zh'), (149,'es'), (15,'fr'), (150,'en'), (151,'en'), (152,'zh'), (153,'es'), (154,'de'), (155,'de'), (156,'de'), (157,'de'), (158,'en'), (159,'es'), (16,'fr'), (160,'de'), (161,'en'), (162,'es'), (163,'es'), (164,'en'), (165,'de'), (166,'en'), (167,'de'), (168,'de'), (169,'en'), (17,'es'), (170,'es'), (171,'es'), (172,'de'), (173,'de'), (174,'de'), (175,'de'), (176,'es'), (177,'en'), (178,'zh'), (179,'en'), (18,'de'), (180,'es'), (181,'fr'), (182,'fr'), (183,'es'), (184,'en'), (185,'en'), (186,'en'), (187,'en'), (188,'en'), (189,'en'), (19,'en'), (190,'de'), (191,'en'), (192,'en'), (193,'fr'), (194,'fr'), (195,'en'), (196,'en'), (197,'en'), (198,'en'), (199,'en'), (2,'zh'), (20,'de'), (200,'de'), (201,'de'), (202,'es'), (203,'es'), (204,'es'), (205,'de'), (206,'zh'), (207,'en'), (208,'en'), (209,'en'), (21,'zh'), (210,'de'), (211,'es'), (212,'de'), (213,'de'), (214,'es'), (215,'en'), (216,'de'), (217,'de'), (218,'zh'), (219,'zh'), (22,'en'), (220,'es'), (221,'en'), (222,'es'), (223,'en'), (224,'de'), (225,'es'), (226,'en'), (227,'en'), (228,'de'), (229,'en'), (23,'de'), (230,'fr'), (231,'en'), (232,'fr'), (233,'de'), (234,'en'), (235,'fr'), (236,'en'), (237,'es'), (238,'de'), (239,'zh'), (24,'de'), (240,'en'), (241,'de'), (242,'es'), (243,'zh'), (244,'fr'), (245,'de'), (246,'zh'), (247,'de'), (248,'de'), (249,'de'), (25,'de'), (250,'en'), (251,'de'), (252,'en'), (253,'es'), (254,'en'), (255,'de'), (256,'zh'), (257,'en'), (258,'de'), (259,'en'), (26,'en'), (260,'en'), (261,'de'), (262,'fr'), (263,'en'), (264,'de'), (265,'de'), (266,'en'), (267,'zh'), (268,'fr'), (269,'zh'), (27,'de'), (270,'de'), (271,'de'), (272,'de'), (273,'es'), (274,'de'), (275,'de'), (276,'de'), (277,'fr'), (278,'zh'), (279,'zh'), (28,'de'), (280,'de'), (281,'zh'), (282,'fr'), (283,'en'), (284,'en'), (285,'de'), (286,'en'), (287,'de'), (288,'es'), (289,'de'), (29,'es'), (290,'de'), (291,'de'), (292,'es'), (293,'en'), (294,'de'), (295,'fr'), (296,'de'), (297,'es'), (298,'en'), (299,'de'), (3,'de'), (30,'fr'), (300,'fr'), (301,'de'), (302,'fr'), (303,'de'), (304,'es'), (305,'fr'), (306,'en'), (307,'fr'), (308,'en'), (309,'en'), (31,'fr'), (310,'de'), (311,'de'), (312,'en'), (313,'zh'), (314,'fr'), (315,'es'), (316,'es'), (317,'en'), (318,'de'), (319,'de'), (32,'de'), (320,'de'), (321,'zh'), (322,'en'), (323,'en'), (324,'en'), (325,'de'), (326,'es'), (327,'fr'), (328,'de'), (329,'fr'), (33,'zh'), (330,'de'), (331,'es'), (332,'en'), (333,'de'), (334,'fr'), (335,'es'), (336,'de'), (337,'de'), (338,'en'), (339,'es'), (34,'zh'), (340,'de'), (341,'de'), (342,'es'), (343,'zh'), (344,'de'), (345,'es'), (346,'de'), (347,'es'), (348,'de'), (349,'fr'), (35,'de'), (350,'de'), (351,'es'), (352,'de'), (353,'zh'), (354,'de'), (355,'en'), (356,'es'), (357,'en'), (358,'en'), (359,'es'), (36,'de'), (360,'de'), (361,'es'), (362,'de'), (363,'en'), (364,'fr'), (365,'de'), (366,'de'), (367,'en'), (368,'es'), (369,'de'), (37,'zh'), (370,'fr'), (371,'en'), (372,'de'), (373,'de'), (374,'fr'), (375,'es'), (376,'en'), (377,'de'), (378,'en'), (379,'es'), (38,'de'), (380,'en'), (381,'en'), (382,'zh'), (383,'fr'), (384,'de'), (385,'de'), (386,'de'), (387,'de'), (388,'en'), (389,'de'), (39,'zh'), (390,'es'), (391,'en'), (392,'fr'), (393,'es'), (394,'de'), (395,'de'), (396,'en'), (397,'en'), (398,'zh'), (399,'es'), (4,'fr'), (40,'en'), (400,'en'), (401,'zh'), (402,'de'), (403,'de'), (404,'de'), (405,'de'), (406,'de'), (407,'fr'), (408,'fr'), (409,'de'), (41,'de'), (410,'en'), (411,'de'), (412,'zh'), (413,'zh'), (414,'es'), (415,'es'), (416,'zh'), (417,'de'), (418,'fr'), (419,'fr'), (42,'es'), (420,'es'), (421,'en'), (422,'en'), (423,'en'), (424,'de'), (425,'fr'), (426,'de'), (427,'en'), (428,'en'), (429,'de'), (43,'es'), (430,'de'), (431,'de'), (432,'de'), (433,'es'), (434,'de'), (435,'es'), (436,'zh'), (437,'en'), (438,'fr'), (439,'en'), (44,'zh'), (440,'de'), (441,'de'), (442,'en'), (443,'de'), (444,'zh'), (445,'zh'), (446,'zh'), (447,'en'), (448,'en'), (449,'zh'), (45,'zh'), (450,'de'), (451,'de'), (452,'fr'), (453,'de'), (454,'zh'), (455,'en'), (456,'de'), (457,'es'), (458,'en'), (459,'de'), (46,'de'), (460,'zh'), (461,'de'), (462,'en'), (463,'de'), (464,'es'), (465,'es'), (466,'de'), (467,'es'), (468,'es'), (469,'fr'), (47,'fr'), (470,'zh'), (471,'es'), (472,'es'), (473,'fr'), (474,'es'), (475,'es'), (476,'fr'), (477,'zh'), (478,'fr'), (479,'fr'), (48,'en'), (480,'fr'), (481,'zh'), (482,'zh'), (483,'es'), (484,'zh'), (485,'es'), (486,'es'), (487,'es'), (488,'es'), (489,'de'), (49,'fr'), (490,'fr'), (491,'es'), (492,'es'), (493,'de'), (494,'de'), (495,'es'), (496,'fr'), (497,'de'), (498,'de'), (499,'en'), (5,'en'), (50,'es'), (51,'de'), (52,'zh'), (53,'en'), (54,'en'), (55,'de'), (56,'de'), (57,'de'), (58,'en'), (59,'de'), (6,'en'), (60,'de'), (61,'en'), (62,'en'), (63,'de'), (64,'en'), (65,'es'), (66,'fr'), (67,'zh'), (68,'de'), (69,'es'), (7,'de'), (70,'en'), (71,'de'), (72,'de'), (73,'de'), (74,'fr'), (75,'fr'), (76,'en'), (77,'de'), (78,'de'), (79,'fr'), (8,'de'), (80,'de'), (81,'de'), (82,'zh'), (83,'es'), (84,'en'), (85,'zh'), (86,'de'), (87,'es'), (88,'zh'), (89,'en'), (9,'zh'), (90,'fr'), (91,'es'), (92,'de'), (93,'zh'), (94,'es'), (95,'en'), (96,'fr'), (97,'en'), (98,'de'), (99,'en')) AS t("doc_id", "pred_lang")""",
+      WITH tg AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_distinct([text[i:i+2]
+                              for i in range(1, length(text)-1)]) AS gs
+        FROM documents),
+      pg AS (SELECT lang, gram, count(*) AS n
+             FROM (SELECT lang, unnest(gs) AS gram FROM tg) GROUP BY 1, 2),
+      prof AS MATERIALIZED (SELECT lang, gram FROM (
+               SELECT lang, gram,
+                      row_number() OVER (PARTITION BY lang
+                        ORDER BY n DESC, gram) AS rk
+               FROM pg) WHERE rk <= 40),
+      dg AS (SELECT doc_id, unnest(gs) AS gram FROM tg),
+      ov AS (SELECT dg.doc_id, p.lang, count(*) AS hits
+             FROM dg JOIN prof p ON dg.gram = p.gram GROUP BY 1, 2),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      scored AS (SELECT d.doc_id, l.lang, coalesce(o.hits, 0) AS hits
+                 FROM (SELECT doc_id FROM documents) d
+                 CROSS JOIN langs l
+                 LEFT JOIN ov o ON o.doc_id = d.doc_id AND o.lang = l.lang)
+      SELECT doc_id, lang AS pred_lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY hits DESC, lang) AS rk
+        FROM scored) WHERE rk = 1""",
 
     // GENERATED-LITERAL oracles for the seeded ANN evaluation surface:
     // every index family is engineered deterministic (seeded layer
@@ -5792,6 +6008,27 @@ object SparkEntry {
       allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up)
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(2 AS BIGINT) AS n_folds,
+             CAST(0 AS BIGINT) AS n_live_batches,
+             CAST(sum(c) AS BIGINT) AS total_cents
+      FROM allr""",
+    // the BYTE-triggered twin (r13 verdict #3): count trigger inert at
+    // maxLive = 100, 1-byte budget — a fold per chunk (4 generations),
+    // zero live tail, identical composed end state
+    "orders_mor_autocompact_bytes" -> """
+      WITH up AS (SELECT o_orderkey AS k,
+                    (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                      AS nc
+                  FROM orders WHERE o_orderkey % 500 = 0),
+      kept AS (SELECT CASE WHEN o_orderkey % 500 = 0
+                        THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11)
+                             // 10
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END AS c
+               FROM orders
+               WHERE NOT (o_orderkey % 700 = 0 AND o_orderkey % 500 <> 0)),
+      allr AS (SELECT c FROM kept UNION ALL SELECT nc FROM up)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(4 AS BIGINT) AS n_folds,
              CAST(0 AS BIGINT) AS n_live_batches,
              CAST(sum(c) AS BIGINT) AS total_cents
       FROM allr""",
@@ -8124,18 +8361,27 @@ object SparkEntry {
     "emb_kmeans_streamed" -> kmeansAssignOracle,
 
     // mean-unit-vector norm with the engine's two-level integer
-    // TwoNN replay: at sf0.01 the probe stride is 1 (500 < maxProbes),
-    // so the sample IS the corpus and the oracle replays the full
-    // all-pairs form — same round-6 cosine distances, same (r1, r2)
-    // read off the sorted per-point distance multiset (tie order
-    // cannot change the position-1/2 VALUES), micro-nat integer log
-    // quantization before the sum, one final division
+    // TwoNN replay, PROBE-STRIDE-PARAMETERIZED like the engine (r13
+    // verdict #1: the former SQL hard-coded the stride-1 all-pairs
+    // form this tier happens to resolve to, so it could not replay at
+    // derived tiers): stride = greatest(1, n // 512), probes =
+    // vec_id % stride = 0 against the FULL corpus — same round-6
+    // cosine distances, same (r1, r2) read off the sorted per-probe
+    // distance multiset (tie order cannot change the position-1/2
+    // VALUES), micro-nat integer log quantization before the sum, one
+    // final division
     "emb_intrinsic_dim" -> s"""
-      WITH e AS (SELECT vec_id,
+      WITH e AS MATERIALIZED (SELECT vec_id,
                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
                  FROM embeddings),
+      n AS (SELECT count(*) AS n_points,
+                   greatest(1, count(*) // 512) AS st
+            FROM e),
+      qq AS MATERIALIZED (SELECT vec_id, emb FROM e, n
+            WHERE vec_id % n.st = 0),
       d AS (SELECT q.vec_id AS qid, b.vec_id, $cosDistSql AS dist
-            FROM e b, e q WHERE b.vec_id <> q.vec_id),
+            FROM e b, qq q
+            WHERE b.vec_id <> q.vec_id),
       r AS (SELECT qid, dist, row_number() OVER (PARTITION BY qid
               ORDER BY dist, vec_id) AS rk FROM d),
       t AS (SELECT qid,
@@ -8144,8 +8390,7 @@ object SparkEntry {
             FROM r WHERE rk <= 2 GROUP BY qid),
       u AS (SELECT CAST(round(ln(r2 / r1) * 1000000.0) AS BIGINT) AS lg
             FROM t WHERE r1 > 0),
-      s AS (SELECT count(*) AS n_used, CAST(sum(lg) AS BIGINT) AS sm FROM u),
-      n AS (SELECT count(*) AS n_points FROM e)
+      s AS (SELECT count(*) AS n_used, CAST(sum(lg) AS BIGINT) AS sm FROM u)
       SELECT n_points, n_used, sm AS sum_log_mu_micro,
              round(n_used * 1000000.0 / sm, 4) AS twonn_dim
       FROM n CROSS JOIN s""",

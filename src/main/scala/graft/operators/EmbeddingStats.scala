@@ -27,24 +27,38 @@ object EmbeddingStats {
     * minimum).
     */
   /** HUBNESS diagnostic (Radovanović et al. 2010, JMLR): the
-    * k-occurrence distribution — N_k(v) = how many base vectors list v
-    * in their top-k — with its population skewness. High-dimensional
-    * spaces grow HUBS (vectors in everyone's neighbor list) and
-    * anti-hubs (N_k = 0, zero-filled here against the base universe);
-    * positive skew of N_k is THE standard symptom, and it degrades
-    * every kNN consumer (which is exactly why [[mutualKnnClusters]]
-    * uses the reciprocal graph). Moments are exact integer sums; the
-    * skew is one fixed-order double chain (m2^1.5 as m2·√m2, never
-    * pow). Output: (n_occ, n_vecs, skewness) — the histogram with the
-    * corpus-level skew attached.
+    * k-occurrence distribution — N_k(v) = how many querying vectors
+    * list v in their top-k — with its population skewness. The query
+    * panel is a deterministic ~`probeTarget`-anchor stride sample of
+    * the base (stride 1, i.e. EVERY base vector queries, at the
+    * sf0.01 oracle tier); candidates are always the full base, and
+    * N_k = 0 vectors are zero-filled against the full base universe.
+    * High-dimensional spaces grow HUBS (vectors in everyone's neighbor
+    * list) and anti-hubs; positive skew of N_k is THE standard
+    * symptom, and it degrades every kNN consumer (which is exactly why
+    * [[mutualKnnClusters]] uses the reciprocal graph). Moments are
+    * exact integer sums; the skew is one fixed-order double chain
+    * (m2^1.5 as m2·√m2, never pow). Output: (n_occ, n_vecs, skewness)
+    * — the histogram with the corpus-level skew attached.
     *
-    * Scale shape: one groupBy over the memoized n·k self-top-k rows, a
-    * zero-fill join against the base ids, a 1-row moment fold, a
-    * ≤max(N_k)-row histogram.
+    * Scale shape: one groupBy over the memoized panel·k anchored
+    * top-k rows (O(panel·n) to build at any tier — the bound that
+    * keeps the DuckDB oracle a real replay at derived tiers, r13
+    * verdict #1), a zero-fill join against the base ids, a 1-row
+    * moment fold, a ≤max(N_k)-row histogram.
     */
-  def hubness(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val (base, _, _, _) = graft.knn.ExactKnn.split(spark, dir)
-    val occ0 = graft.knn.ExactKnn.selfTopK(spark, dir, k)
+  def hubness(spark: SparkSession, dir: String, k: Int = 5,
+      probeTarget: Long = 512L): DataFrame = {
+    val (base, _, splitAt, _) = graft.knn.ExactKnn.split(spark, dir)
+    // anchored query panel (~probeTarget deterministic stride queries,
+    // the twoNN-probe discipline; r13 verdict #1): k-occurrence is
+    // counted from the panel's exact top-k against the FULL candidate
+    // set, zero-filled over the full base — stride 1 (every base
+    // vector queries) at the sf0.01 oracle tier, O(panel·n) at derived
+    // tiers so the DuckDB oracle replays the relation instead of
+    // pinning it
+    val qStride = math.max(1L, splitAt / probeTarget)
+    val occ0 = graft.knn.ExactKnn.selfTopK(spark, dir, k, qStride = qStride)
       .groupBy(col("vec_id")).agg(count(lit(1)).as("n_occ"))
     val occ = base.select(col("vec_id"))
       .join(occ0, Seq("vec_id"), "left")

@@ -1209,6 +1209,41 @@ object CdcStream {
         lit(nLive).as("n_live_batches"), col("total_cents"))
   }
 
+  /** The declared BYTE-TRIGGERED auto-compaction row
+    * (`orders_mor_autocompact_bytes`, r13 verdict #3 — promoting the
+    * size policy from spec-only to the hash gate): the same streamed
+    * apply, but with the COUNT trigger provably inert (maxLive = 100
+    * over a 4-chunk stream — count alone would never fold) and the
+    * byte budget at its floor (1 byte — any non-empty sidecar
+    * overflows it), so EVERY fold that happens is byte-triggered:
+    * 4 generations (g3), zero live batches. Deterministic at every
+    * tier because the decision needs only "bytes > 1", never an exact
+    * parquet file size. Same composed-end-state oracle family; the
+    * structural pin (n_folds = 4 vs the count row's 2) separates the
+    * two policies under the gate. Output: (n_rows, n_folds,
+    * n_live_batches, total_cents).
+    */
+  def morAutoCompactBytesStreamed(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val staged = stagedChangelogDir(spark, dir)
+    val base = baseStateDir(spark, dir)
+    val morRoot = EventStream.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-mor-autob")).toString
+    EventStream.withStreamPartitions(spark, 4, noData = false) {
+      runMorApplyAutoCompact(spark, staged, morRoot,
+        EventStream.ckptDir("graft-ckpt-mor-autob"), maxLive = 100,
+        maxLiveBytes = 1L)
+    }
+    val (genDir, upto) = currentMinor(morRoot).getOrElse(("minor-g-1", -1L))
+    val nFolds = genIndex(genDir) + 1
+    val nLive = batchIds(s"$morRoot/deletes")
+      .union(batchIds(s"$morRoot/inserts")).distinct.count(_ > upto).toLong
+    morMinorRead(spark, base, morRoot)
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("total_cents"))
+      .select(col("n_rows"), lit(nFolds).as("n_folds"),
+        lit(nLive).as("n_live_batches"), col("total_cents"))
+  }
+
   // ------------------------------------------------------------------
   // INCREMENTAL VIEW MAINTENANCE — the other thing a changelog is for.
   // The apply loop maintains the TABLE; IVM maintains an AGGREGATE over

@@ -78,7 +78,13 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("planted near-duplicates all surface at 10x (no recall decay)") {
-    val out = Dedup.embeddingNearDupLshQuery(spark, dir10x)
+    // the kernel over the UNSAMPLED planted universe (the declared row
+    // since r14 runs the same kernel over the deterministic ≤4000-
+    // vector panel so its quadratic oracle replays at derived tiers;
+    // the full-universe recall property lives here)
+    val out = Dedup.embeddingNearDupLshNormalized(
+      Dedup.plantedNormalizedEmbeddings(spark, dir10x), dim = 64,
+      threshold = 0.98, bands = 16, rowsPerBand = 16)
       .select(col("vec_a"), col("vec_b"))
     // every planted pair is (id, id + 100000) — 20k of them
     val planted = spark.range(20000)
