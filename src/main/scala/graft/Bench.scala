@@ -111,86 +111,95 @@ object Bench {
     // batch-RESULT memo — the declared knn_*_batch and eval_* rows then
     // measure the serve path (cached result / recall join), and the one
     // full coarse-scan+re-rank per family is charged here
-    val builds = if (!withBuilds) Seq.empty[(String, Double)] else Seq(
-      timed("bench_build_exact_gt",
+    // dev loop only: a subset run may name individual bench_build_* rows
+    // in SPARK_GRAFT_ONLY to time just those builds (full runs and
+    // WITH_BUILDS=1 runs keep every build, exactly as before)
+    def buildTimed(name: String, run: () => Unit): Option[(String, Double)] =
+      if (withBuilds || only.exists(_(name))) Some(timed(name, run)) else None
+    val builds = Seq(
+      buildTimed("bench_build_exact_gt",
         () => knn.ExactKnn.topKBatch(spark, sfDir).count()),
-      timed("bench_build_exact_gt_sampled",
+      buildTimed("bench_build_exact_gt_sampled",
         () => knn.ExactKnn.topKBatchSampled(spark, sfDir).count()),
-      timed("bench_build_hnsw",
+      buildTimed("bench_build_hnsw",
         () => SparkEntry.queries("knn_hnsw_batch")(spark, sfDir).count()),
-      timed("bench_build_ivf",
+      buildTimed("bench_build_ivf",
         () => SparkEntry.queries("knn_ivf_batch")(spark, sfDir).count()),
-      timed("bench_build_pq",
+      buildTimed("bench_build_pq",
         () => SparkEntry.queries("knn_pq_batch")(spark, sfDir).count()),
-      timed("bench_build_ivfpq",
+      buildTimed("bench_build_ivfpq",
         () => SparkEntry.queries("knn_ivfpq_batch")(spark, sfDir).count()),
-      timed("bench_build_opq",
+      buildTimed("bench_build_opq",
         () => SparkEntry.queries("knn_opq_batch")(spark, sfDir).count()),
-      timed("bench_build_vamana",
+      buildTimed("bench_build_vamana",
         () => SparkEntry.queries("knn_vamana_batch")(spark, sfDir).count()),
-      timed("bench_build_vamana_ckpt",
+      buildTimed("bench_build_vamana_ckpt",
         () => SparkEntry.queries("knn_vamana_lifecycle")(spark, sfDir).count()),
-      timed("bench_build_vamana_ins",
+      buildTimed("bench_build_vamana_ins",
         () => SparkEntry.queries("knn_vamana_after_insert")(spark, sfDir).count()),
-      timed("bench_build_rp",
+      buildTimed("bench_build_rp",
         () => SparkEntry.queries("knn_rp_batch")(spark, sfDir).count()),
-      timed("bench_build_pca",
+      buildTimed("bench_build_pca",
         () => SparkEntry.queries("knn_pca_batch")(spark, sfDir).count()),
-      timed("bench_build_sq",
+      buildTimed("bench_build_sq",
         () => SparkEntry.queries("knn_sq_batch")(spark, sfDir).count()),
-      timed("bench_build_mrl",
+      buildTimed("bench_build_mrl",
         () => SparkEntry.queries("knn_mrl_batch")(spark, sfDir).count()),
-      timed("bench_build_bq",
+      buildTimed("bench_build_bq",
         () => SparkEntry.queries("knn_bq_batch")(spark, sfDir).count()),
-      timed("bench_build_bq256",
+      buildTimed("bench_build_bq256",
         () => SparkEntry.queries("knn_bq256_batch")(spark, sfDir).count()),
       // first lifecycle call pays the one-time checkpoint WRITE (index
       // publication); the declared knn_*_lifecycle queries then measure
       // what a reader pays: load + probe
-      timed("bench_build_hnsw_ckpt",
+      buildTimed("bench_build_hnsw_ckpt",
         () => knn.HnswKnn.topKBatchLifecycle(spark, sfDir).count()),
-      timed("bench_build_ivf_ckpt",
+      buildTimed("bench_build_ivf_ckpt",
         () => knn.IvfKnn.topKBatchLifecycle(spark, sfDir).count()),
-      timed("bench_build_pq_ckpt",
+      buildTimed("bench_build_pq_ckpt",
         () => knn.PqKnn.topKBatchLifecycle(spark, sfDir).count()),
-      timed("bench_build_ivfpq_ckpt",
+      buildTimed("bench_build_ivfpq_ckpt",
         () => knn.IvfPqKnn.topKBatchLifecycle(spark, sfDir).count()),
-      timed("bench_build_opq_ckpt",
+      buildTimed("bench_build_opq_ckpt",
         () => SparkEntry.queries("knn_opq_lifecycle")(spark, sfDir).count()),
-      timed("bench_build_pca_ckpt",
+      buildTimed("bench_build_pca_ckpt",
         () => knn.PcaKnn.topKBatchLifecycle(spark, sfDir).count()),
-      timed("bench_build_langid",
+      buildTimed("bench_build_langid",
         () => operators.TextOps.languageIdNgram(spark, sfDir).count()
           + operators.TextOps.prewarmNbModel(spark, sfDir)),
-      timed("bench_build_norm_emb",
+      buildTimed("bench_build_norm_emb",
         () => operators.Dedup.normalizedEmbeddings(spark, sfDir).count()),
-      timed("bench_build_norm_emb_planted",
+      buildTimed("bench_build_norm_emb_planted",
         () => operators.Dedup.plantedNormalizedEmbeddings(spark, sfDir).count()),
-      timed("bench_build_tokens",
+      buildTimed("bench_build_tokens",
         () => operators.TextOps.tokenizedDocs(spark, sfDir).count()),
-      timed("bench_build_grams",
+      buildTimed("bench_build_grams",
         () => operators.Dedup.ngramJaccardPairs(spark, sfDir).count()),
       // gram-posting containment pairing shared by the containment row
       // and the cross-detector check
-      timed("bench_build_containment",
+      buildTimed("bench_build_containment",
         () => operators.Dedup.containmentPairs(spark, sfDir).count()),
-      timed("bench_build_clusters",
+      buildTimed("bench_build_clusters",
         () => operators.Dedup.nearDupClusters(spark, sfDir).count()),
       // the composed curation manifest materializes once per dataset
       // (the release artifact both pipeline_end_to_end rows read)
-      timed("bench_build_e2e",
+      buildTimed("bench_build_e2e",
         () => operators.Pipeline.endToEndManifest(spark, sfDir).count()),
-      timed("bench_build_copurchase",
-        () => operators.GraphOps.copurchaseEdges(spark, sfDir).count()
-          + operators.GraphOps.bidirAdjacency(spark, sfDir).count()
+      buildTimed("bench_build_copurchase",
+        // five independent cuts over the shared memoized pair counts —
+        // overlapped (§2.6); the shared dependency builds once under
+        // its IndexCache key lock
+        () => parallelSum(Seq(
+          () => operators.GraphOps.copurchaseEdges(spark, sfDir).count(),
+          () => operators.GraphOps.bidirAdjacency(spark, sfDir).count(),
           // the components/communities slices (denser minShared cuts)
-          + operators.GraphOps.copurchaseEdges(spark, sfDir, 4).count()
-          + operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count()
+          () => operators.GraphOps.copurchaseEdges(spark, sfDir, 4).count(),
+          () => operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count(),
           // the k-core peel's adjacency (minShared=3 cut)
-          + operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()),
+          () => operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()))),
       // item-item transpose (deg² basket expansion) + the truncated
       // neighbor-list index the basket-completion serving row reads
-      timed("bench_build_itempairs",
+      buildTimed("bench_build_itempairs",
         () => {
           val nbrs = operators.GraphOps.itemNeighborListsDF(spark, sfDir)
             .count()
@@ -209,59 +218,63 @@ object Bench {
       // one-time per-layout dual-key file envelopes (three global-rank
       // sorts) shared by the two layout-audit rows — charged here so
       // whichever audit row runs first doesn't absorb the sorts
-      timed("bench_build_layout_envelopes",
-        () => Seq("natural", "shipdate_sorted", "supplier_sorted", "zorder")
-          .map(l => operators.ScaleTechniques
-            .layoutEnvelopes(spark, sfDir, l).count()).sum),
+      buildTimed("bench_build_layout_envelopes",
+        // the four layouts are independent global-rank sorts over the
+        // same scan — overlap them (guide §2.6) so each sort's tail and
+        // driver gaps back-fill with the next layout's work
+        () => parallelSum(
+          Seq("natural", "shipdate_sorted", "supplier_sorted", "zorder")
+            .map(l => () => operators.ScaleTechniques
+              .layoutEnvelopes(spark, sfDir, l).count()))),
       // one-time NDJSON fixture render (driver-side string build +
       // tmpfile write) read by the ingest_ndjson_topk pipeline row
-      timed("bench_build_ndjson_fixture",
+      buildTimed("bench_build_ndjson_fixture",
         () => { sources.Ingest.ndjsonFixture(spark, sfDir); 1L }),
       // per-doc winnowing fingerprint selection + the pair relation
       // shared by the winnowing pair/containment rows and both
       // detector cross-checks
-      timed("bench_build_winnow",
+      buildTimed("bench_build_winnow",
         () => operators.TextOps.winnowingFingerprints(spark, sfDir).count()
           + operators.TextOps.winnowingPairs(spark, sfDir).count()),
       // banded-signature mining + exact-Jaccard verification behind the
       // minhash row and the minhash-winnow cross-check
-      timed("bench_build_minhash",
+      buildTimed("bench_build_minhash",
         () => operators.Dedup.minhashLshPairs(spark, sfDir).count()),
       // base-side self top-k scan behind the mutual-pair relation the
       // pair and cluster rows read
-      timed("bench_build_mutual_knn",
+      buildTimed("bench_build_mutual_knn",
         () => knn.ExactKnn.mutualKnnPairs(spark, sfDir).count()),
       // 50 sequential gradient-descent aggregates — one-time training
       // the three classifier evals then score against
-      timed("bench_build_lr",
+      buildTimed("bench_build_lr",
         () => operators.Pipeline.prewarmClassifier(spark, sfDir)),
       // three Lloyd passes training the k-means model the assignment
       // and silhouette queries read
-      timed("bench_build_kmeans",
+      buildTimed("bench_build_kmeans",
         () => operators.EmbeddingStats.kmeansCentroids(spark, sfDir).length.toLong),
-      timed("bench_build_fuzzy",
+      buildTimed("bench_build_fuzzy",
         () => operators.TextOps.fuzzyWordPairs(spark, sfDir).count()
           + operators.TextOps.typoLabelDictionary(spark, sfDir).count()),
-      timed("bench_build_bpe",
+      buildTimed("bench_build_bpe",
         () => operators.TextOps.bpeVocab(spark, sfDir).count()),
       // unigram-LM EM training (seed shuffle + 2 Viterbi rounds) — the
       // tokenizer/encode rows then measure serving
-      timed("bench_build_unigram",
+      buildTimed("bench_build_unigram",
         () => operators.TextOps.unigramVocab(spark, sfDir).count()),
       // one-time month-partitioned orders layout — the declared DPP row
       // then measures the pruned join, not the artifact write
-      timed("bench_build_part_orders",
+      buildTimed("bench_build_part_orders",
         () => spark.read.parquet(
           operators.ScaleTechniques.partitionedOrdersPath(spark, sfDir)).count()),
       // one-time z-tile-partitioned events layout — the declared
       // zorder-DPP row then measures the pruned join, not the write
-      timed("bench_build_zorder_part",
+      buildTimed("bench_build_zorder_part",
         () => spark.read.parquet(
           operators.ScaleTechniques.zorderPartitionedEventsPath(
             spark, sfDir)).count()),
       // one-time co-bucketed table writes — the declared bucketed-join
       // row then measures the exchange-free merge, not the layout cost
-      timed("bench_build_buckets",
+      buildTimed("bench_build_buckets",
         () => {
           val (ot, _) = operators.ScaleTechniques.bucketedTables(spark, sfDir)
           spark.table(ot).count()
@@ -269,17 +282,17 @@ object Bench {
       // one-time per-dataset stream-source staging (parquet copy +
       // watermark sentinels) — charged here so the events_*_streamed
       // rows measure the streaming engine, not file staging
-      timed("bench_build_stream_stage",
+      buildTimed("bench_build_stream_stage",
         () => streaming.EventStream.prestageSources(spark, sfDir)),
       // one-time CDC staging (chunked changelog + base state snapshot)
       // — the declared apply row then measures the MERGE loop itself
-      timed("bench_build_cdc_stage",
+      buildTimed("bench_build_cdc_stage",
         () => streaming.CdcStream.prestage(spark, sfDir)),
       // one-time two-generation schema-evolution export — the declared
       // row then measures the mergeSchema read, not the staging write
-      timed("bench_build_evolved",
+      buildTimed("bench_build_evolved",
         () => spark.read.parquet(
-          sources.Ingest.evolvedOrdersDir(spark, sfDir)).count()))
+          sources.Ingest.evolvedOrdersDir(spark, sfDir)).count())).flatten
     // Run the cache-DEPENDENT families first (they read the persisted
     // builds above), then drop every persisted block before the
     // cache-free relational/events section. r5 measured unchanged
@@ -334,7 +347,7 @@ object Bench {
     }
     val qmap = selected
     val cachedResults = polish(runAll(cachedQs), 120.0, qmap)
-    if (withBuilds) releaseCaches(spark)
+    if (builds.nonEmpty) releaseCaches(spark)
     val all = builds ++ cachedResults ++ polish(runAll(freeQs), 60.0, qmap)
     // failed rows live in the errors array; a NaN in the queries map or
     // the total would make the whole contract line unparseable JSON
@@ -359,6 +372,23 @@ object Bench {
       (diag.mkString("\n") + "\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+  }
+
+  /** Run independent thunks concurrently on a small pool and sum their
+    * results — the §2.6 overlap helper for build rows composed of
+    * several independent jobs (the scheduler back-fills one job's
+    * straggler tail and driver gaps with the next job's tasks).
+    */
+  private def parallelSum(thunks: Seq[() => Long]): Long = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, thunks.size))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = thunks.map(t => scala.concurrent.Future(t()))
+      fs.map(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf).asInstanceOf[Long]).sum
+    } finally pool.shutdown()
   }
 
   /** JVM-environment gauges for per-row bench attribution. */

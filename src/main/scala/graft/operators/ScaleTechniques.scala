@@ -299,8 +299,13 @@ object ScaleTechniques {
             .cast("int"))
         // co-locate each tile before the hive write: one file per tile
         // dir instead of (tasks x tiles) shards — at 10x the unshuffled
-        // write fans out to ~16k files, an fd/small-file hazard
-        .repartition(col("ztile"))
+        // write fans out to ~16k files, an fd/small-file hazard. The
+        // partition count is pinned (keyless-AQE exempt): with
+        // `repartition(col)` AQE coalesces the tiny shuffle to ONE
+        // partition and a single task pays every tile's file-create
+        // serially (measured 9.1 s for ~550 tiles); pinning to the
+        // executor width spreads the creates, still one file per tile
+        .repartition(spark.sparkContext.defaultParallelism, col("ztile"))
         .write.mode("overwrite").partitionBy("ztile").parquet(p)
       p
     }
@@ -396,7 +401,9 @@ object ScaleTechniques {
         .withColumn("htile", shiftright(
           graft.functions.HilbertCurve.hilbertIndex(col("x"), col("d"), bits),
           shift).cast("int"))
-        .repartition(col("htile"))
+        // pinned width for the same single-writer reason as the z-tile
+        // layout above (AQE would coalesce the tiny shuffle to 1 task)
+        .repartition(spark.sparkContext.defaultParallelism, col("htile"))
         .write.mode("overwrite").partitionBy("htile").parquet(p)
       p
     }

@@ -94,18 +94,39 @@ object CdcStream {
     * the compaction row folds) — the bench charges it here.
     */
   def prestage(spark: SparkSession, dir: String): Long = {
-    stagedChangelogDir(spark, dir)
-    baseStateDir(spark, dir)
-    ivmBaseAggDir(spark, dir)
-    appliedStateDirs(spark, dir)
-    versionChainDirs(spark, dir)
-    morSidecarDirs(spark, dir)
-    morChainDirs(spark, dir)
-    // the deferred folds (major + minor + retention) are stagings
-    // too — building the summary DataFrames runs their memoized writes
-    morCompactedSummary(spark, dir)
-    morMinorCompactedSummary(spark, dir)
-    expiredChainSummary(spark, dir)
+    // The stagings are chains of tiny jobs whose wall-clock is dominated
+    // by per-job driver gaps (planning, commit protocol, micro-batch
+    // orchestration — measured: 140 jobs summing 14 s over a 28 s span,
+    // no job over 1.1 s). Overlapping INDEPENDENT stagings from a small
+    // thread pool back-fills those gaps (optimization guide §2.6);
+    // IndexCache is per-key locked, so shared inputs (base snapshot,
+    // staged changelog) build exactly once and dependents block on them.
+    // Phase 1 holds the artifacts with no inter-dependencies; phase 2
+    // holds the deferred folds that read phase-1 layouts.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      def awaitAll(fs: Seq[scala.concurrent.Future[_]]): Unit =
+        fs.foreach(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      // the two roots everything else reads — built first so phase 1
+      // never stacks four waiters on one key lock
+      stagedChangelogDir(spark, dir)
+      baseStateDir(spark, dir)
+      awaitAll(Seq(
+        scala.concurrent.Future(appliedStateDirs(spark, dir)),
+        scala.concurrent.Future(versionChainDirs(spark, dir)),
+        scala.concurrent.Future(morSidecarDirs(spark, dir)),
+        scala.concurrent.Future(morChainDirs(spark, dir)),
+        scala.concurrent.Future(ivmBaseAggDir(spark, dir))))
+      // the deferred folds (major + minor + retention) are stagings
+      // too — building the summary DataFrames runs their memoized writes
+      awaitAll(Seq(
+        scala.concurrent.Future(morCompactedSummary(spark, dir)),
+        scala.concurrent.Future(morMinorCompactedSummary(spark, dir)),
+        scala.concurrent.Future(expiredChainSummary(spark, dir))))
+    } finally pool.shutdown()
     1L
   }
 
