@@ -52,11 +52,15 @@ object Bench {
     // per-row environment attribution, so it stays a permanent fixture.
     val diag = new scala.collection.mutable.ArrayBuffer[String]()
     def runOnce(name: String, run: () => Unit): (Double, Long) = {
+      // label every job with its bench row (guide §1.5) so event-log /
+      // UI profiling attributes jobs to queries; thread-local, no cost
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val (gc0, jit0) = (Diag.gcMs, Diag.jitMs)
       val t0 = System.nanoTime()
       val sec =
         try { run(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => errors += name; Double.NaN }
+        finally spark.sparkContext.setJobDescription(null)
       val gcMs = Diag.gcMs - gc0
       // NaN is the in-JVM failure marker but not valid JSON — the
       // sidecar line must stay machine-readable even on errored rows

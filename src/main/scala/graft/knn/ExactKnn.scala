@@ -55,7 +55,11 @@ object ExactKnn {
       s"vec_id must be dense 0..${n - 1}, got " +
         s"[${stats.getLong(1)}, ${stats.getLong(2)}]")
     val splitAt = math.round(ratio * n)
-    (emb.filter(col("vec_id") < splitAt),
+    // base feeds the broadcast-NLJ distance kernels and the ANN index
+    // builds — widen it so the per-row distance work spreads across
+    // cores even when the fixture arrives as one input split (no-op on
+    // any multi-split table; queries side stays narrow, it broadcasts)
+    (graft.plans.GraftOps.widen(emb.filter(col("vec_id") < splitAt)),
      emb.filter(col("vec_id") >= splitAt), splitAt, n)
   }
 

@@ -110,8 +110,12 @@ object Dedup {
   def gramHashSets(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"gram-hash-sets:$dir") {
       import spark.implicits._
-      val df = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text"))
+      // widen BEFORE the typed gram pass AND the persist: the
+      // single-split scan would serialize the FNV hashing on one core
+      // and pin one cached partition for every dedup consumer
+      val df = graft.plans.GraftOps.widen(
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")))
         .as[(Long, String)]
         .map { case (id, t) => (id, gramsOf(t).map(fnv64).toArray) }
         .toDF("doc_id", "ghashes")
@@ -767,9 +771,12 @@ object Dedup {
     */
   def normalizedEmbeddings(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"norm-emb:$dir") {
-      val n = l2Normalize(Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          VectorFunctions.toDoubleArray(col("embedding")).as("v")))
+      // widen BEFORE persist so every downstream distance kernel sees
+      // executor-width cached partitions, not the fixture's one split
+      val n = l2Normalize(graft.plans.GraftOps.widen(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"),
+              VectorFunctions.toDoubleArray(col("embedding")).as("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       n.count()
       n
@@ -1043,8 +1050,9 @@ object Dedup {
     */
   def plantedNormalizedEmbeddings(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"norm-emb-planted:$dir") {
-      val base = Tables.embeddings(spark, dir).select(col("vec_id"),
-        VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      val base = graft.plans.GraftOps.widen(
+        Tables.embeddings(spark, dir).select(col("vec_id"),
+          VectorFunctions.toDoubleArray(col("embedding")).as("v")))
       val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("v"), x => x + lit(0.01)).as("v"))
       val n = l2Normalize(base.union(planted))

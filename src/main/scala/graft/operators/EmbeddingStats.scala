@@ -827,7 +827,11 @@ object EmbeddingStats {
     val q = broadcast(emb
       .filter(pmod(col("vec_id"), lit(stride)) === 0)
       .select(col("vec_id").as("qid"), col("emb").as("qvec")))
-    val scored = emb.crossJoin(q).filter(col("vec_id") =!= col("qid"))
+    // widen the corpus side of the NLJ: the probe-panel distance scan
+    // is pure per-row compute and ran as ONE task off the single-split
+    // fixture scan (measured 2-4 s single-threaded at sf0.1)
+    val scored = graft.plans.GraftOps.widen(emb)
+      .crossJoin(q).filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         graft.knn.ExactKnn.dist(col("emb"), col("qvec")).as("dist"))
     val top2 = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),

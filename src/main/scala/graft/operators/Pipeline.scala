@@ -1190,10 +1190,19 @@ object Pipeline {
         round(col("kn_mean_nll") * lit(1000000.0), 0).cast("long").as("m6"))
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang")).join(nll, "doc_id")
-    val qs = scored.groupBy(col("lang")).agg(
-      round(percentile(col("m6"), lit(0.25)) * 4, 0).cast("long").as("lo4"),
-      round(percentile(col("m6"), lit(0.75)) * 4, 0).cast("long").as("hi4"))
-    scored.join(broadcast(qs), Seq("lang"))
+    // quartiles as window aggregates over the SAME pass: the former
+    // rollup-then-broadcast-back shape planted the whole KN scoring
+    // subtree twice in the plan (once under the quartile branch, once
+    // under the band branch — every KN broadcast job ran twice,
+    // guide §7.2 duplicated-subtree check); the per-lang window computes
+    // identical lo4/hi4 on every row in one evaluation, and the groupBy
+    // that follows reuses the window's lang exchange (§2.4)
+    val w = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("lo4",
+        round(percentile(col("m6"), lit(0.25)).over(w) * 4, 0).cast("long"))
+      .withColumn("hi4",
+        round(percentile(col("m6"), lit(0.75)).over(w) * 4, 0).cast("long"))
       .groupBy(col("lang"), col("lo4"), col("hi4"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("m6") * 4 >= col("lo4") &&

@@ -634,8 +634,12 @@ object TextOps {
     */
   def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"tokens:$dir") {
-      val t = Tables.documents(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      // widen BEFORE persist: the single-split fixture scan would
+      // otherwise pin every downstream text consumer to one cached
+      // partition (one core) for the whole session
+      val t = graft.plans.GraftOps.widen(
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), split(col("text"), " ").as("w")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t.count()
       t
@@ -1113,8 +1117,8 @@ object TextOps {
     */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val pairs = graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val w = t.split(" ", -1)
         (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
@@ -1202,8 +1206,8 @@ object TextOps {
     */
   def kneserNeySurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val pairs = graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val w = t.split(" ", -1)
         (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
@@ -1247,8 +1251,8 @@ object TextOps {
   def pmiCollocations(spark: SparkSession, dir: String,
       minCount: Long = 5L, topK: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val pairs = graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.flatMap { case (_, t) =>
         val w = t.split(" ", -1)
         (0 until w.length - 1).iterator.map(i => (w(i), w(i + 1)))

@@ -24,6 +24,29 @@ object GraftOps {
     */
   val smallOrderCutover: Long = 4000000L
 
+  /** Ensure a compute-bound relation carries at least the executor
+    * width before its expensive map stage. The fixture tables are
+    * single-row-group parquet files, so their scans — and anything
+    * persisted straight off them — carry ONE partition, and every
+    * downstream distance kernel / typed token pass serializes on one
+    * core while the rest idle (measured: the TwoNN broadcast-NLJ spent
+    * 2-4 s in a single task at sf0.1). A strict no-op whenever the
+    * plan already has >= defaultParallelism partitions — any real
+    * table at scale — so the extra round-robin exchange exists exactly
+    * where there are idle cores and near-zero bytes to move
+    * (optimization guide §2.2/§2.6: parallelize the compute, shuffle
+    * the skinny relation). Only for order-insensitive consumers
+    * (aggregations, joins, bounded heaps — every declared kernel);
+    * callers relying on scan order must not widen. Inspecting
+    * `df.rdd` forces physical planning only — keep inputs join-free
+    * (scan/filter/project), which all call sites are.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
+
   /** The input globally SORTED by `orderCols` across a real multi-
     * partition range layout: sampled range boundaries decide each row's
     * partition (`repartitionByRange`), then each partition sorts
