@@ -879,17 +879,21 @@ object EventOps {
         hour(col("ts")).as("hod"), cents(col("value")).as("c"))
     val mx = e.agg(max(col("day")).as("dmax"))
     val withMax = e.crossJoin(broadcast(mx))
-    val hist = withMax.filter(col("day") < col("dmax"))
+    // hist + actual as ONE conditional-aggregation pass: the former
+    // two filtered rollups joined on (type, hod) scanned events twice
+    // and shuffled twice (guide §2.4 — share the exchange); the inner
+    // join's "key present on both sides" becomes n > 0 AND na > 0
+    val both = withMax
       .groupBy(col("event_type"), col("hod"))
-      .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
-    val actual = withMax.filter(col("day") === col("dmax"))
-      .groupBy(col("event_type"), col("hod"))
-      .agg(sum(col("c")).as("sa"), count(lit(1)).as("na"))
+      .agg(sum(when(col("day") < col("dmax"), col("c"))).as("s"),
+        count(when(col("day") < col("dmax"), lit(1))).as("n"),
+        sum(when(col("day") === col("dmax"), col("c"))).as("sa"),
+        count(when(col("day") === col("dmax"), lit(1))).as("na"))
+      .filter(col("n") > 0 && col("na") > 0)
     val fc = round(col("s").cast("double") / col("n") / 100.0, 6)
     val ac = round(col("sa").cast("double") / col("na") / 100.0, 6)
-    actual.join(hist, Seq("event_type", "hod"))
-      .select(col("event_type"), col("hod"), ac.as("actual_avg"),
-        fc.as("forecast_avg"), round(abs(ac - fc), 6).as("abs_err"))
+    both.select(col("event_type"), col("hod"), ac.as("actual_avg"),
+      fc.as("forecast_avg"), round(abs(ac - fc), 6).as("abs_err"))
   }
 
   /** Cumulative distinct users per (type, day) — the

@@ -381,12 +381,19 @@ object GraphOps {
       dir: String, topK: Int = 5, nbrCap: Int = 20): DataFrame = {
     val cp = custPartPairs(spark, dir)
       .select(col("c").cast("long"), col("p").cast("long"))
+    // owned-part anti-join BEFORE the (c, rec) aggregation: it removes
+    // whole groups (rec the customer already owns), so filtering the
+    // |incidence| x nbrCap fan-out rows map-side — a broadcast hash
+    // lookup per row — is exactly equivalent to anti-joining the
+    // aggregated relation, and every removed row is one the big
+    // exchange never carries (guide §2.3: shuffle fewer bytes; was
+    // 13.1M rows / 400 MiB through the agg exchange at sf0.1)
     val scored = cp
       .join(itemNeighborListsDF(spark, dir, nbrCap), Seq("p"))
-      .groupBy(col("c"), col("rec"))
-      .agg(sum(col("n")).as("score"))
       .join(cp.select(col("c"), col("p").as("rec")), Seq("c", "rec"),
         "left_anti")
+      .groupBy(col("c"), col("rec"))
+      .agg(sum(col("n")).as("score"))
     graft.plans.GraftOps.topKPerGroup(scored, Seq("c"),
         Seq(("score", false), ("rec", true)), topK)
       .select(col("c").as("custkey"), col("rec").as("partkey"),

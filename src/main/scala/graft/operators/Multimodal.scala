@@ -92,8 +92,8 @@ object Multimodal {
     */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars")))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val kind = (id % 3) match {
@@ -321,8 +321,8 @@ object Multimodal {
     */
   def pngMetaQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("n_chars"))
+    graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars")))
       .as[(Long, String, Long)]
       .map { case (id, text, nChars) =>
         val title = text.split(" ").take(3).mkString(" ")
@@ -343,8 +343,8 @@ object Multimodal {
     */
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val title = text.split(" ").take(3).mkString(" ")
@@ -500,8 +500,8 @@ object Multimodal {
     */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val title = text.split(" ").take(3).mkString(" ")
@@ -696,8 +696,8 @@ object Multimodal {
     */
   def videoTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    graft.plans.GraftOps.widen(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
         val title = text.split(" ").take(3).mkString(" ")

@@ -342,13 +342,20 @@ object Stats {
           / lit(100.0)).as("m"))
     val ranked = rep.withColumn("rk",
       row_number().over(Window.orderBy(col("m"), col("b"))))
-    val tot = Tables.orders(spark, dir)
+    // widened: the one-split orders scan ran this rollup as a single
+    // 0.4 s task beside 31 idle cores (no-op on multi-split tables)
+    val tot = graft.plans.GraftOps.widen(
+        Tables.orders(spark, dir).select(cents.as("c100")))
       .agg(count(lit(1)).as("n_orders"),
-        (sum(cents) / lit(100.0) / count(lit(1))).as("mean_raw"))
-    tot.crossJoin(broadcast(
-        ranked.filter(col("rk") === 3).select(col("m").as("lo_raw"))))
-      .crossJoin(broadcast(
-        ranked.filter(col("rk") === 98).select(col("m").as("hi_raw"))))
+        (sum(col("c100")) / lit(100.0) / count(lit(1))).as("mean_raw"))
+    // both rank cuts in ONE broadcast relation: two filtered branches
+    // each materialized their own broadcast of the same ranked subtree
+    // (one extra job + plan duplication, guide §7.2); a conditional
+    // min per cut over the rk ∈ {3, 98} slice is the same two values
+    val cuts = broadcast(ranked.filter(col("rk").isin(3, 98))
+      .agg(min(when(col("rk") === 3, col("m"))).as("lo_raw"),
+        min(when(col("rk") === 98, col("m"))).as("hi_raw")))
+    tot.crossJoin(cuts)
       .select(col("n_orders"), round(col("mean_raw"), 6).as("mean"),
         round(col("lo_raw"), 6).as("lo95"), round(col("hi_raw"), 6).as("hi95"))
   }
@@ -553,8 +560,14 @@ object Stats {
       .select(col("source"),
         round(graft.operators.TextOps.qualityOf(col("text"), w) * 1e6, 0)
           .cast("long").as("q6"))
+    // materialize the per-(source, quality) histogram once: five plan
+    // branches read it (grid axes x2, fill join, totals), and without
+    // the checkpoint each re-ran the full per-doc qualityOf scan —
+    // the guide §7.2 duplicated-subtree check (measured: 20 jobs,
+    // 4.5 s of job time for one 1.9 s row). The relation is tiny
+    // (|sources| x |distinct quality| rows).
     val cells = q.groupBy(col("source"), col("q6"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
     val grid = cells.select(col("q6")).distinct()
       .crossJoin(cells.select(col("source")).distinct())
       .join(cells, Seq("source", "q6"), "left")

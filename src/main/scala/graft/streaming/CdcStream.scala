@@ -62,10 +62,35 @@ object CdcStream {
         java.nio.file.Files.createTempDirectory("graft-cdc-log")).toString
       val log = graft.sources.Ingest.mergeChangelogShowcase(spark, dir)
         .localCheckpoint(true)
-      (0 until nChunks).foreach { i =>
+      // append-mode writes race on the output _temporary dir — stage
+      // each chunk to its own directory concurrently (§2.6), then move
+      // the part files in chunk order (same file set as the former
+      // sequential appends; the stream tails files, not row order)
+      val staged = (0 until nChunks).map(i => s"$out-chunk$i")
+      concurrently((0 until nChunks).map { i => () =>
         log.filter(pmod(col("o_orderkey"), lit(nChunks)) === i)
           .coalesce(1)
-          .write.mode("append").parquet(out)
+          .write.mode("overwrite").parquet(staged(i)): Unit
+      }: _*)
+      val t0 = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(staged.head)).toMillis
+      staged.zipWithIndex.foreach { case (s, i) =>
+        walking(java.nio.file.Paths.get(s))(
+          _.filter(p => p.toString.endsWith(".parquet"))
+            .forEach { p =>
+              val target = java.nio.file.Paths.get(
+                s"$out/chunk-$i-${p.getFileName}")
+              java.nio.file.Files.move(p, target)
+              // pin mtime to chunk order: the file stream source
+              // discovers by (modTime, path), and concurrent staging
+              // would otherwise interleave discovery order (the end
+              // state is order-invariant — disjoint keys — but the
+              // former sequential appends committed in chunk order,
+              // and batch ids should stay reproducible)
+              java.nio.file.Files.setLastModifiedTime(target,
+                java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+            })
+        rmTree(s)
       }
       out
     }
@@ -559,21 +584,22 @@ object CdcStream {
         java.nio.file.Files.createTempDirectory("graft-cdc-mor")).toString
       val log = graft.sources.Ingest.mergeChangelogShowcase(spark, dir)
         .localCheckpoint(true)
-      // equality-delete sidecar: every key whose base row is superseded
-      // (an update's old image) or removed (a delete) — keys only,
-      // never row data
-      log.filter(col("action").isin("update", "delete"))
-        .select(col("o_orderkey"),
-          pmod(col("o_orderkey"), lit(NStateBuckets)).as("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$root/deletes")
-      // insert-delta sidecar: the new row images (updates' new values
-      // ride as delete-old + insert-new, the canonical MOR upsert)
-      log.filter(col("action").isin("update", "insert"))
-        .select(col("o_orderkey"), col("new_cents").as("cents"),
-          pmod(col("o_orderkey"), lit(NStateBuckets)).as("bucket"))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(s"$root/inserts")
+      concurrently(
+        // equality-delete sidecar: every key whose base row is
+        // superseded (an update's old image) or removed (a delete) —
+        // keys only, never row data
+        () => log.filter(col("action").isin("update", "delete"))
+          .select(col("o_orderkey"),
+            pmod(col("o_orderkey"), lit(NStateBuckets)).as("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/deletes"),
+        // insert-delta sidecar: the new row images (updates' new values
+        // ride as delete-old + insert-new, the canonical MOR upsert)
+        () => log.filter(col("action").isin("update", "insert"))
+          .select(col("o_orderkey"), col("new_cents").as("cents"),
+            pmod(col("o_orderkey"), lit(NStateBuckets)).as("bucket"))
+          .write.partitionBy("bucket").mode("overwrite")
+          .parquet(s"$root/inserts"))
       (base, s"$root/deletes", s"$root/inserts")
     }
 
@@ -697,17 +723,20 @@ object CdcStream {
         java.nio.file.Files.createTempDirectory("graft-mor-chain")).toString
       val log = graft.sources.Ingest.mergeChangelogShowcase(spark, dir)
         .localCheckpoint(true)
-      (0 until NLogChunks).foreach { c =>
+      // the 8 per-chunk sidecar writes are independent single-file
+      // jobs over the checkpointed log — overlap them (§2.6)
+      concurrently((0 until NLogChunks).flatMap { c =>
         val slice = log.filter(chainChunk(col("o_orderkey")) === c)
-        slice.filter(col("action").isin("update", "delete"))
-          .select(col("o_orderkey"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$root/deletes/batch=$c")
-        slice.filter(col("action").isin("update", "insert"))
-          .select(col("o_orderkey"), col("new_cents").as("cents"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$root/inserts/batch=$c")
-      }
+        Seq[() => Unit](
+          () => slice.filter(col("action").isin("update", "delete"))
+            .select(col("o_orderkey"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/deletes/batch=$c"),
+          () => slice.filter(col("action").isin("update", "insert"))
+            .select(col("o_orderkey"), col("new_cents").as("cents"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$root/inserts/batch=$c"))
+      }: _*)
       (base, root)
     }
 
@@ -896,18 +925,19 @@ object CdcStream {
     // consolidated sidecar grows with table churn — at 100 TB a
     // coalesce(1) here would be a single-task write, and bucketing
     // keeps the read-side anti-join co-located per bucket)
-    rows.join(batchDels.withColumnRenamed("o_orderkey", "dk"),
-        col("o_orderkey") === col("dk") && col("dseq") > col("seq"),
-        "left_anti")
-      .select(col("o_orderkey"), col("cents"))
-      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$staging/inserts")
-    // consolidated deletes: every folded delete key (still masks base)
-    allDelKeys
-      .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$staging/deletes")
+    concurrently(
+      () => rows.join(batchDels.withColumnRenamed("o_orderkey", "dk"),
+          col("o_orderkey") === col("dk") && col("dseq") > col("seq"),
+          "left_anti")
+        .select(col("o_orderkey"), col("cents"))
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$staging/inserts"),
+      // consolidated deletes: every folded delete key (still masks base)
+      () => allDelKeys
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(NStateBuckets)))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(s"$staging/deletes"))
     // a side whose consolidated relation is EMPTY gets no part files
     // from partitionBy — materialize the emptiness (one zero-row
     // footer) so readers never hit a schema-less directory
@@ -1075,6 +1105,25 @@ object CdcStream {
     * idempotent by construction, no read-prev dependency at all.
     * Exposed for the crash spec.
     */
+  /** Run independent write thunks concurrently (guide §2.6): each is
+    * a small job whose wall-clock is dominated by fixed per-job driver
+    * costs (planning + commit protocol), so overlapping the two sidecar
+    * writes of a micro-batch nearly halves its latency. Inputs must be
+    * independent jobs over an already-materialized slice
+    * (localCheckpoint), so ordering cannot matter.
+    */
+  private[graft] def concurrently(thunks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, thunks.size))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      thunks.map(t => scala.concurrent.Future(t()))
+        .foreach(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   private[graft] def runMorApply(spark: SparkSession, stagedDir: String,
       morRoot: String, ckpt: String, crashAt: Long = -1L,
       crashed: java.util.concurrent.atomic.AtomicBoolean = null): Unit = {
@@ -1084,14 +1133,15 @@ object CdcStream {
       .writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val slice = batch.localCheckpoint(true)
-        slice.filter(col("action").isin("update", "delete"))
-          .select(col("o_orderkey"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$morRoot/deletes/batch=$id")
-        slice.filter(col("action").isin("update", "insert"))
-          .select(col("o_orderkey"), col("new_cents").as("cents"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$morRoot/inserts/batch=$id")
+        concurrently(
+          () => slice.filter(col("action").isin("update", "delete"))
+            .select(col("o_orderkey"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$morRoot/deletes/batch=$id"),
+          () => slice.filter(col("action").isin("update", "insert"))
+            .select(col("o_orderkey"), col("new_cents").as("cents"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$morRoot/inserts/batch=$id"))
         if (crashAt >= 0 && id >= crashAt
             && crashed.compareAndSet(false, true))
           throw new RuntimeException("graft-injected-crash")
@@ -1174,14 +1224,15 @@ object CdcStream {
       .writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         val slice = batch.localCheckpoint(true)
-        slice.filter(col("action").isin("update", "delete"))
-          .select(col("o_orderkey"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$morRoot/deletes/batch=$id")
-        slice.filter(col("action").isin("update", "insert"))
-          .select(col("o_orderkey"), col("new_cents").as("cents"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$morRoot/inserts/batch=$id")
+        concurrently(
+          () => slice.filter(col("action").isin("update", "delete"))
+            .select(col("o_orderkey"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$morRoot/deletes/batch=$id"),
+          () => slice.filter(col("action").isin("update", "insert"))
+            .select(col("o_orderkey"), col("new_cents").as("cents"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$morRoot/inserts/batch=$id"))
         val curUpto = currentMinor(morRoot).map(_._2).getOrElse(-1L)
         val live = batchIds(s"$morRoot/deletes")
           .union(batchIds(s"$morRoot/inserts"))

@@ -200,7 +200,13 @@ object EventStream {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevP = spark.conf.get(pKey)
     val prevNd = spark.conf.get(ndKey)
-    spark.conf.set(pKey, n.toString)
+    // dev knob for A/B-ing the state-store width (a production job sets
+    // this per stream from key cardinality × executor count; the
+    // constant below is the measured local optimum — see
+    // OPTIMIZATION_r14.md)
+    val width = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .map(_.toInt).getOrElse(n)
+    spark.conf.set(pKey, width.toString)
     spark.conf.set(ndKey, noData.toString)
     try f finally {
       spark.conf.set(pKey, prevP)
