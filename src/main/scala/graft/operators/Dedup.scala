@@ -1050,9 +1050,15 @@ object Dedup {
     */
   def plantedNormalizedEmbeddings(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"norm-emb-planted:$dir") {
-      val base = graft.plans.GraftOps.widen(
-        Tables.embeddings(spark, dir).select(col("vec_id"),
-          VectorFunctions.toDoubleArray(col("embedding")).as("v")))
+      // deliberately NOT widened: the dbscan/LSH consumers run many
+      // CHEAP stages over this persisted relation (banding explodes,
+      // degree rollups, component joins), and 32-partition cached
+      // blocks cost ~30 task launches per stage — measured min-of-4:
+      // emb_dbscan 2.36 s widened vs 1.29 s at one cached partition,
+      // emb_dbscan_lsh 2.51 s vs 1.04 s. The heavy-kernel relations
+      // (normalizedEmbeddings, the NLJ bases) stay widened.
+      val base = Tables.embeddings(spark, dir).select(col("vec_id"),
+        VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       val planted = base.select((col("vec_id") + 100000L).as("vec_id"),
         transform(col("v"), x => x + lit(0.01)).as("v"))
       val n = l2Normalize(base.union(planted))

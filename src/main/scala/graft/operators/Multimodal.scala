@@ -500,8 +500,12 @@ object Multimodal {
     */
   def audioTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    graft.plans.GraftOps.widen(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")))
+    // deliberately NOT widened: javax.sound's WAVE encode serializes on
+    // shared registry locks, so 32 concurrent render tasks measured 3x
+    // SLOWER than the single-task scan (1.95 s vs 0.58 s min-of-4);
+    // the video/image legs (javax.imageio) do parallelize and stay wide
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val title = text.split(" ").take(3).mkString(" ")
