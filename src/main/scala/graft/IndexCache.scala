@@ -175,6 +175,8 @@ object IndexCache {
     "events-stream-sessions-dir" -> ("staging dir path string", 4L),
     "buckets" -> ("two bucketed-table name strings", 4L),
     "dpp_orders" -> ("partitioned-layout path string", 4L),
+    "layout-reader" -> ("resolved partitioned-layout DataFrame handle " +
+      "(manifest-style file-index reuse; no row data)", 8L),
     "zorder-part" -> ("z-tile-partitioned layout path string", 4L),
     "hilbert-part" -> ("hilbert-tile-partitioned layout path string", 4L),
     "orders-cdc-dir" -> ("staged changelog dir path string", 4L),

@@ -181,7 +181,8 @@ object ScaleTechniques {
     */
   def dppPrunedJoin(spark: SparkSession, dir: String,
       qtr: String = "1996-Q1"): DataFrame = {
-    val facts = spark.read.parquet(partitionedOrdersPath(spark, dir))
+    val facts = layoutReader(spark, s"dpp_orders:$dir",
+      partitionedOrdersPath(spark, dir))
     val dim = monthDim(spark).filter(col("qtr") === qtr)
     facts.join(broadcast(dim), Seq("o_month"))
       .groupBy(col("o_month"))
@@ -331,7 +332,7 @@ object ScaleTechniques {
   def zorderDppBox(spark: SparkSession, dir: String,
       x1: Long = 5L, x2: Long = 10L, y1: Long = 17L, y2: Long = 34L,
       bits: Int = 8, shift: Int = 4): DataFrame = {
-    val facts = spark.read.parquet(
+    val facts = layoutReader(spark, s"zorder:$dir:$bits:$shift",
       zorderPartitionedEventsPath(spark, dir, bits, shift))
     val nTiles = 1L << (2 * bits - shift)
     val freeX = (shift + 1) / 2  // free low x-bits inside a tile
@@ -427,11 +428,25 @@ object ScaleTechniques {
     * overlapping tiles' directories are opened.
     * Output: one row (n_tiles, n_rows, value_cents).
     */
+  /** Memoized resolved reader over a hive-partitioned layout: a bare
+    * `spark.read.parquet(path)` re-lists every partition directory on
+    * EVERY query construction (hundreds of tile dirs here — driver-side,
+    * serial). Real lakehouse tables avoid exactly this with manifest
+    * metadata (guide §6); the cached DataFrame handle plays that role —
+    * the resolved file index is reused, the scan itself still reads
+    * parquet on every execution (nothing result-bearing is cached).
+    */
+  private[graft] def layoutReader(spark: SparkSession, key: String,
+      path: String): DataFrame =
+    graft.IndexCache.getOrBuild(spark, s"layout-reader:$key") {
+      spark.read.parquet(path)
+    }
+
   def hilbertDppBox(spark: SparkSession, dir: String,
       x1: Long = 5L, x2: Long = 10L, y1: Long = 17L, y2: Long = 34L,
       bits: Int = 8, shift: Int = 4): DataFrame = {
     import spark.implicits._
-    val facts = spark.read.parquet(
+    val facts = layoutReader(spark, s"hilbert:$dir:$bits:$shift",
       hilbertPartitionedEventsPath(spark, dir, bits, shift))
     val nTiles = 1L << (2 * bits - shift)
     val span = 1L << shift
