@@ -424,11 +424,13 @@ object Pipeline {
       k: Int = 8): DataFrame = {
     import spark.implicits._
     val n = Dedup.normalizedEmbeddings(spark, dir)
-    val seedId = n.agg(min(col("vec_id"))).head().getLong(0)
-    def vecOf(id: Long): Array[Double] =
-      n.filter(col("vec_id") === id).select(col("nv"))
-        .as[Array[Double]].head()
-    var centers = Vector((seedId, vecOf(seedId), 0.0))
+    // seed pick fetches its vector in the same job (the greedy loop is
+    // k sequential driver rounds, so every job saved is wall-clock —
+    // guide §2.6 fixed-cost accounting; same (min vec_id) seed)
+    val seed = n.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("nv"))
+      .as[(Long, Array[Double])].head()
+    var centers = Vector((seed._1, seed._2, 0.0))
     var exhausted = false
     while (centers.length < k && !exhausted) {
       val md = centers.map { case (_, v, _) =>
@@ -443,13 +445,16 @@ object Pipeline {
       // filter plus the radius-0 break terminate with the true
       // distinct-point coreset instead
       val picked = centers.map(_._1)
+      // the argmax row carries its own vector, so each round is ONE
+      // job (the former separate vecOf re-query doubled the round's
+      // fixed cost; same argmax, same tie-break, same vector)
       val cand = n.filter(!col("vec_id").isInCollection(picked))
-        .select(col("vec_id"), md.as("md"))
+        .select(col("vec_id"), md.as("md"), col("nv"))
         .orderBy(col("md").desc, col("vec_id").asc).limit(1)
-        .as[(Long, Double)].collect().headOption
+        .as[(Long, Double, Array[Double])].collect().headOption
       cand match {
-        case Some((pickId, radius)) if radius > 0.0 =>
-          centers = centers :+ ((pickId, vecOf(pickId), radius))
+        case Some((pickId, radius, nv)) if radius > 0.0 =>
+          centers = centers :+ ((pickId, nv, radius))
         case _ => exhausted = true
       }
     }

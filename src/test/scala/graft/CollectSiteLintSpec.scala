@@ -69,8 +69,10 @@ class CollectSiteLintSpec extends AnyFunSuite {
       (1, "transient flat yardstick kernel inside the ONE-TIME " +
         "family:self-topk build (scale path = ANN batch + LSH near-dup)"),
     // --- pipeline / retrieval ---------------------------------------
-    ("Pipeline.scala", ".as[(Long, Double)].collect().headOption") ->
-      (1, "limit(1) farthest-point coreset pick"),
+    ("Pipeline.scala",
+      ".as[(Long, Double, Array[Double])].collect().headOption") ->
+      (1, "limit(1) farthest-point coreset pick (vector rides the " +
+        "argmax row so each greedy round is one job)"),
     ("Pipeline.scala",
       ".collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))") ->
       (1, "|bins| calibration rows (fixed bin count)"),
