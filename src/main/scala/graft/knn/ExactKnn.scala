@@ -320,7 +320,7 @@ object ExactKnn {
     * picks a shuffled join on qid instead of forcing the whole split
     * through the driver's broadcast collect.
     */
-  private[knn] def rerank(cand: DataFrame, base: DataFrame,
+  private[graft] def rerank(cand: DataFrame, base: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("emb").as("qvec"))
     val exact = cand.join(base, "vec_id").join(q, "qid")

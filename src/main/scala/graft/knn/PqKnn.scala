@@ -235,6 +235,19 @@ object PqKnn {
   private[knn] def searchCodesWith(cb: PqCodebooks, codes: DataFrame,
       scanQueries: DataFrame, rerankBase: DataFrame,
       rerankQueries: DataFrame, k: Int, overfetch: Int): DataFrame = {
+    val cand = coarseScan(cb, codes, scanQueries, k, overfetch)
+      .select("qid", "vec_id")
+    ExactKnn.rerank(cand, rerankBase, rerankQueries, k)
+  }
+
+  /** The ADC coarse scan alone, candidates RANKED — (qid, vec_id, rk),
+    * rk over (approx_dist asc, vec_id asc) cut at `overfetch * k`. A
+    * smaller overfetch's candidate set is exactly the rk-prefix of a
+    * larger one (same sort keys, same ties), which is what lets the
+    * overfetch sweep pay for ONE scan.
+    */
+  private[knn] def coarseScan(cb: PqCodebooks, codes: DataFrame,
+      scanQueries: DataFrame, k: Int, overfetch: Int): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(cb)
@@ -256,10 +269,21 @@ object PqKnn {
     }
     val scored = spark.createDataset(scoredRdd)
       .toDF("qid", "vec_id", "approx_dist")
-    val cand = graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("qid"),
       Seq("approx_dist" -> true, "vec_id" -> true), overfetch * k)
-      .select("qid", "vec_id")
-    ExactKnn.rerank(cand, rerankBase, rerankQueries, k)
+  }
+
+  /** Ranked coarse candidates for every held-out query at `overfetch`
+    * depth, over the memoized (codebooks, codes) index — the shared
+    * scan the overfetch sweep's arms prefix-cut. Output:
+    * (qid, vec_id, rk).
+    */
+  private[graft] def coarseCandidates(spark: SparkSession, dir: String,
+      k: Int = 10, m: Int = 8, ksub: Int = 256,
+      overfetch: Int = 16): DataFrame = {
+    val (_, queries, _, _) = ExactKnn.split(spark, dir)
+    val (cb, codes) = cachedIndex(spark, dir, m, ksub)
+    coarseScan(cb, codes, queries, k, overfetch)
   }
 
   /** Persist the PQ index: codebooks flatten to a tiny

@@ -165,11 +165,23 @@ object Evaluation {
     * Output: (overfetch, recall), one row per swept depth.
     */
   def pqOverfetchSweep(spark: SparkSession, dir: String,
-      ofs: Seq[Int] = Seq(1, 4, 16)): DataFrame = {
+      ofs: Seq[Int] = Seq(1, 4, 16), k: Int = 10): DataFrame = {
     val exact = graft.knn.ExactKnn.topKBatch(spark, dir)
       .select("qid", "vec_id")
+    // ONE ADC scan at the deepest arm; every shallower arm's candidate
+    // set is the rk-prefix of the same ranking (identical sort keys and
+    // ties), so each arm pays only its own exact re-rank — the former
+    // per-arm topKBatch re-ran the full code scan three times
+    // (guide §7.2 duplicated work; PqSweepPrefixSpec pins arm-vs-direct
+    // equality). Checkpointed so the arms don't re-evaluate the scan.
+    val (base, queries, _, _) = graft.knn.ExactKnn.split(spark, dir)
+    val cand = graft.knn.PqKnn.coarseCandidates(spark, dir, k,
+        overfetch = ofs.max)
+      .localCheckpoint(true)
     ofs.map { of =>
-      recall(graft.knn.PqKnn.topKBatch(spark, dir, overfetch = of)
+      recall(graft.knn.ExactKnn.rerank(
+          cand.filter(col("rk") <= of * k).select("qid", "vec_id"),
+          base, queries, k)
         .select("qid", "vec_id"), exact)
         .select(lit(of).as("overfetch"), col("recall"))
     }.reduce(_.unionByName(_))
