@@ -132,6 +132,7 @@ object IndexCache {
     "vamana" -> ("shards int + Dataset[VamanaShard] handle", 8L),
     "vamana-ckpt" -> ("shards int + Dataset handle", 8L),
     "vamana-ins" -> ("shards int + Dataset handle", 8L),
+    "split" -> ("persisted base split handle + queries handle + 2 longs", 8L),
     "exact-topk" -> ("persisted ground-truth DataFrame handle", 8L),
     "exact-topk-sampled" -> ("persisted sampled ground-truth handle", 8L),
     "self-topk" -> ("persisted self-top-k DataFrame handle", 8L),

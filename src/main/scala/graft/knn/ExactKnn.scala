@@ -39,28 +39,55 @@ object ExactKnn {
     */
   def split(spark: SparkSession, dir: String, ratio: Double = 0.95)
       : (DataFrame, DataFrame, Long, Long) = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
-    // the prefix slices below (and every percentile slab derived from
-    // them across the ANN lifecycles) assume DENSE ids 0..n-1; on a
-    // sparse or non-contiguous id space they would silently shift or
-    // empty out, so the invariant is asserted where the boundaries
-    // are computed (r6 advice item). One job: count+min+max together.
-    val stats = Tables.embeddings(spark, dir)
-      .agg(org.apache.spark.sql.functions.count(col("vec_id")),
-        org.apache.spark.sql.functions.min(col("vec_id")),
-        org.apache.spark.sql.functions.max(col("vec_id"))).head()
-    val n = stats.getLong(0)
-    require(n == 0 || (stats.getLong(1) == 0L && stats.getLong(2) == n - 1),
-      s"vec_id must be dense 0..${n - 1}, got " +
-        s"[${stats.getLong(1)}, ${stats.getLong(2)}]")
-    val splitAt = math.round(ratio * n)
-    // base feeds the broadcast-NLJ distance kernels and the ANN index
-    // builds — widen it so the per-row distance work spreads across
-    // cores even when the fixture arrives as one input split (no-op on
-    // any multi-split table; queries side stays narrow, it broadcasts)
-    (graft.plans.GraftOps.widen(emb.filter(col("vec_id") < splitAt)),
-     emb.filter(col("vec_id") >= splitAt), splitAt, n)
+    // Memoized per (session, dir, ratio): ~40 declared rows call split,
+    // and before the memo EVERY call re-ran the density-check stats job
+    // AND re-planned (and re-shuffled) the widen of the base — one
+    // eager aggregate plus one ~|base| round-robin exchange per query
+    // construction, pure serve-path overhead (guide §7.2 duplicated
+    // work). Now the stats job runs once, the widened base is persisted
+    // once (MEMORY_AND_DISK — the same footprint class as the norm-emb
+    // cache, charged to the first bench_build row that touches it), and
+    // every consumer reads the cached executor-width relation with no
+    // per-call exchange.
+    val (base, queries, splitAt, n) = graft.IndexCache.getOrBuild(spark,
+        s"split:$dir:$ratio") {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDoubleArray(col("embedding")).as("emb"))
+      // the prefix slices below (and every percentile slab derived from
+      // them across the ANN lifecycles) assume DENSE ids 0..n-1; on a
+      // sparse or non-contiguous id space they would silently shift or
+      // empty out, so the invariant is asserted where the boundaries
+      // are computed (r6 advice item). One job: count+min+max together.
+      val stats = Tables.embeddings(spark, dir)
+        .agg(org.apache.spark.sql.functions.count(col("vec_id")),
+          org.apache.spark.sql.functions.min(col("vec_id")),
+          org.apache.spark.sql.functions.max(col("vec_id"))).head()
+      val nn = stats.getLong(0)
+      require(nn == 0 ||
+          (stats.getLong(1) == 0L && stats.getLong(2) == nn - 1),
+        s"vec_id must be dense 0..${nn - 1}, got " +
+          s"[${stats.getLong(1)}, ${stats.getLong(2)}]")
+      val sAt = math.round(ratio * nn)
+      // base feeds the broadcast-NLJ distance kernels and the ANN index
+      // builds — widen it so the per-row distance work spreads across
+      // cores even when the fixture arrives as one input split (no-op
+      // on any multi-split table; queries side stays narrow, it
+      // broadcasts). CAPPED at 8 like every persisted memo: the heavy
+      // kernels lose ~10% vs full width (driver c8 vs c32 evidence on
+      // bench_build_exact_gt) while every cheap serve job over the
+      // cached base pays 8 task launches instead of executor-width.
+      val b = graft.plans.GraftOps.widenTo(emb.filter(col("vec_id") < sAt),
+          math.min(8, spark.sparkContext.defaultParallelism))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      b.count()
+      (b, emb.filter(col("vec_id") >= sAt), sAt, nn)
+    }
+    // a bench section boundary may have unpersisted the cached base
+    // (Bench.releaseCaches); a later consumer then recomputes lazily —
+    // correct, just unmemoized. Re-mark it so that path stays cached.
+    if (base.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (base, queries, splitAt, n)
   }
 
   /** Rounded engine-wide distance used by every declared kNN query —

@@ -110,12 +110,17 @@ object Dedup {
   def gramHashSets(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"gram-hash-sets:$dir") {
       import spark.implicits._
-      // widen BEFORE the typed gram pass AND the persist: the
-      // single-split scan would serialize the FNV hashing on one core
-      // and pin one cached partition for every dedup consumer
-      val df = graft.plans.GraftOps.widen(
+      // widen BEFORE the typed gram pass AND the persist (the
+      // single-split scan would serialize the FNV hashing on one core)
+      // — but CAP the persisted width: every downstream stage over the
+      // cached relation pays one task launch per cached partition, and
+      // executor-width memos taxed ~25 serve rows at local[32] in the
+      // round-14 driver runs (local[8] ran them 2-10x faster); 8-wide
+      // keeps the build within ~10% of full width (driver c8 evidence)
+      val df = graft.plans.GraftOps.widenTo(
           Tables.documents(spark, dir)
-            .select(col("doc_id"), col("text")))
+            .select(col("doc_id"), col("text")),
+          math.min(8, spark.sparkContext.defaultParallelism))
         .as[(Long, String)]
         .map { case (id, t) => (id, gramsOf(t).map(fnv64).toArray) }
         .toDF("doc_id", "ghashes")
@@ -771,12 +776,15 @@ object Dedup {
     */
   def normalizedEmbeddings(spark: SparkSession, dir: String): DataFrame =
     graft.IndexCache.getOrBuild(spark, s"norm-emb:$dir") {
-      // widen BEFORE persist so every downstream distance kernel sees
-      // executor-width cached partitions, not the fixture's one split
-      val n = l2Normalize(graft.plans.GraftOps.widen(
+      // widen BEFORE persist so the downstream distance kernels see
+      // multiple cached partitions, not the fixture's one split — CAPPED
+      // at 8 (see gramHashSets: executor-width memos tax every cheap
+      // multi-stage consumer with one task launch per cached partition)
+      val n = l2Normalize(graft.plans.GraftOps.widenTo(
           Tables.embeddings(spark, dir)
             .select(col("vec_id"),
-              VectorFunctions.toDoubleArray(col("embedding")).as("v"))))
+              VectorFunctions.toDoubleArray(col("embedding")).as("v")),
+          math.min(8, spark.sparkContext.defaultParallelism)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       n.count()
       n

@@ -636,10 +636,13 @@ object TextOps {
     graft.IndexCache.getOrBuild(spark, s"tokens:$dir") {
       // widen BEFORE persist: the single-split fixture scan would
       // otherwise pin every downstream text consumer to one cached
-      // partition (one core) for the whole session
-      val t = graft.plans.GraftOps.widen(
+      // partition (one core) for the whole session — CAPPED at 8 (see
+      // Dedup.gramHashSets: executor-width memos tax every cheap
+      // multi-stage consumer with one task launch per cached partition)
+      val t = graft.plans.GraftOps.widenTo(
           Tables.documents(spark, dir)
-            .select(col("doc_id"), split(col("text"), " ").as("w")))
+            .select(col("doc_id"), split(col("text"), " ").as("w")),
+          math.min(8, spark.sparkContext.defaultParallelism))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t.count()
       t

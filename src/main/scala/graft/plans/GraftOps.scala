@@ -41,11 +41,23 @@ object GraftOps {
     * `df.rdd` forces physical planning only — keep inputs join-free
     * (scan/filter/project), which all call sites are.
     */
-  def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+  def widen(df: DataFrame): DataFrame =
+    widenTo(df, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** [[widen]] with an explicit target — the PERSISTED-memo form: a
+    * relation that is cached and then consumed by MANY cheap multi-
+    * stage queries should carry a small fixed width (every stage over
+    * a cached relation pays one task launch per cached partition, so
+    * executor-width memos tax every consumer — measured in round 14:
+    * ~22 s across 37 serve rows at local[32] vs local[8]). Target 8
+    * keeps the one-time build parallel (driver benchmarks show the
+    * typed builds within ~10% of full width) while consumers pay 8
+    * launches, not 32+. Still a strict no-op on any relation already
+    * at least that wide — i.e. on every real table at scale.
+    */
+  def widenTo(df: DataFrame, target: Int): DataFrame =
     if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target)
-  }
 
   /** The input globally SORTED by `orderCols` across a real multi-
     * partition range layout: sampled range boundaries decide each row's
