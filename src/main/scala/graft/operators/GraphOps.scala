@@ -387,8 +387,24 @@ object GraphOps {
     // lookup per row — is exactly equivalent to anti-joining the
     // aggregated relation, and every removed row is one the big
     // exchange never carries (guide §2.3: shuffle fewer bytes; was
-    // 13.1M rows / 400 MiB through the agg exchange at sf0.1)
+    // 13.1M rows / 400 MiB through the agg exchange at sf0.1).
+    //
+    // Partition the INCIDENCE by customer before the fan-out (guide
+    // §2.4 share one exchange): the broadcast joins preserve the
+    // c-partitioning, HashPartitioning(c) satisfies both the (c, rec)
+    // aggregation's ClusteredDistribution(c, rec) and the per-customer
+    // heap's ClusteredDistribution(c), so the ONLY shuffle left is the
+    // ~3 MB incidence — the fan-out never crosses the network at all.
+    // (The former shape shuffled it twice: the (c, rec) agg exchange
+    // carried 111 MB — near-zero partial-agg reduction, (c, rec) pairs
+    // are almost all distinct — and the heap's c exchange re-shuffled
+    // the 103 MB aggregate.)
+    // explicit width: AQE would coalesce a bare repartition(col) by the
+    // incidence's ~3 MB and serialize the 40 s-CPU fan-out behind it —
+    // the partition count must size to the downstream compute, not the
+    // shuffled bytes (the round-14 tile-layout lesson)
     val scored = cp
+      .repartition(spark.sparkContext.defaultParallelism, col("c"))
       .join(itemNeighborListsDF(spark, dir, nbrCap), Seq("p"))
       .join(cp.select(col("c"), col("p").as("rec")), Seq("c", "rec"),
         "left_anti")
