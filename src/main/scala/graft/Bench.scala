@@ -200,7 +200,15 @@ object Bench {
           () => operators.GraphOps.copurchaseEdges(spark, sfDir, 4).count(),
           () => operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count(),
           // the k-core peel's adjacency (minShared=3 cut)
-          () => operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()))),
+          () => operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count(),
+          // the shared degree / triangle / LPA-label / weighted-
+          // adjacency relations the graph serving rows read (each was
+          // re-derived inside its timed row before the memos)
+          () => operators.GraphOps.degreesOf(spark, sfDir).count(),
+          () => operators.GraphOps.degreesOf(spark, sfDir, 4).count(),
+          () => operators.GraphOps.trianglesOf(spark, sfDir).count(),
+          () => operators.GraphOps.labelPropagation(spark, sfDir).count(),
+          () => operators.GraphOps.weightedAdjacency(spark, sfDir).count()))),
       // item-item transpose (deg² basket expansion) + the truncated
       // neighbor-list index the basket-completion serving row reads
       buildTimed("bench_build_itempairs",

@@ -154,6 +154,10 @@ object IndexCache {
     "copurchase" -> ("persisted edge DataFrame handle", 8L),
     "item-nbr-df" -> ("persisted capped neighbor-list DataFrame", 8L),
     "graph-bipartite-trans" -> ("persisted transition DataFrame handle", 8L),
+    "graph-deg" -> ("persisted node-degree DataFrame handle", 8L),
+    "graph-tri" -> ("persisted triangle DataFrame handle", 8L),
+    "graph-labels" -> ("persisted LPA community DataFrame handle", 8L),
+    "graph-sssp-adj" -> ("persisted weighted adjacency handle", 8L),
     "graph-ppr-seed" -> ("persisted seeded-walk DataFrame handle", 8L),
     "lr-feats" -> ("persisted feature DataFrame handle", 8L),
     "lr-rows" -> ("persisted training-row DataFrame handle", 8L),
