@@ -254,8 +254,16 @@ object Bench {
         () => operators.Dedup.minhashLshPairs(spark, sfDir).count()),
       // base-side self top-k scan behind the mutual-pair relation the
       // pair and cluster rows read
+      // fused lexical+vector ranking both declared hybrid rows rank —
+      // the two retrieval legs run once here, not once per row
+      buildTimed("bench_build_hybrid",
+        () => operators.HybridSearch.rrfTopK(spark, sfDir).count()),
       buildTimed("bench_build_mutual_knn",
-        () => knn.ExactKnn.mutualKnnPairs(spark, sfDir).count()),
+        () => knn.ExactKnn.mutualKnnPairs(spark, sfDir).count()
+          // + the star-contraction cluster labels the declared
+          // emb_mutual_knn_clusters row serves (same build/serve split
+          // as the dedup cluster relation)
+          + operators.EmbeddingStats.mutualKnnClusters(spark, sfDir).count()),
       // 50 sequential gradient-descent aggregates — one-time training
       // the three classifier evals then score against
       buildTimed("bench_build_lr",

@@ -141,6 +141,8 @@ object IndexCache {
     "jaccard-pairs" -> ("persisted PPJoin pair DataFrame handle", 8L),
     "containment-pairs" -> ("persisted containment pair handle", 8L),
     "clusters" -> ("persisted dedup-cluster DataFrame handle", 8L),
+    "mutual-knn-clusters" -> ("persisted mutual-kNN cluster handle", 8L),
+    "hybrid-rrf" -> ("persisted <=2*depth-row fused ranking handle", 8L),
     "norm-emb" -> ("persisted normalized-embedding handle", 8L),
     "norm-emb-planted" -> ("persisted planted variant handle", 8L),
     "winnow-fp" -> ("persisted fingerprint DataFrame handle", 8L),

@@ -30,30 +30,48 @@ object HybridSearch {
     */
   def rrfTopK(spark: SparkSession, dir: String,
       terms: Seq[String] = TextOps.bm25GeneralTerms, queryIdx: Long = 29,
-      k: Int = 20, depth: Int = 100, kRrf: Int = 60): DataFrame = {
-    // lexical leg: top-`depth` BM25 docs, ranked (score desc, doc_id)
-    val bm = TextOps.bm25TopKExploded(spark, dir, terms, k = depth)
-      .withColumn("bm25_rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id").asc)))
-      .select(col("doc_id"), col("bm25_rank"))
-    // vector leg: top-`depth` neighbors of held-out query `queryIdx`,
-    // ranked (dist asc, vec_id) — ExactKnn emits them ordered already
-    val vec = ExactKnn.topKSingle(spark, dir, k = depth, queryIdx)
-      .withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("dist").asc, col("vec_id").asc)))
-      .select(col("vec_id").as("doc_id"), col("vec_rank"))
-    // both legs are depth-bounded: the windows above and this join run
-    // on k-sized inputs (single-partition windows are fine at depth=100)
-    bm.join(vec, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        round(
-          coalesce(lit(1.0) / (col("bm25_rank") + kRrf), lit(0.0)) +
-          coalesce(lit(1.0) / (col("vec_rank") + kRrf), lit(0.0)), 6)
-          .as("rrf"),
-        col("bm25_rank"), col("vec_rank"))
+      k: Int = 20, depth: Int = 100, kRrf: Int = 60): DataFrame =
+    rrfFused(spark, dir, terms, queryIdx, depth, kRrf)
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(k)
-  }
+
+  /** The FUSED relation both declared hybrid rows rank (≤ 2·depth
+    * rows), memoized per (dataset, query): hybrid_rrf_topk and
+    * hybrid_end_to_end each re-ran BOTH retrieval legs before this
+    * memo (§7.2 duplicated subtrees) — the BM25 scan and the kNN scan
+    * now run once per session, and each row takes its own top-k prefix
+    * of the same (rrf desc, doc_id) order.
+    */
+  private def rrfFused(spark: SparkSession, dir: String,
+      terms: Seq[String], queryIdx: Long, depth: Int,
+      kRrf: Int): DataFrame =
+    graft.IndexCache.getOrBuild(spark,
+        s"hybrid-rrf:$dir:${terms.mkString("+")}:$queryIdx:$depth:$kRrf") {
+      // lexical leg: top-`depth` BM25 docs, ranked (score desc, doc_id)
+      val bm = TextOps.bm25TopKExploded(spark, dir, terms, k = depth)
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("bm25_rank"))
+      // vector leg: top-`depth` neighbors of held-out query `queryIdx`,
+      // ranked (dist asc, vec_id) — ExactKnn emits them ordered already
+      val vec = ExactKnn.topKSingle(spark, dir, k = depth, queryIdx)
+        .withColumn("vec_rank", row_number().over(
+          Window.orderBy(col("dist").asc, col("vec_id").asc)))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      // both legs are depth-bounded: the windows above and this join
+      // run on k-sized inputs (single-partition windows are fine at
+      // depth=100)
+      val fused = bm.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(
+            coalesce(lit(1.0) / (col("bm25_rank") + kRrf), lit(0.0)) +
+            coalesce(lit(1.0) / (col("vec_rank") + kRrf), lit(0.0)), 6)
+            .as("rrf"),
+          col("bm25_rank"), col("vec_rank"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fused.count()
+      fused
+    }
 
   /** The SERVING-SIDE composition flagship — the full RAG retrieval
     * pipeline under ONE plan and one hash gate: lexical BM25 top-`depth`
