@@ -208,7 +208,10 @@ object Bench {
           () => operators.GraphOps.degreesOf(spark, sfDir, 4).count(),
           () => operators.GraphOps.trianglesOf(spark, sfDir).count(),
           () => operators.GraphOps.labelPropagation(spark, sfDir).count(),
-          () => operators.GraphOps.weightedAdjacency(spark, sfDir).count()))),
+          () => operators.GraphOps.weightedAdjacency(spark, sfDir).count()),
+          // wider pool: the ten thunks spend much of their time BLOCKED
+          // on the shared edge-memo locks, not on CPU
+          poolSize = 6)),
       // item-item transpose (deg² basket expansion) + the truncated
       // neighbor-list index the basket-completion serving row reads
       buildTimed("bench_build_itempairs",
@@ -413,9 +416,10 @@ object Bench {
     * several independent jobs (the scheduler back-fills one job's
     * straggler tail and driver gaps with the next job's tasks).
     */
-  private def parallelSum(thunks: Seq[() => Long]): Long = {
+  private def parallelSum(thunks: Seq[() => Long],
+      poolSize: Int = 4): Long = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, thunks.size))
+      math.min(poolSize, thunks.size))
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)

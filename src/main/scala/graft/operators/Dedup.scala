@@ -1476,7 +1476,7 @@ object Dedup {
         coalesce(col("rep"), lit(-1L)).as("rep"))
   }
 
-  private def unionFindReps(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+  private[operators] def unionFindReps(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -103,10 +103,23 @@ object EmbeddingStats {
     // bench_build_mutual_knn with the pair relation it contracts);
     // the declared row serves the persisted labels
     graft.IndexCache.getOrBuild(spark, s"mutual-knn-clusters:$dir:$k") {
-      val c = GraphOps.starContractionComponents(
-          graft.knn.ExactKnn.mutualKnnPairs(spark, dir, k)
-            .select(col("vec_a").as("u"), col("vec_b").as("v")))
-        .select(col("node").as("vec_id"), col("component").as("cluster"))
+      import spark.implicits._
+      val pairs = graft.knn.ExactKnn.mutualKnnPairs(spark, dir, k)
+        .select(col("vec_a").as("u"), col("vec_b").as("v"))
+      // same cutover as Dedup.nearDupClusters: the mutual-pair edge
+      // set is panel-bounded (<= panel·k rows at every tier) — far
+      // under the 10M-edge driver bound — so path-compressed
+      // union-find labels it with zero scheduled stages; the
+      // star-contraction loop stays as the past-cutover leg (identical
+      // output: component = min node id in both)
+      val labeled =
+        if (pairs.count() <= 10000000L)
+          Dedup.unionFindReps(pairs.as[(Long, Long)].collect())
+            .toDF("vec_id", "cluster")
+        else
+          GraphOps.starContractionComponents(pairs)
+            .select(col("node").as("vec_id"), col("component").as("cluster"))
+      val c = labeled
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
       c

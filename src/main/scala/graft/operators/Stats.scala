@@ -324,13 +324,17 @@ object Stats {
     val u = (h2.cast("double") + 1.0) / 1000000008.0
     val w = -log(u)
     val rep = Tables.orders(spark, dir)
+      // spread the B-fold fan-out across all cores: the skinny raw
+      // relation (|orders| rows, 2 cols) round-robins once so a single
+      // input split can't serialize the 15M-row map side (order-free
+      // quantized-integer sums — layout can't change them). The cents
+      // cast and the per-row char-fold hash evaluate AFTER the
+      // exchange: computed before it they ran inside the one-split
+      // scan task — a measured ~0.5 s serial stage (§2.2)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("o_orderkey"), cents.as("x100"))
       .select(col("o_orderkey"), col("x100"), hp.as("hp"))
-      // spread the B-fold fan-out across all cores: the skinny
-      // pre-fan-out relation (|orders| rows, 3 cols) round-robins once
-      // so a single input split can't serialize the 15M-row map side
-      // (order-free quantized-integer sums — layout can't change them)
-      .repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(repDf))
       .select(col("b"),
         round(w * col("x100") * lit(1000.0), 0).cast("long").as("qwx"),

@@ -68,6 +68,11 @@ class CollectSiteLintSpec extends AnyFunSuite {
     ("ExactKnn.scala", "val side = rows.collect().sortBy(_._1)") ->
       (1, "transient flat yardstick kernel inside the ONE-TIME " +
         "family:self-topk build (scale path = ANN batch + LSH near-dup)"),
+    ("EmbeddingStats.scala",
+      "Dedup.unionFindReps(pairs.as[(Long, Long)].collect())") ->
+      (1, "mutual-pair edges, panel-bounded (<= panel*k rows) and " +
+        "cutover-gated at 10M edges (star-contraction leg above; " +
+        "family:mutual-knn-clusters caps the memoized result)"),
     // --- pipeline / retrieval ---------------------------------------
     ("Pipeline.scala",
       ".as[(Long, Double, Array[Double])].collect().headOption") ->
