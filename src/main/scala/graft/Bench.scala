@@ -200,18 +200,18 @@ object Bench {
           () => operators.GraphOps.copurchaseEdges(spark, sfDir, 4).count(),
           () => operators.GraphOps.copurchaseEdges(spark, sfDir, 6).count(),
           // the k-core peel's adjacency (minShared=3 cut)
-          () => operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count(),
-          // the shared degree / triangle / LPA-label / weighted-
-          // adjacency relations the graph serving rows read (each was
-          // re-derived inside its timed row before the memos)
+          () => operators.GraphOps.bidirAdjacency(spark, sfDir, 3).count()))),
+      // the shared degree / triangle / LPA-label / weighted-adjacency
+      // relations the graph serving rows read (each was re-derived
+      // inside its timed row before the memos) — its own row so the
+      // pre-existing copurchase build stays comparable round over round
+      buildTimed("bench_build_graph",
+        () => parallelSum(Seq(
           () => operators.GraphOps.degreesOf(spark, sfDir).count(),
           () => operators.GraphOps.degreesOf(spark, sfDir, 4).count(),
           () => operators.GraphOps.trianglesOf(spark, sfDir).count(),
           () => operators.GraphOps.labelPropagation(spark, sfDir).count(),
-          () => operators.GraphOps.weightedAdjacency(spark, sfDir).count()),
-          // wider pool: the ten thunks spend much of their time BLOCKED
-          // on the shared edge-memo locks, not on CPU
-          poolSize = 6)),
+          () => operators.GraphOps.weightedAdjacency(spark, sfDir).count()))),
       // item-item transpose (deg² basket expansion) + the truncated
       // neighbor-list index the basket-completion serving row reads
       buildTimed("bench_build_itempairs",
@@ -416,10 +416,9 @@ object Bench {
     * several independent jobs (the scheduler back-fills one job's
     * straggler tail and driver gaps with the next job's tasks).
     */
-  private def parallelSum(thunks: Seq[() => Long],
-      poolSize: Int = 4): Long = {
+  private def parallelSum(thunks: Seq[() => Long]): Long = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(poolSize, thunks.size))
+      math.min(4, thunks.size))
     try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)

@@ -765,6 +765,9 @@ object GraphOps {
       // so the order is total and every undirected edge appears once
       val du = deg.select(col("node").as("u"), col("deg").as("du"))
       val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+      // materialized once: three plan references below (both wedge
+      // sides + the closing-edge semi join) would each re-run the
+      // degree joins (§7.2)
       val oriented = edges
         .join(broadcast(du), Seq("u")).join(broadcast(dv), Seq("v"))
         .select(
@@ -777,6 +780,7 @@ object GraphOps {
           when(col("du") < col("dv")
             || (col("du") === col("dv") && col("u") < col("v")),
             col("dv")).otherwise(col("du")).as("db"))
+        .localCheckpoint(true)
       val left = oriented.select(col("a"), col("b"), col("db"))
       val right = oriented.select(col("a"), col("b").as("c"),
         col("db").as("dc"))
@@ -786,8 +790,10 @@ object GraphOps {
         .filter(col("db") < col("dc")
           || (col("db") === col("dc") && col("b") < col("c")))
         .select(col("a"), col("b"), col("c"))
+      // the closing-edge probe broadcasts (|E| keys, a few MB): the
+      // wedge relation — the big side — never shuffles
       val tri = wedges
-        .join(oriented.select(col("a").as("b"), col("b").as("c")),
+        .join(broadcast(oriented.select(col("a").as("b"), col("b").as("c"))),
           Seq("b", "c"), "left_semi")
         .select(col("a").as("x"), col("b").as("y"), col("c").as("z"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1062,26 +1068,50 @@ object GraphOps {
       l
     }
 
+  /** The LPA fixpoint as a PURE RDD loop over primitive pairs — the
+    * same justification as [[starContractionLoop]]: the DataFrame loop
+    * re-planned every round against a fresh LogicalRDD and paid one
+    * localCheckpoint materialization per round, on a relation of a few
+    * thousand rows. Here the adjacency is keyed by neighbor under a
+    * shared HashPartitioner once, labels come back keyed by node under
+    * the SAME partitioner, so every round's join is co-partitioned
+    * (zero join shuffle) and only the two reduceByKey passes move data.
+    * The per-round pick — max neighbor-label count, ties to the
+    * smaller label — is an associative/commutative reduce, so the
+    * result is bit-identical to the former
+    * `max_by(lbl, struct(c, -lbl))` aggregation (GraphOpsSpec pins the
+    * semantics against a reference implementation).
+    */
   private def labelPropagationUncached(spark: SparkSession, dir: String,
       minShared: Int, rounds: Int): DataFrame = {
+    import spark.implicits._
     val e = copurchaseEdges(spark, dir, minShared)
-    val sym = e.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
-    var labels = sym.select(col("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    withIterativeExecution(spark) {
-      (1 to rounds).foreach { _ =>
-        labels = sym
-          .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
-          .groupBy(col("node"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("node"))
-          .agg(max_by(col("lbl"),
-            struct(col("c"), (-col("lbl")).as("nl"))).as("lbl"))
-          .localCheckpoint(true)
-      }
+    val parts = math.max(spark.sparkContext.defaultParallelism / 4, 2)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    // (nbr -> node): joined against labels keyed by node each round
+    val byNbr = e.select(col("u"), col("v")).as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Iterator((u, v), (v, u)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = byNbr.keys.distinct(parts)
+      .map(n => (n, n)).partitionBy(part)
+    (1 to rounds).foreach { _ =>
+      labels = byNbr.join(labels) // co-partitioned: no shuffle
+        .map { case (_, (node, lbl)) => ((node, lbl), 1L) }
+        .reduceByKey(_ + _)
+        .map { case ((node, lbl), c) => (node, (lbl, c)) }
+        .reduceByKey(part, (a, b) =>
+          if (a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)) a else b)
+        .mapValues(_._1) // keeps the node partitioning
     }
-    labels.select(col("node"), col("lbl").as("community"))
+    val out = labels
+      .toDF("node", "community")
+      // pin the values before the adjacency cache is dropped: the memo
+      // in [[labelPropagation]] persists lazily, so without this the
+      // unpersist below could force a recompute from released blocks
+      .localCheckpoint(true)
+    byNbr.unpersist(blocking = false)
+    out
   }
 
   /** Newman modularity of the [[labelPropagation]] communities — the
